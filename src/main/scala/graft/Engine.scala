@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session facade — the Spark-native equivalent of the reference's
+  * session context (`/root/reference/src/main.rs:379-386`, registered as
+  * `session-context` at `src/main.rs:520`).
+  *
+  * The reference wraps a DataFusion `SessionContext` (catalog + config +
+  * UDF registry + read entry points). Here the same role is played by a
+  * `SparkSession`; this object provides the construction defaults and the
+  * source surface.
+  *
+  * Scale notes: `shufflePartitions` should track cluster parallelism
+  * (driver harness uses 32 local threads); AQE is enabled so joins are
+  * re-planned at runtime (broadcast conversion, skew splitting, partition
+  * coalescing) — that is the knob that matters at 100 TB, not the static
+  * setting.
+  */
+object Engine {
+
+  def create(
+      appName: String = "graft",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+  ): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The reference's only source: `read-csv`
+    * (`/root/reference/src/main.rs:570-578`) — header row = column names,
+    * schema inferred (`CsvReadOptions::new()` defaults at `src/main.rs:574`).
+    * Spark's inference mirrors DataFusion's (one eager pass, then lazy scan).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Capability superset: Parquet source (the reference compiles parquet
+    * support in but never registers a reader — `/root/reference/Cargo.lock:2286-2288`).
+    * Parquet is the scale path: columnar, predicate/projection pushdown,
+    * partition pruning all reach the scan.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Driver-testdata helper: one parquet file per table under `dir`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Sinks (capability superset — the reference has display-only sinks:
+    * `df/show` `src/main.rs:552-559`, `df/collect` `src/main.rs:523-531`).
+    */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

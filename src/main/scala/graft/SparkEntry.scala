@@ -1,13 +1,651 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{ColFns, TextFns, Udfs}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.Relational.GraftOps
+import graft.streaming.EventStreams
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (parity surface) plus the beyond-parity training-data
+  * operators (SURVEY.md §7), each with a DuckDB oracle where the semantics
+  * are ANSI-SQL-expressible.
+  *
+  * Oracle-match discipline (the driver hash-compares values):
+  *   - every floating aggregate is computed exactly: cast to DECIMAL before
+  *     SUM (order-independent, exact in both engines), cast the exact result
+  *     to DOUBLE at the end — identical bits on both sides;
+  *   - per-row double arithmetic uses the same IEEE op sequence in both
+  *     engines (left-assoc), so results are bit-identical;
+  *   - ratio outputs (cosine) are rounded to 6 decimals on both sides;
+  *   - every query has a total ORDER BY (unique tie-break columns);
+  *   - integer widths are aligned (Spark rank/size cast to long = DuckDB
+  *     BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot read
+    // natively; sessions set spark.sql.legacy.parquet.nanosAsLong and the
+    // loader rebuilds a microsecond timestamp (integer div — a double
+    // division would lose precision on int64 nanos).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact decimal sum surfaced as double — order-independent, so Spark's
+    * partial-aggregate merge order vs DuckDB's scan order cannot diverge.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H Q1. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Pricing(spark, "/root/testdata/sf0.001")
+
+  /** TPC-H Q1 pricing summary — `df/aggregate` with full agg-builder set. */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filterCol(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
+    val disc  = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    l.aggregate(
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      Seq(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc.cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        sum(charge.cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount"), 6) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+    ).sortBy(Seq(col("l_returnflag"), col("l_linestatus")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 core relational surface -----------------------------------
+    "q01_select" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectCols(Seq(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    "q02_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filterCol(ColFns.and(
+          ColFns.lt(col("l_quantity"), lit(5)),
+          ColFns.eq(col("l_returnflag"), lit("R"))))
+        .selectCols(Seq(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    "q03_with_column" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("price_ratio", col("o_totalprice") / lit(100000.0))
+        .withColumnRenamed("o_orderkey", "order_id")
+        .selectCols(Seq(col("order_id"), col("price_ratio")))
+        .sortBy(Seq(col("order_id")))),
+
+    "q04_agg" -> ((s, dir) => q1Pricing(s, dir)),
+
+    "q05_agg_global" -> ((s, dir) =>
+      t(s, dir, "lineitem").aggregate(Seq.empty, Seq(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders")))),
+
+    "q06_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      val byPriceOnly = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc)
+      val part = Window.partitionBy(col("l_orderkey"))
+      t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity")))
+        .windowCols(Seq(
+          row_number().over(byPrice).cast("long"),
+          rank().over(byPriceOnly).cast("long"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(part).cast("double")))
+        .filterCol(col("w0") <= 2)
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("w0"), col("w1"), col("w2")))
+        .sortBy(Seq(col("l_orderkey"), col("w0")))
+    }),
+
+    "q07_sort_nulls" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("v", when(col("value") < 1, lit(null)).otherwise(col("value")))
+        .sortExprs(Seq(ColFns.sortExpr(col("v"), ascending = true, nullsFirst = false), col("event_id").asc))
+        .limitOffset(0, Some(100))
+        .selectCols(Seq(col("event_id"), col("v")))),
+
+    "q08_limit_offset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .sortBy(Seq(col("o_orderkey")))
+        .limitOffset(100, Some(10))
+        .selectCols(Seq(col("o_orderkey"), col("o_totalprice")))),
+
+    "q09_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_returnflag"), col("l_linestatus")))
+        .distinctAll
+        .sortBy(Seq(col("l_returnflag"), col("l_linestatus")))),
+
+    "q10_distinct_on" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .distinctOn(
+          on = Seq(col("o_custkey")),
+          select = Seq(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          sort = Seq(col("o_orderdate").desc, col("o_orderkey").asc))
+        .sortBy(Seq(col("o_custkey")))),
+
+    "q11_join_names" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .joinNames(t(s, dir, "part"), "inner", Seq("l_partkey"), Seq("p_partkey"),
+          extra = Some(col("p_retailprice") > 990.0))
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_retailprice")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    "q12_join_left" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .joinNames(t(s, dir, "orders"), "left", Seq("c_custkey"), Seq("o_custkey"))
+        .selectCols(Seq(col("c_custkey"), col("c_name"), col("o_orderkey")))
+        .sortExprs(Seq(col("c_custkey").asc, col("o_orderkey").asc_nulls_last))),
+
+    "q13_join_semi" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .joinNames(t(s, dir, "lineitem"), "left_semi", Seq("o_orderkey"), Seq("l_orderkey"),
+          extra = Some(col("l_quantity") >= 49))
+        .selectCols(Seq(col("o_orderkey"), col("o_totalprice")))
+        .sortBy(Seq(col("o_orderkey")))),
+
+    "q14_join_anti" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .joinNames(t(s, dir, "lineitem"), "left_anti", Seq("o_orderkey"), Seq("l_orderkey"))
+        .selectCols(Seq(col("o_orderkey"), col("o_orderstatus")))
+        .sortBy(Seq(col("o_orderkey")))),
+
+    "q15_join_theta" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .joinOn(t(s, dir, "nation"), "inner", Seq(
+          col("s_nationkey") === col("n_nationkey"),
+          col("s_acctbal") > lit(2000.0)))
+        .selectCols(Seq(col("s_suppkey"), col("s_name"), col("n_name")))
+        .sortBy(Seq(col("s_suppkey")))),
+
+    "q16_cross" -> ((s, dir) =>
+      t(s, dir, "region")
+        .joinOn(t(s, dir, "nation"), "inner", Seq.empty)
+        .selectCols(Seq(col("r_name"), col("n_name")))
+        .sortBy(Seq(col("r_name"), col("n_name")))),
+
+    "q17_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filterCol(col("o_totalprice") > 400000.0)
+        .selectCols(Seq(col("o_orderkey"), col("o_totalprice")))
+      val vhi = o.filterCol(col("o_totalprice") > 450000.0)
+        .selectCols(Seq(col("o_orderkey"), col("o_totalprice")))
+      hi.unionAll(vhi).sortBy(Seq(col("o_orderkey"), col("o_totalprice")))
+    }),
+
+    "q18_union_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filterCol(col("o_totalprice") > 400000.0)
+        .selectCols(Seq(col("o_orderkey"), col("o_totalprice")))
+      val vhi = o.filterCol(col("o_totalprice") > 450000.0)
+        .selectCols(Seq(col("o_orderkey"), col("o_totalprice")))
+      hi.unionDistinct(vhi).sortBy(Seq(col("o_orderkey"), col("o_totalprice")))
+    }),
+
+    "q19_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").selectCols(Seq(col("c_nationkey").as("nk")))
+        .intersectDistinct(t(s, dir, "supplier").selectCols(Seq(col("s_nationkey").as("nk"))))
+        .sortBy(Seq(col("nk")))),
+
+    "q20_except" -> ((s, dir) =>
+      t(s, dir, "customer").selectCols(Seq(col("c_custkey").as("ck")))
+        .exceptDistinct(t(s, dir, "orders").selectCols(Seq(col("o_custkey").as("ck"))))
+        .sortBy(Seq(col("ck")))),
+
+    // ---- §2.4 expression surface -----------------------------------------
+    "q21_case" -> ((s, dir) => {
+      val statusWord = ColFns.caseOf(col("o_orderstatus"))
+        .when(lit("F"), lit("done"))
+        .when(lit("O"), lit("open"))
+        .end // no ELSE => NULL for 'P'
+      val bucket = ColFns.caseWhen(col("o_totalprice") > 300000.0, lit("big"))
+        .when(col("o_totalprice") > 100000.0, lit("mid"))
+        .otherwise(lit("small"))
+      t(s, dir, "orders")
+        .selectCols(Seq(col("o_orderkey"), statusWord.as("status_word"), bucket.as("size_bucket")))
+        .sortBy(Seq(col("o_orderkey")))
+    }),
+
+    "q22_like" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filterCol(ColFns.and(
+          ColFns.ilike(col("p_name"), lit("%RED%")),
+          ColFns.notLike(col("p_name"), lit("%bolt%"))))
+        .selectCols(Seq(col("p_partkey"), col("p_name")))
+        .sortBy(Seq(col("p_partkey")))),
+
+    "q23_arith" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectCols(Seq(
+          col("l_orderkey"), col("l_linenumber"),
+          ColFns.add(col("l_quantity"), col("l_tax"), col("l_discount")).as("s3"),
+          ColFns.sub(col("l_extendedprice"), col("l_tax"), col("l_discount")).as("d3"),
+          ColFns.mul(col("l_quantity"), col("l_extendedprice")).as("m2"),
+          ColFns.div(col("l_extendedprice"), col("l_quantity"), lit(2.0)).as("v3")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    // ---- §2.5 UDF surface --------------------------------------------------
+    "q24_udf" -> ((s, dir) => {
+      val u = Udfs.defineUdf3[Double, Double, Double](s, "graft_charge", DoubleType,
+        (p, t, d) => p * (1 + t) * (1 - d))
+      t(s, dir, "lineitem")
+        .selectCols(Seq(
+          col("l_orderkey"), col("l_linenumber"),
+          Udfs.udfCall(u, Seq(col("l_extendedprice"), col("l_tax"), col("l_discount"))).as("charge")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
+
+    // ---- §2.3 actions with frame-shaped output ----------------------------
+    "q25_describe" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_quantity"), col("l_extendedprice"), col("l_returnflag")))
+        .describeDf),
+
+    "q26_explain" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .joinNames(t(s, dir, "orders"), "inner", Seq("l_orderkey"), Seq("o_orderkey"))
+        .aggregate(Seq(col("o_orderstatus")), Seq(count(lit(1)).as("n")))
+        .explainDf()),
+
+    // ---- text analysis (SURVEY.md §7 training-data operators) -------------
+    "q27_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFns.meanTokenLen(col("text")).as("mean_tok_len"),
+          length(col("text")).cast("long").as("n_chars_calc")))
+        .sortBy(Seq(col("doc_id")))),
+
+    "q28_lang_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(
+          col("doc_id"), col("lang"),
+          TextFns.langId(col("text")).as("lang_pred"),
+          TextFns.qualityScore(col("text")).as("quality")))
+        .sortBy(Seq(col("doc_id")))),
+
+    "q29_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+        .sortBy(Seq(col("doc_id")))),
+
+    "q30_char_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          size(TextFns.charNgrams(col("text"), 5)).cast("long").as("n_5grams")))
+        .sortBy(Seq(col("doc_id")))),
+
+    // ---- deduplication -----------------------------------------------------
+    "q31_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), Seq(col("source"), col("lang")), Seq(col("doc_id")))
+        .selectCols(Seq(col("doc_id"), col("source"), col("lang")))
+        .sortBy(Seq(col("doc_id")))),
+
+    "q32_dup_map" -> ((s, dir) =>
+      Dedup.exactDupMap(t(s, dir, "documents"),
+        concat_ws("|", col("source"), col("lang")), col("doc_id"))
+        .sortBy(Seq(col("survivor_id"), col("dup_id")))),
+
+    "q33_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          ngram = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 1 << 20)
+        .sortBy(Seq(col("id_a"), col("id_b")))),
+
+    "q34_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          ngram = 3, threshold = 0.8)
+        .sortBy(Seq(col("id_a"), col("id_b")))),
+
+    "q35_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+        .sortBy(Seq(col("id_a"), col("id_b")))),
+
+    // ---- similarity search --------------------------------------------------
+    "q36_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      Similarity.bruteForceTopK(corpus, queries, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q37_emb_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.embeddingCosinePairs(e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v"))),
+          col("id"), col("v"), threshold = 0.4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
+    "q38_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 4, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    // ---- multimodal plumbing ------------------------------------------------
+    "q39_multimodal" -> ((s, dir) => {
+      val payload = Multimodal.asPayload(t(s, dir, "documents"), "text", "text", "utf8")
+      Multimodal.extractFeatures(payload, "doc_id", "payload")
+        .selectCols(Seq(col("id"), col("byte_len")))
+        .sortBy(Seq(col("id")))
+    }),
+
+    // ---- events: windowed agg + sessionization ------------------------------
+    "q40_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .aggregate(
+          Seq(date_trunc("hour", col("ts")).cast("long").as("win_epoch"), col("event_type")),
+          Seq(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value")))
+        .sortBy(Seq(col("win_epoch"), col("event_type")))),
+
+    "q41_sessionize" -> ((s, dir) =>
+      EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .aggregate(Seq(col("user_id")), Seq(max(col("session_seq")).cast("long").as("n_sessions")))
+        .sortBy(Seq(col("user_id"))))
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables). Omitted for
+    * non-SQL-expressible ops (xxhash64-based fingerprints/simhash, plan
+    * text, describe stringification, approximate IVF, heuristic lang/quality)
+    * — the driver records a weaker rows-only check for those.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_select" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS disc_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_with_column" ->
+      """SELECT o_orderkey AS order_id, o_totalprice / 100000.0 AS price_ratio
+         FROM orders ORDER BY order_id""",
+
+    "q04_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q05_agg_global" ->
+      """SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem""",
+
+    "q06_window" ->
+      """SELECT l_orderkey, l_linenumber, w0, w1, w2 FROM (
+           SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS w0,
+             rank()       OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS w1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE) AS w2
+           FROM lineitem)
+         WHERE w0 <= 2 ORDER BY l_orderkey, w0""",
+
+    "q07_sort_nulls" ->
+      """SELECT event_id, CASE WHEN value < 1 THEN NULL ELSE value END AS v
+         FROM events ORDER BY v ASC NULLS LAST, event_id LIMIT 100""",
+
+    "q08_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 10 OFFSET 100""",
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q10_distinct_on" ->
+      """SELECT * FROM (
+           SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+           FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey)
+         ORDER BY o_custkey""",
+
+    "q11_join_names" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+         FROM lineitem JOIN part ON l_partkey = p_partkey AND p_retailprice > 990.0
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q12_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS LAST""",
+
+    "q13_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         ORDER BY o_orderkey""",
+
+    "q14_join_anti" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q15_join_theta" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey AND s_acctbal > 2000.0
+         ORDER BY s_suppkey""",
+
+    "q16_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "q17_union_all" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0
+         ORDER BY o_orderkey, o_totalprice""",
+
+    "q18_union_distinct" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+         UNION
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0
+         ORDER BY o_orderkey, o_totalprice""",
+
+    "q19_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+
+    "q20_except" ->
+      """SELECT c_custkey AS ck FROM customer
+         EXCEPT SELECT o_custkey AS ck FROM orders ORDER BY ck""",
+
+    "q21_case" ->
+      """SELECT o_orderkey,
+         CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open' END AS status_word,
+         CASE WHEN o_totalprice > 300000.0 THEN 'big'
+              WHEN o_totalprice > 100000.0 THEN 'mid'
+              ELSE 'small' END AS size_bucket
+         FROM orders ORDER BY o_orderkey""",
+
+    "q22_like" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_name ILIKE '%RED%' AND p_name NOT LIKE '%bolt%'
+         ORDER BY p_partkey""",
+
+    "q23_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_quantity + l_tax + l_discount AS s3,
+         l_extendedprice - l_tax - l_discount AS d3,
+         l_quantity * l_extendedprice AS m2,
+         l_extendedprice / l_quantity / 2.0 AS v3
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q24_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 + l_tax) * (1 - l_discount) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q27_text_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_tok_len,
+           CAST(n AS BIGINT) AS n_chars_calc
+         FROM t ORDER BY doc_id""",
+
+    "q30_char_ngrams" ->
+      """SELECT doc_id,
+         CAST(len(list_distinct(list_transform(
+           range(1, greatest(len(text) - 4, 0) + 1),
+           i -> text[i:i+4]))) AS BIGINT) AS n_5grams
+         FROM documents ORDER BY doc_id""",
+
+    "q31_dedup_exact" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "q32_dup_map" ->
+      """WITH k AS (SELECT source || '|' || lang AS k, doc_id FROM documents),
+         s AS (SELECT k, MIN(doc_id) AS survivor_id FROM k GROUP BY k)
+         SELECT survivor_id, doc_id AS dup_id
+         FROM k JOIN s USING (k) WHERE doc_id <> survivor_id
+         ORDER BY survivor_id, dup_id""",
+
+    "q33_minhash_lsh" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "q34_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "q36_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS score
+               FROM q JOIN c ON c_id <> q_id),
+         r AS (SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+               FROM s)
+         SELECT q_id AS query_id, c_id AS neighbor_id,
+                round(score, 6) AS cosine, rnk AS rank
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
+
+    "q37_emb_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "q39_multimodal" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+         FROM documents ORDER BY id""",
+
+    "q40_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY win_epoch, event_type""",
+
+    "q41_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events),
+         y AS (SELECT user_id,
+                 CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                      THEN 1 ELSE 0 END AS ns
+               FROM x)
+         SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions
+         FROM y GROUP BY user_id ORDER BY user_id"""
+  )
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines (the
+  * beyond-parity extension set — SURVEY.md §7). Everything is composed from
+  * `org.apache.spark.sql.functions` (codegen'd / vectorizable builtins or
+  * higher-order functions) — no UDFs in the hot path, so column pruning and
+  * whole-stage codegen survive around these expressions.
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens. Empty/blank input => empty array (Spark's
+    * split of "" yields [""], which we filter).
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count — the cheap proxy a 100 TB pipeline uses before
+    * real tokenization.
+    */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation as separate
+    * tokens (a regex approximation of byte-pair tokenizers; deterministic,
+    * cheap, codegen'd). Counts matches of: runs of letters (<=4 chars per
+    * piece), digit runs, or single non-space symbols.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(filter(split(c, "(?<=\\G.{4})(?=\\p{L})|(?<=\\p{L})(?=[^\\p{L}\\s])|(?<=[^\\p{L}\\s])(?=\\p{L})|\\s+"), t => length(t) > 0))
+
+  /** Character n-gram shingles (distinct). `Column.substr(pos, len)` keeps
+    * this inside codegen; array size is O(len(text)).
+    */
+  def charNgrams(c: Column, n: Int): Column = {
+    val count = greatest(length(c) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(1), count), i => c.substr(i, lit(n)))
+    )
+  }
+
+  /** Word n-gram shingles (distinct), the standard unit for document-level
+    * near-dup detection (MinHash/Jaccard). For docs shorter than n words the
+    * whole doc is the single shingle (so every doc has >=1 shingle).
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(
+      transform(sequence(lit(0), count - 1), i => array_join(slice(toks, i + 1, lit(n)), " "))
+    )
+  }
+
+  /** 64-bit shingle hashes: the form every downstream dedup operator
+    * consumes (hashing early keeps shuffles narrow — longs, not strings).
+    */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(wordNgrams(c, n), s => xxhash64(s))
+
+  /** Rotate-XOR rolling-hash document fingerprint over token hashes:
+    * fp = fold(h_tok, acc -> rotl(acc, 5) ^ h_tok). Order-sensitive (unlike
+    * a set hash), so reordered documents fingerprint differently. Pure
+    * bitwise ops — no ANSI overflow (unlike a polynomial `acc*31+h`).
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => xxhash64(t)),
+      lit(0L),
+      (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h)
+    )
+
+  // --- language identification ------------------------------------------
+
+  /** Per-language stopword marker sets for the n-gram/stopword heuristic.
+    * Deliberately small and high-precision: these are the near-unambiguous
+    * function words of each language.
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "was", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für"),
+    "es" -> Seq("el", "la", "los", "las", "que", "es", "por", "con", "una", "del"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "qui", "sur", "avec")
+  )
+
+  /** Stopword hit count for one language over a token array. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language-ID heuristic: CJK codepoint share decides "zh"; otherwise the
+    * language whose stopword set scores the most hits wins (ties broken by
+    * the fixed order of [[StopwordSets]]); zero hits everywhere => "und"
+    * (undetermined, BCP-47 style). A real pipeline swaps in fastText; the
+    * shape (pure column expression, no shuffle) is the part that matters at
+    * scale.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val cjk = size(filter(split(c, ""), ch => ch.rlike("[\\u4e00-\\u9fff]")))
+    val scored = StopwordSets.map { case (l, ws) => (l, stopwordHits(toks, ws)) }
+    // argmax with first-wins tie-break: fold a (score, lang) pair.
+    val best = scored.tail.foldLeft(struct(scored.head._2.alias("s"), lit(scored.head._1).alias("l"))) {
+      case (acc, (l, s)) =>
+        when(s > acc.getField("s"), struct(s.alias("s"), lit(l).alias("l"))).otherwise(acc)
+    }
+    when(cjk * 4 > length(c), lit("zh"))
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise(lit("und"))
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Ratio of non-alphanumeric-non-space chars to total chars (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast("double") / len.cast("double"))
+  }
+
+  /** Mean token length — short-token text is usually noise/navigation. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double")
+      )
+  }
+
+  /** English-stopword ratio of tokens — fluent prose sits around 0.3-0.6;
+    * keyword-stuffed or tabular junk near 0.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(stopwordHits(toks, StopwordSets.head._2).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite heuristic quality score in [0,1] — the C4/Gopher-style rule
+    * mix: enough tokens, sane token length, low punctuation noise.
+    * Deterministic, pure expression.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val lenOk = when(nTok >= 10 && nTok <= 100000, 1.0).otherwise(0.0)
+    val mtl = meanTokenLen(c)
+    val mtlOk = when(mtl >= 2.5 && mtl <= 12.0, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.0)
+    round((lenOk + mtlOk + punctOk) / 3.0, 6)
+  }
+}

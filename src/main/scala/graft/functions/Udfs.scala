@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types.DataType
+
+/** Scalar UDF surface — the reference's `define-udf` + `udf/call`
+  * (`/root/reference/src/main.rs:598-636,580` and `src/main.rs:138-142,521`).
+  *
+  * The reference's Scheme<->DataFusion value bridge is a stub: it invokes the
+  * interpreter closure with a Void arg, discards the result, and always
+  * returns NULL (`src/main.rs:622-629`), serializing every call on a global
+  * mutex (`src/main.rs:589-595`). We implement the evident intent: arguments
+  * flow in, return values flow out, and execution is embarrassingly parallel
+  * across partitions (no interpreter mutex exists on Spark's side — the
+  * function ships to executors as ordinary JVM bytecode).
+  *
+  * Volatility: the reference registers UDFs as Immutable
+  * (`src/main.rs:617-630`); Spark UDFs are assumed deterministic by default,
+  * which is the same contract (call `.asNondeterministic()` to opt out).
+  */
+object Udfs {
+
+  /** `define-udf` — typed via explicit return DataType, matching the
+    * reference's signature `(ctx, name, arg-types, ret-type, fn)`. The
+    * arg types are enforced by Spark's analyzer at bind time; we accept
+    * them for contract documentation and cast call-sites accordingly.
+    */
+  def defineUdf1[A](spark: SparkSession, name: String, ret: DataType, f: A => Any): UserDefinedFunction = {
+    val u = udf(new org.apache.spark.sql.api.java.UDF1[A, Any] { def call(a: A): Any = f(a) }, ret)
+    spark.udf.register(name, u)
+    u
+  }
+
+  def defineUdf2[A, B](spark: SparkSession, name: String, ret: DataType, f: (A, B) => Any): UserDefinedFunction = {
+    val u = udf(new org.apache.spark.sql.api.java.UDF2[A, B, Any] { def call(a: A, b: B): Any = f(a, b) }, ret)
+    spark.udf.register(name, u)
+    u
+  }
+
+  def defineUdf3[A, B, C](spark: SparkSession, name: String, ret: DataType, f: (A, B, C) => Any): UserDefinedFunction = {
+    val u = udf(
+      new org.apache.spark.sql.api.java.UDF3[A, B, C, Any] { def call(a: A, b: B, c: C): Any = f(a, b, c) },
+      ret
+    )
+    spark.udf.register(name, u)
+    u
+  }
+
+  /** `udf/call` — `src/main.rs:138-142,521`: build an invocation expression
+    * from a UDF handle + argument exprs.
+    */
+  def udfCall(u: UserDefinedFunction, args: Seq[Column]): Column = u(args: _*)
+
+  /** Call a UDF registered by name (the reference resolves through the
+    * session's registry; Spark's equivalent is `call_function`).
+    */
+  def udfCallByName(name: String, args: Seq[Column]): Column =
+    org.apache.spark.sql.functions.call_function(name, args: _*)
+}

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.plans.VectorExprs
+
+/** Deduplication operators for training-data pipelines (beyond-parity
+  * extensions, SURVEY.md §7). Five families: exact, MinHash+LSH, SimHash,
+  * exact n-gram Jaccard, and embedding-cosine. Each is a pure DataFrame
+  * transformation — Catalyst plans the shuffles, AQE handles skew.
+  *
+  * Scale design notes are on each operator; the common principles:
+  *   - hash early: shuffles carry 64-bit keys, not document text;
+  *   - candidate generation is always sub-quadratic (LSH bands / inverted
+  *     index / bit-chunk pigeonhole), never a cross join;
+  *   - verification joins candidates back to per-doc state by id, so the
+  *     wide payload (shingle sets) moves once.
+  */
+object Dedup {
+
+  /** Exact dedup, keep-first-per-key: the survivor of each duplicate group
+    * is the row with the smallest `tieBreak`. One shuffle on the key.
+    * At 100 TB, partition counts must follow data size (AQE coalesces);
+    * group keys are arbitrary expressions, e.g. `xxhash64(text)` to keep
+    * sort keys narrow.
+    */
+  def exactDedup(df: DataFrame, keys: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups as (survivor_id, dup_id) pairs — the "what would be
+    * removed" report form. GroupBy + min is partial-aggregated map-side, so
+    * the shuffle carries one (key, min_id) pair per map partition per key.
+    */
+  def exactDupMap(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val keyed = df.select(key.alias("__k"), id.alias("__id"))
+    val survivors = keyed.groupBy(col("__k")).agg(min(col("__id")).alias("survivor_id"))
+    keyed
+      .join(survivors, "__k")
+      .filter(col("__id") =!= col("survivor_id"))
+      .select(col("survivor_id"), col("__id").alias("dup_id"))
+  }
+
+  /** MinHash signature (k values) over an array of 64-bit shingle hashes.
+    * Hash family: h_i(x) = xxhash64(x, i) — k independent permutation
+    * approximations from the seeded builtin, all codegen-evaluable; min
+    * taken per seed. O(k * |shingles|) per doc, embarrassingly parallel.
+    */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i)))
+    )
+
+  /** LSH band keys: the signature is cut into `bands` rows of
+    * `k / bands` values; each band hashes to one 64-bit bucket key.
+    * Two docs collide on a band iff that band of the signature matches
+    * exactly — P[candidate] = 1 - (1 - j^r)^b.
+    */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => struct(j.alias("band"), xxhash64(j, slice(sig, j * r + 1, lit(r))).alias("bucket"))
+    )
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Pipeline: shingle -> minhash -> band -> explode -> self-join on
+    * (band, bucket) -> distinct candidate id pairs -> join back to shingle
+    * sets -> exact Jaccard filter. Returns (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Defaults k=128, bands=32 (r=4): P[miss] for j >= 0.8 is
+    * (1 - 0.8^4)^32 ~= 5e-9 — the exact-verify step then makes the output
+    * equal to the exact-Jaccard pair set with near-certainty.
+    *
+    * Scale: the exploded band frame is 32 longs/doc; the self-join is an
+    * equi-join Catalyst hash-partitions on bucket. Mega-buckets (skew) are
+    * AQE-split; `maxBucket` caps pathological buckets (a bucket of m docs
+    * yields m^2 pairs — a cap of 2000 bounds any bucket's contribution
+    * while keeping recall for real near-dup clusters).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ngram: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucket: Int = 2000
+  ): DataFrame = {
+    val docs = df
+      .select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+    val bandsDf = docs
+      .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).alias("bk"))
+      .select(col("id"), col("bk.band").alias("band"), col("bk.bucket").alias("bucket"))
+
+    // Cap pathological buckets (scale guard; no-op on sane data).
+    val bucketSizes = bandsDf.groupBy("band", "bucket").count()
+    val capped = bandsDf
+      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+      .select("id", "band", "bucket")
+
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val candidates = a
+      .join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, docs.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Join candidate id pairs back to shingle sets and keep exact Jaccard >=
+    * threshold. Shingle sets move through two id-keyed joins (narrow keys,
+    * wide payload moves once per side).
+    */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val da = docs.select(col("id").alias("id_a"), col("sh").alias("sh_a"))
+    val db = docs.select(col("id").alias("id_b"), col("sh").alias("sh_b"))
+    pairs
+      .join(da, "id_a")
+      .join(db, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted index (PPJoin-style, no LSH
+    * approximation): explode shingles -> self-join on shingle -> count
+    * intersections per pair -> join sizes -> filter.
+    *
+    * Exact but quadratic in per-shingle document frequency; use for
+    * moderate corpora or after minhash prefiltering. At 100 TB the LSH
+    * path above is the default; this one is the ground-truth oracle.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ngram: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val docs = df.select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+    val inv = docs.select(col("id"), explode(col("sh")).alias("g"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    val inter = a
+      .join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .agg(count(lit(1)).cast("double").alias("inter"))
+    val sizes = docs.select(col("id"), size(col("sh")).alias("n"))
+    inter
+      .join(sizes.select(col("id").alias("id_a"), col("n").alias("n_a")), "id_a")
+      .join(sizes.select(col("id").alias("id_b"), col("n").alias("n_b")), "id_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint column (64-bit) over a document's tokens. */
+  def simhash(text: Column): Column =
+    VectorExprs.simhash64(transform(TextFns.tokens(text), t => xxhash64(t)))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Candidate generation is EXACT for maxHamming <= 3 by pigeonhole: the
+    * 64-bit fingerprint is cut into 4 x 16-bit chunks; <= 3 differing bits
+    * leave at least one chunk identical, so an equi-join per chunk finds
+    * every qualifying pair. Verification = bit_count(xor) (builtin).
+    * Same shape as LSH banding — narrow keys, hash joins, no cross join.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
+    val docs = df.select(id.alias("id"), simhash(text).alias("sim"))
+    val chunkArr = array((0 until 4).map { j =>
+      struct(lit(j).alias("chunk"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xffffL)).alias("key"))
+    }: _*)
+    val chunks = docs
+      .select(col("id"), col("sim"), explode(chunkArr).alias("ck"))
+      .select(col("id"), col("sim"), col("ck.chunk").alias("chunk"), col("ck.key").alias("key"))
+    val a = chunks.alias("a"); val b = chunks.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").alias("id_a"),
+        col("b.id").alias("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).alias("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs
+    * with cosine >= threshold. Quadratic — correct tool only for verifying
+    * or for corpora small enough to broadcast one side. The scale path is
+    * [[embeddingLshPairs]].
+    */
+  def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val e = df.select(id.alias("id"), vec.alias("v"))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(broadcast(b), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").alias("id_a"),
+        col("b.id").alias("id_b"),
+        VectorExprs.cosine(col("a.v"), col("b.v")).alias("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Random-hyperplane (sign) LSH bucket keys for embedding vectors:
+    * `planes` sign bits per table, `tables` independent tables. Hyperplanes
+    * are deterministic pseudo-random unit-agnostic vectors derived from
+    * xxhash64(table, plane, dim) — no RNG state, reproducible across runs
+    * and executors. Collision prob per bit = 1 - angle/pi.
+    */
+  def embeddingLshBuckets(vec: Column, dims: Int, planes: Int, tables: Int): Column = {
+    def coeff(t: Int, p: Int, d: Int): Double = {
+      // splitmix-style deterministic pseudo-random in [-1, 1)
+      var z = t.toLong * 0x9e3779b97f4a7c15L + p.toLong * 0xbf58476d1ce4e5b9L + d.toLong * 0x94d049bb133111ebL
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    val buckets = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val dotExpr = (0 until dims)
+          .map(d => element_at(vec, d + 1).cast("double") * lit(coeff(t, p, d)))
+          .reduce(_ + _)
+        when(dotExpr >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).alias("table"), bits.alias("bucket"))
+    }
+    array(buckets: _*)
+  }
+
+  /** Embedding near-dup pairs via sign-LSH candidates + exact cosine
+    * verification. Approximate recall (tunable via planes/tables); linear
+    * shuffle volume — the 100 TB path.
+    */
+  def embeddingLshPairs(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      dims: Int,
+      threshold: Double,
+      planes: Int = 12,
+      tables: Int = 6
+  ): DataFrame = {
+    val e = df.select(id.alias("id"), vec.alias("v"))
+    val bucketed = e
+      .select(col("id"), col("v"), explode(embeddingLshBuckets(col("v"), dims, planes, tables)).alias("bk"))
+      .select(col("id"), col("v"), col("bk.table").alias("table"), col("bk.bucket").alias("bucket"))
+    val a = bucketed.alias("a"); val b = bucketed.alias("b")
+    a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"), VectorExprs.cosine(col("a.v"), col("b.v")).alias("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (beyond-parity extension, SURVEY.md §7):
+  * image/audio/video payloads ride as opaque `BinaryType` columns with a
+  * typed metadata struct; feature extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED with a deterministic fake (this
+  * container has no image/audio libraries); everything around it — schema,
+  * batch shape, partition sizing, null handling — is real and tested, so a
+  * real decoder drops in by replacing [[fakeDecode]] only.
+  *
+  * Scale notes: payloads never enter a shuffle here — decode is a narrow
+  * mapPartitions; downstream aggregations see only the small feature
+  * struct. For 100 TB of media: size input splits so one partition's
+  * payloads fit comfortably in executor memory (`maxPartitionBytes`), and
+  * repartition BEFORE decode if the source files are few-but-huge.
+  */
+object Multimodal {
+
+  /** The metadata struct every payload carries. */
+  val MetaSchema: StructType = StructType(
+    Seq(
+      StructField("modality", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("byte_len", LongType, nullable = false)
+    )
+  )
+
+  val FeatureSchema: StructType = StructType(
+    Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("byte_entropy", DoubleType, nullable = false),
+      StructField("head_hash", LongType, nullable = false),
+      StructField("feature_vec", ArrayType(FloatType, containsNull = false), nullable = false)
+    )
+  )
+
+  /** Wrap a string column as an opaque binary payload + metadata — the
+    * ingest shape (a real pipeline reads bytes from object storage; the
+    * testdata has no binary columns, so documents.text stands in).
+    */
+  def asPayload(df: DataFrame, textCol: String, modality: String, format: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn(
+        "meta",
+        struct(
+          lit(modality).alias("modality"),
+          lit(format).alias("format"),
+          octet_length(col("payload")).cast("long").alias("byte_len")
+        )
+      )
+
+  /** STUB decoder: a real implementation would decode the image/audio and
+    * emit model features. This fake derives deterministic features from the
+    * raw bytes (length, Shannon entropy of the byte histogram, a hash of the
+    * first 16 bytes, and an 8-dim byte-bucket histogram as the "embedding").
+    * Deliberately cheap, pure, and collision-checkable in tests.
+    */
+  def fakeDecode(bytes: Array[Byte]): (Long, Double, Long, Array[Float]) = {
+    val hist = new Array[Long](256)
+    bytes.foreach(b => hist(b & 0xff) += 1)
+    val n = bytes.length.toDouble
+    var ent = 0.0
+    if (n > 0) {
+      var i = 0
+      while (i < 256) {
+        if (hist(i) > 0) { val p = hist(i) / n; ent -= p * math.log(p) / math.log(2) }
+        i += 1
+      }
+    }
+    var headHash = 1125899906842597L
+    bytes.take(16).foreach(b => headHash = headHash * 31 + b)
+    val vec = new Array[Float](8)
+    var i = 0
+    while (i < 256) { vec(i / 32) += hist(i).toFloat; i += 1 }
+    if (n > 0) { var j = 0; while (j < 8) { vec(j) = (vec(j) / n).toFloat; j += 1 } }
+    (bytes.length.toLong, ent, headHash, vec)
+  }
+
+  /** Batched per-partition feature extraction (the Scala analogue of a
+    * pandas-UDF-over-mapInPandas stage): payload bytes in, feature struct
+    * out, id column preserved. The iterator form means one JVM-side pass,
+    * no per-row task dispatch, and payloads are GC'd as the iterator
+    * advances.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      Seq(StructField("id", LongType, nullable = false)) ++ FeatureSchema.fields
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(pIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](pIdx)
+        val (len, ent, hh, vec) = fakeDecode(bytes)
+        Row(r.getLong(idIdx), len, ent, hh, vec.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

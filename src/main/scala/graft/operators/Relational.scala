@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's core relational surface (SURVEY.md §2.2-2.3), as an
+  * extension-method layer over `DataFrame`. Each method cites the wrapper it
+  * re-expresses in `/root/reference/src/main.rs`. Everything here builds a
+  * declarative logical plan — Catalyst keeps predicate pushdown, column
+  * pruning, join selection, and AQE re-planning for free (SURVEY.md §4).
+  */
+object Relational {
+
+  /** Join-type names accepted by `df/join` / `df/join-on`
+    * (`/root/reference/src/main.rs:99-101`: DataFusion JoinType). Spark has
+    * no right-semi/right-anti; those flip the sides (see [[GraftOps.joinNames]]).
+    */
+  val JoinTypes: Set[String] =
+    Set("inner", "left", "right", "full", "left_semi", "right_semi", "left_anti", "right_anti", "cross")
+
+  implicit class GraftOps(val df: DataFrame) extends AnyVal {
+
+    /** `df/select` — `src/main.rs:225-230,489`. */
+    def selectCols(exprs: Seq[Column]): DataFrame = df.select(exprs: _*)
+
+    /** `df/filter` — `src/main.rs:176-181,483`. */
+    def filterCol(pred: Column): DataFrame = df.filter(pred)
+
+    /** `df/aggregate` — `src/main.rs:183-195,484`. Empty group list =>
+      * global aggregate (one row), matching DataFusion.
+      * Scale: Spark plans this as partial (map-side) + final hash
+      * aggregation — the shuffle carries pre-combined state, not rows.
+      */
+    def aggregate(group: Seq[Column], aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "df/aggregate needs >=1 aggregate expr")
+      if (group.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(group: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    /** `df/window` — `src/main.rs:197-202,485`: append window-function
+      * columns (auto-named `w0, w1, ...`) to all existing columns.
+      * The caller builds each expr with `.over(windowSpec)` already applied.
+      */
+    def windowCols(exprs: Seq[Column]): DataFrame =
+      df.select(col("*") +: exprs.zipWithIndex.map { case (e, i) => e.alias(s"w$i") }: _*)
+
+    /** `df/sort` — `src/main.rs:218-223,488`: explicit sort exprs (built via
+      * ColFns.sortExpr with asc/desc + nulls ordering).
+      * Scale: total sort = range-partitioned shuffle; prefer sortWithinPartitions
+      * when global order is not required.
+      */
+    def sortExprs(sorts: Seq[Column]): DataFrame = df.orderBy(sorts: _*)
+
+    /** `df/sort-by` — `src/main.rs:211-216,487`: default order. DataFusion's
+      * default is ASC NULLS LAST; Spark's bare `.asc` is nulls-first, so we
+      * must be explicit.
+      */
+    def sortBy(exprs: Seq[Column]): DataFrame = df.orderBy(exprs.map(_.asc_nulls_last): _*)
+
+    /** `df/limit` — `src/main.rs:204-209,486`: OFFSET skip, optional LIMIT
+      * fetch (Spark >= 3.4 has a real `offset`).
+      */
+    def limitOffset(skip: Int, fetch: Option[Int]): DataFrame = {
+      val off = if (skip > 0) df.offset(skip) else df
+      fetch.fold(off)(off.limit)
+    }
+
+    /** `df/distinct` — `src/main.rs:156-158,481`. */
+    def distinctAll: DataFrame = df.distinct()
+
+    /** `df/distinct-on` — `src/main.rs:160-174,482`: Postgres DISTINCT ON —
+      * first row per `on`-group under `sort` order, projecting `select`.
+      * Composed as row_number over a window (SURVEY.md §2.2): one shuffle on
+      * the `on` keys, no second pass.
+      */
+    def distinctOn(on: Seq[Column], select: Seq[Column], sort: Seq[Column]): DataFrame = {
+      require(on.nonEmpty, "distinct-on needs >=1 ON expr")
+      val w = Window.partitionBy(on: _*).orderBy(sort: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(select: _*)
+    }
+
+    /** `df/join` — `src/main.rs:232-253,490`: equi-join on named column
+      * pairs + optional extra (possibly non-equi) filter; both sides'
+      * columns are retained.
+      *
+      * Scale: the equi keys make this hash-joinable; Catalyst/AQE picks
+      * broadcast vs shuffled-hash vs sort-merge from size stats. Callers
+      * join small dimensions with `broadcast(right)` to pin the strategy.
+      */
+    def joinNames(
+        right: DataFrame,
+        joinType: String,
+        leftCols: Seq[String],
+        rightCols: Seq[String],
+        extra: Option[Column] = None
+    ): DataFrame = {
+      require(leftCols.length == rightCols.length, "left/right key lists must align")
+      require(JoinTypes.contains(joinType), s"unknown join type $joinType")
+      // right_semi/right_anti: Spark only has left-variants; flip the sides.
+      if (joinType == "right_semi" || joinType == "right_anti") {
+        val flipped = joinType.replace("right", "left")
+        return right.joinNames(df, flipped, rightCols, leftCols, extra)
+      }
+      val eq = leftCols
+        .zip(rightCols)
+        .map { case (l, r) => df(l) === right(r) }
+        .reduceOption(_ && _)
+      val cond = (eq, extra) match {
+        case (Some(e), Some(f)) => Some(e && f)
+        case (Some(e), None)    => Some(e)
+        case (None, f)          => f
+      }
+      cond.fold(df.crossJoin(right))(c => df.join(right, c, joinType))
+    }
+
+    /** `df/join-on` — `src/main.rs:255-265,491`: theta join, predicates
+      * ANDed; empty list => cross join (DataFusion semantics).
+      * Scale: a pure theta join is broadcast-nested-loop — keep at least one
+      * equi predicate in `preds` wherever possible so Catalyst can hash-join.
+      */
+    def joinOn(right: DataFrame, joinType: String, preds: Seq[Column]): DataFrame =
+      preds.reduceOption(_ && _) match {
+        case Some(p) => df.join(right, p, joinType)
+        case None    => df.crossJoin(right)
+      }
+
+    /** `df/union` — `src/main.rs:145-147,479`: UNION ALL by position. */
+    def unionAll(other: DataFrame): DataFrame = df.union(other)
+
+    /** `df/union-distinct` — `src/main.rs:149-154,480`. */
+    def unionDistinct(other: DataFrame): DataFrame = df.union(other).distinct()
+
+    /** `df/intersect` — `src/main.rs:274-279,493` (distinct semantics). */
+    def intersectDistinct(other: DataFrame): DataFrame = df.intersect(other)
+
+    /** `df/except` — `src/main.rs:281-286,494` (distinct semantics). */
+    def exceptDistinct(other: DataFrame): DataFrame = df.except(other)
+
+    /** `df/explain` — `src/main.rs:267-272,492`: the reference returns the
+      * plan as a DataFrame (rows = plan text). We capture the formatted
+      * queryExecution the same way.
+      */
+    def explainDf(extended: Boolean = false): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val text =
+        if (extended) df.queryExecution.toString
+        else df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      spark.createDataset(text.linesIterator.toSeq).toDF("plan")
+    }
+
+    /** `df/describe` — `src/main.rs:533-541`: DataFusion's describe emits
+      * rows `count, null_count, mean, std, min, max, median` x all columns
+      * (non-numeric stats are null). Spark's `summary()` lacks null_count
+      * and exact median, so this composes both: one aggregate pass computing
+      * every cell, then a transpose into the reference's row layout.
+      * All cells are stringified (mixed types in one column).
+      *
+      * Scale: a single full-scan aggregation; `median` uses exact
+      * percentile (sort-based per column) — at 100 TB swap for
+      * `approx_percentile` which is a partial-mergeable sketch.
+      */
+    def describeDf: DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val numeric = df.schema.fields.map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+      val cols = df.columns.toSeq
+      val aggs = cols.flatMap { c =>
+        val base = Seq(
+          count(col(c)).cast("string").alias(s"${c}__count"),
+          count(when(col(c).isNull, 1)).cast("string").alias(s"${c}__null_count"),
+          min(col(c)).cast("string").alias(s"${c}__min"),
+          max(col(c)).cast("string").alias(s"${c}__max")
+        )
+        val num =
+          if (numeric(c))
+            Seq(
+              avg(col(c)).cast("string").alias(s"${c}__mean"),
+              stddev(col(c)).cast("string").alias(s"${c}__std"),
+              percentile_approx(col(c), lit(0.5), lit(100000)).cast("string").alias(s"${c}__median")
+            )
+          else
+            Seq(
+              lit(null).cast("string").alias(s"${c}__mean"),
+              lit(null).cast("string").alias(s"${c}__std"),
+              lit(null).cast("string").alias(s"${c}__median")
+            )
+        base ++ num
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val idx = row.schema.fieldNames.zipWithIndex.toMap
+      val stats = Seq("count", "null_count", "mean", "std", "min", "max", "median")
+      val data = stats.map { s =>
+        (s, cols.map(c => Option(row.get(idx(s"${c}__$s"))).map(_.toString).orNull))
+      }
+      val out = data.map { case (s, vs) => org.apache.spark.sql.Row.fromSeq(s +: vs) }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("describe", org.apache.spark.sql.types.StringType, false) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType, true))
+      )
+      spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    }
+
+    /** `df/show` — `src/main.rs:552-559`: DataFusion prints ALL rows;
+      * Spark's bare `show()` caps at 20, so pass the explicit cap.
+      */
+    def showAll(): Unit = df.show(Int.MaxValue, truncate = false)
+
+    /** `df/show-limit` — `src/main.rs:561-568`. */
+    def showLimit(n: Int): Unit = df.show(n)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup / similarity extensions
+  * (SURVEY.md §7 "beyond-parity"). These are native `Expression`s rather
+  * than Scala UDFs: they evaluate directly on Catalyst's internal
+  * `ArrayData` with no encoder round-trip, keep null semantics explicit,
+  * and slot into the optimized plan like any builtin. CodegenFallback is
+  * acceptable here — each call does O(d) arithmetic on a small array, so
+  * the per-call virtual dispatch is noise.
+  */
+object VectorExprs {
+
+  /** 64-bit SimHash over an array of 64-bit token hashes: per bit position,
+    * sum +1/-1 across tokens by that bit's value; the sign vector is the
+    * fingerprint. Standard Charikar construction — near-identical token
+    * multisets land within a small Hamming distance.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  private def toDouble(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType  => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case _          => throw new IllegalArgumentException(s"unsupported element type $et")
+  }
+
+  abstract class VectorBinary extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    protected def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+  }
+
+  /** Dot product of two numeric arrays (float or double elements). */
+  case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += toDouble(a, i, ta) * toDouble(b, i, tb); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_product"
+  }
+
+  /** Cosine similarity of two numeric arrays; 0.0 when either norm is 0. */
+  case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = toDouble(a, i, ta); val y = toDouble(b, i, tb)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  /** L2 norm of a numeric array. */
+  case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val t = child.dataType.asInstanceOf[ArrayType].elementType
+      var s = 0.0; var i = 0
+      val n = a.numElements()
+      while (i < n) { val x = toDouble(a, i, t); s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+    override def prettyName: String = "l2_norm"
+  }
+
+  // --- Column wrappers ------------------------------------------------------
+  // Spark 4.x: Column wraps a ColumnNode; the classic converters are
+  // private[sql], bridged via org.apache.spark.sql.graft.Bridge.
+
+  import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
+
+  def simhash64(c: Column): Column = asCol(SimHash64(asExpr(c)))
+  def dot(a: Column, b: Column): Column = asCol(DotProduct(asExpr(a), asExpr(b)))
+  def cosine(a: Column, b: Column): Column = asCol(CosineSim(asExpr(a), asExpr(b)))
+  def l2norm(c: Column): Column = asCol(L2Norm(asExpr(c)))
+
+  /** SQL-name registration so these also work via `spark.sql` /
+    * `call_function` (same registry the Agent's builtin functions live in).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+  }
+}

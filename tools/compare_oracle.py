@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's t2 correctness gate: run each oracle SQL
+in DuckDB against the sf-dir parquet tables, compare with the Spark result
+parquet written by graft.Verify (columns sorted by name, values hashed).
+
+Usage: compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = ok = 0
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(spark_df)} rows)" + (" !! EMPTY" if len(spark_df) == 0 else ""))
+        continue
+    duck_df = con.sql(oracle[name]).df()
+    s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+    o = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
+    problems = []
+    if list(s.columns) != list(o.columns):
+        problems.append(f"columns spark={list(s.columns)} duck={list(o.columns)}")
+    elif len(s) != len(o):
+        problems.append(f"rowcount spark={len(s)} duck={len(o)}")
+    else:
+        for c in s.columns:
+            a, b = s[c], o[c]
+            try:
+                eqmask = (a == b) | (a.isna() & b.isna())
+            except Exception as e:
+                problems.append(f"col {c}: compare error {e} (dtypes {a.dtype} vs {b.dtype})")
+                continue
+            if not eqmask.all():
+                idx = (~eqmask).idxmax()
+                problems.append(
+                    f"col {c} ({a.dtype} vs {b.dtype}): {int((~eqmask).sum())} diffs, first@{idx}: spark={a[idx]!r} duck={b[idx]!r}")
+    if problems:
+        fails += 1
+        print(f"{name}: FAIL  " + " | ".join(problems))
+    else:
+        ok += 1
+        print(f"{name}: OK ({len(s)} rows)")
+print(f"\n{ok} ok, {fails} fail, {len(oracle)} with oracle")
+sys.exit(1 if fails else 0)
