@@ -96,7 +96,9 @@ object TextFns {
     */
   def langId(c: Column): Column = {
     val toks = tokens(c)
-    val cjk = size(filter(split(c, ""), ch => ch.rlike("[\\u4e00-\\u9fff]")))
+    // CJK codepoint count in one codegen'd regex pass (a per-character
+    // rlike-in-HOF formulation is interpreted and ~100x slower).
+    val cjk = length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))
     val scored = StopwordSets.map { case (l, ws) => (l, stopwordHits(toks, ws)) }
     // argmax with first-wins tie-break: fold a (score, lang) pair.
     val best = scored.tail.foldLeft(struct(scored.head._2.alias("s"), lit(scored.head._1).alias("l"))) {

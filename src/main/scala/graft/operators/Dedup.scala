@@ -44,30 +44,14 @@ object Dedup {
       .select(col("survivor_id"), col("__id").alias("dup_id"))
   }
 
-  /** MinHash signature (k values) over an array of 64-bit shingle hashes.
-    * Hash family: h_i(x) = xxhash64(x, i) — k independent permutation
-    * approximations from the seeded builtin, all codegen-evaluable; min
-    * taken per seed. O(k * |shingles|) per doc, embarrassingly parallel.
+  /** MinHash+LSH band bucket keys (fused native expression — see
+    * [[graft.plans.VectorExprs.MinHashBuckets]] for why the HOF formulation
+    * is catastrophically slower). Element j of the result is band j's
+    * 64-bit bucket; two docs collide on a band iff that band of the
+    * signature matches exactly — P[candidate] = 1 - (1 - j^r)^b.
     */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleHashes, h => xxhash64(h, i)))
-    )
-
-  /** LSH band keys: the signature is cut into `bands` rows of
-    * `k / bands` values; each band hashes to one 64-bit bucket key.
-    * Two docs collide on a band iff that band of the signature matches
-    * exactly — P[candidate] = 1 - (1 - j^r)^b.
-    */
-  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
-    val r = k / bands
-    require(bands * r == k, s"bands=$bands must divide k=$k")
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      j => struct(j.alias("band"), xxhash64(j, slice(sig, j * r + 1, lit(r))).alias("bucket"))
-    )
-  }
+  def minhashBandBuckets(shingleHashes: Column, k: Int, bands: Int): Column =
+    VectorExprs.minhashBuckets(shingleHashes, k, bands)
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -95,13 +79,17 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 2000
   ): DataFrame = {
+    // Persisted: this narrow per-doc state (id + shingle hashes) is
+    // referenced by the band explode AND twice by the verification joins;
+    // without persistence Spark recomputes the shingling for each reference.
+    // At scale this is ~1 KB/doc — far smaller than the corpus it derives
+    // from, and exactly what MLlib's LSH caches too.
     val docs = df
       .select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandsDf = docs
-      .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).alias("bk"))
-      .select(col("id"), col("bk.band").alias("band"), col("bk.bucket").alias("bucket"))
+      .select(col("id"), posexplode(minhashBandBuckets(col("sh"), k, bands)).as(Seq("band", "bucket")))
 
     // Cap pathological buckets (scale guard; no-op on sane data).
     val bucketSizes = bandsDf.groupBy("band", "bucket").count()

@@ -51,6 +51,67 @@ object VectorExprs {
     override def prettyName: String = "simhash64"
   }
 
+  /** Fused MinHash + LSH banding over an array of 64-bit shingle hashes:
+    * computes the k-value signature (h_i(x) = splitmix64(x + odd_i), min per
+    * i) and folds each band of r = k/bands consecutive signature values into
+    * one 64-bit bucket key, in a single JIT-friendly loop.
+    *
+    * This exists because the HOF formulation
+    * (`transform(sequence(0,k-1), i -> array_min(transform(sh, h -> hash(h,i))))`)
+    * is interpreted per lambda call AND gets inlined by CollapseProject into
+    * each of the `bands` slice references — recomputing the whole signature
+    * bands× per row (measured 102 s for 500 docs at k=128/b=32; this
+    * expression does the same work in one O(k·|shingles|) pass).
+    *
+    * Returns array<long> of length `bands`; element j is band j's bucket.
+    */
+  case class MinHashBuckets(child: Expression, k: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bands > 0 && k % bands == 0, s"bands=$bands must divide k=$k")
+    private val r = k / bands
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var e = 0
+      while (e < n) {
+        if (!arr.isNullAt(e)) {
+          val x = arr.getLong(e)
+          var i = 0
+          while (i < k) {
+            // independent hash per seed i: splitmix64 of x offset by an odd
+            // multiple of the golden-ratio constant (standard construction)
+            val h = mix(x + (i + 1).toLong * 0x9e3779b97f4a7c15L)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        e += 1
+      }
+      val buckets = new Array[Long](bands)
+      var j = 0
+      while (j < bands) {
+        var acc = mix(j.toLong + 0x2545f4914f6cdd1dL)
+        var t = 0
+        while (t < r) { acc = mix(acc ^ mins(j * r + t)); t += 1 }
+        buckets(j) = acc
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buckets)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBuckets = copy(child = c)
+    override def prettyName: String = "minhash_buckets"
+  }
+
   private def toDouble(arr: ArrayData, i: Int, et: DataType): Double = et match {
     case FloatType  => arr.getFloat(i).toDouble
     case DoubleType => arr.getDouble(i)
@@ -119,6 +180,8 @@ object VectorExprs {
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def simhash64(c: Column): Column = asCol(SimHash64(asExpr(c)))
+  def minhashBuckets(c: Column, k: Int, bands: Int): Column =
+    asCol(MinHashBuckets(asExpr(c), k, bands))
   def dot(a: Column, b: Column): Column = asCol(DotProduct(asExpr(a), asExpr(b)))
   def cosine(a: Column, b: Column): Column = asCol(CosineSim(asExpr(a), asExpr(b)))
   def l2norm(c: Column): Column = asCol(L2Norm(asExpr(c)))
