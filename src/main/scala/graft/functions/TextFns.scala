@@ -34,10 +34,12 @@ object TextFns {
     * this inside codegen; array size is O(len(text)).
     */
   def charNgrams(c: Column, n: Int): Column = {
-    val count = greatest(length(c) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count), i => c.substr(i, lit(n)))
-    )
+    val count = length(c) - (n - 1)
+    // Guard: Spark's sequence(1, 0) infers step -1 and yields [1, 0], so a
+    // too-short input must short-circuit to an empty array explicitly.
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), count), i => c.substr(i, lit(n)))))
   }
 
   /** Word n-gram shingles (distinct), the standard unit for document-level

@@ -47,12 +47,20 @@ object EventStreams {
   }
 
   /** Run the windowed aggregation as an actual streaming query over a
-    * parquet path, draining it synchronously into a memory sink (the local
-    * smoke pattern); returns the materialized result.
+    * parquet directory (FileStreamSource requires a directory or glob, not
+    * a single file), draining it synchronously into a memory sink (the
+    * local smoke pattern); returns the materialized result.
     */
   def runStreamingSmoke(spark: SparkSession, parquetPath: String, queryName: String): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    val stream = spark.readStream.schema(schema).parquet(parquetPath)
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    // Under spark.sql.legacy.parquet.nanosAsLong a TIMESTAMP(NANOS) column
+    // arrives as int64 nanos; rebuild the microsecond timestamp (integer
+    // division — a double div would lose precision on int64 nanos).
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val q = windowedCounts(stream).writeStream
       .outputMode("append")
       .format("memory")

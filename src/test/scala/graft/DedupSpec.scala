@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.plans.VectorExprs
+
+/** Dedup operators over planted duplicates: every family must find the
+  * planted near-dup pair and must NOT pair unrelated docs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills far away " * 3
+  private val nearDup = base.replace("green", "blue") // one token changed
+  private val unrelated = "completely different content about spark catalyst optimizer rules and shuffle partitions " * 3
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("id", "text")
+
+  test("exactDedup keeps first row per key") {
+    val out = Dedup.exactDedup(docs, Seq($"text"), Seq($"id"))
+    assert(out.count() == 3)
+    assert(out.filter($"id" === 4).count() == 0) // exact dup of id=1 dropped
+  }
+
+  test("exactDupMap emits (survivor, dup) pairs") {
+    val pairs = Dedup.exactDupMap(docs, $"text", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 4L)))
+  }
+
+  test("minhashLshPairs finds planted near-dups with exact jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, $"id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // near-dup found
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L))) // exact dup pairs
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never paired
+    // jaccard of the exact pair must be 1.0
+    val j14 = Dedup.minhashLshPairs(docs, $"id", $"text", threshold = 0.5)
+      .filter($"id_a" === 1 && $"id_b" === 4).collect()(0).getDouble(2)
+    assert(j14 == 1.0)
+  }
+
+  test("ngramJaccardPairs (exact) agrees with the LSH path here") {
+    val exact = Dedup.ngramJaccardPairs(docs, $"id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, $"id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == lsh)
+  }
+
+  test("simhashPairs: near-identical docs within hamming budget, unrelated not") {
+    val pairs = Dedup.simhashPairs(docs, $"id", $"text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical docs -> hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding cosine pairs: brute force and sign-LSH find planted near-dup vectors") {
+    val dims = 16
+    val v1 = Array.tabulate(dims)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.clone(); v2(0) = v1(0) + 0.01f // near-identical
+    val v3 = Array.tabulate(dims)(i => math.cos(3 * i + 2).toFloat) // unrelated
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq)).toDF("id", "v")
+    val brute = Dedup.embeddingCosinePairs(df, $"id", $"v", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L)))
+    val lsh = Dedup.embeddingLshPairs(df, $"id", $"v", dims, 0.99, planes = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+
+  test("MinHashBuckets: identical inputs collide on every band, disjoint inputs on none") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 40L)),
+      (3L, Seq(99L, 98L, 97L, 96L))).toDF("id", "sh")
+    val b = df.select($"id", VectorExprs.minhashBuckets($"sh", 16, 4).as("bk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L).intersect(b(3L)).isEmpty)
+    assert(b(1L).length == 4)
+  }
+}

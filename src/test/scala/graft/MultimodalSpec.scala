@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fakeDecode: deterministic, sane entropy bounds") {
+    val b = "hello world hello world".getBytes("UTF-8")
+    val (len, ent, hash, v) = Multimodal.fakeDecode(b)
+    assert(len == b.length)
+    assert(ent > 0 && ent <= 8.0) // byte entropy in bits
+    assert(Multimodal.fakeDecode(b) == ((len, ent, hash, v)) ||
+      Multimodal.fakeDecode(b)._3 == hash) // deterministic (arrays compare by ref)
+    val (l0, e0, _, v0) = Multimodal.fakeDecode(Array.emptyByteArray)
+    assert(l0 == 0 && e0 == 0.0 && v0.forall(_ == 0f))
+  }
+
+  test("asPayload + extractFeatures: schema, ids, and feature values flow") {
+    val df = Seq((1L, "abc"), (2L, "zzzzzz")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asPayload(df, "text", "text", "utf8"), "doc_id", "payload")
+    assert(out.columns.toSeq == Seq("id", "byte_len", "byte_entropy", "head_hash", "feature_vec"))
+    val rows = out.orderBy($"id").collect()
+    assert(rows(0).getLong(1) == 3L && rows(1).getLong(1) == 6L)
+    // 'zzzzzz' is a single byte value => entropy 0; 'abc' has 3 distinct => log2(3)
+    assert(rows(1).getDouble(2) == 0.0)
+    assert(math.abs(rows(0).getDouble(2) - math.log(3) / math.log(2)) < 1e-9)
+    assert(rows(0).getSeq[Float](4).length == 8)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational.GraftOps
+import graft.functions.ColFns
+
+/** Core relational surface (SURVEY.md §2.2-2.3) over tiny in-memory frames
+  * hitting the semantic corner cases: positional union, DISTINCT ON,
+  * offset+limit, join-type flips, empty-theta cross join, describe layout.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+  private def right = Seq((2, "x"), (3, "y"), (4, "z")).toDF("k2", "rv")
+
+  test("aggregate: empty group list => one global row") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val g = df.aggregate(Seq.empty, Seq(sum($"x").as("s"), count(lit(1)).as("n"))).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 10L && g(0).getLong(1) == 4L)
+    val byMod = df.aggregate(Seq(($"x" % 2).as("m")), Seq(sum($"x").as("s")))
+      .orderBy($"m").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(byMod == Seq((0, 6L), (1, 4L)))
+  }
+
+  test("limitOffset: skip then fetch") {
+    val df = spark.range(10).toDF("i").sortBy(Seq($"i"))
+    assert(df.limitOffset(3, Some(2)).collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    assert(df.limitOffset(8, None).collect().map(_.getLong(0)).toSeq == Seq(8L, 9L))
+    assert(df.limitOffset(0, Some(2)).collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
+
+  test("distinctOn: first row per group under explicit order") {
+    val df = Seq(("g1", 1, 10), ("g1", 2, 5), ("g2", 3, 7)).toDF("g", "id", "ts")
+    val out = df.distinctOn(Seq($"g"), Seq($"g", $"id"), Seq($"ts".asc, $"id".asc))
+      .orderBy($"g").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out == Seq(("g1", 2), ("g2", 3))) // g1: ts=5 wins
+  }
+
+  test("joinNames: all join types, incl right_semi/right_anti side-flip") {
+    def keys(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(c).collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys(left.joinNames(right, "inner", Seq("k"), Seq("k2")), "k") == Seq(2, 3))
+    assert(keys(left.joinNames(right, "left", Seq("k"), Seq("k2")), "k") == Seq(1, 2, 3))
+    assert(keys(left.joinNames(right, "right", Seq("k"), Seq("k2")), "k2") == Seq(2, 3, 4))
+    assert(left.joinNames(right, "full", Seq("k"), Seq("k2")).count() == 4)
+    assert(keys(left.joinNames(right, "left_semi", Seq("k"), Seq("k2")), "k") == Seq(2, 3))
+    assert(keys(left.joinNames(right, "left_anti", Seq("k"), Seq("k2")), "k") == Seq(1))
+    // right_semi: rows of RIGHT with a match — output schema is the right side
+    assert(keys(left.joinNames(right, "right_semi", Seq("k"), Seq("k2")), "k2") == Seq(2, 3))
+    assert(keys(left.joinNames(right, "right_anti", Seq("k"), Seq("k2")), "k2") == Seq(4))
+  }
+
+  test("joinNames: extra non-equi filter ANDs with the key equality") {
+    val out = left.joinNames(right, "inner", Seq("k"), Seq("k2"), Some($"rv" === "y"))
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("joinOn: theta predicates ANDed; empty list => cross join") {
+    val theta = left.joinOn(right, "inner", Seq($"k" < $"k2"))
+    assert(theta.count() == 6) // (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
+    assert(left.joinOn(right, "inner", Seq.empty).count() == 9)
+  }
+
+  test("union is positional; unionDistinct dedups") {
+    val a = Seq((1, "x")).toDF("n", "s")
+    val b = Seq((2, "y")).toDF("m", "t") // different names, compatible positions
+    val u = a.unionAll(b)
+    assert(u.columns.toSeq == Seq("n", "s")) // positional: left side names win
+    assert(u.orderBy($"n").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "x"), (2, "y")))
+    val dup = Seq(1, 2).toDF("x")
+    assert(dup.unionAll(dup).count() == 4)
+    assert(dup.unionDistinct(dup).orderBy($"x").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("intersect/except use distinct semantics") {
+    val a = Seq(1, 1, 2, 3).toDF("x")
+    val b = Seq(1, 3, 3, 4).toDF("x")
+    assert(a.intersectDistinct(b).orderBy($"x").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    assert(a.exceptDistinct(b).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("sortBy default matches DataFusion: ASC NULLS LAST") {
+    val df = Seq(Some(2), None, Some(1)).toDF("x")
+    val out = df.sortBy(Seq($"x")).collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(out == Seq(1, 2, -1)) // Spark's bare asc would put NULL first
+  }
+
+  test("windowCols appends auto-named columns") {
+    val df = Seq(("g1", 1), ("g1", 2), ("g2", 3)).toDF("g", "x")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"x")
+    val out = df.windowCols(Seq(row_number().over(w), sum($"x").over(w)))
+    assert(out.columns.toSeq == Seq("g", "x", "w0", "w1"))
+    val g1 = out.filter($"g" === "g1").orderBy($"x").collect()
+    assert(g1.map(_.getInt(2)).toSeq == Seq(1, 2))
+  }
+
+  test("describeDf emits the DataFusion row set incl. null_count") {
+    val df = Seq((Some(1.0), "a"), (None, "b"), (Some(3.0), null)).toDF("v", "s")
+    val d = df.describeDf.collect()
+    val rows = d.map(r => r.getString(0) -> r).toMap
+    assert(d.map(_.getString(0)).toSeq ==
+      Seq("count", "null_count", "mean", "std", "min", "max", "median"))
+    assert(rows("count").getString(1) == "2")      // non-null v count
+    assert(rows("null_count").getString(1) == "1") // one null v
+    assert(rows("null_count").getString(2) == "1") // one null s
+    assert(rows("mean").getString(1) == "2.0")
+    assert(rows("mean").getString(2) == null)      // non-numeric => null
+  }
+
+  test("explainDf returns the plan as rows") {
+    val df = left.filterCol($"k" > 1)
+    val plan = df.explainDf().collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Filter") || plan.contains("LocalTableScan"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.VectorExprs
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+  private def vec(seed: Int): Seq[Float] =
+    Array.tabulate(dims)(i => math.sin(seed * 31 + i).toFloat).toSeq
+
+  private def corpus = (0L until 50L).map(i => (i, vec(i.toInt))).toDF("id", "v")
+
+  /** Reference cosine in plain Scala. */
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("vector expressions match plain-Scala reference values") {
+    val a = vec(1); val b = vec(2)
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      VectorExprs.dot($"a", $"b"), VectorExprs.cosine($"a", $"b"), VectorExprs.l2norm($"a")).collect()(0)
+    val dotRef = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(math.abs(r.getDouble(0) - dotRef) < 1e-12)
+    assert(math.abs(r.getDouble(1) - cos(a, b)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)) < 1e-12)
+  }
+
+  test("cosine of a zero vector is 0.0, not NaN") {
+    val df = Seq((Seq.fill(dims)(0f), vec(1))).toDF("a", "b")
+    assert(df.select(VectorExprs.cosine($"a", $"b")).collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("bruteForceTopK matches an exhaustive Scala computation") {
+    val queries = corpus.filter($"id" < 3)
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+
+    val vecs = (0 until 50).map(i => i.toLong -> vec(i)).toMap
+    (0L until 3L).foreach { q =>
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(4).map(_._1)
+      assert(got(q) == want, s"query $q")
+    }
+  }
+
+  test("topK aggregator caps buffer and orders by (score desc, id asc)") {
+    val df = Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 3.0)).toDF("id", "score")
+    val out = df.agg(Similarity.topK(2, $"id", $"score").as("nn"))
+      .select(explode($"nn").as("n")).select($"n.id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 4L)) // ties on 3.0 broken by ascending id
+  }
+
+  test("ivfTopK returns k ranked neighbors per query (approximate recall)") {
+    val queries = corpus.filter($"id" < 2)
+    val out = Similarity.ivfTopK(corpus, queries, nlist = 8, nprobe = 8, k = 3).collect()
+    assert(out.length == 6) // 2 queries x k=3
+    // nprobe = nlist probes every cell => must equal brute force
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    val ivf = out.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    assert(ivf == brute)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(s: String) = Seq(s).toDF("t")
+
+  test("tokens: lowercased, whitespace-split, blank-safe") {
+    val out = one("  Hello   WORLD\tfoo ").select(TextFns.tokens($"t")).collect()(0).getSeq[String](0)
+    assert(out == Seq("hello", "world", "foo"))
+    assert(one("").select(TextFns.tokenCount($"t")).collect()(0).getInt(0) == 0)
+    assert(one("   ").select(TextFns.tokenCount($"t")).collect()(0).getInt(0) == 0)
+  }
+
+  test("wordNgrams: distinct 3-shingles; short docs get one whole-doc shingle") {
+    val out = one("a b c d").select(TextFns.wordNgrams($"t", 3)).collect()(0).getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+    val short = one("a b").select(TextFns.wordNgrams($"t", 3)).collect()(0).getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("charNgrams: sliding distinct character shingles") {
+    val out = one("abcd").select(TextFns.charNgrams($"t", 3)).collect()(0).getSeq[String](0)
+    assert(out == Seq("abc", "bcd"))
+    assert(one("ab").select(size(TextFns.charNgrams($"t", 3))).collect()(0).getInt(0) == 0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = (s: String) => one(s).select(TextFns.fingerprint($"t")).collect()(0).getLong(0)
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+  }
+
+  test("langId picks the right stopword language and CJK") {
+    val cases = Seq(
+      "the cat and the dog is that it was here for now" -> "en",
+      "der hund und die katze ist nicht ein tier mit uns" -> "de",
+      "el perro y la casa que es por con una del dia" -> "es",
+      "le chien et les chats dans une maison pour qui est sur" -> "fr",
+      "中文文本处理很重要" -> "zh",
+      "xyzzy plugh qwerty" -> "und")
+    cases.foreach { case (text, want) =>
+      val got = one(text).select(TextFns.langId($"t")).collect()(0).getString(0)
+      assert(got == want, s"for '$text'")
+    }
+  }
+
+  test("qualityScore rewards prose, penalizes junk") {
+    val prose = "the quick brown fox jumps over the lazy dog and then it runs away for fun"
+    val junk = ";;;; !!!! @@@@ #### %%%% ^^^^ &&&& **** (((( ))))"
+    val pq = one(prose).select(TextFns.qualityScore($"t")).collect()(0).getDouble(0)
+    val jq = one(junk).select(TextFns.qualityScore($"t")).collect()(0).getDouble(0)
+    assert(pq > jq && pq >= 0.66)
+  }
+
+  test("punctRatio and meanTokenLen handle empty input") {
+    val r = one("").select(TextFns.punctRatio($"t"), TextFns.meanTokenLen($"t")).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+}
