@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.functions._
+/** Plan audit: prints formatted plans for representative queries so scan
+  * pruning, pushdown, join strategy, and codegen coverage can be reviewed.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.create("audit")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q02_filter", "q04_agg", "q11_join_names", "q12_join_left", "q33_minhash_lsh", "q36_ann_brute", "q40_events_window")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

@@ -96,21 +96,11 @@ object TextFns {
     * shape (pure column expression, no shuffle) is the part that matters at
     * scale.
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
-    // CJK codepoint count in one codegen'd regex pass (a per-character
-    // rlike-in-HOF formulation is interpreted and ~100x slower).
-    val cjk = length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))
-    val scored = StopwordSets.map { case (l, ws) => (l, stopwordHits(toks, ws)) }
-    // argmax with first-wins tie-break: fold a (score, lang) pair.
-    val best = scored.tail.foldLeft(struct(scored.head._2.alias("s"), lit(scored.head._1).alias("l"))) {
-      case (acc, (l, s)) =>
-        when(s > acc.getField("s"), struct(s.alias("s"), lit(l).alias("l"))).otherwise(acc)
-    }
-    when(cjk * 4 > length(c), lit("zh"))
-      .when(best.getField("s") > 0, best.getField("l"))
-      .otherwise(lit("und"))
-  }
+  /** Delegates to the native single-pass expression — the Column-HOF
+    * formulation re-tokenizes per stopword set and evaluates interpreted
+    * (~1 ms/doc); see [[graft.plans.TextExprs.LangIdExpr]].
+    */
+  def langId(c: Column): Column = graft.plans.TextExprs.langId(c)
 
   // --- quality scoring -----------------------------------------------------
 
@@ -143,12 +133,5 @@ object TextFns {
     * mix: enough tokens, sane token length, low punctuation noise.
     * Deterministic, pure expression.
     */
-  def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c)
-    val lenOk = when(nTok >= 10 && nTok <= 100000, 1.0).otherwise(0.0)
-    val mtl = meanTokenLen(c)
-    val mtlOk = when(mtl >= 2.5 && mtl <= 12.0, 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.0)
-    round((lenOk + mtlOk + punctOk) / 3.0, 6)
-  }
+  def qualityScore(c: Column): Column = graft.plans.TextExprs.qualityScore(c)
 }

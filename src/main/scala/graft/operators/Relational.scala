@@ -180,7 +180,7 @@ object Relational {
             Seq(
               avg(col(c)).cast("string").alias(s"${c}__mean"),
               stddev(col(c)).cast("string").alias(s"${c}__std"),
-              percentile_approx(col(c), lit(0.5), lit(100000)).cast("string").alias(s"${c}__median")
+              percentile_approx(col(c), lit(0.5), lit(10000)).cast("string").alias(s"${c}__median")
             )
           else
             Seq(
