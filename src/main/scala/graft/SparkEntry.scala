@@ -299,7 +299,7 @@ object SparkEntry {
     "q30_char_ngrams" -> ((s, dir) =>
       t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
-          size(TextFns.charNgrams(col("text"), 5)).cast("long").as("n_5grams")))
+          TextFns.charNgramCount(col("text"), 5).cast("long").as("n_5grams")))
         .sortBy(Seq(col("doc_id")))),
 
     // ---- deduplication -----------------------------------------------------

@@ -18,9 +18,10 @@ object TextFns {
     filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count — the cheap proxy a 100 TB pipeline uses before
-    * real tokenization.
+    * real tokenization. Native single-pass expression
+    * ([[graft.plans.TextExprs.TokenCountExpr]]).
     */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  def tokenCount(c: Column): Column = graft.plans.TextExprs.tokenCount(c)
 
   /** BPE-ish subword count: word-pieces + digits + punctuation as separate
     * tokens (a regex approximation of byte-pair tokenizers; deterministic,
@@ -56,21 +57,25 @@ object TextFns {
 
   /** 64-bit shingle hashes: the form every downstream dedup operator
     * consumes (hashing early keeps shuffles narrow — longs, not strings).
+    * Native fused tokenize+shingle+hash pass
+    * ([[graft.plans.TextExprs.ShingleHashesExpr]]); equivalent to
+    * `transform(wordNgrams(c, n), s => xxhash64(s))`.
     */
   def shingleHashes(c: Column, n: Int): Column =
-    transform(wordNgrams(c, n), s => xxhash64(s))
+    graft.plans.TextExprs.shingleHashes(c, n)
+
+  /** Count of distinct character n-grams — `size(charNgrams(c, n))` without
+    * materializing the array ([[graft.plans.TextExprs.CharNgramCountExpr]]).
+    */
+  def charNgramCount(c: Column, n: Int): Column =
+    graft.plans.TextExprs.charNgramCount(c, n)
 
   /** Rotate-XOR rolling-hash document fingerprint over token hashes:
     * fp = fold(h_tok, acc -> rotl(acc, 5) ^ h_tok). Order-sensitive (unlike
     * a set hash), so reordered documents fingerprint differently. Pure
     * bitwise ops — no ANSI overflow (unlike a polynomial `acc*31+h`).
     */
-  def fingerprint(c: Column): Column =
-    aggregate(
-      transform(tokens(c), t => xxhash64(t)),
-      lit(0L),
-      (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h)
-    )
+  def fingerprint(c: Column): Column = graft.plans.TextExprs.fingerprint(c)
 
   // --- language identification ------------------------------------------
 
@@ -111,14 +116,10 @@ object TextFns {
       .otherwise(length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast("double") / len.cast("double"))
   }
 
-  /** Mean token length — short-token text is usually noise/navigation. */
-  def meanTokenLen(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double")
-      )
-  }
+  /** Mean token length — short-token text is usually noise/navigation.
+    * Native single-pass expression ([[graft.plans.TextExprs.MeanTokenLenExpr]]).
+    */
+  def meanTokenLen(c: Column): Column = graft.plans.TextExprs.meanTokenLen(c)
 
   /** English-stopword ratio of tokens — fluent prose sits around 0.3-0.6;
     * keyword-stuffed or tabular junk near 0.

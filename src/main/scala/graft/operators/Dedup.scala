@@ -156,7 +156,7 @@ object Dedup {
 
   /** SimHash fingerprint column (64-bit) over a document's tokens. */
   def simhash(text: Column): Column =
-    VectorExprs.simhash64(transform(TextFns.tokens(text), t => xxhash64(t)))
+    VectorExprs.simhash64(graft.plans.TextExprs.tokenHashes(text))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *

@@ -95,8 +95,156 @@ object TextExprs {
     override def prettyName: String = "quality_score"
   }
 
+  /** xxhash64 of a token's UTF-8 bytes, seed 42 — bit-identical to
+    * `functions.xxhash64(stringCol)`, so hashes interoperate with any
+    * HOF-produced hash column.
+    */
+  private[plans] def xxh64(tok: String): Long = {
+    val u = UTF8String.fromString(tok)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Whitespace token count — `size(TextFns.tokens(c))` semantics. */
+  case class TokenCountExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      tokenize(input.asInstanceOf[UTF8String].toString).length
+    override protected def withNewChildInternal(c: Expression): TokenCountExpr = copy(child = c)
+    override def prettyName: String = "token_count"
+  }
+
+  /** Mean token length in code points; 0.0 when no tokens — matches the
+    * HOF `aggregate(toks, 0L, acc + length(t)) / size(toks)` formulation
+    * (Spark's `length` counts code points, so `codePointCount` here, not
+    * UTF-16 `String.length`).
+    */
+  case class MeanTokenLenExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      if (toks.length == 0) 0.0
+      else {
+        var sum = 0L
+        var i = 0
+        while (i < toks.length) { sum += toks(i).codePointCount(0, toks(i).length); i += 1 }
+        sum.toDouble / toks.length
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): MeanTokenLenExpr = copy(child = c)
+    override def prettyName: String = "mean_token_len"
+  }
+
+  /** Rotate-XOR rolling fingerprint over token hashes — `TextFns.fingerprint`
+    * semantics: fold(xxhash64(tok), acc -> rotl(acc, 5) ^ h), acc0 = 0.
+    */
+  case class FingerprintExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      var acc = 0L
+      var i = 0
+      while (i < toks.length) {
+        acc = ((acc << 5) | (acc >>> 59)) ^ xxh64(toks(i))
+        i += 1
+      }
+      acc
+    }
+    override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
+    override def prettyName: String = "doc_fingerprint"
+  }
+
+  /** Count of DISTINCT character n-grams, windowed over code points (the
+    * HOF `size(array_distinct(transform(sequence(...), i -> substr(i, n))))`
+    * materializes the whole shingle array per doc just to count it — this
+    * slides one window and counts into a hash set).
+    */
+  case class CharNgramCountExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, s"ngram size must be positive, got $n")
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      // code-point index -> char offset (substr/length are code-point-based)
+      val nCp = s.codePointCount(0, s.length)
+      if (nCp < n) return 0
+      val off = new Array[Int](nCp + 1)
+      var ci = 0
+      var cp = 0
+      while (cp < nCp) { off(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+      off(nCp) = s.length
+      val seen = new java.util.HashSet[String]((nCp - n + 1) * 2)
+      var i = 0
+      while (i <= nCp - n) { seen.add(s.substring(off(i), off(i + n))); i += 1 }
+      seen.size
+    }
+    override protected def withNewChildInternal(c: Expression): CharNgramCountExpr = copy(child = c)
+    override def prettyName: String = "char_ngram_count"
+  }
+
+  /** Distinct word n-gram xxhash64s in first-occurrence order —
+    * `TextFns.shingleHashes` semantics, incl. the shorter-than-n whole-doc
+    * shingle (so every doc has >= 1 shingle; zero tokens hash ""). This is
+    * the minhash/Jaccard input: fusing tokenize+shingle+hash into one pass
+    * avoids materializing the O(tokens) string array through three
+    * interpreted HOFs per doc.
+    */
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, s"ngram size must be positive, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      val count = math.max(toks.length - (n - 1), 1)
+      val seen = new java.util.LinkedHashSet[Long](count * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        val end = math.min(i + n, toks.length)
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        seen.add(xxh64(sb.toString))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** Per-token xxhash64s, order and multiplicity preserved — the SimHash
+    * input (`transform(tokens(c), xxhash64)` semantics).
+    */
+  case class TokenHashesExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      val out = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = xxh64(toks(i)); i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): TokenHashesExpr = copy(child = c)
+    override def prettyName: String = "token_hashes"
+  }
+
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def langId(c: Column): Column = asCol(LangIdExpr(asExpr(c)))
   def qualityScore(c: Column): Column = asCol(QualityScoreExpr(asExpr(c)))
+  def tokenCount(c: Column): Column = asCol(TokenCountExpr(asExpr(c)))
+  def meanTokenLen(c: Column): Column = asCol(MeanTokenLenExpr(asExpr(c)))
+  def fingerprint(c: Column): Column = asCol(FingerprintExpr(asExpr(c)))
+  def charNgramCount(c: Column, n: Int): Column = asCol(CharNgramCountExpr(asExpr(c), n))
+  def shingleHashes(c: Column, n: Int): Column = asCol(ShingleHashesExpr(asExpr(c), n))
+  def tokenHashes(c: Column): Column = asCol(TokenHashesExpr(asExpr(c)))
 }

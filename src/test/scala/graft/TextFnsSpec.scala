@@ -60,4 +60,38 @@ class TextFnsSpec extends SparkSpec {
     val r = one("").select(TextFns.punctRatio($"t"), TextFns.meanTokenLen($"t")).collect()(0)
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
+
+  test("native expressions are bit-identical to the HOF formulations on real docs") {
+    // The native single-pass expressions replaced HOF compositions; this pins
+    // them to the original column-algebra definitions over real corpus text
+    // (incl. accents/CJK — code-point vs UTF-16 length differences surface here).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").limit(200)
+    val hofTokens = filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0)
+    val hofNgrams = {
+      val count = greatest(size(hofTokens) - 2, lit(1))
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => array_join(slice(hofTokens, i + 1, lit(3)), " ")))
+    }
+    val mismatches = docs.select(
+      TextFns.tokenCount($"text").alias("nat_tc"),
+      size(hofTokens).alias("hof_tc"),
+      TextFns.meanTokenLen($"text").alias("nat_mtl"),
+      when(size(hofTokens) === 0, lit(0.0))
+        .otherwise(aggregate(hofTokens, lit(0L), (a, t) => a + length(t)).cast("double") /
+          size(hofTokens).cast("double")).alias("hof_mtl"),
+      TextFns.fingerprint($"text").alias("nat_fp"),
+      aggregate(transform(hofTokens, t => xxhash64(t)), lit(0L),
+        (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h)
+      ).alias("hof_fp"),
+      TextFns.charNgramCount($"text", 5).alias("nat_cn"),
+      size(TextFns.charNgrams($"text", 5)).alias("hof_cn"),
+      TextFns.shingleHashes($"text", 3).alias("nat_sh"),
+      transform(hofNgrams, s => xxhash64(s)).alias("hof_sh")
+    ).filter(
+      $"nat_tc" =!= $"hof_tc" || abs($"nat_mtl" - $"hof_mtl") > 1e-12 ||
+      $"nat_fp" =!= $"hof_fp" || $"nat_cn" =!= $"hof_cn" || $"nat_sh" =!= $"hof_sh"
+    ).count()
+    assert(mismatches == 0)
+  }
 }
