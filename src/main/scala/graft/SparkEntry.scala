@@ -536,6 +536,36 @@ object SparkEntry {
            CAST(n AS BIGINT) AS n_chars_calc
          FROM t ORDER BY doc_id""",
 
+    "q28_lang_quality" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n,
+             len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang, toks, n, cjk,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','was','with','for'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','es','por','con','una','del'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','qui','sur','avec'], x))) AS h_fr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / n END AS pr
+           FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN cjk * 4 > n THEN 'zh'
+                WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           round(((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         FROM h ORDER BY doc_id""",
+
     "q30_char_ngrams" ->
       """SELECT doc_id,
          CAST(len(list_distinct(list_transform(

@@ -77,12 +77,19 @@ object TextExprs {
       var t = 0
       while (t < toks.length) { tokChars += toks(t).length; t += 1 }
       val mtl = if (nTok == 0) 0.0 else tokChars.toDouble / nTok
-      // punctuation ratio over the raw string: chars outside \p{L}\p{N}\s
+      // punctuation ratio over the raw string: chars outside \p{L}\p{N}\s,
+      // with the regex classes' exact semantics (\p{N} = Nd|Nl|No, \s = the
+      // six ASCII space chars) so this agrees with the HOF punctRatio and
+      // the DuckDB oracle on non-ASCII text too
       var punct = 0
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (!Character.isLetter(c) && !Character.isDigit(c) && !Character.isWhitespace(c)) punct += 1
+        val t = Character.getType(c)
+        val isNum = t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+          t == Character.OTHER_NUMBER
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+        if (!Character.isLetter(c) && !isNum && !isWs) punct += 1
         i += 1
       }
       val pr = if (s.isEmpty) 0.0 else punct.toDouble / s.length
