@@ -375,7 +375,23 @@ object SparkEntry {
     "q41_sessionize" -> ((s, dir) =>
       EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .aggregate(Seq(col("user_id")), Seq(max(col("session_seq")).cast("long").as("n_sessions")))
-        .sortBy(Seq(col("user_id"))))
+        .sortBy(Seq(col("user_id")))),
+
+    "q42_sessionize_stream" -> ((s, dir) => {
+      // TRUE Structured Streaming run (flatMapGroupsWithState + event-time
+      // timeout) drained through a memory sink. FileStreamSource needs a
+      // directory, so the single-file table is staged into a temp dir; one
+      // input file => one micro-batch => deterministic output: every session
+      // except each user's last (still open at drain time).
+      val staged = java.nio.file.Files.createTempDirectory("graft_q42").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(staged, "events.parquet"))
+      val qn = s"graft_q42_${System.nanoTime()}"
+      EventStreams.runSessionizeSmoke(s, staged, qn, gapMinutes = 30)
+        .selectCols(Seq(col("user_id"), col("session_seq"), col("start_us"), col("end_us"), col("n_events")))
+        .sortBy(Seq(col("user_id"), col("session_seq")))
+    })
   )
 
   /** DuckDB oracle SQL per query (same parquet tables). Omitted for
@@ -676,6 +692,30 @@ object SparkEntry {
                       THEN 1 ELSE 0 END AS ns
                FROM x)
          SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions
-         FROM y GROUP BY user_id ORDER BY user_id"""
+         FROM y GROUP BY user_id ORDER BY user_id""",
+
+    "q42_sessionize_stream" ->
+      """WITH x AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         y AS (
+           SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+           FROM x),
+         z AS (
+           SELECT user_id, us,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS seq
+           FROM y),
+         s AS (
+           SELECT user_id, seq, MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
+           FROM z GROUP BY user_id, seq),
+         m AS (SELECT user_id, MAX(seq) AS last_seq FROM s GROUP BY user_id)
+         SELECT s.user_id, CAST(s.seq AS BIGINT) AS session_seq,
+           CAST(s.start_us AS BIGINT) AS start_us, CAST(s.end_us AS BIGINT) AS end_us,
+           CAST(s.n_events AS BIGINT) AS n_events
+         FROM s JOIN m ON s.user_id = m.user_id
+         WHERE s.seq < m.last_seq
+         ORDER BY s.user_id, session_seq"""
   )
 }

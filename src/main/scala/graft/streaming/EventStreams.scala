@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming extension (the reference has NO streaming surface —
   * SURVEY.md §2.6; this is the beyond-parity path for the `events` table).
@@ -44,6 +45,120 @@ object EventStreams {
       )
       .withColumn("session_seq", sum(col("new_session")).over(w))
       .withColumn("session_id", concat_ws("-", col("user_id"), col("session_seq")))
+  }
+
+  /** Open-session state carried between micro-batches: the current
+    * session's bounds and size, plus how many sessions this user has
+    * closed so far (drives session_seq).
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, closedSoFar: Long)
+
+  /** A closed session record (timestamps as epoch micros — keeps the
+    * output engine-neutral for the differential oracle).
+    */
+  case class ClosedSession(user_id: Long, session_seq: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** TRUE streaming sessionization with custom state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes when
+    * the gap to the next event exceeds `gapMinutes`, or when the watermark
+    * passes last_event + gap (timeout path — that is what bounds state at
+    * scale: every open session is guaranteed to be evicted once the
+    * watermark moves past its horizon).
+    *
+    * Emits CLOSED sessions only (append mode). Events inside one
+    * micro-batch are sorted per group before folding, so intra-batch
+    * disorder is handled; cross-batch disorder is bounded by the watermark,
+    * exactly like the built-in windowed aggregations.
+    *
+    * Scale: state per user is one `OpenSession` (4 longs); the shuffle is
+    * the same hash-partition-by-key any streaming agg pays. Skewed users
+    * cost one group iterator, not a window sort of their whole history.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the open session is definitively closed
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.closedSoFar + 1, s.startUs, s.lastUs, s.nEvents))
+          } else {
+            val ts = rows.map(r => micros(r._2)).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            var i = 0
+            while (i < ts.length) {
+              val t = ts(i)
+              open match {
+                case Some(s) if t - s.lastUs > gapUs =>
+                  closed += ClosedSession(uid, s.closedSoFar + 1, s.startUs, s.lastUs, s.nEvents)
+                  open = Some(OpenSession(t, t, 1, s.closedSoFar + 1))
+                case Some(s) =>
+                  open = Some(s.copy(lastUs = math.max(s.lastUs, t), nEvents = s.nEvents + 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, 0))
+              }
+              i += 1
+            }
+            open.foreach { s =>
+              state.update(s)
+              // evict once the watermark passes the session's gap horizon
+              // (timeout must sit above the current watermark)
+              val horizonMs = (s.lastUs + gapUs) / 1000L
+              state.setTimeoutTimestamp(math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Drain [[sessionizeStream]] over a parquet directory synchronously into
+    * a memory sink. With a single input file (one micro-batch) and no-data
+    * batches disabled, the result is deterministic: every session closed by
+    * an observed gap — i.e. all sessions except each user's last, which
+    * stays open. (With no-data batches enabled — the production default —
+    * the post-batch watermark also time-out-closes idle users' last
+    * sessions; correct behavior, but it would make the differential oracle
+    * depend on watermark/timeout strictness internals, so the drain helper
+    * pins the simpler semantics. [[StreamingSpec]] exercises the timeout
+    * path explicitly with a two-batch run.)
+    */
+  def runSessionizeSmoke(spark: SparkSession, parquetPath: String, queryName: String,
+      gapMinutes: Int = 30, noDataBatches: Boolean = false): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, noDataBatches.toString)
+    try {
+      val q = sessionizeStream(stream, gapMinutes).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
   }
 
   /** Run the windowed aggregation as an actual streaming query over a

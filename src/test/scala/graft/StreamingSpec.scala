@@ -48,6 +48,81 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("sessionizeStream (flatMapGroupsWithState) emits every closed session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val streamed = EventStreams.runSessionizeSmoke(spark, dir, "graft_sess_test", gapMinutes = 30)
+
+    // Batch reference: micro-precision gap sessions, excluding each user's
+    // last session (still open — single batch, watermark never passes it).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"us")
+    val sess = loadBatch
+      .select($"user_id".cast("long").as("user_id"),
+        (unix_micros($"ts")).as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("ns", when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum($"ns").over(w))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"), count(lit(1)).as("n_events"))
+    val lastSeq = sess.groupBy($"user_id").agg(max($"session_seq").as("last_seq"))
+    val expected = sess.join(lastSeq, "user_id").filter($"session_seq" < $"last_seq")
+      .select($"user_id", $"session_seq", $"start_us", $"end_us", $"n_events")
+
+    assert(streamed.count() > 0)
+    assert(streamed.select($"user_id", $"session_seq", $"start_us", $"end_us", $"n_events")
+      .exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(
+      streamed.select($"user_id", $"session_seq", $"start_us", $"end_us", $"n_events")).count() == 0)
+  }
+
+  test("sessionizeStream timeout path: watermark evicts idle users' open sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_timeout").toString
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").repartition(1).write.parquet(s"$dir/stage_$name")
+        .ensuring(_ => true) // staged then moved so the source sees whole files
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      val schema = Seq((1L, base)).toDF("user_id", "ts").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = EventStreams.sessionizeStream(stream, gapMinutes = 30).writeStream
+        .outputMode("append").format("memory").queryName("graft_timeout_test").start()
+
+      // batch 1: user 1 has a 2-event session ending at t=10min; user 2 at t=0
+      writeBatch("b1", Seq((1L, at(0)), (1L, at(10)), (2L, at(0))))
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage_b1")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/in/b1.parquet"))
+      }
+      q.processAllAvailable()
+      // batch 2: user 2 returns 10h later -> closes user 2's first session by
+      // gap AND advances the watermark to 9h, past user 1's 40min horizon ->
+      // the no-data batch must evict user 1's open session via timeout
+      writeBatch("b2", Seq((2L, at(600))))
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage_b2")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/in/b2.parquet"))
+      }
+      q.processAllAvailable()
+      q.stop()
+
+      val out = spark.table("graft_timeout_test")
+        .select($"user_id", $"session_seq", $"n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1's only session (timeout-closed) and user 2's first (gap-closed)
+      assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L)))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("sessionize: gap splits sessions per user") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
