@@ -377,6 +377,19 @@ object SparkEntry {
         .aggregate(Seq(col("user_id")), Seq(max(col("session_seq")).cast("long").as("n_sessions")))
         .sortBy(Seq(col("user_id")))),
 
+    "q43_emb_lsh" -> ((s, dir) => {
+      // Sign-LSH near-dup pairs (the linear-shuffle 100 TB path; q37 is the
+      // quadratic exact baseline). Deterministic (splitmix hyperplanes) but
+      // approximate-recall by construction => rows-only check; DedupSpec
+      // pins that it finds planted near-dups and never emits a false pair.
+      val e = t(s, dir, "embeddings")
+      Dedup.embeddingLshPairs(
+          e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v"))),
+          col("id"), col("v"), dims = 64, threshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q42_sessionize_stream" -> ((s, dir) => {
       // TRUE Structured Streaming run (flatMapGroupsWithState + event-time
       // timeout) drained through a memory sink. FileStreamSource needs a

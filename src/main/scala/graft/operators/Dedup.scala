@@ -204,31 +204,13 @@ object Dedup {
   }
 
   /** Random-hyperplane (sign) LSH bucket keys for embedding vectors:
-    * `planes` sign bits per table, `tables` independent tables. Hyperplanes
-    * are deterministic pseudo-random unit-agnostic vectors derived from
-    * xxhash64(table, plane, dim) — no RNG state, reproducible across runs
-    * and executors. Collision prob per bit = 1 - angle/pi.
+    * element t of the array is table t's bucket — `planes` sign bits from
+    * deterministic splitmix-derived hyperplanes (no RNG state, reproducible
+    * across runs and executors; collision prob per bit = 1 - angle/pi).
+    * Native expression — see [[graft.plans.VectorExprs.SignLshBuckets]].
     */
-  def embeddingLshBuckets(vec: Column, dims: Int, planes: Int, tables: Int): Column = {
-    def coeff(t: Int, p: Int, d: Int): Double = {
-      // splitmix-style deterministic pseudo-random in [-1, 1)
-      var z = t.toLong * 0x9e3779b97f4a7c15L + p.toLong * 0xbf58476d1ce4e5b9L + d.toLong * 0x94d049bb133111ebL
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
-    val buckets = (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val dotExpr = (0 until dims)
-          .map(d => element_at(vec, d + 1).cast("double") * lit(coeff(t, p, d)))
-          .reduce(_ + _)
-        when(dotExpr >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).alias("table"), bits.alias("bucket"))
-    }
-    array(buckets: _*)
-  }
+  def embeddingLshBuckets(vec: Column, dims: Int, planes: Int, tables: Int): Column =
+    VectorExprs.signLshBuckets(vec, dims, planes, tables)
 
   /** Embedding near-dup pairs via sign-LSH candidates + exact cosine
     * verification. Approximate recall (tunable via planes/tables); linear
@@ -245,8 +227,8 @@ object Dedup {
   ): DataFrame = {
     val e = df.select(id.alias("id"), vec.alias("v"))
     val bucketed = e
-      .select(col("id"), col("v"), explode(embeddingLshBuckets(col("v"), dims, planes, tables)).alias("bk"))
-      .select(col("id"), col("v"), col("bk.table").alias("table"), col("bk.bucket").alias("bucket"))
+      .select(col("id"), col("v"),
+        posexplode(embeddingLshBuckets(col("v"), dims, planes, tables)).as(Seq("table", "bucket")))
     val a = bucketed.alias("a"); val b = bucketed.alias("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"), VectorExprs.cosine(col("a.v"), col("b.v")).alias("cosine"))

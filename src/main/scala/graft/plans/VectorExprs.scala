@@ -112,6 +112,75 @@ object VectorExprs {
     override def prettyName: String = "minhash_buckets"
   }
 
+  /** Random-hyperplane (sign) LSH bucket keys: element t of the result is
+    * table t's bucket — `planes` sign bits of deterministic pseudo-random
+    * hyperplane dot products. One pass over the vector for all
+    * tables×planes (the Column-expr formulation was a
+    * tables×planes×dims-term tree — thousands of nodes — which overflowed
+    * janino's 64KB method limit and fell back to interpreted eval).
+    *
+    * Hyperplane coefficients come from a splitmix64 of (table, plane, dim)
+    * — no RNG state, reproducible across executors and runs.
+    */
+  case class SignLshBuckets(child: Expression, dims: Int, planes: Int, tables: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes > 0 && planes <= 63 && tables > 0, s"bad planes=$planes/tables=$tables")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val coeffs: Array[Double] = {
+      val out = new Array[Double](tables * planes * dims)
+      var t = 0
+      var i = 0
+      while (t < tables) {
+        var p = 0
+        while (p < planes) {
+          var d = 0
+          while (d < dims) {
+            var z = t.toLong * 0x9e3779b97f4a7c15L + p.toLong * 0xbf58476d1ce4e5b9L +
+              d.toLong * 0x94d049bb133111ebL
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z = z ^ (z >>> 31)
+            out(i) = z.toDouble / Long.MaxValue.toDouble
+            i += 1
+            d += 1
+          }
+          p += 1
+        }
+        t += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = math.min(dims, arr.numElements())
+      val v = new Array[Double](n)
+      var d = 0
+      while (d < n) { v(d) = toDouble(arr, d, et); d += 1 }
+      val buckets = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val base = (t * planes + p) * dims
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += v(i) * coeffs(base + i); i += 1 }
+          if (dot >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        buckets(t) = bucket
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buckets)
+    }
+    override protected def withNewChildInternal(c: Expression): SignLshBuckets = copy(child = c)
+    override def prettyName: String = "sign_lsh_buckets"
+  }
+
   private def toDouble(arr: ArrayData, i: Int, et: DataType): Double = et match {
     case FloatType  => arr.getFloat(i).toDouble
     case DoubleType => arr.getDouble(i)
@@ -180,6 +249,8 @@ object VectorExprs {
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def simhash64(c: Column): Column = asCol(SimHash64(asExpr(c)))
+  def signLshBuckets(c: Column, dims: Int, planes: Int, tables: Int): Column =
+    asCol(SignLshBuckets(asExpr(c), dims, planes, tables))
   def minhashBuckets(c: Column, k: Int, bands: Int): Column =
     asCol(MinHashBuckets(asExpr(c), k, bands))
   def dot(a: Column, b: Column): Column = asCol(DotProduct(asExpr(a), asExpr(b)))
