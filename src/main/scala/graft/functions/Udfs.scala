@@ -58,4 +58,35 @@ object Udfs {
     */
   def udfCallByName(name: String, args: Seq[Column]): Column =
     org.apache.spark.sql.functions.call_function(name, args: _*)
+
+  /** The reference's datatype surface: the 17 Arrow types exposed as
+    * first-class values in module `steel/datafusion/datatypes`
+    * (`/root/reference/src/main.rs:392-469`), mapped to Spark SQL types per
+    * SURVEY.md §1.2. Spark has no unsigned ints or half floats — each
+    * widens one step (the same convention Spark's own Parquet reader
+    * applies to unsigned columns); Large* variants differ only in offset
+    * width (a physical detail), collapsing to the one logical type.
+    */
+  def arrowType(name: String): DataType = {
+    import org.apache.spark.sql.types._
+    name match {
+      case "null"                   => NullType
+      case "boolean"                => BooleanType
+      case "int8"                   => ByteType
+      case "int16"                  => ShortType
+      case "int32"                  => IntegerType
+      case "int64"                  => LongType
+      case "uint8"                  => ShortType
+      case "uint16"                 => IntegerType
+      case "uint32"                 => LongType
+      case "uint64"                 => DecimalType(20, 0)
+      case "float16"                => FloatType
+      case "float32"                => FloatType
+      case "float64"                => DoubleType
+      case "binary" | "large-binary" => BinaryType
+      case "utf8" | "large-utf8"    => StringType
+      case other => throw new IllegalArgumentException(
+        s"unknown datatype '$other' — the reference exposes exactly 17 (src/main.rs:392-469)")
+    }
+  }
 }

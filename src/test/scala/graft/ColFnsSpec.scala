@@ -89,4 +89,22 @@ class ColFnsSpec extends SparkSpec {
     assert(order(asc = false, nf = true) == Seq(-1, 2, 1))  // DataFusion desc default
     assert(order(asc = false, nf = false) == Seq(2, 1, -1))
   }
+
+  test("arrowType maps all 17 reference datatype names (SURVEY.md 1.2 widening)") {
+    import org.apache.spark.sql.types._
+    import graft.functions.Udfs.arrowType
+    // exact
+    assert(arrowType("null") == NullType && arrowType("boolean") == BooleanType)
+    assert(arrowType("int8") == ByteType && arrowType("int16") == ShortType &&
+      arrowType("int32") == IntegerType && arrowType("int64") == LongType)
+    assert(arrowType("float32") == FloatType && arrowType("float64") == DoubleType)
+    // widened: Spark has no unsigned / half-float
+    assert(arrowType("uint8") == ShortType && arrowType("uint16") == IntegerType &&
+      arrowType("uint32") == LongType && arrowType("uint64") == DecimalType(20, 0))
+    assert(arrowType("float16") == FloatType)
+    // Large* collapses to the one logical type
+    assert(arrowType("binary") == BinaryType && arrowType("large-binary") == BinaryType)
+    assert(arrowType("utf8") == StringType && arrowType("large-utf8") == StringType)
+    intercept[IllegalArgumentException](arrowType("decimal128"))
+  }
 }

@@ -69,4 +69,13 @@ class SimilaritySpec extends SparkSpec {
     val ivf = out.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
     assert(ivf == brute)
   }
+
+  test("native expressions are reachable from the SQL surface via register") {
+    graft.plans.VectorExprs.register(spark)
+    Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT cosine_sim(a, b) AS c, dot_product(a, b) AS d, l2_norm(a) AS n FROM vecs")
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+  }
 }
