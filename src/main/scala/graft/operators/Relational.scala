@@ -21,6 +21,15 @@ object Relational {
 
   implicit class GraftOps(val df: DataFrame) extends AnyVal {
 
+    /** Force analysis now (name resolution + type checking), returning the
+      * same frame. The reference resolves eagerly at every operator call
+      * (`src/main.rs:176-181` — DataFusion validates per-op and returns
+      * `Result`), while Spark defers to the first action; chain `.analyzed`
+      * after an operator to reproduce the reference's fail-fast timing
+      * (SURVEY.md §3 EP2). Analysis-only: no jobs run.
+      */
+    def analyzed: DataFrame = { df.schema; df }
+
     /** `df/select` — `src/main.rs:225-230,489`. */
     def selectCols(exprs: Seq[Column]): DataFrame = df.select(exprs: _*)
 

@@ -61,6 +61,17 @@ class TextFnsSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
 
+  test("bpeishTokenCount splits word pieces, digit runs, and symbols") {
+    // "hello" -> hell|o (4-char pieces), "123" one digit run, "," a symbol
+    val n = one("hello, world 123").select(TextFns.bpeishTokenCount($"t")).collect()(0).getInt(0)
+    assert(n >= 5) // at least: hell, o, ",", worl, d, 123 modulo piece splits
+    val empty = one("").select(TextFns.bpeishTokenCount($"t")).collect()(0).getInt(0)
+    assert(empty == 0)
+    // subword pieces mean counts exceed whitespace tokens on long words
+    val long = one("internationalization").select(TextFns.bpeishTokenCount($"t")).collect()(0).getInt(0)
+    assert(long > 1)
+  }
+
   test("native expressions are bit-identical to the HOF formulations on real docs") {
     // The native single-pass expressions replaced HOF compositions; this pins
     // them to the original column-algebra definitions over real corpus text
