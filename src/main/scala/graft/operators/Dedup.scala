@@ -166,15 +166,24 @@ object Dedup {
     * every qualifying pair. Verification = bit_count(xor) (builtin).
     * Same shape as LSH banding — narrow keys, hash joins, no cross join.
     */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 20): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
     val docs = df.select(id.alias("id"), simhash(text).alias("sim"))
     val chunkArr = array((0 until 4).map { j =>
       struct(lit(j).alias("chunk"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xffffL)).alias("key"))
     }: _*)
-    val chunks = docs
+    val exploded = docs
       .select(col("id"), col("sim"), explode(chunkArr).alias("ck"))
       .select(col("id"), col("sim"), col("ck.chunk").alias("chunk"), col("ck.key").alias("key"))
+    // Scale guard (same rationale as minhash maxBucket): a degenerate
+    // chunk key — e.g. the all-zero chunk that every near-empty doc shares —
+    // would contribute |bucket|^2 candidate pairs. Capping drops only such
+    // pathological buckets; the default never triggers on sane corpora.
+    val bucketSizes = exploded.groupBy("chunk", "key").count()
+    val chunks = exploded
+      .join(bucketSizes.filter(col("count") <= maxBucket), Seq("chunk", "key"))
+      .select("id", "sim", "chunk", "key")
     val a = chunks.alias("a"); val b = chunks.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(

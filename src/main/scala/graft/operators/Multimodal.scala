@@ -81,6 +81,40 @@ object Multimodal {
     (bytes.length.toLong, ent, headHash, vec)
   }
 
+  /** STUB resize (images): a real implementation decodes, resamples to
+    * `w x h`, re-encodes. The fake derives the output deterministically by
+    * striding the input bytes to exactly `w*h` bytes (sampling with wrap),
+    * so output size, determinism, and null/empty behavior — the properties
+    * the surrounding plan depends on — are real. Narrow op: no shuffle,
+    * payload stays in its partition.
+    */
+  def resizeStub(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val out = new Array[Byte](w * h)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < out.length) { out(i) = bytes((i.toLong * bytes.length / out.length).toInt % bytes.length); i += 1 }
+        }
+        out
+      }
+    }
+
+  /** STUB frame sampling (video): a real implementation demuxes and decodes
+    * every Nth frame. The fake treats the payload as fixed-size `frameLen`
+    * chunks and keeps every `everyN`-th — emitting `array<binary>` with the
+    * same shape a real sampler produces (frame count = ceil(nChunks/everyN)).
+    */
+  def frameSampleStub(frameLen: Int, everyN: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val frames = bytes.grouped(frameLen).toArray
+        frames.indices.collect { case i if i % everyN == 0 => frames(i) }.toArray
+      }
+    }
+
   /** Batched per-partition feature extraction (the Scala analogue of a
     * pandas-UDF-over-mapInPandas stage): payload bytes in, feature struct
     * out, id column preserved. The iterator form means one JVM-side pass,

@@ -125,6 +125,36 @@ object Relational {
       cond.fold(df.crossJoin(right))(c => df.join(right, c, joinType))
     }
 
+    /** Skew-salted inner equi-join: the hot-key antidote when a handful of
+      * join keys carry a disproportionate share of rows. The left (big,
+      * skewed) side is spread over `buckets` sub-partitions by a
+      * deterministic salt hashed from `saltFrom` (any high-cardinality
+      * column, e.g. the row id); the right side is replicated across all
+      * salts. The shuffle then distributes each hot key over `buckets`
+      * reducers instead of one.
+      *
+      * Use when AQE's skew handling can't help: AQE splits oversized
+      * partitions of sort-merge joins, but a single hot KEY inside one
+      * partition, or a shuffled-hash plan, still lands on one task.
+      * Replication multiplies the right side — keep it the small side.
+      */
+    def saltedJoin(
+        right: DataFrame,
+        leftKeys: Seq[String],
+        rightKeys: Seq[String],
+        saltFrom: Column,
+        buckets: Int
+    ): DataFrame = {
+      require(buckets > 1, "salting needs >1 bucket")
+      require(leftKeys.length == rightKeys.length, "left/right key lists must align")
+      val salted = df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets.toLong)))
+      val replicated = right.withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+      val eq = leftKeys.zip(rightKeys)
+        .map { case (l, r) => salted(l) === replicated(r) }
+        .reduce(_ && _) && salted("__salt") === replicated("__salt")
+      salted.join(replicated, eq, "inner").drop("__salt")
+    }
+
     /** `df/join-on` — `src/main.rs:255-265,491`: theta join, predicates
       * ANDed; empty list => cross join (DataFusion semantics).
       * Scale: a pure theta join is broadcast-nested-loop — keep at least one

@@ -29,4 +29,21 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(rows(0).getDouble(2) - math.log(3) / math.log(2)) < 1e-9)
     assert(rows(0).getSeq[Float](4).length == 8)
   }
+
+  test("resizeStub: deterministic fixed-size output; frameSampleStub: every Nth chunk") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text")
+    val payload = Multimodal.asPayload(df, "text", "image", "fake")
+    val resized = payload.select(Multimodal.resizeStub(4, 3)($"payload").as("r"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(resized.length == 12)
+    val again = payload.select(Multimodal.resizeStub(4, 3)($"payload").as("r"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(resized.toSeq == again.toSeq) // deterministic
+    // 26 bytes in 5-byte frames = 6 chunks; every 2nd => chunks 0,2,4 => 3 frames
+    val frames = payload.select(Multimodal.frameSampleStub(5, 2)($"payload").as("f"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(frames.length == 3)
+    assert(frames(0).toSeq == "abcde".getBytes("UTF-8").toSeq)
+    assert(frames(1).toSeq == "klmno".getBytes("UTF-8").toSeq)
+  }
 }

@@ -56,6 +56,16 @@ class RelationalSpec extends SparkSpec {
     assert(out.collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("saltedJoin: skew-spread inner join equals the plain equi-join") {
+    val left = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toLong)).toDF("k", "v")
+    val right = Seq((1L, "hot"), (95L, "cold")).toDF("k2", "name")
+    val plain = left.join(right, left("k") === right("k2")).select($"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = left.saltedJoin(right, Seq("k"), Seq("k2"), saltFrom = $"v", buckets = 8)
+      .select($"v", $"name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain && salted.size == 91)
+  }
+
   test("joinOn: theta predicates ANDed; empty list => cross join") {
     val theta = left.joinOn(right, "inner", Seq($"k" < $"k2"))
     assert(theta.count() == 6) // (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
