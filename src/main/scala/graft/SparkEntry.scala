@@ -304,7 +304,10 @@ object SparkEntry {
 
     // ---- deduplication -----------------------------------------------------
     "q31_dedup_exact" -> ((s, dir) =>
-      Dedup.exactDedup(t(s, dir, "documents"), Seq(col("source"), col("lang")), Seq(col("doc_id")))
+      // exactDedupAgg: aggregated keep-first (partial map-side combine),
+      // not the window+row_number formulation — the shuffle carries one row
+      // per (source, lang) per partition instead of the whole table.
+      Dedup.exactDedupAgg(t(s, dir, "documents"), Seq(col("source"), col("lang")), Seq(col("doc_id")))
         .selectCols(Seq(col("doc_id"), col("source"), col("lang")))
         .sortBy(Seq(col("doc_id")))),
 

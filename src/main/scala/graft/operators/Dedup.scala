@@ -31,6 +31,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep-first dedup as an aggregation (`min_by` of the whole row over
+    * the tie-break) — same result as [[exactDedup]] when the tie-break is
+    * an ascending unique ordering, but the 100 TB shape: partial map-side
+    * combine reduces every partition to one row per key BEFORE the shuffle,
+    * where the window formulation shuffles and sorts the full table.
+    * (Struct buffers plan as SortAggregate, not hash — the partial combine
+    * is what matters.)
+    * (Use [[exactDedup]] for mixed asc/desc orderings — struct `min_by`
+    * compares fields ascending.)
+    */
+  def exactDedupAgg(df: DataFrame, keys: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keys: _*)
+      .agg(min_by(all, struct(tieBreak: _*)).alias("__row"))
+      .select("__row.*")
+  }
+
   /** Exact-dup groups as (survivor_id, dup_id) pairs — the "what would be
     * removed" report form. GroupBy + min is partial-aggregated map-side, so
     * the shuffle carries one (key, min_id) pair per map partition per key.

@@ -119,10 +119,23 @@ object Similarity {
       val scored = df
         .crossJoin(broadcast(centDf))
         .select(df.columns.map(col) :+ col("cell") :+ VectorExprs.cosine(col(vcol), col("cv")).alias("cscore"): _*)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-        .orderBy(col("cscore").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n).drop("cv", "cscore", "crank")
+      if (n == 1) {
+        // argmax by (cscore desc, cell asc) as a hash aggregate: partial
+        // map-side combine means the shuffle carries one row per id, not the
+        // id x nlist scored table a window row_number would sort — this is
+        // the corpus-side path, the one that sees 100% of the data.
+        scored
+          .groupBy(col("id"))
+          .agg(
+            max_by(col("cell"), struct(col("cscore"), -col("cell").cast("double"))).alias("cell"),
+            first(col(vcol)).alias(vcol))
+          .select(col("id"), col(vcol), col("cell"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+          .orderBy(col("cscore").desc, col("cell"))
+        scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n).drop("cv", "cscore", "crank")
+      }
     }
 
     val cCells = assign(corpus.select(col("id"), col("v")), "v", 1)

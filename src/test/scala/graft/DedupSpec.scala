@@ -24,6 +24,23 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"id" === 4).count() == 0) // exact dup of id=1 dropped
   }
 
+  test("exactDedupAgg equals exactDedup and plans with map-side partial combine") {
+    val df = Seq(
+      ("a", 1L, "x1"), ("a", 3L, "x3"), ("b", 2L, "y2"), ("a", 2L, "x2"), ("c", 9L, "z9")
+    ).toDF("k", "id", "payload")
+    val viaWindow = Dedup.exactDedup(df, Seq($"k"), Seq($"id"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val viaAgg = Dedup.exactDedupAgg(df, Seq($"k"), Seq($"id"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Seq(("a", 1L, "x1"), ("b", 2L, "y2"), ("c", 9L, "z9")))
+    // struct buffers make min_by a SortAggregate, but the part that matters
+    // at scale is the map-side partial combine before the exchange
+    val plan = Dedup.exactDedupAgg(df, Seq($"k"), Seq($"id")).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"))
+    assert(!plan.contains("Window"))
+  }
+
   test("exactDupMap emits (survivor, dup) pairs") {
     val pairs = Dedup.exactDupMap(docs, $"text", $"id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
