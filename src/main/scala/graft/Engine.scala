@@ -72,4 +72,30 @@ object Engine {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Hive-style partitioned parquet layout: one directory per value of the
+    * partition columns. The 100 TB read pattern — a filter on a partition
+    * column prunes whole directories at planning time (`PartitionFilters`
+    * in the scan, zero I/O for pruned values). Partition by low-cardinality
+    * columns only (date, source, lang); high-cardinality partitioning
+    * creates a small-files problem instead.
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: rows are hash-distributed into `buckets`
+    * files per partition by `bucketCols` at write time. Two tables bucketed
+    * the same way join WITHOUT a shuffle (and without a sort, when sorted
+    * the same way) — pre-paying the exchange once at ingest for every
+    * downstream co-located join/aggregation. This is the standard layout
+    * for a fact table that joins on the same key query after query.
+    * (Bucketing requires the table catalog — `saveAsTable`, not `save`.)
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tableName)
 }

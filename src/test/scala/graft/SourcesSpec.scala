@@ -33,6 +33,44 @@ class SourcesSpec extends SparkSpec {
     assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((20, 10)))
   }
 
+  test("partitioned write: a partition-column filter prunes at planning time") {
+    val dir = tmpDir("graft-part")
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "src", "v")
+    Engine.writeParquetPartitioned(df, s"$dir/t", Seq("src"))
+    val back = Engine.readParquet(spark, s"$dir/t").filter($"src" === "a")
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // pruning is visible in the scan: the predicate lands in PartitionFilters,
+    // not a post-scan Filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src"))
+  }
+
+  test("bucketed tables join without an exchange") {
+    import spark.implicits._
+    val facts = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+    val dims = (1 to 20).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    Engine.writeBucketed(facts, "graft_bucket_facts", Seq("k"), 4)
+    Engine.writeBucketed(dims, "graft_bucket_dims", Seq("k"), 4)
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("graft_bucket_facts")
+          .join(spark.table("graft_bucket_dims"), "k")
+        assert(joined.count() == 20)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_dims")
+    }
+  }
+
   test("parquet and csv writers round-trip") {
     val dir = tmpDir("graft-rt")
     import spark.implicits._
