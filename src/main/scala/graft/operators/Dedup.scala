@@ -140,13 +140,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact n-gram Jaccard pairs via inverted index (PPJoin-style, no LSH
-    * approximation): explode shingles -> self-join on shingle -> count
-    * intersections per pair -> join sizes -> filter.
+  /** EXACT n-gram Jaccard pairs via inverted index: explode shingles ->
+    * self-join on shingle -> count intersections per pair (the join rows ARE
+    * the intersection elements, so no per-pair set materialization) -> join
+    * sizes -> filter. Shuffles carry only (id, hash) longs.
     *
-    * Exact but quadratic in per-shingle document frequency; use for
-    * moderate corpora or after minhash prefiltering. At 100 TB the LSH
-    * path above is the default; this one is the ground-truth oracle.
+    * Cost is sum(df(g)^2) over shingle document frequencies. PPJoin-style
+    * prefix filtering (index only the |x| - ceil(t|x|) + 1 globally-smallest
+    * shingles) was measured here and LOST: in a near-dup-heavy corpus the
+    * prefixes collide almost as much as the full sets, while its verify step
+    * must re-attach both full shingle arrays per candidate pair — 2x slower
+    * than counting from the index. Prefix filtering wins instead when df is
+    * heavy-tailed and qualifying pairs are rare; at 100 TB the default is
+    * the LSH path above, with this as the ground-truth oracle.
     */
   def ngramJaccardPairs(
       df: DataFrame,
