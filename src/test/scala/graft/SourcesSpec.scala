@@ -71,7 +71,7 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("parquet and csv writers round-trip") {
+  test("parquet and csv writers round-trip; json source reads lines") {
     val dir = tmpDir("graft-rt")
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
@@ -79,5 +79,10 @@ class SourcesSpec extends SparkSpec {
     assert(Engine.readParquet(spark, s"$dir/p").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
     Engine.writeCsv(df, s"$dir/c")
     assert(Engine.readCsv(spark, s"$dir/c").orderBy("id").collect().length == 2)
+    Files.write(java.nio.file.Paths.get(s"$dir/j.json"),
+      "{\"id\": 1, \"s\": \"x\"}\n{\"id\": 2, \"s\": \"y\"}\n".getBytes("UTF-8"))
+    val j = Engine.readJson(spark, s"$dir/j.json")
+    assert(j.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
   }
 }
