@@ -291,6 +291,12 @@ object SparkEntry {
           TextFns.qualityScore(col("text")).as("quality")))
         .sortBy(Seq(col("doc_id")))),
 
+    "q44_stopword_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), col("lang"),
+          TextFns.stopwordRatio(col("text")).as("sw_ratio")))
+        .sortBy(Seq(col("doc_id")))),
+
     "q29_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
@@ -597,6 +603,18 @@ object SparkEntry {
                   (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
                   (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
          FROM h ORDER BY doc_id""",
+
+    "q44_stopword_ratio" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','is','that','it','was','with','for'], x))) AS DOUBLE)
+                     / len(toks) END AS sw_ratio
+         FROM t ORDER BY doc_id""",
 
     "q30_char_ngrams" ->
       """SELECT doc_id,

@@ -124,11 +124,7 @@ object TextFns {
   /** English-stopword ratio of tokens — fluent prose sits around 0.3-0.6;
     * keyword-stuffed or tabular junk near 0.
     */
-  def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(stopwordHits(toks, StopwordSets.head._2).cast("double") / size(toks).cast("double"))
-  }
+  def stopwordRatio(c: Column): Column = graft.plans.TextExprs.stopwordRatio(c)
 
   /** Composite heuristic quality score in [0,1] — the C4/Gopher-style rule
     * mix: enough tokens, sane token length, low punctuation noise.

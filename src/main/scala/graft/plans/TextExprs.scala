@@ -142,6 +142,27 @@ object TextExprs {
     override def prettyName: String = "mean_token_len"
   }
 
+  /** English-stopword share of tokens; 0.0 when no tokens —
+    * `TextFns.stopwordRatio` semantics (fluent prose ~0.3-0.6; keyword
+    * spam / tabular junk near 0), one pass.
+    */
+  case class StopwordRatioExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    private val en = stopwordSets(0)._2
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+      if (toks.length == 0) 0.0
+      else {
+        var hits = 0
+        var i = 0
+        while (i < toks.length) { if (en.contains(toks(i))) hits += 1; i += 1 }
+        hits.toDouble / toks.length
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): StopwordRatioExpr = copy(child = c)
+    override def prettyName: String = "stopword_ratio"
+  }
+
   /** Rotate-XOR rolling fingerprint over token hashes — `TextFns.fingerprint`
     * semantics: fold(xxhash64(tok), acc -> rotl(acc, 5) ^ h), acc0 = 0.
     */
@@ -249,6 +270,7 @@ object TextExprs {
   def langId(c: Column): Column = asCol(LangIdExpr(asExpr(c)))
   def qualityScore(c: Column): Column = asCol(QualityScoreExpr(asExpr(c)))
   def tokenCount(c: Column): Column = asCol(TokenCountExpr(asExpr(c)))
+  def stopwordRatio(c: Column): Column = asCol(StopwordRatioExpr(asExpr(c)))
   def meanTokenLen(c: Column): Column = asCol(MeanTokenLenExpr(asExpr(c)))
   def fingerprint(c: Column): Column = asCol(FingerprintExpr(asExpr(c)))
   def charNgramCount(c: Column, n: Int): Column = asCol(CharNgramCountExpr(asExpr(c), n))
