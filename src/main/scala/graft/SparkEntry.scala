@@ -405,14 +405,20 @@ object SparkEntry {
       // directory, so the single-file table is staged into a temp dir; one
       // input file => one micro-batch => deterministic output: every session
       // except each user's last (still open at drain time).
-      val staged = java.nio.file.Files.createTempDirectory("graft_q42").toString
+      val staged = java.nio.file.Files.createTempDirectory("graft_q42")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(staged, "events.parquet"))
+        staged.resolve("events.parquet"))
       val qn = s"graft_q42_${System.nanoTime()}"
-      EventStreams.runSessionizeSmoke(s, staged, qn, gapMinutes = 30)
-        .selectCols(Seq(col("user_id"), col("session_seq"), col("start_us"), col("end_us"), col("n_events")))
-        .sortBy(Seq(col("user_id"), col("session_seq")))
+      try {
+        EventStreams.runSessionizeSmoke(s, staged.toString, qn, gapMinutes = 30)
+          .selectCols(Seq(col("user_id"), col("session_seq"), col("start_us"), col("end_us"), col("n_events")))
+          .sortBy(Seq(col("user_id"), col("session_seq")))
+      } finally {
+        // the drain materialized its result, so the staged copy can go
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
     })
   )
 

@@ -38,8 +38,10 @@ object Dedup {
     * where the window formulation shuffles and sorts the full table.
     * (Struct buffers plan as SortAggregate, not hash — the partial combine
     * is what matters.)
-    * (Use [[exactDedup]] for mixed asc/desc orderings — struct `min_by`
-    * compares fields ascending.)
+    * Use [[exactDedup]] instead when the ordering is mixed asc/desc (struct
+    * `min_by` compares fields ascending) or when a tie-break value can be
+    * NULL: `min_by` skips null ordering keys, while the window ranks nulls
+    * first — different survivor.
     */
   def exactDedupAgg(df: DataFrame, keys: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
     val all = struct(df.columns.map(col): _*)
@@ -192,7 +194,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
       maxBucket: Int = 1 << 20): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
+    // Persisted like the minhash doc state: the per-doc fingerprint feeds
+    // (via the chunk explode) the bucket-size aggregation AND both
+    // self-join sides — without it the corpus is re-tokenized and
+    // re-simhashed three times.
     val docs = df.select(id.alias("id"), simhash(text).alias("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkArr = array((0 until 4).map { j =>
       struct(lit(j).alias("chunk"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xffffL)).alias("key"))
     }: _*)

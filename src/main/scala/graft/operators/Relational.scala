@@ -219,6 +219,8 @@ object Relational {
             Seq(
               avg(col(c)).cast("string").alias(s"${c}__mean"),
               stddev(col(c)).cast("string").alias(s"${c}__std"),
+              // accuracy 10000: exact to ~0.005% rank error — indistinguishable
+              // from exact medians at test scale, mergeable sketch memory at 100 TB
               percentile_approx(col(c), lit(0.5), lit(10000)).cast("string").alias(s"${c}__median")
             )
           else

@@ -19,16 +19,19 @@ object TextExprs {
 
   /** Tokenizer shared by the native expressions: lowercase, trim,
     * whitespace-split, drop empties — identical to `TextFns.tokens`.
+    * Locale.ROOT: a cluster executor with e.g. a Turkish default locale
+    * would otherwise lowercase "IT" to dotless "ıt", silently changing
+    * stopword hits and shingle hashes per machine.
     */
   private[plans] def tokenize(s: String): Array[String] =
-    s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
-  private val stopwordSets: Array[(String, Set[String])] = Array(
-    "en" -> Set("the", "and", "of", "to", "is", "that", "it", "was", "with", "for"),
-    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für"),
-    "es" -> Set("el", "la", "los", "las", "que", "es", "por", "con", "una", "del"),
-    "fr" -> Set("le", "les", "des", "une", "est", "dans", "pour", "qui", "sur", "avec")
-  )
+  /** Single source of truth for the marker stopword sets is
+    * [[graft.functions.TextFns.StopwordSets]] (the public surface);
+    * derived here in lookup form.
+    */
+  private lazy val stopwordSets: Array[(String, Set[String])] =
+    graft.functions.TextFns.StopwordSets.map { case (l, ws) => (l, ws.toSet) }.toArray
 
   /** Language-ID heuristic (CJK share, else stopword argmax, first-wins
     * ties, "und" on zero hits) — `TextFns.langId` semantics, one pass.
@@ -37,14 +40,19 @@ object TextExprs {
     override def dataType: DataType = StringType
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
+      // code-point iteration (not UTF-16 units): `length()`/regex on the
+      // HOF side and the DuckDB oracle both count code points, and astral
+      // chars must count once, not twice
       var cjk = 0
+      var nCp = 0
       var i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        if (c >= '一' && c <= '鿿') cjk += 1
-        i += 1
+        val cp = s.codePointAt(i)
+        if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+        nCp += 1
+        i += Character.charCount(cp)
       }
-      if (cjk * 4 > s.length) return UTF8String.fromString("zh")
+      if (cjk * 4 > nCp) return UTF8String.fromString("zh")
       val toks = tokenize(s)
       var best = -1
       var bestHits = 0
@@ -75,24 +83,28 @@ object TextExprs {
       val nTok = toks.length
       var tokChars = 0L
       var t = 0
-      while (t < toks.length) { tokChars += toks(t).length; t += 1 }
+      while (t < toks.length) { tokChars += toks(t).codePointCount(0, toks(t).length); t += 1 }
       val mtl = if (nTok == 0) 0.0 else tokChars.toDouble / nTok
-      // punctuation ratio over the raw string: chars outside \p{L}\p{N}\s,
-      // with the regex classes' exact semantics (\p{N} = Nd|Nl|No, \s = the
-      // six ASCII space chars) so this agrees with the HOF punctRatio and
-      // the DuckDB oracle on non-ASCII text too
+      // punctuation ratio over the raw string: CODE POINTS outside
+      // \p{L}\p{N}\s, with the regex classes' exact semantics (\p{N} =
+      // Nd|Nl|No, \s = the six ASCII space chars) and a code-point
+      // denominator -- agrees with the HOF punctRatio (regexp_replace +
+      // length, both code-point based) and the DuckDB oracle, including on
+      // astral chars (an astral letter is one letter, not two surrogates)
       var punct = 0
+      var nCp = 0
       var i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        val t = Character.getType(c)
-        val isNum = t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
-          t == Character.OTHER_NUMBER
-        val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-        if (!Character.isLetter(c) && !isNum && !isWs) punct += 1
-        i += 1
+        val cp = s.codePointAt(i)
+        val ty = Character.getType(cp)
+        val isNum = ty == Character.DECIMAL_DIGIT_NUMBER || ty == Character.LETTER_NUMBER ||
+          ty == Character.OTHER_NUMBER
+        val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+        if (!Character.isLetter(cp) && !isNum && !isWs) punct += 1
+        nCp += 1
+        i += Character.charCount(cp)
       }
-      val pr = if (s.isEmpty) 0.0 else punct.toDouble / s.length
+      val pr = if (nCp == 0) 0.0 else punct.toDouble / nCp
       val lenOk = if (nTok >= 10 && nTok <= 100000) 1.0 else 0.0
       val mtlOk = if (mtl >= 2.5 && mtl <= 12.0) 1.0 else 0.0
       val punctOk = if (pr <= 0.2) 1.0 else 0.0

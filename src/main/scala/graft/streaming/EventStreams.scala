@@ -47,9 +47,11 @@ object EventStreams {
       .withColumn("session_id", concat_ws("-", col("user_id"), col("session_seq")))
   }
 
-  /** Open-session state carried between micro-batches: the current
-    * session's bounds and size, plus how many sessions this user has
-    * closed so far (drives session_seq).
+  /** Per-user state carried between micro-batches: the current session's
+    * bounds and size, plus how many sessions this user has closed so far
+    * (drives session_seq). `nEvents == 0` encodes "no open session, counter
+    * only" — what remains after a timeout eviction, so a returning user's
+    * next session continues the sequence instead of restarting at 1.
     */
   case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, closedSoFar: Long)
 
@@ -89,15 +91,19 @@ object EventStreams {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
           def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
           if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: the open session is definitively closed
+            // watermark passed lastUs + gap: the open session is definitively
+            // closed. Keep a counter-only record (4 longs, no new timeout) so
+            // a returning user's session_seq stays monotonic; removing the
+            // state entirely would restart the sequence at 1.
             val s = state.get
-            state.remove()
+            state.update(OpenSession(0L, 0L, 0L, s.closedSoFar + 1))
             Iterator.single(ClosedSession(uid, s.closedSoFar + 1, s.startUs, s.lastUs, s.nEvents))
           } else {
             val ts = rows.map(r => micros(r._2)).toArray
             java.util.Arrays.sort(ts)
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open = state.getOption
+            var open = state.getOption.filter(_.nEvents > 0)
+            val counterOnly = state.getOption.map(_.closedSoFar).getOrElse(0L)
             var i = 0
             while (i < ts.length) {
               val t = ts(i)
@@ -108,7 +114,7 @@ object EventStreams {
                 case Some(s) =>
                   open = Some(s.copy(lastUs = math.max(s.lastUs, t), nEvents = s.nEvents + 1))
                 case None =>
-                  open = Some(OpenSession(t, t, 1, 0))
+                  open = Some(OpenSession(t, t, 1, counterOnly))
               }
               i += 1
             }
@@ -155,7 +161,14 @@ object EventStreams {
         .start()
       q.processAllAvailable()
       q.stop()
-      spark.table(queryName)
+      // Materialize and drop the memory sink: repeated drains in one session
+      // (bench passes, verify) would otherwise accumulate never-freed
+      // in-memory tables on the driver.
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
     } finally {
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }

@@ -111,13 +111,24 @@ class StreamingSpec extends SparkSpec {
           java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/in/b2.parquet"))
       }
       q.processAllAvailable()
+      // batch 3: user 1 RETURNS after the timeout eviction — the new session
+      // must continue the sequence (seq 2), not restart at 1. Two events
+      // 40min apart so the first new session is gap-closed and emitted.
+      writeBatch("b3", Seq((1L, at(1200)), (1L, at(1240))))
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage_b3")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/in/b3.parquet"))
+      }
+      q.processAllAvailable()
       q.stop()
 
       val out = spark.table("graft_timeout_test")
         .select($"user_id", $"session_seq", $"n_events").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      // user 1's only session (timeout-closed) and user 2's first (gap-closed)
-      assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L)))
+      // user 1: session 1 (timeout-closed) then session 2 after returning;
+      // user 2: session 1 gap-closed, then its 10h session timeout-closed as
+      // seq 2 once batch 3 pushed the watermark past 10h30
+      assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L), (1L, 2L, 1L), (2L, 2L, 1L)))
     } finally {
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
