@@ -72,6 +72,22 @@ class TextFnsSpec extends SparkSpec {
     assert(long > 1)
   }
 
+  test("code-point semantics: astral chars count once in langId/quality") {
+    // U+1D400/U+1D401 are astral letters (2 UTF-16 units, 1 code point each).
+    // Quality's punct ratio must see 0 punctuation here, same as the regex
+    // formulation; a UTF-16 loop would count each surrogate half as punct.
+    val astral = "𝐀𝐁 the cat and the dog is that it was here for now"
+    val hofPunct = one(astral).select(TextFns.punctRatio($"t")).collect()(0).getDouble(0)
+    assert(hofPunct == 0.0)
+    val q = one(astral).select(TextFns.qualityScore($"t")).collect()(0).getDouble(0)
+    assert(q >= 0.66) // punctOk and mtlOk must not be poisoned by surrogates
+    assert(one(astral).select(TextFns.langId($"t")).collect()(0).getString(0) == "en")
+    // CJK ratio over code points: 3 CJK + astral pair + space; a UTF-16
+    // denominator would tip the 4x rule the other way
+    val mixed = "中文字 𝐀"
+    assert(one(mixed).select(TextFns.langId($"t")).collect()(0).getString(0) == "zh")
+  }
+
   test("native expressions are bit-identical to the HOF formulations on real docs") {
     // The native single-pass expressions replaced HOF compositions; this pins
     // them to the original column-algebra definitions over real corpus text
