@@ -367,9 +367,18 @@ object SparkEntry {
 
     // ---- multimodal plumbing ------------------------------------------------
     "q39_multimodal" -> ((s, dir) => {
+      // Native-expression feature extraction (no RDD hop). The feature vector
+      // is surfaced as 8 scalar columns: the driver comparator hashes scalar
+      // cells; the array form is exercised by MultimodalSpec.
       val payload = Multimodal.asPayload(t(s, dir, "documents"), "text", "text", "utf8")
-      Multimodal.extractFeatures(payload, "doc_id", "payload")
-        .selectCols(Seq(col("id"), col("byte_len")))
+      val feats = Multimodal.extractFeatures(payload, "doc_id", "payload")
+      feats
+        .selectCols(Seq(
+          col("id"), col("byte_len"),
+          round(col("byte_entropy"), 6).as("byte_entropy"),
+          col("head_hash")) ++
+          (0 until 8).map(j =>
+            round(element_at(col("feature_vec"), j + 1).cast("double"), 6).as(s"fv$j")))
         .sortBy(Seq(col("id")))
     }),
 
@@ -713,9 +722,56 @@ object SparkEntry {
                                       CAST(b.embedding AS DOUBLE[])) >= 0.4
          ORDER BY id_a, id_b""",
 
+    // Byte-level features recomputed from first principles: bytes recovered
+    // via hex() (DuckDB has no blob indexing to int), entropy from the byte
+    // histogram, head_hash as the wrapping mod-2^64 fold over signed bytes
+    // (HUGEINT emulates Long overflow), fv_j as the byte-bucket fractions
+    // narrowed through FLOAT exactly like the Spark side. Entropy/fv rounded
+    // to 6 on both sides (summation order differs between engines).
     "q39_multimodal" ->
-      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-         FROM documents ORDER BY id""",
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT doc_id, n, list_transform(range(0, n), i ->
+             (strpos('0123456789ABCDEF', h[2*i+1])-1)*16 +
+             (strpos('0123456789ABCDEF', h[2*i+2])-1)) AS bytes
+           FROM b),
+         hh AS (
+           SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(CAST(1125899906842597 AS HUGEINT),
+                 list_transform(bytes[1:16], x ->
+                   CAST(CASE WHEN x >= 128 THEN x - 256 ELSE x END AS HUGEINT))),
+               (acc, x) -> (((acc * 31 + x) % 18446744073709551616)
+                            + 18446744073709551616) % 18446744073709551616) AS HUGEINT) AS m
+           FROM by),
+         u AS (SELECT doc_id, n, unnest(bytes) AS v FROM by),
+         hist AS (SELECT doc_id, n, v, COUNT(*) AS c FROM u GROUP BY 1, 2, 3),
+         ent AS (
+           SELECT doc_id,
+             -SUM((CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n)) AS e
+           FROM hist GROUP BY doc_id),
+         fv AS (
+           SELECT doc_id,
+             list_transform(range(0, 8), j -> CAST(CAST(
+               CAST(len(list_filter(bytes, x -> x // 32 = j)) AS DOUBLE) / n
+               AS FLOAT) AS DOUBLE)) AS f
+           FROM by WHERE n > 0)
+         SELECT b.doc_id AS id, CAST(b.n AS BIGINT) AS byte_len,
+           round(coalesce(e.e, 0.0), 6) AS byte_entropy,
+           CAST(CASE WHEN hh.m >= 9223372036854775808
+                THEN hh.m - 18446744073709551616 ELSE hh.m END AS BIGINT) AS head_hash,
+           round(coalesce(f.f[1], 0.0), 6) AS fv0, round(coalesce(f.f[2], 0.0), 6) AS fv1,
+           round(coalesce(f.f[3], 0.0), 6) AS fv2, round(coalesce(f.f[4], 0.0), 6) AS fv3,
+           round(coalesce(f.f[5], 0.0), 6) AS fv4, round(coalesce(f.f[6], 0.0), 6) AS fv5,
+           round(coalesce(f.f[7], 0.0), 6) AS fv6, round(coalesce(f.f[8], 0.0), 6) AS fv7
+         FROM b
+         JOIN hh ON b.doc_id = hh.doc_id
+         LEFT JOIN ent e ON b.doc_id = e.doc_id
+         LEFT JOIN fv f ON b.doc_id = f.doc_id
+         ORDER BY id""",
 
     "q40_events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -115,26 +115,47 @@ object Multimodal {
       }
     }
 
-  /** Batched per-partition feature extraction (the Scala analogue of a
-    * pandas-UDF-over-mapInPandas stage): payload bytes in, feature struct
-    * out, id column preserved. The iterator form means one JVM-side pass,
-    * no per-row task dispatch, and payloads are GC'd as the iterator
-    * advances.
+  /** Feature extraction as native Catalyst expressions
+    * ([[graft.plans.BinaryExprs]]) — one narrow projection, no RDD hop:
+    * column pruning reaches the scan, sibling columns survive, and the plan
+    * stays inside Catalyst end to end. Semantics identical to
+    * [[fakeDecode]] (spec-pinned).
     */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(
-      Seq(StructField("id", LongType, nullable = false)) ++ FeatureSchema.fields
+    import graft.plans.BinaryExprs
+    // null payload ≡ empty payload (the fakeDecode contract)
+    val p = coalesce(col(payloadCol), lit(Array.emptyByteArray))
+    df.select(
+      col(idCol).cast("long").alias("id"),
+      octet_length(p).cast("long").alias("byte_len"),
+      BinaryExprs.byteEntropy(p).alias("byte_entropy"),
+      BinaryExprs.headHash(p).alias("head_hash"),
+      BinaryExprs.byteBucketHist(p, 8).alias("feature_vec")
     )
-    val idIdx = df.schema.fieldIndex(idCol)
-    val pIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = if (r.isNullAt(pIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](pIdx)
-        val (len, ent, hh, vec) = fakeDecode(bytes)
-        Row(r.getLong(idIdx), len, ent, hh, vec.toSeq)
+  }
+
+  private case class Feat(
+      id: Long, byte_len: Long, byte_entropy: Double, head_hash: Long, feature_vec: Array[Float])
+
+  /** Batched per-partition decode — the integration point for a REAL codec
+    * (an image/audio decoder is a black-box native call, not an expression).
+    * Typed `Dataset.mapPartitions` with encoders, not `df.rdd`: the select
+    * below prunes columns before the boundary, and output comes back as a
+    * DataFrame without a `createDataFrame` round-trip. The iterator form
+    * means one JVM-side pass per partition, payloads GC'd as it advances —
+    * the Scala analogue of a pandas-UDF `mapInPandas` stage.
+    *
+    * The codec here is [[fakeDecode]]; swap its call site for a real decoder.
+    */
+  def extractFeaturesBatched(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (len, ent, hh, vec) = fakeDecode(if (bytes == null) Array.emptyByteArray else bytes)
+        Feat(id, len, ent, hh, vec)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.product[Feat]).toDF()
   }
 }

@@ -30,6 +30,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getSeq[Float](4).length == 8)
   }
 
+  test("extractFeatures: native expressions, no RDD boundary in the plan") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asPayload(df, "text", "text", "utf8"), "doc_id", "payload")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"plan exits Catalyst:\n$plan")
+  }
+
+  test("extractFeaturesBatched (typed mapPartitions codec path) matches the native path") {
+    val df = Seq((1L, "abc"), (2L, "zzzzzz"), (3L, ""), (4L, "mixed bytes é世")).toDF("doc_id", "text")
+    val payload = Multimodal.asPayload(df, "text", "text", "utf8")
+    val native = Multimodal.extractFeatures(payload, "doc_id", "payload")
+      .orderBy($"id").collect()
+    val batched = Multimodal.extractFeaturesBatched(payload, "doc_id", "payload")
+      .orderBy($"id").collect()
+    assert(native.length == batched.length)
+    native.zip(batched).foreach { case (n, b) =>
+      assert(n.getLong(0) == b.getLong(0) && n.getLong(1) == b.getLong(1))
+      assert(n.getDouble(2) == b.getDouble(2)) // entropy, bit-exact
+      assert(n.getLong(3) == b.getLong(3)) // head hash
+      assert(n.getSeq[Float](4) == b.getSeq[Float](4))
+    }
+  }
+
+  test("extractFeatures: null payload treated as empty bytes") {
+    val df = Seq((1L, Some(Array[Byte](1, 2, 3))), (2L, None))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .orderBy($"id").collect()
+    assert(rows(1).getLong(1) == 0L && rows(1).getDouble(2) == 0.0)
+    assert(rows(1).getSeq[Float](4).forall(_ == 0f))
+  }
+
   test("resizeStub: deterministic fixed-size output; frameSampleStub: every Nth chunk") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text")
     val payload = Multimodal.asPayload(df, "text", "image", "fake")
