@@ -365,6 +365,35 @@ object SparkEntry {
         .sortBy(Seq(col("query_id"), col("rank")))
     }),
 
+    "q45_ann_ivf_exact" -> ((s, dir) => {
+      // nprobe = nlist probes every cell => IVF degenerates to exhaustive
+      // search and must EXACTLY equal brute force — so q36's oracle applies
+      // verbatim. This pins the whole IVF pipeline (k-means centroids, cell
+      // assignment, probe join, top-k) against DuckDB, leaving only the
+      // nprobe<nlist pruning uncovered (measured by q46 instead).
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 16, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q46_ann_ivf_recall" -> ((s, dir) => {
+      // Recall@5 of the approximate IVF config (nprobe=4 of nlist=16) vs
+      // exact brute force, per query — the approximation measured, not
+      // asserted. Rows-only by construction (the IVF result depends on
+      // k-means cell boundaries DuckDB cannot reproduce).
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      val approx = Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 4, k = 5)
+      val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      Similarity.recallAtK(approx, exact)
+        .sortBy(Seq(col("query_id")))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------------
     "q39_multimodal" -> ((s, dir) => {
       // Native-expression feature extraction (no RDD hop). The feature vector
@@ -701,6 +730,21 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "q36_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS score
+               FROM q JOIN c ON c_id <> q_id),
+         r AS (SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+               FROM s)
+         SELECT q_id AS query_id, c_id AS neighbor_id,
+                round(score, 6) AS cosine, rnk AS rank
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
+
+    // Exact-config IVF (nprobe = nlist) equals brute force by construction —
+    // same oracle as q36.
+    "q45_ann_ivf_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -87,11 +87,131 @@ object Similarity {
         (col("pos") + 1).alias("rank")
       )
 
+  private def toDoubles(s: Seq[Any]): Array[Double] = {
+    val out = new Array[Double](s.length)
+    var i = 0
+    s.foreach { x =>
+      out(i) = x match {
+        case f: Float   => f.toDouble
+        case d: Double  => d
+        case n: Number  => n.doubleValue()
+        case other      => throw new IllegalArgumentException(s"non-numeric element $other")
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spherical k-means centroids from a bounded, deterministic corpus sample.
+    *
+    * The sample is the `sampleSize` rows with smallest `xxhash64(id)` — a
+    * uniform pseudo-random draw that is reproducible across runs and
+    * independent of partitioning, fetched with a distributed TakeOrdered
+    * (never a full collect). Lloyd iterations then run driver-side on the
+    * sample: k-means++ seeding (seeded RNG, deterministic), assign to the
+    * max-cosine centroid, re-mean + renormalize, empty cells reseeded from
+    * the worst-covered point. O(sampleSize * nlist * dims * iters) driver
+    * work on <= a few thousand vectors — negligible next to one corpus scan.
+    * (At 100 TB the same sample bound holds: centroid quality depends on
+    * sample size, not corpus size. Spark MLlib's KMeans could substitute,
+    * but it optimizes Euclidean distance and brings RDD caching overhead for
+    * a job this small.)
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      nlist: Int,
+      sampleSize: Int = 2048,
+      iters: Int = 20,
+      seed: Long = 42L
+  ): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col("id"), col("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(r => normalize(toDoubles(r.getSeq[Any](1))))
+      .filter(v => v.exists(_ != 0.0))
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    val kEff = math.min(nlist, sample.length)
+    val rng = new scala.util.Random(seed)
+
+    // k-means++ seeding on cosine distance (1 - dot of unit vectors)
+    val cents = new Array[Array[Double]](kEff)
+    cents(0) = sample(rng.nextInt(sample.length)).clone()
+    val minDist = sample.map(v => 1.0 - dot(v, cents(0)))
+    var c = 1
+    while (c < kEff) {
+      val total = minDist.sum
+      var pick = if (total > 0) rng.nextDouble() * total else 0.0
+      var idx = 0
+      while (idx < sample.length - 1 && { pick -= minDist(idx); pick > 0 }) idx += 1
+      cents(c) = sample(idx).clone()
+      var i = 0
+      while (i < sample.length) {
+        val d = 1.0 - dot(sample(i), cents(c))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      c += 1
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assign = sample.map { v =>
+        var best = 0; var bestDot = dot(v, cents(0)); var j = 1
+        while (j < kEff) {
+          val d = dot(v, cents(j))
+          if (d > bestDot) { bestDot = d; best = j }
+          j += 1
+        }
+        best
+      }
+      val dims = sample(0).length
+      val sums = Array.fill(kEff)(new Array[Double](dims))
+      val counts = new Array[Int](kEff)
+      var i = 0
+      while (i < sample.length) {
+        val a = assign(i); counts(a) += 1
+        val v = sample(i); var d = 0
+        while (d < dims) { sums(a)(d) += v(d); d += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kEff) {
+        if (counts(j) > 0) cents(j) = normalize(sums(j))
+        else {
+          // empty cell: reseed from the point worst covered by its centroid
+          val worst = sample.indices.minBy(i => dot(sample(i), cents(assign(i))))
+          cents(j) = sample(worst).clone()
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style ANN: corpus is pre-partitioned into `nlist` cells by nearest
-    * centroid; a query probes only its `nprobe` closest cells. Centroids
-    * here are chosen deterministically (first `nlist` corpus vectors by id —
-    * a real deployment would k-means; the partition/probe plumbing is
-    * identical). Recall < 1, cost ~ nprobe/nlist of brute force.
+    * centroid; a query probes only its `nprobe` closest cells. Centroids are
+    * spherical k-means over a deterministic bounded sample
+    * ([[kmeansCentroids]]). Recall < 1 for nprobe < nlist, cost ~
+    * nprobe/nlist of brute force; **nprobe >= nlist probes every cell and is
+    * exactly brute force** (each (query, corpus) pair scored once) — the
+    * oracle-checkable configuration.
     *
     * At 100 TB the cell assignment is the expensive pass (one scan, then
     * write bucketed by cell); queries touch only matching cells — this is
@@ -104,13 +224,7 @@ object Similarity {
       nprobe: Int = 4,
       k: Int = 10
   ): DataFrame = {
-    val cents = corpus
-      .select(col("id"), col("v"))
-      .orderBy(col("id"))
-      .limit(nlist)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Any](1).map(_.toString.toDouble).toArray) }
+    val cents = kmeansCentroids(corpus, nlist).zipWithIndex.map { case (v, i) => (i, v) }
     val spark = corpus.sparkSession
     val centDf = spark.createDataFrame(cents.toSeq.map { case (i, v) => (i, v) }).toDF("cell", "cv")
 
@@ -140,13 +254,39 @@ object Similarity {
 
     val cCells = assign(corpus.select(col("id"), col("v")), "v", 1)
       .select(col("id").alias("c_id"), col("v").alias("c_v"), col("cell"))
-    val qCells = assign(queries.select(col("id"), col("v")), "v", nprobe)
-      .select(col("id").alias("q_id"), col("v").alias("q_v"), col("cell"))
+    // nprobe >= nlist probes everything: skip the per-centroid scoring and
+    // pair each query with every cell directly — exhaustive, equals brute
+    // force (this is the exact, oracle-checkable configuration).
+    val qCells =
+      if (nprobe >= nlist)
+        queries.select(col("id").alias("q_id"), col("v").alias("q_v"))
+          .crossJoin(broadcast(centDf.select(col("cell"))))
+      else
+        assign(queries.select(col("id"), col("v")), "v", nprobe)
+          .select(col("id").alias("q_id"), col("v").alias("q_v"), col("cell"))
 
     val scored = cCells
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"), VectorExprs.cosine(col("q_v"), col("c_v")).alias("score"))
     explodeTopK(scored, k)
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one (both in
+    * [[explodeTopK]]'s output shape): per query, the fraction of exact
+    * neighbors the approximate search recovered. This is how an ANN
+    * configuration's quality is MEASURED rather than asserted — run it on a
+    * sample of queries whenever nlist/nprobe change.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val tot = e.groupBy(col("query_id")).agg(count(lit(1)).alias("n_exact"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).alias("n_hit"))
+    tot.join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).alias("recall"))
   }
 }

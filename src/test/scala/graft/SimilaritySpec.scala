@@ -70,6 +70,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("kmeansCentroids: deterministic across calls, unit-norm, nlist cells") {
+    val c1 = Similarity.kmeansCentroids(corpus, nlist = 4)
+    val c2 = Similarity.kmeansCentroids(corpus, nlist = 4)
+    assert(c1.length == 4)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) }, "k-means not deterministic")
+    c1.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9, "centroid not unit-norm")
+    }
+  }
+
+  test("recallAtK: approximate IVF (nprobe < nlist) recalls clustered data well") {
+    // four tight clusters; nprobe=1 should route each query to its own
+    // cluster's cell, where all its true neighbors live
+    val base = Array.tabulate(4)(c => Array.tabulate(dims)(i => if (i % 4 == c) 1f else 0.05f))
+    val pts = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, base(c).zipWithIndex.map { case (x, j) => x + 0.01f * ((i * 7 + j) % 5) }.toSeq)
+    }.toDF("id", "v")
+    val queries = pts.filter($"id" < 8)
+    val approx = Similarity.ivfTopK(pts, queries, nlist = 4, nprobe = 1, k = 5)
+    val exact = Similarity.bruteForceTopK(pts, queries, k = 5)
+    val rec = Similarity.recallAtK(approx, exact).collect().map(_.getDouble(1))
+    assert(rec.length == 8)
+    val mean = rec.sum / rec.length
+    assert(mean > 0.8, s"mean recall@5 = $mean")
+  }
+
+  test("recallAtK arithmetic on a hand-built example") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (2L, 99L)).toDF("query_id", "neighbor_id")
+    val rec = Similarity.recallAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rec(1L) == 0.5 && rec(2L) == 0.0)
+  }
+
   test("native expressions are reachable from the SQL surface via register") {
     graft.plans.VectorExprs.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")
