@@ -218,6 +218,17 @@ object SparkEntry {
         .exceptDistinct(t(s, dir, "orders").selectCols(Seq(col("o_custkey").as("ck"))))
         .sortBy(Seq(col("ck")))),
 
+    "q47_salted_join" -> ((s, dir) =>
+      // Skew-salted join, hash-matched against the plain-join oracle: the
+      // left side is spread over 8 salt buckets keyed by the row identity,
+      // the right side replicated per salt. Result must be IDENTICAL to the
+      // unsalted join — salting changes the shuffle layout, never the answer.
+      t(s, dir, "lineitem")
+        .saltedJoin(t(s, dir, "orders"), Seq("l_orderkey"), Seq("o_orderkey"),
+          saltFrom = struct(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("o_totalprice")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
     // ---- §2.4 expression surface -----------------------------------------
     "q21_case" -> ((s, dir) => {
       val statusWord = ColFns.caseOf(col("o_orderstatus"))
@@ -579,6 +590,12 @@ object SparkEntry {
     "q20_except" ->
       """SELECT c_custkey AS ck FROM customer
          EXCEPT SELECT o_custkey AS ck FROM orders ORDER BY ck""",
+
+    // The salted join must equal the plain join — the oracle is unsalted.
+    "q47_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q21_case" ->
       """SELECT o_orderkey,

@@ -66,6 +66,23 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain && salted.size == 91)
   }
 
+  test("saltedJoin: hot key spreads across salt buckets and the shuffle keys on the salt") {
+    val left = (1 to 200).map(i => (1L, i.toLong)).toDF("k", "v") // single hot key
+    val right = Seq((1L, "hot")).toDF("k2", "name")
+    // the salt expression saltedJoin applies must fan the hot key's rows out
+    // over most of the 8 buckets (deterministic, so this is a fixed fact)
+    val spread = left
+      .select(pmod(xxhash64(struct($"k", $"v")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"hot key landed in only $spread of 8 salt buckets")
+    // and the join's shuffle must include __salt in its partitioning keys,
+    // otherwise the hot key still lands on one reducer
+    val out = left.saltedJoin(right, Seq("k"), Seq("k2"),
+      saltFrom = struct($"k", $"v"), buckets = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column absent from physical plan:\n$plan")
+  }
+
   test("joinOn: theta predicates ANDed; empty list => cross join") {
     val theta = left.joinOn(right, "inner", Seq($"k" < $"k2"))
     assert(theta.count() == 6) // (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
