@@ -28,7 +28,12 @@ object Bench {
     // Two passes per query, report the second: pass 1 pays plan + janino
     // codegen compilation (driver-side, amortized to zero at 100 TB); pass 2
     // is the steady-state execution cost — the number that scales with data.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for focused A/B runs
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q33_minhash_lsh,q37_emb_pairs).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

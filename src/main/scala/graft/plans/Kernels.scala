@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JIT-friendly kernels shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths of the hottest custom expressions.
+  *
+  * A top-level Scala object emits static forwarders, so janino-generated
+  * Java can call `graft.plans.Kernels.cosine(...)` directly: the expression
+  * participates in whole-stage codegen as a single static call on unboxed
+  * operands instead of a per-row interpreted `eval` dispatch through
+  * `CodegenFallback`.
+  */
+object Kernels {
+
+  /** [[TextExprs.ShingleHashesExpr]] kernel. */
+  def shingleHashes(input: UTF8String, n: Int): ArrayData = {
+    val toks = TextExprs.tokenize(input.toString)
+    val count = math.max(toks.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[Long](count * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(TextExprs.xxh64(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** [[VectorExprs.MinHashBuckets]] kernel. */
+  def minhashBuckets(arr: ArrayData, k: Int, bands: Int): ArrayData = {
+    val r = k / bands
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val x = arr.getLong(e)
+        var i = 0
+        while (i < k) {
+          val h = mix(x + (i + 1).toLong * 0x9e3779b97f4a7c15L)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      e += 1
+    }
+    val buckets = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = mix(j.toLong + 0x2545f4914f6cdd1dL)
+      var t = 0
+      while (t < r) { acc = mix(acc ^ mins(j * r + t)); t += 1 }
+      buckets(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(buckets)
+  }
+
+  /** [[VectorExprs.CosineSim]] kernel; element types resolved at codegen
+    * time into the two boolean flags (true = float32 elements).
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}

@@ -228,35 +228,21 @@ object TextExprs {
     * the minhash/Jaccard input: fusing tokenize+shingle+hash into one pass
     * avoids materializing the O(tokens) string array through three
     * interpreted HOFs per doc.
+    *
+    * Implements `doGenCode` (not CodegenFallback): the hot dedup queries
+    * evaluate this inside whole-stage codegen as one static
+    * [[Kernels.shingleHashes]] call, skipping the interpreted eval dispatch.
     */
-  case class ShingleHashesExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     require(n > 0, s"ngram size must be positive, got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String].toString)
-      val count = math.max(toks.length - (n - 1), 1)
-      val seen = new java.util.LinkedHashSet[Long](count * 2)
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i < count) {
-        sb.setLength(0)
-        val end = math.min(i + n, toks.length)
-        var j = i
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        seen.add(xxh64(sb.toString))
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      var k = 0
-      while (it.hasNext) { out(k) = it.next(); k += 1 }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.shingleHashes($c, $n);")
     override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
     override def prettyName: String = "shingle_hashes"
   }

@@ -65,49 +65,19 @@ object VectorExprs {
     *
     * Returns array<long> of length `bands`; element j is band j's bucket.
     */
-  case class MinHashBuckets(child: Expression, k: Int, bands: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashBuckets(child: Expression, k: Int, bands: Int) extends UnaryExpression {
     require(bands > 0 && k % bands == 0, s"bands=$bands must divide k=$k")
-    private val r = k / bands
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-    private def mix(z0: Long): Long = {
-      var z = z0
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(k)(Long.MaxValue)
-      var e = 0
-      while (e < n) {
-        if (!arr.isNullAt(e)) {
-          val x = arr.getLong(e)
-          var i = 0
-          while (i < k) {
-            // independent hash per seed i: splitmix64 of x offset by an odd
-            // multiple of the golden-ratio constant (standard construction)
-            val h = mix(x + (i + 1).toLong * 0x9e3779b97f4a7c15L)
-            if (h < mins(i)) mins(i) = h
-            i += 1
-          }
-        }
-        e += 1
-      }
-      val buckets = new Array[Long](bands)
-      var j = 0
-      while (j < bands) {
-        var acc = mix(j.toLong + 0x2545f4914f6cdd1dL)
-        var t = 0
-        while (t < r) { acc = mix(acc ^ mins(j * r + t)); t += 1 }
-        buckets(j) = acc
-        j += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buckets)
-    }
+    // kernel shared with the generated path — splitmix64 per-seed hashes,
+    // min per seed, bands folded to 64-bit bucket keys (see Kernels)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.minhashBuckets(input.asInstanceOf[ArrayData], k, bands)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.minhashBuckets($c, $k, $bands);")
     override protected def withNewChildInternal(c: Expression): MinHashBuckets = copy(child = c)
     override def prettyName: String = "minhash_buckets"
   }
@@ -208,20 +178,24 @@ object VectorExprs {
     override def prettyName: String = "dot_product"
   }
 
-  /** Cosine similarity of two numeric arrays; 0.0 when either norm is 0. */
-  case class CosineSim(left: Expression, right: Expression) extends VectorBinary {
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = toDouble(a, i, ta); val y = toDouble(b, i, tb)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-    }
+  /** Cosine similarity of two numeric arrays; 0.0 when either norm is 0.
+    * Generates code (one static [[Kernels.cosine]] call with element types
+    * resolved at plan time) — this sits inside the join condition of the
+    * pair queries, the hottest expression position in the engine.
+    */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        isFloat(left), isFloat(right))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Kernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)});")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_sim"
