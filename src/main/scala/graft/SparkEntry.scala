@@ -631,7 +631,9 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_tok_len,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+           END AS mean_tok_len,
            CAST(n AS BIGINT) AS n_chars_calc
          FROM t ORDER BY doc_id""",
 
@@ -698,6 +700,11 @@ object SparkEntry {
          FROM k JOIN s USING (k) WHERE doc_id <> survivor_id
          ORDER BY survivor_id, dup_id""",
 
+    // NOTE: q33's hash-match against this EXACT-Jaccard oracle is
+    // probabilistic by construction: LSH (k=128, b=32) misses a
+    // >=0.8-Jaccard pair with P ~= 5e-9 (plus xxhash64 shingle-collision
+    // risk). Deterministic and verified on this testdata; q34 runs the same
+    // oracle over the exact inverted-index operator as the ground truth.
     "q33_minhash_lsh" ->
       """WITH t AS (
            SELECT doc_id,

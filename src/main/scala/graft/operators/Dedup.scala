@@ -97,7 +97,27 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.8,
       maxBucket: Int = 2000
-  ): DataFrame = {
+  ): DataFrame = minhashLshPairsReleasable(df, id, text, ngram, k, bands, threshold, maxBucket)._1
+
+  /** As [[minhashLshPairs]], additionally returning the persisted per-doc
+    * state frame. The pipeline caches that state (id + shingle hashes — it
+    * feeds the band explode and both verification joins); the cache is NOT
+    * released when the result is consumed, because release timing belongs to
+    * the caller (Spark evaluation is lazy). Long-lived sessions running many
+    * dedups should use this form and `.unpersist()` the second element after
+    * the action completes; the simple form leaves eviction to Spark's LRU
+    * (or a `spark.catalog.clearCache()`).
+    */
+  def minhashLshPairsReleasable(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ngram: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucket: Int = 2000
+  ): (DataFrame, DataFrame) = {
     // Persisted: this narrow per-doc state (id + shingle hashes) is
     // referenced by the band explode AND twice by the verification joins;
     // without persistence Spark recomputes the shingling for each reference.
@@ -123,7 +143,7 @@ object Dedup {
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
       .distinct()
 
-    verifyJaccard(candidates, docs.select(col("id"), col("sh")), threshold)
+    (verifyJaccard(candidates, docs.select(col("id"), col("sh")), threshold), docs)
   }
 
   /** Join candidate id pairs back to shingle sets and keep exact Jaccard >=
@@ -161,8 +181,17 @@ object Dedup {
       id: Column,
       text: Column,
       ngram: Int = 3,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxInputBytes: Long = 4L << 30
   ): DataFrame = {
+    // Guard against silent misuse as the default dedup path: cost grows as
+    // sum(df(g)^2) — superlinear on near-dup-heavy corpora. The linear
+    // sibling is minhashLshPairs; this operator is its exact ground truth.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxInputBytes,
+      s"ngramJaccardPairs cost grows superlinearly (sum of squared shingle doc-freqs): " +
+        s"estimated input $est bytes > $maxInputBytes. Use minhashLshPairs for scale, " +
+        s"or raise maxInputBytes to force a ground-truth run.")
     val docs = df.select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
     val inv = docs.select(col("id"), explode(col("sh")).alias("g"))
     val a = inv.alias("a"); val b = inv.alias("b")
@@ -192,7 +221,15 @@ object Dedup {
     * Same shape as LSH banding — narrow keys, hash joins, no cross join.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
-      maxBucket: Int = 1 << 20): DataFrame = {
+      maxBucket: Int = 1 << 20): DataFrame =
+    simhashPairsReleasable(df, id, text, maxHamming, maxBucket)._1
+
+  /** As [[simhashPairs]], additionally returning the persisted fingerprint
+    * frame for caller-controlled release — same contract as
+    * [[minhashLshPairsReleasable]].
+    */
+  def simhashPairsReleasable(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 20): (DataFrame, DataFrame) = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
     // Persisted like the minhash doc state: the per-doc fingerprint feeds
     // (via the chunk explode) the bucket-size aggregation AND both
@@ -215,7 +252,8 @@ object Dedup {
       .join(bucketSizes.filter(col("count") <= maxBucket), Seq("chunk", "key"))
       .select("id", "sim", "chunk", "key")
     val a = chunks.alias("a"); val b = chunks.alias("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+    val pairs = a
+      .join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(
         col("a.id").alias("id_a"),
         col("b.id").alias("id_b"),
@@ -223,14 +261,26 @@ object Dedup {
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (pairs, docs)
   }
 
   /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs
-    * with cosine >= threshold. Quadratic — correct tool only for verifying
-    * or for corpora small enough to broadcast one side. The scale path is
-    * [[embeddingLshPairs]].
+    * with cosine >= threshold. Quadratic AND broadcasts the whole corpus —
+    * correct tool only for verifying or for corpora small enough to
+    * broadcast one side. The scale path is [[embeddingLshPairs]].
+    *
+    * Guarded: refuses when the input's estimated size exceeds
+    * `maxInputBytes` (default 512 MB — under Spark's 8 GB broadcast hard
+    * limit with generous margin), so the verify-only tool cannot be
+    * silently misused as the default path on a large corpus.
     */
-  def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+  def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
+      maxInputBytes: Long = 512L << 20): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxInputBytes,
+      s"embeddingCosinePairs is O(n^2) with a full-corpus broadcast: estimated input " +
+        s"$est bytes > $maxInputBytes. Use embeddingLshPairs (linear shuffle) for scale, " +
+        s"or raise maxInputBytes to force a bounded verify run.")
     val e = df.select(id.alias("id"), vec.alias("v"))
     val a = e.alias("a"); val b = e.alias("b")
     val cos = VectorExprs.cosine(col("a.v"), col("b.v"))

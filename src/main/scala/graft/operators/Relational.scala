@@ -22,11 +22,16 @@ object Relational {
   implicit class GraftOps(val df: DataFrame) extends AnyVal {
 
     /** Force analysis now (name resolution + type checking), returning the
-      * same frame. The reference resolves eagerly at every operator call
-      * (`src/main.rs:176-181` — DataFusion validates per-op and returns
-      * `Result`), while Spark defers to the first action; chain `.analyzed`
-      * after an operator to reproduce the reference's fail-fast timing
-      * (SURVEY.md §3 EP2). Analysis-only: no jobs run.
+      * same frame.
+      *
+      * NOTE: classic-mode Spark ALREADY analyzes at every Dataset
+      * construction (`Dataset.ofRows` runs `assertAnalyzed`), so each
+      * GraftOps operator fails fast on bad references at CALL time — the
+      * same per-operator error timing as the reference (DataFusion validates
+      * per-op, `src/main.rs:176-181`; SURVEY.md §3 EP2). RelationalSpec pins
+      * this. `.analyzed` is therefore a no-op kept for API clarity and for
+      * Spark Connect environments, where analysis IS deferred to the server
+      * round-trip.
       */
     def analyzed: DataFrame = { df.schema; df }
 
@@ -198,9 +203,9 @@ object Relational {
       * every cell, then a transpose into the reference's row layout.
       * All cells are stringified (mixed types in one column).
       *
-      * Scale: a single full-scan aggregation; `median` uses exact
-      * percentile (sort-based per column) — at 100 TB swap for
-      * `approx_percentile` which is a partial-mergeable sketch.
+      * Scale: a single full-scan aggregation; `median` is
+      * `percentile_approx` at accuracy 10000 (~0.005% rank error) — a
+      * partial-mergeable sketch, so the pass stays one shuffle at any scale.
       */
     def describeDf: DataFrame = {
       val spark = df.sparkSession

@@ -9,8 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The same transformations run batch or streaming: [[windowedCounts]]
   * takes either a static or a `readStream` frame. Streaming adds the
-  * watermark for state eviction — at scale that bound is what keeps the
-  * aggregation state finite.
+  * watermark for state eviction — for the windowed aggregations that bound
+  * keeps state finite; [[sessionizeStream]]'s counter retention is the one
+  * deliberate exception (O(distinct users), see its Scaladoc tradeoff).
   */
 object EventStreams {
 
@@ -75,8 +76,18 @@ object EventStreams {
     * Scale: state per user is one `OpenSession` (4 longs); the shuffle is
     * the same hash-partition-by-key any streaming agg pays. Skewed users
     * cost one group iterator, not a window sort of their whole history.
+    *
+    * State-retention tradeoff: with `retainCounters = true` (default) a
+    * timed-out user leaves a counter-only record behind so a returning
+    * user's `session_seq` stays monotonic — retained state is then
+    * O(distinct users ever seen) (4 longs each; ~32 GB per billion users,
+    * spread over executors), NOT bounded by the watermark. For unbounded
+    * user cardinality, set `retainCounters = false`: timeout removes the
+    * state entirely and a user returning after a timeout restarts at
+    * session_seq 1 (or persist counters externally and re-seed downstream).
     */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30, watermark: String = "1 hour",
+      retainCounters: Boolean = true): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -92,11 +103,13 @@ object EventStreams {
           def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
           if (state.hasTimedOut) {
             // watermark passed lastUs + gap: the open session is definitively
-            // closed. Keep a counter-only record (4 longs, no new timeout) so
-            // a returning user's session_seq stays monotonic; removing the
-            // state entirely would restart the sequence at 1.
+            // closed. Either keep a counter-only record (4 longs, no new
+            // timeout) so a returning user's session_seq stays monotonic, or
+            // drop the state entirely (bounded state, seq restarts) — see the
+            // retention tradeoff in the Scaladoc.
             val s = state.get
-            state.update(OpenSession(0L, 0L, 0L, s.closedSoFar + 1))
+            if (retainCounters) state.update(OpenSession(0L, 0L, 0L, s.closedSoFar + 1))
+            else state.remove()
             Iterator.single(ClosedSession(uid, s.closedSoFar + 1, s.startUs, s.lastUs, s.nEvents))
           } else {
             val ts = rows.map(r => micros(r._2)).toArray

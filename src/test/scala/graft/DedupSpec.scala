@@ -88,6 +88,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("quadratic operators refuse oversized inputs (scale guardrails)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", maxInputBytes = 1L)
+    }
+    val e = Seq((1L, Seq(1.0f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(e, $"id", $"v", 0.5, maxInputBytes = 1L)
+    }
+  }
+
+  test("releasable variants hand back the persisted doc state for caller unpersist") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val (pairs, state) = Dedup.minhashLshPairsReleasable(docs, $"doc_id", $"text")
+    pairs.collect()
+    assert(state.storageLevel.useMemory, "state frame not persisted")
+    state.unpersist(blocking = true)
+    assert(!state.storageLevel.useMemory, "unpersist did not release the cache")
+    val (pairs2, state2) = Dedup.simhashPairsReleasable(docs, $"doc_id", $"text")
+    pairs2.collect()
+    assert(state2.storageLevel.useMemory)
+    state2.unpersist(blocking = true)
+    assert(!state2.storageLevel.useMemory)
+  }
+
   test("MinHashBuckets: identical inputs collide on every band, disjoint inputs on none") {
     val df = Seq(
       (1L, Seq(10L, 20L, 30L, 40L)),

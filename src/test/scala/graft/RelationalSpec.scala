@@ -66,6 +66,20 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain && salted.size == 91)
   }
 
+  test("operators fail fast on unknown columns at CALL time (reference error-timing parity)") {
+    // classic-mode Spark analyzes at Dataset construction, so bad references
+    // throw at the operator call — same timing as DataFusion's per-op
+    // validation in the reference (main.rs:176-181). This spec pins that no
+    // Spark upgrade silently defers the failure to action time.
+    val df = Seq((1, "a")).toDF("k", "s")
+    import org.apache.spark.sql.AnalysisException
+    intercept[AnalysisException] { df.selectCols(Seq($"nope")) }
+    intercept[AnalysisException] { df.filterCol($"nope" > 1) }
+    intercept[AnalysisException] { df.aggregate(Seq($"nope"), Seq(count(lit(1)).as("n"))) }
+    intercept[AnalysisException] { df.sortBy(Seq($"nope")) }
+    intercept[AnalysisException] { df.joinNames(df.toDF("a", "b"), "inner", Seq("zzz"), Seq("a")) }
+  }
+
   test("saltedJoin: hot key spreads across salt buckets and the shuffle keys on the salt") {
     val left = (1 to 200).map(i => (1L, i.toLong)).toDF("k", "v") // single hot key
     val right = Seq((1L, "hot")).toDF("k2", "name")

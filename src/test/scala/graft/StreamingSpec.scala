@@ -134,6 +134,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeStream retainCounters=false: timeout drops state, returning user restarts at seq 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_nocounter").toString
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").repartition(1).write.parquet(s"$dir/stage_$name")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    def moveIn(name: String): Unit =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage_$name")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+      }
+
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      val schema = Seq((1L, base)).toDF("user_id", "ts").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = EventStreams.sessionizeStream(stream, gapMinutes = 30, retainCounters = false)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_nocounter_test").start()
+
+      writeBatch("b1", Seq((1L, at(0)), (2L, at(0)))); moveIn("b1")
+      q.processAllAvailable()
+      // user 2 returns 10h later: watermark passes user 1's horizon, timeout
+      // closes user 1's session AND removes the state entirely
+      writeBatch("b2", Seq((2L, at(600)))); moveIn("b2")
+      q.processAllAvailable()
+      // user 1 returns: with no retained counter the sequence RESTARTS at 1
+      writeBatch("b3", Seq((1L, at(1200)), (1L, at(1240)))); moveIn("b3")
+      q.processAllAvailable()
+      q.stop()
+
+      val u1 = spark.table("graft_nocounter_test")
+        .filter($"user_id" === 1L)
+        .select($"session_seq", $"n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // first session timeout-closed as seq 1; post-timeout return opens a
+      // fresh seq-1 session (gap-closed inside batch 3 by the 40min gap):
+      // two closed sessions, BOTH carrying seq 1 — the sequence restarted
+      assert(u1.length == 2 && u1.forall(_._1 == 1L), s"got $u1")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("sessionize: gap splits sessions per user") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
