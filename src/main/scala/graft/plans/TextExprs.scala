@@ -229,20 +229,19 @@ object TextExprs {
     * avoids materializing the O(tokens) string array through three
     * interpreted HOFs per doc.
     *
-    * Implements `doGenCode` (not CodegenFallback): the hot dedup queries
-    * evaluate this inside whole-stage codegen as one static
-    * [[Kernels.shingleHashes]] call, skipping the interpreted eval dispatch.
+    * Codegen note: a `doGenCode` static-call form was implemented and A/B
+    * measured (6 interleaved runs at sf0.1): no win on q33/q34 — slightly
+    * negative by min, a wash by median — because the O(tokens) kernel
+    * dwarfs the per-row dispatch this would save. Kept as CodegenFallback;
+    * the kernel lives in [[Kernels]] where the generated path (CosineSim,
+    * which DID win) shares the same pattern.
     */
-  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
     require(n > 0, s"ngram size must be positive, got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.shingleHashes(input.asInstanceOf[UTF8String], n)
-    override protected def doGenCode(
-        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.shingleHashes($c, $n);")
     override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
     override def prettyName: String = "shingle_hashes"
   }

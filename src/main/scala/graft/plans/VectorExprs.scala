@@ -65,19 +65,16 @@ object VectorExprs {
     *
     * Returns array<long> of length `bands`; element j is band j's bucket.
     */
-  case class MinHashBuckets(child: Expression, k: Int, bands: Int) extends UnaryExpression {
+  case class MinHashBuckets(child: Expression, k: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
     require(bands > 0 && k % bands == 0, s"bands=$bands must divide k=$k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    // kernel shared with the generated path — splitmix64 per-seed hashes,
-    // min per seed, bands folded to 64-bit bucket keys (see Kernels)
+    // Kernel shared with the (rejected) generated path: a doGenCode
+    // static-call form was A/B measured with no win on q33 (wash by
+    // median, slightly negative by min) — the O(k*|shingles|) kernel
+    // dwarfs the dispatch cost codegen would save.
     override def nullSafeEval(input: Any): Any =
       Kernels.minhashBuckets(input.asInstanceOf[ArrayData], k, bands)
-    override protected def doGenCode(
-        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.plans.Kernels.minhashBuckets($c, $k, $bands);")
     override protected def withNewChildInternal(c: Expression): MinHashBuckets = copy(child = c)
     override def prettyName: String = "minhash_buckets"
   }

@@ -13,22 +13,24 @@ class CodegenSpec extends SparkSpec {
   private def genCode(df: org.apache.spark.sql.DataFrame): String =
     org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
 
-  test("CosineSim, MinHashBuckets, ShingleHashes compile into whole-stage codegen") {
+  test("CosineSim compiles into whole-stage codegen (the measured winner)") {
     // spark.range sources: a local Seq would be constant-folded into a
-    // LocalTableScan before any codegen stage exists
+    // LocalTableScan before any codegen stage exists.
+    // Only CosineSim keeps doGenCode: the A/B measurement (6 interleaved
+    // runs at sf0.1) showed +17% on q37 for codegen'd cosine but no win
+    // (a wash) on q33/q34 for codegen'd ShingleHashes/MinHashBuckets, so
+    // those stay CodegenFallback (rationale in their Scaladoc).
     val vdf = spark.range(8).select(
       array($"id".cast("float"), lit(1.0f)).as("a"),
       array(lit(2.0f), $"id".cast("float")).as("b"))
     val cos = genCode(vdf.select(VectorExprs.cosine($"a", $"b")))
     assert(cos.contains("Kernels.cosine"), s"cosine not codegen'd:\n${cos.take(1500)}")
 
+    // the fallback pair must still evaluate correctly inside a codegen stage
     val tdf = spark.range(4).select(concat(lit("a b c d "), $"id".cast("string")).as("t"))
-    val sh = genCode(tdf.select(TextExprs.shingleHashes($"t", 3).as("sh")))
-    assert(sh.contains("Kernels.shingleHashes"), s"shingleHashes not codegen'd:\n${sh.take(1500)}")
-
+    assert(tdf.select(TextExprs.shingleHashes($"t", 3).as("sh")).collect().length == 4)
     val hdf = spark.range(4).select(array($"id", $"id" + 1L).as("h"))
-    val mh = genCode(hdf.select(VectorExprs.minhashBuckets($"h", 8, 4).as("mb")))
-    assert(mh.contains("Kernels.minhashBuckets"), s"minhashBuckets not codegen'd:\n${mh.take(1500)}")
+    assert(hdf.select(VectorExprs.minhashBuckets($"h", 8, 4).as("mb")).collect().length == 4)
   }
 
   test("generated and interpreted paths agree") {
