@@ -28,3 +28,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Interactive entry point — the reference is a REPL (its rustyline loop
+// feeds the Steel VM); the Spark-native equivalent is a Scala REPL with a
+// live SparkSession and the graft surface pre-imported: `sbt console`.
+// Forked so the REPL JVM gets the JDK-17 add-opens above.
+console / fork := true
+Compile / console / initialCommands :=
+  """import org.apache.spark.sql._
+    |import org.apache.spark.sql.functions._
+    |import _root_.graft._
+    |import _root_.graft.operators._
+    |import _root_.graft.operators.Relational.GraftOps
+    |import _root_.graft.functions.{ColFns, TextFns, Udfs}
+    |val spark = Engine.create()
+    |import spark.implicits._
+    |println("graft ready: `spark` session; df.selectCols/filterCol/... (GraftOps); Dedup, Similarity, Multimodal, EventStreams")
+    |""".stripMargin

@@ -35,9 +35,10 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SQL-name registration for the native vector/hash expressions, so the
-    // spark.sql entry point has the full extension surface too.
+    // SQL-name registration for the native vector/hash/binary expressions,
+    // so the spark.sql entry point has the full extension surface too.
     graft.plans.VectorExprs.register(spark)
+    graft.plans.BinaryExprs.register(spark)
     spark
   }
 

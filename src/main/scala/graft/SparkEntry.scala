@@ -308,6 +308,12 @@ object SparkEntry {
           TextFns.stopwordRatio(col("text")).as("sw_ratio")))
         .sortBy(Seq(col("doc_id")))),
 
+    "q48_bpeish_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          TextFns.bpeishTokenCount(col("text")).cast("long").as("n_bpeish")))
+        .sortBy(Seq(col("doc_id")))),
+
     "q29_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
@@ -678,6 +684,19 @@ object SparkEntry {
                        ['the','and','of','to','is','that','it','was','with','for'], x))) AS DOUBLE)
                      / len(toks) END AS sw_ratio
          FROM t ORDER BY doc_id""",
+
+    // BPE-ish subword count re-derived from the split-regex semantics:
+    // a maximal letter run of length L yields ceil(L/4) pieces (the \G.{4}
+    // boundary), any maximal non-letter non-space run yields 1 piece
+    // (boundaries exist only at letter<->other transitions).
+    "q48_bpeish_tokens" ->
+      """SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '[\p{L}]+|[^\p{L}\s]+'),
+             r -> CASE WHEN regexp_matches(r[1:1], '[\p{L}]')
+                  THEN CAST(ceil(len(r)/4.0) AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END)), 0) AS BIGINT) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
 
     "q30_char_ngrams" ->
       """SELECT doc_id,
