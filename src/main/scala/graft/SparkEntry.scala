@@ -263,8 +263,11 @@ object SparkEntry {
 
     // ---- §2.5 UDF surface --------------------------------------------------
     "q24_udf" -> ((s, dir) => {
-      val u = Udfs.defineUdf3[Double, Double, Double](s, "graft_charge", DoubleType,
-        (p, t, d) => p * (1 + t) * (1 - d))
+      // Typed handle: declared arg types are enforced (arity) and coerced
+      // (cast) at every call — the reference's full define-udf signature.
+      val u = Udfs.defineUdfTyped(s, "graft_charge",
+        Seq(DoubleType, DoubleType, DoubleType), DoubleType,
+        { case Seq(p: Double, t: Double, d: Double) => p * (1 + t) * (1 - d) })
       t(s, dir, "lineitem")
         .selectCols(Seq(
           col("l_orderkey"), col("l_linenumber"),

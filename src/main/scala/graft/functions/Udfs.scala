@@ -53,6 +53,53 @@ object Udfs {
     */
   def udfCall(u: UserDefinedFunction, args: Seq[Column]): Column = u(args: _*)
 
+  /** UDF handle carrying the DECLARED contract — the reference's
+    * `(name, arg-types, ret-type)` triple. [[udfCall(g:GraftUdf*]] enforces
+    * it at graft level (the reference accepts the list but its stub bridge
+    * never checks; we implement the evident intent).
+    */
+  case class GraftUdf(name: String, argTypes: Seq[DataType], ret: DataType,
+      fn: UserDefinedFunction)
+
+  /** `define-udf` with the reference's full signature: declared arg types
+    * are retained on the handle and enforced/coerced at every call. Arity
+    * 1-3 (the reference's test surface); the lambda receives the argument
+    * values positionally.
+    */
+  def defineUdfTyped(
+      spark: SparkSession,
+      name: String,
+      argTypes: Seq[DataType],
+      ret: DataType,
+      f: Seq[Any] => Any
+  ): GraftUdf = {
+    import org.apache.spark.sql.api.java.{UDF1, UDF2, UDF3}
+    val u = argTypes.length match {
+      case 1 => udf(new UDF1[Any, Any] { def call(a: Any): Any = f(Seq(a)) }, ret)
+      case 2 => udf(new UDF2[Any, Any, Any] { def call(a: Any, b: Any): Any = f(Seq(a, b)) }, ret)
+      case 3 => udf(new UDF3[Any, Any, Any, Any] {
+        def call(a: Any, b: Any, c: Any): Any = f(Seq(a, b, c))
+      }, ret)
+      case n => throw new IllegalArgumentException(
+        s"define-udf supports 1-3 args (the reference's surface), got $n")
+    }
+    spark.udf.register(name, u)
+    GraftUdf(name, argTypes, ret, u)
+  }
+
+  /** `udf/call` on a typed handle: graft-level arity error, then each
+    * argument is coerced (cast) to its declared type — DataFusion's
+    * call-site coercion semantics. An impossible coercion (e.g. map -> int)
+    * fails analysis at this call, not at action time.
+    */
+  def udfCall(g: GraftUdf, args: Seq[Column]): Column = {
+    if (args.length != g.argTypes.length)
+      throw new IllegalArgumentException(
+        s"udf '${g.name}' expects ${g.argTypes.length} arg(s) " +
+          s"(${g.argTypes.map(_.simpleString).mkString(", ")}), got ${args.length}")
+    g.fn(args.zip(g.argTypes).map { case (c, t) => c.cast(t) }: _*)
+  }
+
   /** Call a UDF registered by name (the reference resolves through the
     * session's registry; Spark's equivalent is `call_function`).
     */

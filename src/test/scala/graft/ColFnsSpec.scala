@@ -90,6 +90,28 @@ class ColFnsSpec extends SparkSpec {
     assert(order(asc = false, nf = false) == Seq(2, 1, -1))
   }
 
+  test("typed UDF handle: declared arity enforced, declared types coerce args") {
+    import org.apache.spark.sql.types._
+    import graft.functions.Udfs
+    val u = Udfs.defineUdfTyped(spark, "graft_spec_add2",
+      Seq(DoubleType, DoubleType), DoubleType,
+      { case Seq(a: Double, b: Double) => a + b })
+    // graft-level arity error, at call-construction time
+    val err = intercept[IllegalArgumentException] {
+      Udfs.udfCall(u, Seq(col("x")))
+    }
+    assert(err.getMessage.contains("expects 2 arg(s)") && err.getMessage.contains("double"))
+    // declared-type coercion: INT columns are cast to the declared DOUBLE
+    val out = Seq((1, 2)).toDF("x", "y")
+      .select(Udfs.udfCall(u, Seq(col("x"), col("y"))).as("s")).collect()(0).getDouble(0)
+    assert(out == 3.0)
+    // > 3 args: outside the reference's surface, refused at definition
+    intercept[IllegalArgumentException] {
+      Udfs.defineUdfTyped(spark, "graft_spec_bad",
+        Seq(IntegerType, IntegerType, IntegerType, IntegerType), IntegerType, _ => 0)
+    }
+  }
+
   test("arrowType maps all 17 reference datatype names (SURVEY.md 1.2 widening)") {
     import org.apache.spark.sql.types._
     import graft.functions.Udfs.arrowType
