@@ -457,6 +457,27 @@ object SparkEntry {
         .sortBy(Seq(col("id_a"), col("id_b")))
     }),
 
+    "q49_dedup_stream" -> ((s, dir) => {
+      // TRUE streaming ingestion dedup (dropDuplicatesWithinWatermark)
+      // drained through a memory sink. The surviving ROW per key is
+      // intra-batch-order-dependent, so the query projects the key columns
+      // only — making the result exactly DISTINCT(user_id, event_type) and
+      // hash-matchable.
+      val staged = java.nio.file.Files.createTempDirectory("graft_q49")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q49_${System.nanoTime()}"
+      try {
+        EventStreams.runDedupSmoke(s, staged.toString, qn, Seq("user_id", "event_type"))
+          .selectCols(Seq(col("user_id"), col("event_type")))
+          .sortBy(Seq(col("user_id"), col("event_type")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q42_sessionize_stream" -> ((s, dir) => {
       // TRUE Structured Streaming run (flatMapGroupsWithState + event-time
       // timeout) drained through a memory sink. FileStreamSource needs a
@@ -879,6 +900,10 @@ object SparkEntry {
                FROM x)
          SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions
          FROM y GROUP BY user_id ORDER BY user_id""",
+
+    "q49_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
 
     "q42_sessionize_stream" ->
       """WITH x AS (

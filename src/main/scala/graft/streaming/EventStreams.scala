@@ -187,6 +187,46 @@ object EventStreams {
     }
   }
 
+  /** Streaming exact dedup — ingestion-time dedup for a training pipeline:
+    * keep the first row per key, drop later duplicates arriving within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`). State is one
+    * record per key seen inside the horizon and is EVICTED once the
+    * watermark passes — bounded by rate x horizon, not by corpus
+    * cardinality (contrast `dropDuplicates`, whose state grows forever).
+    * A key recurring after eviction is re-emitted; exact global dedup at
+    * rest is [[graft.operators.Dedup.exactDedupAgg]]'s job.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Drain [[dedupStream]] over a parquet directory synchronously into a
+    * memory sink (same pattern as [[runSessionizeSmoke]]). The emitted
+    * survivor ROW per key depends on intra-batch order, so callers wanting
+    * a deterministic result project the key columns only.
+    */
+  def runDedupSmoke(spark: SparkSession, parquetPath: String, queryName: String,
+      keyCols: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = dedupStream(stream, keyCols).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
   /** Run the windowed aggregation as an actual streaming query over a
     * parquet directory (FileStreamSource requires a directory or glob, not
     * a single file), draining it synchronously into a memory sink (the

@@ -181,6 +181,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupStream: duplicates within the watermark horizon are dropped across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    def writeBatch(name: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "event_type", "ts").repartition(1)
+        .write.parquet(s"$dir/stage_$name")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage_$name")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+      }
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val schema = Seq((1L, "a", base)).toDF("user_id", "event_type", "ts").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStreams.dedupStream(stream, Seq("user_id", "event_type")).writeStream
+      .outputMode("append").format("memory").queryName("graft_dedup_test").start()
+
+    // batch 1: (1,a) twice + (2,b) — intra-batch dup dropped
+    writeBatch("b1", Seq((1L, "a", at(0)), (1L, "a", at(5)), (2L, "b", at(0))))
+    q.processAllAvailable()
+    // batch 2, still inside the 1h watermark horizon: (1,a) again — dropped;
+    // (1,c) is a new key — kept
+    writeBatch("b2", Seq((1L, "a", at(20)), (1L, "c", at(20))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("graft_dedup_test")
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out.length == 3, s"got $out")
+    assert(out.toSet == Set((1L, "a"), (2L, "b"), (1L, "c")))
+    spark.catalog.dropTempView("graft_dedup_test")
+  }
+
   test("sessionize: gap splits sessions per user") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
