@@ -157,7 +157,11 @@ object Relational {
       val eq = leftKeys.zip(rightKeys)
         .map { case (l, r) => salted(l) === replicated(r) }
         .reduce(_ && _) && salted("__salt") === replicated("__salt")
-      salted.join(replicated, eq, "inner").drop("__salt")
+      // Pin the shuffle-join regime ("merge" hint): salting exists to spread
+      // a hot key across reducers — if the right side were broadcastable,
+      // no salting would be needed at all, and broadcasting the
+      // buckets-times-replicated side would only multiply the build cost.
+      salted.join(replicated.hint("merge"), eq, "inner").drop("__salt")
     }
 
     /** `df/join-on` — `src/main.rs:255-265,491`: theta join, predicates
