@@ -467,7 +467,7 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
-      val qn = s"graft_q49_${System.nanoTime()}"
+      val qn = s"graft_q49_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
       try {
         EventStreams.runDedupSmoke(s, staged.toString, qn, Seq("user_id", "event_type"))
           .selectCols(Seq(col("user_id"), col("event_type")))
@@ -488,7 +488,7 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
-      val qn = s"graft_q42_${System.nanoTime()}"
+      val qn = s"graft_q42_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
       try {
         EventStreams.runSessionizeSmoke(s, staged.toString, qn, gapMinutes = 30)
           .selectCols(Seq(col("user_id"), col("session_seq"), col("start_us"), col("end_us"), col("n_events")))
