@@ -356,6 +356,20 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
         .sortBy(Seq(col("id_a"), col("id_b")))),
 
+    "q50_neardup_components" -> ((s, dir) =>
+      // transitive closure over the exact near-dup pair graph: every doc in
+      // a pair, labeled with its component's minimum doc id
+      Dedup.nearDupComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.8))
+        .sortBy(Seq(col("id")))),
+
+    "q51_clean_corpus" -> ((s, dir) =>
+      // the composed training-corpus pipeline: quality/lang gate -> exact
+      // dedup -> near-dup component collapse (exact pairs => DuckDB can
+      // replay every stage; at scale swap pairFn for minhashLshPairs)
+      graft.operators.Pipeline.cleanCorpus(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .sortBy(Seq(col("id")))),
+
     // ---- similarity search --------------------------------------------------
     "q36_ann_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -795,6 +809,103 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
          ORDER BY id_a, id_b""",
+
+    // Components via recursive CTE: reach(id, r) = ids reachable from id
+    // over the (undirected) pair edges; component = min reachable.
+    "q50_neardup_components" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         SELECT id, MIN(r) AS component_id FROM reach GROUP BY id ORDER BY id""",
+
+    // The full pipeline, stage by stage: q28's scoring -> gate -> exact
+    // dedup (min id per identical text) -> q34's pair generation on the
+    // survivors -> recursive components -> drop non-representatives.
+    "q51_clean_corpus" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n,
+             len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM documents),
+         h AS (
+           SELECT doc_id, text, toks, n, cjk,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','was','with','for'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','es','por','con','una','del'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','qui','sur','avec'], x))) AS h_fr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / n END AS pr
+           FROM t),
+         scored AS (
+           SELECT doc_id AS id, text, toks,
+             CASE WHEN cjk * 4 > n THEN 'zh'
+                  WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             round(((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+           FROM h),
+         gated AS (SELECT * FROM scored WHERE quality >= 0.66 AND lang_pred <> 'und'),
+         ex AS (SELECT text, MIN(id) AS id FROM gated GROUP BY text),
+         ded AS (SELECT g.id, g.toks, g.lang_pred, g.quality
+                 FROM gated g JOIN ex ON g.id = ex.id),
+         sh AS (
+           SELECT id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM ded),
+         inv AS (SELECT id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+           GROUP BY 1, 2),
+         sizes AS (SELECT id, len(s) AS sn FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.sn + sb.sn - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),
+         losers AS (SELECT id FROM comp WHERE id <> c)
+         SELECT d.id, d.lang_pred, d.quality
+         FROM ded d LEFT JOIN losers l ON d.id = l.id
+         WHERE l.id IS NULL ORDER BY d.id""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

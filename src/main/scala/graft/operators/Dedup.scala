@@ -297,6 +297,60 @@ object Dedup {
       )
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (`id_a`, `id_b` columns): returns (id, component_id) where
+    * component_id = the minimum id reachable from `id`. This is the
+    * transitive-closure step real fuzzy dedup needs — pairwise output
+    * alone under-removes (a~b, b~c but a!~c must still collapse to one
+    * survivor).
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the per-node minimum; converges in O(graph diameter)
+    * rounds. Near-dup graphs are unions of small dense cliques (diameter
+    * 2-3 in practice), so a handful of shuffles on 64-bit keys. For
+    * adversarially long chains the standard O(log n)-round fix is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"); `maxIter` bounds the loop and fails loudly
+    * rather than spinning.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round's result is eagerly localCheckpoint'ed: an iterative
+    // dataflow MUST truncate lineage per round, or the logical plan doubles
+    // every iteration (persist alone short-circuits execution but not plan
+    // analysis/stringification — exponential plan trees OOM the driver).
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      require(it < maxIter,
+        s"nearDupComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter or switch to large-star/small-star")
+      // propagate each node's label to its neighbors, keep the minimum
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .select(col("src").alias("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(prop)
+        .groupBy(col("id")).agg(min(col("comp")).alias("comp"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("l"), col("n.id") === col("l.id"))
+        .filter(col("n.comp") =!= col("l.comp"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      it += 1
+    }
+    edges.unpersist()
+    // labels is checkpointed (materialized, lineage-free) — the caller's
+    // action reads the checkpoint blocks directly
+    labels.select(col("id"), col("comp").alias("component_id"))
+  }
+
   /** Random-hyperplane (sign) LSH bucket keys for embedding vectors:
     * element t of the array is table t's bucket — `planes` sign bits from
     * deterministic splitmix-derived hyperplanes (no RNG state, reproducible

@@ -88,6 +88,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("nearDupComponents: transitive closure with min-id component labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
+    val comps = Dedup.nearDupComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("nearDupComponents: long chain converges within the round bound; empty input is empty") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b") // diameter 12
+    val labels = Dedup.nearDupComponents(chain).collect().map(_.getLong(1)).distinct.toSeq
+    assert(labels == Seq(0L))
+    assert(Dedup.nearDupComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect().isEmpty)
+  }
+
+  test("Pipeline.cleanCorpus: gate, exact dedup, and component collapse compose") {
+    val good = "the cat and the dog walked to the market with friends for food"
+    val docs = Seq(
+      (5L, good), (3L, good), // exact dups -> keep 3
+      (7L, good + " extra"), // near-dup (J = 11/12) -> collapsed into 3's component
+      (9L, "the house and the tree stood near the river bank all day"), // independent survivor
+      (11L, "bad") // und language -> gated
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.cleanCorpus(docs, $"doc_id", $"text")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(3L, 9L))
+  }
+
   test("quadratic operators refuse oversized inputs (scale guardrails)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
