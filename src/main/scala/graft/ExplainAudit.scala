@@ -8,7 +8,9 @@ object ExplainAudit {
     val spark = Engine.create("audit")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q02_filter", "q04_agg", "q11_join_names", "q12_join_left", "q33_minhash_lsh", "q36_ann_brute", "q40_events_window")
+      else Seq("q02_filter", "q04_agg", "q11_join_names", "q12_join_left", "q33_minhash_lsh",
+        "q36_ann_brute", "q40_events_window", "q45_ann_ivf_exact", "q47_salted_join",
+        "q50_neardup_components", "q51_clean_corpus")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
