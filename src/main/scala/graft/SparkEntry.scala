@@ -317,6 +317,13 @@ object SparkEntry {
           TextFns.bpeishTokenCount(col("text")).cast("long").as("n_bpeish")))
         .sortBy(Seq(col("doc_id")))),
 
+    "q52_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          TextFns.dupLineRatio(col("text")).as("dup_line_ratio"),
+          TextFns.ngramRepetitionRatio(col("text"), 5).as("rep_5gram_ratio")))
+        .sortBy(Seq(col("doc_id")))),
+
     "q29_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
@@ -721,6 +728,24 @@ object SparkEntry {
                 ELSE CAST(len(list_filter(toks, x -> list_contains(
                        ['the','and','of','to','is','that','it','was','with','for'], x))) AS DOUBLE)
                      / len(toks) END AS sw_ratio
+         FROM t ORDER BY doc_id""",
+
+    // Repetition signals recomputed exactly: same non-blank-line filter,
+    // same code-point window count, identical double-division op order.
+    "q52_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\n'), x -> len(trim(x)) > 0) AS lines
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+           END AS dup_line_ratio,
+           CASE WHEN greatest(len(text) - 4, 0) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, greatest(len(text) - 4, 0) + 1),
+                       i -> text[i:i+4]))) AS DOUBLE) / greatest(len(text) - 4, 0)
+           END AS rep_5gram_ratio
          FROM t ORDER BY doc_id""",
 
     // BPE-ish subword count re-derived from the split-regex semantics:

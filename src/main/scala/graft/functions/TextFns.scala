@@ -70,6 +70,30 @@ object TextFns {
   def charNgramCount(c: Column, n: Int): Column =
     graft.plans.TextExprs.charNgramCount(c, n)
 
+  /** Duplicate-line share (Gopher-style repetition signal): 1 - distinct
+    * non-blank lines / non-blank lines; 0.0 for documents with no non-blank
+    * line. Boilerplate-heavy pages (nav bars, repeated footers) score high.
+    * Built from codegen'd builtins — line arrays are tiny, no custom
+    * expression needed.
+    */
+  def dupLineRatio(c: Column): Column = {
+    val lines = org.apache.spark.sql.functions.filter(
+      split(c, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Character n-gram repetition (Gopher-style): 1 - distinct n-grams /
+    * total n-gram windows; 0.0 when the text is shorter than n. Keyboard
+    * mash and template spam repeat windows; fluent prose stays low.
+    * Distinct count via the native single-pass [[charNgramCount]].
+    */
+  def ngramRepetitionRatio(c: Column, n: Int): Column = {
+    val total = greatest(length(c) - (n - 1), lit(0))
+    when(total === 0, lit(0.0))
+      .otherwise(lit(1.0) - charNgramCount(c, n).cast("double") / total.cast("double"))
+  }
+
   /** Rotate-XOR rolling-hash document fingerprint over token hashes:
     * fp = fold(h_tok, acc -> rotl(acc, 5) ^ h_tok). Order-sensitive (unlike
     * a set hash), so reordered documents fingerprint differently. Pure

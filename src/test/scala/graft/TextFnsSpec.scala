@@ -61,6 +61,22 @@ class TextFnsSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
 
+  test("repetition signals: duplicate lines and repeated n-gram windows") {
+    def one(t: String) = Seq(Tuple1(t)).toDF("t")
+    // 4 non-blank lines, 2 distinct -> dup ratio 0.5; blank lines ignored
+    val dup = one("a\nb\n\na\nb")
+      .select(TextFns.dupLineRatio($"t")).collect()(0).getDouble(0)
+    assert(dup == 0.5)
+    assert(one("").select(TextFns.dupLineRatio($"t")).collect()(0).getDouble(0) == 0.0)
+    // "aaaaaa": 2 windows of length 5, 1 distinct -> repetition 0.5
+    val rep = one("aaaaaa")
+      .select(TextFns.ngramRepetitionRatio($"t", 5)).collect()(0).getDouble(0)
+    assert(rep == 0.5)
+    // shorter than n -> 0.0; all-distinct windows -> 0.0
+    assert(one("abc").select(TextFns.ngramRepetitionRatio($"t", 5)).collect()(0).getDouble(0) == 0.0)
+    assert(one("abcdef").select(TextFns.ngramRepetitionRatio($"t", 5)).collect()(0).getDouble(0) == 0.0)
+  }
+
   test("bpeishTokenCount splits word pieces, digit runs, and symbols") {
     // "hello" -> hell|o (4-char pieces), "123" one digit run, "," a symbol
     val n = one("hello, world 123").select(TextFns.bpeishTokenCount($"t")).collect()(0).getInt(0)
