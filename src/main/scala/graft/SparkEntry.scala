@@ -229,6 +229,22 @@ object SparkEntry {
         .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("o_totalprice")))
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
 
+    "q53_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .histogramOf(col("l_extendedprice"), lo = 900.0, hi = 105000.0, buckets = 20)
+        .withColumn("bucket_lo", round(col("bucket_lo"), 6))
+        .sortBy(Seq(col("bucket")))),
+
+    "q54_stratified_sample" -> ((s, dir) =>
+      // deterministic corpus mixing: 50% of en, 25% of de, 10% otherwise —
+      // reproducible across runs/engines (multiplicative hash of doc_id),
+      // which df.sample (partition-layout-dependent) cannot give
+      t(s, dir, "documents")
+        .stratifiedSample(col("doc_id"), col("lang"),
+          rates = Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .selectCols(Seq(col("doc_id"), col("lang")))
+        .sortBy(Seq(col("doc_id")))),
+
     // ---- §2.4 expression surface -----------------------------------------
     "q21_case" -> ((s, dir) => {
       val statusWord = ColFns.caseOf(col("o_orderstatus"))
@@ -641,6 +657,19 @@ object SparkEntry {
     "q20_except" ->
       """SELECT c_custkey AS ck FROM customer
          EXCEPT SELECT o_custkey AS ck FROM orders ORDER BY ck""",
+
+    "q53_histogram" ->
+      """WITH b AS (
+           SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 5205.0), 0.0), 19.0) AS BIGINT) AS bucket
+           FROM lineitem)
+         SELECT bucket, round(900.0 + bucket * 5205.0, 6) AS bucket_lo, COUNT(*) AS n
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q54_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS DOUBLE)
+               < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 4294967296.0
+         ORDER BY doc_id""",
 
     // The salted join must equal the plain join — the oracle is unsalted.
     "q47_salted_join" ->

@@ -211,6 +211,53 @@ object Relational {
       * `percentile_approx` at accuracy 10000 (~0.005% rank error) — a
       * partial-mergeable sketch, so the pass stays one shuffle at any scale.
       */
+    /** Fixed-width histogram of a numeric column over [lo, hi): bucket i
+      * covers [lo + i*w, lo + (i+1)*w), out-of-range values clamp to the
+      * end buckets. One partial-aggregated groupBy — the profiling scan a
+      * pipeline runs before choosing filters/bounds. Returns
+      * (bucket, bucket_lo, n) for non-empty buckets.
+      */
+    def histogramOf(c: Column, lo: Double, hi: Double, buckets: Int): DataFrame = {
+      require(buckets > 0 && hi > lo, s"need hi > lo and buckets > 0")
+      val w = (hi - lo) / buckets
+      val b = least(greatest(floor((c - lit(lo)) / lit(w)), lit(0.0)), lit((buckets - 1).toDouble))
+        .cast("long")
+      df.select(b.alias("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).alias("n"))
+        .select(col("bucket"), (lit(lo) + col("bucket") * lit(w)).alias("bucket_lo"), col("n"))
+    }
+
+    /** Deterministic hash sample: keep a row iff a multiplicative hash of
+      * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
+      * across runs, engines, and partitionings (unlike `df.sample`, whose
+      * result depends on partition layout) — the property a training-data
+      * subset needs so downstream runs see the same corpus. Knuth
+      * multiplicative hashing; `id * 2654435761 + salt` must stay inside
+      * Long (ids < ~2^32) for cross-engine parity.
+      */
+    def hashSample(id: Column, fraction: Double, salt: Long = 0L): DataFrame = {
+      require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+      val h = pmod(id.cast("long") * lit(2654435761L) + lit(salt), lit(4294967296L))
+      df.filter(h < lit((fraction * 4294967296.0).toLong))
+    }
+
+    /** Stratified deterministic sample: per-stratum keep rates (a rate per
+      * `strata` value, `default` otherwise), same reproducible hash as
+      * [[hashSample]]. The training-corpus mixer: "50% of en, 25% of de,
+      * 10% of everything else", stable across reruns.
+      */
+    def stratifiedSample(id: Column, strata: Column, rates: Map[String, Double],
+        default: Double = 0.0, salt: Long = 0L): DataFrame = {
+      (rates.values.toSeq :+ default).foreach(r =>
+        require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
+      val rate = rates.foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(strata === lit(k), lit(v)).otherwise(acc)
+      }
+      val h = pmod(id.cast("long") * lit(2654435761L) + lit(salt), lit(4294967296L))
+      df.filter(h.cast("double") < rate * lit(4294967296.0))
+    }
+
     def describeDf: DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._

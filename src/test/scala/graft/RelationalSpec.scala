@@ -66,6 +66,26 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain && salted.size == 91)
   }
 
+  test("histogramOf: fixed-width buckets with end clamping") {
+    val df = Seq(-5.0, 0.0, 5.0, 9.9, 25.0).toDF("x")
+    val h = df.histogramOf($"x", 0.0, 10.0, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // w=5: -5 clamps to bucket 0, 0 -> 0; 5, 9.9 -> 1, 25 clamps to 1
+    assert(h == Map(0L -> 2L, 1L -> 3L))
+  }
+
+  test("hashSample and stratifiedSample: deterministic, rate-shaped, stratum-scoped") {
+    val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val a = df.hashSample($"id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = df.hashSample($"id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash sample must be reproducible")
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.03, s"kept ${a.size} of 10000 at 0.3")
+    val s = df.stratifiedSample($"id", $"lang", Map("en" -> 0.5), default = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s.forall(_._2 == "en"), "default 0.0 must drop the other stratum entirely")
+    assert(math.abs(s.length / 5000.0 - 0.5) < 0.05, s"kept ${s.length} of 5000 at 0.5")
+  }
+
   test("operators fail fast on unknown columns at CALL time (reference error-timing parity)") {
     // classic-mode Spark analyzes at Dataset construction, so bad references
     // throw at the operator call — same timing as DataFusion's per-op
