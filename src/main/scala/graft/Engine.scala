@@ -61,6 +61,12 @@ object Engine {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC: the other columnar format with full pushdown/pruning support —
+    * same scale properties as parquet, for lakes standardized on ORC.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Driver-testdata helper: one parquet file per table under `dir`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -73,6 +79,12 @@ object Engine {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Hive-style partitioned parquet layout: one directory per value of the
     * partition columns. The 100 TB read pattern — a filter on a partition

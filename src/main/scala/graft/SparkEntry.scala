@@ -333,6 +333,13 @@ object SparkEntry {
           TextFns.bpeishTokenCount(col("text")).cast("long").as("n_bpeish")))
         .sortBy(Seq(col("doc_id")))),
 
+    "q55_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          TextFns.redactPii(col("text")).as("clean_text"),
+          (length(col("text")) - length(TextFns.redactPii(col("text")))).cast("long").as("removed_chars")))
+        .sortBy(Seq(col("doc_id")))),
+
     "q52_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
@@ -758,6 +765,18 @@ object SparkEntry {
                        ['the','and','of','to','is','that','it','was','with','for'], x))) AS DOUBLE)
                      / len(toks) END AS sw_ratio
          FROM t ORDER BY doc_id""",
+
+    // Same URL-then-email replacement order, RE2/Java-agnostic patterns;
+    // the full redacted text is hash-compared, not just counts.
+    "q55_redact" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+             regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
+           FROM documents)
+         SELECT doc_id, clean_text,
+           CAST(len(text) - len(clean_text) AS BIGINT) AS removed_chars
+         FROM r ORDER BY doc_id""",
 
     // Repetition signals recomputed exactly: same non-blank-line filter,
     // same code-point window count, identical double-division op order.

@@ -94,6 +94,17 @@ object TextFns {
       .otherwise(lit(1.0) - charNgramCount(c, n).cast("double") / total.cast("double"))
   }
 
+  /** Redact emails and URLs with placeholder tokens — the PII/link-scrub
+    * stage of a corpus-cleaning pipeline. Patterns avoid lookarounds and
+    * engine-specific classes so Java regex (Spark) and RE2 (DuckDB oracle)
+    * agree byte for byte; URLs first, then emails (an email inside a URL's
+    * query string is already covered by the URL match).
+    */
+  def redactPii(c: Column): Column = {
+    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+  }
+
   /** Rotate-XOR rolling-hash document fingerprint over token hashes:
     * fp = fold(h_tok, acc -> rotl(acc, 5) ^ h_tok). Order-sensitive (unlike
     * a set hash), so reordered documents fingerprint differently. Pure

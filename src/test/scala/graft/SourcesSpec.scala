@@ -85,4 +85,20 @@ class SourcesSpec extends SparkSpec {
     assert(j.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "x"), (2L, "y")))
   }
+
+  test("orc and json writers round-trip; orc scan gets pushdown + pruning") {
+    val dir = tmpDir("graft-orc")
+    import spark.implicits._
+    val df = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("id", "s", "v")
+    Engine.writeOrc(df, s"$dir/o")
+    val back = Engine.readOrc(spark, s"$dir/o")
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // filter + projection must reach the ORC scan like they do for parquet
+    val plan = back.filter($"id" > 1L).select($"s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,s:string>"), plan)
+    Engine.writeJson(df, s"$dir/jw")
+    assert(Engine.readJson(spark, s"$dir/jw").orderBy("id").collect().length == 3)
+  }
 }

@@ -77,6 +77,15 @@ class TextFnsSpec extends SparkSpec {
     assert(one("abcdef").select(TextFns.ngramRepetitionRatio($"t", 5)).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("redactPii replaces URLs and emails, leaves clean text untouched") {
+    def red(t: String) = Seq(Tuple1(t)).toDF("t")
+      .select(TextFns.redactPii($"t")).collect()(0).getString(0)
+    assert(red("see https://ex.com/a?u=b@c.de now") == "see <URL> now")
+    assert(red("mail me at bob.smith+x@corp.example.org.") == "mail me at <EMAIL>.")
+    assert(red("no pii here") == "no pii here")
+    assert(red("http://a.b c@d.ef") == "<URL> <EMAIL>")
+  }
+
   test("bpeishTokenCount splits word pieces, digit runs, and symbols") {
     // "hello" -> hell|o (4-char pieces), "123" one digit run, "," a symbol
     val n = one("hello, world 123").select(TextFns.bpeishTokenCount($"t")).collect()(0).getInt(0)
