@@ -229,6 +229,23 @@ object SparkEntry {
         .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("o_totalprice")))
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
 
+    "q56_asof_join" -> ((s, dir) => {
+      // for each purchase, the most recent prior-or-equal click by the same
+      // user — one shuffle (union + per-key window), not a range nested loop
+      val e = t(s, dir, "events")
+      val purchases = e.filterCol(col("event_type") === "purchase")
+        .selectCols(Seq(col("event_id"), col("user_id"), col("ts")))
+      val clicks = e.filterCol(col("event_type") === "click")
+        .selectCols(Seq(col("event_id"), col("user_id"), col("ts")))
+      purchases.asofJoin(clicks, Seq("user_id"), Seq("user_id"), "ts", "ts")
+        .selectCols(Seq(
+          col("l.event_id").as("purchase_id"),
+          col("l.user_id").as("user_id"),
+          col("r.event_id").as("click_id"),
+          (unix_micros(col("l.ts")) - unix_micros(col("r.ts"))).as("gap_us")))
+        .sortBy(Seq(col("purchase_id")))
+    }),
+
     "q53_histogram" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .histogramOf(col("l_extendedprice"), lo = 900.0, hi = 105000.0, buckets = 20)
@@ -664,6 +681,20 @@ object SparkEntry {
     "q20_except" ->
       """SELECT c_custkey AS ck FROM customer
          EXCEPT SELECT o_custkey AS ck FROM orders ORDER BY ck""",
+
+    // DuckDB has native ASOF JOIN (largest right ts <= left ts, inner) —
+    // the oracle for the union+window formulation. Both sides compare at
+    // microsecond precision (CAST truncates ns, matching Spark's div 1000).
+    "q56_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                c.event_id AS click_id,
+                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY purchase_id""",
 
     "q53_histogram" ->
       """WITH b AS (

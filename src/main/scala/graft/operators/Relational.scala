@@ -164,6 +164,54 @@ object Relational {
       salted.join(replicated.hint("merge"), eq, "inner").drop("__salt")
     }
 
+    /** As-of join (time-series nearest-match): for each left row, the
+      * single right row with the LARGEST `rightTs <= leftTs` within the
+      * same key; left rows with no earlier right row are dropped (inner
+      * semantics — DuckDB/kdb ASOF JOIN). Returns two struct columns `l`
+      * and `r` (the matched rows) so same-named columns never collide;
+      * callers project `col("l.x")` / `col("r.y")`.
+      *
+      * Shape: ONE shuffle on the key — both sides union into a single
+      * frame, a per-key window sorted by (ts, side) carries the last
+      * non-null right row forward onto each left row. No range join, no
+      * per-key loop; cost class of a sessionization. (A naive
+      * `l.ts >= r.ts` theta join would be a nested loop over every pair.)
+      * Right rows must be unique per (key, ts) — pre-dedup otherwise, or
+      * the tie survivor is partition-order-dependent.
+      */
+    def asofJoin(
+        right: DataFrame,
+        leftKeys: Seq[String],
+        rightKeys: Seq[String],
+        leftTs: String,
+        rightTs: String
+    ): DataFrame = {
+      require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+        "as-of join needs aligned, non-empty key lists")
+      val lType = org.apache.spark.sql.types.StructType(df.schema.fields)
+      val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+      val lPart = df.select(
+        leftKeys.zipWithIndex.map { case (k, i) => df(k).alias(s"__k$i") } ++ Seq(
+          df(leftTs).alias("__ts"), lit(1).alias("__side"),
+          struct(df.columns.map(df(_)): _*).alias("__l"),
+          lit(null).cast(rType).alias("__r")): _*)
+      val rPart = right.select(
+        rightKeys.zipWithIndex.map { case (k, i) => right(k).alias(s"__k$i") } ++ Seq(
+          right(rightTs).alias("__ts"), lit(0).alias("__side"),
+          lit(null).cast(lType).alias("__l"),
+          struct(right.columns.map(right(_)): _*).alias("__r")): _*)
+      // right rows sort before left rows at equal ts => ts-equal matches
+      // count (ASOF's >= semantics)
+      val w = Window
+        .partitionBy(leftKeys.indices.map(i => col(s"__k$i")): _*)
+        .orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lPart.union(rPart)
+        .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1 && col("__m").isNotNull)
+        .select(col("__l").alias("l"), col("__m").alias("r"))
+    }
+
     /** `df/join-on` — `src/main.rs:255-265,491`: theta join, predicates
       * ANDed; empty list => cross join (DataFusion semantics).
       * Scale: a pure theta join is broadcast-nested-loop — keep at least one

@@ -66,6 +66,20 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain && salted.size == 91)
   }
 
+  test("asofJoin: largest right ts <= left ts per key; equal ts matches; no-match drops") {
+    val l = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"), (3L, 10L, "p4"))
+      .toDF("k", "ts", "name")
+    val r = Seq((1L, 100L, "c_eq"), (1L, 60L, "c_60"), (1L, 40L, "c_40"), (2L, 20L, "c_late"))
+      .toDF("k", "ts", "who")
+    val out = l.asofJoin(r, Seq("k"), Seq("k"), "ts", "ts")
+      .select($"l.name", $"r.who").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    // p1@100: equal-ts right c_eq wins (>= semantics); p2@50: c_40 is the
+    // largest <= 50; p3@10: only right is at 20 (future) -> dropped;
+    // p4 key 3: no right rows -> dropped
+    assert(out == Map("p1" -> "c_eq", "p2" -> "c_40"))
+  }
+
   test("histogramOf: fixed-width buckets with end clamping") {
     val df = Seq(-5.0, 0.0, 5.0, 9.9, 25.0).toDF("x")
     val h = df.histogramOf($"x", 0.0, 10.0, 2).collect()
