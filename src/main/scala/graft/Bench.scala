@@ -73,13 +73,20 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}"""
-    println(json)
-    // sbt prefixes stdout with [info], which breaks machine parsing of the
-    // metric line — also write it verbatim to a file the driver can read.
+    // Full-precision JSON (with the scale section) goes to a file the driver
+    // can read verbatim — sbt prefixes stdout with [info] noise.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The stdout line must survive the driver's bounded tail capture intact
+    // (r02's full-precision line + scale section overflowed it and the head
+    // of the JSON was truncated => "parsed": null). Print a compact variant:
+    // 3-decimal seconds, no scale section.
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 

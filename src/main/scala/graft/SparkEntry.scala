@@ -802,7 +802,7 @@ object SparkEntry {
     "q55_redact" ->
       """WITH r AS (
            SELECT doc_id, text,
-             regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             regexp_replace(regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
            FROM documents)
          SELECT doc_id, clean_text,

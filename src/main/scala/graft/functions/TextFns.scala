@@ -98,10 +98,13 @@ object TextFns {
     * stage of a corpus-cleaning pipeline. Patterns avoid lookarounds and
     * engine-specific classes so Java regex (Spark) and RE2 (DuckDB oracle)
     * agree byte for byte; URLs first, then emails (an email inside a URL's
-    * query string is already covered by the URL match).
+    * query string is already covered by the URL match). The URL terminator
+    * is an explicit whitespace class, not `\s` — Java's `\s` includes
+    * vertical tab (\x0B) while RE2's does not, so `\s` would redact
+    * differently across the two engines.
     */
   def redactPii(c: Column): Column = {
-    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    val url = regexp_replace(c, "https?://[^ \\t\\n\\x0B\\f\\r]+", "<URL>")
     regexp_replace(url, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
   }
 

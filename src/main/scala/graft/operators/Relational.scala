@@ -248,17 +248,6 @@ object Relational {
       spark.createDataset(text.linesIterator.toSeq).toDF("plan")
     }
 
-    /** `df/describe` — `src/main.rs:533-541`: DataFusion's describe emits
-      * rows `count, null_count, mean, std, min, max, median` x all columns
-      * (non-numeric stats are null). Spark's `summary()` lacks null_count
-      * and exact median, so this composes both: one aggregate pass computing
-      * every cell, then a transpose into the reference's row layout.
-      * All cells are stringified (mixed types in one column).
-      *
-      * Scale: a single full-scan aggregation; `median` is
-      * `percentile_approx` at accuracy 10000 (~0.005% rank error) — a
-      * partial-mergeable sketch, so the pass stays one shuffle at any scale.
-      */
     /** Fixed-width histogram of a numeric column over [lo, hi): bucket i
       * covers [lo + i*w, lo + (i+1)*w), out-of-range values clamp to the
       * end buckets. One partial-aggregated groupBy — the profiling scan a
@@ -306,6 +295,17 @@ object Relational {
       df.filter(h.cast("double") < rate * lit(4294967296.0))
     }
 
+    /** `df/describe` — `src/main.rs:533-541`: DataFusion's describe emits
+      * rows `count, null_count, mean, std, min, max, median` x all columns
+      * (non-numeric stats are null). Spark's `summary()` lacks null_count
+      * and exact median, so this composes both: one aggregate pass computing
+      * every cell, then a transpose into the reference's row layout.
+      * All cells are stringified (mixed types in one column).
+      *
+      * Scale: a single full-scan aggregation; `median` is
+      * `percentile_approx` at accuracy 10000 (~0.005% rank error) — a
+      * partial-mergeable sketch, so the pass stays one shuffle at any scale.
+      */
     def describeDf: DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._

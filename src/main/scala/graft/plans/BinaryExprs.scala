@@ -66,9 +66,10 @@ object BinaryExprs {
 
   /** Byte-bucket histogram "embedding": fraction of bytes in each of
     * `buckets` equal-width byte-value ranges, as `array<float>` of length
-    * `buckets`. All-zero for an empty payload. Counts accumulate as Float
-    * (exact up to 2^24 per bucket) then divide by total length as Double,
-    * narrowed to Float — the `fakeDecode` semantics, bit for bit.
+    * `buckets`. All-zero for an empty payload. Counts accumulate exactly in
+    * a Long histogram (a Float accumulator would silently saturate at 2^24
+    * bytes per bucket), then divide by total length as Double and narrow to
+    * Float — the `fakeDecode` semantics, bit for bit.
     */
   case class ByteBucketHist(child: Expression, buckets: Int)
       extends UnaryExpression with CodegenFallback {
@@ -77,11 +78,12 @@ object BinaryExprs {
     private val width = 256 / buckets
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
-      val vec = new Array[Float](buckets)
+      val hist = new Array[Long](buckets)
       var i = 0
-      while (i < bytes.length) { vec((bytes(i) & 0xff) / width) += 1f; i += 1 }
+      while (i < bytes.length) { hist((bytes(i) & 0xff) / width) += 1L; i += 1 }
+      val vec = new Array[Float](buckets)
       val n = bytes.length.toDouble
-      if (n > 0) { var j = 0; while (j < buckets) { vec(j) = (vec(j) / n).toFloat; j += 1 } }
+      if (n > 0) { var j = 0; while (j < buckets) { vec(j) = (hist(j) / n).toFloat; j += 1 } }
       ArrayData.toArrayData(vec)
     }
     override protected def withNewChildInternal(c: Expression): ByteBucketHist = copy(child = c)

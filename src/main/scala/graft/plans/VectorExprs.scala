@@ -182,6 +182,22 @@ object VectorExprs {
     */
   case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // Kernels.cosine reads elements as exactly 4-byte floats or 8-byte
+    // doubles; any other element type (reachable via the registered SQL
+    // function, e.g. array<int>) would be reinterpreted as garbage — reject
+    // it at analysis, matching toDouble's contract.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType): Boolean = dt match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _                                    => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires array<float> or array<double> arguments, " +
+            s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
     private def isFloat(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType
     override def nullSafeEval(l: Any, r: Any): Any =
