@@ -365,8 +365,11 @@ object SparkEntry {
         .sortBy(Seq(col("doc_id")))),
 
     "q29_fingerprint" -> ((s, dir) =>
+      // portable: FNV-1a token hashes instead of xxhash64, so the DuckDB
+      // oracle can replay the exact fold (HUGEINT mod-2^64 arithmetic) and
+      // the fingerprint is hash-compared, not rows-only
       t(s, dir, "documents")
-        .selectCols(Seq(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+        .selectCols(Seq(col("doc_id"), TextFns.fingerprint(col("text"), portable = true).as("fp")))
         .sortBy(Seq(col("doc_id")))),
 
     "q30_char_ngrams" -> ((s, dir) =>
@@ -400,7 +403,12 @@ object SparkEntry {
         .sortBy(Seq(col("id_a"), col("id_b")))),
 
     "q35_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+      // portable FNV token hashes => the oracle recomputes every fingerprint
+      // and brute-forces all hamming<=3 pairs; the 4x16-bit pigeonhole here
+      // is exact for hamming<=3, so the two answer sets must be identical
+      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3,
+          portable = true)
+        .withColumn("hamming", col("hamming").cast("long"))
         .sortBy(Seq(col("id_a"), col("id_b")))),
 
     "q50_neardup_components" -> ((s, dir) =>
@@ -840,6 +848,34 @@ object SparkEntry {
                   ELSE CAST(1 AS BIGINT) END)), 0) AS BIGINT) AS n_bpeish
          FROM documents ORDER BY doc_id""",
 
+    // Exact replay of the portable fingerprint: FNV-1a per token over code
+    // points (HUGEINT fold mod 2^64), then rotl(acc,5)^h over tokens in
+    // order (rotl = acc*32 mod 2^64 + acc >> 59 — disjoint bits, so + = |),
+    // finally two's-complement narrowing to BIGINT.
+    "q29_fingerprint" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(ts, tok ->
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+           FROM toks),
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), hlist),
+               (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
+                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
+           FROM hs)
+         SELECT doc_id,
+           CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS fp
+         FROM fp ORDER BY doc_id""",
+
     "q30_char_ngrams" ->
       """SELECT doc_id,
          CAST(len(list_distinct(list_transform(
@@ -888,6 +924,45 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // Exact replay of the portable simhash: FNV-1a per token (same fold as
+    // q29), per-bit +1/-1 votes across tokens WITH multiplicity, sign
+    // vector -> 64-bit fingerprint; then brute-force all pairs at hamming
+    // <= 3. The Spark side's 4x16-bit pigeonhole candidate generation is
+    // exact for hamming <= 3, so the answer sets must match exactly.
+    "q35_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(ts, tok ->
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+           FROM toks),
+         tok AS (SELECT doc_id, unnest(hlist) AS h FROM hs),
+         bits AS (
+           SELECT doc_id, r.b,
+             SUM(CASE WHEN (h // (CAST(1 AS HUGEINT) << r.b)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM tok CROSS JOIN range(64) r(b)
+           GROUP BY doc_id, r.b),
+         fpu AS (
+           SELECT doc_id,
+             COALESCE(SUM(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END), 0) AS u
+           FROM bits GROUP BY doc_id),
+         fp AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN COALESCE(f.u, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN COALESCE(f.u, 0) - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE COALESCE(f.u, 0) END AS BIGINT) AS s
+           FROM documents d LEFT JOIN fpu f ON d.doc_id = f.doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.s, b.s)) <= 3
          ORDER BY id_a, id_b""",
 
     "q34_ngram_jaccard" ->

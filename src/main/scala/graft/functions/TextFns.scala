@@ -112,8 +112,12 @@ object TextFns {
     * fp = fold(h_tok, acc -> rotl(acc, 5) ^ h_tok). Order-sensitive (unlike
     * a set hash), so reordered documents fingerprint differently. Pure
     * bitwise ops — no ANSI overflow (unlike a polynomial `acc*31+h`).
+    * `portable = true` swaps xxhash64 token hashes for FNV-1a over code
+    * points — reproducible in plain SQL (HUGEINT folds), so the output is
+    * exactly verifiable cross-engine.
     */
-  def fingerprint(c: Column): Column = graft.plans.TextExprs.fingerprint(c)
+  def fingerprint(c: Column, portable: Boolean = false): Column =
+    graft.plans.TextExprs.fingerprint(c, portable)
 
   // --- language identification ------------------------------------------
 

@@ -208,9 +208,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash fingerprint column (64-bit) over a document's tokens. */
-  def simhash(text: Column): Column =
-    VectorExprs.simhash64(graft.plans.TextExprs.tokenHashes(text))
+  /** SimHash fingerprint column (64-bit) over a document's tokens.
+    * `portable = true` uses FNV-1a token hashes (cross-engine verifiable)
+    * instead of xxhash64.
+    */
+  def simhash(text: Column, portable: Boolean = false): Column =
+    VectorExprs.simhash64(graft.plans.TextExprs.tokenHashes(text, portable))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
@@ -221,21 +224,21 @@ object Dedup {
     * Same shape as LSH banding — narrow keys, hash joins, no cross join.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
-      maxBucket: Int = 1 << 20): DataFrame =
-    simhashPairsReleasable(df, id, text, maxHamming, maxBucket)._1
+      maxBucket: Int = 1 << 20, portable: Boolean = false): DataFrame =
+    simhashPairsReleasable(df, id, text, maxHamming, maxBucket, portable)._1
 
   /** As [[simhashPairs]], additionally returning the persisted fingerprint
     * frame for caller-controlled release — same contract as
     * [[minhashLshPairsReleasable]].
     */
   def simhashPairsReleasable(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
-      maxBucket: Int = 1 << 20): (DataFrame, DataFrame) = {
+      maxBucket: Int = 1 << 20, portable: Boolean = false): (DataFrame, DataFrame) = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
     // Persisted like the minhash doc state: the per-doc fingerprint feeds
     // (via the chunk explode) the bucket-size aggregation AND both
     // self-join sides — without it the corpus is re-tokenized and
     // re-simhashed three times.
-    val docs = df.select(id.alias("id"), simhash(text).alias("sim"))
+    val docs = df.select(id.alias("id"), simhash(text, portable).alias("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkArr = array((0 until 4).map { j =>
       struct(lit(j).alias("chunk"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xffffL)).alias("key"))

@@ -124,6 +124,26 @@ object TextExprs {
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
+  /** FNV-1a 64-bit over a token's Unicode CODE POINTS (not UTF-8 bytes or
+    * UTF-16 units): h = fold(cp, h -> (h ^ cp) * 0x100000001b3), offset
+    * basis 0xcbf29ce484222325, wrapping 64-bit arithmetic. The PORTABLE
+    * hash: unlike xxhash64 it is reproducible in plain SQL on any engine
+    * with 128-bit integers (the DuckDB oracle replays it via HUGEINT
+    * mod-2^64 folds), so fingerprint/simhash outputs built on it are
+    * exactly verifiable cross-engine. Code points (not bytes) keep the SQL
+    * side trivial (`unicode(ch)`) and astral-char handling identical.
+    */
+  private[graft] def fnv1a64(tok: String): Long = {
+    var h = -3750763034362895579L // 0xcbf29ce484222325
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      h = (h ^ cp) * 1099511628211L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Whitespace token count — `size(TextFns.tokens(c))` semantics. */
   case class TokenCountExpr(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
@@ -176,16 +196,21 @@ object TextExprs {
   }
 
   /** Rotate-XOR rolling fingerprint over token hashes — `TextFns.fingerprint`
-    * semantics: fold(xxhash64(tok), acc -> rotl(acc, 5) ^ h), acc0 = 0.
+    * semantics: fold(h(tok), acc -> rotl(acc, 5) ^ h), acc0 = 0. The token
+    * hash is xxhash64 (seed 42, fastest) or, with `portable = true`,
+    * [[fnv1a64]] — bit-identical to the DuckDB oracle's HUGEINT replay, so
+    * the portable form is exactly verifiable cross-engine.
     */
-  case class FingerprintExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class FingerprintExpr(child: Expression, portable: Boolean = false)
+      extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String].toString)
       var acc = 0L
       var i = 0
       while (i < toks.length) {
-        acc = ((acc << 5) | (acc >>> 59)) ^ xxh64(toks(i))
+        val h = if (portable) fnv1a64(toks(i)) else xxh64(toks(i))
+        acc = ((acc << 5) | (acc >>> 59)) ^ h
         i += 1
       }
       acc
@@ -246,16 +271,21 @@ object TextExprs {
     override def prettyName: String = "shingle_hashes"
   }
 
-  /** Per-token xxhash64s, order and multiplicity preserved — the SimHash
-    * input (`transform(tokens(c), xxhash64)` semantics).
+  /** Per-token hashes, order and multiplicity preserved — the SimHash
+    * input (`transform(tokens(c), xxhash64)` semantics; `portable = true`
+    * swaps in [[fnv1a64]] for cross-engine verifiability).
     */
-  case class TokenHashesExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class TokenHashesExpr(child: Expression, portable: Boolean = false)
+      extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String].toString)
       val out = new Array[Long](toks.length)
       var i = 0
-      while (i < toks.length) { out(i) = xxh64(toks(i)); i += 1 }
+      while (i < toks.length) {
+        out(i) = if (portable) fnv1a64(toks(i)) else xxh64(toks(i))
+        i += 1
+      }
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): TokenHashesExpr = copy(child = c)
@@ -269,8 +299,10 @@ object TextExprs {
   def tokenCount(c: Column): Column = asCol(TokenCountExpr(asExpr(c)))
   def stopwordRatio(c: Column): Column = asCol(StopwordRatioExpr(asExpr(c)))
   def meanTokenLen(c: Column): Column = asCol(MeanTokenLenExpr(asExpr(c)))
-  def fingerprint(c: Column): Column = asCol(FingerprintExpr(asExpr(c)))
+  def fingerprint(c: Column, portable: Boolean = false): Column =
+    asCol(FingerprintExpr(asExpr(c), portable))
   def charNgramCount(c: Column, n: Int): Column = asCol(CharNgramCountExpr(asExpr(c), n))
   def shingleHashes(c: Column, n: Int): Column = asCol(ShingleHashesExpr(asExpr(c), n))
-  def tokenHashes(c: Column): Column = asCol(TokenHashesExpr(asExpr(c)))
+  def tokenHashes(c: Column, portable: Boolean = false): Column =
+    asCol(TokenHashesExpr(asExpr(c), portable))
 }

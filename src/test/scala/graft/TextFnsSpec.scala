@@ -34,6 +34,34 @@ class TextFnsSpec extends SparkSpec {
     assert(fp("a b c") != fp("c b a"))
   }
 
+  test("portable fingerprint: pinned FNV-1a/rotl values incl. unicode and empties") {
+    // Constants independently computed (Python big-int arithmetic) — the
+    // same values the DuckDB oracle's HUGEINT fold produces, so this pins
+    // both the Scala kernel and the cross-engine contract.
+    val fp = (s: String) => one(s).select(TextFns.fingerprint($"t", portable = true))
+      .collect()(0).getLong(0)
+    assert(fp("Hello World  foo") == -798116986981931634L)
+    assert(fp("") == 0L)
+    assert(fp("  ") == 0L)
+    assert(fp("Unicode: héllo wörld 中文 test") == 3647495489332112049L)
+    assert(fp("a b c a b c") == 5659658050285375438L)
+    // order sensitivity survives in portable mode
+    assert(fp("a b c") != fp("c b a"))
+  }
+
+  test("portable simhash: pinned values and near-dup hamming locality") {
+    import graft.operators.Dedup
+    val sh = (s: String) => one(s).select(Dedup.simhash($"t", portable = true))
+      .collect()(0).getLong(0)
+    assert(sh("Hello World foo") == -3733205506852348557L)
+    assert(sh("") == 0L)
+    assert(sh("Unicode: héllo wörld 中文 test") == 838941152565339567L)
+    assert(sh("a b c a b c") == -5808554674130653788L)
+    // one-token edit of a 3-token doc moves well under half the bits
+    // (unrelated docs differ in ~32 on average)
+    assert(java.lang.Long.bitCount(sh("Hello World foo") ^ sh("hello world fooo")) <= 24)
+  }
+
   test("langId picks the right stopword language and CJK") {
     val cases = Seq(
       "the cat and the dog is that it was here for now" -> "en",
