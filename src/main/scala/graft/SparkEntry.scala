@@ -567,6 +567,102 @@ object SparkEntry {
         java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
         java.nio.file.Files.deleteIfExists(staged)
       }
+    }),
+
+    // ---- corpus preparation (round 3) -----------------------------------
+    "q57_segment_dedup" -> ((s, dir) =>
+      // CCNet-style segment dedup; the synthetic corpus has no paragraph
+      // breaks, so segments are 10-token chunks (127 of 2798 chunks repeat
+      // across docs at sf0.01 — the op has real work to do)
+      Corpus.segmentDedup(t(s, dir, "documents"), col("doc_id"),
+          Corpus.tokenChunks(col("text"), 10))
+        .sortBy(Seq(col("id")))),
+
+    "q58_heavy_hitters" -> ((s, dir) =>
+      Corpus.heavyHitters(t(s, dir, "documents"), TextFns.tokens(col("text")), 50)
+        // deterministic total order: (count desc, term asc) in operator AND
+        // final sort, so the rank-50 tie cut matches the oracle exactly
+        .orderBy(col("n").desc, col("term"))),
+
+    "q59_contamination" -> ((s, dir) =>
+      // benchmark set = every 97th doc (deterministic ~1%), 8-gram overlap
+      Corpus.contamination(t(s, dir, "documents"), col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(97)) === 0, ngram = 8)
+        .sortBy(Seq(col("id")))),
+
+    "q60_pack_sequences" -> ((s, dir) =>
+      // bucketSize 64 << doc count so the distributed prefix-sum actually
+      // exercises the multi-bucket path at test scale
+      Corpus.packSequences(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokenCount(col("text")), ctxLen = 512, bucketSize = 64)
+        .sortBy(Seq(col("id")))),
+
+    "q61_group_percentiles" -> ((s, dir) =>
+      // exact R-7 percentiles (Spark `percentile` == DuckDB quantile_cont)
+      t(s, dir, "documents")
+        .selectCols(Seq(col("lang"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens")))
+        .aggregate(Seq(col("lang")), Seq(
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n")))
+        .sortBy(Seq(col("lang")))),
+
+    "q62_json_props" -> ((s, dir) =>
+      // semi-structured extraction: events.props is a JSON object column
+      t(s, dir, "events")
+        .selectCols(Seq(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")))
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")))
+        .sortBy(Seq(col("event_type")))),
+
+    "q63_range_join" -> ((s, dir) => {
+      // interval containment as a bucketed equi-join: each event joined to
+      // the (30-min-gap) session interval that contains it
+      val ev = t(s, dir, "events")
+      val sessions = EventStreams.sessionize(ev, gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      ev.rangeJoin(sessions, Seq("user_id"), Seq("user_id"),
+          "ts", "s_start", "s_end", bucketWidth = 30L * 60 * 1000000)
+        .selectCols(Seq(
+          col("l.event_id").as("event_id"),
+          col("r.user_id").as("user_id"),
+          col("r.session_seq").cast("long").as("session_seq")))
+        .sortBy(Seq(col("event_id")))
+    }),
+
+    "q64_gap_fill" -> ((s, dir) => {
+      // hourly per-user series, zero-filled counts/sums over each user's
+      // span, last event_type forward-filled across the gaps
+      val filled = EventStreams.gapFill(t(s, dir, "events"),
+        col("user_id"), col("ts"), stepMicros = 3600L * 1000000,
+        aggs = Seq(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sv"),
+          max(col("event_type")).as("et")))
+      EventStreams.forwardFill(filled, col("k"), col("bucket"), Seq("et"))
+        .selectCols(Seq(
+          col("k").as("user_id"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"),
+          col("et").as("last_type")))
+        .sortBy(Seq(col("user_id"), col("bucket")))
+    }),
+
+    "q65_centroid_assign" -> ((s, dir) => {
+      // nearest-centroid labeling; centroids = the first 8 embeddings (exact
+      // float values from parquet => bit-identical distances cross-engine)
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cents = e.filterCol(col("vec_id") < 8)
+        .selectCols(Seq(col("vec_id").as("cid"), col("embedding").as("cv")))
+      Similarity.assignToCentroids(corpus, cents)
+        .withColumn("dist_sq", round(col("dist_sq"), 6))
+        .sortBy(Seq(col("id")))
     })
   )
 

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-preparation operators for LLM training-data pipelines (SURVEY.md
+  * §7 beyond-parity set, round 3): segment-level dedup, benchmark
+  * contamination checks, sequence packing, and heavy-hitter profiling.
+  * Everything is a declarative DataFrame transformation — partial
+  * aggregation, AQE and pushdown apply as usual.
+  */
+object Corpus {
+
+  /** Split a document into fixed-size token chunks (each chunk re-joined
+    * with single spaces). The segment unit for [[segmentDedup]] on corpora
+    * without structural paragraph breaks; real pipelines pass
+    * `split(col, "\n\n")` instead when documents have them.
+    * Zero-token documents yield an empty array.
+    */
+  def tokenChunks(c: Column, chunkTokens: Int): Column = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val toks = TextFns.tokens(c)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val chunks = ceil(n.cast("double") / chunkTokens).cast("int")
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), chunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, chunkTokens), " ")))
+  }
+
+  /** CCNet-style segment-level corpus deduplication: every distinct segment
+    * survives only at its corpus-wide FIRST occurrence (smallest
+    * (document id, segment position)); all later occurrences — boilerplate,
+    * repeated template paragraphs — are dropped, and each document is
+    * reassembled from its surviving segments in order.
+    *
+    * Returns (id, clean_text, n_kept, n_removed); documents whose every
+    * segment was seen earlier come back with empty clean_text (the caller
+    * decides whether to drop them).
+    *
+    * Scale shape: segments are keyed by xxhash64 — the first-occurrence
+    * groupBy partial-aggregates map-side and shuffles (hash, id, pos)
+    * triples, not text; the segment text itself moves through exactly one
+    * shuffle (the reassembly by id). No window over the full corpus.
+    * (Distinct segments colliding on xxhash64 would dedup together —
+    * at 2^-64 per pair this is the standard trade for narrow keys.)
+    */
+  def segmentDedup(df: DataFrame, id: Column, segments: Column,
+      sep: String = " "): DataFrame = {
+    val segs = df
+      .select(id.alias("id"), posexplode(segments).as(Seq("pos", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+    // first occurrence per segment hash: min over a (id, pos) struct —
+    // partial map-side combine, one row per distinct segment after shuffle
+    val first = segs.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).alias("f"))
+    val kept = segs
+      .join(first, "h")
+      .filter(col("id") === col("f.id") && col("pos") === col("f.pos"))
+      .select(col("id"), col("pos"), col("seg"))
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x("seg")), sep).alias("clean_text"),
+      count(lit(1)).alias("n_kept"))
+    df.select(id.alias("id"),
+        org.apache.spark.sql.functions.size(segments).cast("long").alias("n_segs"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("clean_text"), lit("")).alias("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).alias("n_removed"))
+  }
+
+  /** Benchmark-contamination check: for every non-benchmark document, the
+    * share of its distinct word n-gram shingles that appear anywhere in the
+    * benchmark set. The standard pre-training hygiene scan (e.g. GPT-3
+    * appendix C uses 13-gram overlap); docs above a threshold get excluded
+    * or flagged.
+    *
+    * Returns (id, n_shingles, n_hit, contam_ratio) for non-benchmark docs.
+    *
+    * Scale shape: shingles are 64-bit hashes; the benchmark shingle set is
+    * distinct-reduced before the join (typically millions of longs even at
+    * 100 TB corpus scale — benchmark suites are small), so the semi join
+    * broadcasts or hash-joins on longs. The corpus side streams once.
+    */
+  def contamination(df: DataFrame, id: Column, text: Column, isBenchmark: Column,
+      ngram: Int = 8): DataFrame = {
+    val docs = df.select(id.alias("id"),
+      TextFns.shingleHashes(text, ngram).alias("sh"), isBenchmark.alias("isb"))
+    val benchShingles = docs.filter(col("isb"))
+      .select(explode(col("sh")).alias("g")).distinct()
+    val train = docs.filter(!col("isb"))
+    val hits = train.select(col("id"), explode(col("sh")).alias("g"))
+      .join(benchShingles, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).alias("n_hit"))
+    train
+      .select(col("id"),
+        org.apache.spark.sql.functions.size(col("sh")).cast("long").alias("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).alias("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .alias("contam_ratio"))
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: documents are laid out in
+    * `id` order, token counts accumulate, and every `ctxLen` tokens starts a
+    * new training sequence. Each document is assigned the sequence its FIRST
+    * token lands in plus its offset there (a writer then splits straddling
+    * docs across the boundary).
+    *
+    * Returns (id, n_tokens, seq_id, seq_offset).
+    *
+    * Scale shape: the global running sum is NOT a single-partition window —
+    * ids bucket by `id / bucketSize`, per-bucket subtotals get prefix-summed
+    * in a window over the tiny bucket frame (n/bucketSize rows), and each
+    * row's global offset = its bucket's offset + a bucket-local window.
+    * Two narrow shuffles; every window partition is bounded by bucketSize.
+    * (Cumulative totals stay exact in Long; floor-div is exact below 2^53
+    * tokens — 100 TB of text is ~25T tokens, far inside the bound.)
+    */
+  def packSequences(df: DataFrame, id: Column, tokenCount: Column, ctxLen: Long,
+      bucketSize: Long = 4096): DataFrame = {
+    require(ctxLen > 0 && bucketSize > 0, "ctxLen and bucketSize must be positive")
+    val base = df.select(id.alias("id"), tokenCount.cast("long").alias("n_tokens"))
+      .withColumn("bucket", floor(col("id") / bucketSize).cast("long"))
+    val partials = base.groupBy("bucket").agg(sum(col("n_tokens")).alias("bw"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("boff", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(offsets, "bucket")
+      .withColumn("cum_before", col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("id"), col("n_tokens"),
+        floor(col("cum_before") / ctxLen).cast("long").alias("seq_id"),
+        (col("cum_before") % ctxLen).alias("seq_offset"))
+  }
+
+  /** Exact top-k heavy hitters of an exploded term column: global term
+    * frequencies, ordered (count desc, term asc) for a deterministic cut at
+    * k. GroupBy partial-aggregates map-side, then the ordered limit runs as
+    * a TakeOrdered — no global sort materialization.
+    */
+  def heavyHitters(df: DataFrame, terms: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(terms).alias("term"))
+      .groupBy("term").agg(count(lit(1)).alias("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+  }
+}

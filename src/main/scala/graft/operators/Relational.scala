@@ -212,6 +212,51 @@ object Relational {
         .select(col("__l").alias("l"), col("__m").alias("r"))
     }
 
+    /** Interval (range) join: each left row pairs with every right row
+      * whose `[rightStart, rightEnd]` interval (inclusive) contains the
+      * left row's `leftTs`, with equi-keys ANDed in. Returns the same
+      * (`l` struct, `r` struct) layout as [[asofJoin]].
+      *
+      * Scale shape: a naive BETWEEN predicate forces a nested-loop per key
+      * group — quadratic when key groups are large (or absent). Here both
+      * sides bucket time by `bucketWidth` micros: intervals explode to each
+      * covered bucket, points take their single bucket, and the join becomes
+      * a pure EQUI-join on (keys..., bucket) that Catalyst hash-partitions;
+      * the containment predicate re-checks inside the join. A point matches
+      * an interval in exactly one bucket (its own), so no post-join dedup is
+      * needed. Pick `bucketWidth` near the typical interval length: each
+      * interval then explodes to ~2 rows.
+      */
+    def rangeJoin(
+        right: DataFrame,
+        leftKeys: Seq[String],
+        rightKeys: Seq[String],
+        leftTs: String,
+        rightStart: String,
+        rightEnd: String,
+        bucketWidth: Long
+    ): DataFrame = {
+      require(leftKeys.length == rightKeys.length, "range join needs aligned key lists")
+      require(bucketWidth > 0, "bucketWidth must be positive micros")
+      val lb = df.select(
+        leftKeys.zipWithIndex.map { case (k, i) => df(k).alias(s"__k$i") } ++ Seq(
+          floor(unix_micros(df(leftTs).cast("timestamp")) / bucketWidth).cast("long").alias("__b"),
+          df(leftTs).alias("__ts"),
+          struct(df.columns.map(df(_)): _*).alias("__l")): _*)
+      val rb = right.select(
+        rightKeys.zipWithIndex.map { case (k, i) => right(k).alias(s"__k$i") } ++ Seq(
+          explode(sequence(
+            floor(unix_micros(right(rightStart).cast("timestamp")) / bucketWidth).cast("long"),
+            floor(unix_micros(right(rightEnd).cast("timestamp")) / bucketWidth).cast("long")))
+            .alias("__b"),
+          right(rightStart).alias("__s"), right(rightEnd).alias("__e"),
+          struct(right.columns.map(right(_)): _*).alias("__r")): _*)
+      val keyCond = leftKeys.indices.map(i => lb(s"__k$i") === rb(s"__k$i"))
+      val cond = (keyCond :+ (lb("__b") === rb("__b")) :+
+        (lb("__ts") >= rb("__s")) :+ (lb("__ts") <= rb("__e"))).reduce(_ && _)
+      lb.join(rb, cond).select(lb("__l").alias("l"), rb("__r").alias("r"))
+    }
+
     /** `df/join-on` — `src/main.rs:255-265,491`: theta join, predicates
       * ANDed; empty list => cross join (DataFusion semantics).
       * Scale: a pure theta join is broadcast-nested-loop — keep at least one

@@ -272,6 +272,28 @@ object Similarity {
     explodeTopK(scored, k)
   }
 
+  /** Assign every corpus vector to its nearest centroid by squared L2
+    * distance (ties broken by ascending centroid id) — the clustering /
+    * partition-labeling primitive (IVF cell assignment, k-means E-step,
+    * corpus sharding by semantic cluster).
+    *
+    * `centroids` (columns `cid`, `cv`) is broadcast — centroid sets are
+    * small by construction. The argmin is a map-side-combining hash
+    * aggregate (`min` over a (dist, cid) struct), so the shuffle carries one
+    * row per vector, never the vectors x centroids scored table.
+    * Returns (id, cid, dist_sq).
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.select(col("id"), col("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cv"))))
+      .select(col("id"),
+        struct(VectorExprs.l2DistSq(col("v"), col("cv")).alias("d"),
+          col("cid").alias("cid")).alias("sc"))
+    scored.groupBy(col("id"))
+      .agg(min(col("sc")).alias("best"))
+      .select(col("id"), col("best.cid").alias("cid"), col("best.d").alias("dist_sq"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one (both in
     * [[explodeTopK]]'s output shape): per query, the fraction of exact
     * neighbors the approximate search recovered. This is how an ANN

@@ -214,6 +214,31 @@ object VectorExprs {
     override def prettyName: String = "cosine_sim"
   }
 
+  /** Squared L2 distance of two numeric arrays, accumulated STRICTLY in
+    * index order (s += (a_i - b_i)^2, left to right): the IEEE op sequence
+    * is then identical to a SQL `list_reduce` fold over per-index squares,
+    * so results are bit-comparable cross-engine (the centroid-assignment
+    * oracle depends on this). Floats widen to double exactly before the
+    * subtraction.
+    */
+  case class L2DistSq(left: Expression, right: Expression) extends VectorBinary {
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = toDouble(a, i, ta) - toDouble(b, i, tb)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistSq =
+      copy(left = l, right = r)
+    override def prettyName: String = "l2_dist_sq"
+  }
+
   /** L2 norm of a numeric array. */
   case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -243,6 +268,7 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column = asCol(DotProduct(asExpr(a), asExpr(b)))
   def cosine(a: Column, b: Column): Column = asCol(CosineSim(asExpr(a), asExpr(b)))
   def l2norm(c: Column): Column = asCol(L2Norm(asExpr(c)))
+  def l2DistSq(a: Column, b: Column): Column = asCol(L2DistSq(asExpr(a), asExpr(b)))
 
   /** SQL-name registration so these also work via `spark.sql` /
     * `call_function` (same registry the Agent's builtin functions live in).
@@ -253,5 +279,6 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("l2_dist_sq", es => L2DistSq(es(0), es(1)), "built-in")
   }
 }

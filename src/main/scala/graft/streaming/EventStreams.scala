@@ -28,6 +28,47 @@ object EventStreams {
         col("total_value")
       )
 
+  /** Time-grid gap-fill: bucket events into fixed `stepMicros` steps per
+    * key, then densify each key's series over its own [min, max] bucket
+    * span — missing buckets appear with NULL aggregates (the caller picks
+    * the fill: 0 for counts, forward-fill for levels). The resample step
+    * every monitoring/feature pipeline needs before window features.
+    *
+    * Returns (k, bucket, bucket_ts, aggs...).
+    *
+    * Scale shape: per-key aggregation partial-combines map-side; the grid
+    * explode generates (max-min)/step rows per key — bounded by the time
+    * horizon, independent of event volume — and the fill join is an
+    * equi-join on (key, bucket) longs. No global window.
+    */
+  def gapFill(events: DataFrame, key: Column, ts: Column, stepMicros: Long,
+      aggs: Seq[Column]): DataFrame = {
+    require(stepMicros > 0, "stepMicros must be positive")
+    require(aggs.nonEmpty, "gapFill needs >= 1 aggregate")
+    val bucketed = events
+      .withColumn("k", key)
+      .withColumn("bucket", floor(unix_micros(ts.cast("timestamp")) / stepMicros).cast("long"))
+    val perBucket = bucketed.groupBy(col("k"), col("bucket")).agg(aggs.head, aggs.tail: _*)
+    val grid = bucketed.groupBy(col("k"))
+      .agg(min(col("bucket")).alias("b0"), max(col("bucket")).alias("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).alias("bucket"))
+    grid.join(perBucket, Seq("k", "bucket"), "left")
+      .withColumn("bucket_ts", timestamp_micros(col("bucket") * stepMicros))
+      .select(Seq(col("k"), col("bucket"), col("bucket_ts")) ++
+        perBucket.columns.filterNot(Set("k", "bucket")).map(col): _*)
+  }
+
+  /** Forward-fill NULLs in `cols` per `key` in `order` order (last
+    * non-null value carries forward) — the level-series companion to
+    * [[gapFill]]. One window per key; partitions are per-key series,
+    * bounded by the grid length.
+    */
+  def forwardFill(df: DataFrame, key: Column, order: Column, cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when a
     * user's inter-event gap exceeds `gapMinutes`. Window-function
     * composition — one shuffle on user_id.
