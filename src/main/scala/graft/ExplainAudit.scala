@@ -10,7 +10,9 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_filter", "q04_agg", "q11_join_names", "q12_join_left", "q33_minhash_lsh",
         "q36_ann_brute", "q40_events_window", "q45_ann_ivf_exact", "q47_salted_join",
-        "q50_neardup_components", "q51_clean_corpus")
+        "q50_neardup_components", "q51_clean_corpus",
+        "q57_segment_dedup", "q59_contamination", "q60_pack_sequences",
+        "q63_range_join", "q64_gap_fill", "q65_centroid_assign")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

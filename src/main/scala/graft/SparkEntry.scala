@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{ColFns, TextFns, Udfs}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
 
@@ -642,7 +642,7 @@ object SparkEntry {
         col("user_id"), col("ts"), stepMicros = 3600L * 1000000,
         aggs = Seq(
           count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sv"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sv"),
           max(col("event_type")).as("et")))
       EventStreams.forwardFill(filled, col("k"), col("bucket"), Seq("et"))
         .selectCols(Seq(
@@ -1313,6 +1313,177 @@ object SparkEntry {
            CAST(s.n_events AS BIGINT) AS n_events
          FROM s JOIN m ON s.user_id = m.user_id
          WHERE s.seq < m.last_seq
-         ORDER BY s.user_id, session_seq"""
+         ORDER BY s.user_id, session_seq""",
+
+    // Segment dedup replayed on the segment TEXT itself (the operator keys
+    // by xxhash64 — identical answers modulo a 2^-64 collision, the
+    // documented trade). Chunking, first-occurrence rule and reassembly are
+    // reproduced exactly.
+    "q57_segment_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                  ELSE list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+                         i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) END AS segs
+           FROM t),
+         e AS (
+           SELECT doc_id, generate_subscripts(segs, 1) - 1 AS pos, unnest(segs) AS seg
+           FROM c),
+         kept AS (
+           SELECT doc_id, pos, seg FROM (
+             SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             FROM e) WHERE rn = 1),
+         rebuilt AS (
+           SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT c.doc_id AS id,
+           COALESCE(clean_text, '') AS clean_text,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(segs) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+         FROM c LEFT JOIN rebuilt ON c.doc_id = rebuilt.doc_id
+         ORDER BY id""",
+
+    "q58_heavy_hitters" ->
+      """SELECT term, COUNT(*) AS n FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> len(x) > 0)) AS term
+           FROM documents)
+         GROUP BY term ORDER BY n DESC, term LIMIT 50""",
+
+    // Contamination replayed on shingle STRINGS (operator uses xxhash64 of
+    // the same space-joined token 8-grams; <n-token docs collapse to one
+    // whole-doc shingle on both sides).
+    "q59_contamination" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i : i+7], ' '))) AS s
+           FROM t),
+         bench AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_hit
+           FROM (SELECT doc_id, unnest(s) AS g FROM train) tr
+           JOIN bench USING (g)
+           GROUP BY doc_id)
+         SELECT train.doc_id AS id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(s) AS contam_ratio
+         FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+         ORDER BY id""",
+
+    // The operator's bucketed distributed prefix-sum must equal the naive
+    // single-window running sum.
+    "q60_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM t)
+         SELECT doc_id AS id, n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           CAST(cum_before % 512 AS BIGINT) AS seq_offset
+         FROM c ORDER BY id""",
+
+    // Spark `percentile` and DuckDB `quantile_cont` are both exact R-7.
+    "q61_group_percentiles" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT lang,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+           COUNT(*) AS n
+         FROM t GROUP BY lang ORDER BY lang""",
+
+    "q62_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+
+    // The bucketed range join must assign every event to the session whose
+    // [min ts, max ts] interval contains it — i.e. exactly the session the
+    // gap rule derives directly (same second-truncated gap as q41).
+    "q63_range_join" ->
+      """WITH x AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         y AS (
+           SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM x),
+         z AS (
+           SELECT event_id, user_id,
+             SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+           FROM y)
+         SELECT event_id, user_id, CAST(seq AS BIGINT) AS session_seq
+         FROM z ORDER BY event_id""",
+
+    "q64_gap_fill" ->
+      """WITH b AS (
+           SELECT user_id AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+             value, event_type
+           FROM events),
+         p AS (
+           SELECT k, bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             MAX(event_type) AS et
+           FROM b GROUP BY 1, 2),
+         g AS (
+           SELECT k, unnest(range(MIN(bucket), MAX(bucket) + 1)) AS bucket
+           FROM b GROUP BY k),
+         j AS (
+           SELECT g.k, g.bucket, p.n, p.sv, p.et
+           FROM g LEFT JOIN p ON g.k = p.k AND g.bucket = p.bucket)
+         SELECT k AS user_id, bucket,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           COALESCE(sv, 0.0) AS sum_value,
+           last_value(et IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+         FROM j ORDER BY user_id, bucket""",
+
+    // Float parquet values widen exactly to DOUBLE on both engines; the
+    // per-element (a-b)^2 accumulation is the same left-to-right fold, and
+    // dist_sq is rounded to 6 on both sides.
+    "q65_centroid_assign" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         s AS (
+           SELECT e.vec_id AS id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+           FROM e CROSS JOIN c)
+         SELECT id, cid, round(d, 6) AS dist_sq FROM (
+           SELECT id, cid, d, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+           FROM s) WHERE rn = 1
+         ORDER BY id"""
   )
 }

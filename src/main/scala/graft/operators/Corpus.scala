@@ -26,7 +26,7 @@ object Corpus {
     val chunks = ceil(n.cast("double") / chunkTokens).cast("int")
     when(n === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), chunks - 1),
-        i => array_join(slice(toks, i * chunkTokens + 1, chunkTokens), " ")))
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
   }
 
   /** CCNet-style segment-level corpus deduplication: every distinct segment

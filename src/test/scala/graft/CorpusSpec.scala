@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Similarity}
+import graft.operators.Relational.GraftOps
+import graft.streaming.EventStreams
+
+/** Round-3 corpus-preparation + time-series operators: deterministic
+  * in-memory fixtures, exact expected answers (the driver's DuckDB oracles
+  * cover the same ops over the parquet testdata).
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks: 25 tokens at chunk=10 -> 10/10/5; empty doc -> empty array") {
+    val txt = (1 to 25).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, txt), (2L, ""), (3L, "   ")).toDF("id", "text")
+      .select($"id", Corpus.tokenChunks($"text", 10).alias("chunks"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L).length == 3)
+    assert(m(1L)(0) == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(m(1L)(2) == (21 to 25).map(i => s"t$i").mkString(" "))
+    assert(m(2L).isEmpty && m(3L).isEmpty)
+  }
+
+  test("segmentDedup: later duplicate segments drop, all-dup docs come back empty") {
+    // doc 1: A B; doc 2: B C (B repeats -> dropped); doc 3: A B (both dup -> empty)
+    val docs = Seq(
+      (1L, Seq("alpha alpha", "beta beta")),
+      (2L, Seq("beta beta", "gamma gamma")),
+      (3L, Seq("alpha alpha", "beta beta"))
+    ).toDF("id", "segs")
+    val out = Corpus.segmentDedup(docs, $"id", $"segs")
+      .orderBy("id").collect()
+    assert(out(0) == Row(1L, "alpha alpha beta beta", 2L, 0L))
+    assert(out(1) == Row(2L, "gamma gamma", 1L, 1L))
+    assert(out(2) == Row(3L, "", 0L, 2L))
+  }
+
+  test("contamination: overlap ratio vs the benchmark shingle set is exact") {
+    // 2-grams; bench doc "a b c" -> shingles {a b, b c}
+    val docs = Seq(
+      (1L, "a b c", true),     // benchmark
+      (2L, "a b x y", false),  // shingles {a b, b x, x y} -> 1 hit of 3
+      (3L, "p q r", false)     // no overlap
+    ).toDF("id", "text", "isb")
+    val out = Corpus.contamination(docs, $"id", $"text", $"isb", ngram = 2)
+      .orderBy("id").collect()
+    assert(out(0) == Row(2L, 3L, 1L, 1.0 / 3))
+    assert(out(1) == Row(3L, 2L, 0L, 0.0))
+  }
+
+  test("packSequences: bucketed prefix sum equals the naive running total") {
+    val counts = Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1) * 3L))
+    val df = counts.toDF("id", "n")
+    val out = Corpus.packSequences(df, $"id", $"n", ctxLen = 16, bucketSize = 8)
+      .orderBy("id").collect()
+    var cum = 0L
+    counts.foreach { case (id, n) =>
+      val r = out(id.toInt)
+      assert(r.getLong(2) == cum / 16, s"seq_id at $id")
+      assert(r.getLong(3) == cum % 16, s"seq_offset at $id")
+      cum += n
+    }
+  }
+
+  test("heavyHitters: (count desc, term asc) order makes the k-cut deterministic") {
+    val df = Seq(Seq("b", "b", "a", "a", "c")).toDF("ts")
+    val out = Corpus.heavyHitters(df, $"ts", 2).collect()
+    assert(out.toSeq == Seq(Row("a", 2L), Row("b", 2L)))
+  }
+
+  test("gapFill + forwardFill: missing buckets appear, levels carry forward") {
+    val step = 60L * 1000000
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "up"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:03:10"), "down")
+    ).toDF("user_id", "ts", "state")
+    val filled = EventStreams.gapFill(ev, $"user_id", $"ts", step,
+      Seq(count(lit(1)).as("n"), max($"state").as("st")))
+    assert(filled.count() == 4) // buckets 0..3 of that minute grid
+    val ff = EventStreams.forwardFill(filled, $"k", $"bucket", Seq("st"))
+      .orderBy("bucket").collect()
+    assert(ff.map(_.getAs[String]("st")).toSeq == Seq("up", "up", "up", "down"))
+    assert(ff.map(r => Option(r.getAs[Any]("n")).map(_.toString.toLong).getOrElse(0L)).toSeq
+      == Seq(1L, 0L, 0L, 1L))
+  }
+
+  test("rangeJoin: containment matches exactly once even when intervals span buckets") {
+    val ev = Seq(
+      (10L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00")),
+      (11L, 1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")) // outside
+    ).toDF("event_id", "user_id", "ts")
+    val iv = Seq(
+      (1L, 100L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 02:00:00")) // spans many 30-min buckets
+    ).toDF("user_id", "iv_id", "s", "e")
+    val out = ev.rangeJoin(iv, Seq("user_id"), Seq("user_id"),
+        "ts", "s", "e", bucketWidth = 30L * 60 * 1000000)
+      .selectCols(Seq(col("l.event_id").as("event_id"), col("r.iv_id").as("iv_id")))
+      .collect()
+    assert(out.toSeq == Seq(Row(10L, 100L))) // exactly one match, no dup, no leak
+  }
+
+  test("assignToCentroids: nearest wins, distance ties break to the lower cid") {
+    val corpus = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 0.0f)))
+      .toDF("id", "v")
+    val cents = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f))).toDF("cid", "cv")
+    val out = Similarity.assignToCentroids(corpus, cents).orderBy("id").collect()
+    assert(out(0) == Row(1L, 0L, 0.0))
+    assert(out(1) == Row(2L, 1L, 0.0))
+    assert(out(2) == Row(3L, 0L, 25.0)) // exact tie at 25.0 -> cid 0
+  }
+}
