@@ -653,6 +653,64 @@ object SparkEntry {
         .sortBy(Seq(col("user_id"), col("bucket")))
     }),
 
+    // ---- corpus composition + interval analytics (round 4) ---------------
+    "q66_tfidf_top_terms" -> ((s, dir) =>
+      // linear-idf config (exact cross-engine; logIdf=true is the
+      // production flavor, see Corpus.tfIdfTopTerms)
+      Corpus.tfIdfTopTerms(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .sortBy(Seq(col("id"), col("rank")))),
+
+    "q67_quota_sample" -> ((s, dir) =>
+      // data mixing: src0 capped at 10 docs, src1 at 5, everything else 3,
+      // best-n_chars-first with doc_id tie-break
+      Corpus.quotaSample(t(s, dir, "documents"), col("source"),
+          col("n_chars").cast("double"), col("doc_id"),
+          Map("src0" -> 10L, "src1" -> 5L), defaultQuota = 3L)
+        .selectCols(Seq(col("doc_id"), col("source"), col("n_chars")))
+        .sortBy(Seq(col("doc_id")))),
+
+    "q68_interval_join" -> ((s, dir) => {
+      // concurrent-session detection: which other users' sessions overlap
+      // user 0's sessions in time (keyless bucketed interval join)
+      val sessions = EventStreams.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val mine = sessions.filter(col("user_id") === 0)
+      val theirs = sessions.filter(col("user_id") =!= 0)
+      mine.intervalJoin(theirs, Seq(), Seq(),
+          "s_start", "s_end", "s_start", "s_end", bucketWidth = 30L * 60 * 1000000)
+        .selectCols(Seq(
+          col("l.session_seq").cast("long").as("a_seq"),
+          col("r.user_id").as("b_user"),
+          col("r.session_seq").cast("long").as("b_seq")))
+        .sortBy(Seq(col("a_seq"), col("b_user"), col("b_seq")))
+    }),
+
+    "q69_topk_per_group" -> ((s, dir) =>
+      // bounded-heap top-k per group (the no-sort sibling of q67's window;
+      // the SAME SQL-window oracle must hash-match)
+      Corpus.topKPerGroupAgg(t(s, dir, "documents"), col("source"),
+          col("doc_id"), col("n_chars"), k = 20)
+        .sortBy(Seq(col("group"), col("rank")))),
+
+    "q70_approx_percentiles" -> ((s, dir) =>
+      // sketch-based percentiles: the 100 TB path next to q61's exact ones
+      // (approx_percentile shuffles O(accuracy) summaries, never the
+      // values). Approximate by construction => rows-only check; the
+      // error-vs-exact bound is spec-pinned (CorpusSpec).
+      t(s, dir, "documents")
+        .selectCols(Seq(col("lang"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens")))
+        .aggregate(Seq(col("lang")), Seq(
+          expr("approx_percentile(n_tokens, array(0.5, 0.9), 10000)").as("ps"),
+          count(lit(1)).as("n")))
+        .selectCols(Seq(col("lang"),
+          element_at(col("ps"), 1).cast("double").as("p50a"),
+          element_at(col("ps"), 2).cast("double").as("p90a"),
+          col("n")))
+        .sortBy(Seq(col("lang")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1467,6 +1525,76 @@ object SparkEntry {
            last_value(et IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
          FROM j ORDER BY user_id, bucket""",
+
+    // Linear idf (N+1)/(df+1): the score is two IEEE double ops on both
+    // engines, so ranking and the rounded output match bit-exactly (ln
+    // would not be guaranteed correctly-rounded cross-engine — that's the
+    // non-oracle logIdf=true config).
+    "q66_tfidf_top_terms" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         tf AS (
+           SELECT doc_id AS id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+           GROUP BY 1, 2),
+         dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         s AS (
+           SELECT id, term, tf, doc_freq,
+             tf * (CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         r AS (
+           SELECT id, term, tf, doc_freq, score,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank
+           FROM s)
+         SELECT id, term, tf, doc_freq, round(score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY id, rank""",
+
+    "q67_quota_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5 ELSE 3 END
+         ORDER BY doc_id""",
+
+    // The bucketed keyless interval join must equal the naive inequality
+    // overlap join over the gap-rule sessions (same second-truncated gap
+    // as q41/q63).
+    "q68_interval_join" ->
+      """WITH x AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         y AS (
+           SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+             SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+           FROM y),
+         s AS (
+           SELECT user_id, seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+           FROM z GROUP BY user_id, seq)
+         SELECT CAST(a.seq AS BIGINT) AS a_seq, b.user_id AS b_user,
+           CAST(b.seq AS BIGINT) AS b_seq
+         FROM (SELECT * FROM s WHERE user_id = 0) a
+         JOIN (SELECT * FROM s WHERE user_id <> 0) b
+           ON a.s_start <= b.s_end AND b.s_start <= a.s_end
+         ORDER BY a_seq, b_user, b_seq""",
+
+    "q69_topk_per_group" ->
+      """SELECT source AS "group", doc_id AS id,
+           CAST(n_chars AS DOUBLE) AS score, CAST(rn AS BIGINT) AS rank
+         FROM (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY "group", rank""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

@@ -153,4 +153,81 @@ object Corpus {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
   }
+
+  /** Per-document TF-IDF keyword extraction: the k terms of each document
+    * with the highest tf x idf, ties broken (score desc, term asc).
+    * Returns (id, term, tf, doc_freq, score, rank).
+    *
+    * `logIdf = false` (default) uses the LINEAR idf `(N+1)/(df+1)` — two
+    * IEEE ops (`double` divide, multiply by the long tf), bit-identical in
+    * any engine, so the driver oracle hash-matches exactly. `logIdf = true`
+    * is the classical `ln((N+1)/(df+1)) + 1` — same ranking machinery, but
+    * `ln` is not guaranteed correctly-rounded across engines, so it is the
+    * production option, not the oracle one.
+    *
+    * Scale shape: tf and doc-freq are both partial-aggregating groupBys over
+    * 64-bit-keyable rows; N arrives as a broadcast 1-row frame (no driver
+    * collect); the final window partitions by document — bounded by each
+    * doc's distinct-term count, never a global sort.
+    */
+  def tfIdfTopTerms(df: DataFrame, id: Column, terms: Column, k: Int,
+      logIdf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df.select(id.alias("id"), explode(terms).alias("term"))
+      .groupBy("id", "term").agg(count(lit(1)).alias("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).alias("doc_freq"))
+    val nDocs = df.select(id.alias("id")).distinct()
+      .agg(count(lit(1)).alias("n_docs"))
+    val rawIdf = (col("n_docs") + lit(1)).cast("double") / (col("doc_freq") + lit(1))
+    val idf = if (logIdf) log(rawIdf) + lit(1.0) else rawIdf
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * idf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("doc_freq"),
+        col("score"), col("rank").cast("long").alias("rank"))
+  }
+
+  /** Data-mixing quota sample: per source/domain group, keep the top
+    * `quotas(group)` documents by (score desc, tieBreak asc) — the
+    * composition step that turns per-source quality scores plus a target
+    * mixture into the actual training corpus. Groups absent from `quotas`
+    * get `defaultQuota`.
+    *
+    * Window formulation: one shuffle on the group key, per-group sort.
+    * Fine while every group's row count fits a partition sort; for the
+    * hot-group regime (one source = half the corpus) use
+    * [[topKPerGroupAgg]] — same answer, heap instead of sort.
+    */
+  def quotaSample(df: DataFrame, group: Column, score: Column, tieBreak: Column,
+      quotas: Map[String, Long], defaultQuota: Long = 0L): DataFrame = {
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(defaultQuota)) {
+      case (acc, (g, q)) => when(group === lit(g), lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(group).orderBy(score.desc, tieBreak.asc)
+    df.withColumn("__quota", quota)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__quota", "__rn")
+  }
+
+  /** Exact top-k rows per group via the partial-merge bounded-heap
+    * aggregator ([[graft.operators.Similarity.topK]]) — the 100 TB form of
+    * [[quotaSample]] with a uniform k: every map task reduces its partition
+    * to <= k (id, score) pairs PER GROUP before the shuffle, so a skewed
+    * group costs a heap insert per row, not a partition-wide sort. Returns
+    * (group, id, score, rank), rank 1-based by (score desc, id asc).
+    */
+  def topKPerGroupAgg(df: DataFrame, group: Column, id: Column, score: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(group.alias("g"), id.alias("i"), score.cast("double").alias("s"))
+      .groupBy(col("g"))
+      .agg(Similarity.topK(k, col("i"), col("s")).alias("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g").alias("group"), col("t.id").alias("id"),
+        col("t.score").alias("score"), (col("pos") + 1).cast("long").alias("rank"))
+  }
 }

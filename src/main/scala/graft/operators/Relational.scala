@@ -257,6 +257,53 @@ object Relational {
       lb.join(rb, cond).select(lb("__l").alias("l"), rb("__r").alias("r"))
     }
 
+    /** Interval OVERLAP join (timestamps): every (left, right) pair with the
+      * same keys whose [start, end] intervals intersect — the
+      * concurrency/coverage primitive ([[rangeJoin]] is the point-in-interval
+      * special case).
+      *
+      * Scale shape: both sides explode their covered time buckets and the
+      * join is an equi-join on (keys..., bucket). An overlapping pair shares
+      * every bucket of its intersection, so the pair is counted ONCE by
+      * anchoring on the intersection's FIRST bucket
+      * (`bucket == floor(max(l.start, r.start) / width)`) — a predicate, not
+      * a post-join dedup shuffle. Pick `bucketWidth` near the typical
+      * interval length: each interval explodes to ~2 rows.
+      */
+    def intervalJoin(
+        right: DataFrame,
+        leftKeys: Seq[String],
+        rightKeys: Seq[String],
+        leftStart: String,
+        leftEnd: String,
+        rightStart: String,
+        rightEnd: String,
+        bucketWidth: Long
+    ): DataFrame = {
+      require(leftKeys.length == rightKeys.length, "interval join needs aligned key lists")
+      require(bucketWidth > 0, "bucketWidth must be positive micros")
+      def us(d: DataFrame, c: String) = unix_micros(d(c).cast("timestamp"))
+      val lb = df.select(
+        leftKeys.zipWithIndex.map { case (k, i) => df(k).alias(s"__k$i") } ++ Seq(
+          explode(sequence(
+            floor(us(df, leftStart) / bucketWidth).cast("long"),
+            floor(us(df, leftEnd) / bucketWidth).cast("long"))).alias("__b"),
+          us(df, leftStart).alias("__ls"), us(df, leftEnd).alias("__le"),
+          struct(df.columns.map(df(_)): _*).alias("__l")): _*)
+      val rb = right.select(
+        rightKeys.zipWithIndex.map { case (k, i) => right(k).alias(s"__k$i") } ++ Seq(
+          explode(sequence(
+            floor(us(right, rightStart) / bucketWidth).cast("long"),
+            floor(us(right, rightEnd) / bucketWidth).cast("long"))).alias("__b"),
+          us(right, rightStart).alias("__rs"), us(right, rightEnd).alias("__re"),
+          struct(right.columns.map(right(_)): _*).alias("__r")): _*)
+      val keyCond = leftKeys.indices.map(i => lb(s"__k$i") === rb(s"__k$i"))
+      val overlap = (lb("__ls") <= rb("__re")) && (rb("__rs") <= lb("__le"))
+      val anchor = lb("__b") === floor(greatest(lb("__ls"), rb("__rs")) / bucketWidth).cast("long")
+      val cond = (keyCond :+ (lb("__b") === rb("__b")) :+ overlap :+ anchor).reduce(_ && _)
+      lb.join(rb, cond).select(lb("__l").alias("l"), rb("__r").alias("r"))
+    }
+
     /** `df/join-on` — `src/main.rs:255-265,491`: theta join, predicates
       * ANDed; empty list => cross join (DataFusion semantics).
       * Scale: a pure theta join is broadcast-nested-loop — keep at least one

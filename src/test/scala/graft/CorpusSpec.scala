@@ -105,6 +105,72 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(10L, 100L))) // exactly one match, no dup, no leak
   }
 
+  test("tfIdfTopTerms: exact scores for a hand-computed fixture") {
+    // 2 docs; term u only in doc 1 (tf 2), term v in both (tf 1 each)
+    // linear idf: u -> (2+1)/(1+1) = 1.5; v -> (2+1)/(2+1) = 1.0
+    val docs = Seq((1L, "u u v"), (2L, "v w")).toDF("id", "text")
+    val out = Corpus.tfIdfTopTerms(docs, $"id", graft.functions.TextFns.tokens($"text"), k = 2)
+      .orderBy("id", "rank").collect()
+    assert(out(0) == Row(1L, "u", 2L, 1L, 3.0, 1L))  // 2 * 1.5
+    assert(out(1) == Row(1L, "v", 1L, 2L, 1.0, 2L))
+    assert(out(2).getString(1) == "w" && out(2).getDouble(4) == 1.5)
+  }
+
+  test("quotaSample honors per-group quotas and the deterministic tie-break") {
+    val docs = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0),
+      ("b", 4L, 9.0), ("b", 5L, 8.0)
+    ).toDF("src", "id", "sc")
+    val out = Corpus.quotaSample(docs, $"src", $"sc", $"id",
+        Map("a" -> 2L), defaultQuota = 1L)
+      .orderBy("id").collect()
+    // a: ties at 10.0 -> ids 1,2 kept (id asc tie-break); b: only id 4
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("topKPerGroupAgg equals the window formulation (heap = sort)") {
+    val docs = Seq.tabulate(60)(i => (s"g${i % 3}", i.toLong, (i * 37 % 50).toDouble))
+      .toDF("g", "id", "sc")
+    val agg = Corpus.topKPerGroupAgg(docs, $"g", $"id", $"sc", k = 5)
+      .orderBy("group", "rank").collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"sc".desc, $"id".asc)
+    val win = docs.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"g".as("group"), $"id", $"sc".as("score"), $"rank".cast("long"))
+      .orderBy("group", "rank").collect()
+    assert(agg.toSeq == win.toSeq)
+  }
+
+  test("intervalJoin: overlap pairs exactly once across bucket spans; disjoint drop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00")))
+      .toDF("a_id", "s", "e")
+    val b = Seq(
+      (10L, ts("2024-01-01 02:00:00"), ts("2024-01-01 05:00:00")), // overlaps [2,3]
+      (11L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")), // touches at 3 -> overlap
+      (12L, ts("2024-01-01 04:00:00"), ts("2024-01-01 06:00:00"))  // disjoint
+    ).toDF("b_id", "s", "e")
+    val out = a.intervalJoin(b, Seq(), Seq(), "s", "e", "s", "e",
+        bucketWidth = 30L * 60 * 1000000)
+      .selectCols(Seq(col("l.a_id").as("a_id"), col("r.b_id").as("b_id")))
+      .orderBy("b_id").collect()
+    assert(out.toSeq == Seq(Row(1L, 10L), Row(1L, 11L)))
+  }
+
+  test("approx_percentile stays within sketch error of the exact percentile") {
+    val vals = Seq.tabulate(5000)(i => (i % 7).toString -> (i % 997).toLong)
+      .toDF("g", "v")
+    val joined = vals.groupBy("g")
+      .agg(expr("approx_percentile(v, 0.5, 10000)").as("pa"),
+        expr("percentile(v, 0.5)").as("pe"))
+      .collect()
+    joined.foreach { r =>
+      val pa = r.getLong(1).toDouble
+      val pe = r.getDouble(2)
+      assert(math.abs(pa - pe) <= 2.0, s"group ${r.getString(0)}: $pa vs $pe")
+    }
+  }
+
   test("assignToCentroids: nearest wins, distance ties break to the lower cid") {
     val corpus = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 0.0f)))
       .toDF("id", "v")

@@ -47,6 +47,14 @@ class TextFnsSpec extends SparkSpec {
     assert(fp("a b c a b c") == 5659658050285375438L)
     // order sensitivity survives in portable mode
     assert(fp("a b c") != fp("c b a"))
+    // Combining-mark contract: the fold is per CODE POINT, so 'e' + U+0301
+    // hashes as two points — and DuckDB's string_split(tok, '') also yields
+    // the base char and the combining mark separately (verified: the value
+    // below is what the oracle's HUGEINT replay computes for this text).
+    // Precomposed 'é' (U+00E9) is a DIFFERENT single point => different
+    // hash: the contract is code-point-exact, not normalization-invariant.
+    assert(fp("abc e\u0301 x") == -4610857333944482054L)
+    assert(fp("abc e\u0301 x") != fp("abc \u00e9 x"))
   }
 
   test("portable simhash: pinned values and near-dup hamming locality") {
