@@ -711,6 +711,33 @@ object SparkEntry {
           col("n")))
         .sortBy(Seq(col("lang")))),
 
+    "q71_stream_stream_join" -> ((s, dir) => {
+      // TRUE watermarked stream-stream join (click -> purchase within 30
+      // min, same user) drained through a memory sink. Inner-join output is
+      // append-only and watermark-independent for a finite drain, so the
+      // result equals the batch join — replayed verbatim by the oracle.
+      val staged = java.nio.file.Files.createTempDirectory("graft_q71")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q71_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runStreamJoinSmoke(s, staged.toString, qn,
+            Seq("user_id"), leftType = "click", rightType = "purchase",
+            windowSeconds = 1800)
+          .selectCols(Seq(
+            col("l_user_id").as("user_id"),
+            col("l_event_id").as("click_id"),
+            col("r_event_id").as("purchase_id"),
+            unix_micros(col("l_ts")).as("click_us"),
+            unix_micros(col("r_ts")).as("purchase_us")))
+          .sortBy(Seq(col("user_id"), col("click_id"), col("purchase_id")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1595,6 +1622,19 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY "group", rank""",
+
+    // The streaming inner join's finite drain equals the batch join: every
+    // click paired with every same-user purchase in [ts, ts + 30 min].
+    "q71_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           epoch_us(CAST(a.ts AS TIMESTAMP)) AS click_us,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) AS purchase_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'purchase'
+          AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+          AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         ORDER BY a.user_id, click_id, purchase_id""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

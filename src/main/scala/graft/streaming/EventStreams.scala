@@ -268,6 +268,73 @@ object EventStreams {
     out
   }
 
+  /** Watermarked stream-stream INNER join: every (left, right) event pair
+    * with equal `keys` whose right timestamp falls inside
+    * `[left.ts, left.ts + windowSeconds]` — the "purchase within 30 min of
+    * a click" attribution primitive, run as a true Structured Streaming
+    * join.
+    *
+    * All left columns come back prefixed `l_`, right columns `r_` (a
+    * stream-stream self-join from one source would otherwise be ambiguous).
+    *
+    * Scale shape: both sides are hash-partitioned on the join keys (one
+    * shuffle each); the BOUNDED time-range condition plus a watermark on
+    * BOTH sides is what lets the state store evict — a left row is dropped
+    * once the right watermark passes `l_ts + windowSeconds`, a right row
+    * once the left watermark passes its `r_ts`. Without the time bound,
+    * stream-stream inner join state grows forever; this operator makes the
+    * bound part of the signature rather than an optional predicate.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      windowSeconds: Long, leftTs: String = "ts", rightTs: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "stream-stream join needs >= 1 equi-key")
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.select(df.columns.map(c => df(c).alias(p + c)): _*)
+    val l = prefixed(left, "l_").withWatermark("l_" + leftTs, watermark)
+    val r = prefixed(right, "r_").withWatermark("r_" + rightTs, watermark)
+    val cond = keys.map(k => l("l_" + k) === r("r_" + k)) ++ Seq(
+      r("r_" + rightTs) >= l("l_" + leftTs),
+      r("r_" + rightTs) <= l("l_" + leftTs) + expr(s"interval $windowSeconds seconds"))
+    l.join(r, cond.reduce(_ && _))
+  }
+
+  /** Drain [[streamStreamJoin]] over one parquet directory read as TWO
+    * independent file streams (left rows `event_type = leftType`, right
+    * rows `event_type = rightType`), synchronously into a memory sink.
+    * Inner-join output is append-only and watermark-independent for a
+    * finite drain, so the result is deterministic and equals the batch
+    * join — the differential oracle the driver replays in DuckDB.
+    */
+  def runStreamJoinSmoke(spark: SparkSession, parquetPath: String, queryName: String,
+      keys: Seq[String], leftType: String, rightType: String,
+      windowSeconds: Long): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    def stream(): DataFrame = {
+      val raw = spark.readStream.schema(schema).parquet(parquetPath)
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    val joined = streamStreamJoin(
+      stream().filter(col("event_type") === leftType),
+      stream().filter(col("event_type") === rightType),
+      keys, windowSeconds)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
   /** Run the windowed aggregation as an actual streaming query over a
     * parquet directory (FileStreamSource requires a directory or glob, not
     * a single file), draining it synchronously into a memory sink (the

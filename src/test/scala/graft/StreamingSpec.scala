@@ -216,6 +216,27 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_dedup_test")
   }
 
+  test("streamStreamJoin: finite drain equals the batch time-range join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val streamed = EventStreams.runStreamJoinSmoke(spark, dir, "graft_ssj_test",
+        Seq("user_id"), leftType = "click", rightType = "purchase", windowSeconds = 1800)
+      .select($"l_event_id", $"r_event_id")
+    val b = loadBatch
+    val l = b.filter($"event_type" === "click")
+      .select($"user_id".as("lu"), $"event_id".as("lid"), $"ts".as("lts"))
+    val r = b.filter($"event_type" === "purchase")
+      .select($"user_id".as("ru"), $"event_id".as("rid"), $"ts".as("rts"))
+    val batch = l.join(r, $"lu" === $"ru" && $"rts" >= $"lts" &&
+        $"rts" <= $"lts" + expr("interval 1800 seconds"))
+      .select($"lid", $"rid")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("sessionize: gap splits sessions per user") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
