@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{ColFns, TextFns, Udfs}
 import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
+import graft.operators.Relational
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
 
@@ -737,6 +738,22 @@ object SparkEntry {
         java.nio.file.Files.deleteIfExists(staged)
       }
     }),
+
+    "q72_rollup" -> ((s, dir) =>
+      // hierarchical subtotals in ONE aggregate pass (Expand, not n scans);
+      // gid disambiguates subtotal levels from genuine NULL group values
+      t(s, dir, "lineitem").rollupAgg(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+        .sortBy(Seq(col("gid"), col("l_returnflag"), col("l_linestatus")))),
+
+    "q73_pivot" -> ((s, dir) =>
+      // long->wide reporting pivot with EXPLICIT pivot values (no extra
+      // distinct-collect job); absent cells coalesced to 0 on both engines
+      Relational.pivotCounts(t(s, dir, "documents"),
+          Seq(col("source")), "lang", Seq("de", "en", "es", "fr", "zh"),
+          col("n_chars"))
+        .sortBy(Seq(col("source")))),
 
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
@@ -1635,6 +1652,31 @@ object SparkEntry {
           AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
           AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
          ORDER BY a.user_id, click_id, purchase_id""",
+
+    // GROUPING() bit order (leftmost column = most significant bit) matches
+    // Spark's grouping_id() — both follow the Postgres convention.
+    "q72_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+
+    "q73_pivot" ->
+      """SELECT source,
+           COUNT(*) FILTER (lang = 'de') AS de_n,
+           CAST(COALESCE(SUM(n_chars) FILTER (lang = 'de'), 0) AS BIGINT) AS de_sum,
+           COUNT(*) FILTER (lang = 'en') AS en_n,
+           CAST(COALESCE(SUM(n_chars) FILTER (lang = 'en'), 0) AS BIGINT) AS en_sum,
+           COUNT(*) FILTER (lang = 'es') AS es_n,
+           CAST(COALESCE(SUM(n_chars) FILTER (lang = 'es'), 0) AS BIGINT) AS es_sum,
+           COUNT(*) FILTER (lang = 'fr') AS fr_n,
+           CAST(COALESCE(SUM(n_chars) FILTER (lang = 'fr'), 0) AS BIGINT) AS fr_sum,
+           COUNT(*) FILTER (lang = 'zh') AS zh_n,
+           CAST(COALESCE(SUM(n_chars) FILTER (lang = 'zh'), 0) AS BIGINT) AS zh_sum
+         FROM documents GROUP BY source ORDER BY source""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

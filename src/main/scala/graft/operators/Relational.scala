@@ -52,6 +52,33 @@ object Relational {
       else df.groupBy(group: _*).agg(aggs.head, aggs.tail: _*)
     }
 
+    /** ROLLUP aggregation: hierarchical subtotals over `group` prefixes
+      * plus the grand total, with `grouping_id()` (bit i set = column i
+      * aggregated away) appended as `gid` to disambiguate subtotal levels
+      * from genuine NULL group values.
+      *
+      * Scale shape: Spark expands rollup into one Expand + ONE hash
+      * aggregate pass (n+1 grouping sets from a single scan) — partial
+      * aggregation still applies per set, so the shuffle carries one row
+      * per (set, key), never the table.
+      */
+    def rollupAgg(group: Seq[Column], aggs: Seq[Column]): DataFrame = {
+      require(group.nonEmpty, "rollup needs >= 1 group column")
+      require(aggs.nonEmpty, "rollup needs >= 1 aggregate expr")
+      df.rollup(group: _*).agg(grouping_id().cast("long").alias("gid"), aggs: _*)
+    }
+
+    /** CUBE aggregation: subtotals over EVERY subset of `group` (2^n sets)
+      * — same Expand + single-pass shape as [[rollupAgg]]; `gid` appended.
+      * 2^n grows fast: keep `group` to the few low-cardinality dimensions
+      * a reporting rollup actually needs.
+      */
+    def cubeAgg(group: Seq[Column], aggs: Seq[Column]): DataFrame = {
+      require(group.nonEmpty, "cube needs >= 1 group column")
+      require(aggs.nonEmpty, "cube needs >= 1 aggregate expr")
+      df.cube(group: _*).agg(grouping_id().cast("long").alias("gid"), aggs: _*)
+    }
+
     /** `df/window` — `src/main.rs:197-202,485`: append window-function
       * columns (auto-named `w0, w1, ...`) to all existing columns.
       * The caller builds each expr with `.over(windowSpec)` already applied.
@@ -357,6 +384,20 @@ object Relational {
         .select(col("bucket"), (lit(lo) + col("bucket") * lit(w)).alias("bucket_lo"), col("n"))
     }
 
+    /** Long→wide pivot with EXPLICIT pivot values: one aggregate pass, no
+      * preliminary distinct-collect job over the pivot column (Spark runs
+      * one when `values` is omitted — an extra scan a 100 TB pipeline
+      * shouldn't pay for a dimension the caller already knows). Output
+      * columns are `{value}_{aggAlias}`.
+      */
+    def pivotAgg(group: Seq[Column], pivotCol: String, values: Seq[Any],
+        aggs: Seq[Column]): DataFrame = {
+      require(group.nonEmpty, "pivot needs >= 1 group column")
+      require(values.nonEmpty, "pivot needs explicit pivot values")
+      require(aggs.nonEmpty, "pivot needs >= 1 aggregate expr")
+      df.groupBy(group: _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
+    }
+
     /** Deterministic hash sample: keep a row iff a multiplicative hash of
       * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
       * across runs, engines, and partitionings (unlike `df.sample`, whose
@@ -448,5 +489,21 @@ object Relational {
 
     /** `df/show-limit` — `src/main.rs:561-568`. */
     def showLimit(n: Int): Unit = df.show(n)
+  }
+
+  /** Reporting pivot: per `group`, for each pivot value `v` emit `{v}_n`
+    * (row count) and `{v}_sum` (long sum of `measure`), absent cells as 0
+    * (Spark's pivot yields NULL for combinations with no rows; the
+    * conditional-aggregation SQL an analyst would write yields 0 — this
+    * wrapper pins the 0 convention so the two spell the same table).
+    */
+  def pivotCounts(df: DataFrame, group: Seq[Column], pivotCol: String,
+      values: Seq[String], measure: Column): DataFrame = {
+    val wide = df.pivotAgg(group, pivotCol, values,
+      Seq(count(lit(1)).alias("n"), sum(measure.cast("long")).alias("sum")))
+    val cells = values.flatMap(v => Seq(
+      coalesce(wide.col(s"${v}_n"), lit(0L)).alias(s"${v}_n"),
+      coalesce(wide.col(s"${v}_sum"), lit(0L)).alias(s"${v}_sum")))
+    wide.select(group.indices.map(i => wide.columns(i)).map(wide.col) ++ cells: _*)
   }
 }

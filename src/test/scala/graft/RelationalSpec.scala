@@ -131,6 +131,42 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt column absent from physical plan:\n$plan")
   }
 
+  test("rollupAgg: subtotal levels carry the right gid; one Expand, one aggregate") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)).toDF("g1", "g2", "v")
+    val out = df.rollupAgg(Seq($"g1", $"g2"), Seq(sum($"v").as("s")))
+      .orderBy($"gid", $"g1", $"g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("a", "x", 0L, 1L), ("a", "y", 0L, 2L), ("b", "x", 0L, 4L), // leaves
+      ("a", null, 1L, 3L), ("b", null, 1L, 4L),                   // per-g1
+      (null, null, 3L, 7L)))                                      // grand total
+    // one Expand + hash aggregate: rollup must not become n separate scans
+    val plan = df.rollupAgg(Seq($"g1", $"g2"), Seq(sum($"v").as("s")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+  }
+
+  test("cubeAgg: every subset of the group appears (2^n grouping sets)") {
+    val df = Seq(("a", "x", 1L), ("b", "y", 2L)).toDF("g1", "g2", "v")
+    val out = df.cubeAgg(Seq($"g1", $"g2"), Seq(sum($"v").as("s")))
+    assert(out.select($"gid").distinct().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    // the g2-only subtotal (gid 2 = g1 aggregated away) sums per g2
+    val g2only = out.filter($"gid" === 2).orderBy($"g2").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(g2only == Seq(("x", 1L), ("y", 2L)))
+  }
+
+  test("pivotCounts: wide cells match conditional aggregation, absent cells are 0") {
+    val df = Seq(("s1", "de", 10L), ("s1", "de", 5L), ("s1", "en", 7L), ("s2", "en", 1L))
+      .toDF("source", "lang", "n_chars")
+    val out = graft.operators.Relational.pivotCounts(
+        df, Seq($"source"), "lang", Seq("de", "en"), $"n_chars")
+      .orderBy($"source").collect()
+    assert(out(0).toSeq == Seq("s1", 2L, 15L, 1L, 7L))
+    assert(out(1).toSeq == Seq("s2", 0L, 0L, 1L, 1L)) // absent (s2, de) => 0, not null
+  }
+
   test("joinOn: theta predicates ANDed; empty list => cross join") {
     val theta = left.joinOn(right, "inner", Seq($"k" < $"k2"))
     assert(theta.count() == 6) // (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
