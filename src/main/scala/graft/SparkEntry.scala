@@ -755,6 +755,20 @@ object SparkEntry {
           col("n_chars"))
         .sortBy(Seq(col("source")))),
 
+    "q74_unicode_nfc" -> ((s, dir) => {
+      // NFC normalization; the corpus is ASCII-heavy, so a decomposed
+      // "e"+combining-acute suffix is appended to give composition real
+      // work — the full normalized string is hash-compared, and the
+      // code-point count drops by exactly 1 per doc (the composed pair)
+      val mixed = concat(col("text"), lit(" cafe\u0301"))
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          TextFns.normalizeUnicode(mixed).as("nfc_text"),
+          length(mixed).cast("long").as("n_raw"),
+          length(TextFns.normalizeUnicode(mixed)).cast("long").as("n_nfc")))
+        .sortBy(Seq(col("doc_id")))
+    }),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1677,6 +1691,16 @@ object SparkEntry {
            COUNT(*) FILTER (lang = 'zh') AS zh_n,
            CAST(COALESCE(SUM(n_chars) FILTER (lang = 'zh'), 0) AS BIGINT) AS zh_sum
          FROM documents GROUP BY source ORDER BY source""",
+
+    // chr(769) = U+0301 combining acute; nfc_normalize composes e+mark to
+    // U+00E9 exactly as java.text.Normalizer NFC does. length() counts code
+    // points on both engines.
+    "q74_unicode_nfc" ->
+      """SELECT doc_id,
+           nfc_normalize(text || ' cafe' || chr(769)) AS nfc_text,
+           CAST(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT) AS n_nfc
+         FROM documents ORDER BY doc_id""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

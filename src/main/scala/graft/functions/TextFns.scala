@@ -23,6 +23,14 @@ object TextFns {
     */
   def tokenCount(c: Column): Column = graft.plans.TextExprs.tokenCount(c)
 
+  /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — run it before
+    * any hash-based dedup or tokenization so canonically-equivalent text
+    * (precomposed vs combining-mark accents, ligatures under NFKC) is one
+    * string, not many ([[graft.plans.TextExprs.NormalizeExpr]]).
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    graft.plans.TextExprs.normalizeUnicode(c, form)
+
   /** BPE-ish subword count: word-pieces + digits + punctuation as separate
     * tokens (a regex approximation of byte-pair tokenizers; deterministic,
     * cheap, codegen'd). Counts matches of: runs of letters (<=4 chars per

@@ -292,6 +292,27 @@ object TextExprs {
     override def prettyName: String = "token_hashes"
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD via `java.text.Normalizer`)
+    * — the canonical first step of any multilingual corpus pipeline:
+    * without it, precomposed "é" (U+00E9) and "e"+combining-acute
+    * (U+0065 U+0301) are different strings to every downstream dedup
+    * hash, shingle, and token counter. NFC is the interchange default;
+    * NFKC additionally folds compatibility forms (ligatures, full-width
+    * digits) and is the usual choice before tokenization.
+    *
+    * Pure per-row narrow transform: no shuffle, pushdown-transparent.
+    */
+  case class NormalizeExpr(child: Expression, form: String)
+      extends UnaryExpression with CodegenFallback {
+    private val nf = java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, nf))
+    override protected def withNewChildInternal(c: Expression): NormalizeExpr = copy(child = c)
+    override def prettyName: String = s"normalize_${form.toLowerCase(java.util.Locale.ROOT)}"
+  }
+
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def langId(c: Column): Column = asCol(LangIdExpr(asExpr(c)))
@@ -305,4 +326,6 @@ object TextExprs {
   def shingleHashes(c: Column, n: Int): Column = asCol(ShingleHashesExpr(asExpr(c), n))
   def tokenHashes(c: Column, portable: Boolean = false): Column =
     asCol(TokenHashesExpr(asExpr(c), portable))
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    asCol(NormalizeExpr(asExpr(c), form))
 }

@@ -57,6 +57,29 @@ class TextFnsSpec extends SparkSpec {
     assert(fp("abc e\u0301 x") != fp("abc \u00e9 x"))
   }
 
+  test("normalizeUnicode: NFC composes, NFD decomposes, NFKC folds compatibility forms") {
+    val df = Seq(
+      ("e\u0301",  "decomposed"),   // e + combining acute
+      ("\u00e9",   "precomposed"),  // precomposed e-acute
+      ("\ufb01le", "ligature"),     // fi-ligature + "le"
+      ("\uff11\uff12", "fullwidth") // fullwidth digits 1 2
+    ).toDF("s", "kind")
+    val out = df.select($"kind", TextFns.normalizeUnicode($"s").as("nfc"),
+        TextFns.normalizeUnicode($"s", "NFD").as("nfd"),
+        TextFns.normalizeUnicode($"s", "NFKC").as("nfkc"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out("decomposed")._1 == "\u00e9")       // NFC composes
+    assert(out("precomposed")._2 == "e\u0301")     // NFD decomposes
+    assert(out("ligature")._1 == "\ufb01le")       // NFC keeps the ligature
+    assert(out("ligature")._3 == "file")            // NFKC folds it
+    assert(out("fullwidth")._3 == "12")             // NFKC folds width
+    // null-safety + invalid form fails at construction
+    assert(df.select(TextFns.normalizeUnicode(lit(null).cast("string"))).collect()(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      TextFns.normalizeUnicode($"s", "NOPE"); ()
+    }
+  }
+
   test("portable simhash: pinned values and near-dup hamming locality") {
     import graft.operators.Dedup
     val sh = (s: String) => one(s).select(Dedup.simhash($"t", portable = true))
