@@ -769,6 +769,20 @@ object SparkEntry {
         .sortBy(Seq(col("doc_id")))
     }),
 
+    "q75_url_domains" -> ((s, dir) => {
+      // per-domain doc counts (the blocklist/quota profile). The corpus has
+      // no URLs, so deterministic ones are built from real columns first —
+      // the parse side (host + apex extraction) is what's under test
+      val url = concat(lit("https://docs."), col("source"), lit(".Example.COM:8443/"),
+        col("lang"), lit("/"), col("doc_id"), lit("?ref=x#top"))
+      val host = TextFns.urlHost(url)
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), host.as("host"),
+          TextFns.apexDomain(host).as("apex")))
+        .aggregate(Seq(col("host"), col("apex")), Seq(count(lit(1)).as("n")))
+        .sortBy(Seq(col("host")))
+    }),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1701,6 +1715,19 @@ object SparkEntry {
            CAST(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_raw,
            CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT) AS n_nfc
          FROM documents ORDER BY doc_id""",
+
+    // Port and fragment are stripped by the host class, lower() folds the
+    // mixed-case host; apex = last two dot-labels.
+    "q75_url_domains" ->
+      """WITH u AS (
+           SELECT doc_id,
+             lower(regexp_extract(
+               'https://docs.' || source || '.Example.COM:8443/' || lang || '/' || doc_id || '?ref=x#top',
+               'https?://([^/ :?#\t\n\x0B\f\r]+)', 1)) AS host
+           FROM documents)
+         SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS apex,
+           COUNT(*) AS n
+         FROM u GROUP BY 1, 2 ORDER BY host""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

@@ -116,6 +116,23 @@ object TextFns {
     regexp_replace(url, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
   }
 
+  /** Host part of the first http(s) URL in `c` (lowercased; empty string
+    * when no URL). Same Java/RE2-agnostic regex discipline as
+    * [[redactPii]]: the host ends at `/ : ? #` or whitespace, all spelled
+    * as explicit classes. The URL-frequency profile (per-domain doc
+    * counts) is how a web corpus decides source quotas and blocklists.
+    */
+  def urlHost(c: Column): Column =
+    lower(regexp_extract(c, "https?://([^/ :?#\\t\\n\\x0B\\f\\r]+)", 1))
+
+  /** Apex ("registrable-ish") domain: the last two dot-labels of a host
+    * (`a.b.example.com` -> `example.com`). A heuristic, NOT the Public
+    * Suffix List — `foo.co.uk` yields `co.uk`; a production blocklist
+    * join should plug a PSL table into the same column shape.
+    */
+  def apexDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
   /** Rotate-XOR rolling-hash document fingerprint over token hashes:
     * fp = fold(h_tok, acc -> rotl(acc, 5) ^ h_tok). Order-sensitive (unlike
     * a set hash), so reordered documents fingerprint differently. Pure

@@ -80,6 +80,16 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("urlHost/apexDomain: host stops at port/path/query, apex is last two labels") {
+    def host(t: String) = one(t).select(TextFns.urlHost($"t")).collect()(0).getString(0)
+    assert(host("see https://Docs.Sub.Example.COM:8443/a?b#c end") == "docs.sub.example.com")
+    assert(host("http://example.com/path") == "example.com")
+    assert(host("plain text, no url") == "")
+    val apex = one("x").select(TextFns.apexDomain(lit("a.b.example.com"))).collect()(0).getString(0)
+    assert(apex == "example.com")
+    assert(one("x").select(TextFns.apexDomain(lit("localhost"))).collect()(0).getString(0) == "")
+  }
+
   test("portable simhash: pinned values and near-dup hamming locality") {
     import graft.operators.Dedup
     val sh = (s: String) => one(s).select(Dedup.simhash($"t", portable = true))
