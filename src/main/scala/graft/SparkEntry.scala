@@ -783,6 +783,25 @@ object SparkEntry {
         .sortBy(Seq(col("host")))
     }),
 
+    "q76_quantize_embeddings" -> ((s, dir) =>
+      // int8 storage quantization: per-vector [min,max] -> 256 levels. The
+      // whole codec is replayed in SQL (mn/scale/codes/roundtrip error) —
+      // floor(x+0.5) quantization is bit-identical cross-engine
+      t(s, dir, "embeddings")
+        .selectCols(Seq(col("vec_id"), col("embedding").as("v"),
+          graft.plans.VectorExprs.quantizeInt8(col("embedding")).as("qz")))
+        .withColumn("dq", graft.plans.VectorExprs.dequantizeInt8(col("qz")))
+        .selectCols(Seq(
+          col("vec_id"),
+          col("qz.mn").as("mn"),
+          col("qz.scale").as("scale"),
+          aggregate(col("qz.q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          element_at(col("qz.q"), 1).cast("long").as("q0"),
+          element_at(col("qz.q"), 17).cast("long").as("q16"),
+          round(aggregate(zip_with(col("v"), col("dq"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err")))
+        .sortBy(Seq(col("vec_id")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1728,6 +1747,29 @@ object SparkEntry {
          SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS apex,
            COUNT(*) AS n
          FROM u GROUP BY 1, 2 ORDER BY host""",
+
+    // The codec replay: float lanes widen to DOUBLE exactly, then the same
+    // IEEE sequence (sub, div, +0.5, floor, clamp) on both engines; the
+    // index lambda (qq, i) re-reads v[i] for the roundtrip error.
+    "q76_quantize_embeddings" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (
+           SELECT vec_id, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+           FROM e),
+         q AS (
+           SELECT vec_id, v, mn, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+               ELSE CAST(least(greatest(floor((x - mn) / scale + 0.5), 0), 255) AS INT)
+               END) AS qs
+           FROM p)
+         SELECT vec_id, mn, scale,
+           CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qsum,
+           CAST(qs[1] AS BIGINT) AS q0, CAST(qs[17] AS BIGINT) AS q16,
+           round(list_max(list_transform(qs, (qq, i) -> abs(v[i] - (mn + qq * scale)))), 6) AS max_err
+         FROM q ORDER BY vec_id""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

@@ -254,6 +254,77 @@ object VectorExprs {
     override def prettyName: String = "l2_norm"
   }
 
+  /** Per-vector int8 scalar quantization: 256 levels over the vector's own
+    * [min, max] — `q_i = floor((x_i - mn)/scale + 0.5)` clamped to
+    * [0, 255], `scale = (mx - mn)/255`. At 100 TB this is the embedding
+    * STORAGE format: 4x smaller than float32 (plus 16 bytes of struct
+    * header), and dequantized cosine stays within ~1e-2 of exact (spec-
+    * pinned), which candidate generation tolerates — rerank the shortlist
+    * with full-precision vectors.
+    *
+    * `floor(x + 0.5)` rather than `round`: both engines' IEEE double add +
+    * floor are bit-identical, while round's half-tie rule differs across
+    * engines. A constant (mx == mn) vector quantizes to all-zeros with
+    * scale 0.
+    *
+    * Returns struct(mn double, scale double, q array<int>).
+    */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("mn", DoubleType, nullable = false),
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val t = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = a.numElements()
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        val x = toDouble(a, i, t)
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        i += 1
+      }
+      if (n == 0) { mn = 0.0; mx = 0.0 }
+      val scale = (mx - mn) / 255.0
+      val q = new Array[Int](n)
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) {
+          val lv = math.floor((toDouble(a, i, t) - mn) / scale + 0.5)
+          q(i) = math.min(255.0, math.max(0.0, lv)).toInt
+          i += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](mn, scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeInt8 = copy(child = c)
+    override def prettyName: String = "quantize_int8"
+  }
+
+  /** Inverse of [[QuantizeInt8]]: `mn + q_i * scale` as array<double>.
+    * Lossy by construction — error per element is <= scale/2.
+    */
+  case class DequantizeInt8(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val row = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val mn = row.getDouble(0)
+      val scale = row.getDouble(1)
+      val q = row.getArray(2)
+      val n = q.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = mn + q.getInt(i) * scale; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): DequantizeInt8 = copy(child = c)
+    override def prettyName: String = "dequantize_int8"
+  }
+
   // --- Column wrappers ------------------------------------------------------
   // Spark 4.x: Column wraps a ColumnNode; the classic converters are
   // private[sql], bridged via org.apache.spark.sql.graft.Bridge.
@@ -269,6 +340,8 @@ object VectorExprs {
   def cosine(a: Column, b: Column): Column = asCol(CosineSim(asExpr(a), asExpr(b)))
   def l2norm(c: Column): Column = asCol(L2Norm(asExpr(c)))
   def l2DistSq(a: Column, b: Column): Column = asCol(L2DistSq(asExpr(a), asExpr(b)))
+  def quantizeInt8(c: Column): Column = asCol(QuantizeInt8(asExpr(c)))
+  def dequantizeInt8(c: Column): Column = asCol(DequantizeInt8(asExpr(c)))
 
   /** SQL-name registration so these also work via `spark.sql` /
     * `call_function` (same registry the Agent's builtin functions live in).
@@ -280,5 +353,7 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_dist_sq", es => L2DistSq(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("quantize_int8", es => QuantizeInt8(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dequantize_int8", es => DequantizeInt8(es.head), "built-in")
   }
 }

@@ -105,6 +105,46 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(1L) == 0.5 && rec(2L) == 0.0)
   }
 
+  test("quantizeInt8: roundtrip error <= scale/2, codes span [0,255], constant vector is all-zero") {
+    val vs = Seq(
+      (1L, Seq(-1.0f, 0.0f, 0.5f, 1.0f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f, 3.0f)), // constant => scale 0
+      (3L, Seq.tabulate(64)(i => (math.sin(i) * (i % 7)).toFloat))
+    ).toDF("id", "v")
+    val out = vs.select($"id", $"v", VectorExprs.quantizeInt8($"v").as("qz"))
+      .withColumn("dq", VectorExprs.dequantizeInt8($"qz"))
+      .withColumn("err", aggregate(zip_with($"v", $"dq", (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val q1 = r1.getStruct(2).getSeq[Int](2)
+    assert(q1.min == 0 && q1.max == 255) // min maps to 0, max to 255
+    val scale1 = r1.getStruct(2).getDouble(1)
+    assert(r1.getDouble(4) <= scale1 / 2 + 1e-12)
+    val r2 = out(2L)
+    assert(r2.getStruct(2).getDouble(1) == 0.0 && r2.getStruct(2).getSeq[Int](2).forall(_ == 0))
+    assert(r2.getDouble(4) == 0.0) // dequant of a constant vector is exact
+    val r3 = out(3L)
+    assert(r3.getDouble(4) <= r3.getStruct(2).getDouble(1) / 2 + 1e-12)
+  }
+
+  test("quantized cosine stays within 1e-2 of exact on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val a = e.filter($"vec_id" < 20).select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = e.filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b)
+      .withColumn("dqa", VectorExprs.dequantizeInt8(VectorExprs.quantizeInt8($"va")))
+      .withColumn("dqb", VectorExprs.dequantizeInt8(VectorExprs.quantizeInt8($"vb")))
+      .select(
+        VectorExprs.cosine($"va", $"vb").as("exact"),
+        VectorExprs.cosine($"dqa", $"dqb").as("approx"))
+      .withColumn("diff", abs($"exact" - $"approx"))
+    val worst = pairs.agg(max($"diff")).collect()(0).getDouble(0)
+    assert(worst <= 0.01, s"worst quantized-cosine drift $worst")
+  }
+
   test("native expressions are reachable from the SQL surface via register") {
     graft.plans.VectorExprs.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")
