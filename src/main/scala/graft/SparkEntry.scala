@@ -802,6 +802,32 @@ object SparkEntry {
             lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_err")))
         .sortBy(Seq(col("vec_id")))),
 
+    "q77_approx_distinct" -> ((s, dir) =>
+      // HLL++ distinct-token cardinality per lang: the sketch shuffles a
+      // few KB per group instead of the token set (the 100 TB path next to
+      // the exact countDistinct, which shuffles every distinct token).
+      // Sketches differ across engines by construction => rows-only; the
+      // <=5% relative-error bound vs exact is spec-pinned (CorpusSpec).
+      t(s, dir, "documents")
+        .selectCols(Seq(col("lang"), explode(TextFns.tokens(col("text"))).as("tok")))
+        .aggregate(Seq(col("lang")), Seq(
+          approx_count_distinct(col("tok"), rsd = 0.02).as("approx_toks"),
+          countDistinct(col("tok")).as("exact_toks")))
+        .sortBy(Seq(col("lang")))),
+
+    "q78_corr_stats" -> ((s, dir) =>
+      // Pearson corr / covariance from exact decimal co-moments — NOT the
+      // streaming corr aggregate, whose float accumulation is
+      // partitioning-dependent and never hash-matchable
+      t(s, dir, "lineitem").corrStats(Seq(col("l_returnflag")),
+          col("l_quantity"), col("l_extendedprice"))
+        .selectCols(Seq(col("l_returnflag"), col("n"),
+          round(col("corr"), 6).as("corr"),
+          round(col("covar_samp"), 4).as("covar_samp"),
+          round(col("std_x"), 6).as("std_x"),
+          round(col("std_y"), 4).as("std_y")))
+        .sortBy(Seq(col("l_returnflag")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1770,6 +1796,35 @@ object SparkEntry {
            CAST(qs[1] AS BIGINT) AS q0, CAST(qs[17] AS BIGINT) AS q16,
            round(list_max(list_transform(qs, (qq, i) -> abs(v[i] - (mn + qq * scale)))), 6) AS max_err
          FROM q ORDER BY vec_id""",
+
+    // Same co-moment formula spelled with the same IEEE op sequence; the
+    // decimal sums are exact on both engines, doubles only at the end.
+    "q78_corr_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS sxy,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS sxx,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         d AS (
+           SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy
+           FROM m)
+         SELECT l_returnflag, n,
+           round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+             THEN (nd * sxy - sx * sy)
+               / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+             END, 6) AS corr,
+           round((nd * sxy - sx * sy) / (nd * (nd - 1.0)), 4) AS covar_samp,
+           round(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))), 6) AS std_x,
+           round(sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))), 4) AS std_y
+         FROM d ORDER BY l_returnflag""",
 
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and

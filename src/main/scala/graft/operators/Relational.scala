@@ -384,6 +384,36 @@ object Relational {
         .select(col("bucket"), (lit(lo) + col("bucket") * lit(w)).alias("bucket_lo"), col("n"))
     }
 
+    /** Per-group Pearson correlation, sample covariance, and sample
+      * stddevs of (x, y) — computed from EXACT decimal co-moments
+      * (n, Σx, Σy, Σxy, Σx², Σy²) rather than Spark's streaming `corr`:
+      * the six sums are order-independent (decimal adds are exact), so the
+      * result is identical on any partitioning/engine, and the final
+      * double formula is one fixed IEEE sequence. One partial-aggregated
+      * pass; at 100 TB this shuffles six decimals per group.
+      *
+      * corr is NULL where either variance is zero (constant column).
+      */
+    def corrStats(group: Seq[Column], x: Column, y: Column): DataFrame = {
+      def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(30, 6))
+      val agged = df.groupBy(group: _*).agg(
+        count(lit(1)).alias("n"),
+        sum(dec(x)).alias("sx"), sum(dec(y)).alias("sy"),
+        sum(dec(x * y)).alias("sxy"),
+        sum(dec(x * x)).alias("sxx"), sum(dec(y * y)).alias("syy"))
+      val n = col("n").cast("double")
+      def d(name: String) = col(name).cast("double")
+      val vx = n * d("sxx") - d("sx") * d("sx")
+      val vy = n * d("syy") - d("sy") * d("sy")
+      val cov = n * d("sxy") - d("sx") * d("sy")
+      agged.select(group.indices.map(i => col(agged.columns(i))) ++ Seq(
+        col("n"),
+        when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).alias("corr"),
+        (cov / (n * (n - lit(1.0)))).alias("covar_samp"),
+        sqrt(vx / (n * (n - lit(1.0)))).alias("std_x"),
+        sqrt(vy / (n * (n - lit(1.0)))).alias("std_y")): _*)
+    }
+
     /** Long→wide pivot with EXPLICIT pivot values: one aggregate pass, no
       * preliminary distinct-collect job over the pivot column (Spark runs
       * one when `values` is omitted — an extra scan a 100 TB pipeline

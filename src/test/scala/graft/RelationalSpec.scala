@@ -167,6 +167,29 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).toSeq == Seq("s2", 0L, 0L, 1L, 1L)) // absent (s2, de) => 0, not null
   }
 
+  test("corrStats: exact co-moment corr matches hand math; constant column yields NULL corr") {
+    val df = Seq((1.0, 2.0, "g"), (2.0, 4.0, "g"), (3.0, 6.0, "g"), // y = 2x => corr 1
+      (1.0, 5.0, "h"), (2.0, 5.0, "h"), (3.0, 5.0, "h"))            // y constant
+      .toDF("x", "y", "g")
+    val out = df.corrStats(Seq($"g"), $"x", $"y").orderBy($"g").collect()
+    assert(out(0).getLong(1) == 3L && math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - 2.0) < 1e-12) // covar_samp of (x, 2x), var_samp(x)=1
+    assert(out(1).isNullAt(2)) // zero variance => NULL, not NaN
+    assert(out(1).getDouble(5) == 0.0) // std_y of the constant column
+  }
+
+  test("approx_count_distinct stays within 5% of exact across real doc tokens") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select($"lang", explode(graft.functions.TextFns.tokens($"text")).as("tok"))
+    val both = toks.groupBy($"lang")
+      .agg(approx_count_distinct($"tok", rsd = 0.02).as("a"), countDistinct($"tok").as("e"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"lang ${r.getString(0)}: approx $a exact $e")
+    }
+  }
+
   test("joinOn: theta predicates ANDed; empty list => cross join") {
     val theta = left.joinOn(right, "inner", Seq($"k" < $"k2"))
     assert(theta.count() == 6) // (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
