@@ -828,6 +828,20 @@ object SparkEntry {
           round(col("std_y"), 4).as("std_y")))
         .sortBy(Seq(col("l_returnflag")))),
 
+    "q79_kmeans_lloyd" -> ((s, dir) => {
+      // one exact distributed Lloyd iteration from the deterministic
+      // first-8 init: nearest-centroid assignment + decimal per-dim means,
+      // every number replayed in SQL (the hash-matchable sibling of the
+      // sampled k-means seeding behind IVF)
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val init = e.filterCol(col("vec_id") < 8)
+        .selectCols(Seq(col("vec_id").as("cid"), col("embedding").as("cv")))
+      Similarity.kmeansLloydStep(corpus, init)
+        .withColumn("c", round(col("c"), 6))
+        .sortBy(Seq(col("cid"), col("dim")))
+    }),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1829,6 +1843,31 @@ object SparkEntry {
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and
     // dist_sq is rounded to 6 on both sides.
+    // Same assignment CTE as q65, then per-dimension DECIMAL means over
+    // generate_series(1, 64) (the embedding width).
+    "q79_kmeans_lloyd" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         s AS (
+           SELECT e.vec_id AS id, e.v, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+           FROM e CROSS JOIN c),
+         a AS (
+           SELECT id, v, cid FROM (
+             SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM s) WHERE rn = 1),
+         x AS (
+           SELECT cid, t.i AS dim, CAST(v[t.i] AS DECIMAL(30,12)) AS xd
+           FROM a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t)
+         SELECT cid, CAST(dim AS BIGINT) AS dim,
+           round(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS c,
+           COUNT(*) AS n_members
+         FROM x GROUP BY cid, dim
+         ORDER BY cid, dim""",
+
     "q65_centroid_assign" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

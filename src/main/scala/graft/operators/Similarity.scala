@@ -294,6 +294,60 @@ object Similarity {
       .select(col("id"), col("best.cid").alias("cid"), col("best.d").alias("dist_sq"))
   }
 
+  /** One EXACT distributed Lloyd iteration: assign every corpus vector to
+    * its nearest centroid ([[assignToCentroids]] — l2, ties to the lower
+    * cid), then recompute each centroid as the per-dimension mean of its
+    * members. Output in LONG format (cid, dim 1-based, c, n_members) —
+    * array columns don't survive cross-engine hash comparison, and the
+    * long shape is what the oracle replays.
+    *
+    * Exactness: per-dimension sums are DECIMAL (order-independent,
+    * engine-independent), cast to double only for the final mean — so this
+    * is the hash-matchable sibling of [[kmeansCentroids]]'s sampled
+    * driver-side loop. Scale shape: the explode produces d rows per
+    * vector, but partial aggregation collapses them to k x d per partition
+    * before the shuffle; the broadcast assignment never shuffles the
+    * corpus. Empty clusters simply emit no rows (the caller keeps the old
+    * centroid or re-seeds).
+    */
+  def kmeansLloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids).select(col("id"), col("cid"))
+    corpus.select(col("id"), col("v")).join(assigned, "id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy(col("cid"), col("dim0"))
+      .agg(
+        sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .alias("sx"),
+        count(lit(1)).alias("n_members"))
+      .select(col("cid"), (col("dim0") + 1).cast("long").alias("dim"),
+        (col("sx").cast("double") / col("n_members")).alias("c"),
+        col("n_members"))
+  }
+
+  /** `iters` Lloyd iterations from `init` (cid, cv): each round runs
+    * [[kmeansLloydStep]] and re-forms the (cid, cv) centroid frame. The
+    * k x d centroid table is collected to the driver between rounds and
+    * re-broadcast — bounded state, the same structure MLlib's KMeans uses
+    * (centroids are driver state; only assignments are distributed).
+    */
+  def kmeansFit(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val spark = corpus.sparkSession
+    var cents = init.select(col("cid"), col("cv"))
+    var i = 0
+    while (i < iters) {
+      val stepped = kmeansLloydStep(corpus, cents)
+        .groupBy(col("cid").cast("long").alias("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s("c")).alias("cv"))
+      // k x d doubles: bounded driver state, re-broadcast next round
+      val rows = stepped.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cents = spark.createDataFrame(rows.toSeq).toDF("cid", "cv")
+      i += 1
+    }
+    cents
+  }
+
   /** Recall@k of an approximate top-k result against the exact one (both in
     * [[explodeTopK]]'s output shape): per query, the fraction of exact
     * neighbors the approximate search recovered. This is how an ANN

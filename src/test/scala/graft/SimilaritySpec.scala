@@ -105,6 +105,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(1L) == 0.5 && rec(2L) == 0.0)
   }
 
+  test("kmeansLloydStep: hand fixture means; kmeansFit converges to cluster centers") {
+    // two tight clusters around (0,0) and (10,10); init centroids off-center
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(10.0f, 10.0f)), (5L, Seq(11.0f, 11.0f)), (6L, Seq(10.0f, 11.0f))
+    ).toDF("id", "v")
+    val init = Seq((0L, Seq(2.0, 2.0)), (1L, Seq(8.0, 8.0))).toDF("cid", "cv")
+    val step = Similarity.kmeansLloydStep(corpus, init)
+      .orderBy($"cid", $"dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(step == Seq(
+      (0L, 1L, 1.0 / 3, 3L), (0L, 2L, 2.0 / 3, 3L),
+      (1L, 1L, 31.0 / 3, 3L), (1L, 2L, 32.0 / 3, 3L)))
+    // two full iterations: centroids land on the exact cluster means
+    val fitted = Similarity.kmeansFit(corpus, init, iters = 2)
+      .orderBy($"cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(fitted(0L).zip(Seq(1.0 / 3, 2.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(fitted(1L).zip(Seq(31.0 / 3, 32.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
   test("quantizeInt8: roundtrip error <= scale/2, codes span [0,255], constant vector is all-zero") {
     val vs = Seq(
       (1L, Seq(-1.0f, 0.0f, 0.5f, 1.0f)),
