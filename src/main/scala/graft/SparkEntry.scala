@@ -842,6 +842,27 @@ object SparkEntry {
         .sortBy(Seq(col("cid"), col("dim")))
     }),
 
+    "q80_bigram_lift" -> ((s, dir) =>
+      // top collocations by lift (= exp(PMI); same ranking, exact
+      // cross-engine arithmetic — ln would not hash-match)
+      Corpus.bigramLift(t(s, dir, "documents"),
+          TextFns.tokens(col("text")), minCount = 5L, k = 50)
+        .sortBy(Seq(col("rank")))),
+
+    "q81_session_window" -> ((s, dir) =>
+      // Spark's BUILT-IN session_window (gap-merged event-time windows) —
+      // the declarative sibling of q41's window-function sessionize and
+      // q42's custom-state streaming form; one shuffle on (user_id)
+      t(s, dir, "events")
+        .aggregate(
+          Seq(col("user_id"), session_window(col("ts"), "30 minutes").as("sw")),
+          Seq(count(lit(1)).as("n_events")))
+        .selectCols(Seq(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events")))
+        .sortBy(Seq(col("user_id"), col("start_us")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1843,6 +1864,53 @@ object SparkEntry {
     // Float parquet values widen exactly to DOUBLE on both engines; the
     // per-element (a-b)^2 accumulation is the same left-to-right fold, and
     // dist_sq is rounded to 6 on both sides.
+    // Ranking happens on the UNROUNDED score (bit-identical doubles) in
+    // both engines; only the emitted lift is rounded.
+    "q80_bigram_lift" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         u AS (SELECT unnest(toks) AS term FROM t),
+         uc AS (SELECT term, COUNT(*) AS n FROM u GROUP BY term),
+         bi AS (
+           SELECT toks[i] AS ta, toks[i + 1] AS tb FROM (
+             SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) > 1)),
+         bc AS (
+           SELECT ta, tb, COUNT(*) AS nab FROM bi GROUP BY 1, 2
+           HAVING COUNT(*) >= 5),
+         tot AS (
+           SELECT (SELECT COUNT(*) FROM u) AS nu, (SELECT COUNT(*) FROM bi) AS nbig),
+         s AS (
+           SELECT ta, tb, nab,
+             (CAST(nab AS DOUBLE) * nu * nu) / (CAST(ua.n AS DOUBLE) * ub.n * nbig) AS score0
+           FROM bc JOIN uc ua ON bc.ta = ua.term
+                   JOIN uc ub ON bc.tb = ub.term
+                   CROSS JOIN tot)
+         SELECT ta, tb, nab, round(score0, 6) AS lift,
+           CAST(row_number() OVER (ORDER BY score0 DESC, ta, tb) AS BIGINT) AS rank
+         FROM s QUALIFY rank <= 50 ORDER BY rank""",
+
+    // session_window splits when the inter-event gap >= 30 min (strict
+    // overlap merge), and window.end = last event + gap.
+    "q81_session_window" ->
+      """WITH x AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         y AS (
+           SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+           FROM x),
+         z AS (
+           SELECT user_id, us,
+             SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS seq
+           FROM y)
+         SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+           COUNT(*) AS n_events
+         FROM z GROUP BY user_id, seq
+         ORDER BY user_id, start_us""",
+
     // Same assignment CTE as q65, then per-dimension DECIMAL means over
     // generate_series(1, 64) (the embedding width).
     "q79_kmeans_lloyd" ->

@@ -213,6 +213,55 @@ object Corpus {
       .drop("__quota", "__rn")
   }
 
+  /** Top-k bigram collocations by LIFT — `p(a,b) / (p(a) p(b))`, the
+    * exponent-free core of PMI (PMI = ln(lift); ln is monotonic, so the
+    * RANKING is identical, and lift avoids ln's cross-engine rounding —
+    * same trick as [[tfIdfTopTerms]]'s linear idf). The phrase-mining /
+    * tokenizer-merge primitive: high-lift adjacent pairs are the
+    * candidate multi-word units.
+    *
+    * Score `= (nab * Nu * Nu) / (na * nb * Nb)` with counts promoted to
+    * double left-to-right — every intermediate product is an exact
+    * integer below 2^53 at any plausible corpus scale, so both engines
+    * compute identical bits. Ties rank (term_a, term_b) ascending.
+    *
+    * Scale shape: bigram generation is a per-doc array zip (narrow);
+    * counting partial-aggregates; the two unigram joins are equi-joins on
+    * the term; top-k is TakeOrdered (no global sort materialization).
+    * `minCount` prunes the long tail BEFORE the joins.
+    */
+  def bigramLift(df: DataFrame, terms: Column, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(terms.alias("toks"))
+    val uni = base.select(explode(col("toks")).alias("term"))
+      .groupBy("term").agg(count(lit(1)).alias("n"))
+    val bi = base.filter(size(col("toks")) > 1)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.alias("ta"), b.alias("tb")))).alias("bg"))
+      .select(col("bg.ta").alias("ta"), col("bg.tb").alias("tb"))
+    val bc = bi.groupBy("ta", "tb").agg(count(lit(1)).alias("nab"))
+      .filter(col("nab") >= minCount)
+    val totals = uni.agg(sum(col("n")).alias("nu"))
+      .crossJoin(bi.agg(count(lit(1)).alias("nbig")))
+    val score0 = (col("nab").cast("double") * col("nu") * col("nu")) /
+      (col("na").cast("double") * col("nb") * col("nbig"))
+    val scored = bc
+      .join(uni.select(col("term"), col("n").alias("na")), col("ta") === col("term")).drop("term")
+      .join(uni.select(col("term"), col("n").alias("nb")), col("tb") === col("term")).drop("term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score0", score0)
+      .orderBy(col("score0").desc, col("ta"), col("tb"))
+      .limit(k)
+    val w = Window.orderBy(col("score0").desc, col("ta"), col("tb"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("ta"), col("tb"), col("nab"), round(col("score0"), 6).alias("lift"),
+        col("rank"))
+  }
+
   /** Exact top-k rows per group via the partial-merge bounded-heap
     * aggregator ([[graft.operators.Similarity.topK]]) — the 100 TB form of
     * [[quotaSample]] with a uniform k: every map task reduces its partition

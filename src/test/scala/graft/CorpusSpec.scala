@@ -116,6 +116,23 @@ class CorpusSpec extends SparkSpec {
     assert(out(2).getString(1) == "w" && out(2).getDouble(4) == 1.5)
   }
 
+  test("bigramLift: hand-computed lift on a tiny corpus; minCount prunes") {
+    // "x y" occurs 2x and x,y occur ONLY together => maximal lift;
+    // "a a" occurs 2x but a is everywhere => low lift
+    val docs = Seq("x y a a x y", "a a b a").toDF("text")
+    val out = Corpus.bigramLift(docs, graft.functions.TextFns.tokens($"text"),
+        minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // unigrams: x=2 y=2 a=5 b=1, Nu=10; bigrams: "x y","y a","a a","a x","a a","a b","b a" => Nb=8
+    // wait: doc1 bigrams: xy, ya, aa, ax, xy (5); doc2: aa, ab, ba (3); Nb=8
+    // nab("x y")=2: lift = 2*10*10/(2*2*8) = 6.25
+    // nab("a a")=2: lift = 2*10*10/(5*5*8) = 1.0
+    val m = out.map(t => (t._1, t._2) -> t).toMap
+    assert(m(("x", "y"))._4 == 6.25 && m(("x", "y"))._5 == 1L)
+    assert(m(("a", "a"))._4 == 1.0)
+    assert(out.length == 2) // every other bigram occurs once => pruned by minCount
+  }
+
   test("quotaSample honors per-group quotas and the deterministic tie-break") {
     val docs = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0),
