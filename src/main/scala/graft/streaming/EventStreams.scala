@@ -321,18 +321,33 @@ object EventStreams {
       stream().filter(col("event_type") === leftType),
       stream().filter(col("event_type") === rightType),
       keys, windowSeconds)
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val out = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
-    out
+    // A stream-stream join instantiates 4 state stores PER shuffle
+    // partition; for a finite local drain that fixed cost dwarfs the data,
+    // so run the stateful stage narrow and skip post-data no-data batches
+    // (inner-join matches are all emitted in the data batches; the extra
+    // batches only advance eviction, which a finite drain doesn't need).
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Run the windowed aggregation as an actual streaming query over a
