@@ -12,7 +12,11 @@ object ExplainAudit {
         "q36_ann_brute", "q40_events_window", "q45_ann_ivf_exact", "q47_salted_join",
         "q50_neardup_components", "q51_clean_corpus",
         "q57_segment_dedup", "q59_contamination", "q60_pack_sequences",
-        "q63_range_join", "q64_gap_fill", "q65_centroid_assign")
+        "q63_range_join", "q64_gap_fill", "q65_centroid_assign",
+        "q66_tfidf_top_terms", "q68_interval_join", "q69_topk_per_group",
+        "q72_rollup", "q73_pivot", "q76_quantize_embeddings",
+        "q78_corr_stats", "q79_kmeans_lloyd", "q80_bigram_lift",
+        "q81_session_window")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -175,13 +175,19 @@ object Corpus {
     require(k > 0, s"k must be positive, got $k")
     val tf = df.select(id.alias("id"), explode(terms).alias("term"))
       .groupBy("id", "term").agg(count(lit(1)).alias("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).alias("doc_freq"))
+    // doc_freq as a window over tf, NOT a second aggregate joined back:
+    // that formulation re-scans and re-tokenizes the raw text (the
+    // dominant cost at corpus scale); this one shuffles the much smaller
+    // (doc, term) frame once by term. n_docs still reads the table — but
+    // only the id column (columnar scan), and token-less documents must
+    // count toward N.
+    val wTerm = Window.partitionBy(col("term"))
     val nDocs = df.select(id.alias("id")).distinct()
       .agg(count(lit(1)).alias("n_docs"))
     val rawIdf = (col("n_docs") + lit(1)).cast("double") / (col("doc_freq") + lit(1))
     val idf = if (logIdf) log(rawIdf) + lit(1.0) else rawIdf
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
-    tf.join(docFreq, "term")
+    tf.withColumn("doc_freq", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * idf)
       .withColumn("rank", row_number().over(w))
@@ -244,8 +250,12 @@ object Corpus {
       .select(col("bg.ta").alias("ta"), col("bg.tb").alias("tb"))
     val bc = bi.groupBy("ta", "tb").agg(count(lit(1)).alias("nab"))
       .filter(col("nab") >= minCount)
-    val totals = uni.agg(sum(col("n")).alias("nu"))
-      .crossJoin(bi.agg(count(lit(1)).alias("nbig")))
+    // totals come from per-doc token counts in ONE narrow pass — deriving
+    // them from the uni/bi subtrees would re-tokenize the corpus twice
+    // more (Spark does not dedupe repeated subplans)
+    val totals = base.select(size(col("toks")).alias("nt"))
+      .agg(sum(col("nt").cast("long")).alias("nu"),
+        sum(greatest(col("nt") - 1, lit(0)).cast("long")).alias("nbig"))
     val score0 = (col("nab").cast("double") * col("nu") * col("nu")) /
       (col("na").cast("double") * col("nb") * col("nbig"))
     val scored = bc
