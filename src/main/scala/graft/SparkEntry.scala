@@ -863,6 +863,59 @@ object SparkEntry {
           col("n_events")))
         .sortBy(Seq(col("user_id"), col("start_us")))),
 
+    "q82_systematic_sample" -> ((s, dir) =>
+      // weighted systematic sampling (data-mixing composition step): one
+      // kept row per 1000 weight units per source, selection probability
+      // proportional to n_chars. No RNG — the running-sum crossing rule is
+      // exact cross-engine, unlike df.sample's partition-layout dependence
+      t(s, dir, "documents")
+        .systematicSample(col("source"), col("doc_id"), col("n_chars"), 1000L)
+        .selectCols(Seq(col("doc_id"), col("source"), col("n_chars")))
+        .sortBy(Seq(col("doc_id")))),
+
+    "q83_strip_boilerplate" -> ((s, dir) => {
+      // boilerplate LINE removal: the corpus has no newlines, so multi-line
+      // docs are built deterministically from real columns (body + an
+      // alternating per-source footer + a global footer) — same precedent
+      // as q74/q75. Lines shared by >= 10 distinct docs vanish everywhere:
+      // even docs lose both footers, odd docs keep their unique contact line
+      val doc = concat(col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("subscribe to "), col("source"), lit(" weekly")))
+          .otherwise(concat(lit("contact "), col("doc_id"))),
+        lit("\n"), lit("all rights reserved"))
+      Corpus.stripBoilerplate(
+          t(s, dir, "documents").withColumn("doc", doc),
+          col("doc_id"), col("doc"), minDocs = 10L)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q84_rarity_score" -> ((s, dir) =>
+      // unigram-LM rarity filtering signal (integer-exact perplexity
+      // surrogate): mean inverse token probability, scaled floor division
+      Corpus.rarityScore(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")))
+        .sortBy(Seq(col("id")))),
+
+    "q85_contamination_bloom" -> ((s, dir) =>
+      // q59's contamination with the Bloom-prefiltered corpus side — the
+      // 100 TB shape (the bloom has no false negatives and the exact semi
+      // join removes false positives, so the answer is identical to q59's)
+      Corpus.contaminationBloom(t(s, dir, "documents"), col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(97)) === 0, ngram = 8, fpp = 0.01)
+        .sortBy(Seq(col("id")))),
+
+    "q86_edit_distance_pairs" -> ((s, dir) =>
+      // fuzzy entity dedup over short strings: distinct-first + complete
+      // length-band blocking, levenshtein <= 3 on candidates only
+      Dedup.editDistancePairs(t(s, dir, "part"), col("p_name"), maxDist = 3)
+        .sortBy(Seq(col("sa"), col("sb")))),
+
+    "q87_frequency_spectrum" -> ((s, dir) =>
+      // Zipf profile: how many distinct terms occur exactly k times
+      Corpus.frequencySpectrum(t(s, dir, "documents"), TextFns.tokens(col("text")))
+        .sortBy(Seq(col("occurrences")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -1935,6 +1988,109 @@ object SparkEntry {
            COUNT(*) AS n_members
          FROM x GROUP BY cid, dim
          ORDER BY cid, dim""",
+
+    // Same running-sum crossing rule: keep a row iff its weight interval
+    // (cum-w, cum] crosses a multiple of the step. Integer cums are exact
+    // in doubles, so floor() agrees bit-for-bit across engines.
+    "q82_systematic_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)
+         WHERE floor(cum / 1000.0) > floor((cum - n_chars) / 1000.0)
+         ORDER BY doc_id""",
+
+    // Same doc construction, then the full boilerplate pass replayed on
+    // line TEXT (the operator keys lines by xxhash64 of the same trimmed
+    // text — identical up to 2^-64 collisions, as with q57).
+    "q83_strip_boilerplate" ->
+      """WITH d AS (
+           SELECT doc_id, text || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'subscribe to ' || source || ' weekly'
+                  ELSE 'contact ' || CAST(doc_id AS VARCHAR) END
+             || chr(10) || 'all rights reserved' AS t
+           FROM documents),
+         l0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+         lines AS (
+           SELECT doc_id, i - 1 AS pos, ls[i] AS line
+           FROM l0, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+         bp AS (
+           SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+         kept AS (
+           SELECT l.doc_id, l.pos, l.line FROM lines l
+           LEFT JOIN bp ON trim(l.line) = bp.k WHERE bp.k IS NULL),
+         reb AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id AS id, coalesce(reb.clean_text, '') AS clean_text,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.t, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+         FROM d LEFT JOIN reb USING (doc_id)
+         ORDER BY id""",
+
+    // Integer floor division throughout; the single final mean division is
+    // one correctly-rounded IEEE op on exact integers => bit-identical.
+    "q84_rarity_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS term
+           FROM documents),
+         counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+         tot AS (SELECT sum(c) AS n_total FROM counts)
+         SELECT doc_id AS id, count(*) AS n_toks,
+           CAST(sum((tot.n_total * 1000000) // c) AS BIGINT) AS rarity_sum,
+           round(CAST(sum((tot.n_total * 1000000) // c) AS DOUBLE) / count(*), 6) AS mean_rarity
+         FROM toks JOIN counts USING (term) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY id""",
+
+    // Bloom prefilter + exact verify == plain contamination: q59's oracle.
+    "q85_contamination_bloom" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i : i+7], ' '))) AS s
+           FROM t),
+         bench AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_hit
+           FROM (SELECT doc_id, unnest(s) AS g FROM train) tr
+           JOIN bench USING (g)
+           GROUP BY doc_id)
+         SELECT train.doc_id AS id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(s) AS contam_ratio
+         FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+         ORDER BY id""",
+
+    // The blocked equi-join must equal the naive all-pairs theta join —
+    // the length bound is a true lower bound on levenshtein.
+    "q86_edit_distance_pairs" ->
+      """WITH s AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+         SELECT a.s AS sa, b.s AS sb, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM s a, s b
+         WHERE (length(a.s) < length(b.s)
+                OR (length(a.s) = length(b.s) AND a.s < b.s))
+           AND levenshtein(a.s, b.s) <= 3
+         ORDER BY sa, sb""",
+
+    "q87_frequency_spectrum" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS term FROM documents),
+         c AS (SELECT term, count(*) AS occurrences FROM toks GROUP BY term)
+         SELECT occurrences, count(*) AS n_terms
+         FROM c GROUP BY occurrences ORDER BY occurrences""",
 
     "q65_centroid_assign" ->
       """WITH e AS (

@@ -141,6 +141,144 @@ object Corpus {
         (col("cum_before") % ctxLen).alias("seq_offset"))
   }
 
+  /** CCNet-style boilerplate LINE removal: a line (trimmed) that appears in
+    * at least `minDocs` DISTINCT documents is boilerplate — cookie banners,
+    * nav bars, license footers — and is dropped from every document; each
+    * document is reassembled from its surviving lines in order. Blank lines
+    * are never counted as boilerplate (they carry no content) and survive
+    * as-is. Unlike [[segmentDedup]] (which keeps the FIRST occurrence of a
+    * repeated segment), boilerplate removal drops ALL occurrences: a footer
+    * on a million pages is noise on every one of them.
+    *
+    * Returns (id, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: lines are keyed by xxhash64, so the doc-frequency groupBy
+    * shuffles (hash, id) pairs — never line text; the boilerplate set
+    * (df >= minDocs) is tiny by construction, so the anti join broadcasts.
+    * Line text moves through exactly one shuffle (reassembly by id).
+    * (Distinct lines colliding on xxhash64 would drop together — 2^-64 per
+    * pair, the standard trade for narrow keys.)
+    */
+  def stripBoilerplate(df: DataFrame, id: Column, text: Column,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(id.alias("id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(trim(col("line"))))
+    val boiler = lines.filter(trim(col("line")) =!= "")
+      .select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).alias("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val kept = lines.join(boiler, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), "\n").alias("clean_text"),
+      count(lit(1)).alias("n_kept"))
+    df.select(id.alias("id"),
+        org.apache.spark.sql.functions.size(split(text, "\n")).cast("long").alias("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("clean_text"), lit("")).alias("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).alias("n_removed"))
+  }
+
+  /** Unigram rarity scoring — the integer-exact surrogate for unigram-LM
+    * perplexity filtering (CCNet scores docs with a KenLM model; the
+    * unigram core of that signal is mean inverse token probability
+    * `mean(N / c(tok))`, high = rare/garbled text, low = stopword soup).
+    *
+    * All arithmetic is EXACT: per-token rarity `=(N * scale) DIV c` is
+    * integer floor division (not float — `ln`/float sums are not
+    * reproducible across engines), the per-doc sum is a Long, and the
+    * single final mean division is one correctly-rounded IEEE op.
+    * Returns (id, n_toks, rarity_sum, mean_rarity).
+    *
+    * Scale shape: the count table is vocabulary-sized, so the token→count
+    * equi-join broadcasts (AQE) or hash-joins on the term; N arrives as a
+    * broadcast 1-row frame, no driver collect. Long arithmetic holds to
+    * `N * scale < 2^63` — ~9e12 tokens at the default scale; beyond that
+    * (a full 100 TB corpus is ~25T tokens) drop `scale` to 10^4 or switch
+    * the product to DECIMAL(38,0).
+    */
+  def rarityScore(df: DataFrame, id: Column, terms: Column,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = df.select(id.alias("id"), explode(terms).alias("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).alias("c"))
+    val total = counts.agg(sum(col("c")).alias("n_total"))
+    toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("rarity", expr(s"(n_total * ${scale}L) DIV c"))
+      .groupBy("id").agg(
+        count(lit(1)).alias("n_toks"),
+        sum(col("rarity")).alias("rarity_sum"))
+      .withColumn("mean_rarity",
+        round(col("rarity_sum").cast("double") / col("n_toks"), 6))
+  }
+
+  /** [[contamination]] with a Bloom-filter prefilter on the corpus side —
+    * the 100 TB form. The benchmark shingle set at web scale (~10^8
+    * distinct 13-grams) is too big to broadcast as a join table (~GBs of
+    * longs + hash overhead) but compresses to ~9.6 bits/item in a Bloom
+    * filter (~120 MB at 1% fpp): every task then drops ~99% of corpus
+    * shingles BEFORE the exact semi join, so the shuffle carries hits + fpp
+    * noise instead of the whole exploded corpus. Bloom filters have no
+    * false negatives and the exact join removes the false positives, so
+    * the result is IDENTICAL to [[contamination]] — same oracle applies.
+    */
+  def contaminationBloom(df: DataFrame, id: Column, text: Column,
+      isBenchmark: Column, ngram: Int = 8, fpp: Double = 0.01): DataFrame =
+    contaminationBloomReleasable(df, id, text, isBenchmark, ngram, fpp)._1
+
+  /** As [[contaminationBloom]], additionally returning the persisted
+    * benchmark-shingle frame for caller-controlled release — same contract
+    * as [[Dedup.minhashLshPairsReleasable]] (release timing belongs to the
+    * caller; Spark evaluation is lazy).
+    */
+  def contaminationBloomReleasable(df: DataFrame, id: Column, text: Column,
+      isBenchmark: Column, ngram: Int = 8,
+      fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val docs = df.select(id.alias("id"),
+      TextFns.shingleHashes(text, ngram).alias("sh"), isBenchmark.alias("isb"))
+    // Persisted: the distinct benchmark shingles feed the bloom build (an
+    // eager aggregate) AND the exact semi join — without persistence the
+    // benchmark side is re-shingled per reference.
+    val benchShingles = docs.filter(col("isb"))
+      .select(explode(col("sh")).alias("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("g", nBench, fpp)
+    val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+    val train = docs.filter(!col("isb"))
+    val hits = train.select(col("id"), explode(col("sh")).alias("g"))
+      .filter(mightContain(col("g")))
+      .join(benchShingles, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).alias("n_hit"))
+    val out = train
+      .select(col("id"),
+        org.apache.spark.sql.functions.size(col("sh")).cast("long").alias("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).alias("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .alias("contam_ratio"))
+    (out, benchShingles)
+  }
+
+  /** Token frequency-of-frequencies spectrum: how many distinct terms occur
+    * exactly `occurrences` times. The Zipf-curve profile that drives vocab
+    * truncation and minCount choices; two partial-aggregating groupBys, the
+    * second over at most `max count` distinct keys.
+    */
+  def frequencySpectrum(df: DataFrame, terms: Column): DataFrame =
+    df.select(explode(terms).alias("term"))
+      .groupBy("term").agg(count(lit(1)).alias("occurrences"))
+      .groupBy("occurrences").agg(count(lit(1)).alias("n_terms"))
+
   /** Exact top-k heavy hitters of an exploded term column: global term
     * frequencies, ordered (count desc, term asc) for a deterministic cut at
     * k. GroupBy partial-aggregates map-side, then the ordered limit runs as

@@ -300,6 +300,40 @@ object Dedup {
       )
   }
 
+  /** Edit-distance near-dup pairs over SHORT strings (titles, entity
+    * names, URLs): all unordered pairs of distinct values with
+    * `levenshtein <= maxDist`. The fuzzy-match primitive for entity/record
+    * dedup where token-set similarity is too coarse.
+    *
+    * Scale shape — two levers keep this off the n² cliff:
+    *   - distinct-first: pairs are generated over DISTINCT strings, so a
+    *     value repeated a million times costs one row, not 10^12 pairs;
+    *   - complete length blocking: `|len(a)-len(b)| > maxDist` implies
+    *     `levenshtein > maxDist`, so candidates come from an EQUI-join on
+    *     length bands of width `maxDist+1` (the shorter side probes its own
+    *     band and the next — any qualifying pair differs by < one band
+    *     width, so the two bands cover every case exactly once). No
+    *     cartesian, no theta join; the O(len²) DP runs only on candidates.
+    * Ordering anchor: (len, string) ascending pins each pair to one output
+    * row. Returns (sa, sb, dist).
+    */
+  def editDistancePairs(df: DataFrame, str: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val w = maxDist + 1
+    val s = df.select(str.alias("s")).filter(col("s").isNotNull).distinct()
+      .withColumn("len", length(col("s")))
+      .withColumn("band", floor(col("len") / w).cast("long"))
+    val a = s.select(col("s").alias("sa"), col("len").alias("la"),
+      explode(array(col("band"), col("band") + 1)).alias("cband"))
+    val b = s.select(col("s").alias("sb"), col("len").alias("lb"), col("band"))
+    a.join(b, col("cband") === col("band") &&
+        (col("la") < col("lb") || (col("la") === col("lb") && col("sa") < col("sb"))) &&
+        col("lb") - col("la") <= maxDist &&
+        levenshtein(col("sa"), col("sb")) <= maxDist)
+      .select(col("sa"), col("sb"),
+        levenshtein(col("sa"), col("sb")).cast("long").alias("dist"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (`id_a`, `id_b` columns): returns (id, component_id) where
     * component_id = the minimum id reachable from `id`. This is the

@@ -428,6 +428,33 @@ object Relational {
       df.groupBy(group: _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
     }
 
+    /** Weighted SYSTEMATIC sample, stratified: within each stratum, walk
+      * rows in `order` order accumulating integer `weight`, and keep every
+      * row whose weight interval crosses a multiple of `step` — i.e. one
+      * row per `step` weight units, spread evenly, selection probability
+      * proportional to weight. Deterministic (no RNG, no partition-layout
+      * dependence) and exact cross-engine: the running sum is integer, the
+      * crossing test is `floor` on doubles that are exact integers.
+      *
+      * The proportional-to-size composition step: with weight = doc length
+      * this samples tokens-per-source uniformly rather than docs-per-source.
+      * Scale shape: ONE shuffle on the stratum key; the running sum is a
+      * per-stratum window, so parallelism = number of strata (pick strata
+      * accordingly — this is a per-source op, not a global one; zero-weight
+      * rows are never selected).
+      */
+    def systematicSample(stratum: Column, order: Column, weight: Column,
+        step: Long): DataFrame = {
+      require(step > 0, s"step must be positive, got $step")
+      val w = Window.partitionBy(stratum).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn("__w", weight.cast("long"))
+        .withColumn("__cum", sum(col("__w")).over(w))
+        .filter(floor(col("__cum").cast("double") / step) >
+          floor((col("__cum") - col("__w")).cast("double") / step))
+        .drop("__w", "__cum")
+    }
+
     /** Deterministic hash sample: keep a row iff a multiplicative hash of
       * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
       * across runs, engines, and partitionings (unlike `df.sample`, whose

@@ -52,6 +52,59 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == Row(3L, 2L, 0L, 0.0))
   }
 
+  test("contaminationBloom equals contamination, even at a high false-positive rate") {
+    // fpp 0.5 forces bloom false positives through the prefilter — the
+    // exact semi join must still remove every one of them
+    val docs = Seq(
+      (1L, "a b c d e", true),
+      (2L, "a b c x y z w", false),
+      (3L, "p q r s t u", false),
+      (4L, "a b c d e f g", false)
+    ).toDF("id", "text", "isb")
+    val exact = Corpus.contamination(docs, $"id", $"text", $"isb", ngram = 2)
+      .orderBy("id").collect().toSeq
+    val bloom = Corpus.contaminationBloom(docs, $"id", $"text", $"isb",
+        ngram = 2, fpp = 0.5)
+      .orderBy("id").collect().toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty && exact.head.getLong(2) > 0, "fixture must have real hits")
+  }
+
+  test("stripBoilerplate: shared lines drop everywhere, trim-keyed, blanks survive") {
+    val docs = Seq(
+      (1L, "alpha\n-- footer --"),
+      (2L, "beta\n\n-- footer --"),
+      (3L, "gamma"),
+      (4L, "delta\n  -- footer --  ")   // padded variant: same trimmed key
+    ).toDF("id", "text")
+    val out = Corpus.stripBoilerplate(docs, $"id", $"text", minDocs = 2L)
+      .orderBy("id").collect()
+    // footer appears (trimmed) in docs 1,2,4 -> boilerplate; bodies unique;
+    // doc 2's blank line is kept as-is (blanks are never boilerplate)
+    assert(out(0) == Row(1L, "alpha", 1L, 1L))
+    assert(out(1) == Row(2L, "beta\n", 2L, 1L))
+    assert(out(2) == Row(3L, "gamma", 1L, 0L))
+    assert(out(3) == Row(4L, "delta", 1L, 1L))
+  }
+
+  test("rarityScore: hand-computed scaled inverse probabilities") {
+    // corpus: a a b | b c  ->  c(a)=2 c(b)=2 c(c)=1, N=5
+    // rarity(a)=rarity(b)=2500000, rarity(c)=5000000
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val out = Corpus.rarityScore(docs, $"id", split($"text", " "))
+      .orderBy("id").collect()
+    assert(out(0) == Row(1L, 3L, 7500000L, 2500000.0))
+    assert(out(1) == Row(2L, 2L, 7500000L, 3750000.0))
+  }
+
+  test("frequencySpectrum: frequency-of-frequencies on a tiny corpus") {
+    // a:2 b:2 c:1 -> one term seen once, two terms seen twice
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val m = Corpus.frequencySpectrum(docs, split($"text", " "))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("packSequences: bucketed prefix sum equals the naive running total") {
     val counts = Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1) * 3L))
     val df = counts.toDF("id", "n")

@@ -88,6 +88,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("editDistancePairs: band blocking finds every pair once, incl. across length bands") {
+    // maxDist=2, band width 3: "ab"(len 2, band 0) x "abc"(len 3, band 1)
+    // crosses a band boundary and must still pair; duplicate inputs dedup
+    val df = Seq("kitten", "sitting", "kittenx", "ab", "abc", "abd", "xyz", "abc")
+      .toDF("s")
+    val got = Dedup.editDistancePairs(df, col("s"), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // kitten~sitting is 3 (out); xyz pairs with nothing at <=2
+    assert(got == Set(
+      ("ab", "abc", 1L), ("ab", "abd", 1L), ("abc", "abd", 1L),
+      ("kitten", "kittenx", 1L)))
+    // anchor is (len, string) ascending: every pair appears exactly once
+    assert(got.size == Dedup.editDistancePairs(df, col("s"), 2).count())
+  }
+
   test("nearDupComponents: transitive closure with min-id component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
     val comps = Dedup.nearDupComponents(pairs).collect()

@@ -100,6 +100,22 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(s.length / 5000.0 - 0.5) < 0.05, s"kept ${s.length} of 5000 at 0.5")
   }
 
+  test("systematicSample: weight-proportional crossings, per-stratum, zero-weight never kept") {
+    val df = Seq(
+      ("a", 1L, 3L), ("a", 2L, 2L), ("a", 3L, 4L), ("a", 4L, 1L), ("a", 5L, 5L),
+      ("b", 1L, 10L), ("b", 2L, 0L)
+    ).toDF("s", "ord", "w")
+    val got = df.systematicSample($"s", $"ord", $"w", 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // stratum a: cum = 3,5,9,10,15 -> rows 2,4,5 cross a multiple of 5;
+    // stratum b: row 1 (w=10) crosses two multiples but is kept once;
+    // the zero-weight row spans no interval and is never selected
+    assert(got == Set(("a", 2L), ("a", 4L), ("a", 5L), ("b", 1L)))
+    val again = df.systematicSample($"s", $"ord", $"w", 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got, "systematic sample must be deterministic")
+  }
+
   test("operators fail fast on unknown columns at CALL time (reference error-timing parity)") {
     // classic-mode Spark analyzes at Dataset construction, so bad references
     // throw at the operator call — same timing as DataFusion's per-op

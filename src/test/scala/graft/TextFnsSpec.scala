@@ -182,6 +182,19 @@ class TextFnsSpec extends SparkSpec {
     assert(one(mixed).select(TextFns.langId($"t")).collect()(0).getString(0) == "zh")
   }
 
+  test("portable fnv1a64 matches the DuckDB HUGEINT replay on combining marks and astral chars") {
+    // The cross-engine contract is per-CODE-POINT folding. DuckDB's
+    // string_split(s, '') emits each code point separately (a combining
+    // mark is its own element; unicode() returns 769 for U+0301), so the
+    // oracle replay agrees with fnv1a64 even on decomposed text — these
+    // constants were produced by running the exact oracle fold
+    // (list_reduce + HUGEINT mod-2^64) in DuckDB 1.x on these strings.
+    import graft.plans.TextExprs.fnv1a64
+    assert(fnv1a64("e\u0301") == 616794170450450931L)   // decomposed e + combining acute
+    assert(fnv1a64("\u00e9") == -5808407339572472924L)  // composed é (different hash — no normalization inside the hash)
+    assert(fnv1a64(new String(Character.toChars(0x1F600)) + "x") == -3810520219654909243L) // astral: one fold per code point
+  }
+
   test("native expressions are bit-identical to the HOF formulations on real docs") {
     // The native single-pass expressions replaced HOF compositions; this pins
     // them to the original column-algebra definitions over real corpus text
