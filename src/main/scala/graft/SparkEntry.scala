@@ -916,6 +916,71 @@ object SparkEntry {
       Corpus.frequencySpectrum(t(s, dir, "documents"), TextFns.tokens(col("text")))
         .sortBy(Seq(col("occurrences")))),
 
+    "q88_incremental_dedup" -> ((s, dir) => {
+      // append-only ingestion: the second half of events dedups against the
+      // key history of the first half (key = user|type|day), then
+      // keep-first-within-batch by event_id
+      val e = t(s, dir, "events")
+      val key = concat_ws("|", col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd"))
+      val seen = e.filterCol(col("event_id") < 5000)
+        .selectCols(Seq(key.as("k"))).distinct()
+      Dedup.incrementalDedup(e.filterCol(col("event_id") >= 5000), key,
+          Seq(col("event_id")), seen)
+        .selectCols(Seq(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value")))
+        .sortBy(Seq(col("event_id")))
+    }),
+
+    "q89_winsorize" -> ((s, dir) =>
+      // per-group p1/p99 outlier clipping; clipping is pure selection, so
+      // row values are engine-exact (percentile interp pinned by q61)
+      t(s, dir, "lineitem")
+        .winsorize(Seq(col("l_returnflag")), col("l_extendedprice"), 0.01, 0.99)
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").as("x"),
+          round(col("p_lo"), 6).as("p_lo"), round(col("p_hi"), 6).as("p_hi"),
+          round(col("clipped"), 6).as("clipped")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    "q90_zorder" -> ((s, dir) =>
+      // Morton key over (partkey, suppkey): the 2-D layout key that
+      // layoutZOrder range-partitions on before a stats-aligned write
+      t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Relational.zorderValue(col("l_partkey"), col("l_suppkey"), 11).as("z")))
+        .sortBy(Seq(col("z"), col("l_orderkey"), col("l_linenumber")))),
+
+    "q91_pii_counts" -> ((s, dir) => {
+      // link/PII density profile; corpus has no URLs or emails, so both are
+      // injected deterministically from real columns (q75 precedent)
+      val txt = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" visit https://docs."), col("source"), lit(".example.com/x now")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.org")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), TextFns.urlCount(txt).as("n_urls"),
+          TextFns.emailCount(txt).as("n_emails")))
+        .sortBy(Seq(col("doc_id")))
+    }),
+
+    "q92_truncate_tokens" -> ((s, dir) =>
+      // context-budget cut at 24 tokens (most docs are longer)
+      Corpus.truncateTokens(t(s, dir, "documents"), col("doc_id"), col("text"), 24)
+        .withColumn("was_truncated", col("was_truncated").cast("long"))
+        .sortBy(Seq(col("id")))),
+
+    "q93_deterministic_shuffle" -> ((s, dir) =>
+      // reproducible training order: multiplicative-hash (shard, pos) —
+      // rerun/engine/partition-layout independent, unlike orderBy(rand())
+      Corpus.deterministicShuffle(t(s, dir, "documents"), col("doc_id"), nShards = 16)
+        .selectCols(Seq(col("doc_id"), col("shard"), col("pos")))
+        .sortBy(Seq(col("shard"), col("pos")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -2091,6 +2156,86 @@ object SparkEntry {
          c AS (SELECT term, count(*) AS occurrences FROM toks GROUP BY term)
          SELECT occurrences, count(*) AS n_terms
          FROM c GROUP BY occurrences ORDER BY occurrences""",
+
+    // Anti join against first-half key history, then keep-first by event_id.
+    "q88_incremental_dedup" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+           FROM events),
+         seen AS (
+           SELECT DISTINCT user_id, event_type, day FROM e WHERE event_id < 5000),
+         fresh AS (
+           SELECT b.* FROM e b
+           ANTI JOIN seen s ON b.user_id = s.user_id
+             AND b.event_type = s.event_type AND b.day = s.day
+           WHERE b.event_id >= 5000)
+         SELECT event_id, user_id, event_type, day, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id, event_type, day ORDER BY event_id) AS rn
+           FROM fresh) WHERE rn = 1
+         ORDER BY event_id""",
+
+    // quantile_cont == Spark percentile (q61); clipping is pure selection.
+    "q89_winsorize" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g,
+             quantile_cont(l_extendedprice, 0.01) AS p_lo,
+             quantile_cont(l_extendedprice, 0.99) AS p_hi
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice AS x,
+           round(p_lo, 6) AS p_lo, round(p_hi, 6) AS p_hi,
+           round(CASE WHEN l_extendedprice < p_lo THEN p_lo
+                      WHEN l_extendedprice > p_hi THEN p_hi
+                      ELSE l_extendedprice END, 6) AS clipped
+         FROM lineitem JOIN b ON l_returnflag = b.g
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // Bit-for-bit Morton interleave: disjoint bit positions, so the
+    // list_sum of shifted bits equals the OR-fold.
+    "q90_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(list_sum(list_transform(range(0, 11), i ->
+             (((l_partkey >> i) & 1) << (2*i)) +
+             (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+         FROM lineitem
+         ORDER BY z, l_orderkey, l_linenumber""",
+
+    // Same injected URL/email construction; URL-then-email count order.
+    "q91_pii_counts" ->
+      """WITH d AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' visit https://docs.' || source || '.example.com/x now' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'https?://[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(
+             regexp_replace(t, 'https?://[^ \t\n\x0B\f\r]+', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+         FROM d ORDER BY doc_id""",
+
+    "q92_truncate_tokens" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id AS id,
+           array_to_string(toks[1:24], ' ') AS text_trunc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(toks) > 24 THEN 1 ELSE 0 END AS BIGINT) AS was_truncated
+         FROM t ORDER BY id""",
+
+    // Same multiplicative hash as q54; row_number within shard by (h, id).
+    "q93_deterministic_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents)
+         SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY shard, pos""",
 
     "q65_centroid_assign" ->
       """WITH e AS (

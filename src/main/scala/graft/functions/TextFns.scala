@@ -116,6 +116,23 @@ object TextFns {
     regexp_replace(url, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
   }
 
+  /** Count of http(s) URLs in `c` — same Java/RE2-agnostic pattern as
+    * [[redactPii]], so the count is reproducible cross-engine. The PII /
+    * link-density profile: docs above a link-count threshold are usually
+    * navigation or spam, not prose.
+    */
+  def urlCount(c: Column): Column =
+    regexp_count(c, lit("https?://[^ \\t\\n\\x0B\\f\\r]+")).cast("long")
+
+  /** Count of email addresses in `c`, URLs removed first (an address inside
+    * a URL's query string is the URL's, not a standalone email — same
+    * URL-then-email order as [[redactPii]]).
+    */
+  def emailCount(c: Column): Column =
+    regexp_count(
+      regexp_replace(c, "https?://[^ \\t\\n\\x0B\\f\\r]+", " "),
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("long")
+
   /** Host part of the first http(s) URL in `c` (lowercased; empty string
     * when no URL). Same Java/RE2-agnostic regex discipline as
     * [[redactPii]]: the host ends at `/ : ? #` or whitespace, all spelled

@@ -279,6 +279,48 @@ object Corpus {
       .groupBy("term").agg(count(lit(1)).alias("occurrences"))
       .groupBy("occurrences").agg(count(lit(1)).alias("n_terms"))
 
+  /** Truncate each document to its first `maxTokens` tokens (the context-
+    * budget cut before packing/training). Operates on the normalized token
+    * stream ([[TextFns.tokens]]: lowercased, whitespace-split) — rejoined
+    * with single spaces, same convention as [[tokenChunks]]. Narrow per-row
+    * work, no shuffle. Returns (id, text_trunc, n_tokens, was_truncated).
+    */
+  def truncateTokens(df: DataFrame, id: Column, text: Column,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val toks = TextFns.tokens(text)
+    df.select(id.alias("id"),
+      array_join(slice(toks, 1, maxTokens), " ").alias("text_trunc"),
+      org.apache.spark.sql.functions.size(toks).cast("long").alias("n_tokens"),
+      (org.apache.spark.sql.functions.size(toks) > maxTokens).alias("was_truncated"))
+  }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * pseudo-random but REPRODUCIBLE (shard, position) from the same
+    * multiplicative hash as [[Relational.GraftOps.hashSample]] — unlike
+    * `orderBy(rand())`, reruns, engines, and partition layouts all agree,
+    * so a training run can be resumed or replayed byte-identically.
+    * Returns the input plus (shard, pos); pos is the row's 1-based rank
+    * inside its shard by (hash, id).
+    *
+    * Scale shape: one shuffle on the shard key; each shard sorts only its
+    * own slice (pick nShards ~ cluster parallelism). A write-only pipeline
+    * that doesn't need explicit positions can skip the window and
+    * `repartition(col("shard")).sortWithinPartitions("h")` straight into
+    * the writer.
+    */
+  def deterministicShuffle(df: DataFrame, id: Column, nShards: Int,
+      salt: Long = 0L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = pmod(id.cast("long") * lit(2654435761L) + lit(salt), lit(4294967296L))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__h"), id)
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard")
+  }
+
   /** Exact top-k heavy hitters of an exploded term column: global term
     * frequencies, ordered (count desc, term asc) for a deterministic cut at
     * k. GroupBy partial-aggregates map-side, then the ordered limit runs as

@@ -300,6 +300,32 @@ object Dedup {
       )
   }
 
+  /** Incremental (append-only ingestion) dedup: drop batch rows whose `key`
+    * already exists in the historical `seenKeys` set, then keep-first within
+    * the batch by `tieBreak` — the batch form of continuous corpus
+    * ingestion (the streaming sibling is
+    * [[graft.streaming.EventStreams.dedupStream]], whose state is bounded
+    * by the watermark; this one checks against ALL history).
+    *
+    * `seenKeys` must be a single-column frame of the historical keys
+    * (typically `xxhash64(text)` values, deduped at write time).
+    *
+    * Scale shape: at 100 TB the history is the big side — write it BUCKETED
+    * on the key ([[graft.Engine.writeBucketed]]) so each batch's anti join
+    * co-locates against existing buckets without reshuffling history; the
+    * batch side shuffles only itself. The intra-batch pass is the
+    * partial-agg `min_by` ([[exactDedupAgg]]), not a window.
+    */
+  def incrementalDedup(batch: DataFrame, key: Column, tieBreak: Seq[Column],
+      seenKeys: DataFrame): DataFrame = {
+    require(seenKeys.columns.length == 1,
+      s"seenKeys must have exactly one column, got ${seenKeys.columns.length}")
+    val seen = seenKeys.select(col(seenKeys.columns.head).alias("__seen_k"))
+    val fresh = batch.withColumn("__k", key)
+      .join(seen, col("__k") === col("__seen_k"), "left_anti")
+    exactDedupAgg(fresh, Seq(col("__k")), tieBreak).drop("__k")
+  }
+
   /** Edit-distance near-dup pairs over SHORT strings (titles, entity
     * names, URLs): all unordered pairs of distinct values with
     * `levenshtein <= maxDist`. The fuzzy-match primitive for entity/record

@@ -455,6 +455,52 @@ object Relational {
         .drop("__w", "__cum")
     }
 
+    /** Per-group winsorization (outlier clipping): `value` is clamped to its
+      * group's [lo, hi] exact percentiles — the standard feature-cleaning
+      * step before normalization/training. Clipping is pure SELECTION
+      * (comparisons + the percentile value itself), no per-row arithmetic,
+      * so outputs are engine-exact up to the percentile interpolation
+      * (`percentile` == DuckDB `quantile_cont`, pinned by q61).
+      * Returns the input plus `{p_lo, p_hi, clipped}`.
+      *
+      * Scale shape: one partial-aggregating groupBy computes both bounds
+      * (Spark's percentile buffers per group, fine for group counts that fit
+      * a stats table), then a broadcast join feeds the clamp — the big table
+      * streams once, unshuffled.
+      */
+    def winsorize(group: Seq[Column], value: Column, lo: Double,
+        hi: Double): DataFrame = {
+      require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+      require(group.nonEmpty, "winsorize needs >= 1 group column")
+      val v = value.cast("double")
+      val gk = group.indices.map(i => s"__g$i")
+      val bounds = df
+        .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
+        .agg(percentile(v, lit(lo)).alias("p_lo"),
+          percentile(v, lit(hi)).alias("p_hi"))
+      val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
+      df.join(broadcast(bounds), cond)
+        .withColumn("clipped",
+          when(v < col("p_lo"), col("p_lo"))
+            .when(v > col("p_hi"), col("p_hi"))
+            .otherwise(v))
+        .drop(gk: _*)
+    }
+
+    /** Physically lay the frame out in z-order: range-repartition on the
+      * interleaved key, sort within partitions. The write-side companion of
+      * [[Relational.zorderValue]]; follow with a parquet write so row-group
+      * stats align with the curve.
+      */
+    def layoutZOrder(x: Column, y: Column, bits: Int,
+        numPartitions: Int): DataFrame = {
+      require(numPartitions > 0, s"numPartitions must be positive")
+      df.withColumn("__z", Relational.zorderValue(x, y, bits))
+        .repartitionByRange(numPartitions, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+
     /** Deterministic hash sample: keep a row iff a multiplicative hash of
       * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
       * across runs, engines, and partitionings (unlike `df.sample`, whose
@@ -554,6 +600,26 @@ object Relational {
     * conditional-aggregation SQL an analyst would write yields 0 — this
     * wrapper pins the 0 convention so the two spell the same table).
     */
+  /** Z-order (Morton) interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1. Sorting by the result clusters rows close in BOTH dimensions, so
+    * parquet row-group min/max stats prune 2-D predicates (the
+    * Delta/Iceberg OPTIMIZE ZORDER layout trick). Callers bucket raw values
+    * into [0, 2^bits) first; higher bits are ignored by construction.
+    * Pure Column bit algebra — whole-stage codegen'd, replayable exactly in
+    * any engine with shift/and/or.
+    */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
   def pivotCounts(df: DataFrame, group: Seq[Column], pivotCol: String,
       values: Seq[String], measure: Column): DataFrame = {
     val wide = df.pivotAgg(group, pivotCol, values,

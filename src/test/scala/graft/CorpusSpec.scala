@@ -105,6 +105,37 @@ class CorpusSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("truncateTokens: budget cut on the normalized stream; short docs untouched") {
+    val docs = Seq((1L, "A  b C d"), (2L, "x y"), (3L, "")).toDF("id", "text")
+    val out = Corpus.truncateTokens(docs, $"id", $"text", 2)
+      .orderBy("id").collect()
+    assert(out(0) == Row(1L, "a b", 4L, true))
+    assert(out(1) == Row(2L, "x y", 2L, false))
+    assert(out(2) == Row(3L, "", 0L, false))
+  }
+
+  test("deterministicShuffle: reproducible, complete, contiguous positions per shard") {
+    val df = (0L until 100L).toDF("id")
+    val a = Corpus.deterministicShuffle(df, $"id", 4)
+      .select($"id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Corpus.deterministicShuffle(df, $"id", 4)
+      .select($"id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "shuffle must be reproducible")
+    assert(a.map(_._1).toSet == (0L until 100L).toSet)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 4))
+    // positions are 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // salt changes the permutation
+    val s = Corpus.deterministicShuffle(df, $"id", 4, salt = 7L)
+      .select($"id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(s.toSeq != a.toSeq)
+  }
+
   test("packSequences: bucketed prefix sum equals the naive running total") {
     val counts = Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1) * 3L))
     val df = counts.toDF("id", "n")

@@ -88,6 +88,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("incrementalDedup: drops seen keys, keep-first inside the batch") {
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c")).toDF("id", "k")
+    val seen = Seq("a").toDF("seen")
+    val out = Dedup.incrementalDedup(batch, col("k"), Seq(col("id")), seen)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // "a" is history -> dropped; first "b" survives; "c" is new
+    assert(out.toSeq == Seq((2L, "b"), (4L, "c")))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(batch, col("k"), Seq(col("id")),
+        Seq(("a", 1)).toDF("k", "x")); ()
+    }
+  }
+
   test("editDistancePairs: band blocking finds every pair once, incl. across length bands") {
     // maxDist=2, band width 3: "ab"(len 2, band 0) x "abc"(len 3, band 1)
     // crosses a band boundary and must still pair; duplicate inputs dedup

@@ -116,6 +116,47 @@ class RelationalSpec extends SparkSpec {
     assert(again == got, "systematic sample must be deterministic")
   }
 
+  test("winsorize: R-7 percentile bounds, selection-only clipping") {
+    val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "x")
+    val out = df.winsorize(Seq($"g"), $"x", 0.1, 0.9)
+      .select($"x", $"p_lo", $"p_hi", $"clipped")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // (n-1)*q interpolation: p10 = 1.9, p90 = 9.1
+    assert(out.forall { case (_, lo, hi, _) => lo == 1.9 && hi == 9.1 })
+    val clipped = out.map(t => t._1 -> t._4).toMap
+    assert(clipped(1.0) == 1.9 && clipped(10.0) == 9.1)
+    assert((2 to 9).forall(i => clipped(i.toDouble) == i.toDouble))
+  }
+
+  test("zorderValue: pinned Morton values; high bits beyond `bits` are ignored") {
+    val df = Seq((5L, 3L), (0L, 0L), (1L, 0L), (0L, 1L), (1024L, 1024L), (2048L, 0L))
+      .toDF("x", "y")
+    val z = df.select($"x", $"y",
+        graft.operators.Relational.zorderValue($"x", $"y", 11).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((5L, 3L)) == 27L)       // 101 ⨯ 011 -> 011011
+    assert(z((0L, 0L)) == 0L && z((1L, 0L)) == 1L && z((0L, 1L)) == 2L)
+    assert(z((1024L, 1024L)) == 3145728L) // bit 10 of each -> bits 20+21
+    assert(z((2048L, 0L)) == 0L)     // bit 11 is beyond bits=11 -> ignored
+  }
+
+  test("layoutZOrder: partition z-ranges are disjoint and ordered (range partitioning)") {
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val laid = grid.toDF("x", "y").layoutZOrder($"x", $"y", 3, 4)
+    val ranges = laid
+      .withColumn("z", graft.operators.Relational.zorderValue($"x", $"y", 3))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min($"z").as("lo"), max($"z").as("hi"), count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ranges.map(_._3).sum == 64L)
+    // consecutive partitions cover disjoint, increasing z intervals
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("operators fail fast on unknown columns at CALL time (reference error-timing parity)") {
     // classic-mode Spark analyzes at Dataset construction, so bad references
     // throw at the operator call — same timing as DataFusion's per-op

@@ -182,6 +182,18 @@ class TextFnsSpec extends SparkSpec {
     assert(one(mixed).select(TextFns.langId($"t")).collect()(0).getString(0) == "zh")
   }
 
+  test("urlCount/emailCount: URL-then-email order keeps query-string emails out") {
+    def counts(t: String) = Seq(Tuple1(t)).toDF("t")
+      .select(TextFns.urlCount($"t"), TextFns.emailCount($"t")).collect()(0)
+    assert(counts("see https://a.b/c and http://d.e/f").getLong(0) == 2L)
+    assert(counts("see https://a.b/c and http://d.e/f").getLong(1) == 0L)
+    assert(counts("x@y.com and a@b.co here").getLong(1) == 2L)
+    // the email inside the URL's query string belongs to the URL
+    val r = counts("go https://ex.com/a?u=b@c.de now")
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+    assert(counts("no links here").getLong(0) == 0L)
+  }
+
   test("portable fnv1a64 matches the DuckDB HUGEINT replay on combining marks and astral chars") {
     // The cross-engine contract is per-CODE-POINT folding. DuckDB's
     // string_split(s, '') emits each code point separately (a combining
