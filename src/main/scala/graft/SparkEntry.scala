@@ -981,6 +981,22 @@ object SparkEntry {
         .selectCols(Seq(col("doc_id"), col("shard"), col("pos")))
         .sortBy(Seq(col("shard"), col("pos")))),
 
+    "q94_hashed_tfidf" -> ((s, dir) =>
+      // hashing-trick featurization into 64 buckets, portable FNV hashing
+      // so the full sparse vector (incl. collision sums) is SQL-replayable
+      Corpus.hashedTfIdf(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), dim = 64, portable = true)
+        .sortBy(Seq(col("id"), col("bucket")))),
+
+    "q95_normalize_minmax" -> ((s, dir) =>
+      // per-group [0,1] feature scaling; three IEEE ops on exact inputs =>
+      // bit-identical, no rounding slack anywhere
+      t(s, dir, "lineitem")
+        .normalizeMinMax(Seq(col("l_returnflag")), col("l_extendedprice"))
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("v_min"), col("v_max"), col("normalized")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -2236,6 +2252,46 @@ object SparkEntry {
          SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
          FROM h ORDER BY shard, pos""",
+
+    // FNV per distinct term (HUGEINT fold), signed pmod bucket, integer
+    // floor-division weights — collision sums are exact Long adds.
+    "q94_hashed_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         hv AS (
+           SELECT term,
+             list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(term, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211)
+                 % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM dfreq),
+         bk AS (
+           SELECT term, CAST(((((CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END) % 64)
+                  + 64) % 64) AS BIGINT) AS bucket
+           FROM hv)
+         SELECT tf.doc_id AS id, bk.bucket,
+           CAST(sum((tf.tf * (nd.n_docs + 1) * 1000000) // (dfreq.doc_freq + 1)) AS BIGINT) AS weight
+         FROM tf JOIN dfreq USING (term) JOIN bk USING (term) CROSS JOIN nd
+         GROUP BY 1, 2 ORDER BY id, bucket""",
+
+    // min/max are selections; (x-min)/(max-min) is three IEEE ops on exact
+    // inputs — compared raw, no rounding.
+    "q95_normalize_minmax" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g, min(l_extendedprice) AS v_min,
+             max(l_extendedprice) AS v_max
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag, v_min, v_max,
+           CASE WHEN v_max = v_min THEN 0.0
+                ELSE (l_extendedprice - v_min) / (v_max - v_min) END AS normalized
+         FROM lineitem JOIN b ON l_returnflag = b.g
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q65_centroid_assign" ->
       """WITH e AS (

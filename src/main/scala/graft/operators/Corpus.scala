@@ -376,6 +376,40 @@ object Corpus {
         col("score"), col("rank").cast("long").alias("rank"))
   }
 
+  /** Hashing-trick TF-IDF featurization (fastText / quality-classifier
+    * input): each document becomes a sparse vector of `dim` buckets,
+    * `bucket = pmod(hash(term), dim)`, with integer-exact scaled weights
+    * `(tf * (N+1) * scale) DIV (df+1)` — the linear-idf [[tfIdfTopTerms]]
+    * contract pushed through the hashing trick, all arithmetic in Long (no
+    * float sums, so bucket collisions accumulate exactly and any engine
+    * agrees bit-for-bit). `portable = true` hashes terms with FNV-1a over
+    * code points (SQL-replayable); default is xxhash64.
+    * Returns sparse rows (id, bucket, weight).
+    *
+    * Scale shape: same as [[tfIdfTopTerms]] (tf groupBy + doc-freq window
+    * over the tf frame + broadcast N), then one more partial-aggregating
+    * groupBy on (id, bucket). Long arithmetic holds while
+    * `tf * (N+1) * scale < 2^63` — at billions of docs drop `scale`.
+    */
+  def hashedTfIdf(df: DataFrame, id: Column, terms: Column, dim: Int,
+      scale: Long = 1000000L, portable: Boolean = false): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val tf = df.select(id.alias("id"), explode(terms).alias("term"))
+      .groupBy("id", "term").agg(count(lit(1)).alias("tf"))
+    val wTerm = Window.partitionBy(col("term"))
+    val nDocs = df.select(id.alias("id")).distinct()
+      .agg(count(lit(1)).alias("n_docs"))
+    val hash =
+      if (portable) graft.plans.TextExprs.fingerprint(col("term"), portable = true)
+      else xxhash64(col("term"))
+    tf.withColumn("doc_freq", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bucket", pmod(hash, lit(dim.toLong)))
+      .withColumn("w", expr(s"(tf * (n_docs + 1) * ${scale}L) DIV (doc_freq + 1)"))
+      .groupBy("id", "bucket").agg(sum(col("w")).alias("weight"))
+  }
+
   /** Data-mixing quota sample: per source/domain group, keep the top
     * `quotas(group)` documents by (score desc, tieBreak asc) — the
     * composition step that turns per-source quality scores plus a target

@@ -463,27 +463,63 @@ object Relational {
       * (`percentile` == DuckDB `quantile_cont`, pinned by q61).
       * Returns the input plus `{p_lo, p_hi, clipped}`.
       *
-      * Scale shape: one partial-aggregating groupBy computes both bounds
-      * (Spark's percentile buffers per group, fine for group counts that fit
-      * a stats table), then a broadcast join feeds the clamp — the big table
-      * streams once, unshuffled.
+      * Scale shape: one partial-aggregating groupBy computes both bounds,
+      * then a broadcast join feeds the clamp — the big table streams once,
+      * unshuffled. The default EXACT `percentile` buffers every group value
+      * in its aggregation buffer (the oracle-able form, fine up to
+      * ~10^8-value groups); at 100 TB pass `approximate = true` to swap in
+      * the `approx_percentile` sketch — identical plan shape, O(accuracy)
+      * memory per group, rank error <= n/accuracy.
       */
     def winsorize(group: Seq[Column], value: Column, lo: Double,
-        hi: Double): DataFrame = {
+        hi: Double, approximate: Boolean = false,
+        accuracy: Int = 10000): DataFrame = {
       require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
       require(group.nonEmpty, "winsorize needs >= 1 group column")
       val v = value.cast("double")
+      // ONE percentile aggregate with both targets: two separate calls each
+      // buffer/sort the whole group — the array form halves the dominant
+      // cost (measured 2x on 600k rows)
+      val both =
+        if (approximate) percentile_approx(v, array(lit(lo), lit(hi)), lit(accuracy))
+        else percentile(v, array(lit(lo), lit(hi)))
       val gk = group.indices.map(i => s"__g$i")
       val bounds = df
         .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
-        .agg(percentile(v, lit(lo)).alias("p_lo"),
-          percentile(v, lit(hi)).alias("p_hi"))
+        .agg(both.alias("__p"))
+        .select(col("*"), element_at(col("__p"), 1).alias("p_lo"),
+          element_at(col("__p"), 2).alias("p_hi"))
+        .drop("__p")
       val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
       df.join(broadcast(bounds), cond)
         .withColumn("clipped",
           when(v < col("p_lo"), col("p_lo"))
             .when(v > col("p_hi"), col("p_hi"))
             .otherwise(v))
+        .drop(gk: _*)
+    }
+
+    /** Per-group min-max normalization: `(x - min) / (max - min)` into
+      * [0, 1] (0.0 for constant groups) — the feature-scaling sibling of
+      * [[winsorize]]. Each output value is exactly three correctly-rounded
+      * IEEE ops on exact inputs (group min/max are selections, not
+      * arithmetic), so results are bit-identical across engines with NO
+      * rounding slack. Same shape: one partial-aggregating groupBy for the
+      * bounds, broadcast join, narrow per-row math.
+      * Returns the input plus `{v_min, v_max, normalized}`.
+      */
+    def normalizeMinMax(group: Seq[Column], value: Column): DataFrame = {
+      require(group.nonEmpty, "normalizeMinMax needs >= 1 group column")
+      val v = value.cast("double")
+      val gk = group.indices.map(i => s"__g$i")
+      val bounds = df
+        .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
+        .agg(min(v).alias("v_min"), max(v).alias("v_max"))
+      val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
+      df.join(broadcast(bounds), cond)
+        .withColumn("normalized",
+          when(col("v_max") === col("v_min"), lit(0.0))
+            .otherwise((v - col("v_min")) / (col("v_max") - col("v_min"))))
         .drop(gk: _*)
     }
 

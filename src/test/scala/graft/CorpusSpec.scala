@@ -136,6 +136,23 @@ class CorpusSpec extends SparkSpec {
     assert(s.toSeq != a.toSeq)
   }
 
+  test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
+    // corpus: (1, "a b a"), (2, "b c") -> N=2; tf: (1,a)=2 (1,b)=1 (2,b)=1
+    // (2,c)=1; df: a=1 b=2 c=1; w = (tf*(N+1)*1e6) DIV (df+1)
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text")
+    val out = Corpus.hashedTfIdf(docs, $"id", split($"text", " "), dim = 64,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    import graft.plans.TextExprs.fnv1a64
+    def bucket(t: String) = java.lang.Math.floorMod(fnv1a64(t), 64L)
+    val expected = Seq(
+      (1L, "a", 2L, 1L), (1L, "b", 1L, 2L), (2L, "b", 1L, 2L), (2L, "c", 1L, 1L))
+      .groupBy { case (id, t, _, _) => (id, bucket(t)) }
+      .map { case (k, rows) =>
+        k -> rows.map { case (_, _, tf, df) => tf * 3L * 1000000L / (df + 1L) }.sum }
+    assert(out == expected)
+  }
+
   test("packSequences: bucketed prefix sum equals the naive running total") {
     val counts = Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1) * 3L))
     val df = counts.toDF("id", "n")

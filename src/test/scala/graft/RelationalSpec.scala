@@ -126,6 +126,23 @@ class RelationalSpec extends SparkSpec {
     val clipped = out.map(t => t._1 -> t._4).toMap
     assert(clipped(1.0) == 1.9 && clipped(10.0) == 9.1)
     assert((2 to 9).forall(i => clipped(i.toDouble) == i.toDouble))
+    // the sketch form (100 TB path) stays within rank error n/accuracy
+    val approx = df.winsorize(Seq($"g"), $"x", 0.1, 0.9, approximate = true)
+      .select($"p_lo", $"p_hi").head()
+    assert(math.abs(approx.getDouble(0) - 1.9) <= 1.0)
+    assert(math.abs(approx.getDouble(1) - 9.1) <= 1.0)
+  }
+
+  test("normalizeMinMax: [0,1] scaling, constant groups pin to 0.0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 40.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "x")
+    val out = df.normalizeMinMax(Seq($"g"), $"x")
+      .select($"g", $"x", $"normalized").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 10.0)) == 0.0)
+    assert(out(("a", 20.0)) == (20.0 - 10.0) / 30.0)
+    assert(out(("a", 40.0)) == 1.0)
+    assert(out(("b", 5.0)) == 0.0) // constant group
   }
 
   test("zorderValue: pinned Morton values; high bits beyond `bits` are ignored") {
