@@ -997,6 +997,26 @@ object SparkEntry {
           col("v_min"), col("v_max"), col("normalized")))
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
 
+    "q96_training_pipeline" -> ((s, dir) => {
+      // the flagship end-to-end composition: q83's multi-line construction
+      // -> boilerplate strip -> lang/quality gate -> exact dedup ->
+      // 24-token truncation -> 256-token sequence packing. Every stage is
+      // replayed in the oracle
+      val doc = concat(col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("subscribe to "), col("source"), lit(" weekly")))
+          .otherwise(concat(lit("contact "), col("doc_id"))),
+        lit("\n"), lit("all rights reserved"))
+      graft.operators.Pipeline.prepareTrainingData(
+          t(s, dir, "documents").withColumn("doc", doc),
+          col("doc_id"), col("doc"),
+          minDocsBoiler = 10L, minQuality = 0.66,
+          maxTokens = 24, ctxLen = 256, bucketSize = 64)
+        .withColumn("quality", round(col("quality"), 6))
+        .withColumn("was_truncated", col("was_truncated").cast("long"))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)
@@ -2292,6 +2312,79 @@ object SparkEntry {
                 ELSE (l_extendedprice - v_min) / (v_max - v_min) END AS normalized
          FROM lineitem JOIN b ON l_returnflag = b.g
          ORDER BY l_orderkey, l_linenumber""",
+
+    // q83's boilerplate replay -> q51's scoring/gate/dedup CTEs on the
+    // CLEANED text -> q92's truncation counts -> q60's naive running-sum
+    // packing. One long but mechanical composition.
+    "q96_training_pipeline" ->
+      """WITH d AS (
+           SELECT doc_id, text || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'subscribe to ' || source || ' weekly'
+                  ELSE 'contact ' || CAST(doc_id AS VARCHAR) END
+             || chr(10) || 'all rights reserved' AS t
+           FROM documents),
+         l0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+         lines AS (
+           SELECT doc_id, i - 1 AS pos, ls[i] AS line
+           FROM l0, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+         bp AS (
+           SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+         kept AS (
+           SELECT l.doc_id, l.pos, l.line FROM lines l
+           LEFT JOIN bp ON trim(l.line) = bp.k WHERE bp.k IS NULL),
+         cl AS (
+           SELECT d.doc_id AS id,
+             coalesce((SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+                       FROM kept k WHERE k.doc_id = d.doc_id), '') AS ct
+           FROM d),
+         tt AS (
+           SELECT id, ct,
+             list_filter(regexp_split_to_array(lower(trim(ct)), '\s+'), x -> len(x) > 0) AS toks,
+             len(ct) AS n,
+             len(ct) - len(regexp_replace(ct, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM cl),
+         h AS (
+           SELECT id, ct, toks, n, cjk,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','was','with','for'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','es','por','con','una','del'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','qui','sur','avec'], x))) AS h_fr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(ct, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / n END AS pr
+           FROM tt),
+         scored AS (
+           SELECT id, ct, toks,
+             CASE WHEN cjk * 4 > n THEN 'zh'
+                  WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             round(((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+           FROM h),
+         gated AS (SELECT * FROM scored WHERE quality >= 0.66 AND lang_pred <> 'und'),
+         ex AS (SELECT ct, MIN(id) AS id FROM gated GROUP BY ct),
+         ded AS (SELECT g.id, g.toks, g.lang_pred, g.quality
+                 FROM gated g JOIN ex ON g.id = ex.id),
+         tr AS (
+           SELECT id, lang_pred, quality,
+             CAST(len(toks) AS BIGINT) AS n_raw_tokens,
+             CAST(CASE WHEN len(toks) > 24 THEN 1 ELSE 0 END AS BIGINT) AS was_truncated,
+             CAST(least(len(toks), 24) AS BIGINT) AS n_tokens
+           FROM ded),
+         c AS (
+           SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM tr)
+         SELECT id, lang_pred, quality, n_raw_tokens, was_truncated, n_tokens,
+           CAST(cum_before // 256 AS BIGINT) AS seq_id,
+           CAST(cum_before % 256 AS BIGINT) AS seq_offset
+         FROM c ORDER BY id""",
 
     "q65_centroid_assign" ->
       """WITH e AS (

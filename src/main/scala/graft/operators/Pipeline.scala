@@ -64,4 +64,51 @@ object Pipeline {
     deduped.join(losers, Seq("id"), "left_anti")
       .select(col("id"), col("lang_pred"), col("quality"))
   }
+
+  /** Raw multi-line corpus -> packed training rows, end to end:
+    *  1. boilerplate line removal ([[Corpus.stripBoilerplate]]);
+    *  2. language-id + quality gate on the CLEANED text (boilerplate first:
+    *     a nav-bar footer on every page otherwise drags every doc's
+    *     quality the same direction);
+    *  3. exact dedup — min id per identical clean text;
+    *  4. token-budget truncation ([[Corpus.truncateTokens]]);
+    *  5. sequence packing ([[Corpus.packSequences]]) over the kept counts.
+    *
+    * Near-dup collapse (pairs + components) slots between 3 and 4 via
+    * [[cleanCorpus]]'s machinery when needed — kept separate here because
+    * its iterative label propagation is the one non-single-plan stage.
+    *
+    * Returns (id, lang_pred, quality, n_raw_tokens, was_truncated,
+    * n_tokens, seq_id, seq_offset) — one row per surviving doc, ready for
+    * a shard writer.
+    *
+    * Scale shape: every stage is a partial-aggregating groupBy, broadcast
+    * anti join, or narrow projection; the only full-text shuffles are the
+    * line reassembly (stage 1) and the exact-dedup groupBy (key on
+    * xxhash64(clean_text) at scale — raw text kept here for oracle parity).
+    */
+  def prepareTrainingData(docs: DataFrame, id: Column, text: Column,
+      minDocsBoiler: Long = 10L, minQuality: Double = 0.66,
+      maxTokens: Int = 512, ctxLen: Long = 2048,
+      bucketSize: Long = 4096): DataFrame = {
+    val cleaned = Corpus.stripBoilerplate(docs, id, text, minDocsBoiler)
+      .select(col("id"), col("clean_text"))
+    val gated = cleaned.select(col("id"), col("clean_text"),
+        TextFns.langId(col("clean_text")).alias("lang_pred"),
+        TextFns.qualityScore(col("clean_text")).alias("quality"))
+      .filter(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    val survivors = gated
+      .groupBy(col("clean_text")).agg(min(col("id")).alias("id"))
+      .select(col("id"))
+    val deduped = gated.join(survivors, "id")
+    val trunc = Corpus.truncateTokens(deduped, col("id"), col("clean_text"), maxTokens)
+      .withColumn("n_kept", least(col("n_tokens"), lit(maxTokens.toLong)))
+    val packed = Corpus.packSequences(trunc, col("id"), col("n_kept"),
+      ctxLen, bucketSize)
+    deduped.select(col("id"), col("lang_pred"), col("quality"))
+      .join(trunc.select(col("id"), col("n_tokens").alias("n_raw_tokens"),
+        col("was_truncated")), "id")
+      .join(packed.select(col("id"), col("n_tokens"), col("seq_id"),
+        col("seq_offset")), "id")
+  }
 }

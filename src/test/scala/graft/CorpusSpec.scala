@@ -153,6 +153,27 @@ class CorpusSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("prepareTrainingData: strip -> gate -> dedup -> truncate -> pack composes") {
+    val body1 = "the quick brown fox jumps over the lazy dog again today"
+    val body2 = "the small red cat sits near the warm fire stone tonight"
+    val docs = Seq(
+      (1L, body1 + "\n-- footer --"),
+      (2L, body2 + "\n-- footer --"),
+      (3L, body1 + "\n-- footer --"),   // exact dup of 1 after cleaning
+      (4L, ";;;; !!!! @@@@\n-- footer --") // junk -> gated out
+    ).toDF("id", "text")
+    val out = graft.operators.Pipeline.prepareTrainingData(
+        docs, $"id", $"text",
+        minDocsBoiler = 3L, minQuality = 0.66, // footer df=4; dup body df=2 stays
+        maxTokens = 8, ctxLen = 10L, bucketSize = 4L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (1L, "en", 1.0, 11L, true, 8L, 0L, 0L),
+      (2L, "en", 1.0, 11L, true, 8L, 0L, 8L)))
+  }
+
   test("packSequences: bucketed prefix sum equals the naive running total") {
     val counts = Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1) * 3L))
     val df = counts.toDF("id", "n")
