@@ -90,7 +90,22 @@ object Pipeline {
   def prepareTrainingData(docs: DataFrame, id: Column, text: Column,
       minDocsBoiler: Long = 10L, minQuality: Double = 0.66,
       maxTokens: Int = 512, ctxLen: Long = 2048,
-      bucketSize: Long = 4096): DataFrame = {
+      bucketSize: Long = 4096): DataFrame =
+    prepareTrainingDataReleasable(docs, id, text, minDocsBoiler, minQuality,
+      maxTokens, ctxLen, bucketSize)._1
+
+  /** As [[prepareTrainingData]], additionally returning the persisted
+    * narrow per-doc frame for caller-controlled release (same contract as
+    * [[Dedup.minhashLshPairsReleasable]]). Persisted because the packing
+    * stage references the post-dedup state three times (bucket partials,
+    * the in-bucket window, the feature join) — without it the whole
+    * full-text pipeline upstream re-executes per reference. The cached
+    * frame is ~40 bytes/doc (text already dropped).
+    */
+  def prepareTrainingDataReleasable(docs: DataFrame, id: Column, text: Column,
+      minDocsBoiler: Long = 10L, minQuality: Double = 0.66,
+      maxTokens: Int = 512, ctxLen: Long = 2048,
+      bucketSize: Long = 4096): (DataFrame, DataFrame) = {
     val cleaned = Corpus.stripBoilerplate(docs, id, text, minDocsBoiler)
       .select(col("id"), col("clean_text"))
     val gated = cleaned.select(col("id"), col("clean_text"),
@@ -100,15 +115,18 @@ object Pipeline {
     val survivors = gated
       .groupBy(col("clean_text")).agg(min(col("id")).alias("id"))
       .select(col("id"))
-    val deduped = gated.join(survivors, "id")
-    val trunc = Corpus.truncateTokens(deduped, col("id"), col("clean_text"), maxTokens)
-      .withColumn("n_kept", least(col("n_tokens"), lit(maxTokens.toLong)))
-    val packed = Corpus.packSequences(trunc, col("id"), col("n_kept"),
+    val toks = TextFns.tokens(col("clean_text"))
+    val narrow = gated.join(survivors, "id")
+      .withColumn("n_raw_tokens",
+        org.apache.spark.sql.functions.size(toks).cast("long"))
+      .select(col("id"), col("lang_pred"), col("quality"), col("n_raw_tokens"),
+        (col("n_raw_tokens") > maxTokens).alias("was_truncated"),
+        least(col("n_raw_tokens"), lit(maxTokens.toLong)).alias("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val packed = Corpus.packSequences(narrow, col("id"), col("n_tokens"),
       ctxLen, bucketSize)
-    deduped.select(col("id"), col("lang_pred"), col("quality"))
-      .join(trunc.select(col("id"), col("n_tokens").alias("n_raw_tokens"),
-        col("was_truncated")), "id")
-      .join(packed.select(col("id"), col("n_tokens"), col("seq_id"),
-        col("seq_offset")), "id")
+    val out = narrow
+      .join(packed.select(col("id"), col("seq_id"), col("seq_offset")), "id")
+    (out, narrow)
   }
 }
