@@ -47,10 +47,23 @@ object Corpus {
     * at 2^-64 per pair this is the standard trade for narrow keys.)
     */
   def segmentDedup(df: DataFrame, id: Column, segments: Column,
-      sep: String = " "): DataFrame = {
+      sep: String = " "): DataFrame =
+    segmentDedupReleasable(df, id, segments, sep)._1
+
+  /** As [[segmentDedup]], additionally returning the persisted exploded
+    * segment frame for caller-controlled release (the
+    * [[Dedup.minhashLshPairsReleasable]] contract). Persisted because the
+    * segment construction — typically a tokenize/chunk expression that is
+    * O(tokens x chunks) per doc — is referenced THREE times (first-occurrence
+    * aggregate, the keep join, per-doc segment counts); without the cache it
+    * re-runs over the corpus per reference (measured ~2x on q57).
+    */
+  def segmentDedupReleasable(df: DataFrame, id: Column, segments: Column,
+      sep: String = " "): (DataFrame, DataFrame) = {
     val segs = df
       .select(id.alias("id"), posexplode(segments).as(Seq("pos", "seg")))
       .withColumn("h", xxhash64(col("seg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence per segment hash: min over a (id, pos) struct —
     // partial map-side combine, one row per distinct segment after shuffle
     val first = segs.groupBy("h")
@@ -63,14 +76,20 @@ object Corpus {
       array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
         x => x("seg")), sep).alias("clean_text"),
       count(lit(1)).alias("n_kept"))
-    df.select(id.alias("id"),
-        org.apache.spark.sql.functions.size(segments).cast("long").alias("n_segs"))
+    // per-doc totals from the cached explode, not a third `segments`
+    // evaluation; docs whose segment array is empty fall out of the explode
+    // and coalesce back to 0
+    val nsegs = segs.groupBy("id").agg(count(lit(1)).alias("n_segs"))
+    val out = df.select(id.alias("id"))
+      .join(nsegs, Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")
       .select(
         col("id"),
         coalesce(col("clean_text"), lit("")).alias("clean_text"),
         coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
-        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).alias("n_removed"))
+        (coalesce(col("n_segs"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).alias("n_removed"))
+    (out, segs)
   }
 
   /** Benchmark-contamination check: for every non-benchmark document, the

@@ -42,20 +42,36 @@ object EventStreams {
     * equi-join on (key, bucket) longs. No global window.
     */
   def gapFill(events: DataFrame, key: Column, ts: Column, stepMicros: Long,
-      aggs: Seq[Column]): DataFrame = {
+      aggs: Seq[Column]): DataFrame =
+    gapFillReleasable(events, key, ts, stepMicros, aggs)._1
+
+  /** As [[gapFill]], additionally returning the persisted per-bucket
+    * aggregate for caller-controlled release. Persisted because BOTH the
+    * grid bounds and the fill join read it — without the cache the raw
+    * event scan + aggregation executes twice (q64's runtime is dominated by
+    * the grid window itself, so the gain there is modest; the rescan cost
+    * scales with raw event volume, which is exactly what grows at 100 TB).
+    * The cached frame is one row per (key, bucket), already horizon-bounded.
+    * The grid bounds derive from the per-bucket frame (not the raw events):
+    * same min/max, far fewer rows.
+    */
+  def gapFillReleasable(events: DataFrame, key: Column, ts: Column,
+      stepMicros: Long, aggs: Seq[Column]): (DataFrame, DataFrame) = {
     require(stepMicros > 0, "stepMicros must be positive")
     require(aggs.nonEmpty, "gapFill needs >= 1 aggregate")
     val bucketed = events
       .withColumn("k", key)
       .withColumn("bucket", floor(unix_micros(ts.cast("timestamp")) / stepMicros).cast("long"))
     val perBucket = bucketed.groupBy(col("k"), col("bucket")).agg(aggs.head, aggs.tail: _*)
-    val grid = bucketed.groupBy(col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = perBucket.groupBy(col("k"))
       .agg(min(col("bucket")).alias("b0"), max(col("bucket")).alias("b1"))
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).alias("bucket"))
-    grid.join(perBucket, Seq("k", "bucket"), "left")
+    val out = grid.join(perBucket, Seq("k", "bucket"), "left")
       .withColumn("bucket_ts", timestamp_micros(col("bucket") * stepMicros))
       .select(Seq(col("k"), col("bucket"), col("bucket_ts")) ++
         perBucket.columns.filterNot(Set("k", "bucket")).map(col): _*)
+    (out, perBucket)
   }
 
   /** Forward-fill NULLs in `cols` per `key` in `order` order (last
