@@ -997,6 +997,23 @@ object SparkEntry {
           col("v_min"), col("v_max"), col("normalized")))
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
 
+    "q97_containment_pairs" -> ((s, dir) => {
+      // asymmetric (doc-inside-doc) dedup: every 10th doc gets a synthetic
+      // "digest" page wrapping it plus its neighbor — containment ~1 where
+      // Jaccard stays ~0.5, exactly what the symmetric metric misses
+      val base = t(s, dir, "documents").selectCols(Seq(col("doc_id"), col("text")))
+      val nxt = base.selectCols(Seq((col("doc_id") - 1).as("doc_id"),
+        col("text").as("text_next")))
+      val digests = base.join(nxt, Seq("doc_id"))
+        .filterCol(pmod(col("doc_id"), lit(10)) === 0)
+        .selectCols(Seq((col("doc_id") + 10000).as("doc_id"),
+          concat_ws(" ", col("text"), col("text_next")).as("text")))
+      Dedup.containmentPairs(base.union(digests), col("doc_id"), col("text"),
+          ngram = 3, threshold = 0.9)
+        .withColumn("containment", round(col("containment"), 6))
+        .sortBy(Seq(col("id_in"), col("id_out")))
+    }),
+
     "q96_training_pipeline" -> ((s, dir) => {
       // the flagship end-to-end composition: q83's multi-line construction
       // -> boilerplate strip -> lang/quality gate -> exact dedup ->
@@ -2323,6 +2340,41 @@ object SparkEntry {
                 ELSE (l_extendedprice - v_min) / (v_max - v_min) END AS normalized
          FROM lineitem JOIN b ON l_returnflag = b.g
          ORDER BY l_orderkey, l_linenumber""",
+
+    // q34's shingle replay over the base+digest corpus; containment
+    // denominator = the SMALLER set, pair oriented (contained, container).
+    "q97_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         dig AS (
+           SELECT b.doc_id + 10000 AS doc_id, b.text || ' ' || n.text AS text
+           FROM base b JOIN base n ON n.doc_id = b.doc_id + 1
+           WHERE b.doc_id % 10 = 0),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dig),
+         t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM corpus),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS id_in,
+           CASE WHEN sa.n <= sb.n THEN id_b ELSE id_a END AS id_out,
+           round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+         ORDER BY id_in, id_out""",
 
     // q83's boilerplate replay -> q51's scoring/gate/dedup CTEs on the
     // CLEANED text -> q92's truncation counts -> q60's naive running-sum

@@ -208,6 +208,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT shingle-CONTAINMENT pairs — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: keep (inner, outer) where
+    * `|inner ∩ outer| / |inner| >= threshold`, i.e. the inner doc's
+    * shingles are mostly inside the outer's. Catches what Jaccard misses:
+    * a wire article embedded in a much longer page has tiny Jaccard (the
+    * union is dominated by the page) but containment ~1. The standard
+    * news/quote/wrapper dedup signal.
+    *
+    * The pair is emitted ONCE, oriented: `id_in` is the contained
+    * (smaller-or-equal set, ties by id) side. Same inverted-index shape,
+    * same sum(df²) cost model, same size guard and LSH-first advice as
+    * [[ngramJaccardPairs]].
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ngram: Int = 3,
+      threshold: Double = 0.9,
+      maxInputBytes: Long = 4L << 30
+  ): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxInputBytes,
+      s"containmentPairs cost grows superlinearly (sum of squared shingle doc-freqs): " +
+        s"estimated input $est bytes > $maxInputBytes. Generate candidates with " +
+        s"minhashLshPairs at scale, or raise maxInputBytes for a ground-truth run.")
+    val docs = df.select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+    val inv = docs.select(col("id"), explode(col("sh")).alias("g"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    val inter = a
+      .join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .agg(count(lit(1)).cast("double").alias("inter"))
+    val sizes = docs.select(col("id"), size(col("sh")).alias("n"))
+    inter
+      .join(sizes.select(col("id").alias("id_a"), col("n").alias("n_a")), "id_a")
+      .join(sizes.select(col("id").alias("id_b"), col("n").alias("n_b")), "id_b")
+      // orient: the smaller set is the contained side (ties -> id_a, which
+      // the join already made the smaller id)
+      .withColumn("id_in",
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
+      .withColumn("id_out",
+        when(col("id_in") === col("id_a"), col("id_b")).otherwise(col("id_a")))
+      .withColumn("n_in", least(col("n_a"), col("n_b")))
+      .withColumn("containment", col("inter") / col("n_in"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_in"), col("id_out"), col("containment"))
+  }
+
   /** SimHash fingerprint column (64-bit) over a document's tokens.
     * `portable = true` uses FNV-1a token hashes (cross-engine verifiable)
     * instead of xxhash64.

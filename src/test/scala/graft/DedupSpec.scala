@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("containmentPairs: doc-inside-doc oriented pairs that Jaccard misses") {
+    val df = Seq(
+      (1L, "a b c d e f"),           // 4 shingles, all inside doc 2
+      (2L, "a b c d e f g h i j"),   // 8 shingles
+      (3L, "x y z w v u"),           // unrelated
+      (4L, "a b c d e f")            // exact dup of 1: tie orientation
+    ).toDF("id", "text")
+    val out = Dedup.containmentPairs(df, col("id"), col("text"), ngram = 3,
+        threshold = 0.9)
+      .orderBy("id_in", "id_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1 in 2): containment 4/4 = 1.0 while jaccard = 4/8 = 0.5;
+    // tie (1,4) keeps the join's id_a as the contained side; (4 in 2) flips
+    // orientation because id 4's set is the smaller one
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (1L, 4L, 1.0), (4L, 2L, 1.0)))
+    assert(Dedup.ngramJaccardPairs(df.filter(col("id") < 3), col("id"), col("text"),
+      threshold = 0.8).count() == 0, "the symmetric metric must miss the wrap")
+  }
+
   test("incrementalDedup: drops seen keys, keep-first inside the batch") {
     val batch = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c")).toDF("id", "k")
     val seen = Seq("a").toDF("seen")
