@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** Benchmark main — runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query seconds.
@@ -207,6 +207,18 @@ object Bench {
     out("emb_cosine_pairs") = series(Seq(160, 320, 640), VE.toLong) { base =>
       Dedup.embeddingCosinePairs(embs.filter(col("orig_id") < base),
         col("vec_id"), col("embedding"), threshold = 0.95)
+    }
+    // round-4 corpus ops (both linear by design: the df count shuffles
+    // hashes, the anti join broadcasts; tf/df partial-aggregate)
+    out("strip_boilerplate") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Corpus.stripBoilerplate(
+        docs.filter(col("orig_id") < base)
+          .withColumn("t2", concat_ws("\n", col("text"), lit("all rights reserved"))),
+        col("doc_id"), col("t2"), minDocs = 10L)
+    }
+    out("hashed_tfidf") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Corpus.hashedTfIdf(docs.filter(col("orig_id") < base), col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")), dim = 1024)
     }
 
     // best-effort temp cleanup (bench correctness does not depend on it)

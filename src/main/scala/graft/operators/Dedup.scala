@@ -146,6 +146,16 @@ object Dedup {
     (verifyJaccard(candidates, docs.select(col("id"), col("sh")), threshold), docs)
   }
 
+  /** Estimated INPUT bytes of a frame: the sum of its leaf (scan) sizes.
+    * The quadratic-operator guards use this instead of the optimized plan's
+    * root estimate — Catalyst multiplies row estimates through joins, so a
+    * pipeline-built frame (e.g. a gate + dedup join over a 6 MB table) can
+    * carry a "45 GB" root estimate while actually reading megabytes. Leaf
+    * sizes are file/relation sizes — the number the guard means.
+    */
+  private def leafInputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
+
   /** Join candidate id pairs back to shingle sets and keep exact Jaccard >=
     * threshold. Shingle sets move through two id-keyed joins (narrow keys,
     * wide payload moves once per side).
@@ -187,7 +197,7 @@ object Dedup {
     // Guard against silent misuse as the default dedup path: cost grows as
     // sum(df(g)^2) — superlinear on near-dup-heavy corpora. The linear
     // sibling is minhashLshPairs; this operator is its exact ground truth.
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = leafInputBytes(df)
     require(est <= maxInputBytes,
       s"ngramJaccardPairs cost grows superlinearly (sum of squared shingle doc-freqs): " +
         s"estimated input $est bytes > $maxInputBytes. Use minhashLshPairs for scale, " +
@@ -229,7 +239,7 @@ object Dedup {
       threshold: Double = 0.9,
       maxInputBytes: Long = 4L << 30
   ): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = leafInputBytes(df)
     require(est <= maxInputBytes,
       s"containmentPairs cost grows superlinearly (sum of squared shingle doc-freqs): " +
         s"estimated input $est bytes > $maxInputBytes. Generate candidates with " +
@@ -328,7 +338,7 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
       maxInputBytes: Long = 512L << 20): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = leafInputBytes(df)
     require(est <= maxInputBytes,
       s"embeddingCosinePairs is O(n^2) with a full-corpus broadcast: estimated input " +
         s"$est bytes > $maxInputBytes. Use embeddingLshPairs (linear shuffle) for scale, " +
