@@ -997,6 +997,29 @@ object SparkEntry {
           col("v_min"), col("v_max"), col("normalized")))
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
 
+    "q98_stream_static_enrich" -> ((s, dir) => {
+      // TRUE streaming stateless enrichment: the events file stream joins
+      // the static customer dim (broadcast per micro-batch, no state
+      // stores); append output equals the batch left join => exact oracle
+      val staged = java.nio.file.Files.createTempDirectory("graft_q98")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q98_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        val dim = t(s, dir, "customer")
+          .selectCols(Seq(col("c_custkey").as("user_id"),
+            col("c_mktsegment"), col("c_nationkey")))
+        EventStreams.runStreamEnrichSmoke(s, staged.toString, qn, dim, Seq("user_id"))
+          .selectCols(Seq(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"), col("c_nationkey")))
+          .sortBy(Seq(col("event_id")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q97_containment_pairs" -> ((s, dir) => {
       // asymmetric (doc-inside-doc) dedup: every 10th doc gets a synthetic
       // "digest" page wrapping it plus its neighbor — containment ~1 where
@@ -2340,6 +2363,12 @@ object SparkEntry {
                 ELSE (l_extendedprice - v_min) / (v_max - v_min) END AS normalized
          FROM lineitem JOIN b ON l_returnflag = b.g
          ORDER BY l_orderkey, l_linenumber""",
+
+    // Stateless append streaming == the batch left join.
+    "q98_stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
 
     // q34's shingle replay over the base+digest corpus; containment
     // denominator = the SMALLER set, pair oriented (contained, container).

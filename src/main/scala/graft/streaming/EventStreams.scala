@@ -301,6 +301,47 @@ object EventStreams {
     * stream-stream inner join state grows forever; this operator makes the
     * bound part of the signature rather than an optional predicate.
     */
+  /** Stream-static enrichment join: a streaming fact frame joins a STATIC
+    * dimension (events x user/item attributes — the most common streaming
+    * join in practice). Stateless, unlike [[streamStreamJoin]]: no state
+    * stores, no watermark requirement; Spark broadcasts the dimension and
+    * re-resolves it per micro-batch, so a slowly-changing dim picks up
+    * updates between batches. LEFT join keeps facts with no dimension row
+    * (they'd silently vanish inner-joined — the classic enrichment bug).
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "stream-static enrich needs >= 1 equi-key")
+    stream.join(broadcast(dim), keys, "left")
+  }
+
+  /** Drain [[streamStaticEnrich]] over a parquet directory read as a file
+    * stream, synchronously into a memory sink. Stateless append output —
+    * deterministic, equals the batch left join (the differential oracle).
+    */
+  def runStreamEnrichSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, dim: DataFrame, keys: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val stream =
+      if (schema.fieldNames.contains("ts") &&
+          schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = streamStaticEnrich(stream, dim, keys).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
   def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       windowSeconds: Long, leftTs: String = "ts", rightTs: String = "ts",
       watermark: String = "1 hour"): DataFrame = {

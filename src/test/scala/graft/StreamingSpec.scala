@@ -237,6 +237,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streamStaticEnrich: finite drain equals the batch LEFT join, keeps dim-less facts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sse").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    // dim covers only even user ids: odd-id facts must survive with nulls
+    val dim = loadBatch.select($"user_id").distinct()
+      .filter($"user_id" % 2 === 0)
+      .withColumn("segment", concat(lit("seg"), $"user_id" % 3))
+    val streamed = EventStreams.runStreamEnrichSmoke(spark, dir, "graft_sse_test",
+        dim, Seq("user_id"))
+      .select($"event_id", $"segment")
+    val batch = loadBatch.join(dim, Seq("user_id"), "left")
+      .select($"event_id", $"segment")
+    assert(streamed.count() == loadBatch.count(), "left join must keep every fact")
+    assert(streamed.filter($"segment".isNull).count() > 0, "unmatched facts keep nulls")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("sessionize: gap splits sessions per user") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
