@@ -91,4 +91,62 @@ object RelationalProps extends Properties("relational") {
     try { mk(List((1, 2))).selectCols(Seq(col("nope"))).analyzed; false }
     catch { case _: org.apache.spark.sql.AnalysisException => true }
   }
+
+  // ---- round-4 operator laws -----------------------------------------------
+
+  property("systematicSample == integer-arithmetic model (a row per crossed step multiple)") =
+    forAll(Gen.listOf(Gen.choose(0, 9)), Gen.choose(1, 7)) { (weights, step) =>
+      weights.nonEmpty ==> {
+        val rows = weights.zipWithIndex.map { case (w, i) => ("s", i.toLong, w.toLong) }
+        val df = spark.createDataFrame(rows).toDF("g", "ord", "w")
+        val kept = df.systematicSample(col("g"), col("ord"), col("w"), step.toLong)
+          .collect().map(_.getLong(1)).toSet
+        // independent integer model: row i is selected iff its weight
+        // interval (cum_{i}, cum_{i+1}] contains a multiple of step — a row
+        // spanning several multiples is still selected once
+        val cums = weights.map(_.toLong).scanLeft(0L)(_ + _)
+        val want = weights.indices
+          .filter(i => cums(i) / step < cums(i + 1) / step)
+          .map(_.toLong).toSet
+        kept == want
+      }
+    }
+
+  property("zorderValue is injective on the masked grid and order-preserving on prefixes") =
+    forAll(Gen.choose(0L, 255L), Gen.choose(0L, 255L), Gen.choose(0L, 255L), Gen.choose(0L, 255L)) {
+      (x1, y1, x2, y2) =>
+        val df = spark.createDataFrame(Seq((x1, y1, x2, y2))).toDF("x1", "y1", "x2", "y2")
+        val r = df.select(
+          graft.operators.Relational.zorderValue(col("x1"), col("y1"), 8),
+          graft.operators.Relational.zorderValue(col("x2"), col("y2"), 8)).head()
+        val (z1, z2) = (r.getLong(0), r.getLong(1))
+        // injective: equal z implies equal point (Morton is a bijection on the grid)
+        ((z1 == z2) == (x1 == x2 && y1 == y2)) :| "bijection" &&
+          (z1 >= 0 && z1 < (1L << 16)) :| "range"
+    }
+
+  property("editDistancePairs blocking finds exactly the naive all-pairs answer") =
+    forAll(Gen.listOf(Gen.listOfN(4, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+        .flatMap(s => Gen.choose(1, 4).map(s.take))), Gen.choose(1, 3)) { (strs, d) =>
+      strs.nonEmpty ==> {
+        val df = spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
+        val got = graft.operators.Dedup.editDistancePairs(df, col("s"), d)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        val distinct = strs.distinct
+        def lev(a: String, b: String): Int = {
+          val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+              dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          dp(a.length)(b.length)
+        }
+        val want = (for {
+          a <- distinct; b <- distinct
+          if a.length < b.length || (a.length == b.length && a < b)
+          if lev(a, b) <= d
+        } yield (a, b)).toSet
+        got == want
+      }
+    }
 }
