@@ -35,11 +35,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // Failures are caught per-query so one bad query can't kill the run —
+    // but they must be machine-visible, not just stderr noise: a failed
+    // query's "time" is a fast no-op and silently flatters the total
+    // (this hid a guard bug for a full round). Collected into the JSON.
+    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch {
+          case e: Throwable =>
+            failedQueries += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // Drop anything the query persisted (e.g. minhash doc state), outside
         // the timed region: pass 2 must rebuild it (cache reuse would hide
@@ -71,8 +80,9 @@ object Bench {
         "," + scaleBench(spark, sfDir)
       else ""
 
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$scaleJson}"""
     // Full-precision JSON (with the scale section) goes to a file the driver
     // can read verbatim — sbt prefixes stdout with [info] noise.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -86,7 +96,7 @@ object Bench {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
