@@ -919,13 +919,15 @@ object SparkEntry {
     "q88_incremental_dedup" -> ((s, dir) => {
       // append-only ingestion: the second half of events dedups against the
       // key history of the first half (key = user|type|day), then
-      // keep-first-within-batch by event_id
+      // keep-first-within-batch by event_id. The split point is count/2
+      // (event_ids are dense from 0), so the query is sf-agnostic
       val e = t(s, dir, "events")
+      val mid = e.count() / 2
       val key = concat_ws("|", col("user_id"), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd"))
-      val seen = e.filterCol(col("event_id") < 5000)
+      val seen = e.filterCol(col("event_id") < mid)
         .selectCols(Seq(key.as("k"))).distinct()
-      Dedup.incrementalDedup(e.filterCol(col("event_id") >= 5000), key,
+      Dedup.incrementalDedup(e.filterCol(col("event_id") >= mid), key,
           Seq(col("event_id")), seen)
         .selectCols(Seq(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value")))
@@ -2245,18 +2247,21 @@ object SparkEntry {
          FROM c GROUP BY occurrences ORDER BY occurrences""",
 
     // Anti join against first-half key history, then keep-first by event_id.
+    // Split point = count/2, matching the query's sf-agnostic midpoint.
     "q88_incremental_dedup" ->
-      """WITH e AS (
+      """WITH mid AS (SELECT count(*) // 2 AS m FROM events),
+         e AS (
            SELECT event_id, user_id, event_type, value,
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
            FROM events),
          seen AS (
-           SELECT DISTINCT user_id, event_type, day FROM e WHERE event_id < 5000),
+           SELECT DISTINCT user_id, event_type, day FROM e
+           WHERE event_id < (SELECT m FROM mid)),
          fresh AS (
            SELECT b.* FROM e b
            ANTI JOIN seen s ON b.user_id = s.user_id
              AND b.event_type = s.event_type AND b.day = s.day
-           WHERE b.event_id >= 5000)
+           WHERE b.event_id >= (SELECT m FROM mid))
          SELECT event_id, user_id, event_type, day, value FROM (
            SELECT *, row_number() OVER (
              PARTITION BY user_id, event_type, day ORDER BY event_id) AS rn
