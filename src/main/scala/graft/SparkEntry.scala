@@ -999,6 +999,13 @@ object SparkEntry {
           col("v_min"), col("v_max"), col("normalized")))
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber")))),
 
+    "q99_bigram_surprise" -> ((s, dir) =>
+      // bigram-LM fluency signal (conditional sibling of q84): mean scaled
+      // inverse transition probability, add-one smoothed, integer-exact
+      Corpus.bigramSurprise(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")))
+        .sortBy(Seq(col("id")))),
+
     "q98_stream_static_enrich" -> ((s, dir) => {
       // TRUE streaming stateless enrichment: the events file stream joins
       // the static customer dim (broadcast per micro-batch, no state
@@ -2368,6 +2375,29 @@ object SparkEntry {
                 ELSE (l_extendedprice - v_min) / (v_max - v_min) END AS normalized
          FROM lineitem JOIN b ON l_returnflag = b.g
          ORDER BY l_orderkey, l_linenumber""",
+
+    // Same bigram zip as q80's oracle; smoothing uses the bigram vocab B:
+    // surprise = ((c(a)+B)*scale) // (c(ab)+1), all integer floor division.
+    "q99_bigram_surprise" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         bi AS (
+           SELECT doc_id, toks[i] AS ta, toks[i+1] AS tb
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+           WHERE len(toks) > 1),
+         uni AS (
+           SELECT term, count(*) AS ca FROM (
+             SELECT unnest(toks) AS term FROM t) GROUP BY term),
+         bc AS (SELECT ta, tb, count(*) AS cab FROM bi GROUP BY ta, tb),
+         bv AS (SELECT count(*) AS bvocab FROM bc)
+         SELECT bi.doc_id AS id, count(*) AS n_bigrams,
+           CAST(sum(((uni.ca + bv.bvocab) * 1000000) // (bc.cab + 1)) AS BIGINT) AS surprise_sum,
+           round(CAST(sum(((uni.ca + bv.bvocab) * 1000000) // (bc.cab + 1)) AS DOUBLE)
+             / count(*), 6) AS mean_surprise
+         FROM bi JOIN bc USING (ta, tb) JOIN uni ON uni.term = bi.ta CROSS JOIN bv
+         GROUP BY bi.doc_id ORDER BY id""",
 
     // Stateless append streaming == the batch left join.
     "q98_stream_static_enrich" ->

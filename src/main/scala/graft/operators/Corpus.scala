@@ -395,6 +395,48 @@ object Corpus {
         col("score"), col("rank").cast("long").alias("rank"))
   }
 
+  /** Bigram-LM fluency scoring — the conditional sibling of [[rarityScore]]
+    * (CCNet filters on KenLM perplexity; the bigram core of that signal is
+    * mean inverse CONDITIONAL probability `mean(c(a)/c(a,b))`: high = the
+    * doc's word transitions are rare/garbled, low = fluent boilerplate).
+    * Add-one smoothing over the corpus bigram vocabulary B keeps unseen
+    * transitions finite: `surprise(a,b) = ((c(a)+B) * scale) DIV (c(ab)+1)`.
+    *
+    * Integer-exact throughout (floor division, Long sums, one final IEEE
+    * mean) — same cross-engine discipline as [[rarityScore]]. Documents
+    * with fewer than 2 tokens have no bigrams and are omitted.
+    * Returns (id, n_bigrams, surprise_sum, mean_surprise).
+    *
+    * Scale shape: bigram/unigram count tables are vocabulary-sized
+    * partial-aggregating groupBys; the doc-bigram join hashes on the pair;
+    * B arrives broadcast. Long arithmetic holds while
+    * `(c(a)+B) * scale < 2^63`.
+    */
+  def bigramSurprise(df: DataFrame, id: Column, terms: Column,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val base = df.select(id.alias("id"), terms.alias("toks"))
+    val bi = base.filter(org.apache.spark.sql.functions.size(col("toks")) > 1)
+      .select(col("id"), explode(zip_with(
+        slice(col("toks"), lit(1), org.apache.spark.sql.functions.size(col("toks")) - 1),
+        slice(col("toks"), lit(2), org.apache.spark.sql.functions.size(col("toks")) - 1),
+        (a, b) => struct(a.alias("ta"), b.alias("tb")))).alias("bg"))
+      .select(col("id"), col("bg.ta").alias("ta"), col("bg.tb").alias("tb"))
+    val uni = base.select(explode(col("toks")).alias("term"))
+      .groupBy("term").agg(count(lit(1)).alias("ca"))
+    val bc = bi.groupBy("ta", "tb").agg(count(lit(1)).alias("cab"))
+    val nBigramVocab = bc.agg(count(lit(1)).alias("bvocab"))
+    bi.join(bc, Seq("ta", "tb"))
+      .join(uni.withColumnRenamed("term", "ta"), Seq("ta"))
+      .crossJoin(broadcast(nBigramVocab))
+      .withColumn("surprise", expr(s"((ca + bvocab) * ${scale}L) DIV (cab + 1)"))
+      .groupBy("id").agg(
+        count(lit(1)).alias("n_bigrams"),
+        sum(col("surprise")).alias("surprise_sum"))
+      .withColumn("mean_surprise",
+        round(col("surprise_sum").cast("double") / col("n_bigrams"), 6))
+  }
+
   /** Hashing-trick TF-IDF featurization (fastText / quality-classifier
     * input): each document becomes a sparse vector of `dim` buckets,
     * `bucket = pmod(hash(term), dim)`, with integer-exact scaled weights

@@ -136,6 +136,18 @@ class CorpusSpec extends SparkSpec {
     assert(s.toSeq != a.toSeq)
   }
 
+  test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
+    // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
+    // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;
+    // surprise(b,a) = (2+2)*1e6 DIV 3 = 1333333; single-token doc omitted
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("id", "text")
+    val out = Corpus.bigramSurprise(docs, $"id", split($"text", " "))
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0) == Row(1L, 2L, 3833333L, 1916666.5))
+    assert(out(1) == Row(2L, 1L, 1333333L, 1333333.0))
+  }
+
   test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
     // corpus: (1, "a b a"), (2, "b c") -> N=2; tf: (1,a)=2 (1,b)=1 (2,b)=1
     // (2,c)=1; df: a=1 b=2 c=1; w = (tf*(N+1)*1e6) DIV (df+1)
