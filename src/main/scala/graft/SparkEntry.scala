@@ -1006,6 +1006,21 @@ object SparkEntry {
           TextFns.tokens(col("text")))
         .sortBy(Seq(col("id")))),
 
+    "q100_pagerank" -> ((s, dir) => {
+      // entity-centrality quality prior (the CommonCrawl recipe weights
+      // domains by link centrality before sampling): 3 integer-exact
+      // damped rounds over the customer -> supplier purchase graph
+      // (supplier ids offset by 10^6 so the node id space is disjoint)
+      val o = t(s, dir, "orders").selectCols(Seq(col("o_orderkey"), col("o_custkey")))
+      val l = t(s, dir, "lineitem").selectCols(Seq(col("l_orderkey"), col("l_suppkey")))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .selectCols(Seq(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst")))
+        .distinct()
+      graft.operators.Graph.pagerank(edges, rounds = 3)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q98_stream_static_enrich" -> ((s, dir) => {
       // TRUE streaming stateless enrichment: the events file stream joins
       // the static customer dim (broadcast per micro-batch, no state
@@ -2375,6 +2390,31 @@ object SparkEntry {
                 ELSE (l_extendedprice - v_min) / (v_max - v_min) END AS normalized
          FROM lineitem JOIN b ON l_returnflag = b.g
          ORDER BY l_orderkey, l_linenumber""",
+
+    // Three unrolled integer-exact damped rounds: teleport 150000
+    // (= (100-85)*1e6 DIV 100), per-edge contribution rank // outdeg,
+    // damping (85 * contrib) // 100. Floor division replays bit-for-bit.
+    "q100_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         n AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+         c1 AS (SELECT e.dst AS id, sum(r0.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+         r1 AS (SELECT n.id, 150000 + (85 * COALESCE(c1.contrib, 0)) // 100 AS rank
+                FROM n LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e.dst AS id, sum(r1.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+         r2 AS (SELECT n.id, 150000 + (85 * COALESCE(c2.contrib, 0)) // 100 AS rank
+                FROM n LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e.dst AS id, sum(r2.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+         r3 AS (SELECT n.id, 150000 + (85 * COALESCE(c3.contrib, 0)) // 100 AS rank
+                FROM n LEFT JOIN c3 USING (id))
+         SELECT id, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY id""",
 
     // Same bigram zip as q80's oracle; smoothing uses the bigram vocab B:
     // surprise = ((c(a)+B)*scale) // (c(ab)+1), all integer floor division.

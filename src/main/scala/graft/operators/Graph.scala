@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation: centrality-style quality priors
+  * over entity/link graphs (the CommonCrawl recipe weights domains by
+  * link centrality before sampling). The iterative sibling family of
+  * [[Dedup.nearDupComponents]] (components) and
+  * [[Similarity.kmeansFit]] (Lloyd) — bounded driver loops over
+  * partial-aggregating joins, lineage truncated per round.
+  */
+object Graph {
+
+  /** One damped PageRank step, INTEGER-EXACT: ranks are scaled longs, the
+    * per-edge contribution is `rank DIV outdeg`, and damping is applied as
+    * the rational `d = dNum/100`:
+    *
+    *   rank'(v) = ((100-dNum) * scale) DIV 100
+    *            + (dNum * Σ_{u→v} (rank(u) DIV outdeg(u))) DIV 100
+    *
+    * Floor division everywhere — like [[Corpus.rarityScore]], this trades
+    * the float formulation's cross-engine drift for a deterministic
+    * contract any engine reproduces bit-for-bit (each step loses < 1 unit
+    * of scale per division; at the default scale of 10^6 that is 1e-6 of
+    * mass — far below ranking resolution). Dangling nodes (no out-edges)
+    * keep the teleport term only, the standard simplification.
+    *
+    * `edges` must have two columns (src, dst); `ranks` two columns
+    * (id, rank_scaled). Start from `uniformRanks`. Returns (id, rank).
+    *
+    * Scale shape: out-degrees and contributions are partial-aggregating
+    * groupBys on node ids; the edge join hashes on src. One shuffle per
+    * side — the classic Pregel-free PageRank dataflow. Iterate with
+    * `localCheckpoint(true)` between rounds (see nearDupComponents for
+    * why lineage must truncate).
+    */
+  def pagerankStep(edges: DataFrame, ranks: DataFrame, dNum: Int = 85,
+      scale: Long = 1000000L): DataFrame = {
+    require(dNum >= 0 && dNum <= 100, s"dNum must be in [0,100], got $dNum")
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(edges.columns.length == 2, "edges must be exactly (src, dst)")
+    require(ranks.columns.length == 2, "ranks must be exactly (id, rank)")
+    val e = edges.toDF("src", "dst")
+    val r = ranks.toDF("id", "rank")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).alias("outdeg"))
+    val contrib = e
+      .join(outdeg, "src")
+      .join(r.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").alias("id"), expr("rank DIV outdeg").alias("c"))
+      .groupBy("id").agg(sum(col("c")).alias("contrib"))
+    val teleport = (100L - dNum) * scale / 100L // exact: positive integer div
+    r.select(col("id"))
+      .join(contrib, Seq("id"), "left")
+      .withColumn("__c", coalesce(col("contrib"), lit(0L)))
+      .select(col("id"),
+        (lit(teleport) + expr(s"(${dNum}L * __c) DIV 100")).alias("rank"))
+  }
+
+  /** Uniform starting ranks: every node gets `scale` (so total mass is
+    * n*scale — the unnormalized convention; rankings are scale-invariant).
+    */
+  def uniformRanks(nodes: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(nodes.columns.length == 1, "nodes must be a single id column")
+    nodes.toDF("id").distinct().withColumn("rank", lit(scale))
+  }
+
+  /** Iterated [[pagerankStep]] with per-round lineage truncation. Fixed
+    * round count (PageRank converges geometrically; 10-20 rounds is the
+    * standard production choice — no convergence join needed).
+    *
+    * `nodes` defaults to the edge endpoints. Pass it explicitly only when
+    * isolated nodes (no edges at all) must still receive teleport rank —
+    * the default derives endpoints from the CHECKPOINTED edge list, so an
+    * expensive edge derivation (a join + distinct over fact tables) is
+    * executed once, not re-run per rank-frame reference.
+    */
+  def pagerank(edges: DataFrame, rounds: Int, dNum: Int = 85,
+      scale: Long = 1000000L, nodes: Option[DataFrame] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // The edge list is read every round (contribution join + out-degrees);
+    // checkpointing it once materializes whatever derivation produced it
+    // instead of re-executing that upstream per round (measured 3x on
+    // q100's 3-round run).
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodeIds = nodes.map(_.toDF("id"))
+      .getOrElse(e.select(col("src").alias("id"))
+        .union(e.select(col("dst").alias("id"))))
+    var r = uniformRanks(nodeIds, scale).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      r = pagerankStep(e, r, dNum, scale).localCheckpoint(true)
+    }
+    r
+  }
+}

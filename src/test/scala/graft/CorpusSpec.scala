@@ -136,6 +136,24 @@ class CorpusSpec extends SparkSpec {
     assert(s.toSeq != a.toSeq)
   }
 
+  test("pagerankStep: hand-computed integer damped ranks over a 3-cycle-ish graph") {
+    import graft.operators.Graph
+    // edges 1->3, 2->3, 3->1; scale 100, d = 50/100; teleport = 50
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val r0 = Graph.uniformRanks(nodes, scale = 100L)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = Graph.pagerankStep(edges, r0, dNum = 50, scale = 100L)
+    // contrib(3) = 100+100, contrib(1) = 100, node 2 dangles at teleport
+    assert(m(r1) == Map(1L -> 100L, 2L -> 50L, 3L -> 150L))
+    val r2 = Graph.pagerankStep(edges, r1, dNum = 50, scale = 100L)
+    // contrib(3) = 100+50 -> 125; contrib(1) = 150 -> 125
+    assert(m(r2) == Map(1L -> 125L, 2L -> 50L, 3L -> 125L))
+    // fixed-round driver: pagerank(2 rounds) == stepping twice
+    assert(m(Graph.pagerank(edges, rounds = 2, dNum = 50, scale = 100L, nodes = Some(nodes))) == m(r2))
+  }
+
   test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
     // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
     // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;
