@@ -134,7 +134,10 @@ object Multimodal {
     )
   }
 
-  private case class Feat(
+  // NOT `private`: Scala `private` compiles to private bytecode, which the
+  // generated encoder class (a separate janino class) cannot construct —
+  // Spark then silently falls back to the interpreted encoder path.
+  private[operators] case class Feat(
       id: Long, byte_len: Long, byte_entropy: Double, head_hash: Long, feature_vec: Array[Float])
 
   /** Batched per-partition decode — the integration point for a REAL codec
