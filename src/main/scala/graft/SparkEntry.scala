@@ -1021,6 +1021,49 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q101_mixture_resample" -> ((s, dir) =>
+      // DoReMi-style language re-mixing: en down to 60%, zh up from ~4%;
+      // threshold mode (the 100 TB shape) — no window, no sort
+      Corpus.mixtureResample(t(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 600, "de" -> 150, "fr" -> 100, "es" -> 100, "zh" -> 50))
+        .selectCols(Seq(col("id"), col("domain"), col("epoch")))
+        .sortBy(Seq(col("id"), col("epoch")))),
+
+    "q102_pq_encode" -> ((s, dir) => {
+      // 64-dim -> 8 sub-bytes: codebook j = subvectors j of the first 16
+      // embeddings (deterministic, the q65 trick; kmeansCentroids is the
+      // production seeding path)
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cb = e.filterCol(col("vec_id") < 16)
+        .selectCols(Seq(col("vec_id").as("cid"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("embedding")))
+        .selectCols(Seq(col("sub"), col("cid"),
+          slice(col("embedding"), col("sub") * 8 + 1, lit(8)).as("cv")))
+      Similarity.pqEncode(corpus, cb, m = 8, subDims = 8)
+        .withColumn("dist_sq", round(col("dist_sq"), 6))
+        .sortBy(Seq(col("id"), col("sub")))
+    }),
+
+    "q103_pq_adc_topk" -> ((s, dir) => {
+      // full-precision queries (vec_id < 4) against the q102 codes: the
+      // RAM-resident ANN shape — m LUT lookups per corpus vector, no
+      // vector arithmetic in the scan
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cb = e.filterCol(col("vec_id") < 16)
+        .selectCols(Seq(col("vec_id").as("cid"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("embedding")))
+        .selectCols(Seq(col("sub"), col("cid"),
+          slice(col("embedding"), col("sub") * 8 + 1, lit(8)).as("cv")))
+      val codes = Similarity.pqEncode(corpus, cb, m = 8, subDims = 8)
+      val queries = e.filterCol(col("vec_id") < 4)
+        .selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      Similarity.pqAdcTopK(codes, cb, queries, m = 8, subDims = 8, k = 5)
+        .withColumn("adist", round(col("adist"), 6))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
     "q98_stream_static_enrich" -> ((s, dir) => {
       // TRUE streaming stateless enrichment: the events file stream joins
       // the static customer dim (broadcast per micro-batch, no state
@@ -2438,6 +2481,98 @@ object SparkEntry {
              / count(*), 6) AS mean_surprise
          FROM bi JOIN bc USING (ta, tb) JOIN uni ON uni.term = bi.ta CROSS JOIN bv
          GROUP BY bi.doc_id ORDER BY id""",
+
+    // q93's multiplicative hash decides the fractional remainder copy;
+    // all stats are integer floor division (DuckDB // == Spark div).
+    "q101_mixture_resample" ->
+      """WITH c AS (SELECT lang AS domain, count(*) AS cnt FROM documents GROUP BY 1),
+         n AS (SELECT count(*) AS n_total FROM documents),
+         w(domain, w) AS (VALUES ('en', 600), ('de', 150), ('fr', 100),
+                                 ('es', 100), ('zh', 50)),
+         s AS (
+           SELECT c.domain, cnt, (w * n_total) // 1000 AS tgt
+           FROM c JOIN w USING (domain) CROSS JOIN n),
+         st AS (
+           SELECT domain, tgt // cnt AS reps, tgt % cnt AS rem,
+             ((tgt % cnt) * 4294967296) // cnt AS thr
+           FROM s),
+         d AS (
+           SELECT doc_id, lang AS domain,
+             (doc_id * 2654435761) % 4294967296 AS hv
+           FROM documents),
+         k AS (
+           SELECT doc_id, d.domain,
+             reps + CASE WHEN hv < thr THEN 1 ELSE 0 END AS ncop
+           FROM d JOIN st USING (domain))
+         SELECT doc_id AS id, domain, CAST(e AS BIGINT) AS epoch
+         FROM k, LATERAL (SELECT unnest(range(ncop)) AS e) u
+         ORDER BY id, epoch""",
+
+    // PQ encode replay: double-cast before slicing (same as q65), list_sum
+    // left-assoc == L2DistSq's loop, argmin via (d, cid) row_number.
+    "q102_pq_encode" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cb AS (
+           SELECT s.sub, vec_id AS cid, v[s.sub*8+1 : s.sub*8+8] AS cv
+           FROM e, LATERAL (SELECT unnest(range(8)) AS sub) s
+           WHERE vec_id < 16),
+         sv AS (
+           SELECT vec_id AS id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+           FROM e, LATERAL (SELECT unnest(range(8)) AS sub) s),
+         d AS (
+           SELECT id, sv.sub, cid,
+             list_sum(list_transform(range(1, 9),
+               i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS d
+           FROM sv JOIN cb ON sv.sub = cb.sub)
+         SELECT id, CAST(sub AS BIGINT) AS sub, cid AS code, round(d, 6) AS dist_sq
+         FROM (SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn
+               FROM d)
+         WHERE rn = 1 ORDER BY id, sub""",
+
+    // q102's codes + a per-query LUT; subspace distances summed as
+    // DECIMAL(30,12) (order-independent), ranked on the DOUBLE cast.
+    "q103_pq_adc_topk" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cb AS (
+           SELECT s.sub, vec_id AS cid, v[s.sub*8+1 : s.sub*8+8] AS cv
+           FROM e, LATERAL (SELECT unnest(range(8)) AS sub) s
+           WHERE vec_id < 16),
+         sv AS (
+           SELECT vec_id AS id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sv
+           FROM e, LATERAL (SELECT unnest(range(8)) AS sub) s),
+         dall AS (
+           SELECT id, sv.sub, cid,
+             list_sum(list_transform(range(1, 9),
+               i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS d
+           FROM sv JOIN cb ON sv.sub = cb.sub),
+         codes AS (
+           SELECT id, sub, cid AS code
+           FROM (SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn
+                 FROM dall)
+           WHERE rn = 1),
+         qs AS (
+           SELECT vec_id AS q_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS qv
+           FROM e, LATERAL (SELECT unnest(range(8)) AS sub) s
+           WHERE vec_id < 4),
+         lut AS (
+           SELECT q_id, qs.sub, cid,
+             list_sum(list_transform(range(1, 9),
+               i -> (qs.qv[i] - cb.cv[i]) * (qs.qv[i] - cb.cv[i]))) AS d
+           FROM qs JOIN cb ON qs.sub = cb.sub),
+         sc AS (
+           SELECT q_id, codes.id AS c_id,
+             CAST(sum(CAST(d AS DECIMAL(30,12))) AS DOUBLE) AS adist
+           FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+           GROUP BY 1, 2)
+         SELECT q_id AS query_id, c_id AS neighbor_id, round(adist, 6) AS adist,
+           CAST(rn AS BIGINT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
+               FROM sc)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
 
     // Stateless append streaming == the batch left join.
     "q98_stream_static_enrich" ->

@@ -564,4 +564,67 @@ object Corpus {
       .select(col("g").alias("group"), col("t.id").alias("id"),
         col("t.score").alias("score"), (col("pos") + 1).cast("long").alias("rank"))
   }
+
+  /** Deterministic domain-mixture resampling (the DoReMi / Pile recipe):
+    * re-weight a corpus so each domain contributes its TARGET share of the
+    * output, upsampling (epoch repeats) domains below target and
+    * downsampling those above. Targets are integer per-mille weights; a
+    * domain absent from the map contributes nothing.
+    *
+    * Per domain with `cnt` docs out of `N` total and weight `w`:
+    * target rows `tgt = w*N div 1000`, every doc repeats
+    * `reps = tgt div cnt` times, and the fractional remainder
+    * `tgt mod cnt` is filled by ONE extra copy of the docs whose
+    * multiplicative hash (same constant as [[deterministicShuffle]]) falls
+    * under a threshold — a per-row decision that is reproducible across
+    * reruns, engines, and partition layouts, unlike `sample()`.
+    *
+    * Returns (id, domain, epoch), epoch 0-based per surviving copy.
+    *
+    * Scale shape: domain stats are one tiny aggregate broadcast back onto
+    * the corpus; the default threshold mode decides each row narrowly — no
+    * window, no sort, output lands in `tgt` ± a few rows per domain. With
+    * `exact = true` the remainder picks the `tgt mod cnt` smallest-hash
+    * docs via a per-domain rank: output counts hit `tgt` EXACTLY at the
+    * cost of one sort-shuffle over the corpus — the audit mode; thresholds
+    * are the 100 TB default. (Ids must be integral and unique; epoch
+    * repeats reference the id, the caller re-joins text when materializing
+    * the shuffled corpus.)
+    */
+  def mixtureResample(df: DataFrame, id: Column, domain: Column,
+      weightsPerMille: Map[String, Int], exact: Boolean = false): DataFrame = {
+    require(weightsPerMille.nonEmpty, "weightsPerMille must be non-empty")
+    require(weightsPerMille.values.forall(w => w >= 0 && w <= 1000),
+      "per-mille weights must be in [0, 1000]")
+    val spark = df.sparkSession
+    val w = spark.createDataFrame(weightsPerMille.toSeq).toDF("domain", "w")
+    val base = df.select(id.cast("long").alias("id"), domain.alias("domain"))
+    val counts = base.groupBy("domain").agg(count(lit(1)).alias("cnt"))
+    val total = counts.agg(sum(col("cnt")).alias("n_total"))
+    // integer floor division throughout (expr "div"): exact in Long far
+    // beyond 100 TB row counts, and replayable as DuckDB's `//`
+    val stats = counts.join(broadcast(w), "domain").crossJoin(broadcast(total))
+      .withColumn("tgt", expr("(w * n_total) div 1000"))
+      .withColumn("reps", expr("tgt div cnt"))
+      .withColumn("rem", expr("tgt % cnt"))
+      .withColumn("thr", expr("(rem * 4294967296) div cnt"))
+      .select("domain", "reps", "rem", "thr")
+    val hashed = base
+      .withColumn("hv", pmod(col("id") * lit(2654435761L), lit(4294967296L)))
+      .join(broadcast(stats), "domain")
+    val withCopies =
+      if (exact) {
+        val byHash = Window.partitionBy(col("domain")).orderBy(col("hv"), col("id"))
+        hashed.withColumn(
+          "ncop",
+          col("reps") + when(row_number().over(byHash) <= col("rem"), 1L).otherwise(0L))
+      } else {
+        hashed.withColumn(
+          "ncop", col("reps") + when(col("hv") < col("thr"), 1L).otherwise(0L))
+      }
+    withCopies
+      .filter(col("ncop") > 0)
+      .select(col("id"), col("domain"),
+        explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
+  }
 }

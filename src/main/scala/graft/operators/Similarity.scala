@@ -365,4 +365,83 @@ object Similarity {
         col("query_id"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).alias("recall"))
   }
+
+  /** Product-quantization encode (Jégou et al., PAMI 2011): each vector is
+    * split into `m` contiguous `subDims`-wide subvectors, and subvector `j`
+    * is replaced by the id of its nearest centroid in subspace `j`'s
+    * codebook (l2, ties to the lower cid) — compressing a d-dim float
+    * vector to m small integers, the memory layout that lets a 100 TB
+    * embedding corpus fit an in-RAM ANN index.
+    *
+    * `codebooks` has one row per (sub, cid, cv), cv of length `subDims`.
+    * Output long-format (id, sub, code, dist_sq) — arrays don't survive
+    * cross-engine hash comparison, and the quantization error per subspace
+    * is the quality signal worth keeping.
+    *
+    * Scale shape: the codebook (m x k subvectors) broadcasts; the corpus
+    * explodes to m narrow rows per vector, the argmin is a map-side
+    * `min(struct(d, cid))` partial aggregate — one shuffle of (id, sub,
+    * best) triples, no window, corpus scanned once.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+      subDims: Int): DataFrame = {
+    require(m > 0 && subDims > 0, s"m and subDims must be positive, got $m/$subDims")
+    val subs = corpus.select(col("id"),
+        explode(sequence(lit(0), lit(m - 1))).alias("sub"), col("v"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * subDims + 1, lit(subDims)).alias("sv"))
+    subs.join(broadcast(codebooks.select(col("sub"), col("cid"), col("cv"))), "sub")
+      .select(col("id"), col("sub"),
+        struct(VectorExprs.l2DistSq(col("sv"), col("cv")).alias("d"),
+          col("cid").alias("cid")).alias("sc"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("sc")).alias("best"))
+      .select(col("id"), col("sub").cast("long").alias("sub"),
+        col("best.cid").alias("code"), col("best.d").alias("dist_sq"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * full-precision, each corpus vector is its m codes, and the
+    * approximate distance is the sum over subspaces of
+    * l2(query subvector, centroid[code]) — m lookups per corpus vector
+    * into a per-query table of m x k precomputed distances.
+    *
+    * `codes` is [[pqEncode]] output (id, sub, code); `queries` is (id, v)
+    * full-dim. Returns (query_id, neighbor_id, adist, rank), rank 1-based
+    * by (adist asc, neighbor_id asc).
+    *
+    * Scale shape: the LUT is queries x m x k rows — tiny — and broadcasts;
+    * the codes table streams through one equi-join (no vector arithmetic
+    * per pair, just the lookup), and per-query top-k uses the bounded-heap
+    * partial-merge aggregator, so shuffle volume is O(partitions * q * k).
+    * Subspace distances are summed as DECIMAL (order-independent) and
+    * surfaced as double.
+    */
+  def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, subDims: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qsubs = queries.select(col("id").alias("q_id"),
+        explode(sequence(lit(0), lit(m - 1))).alias("sub"), col("v"))
+      .select(col("q_id"), col("sub"),
+        slice(col("v"), col("sub") * subDims + 1, lit(subDims)).alias("qv"))
+    val lut = qsubs
+      .join(codebooks.select(col("sub").alias("l_sub"), col("cid"), col("cv")),
+        col("sub") === col("l_sub"))
+      .select(col("q_id"), col("sub"), col("cid"),
+        VectorExprs.l2DistSq(col("qv"), col("cv")).alias("d"))
+    val scored = codes
+      .select(col("id").alias("c_id"), col("sub").alias("c_sub"), col("code"))
+      .join(broadcast(lut),
+        col("c_sub") === col("sub") && col("code") === col("cid"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+        .cast("double").alias("adist"))
+    scored
+      .groupBy(col("q_id"))
+      .agg(topK(k, col("c_id"), -col("adist")).alias("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("q_id").alias("query_id"), col("n.id").alias("neighbor_id"),
+        (-col("n.score")).alias("adist"),
+        (col("pos") + 1).cast("long").alias("rank"))
+  }
 }

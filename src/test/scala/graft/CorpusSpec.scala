@@ -340,6 +340,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mixtureResample exact mode: per-domain output counts hit w*N div 1000 exactly") {
+    // 60 docs: 40 'a', 15 'b', 5 'c'; weights a=500 b=250 c=250
+    val docs = ((1L to 40L).map(i => (i, "a")) ++ (41L to 55L).map(i => (i, "b")) ++
+      (56L to 60L).map(i => (i, "c"))).toDF("id", "dom")
+    val out = Corpus.mixtureResample(docs, $"id", $"dom",
+      Map("a" -> 500, "b" -> 250, "c" -> 250), exact = true)
+    val byDom = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tgt: a = 500*60 div 1000 = 30 (downsample), b = 15 (exact 1x),
+    //      c = 15 (3x upsample: every doc gets epochs 0..2)
+    assert(byDom == Map("a" -> 30L, "b" -> 15L, "c" -> 15L))
+    val cEpochs = out.filter($"domain" === "c").groupBy("id").count().collect()
+    assert(cEpochs.forall(_.getLong(1) == 3L))
+  }
+
+  test("mixtureResample threshold mode: deterministic, near-target, unmapped domain dropped") {
+    val docs = ((1L to 40L).map(i => (i, "a")) ++ (41L to 60L).map(i => (i, "x")))
+      .toDF("id", "dom")
+    val run = () => Corpus.mixtureResample(docs, $"id", $"dom", Map("a" -> 500))
+      .orderBy("id", "epoch").collect().toSeq
+    val out = run()
+    assert(out == run()) // rerun-identical, unlike sample()
+    assert(out.forall(_.getString(1) == "a")) // 'x' has no weight -> dropped
+    // tgt = 500*60 div 1000 = 30 of 40 'a' docs; threshold acceptance is
+    // binomial around rem=30 — bound loosely, determinism is the contract
+    assert(out.size >= 20 && out.size <= 40)
+  }
+
   test("assignToCentroids: nearest wins, distance ties break to the lower cid") {
     val corpus = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 0.0f)))
       .toDF("id", "v")

@@ -165,6 +165,44 @@ class SimilaritySpec extends SparkSpec {
     assert(worst <= 0.01, s"worst quantized-cosine drift $worst")
   }
 
+  test("pqEncode picks the nearest sub-centroid per subspace, ties to lower cid") {
+    // 4-dim vectors, m=2 subspaces of 2 dims; codebook: 2 centroids per sub
+    val corpus = Seq(
+      (10L, Seq(0.1f, 0.1f, 9.0f, 9.0f)), // sub0 -> cid 0, sub1 -> cid 1
+      (11L, Seq(5.0f, 5.0f, 0.0f, 0.0f))  // sub0 equidistant -> tie to cid 0
+    ).toDF("id", "v")
+    val cb = Seq(
+      (0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f)),
+      (1, 0L, Seq(0.0f, 0.0f)), (1, 1L, Seq(10.0f, 10.0f))
+    ).toDF("sub", "cid", "cv")
+    val out = Similarity.pqEncode(corpus, cb, m = 2, subDims = 2)
+      .orderBy("id", "sub").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 0L, 0L), (10L, 1L, 1L), (11L, 0L, 0L), (11L, 1L, 0L)))
+    // quantization error comes back exactly: (0.1^2 + 0.1^2) in float->double
+    assert(math.abs(out(0).getDouble(3) -
+      (0.1f.toDouble * 0.1f.toDouble * 2)) < 1e-12)
+  }
+
+  test("pqAdcTopK: ADC distance equals the sum of per-subspace LUT distances") {
+    val corpus = Seq(
+      (10L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      (11L, Seq(10.0f, 10.0f, 10.0f, 10.0f))
+    ).toDF("id", "v")
+    val cb = Seq(
+      (0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f)),
+      (1, 0L, Seq(0.0f, 0.0f)), (1, 1L, Seq(10.0f, 10.0f))
+    ).toDF("sub", "cid", "cv")
+    val codes = Similarity.pqEncode(corpus, cb, m = 2, subDims = 2)
+    val queries = Seq((99L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("id", "v")
+    val out = Similarity.pqAdcTopK(codes, cb, queries, m = 2, subDims = 2, k = 2)
+      .orderBy("rank").collect()
+    // doc 10 codes (0,1): adist = (1+1) + (81+81) = 164
+    // doc 11 codes (1,1): adist = (81+81)*2 = 324; rank by adist asc
+    assert(out(0).getLong(1) == 10L && out(0).getDouble(2) == 164.0 && out(0).getLong(3) == 1L)
+    assert(out(1).getLong(1) == 11L && out(1).getDouble(2) == 324.0 && out(1).getLong(3) == 2L)
+  }
+
   test("native expressions are reachable from the SQL surface via register") {
     graft.plans.VectorExprs.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")
