@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{ColFns, TextFns, Udfs}
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity}
 import graft.operators.Relational
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
@@ -1062,6 +1062,50 @@ object SparkEntry {
       Similarity.pqAdcTopK(codes, cb, queries, m = 8, subDims = 8, k = 5)
         .withColumn("adist", round(col("adist"), 6))
         .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q104_bm25" -> ((s, dir) =>
+      // lexical retrieval: BM25 top-50 for a 4-term query; rational
+      // (ln-free) idf — the q80 lift trick — so every step replays exactly
+      // in SQL. One narrow tf pass + a 1-row broadcast stats aggregate +
+      // TakeOrderedAndProject: no corpus shuffle at any scale
+      Retrieval.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), Seq("spark", "join", "window", "hash"),
+          k = 50)
+        .withColumn("score", round(col("score"), 6))
+        .sortBy(Seq(col("rank")))),
+
+    "q105_rrf_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: fuse the q104 lexical ranking with a semantic
+      // (exact cosine) ranking for doc 0's embedding via reciprocal-rank
+      // fusion — rank-only fusion, no score calibration; both inputs are
+      // top-100 truncated so the fuse join is between two 100-row frames
+      val lex = Retrieval.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+        TextFns.tokens(col("text")), Seq("spark", "join", "window", "hash"),
+        k = 100)
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val sem = Similarity.bruteForceTopK(corpus, corpus.filterCol(col("id") === 0), k = 100)
+        .selectCols(Seq(col("neighbor_id").as("id"), col("rank")))
+      Retrieval.rrfFuse(lex.selectCols(Seq(col("id"), col("rank"))), sem, c = 60, k = 25)
+        .withColumn("rrf", round(col("rrf"), 6))
+        .withColumn("rank_a", coalesce(col("rank_a"), lit(-1L)))
+        .withColumn("rank_b", coalesce(col("rank_b"), lit(-1L)))
+        .sortBy(Seq(col("rank")))
+    }),
+
+    "q106_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means cells (deterministic first-8 seeding for the
+      // oracle; kmeansFit is the production path) bound the pairwise stage
+      // to within-cell compares — n^1.5 total instead of n^2, the
+      // embedding-space sibling of LSH banding
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cents = e.filterCol(col("vec_id") < 8)
+        .selectCols(Seq(col("vec_id").as("cid"), col("embedding").as("cv")))
+      Dedup.semanticDedup(corpus, col("id"), col("v"), cents, threshold = 0.35)
+        .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+        .sortBy(Seq(col("id")))
     }),
 
     "q98_stream_static_enrich" -> ((s, dir) => {
@@ -2573,6 +2617,140 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
                FROM sc)
          WHERE rn <= 5 ORDER BY query_id, rank""",
+
+    // BM25 with rational (ln-free) idf — the q80 lift trick — so every
+    // step is an exact-cross-engine IEEE op sequence: integer tf/df/dl/N
+    // widened to double, one avgdl division, per-term scores combined
+    // left-associated in query-term order.
+    "q104_bm25" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'join'))   AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2,
+             CAST(len(list_filter(toks, x -> x = 'hash'))   AS DOUBLE) AS tf3,
+             CAST(len(toks) AS DOUBLE) AS dl
+           FROM t),
+         st AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS total_dl,
+             SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+             SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+           FROM f),
+         sc AS (
+           SELECT doc_id, dl,
+             (((
+               (((n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0)))
+                 / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs))))
+             + (((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)))
+                 / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs)))))
+             + (((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)))
+                 / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs)))))
+             + (((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0)))
+                 / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs))))) AS score
+           FROM f CROSS JOIN st)
+         SELECT CAST(rn AS BIGINT) AS rank, doc_id AS id, round(score, 6) AS score
+         FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+               FROM sc WHERE score > 0)
+         WHERE rn <= 50 ORDER BY rank""",
+
+    // q104's lexical top-100 fused with the exact-cosine semantic top-100
+    // for doc 0: rrf = 1/(60+rank) summed in fixed (lexical, semantic)
+    // order; absent list contributes 0.0.
+    "q105_rrf_hybrid" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'join'))   AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2,
+             CAST(len(list_filter(toks, x -> x = 'hash'))   AS DOUBLE) AS tf3,
+             CAST(len(toks) AS DOUBLE) AS dl
+           FROM t),
+         st AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS total_dl,
+             SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+             SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+           FROM f),
+         sc AS (
+           SELECT doc_id, dl,
+             (((
+               (((n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0)))
+                 / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs))))
+             + (((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)))
+                 / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs)))))
+             + (((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)))
+                 / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs)))))
+             + (((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0)))
+                 / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs))))) AS score
+           FROM f CROSS JOIN st),
+         lex AS (
+           SELECT id, rank_a FROM (
+             SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+             FROM sc WHERE score > 0)
+           WHERE rank_a <= 100),
+         sem AS (
+           SELECT id, rank_b FROM (
+             SELECT c.vec_id AS id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rank_b
+             FROM embeddings c,
+               (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+             WHERE c.vec_id <> 0)
+           WHERE rank_b <= 100),
+         fused AS (
+           SELECT coalesce(lex.id, sem.id) AS id, lex.rank_a, sem.rank_b,
+             (CASE WHEN lex.rank_a IS NOT NULL
+                   THEN 1.0 / (CAST(60 AS DOUBLE) + CAST(lex.rank_a AS DOUBLE))
+                   ELSE 0.0 END)
+             + (CASE WHEN sem.rank_b IS NOT NULL
+                     THEN 1.0 / (CAST(60 AS DOUBLE) + CAST(sem.rank_b AS DOUBLE))
+                     ELSE 0.0 END) AS rrf
+           FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         SELECT CAST(rn AS BIGINT) AS rank, id,
+           coalesce(rank_a, -1) AS rank_a, coalesce(rank_b, -1) AS rank_b,
+           round(rrf, 6) AS rrf
+         FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused)
+         WHERE rn <= 25 ORDER BY rank""",
+
+    // q79's nearest-centroid assignment (l2, ties to lower cid) over the
+    // first-8 seeding, then within-cell domination: dropped iff some
+    // lower-id vector in the same cell has cosine >= 0.35.
+    "q106_semdedup" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         s AS (
+           SELECT e.vec_id AS id, e.v, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+           FROM e CROSS JOIN c),
+         a AS (
+           SELECT id, v, cid FROM (
+             SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM s) WHERE rn = 1),
+         dom AS (
+           SELECT hi.id AS id, MIN(lo.id) AS dup_of
+           FROM a lo JOIN a hi ON lo.cid = hi.cid AND lo.id < hi.id
+             AND list_cosine_similarity(lo.v, hi.v) >= 0.35
+           GROUP BY hi.id)
+         SELECT a.id, a.cid, dom.dup_of IS NULL AS kept,
+           coalesce(dom.dup_of, -1) AS dup_of
+         FROM a LEFT JOIN dom ON a.id = dom.id
+         ORDER BY a.id""",
 
     // Stateless append streaming == the batch left join.
     "q98_stream_static_enrich" ->

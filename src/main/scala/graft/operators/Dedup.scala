@@ -522,4 +522,68 @@ object Dedup {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    * the embedding space with k-means cells, then prune near-duplicates by
+    * exact pairwise cosine WITHIN each cell only. A vector is dropped iff
+    * some LOWER-id vector in the same cell has cosine >= threshold with it
+    * (one deterministic pass — NOT the iterated "similar to a kept doc"
+    * rule, so a chain a~b~c with a!~c drops both b and c; documented
+    * divergence, same keep-first spirit as [[exactDedupAgg]]).
+    *
+    * `centroids` is a (cid, cv) frame — typically
+    * [[Similarity.kmeansFit]]'s output, or any deterministic seeding for
+    * replayable runs.
+    *
+    * Scale shape: the cell assignment broadcasts k centroids and never
+    * shuffles the corpus ([[Similarity.assignToCentroids]]); the pairwise
+    * stage shuffles once on cid and is quadratic only in CELL size — with
+    * k ~ sqrt(n) cells the total compare count is ~n^1.5 instead of n^2,
+    * and growing k holds cell size constant as the corpus grows. The
+    * `maxCell` guard makes a degenerate clustering (one giant cell) loud
+    * instead of silently quadratic.
+    *
+    * Returns every input id with its cell and verdict:
+    * (id, cid, kept, dup_of) where dup_of is the smallest dominating id
+    * (null iff kept).
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double,
+      maxCell: Long = 1L << 20): DataFrame =
+    semanticDedupReleasable(df, id, vec, centroids, threshold, maxCell)._1
+
+  /** As [[semanticDedup]], additionally returning the persisted (id, v,
+    * cid) assignment frame for caller-controlled release (the
+    * [[minhashLshPairsReleasable]] contract). Persisted because the
+    * assignment — a broadcast nearest-centroid argmin over the corpus — is
+    * referenced three times (guard count, both sides of the pairwise join).
+    * The `maxCell` guard runs one cheap count over the persisted
+    * assignment BEFORE the quadratic stage can start.
+    */
+  def semanticDedupReleasable(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double,
+      maxCell: Long = 1L << 20): (DataFrame, DataFrame) = {
+    val corpus = df.select(id.alias("id"), vec.alias("v"))
+    val assigned = corpus
+      .join(Similarity.assignToCentroids(corpus, centroids).select(col("id"), col("cid")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val guard = assigned.groupBy(col("cid")).agg(count(lit(1)).alias("n"))
+      .agg(max(col("n")).alias("mx")).collect()
+    val biggest = if (guard.isEmpty || guard(0).isNullAt(0)) 0L else guard(0).getLong(0)
+    require(biggest <= maxCell,
+      s"semanticDedup: largest cell has $biggest vectors (> maxCell=$maxCell); " +
+        s"pairwise cost within that cell is quadratic. Refit k-means with more " +
+        s"cells, or raise maxCell deliberately.")
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    val cos = VectorExprs.cosine(col("a.v"), col("b.v"))
+    // threshold inside the join condition, as in embeddingCosinePairs
+    val dominated = a
+      .join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id") && cos >= threshold)
+      .groupBy(col("b.id").alias("id"))
+      .agg(min(col("a.id")).alias("dup_of"))
+    val out = assigned.select(col("id"), col("cid"))
+      .join(dominated, Seq("id"), "left_outer")
+      .select(col("id"), col("cid"), col("dup_of").isNull.alias("kept"), col("dup_of"))
+    (out, assigned)
+  }
 }

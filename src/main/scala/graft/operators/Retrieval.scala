@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over a document corpus — the "find the
+  * right training data" side of the pipeline (the reference engine stops at
+  * relational ops; retrieval is part of the beyond-parity SURVEY §7 set,
+  * next to the ANN family in [[Similarity]]).
+  *
+  * Scale shape shared by both operators: corpus-wide statistics reduce to a
+  * single broadcast row (or a k-row frame), per-document scoring is a
+  * narrow projection with no shuffle, and the only data movement is the
+  * final top-k (Spark's TakeOrderedAndProject: per-partition bounded heap,
+  * driver merges partitions x k rows). Nothing here is quadratic and
+  * nothing shuffles the corpus.
+  */
+object Retrieval {
+
+  /** Per-document BM25 scores for a fixed bag of query terms.
+    *
+    * Classic Robertson/Sparck-Jones BM25 with one deliberate divergence:
+    * the idf factor is the RAW rational odds `(N - df + 0.5) / (df + 0.5)`
+    * rather than its logarithm. Like q80's lift-vs-PMI choice, this keeps
+    * every arithmetic step an exact-cross-engine IEEE op (integer counts,
+    * one division) so the DuckDB oracle hash-matches bit-for-bit; `ln` is
+    * not correctly-rounded and may differ in the last ulp between libm
+    * implementations. Per-term ranking is unchanged (monotone transform);
+    * multi-term totals weight high-idf terms more than log-BM25 would —
+    * documented, deterministic, and tested.
+    *
+    * Exactness contract (mirrored verbatim in the oracle SQL):
+    *   tf, dl, df, N are exact integers widened to double;
+    *   avgdl = total_tokens / N   (one division);
+    *   idf_t = (N - df_t + 0.5) / (df_t + 0.5);
+    *   score_t = (idf_t * (tf_t * (k1 + 1.0)))
+    *             / (tf_t + k1 * ((1.0 - b) + b * (dl / avgdl)));
+    *   score = ((t1 + t2) + t3) + ... left-associated in query-term order.
+    *
+    * Scale shape: tf per term is `size(filter(toks, ...))` — evaluated
+    * inside the scan projection, no explode, no shuffle. The corpus-wide
+    * stats (N, total token count, df per term) partial-aggregate to ONE row
+    * which is broadcast back via a cross join. At 100 TB the whole operator
+    * is: one narrow aggregate pass + one map pass.
+    *
+    * Returns (id, dl, score) for every document with score > 0.
+    */
+  def bm25Score(df: DataFrame, id: Column, terms: Column,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Score needs at least one query term")
+    require(query.distinct == query, s"duplicate query terms: $query")
+    val toks = df.select(id.alias("id"), terms.alias("toks"))
+    val tf = query.zipWithIndex.foldLeft(toks) { case (d, (term, i)) =>
+      d.withColumn(s"tf_$i",
+        size(filter(col("toks"), x => x === lit(term))).cast("double"))
+    }.withColumn("dl", size(col("toks")).cast("double")).drop("toks")
+
+    val statCols =
+      Seq(count(lit(1)).cast("double").alias("n_docs"),
+          sum(col("dl")).alias("total_dl")) ++
+      query.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0d, 1d).otherwise(0d)).alias(s"df_$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+
+    val scored = tf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl") / col("n_docs"))
+    val termScores = query.indices.map { i =>
+      val tfi = col(s"tf_$i"); val dfi = col(s"df_$i")
+      val idf = (col("n_docs") - dfi + lit(0.5)) / (dfi + lit(0.5))
+      (idf * (tfi * (lit(k1) + lit(1.0)))) /
+        (tfi + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / col("avgdl"))))
+    }
+    scored
+      .withColumn("score", termScores.reduceLeft(_ + _))
+      .filter(col("score") > 0d)
+      .select(col("id"), col("dl").cast("long").alias("dl"), col("score"))
+  }
+
+  /** Top-k BM25 retrieval: [[bm25Score]] then (score desc, id asc) top-k
+    * with a dense 1-based rank. The ordering runs as TakeOrderedAndProject
+    * (bounded per-partition heaps); the row_number window touches only the
+    * k survivors.
+    */
+  def bm25TopK(df: DataFrame, id: Column, terms: Column, query: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    bm25Score(df, id, terms, query, k1, b)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (Cormack/Clarke/Buettcher):
+    * rrf(d) = 1/(c + rank_a(d)) + 1/(c + rank_b(d)), a document absent from
+    * one list contributing 0 from it. The standard way to hybridize a
+    * lexical ranking with a semantic (ANN) one without calibrating score
+    * scales — only ranks enter.
+    *
+    * Each input is (id, rank); both are typically already top-n truncated
+    * (n ~ 100), so the outer join is between two tiny frames — at 100 TB
+    * the expensive part is PRODUCING the rankings ([[bm25TopK]],
+    * [[Similarity.bruteForceTopK]]), not fusing them.
+    *
+    * Exact cross-engine: 1/(c+r) is one correctly-rounded division on
+    * integers; the sum is two doubles in fixed (a, b) order.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60, k: Int = 10): DataFrame = {
+    require(c >= 0, s"rrf constant must be >= 0, got $c")
+    require(k > 0, s"k must be positive, got $k")
+    val ra = a.select(col("id"), col("rank").alias("rank_a"))
+    val rb = b.select(col("id"), col("rank").alias("rank_b"))
+    val contrib = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(c).cast("double") + r.cast("double")))
+        .otherwise(lit(0.0))
+    ra.join(rb, Seq("id"), "full_outer")
+      .withColumn("rrf", contrib(col("rank_a")) + contrib(col("rank_b")))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .select(col("rank"), col("id"), col("rank_a"), col("rank_b"), col("rrf"))
+  }
+}

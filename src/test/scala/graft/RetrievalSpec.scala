@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Retrieval, Similarity}
+import graft.functions.TextFns
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark spark spark runs fast"),
+    (1L, "spark joins and windows"),
+    (2L, "ducks swim in ponds"),
+    (3L, "spark spark joins joins joins windows windows hash"),
+    (4L, "the hash join shuffles rows"),
+    (5L, "completely unrelated words here today")
+  ).toDF("doc_id", "text")
+
+  /** Plain-Scala BM25 with the same rational (ln-free) idf. */
+  private def bm25Ref(query: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, Double] = {
+    val toks = Seq(
+      0L -> Seq("spark", "spark", "spark", "runs", "fast"),
+      1L -> Seq("spark", "joins", "and", "windows"),
+      2L -> Seq("ducks", "swim", "in", "ponds"),
+      3L -> Seq("spark", "spark", "joins", "joins", "joins", "windows", "windows", "hash"),
+      4L -> Seq("the", "hash", "join", "shuffles", "rows"),
+      5L -> Seq("completely", "unrelated", "words", "here", "today"))
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val df = query.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    toks.map { case (id, ts) =>
+      val score = query.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+        (idf * (tf * (k1 + 1.0))) /
+          (tf + k1 * ((1.0 - b) + b * (ts.size.toDouble / avgdl)))
+      }.sum
+      id -> score
+    }.toMap
+  }
+
+  test("bm25Score matches the plain-Scala reference on every scoring doc") {
+    val query = Seq("spark", "hash")
+    val got = Retrieval.bm25Score(docs, col("doc_id"), TextFns.tokens(col("text")), query)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = bm25Ref(query).filter(_._2 > 0)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-12, s"doc $id") }
+  }
+
+  test("bm25TopK ranks by (score desc, id asc) and respects k") {
+    val query = Seq("spark", "hash")
+    val got = Retrieval.bm25TopK(docs, col("doc_id"), TextFns.tokens(col("text")), query, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = bm25Ref(query).filter(_._2 > 0).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+      .zipWithIndex.map { case ((id, _), i) => ((i + 1).toLong, id) }
+    assert(got.toSeq == want)
+  }
+
+  test("bm25: term frequency saturates (k1 bound) and length normalization demotes long docs") {
+    val scores = bm25Ref(Seq("spark"))
+    // doc 0 has tf=3 of 5 tokens; doc 3 has tf=2 of 8 tokens — higher
+    // density wins even though idf is shared
+    assert(scores(0L) > scores(3L))
+    // saturation: tripling tf must not triple the score (k1=1.2 caps at
+    // (k1+1)x the tf=1 contribution for same-length docs)
+    val one = bm25Ref(Seq("joins"))(1L)   // tf=1, dl=4
+    assert(scores(0L) < 3 * one * 10)     // loose structural bound, no NaN/blowup
+    assert(scores.values.forall(s => !s.isNaN && s >= 0))
+  }
+
+  test("rrfFuse combines ranks, handles one-sided docs, orders by fused score") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val b = Seq((12L, 1L), (10L, 2L), (13L, 3L)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(a, b, c = 60, k = 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toMap
+    def c(r: Long) = 1.0 / (60.0 + r)
+    assert(math.abs(got(10L) - (c(1) + c(2))) < 1e-15)
+    assert(math.abs(got(12L) - (c(3) + c(1))) < 1e-15)
+    assert(math.abs(got(11L) - c(2)) < 1e-15)   // absent from b => one term
+    assert(math.abs(got(13L) - c(3)) < 1e-15)
+    // fused order: 10 (1st+2nd) beats 12 (3rd+1st) beats 11/13
+    val ranked = Retrieval.rrfFuse(a, b, c = 60, k = 10).collect().map(_.getLong(1)).toSeq
+    assert(ranked.take(2) == Seq(10L, 12L))
+  }
+
+  test("rrf ties broken by id; k truncates") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (1L, 2L)).toDF("id", "rank")   // symmetric => tie
+    val got = Retrieval.rrfFuse(a, b, k = 1).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L)
+  }
+
+  private def vec(seed: Int): Seq[Float] =
+    Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat).toSeq
+
+  test("semanticDedup drops within-cell near-dups, keeps cross-cell ones") {
+    // 2 far-apart centroids; plant a near-identical pair in cell 0 and an
+    // identical-direction pair split across cells (scaled copies assign to
+    // the same cell by l2 only if close — build explicitly)
+    val c0 = Seq.fill(8)(1.0f); val c1 = Seq.fill(8)(-1.0f)
+    val mk = (base: Seq[Float], eps: Float) => base.map(x => x + eps)
+    val corpus = Seq(
+      (0L, mk(c0, 0.01f)), (1L, mk(c0, 0.02f)),   // same cell, cosine ~1 => 1 dropped
+      (2L, mk(c1, 0.01f)), (3L, mk(c1, 0.02f)),   // same cell, cosine ~1 => 3 dropped
+      (4L, Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f))  // alone near neither
+    ).toDF("id", "v")
+    val cents = Seq((0L, c0), (1L, c1)).toDF("cid", "cv")
+    val got = Dedup.semanticDedup(corpus, col("id"), col("v"), cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) == (0L, true))
+    assert(got(1L)._2 == false)
+    assert(got(2L) == (1L, true))
+    assert(got(3L)._2 == false)
+    assert(got(4L)._2 == true)
+  }
+
+  test("semanticDedup: dup_of is the smallest dominating id; maxCell guard fires") {
+    val base = Seq.fill(8)(1.0f)
+    val corpus = (0L until 6L).map(i => (i, base.map(x => x + i * 0.001f))).toDF("id", "v")
+    val cents = Seq((0L, base)).toDF("cid", "cv")
+    val got = Dedup.semanticDedup(corpus, col("id"), col("v"), cents, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.count(_._2) == 1)               // only id 0 survives
+    assert(got.filter(!_._2).forall(_._3 == 0L))  // all dominated by 0
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(corpus, col("id"), col("v"), cents, threshold = 0.99,
+        maxCell = 2L)
+    }
+    assert(e.getMessage.contains("maxCell"))
+  }
+
+  test("semanticDedup plan: assignment broadcasts centroids, no cartesian on the corpus") {
+    val base = Seq.fill(8)(1.0f)
+    val corpus = (0L until 6L).map(i => (i, base.map(x => x + i * 0.001f))).toDF("id", "v")
+    val cents = Seq((0L, base), (1L, base.map(-_))).toDF("cid", "cv")
+    val plan = Dedup.semanticDedup(corpus, col("id"), col("v"), cents, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+    // the pairwise stage must be an equi-join on cid, not a nested loop
+    // over the whole corpus
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
+}
