@@ -1108,6 +1108,14 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q107_repeated_spans" -> ((s, dir) =>
+      // exact-substring dedup signal (Lee et al.): 64-char windows every
+      // 16 chars, flagged when the same text appears in >= 2 docs; hashes
+      // move through the shuffle, never window text
+      Corpus.repeatedSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
+          winLen = 64, step = 16, minDocs = 2L)
+        .sortBy(Seq(col("id"), col("pos")))),
+
     "q98_stream_static_enrich" -> ((s, dir) => {
       // TRUE streaming stateless enrichment: the events file stream joins
       // the static customer dim (broadcast per micro-batch, no state
@@ -2751,6 +2759,22 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Window-text grouping replays the operator's xxhash64 grouping
+    // exactly (collisions aside, 2^-64 per pair as with q57).
+    "q107_repeated_spans" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE len(text) >= 64),
+         w AS (
+           SELECT doc_id, (k * 16) AS pos, substr(text, k * 16 + 1, 64) AS win
+           FROM d, LATERAL (SELECT unnest(range(0, (len(text) - 64) // 16 + 1)) AS k) u),
+         f AS (
+           SELECT win, count(DISTINCT doc_id) AS n_docs
+           FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+         SELECT w.doc_id AS id, CAST(w.pos AS BIGINT) AS pos,
+           CAST(f.n_docs AS BIGINT) AS n_docs
+         FROM w JOIN f ON w.win = f.win
+         ORDER BY id, pos""",
 
     // Stateless append streaming == the batch left join.
     "q98_stream_static_enrich" ->

@@ -627,4 +627,46 @@ object Corpus {
       .select(col("id"), col("domain"),
         explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
   }
+
+  /** Exact-substring duplicate spans (the Lee et al. 2022
+    * "deduplicate-text-datasets" signal, strided): slide a `winLen`-char
+    * window every `step` chars over each document and report every window
+    * whose exact text also occurs in at least `minDocs` distinct documents.
+    * Returns (id, pos, n_docs) — pos is the 0-based char offset; callers
+    * cut or down-weight the flagged spans. Documents shorter than `winLen`
+    * yield no windows. `step < winLen` makes flagged regions overlap into
+    * contiguous cut-ranges; `step = winLen` tiles disjointly.
+    *
+    * Catches what token-level shingle dedup misses: long verbatim passages
+    * embedded in otherwise-different documents (licenses, headers, quoted
+    * text) that leave whole-doc Jaccard far below any threshold.
+    *
+    * Scale shape: windows are hashed to 64 bits IN the scan projection, so
+    * the frequency groupBy and the join back move (hash, id, pos) triples
+    * — never window text. Both stages partial-aggregate map-side;
+    * cross-doc window count is corpus_chars / step, i.e. linear with a
+    * 1/step constant. (Distinct windows colliding on xxhash64 would flag
+    * together at 2^-64 per pair — the standard narrow-key trade, as in
+    * [[segmentDedup]].)
+    */
+  def repeatedSpans(df: DataFrame, id: Column, text: Column,
+      winLen: Int = 64, step: Int = 16, minDocs: Long = 2L): DataFrame = {
+    require(winLen > 0, s"winLen must be positive, got $winLen")
+    require(step > 0, s"step must be positive, got $step")
+    require(minDocs >= 2, s"minDocs below 2 flags every window, got $minDocs")
+    val docs = df.select(id.alias("id"), text.alias("t"))
+      .filter(length(col("t")) >= winLen)
+    val wins = docs
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0L),
+          floor((length(col("t")) - lit(winLen)).cast("double") / step).cast("long")))
+          .alias("k"))
+      .select(col("id"), (col("k") * step).alias("pos"),
+        xxhash64(col("t").substr((col("k") * step + 1).cast("int"), lit(winLen)))
+          .alias("h"))
+    val freq = wins.groupBy(col("h"))
+      .agg(count_distinct(col("id")).alias("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    wins.join(freq, "h").select(col("id"), col("pos"), col("n_docs"))
+  }
 }

@@ -368,6 +368,43 @@ class CorpusSpec extends SparkSpec {
     assert(out.size >= 20 && out.size <= 40)
   }
 
+  test("repeatedSpans flags shared windows at the right offsets, skips short and unique docs") {
+    val passage = "x" * 30 + "SHARED-LICENSE-TEXT " * 5  // > 64 chars of shared tail
+    val docs = Seq(
+      (0L, "unique prefix zero " * 4 + passage),
+      (1L, "another lead-in one " * 4 + passage),
+      (2L, "entirely different content with no repeats " * 4),
+      (3L, "tiny")   // < winLen => no windows at all
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", winLen = 32, step = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(2L) && !byDoc.contains(3L))
+    assert(byDoc.contains(0L) && byDoc.contains(1L))
+    assert(out.forall(_._3 == 2L))
+    // every flagged window's text really is shared: recompute in Scala
+    val texts = Map(0L -> ("unique prefix zero " * 4 + passage),
+      1L -> ("another lead-in one " * 4 + passage))
+    val windows = texts.map { case (id, t) =>
+      id -> (0 to (t.length - 32) / 8).map(k => t.substring(k * 8, k * 8 + 32)).toSet
+    }
+    out.foreach { case (id, pos, _) =>
+      val w = texts(id).substring(pos.toInt, pos.toInt + 32)
+      assert(windows.filter(_._1 != id).values.exists(_.contains(w)), s"($id,$pos)")
+    }
+    // strided positions only
+    assert(out.forall(_._2 % 8 == 0))
+  }
+
+  test("repeatedSpans: same-doc repetition alone does not flag (minDocs is cross-doc)") {
+    val docs = Seq(
+      (0L, "repeat me twice ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 repeat me twice ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"),
+      (1L, "no overlap with the other document at all, plain filler text here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", winLen = 32, step = 32)
+    assert(out.count() == 0)
+  }
+
   test("assignToCentroids: nearest wins, distance ties break to the lower cid") {
     val corpus = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 0.0f)))
       .toDF("id", "v")
