@@ -1108,6 +1108,22 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q108_incremental_lsh" -> ((s, dir) => {
+      // near-dup ingestion: the second half of documents (count/2 midpoint,
+      // doc_ids dense from 0 — sf-agnostic) checks against an LSH index of
+      // the first half; history is banded once, only the batch is shingled
+      // at "ingest". k=128/b=32 => the exact-Jaccard oracle applies (miss
+      // prob ~5e-9, the q33 argument)
+      val docs = t(s, dir, "documents")
+      val mid = docs.count() / 2
+      val index = Dedup.lshIndex(docs.filterCol(col("doc_id") < mid),
+        col("doc_id"), col("text"))
+      Dedup.incrementalLshDedup(docs.filterCol(col("doc_id") >= mid),
+          col("doc_id"), col("text"), index, threshold = 0.8)
+        .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q107_repeated_spans" -> ((s, dir) =>
       // exact-substring dedup signal (Lee et al.): 64-char windows every
       // 16 chars, flagged when the same text appears in >= 2 docs; hashes
@@ -2759,6 +2775,53 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Exact-Jaccard replay of the LSH-candidate pipeline (the q33
+    // argument: P[candidate miss at j >= 0.8] ~ 5e-9, then exact verify):
+    // batch doc dropped iff >= 0.8 Jaccard with any history doc or any
+    // smaller-id batch doc.
+    "q108_incremental_lsh" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         mid AS (SELECT COUNT(*) // 2 AS m FROM documents),
+         hist AS (SELECT doc_id, s FROM sh, mid WHERE doc_id < m),
+         batch AS (SELECT doc_id, s FROM sh, mid WHERE doc_id >= m),
+         inv_h AS (SELECT doc_id, unnest(s) AS g FROM hist),
+         inv_b AS (SELECT doc_id, unnest(s) AS g FROM batch),
+         hbi AS (
+           SELECT b.doc_id AS bid, h.doc_id AS hid, COUNT(*) AS c
+           FROM inv_b b JOIN inv_h h ON b.g = h.g GROUP BY 1, 2),
+         hb AS (
+           SELECT bid, hid FROM hbi
+           JOIN (SELECT doc_id, len(s) AS n FROM batch) nb ON nb.doc_id = bid
+           JOIN (SELECT doc_id, len(s) AS n FROM hist)  nh ON nh.doc_id = hid
+           WHERE CAST(c AS DOUBLE) / (nb.n + nh.n - c) >= 0.8),
+         bbi AS (
+           SELECT a.doc_id AS aid, b.doc_id AS bid, COUNT(*) AS c
+           FROM inv_b a JOIN inv_b b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         bb AS (
+           SELECT aid, bid FROM bbi
+           JOIN (SELECT doc_id, len(s) AS n FROM batch) na ON na.doc_id = aid
+           JOIN (SELECT doc_id, len(s) AS n FROM batch) nb2 ON nb2.doc_id = bid
+           WHERE CAST(c AS DOUBLE) / (na.n + nb2.n - c) >= 0.8),
+         dom AS (
+           SELECT id, MIN(a) AS dup_of FROM
+             (SELECT bid AS id, hid AS a FROM hb
+              UNION ALL SELECT bid, aid FROM bb)
+           GROUP BY id)
+         SELECT b.doc_id AS id, dom.dup_of IS NULL AS kept,
+           coalesce(dom.dup_of, -1) AS dup_of
+         FROM batch b LEFT JOIN dom ON b.doc_id = dom.id
+         ORDER BY id""",
 
     // Window-text grouping replays the operator's xxhash64 grouping
     // exactly (collisions aside, 2^-64 per pair as with q57).

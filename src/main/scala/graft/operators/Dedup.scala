@@ -523,6 +523,86 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Reusable MinHash-LSH index over a corpus: per doc, its shingle-hash
+    * set and its band bucket keys — the state an ingestion pipeline
+    * persists between batches (write it bucketed on `id`, or explode and
+    * write bucketed on `bucket`, via [[graft.Engine.writeBucketed]]) so
+    * history is NEVER re-shingled at ingest time.
+    */
+  def lshIndex(df: DataFrame, id: Column, text: Column, ngram: Int = 3,
+      k: Int = 128, bands: Int = 32): DataFrame =
+    df.select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+      .withColumn("bands", minhashBandBuckets(col("sh"), k, bands))
+
+  /** Incremental NEAR-dup ingestion: drop batch docs that near-duplicate
+    * (exact Jaccard >= threshold, LSH-generated candidates) either any
+    * indexed history doc or a smaller-id doc within the batch — the
+    * MinHash sibling of [[incrementalDedup]]'s exact-key check, with
+    * [[minhashLshPairs]]'s candidate discipline. Single-pass keep-first
+    * semantics as in [[semanticDedup]]: domination by ANY smaller id
+    * counts, even if that doc was itself dropped.
+    *
+    * `index` is [[lshIndex]]'s output for the history corpus (same ngram /
+    * k / bands — the minhash seeds are deterministic, so an index written
+    * months ago still joins correctly).
+    *
+    * Scale shape: only the batch is shingled at ingest; candidate
+    * generation is equi-joins on (band, bucket) — batch x history and
+    * batch x batch — so shuffle volume is proportional to the BATCH, not
+    * history (history band rows stream through the join pre-bucketed when
+    * the index was written bucketed). `maxBucket` caps degenerate history
+    * buckets exactly as in [[minhashLshPairs]].
+    *
+    * Returns every batch id with (id, kept, dup_of); dup_of is the
+    * smallest dominating id across history and batch (null iff kept).
+    */
+  def incrementalLshDedup(batch: DataFrame, id: Column, text: Column,
+      index: DataFrame, ngram: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucket: Int = 2000): DataFrame = {
+    val b = batch
+      .select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+      .withColumn("bands", minhashBandBuckets(col("sh"), k, bands))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val explodeBands = (d: DataFrame) => d
+      .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
+    val hBand = {
+      val e = explodeBands(index)
+      val sizes = e.groupBy("band", "bucket").count()
+      e.join(sizes.filter(col("count") <= maxBucket), Seq("band", "bucket"))
+        .select("id", "band", "bucket")
+    }
+    val bBand = explodeBands(b)
+
+    val hb = bBand.alias("b")
+      .join(hBand.alias("h"),
+        col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket"))
+      .select(col("b.id").alias("id_b"), col("h.id").alias("id_a"))
+      .distinct()
+    val bb = bBand.alias("x")
+      .join(bBand.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+      .distinct()
+
+    val verify = (cands: DataFrame, aSide: DataFrame) =>
+      verifyJaccard(
+        cands.select(col("id_a"), col("id_b")),
+        // verifyJaccard joins both ids against one doc frame
+        aSide, threshold)
+    val histDocs = index.select(col("id"), col("sh"))
+      .union(b.select(col("id"), col("sh")))
+    val hbHits = verify(hb, histDocs).select(col("id_b").alias("id"), col("id_a"))
+    val bbHits = verify(bb, b.select(col("id"), col("sh")))
+      .select(col("id_b").alias("id"), col("id_a"))
+    val dominated = hbHits.union(bbHits)
+      .groupBy(col("id")).agg(min(col("id_a")).alias("dup_of"))
+    b.select(col("id"))
+      .join(dominated, Seq("id"), "left_outer")
+      .select(col("id"), col("dup_of").isNull.alias("kept"), col("dup_of"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
     * the embedding space with k-means cells, then prune near-duplicates by
     * exact pairwise cosine WITHIN each cell only. A vector is dropped iff

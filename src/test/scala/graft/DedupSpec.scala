@@ -191,6 +191,45 @@ class DedupSpec extends SparkSpec {
     assert(!state2.storageLevel.useMemory)
   }
 
+  test("incrementalLshDedup: history near-dups and smaller-batch-id near-dups dominate") {
+    val mk = (extra: String) =>
+      "the quick brown fox jumps over the lazy dog again and again today " + extra
+    val history = Seq(
+      (0L, mk("")),                      // near-dup target for batch doc 10
+      (1L, "completely different historical content about databases and rivers flowing north")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, mk("x")),                    // ~history doc 0 => dropped, dup_of 0
+      (11L, "fresh unique batch document with its own vocabulary entirely apart from it"),
+      (12L, mk("x y")),                  // ~10 (and ~0) => dup_of = min = 0
+      (13L, "another standalone document nothing like the rest of this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val index = Dedup.lshIndex(history, col("doc_id"), col("text"))
+    val out = Dedup.incrementalLshDedup(batch, col("doc_id"), col("text"),
+        index, threshold = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))   // every batch id reported
+    assert(out(10L) == (false, 0L))
+    assert(out(11L) == (true, -1L))
+    assert(out(12L)._1 == false && out(12L)._2 == 0L)
+    assert(out(13L) == (true, -1L))
+  }
+
+  test("incrementalLshDedup: batch-internal domination works without any history hit") {
+    val history = Seq((0L, "some old unrelated text about glaciers and ice sheets melting"))
+      .toDF("doc_id", "text")
+    val near = "all happy families are alike each unhappy family is unhappy in its own way "
+    val batch = Seq((20L, near + "a"), (21L, near + "b")).toDF("doc_id", "text")
+    val index = Dedup.lshIndex(history, col("doc_id"), col("text"))
+    val out = Dedup.incrementalLshDedup(batch, col("doc_id"), col("text"),
+        index, threshold = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(20L) == (true, -1L))
+    assert(out(21L) == (false, 20L))
+  }
+
   test("MinHashBuckets: identical inputs collide on every band, disjoint inputs on none") {
     val df = Seq(
       (1L, Seq(10L, 20L, 30L, 40L)),
