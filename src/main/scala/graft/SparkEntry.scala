@@ -1108,6 +1108,23 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q109_difficulty_bins" -> ((s, dir) =>
+      // curriculum schedule input: quartile bins over token count (exact
+      // global percentile thresholds — one aggregate, one broadcast row;
+      // approximate=true is the 100 TB path); scores AT a cut point land
+      // in the lower bin
+      Corpus.difficultyBins(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokenCount(col("text")))
+        .sortBy(Seq(col("id")))),
+
+    "q110_key_skew" -> ((s, dir) =>
+      // pre-join skew profiling: hottest 20 order keys by row count with
+      // share-of-table and skew-vs-mean-key factors
+      t(s, dir, "lineitem").keySkewStats(col("l_orderkey"), k = 20)
+        .withColumn("share", round(col("share"), 9))
+        .withColumn("skew", round(col("skew"), 6))
+        .sortBy(Seq(col("rank")))),
+
     "q108_incremental_lsh" -> ((s, dir) => {
       // near-dup ingestion: the second half of documents (count/2 midpoint,
       // doc_ids dense from 0 — sf-agnostic) checks against an LSH index of
@@ -2775,6 +2792,36 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // quantile_cont == Spark's exact percentile interpolation (pinned by
+    // q61); bin = count of thresholds strictly below x.
+    "q109_difficulty_bins" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> len(x) > 0)) AS DOUBLE) AS x
+           FROM documents),
+         thr AS (SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS q FROM t)
+         SELECT doc_id AS id, x,
+           CAST((CASE WHEN x > q[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN x > q[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN x > q[3] THEN 1 ELSE 0 END) AS BIGINT) AS bin
+         FROM t, thr ORDER BY id""",
+
+    // share and skew are two-op IEEE sequences on exact integer counts.
+    "q110_key_skew" ->
+      """WITH c AS (
+           SELECT l_orderkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows FROM c)
+         SELECT CAST(rn AS BIGINT) AS rank, key, cnt,
+           CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+           round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 9) AS share,
+           round((CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE))
+                 / CAST(n_rows AS DOUBLE), 6) AS skew
+         FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, key) AS rn
+               FROM c, tot)
+         WHERE rn <= 20 ORDER BY rank""",
 
     // Exact-Jaccard replay of the LSH-candidate pipeline (the q33
     // argument: P[candidate miss at j >= 0.8] ~ 5e-9, then exact verify):

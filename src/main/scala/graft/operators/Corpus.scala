@@ -628,6 +628,42 @@ object Corpus {
         explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
   }
 
+  /** Curriculum difficulty binning: global percentile thresholds over a
+    * per-document score (ONE percentile aggregate for all cut points, the
+    * [[graft.operators.Relational.GraftOps.winsorize]] trick), then each
+    * doc gets bin = number of thresholds strictly below its score — probs
+    * of (0.25, 0.5, 0.75) yield quartile bins 0..3, the shape a
+    * shortest-first / easiest-first training schedule consumes. A score
+    * equal to a cut point lands in the LOWER bin (deterministic,
+    * documented).
+    *
+    * Scale shape: the thresholds reduce to one broadcast row; assignment
+    * is a narrow map. Exact percentile buffers each aggregate partition —
+    * fine for a single global aggregate on a numeric column; at 100 TB
+    * flip `approximate = true` (t-digest sketch, same cut-point
+    * semantics within sketch error).
+    */
+  def difficultyBins(df: DataFrame, id: Column, score: Column,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty, "difficultyBins needs at least one cut point")
+    require(probs == probs.sorted && probs.distinct == probs,
+      s"cut points must be strictly increasing, got $probs")
+    require(probs.forall(p => p > 0 && p < 1), s"cut points must be in (0,1), got $probs")
+    val base = df.select(id.alias("id"), score.cast("double").alias("x"))
+    val parr = array(probs.map(lit(_)): _*)
+    val pexp =
+      if (approximate) percentile_approx(col("x"), parr, lit(accuracy))
+      else percentile(col("x"), parr)
+    val thr = base.agg(pexp.alias("__t"))
+    val bin = probs.indices
+      .map(i => when(col("x") > element_at(col("__t"), i + 1), 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    base.crossJoin(broadcast(thr))
+      .withColumn("bin", bin)
+      .select(col("id"), col("x"), col("bin"))
+  }
+
   /** Exact-substring duplicate spans (the Lee et al. 2022
     * "deduplicate-text-datasets" signal, strided): slide a `winLen`-char
     * window every `step` chars over each document and report every window

@@ -414,6 +414,37 @@ object Relational {
         sqrt(vy / (n * (n - lit(1.0)))).alias("std_y")): _*)
     }
 
+    /** Join-key skew diagnosis: the top-k hottest keys with their share of
+      * all rows and their skew factor (count / mean-count-per-key). The
+      * profiling pass you run BEFORE choosing between a plain shuffle
+      * join, [[saltedJoin]], or a broadcast — at 100 TB a skew factor in
+      * the thousands on one key is the difference between a 10-minute job
+      * and a hung stage.
+      *
+      * One partial-aggregated groupBy (narrow key + count through the
+      * shuffle), a 1-row global reduce broadcast back, and a bounded top-k
+      * (TakeOrderedAndProject). share and skew are two-op IEEE sequences
+      * on exact integers — hash-matchable.
+      */
+    def keySkewStats(key: Column, k: Int = 20): DataFrame = {
+      require(k > 0, s"k must be positive, got $k")
+      val counts = df.groupBy(key.alias("key")).agg(count(lit(1)).alias("cnt"))
+      val tot = counts.agg(
+        count(lit(1)).alias("n_keys"),
+        sum(col("cnt")).alias("n_rows"))
+      counts.crossJoin(broadcast(tot))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(k)
+        .withColumn("rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("key"))).cast("long"))
+        .select(col("rank"), col("key"), col("cnt"), col("n_keys"), col("n_rows"),
+          (col("cnt").cast("double") / col("n_rows").cast("double")).alias("share"),
+          ((col("cnt").cast("double") * col("n_keys").cast("double"))
+            / col("n_rows").cast("double")).alias("skew"))
+    }
+
     /** Long→wide pivot with EXPLICIT pivot values: one aggregate pass, no
       * preliminary distinct-collect job over the pivot column (Spark runs
       * one when `values` is omitted — an extra scan a 100 TB pipeline

@@ -368,6 +368,25 @@ class CorpusSpec extends SparkSpec {
     assert(out.size >= 20 && out.size <= 40)
   }
 
+  test("difficultyBins: quartile bins, ties land low, bin counts balanced on distinct scores") {
+    // scores 1..100 => thresholds 25.75 / 50.5 / 75.25, bins of 25/25/25/25
+    val docs = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val out = Corpus.difficultyBins(docs, $"id", $"score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.groupBy(_._3).view.mapValues(_.size).toMap ==
+      Map(0L -> 25, 1L -> 25, 2L -> 25, 3L -> 25))
+    // monotone: higher score never gets a lower bin
+    val sorted = out.sortBy(_._2)
+    assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // a score exactly AT a threshold stays in the lower bin
+    val cut = Corpus.difficultyBins(
+      (1L to 4L).map(i => (i, i.toDouble)).toDF("id", "score"),
+      $"id", $"score", probs = Seq(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // p50 of 1,2,3,4 = 2.5 => 1,2 -> bin 0; 3,4 -> bin 1
+    assert(cut == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("repeatedSpans flags shared windows at the right offsets, skips short and unique docs") {
     val passage = "x" * 30 + "SHARED-LICENSE-TEXT " * 5  // > 64 chars of shared tail
     val docs = Seq(

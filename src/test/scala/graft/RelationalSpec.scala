@@ -322,4 +322,19 @@ class RelationalSpec extends SparkSpec {
     val plan = df.explainDf().collect().map(_.getString(0)).mkString("\n")
     assert(plan.contains("Filter") || plan.contains("LocalTableScan"))
   }
+
+  test("keySkewStats: hot key ranked first with exact share and skew factors") {
+    // key 7 appears 6 times, keys 1..4 once each => 10 rows over 5 keys
+    val rows = (Seq.fill(6)(7) ++ Seq(1, 2, 3, 4)).map(k => (k, "x"))
+    val df = rows.toDF("k", "payload")
+    val out = df.keySkewStats($"k", k = 3).collect()
+    assert(out.length == 3)
+    val top = out(0)
+    assert(top.getLong(0) == 1L && top.getInt(1) == 7 && top.getLong(2) == 6L)
+    assert(top.getLong(3) == 5L && top.getLong(4) == 10L)
+    assert(math.abs(top.getDouble(5) - 0.6) < 1e-15)   // share 6/10
+    assert(math.abs(top.getDouble(6) - 3.0) < 1e-15)   // skew 6 / (10/5)
+    // ties (cnt=1) break by key ascending
+    assert(out(1).getInt(1) == 1 && out(2).getInt(1) == 2)
+  }
 }
