@@ -1108,6 +1108,20 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q111_component_best" -> ((s, dir) => {
+      // near-dup clusters keep their LONGEST member (ties to smaller id)
+      // instead of q50/q51's min-id rule — the complete copy of a page
+      // beats its truncated variant regardless of crawl order
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.8)
+      val comps = Dedup.nearDupComponents(pairs)
+      val scores = docs.selectCols(Seq(col("doc_id").as("id"),
+        length(col("text")).cast("long").as("score")))
+      Dedup.componentRepresentatives(comps, scores)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q109_difficulty_bins" -> ((s, dir) =>
       // curriculum schedule input: quartile bins over token count (exact
       // global percentile thresholds — one aggregate, one broadcast row;
@@ -2792,6 +2806,49 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q50's component construction, then per-component argmax on
+    // len(text) with ties to the smaller id.
+    "q111_component_best" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+         sc AS (SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS score FROM documents),
+         rep AS (
+           SELECT component_id, id AS rep_id FROM (
+             SELECT c.component_id, c.id,
+               row_number() OVER (PARTITION BY c.component_id
+                 ORDER BY sc.score DESC, c.id) AS rn
+             FROM comp c JOIN sc ON c.id = sc.id)
+           WHERE rn = 1)
+         SELECT c.id, c.component_id, r.rep_id, c.id = r.rep_id AS kept
+         FROM comp c JOIN rep r USING (component_id)
+         ORDER BY c.id""",
 
     // quantile_cont == Spark's exact percentile interpolation (pinned by
     // q61); bin = count of thresholds strictly below x.

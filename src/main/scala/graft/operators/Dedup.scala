@@ -523,6 +523,33 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Pick each near-dup component's representative by BEST SCORE (ties to
+    * the smaller id) instead of [[graft.operators.Pipeline.cleanCorpus]]'s
+    * min-id rule — the "keep the longest / highest-quality copy" policy
+    * real cleaning pipelines want (the truncated or boilerplate-wrapped
+    * variant of a page should lose to the complete one regardless of which
+    * crawled first).
+    *
+    * `comps` is [[nearDupComponents]] output (id, component_id); `scores`
+    * is (id, score). Returns (id, component_id, rep_id, kept) for every
+    * doc appearing in `comps` — singletons never enter the pair graph and
+    * are implicitly kept by the caller.
+    *
+    * Scale shape: one narrow id join plus a partial-aggregating max of a
+    * (score, -id) struct per component — the shuffle carries one struct
+    * per component per partition, no window over the corpus.
+    */
+  def componentRepresentatives(comps: DataFrame, scores: DataFrame): DataFrame = {
+    val joined = comps.join(scores.select(col("id"), col("score")), "id")
+    val reps = joined
+      .groupBy(col("component_id"))
+      .agg(max(struct(col("score"), (lit(0L) - col("id")).alias("nid"))).alias("m"))
+      .select(col("component_id"), (lit(0L) - col("m.nid")).alias("rep_id"))
+    joined.join(reps, "component_id")
+      .select(col("id"), col("component_id"), col("rep_id"),
+        (col("id") === col("rep_id")).alias("kept"))
+  }
+
   /** Reusable MinHash-LSH index over a corpus: per doc, its shingle-hash
     * set and its band bucket keys — the state an ingestion pipeline
     * persists between batches (write it bucketed on `id`, or explode and

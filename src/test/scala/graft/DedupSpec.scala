@@ -191,6 +191,19 @@ class DedupSpec extends SparkSpec {
     assert(!state2.storageLevel.useMemory)
   }
 
+  test("componentRepresentatives: best score wins, score ties break to the smaller id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("id", "score")
+    val out = Dedup.componentRepresentatives(comps, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // component 1: ids 2 and 3 tie at score 9 => rep 2
+    assert(out(1L) == (2L, false) && out(2L) == (2L, true) && out(3L) == (2L, false))
+    // component 10: tie at 4 => rep 10
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+  }
+
   test("incrementalLshDedup: history near-dups and smaller-batch-id near-dups dominate") {
     val mk = (extra: String) =>
       "the quick brown fox jumps over the lazy dog again and again today " + extra
