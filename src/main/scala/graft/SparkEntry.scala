@@ -1108,6 +1108,22 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q112_sliding_chunks" -> ((s, dir) =>
+      // RAG-index chunking: 32-token windows every 16 tokens, last start
+      // pinned so the final chunk ends at the doc end; narrow explode,
+      // no shuffle
+      Corpus.slidingChunks(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), chunkTokens = 32, stride = 16)
+        .sortBy(Seq(col("id"), col("chunk_id")))),
+
+    "q113_gopher_rules" -> ((s, dir) =>
+      // Gopher-style composite gate with per-rule diagnosis flags; only
+      // the repetition rule needs an aggregate (bounded by distinct
+      // (doc, term) pairs)
+      Corpus.gopherQualityFlags(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")))
+        .sortBy(Seq(col("id")))),
+
     "q111_component_best" -> ((s, dir) => {
       // near-dup clusters keep their LONGEST member (ties to smaller id)
       // instead of q50/q51's min-id rule — the complete copy of a page
@@ -2806,6 +2822,61 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Same start rule: 1 chunk when n <= 32, else ceil((n-32)/16)+1
+    // starts; slice clamps at the array end on both engines.
+    "q112_sliding_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         s AS (
+           SELECT doc_id, toks, n,
+             CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 15) // 16 + 1 END AS ns
+           FROM n)
+         SELECT doc_id AS id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * 16 AS BIGINT) AS start_tok,
+           CAST(least(32, n - k * 16) AS BIGINT) AS n_tok,
+           array_to_string(toks[k*16+1 : k*16+32], ' ') AS chunk_text
+         FROM s, LATERAL (SELECT unnest(range(0, ns)) AS k) u
+         ORDER BY id, chunk_id""",
+
+    // Integer counts + one IEEE division per rule; list_intersect is
+    // distinct-valued on both engines.
+    "q113_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         base AS (
+           SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mwl,
+             len(list_intersect(toks,
+               ['the','and','of','to','a','in','is','that'])) AS stop_hits
+           FROM t),
+         rep AS (
+           SELECT doc_id, MAX(c) AS max_cnt FROM (
+             SELECT doc_id, term, COUNT(*) AS c FROM (
+               SELECT doc_id, unnest(toks) AS term FROM t)
+             GROUP BY doc_id, term)
+           GROUP BY doc_id),
+         flags AS (
+           SELECT b.doc_id AS id, b.n_words,
+             b.n_words >= 20 AND b.n_words <= 80 AS wc_ok,
+             b.mwl >= 4.0 AND b.mwl <= 10.0 AS mwl_ok,
+             b.stop_hits >= 2 AS stop_ok,
+             (CASE WHEN b.n_words > 0
+                   THEN coalesce(CAST(rep.max_cnt AS DOUBLE), 0.0)
+                        / CAST(b.n_words AS DOUBLE)
+                   ELSE 0.0 END) <= 0.2 AS rep_ok
+           FROM base b LEFT JOIN rep ON b.doc_id = rep.doc_id)
+         SELECT id, n_words, wc_ok, mwl_ok, stop_ok, rep_ok,
+           wc_ok AND mwl_ok AND stop_ok AND rep_ok AS pass
+         FROM flags ORDER BY id""",
 
     // q50's component construction, then per-component argmax on
     // len(text) with ties to the smaller id.

@@ -628,6 +628,96 @@ object Corpus {
         explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
   }
 
+  /** Overlapping sliding-window token chunks — the retrieval-index sibling
+    * of [[tokenChunks]] (which tiles disjointly): starts at 0, stride,
+    * 2*stride, ... with the LAST start chosen so the final chunk ends at
+    * the document's end (start count = 1 if n <= chunkTokens, else
+    * ceil((n - chunkTokens) / stride) + 1 — every token is covered, no
+    * chunk is a strict suffix-duplicate of its predecessor beyond the
+    * intended overlap). Empty documents yield no chunks.
+    *
+    * Returns (id, chunk_id, start_tok, n_tok, chunk_text) — one row per
+    * chunk, `chunk_id` 0-based in document order.
+    *
+    * Scale shape: pure narrow explode — rows out = tokens/stride per doc,
+    * no shuffle; the downstream embedding or indexing step supplies one.
+    */
+  def slidingChunks(df: DataFrame, id: Column, terms: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(stride <= chunkTokens,
+      s"stride > chunkTokens leaves tokens uncovered ($stride > $chunkTokens)")
+    val base = df.select(id.alias("id"), terms.alias("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    val nStarts = when(col("n") <= chunkTokens, lit(1L))
+      .otherwise(floor((col("n") - lit(chunkTokens) + lit(stride) - 1)
+        .cast("double") / stride).cast("long") + 1L)
+    base
+      .select(col("id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), nStarts - 1)).alias("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        (col("chunk_id") * stride).alias("start_tok"),
+        least(lit(chunkTokens.toLong), col("n") - col("chunk_id") * stride)
+          .alias("n_tok"),
+        array_join(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)), " ").alias("chunk_text"))
+  }
+
+  /** Gopher-style composite document-quality rules (Rae et al. 2021 §A1.1,
+    * thresholds adapted to this corpus): each rule is an independent
+    * boolean flag plus the conjunction, so downstream consumers can both
+    * gate and diagnose WHICH rule kills a document.
+    *
+    *   - wc_ok:   minWords <= word count <= maxWords
+    *   - mwl_ok:  minMeanLen <= mean word length <= maxMeanLen
+    *   - stop_ok: >= 2 DISTINCT hits in a small English stopword list
+    *     (the "real prose" signal)
+    *   - rep_ok:  most frequent token's share <= maxTopShare (the
+    *     single-token degenerate-repetition signal; line/n-gram repetition
+    *     has its own operators, q52)
+    *
+    * Every rule is integer counts plus at most one IEEE division —
+    * hash-matchable cross-engine.
+    *
+    * Scale shape: wc/mwl/stop are evaluated IN the scan projection; only
+    * the top-token share needs an aggregate, and that one groupBys on
+    * (id, term-hash) then (id) with partial aggregation — shuffle rows
+    * bounded by distinct (doc, term) pairs, no text movement.
+    */
+  def gopherQualityFlags(df: DataFrame, id: Column, terms: Column,
+      minWords: Long = 20L, maxWords: Long = 80L,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 10.0,
+      maxTopShare: Double = 0.2): DataFrame = {
+    val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+    val base = df.select(id.alias("id"), terms.alias("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+    val topShare = base
+      .select(col("id"), explode(col("toks")).alias("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).alias("c"))
+      .groupBy(col("id")).agg(max(col("c")).alias("max_cnt"))
+    val mwl = when(col("n_words") > 0,
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / col("n_words").cast("double")).otherwise(lit(0.0))
+    base
+      .join(topShare, Seq("id"), "left_outer")
+      .withColumn("mean_word_len", mwl)
+      .withColumn("top_share",
+        when(col("n_words") > 0,
+          coalesce(col("max_cnt").cast("double"), lit(0.0))
+            / col("n_words").cast("double")).otherwise(lit(0.0)))
+      .select(col("id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).alias("wc_ok"),
+        (col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+          .alias("mwl_ok"),
+        (size(array_intersect(col("toks"),
+          array(stopwords.map(lit(_)): _*))) >= 2).alias("stop_ok"),
+        (col("top_share") <= maxTopShare).alias("rep_ok"))
+      .withColumn("pass",
+        col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("rep_ok"))
+  }
+
   /** Curriculum difficulty binning: global percentile thresholds over a
     * per-document score (ONE percentile aggregate for all cut points, the
     * [[graft.operators.Relational.GraftOps.winsorize]] trick), then each

@@ -368,6 +368,44 @@ class CorpusSpec extends SparkSpec {
     assert(out.size >= 20 && out.size <= 40)
   }
 
+  test("slidingChunks: full coverage, fixed stride, last chunk ends at doc end") {
+    val toks = (1 to 13).map(i => s"w$i")
+    val docs = Seq((0L, toks), (1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val out = Corpus.slidingChunks(docs, $"id", $"toks", chunkTokens = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 0: n=13 => ceil(5/4)+1 = 3 starts (0, 4, 8)
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(c => (c._3, c._4)).toSeq == Seq((0L, 8L), (4L, 8L), (8L, 5L)))
+    assert(d0(2)._5 == (9 to 13).map(i => s"w$i").mkString(" "))   // ends at doc end
+    assert(d0(0)._5 == (1 to 8).map(i => s"w$i").mkString(" "))
+    // short doc: one whole-doc chunk; empty doc: no chunks
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 2L, "a b")))
+    assert(!out.exists(_._1 == 2L))
+    // every token index covered by at least one chunk
+    val covered = d0.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 13L).toSet)
+  }
+
+  test("gopherQualityFlags: each rule trips independently; pass is the conjunction") {
+    val good = (Seq("the", "and", "of") ++ (1 to 30).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (0L, good),                                   // all rules pass
+      (1L, "the and " + (1 to 5).map(i => s"w$i").mkString(" ")),  // too short
+      (2L, ("the and " + Seq.fill(31)("x").mkString(" "))),        // mwl < 4, top share high
+      (3L, (Seq("the", "and") ++ (1 to 30).map(_ => "sameword")).mkString(" "))  // repetition
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherQualityFlags(docs, $"doc_id",
+        graft.functions.TextFns.tokens($"text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(0L) == (true, true, true, true, true))
+    assert(out(1L)._1 == false && out(1L)._5 == false)          // wc trips
+    assert(out(2L)._2 == false && out(2L)._5 == false)          // mwl trips
+    assert(out(3L)._4 == false && out(3L)._5 == false)          // repetition trips
+    assert(out(3L)._3 == true)                                  // stopwords still ok
+  }
+
   test("difficultyBins: quartile bins, ties land low, bin counts balanced on distinct scores") {
     // scores 1..100 => thresholds 25.75 / 50.5 / 75.25, bins of 25/25/25/25
     val docs = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "score")
