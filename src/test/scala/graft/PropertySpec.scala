@@ -149,4 +149,74 @@ object RelationalProps extends Properties("relational") {
         got == want
       }
     }
+
+  private val tokenListGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "the", "and"))
+
+  property("slidingChunks covers every token; concatenating stride-prefixes rebuilds the doc") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 40))) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(t => s"t$t").toSeq) }
+      val df = spark.createDataFrame(docs).toDF("id", "toks")
+      val chunk = 8; val stride = 4
+      val out = graft.operators.Corpus.slidingChunks(df, col("id"), col("toks"), chunk, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.forall { case (id, toks) =>
+        val cs = out.getOrElse(id, Array.empty).sortBy(_._2)
+        val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+        val starts = cs.map(_._3).toSeq
+        covered == toks.indices.map(_.toLong).toSet &&
+          starts == starts.indices.map(_ * stride.toLong) &&          // dense stride grid
+          cs.lastOption.forall(c => c._3 + c._4 == toks.length.toLong) // ends at doc end
+      }
+    }
+
+  property("bm25: zero-tf docs score 0; single-term ranking follows tf for equal-length docs") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 5))) { tfs =>
+      val pad = "zz"
+      val docLen = 8
+      val docs = tfs.zipWithIndex.map { case (tf0, i) =>
+        val tf = math.min(tf0, docLen)
+        (i.toLong, (Seq.fill(tf)("hit") ++ Seq.fill(docLen - tf)(pad)))
+      }
+      val df = spark.createDataFrame(docs).toDF("id", "toks")
+      val scored = graft.operators.Retrieval
+        .bm25Score(df, col("id"), col("toks"), Seq("hit"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      docs.forall { case (id, toks) =>
+        val tf = toks.count(_ == "hit")
+        if (tf == 0) !scored.contains(id)          // filtered: score 0
+        else scored.contains(id) && scored(id) > 0
+      } && {
+        // equal dl => score strictly increases with tf (saturating but monotone)
+        val byTf = docs.map { case (id, toks) => (toks.count(_ == "hit"), id) }
+          .filter(_._1 > 0).groupBy(_._1).map { case (tf, xs) => tf -> scored(xs.head._2) }
+        byTf.toSeq.sortBy(_._1).map(_._2).sliding(2).forall {
+          case Seq(a, b) => a < b
+          case _ => true
+        }
+      }
+    }
+
+  property("repeatedSpans == brute-force window-frequency model") =
+    forAll(Gen.nonEmptyListOf(tokenListGen)) { docsToks =>
+      val texts = docsToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val df = spark.createDataFrame(texts).toDF("id", "text")
+      val win = 6; val step = 3
+      val got = graft.operators.Corpus
+        .repeatedSpans(df, col("id"), col("text"), win, step)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val windows = texts.flatMap { case (id, t) =>
+        if (t.length < win) Nil
+        else (0 to (t.length - win) / step).map { k =>
+          (id, k.toLong * step, t.substring(k * step, k * step + win)) }
+      }
+      val byText = windows.groupBy(_._3)
+        .view.mapValues(ws => ws.map(_._1).distinct.size).toMap
+      val want = windows.collect {
+        case (id, pos, w) if byText(w) >= 2 => (id, pos, byText(w).toLong)
+      }.toSet
+      got == want
+    }
 }
