@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1106,6 +1108,39 @@ object SparkEntry {
       Dedup.semanticDedup(corpus, col("id"), col("v"), cents, threshold = 0.35)
         .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
         .sortBy(Seq(col("id")))
+    }),
+
+    "q114_stream_lsh_ingest" -> ((s, dir) => {
+      // TRUE streaming near-dup ingestion: documents arrive as two
+      // micro-batches (count/2 split, mod-time ordered); each batch checks
+      // the accumulated LSH index then joins it. Because the index holds
+      // every prior doc, the result is batch-cut-INDEPENDENT — the oracle
+      // is the one-shot global keep-first rule
+      val staged = java.nio.file.Files.createTempDirectory("graft_q114")
+      def writeHalf(cond: Column, name: String, modTime: Long): Unit = {
+        val tmp = staged.resolve(name + "_tmp")
+        t(s, dir, "documents").filterCol(cond).coalesce(1)
+          .write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = staged.resolve(name + ".parquet")
+        java.nio.file.Files.move(part, dest)
+        dest.toFile.setLastModified(modTime)
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      try {
+        val mid = t(s, dir, "documents").count() / 2
+        writeHalf(col("doc_id") < mid, "b0", 1000000000L)
+        writeHalf(col("doc_id") >= mid, "b1", 2000000000L)
+        EventStreams.runLshIngestSmoke(s, staged.toString, "doc_id", "text",
+            threshold = 0.8)
+          .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+          .sortBy(Seq(col("id")))
+      } finally {
+        java.nio.file.Files.walk(staged).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
 
     "q112_sliding_chunks" -> ((s, dir) =>
@@ -2822,6 +2857,37 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Batch-cut independence makes the oracle the one-shot global
+    // keep-first rule: dropped iff a smaller-id near-dup exists anywhere
+    // (q34's exact-Jaccard pairs + min-id domination).
+    "q114_stream_lsh_ingest" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         dom AS (SELECT id_b AS id, MIN(id_a) AS dup_of FROM pairs GROUP BY id_b)
+         SELECT d.doc_id AS id, dom.dup_of IS NULL AS kept,
+           coalesce(dom.dup_of, -1) AS dup_of
+         FROM documents d LEFT JOIN dom ON d.doc_id = dom.id
+         ORDER BY id""",
 
     // Same start rule: 1 chunk when n <= 32, else ceil((n-32)/16)+1
     // starts; slice clamps at the array end on both engines.

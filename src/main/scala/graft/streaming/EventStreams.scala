@@ -412,6 +412,64 @@ object EventStreams {
     * a single file), draining it synchronously into a memory sink (the
     * local smoke pattern); returns the materialized result.
     */
+  /** Streaming near-dup INGESTION: drain a parquet directory one file per
+    * micro-batch (`maxFilesPerTrigger = 1`, file order = modification
+    * time), checking each batch against the accumulated MinHash-LSH index
+    * of EVERY previously seen doc via
+    * [[graft.operators.Dedup.incrementalLshDedup]], then appending the
+    * whole batch's bands to the index.
+    *
+    * Invariant this construction buys (and q114's oracle pins): because
+    * the index holds every prior doc — not just survivors — and ids are
+    * globally unique, the drained result is INDEPENDENT of how the corpus
+    * was cut into batches: a doc is dropped iff some smaller-id doc
+    * anywhere in the corpus is a near-dup (exact Jaccard >= threshold on
+    * LSH candidates), with dup_of the smallest such id. Ingesting in 1
+    * batch or 100 gives byte-identical output — the property that makes
+    * incremental ingestion trustworthy.
+    *
+    * Scale shape: per batch, only the batch is shingled; the index is
+    * per-doc narrow state (shingle hashes + 32 band keys). This smoke
+    * runner accumulates the index as unioned in-memory frames; a
+    * production pipeline writes it to a bucketed table
+    * ([[graft.Engine.writeBucketed]] on bucket) and unions at read.
+    */
+  def runLshIngestSmoke(spark: SparkSession, parquetDir: String,
+      idName: String, textName: String, threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val schema = spark.read.parquet(parquetDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(parquetDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    var index: DataFrame = null
+    val lock = new Object
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => lock.synchronized {
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idx =
+          if (index != null) index
+          else Dedup.lshIndex(b.limit(0), col(idName), col(textName))
+        val out = Dedup.incrementalLshDedup(b, col(idName), col(textName),
+          idx, threshold = threshold)
+        val got = out.collect()
+        if (outSchema == null) outSchema = out.schema
+        results ++= got
+        val newIdx = Dedup.lshIndex(b, col(idName), col(textName))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newIdx.count() // materialize before the batch cache is released
+        index = if (index == null) newIdx else index.union(newIdx)
+        b.unpersist()
+        ()
+      } }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = java.util.Arrays.asList(results.toSeq: _*)
+    spark.createDataFrame(rows, outSchema)
+  }
+
   def runStreamingSmoke(spark: SparkSession, parquetPath: String, queryName: String): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)

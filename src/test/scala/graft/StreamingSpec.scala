@@ -269,4 +269,63 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("runLshIngestSmoke: 3-batch streaming ingest equals the one-shot global keep-first rule") {
+    import org.apache.spark.sql.functions.col
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    val docs = Seq(
+      (0L, near + "one"),
+      (1L, "totally different first-batch content about mountains rivers and weather patterns"),
+      (2L, near + "two"),                 // ~0 (cross-batch)
+      (3L, "unique second batch doc with nothing shared across any other document here"),
+      (4L, near + "three"),               // ~0, ~2 (third batch)
+      (5L, (1 to 14).map(i => s"filler$i").mkString(" "))
+    )
+    val dir = java.nio.file.Files.createTempDirectory("lsh_ingest_spec")
+    try {
+      // three 2-doc batches with strictly increasing mod times
+      docs.grouped(2).zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = dir.resolve(s"t$i")
+        spark.createDataFrame(chunk).toDF("doc_id", "text")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) {
+            val dest = dir.resolve(s"b$i.parquet")
+            java.nio.file.Files.move(p, dest)
+            dest.toFile.setLastModified(1000000000L + i * 100000L)
+            moved = true
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val got = EventStreams.runLshIngestSmoke(spark, dir.toString,
+          "doc_id", "text", threshold = 0.6)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      // global rule: 2 and 4 are near-dups of 0 (smallest similar id)
+      assert(got(0L) == (true, -1L))
+      assert(got(1L) == (true, -1L))
+      assert(got(2L) == (false, 0L))
+      assert(got(3L) == (true, -1L))
+      assert(got(4L) == (false, 0L))
+      assert(got(5L) == (true, -1L))
+      // and equals the batch operator's one-shot answer
+      val all = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val emptyIdx = graft.operators.Dedup.lshIndex(all.limit(0), col("doc_id"), col("text"))
+      val oneShot = graft.operators.Dedup.incrementalLshDedup(all, col("doc_id"),
+          col("text"), emptyIdx, threshold = 0.6)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(got == oneShot)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
