@@ -1110,6 +1110,21 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q115_robust_scale" -> ((s, dir) =>
+      // outlier-insensitive feature scaling: (x - median) / MAD per group
+      // (q95's min-max sibling; one extreme value can't move the bounds)
+      t(s, dir, "lineitem")
+        .robustScale(Seq(col("l_returnflag")), col("l_extendedprice"))
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"),
+          round(col("v_med"), 6).as("v_med"),
+          round(col("v_mad"), 6).as("v_mad"),
+          round(col("scaled"), 6).as("scaled")))
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+        // returnflag + x make the order total
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("x")))),
+
     "q114_stream_lsh_ingest" -> ((s, dir) => {
       // TRUE streaming near-dup ingestion: documents arrive as two
       // micro-batches (count/2 split, mod-time ordered); each batch checks
@@ -2857,6 +2872,27 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // quantile_cont == Spark exact percentile (q61); the scaled value is
+    // one subtraction + one division on replayed medians.
+    "q115_robust_scale" ->
+      """WITH m AS (
+           SELECT l_returnflag, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS v_med
+           FROM lineitem GROUP BY 1),
+         mad AS (
+           SELECT l.l_returnflag,
+             quantile_cont(abs(CAST(l.l_extendedprice AS DOUBLE) - m.v_med), 0.5) AS v_mad
+           FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CAST(l.l_extendedprice AS DOUBLE) AS x,
+           round(m.v_med, 6) AS v_med, round(mad.v_mad, 6) AS v_mad,
+           round(CASE WHEN mad.v_mad = 0.0 THEN 0.0
+                      ELSE (CAST(l.l_extendedprice AS DOUBLE) - m.v_med) / mad.v_mad
+                 END, 6) AS scaled
+         FROM lineitem l
+         JOIN m USING (l_returnflag) JOIN mad USING (l_returnflag)
+         ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CAST(l.l_extendedprice AS DOUBLE)""",
 
     // Batch-cut independence makes the oracle the one-shot global
     // keep-first rule: dropped iff a smaller-id near-dup exists anywhere

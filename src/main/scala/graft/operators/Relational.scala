@@ -554,6 +554,40 @@ object Relational {
         .drop(gk: _*)
     }
 
+    /** Per-group robust scaling: `(x - median) / MAD` (median absolute
+      * deviation) — the outlier-insensitive sibling of
+      * [[normalizeMinMax]] (one extreme value shifts a min-max range
+      * arbitrarily but moves a median/MAD not at all). Constant groups
+      * (MAD = 0) scale to 0.0.
+      *
+      * Two aggregate passes by construction (MAD needs the median first);
+      * both reduce to per-group rows broadcast back, the corpus itself
+      * never shuffles. Exact percentile buffers each group in its
+      * aggregate — at 100 TB flip `approximate = true` (t-digest).
+      */
+    def robustScale(group: Seq[Column], value: Column,
+        approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
+      require(group.nonEmpty, "robustScale needs >= 1 group column")
+      val v = value.cast("double")
+      def med(c: Column) =
+        if (approximate) percentile_approx(c, lit(0.5), lit(accuracy))
+        else percentile(c, lit(0.5))
+      val gk = group.indices.map(i => s"__g$i")
+      val medians = df
+        .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
+        .agg(med(v).alias("v_med"))
+      val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
+      val withMed = df.join(broadcast(medians), cond)
+      val mads = withMed
+        .groupBy(gk.map(col): _*)
+        .agg(med(abs(v - col("v_med"))).alias("v_mad"))
+      withMed.join(broadcast(mads), gk)
+        .withColumn("scaled",
+          when(col("v_mad") === 0.0, lit(0.0))
+            .otherwise((v - col("v_med")) / col("v_mad")))
+        .drop(gk: _*)
+    }
+
     /** Physically lay the frame out in z-order: range-repartition on the
       * interleaved key, sort within partitions. The write-side companion of
       * [[Relational.zorderValue]]; follow with a parquet write so row-group

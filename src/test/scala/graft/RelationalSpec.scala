@@ -323,6 +323,24 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Filter") || plan.contains("LocalTableScan"))
   }
 
+  test("robustScale: median/MAD per group, outlier-insensitive, constant group scales to 0") {
+    // group g: values 1..5 plus outlier 1000 => median 3.5, deviations
+    // (2.5, 1.5, 0.5, 0.5, 1.5, 996.5) => MAD 1.5; the outlier moved the
+    // median only from 3 to 3.5 (min-max range would have exploded)
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+      ("g", 1000.0), ("c", 7.0), ("c", 7.0)).toDF("k", "v")
+    val out = df.robustScale(Seq($"k"), $"v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val g = out.filter(_._1 == "g")
+    assert(g.forall(r => r._3 == 3.5 && r._4 == 1.5))
+    val scaled = g.map(r => r._2 -> r._5).toMap
+    assert(math.abs(scaled(3.0) - (3.0 - 3.5) / 1.5) < 1e-15)
+    assert(math.abs(scaled(1000.0) - (1000.0 - 3.5) / 1.5) < 1e-15)
+    // constant group: MAD 0 => scaled 0.0, no NaN
+    assert(out.filter(_._1 == "c").forall(r => r._4 == 0.0 && r._5 == 0.0))
+  }
+
   test("keySkewStats: hot key ranked first with exact share and skew factors") {
     // key 7 appears 6 times, keys 1..4 once each => 10 rows over 5 keys
     val rows = (Seq.fill(6)(7) ++ Seq(1, 2, 3, 4)).map(k => (k, "x"))
