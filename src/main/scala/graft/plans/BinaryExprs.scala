@@ -99,10 +99,16 @@ object BinaryExprs {
   def byteBucketHist(c: Column, buckets: Int = 8): Column =
     asCol(ByteBucketHist(asExpr(c), buckets))
 
+  /** SQL-name → builder table (see [[VectorExprs.sqlFunctions]]). */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "byte_entropy" -> (es => ByteEntropy(es.head)),
+    "head_hash" -> (es => HeadHash(es.head)))
+
   /** SQL-name registration (same pattern as [[VectorExprs.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("byte_entropy", es => ByteEntropy(es.head), "built-in")
-    reg.createOrReplaceTempFunction("head_hash", es => HeadHash(es.head), "built-in")
+    sqlFunctions.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in")
+    }
   }
 }

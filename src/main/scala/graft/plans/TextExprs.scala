@@ -328,4 +328,23 @@ object TextExprs {
     asCol(TokenHashesExpr(asExpr(c), portable))
   def normalizeUnicode(c: Column, form: String = "NFC"): Column =
     asCol(NormalizeExpr(asExpr(c), form))
+
+  /** SQL-name → builder table for the unary text expressions (see
+    * [[VectorExprs.sqlFunctions]]; the arity-2 forms stay Column-API-only
+    * — their non-expression parameters are constructor Ints/Strings).
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "lang_id" -> (es => LangIdExpr(es.head)),
+    "quality_score" -> (es => QualityScoreExpr(es.head)),
+    "token_count" -> (es => TokenCountExpr(es.head)),
+    "stopword_ratio" -> (es => StopwordRatioExpr(es.head)),
+    "mean_token_len" -> (es => MeanTokenLenExpr(es.head)))
+
+  /** SQL-name registration (same pattern as [[VectorExprs.register]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlFunctions.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in")
+    }
+  }
 }

@@ -346,14 +346,24 @@ object VectorExprs {
   /** SQL-name registration so these also work via `spark.sql` /
     * `call_function` (same registry the Agent's builtin functions live in).
     */
+  /** SQL-name → builder table, the single source for both
+    * [[register]] (temp functions on one session) and
+    * [[graft.GraftExtensions]] (session-independent injection via
+    * `spark.sql.extensions`).
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (es => SimHash64(es.head)),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "l2_norm" -> (es => L2Norm(es.head)),
+    "l2_dist_sq" -> (es => L2DistSq(es(0), es(1))),
+    "quantize_int8" -> (es => QuantizeInt8(es.head)),
+    "dequantize_int8" -> (es => DequantizeInt8(es.head)))
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
-    reg.createOrReplaceTempFunction("l2_dist_sq", es => L2DistSq(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("quantize_int8", es => QuantizeInt8(es.head), "built-in")
-    reg.createOrReplaceTempFunction("dequantize_int8", es => DequantizeInt8(es.head), "built-in")
+    sqlFunctions.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in")
+    }
   }
 }
