@@ -1110,6 +1110,24 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q116_oov_rate" -> ((s, dir) =>
+      // tokenizer-fit signal: OOV rate against the corpus's own top-50
+      // vocab (small cap so the synthetic ~30-word vocabulary still
+      // yields OOV mass); vocab broadcast to an anti join
+      Corpus.oovRate(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), vocabSize = 25)
+        .withColumn("oov_rate", round(col("oov_rate"), 9))
+        .sortBy(Seq(col("id")))),
+
+    "q117_mutual_knn" -> ((s, dir) => {
+      // reciprocal-NN graph: (a,b) kept iff each is in the other's top-10
+      // — the hub-pruned symmetric graph clustering consumes
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      Similarity.mutualPairs(Similarity.bruteForceTopK(corpus, corpus, k = 10))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q115_robust_scale" -> ((s, dir) =>
       // outlier-insensitive feature scaling: (x - median) / MAD per group
       // (q95's min-max sibling; one extreme value can't move the bounds)
@@ -2872,6 +2890,52 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Vocab = top-25 by (count desc, term asc); OOV counts multiplicity.
+    "q116_oov_rate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         vocab AS (
+           SELECT term FROM (
+             SELECT term, COUNT(*) AS cnt,
+               row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+             FROM tok GROUP BY term)
+           WHERE rn <= 25),
+         oov AS (
+           SELECT tok.doc_id, COUNT(*) AS n_oov
+           FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+           WHERE vocab.term IS NULL GROUP BY tok.doc_id)
+         SELECT t.doc_id AS id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(oov.n_oov, 0) AS n_oov,
+           round(CASE WHEN len(t.toks) > 0
+                 THEN coalesce(CAST(oov.n_oov AS DOUBLE), 0.0)
+                      / CAST(len(t.toks) AS DOUBLE)
+                 ELSE 0.0 END, 9) AS oov_rate
+         FROM t LEFT JOIN oov ON t.doc_id = oov.doc_id
+         ORDER BY id""",
+
+    // q36's exact kNN both directions: pair kept iff it appears with
+    // rnk <= 10 in each orientation.
+    "q117_mutual_knn" ->
+      """WITH c AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             list_cosine_similarity(a.v, b.v) AS score
+           FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+         r AS (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+           FROM s),
+         k AS (SELECT q_id, c_id, rnk FROM r WHERE rnk <= 10)
+         SELECT f.q_id AS id_a, f.c_id AS id_b,
+           CAST(f.rnk AS BIGINT) AS rank_ab, CAST(g.rnk AS BIGINT) AS rank_ba
+         FROM k f JOIN k g ON f.q_id = g.c_id AND f.c_id = g.q_id
+         WHERE f.q_id < f.c_id
+         ORDER BY id_a, id_b""",
 
     // quantile_cont == Spark exact percentile (q61); the scaled value is
     // one subtraction + one division on replayed medians.

@@ -628,6 +628,40 @@ object Corpus {
         explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-K
+    * vocabulary (count desc, term asc ties) — the tokenizer-fit signal:
+    * docs with high OOV under the planned vocab either need a bigger
+    * vocab or are the noise the quality gates should have caught.
+    *
+    * Returns (id, n_tokens, n_oov, oov_rate); rate counts multiplicity
+    * (three hits of one unknown word = three OOV tokens).
+    *
+    * Scale shape: one term-count groupBy (partial-aggregated) and a
+    * bounded top-K, broadcast to an anti join — per-doc work never
+    * shuffles text. vocabSize rows is driver-bounded state, same as any
+    * tokenizer's vocab.
+    */
+  def oovRate(df: DataFrame, id: Column, terms: Column,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val base = df.select(id.alias("id"), terms.alias("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val toks = base.select(col("id"), explode(col("toks")).alias("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).alias("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"))
+    val oov = toks.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).alias("n_oov"))
+    base.select(col("id"), col("n_tokens"))
+      .join(oov, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).alias("n_oov"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_oov").cast("double"), lit(0.0))
+            / col("n_tokens").cast("double")).otherwise(lit(0.0)).alias("oov_rate"))
+  }
+
   /** Overlapping sliding-window token chunks — the retrieval-index sibling
     * of [[tokenChunks]] (which tiles disjointly): starts at 0, stride,
     * 2*stride, ... with the LAST start chosen so the final chunk ends at

@@ -354,6 +354,29 @@ object Similarity {
     * configuration's quality is MEASURED rather than asserted — run it on a
     * sample of queries whenever nlist/nprobe change.
     */
+  /** Mutual (reciprocal) nearest-neighbor pairs from a kNN result frame
+    * ((query_id, neighbor_id, cosine, rank) — [[bruteForceTopK]] /
+    * [[ivfTopK]] output): keep (a, b) iff b is in a's top-k AND a is in
+    * b's top-k. The standard symmetric-graph construction for
+    * embedding-space clustering — mutuality prunes hub vectors that appear
+    * in everyone's top-k without reciprocating.
+    *
+    * Returns (id_a, id_b, rank_ab, rank_ba) with id_a < id_b — one row
+    * per mutual pair. One self-equi-join on the (already small) kNN frame;
+    * the expensive part is producing the kNN, not this.
+    */
+  def mutualPairs(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("query_id").alias("id_a"),
+      col("neighbor_id").alias("id_b"), col("rank").alias("rank_ab"))
+    val rev = knn.select(col("neighbor_id").alias("id_a"),
+      col("query_id").alias("id_b"), col("rank").alias("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("rank_ab").cast("long").alias("rank_ab"),
+        col("rank_ba").cast("long").alias("rank_ba"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val a = approx.select(col("query_id"), col("neighbor_id"))
     val e = exact.select(col("query_id"), col("neighbor_id"))

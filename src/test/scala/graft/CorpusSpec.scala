@@ -368,6 +368,22 @@ class CorpusSpec extends SparkSpec {
     assert(out.size >= 20 && out.size <= 40)
   }
 
+  test("oovRate: vocab top-k by (count, term), multiplicity counted, vocab docs at 0") {
+    val docs = Seq(
+      (0L, Seq("a", "a", "a", "b", "b")),   // all in top-2 vocab
+      (1L, Seq("a", "rare", "rare", "b")),  // 2 OOV hits of one term
+      (2L, Seq("zz", "yy")),                // all OOV
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val out = Corpus.oovRate(docs, $"id", $"toks", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // counts: a=4, b=3, rare=2, zz=1, yy=1 => vocab {a, b}
+    assert(out(0L) == (5L, 0L, 0.0))
+    assert(out(1L) == (4L, 2L, 0.5))
+    assert(out(2L) == (2L, 2L, 1.0))
+    assert(out(3L) == (0L, 0L, 0.0))   // empty doc: rate 0, not NaN
+  }
+
   test("slidingChunks: full coverage, fixed stride, last chunk ends at doc end") {
     val toks = (1 to 13).map(i => s"w$i")
     val docs = Seq((0L, toks), (1L, Seq("a", "b")), (2L, Seq.empty[String]))

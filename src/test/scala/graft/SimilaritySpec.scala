@@ -203,6 +203,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 11L && out(1).getDouble(2) == 324.0 && out(1).getLong(3) == 2L)
   }
 
+  test("mutualPairs keeps only reciprocal top-k edges, one row per pair") {
+    // hand kNN: 1->2 (r1), 2->1 (r2), 1->3 (r2), 3->2 (r1): only (1,2) mutual
+    val knn = Seq(
+      (1L, 2L, 0.9, 1), (1L, 3L, 0.5, 2),
+      (2L, 1L, 0.9, 2), (2L, 4L, 0.95, 1),
+      (3L, 2L, 0.8, 1), (4L, 3L, 0.7, 1)
+    ).toDF("query_id", "neighbor_id", "cosine", "rank")
+    val out = Similarity.mutualPairs(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 2L)))
+  }
+
   test("native expressions are reachable from the SQL surface via register") {
     graft.plans.VectorExprs.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")
