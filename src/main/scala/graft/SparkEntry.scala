@@ -1110,6 +1110,17 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q118_component_split" -> ((s, dir) => {
+      // leakage-safe 80/20 split: near-dup cluster members always land on
+      // the same side (per-doc splits leak near-dups into eval); singleton
+      // docs hash their own id
+      val docs = t(s, dir, "documents")
+      val comps = Dedup.nearDupComponents(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.8))
+      Dedup.componentSplit(docs, col("doc_id"), comps)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q116_oov_rate" -> ((s, dir) =>
       // tokenizer-fit signal: OOV rate against the corpus's own top-50
       // vocab (small cap so the synthetic ~30-word vocabulary still
@@ -2890,6 +2901,45 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q50's components + the q93 multiplicative hash on the component
+    // label; integer compare avoids any division.
+    "q118_component_split" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+         lab AS (
+           SELECT d.doc_id AS id, coalesce(comp.component_id, d.doc_id) AS component_id
+           FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+         SELECT id, component_id,
+           CASE WHEN ((component_id * 2654435761) % 4294967296) * 1000
+                     < 800 * 4294967296 THEN 'train' ELSE 'eval' END AS split
+         FROM lab ORDER BY id""",
 
     // Vocab = top-25 by (count desc, term asc); OOV counts multiplicity.
     "q116_oov_rate" ->

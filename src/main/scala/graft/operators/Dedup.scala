@@ -550,6 +550,38 @@ object Dedup {
         (col("id") === col("rep_id")).alias("kept"))
   }
 
+  /** Leakage-safe train/eval split: assign documents to splits BY NEAR-DUP
+    * COMPONENT, not by document — the classic eval-contamination bug is a
+    * near-duplicate of a training doc landing in the test set, which a
+    * per-doc random split does in proportion to the corpus's dup rate.
+    * Hashing the component label sends every member of a near-dup cluster
+    * to the same side.
+    *
+    * `comps` is [[nearDupComponents]] output; docs absent from it (never
+    * in any pair) are their own singleton component. The hash is the
+    * multiplicative-Knuth rule from
+    * [[graft.operators.Corpus.deterministicShuffle]] — rerun-, engine- and
+    * layout-independent, so the split is reproducible forever from ids
+    * alone. trainPermille of 800 ≈ 80/20.
+    *
+    * Returns (id, component_id, split) with split in {"train", "eval"}.
+    * One left join against the (small) component map plus a narrow hash —
+    * no extra shuffle beyond the component computation itself.
+    */
+  def componentSplit(df: DataFrame, id: Column, comps: DataFrame,
+      trainPermille: Int = 800, salt: Long = 0L): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in [0,1000], got $trainPermille")
+    val base = df.select(id.alias("id"))
+    val labeled = base.join(comps, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component_id"), col("id")).alias("component_id"))
+    val h = pmod(col("component_id").cast("long") * lit(2654435761L) + lit(salt),
+      lit(4294967296L))
+    labeled.select(col("id"), col("component_id"),
+      when(h * 1000L < lit(trainPermille) * lit(4294967296L), lit("train"))
+        .otherwise(lit("eval")).alias("split"))
+  }
+
   /** Reusable MinHash-LSH index over a corpus: per doc, its shingle-hash
     * set and its band bucket keys — the state an ingestion pipeline
     * persists between batches (write it bucketed on `id`, or explode and

@@ -191,6 +191,26 @@ class DedupSpec extends SparkSpec {
     assert(!state2.storageLevel.useMemory)
   }
 
+  test("componentSplit: cluster members co-located, singletons hash their own id, ~80/20") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component_id")
+    val docs = (1L to 100L).map(i => Tuple1(i)).toDF("id")
+    val out = Dedup.componentSplit(docs, col("id"), comps)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every member of a component shares its split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(10L) == out(11L))
+    // singletons: component = own id
+    assert(out(50L)._1 == 50L)
+    // deterministic re-run
+    val again = Dedup.componentSplit(docs, col("id"), comps)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == again)
+    // roughly 80/20 over 100 ids (multiplicative hash is well-mixed)
+    val nTrain = out.values.count(_._2 == "train")
+    assert(nTrain >= 65 && nTrain <= 95, s"train count $nTrain")
+  }
+
   test("componentRepresentatives: best score wins, score ties break to the smaller id") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "component_id")
