@@ -1110,6 +1110,39 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q119_source_health" -> ((s, dir) =>
+      // per-source corpus health report: doc count, decimal-exact mean
+      // quality / token count, language spread, exact-dup rate (keyed on
+      // raw text for oracle parity — xxhash64 the key at scale, q31's rule)
+      t(s, dir, "documents")
+        .withColumn("q", TextFns.qualityScore(col("text")))
+        .withColumn("ntok", TextFns.tokenCount(col("text")).cast("long"))
+        .aggregate(Seq(col("source")), Seq(
+          count(lit(1)).as("n_docs"),
+          (sum(col("q").cast(DecimalType(18, 9))).cast("double")
+            / count(lit(1))).as("mean_quality"),
+          (sum(col("ntok")).cast("double") / count(lit(1))).as("mean_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - count_distinct(col("text"))).as("n_exact_dups")))
+        .withColumn("mean_quality", round(col("mean_quality"), 6))
+        .withColumn("mean_tokens", round(col("mean_tokens"), 6))
+        .sortBy(Seq(col("source")))),
+
+    "q120_funnel" -> ((s, dir) =>
+      // ordered conversion funnel view -> click -> purchase: per user the
+      // earliest stage time strictly after the previous stage; one narrow
+      // min-aggregate per stage, no per-user event lists
+      EventStreams.funnel(t(s, dir, "events"), col("user_id"), col("ts"), Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .selectCols(Seq(col("user_id"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_click")).as("t_click_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"),
+          col("stages_completed")))
+        .sortBy(Seq(col("user_id")))),
+
     "q118_component_split" -> ((s, dir) => {
       // leakage-safe 80/20 split: near-dup cluster members always land on
       // the same side (per-doc splits leak near-dups into eval); singleton
@@ -2901,6 +2934,56 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q28's exact quality replay, aggregated per source; the mean goes
+    // through DECIMAL(18,9) so partial-merge order can't flip a bit.
+    "q119_source_health" ->
+      """WITH t AS (
+           SELECT source, lang, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n
+           FROM documents),
+         h AS (
+           SELECT source, lang, text, len(toks) AS ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / n END AS pr
+           FROM t),
+         q AS (
+           SELECT source, lang, text, ntok,
+             ((CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+           FROM h)
+         SELECT source, COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+           round(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+         FROM q GROUP BY source ORDER BY source""",
+
+    // One scalar subquery chain per stage: min ts strictly after the
+    // user's previous stage time.
+    "q120_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+         SELECT u.user_id, s1.t1 AS t_view_us, s2.t2 AS t_click_us,
+           s3.t3 AS t_purchase_us,
+           CAST((CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stages_completed
+         FROM u
+         LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)
+         ORDER BY u.user_id""",
 
     // q50's components + the q93 multiplicative hash on the component
     // label; integer compare avoids any division.

@@ -412,6 +412,47 @@ object EventStreams {
     * a single file), draining it synchronously into a memory sink (the
     * local smoke pattern); returns the materialized result.
     */
+  /** Ordered funnel analysis: for each user, the earliest time each stage
+    * was reached STRICTLY AFTER the previous stage (stage 1 = earliest
+    * matching event at all). A user's t columns cascade: once a stage is
+    * null every later stage is null, and `stages_completed` counts the
+    * non-null prefix — the standard conversion-funnel semantics
+    * ("view, then a click after that view, then a purchase after that
+    * click").
+    *
+    * Scale shape: one aggregate per stage, each a partial-aggregated
+    * min over (user, stage-predicate) joined narrowly on user_id — no
+    * window over a user's full history, no event-list collection. k
+    * stages = k shuffles of (user_id, timestamp) pairs only.
+    */
+  def funnel(events: DataFrame, user: Column, ts: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.map(_._1).distinct == stages.map(_._1), "duplicate stage names")
+    val base = events.select(
+      (Seq(user.alias("user_id"), ts.alias("__ts")) ++
+        stages.map { case (n, c) => c.alias(s"__c_$n") }): _*)
+    var acc = base.select(col("user_id")).distinct()
+    var prev: Option[String] = None
+    stages.foreach { case (nm, _) =>
+      val tcol = s"t_$nm"
+      val stageAgg = prev match {
+        case None =>
+          base.filter(col(s"__c_$nm"))
+            .groupBy(col("user_id")).agg(min(col("__ts")).alias(tcol))
+        case Some(p) =>
+          base.join(acc.filter(col(p).isNotNull).select(col("user_id"), col(p)), "user_id")
+            .filter(col(s"__c_$nm") && col("__ts") > col(p))
+            .groupBy(col("user_id")).agg(min(col("__ts")).alias(tcol))
+      }
+      acc = acc.join(stageAgg, Seq("user_id"), "left_outer")
+      prev = Some(tcol)
+    }
+    acc.withColumn("stages_completed",
+      stages.map(s => when(col(s"t_${s._1}").isNotNull, 1L).otherwise(0L))
+        .reduceLeft(_ + _))
+  }
+
   /** Streaming near-dup INGESTION: drain a parquet directory one file per
     * micro-batch (`maxFilesPerTrigger = 1`, file order = modification
     * time), checking each batch against the accumulated MinHash-LSH index

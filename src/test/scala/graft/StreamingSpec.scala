@@ -270,6 +270,34 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("funnel: stage times cascade strictly-after, out-of-order stages don't count") {
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: purchase BEFORE click => stops at click
+      (2L, ts(0), "view"), (2L, ts(3), "purchase"), (2L, ts(7), "click"),
+      // user 3: click only, no view => 0 stages
+      (3L, ts(2), "click"), (3L, ts(4), "purchase"),
+      // user 4: same-timestamp click (not strictly after) doesn't count
+      (4L, ts(1), "view"), (4L, ts(1), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventStreams.funnel(events, col("user_id"), col("ts"), Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+    // user 2's click time is the one after the view, and purchase is null
+    val u2 = EventStreams.funnel(events, col("user_id"), col("ts"), Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .filter(col("user_id") === 2L).collect()(0)
+    assert(u2.getTimestamp(2) == ts(7) && u2.isNullAt(3))
+  }
+
   test("runLshIngestSmoke: 3-batch streaming ingest equals the one-shot global keep-first rule") {
     import org.apache.spark.sql.functions.col
     val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
