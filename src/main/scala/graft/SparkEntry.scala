@@ -1110,6 +1110,26 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q121_cohort_retention" -> ((s, dir) =>
+      // daily cohort retention matrix in long form (the 30-day synthetic
+      // event span yields a dense matrix at day granularity); integer
+      // microsecond offsets, one distinct-count shuffle
+      EventStreams.cohortRetention(t(s, dir, "events"), col("user_id"),
+          col("ts"), period = "day")
+        .withColumn("retention", round(col("retention"), 9))
+        .sortBy(Seq(col("cohort_us"), col("period_offset")))),
+
+    "q122_state_intervals" -> ((s, dir) =>
+      // SCD-2 interval build: runs of consecutive identical event_type per
+      // user with [valid_from, valid_to) bounds; event_id breaks ts ties
+      EventStreams.stateIntervals(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"), col("event_id"))
+        .selectCols(Seq(col("key").as("user_id"), col("state"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us")))
+        .withColumn("to_us", coalesce(col("to_us"), lit(-1L)))
+        .sortBy(Seq(col("user_id"), col("from_us"), col("state")))),
+
     "q119_source_health" -> ((s, dir) =>
       // per-source corpus health report: doc count, decimal-exact mean
       // quality / token count, language spread, exact-dup rate (keyed on
@@ -2934,6 +2954,49 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Monday-start week truncation on both engines; offsets are integer
+    // microsecond arithmetic.
+    "q121_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         f AS (
+           SELECT user_id, epoch_us(date_trunc('day', MIN(t))) AS cohort_us
+           FROM e GROUP BY 1),
+         h AS (
+           SELECT e.user_id, f.cohort_us,
+             CAST(floor(CAST(e.us - f.cohort_us AS DOUBLE) / 86400000000) AS BIGINT)
+               AS period_offset
+           FROM e JOIN f USING (user_id)),
+         a AS (
+           SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
+           FROM h GROUP BY 1, 2),
+         s AS (SELECT cohort_us, COUNT(DISTINCT user_id) AS cohort_size FROM f GROUP BY 1)
+         SELECT a.cohort_us, a.period_offset, a.n_active, s.cohort_size,
+           round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 9) AS retention
+         FROM a JOIN s USING (cohort_us)
+         ORDER BY cohort_us, period_offset""",
+
+    // lag for run starts, lead for interval ends; (ts, event_id) ordering
+    // replayed exactly.
+    "q122_state_intervals" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, event_type, us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+           FROM e),
+         r AS (
+           SELECT user_id, event_type, us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_us
+           FROM m WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS state, us AS from_us,
+           coalesce(to_us, -1) AS to_us
+         FROM r ORDER BY user_id, from_us, state""",
 
     // q28's exact quality replay, aggregated per source; the mean goes
     // through DECIMAL(18,9) so partial-merge order can't flip a bit.

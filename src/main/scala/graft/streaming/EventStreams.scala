@@ -453,6 +453,72 @@ object EventStreams {
         .reduceLeft(_ + _))
   }
 
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * FIRST event (date_trunc week, Monday start); each later event lands
+    * in offset = whole weeks since the cohort week start. Returns
+    * (cohort_week_us, week_offset, n_active, cohort_size, retention) —
+    * the classic retention matrix in long form.
+    *
+    * Scale shape: first-event per user is a partial-aggregated min; the
+    * offset projection is narrow; the matrix aggregate shuffles
+    * (cohort, offset, user) for the distinct count. Integer microsecond
+    * arithmetic throughout (exact cross-engine; retention is one final
+    * division).
+    */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column,
+      period: String = "week"): DataFrame = {
+    val periodUs = period match {
+      case "day"  => 86400L * 1000000L
+      case "week" => 7L * 86400L * 1000000L
+      case other  => throw new IllegalArgumentException(
+        s"period must be day or week, got $other")
+    }
+    val e = events.select(user.alias("user_id"), ts.alias("__ts"))
+    val firsts = e.groupBy(col("user_id")).agg(min(col("__ts")).alias("first_ts"))
+      .select(col("user_id"),
+        unix_micros(date_trunc(period, col("first_ts"))).alias("cohort_us"))
+    val hits = e.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort_us"),
+        floor((unix_micros(col("__ts")) - col("cohort_us")).cast("double") / periodUs)
+          .cast("long").alias("period_offset"))
+      .groupBy(col("cohort_us"), col("period_offset"))
+      .agg(count_distinct(col("user_id")).alias("n_active"))
+    val sizes = firsts.groupBy(col("cohort_us"))
+      .agg(count_distinct(col("user_id")).alias("cohort_size"))
+    hits.join(sizes, "cohort_us")
+      .select(col("cohort_us"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .alias("retention"))
+  }
+
+  /** SCD-2-style state intervals: collapse each key's event stream into
+    * runs of consecutive identical `state` values, emitting
+    * (key, state, valid_from, valid_to) with valid_to = the next run's
+    * start (null while current) — the change-data-capture shape a
+    * dimension table loader consumes. `tieBreak` orders same-timestamp
+    * events deterministically.
+    *
+    * One shuffle on the key; both windows (change detection, next-change
+    * lookahead) reuse that partitioning.
+    */
+  def stateIntervals(events: DataFrame, key: Column, ts: Column,
+      state: Column, tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    val base = events.select(key.alias("__k"), ts.alias("__ts"),
+      state.alias("__s"), tieBreak.alias("__tb"))
+    val marked = base
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("__s"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    marked
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w2))
+      .select(col("__k").alias("key"), col("__s").alias("state"),
+        col("__ts").alias("valid_from"), col("valid_to"))
+  }
+
   /** Streaming near-dup INGESTION: drain a parquet directory one file per
     * micro-batch (`maxFilesPerTrigger = 1`, file order = modification
     * time), checking each batch against the accumulated MinHash-LSH index

@@ -270,6 +270,46 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("cohortRetention: cohort by first-event day, offsets count later activity, offset 0 full") {
+    import org.apache.spark.sql.functions.col
+    def d(day: Int, h: Int = 12) = new java.sql.Timestamp(
+      java.time.LocalDateTime.of(2024, 1, day, h, 0).toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    val events = Seq(
+      (1L, d(1)), (1L, d(2)), (1L, d(3)),    // cohort day1, active offsets 0,1,2
+      (2L, d(1)), (2L, d(3)),                // cohort day1, offsets 0,2
+      (3L, d(2)), (3L, d(2, 18))             // cohort day2, offset 0 twice (distinct once)
+    ).toDF("user_id", "ts")
+    val out = EventStreams.cohortRetention(events, col("user_id"), col("ts"), "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val day1 = java.time.LocalDate.of(2024, 1, 1).atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val day2 = day1 + 86400L * 1000000L
+    assert(out((day1, 0L)) == (2L, 2L, 1.0))   // offset 0 always complete
+    assert(out((day1, 1L)) == (1L, 2L, 0.5))
+    assert(out((day1, 2L)) == (2L, 2L, 1.0))
+    assert(out((day2, 0L)) == (1L, 1L, 1.0))   // same-day repeat counted once
+    assert(out.size == 4)
+  }
+
+  test("stateIntervals: consecutive runs collapse, valid_to = next change, last open") {
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val events = Seq(
+      (1L, 10L, ts(0), "a"), (1L, 11L, ts(1), "a"), (1L, 12L, ts(2), "b"),
+      (1L, 13L, ts(3), "b"), (1L, 14L, ts(4), "a"),
+      (2L, 20L, ts(0), "x")
+    ).toDF("user_id", "event_id", "ts", "state")
+    val out = EventStreams.stateIntervals(events, col("user_id"), col("ts"),
+        col("state"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+      .sortBy(x => (x._1, x._3.getTime))
+    assert(out.toSeq == Seq(
+      (1L, "a", ts(0), Some(ts(2))),
+      (1L, "b", ts(2), Some(ts(4))),
+      (1L, "a", ts(4), None),
+      (2L, "x", ts(0), None)))
+  }
+
   test("funnel: stage times cascade strictly-after, out-of-order stages don't count") {
     import org.apache.spark.sql.functions.col
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
