@@ -1110,6 +1110,19 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q123_novelty_curve" -> ((s, dir) => {
+      // corpus saturation: 10 ingestion batches by doc_id range
+      // (count-based => sf-agnostic); novelty = share of 3-gram shingles
+      // first seen in that batch
+      val docs = t(s, dir, "documents")
+      val bs = (docs.count() + 9) / 10
+      Corpus.noveltyCurve(docs,
+          floor(col("doc_id").cast("double") / bs).cast("long"),
+          TextFns.wordNgrams(col("text"), 3))
+        .withColumn("novelty", round(col("novelty"), 9))
+        .sortBy(Seq(col("batch")))
+    }),
+
     "q121_cohort_retention" -> ((s, dir) =>
       // daily cohort retention matrix in long form (the 30-day synthetic
       // event span yields a dense matrix at day granularity); integer
@@ -2954,6 +2967,31 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Batch = doc_id // ceil(n/10); novelty = first-occurrence share of
+    // the batch's distinct shingles.
+    "q123_novelty_curve" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         bs AS (SELECT (COUNT(*) + 9) // 10 AS b FROM documents),
+         u AS (
+           SELECT DISTINCT batch, g FROM (
+             SELECT CAST(doc_id // bs.b AS BIGINT) AS batch, unnest(s) AS g
+             FROM sh, bs)),
+         f AS (SELECT g, MIN(batch) AS fb FROM u GROUP BY g)
+         SELECT u.batch, COUNT(*) AS n_units,
+           CAST(SUM(CASE WHEN f.fb = u.batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           round(CAST(SUM(CASE WHEN f.fb = u.batch THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS novelty
+         FROM u JOIN f USING (g) GROUP BY u.batch ORDER BY u.batch""",
 
     // Monday-start week truncation on both engines; offsets are integer
     // microsecond arithmetic.

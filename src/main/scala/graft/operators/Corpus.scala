@@ -628,6 +628,33 @@ object Corpus {
         explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
   }
 
+  /** Corpus saturation curve: per ingestion batch, how much of its content
+    * is NEW — distinct units (shingles) never seen in any earlier batch —
+    * versus repeats. The novelty ratio falling toward zero is the signal
+    * that further crawling the same sources stops adding trainable
+    * content; the batch column is anything monotone with ingestion
+    * (crawl day, id range).
+    *
+    * Returns (batch, n_units, n_new, novelty) — distinct units per batch,
+    * first-occurrence units, and their ratio.
+    *
+    * Scale shape: two partial-aggregating groupBys over (unit) keys and
+    * one narrow join — at 100 TB pass HASHED units
+    * ([[graft.functions.TextFns.shingleHashes]]) so the shuffles carry 8
+    * bytes per unit; raw strings here keep the DuckDB oracle exact
+    * (the q57 trade, documented).
+    */
+  def noveltyCurve(df: DataFrame, batch: Column, units: Column): DataFrame = {
+    val sh = df.select(batch.alias("batch"), explode(units).alias("g")).distinct()
+    val first = sh.groupBy(col("g")).agg(min(col("batch")).alias("first_batch"))
+    sh.join(first, "g")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).alias("n_units"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L)).alias("n_new"))
+      .select(col("batch"), col("n_units"), col("n_new"),
+        (col("n_new").cast("double") / col("n_units").cast("double")).alias("novelty"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top-K
     * vocabulary (count desc, term asc ties) — the tokenizer-fit signal:
     * docs with high OOV under the planned vocab either need a bigger

@@ -368,6 +368,19 @@ class CorpusSpec extends SparkSpec {
     assert(out.size >= 20 && out.size <= 40)
   }
 
+  test("noveltyCurve: first batch all-new, repeats don't count, units distinct per batch") {
+    val docs = Seq(
+      (0L, Seq("a", "b")), (1L, Seq("b", "c")),       // batch 0: units a,b,c — all new
+      (10L, Seq("b", "c", "d")),                      // batch 1: b,c seen; d new
+      (20L, Seq("a", "a", "e")), (21L, Seq("e"))      // batch 2: a seen; e new (distinct once)
+    ).toDF("id", "units")
+    val out = Corpus.noveltyCurve(docs, ($"id" / 10).cast("long"), $"units")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == (3L, 3L, 1.0))
+    assert(out(1L) == (3L, 1L, 1.0 / 3.0))
+    assert(out(2L) == (2L, 1L, 0.5))
+  }
+
   test("oovRate: vocab top-k by (count, term), multiplicity counted, vocab docs at 0") {
     val docs = Seq(
       (0L, Seq("a", "a", "a", "b", "b")),   // all in top-2 vocab
