@@ -1110,6 +1110,50 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q124_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 (shippriority dropped — not in the synthetic schema):
+      // 3-way join narrows via two pushed-down date/segment filters before
+      // the fact join; revenue is decimal-exact
+      val cutoff = lit(java.sql.Date.valueOf("1996-06-30"))
+      val c = t(s, dir, "customer").filterCol(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filterCol(col("o_orderdate").cast("date") < cutoff)
+      val l = t(s, dir, "lineitem").filterCol(col("l_shipdate").cast("date") > cutoff)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .aggregate(Seq(col("l_orderkey"), col("o_orderdate")), Seq(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue")))
+        .selectCols(Seq(col("l_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ in parquet; session is UTC, so
+          // the LTZ cast is instant-preserving
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          col("revenue")))
+        .orderBy(col("revenue").desc, col("od_us"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q125_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5: 6-way snowflake join, local-supplier condition
+      // (c_nationkey = s_nationkey), one-year window; region/nation are
+      // broadcast dims, revenue decimal-exact
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .filterCol(col("o_orderdate").cast("date") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_orderdate").cast("date") < lit(java.sql.Date.valueOf("1997-01-01")))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey") &&
+          col("r_name") === "ASIA")
+        .aggregate(Seq(col("n_name")), Seq(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue")))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q123_novelty_curve" -> ((s, dir) => {
       // corpus saturation: 10 ingestion batches by doc_id range
       // (count-based => sf-agnostic); novelty = share of 3-gram shingles
@@ -2967,6 +3011,36 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Decimal-exact revenue; desc rank with (od_us, l_orderkey) ties.
+    "q124_tpch_q3" ->
+      """SELECT l.l_orderkey,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS od_us,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-30'
+           AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-30'
+         GROUP BY l.l_orderkey, o.o_orderdate
+         ORDER BY revenue DESC, od_us, l.l_orderkey
+         LIMIT 10""",
+
+    "q125_tpch_q5" ->
+      """SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue DESC, n.n_name""",
 
     // Batch = doc_id // ceil(n/10); novelty = first-occurrence share of
     // the batch's distinct shingles.
