@@ -1110,6 +1110,29 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q126_hard_negatives" -> ((s, dir) => {
+      // contrastive pair mining: top-5 positives + ranks 6-20 as
+      // semi-hard negatives for 10 query vectors, one kNN pass
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      Similarity.hardNegatives(corpus, corpus.filterCol(col("id") < 10),
+          kPos = 5, kNeg = 15)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q127_rate_anomalies" -> ((s, dir) =>
+      // hourly event-rate z-scores per type from exact integer co-moments
+      // (the corrStats discipline applied to rate monitoring)
+      EventStreams.rateAnomalies(t(s, dir, "events"), col("event_type"),
+          col("ts"), z = 3.0)
+        .selectCols(Seq(col("key"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"),
+          round(col("zscore"), 6).as("zscore"), col("is_anomaly")))
+        .sortBy(Seq(col("key"), col("bucket_us")))),
+
     "q124_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 (shippriority dropped — not in the synthetic schema):
       // 3-way join narrows via two pushed-down date/segment filters before
@@ -3011,6 +3034,50 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q36's kNN with k=20 and a rank-band role label.
+    "q126_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS score
+               FROM q JOIN c ON c_id <> q_id),
+         r AS (SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+               FROM s)
+         SELECT q_id AS query_id, c_id AS neighbor_id,
+                round(score, 6) AS cosine, rnk AS rank,
+                CASE WHEN rnk <= 5 THEN 'positive' ELSE 'hard_negative' END AS role
+         FROM r WHERE rnk <= 20 ORDER BY query_id, rank""",
+
+    // Integer co-moments exact in BIGINT, one division + sqrt each.
+    "q127_rate_anomalies" ->
+      """WITH h AS (
+           SELECT event_type AS key,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT key, COUNT(*) AS cnt, SUM(n) AS sn, SUM(n * n) AS snn
+           FROM h GROUP BY key)
+         SELECT h.key, epoch_us(h.bucket) AS bucket_us, h.n,
+           round(CAST(st.sn AS DOUBLE) / CAST(st.cnt AS DOUBLE), 6) AS mean,
+           round(sqrt(CASE WHEN st.cnt > 1
+             THEN CAST(st.cnt * st.snn - st.sn * st.sn AS DOUBLE)
+                  / CAST(st.cnt * (st.cnt - 1) AS DOUBLE)
+             ELSE 0.0 END), 6) AS std,
+           round(CASE WHEN st.cnt <= 1 OR st.cnt * st.snn - st.sn * st.sn = 0 THEN 0.0
+             ELSE (CAST(h.n AS DOUBLE) - CAST(st.sn AS DOUBLE) / CAST(st.cnt AS DOUBLE))
+                  / sqrt(CAST(st.cnt * st.snn - st.sn * st.sn AS DOUBLE)
+                         / CAST(st.cnt * (st.cnt - 1) AS DOUBLE))
+             END, 6) AS zscore,
+           CASE WHEN st.cnt <= 1 OR st.cnt * st.snn - st.sn * st.sn = 0 THEN FALSE
+             ELSE abs((CAST(h.n AS DOUBLE) - CAST(st.sn AS DOUBLE) / CAST(st.cnt AS DOUBLE))
+                      / sqrt(CAST(st.cnt * st.snn - st.sn * st.sn AS DOUBLE)
+                             / CAST(st.cnt * (st.cnt - 1) AS DOUBLE))) > 3.0
+             END AS is_anomaly
+         FROM h JOIN st USING (key)
+         ORDER BY key, bucket_us""",
 
     // Decimal-exact revenue; desc rank with (od_us, l_orderkey) ties.
     "q124_tpch_q3" ->

@@ -354,6 +354,20 @@ object Similarity {
     * configuration's quality is MEASURED rather than asserted — run it on a
     * sample of queries whenever nlist/nprobe change.
     */
+  /** Contrastive-training pair mining: for each query, its top-kPos
+    * neighbors labeled `positive` and the next kNeg (ranks kPos+1 ..
+    * kPos+kNeg) labeled `hard_negative` — the "semi-hard" band that
+    * contrastive losses learn most from (close enough to be confusable,
+    * not actual matches). One kNN pass produces both roles.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      kPos: Int, kNeg: Int): DataFrame = {
+    require(kPos > 0 && kNeg > 0, s"kPos and kNeg must be positive, got $kPos/$kNeg")
+    bruteForceTopK(corpus, queries, kPos + kNeg)
+      .withColumn("role",
+        when(col("rank") <= kPos, lit("positive")).otherwise(lit("hard_negative")))
+  }
+
   /** Mutual (reciprocal) nearest-neighbor pairs from a kNN result frame
     * ((query_id, neighbor_id, cosine, rank) — [[bruteForceTopK]] /
     * [[ivfTopK]] output): keep (a, b) iff b is in a's top-k AND a is in

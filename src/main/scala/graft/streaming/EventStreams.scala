@@ -453,6 +453,43 @@ object EventStreams {
         .reduceLeft(_ + _))
   }
 
+  /** Event-rate anomaly detection: hourly counts per key z-scored against
+    * that key's own mean/std over all hours; |z| > threshold flags the
+    * bucket. Variance comes from integer co-moments (n, sum, sum-of-
+    * squares are exact longs), so mean/std/z replay bit-for-bit — the
+    * corrStats discipline applied to rate monitoring. Keys with one
+    * bucket or zero variance flag nothing (z = 0).
+    *
+    * Scale shape: two partial-aggregating groupBys (events -> hourly,
+    * hourly -> per-key moments) and one narrow join back; nothing holds a
+    * key's full history in memory.
+    */
+  def rateAnomalies(events: DataFrame, key: Column, ts: Column,
+      z: Double = 3.0): DataFrame = {
+    require(z > 0, s"z threshold must be positive, got $z")
+    val hourly = events
+      .groupBy(key.alias("key"), date_trunc("hour", ts).alias("bucket"))
+      .agg(count(lit(1)).alias("n"))
+    val stats = hourly.groupBy(col("key")).agg(
+      count(lit(1)).alias("cnt"),
+      sum(col("n")).alias("sn"),
+      sum(col("n") * col("n")).alias("snn"))
+    val mean = col("sn").cast("double") / col("cnt").cast("double")
+    val varNum = col("cnt") * col("snn") - col("sn") * col("sn")     // exact long
+    val variance = when(col("cnt") > 1,
+      varNum.cast("double") / (col("cnt") * (col("cnt") - 1)).cast("double"))
+      .otherwise(lit(0.0))
+    val joined = hourly.join(broadcast(stats), "key")
+      .withColumn("mean", mean)
+      .withColumn("std", sqrt(variance))
+    joined
+      .withColumn("zscore",
+        when(col("std") === 0.0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("mean")) / col("std")))
+      .select(col("key"), col("bucket"), col("n"), col("mean"), col("std"),
+        col("zscore"), (abs(col("zscore")) > z).alias("is_anomaly"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * FIRST event (date_trunc week, Monday start); each later event lands
     * in offset = whole weeks since the cohort week start. Returns

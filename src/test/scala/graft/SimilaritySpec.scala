@@ -203,6 +203,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 11L && out(1).getDouble(2) == 324.0 && out(1).getLong(3) == 2L)
   }
 
+  test("hardNegatives: rank bands split into positive / hard_negative roles") {
+    val queries = corpus.filter($"id" < 2)
+    val out = Similarity.hardNegatives(corpus, queries, kPos = 3, kNeg = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getString(4)))
+    assert(out.length == 2 * 7)
+    out.foreach { case (_, rank, role) =>
+      assert(if (rank <= 3) role == "positive" else role == "hard_negative")
+    }
+    // bands are contiguous: every query has ranks 1..7 exactly once
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 7))
+    }
+  }
+
   test("mutualPairs keeps only reciprocal top-k edges, one row per pair") {
     // hand kNN: 1->2 (r1), 2->1 (r2), 1->3 (r2), 3->2 (r1): only (1,2) mutual
     val knn = Seq(

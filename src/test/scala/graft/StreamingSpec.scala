@@ -270,6 +270,23 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("rateAnomalies: planted spike flagged, steady rate not, constant key z=0") {
+    import org.apache.spark.sql.functions.col
+    def ts(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
+    // key "a": 20 quiet hours of 2 events, one hour with 40 => huge z
+    val quiet = (0 until 20).flatMap(h => Seq(("a", ts(h, 0)), ("a", ts(h, 30))))
+    val spike = (0 until 40).map(m => ("a", ts(20, m)))
+    // key "c": identical count every hour => std 0 => z 0, no flags
+    val const = (0 until 5).flatMap(h => Seq(("c", ts(h, 1)), ("c", ts(h, 2))))
+    val events = (quiet ++ spike ++ const).toDF("k", "ts")
+    val out = EventStreams.rateAnomalies(events, col("k"), col("ts"), z = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(5), r.getBoolean(6)))
+    val aFlagged = out.filter(x => x._1 == "a" && x._4)
+    assert(aFlagged.length == 1 && aFlagged(0)._2 == 40L)
+    assert(out.filter(x => x._1 == "a" && x._2 == 2L).forall(!_._4))
+    assert(out.filter(_._1 == "c").forall(x => x._3 == 0.0 && !x._4))
+  }
+
   test("cohortRetention: cohort by first-event day, offsets count later activity, offset 0 full") {
     import org.apache.spark.sql.functions.col
     def d(day: Int, h: Int = 12) = new java.sql.Timestamp(
