@@ -1110,6 +1110,34 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q128_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 shape: big-order HAVING pre-aggregate, then join the
+      // survivors (tiny) to orders and customers — the aggregate feeds
+      // the join as its broadcast side
+      val big = t(s, dir, "lineitem")
+        .aggregate(Seq(col("l_orderkey")), Seq(dsum(col("l_quantity")).as("sum_qty")))
+        .filterCol(col("sum_qty") > 300.0)
+      big
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .selectCols(Seq(col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty")))
+        .orderBy(col("o_totalprice").desc, col("od_us"), col("o_orderkey"))
+        .limit(50)
+    }),
+
+    "q129_triangles" -> ((s, dir) => {
+      // triangle census of the near-dup graph: dup clusters are
+      // near-cliques, borderline chains are triangle-free — the
+      // over-merge diagnostic for q50's transitive closure
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.8)
+      graft.operators.Graph.triangleCounts(pairs)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q126_hard_negatives" -> ((s, dir) => {
       // contrastive pair mining: top-5 positives + ranks 6-20 as
       // semi-hard negatives for 10 query vectors, one kNN pass
@@ -3034,6 +3062,56 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Pre-aggregate HAVING, then two joins; quantity sums decimal-exact.
+    "q128_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+         SELECT c.c_name, o.o_orderkey,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS od_us,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, big.sum_qty
+         FROM big
+         JOIN orders o ON big.l_orderkey = o.o_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY o_totalprice DESC, od_us, o.o_orderkey
+         LIMIT 50""",
+
+    // Ascending-pair edges make each triangle visible exactly once as
+    // (a,b),(b,c),(a,c); per-node counts via the corner explode.
+    "q129_triangles" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         e AS (
+           SELECT id_a AS a, id_b AS b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+         corners AS (
+           SELECT x AS id FROM tri UNION ALL
+           SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         SELECT id, COUNT(*) AS n_triangles
+         FROM corners GROUP BY id ORDER BY id""",
 
     // q36's kNN with k=20 and a rank-band role label.
     "q126_hard_negatives" ->

@@ -92,4 +92,30 @@ object Graph {
     }
     r
   }
+
+  /** Per-node triangle counts over an undirected edge list given as
+    * ordered pairs (id_a < id_b). With every edge stored once in
+    * ascending order, a triangle {a < b < c} is found exactly once by
+    * joining e1=(a,b), e2=(b,c), e3=(a,c) — no candidate is counted from
+    * a second orientation, so no post-dedup pass.
+    *
+    * The triangle density of a near-dup pair graph is a dedup-quality
+    * diagnostic: true duplicate clusters are near-cliques (high triangle
+    * count per node), while chains of borderline pairs — the transitive-
+    * closure over-merging failure mode — have none.
+    *
+    * Scale shape: two equi-joins on node ids; the classic optimization
+    * (join lower-degree endpoints first) is Catalyst's call via join
+    * reordering + AQE, not hand-scheduled here.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").alias("a"), col("id_b").alias("b"))
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(e.alias("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").alias("x"), col("e1.b").alias("y"), col("e2.b").alias("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).alias("id"))
+      .groupBy(col("id")).agg(count(lit(1)).alias("n_triangles"))
+  }
 }

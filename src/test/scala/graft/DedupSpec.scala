@@ -191,6 +191,19 @@ class DedupSpec extends SparkSpec {
     assert(!state2.storageLevel.useMemory)
   }
 
+  test("triangleCounts: 4-clique has 3 per node, chains none, each triangle counted once") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + chain 10-11-12 (none)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)
+    ).toDF("id_a", "id_b")
+    val out = graft.operators.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total corner count = 3 x triangle count => 4 triangles in K4
+    assert(out.values.sum == 12L)
+  }
+
   test("componentSplit: cluster members co-located, singletons hash their own id, ~80/20") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "component_id")
