@@ -1110,6 +1110,15 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q130_ks_drift" -> ((s, dir) =>
+      // source drift monitor: exact two-sample KS on doc-length
+      // distributions (max|c1*n2 - c2*n1| / (n1*n2) — integer-exact to
+      // the final division)
+      t(s, dir, "documents")
+        .ksDrift(col("n_chars"), col("source"), "src0", "src1")
+        .withColumn("ks", round(col("ks"), 9))
+        .sortBy(Seq(col("label_a")))),
+
     "q128_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 shape: big-order HAVING pre-aggregate, then join the
       // survivors (tiny) to orders and customers — the aggregate feeds
@@ -3062,6 +3071,26 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // sup|F1-F2| with the division deferred: max of integer cross-scaled
+    // cumulative differences.
+    "q130_ks_drift" ->
+      """WITH c AS (
+           SELECT n_chars AS v,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_b
+           FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+         cum AS (
+           SELECT v,
+             SUM(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+           FROM c),
+         tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM c)
+         SELECT 'src0' AS label_a, 'src1' AS label_b,
+           CAST(tot.n_a AS BIGINT) AS n_a, CAST(tot.n_b AS BIGINT) AS n_b,
+           round(CAST(MAX(abs(cum.cum_a * tot.n_b - cum.cum_b * tot.n_a)) AS DOUBLE)
+                 / CAST(tot.n_a * tot.n_b AS DOUBLE), 9) AS ks
+         FROM cum, tot GROUP BY tot.n_a, tot.n_b""",
 
     // Pre-aggregate HAVING, then two joins; quantity sums decimal-exact.
     "q128_tpch_q18" ->

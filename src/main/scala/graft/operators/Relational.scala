@@ -588,6 +588,49 @@ object Relational {
         .drop(gk: _*)
     }
 
+    /** Exact two-sample Kolmogorov-Smirnov statistic between the `value`
+      * distributions of two label groups — the drift monitor that says
+      * whether yesterday's corpus (or source A) is length/score-
+      * distributed like today's (source B), before any gate threshold
+      * silently starts meaning something else.
+      *
+      * Integer-exact: with cumulative counts c1, c2 and totals n1, n2,
+      * sup|F1 - F2| = max|c1*n2 - c2*n1| / (n1*n2) — one division at the
+      * end, everything before it exact 64-bit arithmetic.
+      *
+      * Returns one row (label_a, label_b, n_a, n_b, ks).
+      *
+      * Scale note: the cumulative walk is a window over DISTINCT values —
+      * fine for discrete/bounded domains (lengths, scores, bins); bucket
+      * a continuous column first, which changes the statistic to its
+      * binned variant (monotone underestimate).
+      */
+    def ksDrift(value: Column, label: Column,
+        labelA: String, labelB: String): DataFrame = {
+      require(labelA != labelB, "labels must differ")
+      val counts = df
+        .filter(label === labelA || label === labelB)
+        .groupBy(value.alias("v"))
+        .agg(
+          sum(when(label === labelA, 1L).otherwise(0L)).alias("c_a"),
+          sum(when(label === labelB, 1L).otherwise(0L)).alias("c_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum_a", sum(col("c_a")).over(w))
+        .withColumn("cum_b", sum(col("c_b")).over(w))
+      val tot = counts.agg(sum(col("c_a")).alias("n_a"), sum(col("c_b")).alias("n_b"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(max(col("diff")).alias("ks_num"))
+        .select(lit(labelA).alias("label_a"), lit(labelB).alias("label_b"),
+          col("n_a"), col("n_b"),
+          (col("ks_num").cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).alias("ks"))
+    }
+
     /** Physically lay the frame out in z-order: range-repartition on the
       * interleaved key, sort within partitions. The write-side companion of
       * [[Relational.zorderValue]]; follow with a parquet write so row-group

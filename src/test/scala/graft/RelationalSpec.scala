@@ -323,6 +323,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Filter") || plan.contains("LocalTableScan"))
   }
 
+  test("ksDrift: identical distributions give 0, disjoint give 1, hand case exact") {
+    val same = (1 to 20).flatMap(v => Seq(("a", v), ("b", v))).toDF("l", "v")
+    val r0 = same.ksDrift($"v", $"l", "a", "b").collect()(0)
+    assert(r0.getDouble(4) == 0.0)
+    val disjoint = ((1 to 10).map(v => ("a", v)) ++ (11 to 20).map(v => ("b", v))).toDF("l", "v")
+    assert(disjoint.ksDrift($"v", $"l", "a", "b").collect()(0).getDouble(4) == 1.0)
+    // hand case: a = {1,2,3,4}, b = {3,4,5,6} => sup|F| at v=2: |2/4 - 0/4| = 0.5
+    val hand = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _))).toDF("l", "v")
+    val r = hand.ksDrift($"v", $"l", "a", "b").collect()(0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L && r.getDouble(4) == 0.5)
+    // other labels excluded entirely
+    val noisy = (Seq(1, 2).map(("a", _)) ++ Seq(1, 2).map(("b", _)) ++
+      Seq(99).map(("zz", _))).toDF("l", "v")
+    assert(noisy.ksDrift($"v", $"l", "a", "b").collect()(0).getDouble(4) == 0.0)
+  }
+
   test("robustScale: median/MAD per group, outlier-insensitive, constant group scales to 0") {
     // group g: values 1..5 plus outlier 1000 => median 3.5, deviations
     // (2.5, 1.5, 0.5, 0.5, 1.5, 996.5) => MAD 1.5; the outlier moved the
