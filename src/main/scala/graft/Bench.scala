@@ -66,6 +66,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Round-over-round comparability: the query surface grows every round,
+    // so the grand total is not comparable to earlier rounds' totals. This
+    // subtotal covers exactly the round-1 query set (q01-q44) — the number
+    // to hold against BENCH_r01's 31.0 s and the BASELINE 2x gate.
+    val core44 = results.filter { case (k, _) =>
+      k.take(3).drop(1).forall(_.isDigit) && {
+        val n = k.slice(1, 3).toInt; n >= 1 && n <= 44 && k.charAt(3) == '_'
+      }
+    }.map(_._2).sum
 
     // ---- dedup/ANN at >=100k docs/embeddings --------------------------------
     // The per-query section above runs the driver contract at the sf's
@@ -82,7 +91,7 @@ object Bench {
 
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$scaleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core44_r01_set":$core44,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"$scaleJson}"""
     // Full-precision JSON (with the scale section) goes to a file the driver
     // can read verbatim — sbt prefixes stdout with [info] noise.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -96,7 +105,7 @@ object Bench {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"failed":$failedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"queries":$qsCompact,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
