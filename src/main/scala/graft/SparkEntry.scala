@@ -1110,6 +1110,21 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q131_lang_confusion" -> ((s, dir) => {
+      // language-ID QA: ground-truth lang x predicted lang counts with
+      // per-truth share — the accuracy surface behind the q28/q51 gates;
+      // truth totals broadcast back (no window)
+      val docs = t(s, dir, "documents")
+      val truth = docs.aggregate(Seq(col("lang")), Seq(count(lit(1)).as("n_truth")))
+      docs
+        .withColumn("lang_pred", TextFns.langId(col("text")))
+        .aggregate(Seq(col("lang"), col("lang_pred")), Seq(count(lit(1)).as("n")))
+        .join(broadcast(truth), "lang")
+        .selectCols(Seq(col("lang"), col("lang_pred"), col("n"), col("n_truth"),
+          round(col("n").cast("double") / col("n_truth").cast("double"), 9).as("share")))
+        .sortBy(Seq(col("lang"), col("lang_pred")))
+    }),
+
     "q130_ks_drift" -> ((s, dir) =>
       // source drift monitor: exact two-sample KS on doc-length
       // distributions (max|c1*n2 - c2*n1| / (n1*n2) — integer-exact to
@@ -3071,6 +3086,38 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q28's lang-id replay aggregated into the confusion matrix.
+    "q131_lang_confusion" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n,
+             len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM documents),
+         h AS (
+           SELECT lang,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','was','with','for'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','es','por','con','una','del'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','qui','sur','avec'], x))) AS h_fr,
+             cjk, n
+           FROM t),
+         p AS (
+           SELECT lang,
+             CASE WHEN cjk * 4 > n THEN 'zh'
+                  WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+           FROM h),
+         m AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+         tr AS (SELECT lang, COUNT(*) AS n_truth FROM documents GROUP BY 1)
+         SELECT m.lang, m.lang_pred, m.n, tr.n_truth,
+           round(CAST(m.n AS DOUBLE) / CAST(tr.n_truth AS DOUBLE), 9) AS share
+         FROM m JOIN tr USING (lang)
+         ORDER BY m.lang, m.lang_pred""",
 
     // sup|F1-F2| with the division deferred: max of integer cross-scaled
     // cumulative differences.
