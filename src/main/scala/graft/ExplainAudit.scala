@@ -16,7 +16,9 @@ object ExplainAudit {
         "q66_tfidf_top_terms", "q68_interval_join", "q69_topk_per_group",
         "q72_rollup", "q73_pivot", "q76_quantize_embeddings",
         "q78_corr_stats", "q79_kmeans_lloyd", "q80_bigram_lift",
-        "q81_session_window")
+        "q81_session_window",
+        "q104_bm25", "q106_semdedup", "q108_incremental_lsh",
+        "q110_key_skew", "q125_tpch_q5", "q128_tpch_q18")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
