@@ -1522,12 +1522,10 @@ object SparkEntry {
     * deterministic ScalaTest spec instead:
     *   - q25_describe: mixed-type stringified cells (reference row layout);
     *   - q26_explain: Spark plan text has no SQL equivalent;
-    *   - q29_fingerprint, q35_simhash: xxhash64-seeded (the portable FNV
-    *     forms of both ARE oracle-checked: TextFnsSpec pins the kernels and
-    *     q94 hash-checks FNV bucketing end to end);
-    *   - q38_ann_ivf, q43_emb_lsh: approximate by construction — their
-    *     exact siblings hash-match (q45 nprobe=nlist == q36's oracle; q37
-    *     for cosine pairs) and q46 MEASURES the recall;
+    *   - q38_ann_ivf, q43_emb_lsh, q46_ann_ivf_recall: approximate by
+    *     construction — their exact siblings hash-match (q45 nprobe=nlist
+    *     == q36's oracle; q37 for cosine pairs) and q46 MEASURES the
+    *     pruned config's recall rather than asserting it;
     *   - q70_approx_percentiles, q77_approx_distinct: sketch outputs differ
     *     across engines by design; both queries carry the exact value
     *     alongside, and specs bound the sketch error.
