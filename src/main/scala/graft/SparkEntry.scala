@@ -1317,7 +1317,10 @@ object SparkEntry {
 
     "q117_mutual_knn" -> ((s, dir) => {
       // reciprocal-NN graph: (a,b) kept iff each is in the other's top-10
-      // — the hub-pruned symmetric graph clustering consumes
+      // — the hub-pruned symmetric graph clustering consumes. Exact brute
+      // kNN here (the oracle-checkable config — full corpus as queries is
+      // the q37-style verify tool); at scale feed mutualPairs from
+      // ivfTopK, which partitions instead of broadcasting
       val e = t(s, dir, "embeddings")
       val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
       Similarity.mutualPairs(Similarity.bruteForceTopK(corpus, corpus, k = 10))
