@@ -1110,6 +1110,83 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q132_window_family" -> ((s, dir) => {
+      // the remaining §2.2 window constructors in one query: lag/lead with
+      // defaults, ntile, percent_rank, cume_dist — the window ordering
+      // covers every output column, so tied rows yield identical output
+      // rows (an ntile boundary swap permutes equal rows only)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filterCol(col("l_quantity") <= 2)
+        .selectCols(Seq(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("price"),
+          col("l_orderkey"), col("l_linenumber")))
+        .withColumn("prev_price", lag(col("price"), 1, -1.0).over(w))
+        .withColumn("next_price", lead(col("price"), 1, -1.0).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 9))
+        .withColumn("cdist", round(cume_dist().over(w), 9))
+        .sortBy(Seq(col("l_returnflag"), col("price"), col("l_orderkey"),
+          col("l_linenumber"), col("quartile")))
+    }),
+
+    "q133_multiset_ops" -> ((s, dir) => {
+      // INTERSECT ALL / EXCEPT ALL multiset semantics (the distinct forms
+      // are q19/q20): quantity-flag multisets of the two shipdate halves
+      val l = t(s, dir, "lineitem")
+      val cut = lit(java.sql.Date.valueOf("1997-06-01"))
+      val a = l.filterCol(col("l_shipdate").cast("date") < cut)
+        .selectCols(Seq(col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("flag")))
+      val b = l.filterCol(col("l_shipdate").cast("date") >= cut)
+        .selectCols(Seq(col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("flag")))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .aggregate(Seq(col("op"), col("qty"), col("flag")),
+          Seq(count(lit(1)).as("n")))
+        .sortBy(Seq(col("op"), col("qty"), col("flag")))
+    }),
+
+    "q134_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo (ECONOMY-type) revenue share for one month
+      // — conditional aggregate over the part join, decimal-exact sums,
+      // one final division
+      val l = t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1996-03-01")) &&
+          col("l_shipdate").cast("date") < lit(java.sql.Date.valueOf("1996-04-01")))
+      val p = t(s, dir, "part")
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .aggregate(Seq.empty, Seq(
+          sum(when(col("p_type") === "ECONOMY", disc).otherwise(lit(0).cast(DecimalType(18, 4))))
+            .cast("double").as("promo_revenue"),
+          sum(disc).cast("double").as("total_revenue")))
+        .withColumn("promo_share",
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 9))
+        .withColumn("promo_revenue", round(col("promo_revenue"), 4))
+        .withColumn("total_revenue", round(col("total_revenue"), 4))
+    }),
+
+    "q135_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS beyond q72's rollup/cube: (flag, status),
+      // (flag), (status) — one Expand + single aggregate pass,
+      // grouping_id disambiguates
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .selectCols(Seq(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"), col("gid")))
+        .sortBy(Seq(col("gid"), col("flag"), col("status")))),
+
     "q131_lang_confusion" -> ((s, dir) => {
       // language-ID QA: ground-truth lang x predicted lang counts with
       // per-truth share — the accuracy surface behind the q28/q51 gates;
@@ -3087,6 +3164,74 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Same window definitions; ntile/percent_rank/cume_dist share ANSI
+    // semantics across engines.
+    "q132_window_family" ->
+      """WITH b AS (
+           SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price,
+             l_orderkey, l_linenumber
+           FROM lineitem WHERE l_quantity <= 2)
+         SELECT l_returnflag, price, l_orderkey, l_linenumber,
+           coalesce(lag(price) OVER w, -1.0) AS prev_price,
+           coalesce(lead(price) OVER w, -1.0) AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cdist
+         FROM b
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY price, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, price, l_orderkey, l_linenumber, quartile""",
+
+    // Multiset set-ops, aggregated to (value, multiplicity) rows so the
+    // compare is order-proof.
+    "q133_multiset_ops" ->
+      """WITH a AS (
+           SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+           FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-06-01'),
+         b AS (
+           SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+           FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-06-01'),
+         u AS (
+           SELECT 'intersect_all' AS op, qty, flag FROM (
+             SELECT qty, flag FROM a INTERSECT ALL SELECT qty, flag FROM b)
+           UNION ALL
+           SELECT 'except_all', qty, flag FROM (
+             SELECT qty, flag FROM a EXCEPT ALL SELECT qty, flag FROM b))
+         SELECT op, qty, flag, COUNT(*) AS n
+         FROM u GROUP BY 1, 2, 3 ORDER BY op, qty, flag""",
+
+    // Conditional decimal aggregate over the part join; one division.
+    "q134_tpch_q14" ->
+      """WITH j AS (
+           SELECT CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS disc,
+             p.p_type
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+             AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'),
+         s AS (
+           SELECT
+             CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN disc
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+             CAST(SUM(disc) AS DOUBLE) AS total_revenue
+           FROM j)
+         SELECT round(promo_revenue, 4) AS promo_revenue,
+           round(total_revenue, 4) AS total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 9) AS promo_share
+         FROM s""",
+
+    // GROUPING SETS with the same set list; grouping id bit order matches
+    // (left column = high bit on both engines).
+    "q135_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus))
+         ORDER BY gid, flag, status""",
 
     // q28's lang-id replay aggregated into the confusion matrix.
     "q131_lang_confusion" ->
