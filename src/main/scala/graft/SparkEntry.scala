@@ -1110,6 +1110,22 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q136_passage_retrieval" -> ((s, dir) => {
+      // the retrieval-family flagship composition: docs -> overlapping
+      // 32/16 chunks (q112) -> BM25 over the CHUNK corpus (q104) -> top-20
+      // passages; chunk identity packed as doc_id*1000 + chunk_id
+      val chunks = Corpus.slidingChunks(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), chunkTokens = 32, stride = 16)
+        .selectCols(Seq((col("id") * 1000 + col("chunk_id")).as("id"),
+          col("chunk_text")))
+      Retrieval.bm25TopK(chunks, col("id"), TextFns.tokens(col("chunk_text")),
+          Seq("spark", "join", "window", "hash"), k = 20)
+        .selectCols(Seq(col("rank"), (col("id") / 1000).cast("long").as("doc_id"),
+          pmod(col("id"), lit(1000)).cast("long").as("chunk_id"),
+          round(col("score"), 6).as("score")))
+        .sortBy(Seq(col("rank")))
+    }),
+
     "q132_window_family" -> ((s, dir) => {
       // the remaining §2.2 window constructors in one query: lag/lead with
       // defaults, ntile, percent_rank, cume_dist — the window ordering
@@ -3164,6 +3180,57 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q112's chunk construction feeding q104's scoring, over chunk ids
+    // doc*1000+chunk.
+    "q136_passage_retrieval" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         n0 AS (SELECT doc_id, toks, len(toks) AS n FROM t0 WHERE len(toks) > 0),
+         s0 AS (
+           SELECT doc_id, toks, n,
+             CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 15) // 16 + 1 END AS ns
+           FROM n0),
+         ch AS (
+           SELECT doc_id * 1000 + k AS id,
+             toks[k*16+1 : k*16+32] AS ctoks
+           FROM s0, LATERAL (SELECT unnest(range(0, ns)) AS k) u),
+         f AS (
+           SELECT id,
+             CAST(len(list_filter(ctoks, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+             CAST(len(list_filter(ctoks, x -> x = 'join'))   AS DOUBLE) AS tf1,
+             CAST(len(list_filter(ctoks, x -> x = 'window')) AS DOUBLE) AS tf2,
+             CAST(len(list_filter(ctoks, x -> x = 'hash'))   AS DOUBLE) AS tf3,
+             CAST(len(ctoks) AS DOUBLE) AS dl
+           FROM ch),
+         st AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS total_dl,
+             SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+             SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+           FROM f),
+         sc AS (
+           SELECT id,
+             (((
+               (((n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0)))
+                 / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs))))
+             + (((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)))
+                 / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs)))))
+             + (((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)))
+                 / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs)))))
+             + (((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0)))
+                 / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (total_dl / n_docs))))) AS score
+           FROM f CROSS JOIN st)
+         SELECT CAST(rn AS BIGINT) AS rank,
+           CAST(id // 1000 AS BIGINT) AS doc_id,
+           CAST(id % 1000 AS BIGINT) AS chunk_id,
+           round(score, 6) AS score
+         FROM (SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn
+               FROM sc WHERE score > 0)
+         WHERE rn <= 20 ORDER BY rank""",
 
     // Same window definitions; ntile/percent_rank/cume_dist share ANSI
     // semantics across engines.
