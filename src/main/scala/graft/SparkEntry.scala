@@ -1110,6 +1110,63 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q137_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 shape: disjunctive multi-column predicate over the part
+      // join — the OR-of-ANDs Catalyst must keep partially pushable
+      // (common conjunct l_quantity <= 36 extracted to the scan)
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 12)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(8, 24)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(16, 36))
+      l.join(p, col("l_partkey") === col("p_partkey") && cond)
+        .aggregate(Seq.empty, Seq(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines")))
+        .withColumn("revenue", round(col("revenue"), 4))
+    }),
+
+    "q138_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 shape: positive-balance customers above the global
+      // average balance (decimal-exact scalar, broadcast — no collect)
+      // with no RECENT orders (anti join on the filtered order set —
+      // "lapsed high-value customers"), grouped by nation
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val avgBal = c.filterCol(col("c_acctbal") > 0.0)
+        .aggregate(Seq.empty, Seq(
+          (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1))).as("avg_bal")))
+      c.crossJoin(broadcast(avgBal))
+        .filterCol(col("c_acctbal") > col("avg_bal"))
+        .join(o.filterCol(col("o_orderdate").cast("date") >=
+            lit(java.sql.Date.valueOf("2000-01-01")))
+            .selectCols(Seq(col("o_custkey"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .aggregate(Seq(col("c_nationkey")), Seq(
+          count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal")))
+        .sortBy(Seq(col("c_nationkey")))
+    }),
+
+    "q139_sql_surface" -> ((s, dir) => {
+      // the engine serves PLAIN SQL text end to end (the reference's
+      // DataFusion ctx also executes SQL strings): temp views + spark.sql,
+      // same text shape as the DuckDB oracle
+      t(s, dir, "lineitem").createOrReplaceTempView("g139_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("g139_orders")
+      s.sql("""
+        SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM g139_lineitem l JOIN g139_orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority""")
+    }),
+
     "q136_passage_retrieval" -> ((s, dir) => {
       // the retrieval-family flagship composition: docs -> overlapping
       // 32/16 chunks (q112) -> BM25 over the CHUNK corpus (q104) -> top-20
@@ -3180,6 +3237,41 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // Disjunctive predicate evaluated identically; decimal-exact revenue.
+    "q137_tpch_q19" ->
+      """SELECT
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+           COUNT(*) AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 12)
+            OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                AND l.l_quantity BETWEEN 8 AND 24)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                AND l.l_quantity BETWEEN 16 AND 36)""",
+
+    // Decimal-exact global average; anti join excludes order holders.
+    "q138_tpch_q22" ->
+      """WITH a AS (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT c.c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer c, a
+         WHERE c.c_acctbal > a.avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+         GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
+
+    // The same SQL text shape DuckDB runs.
+    "q139_sql_surface" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_returnflag = 'R'
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
 
     // q112's chunk construction feeding q104's scoring, over chunk ids
     // doc*1000+chunk.
