@@ -1110,6 +1110,40 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q140_shard_manifest" -> ((s, dir) => {
+      // training-job handoff artifact: per shard of the deterministic
+      // shuffle, doc/token totals and id bounds — what the loader reads
+      // before touching any data file
+      val docs = t(s, dir, "documents")
+      Corpus.deterministicShuffle(docs, col("doc_id"), nShards = 16)
+        .join(docs.selectCols(Seq(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))), "doc_id")
+        .aggregate(Seq(col("shard")), Seq(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id")))
+        .sortBy(Seq(col("shard")))
+    }),
+
+    "q141_pack_report" -> ((s, dir) => {
+      // packing-efficiency summary over q60's layout: sequence count,
+      // boundary-spanning docs, fill rate — the "how much context window
+      // is wasted" number a packing parameter sweep optimizes
+      val packed = Corpus.packSequences(t(s, dir, "documents"), col("doc_id"),
+        TextFns.tokenCount(col("text")), ctxLen = 512, bucketSize = 64)
+      packed.aggregate(Seq.empty, Seq(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("seq_offset") + col("n_tokens") > 512L, 1L).otherwise(0L))
+            .as("n_spanning")))
+        .withColumn("n_seqs",
+          floor((col("total_tokens") - 1).cast("double") / 512).cast("long") + 1L)
+        .withColumn("fill_rate",
+          round(col("total_tokens").cast("double")
+            / (col("n_seqs") * 512L).cast("double"), 9))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3237,6 +3271,44 @@ object SparkEntry {
            coalesce(dom.dup_of, -1) AS dup_of
          FROM a LEFT JOIN dom ON a.id = dom.id
          ORDER BY a.id""",
+
+    // q93's hash replay aggregated per shard with token totals.
+    "q140_shard_manifest" ->
+      """WITH h AS (
+           SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents),
+         tk AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT CAST(h.hv % 16 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           SUM(tk.n_tokens) AS n_tokens,
+           MIN(h.doc_id) AS min_id, MAX(h.doc_id) AS max_id
+         FROM h JOIN tk USING (doc_id)
+         GROUP BY 1 ORDER BY shard""",
+
+    // q60's cumulative layout summarized; n_seqs = ceil(total/512).
+    "q141_pack_report" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM t),
+         s AS (
+           SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+             CAST(SUM(CASE WHEN cum_before % 512 + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spanning
+           FROM c)
+         SELECT n_docs, total_tokens, n_spanning,
+           CAST((total_tokens - 1) // 512 + 1 AS BIGINT) AS n_seqs,
+           round(CAST(total_tokens AS DOUBLE)
+                 / CAST(((total_tokens - 1) // 512 + 1) * 512 AS DOUBLE), 9) AS fill_rate
+         FROM s""",
 
     // Disjunctive predicate evaluated identically; decimal-exact revenue.
     "q137_tpch_q19" ->
