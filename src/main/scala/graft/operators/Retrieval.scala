@@ -51,10 +51,14 @@ object Retrieval {
     require(query.nonEmpty, "bm25Score needs at least one query term")
     require(query.distinct == query, s"duplicate query terms: $query")
     val toks = df.select(id.alias("id"), terms.alias("toks"))
+    // Persisted: the narrow (id, tf_i, dl) frame feeds BOTH the 1-row
+    // stats aggregate and the scoring projection — without the cache the
+    // tokenize + per-term scans run twice over the corpus.
     val tf = query.zipWithIndex.foldLeft(toks) { case (d, (term, i)) =>
       d.withColumn(s"tf_$i",
         size(filter(col("toks"), x => x === lit(term))).cast("double"))
     }.withColumn("dl", size(col("toks")).cast("double")).drop("toks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val statCols =
       Seq(count(lit(1)).cast("double").alias("n_docs"),

