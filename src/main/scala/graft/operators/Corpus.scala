@@ -645,6 +645,9 @@ object Corpus {
     * (the q57 trade, documented).
     */
   def noveltyCurve(df: DataFrame, batch: Column, units: Column): DataFrame = {
+    // NOT persisted: both references share the distinct's exchange via
+    // ReuseExchange (an explicit cache measured 4% SLOWER on the bench —
+    // same lesson as mutualPairs).
     val sh = df.select(batch.alias("batch"), explode(units).alias("g")).distinct()
     val first = sh.groupBy(col("g")).agg(min(col("batch")).alias("first_batch"))
     sh.join(first, "g")
