@@ -217,8 +217,14 @@ object SparkEntry {
         .sortBy(Seq(col("nk")))),
 
     "q20_except" -> ((s, dir) =>
+      // right side restricted to RECENT orders so the result is non-empty
+      // (every customer has SOME order in the synthetic data — the
+      // unrestricted form was a vacuous 0-row check)
       t(s, dir, "customer").selectCols(Seq(col("c_custkey").as("ck")))
-        .exceptDistinct(t(s, dir, "orders").selectCols(Seq(col("o_custkey").as("ck"))))
+        .exceptDistinct(t(s, dir, "orders")
+          .filterCol(col("o_orderdate").cast("date") >=
+            lit(java.sql.Date.valueOf("2000-01-01")))
+          .selectCols(Seq(col("o_custkey").as("ck"))))
         .sortBy(Seq(col("ck")))),
 
     "q47_salted_join" -> ((s, dir) =>
@@ -1830,7 +1836,9 @@ object SparkEntry {
 
     "q20_except" ->
       """SELECT c_custkey AS ck FROM customer
-         EXCEPT SELECT o_custkey AS ck FROM orders ORDER BY ck""",
+         EXCEPT SELECT o_custkey AS ck FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+         ORDER BY ck""",
 
     // DuckDB has native ASOF JOIN (largest right ts <= left ts, inner) —
     // the oracle for the union+window formulation. Both sides compare at
