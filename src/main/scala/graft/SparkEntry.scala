@@ -1207,21 +1207,15 @@ object SparkEntry {
         ORDER BY o.o_orderpriority""")
     }),
 
-    "q136_passage_retrieval" -> ((s, dir) => {
+    "q136_passage_retrieval" -> ((s, dir) =>
       // the retrieval-family flagship composition: docs -> overlapping
       // 32/16 chunks (q112) -> BM25 over the CHUNK corpus (q104) -> top-20
       // passages; chunk identity packed as doc_id*1000 + chunk_id
-      val chunks = Corpus.slidingChunks(t(s, dir, "documents"), col("doc_id"),
-          TextFns.tokens(col("text")), chunkTokens = 32, stride = 16)
-        .selectCols(Seq((col("id") * 1000 + col("chunk_id")).as("id"),
-          col("chunk_text")))
-      Retrieval.bm25TopK(chunks, col("id"), TextFns.tokens(col("chunk_text")),
-          Seq("spark", "join", "window", "hash"), k = 20)
-        .selectCols(Seq(col("rank"), (col("id") / 1000).cast("long").as("doc_id"),
-          pmod(col("id"), lit(1000)).cast("long").as("chunk_id"),
-          round(col("score"), 6).as("score")))
-        .sortBy(Seq(col("rank")))
-    }),
+      Retrieval.passageTopK(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), Seq("spark", "join", "window", "hash"),
+          k = 20)
+        .withColumn("score", round(col("score"), 6))
+        .sortBy(Seq(col("rank")))),
 
     "q132_window_family" -> ((s, dir) => {
       // the remaining §2.2 window constructors in one query: lag/lead with

@@ -97,6 +97,32 @@ object Retrieval {
       .select(col("rank"), col("id"), col("score"))
   }
 
+  /** Passage retrieval: split documents into overlapping token chunks
+    * ([[Corpus.slidingChunks]]) and BM25-rank the CHUNK corpus — finer
+    * granularity than whole-document ranking, the shape a RAG stack
+    * consumes. Chunk identity is packed as `id * chunkIdBase + chunk_id`
+    * (ids must stay below chunkIdBase chunks per doc — guarded).
+    *
+    * Returns (rank, doc_id, chunk_id, score) for the top-k passages.
+    */
+  def passageTopK(df: DataFrame, id: Column, terms: Column,
+      query: Seq[String], k: Int, chunkTokens: Int = 32, stride: Int = 16,
+      chunkIdBase: Long = 1000L): DataFrame = {
+    val chunks = Corpus.slidingChunks(df, id, terms, chunkTokens, stride)
+    val guarded = chunks.select(
+      when(col("chunk_id") < chunkIdBase,
+        col("id") * chunkIdBase + col("chunk_id"))
+        .otherwise(raise_error(lit(
+          s"passageTopK: chunk_id exceeds chunkIdBase=$chunkIdBase; raise it")))
+        .alias("id"),
+      col("chunk_text"))
+    bm25TopK(guarded, col("id"),
+      graft.functions.TextFns.tokens(col("chunk_text")), query, k)
+      .select(col("rank"), (col("id") / chunkIdBase).cast("long").alias("doc_id"),
+        pmod(col("id"), lit(chunkIdBase)).cast("long").alias("chunk_id"),
+        col("score"))
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack/Clarke/Buettcher):
     * rrf(d) = 1/(c + rank_a(d)) + 1/(c + rank_b(d)), a document absent from
     * one list contributing 0 from it. The standard way to hybridize a

@@ -71,6 +71,24 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.values.forall(s => !s.isNaN && s >= 0))
   }
 
+  test("passageTopK: best chunk of the matching doc wins; id packing round-trips") {
+    val needle = Seq.fill(6)("needle").mkString(" ")
+    val docs2 = Seq(
+      (7L, ("padding words here " * 10) + needle),   // match in a LATE chunk
+      (8L, "nothing relevant in this one at all " * 5)
+    ).toDF("doc_id", "text")
+    val out = Retrieval.passageTopK(docs2, col("doc_id"),
+        TextFns.tokens(col("text")), Seq("needle"), k = 3,
+        chunkTokens = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._2 == 7L))     // only doc 7 scores
+    // the top passage is one actually containing the needle tokens
+    val toks = ("padding words here " * 10 + needle).trim.split("\\s+")
+    val (_, _, topChunk) = out.head
+    val start = (topChunk * 4).toInt
+    assert(toks.slice(start, start + 8).contains("needle"))
+  }
+
   test("rrfFuse combines ranks, handles one-sided docs, orders by fused score") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
     val b = Seq((12L, 1L), (10L, 2L), (13L, 3L)).toDF("id", "rank")
