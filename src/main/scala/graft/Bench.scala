@@ -98,14 +98,38 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The stdout line must survive the driver's bounded tail capture intact
-    // (r02's full-precision line + scale section overflowed it and the head
-    // of the JSON was truncated => "parsed": null). Print a compact variant:
-    // 3-decimal seconds, no scale section.
+    // The stdout line must survive the driver's bounded tail capture intact.
+    // Measured from BENCH_r04.json: the capture is the LAST 2000 chars of
+    // stdout, and sbt appends a "[success] Total time" line (~75 chars) after
+    // ours — so the line must stay under ~1850 chars or its head is cut off
+    // ("parsed": null in r2 and r4). 141 full query names at 3 decimals is
+    // ~4 KB, hence: short keys (the unique qNN prefix), 2 decimals, and a
+    // deterministic slowest-first trim if the surface ever outgrows even
+    // that. Full-precision full-name map lives in bench_out.json.
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"queries":$qsCompact,"failed":$failedJson,"sf":"$sfDir"}""")
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    def line(qpairs: Seq[(String, Double)], truncated: Boolean): String = {
+      val qj = qpairs.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }.mkString("{", ",", "}")
+      val trunc = if (truncated) s""","queries_shown":${qpairs.size},"queries_full":"bench_out.json"""" else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"n_queries":${results.size},"queries":$qj,"failed":$failedJson,"sf":"$sfDir"$trunc}"""
+    }
+    val full = line(results, truncated = false)
+    val budget = 1850
+    val stdoutLine =
+      if (full.length <= budget) full
+      else {
+        // keep the slowest queries (the ones worth seeing in a summary)
+        val bySlow = results.sortBy(-_._2)
+        var keep = bySlow.size
+        var candidate = line(bySlow.take(keep).sortBy(_._1), truncated = true)
+        while (candidate.length > budget && keep > 1) {
+          keep -= 1
+          candidate = line(bySlow.take(keep).sortBy(_._1), truncated = true)
+        }
+        candidate
+      }
+    println(stdoutLine)
     spark.stop()
   }
 
@@ -226,6 +250,20 @@ object Bench {
     out("emb_cosine_pairs") = series(Seq(160, 320, 640), VE.toLong) { base =>
       Dedup.embeddingCosinePairs(embs.filter(col("orig_id") < base),
         col("vec_id"), col("embedding"), threshold = 0.95)
+    }
+    // the COMPOSED cleaning pipeline (q51/q144), exact-pair config vs
+    // MinHash+LSH config on the same clean corpus: same answer set (the LSH
+    // output is exact-Jaccard-verified), so the growth-ratio delta is pure
+    // pair-generation cost — the number that justifies pairFn=minhashLshPairs
+    // as the 100 TB default
+    out("clean_corpus_exact") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      graft.operators.Pipeline.cleanCorpus(
+        docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
+    }
+    out("clean_corpus_lsh") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      graft.operators.Pipeline.cleanCorpus(
+        docs.filter(col("orig_id") < base), col("doc_id"), col("text"),
+        pairFn = (df, idc, txt, th) => Dedup.minhashLshPairs(df, idc, txt, threshold = th))
     }
     // round-4 corpus ops (both linear by design: the df count shuffles
     // hashes, the anti join broadcasts; tf/df partial-aggregate)

@@ -17,8 +17,11 @@ object ExplainAudit {
         "q72_rollup", "q73_pivot", "q76_quantize_embeddings",
         "q78_corr_stats", "q79_kmeans_lloyd", "q80_bigram_lift",
         "q81_session_window",
-        "q104_bm25", "q106_semdedup", "q108_incremental_lsh",
-        "q110_key_skew", "q125_tpch_q5", "q128_tpch_q18")
+        "q100_pagerank", "q104_bm25", "q106_semdedup", "q108_incremental_lsh",
+        "q110_key_skew", "q115_robust_scale", "q117_mutual_knn",
+        "q118_component_split", "q123_novelty_curve", "q125_tpch_q5",
+        "q128_tpch_q18", "q129_triangles",
+        "q142_mutual_knn_ivf", "q144_clean_corpus_lsh")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

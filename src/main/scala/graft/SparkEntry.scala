@@ -1150,6 +1150,82 @@ object SparkEntry {
             / (col("n_seqs") * 512L).cast("double"), 9))
     }),
 
+    "q142_mutual_knn_ivf" -> ((s, dir) => {
+      // q117's SCALE PATH, driver-proven: the same mutual-kNN graph built
+      // from the cell-partitioned IVF join instead of a whole-corpus
+      // broadcast. nprobe = nlist makes IVF exhaustive (every pair scored
+      // exactly once), so the result must EQUAL q117 — same oracle — while
+      // broadcastQueries = false keeps both join sides hash-partitioned on
+      // cell: nothing corpus-sized is ever collected or broadcast
+      // (ExplainAuditSpec pins the plan shape).
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      Similarity.mutualPairs(Similarity.ivfTopK(corpus, corpus,
+          nlist = 16, nprobe = 16, k = 10, broadcastQueries = false))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
+    "q143_mutual_knn_ivf_recall" -> ((s, dir) => {
+      // the APPROXIMATE mutual-kNN config (nprobe 4 of 16) measured against
+      // the exact graph — q46's recall pattern lifted to the pair level.
+      // Rows-only by construction (cell boundaries come from k-means).
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val approx = Similarity.mutualPairs(Similarity.ivfTopK(corpus, corpus,
+        nlist = 16, nprobe = 4, k = 10, broadcastQueries = false))
+        .selectCols(Seq(col("id_a"), col("id_b")))
+      val exact = Similarity.mutualPairs(Similarity.bruteForceTopK(corpus, corpus, k = 10))
+        .selectCols(Seq(col("id_a"), col("id_b")))
+      val nHit = exact.join(approx, Seq("id_a", "id_b"), "left_semi")
+        .aggregate(Seq.empty, Seq(count(lit(1)).as("n_hit")))
+      val nExact = exact.aggregate(Seq.empty, Seq(count(lit(1)).as("n_exact")))
+      val nApprox = approx.aggregate(Seq.empty, Seq(count(lit(1)).as("n_approx")))
+      nExact.crossJoin(nApprox).crossJoin(nHit)
+        .withColumn("pair_recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+    }),
+
+    "q144_clean_corpus_lsh" -> ((s, dir) =>
+      // q51's SCALE PATH, driver-proven: the composed cleaning pipeline with
+      // candidate pairs from MinHash+LSH (linear shuffle, banded equi-join)
+      // instead of the exact inverted index. The LSH output is
+      // exact-Jaccard-verified with P[miss] ~ 5e-9 at the default banding
+      // (q33 hash-matches the exact pair set on this data), so the full
+      // composition replays q51's oracle verbatim.
+      graft.operators.Pipeline.cleanCorpus(t(s, dir, "documents"), col("doc_id"), col("text"),
+          pairFn = (df, idc, txt, th) => Dedup.minhashLshPairs(df, idc, txt, threshold = th))
+        .sortBy(Seq(col("id")))),
+
+    "q145_image_decode" -> ((s, dir) => {
+      // REAL image codec round trip (javax.imageio, pure JDK): synthesize a
+      // deterministic gray test-pattern PNG per doc (pixel = (doc_id*31 +
+      // x*7 + y*13) % 256, dims varying per doc), DECODE it, nearest-
+      // neighbor RESIZE to 8x8, decode that too. PNG is lossless and the
+      // resample is integer arithmetic, so the reported dims / channel
+      // counts / exact pixel sums replay as plain integer math in the
+      // oracle — the driver hash pins a real encode->decode->resample
+      // chain, not a stub. Codec calls are UDFs by design: a codec is a
+      // black-box native-style call, everything around it stays columnar.
+      val withPng = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h")))
+        .withColumn("png", Multimodal.synthGrayPngUdf(col("doc_id"), col("w"), col("h")))
+      withPng
+        .withColumn("info", Multimodal.decodeImage(col("png")))
+        .withColumn("rinfo", Multimodal.decodeImage(Multimodal.resizeImageNN(8, 8)(col("png"))))
+        .selectCols(Seq(
+          col("doc_id").as("id"),
+          col("info._1").cast("long").as("width"),
+          col("info._2").cast("long").as("height"),
+          col("info._3").cast("long").as("channels"),
+          col("info._4").as("pix_sum"),
+          round(col("info._4").cast("double") / (col("w") * col("h")), 6).as("mean_px"),
+          col("rinfo._4").as("r_pix_sum"),
+          round(col("rinfo._4").cast("double") / 64.0, 6).as("r_mean_px")))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -1709,10 +1785,12 @@ object SparkEntry {
     * deterministic ScalaTest spec instead:
     *   - q25_describe: mixed-type stringified cells (reference row layout);
     *   - q26_explain: Spark plan text has no SQL equivalent;
-    *   - q38_ann_ivf, q43_emb_lsh, q46_ann_ivf_recall: approximate by
-    *     construction — their exact siblings hash-match (q45 nprobe=nlist
-    *     == q36's oracle; q37 for cosine pairs) and q46 MEASURES the
-    *     pruned config's recall rather than asserting it;
+    *   - q38_ann_ivf, q43_emb_lsh, q46_ann_ivf_recall,
+    *     q143_mutual_knn_ivf_recall: approximate by construction — their
+    *     exact siblings hash-match (q45 nprobe=nlist == q36's oracle;
+    *     q142 nprobe=nlist == q117's oracle; q37 for cosine pairs) and
+    *     q46/q143 MEASURE the pruned config's recall rather than
+    *     asserting it;
     *   - q70_approx_percentiles, q77_approx_distinct: sketch outputs differ
     *     across engines by design; both queries carry the exact value
     *     alongside, and specs bound the sketch error.
@@ -2229,6 +2307,98 @@ object SparkEntry {
          SELECT d.id, d.lang_pred, d.quality
          FROM ded d LEFT JOIN losers l ON d.id = l.id
          WHERE l.id IS NULL ORDER BY d.id""",
+
+    // The LSH composition is exact-Jaccard-verified (P[miss] ~ 5e-9 at
+    // k=128/b=32), so it replays q51's exact-pair oracle verbatim.
+    "q144_clean_corpus_lsh" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+             len(text) AS n,
+             len(text) - len(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM documents),
+         h AS (
+           SELECT doc_id, text, toks, n, cjk,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','it','was','with','for'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','que','es','por','con','una','del'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','qui','sur','avec'], x))) AS h_fr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mtl,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / n END AS pr
+           FROM t),
+         scored AS (
+           SELECT doc_id AS id, text, toks,
+             CASE WHEN cjk * 4 > n THEN 'zh'
+                  WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             round(((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+           FROM h),
+         gated AS (SELECT * FROM scored WHERE quality >= 0.66 AND lang_pred <> 'und'),
+         ex AS (SELECT text, MIN(id) AS id FROM gated GROUP BY text),
+         ded AS (SELECT g.id, g.toks, g.lang_pred, g.quality
+                 FROM gated g JOIN ex ON g.id = ex.id),
+         sh AS (
+           SELECT id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM ded),
+         inv AS (SELECT id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+           GROUP BY 1, 2),
+         sizes AS (SELECT id, len(s) AS sn FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.sn + sb.sn - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),
+         losers AS (SELECT id FROM comp WHERE id <> c)
+         SELECT d.id, d.lang_pred, d.quality
+         FROM ded d LEFT JOIN losers l ON d.id = l.id
+         WHERE l.id IS NULL ORDER BY d.id""",
+
+    // Replays the codec round trip as integer arithmetic: PNG is lossless,
+    // so decode(synth(seed,w,h)) reports the formula's pixel sums, and the
+    // 8x8 NN resample reads src pixel (x*w//8, y*h//8).
+    "q145_image_decode" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+         px AS (
+           SELECT doc_id,
+             CAST(list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS pix_sum
+           FROM d),
+         rx AS (
+           SELECT doc_id,
+             CAST(list_sum(flatten(list_transform(range(0, 8), y ->
+               list_transform(range(0, 8), x ->
+                 (doc_id*31 + ((x*w)//8)*7 + ((y*h)//8)*13) % 256)))) AS BIGINT) AS r_pix_sum
+           FROM d)
+         SELECT d.doc_id AS id,
+           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           px.pix_sum,
+           round(CAST(px.pix_sum AS DOUBLE) / (d.w * d.h), 6) AS mean_px,
+           rx.r_pix_sum,
+           round(CAST(rx.r_pix_sum AS DOUBLE) / 64.0, 6) AS r_mean_px
+         FROM d JOIN px USING (doc_id) JOIN rx USING (doc_id)
+         ORDER BY id""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -3284,7 +3454,7 @@ object SparkEntry {
                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
            FROM documents)
          SELECT CAST(h.hv % 16 AS BIGINT) AS shard, COUNT(*) AS n_docs,
-           SUM(tk.n_tokens) AS n_tokens,
+           CAST(SUM(tk.n_tokens) AS BIGINT) AS n_tokens,
            MIN(h.doc_id) AS min_id, MAX(h.doc_id) AS max_id
          FROM h JOIN tk USING (doc_id)
          GROUP BY 1 ORDER BY shard""",
@@ -3302,7 +3472,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
            FROM t),
          s AS (
-           SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              CAST(SUM(CASE WHEN cum_before % 512 + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_spanning
            FROM c)
@@ -3311,6 +3481,26 @@ object SparkEntry {
            round(CAST(total_tokens AS DOUBLE)
                  / CAST(((total_tokens - 1) // 512 + 1) * 512 AS DOUBLE), 9) AS fill_rate
          FROM s""",
+
+    // Exhaustive IVF (nprobe = nlist) scores every pair exactly once, so the
+    // cell-partitioned mutual-kNN equals brute force — q117's oracle verbatim.
+    "q142_mutual_knn_ivf" ->
+      """WITH c AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             list_cosine_similarity(a.v, b.v) AS score
+           FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+         r AS (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+           FROM s),
+         k AS (SELECT q_id, c_id, rnk FROM r WHERE rnk <= 10)
+         SELECT f.q_id AS id_a, f.c_id AS id_b,
+           CAST(f.rnk AS BIGINT) AS rank_ab, CAST(g.rnk AS BIGINT) AS rank_ba
+         FROM k f JOIN k g ON f.q_id = g.c_id AND f.c_id = g.q_id
+         WHERE f.q_id < f.c_id
+         ORDER BY id_a, id_b""",
 
     // Disjunctive predicate evaluated identically; decimal-exact revenue.
     "q137_tpch_q19" ->

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * image/audio/video payloads ride as opaque `BinaryType` columns with a
   * typed metadata struct; feature extraction runs batched per partition.
   *
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries); everything around it — schema,
-  * batch shape, partition sizing, null handling — is real and tested, so a
-  * real decoder drops in by replacing [[fakeDecode]] only.
+  * The IMAGE codec path is REAL: [[decodeImage]] / [[resizeImageNN]] parse
+  * and resample actual PNG/BMP/GIF/JPEG payloads via `javax.imageio` (pure
+  * JDK — the readers ship with the JRE). The VIDEO path stays STUBBED with
+  * a deterministic fake ([[frameSampleStub]], [[resizeStub]] — no demuxer
+  * in the JDK); its schema, batch shape, partition sizing, and null
+  * handling are real and tested, so a real demuxer drops in by replacing
+  * the stub only.
   *
   * Scale notes: payloads never enter a shuffle here — decode is a narrow
   * mapPartitions; downstream aggregations see only the small feature
@@ -81,12 +84,126 @@ object Multimodal {
     (bytes.length.toLong, ent, headHash, vec)
   }
 
-  /** STUB resize (images): a real implementation decodes, resamples to
-    * `w x h`, re-encodes. The fake derives the output deterministically by
-    * striding the input bytes to exactly `w*h` bytes (sampling with wrap),
-    * so output size, determinism, and null/empty behavior — the properties
-    * the surrounding plan depends on — are real. Narrow op: no shuffle,
-    * payload stays in its partition.
+  // ---- REAL image codec (javax.imageio — pure JDK: PNG/BMP/GIF/JPEG
+  // readers ship with the JRE; no container dependency) -------------------
+
+  /** Deterministic grayscale test-pattern PNG: pixel(x, y) =
+    * (seed*31 + x*7 + y*13) mod 256, encoded 8-bit gray. This is the data
+    * SYNTHESIS side of the codec round trip — the formula is plain integer
+    * arithmetic, so a SQL oracle can replay the expected pixel sums of
+    * anything the decoder reports (PNG is lossless: encode→decode is
+    * identity on the raster).
+    */
+  def synthGrayPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL decode: parse the payload with ImageIO and report (width, height,
+    * channels, pix_sum) where pix_sum is the exact integer sum of every
+    * band sample — the decoded-content witness a SQL oracle can check.
+    * Returns null (not a default) for undecodable bytes: a corrupt payload
+    * must be visible, not smoothed over.
+    */
+  def decodeImageInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+      var sum = 0L
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      Some((w, h, bands, sum))
+    }
+  }
+
+  /** Struct-returning decode UDF (width, height, channels, pix_sum; null
+    * for undecodable payloads). A codec is a black-box native-style call —
+    * the UDF boundary is the honest integration point (same reasoning as
+    * [[extractFeaturesBatched]]); everything around it stays columnar.
+    */
+  def decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      decodeImageInfo(bytes).map { case (w, h, c, s) => (w, h, c, s) }.orNull
+    }
+
+  def synthGrayPngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (seed: Long, w: Int, h: Int) => synthGrayPng(seed, w, h) }
+
+  /** REAL nearest-neighbor resize: decode (any ImageIO format), reduce to
+    * 8-bit gray — band 0 for single-band images, integer luminance
+    * (299 r + 587 g + 114 b) / 1000 for color — then resample with
+    * dst(x, y) = src(floor(x*sw/dw), floor(y*sh/dh)) and re-encode PNG.
+    * Every step is integer arithmetic, so the resized raster is exactly
+    * replayable by the oracle. Null for undecodable input. Narrow op: no
+    * shuffle, payload stays in its partition.
+    */
+  def resizeImageNN(dw: Int, dh: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      val img =
+        if (bytes == null || bytes.isEmpty) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+      if (img == null) null
+      else {
+        val src = img.getRaster
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        def gray(x: Int, y: Int): Int =
+          if (src.getNumBands >= 3)
+            (src.getSample(x, y, 0) * 299 + src.getSample(x, y, 1) * 587 +
+              src.getSample(x, y, 2) * 114) / 1000
+          else src.getSample(x, y, 0)
+        val out = new java.awt.image.BufferedImage(dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val dst = out.getRaster
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            dst.setSample(x, y, 0, gray(x * sw / dw, y * sh / dh))
+            x += 1
+          }
+          y += 1
+        }
+        encodePng(out)
+      }
+    }
+
+  /** STUB resize (VIDEO frames and other non-ImageIO payloads — for images
+    * use [[resizeImageNN]], which is real): a real implementation decodes,
+    * resamples to `w x h`, re-encodes. The fake derives the output
+    * deterministically by striding the input bytes to exactly `w*h` bytes
+    * (sampling with wrap), so output size, determinism, and null/empty
+    * behavior — the properties the surrounding plan depends on — are real.
+    * Narrow op: no shuffle, payload stays in its partition.
     */
   def resizeStub(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>

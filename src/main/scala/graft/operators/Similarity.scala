@@ -216,13 +216,22 @@ object Similarity {
     * At 100 TB the cell assignment is the expensive pass (one scan, then
     * write bucketed by cell); queries touch only matching cells — this is
     * the parquet-partition-pruning pattern applied to vector search.
+    *
+    * `broadcastQueries` (default true) fits the common shape — a small
+    * query set probing a huge corpus. For CORPUS-SIZED query sets (all-pairs
+    * kNN, mutual-kNN graph construction) pass false: both sides then
+    * hash-partition on `cell` and the probe join is a shuffled equi-join —
+    * no side is ever collected to one JVM, which is what makes all-pairs
+    * kNN survive a corpus that doesn't fit in a single executor
+    * (brute-force all-pairs broadcasts the whole corpus and OOMs there).
     */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       nlist: Int = 16,
       nprobe: Int = 4,
-      k: Int = 10
+      k: Int = 10,
+      broadcastQueries: Boolean = true
   ): DataFrame = {
     val cents = kmeansCentroids(corpus, nlist).zipWithIndex.map { case (v, i) => (i, v) }
     val spark = corpus.sparkSession
@@ -265,8 +274,9 @@ object Similarity {
         assign(queries.select(col("id"), col("v")), "v", nprobe)
           .select(col("id").alias("q_id"), col("v").alias("q_v"), col("cell"))
 
+    val probeSide = if (broadcastQueries) broadcast(qCells) else qCells
     val scored = cCells
-      .join(broadcast(qCells), Seq("cell"))
+      .join(probeSide, Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"), VectorExprs.cosine(col("q_v"), col("c_v")).alias("score"))
     explodeTopK(scored, k)

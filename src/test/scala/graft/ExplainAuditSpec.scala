@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** CI-style plan audit over EVERY driver query: a join with no extractable
+  * equi keys (the shape Spark must execute as CartesianProduct /
+  * BroadcastNestedLoopJoin) is only allowed when
+  *  - one side is PROVABLY bounded (`maxRows` <= [[SmallSide]]) — the 1-row
+  *    global-stats crossJoin and nlist-row centroid frames the house style
+  *    uses instead of driver collects; or
+  *  - the query is in the explicit exemption list below, each entry naming
+  *    WHY the shape is intended.
+  * This pins the scale posture: an accidental non-equi join (the classic way
+  * a 100 TB plan dies) fails the build, not the cluster.
+  *
+  * Plans are audited at sf0.001 — building a DataFrame executes the eager
+  * stages (streaming drains, iterative loops), so the smallest tables keep
+  * the sweep test-suite cheap.
+  */
+class ExplainAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** A non-equi join side counts as "bounded" below this static maxRows —
+    * generous next to the real frames (1-row aggregates, <=256-row centroid
+    * / codebook LocalRelations) while still 7 orders of magnitude under a
+    * corpus side, whose maxRows is None.
+    */
+  private val SmallSide = 100000L
+
+  /** Queries allowed to keep a non-equi join with UNBOUNDED static maxRows,
+    * with the reason.
+    */
+  private val exempt: Map[String, String] = Map(
+    "q16_cross" -> "the operator IS a cross join (df/join-on with empty condition)",
+    "q37_emb_pairs" -> "exact all-pairs cosine oracle instrument: id_a < id_b non-equi self-join by construction (size-guarded; q43 sign-LSH is the scale path)",
+    "q36_ann_brute" -> "broadcast-kNN contract: queries are the declared small side (filter vec_id < 10); a parquet filter has no static maxRows",
+    "q46_ann_ivf_recall" -> "inherits q36's exact baseline (small declared query side)",
+    "q117_mutual_knn" -> "exact all-pairs kNN oracle instrument — whole corpus as queries BY DESIGN for the hash-matched baseline; q142 is the partitioned scale path",
+    "q126_hard_negatives" -> "mining contract: the query set is the declared small side of the broadcast kNN",
+    "q65_centroid_assign" -> "centroid frame = the first-8 embeddings read from parquet (bounded by the vec_id < 8 contract; a parquet filter has no static maxRows)",
+    "q79_kmeans_lloyd" -> "init centroid frame = the first-8 embeddings read from parquet (bounded by contract, not statically provable)",
+    "q105_rrf_hybrid" -> "semantic arm is the exact single-query brute-force kNN (query side = vec_id = 0 parquet filter, bounded by contract)",
+    "q143_mutual_knn_ivf_recall" -> "contains q117's exact all-pairs baseline as the recall denominator — the instrument the IVF path is measured against"
+  )
+
+  private def nonEquiJoins(plan: LogicalPlan): Seq[Join] = plan.collect {
+    case j: Join if ExtractEquiJoinKeys.unapply(j).isEmpty => j
+  }
+
+  private def bounded(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= SmallSide)
+
+  test("every non-equi (cartesian/BNLJ) join in every driver query has a bounded side or an explicit exemption") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val risky = nonEquiJoins(df.queryExecution.optimizedPlan)
+        .filterNot(j => bounded(j.left) || bounded(j.right))
+      if (risky.nonEmpty && !exempt.contains(name))
+        offenders += s"$name (${risky.size} join(s))"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"unexempted unbounded non-equi join in: ${offenders.mkString(", ")} — fix the join or add an explicit exemption with a reason")
+  }
+
+  test("exemption list carries no stale entries") {
+    // every exempted query must still exist AND still exhibit the shape —
+    // otherwise the exemption is dead weight hiding future regressions
+    val stale = exempt.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"exemptions for unknown queries: ${stale.mkString(", ")}")
+    val vacuous = exempt.keys.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val risky = nonEquiJoins(df.queryExecution.optimizedPlan)
+        .filterNot(j => bounded(j.left) || bounded(j.right))
+      spark.catalog.clearCache()
+      risky.isEmpty
+    }
+    assert(vacuous.isEmpty,
+      s"exemptions no longer needed (shape gone — remove them): ${vacuous.mkString(", ")}")
+  }
+
+  test("q142 mutual-kNN scale path never broadcasts a corpus-sized frame") {
+    // the q117-vs-q142 distinction the whole scale story rests on: every
+    // broadcast in q142's plan must be centroid-sized (the nlist-row
+    // centroid frame), never the corpus/query side of the probe join
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val knn = graft.operators.Similarity.ivfTopK(corpus, corpus,
+      nlist = 4, nprobe = 4, k = 5, broadcastQueries = false)
+    val analyzed = knn.queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // broadcast hints exist (the centroid frames) but every one is over the
+    // tiny centroid relation: a LocalRelation whose output is (cell[, cv]) —
+    // never a plan that reads the embeddings parquet
+    assert(hints.nonEmpty, "expected centroid broadcast hints in the IVF plan")
+    hints.foreach { h =>
+      val outCols = h.child.output.map(_.name).toSet
+      assert(outCols.subsetOf(Set("cell", "cv")),
+        s"broadcast hint over non-centroid frame with columns $outCols — corpus-sized broadcast in the scale path")
+    }
+  }
+}

@@ -63,6 +63,59 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getSeq[Float](4).forall(_ == 0f))
   }
 
+  test("REAL codec: PNG round trip reports exact dims, channels, pixel sums") {
+    // synth pixel(x,y) = (seed*31 + x*7 + y*13) % 256 — PNG is lossless, so
+    // the decoder must report the formula's sums exactly
+    val seed = 42L; val w = 11; val h = 9
+    val png = Multimodal.synthGrayPng(seed, w, h)
+    assert(png.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    val Some((dw, dh, ch, sum)) = Multimodal.decodeImageInfo(png)
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield (seed * 31 + x * 7 + y * 13) % 256).sum
+    assert(dw == w && dh == h && ch == 1 && sum == expected)
+  }
+
+  test("REAL codec: BMP decodes too (second ImageIO format), undecodable bytes -> null") {
+    val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 5) img.getRaster.setSample(x, y, 0, x * 10 + y)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val Some((w, h, ch, sum)) = Multimodal.decodeImageInfo(baos.toByteArray)
+    assert(w == 5 && h == 4 && ch == 1)
+    assert(sum == (for { y <- 0 until 4; x <- 0 until 5 } yield x * 10 + y).sum)
+    assert(Multimodal.decodeImageInfo("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageInfo(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImageInfo(null).isEmpty)
+  }
+
+  test("REAL codec: resizeImageNN maps dst(x,y) = src(x*sw/dw, y*sh/dh) exactly") {
+    val seed = 7L; val sw = 13; val sh = 10; val dw = 8; val dh = 8
+    val df = Seq((1L, Multimodal.synthGrayPng(seed, sw, sh))).toDF("id", "png")
+    val resized = df.select(Multimodal.resizeImageNN(dw, dh)($"png").as("r"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val Some((w, h, ch, sum)) = Multimodal.decodeImageInfo(resized)
+    val expected = (for { y <- 0 until dh; x <- 0 until dw }
+      yield (seed * 31 + (x * sw / dw) * 7 + (y * sh / dh) * 13) % 256).sum
+    assert(w == dw && h == dh && ch == 1 && sum == expected)
+  }
+
+  test("REAL codec: color input reduced by integer luminance (299r + 587g + 114b) / 1000") {
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      img.getRaster.setSample(x, y, 0, 200) // r
+      img.getRaster.setSample(x, y, 1, 100) // g
+      img.getRaster.setSample(x, y, 2, 50)  // b
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("id", "png")
+    val resized = df.select(Multimodal.resizeImageNN(2, 2)($"png").as("r"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val Some((_, _, _, sum)) = Multimodal.decodeImageInfo(resized)
+    val lum = (200 * 299 + 100 * 587 + 50 * 114) / 1000
+    assert(sum == 4L * lum)
+  }
+
   test("resizeStub: deterministic fixed-size output; frameSampleStub: every Nth chunk") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text")
     val payload = Multimodal.asPayload(df, "text", "image", "fake")

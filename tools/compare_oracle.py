@@ -36,6 +36,27 @@ for name in sorted(os.listdir(outdir)):
     else:
         for c in s.columns:
             a, b = s[c], o[c]
+            # Driver's value hash is dtype-sensitive (caught r4: DuckDB SUM(BIGINT)
+            # -> HUGEINT -> float64 vs Spark int64 hashed differently even though
+            # values compared ==). Canonicalize only datetime unit, then require
+            # exact dtype equality.
+            ad, bd = str(a.dtype), str(b.dtype)
+            # Spark DateType arrives as object-of-datetime.date while DuckDB
+            # DATE arrives as datetime64 — the one object-dtype pairing the
+            # driver's hash treats as equal (q02 passes it). Canonicalize.
+            import datetime as _dt
+            def _is_dateobj(s):
+                return str(s.dtype) == "object" and len(s) and isinstance(s.iloc[0], _dt.date)
+            if _is_dateobj(a) and bd.startswith("datetime64"):
+                a, ad = pd.to_datetime(a), "datetime64"
+                b, bd = b.astype("datetime64[us]"), "datetime64"
+                a = a.astype("datetime64[us]"); ad = bd = "datetime64[us]"
+            if ad.startswith("datetime64") and bd.startswith("datetime64"):
+                a, b = a.astype("datetime64[us]"), b.astype("datetime64[us]")
+                ad = bd = "datetime64[us]"
+            if ad != bd:
+                problems.append(f"col {c}: dtype mismatch spark={ad} duck={bd} (driver hash would differ)")
+                continue
             try:
                 eqmask = (a == b) | (a.isna() & b.isna())
             except Exception as e:
