@@ -1226,6 +1226,63 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q146_audio_decode" -> ((s, dir) => {
+      // REAL audio codec round trip (javax.sound.sampled, pure JDK): a
+      // deterministic 16-bit PCM mono WAV per doc (sample(i) = (doc_id*31
+      // + i*7) % 65536 - 32768, length varying per doc), DECODED back to
+      // exact sample counts / rates / sums. PCM WAV is lossless, so every
+      // reported number replays as integer arithmetic in the oracle —
+      // q145's pattern for the audio modality. abs_sum/mean_abs is the
+      // energy proxy an audio quality gate thresholds on.
+      val withWav = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n")))
+        .withColumn("wav", Multimodal.synthPcmWavUdf(col("doc_id"), col("n")))
+      withWav
+        .withColumn("info", Multimodal.decodeAudio(col("wav")))
+        .selectCols(Seq(
+          col("doc_id").as("id"),
+          col("info._1").as("n_samples"),
+          col("info._2").cast("long").as("sample_rate"),
+          col("info._3").cast("long").as("channels"),
+          col("info._4").as("sample_sum"),
+          col("info._5").as("abs_sum"),
+          round(col("info._5").cast("double") / col("info._1"), 6).as("mean_abs")))
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q147_winsorize_approx" -> ((s, dir) =>
+      // q89's 100 TB configuration surfaced as its own driver/bench entry:
+      // approximate = true swaps the exact per-group percentile buffer for
+      // percentile_approx (a mergeable sketch — partial aggregation, no
+      // whole-group buffering on one task). Sketch cut points are
+      // engine-specific => rows-only; RelationalSpec bounds the sketch's
+      // deviation against the exact bounds, and BENCH_r* shows the
+      // exact-vs-sketch cost gap next to q89.
+      t(s, dir, "lineitem")
+        .winsorize(Seq(col("l_returnflag")), col("l_extendedprice"), 0.01, 0.99,
+          approximate = true)
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").as("x"),
+          round(col("p_lo"), 6).as("p_lo"), round(col("p_hi"), 6).as("p_hi"),
+          round(col("clipped"), 6).as("clipped")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("x")))),
+
+    "q148_robust_scale_approx" -> ((s, dir) =>
+      // q115's 100 TB configuration (approximate median/MAD via sketch);
+      // rows-only for the same reason as q147
+      t(s, dir, "lineitem")
+        .robustScale(Seq(col("l_returnflag")), col("l_extendedprice"),
+          approximate = true)
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"),
+          round(col("v_med"), 6).as("v_med"),
+          round(col("v_mad"), 6).as("v_mad"),
+          round(col("scaled"), 6).as("scaled")))
+        .sortBy(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("x")))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -1791,9 +1848,10 @@ object SparkEntry {
     *     q142 nprobe=nlist == q117's oracle; q37 for cosine pairs) and
     *     q46/q143 MEASURE the pruned config's recall rather than
     *     asserting it;
-    *   - q70_approx_percentiles, q77_approx_distinct: sketch outputs differ
-    *     across engines by design; both queries carry the exact value
-    *     alongside, and specs bound the sketch error.
+    *   - q70_approx_percentiles, q77_approx_distinct, q147_winsorize_approx,
+    *     q148_robust_scale_approx: sketch outputs differ across engines by
+    *     design; each has an exact hash-matched sibling (q61, q77's exact
+    *     column, q89, q115) and specs bound the sketch error.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_select" ->
@@ -2399,6 +2457,23 @@ object SparkEntry {
            round(CAST(rx.r_pix_sum AS DOUBLE) / 64.0, 6) AS r_mean_px
          FROM d JOIN px USING (doc_id) JOIN rx USING (doc_id)
          ORDER BY id""",
+
+    // PCM WAV is lossless: decode(synth(seed,n)) reports the sample
+    // formula's exact sums.
+    "q146_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 41 AS n FROM documents),
+         s AS (
+           SELECT doc_id, n,
+             CAST(list_sum(list_transform(range(0, n), i ->
+               (doc_id*31 + i*7) % 65536 - 32768)) AS BIGINT) AS sample_sum,
+             CAST(list_sum(list_transform(range(0, n), i ->
+               abs((doc_id*31 + i*7) % 65536 - 32768))) AS BIGINT) AS abs_sum
+           FROM d)
+         SELECT doc_id AS id, CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+           sample_sum, abs_sum,
+           round(CAST(abs_sum AS DOUBLE) / n, 6) AS mean_abs
+         FROM s ORDER BY id""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -197,6 +197,71 @@ object Multimodal {
       }
     }
 
+  // ---- REAL audio codec (javax.sound.sampled — pure JDK: WAV/AIFF/AU PCM
+  // readers ship with the JRE) ---------------------------------------------
+
+  /** Deterministic 16-bit PCM mono WAV test pattern: sample(i) =
+    * ((seed*31 + i*7) mod 65536) - 32768 — the audio sibling of
+    * [[synthGrayPng]]. PCM WAV is lossless, so a SQL oracle can replay the
+    * decoder's exact sample sums.
+    */
+  def synthPcmWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((seed * 31 + i * 7) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio decode: parse the payload with AudioSystem and report
+    * (n_samples, sample_rate, channels, sample_sum, abs_sum) — exact
+    * integer sums over the decoded 16-bit samples, the decoded-content
+    * witness a SQL oracle can check (abs_sum is the energy proxy a quality
+    * filter would threshold on). None for undecodable bytes.
+    */
+  def decodeAudioInfo(bytes: Array[Byte]): Option[(Long, Int, Int, Long, Long)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val data = ais.readAllBytes()
+      val le = !fmt.isBigEndian
+      var sum = 0L
+      var abs = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        val lo = data(if (le) i else i + 1) & 0xff
+        val hi = data(if (le) i + 1 else i)
+        val s = (hi << 8) | lo
+        sum += s
+        abs += math.abs(s)
+        i += 2
+      }
+      Some((data.length / 2L / fmt.getChannels, fmt.getSampleRate.toInt,
+        fmt.getChannels, sum, abs))
+    } catch { case _: Exception => None }
+  }
+
+  def decodeAudio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      decodeAudioInfo(bytes).map { case (n, r, c, s, a) => (n, r, c, s, a) }.orNull
+    }
+
+  def synthPcmWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (seed: Long, n: Int) => synthPcmWav(seed, n) }
+
   /** STUB resize (VIDEO frames and other non-ImageIO payloads — for images
     * use [[resizeImageNN]], which is real): a real implementation decodes,
     * resamples to `w x h`, re-encodes. The fake derives the output

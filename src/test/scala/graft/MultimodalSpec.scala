@@ -116,6 +116,22 @@ class MultimodalSpec extends SparkSpec {
     assert(sum == 4L * lum)
   }
 
+  test("REAL codec: PCM WAV round trip reports exact sample count, rate, channels, sums") {
+    // seed*31 = 32767 sits on the signed boundary: sample(0) = -1,
+    // sample(1) = +6 — both signs live, so sign extension is exercised
+    val seed = 1057L; val n = 100
+    val wav = Multimodal.synthPcmWav(seed, n)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val Some((ns, rate, ch, sum, abs)) = Multimodal.decodeAudioInfo(wav)
+    val samples = (0 until n).map(i => (seed * 31 + i * 7) % 65536 - 32768)
+    assert(ns == n && rate == 8000 && ch == 1)
+    assert(sum == samples.sum && abs == samples.map(math.abs).sum)
+    // sample values span the signed range: the sign-extension path is live
+    assert(samples.exists(_ < 0) && samples.exists(_ > 0))
+    assert(Multimodal.decodeAudioInfo("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudioInfo(null).isEmpty)
+  }
+
   test("resizeStub: deterministic fixed-size output; frameSampleStub: every Nth chunk") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text")
     val payload = Multimodal.asPayload(df, "text", "image", "fake")

@@ -345,6 +345,14 @@ class RelationalSpec extends SparkSpec {
     // median only from 3 to 3.5 (min-max range would have exploded)
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
       ("g", 1000.0), ("c", 7.0), ("c", 7.0)).toDF("k", "v")
+    // the sketch form (100 TB path, q148) tracks the exact median/MAD
+    val approxMed = df.robustScale(Seq($"k"), $"v", approximate = true)
+      .select($"k", $"v_med").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exactMed = df.robustScale(Seq($"k"), $"v")
+      .select($"k", $"v_med").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exactMed.foreach { case (k, m) => assert(math.abs(approxMed(k) - m) <= 1.0) }
     val out = df.robustScale(Seq($"k"), $"v")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4)))
