@@ -1283,6 +1283,34 @@ object SparkEntry {
         .sortBy(Seq(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("x")))),
 
+    "q149_video_frames" -> ((s, dir) => {
+      // REAL video frame sampling (javax.imageio animated GIF, pure JDK):
+      // a deterministic multi-frame clip per doc (frame f pixel(x,y) =
+      // (doc_id*31 + f*17 + x*7 + y*13) % 256, frame count and dims varying
+      // per doc), demuxed back with every 2nd frame decoded to exact pixel
+      // sums. GIF LZW is lossless on the indexed raster, so the whole
+      // encode->demux->sample->decode chain replays as integer arithmetic
+      // in the oracle — q145/q146's pattern for the video modality (and the
+      // replacement for the frame-sampling stub earlier rounds carried).
+      val withGif = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(6) + pmod(col("doc_id"), lit(5))).cast("int").as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(4))).cast("int").as("h"),
+          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf")))
+        .withColumn("gif",
+          Multimodal.synthAnimGifUdf(col("doc_id"), col("w"), col("h"), col("nf")))
+      withGif
+        .withColumn("fr", explode(Multimodal.sampleFrameInfos(2)(col("gif"))))
+        .selectCols(Seq(
+          col("doc_id").as("id"),
+          col("fr._1").cast("long").as("frame_idx"),
+          col("fr._2").cast("long").as("width"),
+          col("fr._3").cast("long").as("height"),
+          col("fr._4").as("pix_sum"),
+          round(col("fr._4").cast("double") / (col("w") * col("h")), 6).as("mean_px")))
+        .sortBy(Seq(col("id"), col("frame_idx")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -2474,6 +2502,29 @@ object SparkEntry {
            sample_sum, abs_sum,
            round(CAST(abs_sum AS DOUBLE) / n, 6) AS mean_abs
          FROM s ORDER BY id""",
+
+    // GIF LZW is lossless on the indexed raster: demux+decode of frame f
+    // reports the synth formula's pixel sums; sampling keeps even frames.
+    "q149_video_frames" ->
+      """WITH d AS (
+           SELECT doc_id, 6 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+                  3 + doc_id % 4 AS nf
+           FROM documents),
+         fr AS (
+           SELECT doc_id, w, h,
+                  unnest(list_filter(range(0, nf), f -> f % 2 = 0)) AS f
+           FROM d),
+         px AS (
+           SELECT doc_id, w, h, f,
+             CAST(list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id*31 + f*17 + x*7 + y*13) % 256)))) AS BIGINT) AS pix_sum
+           FROM fr)
+         SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           pix_sum,
+           round(CAST(pix_sum AS DOUBLE) / (w * h), 6) AS mean_px
+         FROM px ORDER BY id, frame_idx""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

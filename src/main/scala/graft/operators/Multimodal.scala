@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE codec path is REAL: [[decodeImage]] / [[resizeImageNN]] parse
   * and resample actual PNG/BMP/GIF/JPEG payloads via `javax.imageio` (pure
-  * JDK — the readers ship with the JRE). The VIDEO path stays STUBBED with
-  * a deterministic fake ([[frameSampleStub]], [[resizeStub]] — no demuxer
-  * in the JDK); its schema, batch shape, partition sizing, and null
-  * handling are real and tested, so a real demuxer drops in by replacing
-  * the stub only.
+  * JDK — the readers ship with the JRE). The VIDEO path is REAL too:
+  * multi-frame animated GIF is the one moving-picture container the JDK
+  * can both write and read ([[synthAnimGif]] /
+  * `ImageWriter.writeToSequence`, [[decodeGifFrameInfos]] /
+  * `ImageReader.getNumImages(true)` + `read(i)`), and GIF's LZW is
+  * lossless on the indexed raster — so frame sampling
+  * ([[sampleFrameInfos]], [[sampleFramesPng]]) is a genuine
+  * demux-decode-sample chain whose per-frame pixel sums an integer
+  * SQL oracle can replay. An MP4/H.264 demuxer would slot into the same
+  * two UDF signatures; the JDK simply doesn't ship one.
   *
   * Scale notes: payloads never enter a shuffle here — decode is a narrow
   * mapPartitions; downstream aggregations see only the small feature
@@ -262,39 +267,122 @@ object Multimodal {
   def synthPcmWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (seed: Long, n: Int) => synthPcmWav(seed, n) }
 
-  /** STUB resize (VIDEO frames and other non-ImageIO payloads — for images
-    * use [[resizeImageNN]], which is real): a real implementation decodes,
-    * resamples to `w x h`, re-encodes. The fake derives the output
-    * deterministically by striding the input bytes to exactly `w*h` bytes
-    * (sampling with wrap), so output size, determinism, and null/empty
-    * behavior — the properties the surrounding plan depends on — are real.
-    * Narrow op: no shuffle, payload stays in its partition.
+  // ---- REAL video frame sampling (multi-frame animated GIF via
+  // javax.imageio — the JDK's GIF plugin writes AND reads image sequences;
+  // LZW is lossless on the indexed raster, so per-frame pixel sums replay
+  // as integer arithmetic in the oracle, exactly the q145/q146 pattern) ----
+
+  /** 256-entry identity grayscale palette: index i ↦ rgb(i,i,i). The JDK
+    * GIF writer emits an indexed image's own palette verbatim (no
+    * re-quantization), so raster index == gray level survives the round
+    * trip — prototyped and spec-pinned.
     */
-  def resizeStub(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val out = new Array[Byte](w * h)
-        if (bytes.nonEmpty) {
-          var i = 0
-          while (i < out.length) { out(i) = bytes((i.toLong * bytes.length / out.length).toInt % bytes.length); i += 1 }
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Deterministic animated-GIF test clip: frame f's pixel(x, y) =
+    * (seed*31 + f*17 + x*7 + y*13) mod 256 on the identity gray palette —
+    * the moving-picture sibling of [[synthGrayPng]]/[[synthPcmWav]]. Every
+    * frame is a full image (no delta/disposal tricks), so `read(i)`
+    * returns exactly the raster written for frame i.
+    */
+  def synthAnimGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((seed * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+          x += 1
         }
-        out
+        y += 1
       }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  def synthAnimGifUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (seed: Long, w: Int, h: Int, nf: Int) =>
+      synthAnimGif(seed, w, h, nf)
     }
 
-  /** STUB frame sampling (video): a real implementation demuxes and decodes
-    * every Nth frame. The fake treats the payload as fixed-size `frameLen`
-    * chunks and keeps every `everyN`-th — emitting `array<binary>` with the
-    * same shape a real sampler produces (frame count = ceil(nChunks/everyN)).
+  /** REAL frame sampling decode: demux the GIF sequence, decode every
+    * `everyN`-th frame, report (frame_idx, width, height, pix_sum) per
+    * kept frame — pix_sum sums raster samples across bands, same witness
+    * semantics as [[decodeImageInfo]] (for indexed content the sample is
+    * the palette index == gray level on a grayscale palette). None for
+    * undecodable bytes; decode stops at the reader's own frame count, so
+    * a truncated payload is visible as fewer frames, not a crash.
     */
-  def frameSampleStub(frameLen: Int, everyN: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val frames = bytes.grouped(frameLen).toArray
-        frames.indices.collect { case i if i % everyN == 0 => frames(i) }.toArray
+  def decodeGifFrameInfos(bytes: Array[Byte], everyN: Int): Option[Seq[(Int, Int, Int, Long)]] =
+    withGifFrames(bytes, everyN) { (i, img) =>
+      val r = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+      var sum = 0L
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
       }
+      (i, w, h, sum)
+    }
+
+  /** Shared demux loop: apply `f` to every `everyN`-th decoded frame. */
+  private def withGifFrames[A](bytes: Array[Byte], everyN: Int)(
+      f: (Int, java.awt.image.BufferedImage) => A): Option[Seq[A]] = {
+    if (bytes == null || bytes.isEmpty || everyN <= 0) return None
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)), false, false)
+        val n = reader.getNumImages(true)
+        Some((0 until n).collect { case i if i % everyN == 0 => f(i, reader.read(i)) })
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+  }
+
+  /** Frame-info sampling as a column op — `array<struct>` of
+    * (frame_idx, width, height, pix_sum), null for undecodable payloads.
+    * Codec-as-UDF by design (black-box byte work, no built-in demuxer);
+    * narrow op, the payload never enters a shuffle.
+    */
+  def sampleFrameInfos(everyN: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      decodeGifFrameInfos(bytes, everyN).orNull
+    }
+
+  /** REAL frame extraction: every `everyN`-th frame re-encoded as a PNG
+    * payload (`array<binary>`) — the shape a downstream per-frame image
+    * stage consumes; [[decodeImage]] / [[resizeImageNN]] apply to each
+    * element unchanged. PNG keeps the indexed raster lossless, so the
+    * chain GIF→sample→PNG→decode reports the same sums as
+    * [[decodeGifFrameInfos]] (spec-pinned).
+    */
+  def sampleFramesPng(everyN: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      withGifFrames(bytes, everyN)((_, img) => encodePng(img)).orNull
     }
 
   /** Feature extraction as native Catalyst expressions

@@ -132,20 +132,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioInfo(null).isEmpty)
   }
 
-  test("resizeStub: deterministic fixed-size output; frameSampleStub: every Nth chunk") {
-    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text")
-    val payload = Multimodal.asPayload(df, "text", "image", "fake")
-    val resized = payload.select(Multimodal.resizeStub(4, 3)($"payload").as("r"))
-      .collect()(0).getAs[Array[Byte]](0)
-    assert(resized.length == 12)
-    val again = payload.select(Multimodal.resizeStub(4, 3)($"payload").as("r"))
-      .collect()(0).getAs[Array[Byte]](0)
-    assert(resized.toSeq == again.toSeq) // deterministic
-    // 26 bytes in 5-byte frames = 6 chunks; every 2nd => chunks 0,2,4 => 3 frames
-    val frames = payload.select(Multimodal.frameSampleStub(5, 2)($"payload").as("f"))
+  test("REAL video: animated-GIF frame sampling reports exact per-frame sums") {
+    // frame f pixel(x,y) = (seed*31 + f*17 + x*7 + y*13) % 256; GIF LZW is
+    // lossless on the indexed raster, so every kept frame's sum must match
+    // the formula exactly. 7 frames sampled every 3rd => frames 0, 3, 6.
+    val seed = 99L; val w = 9; val h = 7; val nf = 7
+    val gif = Multimodal.synthAnimGif(seed, w, h, nf)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val Some(infos) = Multimodal.decodeGifFrameInfos(gif, 3)
+    assert(infos.map(_._1) == Seq(0, 3, 6))
+    infos.foreach { case (f, dw, dh, sum) =>
+      val expected = (for { y <- 0 until h; x <- 0 until w }
+        yield (seed * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+      assert(dw == w && dh == h && sum == expected, s"frame $f")
+    }
+    assert(Multimodal.decodeGifFrameInfos("not a gif".getBytes, 2).isEmpty)
+    assert(Multimodal.decodeGifFrameInfos(null, 2).isEmpty)
+    assert(Multimodal.decodeGifFrameInfos(gif, 0).isEmpty) // everyN must be positive
+  }
+
+  test("REAL video: sampled PNG frames feed the image codec unchanged") {
+    // GIF -> sampleFramesPng -> decodeImage must agree with the direct
+    // decodeGifFrameInfos witness (PNG keeps the indexed raster lossless),
+    // proving extracted frames are first-class image payloads.
+    val seed = 5L; val w = 6; val h = 5; val nf = 4
+    val df = Seq((1L, Multimodal.synthAnimGif(seed, w, h, nf))).toDF("id", "gif")
+    val frames = df.select(Multimodal.sampleFramesPng(2)($"gif").as("f"))
       .collect()(0).getSeq[Array[Byte]](0)
-    assert(frames.length == 3)
-    assert(frames(0).toSeq == "abcde".getBytes("UTF-8").toSeq)
-    assert(frames(1).toSeq == "klmno".getBytes("UTF-8").toSeq)
+    assert(frames.length == 2) // frames 0 and 2 of 4
+    val direct = Multimodal.decodeGifFrameInfos(Multimodal.synthAnimGif(seed, w, h, nf), 2).get
+    frames.zip(direct).foreach { case (png, (_, dw, dh, sum)) =>
+      val Some((pw, ph, _, psum)) = Multimodal.decodeImageInfo(png)
+      assert(pw == dw && ph == dh && psum == sum)
+    }
+    // and the per-frame image resize applies to an extracted frame
+    val Some((_, _, _, rsum)) = Multimodal.decodeImageInfo(
+      df.select(Multimodal.resizeImageNN(4, 4)(
+        Multimodal.sampleFramesPng(2)($"gif").getItem(0)).as("r"))
+        .collect()(0).getAs[Array[Byte]](0))
+    val expected = (for { y <- 0 until 4; x <- 0 until 4 }
+      yield (seed * 31 + (x * w / 4) * 7 + (y * h / 4) * 13) % 256).sum
+    assert(rsum == expected)
   }
 }
