@@ -102,13 +102,17 @@ object Engine {
     * the same way) — pre-paying the exchange once at ingest for every
     * downstream co-located join/aggregation. This is the standard layout
     * for a fact table that joins on the same key query after query.
-    * (Bucketing requires the table catalog — `saveAsTable`, not `save`.)
+    * (Bucketing requires the table catalog — `saveAsTable`, not `save`;
+    * pass `path` to pin the file location, making the catalog entry an
+    * external table over a controlled directory.)
     */
-  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String], buckets: Int): Unit =
-    df.write
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(tableName)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }

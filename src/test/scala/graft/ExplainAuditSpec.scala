@@ -81,6 +81,28 @@ class ExplainAuditSpec extends SparkSpec {
       s"exemptions no longer needed (shape gone — remove them): ${vacuous.mkString(", ")}")
   }
 
+  test("q150 bucketed layout: join + per-key agg run with zero shuffle exchanges") {
+    // the bucketed write pre-paid the exchange at ingest; the read-side
+    // plan must therefore contain NONE — both scans report
+    // HashPartitioning(key, 8), the merge join and the groupBy reuse it.
+    // (The driver query adds a final total-order sort whose range exchange
+    // is inherent; the assertion runs on the body without it.)
+    SparkEntry.queries("q150_bucketed_join")(spark, sfDir) // writes + registers the tables
+    val plan = SparkEntry.bucketedRevenue(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join over bucketed scans:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"shuffle exchange in the bucketed co-located join plan — the layout is not being used:\n$plan")
+  }
+
+  test("q151 partitioned layout: event_type filter prunes at the scan (PartitionFilters)") {
+    val df = SparkEntry.queries("q151_partition_pruned_scan")(spark, sfDir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the filter must be a partition-directory predicate, not a row filter
+    assert("(?s).*PartitionFilters:[^\\n]*event_type[^\\n]*click.*".r.matches(formatted),
+      s"event_type = click is not a PartitionFilter — the scan reads all partitions:\n$formatted")
+  }
+
   test("q142 mutual-kNN scale path never broadcasts a corpus-sized frame") {
     // the q117-vs-q142 distinction the whole scale story rests on: every
     // broadcast in q142's plan must be centroid-sized (the nlist-row
