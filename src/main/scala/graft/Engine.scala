@@ -39,6 +39,9 @@ object Engine {
     // so the spark.sql entry point has the full extension surface too.
     graft.plans.VectorExprs.register(spark)
     graft.plans.BinaryExprs.register(spark)
+    // Aggregator-backed UDAFs go through spark.udf.register (the extensions
+    // hook covers scalar expression builders only).
+    graft.functions.Udafs.register(spark)
     spark
   }
 

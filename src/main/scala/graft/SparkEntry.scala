@@ -1369,6 +1369,30 @@ object SparkEntry {
         .sortBy(Seq(col("user_id")))
     }),
 
+    "q152_udaf_sql" -> ((s, dir) => {
+      // SURVEY §2.5's deferred extension tier made user-facing: the typed
+      // partial-merge Aggregators (bounded top-k heap; decimal-exact
+      // Pearson corr) registered as SQL UDAFs via functions.udaf +
+      // spark.udf.register (graft.functions.Udafs — the extensions hook
+      // covers scalar builders only) and exercised through plain
+      // spark.sql. Both aggregate map-side to a bounded buffer per group
+      // before the shuffle: shuffle volume O(groups), not O(rows).
+      graft.functions.Udafs.register(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q152")
+      s.sql("""
+        WITH g AS (
+          SELECT l_returnflag,
+                 graft_top3(l_orderkey, l_extendedprice) AS top3,
+                 graft_corr_exact(l_quantity, l_extendedprice) AS corr
+          FROM lineitem_q152
+          GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(t.i + 1 AS BIGINT) AS rank,
+               t.s.id AS top_orderkey, t.s.score AS top_price,
+               round(corr, 6) AS corr
+        FROM g LATERAL VIEW posexplode(top3) t AS i, s
+        ORDER BY l_returnflag, rank""")
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -2600,6 +2624,43 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'click'
          GROUP BY 1 ORDER BY user_id""",
+
+    // top-k replayed by row_number (score DESC, id ASC — TopKAgg's order);
+    // corr replays q78's decimal co-moment formula per group.
+    "q152_udaf_sql" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_orderkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey) AS rnk
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS sxy,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS sxx,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         d AS (
+           SELECT l_returnflag,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy
+           FROM m),
+         c AS (
+           SELECT l_returnflag,
+             round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+               THEN (nd * sxy - sx * sy)
+                 / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+               END, 6) AS corr
+           FROM d)
+         SELECT r.l_returnflag, CAST(rnk AS BIGINT) AS rank,
+           r.l_orderkey AS top_orderkey, r.l_extendedprice AS top_price,
+           c.corr
+         FROM r JOIN c USING (l_returnflag)
+         WHERE rnk <= 3 ORDER BY l_returnflag, rank""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

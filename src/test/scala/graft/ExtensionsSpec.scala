@@ -57,4 +57,35 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0)
     assert(math.abs(out.getDouble(0) - 5.0) < 1e-12)
   }
+
+  test("Udafs.register exposes the aggregate surface through plain SQL") {
+    graft.functions.Udafs.register(spark)
+    import spark.implicits._
+    Seq((1L, 10.0, 1.0), (2L, 30.0, 3.0), (3L, 20.0, 2.0), (4L, 30.0, 5.0))
+      .toDF("id", "score", "y").createOrReplaceTempView("udaf_t")
+    // top-3 by (score DESC, id ASC): 30@2, 30@4, 20@3
+    val top = spark.sql(
+      "SELECT graft_top3(id, score) AS t FROM udaf_t").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))) ==
+      Seq((2L, 30.0), (4L, 30.0), (3L, 20.0)))
+    // decimal-exact corr matches the closed form on a known sample
+    val corr = spark.sql(
+      "SELECT graft_corr_exact(score, y) AS c FROM udaf_t").collect()(0).getDouble(0)
+    val (xs, ys) = (Seq(10.0, 30.0, 20.0, 30.0), Seq(1.0, 3.0, 2.0, 5.0))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(corr - expect) < 1e-12)
+    // zero variance => NULL, not NaN
+    assert(spark.sql("SELECT graft_corr_exact(1.0, y) FROM udaf_t").collect()(0).isNullAt(0))
+    // partial-merge discipline: same answer regardless of partitioning
+    val repart = spark.sql("SELECT graft_corr_exact(score, y) AS c FROM udaf_t").collect()(0).getDouble(0)
+    spark.table("udaf_t").repartition(7).createOrReplaceTempView("udaf_t7")
+    val corr7 = spark.sql("SELECT graft_corr_exact(score, y) AS c FROM udaf_t7").collect()(0).getDouble(0)
+    assert(corr7 == repart) // bit-identical, not approximately equal
+  }
 }
