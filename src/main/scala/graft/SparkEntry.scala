@@ -1207,6 +1207,15 @@ object SparkEntry {
       // exact-Jaccard-verified with P[miss] ~ 5e-9 at the default banding
       // (q33 hash-matches the exact pair set on this data), so the full
       // composition replays q51's oracle verbatim.
+      //
+      // PROFILE NOTE (expected small-scale crossover — do not "fix"
+      // backwards): at sf0.1 this is SLOWER than exact q51 (r5 bench:
+      // 10.2 s vs 6.5 s) because computing 128 minhashes over every gated
+      // doc's full text dominates while the exact pair join is still cheap.
+      // The cost that matters is the SCALING: BENCH_r* `scale` shows
+      // clean_corpus_lsh ~flat across 25k->100k docs (3.4->3.5 s, minhash
+      // is linear per doc) while the exact families grow quadratically
+      // (emb_cosine_pairs 0.6->5.9 s). LSH wins exactly where it is needed.
       graft.operators.Pipeline.cleanCorpus(t(s, dir, "documents"), col("doc_id"), col("text"),
           pairFn = (df, idc, txt, th) => Dedup.minhashLshPairs(df, idc, txt, threshold = th))
         .sortBy(Seq(col("id")))),
@@ -1262,7 +1271,9 @@ object SparkEntry {
           col("info._3").cast("long").as("channels"),
           col("info._4").as("sample_sum"),
           col("info._5").as("abs_sum"),
-          round(col("info._5").cast("double") / col("info._1"), 6).as("mean_abs")))
+          // mean over info._6 (total interleaved samples), not _1 (frames):
+          // equal for this mono clip, but only _6 stays correct for stereo
+          round(col("info._5").cast("double") / col("info._6"), 6).as("mean_abs")))
         .sortBy(Seq(col("id")))
     }),
 

@@ -434,18 +434,25 @@ object Dedup {
     * large-star/small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"); `maxIter` bounds the loop and fails loudly
     * rather than spinning.
+    *
+    * `checkpointDir`: per-round state is localCheckpoint'ed by default
+    * (executor-local — lost on executor death at cluster scale); pass a
+    * cluster-visible dir for reliable checkpointing on long 100 TB runs
+    * (see [[Iterative.truncate]] for the trade).
     */
-  def nearDupComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Each round's result is eagerly localCheckpoint'ed: an iterative
+    // Each round's result is eagerly checkpointed: an iterative
     // dataflow MUST truncate lineage per round, or the logical plan doubles
     // every iteration (persist alone short-circuits execution but not plan
     // analysis/stringification — exponential plan trees OOM the driver).
-    var labels = edges.select(col("src").alias("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = Iterative.truncate(
+      edges.select(col("src").alias("id")).distinct()
+        .withColumn("comp", col("id")),
+      checkpointDir)
     var it = 0
     var converged = edges.isEmpty
     while (!converged) {
@@ -473,9 +480,9 @@ object Dedup {
           labels.alias("x")
             .join(labels.alias("y"), col("x.comp") === col("y.id"))
             .select(col("x.id").alias("id"), col("y.comp").alias("comp")))
-      val next = candidates
-        .groupBy(col("id")).agg(min(col("comp")).alias("comp"))
-        .localCheckpoint(true)
+      val next = Iterative.truncate(
+        candidates.groupBy(col("id")).agg(min(col("comp")).alias("comp")),
+        checkpointDir)
       val changed = next.alias("n")
         .join(labels.alias("l"), col("n.id") === col("l.id"))
         .filter(col("n.comp") =!= col("l.comp"))

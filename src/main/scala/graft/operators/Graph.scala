@@ -74,21 +74,26 @@ object Graph {
     * the default derives endpoints from the CHECKPOINTED edge list, so an
     * expensive edge derivation (a join + distinct over fact tables) is
     * executed once, not re-run per rank-frame reference.
+    *
+    * `checkpointDir`: rounds localCheckpoint by default (executor-local —
+    * lost on executor death at cluster scale); pass a cluster-visible dir
+    * for reliable checkpointing on long runs ([[Iterative.truncate]]).
     */
   def pagerank(edges: DataFrame, rounds: Int, dNum: Int = 85,
-      scale: Long = 1000000L, nodes: Option[DataFrame] = None): DataFrame = {
+      scale: Long = 1000000L, nodes: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // The edge list is read every round (contribution join + out-degrees);
     // checkpointing it once materializes whatever derivation produced it
     // instead of re-executing that upstream per round (measured 3x on
     // q100's 3-round run).
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = Iterative.truncate(edges.toDF("src", "dst"), checkpointDir)
     val nodeIds = nodes.map(_.toDF("id"))
       .getOrElse(e.select(col("src").alias("id"))
         .union(e.select(col("dst").alias("id"))))
-    var r = uniformRanks(nodeIds, scale).localCheckpoint(true)
+    var r = Iterative.truncate(uniformRanks(nodeIds, scale), checkpointDir)
     (1 to rounds).foreach { _ =>
-      r = pagerankStep(e, r, dNum, scale).localCheckpoint(true)
+      r = Iterative.truncate(pagerankStep(e, r, dNum, scale), checkpointDir)
     }
     r
   }

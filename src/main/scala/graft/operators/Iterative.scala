@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-round lineage truncation for iterative dataflows
+  * (connected components, PageRank, Lloyd loops).
+  *
+  * An iterative dataflow MUST truncate lineage every round — persist alone
+  * short-circuits execution but not plan analysis/stringification, so the
+  * logical plan doubles per iteration and the driver OOMs on plan trees.
+  * Two truncation modes:
+  *
+  *  - `checkpointDir = None` (default): eager `localCheckpoint` — round
+  *    state lives in executor block storage. Fastest, and correct on
+  *    local/driver-side runs; on a real cluster an executor loss discards
+  *    blocks and the job FAILS (lineage was truncated, Spark cannot
+  *    recompute). Acceptable for short loops where a retry is cheap.
+  *  - `checkpointDir = Some(dir)`: eager reliable `checkpoint` — round
+  *    state is written to `dir`, which must be cluster-visible storage
+  *    (HDFS/S3; a local path only works single-node). One FS write per
+  *    round buys survival of executor death — the right trade for
+  *    long-running 100 TB jobs where a round costs more than the write.
+  *
+  * The contract callers expose: a `checkpointDir: Option[String]` knob,
+  * defaulting to None.
+  */
+object Iterative {
+
+  /** Truncate `df`'s lineage eagerly using the mode selected by
+    * `checkpointDir` (see object doc). Sets the session's checkpoint dir
+    * on first reliable use; Spark puts each run's files under a
+    * generated subdirectory of `dir`, so concurrent jobs don't collide.
+    */
+  def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+}

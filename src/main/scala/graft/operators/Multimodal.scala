@@ -205,13 +205,16 @@ object Multimodal {
   // ---- REAL audio codec (javax.sound.sampled — pure JDK: WAV/AIFF/AU PCM
   // readers ship with the JRE) ---------------------------------------------
 
-  /** Deterministic 16-bit PCM mono WAV test pattern: sample(i) =
-    * ((seed*31 + i*7) mod 65536) - 32768 — the audio sibling of
+  /** Deterministic 16-bit PCM WAV test pattern: interleaved sample(i) =
+    * ((seed*31 + i*7) mod 65536) - 32768 over `nSamples` TOTAL samples
+    * (`nSamples / channels` frames) — the audio sibling of
     * [[synthGrayPng]]. PCM WAV is lossless, so a SQL oracle can replay the
     * decoder's exact sample sums.
     */
-  def synthPcmWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+  def synthPcmWav(seed: Long, nSamples: Int, sampleRate: Int = 8000,
+      channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
@@ -221,7 +224,7 @@ object Multimodal {
       i += 1
     }
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      new java.io.ByteArrayInputStream(pcm), fmt, (nSamples / channels).toLong)
     val baos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
@@ -229,12 +232,16 @@ object Multimodal {
   }
 
   /** REAL audio decode: parse the payload with AudioSystem and report
-    * (n_samples, sample_rate, channels, sample_sum, abs_sum) — exact
-    * integer sums over the decoded 16-bit samples, the decoded-content
-    * witness a SQL oracle can check (abs_sum is the energy proxy a quality
-    * filter would threshold on). None for undecodable bytes.
+    * (n_frames, sample_rate, channels, sample_sum, abs_sum, n_samples) —
+    * exact integer sums over the decoded 16-bit samples, the
+    * decoded-content witness a SQL oracle can check (abs_sum is the energy
+    * proxy a quality filter would threshold on). n_frames counts
+    * per-channel frames; the sums cover ALL interleaved channel samples,
+    * so a mean over the sums must divide by n_samples (= n_frames ×
+    * channels), never n_frames — returning both makes multi-channel means
+    * impossible to get wrong. None for undecodable bytes.
     */
-  def decodeAudioInfo(bytes: Array[Byte]): Option[(Long, Int, Int, Long, Long)] = {
+  def decodeAudioInfo(bytes: Array[Byte]): Option[(Long, Int, Int, Long, Long, Long)] = {
     if (bytes == null || bytes.isEmpty) return None
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -255,13 +262,13 @@ object Multimodal {
         i += 2
       }
       Some((data.length / 2L / fmt.getChannels, fmt.getSampleRate.toInt,
-        fmt.getChannels, sum, abs))
+        fmt.getChannels, sum, abs, data.length / 2L))
     } catch { case _: Exception => None }
   }
 
   def decodeAudio: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
-      decodeAudioInfo(bytes).map { case (n, r, c, s, a) => (n, r, c, s, a) }.orNull
+      decodeAudioInfo(bytes).map { case (n, r, c, s, a, t) => (n, r, c, s, a, t) }.orNull
     }
 
   def synthPcmWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =

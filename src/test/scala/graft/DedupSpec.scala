@@ -153,6 +153,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDupComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect().isEmpty)
   }
 
+  test("nearDupComponents: reliable checkpointDir mode writes round state to the dir, same answer") {
+    // the cluster-scale contract (Iterative.truncate): localCheckpoint
+    // blocks die with an executor; Some(dir) must route round state
+    // through reliable DataFrame.checkpoint files under dir instead —
+    // identical labels, and the dir is actually used
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val reliable = Dedup.nearDupComponents(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no reliable checkpoint files written under $dir")
+  }
+
   test("Pipeline.cleanCorpus: gate, exact dedup, and component collapse compose") {
     val good = "the cat and the dog walked to the market with friends for food"
     val docs = Seq(

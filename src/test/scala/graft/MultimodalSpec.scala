@@ -122,14 +122,25 @@ class MultimodalSpec extends SparkSpec {
     val seed = 1057L; val n = 100
     val wav = Multimodal.synthPcmWav(seed, n)
     assert(new String(wav.take(4), "US-ASCII") == "RIFF")
-    val Some((ns, rate, ch, sum, abs)) = Multimodal.decodeAudioInfo(wav)
+    val Some((ns, rate, ch, sum, abs, total)) = Multimodal.decodeAudioInfo(wav)
     val samples = (0 until n).map(i => (seed * 31 + i * 7) % 65536 - 32768)
-    assert(ns == n && rate == 8000 && ch == 1)
+    assert(ns == n && rate == 8000 && ch == 1 && total == n)
     assert(sum == samples.sum && abs == samples.map(math.abs).sum)
     // sample values span the signed range: the sign-extension path is live
     assert(samples.exists(_ < 0) && samples.exists(_ > 0))
     assert(Multimodal.decodeAudioInfo("not audio".getBytes).isEmpty)
     assert(Multimodal.decodeAudioInfo(null).isEmpty)
+  }
+
+  test("REAL codec: stereo WAV — frames vs total samples reported separately, sums over all channels") {
+    // 120 interleaved samples over 2 channels = 60 frames; the sums cover
+    // all 120 samples, so a mean must use total (120), never frames (60)
+    val seed = 9L; val n = 120
+    val wav = Multimodal.synthPcmWav(seed, n, channels = 2)
+    val Some((frames, rate, ch, sum, abs, total)) = Multimodal.decodeAudioInfo(wav)
+    val samples = (0 until n).map(i => (seed * 31 + i * 7) % 65536 - 32768)
+    assert(frames == 60 && ch == 2 && total == 120 && rate == 8000)
+    assert(sum == samples.sum && abs == samples.map(math.abs).sum)
   }
 
   test("REAL video: animated-GIF frame sampling reports exact per-frame sums") {

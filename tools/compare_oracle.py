@@ -46,14 +46,27 @@ for name in sorted(os.listdir(outdir)):
             # driver's hash treats as equal (q02 passes it). Canonicalize.
             import datetime as _dt
             def _is_dateobj(s):
-                return str(s.dtype) == "object" and len(s) and isinstance(s.iloc[0], _dt.date)
-            if _is_dateobj(a) and bd.startswith("datetime64"):
-                a, ad = pd.to_datetime(a), "datetime64"
-                b, bd = b.astype("datetime64[us]"), "datetime64"
-                a = a.astype("datetime64[us]"); ad = bd = "datetime64[us]"
-            if ad.startswith("datetime64") and bd.startswith("datetime64"):
-                a, b = a.astype("datetime64[us]"), b.astype("datetime64[us]")
-                ad = bd = "datetime64[us]"
+                # classify on the first NON-null value: a leading null would
+                # otherwise skip canonicalization and false-positive as a
+                # dtype mismatch the driver hash doesn't have
+                nn = s.dropna()
+                return str(s.dtype) == "object" and len(nn) and isinstance(nn.iloc[0], _dt.date)
+            try:
+                if _is_dateobj(a) and bd.startswith("datetime64"):
+                    a = pd.to_datetime(a).astype("datetime64[us]")
+                    b = b.astype("datetime64[us]")
+                    ad = bd = "datetime64[us]"
+                # tz-aware (e.g. datetime64[ns, UTC]) also startswith
+                # "datetime64" but astype to a naive unit raises — treat a
+                # canonicalization failure as a per-column problem, not a
+                # crash of the whole compare run
+                if ad.startswith("datetime64") and bd.startswith("datetime64"):
+                    a, b = a.astype("datetime64[us]"), b.astype("datetime64[us]")
+                    ad = bd = "datetime64[us]"
+            except (TypeError, ValueError) as e:
+                problems.append(
+                    f"col {c}: datetime canonicalization failed ({e}) dtypes {ad} vs {bd}")
+                continue
             if ad != bd:
                 problems.append(f"col {c}: dtype mismatch spark={ad} duck={bd} (driver hash would differ)")
                 continue
