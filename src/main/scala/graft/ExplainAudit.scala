@@ -22,7 +22,8 @@ object ExplainAudit {
         "q118_component_split", "q123_novelty_curve", "q125_tpch_q5",
         "q128_tpch_q18", "q129_triangles",
         "q142_mutual_knn_ivf", "q144_clean_corpus_lsh", "q149_video_frames",
-        "q150_bucketed_join", "q151_partition_pruned_scan", "q152_udaf_sql")
+        "q150_bucketed_join", "q151_partition_pruned_scan", "q152_udaf_sql",
+        "q153_source_roundtrip", "q154_dynamic_partition_pruning")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

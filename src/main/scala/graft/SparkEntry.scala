@@ -1404,6 +1404,63 @@ object SparkEntry {
         ORDER BY l_returnflag, rank""")
     }),
 
+    "q153_source_roundtrip" -> ((s, dir) => {
+      // Source/sink coverage as a driver fact: documents written to ORC
+      // and JSON-lines (Engine.writeOrc/writeJson), read back through
+      // Engine.readOrc/readJson, and emitted verbatim — the hash match
+      // against the parquet original proves BOTH round trips lossless
+      // (ids, multi-byte text, short strings), so a lake standardized on
+      // either format gets identical engine semantics. Parquet/CSV are
+      // covered elsewhere (every query reads parquet; read-csv is the
+      // reference-parity path in SourcesSpec).
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val docs = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), col("text"), col("lang")))
+      Engine.writeOrc(docs, s"$scratch/docs_orc")
+      Engine.writeJson(docs, s"$scratch/docs_json")
+      val orc = Engine.readOrc(s, s"$scratch/docs_orc")
+        .selectCols(Seq(col("doc_id"), col("text").as("text_orc")))
+      val js = Engine.readJson(s, s"$scratch/docs_json")
+        .selectCols(Seq(col("doc_id").cast("long").as("doc_id"),
+          col("text").as("text_json"), col("lang").as("lang_json")))
+      orc.join(js, Seq("doc_id"))
+        .sortBy(Seq(col("doc_id")))
+    }),
+
+    "q154_dynamic_partition_pruning" -> ((s, dir) => {
+      // Dynamic partition pruning as a driver fact: the fact table is
+      // partitioned on event_type (q151's layout, own directory), the dim
+      // side carries the selective filter (category = 'engagement'), and
+      // the partition values to scan are only known AFTER the dim filter
+      // runs — Spark plants a DPP subquery on the scan
+      // (dynamicpruningexpression, asserted in ExplainAuditSpec) and skips
+      // the other categories' directories at runtime. At 100 TB this is
+      // partition pruning for the join-shaped filters static pruning
+      // (q151) cannot see.
+      import s.implicits._
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/events_dpp"
+      Engine.writeParquetPartitioned(
+        t(s, dir, "events").selectCols(Seq(
+          col("event_id"), col("user_id"), col("value"), col("event_type"))),
+        scratch, Seq("event_type"))
+      // the dim must be a real SCAN with a surviving Filter: a literal
+      // LocalRelation is constant-folded before the PartitionPruning rule
+      // runs, leaving no selective predicate for DPP to latch onto
+      Engine.writeParquet(Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "commerce"), ("signup", "account"), ("error", "ops"))
+        .toDF("event_type", "category"), s"$scratch-dim")
+      val dim = s.read.parquet(s"$scratch-dim")
+      s.read.parquet(scratch)
+        .join(dim.filterCol(col("category") === "engagement"), Seq("event_type"))
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value")))
+        .sortBy(Seq(col("event_type")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -2672,6 +2729,26 @@ object SparkEntry {
            c.corr
          FROM r JOIN c USING (l_returnflag)
          WHERE rnk <= 3 ORDER BY l_returnflag, rank""",
+
+    // The storage format changes the bytes, not the rows: both round-trip
+    // columns must equal the parquet original verbatim.
+    "q153_source_roundtrip" ->
+      """SELECT doc_id, text AS text_orc, text AS text_json,
+           lang AS lang_json
+         FROM documents ORDER BY doc_id""",
+
+    // DPP is I/O elision at runtime; the answer equals the plain
+    // dim-filtered join.
+    "q154_dynamic_partition_pruning" ->
+      """WITH dim(event_type, category) AS (VALUES
+           ('click', 'engagement'), ('view', 'engagement'),
+           ('purchase', 'commerce'), ('signup', 'account'), ('error', 'ops'))
+         SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events e JOIN dim d USING (event_type)
+         WHERE d.category = 'engagement'
+         GROUP BY 1 ORDER BY e.event_type""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

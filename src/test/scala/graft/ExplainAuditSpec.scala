@@ -103,6 +103,16 @@ class ExplainAuditSpec extends SparkSpec {
       s"event_type = click is not a PartitionFilter — the scan reads all partitions:\n$formatted")
   }
 
+  test("q154 dynamic partition pruning: the scan carries a DPP subquery on event_type") {
+    // static pruning (q151) can't see join-shaped filters; the plan must
+    // show the runtime pruning expression planted on the partitioned scan
+    val df = SparkEntry.queries("q154_dynamic_partition_pruning")(spark, sfDir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("dynamicpruning"),
+      s"no dynamicpruningexpression on the partitioned scan — DPP did not plan:\n$formatted")
+  }
+
   test("q142 mutual-kNN scale path never broadcasts a corpus-sized frame") {
     // the q117-vs-q142 distinction the whole scale story rests on: every
     // broadcast in q142's plan must be centroid-sized (the nlist-row
