@@ -99,6 +99,25 @@ object Engine {
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Compact a hive-partitioned parquet layout into `dst` with one file
+    * per partition directory — the small-files remediation every
+    * long-lived 100 TB store needs (streaming ingest and fine-grained
+    * backfills fragment partitions; thousands of tiny files turn scan
+    * planning and open() overhead into the bottleneck). Repartitioning BY
+    * the partition columns routes each directory's rows to one task, so
+    * the write emits one file per value combination; everything stays
+    * distributed — no collect, no driver-side file juggling. Compaction
+    * writes to a NEW directory by design: overwriting the source in place
+    * would truncate what the lazy scan still has to read.
+    */
+  def compactPartitionedParquet(spark: SparkSession, src: String, dst: String,
+      partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(src)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dst)
+  }
+
   /** Bucketed + sorted table: rows are hash-distributed into `buckets`
     * files per partition by `bucketCols` at write time. Two tables bucketed
     * the same way join WITHOUT a shuffle (and without a sort, when sorted

@@ -47,6 +47,27 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("src"))
   }
 
+  test("compaction collapses a fragmented partition to one file, same rows") {
+    val dir = tmpDir("graft-compact")
+    import spark.implicits._
+    // 40 rows sprayed across 8 tasks => up to 8 files per partition dir
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.5))
+      .toDF("id", "src", "v").repartition(8)
+    Engine.writeParquetPartitioned(df, s"$dir/frag", Seq("src"))
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/frag/src=a").size > 1, "fixture not fragmented")
+    Engine.compactPartitionedParquet(spark, s"$dir/frag", s"$dir/compact", Seq("src"))
+    // one file per partition directory, identical data
+    assert(parquetFiles(s"$dir/compact/src=a").size == 1)
+    assert(parquetFiles(s"$dir/compact/src=b").size == 1)
+    val before = Engine.readParquet(spark, s"$dir/frag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+    val after = Engine.readParquet(spark, s"$dir/compact")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(after == before)
+  }
+
   test("bucketed tables join without an exchange") {
     import spark.implicits._
     val facts = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
