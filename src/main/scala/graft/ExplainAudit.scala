@@ -23,7 +23,8 @@ object ExplainAudit {
         "q128_tpch_q18", "q129_triangles",
         "q142_mutual_knn_ivf", "q144_clean_corpus_lsh", "q149_video_frames",
         "q150_bucketed_join", "q151_partition_pruned_scan", "q152_udaf_sql",
-        "q153_source_roundtrip", "q154_dynamic_partition_pruning")
+        "q153_source_roundtrip", "q154_dynamic_partition_pruning",
+        "q155_streaming_partitioned_ingest")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -1461,6 +1461,27 @@ object SparkEntry {
         .sortBy(Seq(col("event_type")))
     }),
 
+    "q155_streaming_partitioned_ingest" -> ((s, dir) => {
+      // TRUE streaming run joining the streaming surface to the layout
+      // story: a file-source stream drains events through an exactly-once
+      // FileStreamSink into an event_type-partitioned parquet layout
+      // (Trigger.AvailableNow + checkpoint = the incremental-backfill
+      // invocation that tails a landing zone at 100 TB), then the ingested
+      // store is read back and aggregated — the hash match proves the
+      // streamed layout carries exactly the source rows.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/stream_ingest"
+      EventStreams.runPartitionedIngest(s, s"$dir/events.parquet",
+        s"$scratch/data", s"$scratch/ckpt", Seq("event_type"),
+        Seq("event_id", "user_id", "value", "event_type"))
+      s.read.parquet(s"$scratch/data")
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value")))
+        .sortBy(Seq(col("event_type")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -2749,6 +2770,14 @@ object SparkEntry {
          FROM events e JOIN dim d USING (event_type)
          WHERE d.category = 'engagement'
          GROUP BY 1 ORDER BY e.event_type""",
+
+    // The exactly-once streamed layout must carry exactly the source rows.
+    "q155_streaming_partitioned_ingest" ->
+      """SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -257,6 +257,58 @@ object EventStreams {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** True streaming ingest into a hive-partitioned parquet layout — the
+    * 100 TB pattern that joins the streaming surface to the storage-layout
+    * story: file-source micro-batches → exactly-once `FileStreamSink`
+    * (every committed file listed in the transactional `_spark_metadata`
+    * manifest, so a crashed batch is invisible to readers) →
+    * `partitionBy` directories that q151-style pruned scans read.
+    * `Trigger.AvailableNow` drains everything pending and stops — the
+    * incremental-backfill invocation: re-running with the same
+    * checkpointDir ingests ONLY files that arrived since (offsets live in
+    * the checkpoint), which is how a corpus store tails a landing zone.
+    *
+    * `fresh = true` clears sink + checkpoint first so a verification run
+    * is one complete deterministic ingest (the driver replays it per
+    * round); production backfills pass `fresh = false`.
+    */
+  def runPartitionedIngest(spark: SparkSession, srcParquet: String,
+      dstDir: String, checkpointDir: String, partitionCols: Seq[String],
+      projectCols: Seq[String], fresh: Boolean = true): Unit = {
+    if (fresh) Seq(dstDir, checkpointDir).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(java.nio.file.Files.delete(_)) finally it.close()
+      }
+    }
+    // a file STREAM source lists a directory, not a single file — stage the
+    // source into a landing dir (which is also what the pattern ingests
+    // from in production: files arriving in a landing zone)
+    val src = java.nio.file.Paths.get(srcParquet)
+    val landing =
+      if (java.nio.file.Files.isDirectory(src)) srcParquet
+      else {
+        val l = java.nio.file.Paths.get(checkpointDir + "_landing")
+        java.nio.file.Files.createDirectories(l)
+        java.nio.file.Files.copy(src, l.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        l.toString
+      }
+    val schema = spark.read.parquet(landing).schema
+    val q = spark.readStream.schema(schema).parquet(landing)
+      .select(projectCols.map(col): _*)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partitionCols: _*)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain [[dedupStream]] over a parquet directory synchronously into a
     * memory sink (same pattern as [[runSessionizeSmoke]]). The emitted
     * survivor ROW per key depends on intra-batch order, so callers wanting

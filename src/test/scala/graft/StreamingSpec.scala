@@ -413,4 +413,32 @@ class StreamingSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("runPartitionedIngest: exactly-once partitioned layout, incremental second drain") {
+    import graft.streaming.EventStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/landing"))
+    def land(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      rows.toDF("id", "kind", "v").repartition(1).write.parquet(s"$dir/stage_$name")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage_$name")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$dir/landing/$name.parquet"))
+      }
+    }
+    land("a", Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0)))
+    EventStreams.runPartitionedIngest(spark, s"$dir/landing",
+      s"$dir/data", s"$dir/ckpt", Seq("kind"), Seq("id", "v", "kind"))
+    def read() = spark.read.parquet(s"$dir/data")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(read() == Seq((1L, 1.0, "x"), (2L, 2.0, "y"), (3L, 3.0, "x")))
+    // partition directories exist (the layout q151-style scans prune on)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$dir/data/kind=x")))
+    // a second drain with fresh=false must ingest ONLY the new file: no
+    // re-ingest/duplication of batch a — the checkpoint + manifest
+    // exactly-once contract
+    land("b", Seq((4L, "z", 4.0)))
+    EventStreams.runPartitionedIngest(spark, s"$dir/landing",
+      s"$dir/data", s"$dir/ckpt", Seq("kind"), Seq("id", "v", "kind"), fresh = false)
+    assert(read() == Seq((1L, 1.0, "x"), (2L, 2.0, "y"), (3L, 3.0, "x"), (4L, 4.0, "z")))
+  }
 }
