@@ -219,4 +219,51 @@ object RelationalProps extends Properties("relational") {
       }.toSet
       got == want
     }
+
+  property("animated-GIF codec round trip is lossless for any dims/frames/sampling") =
+    forAll(Gen.choose(1L, 100000L), Gen.choose(1, 12), Gen.choose(1, 12),
+      Gen.choose(1, 6), Gen.choose(1, 4)) { (seed, w, h, nf, everyN) =>
+      val gif = graft.operators.Multimodal.synthAnimGif(seed, w, h, nf)
+      val infos = graft.operators.Multimodal.decodeGifFrameInfos(gif, everyN).get
+      val wantIdx = (0 until nf).filter(_ % everyN == 0)
+      infos.map(_._1) == wantIdx &&
+        infos.forall { case (f, dw, dh, sum) =>
+          val expect = (for { y <- 0 until h; x <- 0 until w }
+            yield (seed * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+          dw == w && dh == h && sum == expect
+        }
+    }
+
+  property("PCM WAV codec round trip is lossless for any length/rate/channels") =
+    forAll(Gen.choose(1L, 100000L), Gen.choose(1, 200), Gen.oneOf(8000, 16000, 44100),
+      Gen.oneOf(1, 2)) { (seed, frames, rate, ch) =>
+      val n = frames * ch
+      val wav = graft.operators.Multimodal.synthPcmWav(seed, n, rate, ch)
+      val (nf, r, c, sum, abs, total) = graft.operators.Multimodal.decodeAudioInfo(wav).get
+      val samples = (0 until n).map(i => (seed * 31 + i * 7) % 65536 - 32768)
+      nf == frames && r == rate && c == ch && total == n &&
+        sum == samples.sum && abs == samples.map(math.abs).sum
+    }
+
+  property("graft_corr_exact is partitioning-invariant and matches the closed form") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(-50, 50), Gen.choose(-50, 50))),
+      Gen.choose(1, 8)) { (rows, parts) =>
+      graft.functions.Udafs.register(spark)
+      val df = spark.createDataFrame(rows.map { case (x, y) => (x.toDouble, y.toDouble) })
+        .toDF("x", "y").repartition(parts)
+      df.createOrReplaceTempView("corr_prop_t")
+      val got = spark.sql("SELECT graft_corr_exact(x, y) FROM corr_prop_t").collect()(0)
+      val n = rows.size.toDouble
+      val xs = rows.map(_._1.toDouble); val ys = rows.map(_._2.toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val vx = n * xs.map(a => a * a).sum - sx * sx
+      val vy = n * ys.map(a => a * a).sum - sy * sy
+      if (vx > 0 && vy > 0) {
+        val expect = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy) /
+          (math.sqrt(vx) * math.sqrt(vy))
+        // integer inputs => dec6 rounding is exact; sums are small => the
+        // double op sequence matches the closed form to fp equality
+        !got.isNullAt(0) && math.abs(got.getDouble(0) - expect) < 1e-12
+      } else got.isNullAt(0)
+    }
 }
