@@ -1482,6 +1482,190 @@ object SparkEntry {
         .sortBy(Seq(col("event_type")))
     }),
 
+    "q156_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shape: top-10 highest-revenue still-shipping orders for
+      // one market segment. Both selective filters sit AT the scans
+      // (segment on customer, date windows on orders/lineitem) and the
+      // reduced dim chain is small enough for AQE to broadcast — the only
+      // real shuffle is the per-order aggregate; top-10 is a TakeOrdered,
+      // not a global sort.
+      val c = t(s, dir, "customer")
+        .filterCol(col("c_mktsegment") === "BUILDING")
+        .selectCols(Seq(col("c_custkey")))
+      val o = t(s, dir, "orders")
+        .filterCol(col("o_orderdate").cast("date") <
+          lit(java.sql.Date.valueOf("1998-07-01")))
+        .selectCols(Seq(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority")))
+      val l = t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >
+          lit(java.sql.Date.valueOf("1998-07-01")))
+      l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .aggregate(Seq(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority")), Seq(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double"), 4).as("revenue")))
+        .sortExprs(Seq(col("revenue").desc, col("l_orderkey").asc))
+        .limitOffset(0, Some(10))
+    }),
+
+    "q157_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 shape: order-priority checking — EXISTS becomes a
+      // left-semi join with a cross-side predicate (an R-flagged line
+      // shipped > 60 days after the order date). The semi join keeps one
+      // row per qualifying order with no dedup pass, and the count
+      // shuffles 5 priority groups, not orders.
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_returnflag") === "R" &&
+            col("l_shipdate").cast("date") >
+              date_add(col("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .aggregate(Seq(col("o_orderpriority")), Seq(
+          count(lit(1)).as("n_orders")))
+        .sortBy(Seq(col("o_orderpriority")))
+    }),
+
+    "q158_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue per customer over one
+      // order-date quarter, nation name resolved through a broadcast dim.
+      // Revenue is decimal-exact; c_acctbal passes through untouched so
+      // both engines emit the identical stored double.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filterCol(col("o_orderdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("o_orderdate").cast("date") <
+            lit(java.sql.Date.valueOf("1997-04-01")))
+      val l = t(s, dir, "lineitem").filterCol(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .aggregate(Seq(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name")), Seq(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double"), 4).as("revenue")))
+        .sortExprs(Seq(col("revenue").desc, col("c_custkey").asc))
+        .limitOffset(0, Some(20))
+    }),
+
+    "q159_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 shape: supplier diversity per (brand, size) — the
+      // part/supplier association distilled from lineitem (distinct pairs,
+      // partial-aggregated before the shuffle), complaint suppliers
+      // removed by a broadcast left-anti join, then COUNT(DISTINCT
+      // suppkey) per group (NOT IN is safe as anti here: s_suppkey is
+      // never null).
+      val assoc = t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_partkey"), col("l_suppkey"))).distinctAll
+      val negSupp = t(s, dir, "supplier")
+        .filterCol(col("s_acctbal") < 0.0)
+        .selectCols(Seq(col("s_suppkey")))
+      val p = t(s, dir, "part")
+        .filterCol(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 7, 14, 23, 36, 45))
+        .selectCols(Seq(col("p_partkey"), col("p_brand"), col("p_size")))
+      assoc.join(broadcast(negSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .aggregate(Seq(col("p_brand"), col("p_size")), Seq(
+          countDistinct(col("l_suppkey")).as("supplier_cnt")))
+        .sortExprs(Seq(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_size").asc))
+    }),
+
+    "q160_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 shape: large-volume orders — a HAVING subquery becomes
+      // a partial-aggregated groupBy producing the qualifying order-key
+      // set, applied back to orders as a left-semi join (keys only through
+      // the shuffle), then the customer/lineitem recombination aggregates
+      // per order. Top-20 by o_totalprice is a TakeOrdered.
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val big = l.aggregate(Seq(col("l_orderkey")), Seq(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q")))
+        .filterCol(col("q") > 250)
+        .selectCols(Seq(col("l_orderkey").as("big_orderkey")))
+      o.join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .aggregate(Seq(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice")), Seq(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty")))
+        .sortExprs(Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .limitOffset(0, Some(20))
+    }),
+
+    "q161_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 shape: suppliers who were the SOLE R-flag supplier on a
+      // multi-supplier order — EXISTS(other supplier on the order) as a
+      // left-semi self-join and NOT EXISTS(other R-flag supplier) as a
+      // left-anti self-join. Both self-joins shuffle on the same
+      // l_orderkey key, so the exchange is planned once; the supplier dim
+      // broadcasts.
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val l1 = l.filterCol(col("l_returnflag") === "R")
+        .selectCols(Seq(col("l_orderkey"), col("l_suppkey")))
+      val others = l.selectCols(Seq(
+        col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey")))
+      val othersR = l.filterCol(col("l_returnflag") === "R")
+        .selectCols(Seq(
+          col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey")))
+      l1.join(others,
+          col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(othersR,
+          col("l_orderkey") === col("o3_orderkey") &&
+            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .aggregate(Seq(col("s_suppkey"), col("s_name")), Seq(
+          count(lit(1)).as("numwait")))
+        .sortExprs(Seq(col("numwait").desc, col("s_suppkey").asc))
+        .limitOffset(0, Some(10))
+    }),
+
+    "q162_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 shape: bilateral shipping volume between two nations by
+      // ship year. The nation pair predicate is pushed INTO both dim scans
+      // (each side reduced to 2 rows before joining) and the asymmetric
+      // pair filter runs after — so the fact tables only carry rows whose
+      // both endpoints are in the pair set.
+      val pair = Seq("NATION_1", "NATION_2")
+      val n = t(s, dir, "nation")
+      val sn = n.filterCol(col("n_name").isin(pair: _*)).selectCols(Seq(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val cn = n.filterCol(col("n_name").isin(pair: _*)).selectCols(Seq(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+      val l = t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date").between(
+          lit(java.sql.Date.valueOf("1996-01-01")),
+          lit(java.sql.Date.valueOf("1997-12-31"))))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filterCol(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .aggregate(Seq(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).cast("long").as("l_year")), Seq(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_lines")))
+        .sortBy(Seq(col("supp_nation"), col("cust_nation"), col("l_year")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -2778,6 +2962,110 @@ object SparkEntry {
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // Decimal-exact revenue; ORDER BY made total by the unique order key.
+    "q156_tpch_q3" ->
+      """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1998-07-01'
+           AND CAST(l.l_shipdate AS DATE) > DATE '1998-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l.l_orderkey
+         LIMIT 10""",
+
+    // EXISTS with a correlated cross-side date predicate (integer date
+    // arithmetic — exact in both engines).
+    "q157_tpch_q4" ->
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_returnflag = 'R'
+             AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+         GROUP BY 1 ORDER BY o.o_orderpriority""",
+
+    // c_acctbal passes through raw (identical stored double both sides).
+    "q158_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c.c_custkey
+         LIMIT 20""",
+
+    // NOT IN is anti-join-safe here: s_suppkey is never null.
+    "q159_tpch_q16" ->
+      """WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM part p JOIN assoc a ON p.p_partkey = a.l_partkey
+         WHERE p.p_brand <> 'Brand#1'
+           AND p.p_size IN (1, 7, 14, 23, 36, 45)
+           AND a.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""",
+
+    // HAVING subquery on a decimal-exact quantity sum; o_totalprice raw.
+    "q160_tpch_q18" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o.o_totalprice DESC, o.o_orderkey
+         LIMIT 20""",
+
+    // EXISTS + NOT EXISTS self-correlation on the same order key.
+    "q161_tpch_q21" ->
+      """SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY 1, 2
+         ORDER BY numwait DESC, s.s_suppkey
+         LIMIT 10""",
+
+    // Bilateral nation-pair volume by ship year.
+    "q162_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+           AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
