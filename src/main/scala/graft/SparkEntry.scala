@@ -3880,8 +3880,8 @@ object SparkEntry {
          bv AS (SELECT count(*) AS bvocab FROM bc)
          SELECT bi.doc_id AS id, count(*) AS n_bigrams,
            CAST(sum(((uni.ca + bv.bvocab) * 1000000) // (bc.cab + 1)) AS BIGINT) AS surprise_sum,
-           round(CAST(sum(((uni.ca + bv.bvocab) * 1000000) // (bc.cab + 1)) AS DOUBLE)
-             / count(*), 6) AS mean_surprise
+           CAST(sum(((uni.ca + bv.bvocab) * 1000000) // (bc.cab + 1))
+             // count(*) AS BIGINT) AS mean_surprise
          FROM bi JOIN bc USING (ta, tb) JOIN uni ON uni.term = bi.ta CROSS JOIN bv
          GROUP BY bi.doc_id ORDER BY id""",
 

@@ -405,7 +405,9 @@ object Corpus {
     * Integer-exact throughout (floor division, Long sums, one final IEEE
     * mean) — same cross-engine discipline as [[rarityScore]]. Documents
     * with fewer than 2 tokens have no bigrams and are omitted.
-    * Returns (id, n_bigrams, surprise_sum, mean_surprise).
+    * Returns (id, n_bigrams, surprise_sum, mean_surprise) — the mean is
+    * integer floor division (surprise_sum/n_bigrams is already exact in the
+    * output; the floor keeps the decoration engine-portable).
     *
     * Scale shape: bigram/unigram count tables are vocabulary-sized
     * partial-aggregating groupBys; the doc-bigram join hashes on the pair;
@@ -433,8 +435,13 @@ object Corpus {
       .groupBy("id").agg(
         count(lit(1)).alias("n_bigrams"),
         sum(col("surprise")).alias("surprise_sum"))
+      // Floor mean, NOT round(double/n, 6): the sum/count pair above is the
+      // full-precision result; a 6-decimal double mean proved cross-engine
+      // fragile at sf0.1 (round-at-tie on the 7th digit differed between
+      // Spark's BigDecimal HALF_UP and DuckDB), so the decorated mean is
+      // integer floor division — bit-exact in any engine at any scale.
       .withColumn("mean_surprise",
-        round(col("surprise_sum").cast("double") / col("n_bigrams"), 6))
+        expr("surprise_sum DIV n_bigrams"))
   }
 
   /** Hashing-trick TF-IDF featurization (fastText / quality-classifier
