@@ -1666,6 +1666,27 @@ object SparkEntry {
         .sortBy(Seq(col("supp_nation"), col("cust_nation"), col("l_year")))
     }),
 
+    "q163_dup_substr_stats" -> ((s, dir) =>
+      // exact duplicated-substring measurement (Lee et al. ExactSubstr,
+      // distributed): per-doc maximal spans of 8-token windows that repeat
+      // anywhere in the corpus — memorization fuel that document-level
+      // dedup (q31/q33) cannot see when the surrounding text differs
+      Dedup.dupSubstrStats(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(Seq(col("doc_id")))),
+
+    "q164_dup_substr_spans_hashed" -> ((s, dir) =>
+      // the 100 TB configuration of q163: shuffle keys are xxhash64 of the
+      // shingle text (8 bytes through the exchange instead of ~8 words).
+      // The span OUTPUT carries only positions, so the same exact-text SQL
+      // oracle hash-matches — driver-proving the hashed scale path equals
+      // the exact instrument (the q142/q144 pattern)
+      Dedup.dupSubstrSpans(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), k = 8, hashShingles = true)
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(Seq(col("doc_id"), col("span_start")))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3066,6 +3087,72 @@ object SparkEntry {
            AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
          GROUP BY 1, 2, 3
          ORDER BY supp_nation, cust_nation, l_year""",
+
+    // Gaps-and-islands over corpus-duplicated 8-token windows; every count
+    // is integer-exact. Matches TextFns.tokens: lower/trim/split on \s+.
+    "q163_dup_substr_stats" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         n0 AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+         pos AS (
+           SELECT doc_id, i, list_aggregate(toks[i:i+7], 'string_agg', ' ') AS sh
+           FROM n0, LATERAL (SELECT unnest(range(1, n_tokens - 8 + 2)) AS i) u
+           WHERE n_tokens >= 8),
+         dupsh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+         dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dupsh USING (sh)),
+         isl AS (SELECT doc_id, i,
+                  CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 8
+                       THEN 1 ELSE 0 END AS brk
+                 FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         isl2 AS (SELECT doc_id, i,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+                  FROM isl),
+         spans AS (SELECT doc_id, island, min(i) AS s, max(i) + 8 AS e
+                   FROM isl2 GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+                  CAST(max(e - s) AS BIGINT) AS longest_span
+                 FROM spans GROUP BY 1)
+         SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           COALESCE(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+           COALESCE(a.longest_span, CAST(0 AS BIGINT)) AS longest_span,
+           CAST(COALESCE(a.dup_tokens, 0) * 1000000 // d.n_tokens AS BIGINT) AS dup_ppm
+         FROM (SELECT doc_id, n_tokens FROM n0 WHERE n_tokens > 0) d
+         LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // Span rows carry only positions, so the exact-text oracle also proves
+    // the xxhash64-keyed scale configuration (no 64-bit collision at this
+    // corpus size — and none expected below ~2^32 distinct shingles).
+    "q164_dup_substr_spans_hashed" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         n0 AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+         pos AS (
+           SELECT doc_id, i, list_aggregate(toks[i:i+7], 'string_agg', ' ') AS sh
+           FROM n0, LATERAL (SELECT unnest(range(1, n_tokens - 8 + 2)) AS i) u
+           WHERE n_tokens >= 8),
+         dupsh AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1),
+         dp AS (SELECT p.doc_id, p.i FROM pos p JOIN dupsh USING (sh)),
+         isl AS (SELECT doc_id, i,
+                  CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 8
+                       THEN 1 ELSE 0 END AS brk
+                 FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         isl2 AS (SELECT doc_id, i,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+                  FROM isl),
+         spans AS (SELECT doc_id, island, CAST(min(i) AS BIGINT) AS span_start,
+                   CAST(max(i) + 8 AS BIGINT) AS span_end
+                   FROM isl2 GROUP BY 1, 2)
+         SELECT doc_id, span_start, span_end,
+           span_end - span_start AS span_tokens
+         FROM spans
+         ORDER BY doc_id, span_start""",
 
     "q36_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -732,4 +732,82 @@ object Dedup {
       .select(col("id"), col("cid"), col("dup_of").isNull.alias("kept"), col("dup_of"))
     (out, assigned)
   }
+
+  /** Exact duplicated-substring spans — the token-level sibling of document
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": repeated substrings above a length floor are memorization
+    * fuel even when the DOCUMENTS differ). Instead of their suffix array
+    * (single-machine construction), the distributed formulation: every
+    * k-token window is a position-stamped shingle; a shingle occurring more
+    * than once ANYWHERE in the corpus marks all its positions duplicated;
+    * per document, overlapping/adjacent duplicated windows merge into
+    * maximal spans (gaps-and-islands over a PER-DOCUMENT window — never a
+    * global sort). A maximal span of length L means an exact L-token
+    * substring that appears at least twice in the corpus.
+    *
+    * Returns one row per span: (id, span_start, span_end, span_tokens)
+    * with 1-based token positions, end exclusive.
+    *
+    * Scale shape: one partial-aggregated groupBy over shingles for the
+    * duplicate set, one semi join back to positions (both hash on the
+    * shingle — the exchange is shared), then per-doc windows. With
+    * `hashShingles = true` the shuffle key is xxhash64 of the shingle text
+    * (8 bytes instead of ~k words — the 100 TB default; a 64-bit collision
+    * falsely marks one window duplicated, acceptable for corpus hygiene).
+    * The exact-text key is the oracle-replayable instrument.
+    */
+  def dupSubstrSpans(df: DataFrame, id: Column, terms: Column, k: Int,
+      hashShingles: Boolean = false): DataFrame = {
+    require(k >= 2, s"window width k must be >= 2, got $k")
+    val base = df.select(id.alias("id"), terms.alias("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val pos = base.filter(col("n_tokens") >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, n_tokens - $k + 1), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))")))
+      .select(col("id"), (col("pos") + 1).cast("long").alias("i"),
+        (if (hashShingles) xxhash64(col("col")) else col("col")).alias("sh"))
+    val dupsh = pos.groupBy(col("sh")).agg(count(lit(1)).alias("c"))
+      .filter(col("c") > 1).select(col("sh"))
+    val dp = pos.join(dupsh, Seq("sh"), "left_semi").select(col("id"), col("i"))
+    val w = Window.partitionBy(col("id")).orderBy(col("i"))
+    // same-width intervals sorted by start: a new island begins when the
+    // gap to the previous start exceeds k (end = start + k, so gap > k
+    // means the windows neither overlap nor touch)
+    dp.withColumn("brk",
+        when(lag(col("i"), 1).over(w).isNull ||
+          col("i") - lag(col("i"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("i")).alias("span_start"),
+        (max(col("i")) + k).alias("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).alias("span_tokens"))
+  }
+
+  /** Per-document rollup of [[dupSubstrSpans]], reported over EVERY
+    * non-empty document (zero rows for clean docs — the frame downstream
+    * filters consume): span count, duplicated token total, longest span,
+    * and integer parts-per-million duplicated ratio. The removal policy
+    * (drop spans, drop docs over a ppm threshold) stays with the caller —
+    * this is the measurement.
+    */
+  def dupSubstrStats(df: DataFrame, id: Column, terms: Column,
+      k: Int, hashShingles: Boolean = false): DataFrame = {
+    val base = df.select(id.alias("id"), terms.alias("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .select(col("id"), col("n_tokens"))
+    val agg = dupSubstrSpans(df, id, terms, k, hashShingles)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).alias("n_spans"),
+        sum(col("span_tokens")).alias("dup_tokens"),
+        max(col("span_tokens")).cast("long").alias("longest_span"))
+    base.join(agg, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).alias("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).alias("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).alias("longest_span"))
+      .withColumn("dup_ppm", expr("dup_tokens * 1000000L DIV n_tokens"))
+  }
 }

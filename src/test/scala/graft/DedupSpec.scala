@@ -239,6 +239,57 @@ class DedupSpec extends SparkSpec {
     assert(nTrain >= 65 && nTrain <= 95, s"train count $nTrain")
   }
 
+  test("dupSubstrSpans: cross-doc repeated run merges to one maximal span; clean docs absent") {
+    // docs 1 and 2 share tokens "a b c d e" inside different surroundings;
+    // with k=3 the shared windows are (a b c), (b c d), (c d e) — each
+    // repeated across docs, overlapping, so each doc gets ONE merged span
+    // of 5 tokens. doc 3 has no repeated 3-gram.
+    val d = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"),
+      (2L, "z1 a b c d e z2 z3 z4"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSubstrSpans(d, $"doc_id",
+      graft.functions.TextFns.tokens($"text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: tokens 3..7 ("a".."e") => span [3, 8); doc 2: tokens 2..6 => [2, 7)
+    assert(spans.toSeq == Seq((1L, 3L, 8L, 5L), (2L, 2L, 7L, 5L)))
+  }
+
+  test("dupSubstrSpans: disjoint repeats stay separate islands; within-doc repeats count") {
+    // one doc repeating "m n o" at both ends with a long unique middle:
+    // the two occurrences are > k apart, so two spans in the SAME doc
+    val d = Seq(
+      (1L, "m n o u1 u2 u3 u4 u5 m n o")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSubstrSpans(d, $"doc_id",
+      graft.functions.TextFns.tokens($"text"), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(spans.toSeq == Seq((1L, 4L), (9L, 12L)))
+  }
+
+  test("dupSubstrStats: per-doc rollup with zeros for clean docs; hashed path identical") {
+    val d = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"),
+      (2L, "z1 a b c d e z2 z3 z4"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val toks = graft.functions.TextFns.tokens($"text")
+    val stats = Dedup.dupSubstrStats(d, $"doc_id", toks, k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(stats.toSeq == Seq(
+      (1L, 9L, 1L, 5L, 5L, 555555L), // 5/9 duplicated
+      (2L, 9L, 1L, 5L, 5L, 555555L),
+      (3L, 8L, 0L, 0L, 0L, 0L)))
+    val exact = Dedup.dupSubstrSpans(d, $"doc_id", toks, k = 3)
+      .orderBy("id", "span_start").collect().toSeq
+    val hashed = Dedup.dupSubstrSpans(d, $"doc_id", toks, k = 3, hashShingles = true)
+      .orderBy("id", "span_start").collect().toSeq
+    assert(exact == hashed)
+  }
+
   test("componentRepresentatives: best score wins, score ties break to the smaller id") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "component_id")
