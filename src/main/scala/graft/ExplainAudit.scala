@@ -24,7 +24,9 @@ object ExplainAudit {
         "q142_mutual_knn_ivf", "q144_clean_corpus_lsh", "q149_video_frames",
         "q150_bucketed_join", "q151_partition_pruned_scan", "q152_udaf_sql",
         "q153_source_roundtrip", "q154_dynamic_partition_pruning",
-        "q155_streaming_partitioned_ingest")
+        "q155_streaming_partitioned_ingest",
+        "q156_tpch_q3", "q160_tpch_q18", "q161_tpch_q21",
+        "q163_dup_substr_stats", "q164_dup_substr_spans_hashed")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -47,6 +47,38 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** q165's oracle, `rounds` BPE rounds unrolled as CTE triplets
+    * (pair counts -> argmax -> greedy rewrite): mechanically generated so
+    * every round is literally the same SQL — the round count is the only
+    * variable. Mirrors [[graft.operators.Corpus.bpeMerges]] exactly,
+    * including the doubled-separator greedy merge application.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+         FROM (SELECT string_split(sym, ' ') AS toks, wc FROM $prev) t,
+              LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+         GROUP BY 1, 2),
+         m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         s$r AS (SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+             ' ' || m$r.l || '  ' || m$r.r || ' ', ' ' || m$r.l || m$r.r || ' '),
+             '  ', ' ')) AS sym, wc
+          FROM $prev CROSS JOIN m$r)"""
+    }.mkString(",\n         ")
+    val union = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS merge_left, r AS merge_right, cnt AS pair_count FROM m$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+           SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> len(x) > 0)) AS w
+           FROM documents) GROUP BY w),
+       s0 AS (SELECT list_aggregate(string_split(w, ''), 'string_agg', ' ') AS sym, wc FROM w0),
+       $roundCtes
+       SELECT * FROM ($union) ORDER BY merge_round"""
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H Q1. */
   def entry(spark: SparkSession): DataFrame =
     q1Pricing(spark, "/root/testdata/sf0.001")
@@ -1687,6 +1719,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .sortBy(Seq(col("doc_id"), col("span_start")))),
 
+    "q165_bpe_merges" -> ((s, dir) =>
+      // distributed BPE tokenizer training, first 8 merges: the merge
+      // table compounds (round 6 merges 'm'+'er', consuming round 1's
+      // 'er') — proof the greedy rewrite, not just the pair counts, is
+      // exact. All counting/rewriting distributed; 1 argmax row per round
+      // is the only driver state (kmeansFit precedent)
+      Corpus.bpeMerges(t(s, dir, "documents"),
+          TextFns.tokens(col("text")), rounds = 8)
+        .sortBy(Seq(col("merge_round")))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3087,6 +3129,10 @@ object SparkEntry {
            AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
          GROUP BY 1, 2, 3
          ORDER BY supp_nation, cust_nation, l_year""",
+
+    // Unrolled 8-round BPE: same word-frequency state, same doubled-
+    // separator greedy rewrite, same (count desc, left, right) argmax.
+    "q165_bpe_merges" -> bpeOracle(8),
 
     // Gaps-and-islands over corpus-duplicated 8-token windows; every count
     // is integer-exact. Matches TextFns.tokens: lower/trim/split on \s+.

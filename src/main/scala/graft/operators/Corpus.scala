@@ -866,4 +866,75 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
     wins.join(freq, "h").select(col("id"), col("pos"), col("n_docs"))
   }
+
+  /** Distributed BPE merge induction — the first `rounds` merges of
+    * byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch 2016,
+    * the GPT-2/LLaMA tokenizer recipe). Training state is the WORD
+    * VOCABULARY with frequencies (distinct words, not corpus tokens — the
+    * same compaction every real BPE trainer uses), each word as a
+    * space-joined symbol sequence starting at characters. Per round: count
+    * adjacent symbol pairs weighted by word frequency (one
+    * partial-aggregated shuffle over the exploded pairs), take the global
+    * argmax (count desc, then lexicographic (left, right) — deterministic),
+    * and rewrite every word by greedy non-overlapping merge application.
+    *
+    * The single argmax row per round is collected — bounded driver state,
+    * the [[graft.operators.Similarity.kmeansFit]] precedent: the merge
+    * table IS the trainer's driver-side output, while all counting and
+    * rewriting stays distributed.
+    *
+    * Greedy application is exact via DOUBLED separators: in
+    * `' ' + replace(sym, ' ', '  ') + ' '` every symbol owns a boundary
+    * space on each side, so consecutive occurrences of the pair (the
+    * `l == r` chain `a a a a` -> `aa aa`, not `aa a a`) no longer share a
+    * delimiter character and plain left-to-right replace-all equals the
+    * BPE scan. Same expression replays in ANSI SQL, which is what makes
+    * the merge table oracle-checkable end to end.
+    *
+    * Returns (merge_round, merge_left, merge_right, pair_count), one row
+    * per round, ending early if the vocabulary runs out of pairs.
+    *
+    * Scale shape: per round one groupBy over ~|vocab| * avg_word_len pair
+    * rows (narrow: two symbol strings + a count) and one map over the
+    * vocab. The initial vocab aggregation is the only corpus-sized
+    * shuffle. Character splitting is per JVM/UTF-16 code unit, identical
+    * to code points on the BMP text this targets.
+    */
+  def bpeMerges(df: DataFrame, terms: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sym0 = df.select(explode(terms).alias("w"))
+      .groupBy(col("w")).agg(count(lit(1)).alias("wc"))
+      .select(concat_ws(" ", split(col("w"), "")).alias("sym"), col("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var sym = sym0.select(col("sym"), col("wc"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val arr = split(col("sym"), " ")
+      val top = sym.filter(size(arr) > 1)
+        .select(col("wc"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+          (a, b) => struct(a.alias("l"), b.alias("r")))).alias("p"))
+        .groupBy(col("p.l").alias("l"), col("p.r").alias("r"))
+        .agg(sum(col("wc")).alias("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r.toLong, l, rt, cnt))
+        val padded = concat(lit(" "), replace(col("sym"), lit(" "), lit("  ")), lit(" "))
+        val merged = replace(padded, lit(s" $l  $rt "), lit(s" $l$rt "))
+        sym = sym.select(trim(replace(merged, lit("  "), lit(" "))).alias("sym"),
+          col("wc"))
+        r += 1
+      }
+    }
+    sym0.unpersist(blocking = false)
+    spark.createDataFrame(out.toSeq)
+      .toDF("merge_round", "merge_left", "merge_right", "pair_count")
+  }
 }

@@ -491,6 +491,40 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("bpeMerges: frequency argmax, early stop when pairs run out") {
+    // words: ab x2, ac x1 -> pair (a,b) count 2 beats (a,c) count 1;
+    // after both merges every word is one symbol -> stops at 2 of 5 rounds
+    val docs = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    val out = Corpus.bpeMerges(docs, graft.functions.TextFns.tokens($"text"), rounds = 5)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "b", 2L), (2L, "a", "c", 1L)))
+  }
+
+  test("bpeMerges: greedy non-overlapping chain — 'a a a a' merges to 'aa aa', not 'aa a a'") {
+    // the l == r chain is the case a naive replace-all gets wrong (shared
+    // delimiter): word aaaa x3 has 3 overlapping (a,a) pairs -> count 9;
+    // greedy rewrite leaves [aa, aa], so round 2 must merge (aa, aa) — a
+    // buggy rewrite leaving [aa, a, a] would pick (a, a) again by the
+    // lexicographic tie-break
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val out = Corpus.bpeMerges(docs, graft.functions.TextFns.tokens($"text"), rounds = 3)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
+  }
+
+  test("bpeMerges: merged symbols compound across rounds (multi-char merge uses round-1 output)") {
+    // 'er' dominates round 1; round 2's best pair is then (h, er) — the
+    // merged symbol participating as a unit
+    val docs = Seq((1L, "her her her per per xq")).toDF("doc_id", "text")
+    val out = Corpus.bpeMerges(docs, graft.functions.TextFns.tokens($"text"), rounds = 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1L, "e", "r", 5L)))
+    assert(out(1) == ((2L, "h", "er", 3L)))
+  }
+
   test("assignToCentroids: nearest wins, distance ties break to the lower cid") {
     val corpus = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 0.0f)))
       .toDF("id", "v")
