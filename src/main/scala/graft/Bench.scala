@@ -277,6 +277,19 @@ object Bench {
       Corpus.hashedTfIdf(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.tokens(col("text")), dim = 1024)
     }
+    // round-6 corpus ops: dup-substring spans in the hashed scale config
+    // (shingle groupBy + semi join, both linear in corpus tokens) and BPE
+    // merge induction (the vocab aggregation is the only corpus-sized
+    // stage; the fixed rounds iterate over the distinct-word vocabulary,
+    // which grows sublinearly in corpus size)
+    out("dup_substr_hashed") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Dedup.dupSubstrSpans(docs.filter(col("orig_id") < base), col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")), k = 8, hashShingles = true)
+    }
+    out("bpe_merges") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Corpus.bpeMerges(docs.filter(col("orig_id") < base),
+        graft.functions.TextFns.tokens(col("text")), rounds = 4)
+    }
 
     // best-effort temp cleanup (bench correctness does not depend on it)
     try {

@@ -1729,6 +1729,16 @@ object SparkEntry {
           TextFns.tokens(col("text")), rounds = 8)
         .sortBy(Seq(col("merge_round")))),
 
+    "q166_dsir_weights" -> ((s, dir) =>
+      // DSIR-style target-domain selection: English docs as the target
+      // distribution, the whole corpus as raw; per-doc mean scaled
+      // unigram likelihood ratio, ln-free integer-exact, selected =
+      // above parity. The en docs themselves should dominate `selected`
+      Corpus.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(Seq(col("doc_id")))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3133,6 +3143,32 @@ object SparkEntry {
     // Unrolled 8-round BPE: same word-frequency state, same doubled-
     // separator greedy rewrite, same (count desc, left, right) argmax.
     "q165_bpe_merges" -> bpeOracle(8),
+
+    // Same two-stage floor arithmetic: per-token ppb under target/raw,
+    // micro-scaled ratio, per-doc floor mean. All BIGINT.
+    "q166_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, lang = 'en' AS tgt, unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         wc AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t
+           FROM toks GROUP BY w),
+         tot AS (SELECT sum(r) AS tr, sum(t) AS tt, count(*) AS v FROM wc),
+         featw AS (
+           SELECT w,
+             greatest((t + 1) * 1000000000 // (tt + v), 1) * 1000000
+               // greatest((r + 1) * 1000000000 // (tr + v), 1) AS ratio_micro
+           FROM wc CROSS JOIN tot)
+         SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.ratio_micro) AS BIGINT) AS score_sum,
+           CAST(sum(f.ratio_micro) // count(*) AS BIGINT) AS mean_ratio_micro,
+           (sum(f.ratio_micro) // count(*)) >= 1000000 AS selected
+         FROM toks JOIN featw f USING (w)
+         GROUP BY toks.doc_id
+         ORDER BY toks.doc_id""",
 
     // Gaps-and-islands over corpus-duplicated 8-token windows; every count
     // is integer-exact. Matches TextFns.tokens: lower/trim/split on \s+.

@@ -867,6 +867,61 @@ object Corpus {
     wins.join(freq, "h").select(col("id"), col("pos"), col("n_docs"))
   }
 
+  /** DSIR-style importance weights for target-domain data selection (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its tokens
+    * are under the TARGET distribution (e.g. one language, one source,
+    * curated seed data) than under the RAW corpus distribution, then keep
+    * the high scorers. Feature model is add-one-smoothed unigrams, the
+    * paper's hashed-n-gram model with the hashing dropped (the feature
+    * table here is vocab-sized; hash features first if the vocabulary
+    * itself is the bottleneck).
+    *
+    * ln-free, integer-exact (the q80-lift / BM25-rational house rule):
+    * instead of the paper's sum of log-likelihood-ratios, the score is the
+    * floor-mean of per-token SCALED likelihood ratios
+    *   ratio_micro(w) = (ppb_t(w) * 1,000,000) DIV ppb_r(w),
+    *   ppb_x(w) = ((count_x(w) + 1) * unit) DIV (total_x + vocab)
+    * — a monotone rational transform of the same evidence, identical in
+    * any engine. `selected` = mean ratio above parity (1,000,000 micro
+    * units = "this doc is no less target-like than raw-average").
+    *
+    * Requires the target rows to be a SUBSET of `df` (isTarget is a
+    * predicate over df's rows), so count_r >= count_t per token and the
+    * ratio stays bounded by corpus imbalance. Long-range: safe while
+    * total_tokens * unit < 2^63 (~9e9 tokens at the default ppb unit —
+    * shrink `unit` for larger corpora; every quantity floors the same way
+    * in both engines at any unit).
+    *
+    * Scale shape: one vocab-sized partial-aggregated groupBy (token ->
+    * (raw count, target count)), a 1-row totals broadcast, the vocab
+    * weight table joined back to the token stream (broadcast when it
+    * fits, hash join on the token otherwise), one per-doc groupBy.
+    *
+    * Returns (id, n_tokens, score_sum, mean_ratio_micro, selected).
+    */
+  def dsirWeights(df: DataFrame, id: Column, terms: Column,
+      isTarget: Column, unit: Long = 1000000000L): DataFrame = {
+    require(unit > 0, s"unit must be positive, got $unit")
+    val toks = df.select(id.alias("id"), isTarget.alias("tgt"),
+        explode(terms).alias("w"))
+    val wc = toks.groupBy(col("w")).agg(
+      count(lit(1)).alias("r"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).alias("t"))
+    val totals = wc.agg(sum(col("r")).alias("tr"), sum(col("t")).alias("tt"),
+      count(lit(1)).alias("v"))
+    val featw = wc.crossJoin(broadcast(totals))
+      .select(col("w"), expr(
+        s"greatest((t + 1) * ${unit}L DIV (tt + v), 1L) * 1000000L DIV " +
+          s"greatest((r + 1) * ${unit}L DIV (tr + v), 1L)").alias("ratio_micro"))
+    toks.join(featw, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).alias("n_tokens"),
+        sum(col("ratio_micro")).alias("score_sum"))
+      .withColumn("mean_ratio_micro", expr("score_sum DIV n_tokens"))
+      .withColumn("selected", col("mean_ratio_micro") >= 1000000L)
+  }
+
   /** Distributed BPE merge induction — the first `rounds` merges of
     * byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch 2016,
     * the GPT-2/LLaMA tokenizer recipe). Training state is the WORD

@@ -491,6 +491,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("dsirWeights: disjoint-vocab target separates cleanly; shared tokens score parity-ish") {
+    // target vocab {ta tb}, raw-only vocab {ra rb}, one mixed doc:
+    // target docs select, raw-only docs don't, the mixed doc sits between
+    val docs = Seq(
+      (1L, "ta tb ta tb", true), (2L, "tb ta tb ta", true),
+      (3L, "ra rb ra rb", false), (4L, "rb ra rb ra", false),
+      (5L, "ta tb ra rb", false)
+    ).toDF("doc_id", "text", "is_en")
+    val out = Corpus.dsirWeights(docs, $"doc_id",
+      graft.functions.TextFns.tokens($"text"), $"is_en")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 && byId(2L)._3, "pure-target docs must select")
+    assert(!byId(3L)._3 && !byId(4L)._3, "raw-only docs must not select")
+    // the mixed doc scores strictly between the two pure groups
+    assert(byId(5L)._2 > byId(3L)._2 && byId(5L)._2 < byId(1L)._2)
+    // target-only tokens carry a ratio >= parity even though target <= raw
+    assert(byId(1L)._2 > 1000000L)
+  }
+
   test("bpeMerges: frequency argmax, early stop when pairs run out") {
     // words: ab x2, ac x1 -> pair (a,b) count 2 beats (a,c) count 1;
     // after both merges every word is one symbol -> stops at 2 of 5 rounds
