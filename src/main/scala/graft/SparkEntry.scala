@@ -53,7 +53,10 @@ object SparkEntry {
     * variable. Mirrors [[graft.operators.Corpus.bpeMerges]] exactly,
     * including the doubled-separator greedy merge application.
     */
-  private def bpeOracle(rounds: Int): String = {
+  /** Shared CTE chain for the BPE oracles: word-frequency state `s0`, then
+    * per round (pair counts `pN` -> argmax `mN` -> greedy rewrite `sN`).
+    */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS (SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
@@ -66,18 +69,38 @@ object SparkEntry {
              '  ', ' ')) AS sym, wc
           FROM $prev CROSS JOIN m$r)"""
     }.mkString(",\n         ")
-    val union = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS merge_left, r AS merge_right, cnt AS pair_count FROM m$r"
-    }.mkString(" UNION ALL ")
     s"""WITH w0 AS (
          SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
            SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
              x -> len(x) > 0)) AS w
            FROM documents) GROUP BY w),
        s0 AS (SELECT list_aggregate(string_split(w, ''), 'string_agg', ' ') AS sym, wc FROM w0),
-       $roundCtes
+       $roundCtes"""
+  }
+
+  /** q165's oracle, `rounds` BPE rounds unrolled: mechanically generated so
+    * every round is literally the same SQL — the round count is the only
+    * variable. Mirrors [[graft.operators.Corpus.bpeMerges]] exactly,
+    * including the doubled-separator greedy merge application.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val union = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS merge_left, r AS merge_right, cnt AS pair_count FROM m$r"
+    }.mkString(" UNION ALL ")
+    s"""${bpeCtes(rounds)}
        SELECT * FROM ($union) ORDER BY merge_round"""
   }
+
+  /** q167's oracle: the corpus subword histogram after `rounds` merges —
+    * training's final symbol state `sN` exploded and weighted by word
+    * frequency, which is exactly what segmenting the corpus with its own
+    * merge table produces ([[graft.operators.Corpus.bpeSegment]]).
+    */
+  private def bpeVocabOracle(rounds: Int, k: Int): String =
+    s"""${bpeCtes(rounds)}
+       SELECT sub AS subtoken, CAST(sum(wc) AS BIGINT) AS n_occurrences
+       FROM (SELECT unnest(string_split(sym, ' ')) AS sub, wc FROM s$rounds)
+       GROUP BY sub ORDER BY n_occurrences DESC, subtoken LIMIT $k"""
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H Q1. */
   def entry(spark: SparkSession): DataFrame =
@@ -1739,6 +1762,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .sortBy(Seq(col("doc_id")))),
 
+    "q167_bpe_segment" -> ((s, dir) => {
+      // tokenizer INFERENCE closing the train->apply loop: learn q165's 8
+      // merges, segment the corpus with them, emit the top-20 subword
+      // histogram. Collecting the merge table is the tokenizer-artifact
+      // handoff every real pipeline does; the corpus-sized work stays
+      // distributed in both phases
+      val docs = t(s, dir, "documents")
+      val toks = TextFns.tokens(col("text"))
+      val merges = Corpus.bpeMerges(docs, toks, rounds = 8)
+        .orderBy("merge_round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Corpus.bpeSegment(docs, toks, merges)
+        .select(explode(col("subtokens")).as("subtoken"), col("wc"))
+        .aggregate(Seq(col("subtoken")), Seq(sum(col("wc")).as("n_occurrences")))
+        .sortExprs(Seq(col("n_occurrences").desc, col("subtoken").asc))
+        .limitOffset(0, Some(20))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3143,6 +3184,10 @@ object SparkEntry {
     // Unrolled 8-round BPE: same word-frequency state, same doubled-
     // separator greedy rewrite, same (count desc, left, right) argmax.
     "q165_bpe_merges" -> bpeOracle(8),
+
+    // Training's final symbol state IS inference's output on the same
+    // corpus — one oracle covers both directions.
+    "q167_bpe_segment" -> bpeVocabOracle(8, 20),
 
     // Same two-stage floor arithmetic: per-token ppb under target/raw,
     // micro-scaled ratio, per-doc floor mean. All BIGINT.

@@ -981,15 +981,48 @@ object Corpus {
       else {
         val (l, rt, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r.toLong, l, rt, cnt))
-        val padded = concat(lit(" "), replace(col("sym"), lit(" "), lit("  ")), lit(" "))
-        val merged = replace(padded, lit(s" $l  $rt "), lit(s" $l$rt "))
-        sym = sym.select(trim(replace(merged, lit("  "), lit(" "))).alias("sym"),
-          col("wc"))
+        sym = sym.select(applyBpeMerge(col("sym"), l, rt).alias("sym"), col("wc"))
         r += 1
       }
     }
     sym0.unpersist(blocking = false)
     spark.createDataFrame(out.toSeq)
       .toDF("merge_round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** One greedy non-overlapping merge application on a space-joined symbol
+    * string — the doubled-separator rewrite shared by [[bpeMerges]]
+    * (training) and [[bpeSegment]] (inference).
+    */
+  private def applyBpeMerge(sym: Column, l: String, r: String): Column = {
+    val padded = concat(lit(" "), replace(sym, lit(" "), lit("  ")), lit(" "))
+    val merged = replace(padded, lit(s" $l  $r "), lit(s" $l$r "))
+    trim(replace(merged, lit("  "), lit(" ")))
+  }
+
+  /** BPE tokenizer INFERENCE: segment the word vocabulary of a corpus with
+    * a learned merge table ([[bpeMerges]] output, collected — the merge
+    * table is the tokenizer artifact, driver state by definition). Each
+    * merge is applied in rank order as one chained greedy rewrite, so
+    * training and inference are literally the same expression — a corpus
+    * segmented with its own merges reproduces training's final symbol
+    * state exactly.
+    *
+    * Returns (w, wc, subtokens): distinct word, corpus frequency, subword
+    * sequence. Downstream: explode subtokens weighted by wc for the corpus
+    * subword histogram, or join words back to documents for per-doc
+    * subword streams. All distributed work is one vocab aggregation plus a
+    * narrow map — merge count only deepens the projection.
+    */
+  def bpeSegment(df: DataFrame, terms: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = df.select(explode(terms).alias("w"))
+      .groupBy(col("w")).agg(count(lit(1)).alias("wc"))
+      .select(col("w"), col("wc"),
+        concat_ws(" ", split(col("w"), "")).alias("sym"))
+    val segmented = merges.foldLeft(col("sym")) {
+      case (c, (l, r)) => applyBpeMerge(c, l, r)
+    }
+    vocab.select(col("w"), col("wc"), split(segmented, " ").alias("subtokens"))
   }
 }

@@ -546,6 +546,32 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == ((2L, "h", "er", 3L)))
   }
 
+  test("bpeSegment: rank-ordered merges chain (aaaa -> aa aa -> aaaa); unknown words pass through") {
+    val docs = Seq((1L, "aaaa aab zz")).toDF("doc_id", "text")
+    val toks = graft.functions.TextFns.tokens($"text")
+    val one = Corpus.bpeSegment(docs, toks, Seq(("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(one("aaaa") == Seq("aa", "aa"))
+    assert(one("aab") == Seq("aa", "b"))
+    assert(one("zz") == Seq("z", "z")) // no merge for z: stays at chars
+    val two = Corpus.bpeSegment(docs, toks, Seq(("a", "a"), ("aa", "aa")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(two("aaaa") == Seq("aaaa"))
+  }
+
+  test("bpeSegment with trained merges reproduces training's final symbol state") {
+    val docs = Seq((1L, "her her her per per xq her per")).toDF("doc_id", "text")
+    val toks = graft.functions.TextFns.tokens($"text")
+    val merges = Corpus.bpeMerges(docs, toks, rounds = 3)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = Corpus.bpeSegment(docs, toks, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    // 3 rounds on this vocab: er, her, per all become single symbols
+    assert(seg("her").length == 1 && seg("per").length == 1)
+    assert(seg("xq") == Seq("x", "q"))
+  }
+
   test("assignToCentroids: nearest wins, distance ties break to the lower cid") {
     val corpus = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 0.0f)))
       .toDF("id", "v")
