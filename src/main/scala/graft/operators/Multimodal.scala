@@ -301,12 +301,20 @@ object Multimodal {
     * the moving-picture sibling of [[synthGrayPng]]/[[synthPcmWav]]. Every
     * frame is a full image (no delta/disposal tricks), so `read(i)`
     * returns exactly the raster written for frame i.
+    *
+    * Interlacing is explicitly DISABLED: the JDK GIF writer's default
+    * progressive mode writes interlaced frames, and the interlaced round
+    * trip is lossy for heights 2-4 (tail rows decode as zero — found by
+    * the ScalaCheck dims sweep in PropertySpec, 117/312 small-dim cases).
+    * Sequential frames round-trip losslessly at every size.
     */
   def synthAnimGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
     writer.prepareWriteSequence(null)
     var f = 0
     while (f < nFrames) {
@@ -322,7 +330,7 @@ object Multimodal {
         }
         y += 1
       }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
       f += 1
     }
     writer.endWriteSequence()

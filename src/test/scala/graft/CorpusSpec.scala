@@ -162,8 +162,10 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.bigramSurprise(docs, $"id", split($"text", " "))
       .orderBy("id").collect()
     assert(out.length == 2)
-    assert(out(0) == Row(1L, 2L, 3833333L, 1916666.5))
-    assert(out(1) == Row(2L, 1L, 1333333L, 1333333.0))
+    // mean is integer floor division (engine-portable decoration; the
+    // exact value is the (surprise_sum, n_bigrams) pair)
+    assert(out(0) == Row(1L, 2L, 3833333L, 1916666L))
+    assert(out(1) == Row(2L, 1L, 1333333L, 1333333L))
   }
 
   test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
