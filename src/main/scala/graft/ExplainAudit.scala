@@ -25,7 +25,7 @@ object ExplainAudit {
         "q150_bucketed_join", "q151_partition_pruned_scan", "q152_udaf_sql",
         "q153_source_roundtrip", "q154_dynamic_partition_pruning",
         "q155_streaming_partitioned_ingest",
-        "q156_tpch_q3", "q160_tpch_q18", "q161_tpch_q21",
+        "q156_tpch_q11", "q160_tpch_q15", "q161_tpch_q21",
         "q163_dup_substr_stats", "q164_dup_substr_spans_hashed")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -1537,33 +1537,24 @@ object SparkEntry {
         .sortBy(Seq(col("event_type")))
     }),
 
-    "q156_tpch_q3" -> ((s, dir) => {
-      // TPC-H Q3 shape: top-10 highest-revenue still-shipping orders for
-      // one market segment. Both selective filters sit AT the scans
-      // (segment on customer, date windows on orders/lineitem) and the
-      // reduced dim chain is small enough for AQE to broadcast — the only
-      // real shuffle is the per-order aggregate; top-10 is a TakeOrdered,
-      // not a global sort.
-      val c = t(s, dir, "customer")
-        .filterCol(col("c_mktsegment") === "BUILDING")
-        .selectCols(Seq(col("c_custkey")))
-      val o = t(s, dir, "orders")
-        .filterCol(col("o_orderdate").cast("date") <
-          lit(java.sql.Date.valueOf("1998-07-01")))
-        .selectCols(Seq(col("o_orderkey"), col("o_custkey"),
-          col("o_orderdate"), col("o_orderpriority")))
+    "q156_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 shape (Q3/Q18 are q124/q128): per-group value kept only
+      // when it beats a fraction of the GLOBAL total — the scalar-subquery
+      // HAVING. Both the per-part values and the 1-row total come from the
+      // same decimal-exact aggregate; the total broadcasts (no collect),
+      // so the threshold is evaluated where the groups live.
       val l = t(s, dir, "lineitem")
-        .filterCol(col("l_shipdate").cast("date") >
-          lit(java.sql.Date.valueOf("1998-07-01")))
-      l.join(o.join(c, col("o_custkey") === col("c_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .aggregate(Seq(col("l_orderkey"),
-          col("o_orderdate").cast("date").as("o_orderdate"),
-          col("o_orderpriority")), Seq(
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast("double"), 4).as("revenue")))
-        .sortExprs(Seq(col("revenue").desc, col("l_orderkey").asc))
-        .limitOffset(0, Some(10))
+      val value = l.aggregate(Seq(col("l_partkey")), Seq(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("value")))
+      val total = l.aggregate(Seq.empty, Seq(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total")))
+      value.crossJoin(broadcast(total))
+        .filterCol(col("value") > col("total") * 0.0005)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .selectCols(Seq(col("p_partkey"), col("p_name"), col("value")))
+        .sortExprs(Seq(col("value").desc, col("p_partkey").asc))
     }),
 
     "q157_tpch_q4" -> ((s, dir) => {
@@ -1633,28 +1624,27 @@ object SparkEntry {
           col("p_size").asc))
     }),
 
-    "q160_tpch_q18" -> ((s, dir) => {
-      // TPC-H Q18 shape: large-volume orders — a HAVING subquery becomes
-      // a partial-aggregated groupBy producing the qualifying order-key
-      // set, applied back to orders as a left-semi join (keys only through
-      // the shuffle), then the customer/lineitem recombination aggregates
-      // per order. Top-20 by o_totalprice is a TakeOrdered.
-      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      val big = l.aggregate(Seq(col("l_orderkey")), Seq(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q")))
-        .filterCol(col("q") > 250)
-        .selectCols(Seq(col("l_orderkey").as("big_orderkey")))
-      o.join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .aggregate(Seq(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("o_orderdate"),
-          col("o_totalprice")), Seq(
-          sum(col("l_quantity").cast(DecimalType(18, 2)))
-            .cast("double").as("sum_qty")))
-        .sortExprs(Seq(col("o_totalprice").desc, col("o_orderkey").asc))
-        .limitOffset(0, Some(20))
+    "q160_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 shape (Q18 is q128): top supplier by quarterly revenue —
+      // argmax via scalar subquery, ties INCLUDED (the reason this is not
+      // a LIMIT 1: equality against the broadcast 1-row max keeps every
+      // tied supplier). Revenue and max come off the same decimal-exact
+      // aggregate, so the double equality compares identical bits.
+      val rev = t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_shipdate").cast("date") <
+            lit(java.sql.Date.valueOf("1997-04-01")))
+        .aggregate(Seq(col("l_suppkey")), Seq(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("total_revenue")))
+      val mx = rev.aggregate(Seq.empty, Seq(max(col("total_revenue")).as("m")))
+      rev.crossJoin(broadcast(mx))
+        .filterCol(col("total_revenue") === col("m"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .selectCols(Seq(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 4).as("total_revenue")))
+        .sortBy(Seq(col("s_suppkey")))
     }),
 
     "q161_tpch_q21" -> ((s, dir) => {
@@ -3077,20 +3067,20 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY event_type""",
 
-    // Decimal-exact revenue; ORDER BY made total by the unique order key.
-    "q156_tpch_q3" ->
-      """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
-           o.o_orderpriority,
-           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
-         FROM customer c
-         JOIN orders o ON c.c_custkey = o.o_custkey
-         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-         WHERE c.c_mktsegment = 'BUILDING'
-           AND CAST(o.o_orderdate AS DATE) < DATE '1998-07-01'
-           AND CAST(l.l_shipdate AS DATE) > DATE '1998-07-01'
-         GROUP BY 1, 2, 3
-         ORDER BY revenue DESC, l.l_orderkey
-         LIMIT 10""",
+    // Scalar-subquery HAVING: both sides of the comparison come from the
+    // same decimal-exact sum, surfaced as identical doubles.
+    "q156_tpch_q11" ->
+      """WITH val AS (
+           SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+           FROM lineitem GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM lineitem)
+         SELECT p.p_partkey, p.p_name, v.value
+         FROM val v JOIN part p ON v.l_partkey = p.p_partkey CROSS JOIN tot
+         WHERE v.value > tot.total * 0.0005
+         ORDER BY v.value DESC, p.p_partkey""",
 
     // EXISTS with a correlated cross-side date predicate (integer date
     // arithmetic — exact in both engines).
@@ -3131,20 +3121,21 @@ object SparkEntry {
          GROUP BY 1, 2
          ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""",
 
-    // HAVING subquery on a decimal-exact quantity sum; o_totalprice raw.
-    "q160_tpch_q18" ->
-      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM customer c
-         JOIN orders o ON c.c_custkey = o.o_custkey
-         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-         WHERE o.o_orderkey IN (
-           SELECT l_orderkey FROM lineitem
-           GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
-         GROUP BY 1, 2, 3, 4, 5
-         ORDER BY o.o_totalprice DESC, o.o_orderkey
-         LIMIT 20""",
+    // Argmax by scalar subquery, ties included; the equality compares the
+    // same decimal-exact double on both sides.
+    "q160_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+           GROUP BY 1),
+         mx AS (SELECT max(total_revenue) AS m FROM rev)
+         SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey CROSS JOIN mx
+         WHERE r.total_revenue = mx.m
+         ORDER BY s.s_suppkey""",
 
     // EXISTS + NOT EXISTS self-correlation on the same order key.
     "q161_tpch_q21" ->
