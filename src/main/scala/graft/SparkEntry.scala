@@ -1770,6 +1770,29 @@ object SparkEntry {
         .limitOffset(0, Some(20))
     }),
 
+    "q168_window_frames" -> ((s, dir) => {
+      // the window-FRAME family q132's constructors don't touch: a ROWS
+      // frame (last 3 events per user, total order via the event_id
+      // tie-break) and a RANGE frame (trailing 1 hour on epoch micros —
+      // peer rows included regardless of tie order). Both sums
+      // decimal-exact; one window exchange on user_id serves both frames
+      val ev = t(s, dir, "events")
+        .filterCol(col("user_id") < 2000)
+        .selectCols(Seq(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value")))
+      ev.rollingAgg(Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
+          rowsBefore = 2, Seq(
+          "rows3_dec" -> sum(col("value").cast(DecimalType(18, 6)))))
+        .rollingRangeAgg(Seq(col("user_id")), col("ts_us"), 3600000000L, Seq(
+          "range1h_dec" -> sum(col("value").cast(DecimalType(18, 6))),
+          "range1h_n" -> count(lit(1))))
+        .selectCols(Seq(col("event_id"), col("user_id"), col("ts_us"),
+          col("rows3_dec").cast("double").as("rows3_sum"),
+          col("range1h_dec").cast("double").as("range1h_sum"),
+          col("range1h_n")))
+        .sortBy(Seq(col("user_id"), col("ts_us"), col("event_id")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3179,6 +3202,26 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // ROWS frame ordered totally (event_id tie-break); RANGE frame on the
+    // raw micros includes peers, so tie order cannot matter.
+    "q168_window_frames" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+           FROM events WHERE user_id < 2000)
+         SELECT event_id, user_id, ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rows3_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range1h_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS range1h_n
+         FROM ev
+         ORDER BY user_id, ts_us, event_id""",
 
     // Same two-stage floor arithmetic: per-token ppb under target/raw,
     // micro-scaled ratio, per-doc floor mean. All BIGINT.

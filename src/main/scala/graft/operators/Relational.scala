@@ -86,6 +86,39 @@ object Relational {
     def windowCols(exprs: Seq[Column]): DataFrame =
       df.select(col("*") +: exprs.zipWithIndex.map { case (e, i) => e.alias(s"w$i") }: _*)
 
+    /** Rolling aggregates over a ROWS frame: each `(name, agg)` — `agg` a
+      * BARE aggregate call (`.over` must bind to the aggregate itself, so
+      * cast/round the RESULT column afterwards) — evaluated over the last
+      * `rowsBefore` rows plus the current one, per `group`, in `order`.
+      * The order must be TOTAL within each group (add a unique tie-break
+      * column) or the frame's row set — unlike a RANGE frame — depends on
+      * the sort's tie order. One window exchange on the group keys; frames
+      * never cross partitions, so 100 TB cost is the groupBy-shaped
+      * shuffle plus a per-group sort.
+      */
+    def rollingAgg(group: Seq[Column], order: Seq[Column], rowsBefore: Int,
+        aggs: Seq[(String, Column)]): DataFrame = {
+      require(rowsBefore >= 0, s"rowsBefore must be >= 0, got $rowsBefore")
+      val w = Window.partitionBy(group: _*).orderBy(order: _*)
+        .rowsBetween(-rowsBefore.toLong, Window.currentRow)
+      df.select(col("*") +: aggs.map { case (n, a) => a.over(w).alias(n) }: _*)
+    }
+
+    /** Rolling aggregates over a RANGE frame on a numeric order column
+      * (e.g. epoch micros): rows whose order value lies within `lookback`
+      * of the current row's. RANGE includes ALL peers of a tied order
+      * value, so the result is deterministic even when the order is not
+      * total — the time-window sibling of [[rollingAgg]]. Same bare-
+      * aggregate contract.
+      */
+    def rollingRangeAgg(group: Seq[Column], order: Column, lookback: Long,
+        aggs: Seq[(String, Column)]): DataFrame = {
+      require(lookback >= 0, s"lookback must be >= 0, got $lookback")
+      val w = Window.partitionBy(group: _*).orderBy(order)
+        .rangeBetween(-lookback, Window.currentRow)
+      df.select(col("*") +: aggs.map { case (n, a) => a.over(w).alias(n) }: _*)
+    }
+
     /** `df/sort` — `src/main.rs:218-223,488`: explicit sort exprs (built via
       * ColFns.sortExpr with asc/desc + nulls ordering).
       * Scale: total sort = range-partitioned shuffle; prefer sortWithinPartitions

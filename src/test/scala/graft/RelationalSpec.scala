@@ -317,6 +317,35 @@ class RelationalSpec extends SparkSpec {
     assert(rows("mean").getString(2) == null)      // non-numeric => null
   }
 
+  test("rollingAgg ROWS frame: last-3 sums per key in total order; frames reset at key change") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 1L, 5.0)
+    ).toDF("k", "seq", "v")
+    val out = df.rollingAgg(Seq($"k"), Seq($"seq"), rowsBefore = 2,
+        Seq("s" -> sum($"v")))
+      .orderBy("k", "seq").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 60.0), ("a", 4L, 90.0),
+      ("b", 1L, 5.0)))
+  }
+
+  test("rollingRangeAgg RANGE frame: lookback window on values, tie peers always included") {
+    // ties at t=20: BOTH rows are peers — each row's frame includes the
+    // other regardless of physical order (the determinism RANGE buys)
+    val df = Seq(
+      (1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 20L, 4.0), (4L, 35L, 8.0)
+    ).toDF("id", "t", "v")
+    val out = df.rollingRangeAgg(Seq(lit(1)), $"t", lookback = 10L,
+        Seq("s" -> sum($"v"), "n" -> count(lit(1))))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1.0, 1L),   // [0, 10]: only itself
+      (2L, 7.0, 3L),   // [10, 20]: row1 + both t=20 peers
+      (3L, 7.0, 3L),   // identical frame for the tied peer
+      (4L, 8.0, 1L)))  // [25, 35]: only itself
+  }
+
   test("explainDf returns the plan as rows") {
     val df = left.filterCol($"k" > 1)
     val plan = df.explainDf().collect().map(_.getString(0)).mkString("\n")
