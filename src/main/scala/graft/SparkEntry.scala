@@ -1793,6 +1793,33 @@ object SparkEntry {
         .sortBy(Seq(col("user_id"), col("ts_us"), col("event_id")))
     }),
 
+    "q169_streaming_upsert" -> ((s, dir) => {
+      // TRUE streaming keyed upsert: the source is staged as 3 parquet
+      // files and drained one file per micro-batch (maxFilesPerTrigger=1),
+      // so the latest-event-per-user store is built across MULTIPLE
+      // merge rounds — each rewriting only its dirty hash buckets via
+      // dynamic partition overwrite (the no-table-format SCD-1 sink).
+      // The hash match proves the multi-batch merge converges to exactly
+      // the batch latest-per-key answer regardless of file order
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/upsert"
+      val landing = s"$scratch/landing"
+      t(s, dir, "events")
+        .selectCols(Seq(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"), col("value")))
+        .repartition(3)
+        .write.mode("overwrite").parquet(landing)
+      EventStreams.runKeyedUpsert(s, landing, s"$scratch/store",
+        s"$scratch/ckpt", keyCol = "user_id", seqCol = "ts_us",
+        tieBreak = "event_id", cols = Seq("event_type", "value"),
+        nBuckets = 16)
+      s.read.parquet(s"$scratch/store")
+        .selectCols(Seq(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value")))
+        .sortBy(Seq(col("user_id")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3202,6 +3229,19 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // The streamed store must equal the batch latest-per-user reduction
+    // (max (ts, event_id) per user — total order, tie-proof).
+    "q169_streaming_upsert" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, ts_us, event_id, event_type, value
+         FROM ev WHERE rn = 1
+         ORDER BY user_id""",
 
     // ROWS frame ordered totally (event_id tie-break); RANGE frame on the
     // raw micros includes peers, so tie order cannot matter.

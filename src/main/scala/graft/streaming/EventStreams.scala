@@ -309,6 +309,84 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming keyed UPSERT (SCD-1 merge) into a plain-parquet keyed store
+    * with NO table format: the store is hash-partitioned by key into
+    * `nBuckets` directories (`bucket = pmod(xxhash64(key), n)`), and each
+    * micro-batch merges ONLY its dirty buckets —
+    *   1. reduce the batch to one row per key (max by `(seq, tieBreak)`,
+    *      deterministic under ties),
+    *   2. read just the bucket directories the batch touches,
+    *   3. union store rows + batch rows and reduce per key again,
+    *   4. write back with DYNAMIC partition overwrite, which replaces
+    *      exactly the dirty `bucket=` directories and leaves the rest of
+    *      the store untouched.
+    * The merge is idempotent (re-running a batch yields the same store)
+    * and order-independent across batches (max-by-seq, not last-writer) —
+    * so foreachBatch retries are safe without a transaction log. At
+    * 100 TB the bucket count is the knob: a batch touching k of n buckets
+    * rewrites k/n of the store; size n so one bucket ~ one task's worth
+    * of parquet.
+    *
+    * `cols` are the payload columns carried per key (key + seq + cols is
+    * the store schema, plus the bucket partition column).
+    */
+  def runKeyedUpsert(spark: SparkSession, srcParquet: String,
+      storeDir: String, checkpointDir: String, keyCol: String, seqCol: String,
+      tieBreak: String, cols: Seq[String], nBuckets: Int = 16,
+      fresh: Boolean = true): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    if (fresh) Seq(storeDir, checkpointDir).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(java.nio.file.Files.delete(_)) finally it.close()
+      }
+    }
+    val schema = spark.read.parquet(srcParquet).schema
+    def latestPerKey(df: DataFrame): DataFrame = {
+      // max_by whole-row over (seq, tieBreak): partial-aggregated per
+      // key, one row through the shuffle — exactDedupAgg's 100 TB shape
+      val payload = struct((Seq(seqCol, tieBreak) ++ cols).map(col): _*)
+      df.groupBy(col(keyCol))
+        .agg(max_by(payload, struct(col(seqCol), col(tieBreak))).alias("p"))
+        .select(col(keyCol) +: (Seq(seqCol, tieBreak) ++ cols).map(c => col(s"p.$c")): _*)
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch:
+      // the multi-batch merge path is the thing under test
+      .parquet(srcParquet)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = latestPerKey(batch.select((Seq(keyCol, seqCol, tieBreak) ++ cols).map(col): _*))
+          .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+          .persist()
+        try {
+          val dirty = b.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0)) // bounded by nBuckets
+          val existingDirs = dirty.map(i => s"$storeDir/bucket=$i")
+            .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+          val merged =
+            if (existingDirs.isEmpty) b
+            else {
+              val existing = spark.read.option("basePath", storeDir)
+                .parquet(existingDirs: _*)
+                .select(b.columns.map(col): _*)
+              latestPerKey(existing.unionByName(b))
+                .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+            }
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(storeDir)
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain [[dedupStream]] over a parquet directory synchronously into a
     * memory sink (same pattern as [[runSessionizeSmoke]]). The emitted
     * survivor ROW per key depends on intra-batch order, so callers wanting
