@@ -1820,6 +1820,49 @@ object SparkEntry {
         .sortBy(Seq(col("user_id")))
     }),
 
+    "q170_compaction" -> ((s, dir) => {
+      // driver-visible small-files compaction: the events store is written
+      // FRAGMENTED (8 files per event_type partition — the steady state a
+      // streaming ingest like q155 drifts into), compacted to one file per
+      // partition (Engine.compactPartitionedParquet — fully distributed,
+      // no driver file juggling), and aggregated from the COMPACTED copy.
+      // The hash match proves compaction preserves content exactly;
+      // SourcesSpec asserts the file-count collapse itself
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/compact"
+      t(s, dir, "events")
+        .selectCols(Seq(col("event_id"), col("user_id"), col("value"),
+          col("event_type")))
+        .repartition(8)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$scratch/fragmented")
+      Engine.compactPartitionedParquet(s, s"$scratch/fragmented",
+        s"$scratch/compacted", Seq("event_type"))
+      s.read.parquet(s"$scratch/compacted")
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n_events"),
+          sum(col("event_id").cast(DecimalType(18, 0))).cast("long").as("sum_ids"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value")))
+        .sortBy(Seq(col("event_type")))
+    }),
+
+    "q171_observed_metrics" -> ((s, dir) => {
+      // Dataset.observe: pipeline telemetry accumulated DURING the pass
+      // (CollectMetrics in the plan) instead of a second scan — how a
+      // 100 TB job reports row counts / null rates / value sums without
+      // re-reading anything. The observation must not change the result
+      // (hash-matched); ObserveSpec asserts the metric values themselves
+      val ev = t(s, dir, "events")
+        .observe("q171_metrics",
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("obs_sum"))
+      ev.filterCol(col("event_type") === "purchase")
+        .aggregate(Seq(col("user_id")), Seq(
+          count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("spend")))
+        .sortBy(Seq(col("user_id")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3229,6 +3272,23 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // Compaction only reorganizes files; the content aggregate is the
+    // plain source aggregate.
+    "q170_compaction" ->
+      """SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(event_id AS DECIMAL(18,0))) AS BIGINT) AS sum_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // observe() must not change the query result.
+    "q171_observed_metrics" ->
+      """SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS spend
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY user_id""",
 
     // The streamed store must equal the batch latest-per-user reduction
     // (max (ts, event_id) per user — total order, tie-proof).

@@ -346,6 +346,20 @@ class RelationalSpec extends SparkSpec {
       (4L, 8.0, 1L)))  // [25, 35]: only itself
   }
 
+  test("observe accumulates metrics during the pass without changing the result") {
+    val obs = new org.apache.spark.sql.Observation("m")
+    val df = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0)).toDF("id", "v")
+      .observe(obs, count(lit(1)).as("n"), sum($"v").as("s"))
+      .filter($"v" > 2.0)
+    // no orderBy here: a global sort's range-sampling pass would scan the
+    // source twice and double the observed counts (real Spark behavior
+    // worth knowing — q171 observes BEFORE its aggregate for this reason)
+    val rows = df.collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(2L, 3L)) // result is the filtered set...
+    val m = obs.get // ...but the metrics saw every scanned row, pre-filter
+    assert(m("n") == 3L && m("s") == 10.0)
+  }
+
   test("explainDf returns the plan as rows") {
     val df = left.filterCol($"k" > 1)
     val plan = df.explainDf().collect().map(_.getString(0)).mkString("\n")
