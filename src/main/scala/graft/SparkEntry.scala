@@ -1863,6 +1863,30 @@ object SparkEntry {
         .sortBy(Seq(col("user_id")))
     }),
 
+    "q172_streaming_trending" -> ((s, dir) => {
+      // TRUE streaming trending: watermarked tumbling-window counts
+      // drained in complete mode, then top-3 event types per hour ranked
+      // batch-side. The hash match proves the streaming aggregation path
+      // equals the batch tumbling counts exactly (q40's windowed family,
+      // now as a streaming driver fact). FileStreamSource needs a
+      // directory — q42's staging idiom
+      val staged = java.nio.file.Files.createTempDirectory("graft_q172")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"g172_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runWindowedTopK(s, staged.toString, qn, "1 hour", k = 3)
+          .selectCols(Seq(
+            unix_micros(col("win_start").cast("timestamp")).as("win_us"),
+            col("event_type"), col("n"), col("rank")))
+          .sortBy(Seq(col("win_us"), col("rank")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3272,6 +3296,19 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // The streamed windowed counts must equal batch tumbling counts;
+    // rank ties break lexicographically.
+    "q172_streaming_trending" ->
+      """WITH w AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win, event_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT win, event_type, n,
+                 row_number() OVER (PARTITION BY win ORDER BY n DESC, event_type) AS rank
+               FROM w)
+         SELECT epoch_us(win) AS win_us, event_type, n, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY win_us, rank""",
 
     // Compaction only reorganizes files; the content aggregate is the
     // plain source aggregate.

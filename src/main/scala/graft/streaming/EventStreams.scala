@@ -244,6 +244,41 @@ object EventStreams {
     }
   }
 
+  /** TRUE streaming run of [[windowedCounts]] with a trending top-k on
+    * top: drain the stream (complete mode — windowed aggregation state is
+    * the stream's whole output), then rank event types per window by
+    * count and keep the top `k` ("what's trending each hour"). The rank
+    * runs batch-side over the drained aggregate — per-window state is
+    * tiny (distinct event types), the stream did the heavy counting.
+    */
+  def runWindowedTopK(spark: SparkSession, parquetPath: String,
+      queryName: String, windowLen: String = "1 hour", k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = windowedCounts(stream, windowLen).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val drained = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    drained
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Streaming exact dedup — ingestion-time dedup for a training pipeline:
     * keep the first row per key, drop later duplicates arriving within the
     * watermark horizon (`dropDuplicatesWithinWatermark`). State is one
