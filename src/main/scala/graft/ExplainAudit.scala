@@ -26,7 +26,8 @@ object ExplainAudit {
         "q153_source_roundtrip", "q154_dynamic_partition_pruning",
         "q155_streaming_partitioned_ingest",
         "q156_tpch_q11", "q160_tpch_q15", "q161_tpch_q21",
-        "q163_dup_substr_stats", "q164_dup_substr_spans_hashed")
+        "q163_dup_substr_stats", "q164_dup_substr_spans_hashed",
+        "q166_dsir_weights", "q168_window_frames", "q170_compaction")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
