@@ -1887,6 +1887,17 @@ object SparkEntry {
       }
     }),
 
+    "q173_cms_heavy_hitters" -> ((s, dir) =>
+      // count-min sketch with an EXACT oracle (portable FNV rows): the
+      // width x depth counter matrix is the bounded-state scale path the
+      // exact vocab-sized count (q58) cannot offer; CMS never undercounts,
+      // and the overestimate column shows exactly which top tokens hit a
+      // collided cell at width=512
+      Corpus.cmsHeavyHitters(t(s, dir, "documents"), col("text"),
+          width = 512, depth = 4, k = 20)
+        .withColumnRenamed("tok", "token")
+        .sortExprs(Seq(col("exact_n").desc, col("token").asc))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3296,6 +3307,47 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // Full sketch replay: per-token FNV (q29's fold), 31-bit reduction,
+    // odd-multiplier row buckets, counter matrix, min-of-rows estimate.
+    "q173_cms_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         hs AS (
+           SELECT tok,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM toks),
+         sh AS (
+           SELECT tok,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+           FROM hs),
+         r0 AS (SELECT tok, ((h % 2147483648) + 2147483648) % 2147483648 AS r FROM sh),
+         cells AS (
+           SELECT u2.row, (r * (2 * u2.row + 1) + u2.row * 7919) % 512 AS bucket
+           FROM r0, LATERAL (SELECT unnest(range(0, 4)) AS row) u2),
+         counters AS (
+           SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM cells GROUP BY 1, 2),
+         top AS (
+           SELECT tok, r, CAST(count(*) AS BIGINT) AS exact_n
+           FROM r0 GROUP BY tok, r
+           ORDER BY exact_n DESC, tok LIMIT 20),
+         probes AS (
+           SELECT tok, exact_n, u3.row,
+             (r * (2 * u3.row + 1) + u3.row * 7919) % 512 AS bucket
+           FROM top, LATERAL (SELECT unnest(range(0, 4)) AS row) u3),
+         est AS (
+           SELECT tok, exact_n, min(c) AS cms_n
+           FROM probes JOIN counters USING (row, bucket) GROUP BY 1, 2)
+         SELECT tok AS token, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(cms_n - exact_n AS BIGINT) AS overestimate
+         FROM est ORDER BY exact_n DESC, token""",
 
     // The streamed windowed counts must equal batch tumbling counts;
     // rank ties break lexicographically.

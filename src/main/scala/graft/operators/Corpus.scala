@@ -867,6 +867,59 @@ object Corpus {
     wins.join(freq, "h").select(col("id"), col("pos"), col("n_docs"))
   }
 
+  /** Count-min-sketch heavy hitters — the BOUNDED-STATE counting sketch
+    * (Cormode & Muthukrishnan 2005) with, unusually, an EXACT oracle: all
+    * hashing is deterministic portable FNV-1a, so the entire sketch —
+    * counter matrix, estimates, overestimates — replays bit-for-bit in
+    * ANSI SQL. The 100 TB story is the state bound: the counter matrix is
+    * `width x depth` cells no matter the vocabulary, reached through one
+    * partial-aggregated groupBy over (row, bucket) — contrast the exact
+    * [[heavyHitters]]-style count whose state is vocab-sized.
+    *
+    * Row hashes derive from ONE 64-bit token hash reduced to 31 bits,
+    * spread by odd multipliers: `bucket_i = (r*(2i+1) + i*7919) mod width`
+    * — overflow-free in int64, hence engine-portable. (Production config:
+    * d independently-seeded xxhash64 rows — stronger independence, not
+    * SQL-replayable; this is the oracle instrument, same split as
+    * dupSubstrSpans' hashShingles.)
+    *
+    * Returns, for the exact top-`k` tokens: (token, exact_n, cms_n,
+    * overestimate) — `cms_n >= exact_n` always (CMS never undercounts),
+    * equality when none of the token's `depth` cells collided.
+    */
+  def cmsHeavyHitters(df: DataFrame, text: Column, width: Int, depth: Int,
+      k: Int): DataFrame = {
+    require(width > 0 && depth > 0 && k > 0,
+      s"width/depth/k must be positive, got $width/$depth/$k")
+    val toks = df.select(explode(arrays_zip(
+        graft.functions.TextFns.tokens(text).alias("tok"),
+        graft.plans.TextExprs.tokenHashes(text, portable = true).alias("h")))
+        .alias("z"))
+      .select(col("z.tok").alias("tok"), col("z.h").alias("h"))
+    val cells = toks.select(pmod(col("h"), lit(2147483648L)).alias("r"),
+        explode(sequence(lit(0), lit(depth - 1))).alias("row"))
+      .select(col("row"),
+        ((col("r") * (col("row") * 2 + 1) + col("row") * 7919) % width)
+          .alias("bucket"))
+    val counters = cells.groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).alias("c"))
+    val top = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).alias("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+      .limit(k)
+    val probes = top.select(col("tok"), col("exact_n"),
+        pmod(col("h"), lit(2147483648L)).alias("r"),
+        explode(sequence(lit(0), lit(depth - 1))).alias("row"))
+      .select(col("tok"), col("exact_n"), col("row"),
+        ((col("r") * (col("row") * 2 + 1) + col("row") * 7919) % width)
+          .alias("bucket"))
+    probes.join(counters, Seq("row", "bucket"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("c")).alias("cms_n"))
+      .select(col("tok"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).alias("overestimate"))
+  }
+
   /** DSIR-style importance weights for target-domain data selection (Xie
     * et al. 2023, "Data Selection for Language Models via Importance
     * Resampling"): score every document by how much more likely its tokens

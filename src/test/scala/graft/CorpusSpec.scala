@@ -493,6 +493,20 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("cmsHeavyHitters: never undercounts; exact at collision-free width; bounded matrix") {
+    val docs = Seq((1L, "a a a a b b b c c d")).toDF("doc_id", "text")
+    // width 2, depth 1: every token collides into 2 cells — estimates must
+    // still be >= exact for every token (CMS's one-sided guarantee)
+    val tiny = Corpus.cmsHeavyHitters(docs, $"text", width = 2, depth = 1, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tiny.length == 4)
+    assert(tiny.forall { case (_, exact, cms, over) => cms >= exact && over == cms - exact })
+    // wide sketch: 4 tokens in 65536 cells -> no collisions, cms == exact
+    val wide = Corpus.cmsHeavyHitters(docs, $"text", width = 65536, depth = 4, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(wide.toSet == Set(("a", 4L, 0L), ("b", 3L, 0L), ("c", 2L, 0L), ("d", 1L, 0L)))
+  }
+
   test("dsirWeights: disjoint-vocab target separates cleanly; shared tokens score parity-ish") {
     // target vocab {ta tb}, raw-only vocab {ra rb}, one mixed doc:
     // target docs select, raw-only docs don't, the mixed doc sits between
