@@ -1898,6 +1898,36 @@ object SparkEntry {
         .withColumnRenamed("tok", "token")
         .sortExprs(Seq(col("exact_n").desc, col("token").asc))),
 
+    "q174_ivfpq_adc" -> ((s, dir) => {
+      // IVFADC — the production ANN composition (coarse cells + PQ over
+      // RESIDUALS + per-cell asymmetric LUTs) with, unusually, an exact
+      // oracle: centroids = first 8 vectors, codebooks = residual
+      // subvectors of the first 16 (the q65/q102 deterministic-fixture
+      // trick), everything in double so both engines run the identical
+      // IEEE sequence. kmeansCentroids + residual-trained codebooks are
+      // the production seeding; this query pins the MACHINERY exactly
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")))
+      val cents = corpus.filterCol(col("id") < 8)
+        .selectCols(Seq(col("id").as("cid"), col("v").as("cv")))
+      val first16 = corpus.filterCol(col("id") < 16)
+      val a16 = Similarity.assignToCentroids(first16, cents)
+        .selectCols(Seq(col("id"), col("cid")))
+      val res16 = first16.join(a16, "id")
+        .join(broadcast(cents), "cid")
+        .selectCols(Seq(col("id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv")))
+      val cb = res16.selectCols(Seq(col("id").as("cbid"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("rv")))
+        .selectCols(Seq(col("sub"), col("cbid").as("cid"),
+          slice(col("rv"), col("sub") * 8 + 1, lit(8)).as("cv")))
+      Similarity.ivfPqAdcTopK(corpus, corpus.filterCol(col("id") < 4),
+          cents, cb, m = 8, subDims = 8, nprobe = 2, k = 5)
+        .withColumn("adist", round(col("adist"), 6))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3307,6 +3337,71 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // Full IVFADC replay: cell argmin, residuals, residual codebooks,
+    // per-(query, probed-cell) LUT, decimal ADC, rank by (adist, id).
+    "q174_ivfpq_adc" ->
+      """WITH e AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         ad AS (
+           SELECT e.id, cent.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i]))) AS d
+           FROM e CROSS JOIN cent),
+         asg AS (
+           SELECT id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM ad) WHERE rn = 1),
+         resid AS (
+           SELECT e.id, asg.cid,
+             list_transform(range(1, 65), i -> e.v[i] - cent.cv[i]) AS rv
+           FROM e JOIN asg USING (id) JOIN cent ON asg.cid = cent.cid),
+         cb AS (
+           SELECT s.sub, r.id AS cid, r.rv[s.sub*8+1 : s.sub*8+8] AS cv
+           FROM resid r, LATERAL (SELECT unnest(range(8)) AS sub) s
+           WHERE r.id < 16),
+         sv AS (
+           SELECT r.id, r.cid AS cell, s.sub, r.rv[s.sub*8+1 : s.sub*8+8] AS sv
+           FROM resid r, LATERAL (SELECT unnest(range(8)) AS sub) s),
+         dall AS (
+           SELECT sv.id, sv.cell, sv.sub, cb.cid,
+             list_sum(list_transform(range(1, 9),
+               i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS d
+           FROM sv JOIN cb ON sv.sub = cb.sub),
+         codes AS (
+           SELECT id, cell, sub, cid AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn
+             FROM dall) WHERE rn = 1),
+         qp AS (
+           SELECT e.id AS q_id, cent.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i]))) AS cd,
+             list_transform(range(1, 65), i -> e.v[i] - cent.cv[i]) AS qres
+           FROM e CROSS JOIN cent WHERE e.id < 4),
+         probed AS (
+           SELECT q_id, cid, qres FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS rn
+             FROM qp) WHERE rn <= 2),
+         qs AS (
+           SELECT q_id, cid AS cell, s.sub, qres[s.sub*8+1 : s.sub*8+8] AS qv
+           FROM probed, LATERAL (SELECT unnest(range(8)) AS sub) s),
+         lut AS (
+           SELECT q_id, qs.cell, qs.sub, cb.cid AS code,
+             list_sum(list_transform(range(1, 9),
+               i -> (qs.qv[i] - cb.cv[i]) * (qs.qv[i] - cb.cv[i]))) AS d
+           FROM qs JOIN cb ON qs.sub = cb.sub),
+         sc AS (
+           SELECT q_id, codes.id AS c_id,
+             CAST(sum(CAST(d AS DECIMAL(30,12))) AS DOUBLE) AS adist
+           FROM codes JOIN lut ON codes.cell = lut.cell
+             AND codes.sub = lut.sub AND codes.code = lut.code
+           GROUP BY 1, 2)
+         SELECT q_id AS query_id, c_id AS neighbor_id,
+           round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
+               FROM sc)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
 
     // Full sketch replay: per-token FNV (q29's fold), 31-bit reduction,
     // odd-multiplier row buckets, counter matrix, min-of-rows estimate.

@@ -468,6 +468,78 @@ object Similarity {
     * Subspace distances are summed as DECIMAL (order-independent) and
     * surfaced as double.
     */
+  /** IVF-PQ ADC top-k — IVFADC (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"), the production-scale ANN
+    * memory layout: a coarse quantizer assigns every vector to a cell,
+    * PQ encodes each vector's RESIDUAL (v - centroid) — residuals are
+    * smaller than raw vectors, so the same codebook budget quantizes
+    * finer — and a query scans only its `nprobe` nearest cells with a
+    * per-(query, cell) asymmetric LUT.
+    *
+    * `centroids` (cid, cv full-dim) and `codebooks` (sub, cid, cv over
+    * residual subvectors) are caller state: [[kmeansCentroids]] +
+    * residual-trained codebooks in production; deterministic first-N
+    * fixtures in the oracle query (q174), which makes even this lossy
+    * structure exactly SQL-replayable.
+    *
+    * Returns (query_id, neighbor_id, adist, rank), rank 1-based by
+    * (adist asc, neighbor_id asc), candidates limited to probed cells.
+    *
+    * Scale shape: corpus-side codes carry (cell, sub, code) — narrow ints
+    * — through ONE equi-join against the broadcast LUT
+    * (q x nprobe x m x |codebook| rows); no vector arithmetic per
+    * candidate; per-query top-k is the bounded-heap partial-merge
+    * aggregator. Subspace distances sum as DECIMAL (order-independent).
+    */
+  def ivfPqAdcTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, m: Int, subDims: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    require(nprobe > 0 && k > 0, s"nprobe and k must be positive, got $nprobe/$k")
+    val cents = centroids.select(col("cid"), col("cv"))
+    val assigned = assignToCentroids(corpus, cents).select(col("id"), col("cid"))
+    val resid = corpus.select(col("id"), col("v")).join(assigned, "id")
+      .join(broadcast(cents), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).alias("rv"))
+    val codes = pqEncode(resid.select(col("id"), col("rv").alias("v")),
+        codebooks, m, subDims)
+      .join(resid.select(col("id"), col("cid")), "id")
+    val probes = queries.select(col("id").alias("q_id"), col("v").alias("qv0"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"), col("qv0"), col("cv"),
+        VectorExprs.l2DistSq(col("qv0"), col("cv")).alias("cd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cd").asc, col("cid").asc)
+    val probed = probes.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cid"),
+        zip_with(col("qv0"), col("cv"), (a, b) => a - b).alias("qres"))
+    val qsubs = probed.select(col("q_id"), col("cid"),
+        explode(sequence(lit(0), lit(m - 1))).alias("sub"), col("qres"))
+      .select(col("q_id"), col("cid"), col("sub"),
+        slice(col("qres"), col("sub") * subDims + 1, lit(subDims)).alias("qsv"))
+    val lut = qsubs.join(
+        codebooks.select(col("sub").alias("l_sub"), col("cid").alias("code"),
+          col("cv").alias("bcv")), col("sub") === col("l_sub"))
+      .select(col("q_id"), col("cid"), col("sub"), col("code"),
+        VectorExprs.l2DistSq(col("qsv"), col("bcv")).alias("d"))
+    val scored = codes
+      .select(col("id").alias("c_id"), col("cid").alias("c_cell"),
+        col("sub").alias("c_sub"), col("code").alias("c_code"))
+      .join(broadcast(lut), col("c_cell") === col("cid") &&
+        col("c_sub") === col("sub") && col("c_code") === col("code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+        .cast("double").alias("adist"))
+    scored
+      .groupBy(col("q_id"))
+      .agg(topK(k, col("c_id"), -col("adist")).alias("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("q_id").alias("query_id"), col("n.id").alias("neighbor_id"),
+        (-col("n.score")).alias("adist"),
+        (col("pos") + 1).cast("long").alias("rank"))
+  }
+
   def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       m: Int, subDims: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -97,6 +97,44 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.8, s"mean recall@5 = $mean")
   }
 
+  test("ivfPqAdcTopK: clustered recall through cells + residual codes; candidates stay in probed cells") {
+    // the q46 cluster fixture: 4 tight clusters, centroids = one point per
+    // cluster, codebooks = residuals of the first 16 points. nprobe=1
+    // routes each query to its own cluster cell; the residual-coded ADC
+    // ranking must still recall the true (brute-force) neighbors well
+    val base = Array.tabulate(4)(c => Array.tabulate(dims)(i => if (i % 4 == c) 1.0 else 0.05))
+    val pts = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, base(c).zipWithIndex.map { case (x, j) => x + 0.01 * ((i * 7 + j) % 5) }.toSeq)
+    }.toDF("id", "v")
+    val cents = pts.filter($"id" < 4)
+      .select($"id".as("cid"), $"v".as("cv"))
+    val a16 = Similarity.assignToCentroids(pts.filter($"id" < 16), cents)
+      .select($"id", $"cid")
+    val res16 = pts.filter($"id" < 16).join(a16, "id")
+      .join(broadcast(cents), "cid")
+      .select($"id", zip_with($"v", $"cv", (a, b) => a - b).as("rv"))
+    val cb = res16.select($"id".as("cbid"),
+        explode(sequence(lit(0), lit(3))).as("sub"), $"rv")
+      .select($"sub", $"cbid".as("cid"),
+        slice($"rv", $"sub" * (dims / 4) + 1, lit(dims / 4)).as("cv"))
+    val queries = pts.filter($"id" < 8)
+    val approx = Similarity.ivfPqAdcTopK(pts, queries, cents, cb,
+      m = 4, subDims = dims / 4, nprobe = 1, k = 5)
+    val exact = Similarity.bruteForceTopK(pts, queries, k = 5)
+    val rec = Similarity.recallAtK(approx, exact).collect().map(_.getDouble(1))
+    assert(rec.length == 8)
+    val mean = rec.sum / rec.length
+    assert(mean > 0.6, s"mean recall@5 through IVF-PQ = $mean")
+    // every candidate really came from the query's probed (single) cell
+    val cellOf = Similarity.assignToCentroids(pts, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    approx.collect().foreach { r =>
+      assert(cellOf(r.getLong(1)) == cellOf(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s probed cell")
+    }
+  }
+
   test("recallAtK arithmetic on a hand-built example") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
     val approx = Seq((1L, 10L), (2L, 99L)).toDF("query_id", "neighbor_id")
