@@ -1928,6 +1928,178 @@ object SparkEntry {
         .sortBy(Seq(col("query_id"), col("rank")))
     }),
 
+    "q175_tpch_q6" -> ((s, dir) =>
+      // TPC-H Q6 shape: pure scan-side revenue probe — every predicate
+      // (date window, discount band, quantity cap) pushes to the parquet
+      // scan, the aggregate is one decimal-exact partial-combined row.
+      // The simplest query worth having: it measures scan + pushdown cost
+      // with zero join noise
+      t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_shipdate").cast("date") <
+            lit(java.sql.Date.valueOf("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .aggregate(Seq.empty, Seq(
+          round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 4))).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_lines")))),
+
+    "q176_tpch_q12" -> ((s, dir) =>
+      // TPC-H Q12 shape: conditional priority counts per line status over
+      // a ship-year window (shipmode isn't in the synthetic schema;
+      // linestatus plays its role). One join, one aggregate, the CASE
+      // pair fused in a single pass
+      t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_shipdate").cast("date") <
+            lit(java.sql.Date.valueOf("1998-01-01")))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .aggregate(Seq(col("l_linestatus")), Seq(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_count")))
+        .sortBy(Seq(col("l_linestatus")))),
+
+    "q177_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 shape: customer order-count DISTRIBUTION including the
+      // zero bucket — the left outer join is the point (an inner join
+      // silently drops orderless customers), counting o_orderkey (not *)
+      // keeps the null rows at zero
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW", "left_outer")
+        .aggregate(Seq(col("c_custkey")), Seq(
+          count(col("o_orderkey")).as("c_count")))
+        .aggregate(Seq(col("c_count")), Seq(count(lit(1)).as("custdist")))
+        .sortExprs(Seq(col("custdist").desc, col("c_count").desc))
+    }),
+
+    "q178_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+      // per-part average becomes a partial-aggregated (sum, count) frame
+      // joined back; the comparison stays in DECIMAL x integer arithmetic
+      // (qty * n * 5 < sum), so no division touches the predicate
+      val l = t(s, dir, "lineitem")
+      val pq = l.aggregate(Seq(col("l_partkey").as("pk")), Seq(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+        count(lit(1)).as("n")))
+      l.join(pq, col("l_partkey") === col("pk"))
+        .filterCol(col("l_quantity").cast(DecimalType(18, 2)) * col("n") * 5 <
+          col("sq"))
+        .aggregate(Seq.empty, Seq(
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double") / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n_small")))
+    }),
+
+    "q179_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 shape: suppliers dominating a part's yearly flow —
+      // nested aggregates ((part, supplier) then part) with the >50%%
+      // condition in integer-decimal arithmetic, semi-ish join resolved
+      // as a count per supplier. Both aggregates partial-combine; the
+      // second reuses the first's output (no rescan)
+      val ps = t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_shipdate").cast("date") <
+            lit(java.sql.Date.valueOf("1998-01-01")))
+        .aggregate(Seq(col("l_partkey"), col("l_suppkey")), Seq(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq")))
+      val pt = ps.aggregate(Seq(col("l_partkey").as("pk")), Seq(
+        sum(col("sq")).as("tq")))
+      ps.join(pt, col("l_partkey") === col("pk"))
+        .filterCol(col("sq") * 2 > col("tq"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .aggregate(Seq(col("s_suppkey"), col("s_name")), Seq(
+          count(lit(1)).as("n_dominant_parts")))
+        .sortExprs(Seq(col("n_dominant_parts").desc, col("s_suppkey").asc))
+        .limitOffset(0, Some(25))
+    }),
+
+    "q180_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 shape: market share — one nation's slice of another
+      // nation's import revenue per year. Both the conditional and total
+      // sums are decimal-exact out of the same aggregate; the share is
+      // ONE double division
+      val n = t(s, dir, "nation")
+      val cn = n.selectCols(Seq(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation")))
+      val sn = n.selectCols(Seq(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filterCol(col("cust_nation") === "NATION_1")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .aggregate(Seq(year(col("o_orderdate").cast("date")).cast("long")
+          .as("o_year")), Seq(
+          sum(when(col("supp_nation") === "NATION_2", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+            .as("nation2_rev"),
+          sum(rev).cast("double").as("total_rev")))
+        .selectCols(Seq(col("o_year"),
+          round(col("nation2_rev") / col("total_rev"), 6).as("mkt_share"),
+          round(col("total_rev"), 4).as("total_rev")))
+        .sortBy(Seq(col("o_year")))
+    }),
+
+    "q181_tpch_q9" -> ((s, dir) =>
+      // TPC-H Q9 shape: product-line profit by supplier nation and year —
+      // the LIKE filter prunes parts BEFORE the fact join, nation/supplier
+      // broadcast, decimal-exact revenue (no ps_supplycost in the
+      // synthetic schema; revenue stands in for profit)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part")
+            .filterCol(col("p_name").like("%widget%"))
+            .selectCols(Seq(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .aggregate(Seq(col("n_name").as("supp_nation"),
+          year(col("o_orderdate").cast("date")).cast("long").as("o_year")), Seq(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double"), 4).as("profit")))
+        .sortExprs(Seq(col("supp_nation").asc, col("o_year").desc))),
+
+    "q182_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 shape: cheapest-supplier-per-part — the correlated MIN
+      // becomes a per-(part, supplier) aggregate and a per-part argmin
+      // (row_number, ties to the lower suppkey). unit_price is one
+      // IEEE division per row, min'd exactly
+      val up = t(s, dir, "lineitem")
+        .filterCol(col("l_quantity") > 0)
+        .aggregate(Seq(col("l_partkey"), col("l_suppkey")), Seq(
+          min(col("l_extendedprice") / col("l_quantity")).as("unit_price")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+        .orderBy(col("unit_price").asc, col("l_suppkey").asc)
+      up.withColumn("rn", row_number().over(w))
+        .filterCol(col("rn") === 1)
+        .join(t(s, dir, "part").filterCol(col("p_size") <= 5),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .selectCols(Seq(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          round(col("unit_price"), 6).as("unit_price")))
+        .sortBy(Seq(col("p_partkey")))
+        .limitOffset(0, Some(30))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3337,6 +3509,118 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // Pure scan probe; both aggregates decimal-exact.
+    "q175_tpch_q6" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    // Conditional counts fused in one aggregate pass.
+    "q176_tpch_q12" ->
+      """SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+         GROUP BY 1 ORDER BY l.l_linestatus""",
+
+    // COUNT(o_orderkey) keeps zero-order customers in the distribution.
+    "q177_tpch_q13" ->
+      """WITH co AS (
+           SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+           GROUP BY 1)
+         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+         FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+
+    // The correlated avg comparison stays division-free:
+    // qty * n * 5 < sum, all DECIMAL x integer.
+    "q178_tpch_q17" ->
+      """WITH pq AS (
+           SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                CAST(COUNT(*) AS BIGINT) AS n_small
+         FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+         WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * pq.n * 5 < pq.sq""",
+
+    // Nested aggregates; >50%% dominance in integer-decimal arithmetic.
+    "q179_tpch_q20" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+           GROUP BY 1, 2),
+         pt AS (SELECT l_partkey, SUM(sq) AS tq FROM ps GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+         FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+         JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+         WHERE ps.sq * 2 > pt.tq
+         GROUP BY 1, 2
+         ORDER BY n_dominant_parts DESC, s.s_suppkey
+         LIMIT 25""",
+
+    // Share = one double division of two decimal-exact sums.
+    "q180_tpch_q8" ->
+      """WITH base AS (
+           SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation2_rev,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+           WHERE cn.n_name = 'NATION_1'
+           GROUP BY 1)
+         SELECT o_year, round(nation2_rev / total_rev, 6) AS mkt_share,
+                round(total_rev, 4) AS total_rev
+         FROM base ORDER BY o_year""",
+
+    // LIKE-pruned part dim feeding the fact join.
+    "q181_tpch_q9" ->
+      """SELECT sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE p.p_name LIKE '%widget%'
+         GROUP BY 1, 2
+         ORDER BY supp_nation, o_year DESC""",
+
+    // Correlated MIN as per-part argmin; one IEEE division per row.
+    "q182_tpch_q2" ->
+      """WITH up AS (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+           FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+         best AS (
+           SELECT l_partkey, l_suppkey, unit_price,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+           FROM up)
+         SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+                round(b.unit_price, 6) AS unit_price
+         FROM best b
+         JOIN part p ON b.l_partkey = p.p_partkey
+         JOIN supplier s ON b.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE b.rn = 1 AND p.p_size <= 5
+         ORDER BY p.p_partkey
+         LIMIT 30""",
 
     // Full IVFADC replay: cell argmin, residuals, residual codebooks,
     // per-(query, probed-cell) LUT, decimal ADC, rank by (adist, id).
