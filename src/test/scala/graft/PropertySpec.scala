@@ -266,4 +266,119 @@ object RelationalProps extends Properties("relational") {
         !got.isNullAt(0) && math.abs(got.getDouble(0) - expect) < 1e-12
       } else got.isNullAt(0)
     }
+
+  /** Reference BPE trainer (naive in-memory Sennrich): same argmax
+    * (count desc, then lexicographic pair) and the same greedy
+    * left-to-right non-overlapping rewrite the operator claims.
+    */
+  private def refBpe(words: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var vocab: Map[Seq[String], Long] = wc.map { case (w, c) => w.map(_.toString) -> c }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rt), c) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+        out += ((l, rt, c))
+        vocab = vocab.map { case (syms, n) =>
+          val m = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+              m += (l + rt); i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          m.toSeq -> n
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+
+  property("bpeMerges equals the reference trainer on random small vocabularies") =
+    forAll(Gen.nonEmptyListOf(wordGen), Gen.choose(1, 4)) { (words, rounds) =>
+      import spark.implicits._
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.operators.Corpus.bpeMerges(docs,
+          graft.functions.TextFns.tokens($"text"), rounds)
+        .orderBy("merge_round").collect()
+        .map(x => (x.getString(1), x.getString(2), x.getLong(3))).toSeq
+      got == refBpe(words, rounds)
+    }
+
+  property("dupSubstrSpans equals the brute-force duplicated-window island model") =
+    forAll(Gen.choose(2, 4).flatMap(n => Gen.listOfN(n,
+        Gen.choose(4, 16).flatMap(m => Gen.listOfN(m, Gen.oneOf("x", "y", "z"))))),
+      Gen.choose(2, 4)) { (docToks, k) =>
+      import spark.implicits._
+      val docs = docToks.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      val model: Set[(Long, Long, Long)] = {
+        val grams = docs.flatMap { case (id, text) =>
+          val t = text.split(" ").toSeq
+          (0 to t.length - k).map(i => (id, i + 1, t.slice(i, i + k).mkString(" ")))
+        }
+        val cnt = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+        grams.filter(g => cnt(g._3) >= 2).groupBy(_._1).flatMap { case (id, ps) =>
+          val pos = ps.map(_._2.toLong).sorted
+          val islands = pos.foldLeft(List.empty[List[Long]]) {
+            case (Nil, p) => List(List(p))
+            case (h :: t, p) =>
+              if (p - h.head > k) List(p) :: h :: t else (p :: h) :: t
+          }.map(_.reverse).reverse
+          islands.map(is => (id, is.head, is.last + k))
+        }.toSet
+      }
+      val got = graft.operators.Dedup.dupSubstrSpans(docs.toDF("doc_id", "text"),
+          $"doc_id", graft.functions.TextFns.tokens($"text"), k)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      got == model
+    }
+
+  property("cmsHeavyHitters never undercounts any token at any width") =
+    forAll(Gen.nonEmptyListOf(wordGen), Gen.oneOf(2, 7, 64)) { (words, width) =>
+      import spark.implicits._
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val vocabSize = words.distinct.size
+      val out = graft.operators.Corpus.cmsHeavyHitters(docs, $"text",
+          width = width, depth = 3, k = vocabSize)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      val exact = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      out.length == vocabSize && out.forall { case (tok, en, cn, over) =>
+        en == exact(tok) && cn >= en && over == cn - en
+      }
+    }
+
+  property("rollingAgg/rollingRangeAgg equal the sliding-window models") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("p", "q"), Gen.choose(0, 30))),
+      Gen.choose(0, 3), Gen.choose(0L, 10L)) { (rows0, rb, look) =>
+      import spark.implicits._
+      // unique (key, seq) via index so the ROWS order is total
+      val rows = rows0.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v.toLong) }
+      val df = rows.toDF("k", "seq", "v")
+      val gotRows = df.rollingAgg(Seq($"k"), Seq($"seq"), rb, Seq("s" -> sum($"v")))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(3))).toSet
+      val wantRows = rows.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.zipWithIndex.map { case ((k, sq, _), i) =>
+          (k, sq, sorted.slice(math.max(0, i - rb), i + 1).map(_._3).sum)
+        }
+      }.toSet
+      val gotRange = df.rollingRangeAgg(Seq($"k"), $"v", look, Seq("s" -> sum($"v")))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(3))).toSet
+      val wantRange = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.map { case (k, sq, v) =>
+          (k, sq, g.filter(o => o._3 >= v - look && o._3 <= v).map(_._3).sum)
+        }
+      }.toSet
+      gotRows == wantRows && gotRange == wantRange
+    }
 }
