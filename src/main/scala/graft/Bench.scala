@@ -290,6 +290,18 @@ object Bench {
       Corpus.bpeMerges(docs.filter(col("orig_id") < base),
         graft.functions.TextFns.tokens(col("text")), rounds = 4)
     }
+    // dsir: vocab-sized feature join, linear in corpus tokens; cms: the
+    // counter matrix stays width x depth cells at EVERY size — the time
+    // series is linear scan cost over constant state
+    out("dsir_weights") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Corpus.dsirWeights(docs.filter(col("orig_id") < base), col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")),
+        pmod(col("doc_id"), lit(3)) === 0)
+    }
+    out("cms_heavy_hitters") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Corpus.cmsHeavyHitters(docs.filter(col("orig_id") < base), col("text"),
+        width = 1024, depth = 4, k = 50)
+    }
 
     // best-effort temp cleanup (bench correctness does not depend on it)
     try {

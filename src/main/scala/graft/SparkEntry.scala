@@ -2104,6 +2104,17 @@ object SparkEntry {
         .limitOffset(0, Some(30))
     }),
 
+    "q183_quality_ensemble" -> ((s, dir) =>
+      // the ensemble gate: gopher structural rules (q113) + DSIR target
+      // affinity (q166) fused into one integer score with an auditable
+      // reason bitmask — a dropped doc SAYS why. Threshold at parity +
+      // all-rules-pass
+      graft.operators.Pipeline.qualityEnsembleGate(
+          t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(Seq(col("doc_id")))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3513,6 +3524,77 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // q113's flag CTEs + q166's ratio CTEs + integer gate arithmetic.
+    "q183_quality_ensemble" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         base AS (
+           SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mwl,
+             len(list_intersect(toks,
+               ['the','and','of','to','a','in','is','that'])) AS stop_hits
+           FROM t),
+         rep AS (
+           SELECT doc_id, MAX(c) AS max_cnt FROM (
+             SELECT doc_id, term, COUNT(*) AS c FROM (
+               SELECT doc_id, unnest(toks) AS term FROM t)
+             GROUP BY doc_id, term)
+           GROUP BY doc_id),
+         flags AS (
+           SELECT b.doc_id, b.n_words,
+             b.n_words >= 20 AND b.n_words <= 80 AS wc_ok,
+             b.mwl >= 4.0 AND b.mwl <= 10.0 AS mwl_ok,
+             b.stop_hits >= 2 AS stop_ok,
+             (CASE WHEN b.n_words > 0
+                   THEN coalesce(CAST(rep.max_cnt AS DOUBLE), 0.0)
+                        / CAST(b.n_words AS DOUBLE)
+                   ELSE 0.0 END) <= 0.2 AS rep_ok
+           FROM base b LEFT JOIN rep ON b.doc_id = rep.doc_id),
+         dtoks AS (
+           SELECT doc_id, lang = 'en' AS tgt, unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         wc AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t
+           FROM dtoks GROUP BY w),
+         tot AS (SELECT sum(r) AS tr, sum(t) AS tt, count(*) AS v FROM wc),
+         featw AS (
+           SELECT w,
+             greatest((t + 1) * 1000000000 // (tt + v), 1) * 1000000
+               // greatest((r + 1) * 1000000000 // (tr + v), 1) AS ratio_micro
+           FROM wc CROSS JOIN tot),
+         dsir AS (
+           SELECT dtoks.doc_id,
+             CAST(sum(f.ratio_micro) // count(*) AS BIGINT) AS mean_ratio_micro
+           FROM dtoks JOIN featw f USING (w)
+           GROUP BY dtoks.doc_id),
+         gate AS (
+           SELECT fl.doc_id, fl.n_words,
+             (CASE WHEN fl.wc_ok THEN 0 ELSE 1 END
+              + CASE WHEN fl.mwl_ok THEN 0 ELSE 2 END
+              + CASE WHEN fl.stop_ok THEN 0 ELSE 4 END
+              + CASE WHEN fl.rep_ok THEN 0 ELSE 8 END) AS reason_mask,
+             (CASE WHEN fl.wc_ok THEN 250000 ELSE 0 END
+              + CASE WHEN fl.mwl_ok THEN 250000 ELSE 0 END
+              + CASE WHEN fl.stop_ok THEN 250000 ELSE 0 END
+              + CASE WHEN fl.rep_ok THEN 250000 ELSE 0 END
+              + greatest(least(d.mean_ratio_micro - 1000000, 250000), -250000))
+               AS gate_score_micros,
+             d.mean_ratio_micro
+           FROM flags fl JOIN dsir d USING (doc_id))
+         SELECT doc_id, n_words,
+           CAST(reason_mask AS BIGINT) AS reason_mask,
+           CAST(gate_score_micros AS BIGINT) AS gate_score_micros,
+           mean_ratio_micro,
+           reason_mask = 0 AND gate_score_micros >= 1000000 AS keep
+         FROM gate ORDER BY doc_id""",
 
     // Pure scan probe; both aggregates decimal-exact.
     "q175_tpch_q6" ->

@@ -152,4 +152,43 @@ object Pipeline {
       .join(packed.select(col("id"), col("seq_id"), col("seq_offset")), "id")
     (out, narrow)
   }
+
+  /** One-number quality gate — the ensemble every production pipeline
+    * eventually converges on: structural health
+    * ([[Corpus.gopherQualityFlags]], 250k micro-points per passing rule)
+    * plus target-domain affinity ([[Corpus.dsirWeights]], the mean
+    * likelihood ratio's distance from parity clamped to ±250k), with an
+    * AUDITABLE reason bitmask (bit 0 wc / 1 mean-word-len / 2 stopwords /
+    * 3 repetition) — when a doc is dropped, the mask says why, which is
+    * what makes gate threshold changes reviewable instead of vibes.
+    * All arithmetic integer-exact; `keep` = no structural failure AND
+    * score at/above `keepThresholdMicros`.
+    *
+    * Scale shape: both components are linear corpus passes (the gopher
+    * repetition rule's (doc, term) aggregate; DSIR's vocab-sized feature
+    * join) glued by one equi-join on the doc id.
+    */
+  def qualityEnsembleGate(df: DataFrame, id: Column, terms: Column,
+      isTarget: Column, keepThresholdMicros: Long = 1000000L): DataFrame = {
+    val g = Corpus.gopherQualityFlags(df, id, terms)
+    val d = Corpus.dsirWeights(df, id, terms, isTarget)
+    g.join(d.select(col("id"), col("mean_ratio_micro")), Seq("id"))
+      .withColumn("reason_mask",
+        when(col("wc_ok"), 0L).otherwise(1L) +
+        when(col("mwl_ok"), 0L).otherwise(2L) +
+        when(col("stop_ok"), 0L).otherwise(4L) +
+        when(col("rep_ok"), 0L).otherwise(8L))
+      .withColumn("gate_score_micros",
+        when(col("wc_ok"), 250000L).otherwise(0L) +
+        when(col("mwl_ok"), 250000L).otherwise(0L) +
+        when(col("stop_ok"), 250000L).otherwise(0L) +
+        when(col("rep_ok"), 250000L).otherwise(0L) +
+        greatest(least(col("mean_ratio_micro") - 1000000L, lit(250000L)),
+          lit(-250000L)))
+      .withColumn("keep",
+        col("reason_mask") === 0L &&
+          col("gate_score_micros") >= keepThresholdMicros)
+      .select(col("id"), col("n_words"), col("reason_mask"),
+        col("gate_score_micros"), col("mean_ratio_micro"), col("keep"))
+  }
 }

@@ -493,6 +493,33 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("qualityEnsembleGate: reason bits name the failed rules; score clamps the DSIR term") {
+    // doc 1: healthy English-ish (20+ words, stopwords, varied) on-target;
+    // doc 2: word-count + stopword failures (reason bits 1|4 = 5);
+    // doc 3: structurally fine but OFF-target vocabulary (clamped malus)
+    val good = "the quick brown foxes jumped over the lazy dogs and then " +
+      "walked that winding path of hills toward a quiet village in the valley"
+    val off = "zzaaa zzbbb zzccc zzddd zzeee zzfff zzggg zzhhh zziii zzjjj " +
+      "zzkkk zzlll zzmmm zznnn zzooo zzppp zzqqq zzrrr zzsss zzttt " +
+      "the and of to a in is that"
+    val docs = Seq(
+      (1L, good, true), (2L, "tiny doc", true), (3L, off, false)
+    ).toDF("doc_id", "text", "is_en")
+    val out = graft.operators.Pipeline.qualityEnsembleGate(docs, $"doc_id",
+        graft.functions.TextFns.tokens($"text"), $"is_en")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 0L && byId(1L)._4, "healthy on-target doc keeps")
+    assert((byId(2L)._2 & 1L) == 1L && (byId(2L)._2 & 4L) == 4L && !byId(2L)._4,
+      "short stopword-free doc fails wc and stopword bits")
+    // doc 3 passes structure (mask 0) but its off-target malus — bounded
+    // by the -250k clamp — drags the score under the keep threshold:
+    // dropped for domain affinity alone, auditable as "no rule failed"
+    assert(byId(3L)._2 == 0L && !byId(3L)._4)
+    assert(byId(3L)._3 < 1000000L && byId(3L)._3 >= 750000L)
+  }
+
   test("cmsHeavyHitters: never undercounts; exact at collision-free width; bounded matrix") {
     val docs = Seq((1L, "a a a a b b b c c d")).toDF("doc_id", "text")
     // width 2, depth 1: every token collides into 2 cells — estimates must
