@@ -280,8 +280,12 @@ object Bench {
     // round-6 corpus ops: dup-substring spans in the hashed scale config
     // (shingle groupBy + semi join, both linear in corpus tokens) and BPE
     // merge induction (the vocab aggregation is the only corpus-sized
-    // stage; the fixed rounds iterate over the distinct-word vocabulary,
-    // which grows sublinearly in corpus size)
+    // stage; the fixed rounds iterate over the distinct-word vocabulary).
+    // CAVEAT on the bpe series: the CLEAN corpus salts every 2nd token
+    // with the doc id, so |vocab| grows ~linearly with corpus size here —
+    // the worst case for BPE's per-round vocab pass. Real corpora grow
+    // vocabulary sublinearly (Heaps' law), putting the rounds' cost well
+    // under the initial corpus aggregation.
     out("dup_substr_hashed") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.dupSubstrSpans(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.tokens(col("text")), k = 8, hashShingles = true)
