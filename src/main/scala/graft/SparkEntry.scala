@@ -2115,6 +2115,30 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .sortBy(Seq(col("doc_id")))),
 
+    "q184_length_batching" -> ((s, dir) =>
+      // inference-serving cost report: batches of 8 similar-length docs
+      // (bucket width 16 tokens, descending length within bucket) with
+      // integer padding-waste per batch — the number that decides whether
+      // a serving fleet re-sorts its queue
+      Corpus.lengthBatching(t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokenCount(col("text")), batchSize = 8, bucketWidth = 16)
+        .sortBy(Seq(col("bucket"), col("batch_idx")))),
+
+    "q185_embedding_pool" -> ((s, dir) =>
+      // chunk-embeddings -> document-embedding mean pooling (groups of 4
+      // consecutive vec_ids stand in for a doc's chunks) with L2 norm;
+      // per-dim means decimal-exact, output exploded to scalar rows so
+      // the hash compare sees plain doubles
+      Similarity.meanPoolVectors(
+          t(s, dir, "embeddings").filterCol(col("vec_id") < 256),
+          expr("vec_id DIV 4"), col("embedding"))
+        .selectCols(Seq(col("gid"), col("l2_norm"),
+          posexplode(col("v_pooled")).as(Seq("dim", "pooled"))))
+        .selectCols(Seq(col("gid"), col("dim").cast("long").as("dim"),
+          round(col("pooled"), 6).as("pooled"),
+          round(col("pooled") / col("l2_norm"), 6).as("normalized")))
+        .sortBy(Seq(col("gid"), col("dim")))),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3524,6 +3548,50 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // Same bucket/window arithmetic, all integer.
+    "q184_length_batching" ->
+      """WITH t AS (
+           SELECT doc_id AS id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT id, n, n // 16 AS bucket FROM t WHERE n > 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n DESC, id) AS rn
+               FROM b),
+         g AS (SELECT bucket, (rn - 1) // 8 AS batch_idx,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(n) AS BIGINT) AS max_tokens,
+                 CAST(sum(n) AS BIGINT) AS sum_tokens
+               FROM r GROUP BY 1, 2)
+         SELECT bucket, batch_idx, n_docs, max_tokens, sum_tokens,
+           max_tokens * n_docs AS padded_tokens,
+           max_tokens * n_docs - sum_tokens AS waste_tokens,
+           CAST((max_tokens * n_docs - sum_tokens) * 1000000
+             // (max_tokens * n_docs) AS BIGINT) AS waste_ppm
+         FROM g ORDER BY bucket, batch_idx""",
+
+    // Decimal-exact per-dim means; the norm folds the pooled vector in
+    // dim order (array_agg ORDER BY dim + list_sum = Spark's fold).
+    "q185_embedding_pool" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 256),
+         x AS (
+           SELECT vec_id // 4 AS gid, u.i - 1 AS dim, v[u.i] AS x
+           FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i) u),
+         m AS (
+           SELECT gid, dim,
+             CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS pooled
+           FROM x GROUP BY 1, 2),
+         arr AS (SELECT gid, array_agg(pooled ORDER BY dim) AS vp FROM m GROUP BY 1),
+         nrm AS (SELECT gid, sqrt(list_sum(list_transform(vp, y -> y * y))) AS l2
+                 FROM arr)
+         SELECT m.gid, CAST(m.dim AS BIGINT) AS dim,
+           round(m.pooled, 6) AS pooled,
+           round(m.pooled / nrm.l2, 6) AS normalized
+         FROM m JOIN nrm USING (gid)
+         ORDER BY m.gid, m.dim""",
 
     // q113's flag CTEs + q166's ratio CTEs + integer gate arithmetic.
     "q183_quality_ensemble" ->

@@ -867,6 +867,37 @@ object Corpus {
     wins.join(freq, "h").select(col("id"), col("pos"), col("n_docs"))
   }
 
+  /** Length-bucketed inference batching: group documents into fixed-size
+    * batches of similar token length and report each batch's PADDING
+    * WASTE — the serving-cost number (a batch pads every sequence to its
+    * max, so waste = max*count - sum). Docs are first bucketed by
+    * `n DIV bucketWidth`, then batched WITHIN buckets by descending
+    * length — the window partitions by bucket, never globally (the q60
+    * packing rule: no single-partition sort at scale), and padding within
+    * a batch is bounded by the bucket width by construction.
+    *
+    * Returns one row per batch: (bucket, batch_idx, n_docs, max_tokens,
+    * sum_tokens, padded_tokens, waste_tokens, waste_ppm) — all integer.
+    */
+  def lengthBatching(df: DataFrame, id: Column, nTokens: Column,
+      batchSize: Int, bucketWidth: Int): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0,
+      s"batchSize/bucketWidth must be positive, got $batchSize/$bucketWidth")
+    val base = df.select(id.alias("id"), nTokens.cast("long").alias("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr(s"n DIV $bucketWidth"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col("id").asc)
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(rn - 1) DIV $batchSize"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).alias("n_docs"), max(col("n")).alias("max_tokens"),
+        sum(col("n")).alias("sum_tokens"))
+      .withColumn("padded_tokens", expr("max_tokens * n_docs"))
+      .withColumn("waste_tokens", expr("padded_tokens - sum_tokens"))
+      .withColumn("waste_ppm", expr("waste_tokens * 1000000L DIV padded_tokens"))
+  }
+
   /** Count-min-sketch heavy hitters — the BOUNDED-STATE counting sketch
     * (Cormode & Muthukrishnan 2005) with, unusually, an EXACT oracle: all
     * hashing is deterministic portable FNV-1a, so the entire sketch —

@@ -468,6 +468,34 @@ object Similarity {
     * Subspace distances are summed as DECIMAL (order-independent) and
     * surfaced as double.
     */
+  /** Mean-pool vectors per group with L2 normalization — the
+    * chunk-embeddings -> document-embedding reduction every retrieval
+    * pipeline runs after chunk-level encoding. Per-dimension means are
+    * DECIMAL-exact (order-independent across partitions), the norm is one
+    * correctly-rounded sqrt, and normalization is one IEEE division per
+    * element — so the pooled vectors replay bit-for-bit in SQL.
+    *
+    * Returns (gid, v_pooled array<double>, l2_norm); zero-norm groups keep
+    * the zero vector (normalized output is the caller's division — they
+    * may want to drop or keep zeros).
+    *
+    * Scale shape: one partial-aggregated groupBy over (gid, dim) — rows =
+    * groups x dims, narrow — then one groupBy gid to re-assemble the
+    * array (collect_list bounded by dims).
+    */
+  def meanPoolVectors(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val dims = df.select(group.alias("gid"),
+        posexplode(vec.cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("gid"), col("dim"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+        .cast("double") / count(lit(1))).alias("m"))
+    dims.groupBy(col("gid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s("m")).alias("v_pooled"))
+      .withColumn("l2_norm",
+        sqrt(aggregate(col("v_pooled"), lit(0.0), (acc, x) => acc + x * x)))
+  }
+
   /** IVF-PQ ADC top-k — IVFADC (Jégou, Douze & Schmid 2011, "Product
     * Quantization for Nearest Neighbor Search"), the production-scale ANN
     * memory layout: a coarse quantizer assigns every vector to a cell,

@@ -520,6 +520,21 @@ class CorpusSpec extends SparkSpec {
     assert(byId(3L)._3 < 1000000L && byId(3L)._3 >= 750000L)
   }
 
+  test("lengthBatching: similar lengths batch together, waste is the padding delta") {
+    val docs = Seq((1L, 20L), (2L, 20L), (3L, 18L), (4L, 5L), (5L, 4L))
+      .toDF("id", "n")
+    val out = Corpus.lengthBatching(docs, $"id", $"n", batchSize = 2, bucketWidth = 16)
+      .orderBy("bucket", "batch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      // bucket 0: [5, 4] -> max 5, sum 9, waste 1, 100000 ppm
+      (0L, 0L, 2L, 5L, 9L, 1L, 100000L),
+      // bucket 1: [20, 20] zero waste; [18] alone zero waste
+      (1L, 0L, 2L, 20L, 40L, 0L, 0L),
+      (1L, 1L, 1L, 18L, 18L, 0L, 0L)))
+  }
+
   test("cmsHeavyHitters: never undercounts; exact at collision-free width; bounded matrix") {
     val docs = Seq((1L, "a a a a b b b c c d")).toDF("doc_id", "text")
     // width 2, depth 1: every token collides into 2 cells — estimates must

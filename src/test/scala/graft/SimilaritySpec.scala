@@ -135,6 +135,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("meanPoolVectors: exact per-dim means in dim order, L2 norm of the pooled vector") {
+    val vecs = Seq((0L, Seq(1.0f, 3.0f)), (1L, Seq(3.0f, 5.0f)), (2L, Seq(0.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.meanPoolVectors(vecs, expr("vec_id DIV 2"), $"embedding")
+      .orderBy("gid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    assert(out(0)._2 == Seq(2.0, 4.0)) // means of [1,3] and [3,5]
+    assert(out(0)._3 == math.sqrt(20.0))
+    assert(out(1)._2 == Seq(0.0, 6.0) && out(1)._3 == 6.0) // singleton group
+  }
+
   test("recallAtK arithmetic on a hand-built example") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
     val approx = Seq((1L, 10L), (2L, 99L)).toDF("query_id", "neighbor_id")
