@@ -2139,6 +2139,34 @@ object SparkEntry {
           round(col("pooled") / col("l2_norm"), 6).as("normalized")))
         .sortBy(Seq(col("gid"), col("dim")))),
 
+    "q186_exact_k_sample" -> ((s, dir) =>
+      // eval-set construction: exactly 5 docs per language, picked by the
+      // engine-replayable Knuth hash — reruns, engines, and partition
+      // layouts all select the SAME five
+      t(s, dir, "documents")
+        .exactKSample(col("lang"), col("doc_id"), k = 5)
+        .selectCols(Seq(col("doc_id"), col("lang"), col("sample_rank")))
+        .sortBy(Seq(col("lang"), col("sample_rank")))),
+
+    "q187_corpus_diff" -> ((s, dir) => {
+      // versioned-lake snapshot diff — the one FULL OUTER join in the
+      // suite: v2 derives deterministically from v1 (every 11th doc
+      // removed, every remaining 7th edited, one added doc per 13th),
+      // and every id is classified added/removed/changed/unchanged
+      val v1 = t(s, dir, "documents")
+      val v2base = v1.filterCol(pmod(col("doc_id"), lit(11)) =!= 0)
+        .selectCols(Seq(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2-edit"))).otherwise(col("text"))
+            .as("text")))
+      val v2 = v2base.unionAll(
+        v1.filterCol(pmod(col("doc_id"), lit(13)) === 0)
+          .selectCols(Seq((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text"))))
+      Corpus.corpusDiff(v1, v2, col("doc_id"), col("text"))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3548,6 +3576,38 @@ object SparkEntry {
     // Training's final symbol state IS inference's output on the same
     // corpus — one oracle covers both directions.
     "q167_bpe_segment" -> bpeVocabOracle(8, 20),
+
+    // Same Knuth-hash ordering as q93's oracle.
+    "q186_exact_k_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             (doc_id * 2654435761) % 4294967296 AS hv
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS sample_rank
+           FROM h)
+         SELECT doc_id, lang, sample_rank
+         FROM r WHERE sample_rank <= 5
+         ORDER BY lang, sample_rank""",
+
+    // Same derived v2; FULL OUTER classification.
+    "q187_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2-edit' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents WHERE doc_id % 13 = 0)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.text = v2.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         ORDER BY id""",
 
     // Same bucket/window arithmetic, all integer.
     "q184_length_batching" ->

@@ -867,6 +867,26 @@ object Corpus {
     wins.join(freq, "h").select(col("id"), col("pos"), col("n_docs"))
   }
 
+  /** Snapshot diff between two corpus versions keyed by id: a FULL OUTER
+    * join classifying every id as added / removed / changed / unchanged by
+    * comparing a content witness (`fp`) — the ops report a versioned lake
+    * produces between crawls. At scale pass a 64-bit fingerprint
+    * ([[graft.plans.TextExprs.fingerprint]]) as the witness so the join
+    * carries 8 bytes per side, not documents.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
+      fp: Column): DataFrame = {
+    val o = oldDf.select(id.alias("id"), fp.alias("fp_old"))
+    val n = newDf.select(id.alias("id"), fp.alias("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col("id"), col("status"))
+  }
+
   /** Length-bucketed inference batching: group documents into fixed-size
     * batches of similar token length and report each batch's PADDING
     * WASTE — the serving-cost number (a batch pads every sequence to its

@@ -686,6 +686,25 @@ object Relational {
       * multiplicative hashing; `id * 2654435761 + salt` must stay inside
       * Long (ids < ~2^32) for cross-engine parity.
       */
+    /** Deterministic exactly-k-per-stratum sample — eval-set construction
+      * ("exactly 1000 docs per language"): rank rows within each stratum
+      * by the multiplicative Knuth hash of the id (rerun-, engine- and
+      * partition-layout-independent, the [[graft.operators.Corpus.deterministicShuffle]]
+      * constant) and keep the first `k`. Strata smaller than `k` keep
+      * everything. Appends `sample_rank` (1-based).
+      * One window exchange on the stratum; contrast [[stratifiedSample]]
+      * (rate-based, size-proportional) — this one fixes the COUNT.
+      */
+    def exactKSample(stratum: Column, id: Column, k: Int,
+        salt: Long = 0L): DataFrame = {
+      require(k > 0, s"k must be positive, got $k")
+      val h = pmod(id.cast("long") * lit(2654435761L) + lit(salt),
+        lit(4294967296L))
+      val w = Window.partitionBy(stratum).orderBy(h.asc, id.asc)
+      df.withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= k)
+    }
+
     def hashSample(id: Column, fraction: Double, salt: Long = 0L): DataFrame = {
       require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
       val h = pmod(id.cast("long") * lit(2654435761L) + lit(salt), lit(4294967296L))

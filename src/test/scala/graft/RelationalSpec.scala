@@ -346,6 +346,25 @@ class RelationalSpec extends SparkSpec {
       (4L, 8.0, 1L)))  // [25, 35]: only itself
   }
 
+  test("exactKSample: exactly k per stratum, small strata keep all, layout-independent") {
+    val df = (1L to 20L).map(i => (i, if (i <= 15) "big" else "small")).toDF("id", "s")
+    val out = df.exactKSample($"s", $"id", k = 6)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(out("big").length == 6) // capped at k
+    assert(out("small").length == 5) // stratum smaller than k keeps all
+    val again = df.repartition(7).exactKSample($"s", $"id", k = 6)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == out.values.flatten.toSet, "selection depends on layout")
+  }
+
+  test("corpusDiff: full-outer classification of added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "t")
+    val out = graft.operators.Corpus.corpusDiff(v1, v2, $"id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("observe accumulates metrics during the pass without changing the result") {
     val obs = new org.apache.spark.sql.Observation("m")
     val df = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0)).toDF("id", "v")
