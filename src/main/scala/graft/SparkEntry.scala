@@ -47,14 +47,10 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** q165's oracle, `rounds` BPE rounds unrolled as CTE triplets
-    * (pair counts -> argmax -> greedy rewrite): mechanically generated so
-    * every round is literally the same SQL — the round count is the only
-    * variable. Mirrors [[graft.operators.Corpus.bpeMerges]] exactly,
-    * including the doubled-separator greedy merge application.
-    */
   /** Shared CTE chain for the BPE oracles: word-frequency state `s0`, then
-    * per round (pair counts `pN` -> argmax `mN` -> greedy rewrite `sN`).
+    * per round (pair counts `pN` -> argmax `mN` -> greedy rewrite `sN`;
+    * an empty argmax carries the symbol state through unchanged — the
+    * early-stop case [[graft.operators.Corpus.bpeMerges]] handles).
     */
   private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
@@ -64,10 +60,11 @@ object SparkEntry {
               LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
          GROUP BY 1, 2),
          m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-         s$r AS (SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
-             ' ' || m$r.l || '  ' || m$r.r || ' ', ' ' || m$r.l || m$r.r || ' '),
-             '  ', ' ')) AS sym, wc
-          FROM $prev CROSS JOIN m$r)"""
+         s$r AS (SELECT CASE WHEN m$r.l IS NULL THEN sym
+             ELSE trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+               ' ' || m$r.l || '  ' || m$r.r || ' ', ' ' || m$r.l || m$r.r || ' '),
+               '  ', ' ')) END AS sym, wc
+          FROM $prev LEFT JOIN m$r ON TRUE)"""
     }.mkString(",\n         ")
     s"""WITH w0 AS (
          SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (

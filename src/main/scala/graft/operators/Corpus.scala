@@ -876,13 +876,16 @@ object Corpus {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
       fp: Column): DataFrame = {
-    val o = oldDf.select(id.alias("id"), fp.alias("fp_old"))
-    val n = newDf.select(id.alias("id"), fp.alias("fp_new"))
+    // explicit presence markers: row absence must not be conflated with a
+    // NULL witness value (a null-content row present on both sides is a
+    // comparison, not an add/remove)
+    val o = oldDf.select(id.alias("id"), fp.alias("fp_old"), lit(true).alias("in_old"))
+    val n = newDf.select(id.alias("id"), fp.alias("fp_new"), lit(true).alias("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") === col("fp_new"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("fp_old") <=> col("fp_new"), "unchanged")
           .otherwise("changed"))
       .select(col("id"), col("status"))
   }
@@ -947,15 +950,20 @@ object Corpus {
         graft.plans.TextExprs.tokenHashes(text, portable = true).alias("h")))
         .alias("z"))
       .select(col("z.tok").alias("tok"), col("z.h").alias("h"))
-    val cells = toks.select(pmod(col("h"), lit(2147483648L)).alias("r"),
-        explode(sequence(lit(0), lit(depth - 1))).alias("row"))
-      .select(col("row"),
+    // ONE corpus pass: the vocab-sized (tok, hash, count) aggregate feeds
+    // both the counter matrix (cells weighted by the count — identical to
+    // counting raw occurrences) and the exact top-k, instead of
+    // re-tokenizing the corpus for each
+    val counted = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).alias("exact_n"))
+    val cells = counted.select(pmod(col("h"), lit(2147483648L)).alias("r"),
+        col("exact_n"), explode(sequence(lit(0), lit(depth - 1))).alias("row"))
+      .select(col("row"), col("exact_n"),
         ((col("r") * (col("row") * 2 + 1) + col("row") * 7919) % width)
           .alias("bucket"))
     val counters = cells.groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).alias("c"))
-    val top = toks.groupBy(col("tok"), col("h"))
-      .agg(count(lit(1)).alias("exact_n"))
+      .agg(sum(col("exact_n")).alias("c"))
+    val top = counted
       .orderBy(col("exact_n").desc, col("tok").asc)
       .limit(k)
     val probes = top.select(col("tok"), col("exact_n"),

@@ -26,17 +26,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterative {
 
+  /** The dir this JVM last passed to setCheckpointDir. The stored
+    * SparkContext value is NOT comparable to the caller's string —
+    * setCheckpointDir records a scheme-qualified per-run UUID child
+    * (`file:/dir/<uuid>`), so a startsWith check against the raw dir
+    * never matches and would re-set (and re-mkdir a fresh UUID subdir)
+    * every round. Remembering what WE set last keeps per-loop set-once
+    * semantics while still honoring a caller that switches dirs.
+    */
+  private val lastSetDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Truncate `df`'s lineage eagerly using the mode selected by
     * `checkpointDir` (see object doc). Sets the session's checkpoint dir
-    * on first reliable use; Spark puts each run's files under a
-    * generated subdirectory of `dir`, so concurrent jobs don't collide.
+    * when it differs from the last one set; Spark puts each run's files
+    * under a generated subdirectory of `dir`, so concurrent jobs don't
+    * collide.
     */
   def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-          sc.setCheckpointDir(dir)
+        if (lastSetDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

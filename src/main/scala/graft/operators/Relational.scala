@@ -678,14 +678,6 @@ object Relational {
         .drop("__z")
     }
 
-    /** Deterministic hash sample: keep a row iff a multiplicative hash of
-      * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
-      * across runs, engines, and partitionings (unlike `df.sample`, whose
-      * result depends on partition layout) — the property a training-data
-      * subset needs so downstream runs see the same corpus. Knuth
-      * multiplicative hashing; `id * 2654435761 + salt` must stay inside
-      * Long (ids < ~2^32) for cross-engine parity.
-      */
     /** Deterministic exactly-k-per-stratum sample — eval-set construction
       * ("exactly 1000 docs per language"): rank rows within each stratum
       * by the multiplicative Knuth hash of the id (rerun-, engine- and
@@ -705,6 +697,14 @@ object Relational {
         .filter(col("sample_rank") <= k)
     }
 
+    /** Deterministic hash sample: keep a row iff a multiplicative hash of
+      * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
+      * across runs, engines, and partitionings (unlike `df.sample`, whose
+      * result depends on partition layout) — the property a training-data
+      * subset needs so downstream runs see the same corpus. Knuth
+      * multiplicative hashing; `id * 2654435761 + salt` must stay inside
+      * Long (ids < ~2^32) for cross-engine parity.
+      */
     def hashSample(id: Column, fraction: Double, salt: Long = 0L): DataFrame = {
       require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
       val h = pmod(id.cast("long") * lit(2654435761L) + lit(salt), lit(4294967296L))

@@ -307,16 +307,23 @@ object EventStreams {
     * is one complete deterministic ingest (the driver replays it per
     * round); production backfills pass `fresh = false`.
     */
+  /** Recursive delete shared by the fresh-start sinks. */
+  private def deleteRecursively(d: String): Unit = {
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(java.nio.file.Files.delete(_)) finally it.close()
+    }
+  }
+
   def runPartitionedIngest(spark: SparkSession, srcParquet: String,
       dstDir: String, checkpointDir: String, partitionCols: Seq[String],
       projectCols: Seq[String], fresh: Boolean = true): Unit = {
-    if (fresh) Seq(dstDir, checkpointDir).foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        try it.forEach(java.nio.file.Files.delete(_)) finally it.close()
-      }
-    }
+    // the derived staging dir is part of the run's state too: a stale
+    // previously-staged file would otherwise be drained into a "fresh" run
+    if (fresh)
+      Seq(dstDir, checkpointDir, checkpointDir + "_landing")
+        .foreach(deleteRecursively)
     // a file STREAM source lists a directory, not a single file — stage the
     // source into a landing dir (which is also what the pattern ingests
     // from in production: files arriving in a landing zone)
@@ -370,13 +377,7 @@ object EventStreams {
       tieBreak: String, cols: Seq[String], nBuckets: Int = 16,
       fresh: Boolean = true): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    if (fresh) Seq(storeDir, checkpointDir).foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        try it.forEach(java.nio.file.Files.delete(_)) finally it.close()
-      }
-    }
+    if (fresh) Seq(storeDir, checkpointDir).foreach(deleteRecursively)
     val schema = spark.read.parquet(srcParquet).schema
     def latestPerKey(df: DataFrame): DataFrame = {
       // max_by whole-row over (seq, tieBreak): partial-aggregated per
