@@ -357,6 +357,48 @@ object RelationalProps extends Properties("relational") {
       }
     }
 
+  property("meanPoolVectors: exact per-dim means, partitioning-invariant") =
+    forAll(Gen.choose(1, 3), Gen.choose(2, 6),
+      Gen.listOfN(8, Gen.choose(-100, 100)), Gen.choose(1, 6)) { (gs, dims, seeds, parts) =>
+      import spark.implicits._
+      // deterministic small vector set: value = f(seed, id, dim)
+      val n = gs * 3
+      val rows = (0 until n).map { i =>
+        (i.toLong, (0 until dims).map(d => (seeds(i % 8) * (d + 1) + i).toDouble))
+      }
+      val df = rows.toDF("vec_id", "embedding").repartition(parts)
+      val out = graft.operators.Similarity
+        .meanPoolVectors(df, expr("vec_id DIV 3"), $"embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val want = rows.groupBy(_._1 / 3).map { case (g, vs) =>
+        g -> (0 until dims).map(d => vs.map(_._2(d)).sum / vs.size)
+      }
+      // decimal-exact means: integer-valued inputs => equality is exact
+      out.size == want.size && want.forall { case (g, v) => out(g) == v }
+    }
+
+  property("qualityEnsembleGate: keep == all rules pass AND affinity at/above parity") =
+    forAll(Gen.choose(1, 6), Gen.listOfN(6, Gen.oneOf(true, false))) { (nDocs, targets) =>
+      import spark.implicits._
+      val texts = Seq(
+        "the quick brown foxes jumped over the lazy dogs and then walked " +
+          "that winding path of hills toward a quiet village in the valley",
+        "tiny doc", ("aaaa " * 30).trim)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, texts(i % texts.length), targets(i % targets.length))
+      }.toDF("doc_id", "text", "tgt")
+      val out = graft.operators.Pipeline.qualityEnsembleGate(docs, $"doc_id",
+          graft.functions.TextFns.tokens($"text"), $"tgt")
+        .collect()
+      out.forall { r =>
+        val (mask, score, mean, keep) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+        keep == (mask == 0L && score >= 1000000L) &&
+          // with mask 0 the score law reduces to the affinity clamp
+          (mask != 0L || (score >= 1000000L) == (mean >= 1000000L))
+      }
+    }
+
   property("rollingAgg/rollingRangeAgg equal the sliding-window models") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("p", "q"), Gen.choose(0, 30))),
       Gen.choose(0, 3), Gen.choose(0L, 10L)) { (rows0, rb, look) =>

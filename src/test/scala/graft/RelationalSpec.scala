@@ -365,6 +365,16 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("corpusDiff: a NULL witness is a value, not absence (null-safe comparison)") {
+    // id 1: null on both sides while PRESENT on both -> unchanged;
+    // id 2: null -> value is a change, not an add; id 3 value -> null same
+    val v1 = Seq((1L, null: String), (2L, null: String), (3L, "x")).toDF("id", "t")
+    val v2 = Seq((1L, null: String), (2L, "y"), (3L, null: String)).toDF("id", "t")
+    val out = graft.operators.Corpus.corpusDiff(v1, v2, $"id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"))
+  }
+
   test("observe accumulates metrics during the pass without changing the result") {
     val obs = new org.apache.spark.sql.Observation("m")
     val df = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0)).toDF("id", "v")
