@@ -306,6 +306,33 @@ object Bench {
       Corpus.cmsHeavyHitters(docs.filter(col("orig_id") < base), col("text"),
         width = 1024, depth = 4, k = 50)
     }
+    // IVFADC (q174's fixture construction: first-8 cells, first-16
+    // residual codebooks): candidate scoring is a narrow-int LUT join, so
+    // growth should track the ~linear candidate count — the memory-layout
+    // sibling of ann_brute_10q's full-vector arithmetic. Expect the series
+    // ~FLAT but ABOVE brute at these sizes: the fixed index-build stages
+    // (assignment, residuals, codes) dominate 10 queries over 64-dim
+    // vectors — the same small-scale crossover as clean_corpus_lsh vs the
+    // exact pair join; the LUT join is what survives 100x, not the setup
+    out("ivfpq_adc_10q") = series(Seq(500, 1000, 2000), VE.toLong) { base =>
+      val e = embs.filter(col("orig_id") < base)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("v").as("cv"))
+      val a16 = graft.operators.Similarity
+        .assignToCentroids(e.filter(col("id") < 16), cents)
+        .select(col("id"), col("cid"))
+      val res16 = e.filter(col("id") < 16).join(a16, "id")
+        .join(broadcast(cents), "cid")
+        .select(col("id"), zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      val cb = res16.select(col("id").as("cbid"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("rv"))
+        .select(col("sub"), col("cbid").as("cid"),
+          slice(col("rv"), col("sub") * 8 + 1, lit(8)).as("cv"))
+      graft.operators.Similarity.ivfPqAdcTopK(e, e.filter(col("id") < 10),
+        cents, cb, m = 8, subDims = 8, nprobe = 2, k = 10)
+    }
 
     // best-effort temp cleanup (bench correctness does not depend on it)
     try {
