@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{ColFns, TextFns, Udfs}
-import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Validation}
 import graft.operators.Relational
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
@@ -2164,6 +2164,71 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q188_backoff_lm" -> ((s, dir) => {
+      // held-out stupid-backoff trigram LM (the full CCNet perplexity
+      // filter whose bigram core is q99): train counts on the even-id
+      // half of the corpus, score EVERY doc — odd docs genuinely hit
+      // the backoff ladder (unseen trigrams -> bigram -> unigram -> OOV)
+      val d = t(s, dir, "documents")
+      Corpus.stupidBackoffScore(
+          d.filterCol(pmod(col("doc_id"), lit(2)) === 0),
+          TextFns.tokens(col("text")),
+          d, col("doc_id"), TextFns.tokens(col("text")))
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q189_validation_report" -> ((s, dir) => {
+      // Deequ-style batch gate: predicate rules folded into one scan per
+      // table, key-uniqueness, and FK checks, unioned into a small report.
+      // The rule mix is deliberately half-failing on this data (price cap,
+      // short docs, duplicated (orderkey, linenumber) pairs) so both report
+      // branches are exercised.
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val d = t(s, dir, "documents"); val c = t(s, dir, "customer")
+      Validation.report(
+          Validation.checkRules(o, Seq(
+            "orders_custkey_complete" -> col("o_custkey").isNull,
+            "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+            "orders_totalprice_cap_400k" -> (col("o_totalprice") > 400000.0),
+            "orders_totalprice_positive" -> (col("o_totalprice") <= 0.0))),
+          Validation.checkRules(d, Seq(
+            "docs_min_100_chars" -> (col("n_chars") < 100L),
+            "docs_nchars_consistent" ->
+              (length(col("text")).cast("long") =!= col("n_chars")))),
+          Validation.checkUnique(o, "orders_pk_unique", Seq(col("o_orderkey"))),
+          Validation.checkUnique(l, "lineitem_line_unique",
+            Seq(col("l_orderkey"), col("l_linenumber"))),
+          Validation.checkForeignKey(l, "lineitem_orderkey_fk",
+            col("l_orderkey"), o, col("o_orderkey")),
+          Validation.checkForeignKey(o, "orders_custkey_fk",
+            col("o_custkey"), c, col("c_custkey")))
+        .sortBy(Seq(col("rule")))
+    }),
+
+    "q190_image_dhash_neardup" -> ((s, dir) => {
+      // perceptual image near-dup: synthesize a nonlinear gray test pattern
+      // per doc (47 structural groups, brightness offset varying inside a
+      // group), REAL-decode each PNG into a 64-bit dHash, and find all
+      // Hamming<=3 pairs with the exact 4x16-bit pigeonhole join (no cross
+      // join). PNG is lossless + dHash is integer arithmetic, so the oracle
+      // replays the exact bits from the synthesis formula and brute-forces
+      // the 500-doc pair set — the driver hash pins decode + hash + join.
+      val d = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          pmod(col("doc_id"), lit(47)).as("g"),
+          expr("doc_id div 47").as("off")))
+        .selectCols(Seq(col("doc_id"), col("g"), col("off"),
+          (lit(8) + pmod(col("g"), lit(9))).cast("int").as("w"),
+          (lit(8) + pmod(col("g"), lit(7))).cast("int").as("h")))
+        .withColumn("png", Multimodal.synthGrayPatternPngUdf(
+          col("g"), col("off"), col("w"), col("h")))
+        .withColumn("sig", Multimodal.dHash64(col("png")))
+      Dedup.hamming64Pairs(d, col("doc_id"), col("sig"), maxHamming = 3)
+        .selectCols(Seq(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming")))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q137_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 shape: disjunctive multi-column predicate over the part
       // join — the OR-of-ANDs Catalyst must keep partially pushable
@@ -3605,6 +3670,141 @@ object SparkEntry {
                 ELSE 'changed' END AS status
          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          ORDER BY id""",
+
+    // Same train/score split, same integer floor divisions (alpha = 2/5
+    // exact); the backoff CASE replays branch-for-branch.
+    "q188_backoff_lm" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         tr AS (SELECT toks FROM tk WHERE doc_id % 2 = 0),
+         n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM tr),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+         bi AS (SELECT toks[i] AS wa, toks[i+1] AS wb,
+                  CAST(count(*) AS BIGINT) AS cb
+                FROM tr, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+                WHERE len(toks) >= 2 GROUP BY 1, 2),
+         tri AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+                   CAST(count(*) AS BIGINT) AS c123
+                 FROM tr, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) u
+                 WHERE len(toks) >= 3 GROUP BY 1, 2, 3),
+         dg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+                FROM tk, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) u
+                WHERE len(toks) >= 3),
+         j AS (
+           SELECT dg.doc_id,
+             CASE WHEN tri.c123 IS NOT NULL THEN (tri.c123 * 1000000) // b12.cb
+                  WHEN b23.cb IS NOT NULL THEN (2 * 1000000 * b23.cb) // (5 * u2.cu)
+                  WHEN u3.cu IS NOT NULL THEN (4 * 1000000 * u3.cu) // (25 * n.n_tokens)
+                  ELSE 0 END AS s,
+             CASE WHEN tri.c123 IS NOT NULL THEN 0
+                  WHEN b23.cb IS NOT NULL THEN 1
+                  WHEN u3.cu IS NOT NULL THEN 2 ELSE 3 END AS lvl
+           FROM dg
+           LEFT JOIN tri ON tri.w1 = dg.w1 AND tri.w2 = dg.w2 AND tri.w3 = dg.w3
+           LEFT JOIN bi b12 ON b12.wa = dg.w1 AND b12.wb = dg.w2
+           LEFT JOIN bi b23 ON b23.wa = dg.w2 AND b23.wb = dg.w3
+           LEFT JOIN uni u2 ON u2.w = dg.w2
+           LEFT JOIN uni u3 ON u3.w = dg.w3
+           CROSS JOIN n)
+         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hit,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
+           CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(s) AS BIGINT) AS score_sum,
+           CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
+         FROM j GROUP BY doc_id ORDER BY id""",
+
+    // The dHash bits replay as pure integer arithmetic from the synthesis
+    // formula (PNG lossless, NN resample + neighbor compare are integer);
+    // the hash is carried as two unsigned 32-bit halves so BIGINT never
+    // overflows, and the 500-doc pair set is brute-forced — the pigeonhole
+    // join is exact for hamming <= 3, so the sets coincide.
+    "q190_image_dhash_neardup" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 47 AS g, doc_id // 47 AS off,
+             8 + (doc_id % 47) % 9 AS w, 8 + (doc_id % 47) % 7 AS h
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             flatten(list_transform(range(0, 8), y ->
+               list_transform(range(0, 8), x ->
+                 CASE WHEN
+                   (g*37 + (((x+1)*w)//9)*(((x+1)*w)//9)*7 + ((y*h)//8)*((y*h)//8)*13
+                     + (((x+1)*w)//9)*((y*h)//8)*(3+g) + off) % 256
+                   > (g*37 + ((x*w)//9)*((x*w)//9)*7 + ((y*h)//8)*((y*h)//8)*13
+                     + ((x*w)//9)*((y*h)//8)*(3+g) + off) % 256
+                 THEN 1 ELSE 0 END))) AS bits
+           FROM d),
+         ih AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               bits[i+1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               bits[i+33] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS hi
+           FROM b)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi))
+                AS BIGINT) AS hamming
+         FROM ih a JOIN ih c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3
+         ORDER BY id_a, id_b""",
+
+    // Each check replayed with plain conditional aggregation; ppm is the
+    // same integer floor division; pass is 0/1 BIGINT on both sides.
+    "q189_validation_report" ->
+      """WITH r AS (
+           SELECT 'orders_custkey_complete' AS rule, count(*) AS n_rows,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+           FROM orders
+           UNION ALL
+           SELECT 'orders_status_domain', count(*),
+             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           FROM orders
+           UNION ALL
+           SELECT 'orders_totalprice_cap_400k', count(*),
+             sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) FROM orders
+           UNION ALL
+           SELECT 'orders_totalprice_positive', count(*),
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+           UNION ALL
+           SELECT 'docs_min_100_chars', count(*),
+             sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) FROM documents
+           UNION ALL
+           SELECT 'docs_nchars_consistent', count(*),
+             sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END)
+           FROM documents
+           UNION ALL
+           SELECT 'orders_pk_unique', sum(c), sum(c - 1)
+           FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+           UNION ALL
+           SELECT 'lineitem_line_unique', sum(c), sum(c - 1)
+           FROM (SELECT count(*) AS c FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'lineitem_orderkey_fk', count(*),
+             sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_orderkey IS NOT NULL
+           UNION ALL
+           SELECT 'orders_custkey_fk', count(*),
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           FROM orders o2
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o2.o_custkey = c.c_custkey
+           WHERE o2.o_custkey IS NOT NULL)
+         SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_rows = 0 THEN 0
+                ELSE (CAST(n_violations AS BIGINT) * 1000000)
+                     // CAST(n_rows AS BIGINT) END AS BIGINT) AS violation_ppm,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         FROM r ORDER BY rule""",
 
     // Same bucket/window arithmetic, all integer.
     "q184_length_batching" ->

@@ -444,6 +444,97 @@ object Corpus {
         expr("surprise_sum DIV n_bigrams"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the full held-out form of the
+    * CCNet/KenLM perplexity filter whose bigram core is [[bigramSurprise]]:
+    * train n-gram counts on a reference corpus (CCNet uses Wikipedia),
+    * score every candidate document by its mean per-trigram likelihood.
+    * Unlike [[bigramSurprise]] the model is trained on `train` and applied
+    * to `docs`, so unseen trigrams genuinely back off:
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)        if c(w1w2w3) > 0
+    *               = 0.4 * c(w2w3)/c(w2)       else if c(w2w3) > 0
+    *               = 0.4^2 * c(w3)/N           else if c(w3) > 0
+    *               = 0                          else (OOV)
+    *
+    * All arithmetic is integer-exact in scaled millionths — alpha = 0.4 is
+    * the exact rational 2/5, so the three branches are the single floor
+    * divisions `(c123*scale) DIV c12`, `(2*scale*c23) DIV (5*c2)` and
+    * `(4*scale*c3) DIV (25*N)` — replayable bit-for-bit by any engine with
+    * integer division (the [[bigramSurprise]] cross-engine discipline).
+    * High mean = fluent under the reference LM (CCNet keeps the HEAD of
+    * this ranking); the per-level hit counts (n_tri/n_bi/n_uni/n_oov) are
+    * the backoff diagnostics a pipeline thresholds on directly.
+    *
+    * Documents with fewer than 3 tokens have no trigrams and are omitted.
+    * Returns (id, n_trigrams, n_tri_hit, n_bi_hit, n_uni_hit, n_oov,
+    * score_sum, mean_score).
+    *
+    * Scale shape: the three count tables are vocabulary-sized
+    * partial-aggregating groupBys over the TRAIN corpus only; scoring is
+    * five left equi-joins hashing on the n-gram keys (Catalyst broadcasts
+    * any that fit, shuffles the rest) and N arrives broadcast as one row.
+    * No windows, no driver state. Long arithmetic holds while
+    * `4 * scale * c(w3) < 2^63`; at web scale prune counts below a
+    * min-count threshold before the join (standard KenLM practice) —
+    * singleton trigrams dominate table size but contribute the same score
+    * as their backoff to within 1/scale.
+    */
+  def stupidBackoffScore(train: DataFrame, trainTerms: Column,
+      docs: DataFrame, id: Column, docTerms: Column,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val sz = (c: Column) => org.apache.spark.sql.functions.size(c)
+    val tt = train.select(trainTerms.alias("toks"))
+    def grams(df: DataFrame, n: Int, names: Seq[String]): DataFrame = {
+      val fields = names.zipWithIndex
+        .map { case (nm, i) => s"toks[i+$i] AS $nm" }.mkString(", ")
+      df.filter(sz(col("toks")) >= n)
+        .select((df.columns.filter(_ != "toks").map(col).toSeq :+
+          explode(expr(
+            s"transform(sequence(0, size(toks)-$n), i -> struct($fields))"))
+            .alias("g")): _*)
+        .select((df.columns.filter(_ != "toks").map(col).toSeq ++
+          names.map(nm => col(s"g.$nm").alias(nm))): _*)
+    }
+    val nTok = tt.agg(sum(sz(col("toks"))).alias("n_tokens"))
+    val uni = grams(tt, 1, Seq("w")).groupBy("w").agg(count(lit(1)).alias("cu"))
+    val bi = grams(tt, 2, Seq("wa", "wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).alias("cb"))
+    val tri = grams(tt, 3, Seq("w1", "w2", "w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).alias("c123"))
+    val dg = grams(docs.select(id.alias("id"), docTerms.alias("toks")), 3,
+      Seq("w1", "w2", "w3"))
+    dg.join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("wa").alias("w1"), col("wb").alias("w2"),
+        col("cb").alias("c12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("wa").alias("w2"), col("wb").alias("w3"),
+        col("cb").alias("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").alias("w2"), col("cu").alias("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").alias("w3"), col("cu").alias("c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nTok))
+      // c123 > 0 implies c12 > 0, c23 > 0 implies c2 > 0 (counts from the
+      // same train corpus), so the divisors in each taken branch are safe
+      .withColumn("s", expr(
+        s"""CASE WHEN c123 IS NOT NULL THEN (c123 * ${scale}L) DIV c12
+                 WHEN c23 IS NOT NULL THEN (2L * ${scale}L * c23) DIV (5L * c2)
+                 WHEN c3 IS NOT NULL THEN (4L * ${scale}L * c3) DIV (25L * n_tokens)
+                 ELSE 0L END"""))
+      .withColumn("lvl", expr(
+        """CASE WHEN c123 IS NOT NULL THEN 0 WHEN c23 IS NOT NULL THEN 1
+                WHEN c3 IS NOT NULL THEN 2 ELSE 3 END"""))
+      .groupBy("id").agg(
+        count(lit(1)).alias("n_trigrams"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).alias("n_tri_hit"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).alias("n_bi_hit"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).alias("n_uni_hit"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).alias("n_oov"),
+        sum(col("s")).alias("score_sum"))
+      .withColumn("mean_score", expr("score_sum DIV n_trigrams"))
+  }
+
   /** Hashing-trick TF-IDF featurization (fastText / quality-classifier
     * input): each document becomes a sparse vector of `dim` buckets,
     * `bucket = pmod(hash(term), dim)`, with integer-exact scaled weights

@@ -292,13 +292,26 @@ object Dedup {
     */
   def simhashPairsReleasable(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
       maxBucket: Int = 1 << 20, portable: Boolean = false): (DataFrame, DataFrame) = {
-    require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
     // Persisted like the minhash doc state: the per-doc fingerprint feeds
     // (via the chunk explode) the bucket-size aggregation AND both
     // self-join sides — without it the corpus is re-tokenized and
     // re-simhashed three times.
     val docs = df.select(id.alias("id"), simhash(text, portable).alias("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (hamming64Pairs(docs, col("id"), col("sim"), maxHamming, maxBucket), docs)
+  }
+
+  /** Near-dup pairs under Hamming distance over ANY 64-bit fingerprint
+    * column (SimHash text prints, dHash image prints, sign-LSH sketches …):
+    * the 4 x 16-bit chunk pigeonhole join extracted from [[simhashPairs]].
+    * EXACT for maxHamming <= 3 — <= 3 differing bits leave at least one
+    * chunk identical, so the per-chunk equi-joins see every qualifying
+    * pair. Narrow keys, hash joins, bucket-size cap — never a cross join.
+    */
+  def hamming64Pairs(df: DataFrame, id: Column, sig: Column, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
+    val docs = df.select(id.alias("id"), sig.alias("sim"))
     val chunkArr = array((0 until 4).map { j =>
       struct(lit(j).alias("chunk"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xffffL)).alias("key"))
     }: _*)
@@ -323,7 +336,7 @@ object Dedup {
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    (pairs, docs)
+    pairs
   }
 
   /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs

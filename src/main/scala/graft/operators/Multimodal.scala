@@ -209,6 +209,84 @@ object Multimodal {
       }
     }
 
+  /** Deterministic NONLINEAR grayscale test pattern: pixel(x, y) =
+    * (seed*37 + x²·7 + y²·13 + x·y·(3+seed) + off) mod 256. The quadratic
+    * cross term makes the raster's horizontal-gradient STRUCTURE depend on
+    * `seed` while `off` only shifts brightness — so two images sharing a
+    * seed are perceptual near-duplicates (dHash differs in a few wrap bits)
+    * and different seeds are unrelated (dHash ≈ random). The plain
+    * [[synthGrayPng]] gradient is too regular for this: its neighbor
+    * comparisons are almost all "ascending", so unrelated images collide
+    * under any gradient hash. Same lossless-PNG oracle contract.
+    */
+  def synthGrayPatternPng(seed: Long, off: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed * 37 + x.toLong * x * 7 + y.toLong * y * 13 +
+          x.toLong * y * (3 + seed) + off) % 256
+        raster.setSample(x, y, 0, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def synthGrayPatternPngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf {
+      (seed: Long, off: Long, w: Int, h: Int) => synthGrayPatternPng(seed, off, w, h)
+    }
+
+  /** 64-bit difference hash (dHash — the standard perceptual fingerprint:
+    * Krawetz's "kind of like that" gradient hash): REAL decode, reduce to
+    * 8-bit gray (band 0 / integer luminance — [[resizeImageNN]]'s rule),
+    * nearest-neighbor resample to 9x8 with the same `x*sw/dw` mapping, then
+    * bit(x, y) = 1 iff px(x+1, y) > px(x, y), packed little-endian as
+    * bit index y*8+x. Every step is integer arithmetic, so an oracle can
+    * replay the exact 64 bits from a [[synthGrayPatternPng]] formula.
+    * Brightness/contrast shifts barely move it (gradient signs survive);
+    * Hamming distance between hashes is the perceptual distance. Null for
+    * undecodable input.
+    */
+  def dHash64Info(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val src = img.getRaster
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      def gray(x: Int, y: Int): Int =
+        if (src.getNumBands >= 3)
+          (src.getSample(x, y, 0) * 299 + src.getSample(x, y, 1) * 587 +
+            src.getSample(x, y, 2) * 114) / 1000
+        else src.getSample(x, y, 0)
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * sh / 8
+        var x = 0
+        while (x < 8) {
+          if (gray((x + 1) * sw / 9, sy) > gray(x * sw / 9, sy))
+            hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  }
+
+  def dHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      dHash64Info(bytes).map(java.lang.Long.valueOf).orNull
+    }
+
   // ---- REAL audio codec (javax.sound.sampled — pure JDK: WAV/AIFF/AU PCM
   // readers ship with the JRE) ---------------------------------------------
 

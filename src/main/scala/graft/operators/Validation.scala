@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation suite (the Deequ/Great-Expectations shape): a
+  * declarative rule set evaluated into one small report frame of
+  * (rule, n_rows, n_violations, violation_ppm, pass). A 100 TB ingest gates
+  * every batch on a report like this before it reaches training.
+  *
+  * The reference has no validation surface; this is beyond-parity
+  * pipeline tooling built from the same primitives (conditional
+  * aggregation, groupBy, anti-join semantics) the rest of the engine uses.
+  *
+  * Scale shape: [[checkRules]] folds ALL predicate rules into a SINGLE
+  * scan with partial aggregation (one conditional sum per rule — adding a
+  * rule adds a column, not a pass); [[checkUnique]] is one
+  * partial-aggregating groupBy on the key; [[checkForeignKey]] is one
+  * left join (Catalyst broadcasts a small parent) plus a one-row
+  * aggregate. Reports are rule-count-sized — union them freely.
+  */
+object Validation {
+
+  private def decorate(row: DataFrame): DataFrame = row
+    .withColumn("violation_ppm", expr(
+      "CASE WHEN n_rows = 0 THEN 0L ELSE (n_violations * 1000000L) DIV n_rows END"))
+    // pass as 0/1 BIGINT, not boolean: engine-portable report dtype
+    .withColumn("pass", when(col("n_violations") === 0L, 1L).otherwise(0L))
+    .select("rule", "n_rows", "n_violations", "violation_ppm", "pass")
+
+  /** Evaluate predicate rules in ONE scan. Each rule is
+    * (name, violation-predicate); a row where the predicate is NULL (e.g.
+    * a comparison against a NULL column) counts as a NON-violation — write
+    * explicit `isNull` rules for completeness checks.
+    */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkRules needs at least one rule")
+    val aggs = count(lit(1)).alias("__n") +:
+      rules.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(p, 1L).otherwise(0L)).alias(s"__v$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.zipWithIndex.map { case ((nm, _), i) =>
+      struct(lit(nm).alias("rule"), col("__n").alias("n_rows"),
+        coalesce(col(s"__v$i"), lit(0L)).alias("n_violations"))
+    }
+    decorate(row.select(explode(array(entries: _*)).alias("e"))
+      .select(col("e.rule").alias("rule"), col("e.n_rows").alias("n_rows"),
+        col("e.n_violations").alias("n_violations")))
+  }
+
+  /** Key-uniqueness check: violations = surplus rows beyond the first per
+    * key (so `n_violations = n_rows - n_distinct_keys`, 0 when unique).
+    */
+  def checkUnique(df: DataFrame, name: String, keys: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "checkUnique needs at least one key column")
+    val g = df.groupBy(keys: _*).agg(count(lit(1)).alias("__c"))
+    decorate(g.agg(
+      coalesce(sum(col("__c")), lit(0L)).alias("n_rows"),
+      coalesce(sum(col("__c") - 1L), lit(0L)).alias("n_violations"))
+      .withColumn("rule", lit(name)))
+  }
+
+  /** Referential-integrity check: violations = NON-NULL child keys with no
+    * match in the parent key set (NULL child keys are skipped, SQL FK
+    * semantics). One left join against the distinct parent keys + a
+    * one-row aggregate — no anti-join second pass.
+    */
+  def checkForeignKey(child: DataFrame, name: String, key: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val c = child.filter(key.isNotNull).select(key.alias("__k"))
+    val p = parent.select(parentKey.alias("__k")).distinct()
+      .withColumn("__hit", lit(1))
+    decorate(c.join(p, Seq("__k"), "left")
+      .agg(count(lit(1)).alias("n_rows"),
+        coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .alias("n_violations"))
+      .withColumn("rule", lit(name)))
+  }
+
+  /** Union per-check reports into the batch gate frame. */
+  def report(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "report needs at least one part")
+    parts.reduce(_.union(_))
+  }
+}

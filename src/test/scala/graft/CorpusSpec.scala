@@ -168,6 +168,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == Row(2L, 1L, 1333333L, 1333333L))
   }
 
+  test("stupidBackoffScore: every backoff level hand-computed on a held-out split") {
+    // train: [a b c a b c], [b c d] -> N=9; uni a=2 b=3 c=3 d=1;
+    // bi (a,b)=2 (b,c)=3 (c,a)=1 (c,d)=1;
+    // tri (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (b,c,d)=1
+    val train = Seq((0L, "a b c a b c"), (2L, "b c d")).toDF("id", "text")
+    val score = Seq(
+      (1L, "a b c"),   // tri hit: 2e6 DIV c(a,b)=2 -> 1000000
+      (3L, "a b x"),   // x unseen everywhere -> OOV, 0
+      (5L, "b c d d"), // (b,c,d): 1e6 DIV 3 = 333333; (c,d,d): uni d ->
+                       // 4e6*1 DIV (25*9) = 17777
+      (9L, "d b c"),   // (d,b,c) unseen, (b,c) seen: 2e6*3 DIV (5*3) = 400000
+      (11L, "x y")     // < 3 tokens -> omitted
+    ).toDF("id", "text")
+    val out = Corpus.stupidBackoffScore(train, split($"text", " "),
+        score, $"id", split($"text", " "))
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out(0) == Row(1L, 1L, 1L, 0L, 0L, 0L, 1000000L, 1000000L))
+    assert(out(1) == Row(3L, 1L, 0L, 0L, 0L, 1L, 0L, 0L))
+    assert(out(2) == Row(5L, 2L, 1L, 0L, 1L, 0L, 351110L, 175555L))
+    assert(out(3) == Row(9L, 1L, 0L, 1L, 0L, 0L, 400000L, 400000L))
+  }
+
   test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
     // corpus: (1, "a b a"), (2, "b c") -> N=2; tf: (1,a)=2 (1,b)=1 (2,b)=1
     // (2,c)=1; df: a=1 b=2 c=1; w = (tf*(N+1)*1e6) DIV (df+1)

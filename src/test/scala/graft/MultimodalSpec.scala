@@ -99,6 +99,35 @@ class MultimodalSpec extends SparkSpec {
     assert(w == dw && h == dh && ch == 1 && sum == expected)
   }
 
+  test("REAL codec: dHash64 bits match the synthesis formula; brightness shifts stay near") {
+    // independently computed from the formula (decode -> gray -> 9x8 NN ->
+    // neighbor compare), so this pins the real decode + resample + packing
+    val base = Multimodal.dHash64Info(Multimodal.synthGrayPatternPng(5L, 0L, 12, 10))
+    assert(base.contains(3038580899354418011L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val off1 = Multimodal.dHash64Info(Multimodal.synthGrayPatternPng(5L, 1L, 12, 10)).get
+    val off2 = Multimodal.dHash64Info(Multimodal.synthGrayPatternPng(5L, 2L, 12, 10)).get
+    val other = Multimodal.dHash64Info(Multimodal.synthGrayPatternPng(9L, 0L, 12, 10)).get
+    assert(ham(base.get, off1) == 0)  // +1 brightness crosses no wrap boundary
+    assert(ham(base.get, off2) == 5)  // +2 flips a handful of gradient signs
+    assert(ham(base.get, other) == 31) // different structure ~ random half
+    assert(Multimodal.dHash64Info("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("hamming64Pairs on dHash prints: only the <=3 pair survives, no cross join") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Multimodal.synthGrayPatternPng(5L, 0L, 12, 10)),
+      (2L, Multimodal.synthGrayPatternPng(5L, 1L, 12, 10)),  // ham 0 vs 1
+      (3L, Multimodal.synthGrayPatternPng(5L, 2L, 12, 10)),  // ham 5 vs 1/2
+      (4L, Multimodal.synthGrayPatternPng(9L, 0L, 12, 10)))  // unrelated
+      .toDF("id", "png")
+      .withColumn("sig", Multimodal.dHash64($"png"))
+    val pairs = Dedup.hamming64Pairs(docs, $"id", $"sig").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("REAL codec: color input reduced by integer luminance (299r + 587g + 114b) / 1000") {
     val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 2; x <- 0 until 4) {

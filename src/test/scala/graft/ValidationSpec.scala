@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Validation
+
+/** Deequ-style validation suite: deterministic in-memory fixtures with
+  * hand-computed report rows (q189 covers the same checks over the parquet
+  * testdata against the DuckDB oracle).
+  */
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkRules: one scan, per-rule counts, NULL predicate = non-violation") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, -5L), (3L, null), (4L, 200L)).toDF("id", "v")
+    val out = Validation.checkRules(df, Seq(
+        "v_nonneg" -> ($"v" < 0L),      // row 2 -> 1 violation
+        "v_cap_100" -> ($"v" > 100L),   // row 4; NULL row 3 is NOT a violation
+        "v_complete" -> $"v".isNull))   // row 3
+      .orderBy("rule").collect()
+    assert(out.length == 3)
+    assert(out(0) == Row("v_cap_100", 4L, 1L, 250000L, 0L))
+    assert(out(1) == Row("v_complete", 4L, 1L, 250000L, 0L))
+    assert(out(2) == Row("v_nonneg", 4L, 1L, 250000L, 0L))
+  }
+
+  test("checkRules: clean table passes with ppm 0") {
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("id", "v")
+    val out = Validation.checkRules(df, Seq("v_pos" -> ($"v" <= 0L))).collect()
+    assert(out.toSeq == Seq(Row("v_pos", 2L, 0L, 0L, 1L)))
+  }
+
+  test("checkUnique: surplus rows beyond first per key; composite keys") {
+    // keys: (1,a) x3, (1,b) x1, (2,a) x1 -> 5 rows, 2 surplus
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"))
+      .toDF("k1", "k2")
+    val out = Validation.checkUnique(df, "pk", Seq($"k1", $"k2")).collect()
+    assert(out.toSeq == Seq(Row("pk", 5L, 2L, 400000L, 0L)))
+    val unique = Validation.checkUnique(df.distinct(), "pk", Seq($"k1", $"k2"))
+      .collect()
+    assert(unique.toSeq == Seq(Row("pk", 3L, 0L, 0L, 1L)))
+  }
+
+  test("checkForeignKey: NULL child keys skipped, orphans counted") {
+    val child = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (2L, 10L), (3L, 99L), (4L, null)).toDF("id", "fk")
+    val parent = Seq((10L, "x"), (20L, "y"), (10L, "dup")).toDF("pk", "name")
+    val out = Validation.checkForeignKey(
+      child, "fk_ok", $"fk", parent, $"pk").collect()
+    // 3 non-null child keys, 1 orphan (99); parent dup must not double-count
+    assert(out.toSeq == Seq(Row("fk_ok", 3L, 1L, 333333L, 0L)))
+  }
+
+  test("report: unions parts; empty table yields ppm 0 and pass") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val rep = Validation.report(
+      Validation.checkRules(empty, Seq("v_pos" -> ($"v" <= 0L))),
+      Validation.checkUnique(empty, "pk", Seq($"id")))
+      .orderBy("rule").collect()
+    assert(rep.toSeq == Seq(
+      Row("pk", 0L, 0L, 0L, 1L), Row("v_pos", 0L, 0L, 0L, 1L)))
+  }
+}
