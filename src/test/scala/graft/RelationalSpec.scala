@@ -451,4 +451,28 @@ class RelationalSpec extends SparkSpec {
     // ties (cnt=1) break by key ascending
     assert(out(1).getInt(1) == 1 && out(2).getInt(1) == 2)
   }
+
+  test("maintainAgg: delta merge == from-scratch recompute; zero-count groups drop") {
+    import graft.operators.Relational
+    val base0 = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v")
+    val base = Relational.groupedAgg(base0, Seq($"k"), Seq("s" -> $"v"))
+    // changelog: insert (a,30) and (d,1); delete (b,5) and (c,7) — c empties
+    val changelog = Seq(
+      ("a", 30L, false), ("d", 1L, false), ("b", 5L, true), ("c", 7L, true))
+      .toDF("k", "v", "del")
+    val delta = Relational.deltaAgg(changelog, $"del", Seq($"k"), Seq("s" -> $"v"))
+    val out = Relational.maintainAgg(base, delta).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // recompute ground truth over the post-changelog state
+    assert(out.toSeq == Seq(("a", 3L, 60L), ("d", 1L, 1L)))
+    // b: 1 - 1 = 0 rows -> dropped; c likewise
+    assert(!out.exists(r => r._1 == "b" || r._1 == "c"))
+    // deltas compose: applying the same changelog split in two halves
+    val (c1, c2) = (changelog.filter($"k" < "c"), changelog.filter($"k" >= "c"))
+    val two = Relational.maintainAgg(base,
+      Relational.deltaAgg(c1, $"del", Seq($"k"), Seq("s" -> $"v")),
+      Relational.deltaAgg(c2, $"del", Seq($"k"), Seq("s" -> $"v")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq == out.toSeq)
+  }
 }
