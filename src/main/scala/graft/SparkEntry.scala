@@ -2205,6 +2205,33 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q195_categorical_drift" -> ((s, dir) => {
+      // distribution-shift monitor: even-id docs as the reference snapshot,
+      // odd-id docs as the current batch, (lang, source) as the category —
+      // 97 cells, some one-sided (count-1 cells fall entirely into one
+      // half), so the outer-join zero path is live data, not just spec
+      val d = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          concat(col("lang"), lit(":"), col("source")).as("cat")))
+      Validation.categoricalDrift(
+          d.filterCol(pmod(col("doc_id"), lit(2)) === 0),
+          d.filterCol(pmod(col("doc_id"), lit(2)) === 1),
+          col("cat"))
+        .sortBy(Seq(col("category")))
+    }),
+
+    "q194_ann_sq8" -> ((s, dir) => {
+      // int8 scalar-quantized ANN: q76's codec feeding a pure-INTEGER dot
+      // product — the one ANN variant whose whole search path (codes,
+      // scores, ranking) hash-matches an oracle instead of needing a
+      // recall measurement. Same query set as q36 for comparability.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      Similarity.sq8TopK(corpus, queries, k = 5)
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
     "q192_incremental_agg" -> ((s, dir) => {
       // incremental view maintenance: the pre-cutoff rollup is NEVER
       // recomputed — a changelog (post-cutoff inserts + every-13th-key
@@ -3749,6 +3776,65 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Same integer ppm shares, floor divisions, and TVD halving.
+    "q195_categorical_drift" ->
+      """WITH d AS (
+           SELECT doc_id, lang || ':' || source AS cat FROM documents),
+         r AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_ref
+               FROM d WHERE doc_id % 2 = 0 GROUP BY cat),
+         c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_cur
+               FROM d WHERE doc_id % 2 = 1 GROUP BY cat),
+         j AS (
+           SELECT COALESCE(r.cat, c.cat) AS category,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+           FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+         t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                 CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j),
+         sh AS (
+           SELECT category, n_ref, n_cur,
+             CASE WHEN t_ref = 0 THEN 0 ELSE (n_ref * 1000000) // t_ref END AS share_ref_ppm,
+             CASE WHEN t_cur = 0 THEN 0 ELSE (n_cur * 1000000) // t_cur END AS share_cur_ppm
+           FROM j CROSS JOIN t),
+         df_ AS (
+           SELECT *, abs(share_cur_ppm - share_ref_ppm) AS diff_ppm FROM sh),
+         tv AS (SELECT CAST(sum(diff_ppm) // 2 AS BIGINT) AS tvd_ppm FROM df_)
+         SELECT category, n_ref, n_cur,
+           CAST(share_ref_ppm AS BIGINT) AS share_ref_ppm,
+           CAST(share_cur_ppm AS BIGINT) AS share_cur_ppm,
+           CAST(diff_ppm AS BIGINT) AS diff_ppm, tv.tvd_ppm
+         FROM df_ CROSS JOIN tv ORDER BY category""",
+
+    // q76's quantization replay feeding an integer dot product — every
+    // score and rank is exact, no recall slack anywhere.
+    "q194_ann_sq8" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (
+           SELECT vec_id, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+           FROM e),
+         qz AS (
+           SELECT vec_id,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+               ELSE CAST(least(greatest(floor((x - mn) / scale + 0.5), 0), 255) AS INT)
+               END) AS qs
+           FROM p),
+         qq AS (SELECT vec_id AS q_id, qs AS qv FROM qz WHERE vec_id < 10),
+         cc AS (SELECT vec_id AS c_id, qs AS cv FROM qz),
+         s AS (
+           SELECT q_id, c_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> qv[i] * cv[i])) AS BIGINT) AS score_int
+           FROM qq JOIN cc ON c_id <> q_id),
+         r AS (
+           SELECT q_id, c_id, score_int,
+             row_number() OVER (PARTITION BY q_id ORDER BY score_int DESC, c_id) AS rnk
+           FROM s)
+         SELECT q_id AS query_id, c_id AS neighbor_id, score_int,
+           CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
 
     // The oracle recomputes the rollup from the FINAL state directly —
     // equality proves the delta merge maintained the view exactly.

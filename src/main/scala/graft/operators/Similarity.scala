@@ -568,6 +568,37 @@ object Similarity {
         (col("pos") + 1).cast("long").alias("rank"))
   }
 
+  /** Scalar-quantized (int8) brute-force top-k: both sides pass through
+    * [[VectorExprs.QuantizeInt8]] (per-vector min/max → 256 levels — q76's
+    * bit-replayable codec) and the score is the RAW INTEGER dot product of
+    * the code arrays. Unlike every float ANN variant this makes the entire
+    * search — codes, scores, ranking — exactly verifiable cross-engine;
+    * recall vs exact cosine is measured, not asserted (SimilaritySpec).
+    *
+    * 4x less scan bandwidth than float32 and pure integer multiply-adds —
+    * the standard memory-bound ANN trade (FAISS SQ8). Same shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus scanned once, bounded
+    * top-k heaps partial-merged. Corpus codes are computed in the scan
+    * projection — at 100 TB you'd persist them once and scan int8 forever.
+    *
+    * Returns (query_id, neighbor_id, score_int, rank).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def codes(df: DataFrame, p: String): DataFrame =
+      df.select(col("id").alias(s"${p}_id"),
+        VectorExprs.quantizeInt8(col("v")).getField("q").alias(s"${p}_q"))
+    val scored = codes(corpus, "c")
+      .join(broadcast(codes(queries, "q")), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("q_q"), col("c_q"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double").alias("score"))
+    explodeTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").cast("long").alias("score_int"),
+        col("rank").cast("long").alias("rank"))
+  }
+
   def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       m: Int, subDims: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

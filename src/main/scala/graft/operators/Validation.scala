@@ -83,4 +83,42 @@ object Validation {
     require(parts.nonEmpty, "report needs at least one part")
     parts.reduce(_.union(_))
   }
+
+  /** Categorical-distribution drift between a REFERENCE snapshot and the
+    * CURRENT batch (the "did the upstream mix shift" monitor a training
+    * pipeline runs per ingest): per-category counts full-outer-joined
+    * (categories new to either side appear with 0 on the other), shares in
+    * integer ppm, and the total-variation distance Σ|p−q|/2 — the
+    * threshold metric — broadcast onto every row. All floor-division
+    * integer arithmetic, engine-replayable; a chi-square/PSI variant would
+    * need logs or expected-count divisions that break on new categories,
+    * while TVD is total and bounded [0, 1e6].
+    *
+    * Scale shape: two partial-aggregated groupBys (category-sized), a
+    * category-keyed outer join, a 1-row total broadcast. Nothing scales
+    * with row count but the scans.
+    */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, category: Column): DataFrame = {
+    val r = ref.groupBy(category.alias("category"))
+      .agg(count(lit(1)).alias("n_ref"))
+    val c = cur.groupBy(category.alias("category"))
+      .agg(count(lit(1)).alias("n_cur"))
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).alias("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).alias("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).alias("t_ref"),
+      sum(col("n_cur")).alias("t_cur"))
+    val shared = joined.crossJoin(broadcast(totals))
+      .withColumn("share_ref_ppm", expr(
+        "CASE WHEN t_ref = 0 THEN 0L ELSE (n_ref * 1000000L) DIV t_ref END"))
+      .withColumn("share_cur_ppm", expr(
+        "CASE WHEN t_cur = 0 THEN 0L ELSE (n_cur * 1000000L) DIV t_cur END"))
+      .withColumn("diff_ppm", abs(col("share_cur_ppm") - col("share_ref_ppm")))
+    val tvd = shared.agg(expr("sum(diff_ppm) DIV 2").alias("tvd_ppm"))
+    shared.crossJoin(broadcast(tvd))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        col("share_ref_ppm"), col("share_cur_ppm"), col("diff_ppm"),
+        col("tvd_ppm"))
+  }
 }

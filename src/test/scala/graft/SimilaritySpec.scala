@@ -278,6 +278,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L, 2L)))
   }
 
+  test("sq8TopK: integer code dot products, exact tie-break, matches a reference fold") {
+    // hand case: codes are the values themselves (mn 0, mx 255 -> scale 1)
+    val fix = Seq(
+      (0L, Seq(0.0, 255.0, 0.0)),    // query; codes [0,255,0]
+      (1L, Seq(255.0, 255.0, 0.0)),  // dot 65025
+      (2L, Seq(0.0, 255.0, 255.0)),  // dot 65025 — tie, higher id ranks after
+      (3L, Seq(255.0, 0.0, 0.0)))    // dot 0
+      .toDF("id", "v")
+    val out = Similarity.sq8TopK(fix, fix.filter($"id" === 0L), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 65025L, 1L), (0L, 2L, 65025L, 2L)))
+
+    // independent reference: replicate quantize + integer dot in plain Scala
+    // over deterministic vectors and compare the full ranking
+    def vec(i: Int): Seq[Double] =
+      (0 until 6).map(j => ((i * 31 + j * 17) % 13).toDouble / 13.0)
+    def codesOf(v: Seq[Double]): Seq[Int] = {
+      val mn = v.min; val mx = v.max; val scale = (mx - mn) / 255.0
+      if (scale == 0.0) v.map(_ => 0)
+      else v.map(x => math.min(255.0, math.max(0.0, math.floor((x - mn) / scale + 0.5))).toInt)
+    }
+    val vecs = (0 until 40).map(i => (i.toLong, vec(i)))
+    val df = vecs.toDF("id", "v")
+    val got = Similarity.sq8TopK(df, df.filter($"id" < 2L), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (0 until 2).flatMap { q =>
+      val qc = codesOf(vecs(q)._2)
+      vecs.filter(_._1 != q.toLong)
+        .map { case (id, v) => (id, codesOf(v).zip(qc).map { case (a, b) => a.toLong * b }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+        .map { case (id, s) => (q.toLong, id, s) }
+    }
+    assert(got.toSeq == want)
+  }
+
   test("native expressions are reachable from the SQL surface via register") {
     graft.plans.VectorExprs.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")

@@ -53,6 +53,25 @@ class ValidationSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("fk_ok", 3L, 1L, 333333L, 0L)))
   }
 
+  test("categoricalDrift: hand-computed shares, one-sided categories, TVD") {
+    // ref: a x3, b x1 (t=4); cur: a x1, c x1 (t=2)
+    val ref = Seq("a", "a", "a", "b").toDF("cat")
+    val cur = Seq("a", "c").toDF("cat")
+    val out = Validation.categoricalDrift(ref, cur, $"cat")
+      .orderBy("category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // shares: a 750000 vs 500000 (diff 250000); b 250000 vs 0; c 0 vs 500000
+    // tvd = (250000 + 250000 + 500000) / 2 = 500000
+    assert(out.toSeq == Seq(
+      ("a", 3L, 1L, 750000L, 500000L, 250000L, 500000L),
+      ("b", 1L, 0L, 250000L, 0L, 250000L, 500000L),
+      ("c", 0L, 1L, 0L, 500000L, 500000L, 500000L)))
+    // identical distributions -> zero drift everywhere
+    val same = Validation.categoricalDrift(ref, ref, $"cat").collect()
+    assert(same.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
+  }
+
   test("report: unions parts; empty table yields ppm 0 and pass") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     val rep = Validation.report(
