@@ -2205,6 +2205,30 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q196_stream_validation_gate" -> ((s, dir) => {
+      // q189's rule math as a TRUE streaming aggregation (complete mode,
+      // rule-count-sized state): the final per-batch report must equal the
+      // batch report over the same events — which is what the oracle
+      // computes. Mixed pass/fail rules on live data (value cap fires).
+      val staged = java.nio.file.Files.createTempDirectory("graft_q196")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q196_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runValidationGateSmoke(s, staged.toString, qn, Seq(
+            "type_domain" -> !col("event_type").isin(
+              "click", "error", "purchase", "signup", "view"),
+            "user_complete" -> col("user_id").isNull,
+            "value_cap_400" -> (col("value") > 400.0),
+            "value_positive" -> (col("value") <= 0.0)))
+          .sortBy(Seq(col("rule")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q195_categorical_drift" -> ((s, dir) => {
       // distribution-shift monitor: even-id docs as the reference snapshot,
       // odd-id docs as the current batch, (lang, source) as the category —
@@ -3776,6 +3800,32 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // The streaming gate's final state must equal plain conditional
+    // aggregation over the full table.
+    "q196_stream_validation_gate" ->
+      """WITH r AS (
+           SELECT 'type_domain' AS rule, count(*) AS n_rows,
+             sum(CASE WHEN event_type NOT IN
+               ('click','error','purchase','signup','view')
+               THEN 1 ELSE 0 END) AS n_violations
+           FROM events
+           UNION ALL
+           SELECT 'user_complete', count(*),
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+           UNION ALL
+           SELECT 'value_cap_400', count(*),
+             sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) FROM events
+           UNION ALL
+           SELECT 'value_positive', count(*),
+             sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) FROM events)
+         SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_rows = 0 THEN 0
+                ELSE (CAST(n_violations AS BIGINT) * 1000000)
+                     // CAST(n_rows AS BIGINT) END AS BIGINT) AS violation_ppm,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         FROM r ORDER BY rule""",
 
     // Same integer ppm shares, floor divisions, and TVD halving.
     "q195_categorical_drift" ->

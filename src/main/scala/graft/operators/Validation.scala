@@ -28,18 +28,20 @@ object Validation {
     .withColumn("pass", when(col("n_violations") === 0L, 1L).otherwise(0L))
     .select("rule", "n_rows", "n_violations", "violation_ppm", "pass")
 
-  /** Evaluate predicate rules in ONE scan. Each rule is
-    * (name, violation-predicate); a row where the predicate is NULL (e.g.
-    * a comparison against a NULL column) counts as a NON-violation — write
-    * explicit `isNull` rules for completeness checks.
+  /** The conditional-sum aggregate columns behind [[checkRules]], exposed
+    * so a STREAMING aggregation can run the identical rule math (Structured
+    * Streaming allows one aggregation per query — the caller aggregates,
+    * then hands the evolving row to [[rulesReport]]).
     */
-  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty, "checkRules needs at least one rule")
-    val aggs = count(lit(1)).alias("__n") +:
+  private[graft] def rulesAgg(rules: Seq[(String, Column)]): Seq[Column] =
+    count(lit(1)).alias("__n") +:
       rules.zipWithIndex.map { case ((_, p), i) =>
         sum(when(p, 1L).otherwise(0L)).alias(s"__v$i")
       }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+
+  /** Pivot one [[rulesAgg]] row into the per-rule report frame. */
+  private[graft] def rulesReport(row: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
     val entries = rules.zipWithIndex.map { case ((nm, _), i) =>
       struct(lit(nm).alias("rule"), col("__n").alias("n_rows"),
         coalesce(col(s"__v$i"), lit(0L)).alias("n_violations"))
@@ -47,6 +49,17 @@ object Validation {
     decorate(row.select(explode(array(entries: _*)).alias("e"))
       .select(col("e.rule").alias("rule"), col("e.n_rows").alias("n_rows"),
         col("e.n_violations").alias("n_violations")))
+  }
+
+  /** Evaluate predicate rules in ONE scan. Each rule is
+    * (name, violation-predicate); a row where the predicate is NULL (e.g.
+    * a comparison against a NULL column) counts as a NON-violation — write
+    * explicit `isNull` rules for completeness checks.
+    */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkRules needs at least one rule")
+    val aggs = rulesAgg(rules)
+    rulesReport(df.agg(aggs.head, aggs.tail: _*), rules)
   }
 
   /** Key-uniqueness check: violations = surplus rows beyond the first per

@@ -450,6 +450,45 @@ object EventStreams {
     out
   }
 
+  /** True-streaming data-quality gate: [[graft.operators.Validation]]'s
+    * predicate rules as a STREAMING global aggregation (complete mode — the
+    * one conditional-sum row re-emits per micro-batch, so an operator can
+    * threshold violation_ppm mid-ingest, not after the batch lands), then
+    * the final row pivots through the same report decoration as the batch
+    * [[graft.operators.Validation.checkRules]] — identical math, so the
+    * final report equals the batch report over the same data exactly.
+    *
+    * Scale shape: per-rule conditional sums partial-aggregate inside each
+    * micro-batch and merge into one state row per rule set — state is
+    * rule-count-sized, never row-sized. The memory-sink drain is the
+    * verification harness only.
+    */
+  def runValidationGateSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, rules: Seq[(String, Column)]): DataFrame = {
+    import graft.operators.Validation
+    require(rules.nonEmpty, "validation gate needs at least one rule")
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val stream =
+      if (schema.fieldNames.contains("ts") &&
+          schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val aggs = Validation.rulesAgg(rules)
+    val q = stream.agg(aggs.head, aggs.tail: _*).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val row = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    Validation.rulesReport(row, rules)
+  }
+
   /** Watermarked stream-stream INNER join: every (left, right) event pair
     * with equal `keys` whose right timestamp falls inside
     * `[left.ts, left.ts + windowSeconds]` — the "purchase within 30 min of

@@ -479,4 +479,25 @@ class StreamingSpec extends SparkSpec {
       cols = Seq("payload"), nBuckets = 4)
     assert(read() == Seq((1L, 10L, "newer"), (2L, 1L, "only"), (3L, 7L, "high-tie")))
   }
+
+  test("streaming validation gate: final report equals the batch checkRules report") {
+    import graft.operators.Validation
+    val dir = java.nio.file.Files.createTempDirectory("graft_vgate").toString
+    val df = Seq((1L, 10.0, "a"), (2L, -3.0, "b"), (3L, 500.0, "a"), (4L, 7.0, "zz"))
+      .toDF("id", "v", "kind")
+    df.write.parquet(s"$dir/data.parquet")
+    val rules = Seq(
+      "v_positive" -> ($"v" <= 0.0),
+      "v_cap_400" -> ($"v" > 400.0),
+      "kind_domain" -> !$"kind".isin("a", "b"))
+    val streamed = EventStreams.runValidationGateSmoke(
+        spark, s"$dir/data.parquet", "graft_vgate_test", rules)
+      .orderBy("rule").collect()
+    val batch = Validation.checkRules(spark.read.parquet(s"$dir/data.parquet"), rules)
+      .orderBy("rule").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(_.getString(0)).toSeq ==
+      Seq("kind_domain", "v_cap_400", "v_positive"))
+    assert(streamed.forall(r => r.getLong(2) == 1L && r.getLong(4) == 0L)) // each rule: 1 violation
+  }
 }
