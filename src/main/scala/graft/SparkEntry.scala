@@ -2205,6 +2205,28 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q198_weighted_sample" -> ((s, dir) =>
+      // sequential Poisson sampling: 50 docs weighted by n_chars — long
+      // docs win proportionally more often, reproducibly (Knuth-hash
+      // uniforms, integer floor-division priorities, id tie-break)
+      t(s, dir, "documents")
+        .weightedSample(col("doc_id"), col("n_chars"), k = 50)
+        .selectCols(Seq(col("doc_id"), col("n_chars"), col("u"),
+          col("priority"), col("sample_rank")))
+        .sortBy(Seq(col("sample_rank")))),
+
+    "q197_hll_merge" -> ((s, dir) => {
+      // HLL union law as a DRIVER fact, not just a spec: per-source shard
+      // sketches merged by element-wise register max must equal the global
+      // sketch — which is exactly what the oracle computes, never seeing
+      // the grouping. Count-distinct across shards, no raw-value shuffle.
+      val d = t(s, dir, "documents")
+      Corpus.hllMerge(
+          Corpus.hllSketchGrouped(d, col("source"), col("doc_id")),
+          d.aggregate(Nil, Seq(countDistinct(col("doc_id")).as("n_exact"))))
+        .sortBy(Seq(col("bucket")))
+    }),
+
     "q196_stream_validation_gate" -> ((s, dir) => {
       // q189's rule math as a TRUE streaming aggregation (complete mode,
       // rule-count-sized state): the final per-batch report must equal the
@@ -3800,6 +3822,50 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Same Knuth uniform, floor-division priority, and tie-break.
+    "q198_weighted_sample" ->
+      """WITH p AS (
+           SELECT doc_id, n_chars,
+             (doc_id * 2654435761) % 4294967296 AS u
+           FROM documents WHERE n_chars > 0),
+         pr AS (SELECT doc_id, n_chars, u,
+                  (u * 1000000) // n_chars AS priority FROM p),
+         r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rnk
+               FROM pr)
+         SELECT doc_id, n_chars, CAST(u AS BIGINT) AS u,
+           CAST(priority AS BIGINT) AS priority, CAST(rnk AS BIGINT) AS sample_rank
+         FROM r WHERE rnk <= 50 ORDER BY sample_rank""",
+
+    // The oracle computes the GLOBAL registers directly (no grouping) —
+    // equality proves the element-wise-max merge of per-source shards.
+    "q197_hll_merge" ->
+      """WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS s FROM documents),
+         hs AS (
+           SELECT s, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM v),
+         hb AS (SELECT CAST(u % 64 AS BIGINT) AS bucket,
+                  CAST(u // 64 AS BIGINT) AS w FROM hs),
+         rr AS (SELECT bucket,
+                  CASE WHEN w = 0 THEN 59
+                       ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM hb),
+         regs AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY bucket),
+         spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         filled AS (
+           SELECT sp.bucket, COALESCE(r.register, 0) AS register
+           FROM spine sp LEFT JOIN regs r USING (bucket)),
+         summ AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (59 - register)) AS BIGINT)
+                    AS s_scaled FROM filled),
+         ne AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM v)
+         SELECT CAST(f.bucket AS BIGINT) AS bucket,
+           CAST(f.register AS BIGINT) AS register,
+           summ.s_scaled, ne.n_exact,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 576460752303423488)
+             / CAST(summ.s_scaled AS DOUBLE), 6) AS hll_estimate
+         FROM filled f CROSS JOIN summ CROSS JOIN ne ORDER BY bucket""",
 
     // The streaming gate's final state must equal plain conditional
     // aggregation over the full table.

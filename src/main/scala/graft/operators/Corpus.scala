@@ -1099,20 +1099,37 @@ object Corpus {
   def hllSketch(df: DataFrame, value: Column, b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
     val m = 1 << b
-    val maxRho = 64 - b + 1
-    val hashed = df.select(
-      graft.plans.TextExprs.fnv64(value.cast("string")).alias("h"))
-    val regs = hashed
-      .select(pmod(col("h"), lit(m.toLong)).alias("bucket"),
-        shiftrightunsigned(col("h"), b).alias("w"))
-      .withColumn("rho", when(col("w") === 0L, lit(maxRho)).otherwise(
-        bit_count(col("w").bitwiseAND(-col("w")) - 1L) + 1))
+    val regs = hllRho(df, value, b)
       .groupBy("bucket").agg(max(col("rho")).cast("long").alias("register"))
     // spine join: empty buckets must appear as register 0 (they dominate
     // the harmonic sum at low cardinality — dropping them breaks the sketch)
     val spine = df.sparkSession.range(0, m).select(col("id").alias("bucket"))
     val full = spine.join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).alias("register"))
+    hllDecorate(full, df.agg(countDistinct(value).alias("n_exact")), b)
+  }
+
+  /** (bucket, w, rho) projection shared by the global and grouped sketches;
+    * `keep` columns ride along (the group key).
+    */
+  private def hllRho(df: DataFrame, value: Column, b: Int,
+      keep: Seq[Column] = Nil): DataFrame = {
+    val m = 1 << b
+    val maxRho = 64 - b + 1
+    df.select((keep :+
+        graft.plans.TextExprs.fnv64(value.cast("string")).alias("h")): _*)
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("w", shiftrightunsigned(col("h"), b))
+      .withColumn("rho", when(col("w") === 0L, lit(maxRho)).otherwise(
+        bit_count(col("w").bitwiseAND(-col("w")) - 1L) + 1))
+  }
+
+  /** Attach the exact scaled harmonic sum, the exact distinct instrument,
+    * and the shared-IEEE-sequence estimate to a dense register frame.
+    */
+  private def hllDecorate(full: DataFrame, nExact: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val maxRho = 64 - b + 1
     // Σ 2^-reg scaled by 2^(maxRho): every term ≥ 1 exactly (reg ≤ maxRho),
     // total ≤ m·2^59 < 2^63 for b ≥ 4
     val summary = full.agg(
@@ -1122,7 +1139,6 @@ object Corpus {
     val alphaCol =
       if (m == 64) (lit(0.709) * lit(m.toDouble)) * lit(m.toDouble)
       else (lit(alpha) * lit(m.toDouble)) * lit(m.toDouble)
-    val nExact = df.agg(countDistinct(value).alias("n_exact"))
     full
       .crossJoin(broadcast(summary))
       .crossJoin(broadcast(nExact))
@@ -1130,6 +1146,34 @@ object Corpus {
         alphaCol * lit(math.pow(2.0, maxRho)) / col("s_scaled").cast("double"), 6))
       .select(col("bucket"), col("register"), col("s_scaled"),
         col("n_exact"), col("hll_estimate"))
+  }
+
+  /** Per-group HLL register vectors: (group, bucket, register), dense (all
+    * 2^b buckets per group). This is the SHARD form — per source, per day,
+    * per partition — that [[hllMerge]] folds without touching raw values.
+    */
+  def hllSketchGrouped(df: DataFrame, group: Column, value: Column,
+      b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1 << b
+    val regs = hllRho(df, value, b, keep = Seq(group.alias("group")))
+      .groupBy("group", "bucket")
+      .agg(max(col("rho")).cast("long").alias("register"))
+    val spine = df.select(group.alias("group")).distinct()
+      .crossJoin(df.sparkSession.range(0, m).select(col("id").alias("bucket")))
+    spine.join(regs, Seq("group", "bucket"), "left")
+      .select(col("group"), col("bucket"),
+        coalesce(col("register"), lit(0L)).alias("register"))
+  }
+
+  /** Merge grouped sketches by element-wise register max — the HLL union
+    * law. 2^b rows per group in, 2^b rows out; `nExact` is the caller's
+    * exact-distinct instrument frame (1 row), dropped in production.
+    */
+  def hllMerge(grouped: DataFrame, nExact: DataFrame, b: Int = 6): DataFrame = {
+    val merged = grouped.groupBy("bucket")
+      .agg(max(col("register")).alias("register"))
+    hllDecorate(merged, nExact, b)
   }
 
   /** DSIR-style importance weights for target-domain data selection (Xie

@@ -697,6 +697,36 @@ object Relational {
         .filter(col("sample_rank") <= k)
     }
 
+    /** Deterministic WEIGHTED sample without replacement — sequential
+      * Poisson sampling (Ohlsson 1998, the πps method order-sampling
+      * family): each row draws the reproducible Knuth-hash uniform
+      * `u ∈ [0, 2^32)` and ranks by priority `(u * 10^6) DIV weight` —
+      * smaller priority wins, so inclusion odds scale ~proportional to the
+      * integer weight ("sample 10k docs, long docs proportionally more
+      * often"). Pure integer floor division, engine-replayable; ties break
+      * by ascending id. Appends `u`, `priority`, `sample_rank` and keeps
+      * the `k` smallest priorities.
+      *
+      * Scale shape: TakeOrdered-style global top-k on the priority — no
+      * full sort, no per-stratum window; weights never leave their rows.
+      */
+    def weightedSample(id: Column, weight: Column, k: Int,
+        salt: Long = 0L): DataFrame = {
+      require(k > 0, s"k must be positive, got $k")
+      val u = pmod(id.cast("long") * lit(2654435761L) + lit(salt),
+        lit(4294967296L))
+      df.withColumn("__u", u)
+        .withColumn("__w", weight.cast("long"))
+        .filter(col("__w") > 0)
+        .withColumn("priority", expr("(__u * 1000000L) DIV __w"))
+        .withColumn("u", col("__u")).drop("__u", "__w")
+        .orderBy(col("priority").asc, id.asc)
+        .limit(k)
+        .withColumn("sample_rank",
+          row_number().over(Window.orderBy(col("priority").asc, id.asc))
+            .cast("long"))
+    }
+
     /** Deterministic hash sample: keep a row iff a multiplicative hash of
       * `id` lands in the lowest `fraction` of the 32-bit range. Reproducible
       * across runs, engines, and partitionings (unlike `df.sample`, whose

@@ -233,6 +233,22 @@ class CorpusSpec extends SparkSpec {
     assert(merged.toSeq == out.map(_.getLong(1)).toSeq)
   }
 
+  test("hllSketchGrouped + hllMerge: shard merge equals the global sketch") {
+    val vals = (1 to 200).map(i => (s"g${i % 3}", s"v$i"))
+    val df = vals.toDF("g", "s")
+    val grouped = Corpus.hllSketchGrouped(df, $"g", $"s")
+    // dense: every (group, bucket) cell present
+    assert(grouped.count() == 3 * 64)
+    val merged = Corpus.hllMerge(grouped,
+        df.agg(countDistinct($"s").alias("n_exact")))
+      .orderBy("bucket").collect()
+    val global = Corpus.hllSketch(df, $"s").orderBy("bucket").collect()
+    assert(merged.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      global.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(merged(0).getLong(2) == global(0).getLong(2)) // s_scaled
+    assert(merged(0).getDouble(4) == global(0).getDouble(4)) // estimate bits
+  }
+
   test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
     // corpus: (1, "a b a"), (2, "b c") -> N=2; tf: (1,a)=2 (1,b)=1 (2,b)=1
     // (2,c)=1; df: a=1 b=2 c=1; w = (tf*(N+1)*1e6) DIV (df+1)

@@ -452,6 +452,25 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).getInt(1) == 1 && out(2).getInt(1) == 2)
   }
 
+  test("weightedSample: hand priorities, zero-weight exclusion, equal-weight reduction") {
+    def u(id: Long) = (id * 2654435761L) % 4294967296L
+    val df = Seq((1L, 100L), (2L, 400L), (3L, 1L), (4L, 0L), (5L, 400L))
+      .toDF("id", "w")
+    val out = df.weightedSample($"id", $"w", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(2)))
+    // expected: priority = (u * 1e6) div w, zero-weight id 4 excluded
+    val want = Seq(1L, 2L, 3L, 5L)
+      .map(id => (id, u(id) * 1000000L / Seq(100L, 400L, 1L, 0L, 400L)(id.toInt - 1)))
+      .sortBy { case (id, p) => (p, id) }.take(3)
+    assert(out.map(r => (r._1, r._3)).toSeq == want)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L)) // ranks dense from 1
+    // equal weights -> pure lowest-u order (the unweighted hash sample)
+    val eq = df.withColumn("w", lit(7L)).weightedSample($"id", $"w", k = 5)
+      .orderBy("sample_rank").collect().map(_.getLong(0))
+    val byU = Seq(1L, 2L, 3L, 4L, 5L).sortBy(id => (u(id), id))
+    assert(eq.toSeq == byU)
+  }
+
   test("maintainAgg: delta merge == from-scratch recompute; zero-count groups drop") {
     import graft.operators.Relational
     val base0 = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v")
