@@ -27,7 +27,9 @@ object ExplainAudit {
         "q155_streaming_partitioned_ingest",
         "q156_tpch_q11", "q160_tpch_q15", "q161_tpch_q21",
         "q163_dup_substr_stats", "q164_dup_substr_spans_hashed",
-        "q166_dsir_weights", "q168_window_frames", "q170_compaction")
+        "q166_dsir_weights", "q168_window_frames", "q170_compaction",
+        "q188_backoff_lm", "q190_image_dhash_neardup", "q191_hll_distinct",
+        "q192_incremental_agg", "q194_ann_sq8", "q198_weighted_sample")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
