@@ -2205,6 +2205,24 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q199_kcore" -> ((s, dir) => {
+      // dense-core extraction: high-quantity co-purchase part graph peeled
+      // 4 rounds at k=3 — a real cascade on this data (1494 -> 533 -> 241
+      // -> 112 -> 74 nodes at sf0.01: round-1 survivors starve as their
+      // fringe vanishes). Fixed rounds = mechanically unrollable oracle,
+      // the q100 pagerank contract.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      graft.operators.Graph.kCorePeel(e, k = 3, rounds = 4)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q198_weighted_sample" -> ((s, dir) =>
       // sequential Poisson sampling: 50 docs weighted by n_chars — long
       // docs win proportionally more often, reproducibly (Knuth-hash
@@ -3822,6 +3840,38 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Four mechanically unrolled peel rounds (the q100 pattern): degree,
+    // alive filter, both-endpoint edge survival, repeated.
+    "q199_kcore" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey),
+         d1 AS (SELECT id, count(*) AS deg FROM
+                 (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id),
+         a1 AS (SELECT id FROM d1 WHERE deg >= 3),
+         e1 AS (SELECT e0.a, e0.b FROM e0
+                JOIN a1 x ON e0.a = x.id JOIN a1 y ON e0.b = y.id),
+         d2 AS (SELECT id, count(*) AS deg FROM
+                 (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY id),
+         a2 AS (SELECT id FROM d2 WHERE deg >= 3),
+         e2 AS (SELECT e1.a, e1.b FROM e1
+                JOIN a2 x ON e1.a = x.id JOIN a2 y ON e1.b = y.id),
+         d3 AS (SELECT id, count(*) AS deg FROM
+                 (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id),
+         a3 AS (SELECT id FROM d3 WHERE deg >= 3),
+         e3 AS (SELECT e2.a, e2.b FROM e2
+                JOIN a3 x ON e2.a = x.id JOIN a3 y ON e2.b = y.id),
+         d4 AS (SELECT id, count(*) AS deg FROM
+                 (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id),
+         a4 AS (SELECT id FROM d4 WHERE deg >= 3),
+         e4 AS (SELECT e3.a, e3.b FROM e3
+                JOIN a4 x ON e3.a = x.id JOIN a4 y ON e3.b = y.id)
+         SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+           (SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+         GROUP BY id ORDER BY id""",
 
     // Same Knuth uniform, floor-division priority, and tie-break.
     "q198_weighted_sample" ->

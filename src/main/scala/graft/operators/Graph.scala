@@ -98,6 +98,45 @@ object Graph {
     r
   }
 
+  /** Fixed-round k-core peeling over an undirected edge list (id_a, id_b):
+    * each round drops every node whose CURRENT degree is below `k`, then
+    * every edge touching a dropped node — the degeneracy-ordering trim that
+    * isolates the dense cores of a co-occurrence or near-dup graph (cores
+    * are where true duplicate clusters and head entities live; the peeled
+    * fringe is the long tail). Removals cascade: a node alive in round 1
+    * can starve in round 2 once its fringe neighbors vanish.
+    *
+    * FIXED `rounds`, not loop-to-convergence — same contract as
+    * [[pagerank]]: deterministic cost, and an oracle can replay R rounds
+    * as mechanically unrolled SQL. (True k-core = run until a round
+    * removes nothing; the spec pins a converged example.) Returns the
+    * surviving (id, degree) with degree measured over surviving edges —
+    * nodes that would fall in round R+1 report their honest sub-k degree.
+    *
+    * Scale shape per round: one partial-agg degree groupBy (node-sized)
+    * and two semi-join-shaped equi-joins keyed on node ids; lineage
+    * truncated per round ([[Iterative.truncate]], localCheckpoint default,
+    * reliable `checkpointDir` opt-in).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").alias("id")).union(e.select(col("b").alias("id")))
+        .groupBy("id").agg(count(lit(1)).alias("degree"))
+    var e = Iterative.truncate(edges.toDF("a", "b"), checkpointDir)
+    (1 to rounds).foreach { _ =>
+      val alive = degrees(e).filter(col("degree") >= k).select("id")
+      e = Iterative.truncate(
+        e.join(alive.withColumnRenamed("id", "a"), Seq("a"))
+          .join(alive.withColumnRenamed("id", "b"), Seq("b"))
+          .select("a", "b"), checkpointDir)
+    }
+    degrees(e)
+  }
+
   /** Per-node triangle counts over an undirected edge list given as
     * ordered pairs (id_a < id_b). With every edge stored once in
     * ascending order, a triangle {a < b < c} is found exactly once by

@@ -154,6 +154,25 @@ class CorpusSpec extends SparkSpec {
     assert(m(Graph.pagerank(edges, rounds = 2, dNum = 50, scale = 100L, nodes = Some(nodes))) == m(r2))
   }
 
+  test("kCorePeel: triangle survives k=2, chain cascades to empty, sub-k degrees honest") {
+    import graft.operators.Graph
+    // triangle {1,2,3} + tail 3-4
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops degree-1 node 4; round 2 changes nothing (converged)
+    assert(m(Graph.kCorePeel(tri, k = 2, rounds = 2)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: only node 3 qualifies round 1 -> every edge loses an endpoint
+    assert(Graph.kCorePeel(tri, k = 3, rounds = 1).count() == 0)
+    // path 1-2-3-4-5, k=2: ends die each round -> empty by round 3;
+    // one round leaves interior nodes with their honest sub-k degrees
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    assert(m(Graph.kCorePeel(path, k = 2, rounds = 1)) ==
+      Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(Graph.kCorePeel(path, k = 2, rounds = 3).count() == 0)
+  }
+
   test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
     // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
     // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;
