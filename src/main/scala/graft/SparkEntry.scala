@@ -2205,6 +2205,30 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q200_image_dedup_pipeline" -> ((s, dir) => {
+      // the composed MULTIMODAL dedup pipeline: synth -> REAL decode ->
+      // dHash -> pigeonhole pairs (q190) -> connected components (q50's
+      // operator) -> largest-area representative per cluster. One driver
+      // fact for the whole image-dedup story; the oracle recomputes every
+      // stage from the synthesis formula, recursive CTE included.
+      val d = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          pmod(col("doc_id"), lit(47)).as("g"),
+          expr("doc_id div 47").as("off")))
+        .selectCols(Seq(col("doc_id"), col("g"), col("off"),
+          (lit(8) + pmod(col("g"), lit(9))).cast("int").as("w"),
+          (lit(8) + pmod(col("g"), lit(7))).cast("int").as("h")))
+        .withColumn("png", Multimodal.synthGrayPatternPngUdf(
+          col("g"), col("off"), col("w"), col("h")))
+        .withColumn("sig", Multimodal.dHash64(col("png")))
+      val pairs = Dedup.hamming64Pairs(d, col("doc_id"), col("sig"), maxHamming = 3)
+      val comps = Dedup.nearDupComponents(pairs)
+      val scores = d.selectCols(Seq(col("doc_id").as("id"),
+        (col("w") * col("h")).cast("long").as("score")))
+      Dedup.componentRepresentatives(comps, scores)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q199_kcore" -> ((s, dir) => {
       // dense-core extraction: high-quantity co-purchase part graph peeled
       // 4 rounds at k=3 — a real cascade on this data (1494 -> 533 -> 241
@@ -3840,6 +3864,55 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Every stage recomputed from the synthesis formula: dHash bits,
+    // brute-forced hamming<=3 pairs, recursive-CTE components, area-scored
+    // representatives (q50/q111's conventions on the q190 graph).
+    "q200_image_dedup_pipeline" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, doc_id % 47 AS g, doc_id // 47 AS off,
+             8 + (doc_id % 47) % 9 AS w, 8 + (doc_id % 47) % 7 AS h
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             flatten(list_transform(range(0, 8), y ->
+               list_transform(range(0, 8), x ->
+                 CASE WHEN
+                   (g*37 + (((x+1)*w)//9)*(((x+1)*w)//9)*7 + ((y*h)//8)*((y*h)//8)*13
+                     + (((x+1)*w)//9)*((y*h)//8)*(3+g) + off) % 256
+                   > (g*37 + ((x*w)//9)*((x*w)//9)*7 + ((y*h)//8)*((y*h)//8)*13
+                     + ((x*w)//9)*((y*h)//8)*(3+g) + off) % 256
+                 THEN 1 ELSE 0 END))) AS bits
+           FROM d),
+         ih AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               bits[i+1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               bits[i+33] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS hi
+           FROM b),
+         pairs AS (
+           SELECT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM ih a JOIN ih c ON a.doc_id < c.doc_id
+           WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+         sc AS (SELECT doc_id AS id, CAST(w * h AS BIGINT) AS score FROM d),
+         rep AS (
+           SELECT component_id, id AS rep_id FROM (
+             SELECT c.component_id, c.id,
+               row_number() OVER (PARTITION BY c.component_id
+                 ORDER BY sc.score DESC, c.id) AS rn
+             FROM comp c JOIN sc ON c.id = sc.id)
+           WHERE rn = 1)
+         SELECT c.id, c.component_id, r.rep_id, c.id = r.rep_id AS kept
+         FROM comp c JOIN rep r USING (component_id)
+         ORDER BY c.id""",
 
     // Four mechanically unrolled peel rounds (the q100 pattern): degree,
     // alive filter, both-endpoint edge survival, repeated.
