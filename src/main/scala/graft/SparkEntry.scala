@@ -2205,6 +2205,25 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q201_hll_stream" -> ((s, dir) => {
+      // q191's sketch as a TRUE streaming aggregation: bucket-wise register
+      // max in complete mode (64 longs of state for any stream length),
+      // drained and finalized through the identical batch math — the
+      // oracle computes the batch registers over event_id directly.
+      val staged = java.nio.file.Files.createTempDirectory("graft_q201")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q201_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runHllStreamSmoke(s, staged.toString, qn, "event_id")
+          .sortBy(Seq(col("bucket")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q200_image_dedup_pipeline" -> ((s, dir) => {
       // the composed MULTIMODAL dedup pipeline: synth -> REAL decode ->
       // dHash -> pigeonhole pairs (q190) -> connected components (q50's
@@ -3864,6 +3883,37 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // The streamed registers must equal the batch sketch: same FNV fold,
+    // same rho, same spine/harmonic-sum/estimate decoration (q191 over
+    // events.event_id).
+    "q201_hll_stream" ->
+      """WITH v AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events),
+         hs AS (
+           SELECT s, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM v),
+         hb AS (SELECT CAST(u % 64 AS BIGINT) AS bucket,
+                  CAST(u // 64 AS BIGINT) AS w FROM hs),
+         rr AS (SELECT bucket,
+                  CASE WHEN w = 0 THEN 59
+                       ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM hb),
+         regs AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY bucket),
+         spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         filled AS (
+           SELECT sp.bucket, COALESCE(r.register, 0) AS register
+           FROM spine sp LEFT JOIN regs r USING (bucket)),
+         summ AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (59 - register)) AS BIGINT)
+                    AS s_scaled FROM filled),
+         ne AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM v)
+         SELECT CAST(f.bucket AS BIGINT) AS bucket,
+           CAST(f.register AS BIGINT) AS register,
+           summ.s_scaled, ne.n_exact,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 576460752303423488)
+             / CAST(summ.s_scaled AS DOUBLE), 6) AS hll_estimate
+         FROM filled f CROSS JOIN summ CROSS JOIN ne ORDER BY bucket""",
 
     // Every stage recomputed from the synthesis formula: dHash bits,
     // brute-forced hamming<=3 pairs, recursive-CTE components, area-scored

@@ -1101,18 +1101,30 @@ object Corpus {
     val m = 1 << b
     val regs = hllRho(df, value, b)
       .groupBy("bucket").agg(max(col("rho")).cast("long").alias("register"))
+    hllFinalize(regs, df.agg(countDistinct(value).alias("n_exact")), b)
+  }
+
+  /** Finish a SPARSE (bucket, register) frame into the full sketch report:
+    * spine-fill missing buckets to register 0, attach the harmonic sum and
+    * estimate. Public seam so a STREAMING register aggregation (one
+    * groupBy-max — 2^b rows of state) can drain and finalize through the
+    * identical math as the batch sketch.
+    */
+  def hllFinalize(sparseRegs: DataFrame, nExact: DataFrame, b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1 << b
     // spine join: empty buckets must appear as register 0 (they dominate
     // the harmonic sum at low cardinality — dropping them breaks the sketch)
-    val spine = df.sparkSession.range(0, m).select(col("id").alias("bucket"))
-    val full = spine.join(regs, Seq("bucket"), "left")
+    val spine = sparseRegs.sparkSession.range(0, m).select(col("id").alias("bucket"))
+    val full = spine.join(sparseRegs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).alias("register"))
-    hllDecorate(full, df.agg(countDistinct(value).alias("n_exact")), b)
+    hllDecorate(full, nExact, b)
   }
 
   /** (bucket, w, rho) projection shared by the global and grouped sketches;
     * `keep` columns ride along (the group key).
     */
-  private def hllRho(df: DataFrame, value: Column, b: Int,
+  private[graft] def hllRho(df: DataFrame, value: Column, b: Int,
       keep: Seq[Column] = Nil): DataFrame = {
     val m = 1 << b
     val maxRho = 64 - b + 1

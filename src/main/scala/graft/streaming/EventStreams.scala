@@ -489,6 +489,42 @@ object EventStreams {
     Validation.rulesReport(row, rules)
   }
 
+  /** True-streaming HyperLogLog: the register aggregation
+    * (bucket-wise max rho — [[graft.operators.Corpus.hllSketch]]'s core)
+    * as a complete-mode streaming groupBy, drained and finalized through
+    * the identical batch math. THE canonical streaming distinct counter:
+    * 2^b integers of state no matter how many events flow, and the drained
+    * registers equal the batch sketch over the same data exactly (register
+    * max is order- and batching-insensitive). `nExact` is computed
+    * batch-side as the oracle instrument.
+    */
+  def runHllStreamSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, valueName: String, b: Int = 6): DataFrame = {
+    import graft.operators.Corpus
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val q = Corpus.hllRho(raw, col(valueName), b)
+      .groupBy("bucket").agg(max(col("rho")).cast("long").alias("register"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val sparse = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    // materialize the instrument eagerly: callers stage the source into a
+    // temp dir and delete it on return, so nothing may stay lazy over it
+    val neDf = spark.read.parquet(parquetPath)
+      .agg(countDistinct(col(valueName)).alias("n_exact"))
+    val ne = spark.createDataFrame(
+      java.util.Arrays.asList(neDf.collect(): _*), neDf.schema)
+    Corpus.hllFinalize(sparse, ne, b)
+  }
+
   /** Watermarked stream-stream INNER join: every (left, right) event pair
     * with equal `keys` whose right timestamp falls inside
     * `[left.ts, left.ts + windowSeconds]` — the "purchase within 30 min of

@@ -480,6 +480,20 @@ class StreamingSpec extends SparkSpec {
     assert(read() == Seq((1L, 10L, "newer"), (2L, 1L, "only"), (3L, 7L, "high-tie")))
   }
 
+  test("streaming HLL: drained registers equal the batch sketch") {
+    import graft.operators.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllstream").toString
+    val df = (1 to 500).map(i => (i.toLong, s"u${i % 313}")).toDF("id", "user")
+    df.write.parquet(s"$dir/data.parquet")
+    val streamed = EventStreams.runHllStreamSmoke(
+        spark, s"$dir/data.parquet", "graft_hllstream_test", "user")
+      .orderBy("bucket").collect()
+    val batch = Corpus.hllSketch(spark.read.parquet(s"$dir/data.parquet"), $"user")
+      .orderBy("bucket").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed(0).getLong(3) == 313L) // n_exact instrument
+  }
+
   test("streaming validation gate: final report equals the batch checkRules report") {
     import graft.operators.Validation
     val dir = java.nio.file.Files.createTempDirectory("graft_vgate").toString
