@@ -2205,6 +2205,25 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q203_hll_overlap" -> ((s, dir) => {
+      // sketch set algebra: en/de vocabulary overlap by inclusion-exclusion
+      // over three HLL sketches (registers only — raw tokens never
+      // co-shuffle); exact distinct counts ride along as instruments so
+      // the compounded estimate error is visible, not asserted
+      val d = t(s, dir, "documents")
+      def tok(l: String) = d.filterCol(col("lang") === l)
+        .selectCols(Seq(explode(TextFns.tokens(col("text"))).as("tok")))
+      Corpus.hllOverlap(tok("en"), tok("de"), col("tok"))
+    }),
+
+    "q202_k_anonymity" -> ((s, dir) =>
+      // release-gate audit: (lang, source) as quasi-identifiers over the
+      // document corpus at k=3 — the count-1 cells seen in q195 make this
+      // a genuinely failing (non-anonymous) report, not a vacuous pass
+      Validation.kAnonymity(t(s, dir, "documents"), "docs_lang_source_k3",
+          Seq(col("lang"), col("source")), k = 3)
+        .sortBy(Seq(col("rule")))),
+
     "q201_hll_stream" -> ((s, dir) => {
       // q191's sketch as a TRUE streaming aggregation: bucket-wise register
       // max in complete mode (64 longs of state for any stream length),
@@ -3261,7 +3280,7 @@ object SparkEntry {
              list_reduce(
                list_prepend(CAST(0 AS HUGEINT), hlist),
                (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
-                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
+                               + acc // CAST('72057594037927936' AS HUGEINT), h)) AS u
            FROM hs)
          SELECT doc_id,
            CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
@@ -3884,6 +3903,100 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
 
+    // Three register chains (en, de, union-all) with the same FNV fold and
+    // harmonic sums; the estimates and their inclusion-exclusion share the
+    // Spark side's exact IEEE op sequence.
+    "q203_hll_overlap" ->
+      """WITH va AS (
+           SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS v
+           FROM documents WHERE lang = 'en'),
+         vb AS (
+           SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS v
+           FROM documents WHERE lang = 'de'),
+         vu AS (SELECT v FROM va UNION ALL SELECT v FROM vb),
+         ha AS (SELECT list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(v, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM va),
+         hb AS (SELECT list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(v, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM vb),
+         hu AS (SELECT list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(v, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM vu),
+         ra AS (SELECT CAST(u % 64 AS BIGINT) AS bucket,
+                  CASE WHEN CAST(u // 64 AS BIGINT) = 0 THEN 59
+                       ELSE bit_count((CAST(u // 64 AS BIGINT) & -CAST(u // 64 AS BIGINT)) - 1) + 1 END AS rho
+                FROM ha),
+         rb AS (SELECT CAST(u % 64 AS BIGINT) AS bucket,
+                  CASE WHEN CAST(u // 64 AS BIGINT) = 0 THEN 59
+                       ELSE bit_count((CAST(u // 64 AS BIGINT) & -CAST(u // 64 AS BIGINT)) - 1) + 1 END AS rho
+                FROM hb),
+         ru AS (SELECT CAST(u % 64 AS BIGINT) AS bucket,
+                  CASE WHEN CAST(u // 64 AS BIGINT) = 0 THEN 59
+                       ELSE bit_count((CAST(u // 64 AS BIGINT) & -CAST(u // 64 AS BIGINT)) - 1) + 1 END AS rho
+                FROM hu),
+         spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         sa AS (SELECT CAST(sum(CASE WHEN COALESCE(r.reg, 0) <= 56 THEN CAST(1 AS BIGINT) << (56 - COALESCE(r.reg, 0)) ELSE 0 END) AS BIGINT) AS s
+                FROM spine sp LEFT JOIN
+                  (SELECT bucket, max(rho) AS reg FROM ra GROUP BY bucket) r
+                  USING (bucket)),
+         sb AS (SELECT CAST(sum(CASE WHEN COALESCE(r.reg, 0) <= 56 THEN CAST(1 AS BIGINT) << (56 - COALESCE(r.reg, 0)) ELSE 0 END) AS BIGINT) AS s
+                FROM spine sp LEFT JOIN
+                  (SELECT bucket, max(rho) AS reg FROM rb GROUP BY bucket) r
+                  USING (bucket)),
+         su AS (SELECT CAST(sum(CASE WHEN COALESCE(r.reg, 0) <= 56 THEN CAST(1 AS BIGINT) << (56 - COALESCE(r.reg, 0)) ELSE 0 END) AS BIGINT) AS s
+                FROM spine sp LEFT JOIN
+                  (SELECT bucket, max(rho) AS reg FROM ru GROUP BY bucket) r
+                  USING (bucket)),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_inter FROM
+                  (SELECT DISTINCT v FROM va) a JOIN
+                  (SELECT DISTINCT v FROM vb) b USING (v)),
+         na AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_exact_a FROM va),
+         nb AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_exact_b FROM vb)
+         SELECT na.n_exact_a, nb.n_exact_b, ex.n_exact_inter,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
+             / CAST(sa.s AS DOUBLE), 6) AS est_a,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
+             / CAST(sb.s AS DOUBLE), 6) AS est_b,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
+             / CAST(su.s AS DOUBLE), 6) AS est_union,
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
+               / CAST(sa.s AS DOUBLE)
+             + (((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
+               / CAST(sb.s AS DOUBLE)
+             - (((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
+               / CAST(su.s AS DOUBLE), 6) AS est_inter
+         FROM sa CROSS JOIN sb CROSS JOIN su
+           CROSS JOIN ex CROSS JOIN na CROSS JOIN nb""",
+
+    // Same class-size aggregation and integer risk arithmetic.
+    "q202_k_anonymity" ->
+      """WITH g AS (
+           SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+         a AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(c) AS BIGINT) AS min_group_size,
+             CAST(sum(CASE WHEN c < 3 THEN c ELSE 0 END) AS BIGINT)
+               AS n_rows_below_k
+           FROM g)
+         SELECT 'docs_lang_source_k3' AS rule, n_rows, n_groups,
+           min_group_size, n_rows_below_k,
+           CAST(CASE WHEN n_rows = 0 THEN 0
+                ELSE (n_rows_below_k * 1000000) // n_rows END AS BIGINT)
+             AS risk_ppm,
+           CAST(CASE WHEN min_group_size >= 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS anonymous
+         FROM a""",
+
     // The streamed registers must equal the batch sketch: same FNV fold,
     // same rho, same spine/harmonic-sum/estimate decoration (q191 over
     // events.event_id).
@@ -3905,13 +4018,13 @@ object SparkEntry {
          filled AS (
            SELECT sp.bucket, COALESCE(r.register, 0) AS register
            FROM spine sp LEFT JOIN regs r USING (bucket)),
-         summ AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (59 - register)) AS BIGINT)
+         summ AS (SELECT CAST(sum(CASE WHEN register <= 56 THEN CAST(1 AS BIGINT) << (56 - register) ELSE 0 END) AS BIGINT)
                     AS s_scaled FROM filled),
          ne AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM v)
          SELECT CAST(f.bucket AS BIGINT) AS bucket,
            CAST(f.register AS BIGINT) AS register,
            summ.s_scaled, ne.n_exact,
-           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 576460752303423488)
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
              / CAST(summ.s_scaled AS DOUBLE), 6) AS hll_estimate
          FROM filled f CROSS JOIN summ CROSS JOIN ne ORDER BY bucket""",
 
@@ -4030,13 +4143,13 @@ object SparkEntry {
          filled AS (
            SELECT sp.bucket, COALESCE(r.register, 0) AS register
            FROM spine sp LEFT JOIN regs r USING (bucket)),
-         summ AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (59 - register)) AS BIGINT)
+         summ AS (SELECT CAST(sum(CASE WHEN register <= 56 THEN CAST(1 AS BIGINT) << (56 - register) ELSE 0 END) AS BIGINT)
                     AS s_scaled FROM filled),
          ne AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM v)
          SELECT CAST(f.bucket AS BIGINT) AS bucket,
            CAST(f.register AS BIGINT) AS register,
            summ.s_scaled, ne.n_exact,
-           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 576460752303423488)
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
              / CAST(summ.s_scaled AS DOUBLE), 6) AS hll_estimate
          FROM filled f CROSS JOIN summ CROSS JOIN ne ORDER BY bucket""",
 
@@ -4159,13 +4272,13 @@ object SparkEntry {
          filled AS (
            SELECT sp.bucket, COALESCE(r.register, 0) AS register
            FROM spine sp LEFT JOIN regs r USING (bucket)),
-         summ AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (59 - register)) AS BIGINT)
+         summ AS (SELECT CAST(sum(CASE WHEN register <= 56 THEN CAST(1 AS BIGINT) << (56 - register) ELSE 0 END) AS BIGINT)
                     AS s_scaled FROM filled),
          ne AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM v)
          SELECT CAST(f.bucket AS BIGINT) AS bucket,
            CAST(f.register AS BIGINT) AS register,
            summ.s_scaled, ne.n_exact,
-           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 576460752303423488)
+           round((((CAST(0.709 AS DOUBLE) * 64) * 64) * 72057594037927936)
              / CAST(summ.s_scaled AS DOUBLE), 6) AS hll_estimate
          FROM filled f CROSS JOIN summ CROSS JOIN ne ORDER BY bucket""",
 

@@ -1074,7 +1074,7 @@ object Corpus {
     * BOUNDED-STATE distinct counter, and like [[cmsHeavyHitters]] built
     * with, unusually, an EXACT oracle: value hashing is the portable
     * FNV-1a, the register update is integer max, and the harmonic sum is
-    * carried as the exact integer Σ 2^(maxRho-register), so the whole
+    * carried as the exact integer Σ 2^(sumScale-register) (sumScale = 62-b, overflow-proof — see hllSumScale), so the whole
     * sketch — all 2^b registers, the scaled sum, even the float estimate
     * (one shared IEEE op sequence) — replays bit-for-bit in ANSI SQL.
     *
@@ -1139,23 +1139,39 @@ object Corpus {
   /** Attach the exact scaled harmonic sum, the exact distinct instrument,
     * and the shared-IEEE-sequence estimate to a dense register frame.
     */
-  private def hllDecorate(full: DataFrame, nExact: DataFrame, b: Int): DataFrame = {
+  /** Harmonic-sum scale: Σ 2^-reg is carried as Σ 2^(sumScale - reg) with
+    * sumScale = 62 - b, so the all-empty worst case m·2^sumScale = 2^62
+    * NEVER overflows a long (a 2^59 scale did, under ANSI, the moment ~16
+    * registers sat at 0 — low-cardinality sketches are exactly where empty
+    * buckets dominate). Registers above sumScale floor their term to 0:
+    * that needs a 57+-bit trailing-zero run (P ≈ 2^-57 per value), and the
+    * oracle replays the identical floor, so cross-engine exactness holds
+    * unconditionally.
+    */
+  private def hllSumScale(b: Int): Int = 62 - b
+
+  private def hllSumExpr(b: Int): Column = {
+    val s = hllSumScale(b)
+    sum(expr(
+      s"CAST(CASE WHEN register <= $s THEN shiftleft(1L, $s - register) ELSE 0L END AS BIGINT)"))
+  }
+
+  private def hllAlphaC(b: Int): Column = {
     val m = 1 << b
-    val maxRho = 64 - b + 1
-    // Σ 2^-reg scaled by 2^(maxRho): every term ≥ 1 exactly (reg ≤ maxRho),
-    // total ≤ m·2^59 < 2^63 for b ≥ 4
-    val summary = full.agg(
-      sum(expr(s"CAST(shiftleft(1L, $maxRho - register) AS BIGINT)"))
-        .alias("s_scaled"))
     val alpha = 0.7213 / (1.0 + 1.079 / m) // paper's alpha_m for m >= 128; 64 uses 0.709
-    val alphaCol =
+    val base =
       if (m == 64) (lit(0.709) * lit(m.toDouble)) * lit(m.toDouble)
       else (lit(alpha) * lit(m.toDouble)) * lit(m.toDouble)
+    base * lit(math.pow(2.0, hllSumScale(b)))
+  }
+
+  private def hllDecorate(full: DataFrame, nExact: DataFrame, b: Int): DataFrame = {
+    val summary = full.agg(hllSumExpr(b).alias("s_scaled"))
     full
       .crossJoin(broadcast(summary))
       .crossJoin(broadcast(nExact))
       .withColumn("hll_estimate", round(
-        alphaCol * lit(math.pow(2.0, maxRho)) / col("s_scaled").cast("double"), 6))
+        hllAlphaC(b) / col("s_scaled").cast("double"), 6))
       .select(col("bucket"), col("register"), col("s_scaled"),
         col("n_exact"), col("hll_estimate"))
   }
@@ -1186,6 +1202,60 @@ object Corpus {
     val merged = grouped.groupBy("bucket")
       .agg(max(col("register")).alias("register"))
     hllDecorate(merged, nExact, b)
+  }
+
+  /** 1-row scaled harmonic sum of a value set's sketch (the scalar an
+    * estimate derives from).
+    */
+  private def hllSRow(df: DataFrame, value: Column, b: Int,
+      alias: String): DataFrame = {
+    val m = 1 << b
+    val regs = hllRho(df, value, b)
+      .groupBy("bucket").agg(max(col("rho")).cast("long").alias("register"))
+    val spine = df.sparkSession.range(0, m).select(col("id").alias("bucket"))
+    spine.join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("register"), lit(0L)).alias("register"))
+      .agg(hllSumExpr(b).alias(alias))
+  }
+
+  /** HLL set algebra: estimate the INTERSECTION of two value sets by
+    * inclusion-exclusion over three sketches — est(A) + est(B) − est(A∪B),
+    * where the union sketch is just the sketch of the concatenated inputs
+    * (registers merge by max, so no raw values ever co-shuffle). The
+    * vocabulary-overlap / audience-overlap primitive: at 100 TB each side's
+    * registers are 2^b integers, and the exact-distinct instruments
+    * (`n_*` columns) are what production drops.
+    *
+    * Estimates share one IEEE op sequence, so even the derived
+    * intersection replays bit-for-bit. Inclusion-exclusion error compounds
+    * (three ±1.04/√m estimates) — fine for overlap RATIOS, not for small
+    * intersections of huge sets; the n_exact columns make the error
+    * visible rather than asserted.
+    */
+  def hllOverlap(a: DataFrame, b: DataFrame, value: Column,
+      bBits: Int = 6): DataFrame = {
+    require(bBits >= 4 && bBits <= 16, s"b must be in [4,16], got $bBits")
+    val va = a.select(value.alias("v"))
+    val vb = b.select(value.alias("v"))
+    val sA = hllSRow(va, col("v"), bBits, "sa")
+    val sB = hllSRow(vb, col("v"), bBits, "sb")
+    val sU = hllSRow(va.union(vb), col("v"), bBits, "su")
+    val exact = va.distinct().alias("da")
+      .join(vb.distinct().alias("db"), Seq("v"))
+      .agg(count(lit(1)).alias("n_exact_inter"))
+    val alphaC = hllAlphaC(bBits)
+    sA.crossJoin(broadcast(sB)).crossJoin(broadcast(sU))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(va.agg(countDistinct(col("v")).alias("n_exact_a"))))
+      .crossJoin(broadcast(vb.agg(countDistinct(col("v")).alias("n_exact_b"))))
+      .select(
+        col("n_exact_a"), col("n_exact_b"), col("n_exact_inter"),
+        round(alphaC / col("sa").cast("double"), 6).alias("est_a"),
+        round(alphaC / col("sb").cast("double"), 6).alias("est_b"),
+        round(alphaC / col("su").cast("double"), 6).alias("est_union"),
+        round(alphaC / col("sa").cast("double")
+          + alphaC / col("sb").cast("double")
+          - alphaC / col("su").cast("double"), 6).alias("est_inter"))
   }
 
   /** DSIR-style importance weights for target-domain data selection (Xie

@@ -97,6 +97,39 @@ object Validation {
     parts.reduce(_.union(_))
   }
 
+  /** k-anonymity audit over quasi-identifier columns (the release gate for
+    * any dataset carrying user attributes — Sweeney's k-anonymity): a row
+    * is re-identifiable when its quasi-identifier combination is shared by
+    * fewer than `k` rows. Reports the equivalence-class structure —
+    * (rule, n_rows, n_groups, min_group_size, n_rows_below_k, risk_ppm,
+    * anonymous) — where `anonymous` = 1 iff every class has >= k members.
+    *
+    * One partial-aggregated groupBy on the quasi-identifiers plus a 1-row
+    * reduction over the class sizes; nothing scales with row count but the
+    * scan. NULL quasi-identifier values form their own class (standard
+    * grouping semantics), which is the conservative choice.
+    */
+  def kAnonymity(df: DataFrame, name: String, qids: Seq[Column],
+      k: Int): DataFrame = {
+    require(qids.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = df.groupBy(qids: _*).agg(count(lit(1)).alias("__c"))
+    g.agg(
+        coalesce(sum(col("__c")), lit(0L)).alias("n_rows"),
+        count(lit(1)).alias("n_groups"),
+        coalesce(min(col("__c")), lit(0L)).alias("min_group_size"),
+        coalesce(sum(when(col("__c") < k, col("__c")).otherwise(0L)), lit(0L))
+          .alias("n_rows_below_k"))
+      .withColumn("risk_ppm", expr(
+        "CASE WHEN n_rows = 0 THEN 0L ELSE (n_rows_below_k * 1000000L) DIV n_rows END"))
+      .withColumn("anonymous",
+        when(col("min_group_size") >= k && col("n_rows") > 0, 1L).otherwise(
+          when(col("n_rows") === 0, 1L).otherwise(0L)))
+      .withColumn("rule", lit(name))
+      .select("rule", "n_rows", "n_groups", "min_group_size",
+        "n_rows_below_k", "risk_ppm", "anonymous")
+  }
+
   /** Categorical-distribution drift between a REFERENCE snapshot and the
     * CURRENT batch (the "did the upstream mix shift" monitor a training
     * pipeline runs per ingest): per-category counts full-outer-joined

@@ -268,6 +268,23 @@ class CorpusSpec extends SparkSpec {
     assert(merged(0).getDouble(4) == global(0).getDouble(4)) // estimate bits
   }
 
+  test("hllOverlap: identical sets collapse, exact instruments, union dominates") {
+    val a = (1 to 200).map(i => s"w$i").toDF("v")
+    val b = (101 to 300).map(i => s"w$i").toDF("v")
+    val r = Corpus.hllOverlap(a, b, $"v").collect()(0)
+    assert(r.getLong(0) == 200L && r.getLong(1) == 200L && r.getLong(2) == 100L)
+    val (estA, estB, estU, estI) =
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    // inclusion-exclusion identity holds exactly on the rounded outputs'
+    // unrounded parents; on rounded values it holds to rounding slack
+    assert(math.abs((estA + estB - estU) - estI) < 1e-4)
+    assert(estU >= estA && estU >= estB) // union registers dominate
+    // identical inputs: union sketch == each side, intersection == est_a
+    val same = Corpus.hllOverlap(a, a, $"v").collect()(0)
+    assert(same.getDouble(3) == same.getDouble(5))
+    assert(same.getDouble(3) == same.getDouble(6))
+  }
+
   test("hashedTfIdf: hand-computed integer weights, fnv bucketing, exact collision sums") {
     // corpus: (1, "a b a"), (2, "b c") -> N=2; tf: (1,a)=2 (1,b)=1 (2,b)=1
     // (2,c)=1; df: a=1 b=2 c=1; w = (tf*(N+1)*1e6) DIV (df+1)

@@ -72,6 +72,26 @@ class ValidationSpec extends SparkSpec {
     assert(same.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
   }
 
+  test("kAnonymity: class structure, risk share, NULL qids form a class") {
+    // classes: (a,x) x3, (a,y) x2, (b,x) x1, (NULL,x) x2 -> 8 rows, 4 groups
+    val df = Seq(
+      Some("a") -> "x", Some("a") -> "x", Some("a") -> "x",
+      Some("a") -> "y", Some("a") -> "y", Some("b") -> "x",
+      None -> "x", None -> "x")
+      .map { case (q1, q2) => (q1.orNull, q2) }.toDF("q1", "q2")
+    val out = Validation.kAnonymity(df, "t", Seq($"q1", $"q2"), k = 2).collect()
+    // below k=2: only (b,x) with 1 row -> risk 125000 ppm, not anonymous
+    assert(out.toSeq == Seq(Row("t", 8L, 4L, 1L, 1L, 125000L, 0L)))
+    // k=2 satisfied once the singleton is dropped
+    val ok = Validation.kAnonymity(df.filter($"q1".isNull || $"q1" === "a"),
+      "t", Seq($"q1", $"q2"), k = 2).collect()
+    assert(ok.toSeq == Seq(Row("t", 7L, 3L, 2L, 0L, 0L, 1L)))
+    // empty input: vacuously anonymous
+    val empty = Validation.kAnonymity(df.filter($"q2" === "zzz"),
+      "t", Seq($"q1", $"q2"), k = 2).collect()
+    assert(empty.toSeq == Seq(Row("t", 0L, 0L, 0L, 0L, 0L, 1L)))
+  }
+
   test("report: unions parts; empty table yields ppm 0 and pass") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     val rep = Validation.report(
