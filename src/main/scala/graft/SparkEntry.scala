@@ -2205,6 +2205,39 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q205_temporal_split" -> ((s, dir) =>
+      // leakage-safe evaluation split: 3-day embargo before the cutoff,
+      // labeled and kept (auditable), per-split boundary stats proving the
+      // bands never overlap
+      t(s, dir, "events")
+        .temporalSplit(col("ts"), "2024-01-24 00:00:00", 3L * 86400)
+        .aggregate(Seq(col("split")), Seq(
+          count(lit(1)).as("n"),
+          min(expr("unix_micros(ts)")).as("min_us"),
+          max(expr("unix_micros(ts)")).as("max_us")))
+        .sortBy(Seq(col("split")))),
+
+    "q204_hll_windowed_stream" -> ((s, dir) => {
+      // distinct-per-hour over a TRUE stream without storing values:
+      // register max grouped by (tumbling hour, bucket) — 64 longs of
+      // state per window — drained dense; the oracle computes every
+      // window's registers from the batch table
+      val staged = java.nio.file.Files.createTempDirectory("graft_q204")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q204_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runHllWindowedSmoke(s, staged.toString, qn, "event_id")
+          .selectCols(Seq(col("win_start").cast("long").as("win_epoch"),
+            col("bucket"), col("register"), col("n_exact")))
+          .sortBy(Seq(col("win_epoch"), col("bucket")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q203_hll_overlap" -> ((s, dir) => {
       // sketch set algebra: en/de vocabulary overlap by inclusion-exclusion
       // over three HLL sketches (registers only — raw tokens never
@@ -3902,6 +3935,51 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Same band predicates; microsecond epochs compare exactly.
+    "q205_temporal_split" ->
+      """WITH s AS (
+           SELECT CASE
+             WHEN ts < TIMESTAMP '2024-01-24 00:00:00' - INTERVAL 3 DAY
+               THEN 'train'
+             WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 'embargo'
+             ELSE 'test' END AS split, ts
+           FROM events)
+         SELECT split, CAST(count(*) AS BIGINT) AS n,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS min_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS max_us
+         FROM s GROUP BY split ORDER BY split""",
+
+    // Per-hour register chains from the batch table; the streamed grouped
+    // registers must match window for window.
+    "q204_hll_windowed_stream" ->
+      """WITH v AS (
+           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,
+             CAST(event_id AS VARCHAR) AS s
+           FROM events),
+         hs AS (
+           SELECT win_epoch, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM v),
+         rr AS (SELECT win_epoch, CAST(u % 64 AS BIGINT) AS bucket,
+                  CASE WHEN CAST(u // 64 AS BIGINT) = 0 THEN 59
+                       ELSE bit_count((CAST(u // 64 AS BIGINT) & -CAST(u // 64 AS BIGINT)) - 1) + 1 END AS rho
+                FROM hs),
+         regs AS (SELECT win_epoch, bucket, max(rho) AS register
+                  FROM rr GROUP BY 1, 2),
+         wins AS (SELECT DISTINCT win_epoch FROM v),
+         spine AS (SELECT win_epoch, unnest(range(0, 64)) AS bucket FROM wins),
+         filled AS (
+           SELECT sp.win_epoch, sp.bucket, COALESCE(r.register, 0) AS register
+           FROM spine sp LEFT JOIN regs r USING (win_epoch, bucket)),
+         ne AS (SELECT win_epoch, CAST(count(DISTINCT s) AS BIGINT) AS n_exact
+                FROM v GROUP BY 1)
+         SELECT f.win_epoch, f.bucket, CAST(f.register AS BIGINT) AS register,
+           ne.n_exact
+         FROM filled f JOIN ne USING (win_epoch)
+         ORDER BY win_epoch, bucket""",
 
     // Three register chains (en, de, union-all) with the same FNV fold and
     // harmonic sums; the estimates and their inclusion-exclusion share the

@@ -1204,6 +1204,22 @@ object Corpus {
     hllDecorate(merged, nExact, b)
   }
 
+  /** Dense per-group register vectors from a SPARSE (group, bucket,
+    * register) frame — the grouped sibling of [[hllFinalize]]'s spine fill
+    * (no estimate decoration; callers join their own instruments). Public
+    * seam for streaming grouped sketches: a windowed streaming register
+    * aggregation drains sparse and densifies here.
+    */
+  def hllFinalizeGrouped(sparse: DataFrame, b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1 << b
+    val spine = sparse.select(col("group")).distinct()
+      .crossJoin(sparse.sparkSession.range(0, m).select(col("id").alias("bucket")))
+    spine.join(sparse, Seq("group", "bucket"), "left")
+      .select(col("group"), col("bucket"),
+        coalesce(col("register"), lit(0L)).alias("register"))
+  }
+
   /** 1-row scaled harmonic sum of a value set's sketch (the scalar an
     * estimate derives from).
     */

@@ -697,6 +697,25 @@ object Relational {
         .filter(col("sample_rank") <= k)
     }
 
+    /** Leakage-safe TEMPORAL split with embargo (the time-series /
+      * financial-ML evaluation contract): `train` strictly before
+      * cutoff − embargo, `test` at/after cutoff, and the embargo band
+      * between them LABELED AND KEPT (not silently dropped) so the
+      * excluded rows are auditable — feature windows that end in the
+      * embargo can't leak test-period information into training. Pure
+      * row-local predicate: pushdown-transparent, no shuffle.
+      */
+    def temporalSplit(ts: Column, cutoff: String,
+        embargoSeconds: Long): DataFrame = {
+      require(embargoSeconds >= 0, s"embargo must be >= 0, got $embargoSeconds")
+      val cut = lit(cutoff).cast("timestamp")
+      val emb = cut - expr(s"INTERVAL $embargoSeconds SECONDS")
+      df.withColumn("split",
+        when(ts < emb, lit("train"))
+          .when(ts < cut, lit("embargo"))
+          .otherwise(lit("test")))
+    }
+
     /** Deterministic WEIGHTED sample without replacement — sequential
       * Poisson sampling (Ohlsson 1998, the πps method order-sampling
       * family): each row draws the reproducible Knuth-hash uniform

@@ -525,6 +525,52 @@ object EventStreams {
     Corpus.hllFinalize(sparse, ne, b)
   }
 
+  /** WINDOWED true-streaming HyperLogLog: distinct-per-event-time-window
+    * without ever storing values — register max grouped by (tumbling
+    * window, bucket), 2^b longs of state PER WINDOW, drained dense via
+    * [[graft.operators.Corpus.hllFinalizeGrouped]] with the batch exact
+    * distinct per window as instrument. The "distinct users per hour over
+    * an unbounded stream" primitive; complete-mode drain here, watermarked
+    * append in production (register max is insensitive to either).
+    */
+  def runHllWindowedSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, valueName: String, windowLen: String = "1 hour",
+      b: Int = 6): DataFrame = {
+    import graft.operators.Corpus
+    val schema = spark.read.parquet(parquetPath).schema
+    def fixTs(df: DataFrame): DataFrame =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    val raw = fixTs(spark.readStream.schema(schema).parquet(parquetPath))
+    val q = Corpus.hllRho(raw, col(valueName), b,
+        keep = Seq(window(col("ts"), windowLen).getField("start").alias("group")))
+      .groupBy("group", "bucket")
+      .agg(max(col("rho")).cast("long").alias("register"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val sparse = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    val dense = Corpus.hllFinalizeGrouped(sparse, b)
+    // exact-distinct-per-window instrument, materialized eagerly (callers
+    // delete the staged source on return)
+    val neDf = fixTs(spark.read.parquet(parquetPath))
+      .groupBy(window(col("ts"), windowLen).getField("start").alias("group"))
+      .agg(countDistinct(col(valueName)).alias("n_exact"))
+    val ne = spark.createDataFrame(
+      java.util.Arrays.asList(neDf.collect(): _*), neDf.schema)
+    dense.join(ne, Seq("group"), "left")
+      .select(col("group").alias("win_start"), col("bucket"),
+        col("register"), coalesce(col("n_exact"), lit(0L)).alias("n_exact"))
+  }
+
   /** Watermarked stream-stream INNER join: every (left, right) event pair
     * with equal `keys` whose right timestamp falls inside
     * `[left.ts, left.ts + windowSeconds]` — the "purchase within 30 min of

@@ -452,6 +452,27 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).getInt(1) == 1 && out(2).getInt(1) == 2)
   }
 
+  test("temporalSplit: bands partition cleanly around cutoff and embargo") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ts("2024-01-10 00:00:00"), ts("2024-01-20 23:59:59"),
+      ts("2024-01-21 00:00:00"), ts("2024-01-23 12:00:00"),
+      ts("2024-01-24 00:00:00"), ts("2024-01-29 00:00:00"))
+      .toDF("ts")
+    val out = df.temporalSplit($"ts", "2024-01-24 00:00:00", 3L * 86400)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getString(1)).toMap
+    assert(out("2024-01-10 00:00:00.0") == "train")
+    assert(out("2024-01-20 23:59:59.0") == "train")
+    assert(out("2024-01-21 00:00:00.0") == "embargo") // closed lower bound
+    assert(out("2024-01-23 12:00:00.0") == "embargo")
+    assert(out("2024-01-24 00:00:00.0") == "test")    // closed at cutoff
+    assert(out("2024-01-29 00:00:00.0") == "test")
+    // zero embargo degenerates to a plain two-way split
+    val plain = df.temporalSplit($"ts", "2024-01-24 00:00:00", 0L)
+      .filter($"split" === "embargo").count()
+    assert(plain == 0L)
+  }
+
   test("weightedSample: hand priorities, zero-weight exclusion, equal-weight reduction") {
     def u(id: Long) = (id * 2654435761L) % 4294967296L
     val df = Seq((1L, 100L), (2L, 400L), (3L, 1L), (4L, 0L), (5L, 400L))

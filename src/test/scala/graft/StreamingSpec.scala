@@ -494,6 +494,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(0).getLong(3) == 313L) // n_exact instrument
   }
 
+  test("windowed streaming HLL: per-window registers equal the batch grouped sketch") {
+    import graft.operators.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllwin").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (1 to 300).map { i =>
+      val ts = new java.sql.Timestamp(base.getTime + (i % 3) * 3600L * 1000)
+      (ts, s"u${i % 97}")
+    }
+    rows.toDF("ts", "user").write.parquet(s"$dir/data.parquet")
+    val streamed = EventStreams.runHllWindowedSmoke(
+        spark, s"$dir/data.parquet", "graft_hllwin_test", "user")
+      .orderBy("win_start", "bucket").collect()
+    val batch = Corpus.hllSketchGrouped(
+        spark.read.parquet(s"$dir/data.parquet"),
+        window($"ts", "1 hour").getField("start"), $"user")
+      .orderBy("group", "bucket").collect()
+    assert(streamed.length == 3 * 64 && batch.length == 3 * 64)
+    assert(streamed.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq ==
+      batch.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq)
+    // instrument: each window holds 97 distinct-ish users (mod pattern)
+    assert(streamed.map(_.getLong(3)).distinct.forall(n => n > 0 && n <= 100))
+  }
+
   test("streaming validation gate: final report equals the batch checkRules report") {
     import graft.operators.Validation
     val dir = java.nio.file.Files.createTempDirectory("graft_vgate").toString
