@@ -3313,7 +3313,7 @@ object SparkEntry {
              list_reduce(
                list_prepend(CAST(0 AS HUGEINT), hlist),
                (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
-                               + acc // CAST('72057594037927936' AS HUGEINT), h)) AS u
+                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
            FROM hs)
          SELECT doc_id,
            CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
