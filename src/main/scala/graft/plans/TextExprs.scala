@@ -353,7 +353,8 @@ object TextExprs {
     "quality_score" -> (es => QualityScoreExpr(es.head)),
     "token_count" -> (es => TokenCountExpr(es.head)),
     "stopword_ratio" -> (es => StopwordRatioExpr(es.head)),
-    "mean_token_len" -> (es => MeanTokenLenExpr(es.head)))
+    "mean_token_len" -> (es => MeanTokenLenExpr(es.head)),
+    "fnv64" -> (es => Fnv64Expr(es.head)))
 
   /** SQL-name registration (same pattern as [[VectorExprs.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

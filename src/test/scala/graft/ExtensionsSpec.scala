@@ -56,6 +56,9 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT l2_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), quality_score('x'), head_hash(encode('x', 'UTF-8'))")
       .collect()(0)
     assert(math.abs(out.getDouble(0) - 5.0) < 1e-12)
+    // the portable value hash resolves from SQL and matches the expression
+    val h = spark.sql("SELECT fnv64('abc')").collect()(0).getLong(0)
+    assert(h == graft.plans.TextExprs.fnv1a64("abc"))
   }
 
   test("Udafs.register exposes the aggregate surface through plain SQL") {
