@@ -29,7 +29,8 @@ object ExplainAudit {
         "q163_dup_substr_stats", "q164_dup_substr_spans_hashed",
         "q166_dsir_weights", "q168_window_frames", "q170_compaction",
         "q188_backoff_lm", "q190_image_dhash_neardup", "q191_hll_distinct",
-        "q192_incremental_agg", "q194_ann_sq8", "q198_weighted_sample")
+        "q192_incremental_agg", "q194_ann_sq8", "q198_weighted_sample",
+        "q199_kcore", "q200_image_dedup_pipeline")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

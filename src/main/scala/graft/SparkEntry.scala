@@ -2282,6 +2282,9 @@ object SparkEntry {
       // operator) -> largest-area representative per cluster. One driver
       // fact for the whole image-dedup story; the oracle recomputes every
       // stage from the synthesis formula, recursive CTE included.
+      // Bench note: the ~6 s at sf0.1 is CODEC-bound (one PNG encode +
+      // decode per doc) plus component rounds — strictly linear in corpus
+      // size; the pair join stays pigeonhole-bounded (no quadratic term).
       val d = t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           pmod(col("doc_id"), lit(47)).as("g"),
