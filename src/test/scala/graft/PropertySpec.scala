@@ -423,4 +423,61 @@ object RelationalProps extends Properties("relational") {
       }.toSet
       gotRows == wantRows && gotRange == wantRange
     }
+
+  property("maintainAgg(base, delta) == groupedAgg of the post-changelog state") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-9L, 9L))),
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "c", "d"), Gen.choose(-9L, 9L))),
+      Gen.choose(0.0, 1.0)) { (baseRows, insRows, delFrac) =>
+      import spark.implicits._
+      import graft.operators.Relational
+      // deletes must reference rows that exist: take a prefix of base
+      val nDel = (baseRows.length * delFrac).toInt
+      val (deleted, kept) = baseRows.splitAt(nDel)
+      val finalRows = kept ++ insRows
+      val base = Relational.groupedAgg(
+        (if (baseRows.isEmpty) Seq(("z", 0L)).toDF("k", "v").limit(0)
+         else baseRows.toDF("k", "v")), Seq($"k"), Seq("s" -> $"v"))
+      val changelog = (insRows.map { case (k, v) => (k, v, false) } ++
+        deleted.map { case (k, v) => (k, v, true) })
+      val got =
+        if (changelog.isEmpty) base.filter($"n" > 0)
+        else Relational.maintainAgg(base,
+          Relational.deltaAgg(changelog.toDF("k", "v", "del"), $"del",
+            Seq($"k"), Seq("s" -> $"v")))
+      val want = finalRows.groupBy(_._1)
+        .map { case (k, g) => (k, g.length.toLong, g.map(_._2).sum) }.toSet
+      got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet == want
+    }
+
+  property("HLL merge law: registers of a concatenation = elementwise max") =
+    forAll(Gen.listOf(Gen.choose(0, 400)), Gen.listOf(Gen.choose(0, 400))) {
+      (xs, ys) =>
+      import spark.implicits._
+      import graft.operators.Corpus
+      (xs.nonEmpty || ys.nonEmpty) ==> {
+        def regs(vals: List[Int]) =
+          if (vals.isEmpty) Array.fill(64)(0L)
+          else Corpus.hllSketch(vals.map(i => s"v$i").toDF("v"), $"v")
+            .orderBy("bucket").collect().map(_.getLong(1))
+        val u = regs(xs ++ ys)
+        regs(xs).zip(regs(ys)).map { case (a, b) => math.max(a, b) }
+          .sameElements(u)
+      }
+    }
+
+  property("weightedSample is partition-layout invariant and weight-monotone-safe") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 60L), Gen.choose(0L, 9L))),
+      Gen.choose(1, 6)) { (rows0, k) =>
+      import spark.implicits._
+      val rows = rows0.distinctBy(_._1) // unique ids (the sample keys on id)
+      val df = rows.toDF("id", "w")
+      def take(d: DataFrame) = d.weightedSample($"id", $"w", k)
+        .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(_._2).toSeq
+      val once = take(df)
+      val relaid = take(df.repartition(7))
+      val nPos = rows.count(_._2 > 0)
+      once == relaid && once.length == math.min(k, nPos)
+    }
 }
