@@ -2205,6 +2205,34 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q206_streaming_ivm" -> ((s, dir) => {
+      // STREAMING materialized-view maintenance: a 4-file changelog
+      // (every event as an insert + a delete row for every 7th event_id,
+      // hash-scattered across files so retractions can precede their
+      // inserts) folded batch-by-batch into a versioned store — each batch
+      // costs the batch, never a fact rescan. The final snapshot must
+      // equal a from-scratch rollup of the surviving events, which is
+      // what the oracle computes. Decimal-exact, so fold == recompute
+      // bit-for-bit regardless of batch order.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/ivm"
+      val e = t(s, dir, "events")
+      val changelog = e.selectCols(Seq(col("event_type"),
+          col("value").cast("decimal(18,6)").as("v"), lit(false).as("is_del")))
+        .unionAll(e.filterCol(pmod(col("event_id"), lit(7)) === 0)
+          .selectCols(Seq(col("event_type"),
+            col("value").cast("decimal(18,6)").as("v"), lit(true).as("is_del"))))
+      changelog.repartition(4).write.mode("overwrite")
+        .parquet(s"$scratch/landing")
+      EventStreams.runStreamingViewMaintenance(s, s"$scratch/landing",
+        s"$scratch/view", s"$scratch/ckpt", "is_del",
+        keys = Seq("event_type"), sums = Seq("revenue" -> col("v")))
+      EventStreams.readMaintainedView(s, s"$scratch/view")
+        .selectCols(Seq(col("event_type"), col("n"),
+          col("revenue").cast("double").as("revenue")))
+        .sortBy(Seq(col("event_type")))
+    }),
+
     "q205_temporal_split" -> ((s, dir) =>
       // leakage-safe evaluation split: 3-day embargo before the cutoff,
       // labeled and kept (auditable), per-split boundary stats proving the
@@ -3938,6 +3966,15 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // The maintained snapshot must equal a from-scratch rollup of the
+    // post-changelog survivors (insert-sum minus delete-sum in exact
+    // decimal = sum over survivors).
+    "q206_streaming_ivm" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM events WHERE event_id % 7 != 0
+         GROUP BY event_type ORDER BY event_type""",
 
     // Same band predicates; microsecond epochs compare exactly.
     "q205_temporal_split" ->

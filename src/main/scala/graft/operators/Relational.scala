@@ -914,15 +914,25 @@ object Relational {
     * identical to recomputing [[groupedAgg]] over the post-changelog state,
     * which is what the oracle checks. Deltas compose: yesterday's view +
     * today's delta + tomorrow's delta in one call.
+    *
+    * `dropEmpty = false` KEEPS zero/negative-count groups — required for
+    * intermediate states of a STREAMING maintenance loop, where a
+    * retraction can arrive in an earlier micro-batch than its insert
+    * (count+sum deltas commute, but only if pending negatives aren't
+    * dropped mid-stream); apply the n > 0 filter once, at read time.
     */
-  def maintainAgg(base: DataFrame, deltas: DataFrame*): DataFrame = {
+  def maintainAgg(base: DataFrame, deltas: DataFrame*): DataFrame =
+    maintainAggKeep(base, dropEmpty = true, deltas: _*)
+
+  def maintainAggKeep(base: DataFrame, dropEmpty: Boolean,
+      deltas: DataFrame*): DataFrame = {
     require(deltas.nonEmpty, "maintainAgg needs at least one delta")
     val keyCols = base.columns.takeWhile(_ != "n")
     val measureCols = base.columns.dropWhile(_ != "n")
     val merged = deltas.foldLeft(base)(_.unionByName(_))
-    merged.groupBy(keyCols.map(col): _*)
+    val agged = merged.groupBy(keyCols.map(col): _*)
       .agg(sum(col(measureCols.head)).alias("n"),
         measureCols.tail.map(nm => sum(col(nm)).alias(nm)): _*)
-      .filter(col("n") > 0)
+    if (dropEmpty) agged.filter(col("n") > 0) else agged
   }
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -421,6 +423,74 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** STREAMING MATERIALIZED-VIEW maintenance: a changelog stream (rows
+    * with an is-delete flag) folded per micro-batch into a versioned
+    * parquet store via
+    * [[graft.operators.Relational.deltaAgg]]/[[graft.operators.Relational.maintainAggKeep]]
+    * — each batch costs the BATCH size, never a fact-table rescan, and the
+    * store is the q192 maintainable form (keys, n, sums).
+    *
+    * Versioned directories (`v<batchId>`) stand in for a table format's
+    * snapshot log: the merge reads the latest version and writes the next,
+    * so no batch ever overwrites files it is still reading — the
+    * local-filesystem rendition of what Delta/Iceberg commit logs do, with
+    * idempotent-by-construction replays (a retried batch rewrites the same
+    * `v<id>` from the same input). Intermediate states keep zero/negative
+    * groups (`dropEmpty = false`): count+sum deltas commute, so even a
+    * retraction arriving BEFORE its insert converges — readers apply
+    * `n > 0` once, at the end ([[readMaintainedView]]).
+    */
+  def runStreamingViewMaintenance(spark: SparkSession, srcParquet: String,
+      storeRoot: String, checkpointDir: String, isDeleteCol: String,
+      keys: Seq[String], sums: Seq[(String, Column)],
+      fresh: Boolean = true): Unit = {
+    import graft.operators.Relational
+    if (fresh) Seq(storeRoot, checkpointDir).foreach(deleteRecursively)
+    val schema = spark.read.parquet(srcParquet).schema
+    def latestVersion(): Option[String] = {
+      val root = java.nio.file.Paths.get(storeRoot)
+      if (!java.nio.file.Files.exists(root)) None
+      else {
+        val vs = java.nio.file.Files.list(root).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("v"))
+          .map(_.drop(1).toLong).toSeq
+        if (vs.isEmpty) None else Some(s"$storeRoot/v${vs.max}")
+      }
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one changelog file per micro-batch:
+      // the multi-batch fold is the thing under test
+      .parquet(srcParquet)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = Relational.deltaAgg(batch, col(isDeleteCol),
+          keys.map(col), sums)
+        val merged = latestVersion() match {
+          case Some(dir) => Relational.maintainAggKeep(
+            spark.read.parquet(dir), dropEmpty = false, delta)
+          case None => delta
+        }
+        merged.write.mode("overwrite").parquet(s"$storeRoot/v$id")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the latest maintained-view snapshot, applying the final
+    * zero-count drop (see [[runStreamingViewMaintenance]]).
+    */
+  def readMaintainedView(spark: SparkSession, storeRoot: String): DataFrame = {
+    val vs = java.nio.file.Files.list(java.nio.file.Paths.get(storeRoot))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq
+    require(vs.nonEmpty, s"no view versions under $storeRoot")
+    spark.read.parquet(s"$storeRoot/v${vs.max}").filter(col("n") > 0)
   }
 
   /** Drain [[dedupStream]] over a parquet directory synchronously into a
