@@ -32,12 +32,14 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot read
-    // natively; sessions set spark.sql.legacy.parquet.nanosAsLong and the
-    // loader rebuilds a microsecond timestamp (integer div — a double
-    // division would lose precision on int64 nanos).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.ts has shipped as TIMESTAMP(NANOS) (read as int64 under
+    // spark.sql.legacy.parquet.nanosAsLong) and as tz-naive
+    // TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under default NTZ
+    // inference); normalize either encoding to TIMESTAMP_LTZ so watermarks
+    // and unix_* functions work in any session (UTC sessions make the
+    // NTZ→LTZ cast value-preserving).
+    if (name == "events")
+      graft.streaming.EventStreams.normalizeTs(df.schema, df)
     else df
   }
 

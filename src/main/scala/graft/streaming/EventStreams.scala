@@ -17,6 +17,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Normalize an event-time column to TIMESTAMP_LTZ regardless of how the
+    * source parquet encoded it: int64 nanos (read as long under
+    * spark.sql.legacy.parquet.nanosAsLong) or tz-naive TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ when spark.sql.parquet.inferTimestampNTZ.enabled
+    * is on). Watermarks and the unix_* functions require LTZ; sessions here
+    * run in UTC, where the NTZ→LTZ cast is value-preserving.
+    */
+  private[graft] def normalizeTs(schema: org.apache.spark.sql.types.StructType,
+      df: DataFrame, name: String = "ts"): DataFrame =
+    if (!schema.fieldNames.contains(name)) df
+    else schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(name, timestamp_micros(expr(s"$name div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(name, col(name).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Tumbling-window counts + value sums per event_type. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
     events
@@ -218,10 +236,7 @@ object EventStreams {
       gapMinutes: Int = 30, noDataBatches: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = normalizeTs(schema, raw)
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, noDataBatches.toString)
@@ -258,10 +273,7 @@ object EventStreams {
     require(k > 0, s"k must be positive, got $k")
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = normalizeTs(schema, raw)
     val q = windowedCounts(stream, windowLen).writeStream
       .outputMode("complete")
       .format("memory")
@@ -502,10 +514,7 @@ object EventStreams {
       keyCols: Seq[String]): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = normalizeTs(schema, raw)
     val q = dedupStream(stream, keyCols).writeStream
       .outputMode("append")
       .format("memory")
@@ -539,11 +548,7 @@ object EventStreams {
     require(rules.nonEmpty, "validation gate needs at least one rule")
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val stream =
-      if (schema.fieldNames.contains("ts") &&
-          schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = normalizeTs(schema, raw)
     val aggs = Validation.rulesAgg(rules)
     val q = stream.agg(aggs.head, aggs.tail: _*).writeStream
       .outputMode("complete")
@@ -608,11 +613,7 @@ object EventStreams {
       b: Int = 6): DataFrame = {
     import graft.operators.Corpus
     val schema = spark.read.parquet(parquetPath).schema
-    def fixTs(df: DataFrame): DataFrame =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    val raw = fixTs(spark.readStream.schema(schema).parquet(parquetPath))
+    val raw = normalizeTs(schema, spark.readStream.schema(schema).parquet(parquetPath))
     val q = Corpus.hllRho(raw, col(valueName), b,
         keep = Seq(window(col("ts"), windowLen).getField("start").alias("group")))
       .groupBy("group", "bucket")
@@ -631,7 +632,7 @@ object EventStreams {
     val dense = Corpus.hllFinalizeGrouped(sparse, b)
     // exact-distinct-per-window instrument, materialized eagerly (callers
     // delete the staged source on return)
-    val neDf = fixTs(spark.read.parquet(parquetPath))
+    val neDf = normalizeTs(schema, spark.read.parquet(parquetPath))
       .groupBy(window(col("ts"), windowLen).getField("start").alias("group"))
       .agg(countDistinct(col(valueName)).alias("n_exact"))
     val ne = spark.createDataFrame(
@@ -680,11 +681,7 @@ object EventStreams {
       queryName: String, dim: DataFrame, keys: Seq[String]): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val stream =
-      if (schema.fieldNames.contains("ts") &&
-          schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = normalizeTs(schema, raw)
     val q = streamStaticEnrich(stream, dim, keys).writeStream
       .outputMode("append")
       .format("memory")
@@ -725,12 +722,8 @@ object EventStreams {
       keys: Seq[String], leftType: String, rightType: String,
       windowSeconds: Long): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    def stream(): DataFrame = {
-      val raw = spark.readStream.schema(schema).parquet(parquetPath)
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    }
+    def stream(): DataFrame =
+      normalizeTs(schema, spark.readStream.schema(schema).parquet(parquetPath))
     val joined = streamStreamJoin(
       stream().filter(col("event_type") === leftType),
       stream().filter(col("event_type") === rightType),
@@ -977,10 +970,7 @@ object EventStreams {
     // Under spark.sql.legacy.parquet.nanosAsLong a TIMESTAMP(NANOS) column
     // arrives as int64 nanos; rebuild the microsecond timestamp (integer
     // division — a double div would lose precision on int64 nanos).
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = normalizeTs(schema, raw)
     val q = windowedCounts(stream).writeStream
       .outputMode("append")
       .format("memory")
