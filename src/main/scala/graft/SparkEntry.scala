@@ -2207,6 +2207,51 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q209_profile" -> ((s, dir) =>
+      // dataset-card column profile: ONE aggregate pass over one scan ->
+      // per-column rows via a literal stack (no reshuffle); exact distincts
+      // are the oracle/audit mode, approx_count_distinct the 100 TB switch.
+      // Integral + string columns only — their min/max string rendering is
+      // engine-portable (double rendering is not).
+      Validation.profileColumns(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .sortBy(Seq(col("column")))),
+
+    "q208_sorted_neighborhood" -> ((s, dir) =>
+      // sorted-neighborhood candidate pairs (Hernández-Stolfo) over the
+      // portable-fingerprint order, w=8: linear candidate volume where hot
+      // blocking keys go quadratic; global rank is two-level (per-bucket
+      // windows + a buckets-sized offset frame), pairs are an explode +
+      // equi-join on rank targets — no range join, no cross product
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), col("doc_id"),
+          TextFns.fingerprint(col("text"), portable = true), w = 8)
+        .sortBy(Seq(col("id_a"), col("id_b")))),
+
+    "q207_stream_funnel" -> ((s, dir) => {
+      // TRUE streaming daily conversion funnel: per (user, day) the
+      // view->click->purchase strictly-after cascade, computed when the
+      // watermark passes the day end (event-time timeout), one row per
+      // REACHED stage. Day windows the watermark never passes stay open
+      // and emit nothing — the q42 last-session contract — and the oracle
+      // replays the cascade for exactly the closed days.
+      val staged = java.nio.file.Files.createTempDirectory("graft_q207")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q207_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runFunnelSmoke(s, staged.toString, qn, Seq(
+            "view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+          .selectCols(Seq(col("user_id"), col("win_us"), col("stage"), col("t_us")))
+          .sortBy(Seq(col("user_id"), col("win_us"), col("stage")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
     "q206_streaming_ivm" -> ((s, dir) => {
       // STREAMING materialized-view maintenance: a 4-file changelog
       // (every event as an insert + a delete row for every 7th event_id,
@@ -3968,6 +4013,99 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Per-column stats UNION'd row-per-column; every count cast to BIGINT
+    // (DuckDB SUM would widen to HUGEINT and hash differently).
+    "q209_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_str
+           FROM documents
+           UNION ALL
+           SELECT 'lang', COUNT(*),
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT lang) AS BIGINT),
+             CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'source', COUNT(*),
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT source) AS BIGINT),
+             CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'n_chars', COUNT(*),
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+             CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+           FROM documents)
+         SELECT "column", n_rows, n_nulls, n_distinct, min_str, max_str
+         FROM p ORDER BY "column" """,
+
+    // q29's portable-fingerprint CTEs as the sort key, ROW_NUMBER over
+    // (key, id) as the global rank, pairs = rank distance in [1, w-1].
+    "q208_sorted_neighborhood" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(ts, tok ->
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+           FROM toks),
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), hlist),
+               (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
+                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
+           FROM hs),
+         k AS (
+           SELECT doc_id,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS k
+           FROM fp),
+         r AS (SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM k)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS key_a, b.k AS key_b,
+           CAST(b.rn - a.rn AS BIGINT) AS d
+         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7
+         ORDER BY id_a, id_b""",
+
+    // The cascade per (user, day window), emitted one row per reached
+    // stage, restricted to days the final watermark closed: the watermark
+    // after the drain is floor(max_us/1000) ms - 1 hour, and an event-time
+    // timeout fires strictly below it (StreamingSpec pins the boundary).
+    "q207_stream_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+           FROM events),
+         wm AS (SELECT (MAX(us) // 1000) - 3600000 AS wm_ms FROM e),
+         t AS (SELECT user_id, us // 86400000000 AS win, event_type, us FROM e),
+         closed AS (
+           SELECT DISTINCT user_id, win FROM t, wm
+           WHERE ((win + 1) * 86400000000) // 1000 < wm_ms),
+         s1 AS (SELECT user_id, win, MIN(us) AS t1 FROM t
+                WHERE event_type = 'view' GROUP BY 1, 2),
+         s2 AS (SELECT t.user_id, t.win, MIN(t.us) AS t2
+                FROM t JOIN s1 USING (user_id, win)
+                WHERE t.event_type = 'click' AND t.us > s1.t1 GROUP BY 1, 2),
+         s3 AS (SELECT t.user_id, t.win, MIN(t.us) AS t3
+                FROM t JOIN s2 USING (user_id, win)
+                WHERE t.event_type = 'purchase' AND t.us > s2.t2 GROUP BY 1, 2),
+         hits AS (
+           SELECT user_id, win, 1 AS stage, t1 AS t_us FROM s1
+           UNION ALL SELECT user_id, win, 2, t2 FROM s2
+           UNION ALL SELECT user_id, win, 3, t3 FROM s3)
+         SELECT h.user_id, h.win * 86400000000 AS win_us,
+           CAST(h.stage AS BIGINT) AS stage, h.t_us
+         FROM hits h JOIN closed c USING (user_id, win)
+         ORDER BY user_id, win_us, stage""",
 
     // The maintained snapshot must equal a from-scratch rollup of the
     // post-changelog survivors (insert-sum minus delete-sum in exact

@@ -823,4 +823,55 @@ object Dedup {
         coalesce(col("longest_span"), lit(0L)).alias("longest_span"))
       .withColumn("dup_ppm", expr("dup_tokens * 1000000L DIV n_tokens"))
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo): rank the
+    * corpus by a LONG sort key (fingerprint, SimHash value, normalized-key
+    * hash — anything that places near-duplicates nearby in its order) and
+    * emit every pair within a sliding window of `w` consecutive ranks.
+    * Candidate volume is exactly `(w-1) * n - (w-1)w/2` — linear in the
+    * corpus where blocking keys can go quadratic inside hot blocks.
+    *
+    * Returns (id_a, id_b, key_a, key_b, d) with `d` = rank distance in
+    * [1, w-1], id_a at the lower rank; total order (key, id) makes ranks —
+    * and therefore the pair set — engine- and layout-independent.
+    *
+    * Scale shape: the global rank is two-level, the [[graft.operators.Corpus.packSequences]]
+    * pattern — rows bucket by the key's top bits (monotone in the signed
+    * order, so bucket boundaries respect it), rank locally per bucket, and
+    * add per-bucket offsets from a bucket-count frame that is `buckets`
+    * rows tiny (its window is single-partition over that tiny frame only —
+    * never over the corpus). Pair generation explodes each row into its
+    * `w-1` forward rank targets and equi-joins rank = target: one narrow
+    * shuffle, no range join, no cross product. Keys are uniformly spread
+    * for hash-shaped sort keys; a skewed key family would need
+    * quantile-based bucket bounds instead (documented tradeoff).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, sortKey: Column,
+      w: Int, buckets: Int = 1024): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val base = df.select(id.cast("long").alias("id"), sortKey.cast("long").alias("k"))
+      // arithmetic shift is monotone in the signed order; +buckets/2 maps
+      // the signed range onto [0, buckets)
+      .withColumn("bkt", shiftright(col("k"), shift) + lit(buckets / 2))
+    val partials = base.groupBy(col("bkt")).agg(count(lit(1)).alias("bn"))
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("k"), col("id"))
+    val ranked = base.join(broadcast(offsets), "bkt")
+      .withColumn("rank", col("boff") + row_number().over(wIn).cast("long"))
+      .select(col("id"), col("k"), col("rank"))
+    val probes = ranked
+      .withColumn("d", explode(sequence(lit(1), lit(w - 1))))
+      .withColumn("target", col("rank") + col("d"))
+    probes.alias("a")
+      .join(ranked.alias("b"), col("a.target") === col("b.rank"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"),
+        col("a.k").alias("key_a"), col("b.k").alias("key_b"),
+        col("a.d").cast("long").alias("d"))
+  }
 }

@@ -167,4 +167,45 @@ object Validation {
         col("share_ref_ppm"), col("share_cur_ppm"), col("diff_ppm"),
         col("tvd_ppm"))
   }
+
+  /** Per-column dataset profile — the "dataset card" summary every corpus
+    * release ships with: one row per profiled column carrying row count,
+    * null count, distinct count, and min/max rendered as strings (the one
+    * type that can carry any column's bounds through a fixed schema).
+    *
+    * `exactDistinct = true` (the audit/oracle mode) uses exact
+    * COUNT(DISTINCT); at 100 TB switch it off for HyperLogLog
+    * `approx_count_distinct` — same report shape, sketch-sized state
+    * (the [[graft.operators.Corpus.hllSketch]] tradeoff).
+    *
+    * Scale shape: ONE aggregate over one scan produces every column's
+    * stats (Catalyst expands multiple DISTINCT aggregates into one
+    * multi-pass hash aggregate over the same scan — still no driver-side
+    * iteration and no per-column job); the result is a 1-row frame
+    * unpivoted to column-count rows via a literal `stack`, so the profile
+    * never reshuffles data. String rendering of min/max stays
+    * engine-portable for integral and string columns (the driver query
+    * profiles only those; double rendering differs across engines and is
+    * documented as local-only).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = Seq(count(lit(1)).alias("__n")) ++ cols.flatMap { c =>
+      val nd = if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).alias(s"__nulls_$c"),
+        nd.cast("long").alias(s"__nd_$c"),
+        min(col(c)).cast("string").alias(s"__min_$c"),
+        max(col(c)).cast("string").alias(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __nulls_$c, __nd_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    one.select(col("__n").alias("n_rows"), expr(
+        s"stack(${cols.length}, $stackArgs) AS (column, n_nulls, n_distinct, min_str, max_str)"))
+      .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_str"), col("max_str"))
+  }
 }

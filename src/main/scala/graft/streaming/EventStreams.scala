@@ -138,6 +138,133 @@ object EventStreams {
     */
   case class ClosedSession(user_id: Long, session_seq: Long, start_us: Long, end_us: Long, n_events: Long)
 
+  /** One buffered stage event inside a streaming-funnel group (micros keep
+    * the state engine-neutral and 16 bytes/event).
+    */
+  case class FunnelEv(stage: Int, us: Long)
+
+  /** Streaming-funnel per-(user, window) state: the buffered stage events.
+    * The cascade ("click strictly after the view") cannot be folded
+    * incrementally under out-of-order arrival — an earlier stage-1 event
+    * arriving late re-anchors every later stage — so the group buffers its
+    * stage events and computes the cascade ONCE, at window close. State is
+    * bounded by one user's stage events inside one window, and the window
+    * timeout guarantees eviction.
+    */
+  case class FunnelBuf(evs: Seq[FunnelEv])
+
+  /** One reached funnel stage for a (user, window) group: `stage` is
+    * 1-based, `t_us` the cascade time (epoch micros).
+    */
+  case class FunnelStageHit(user_id: Long, win_us: Long, stage: Long, t_us: Long)
+
+  /** TRUE streaming conversion funnel: per (user, tumbling window) the
+    * earliest time each stage was reached STRICTLY AFTER the previous
+    * stage — [[funnel]]'s cascade semantics windowed so the stream can
+    * definitively close a group. Events are tagged with their FIRST
+    * matching stage predicate, buffered per (user, window), and the
+    * cascade is computed when the watermark passes the window end
+    * (event-time timeout) — one output row per REACHED stage, append
+    * mode. Groups whose window the watermark never passes (the tail of a
+    * finite drain) stay open and emit nothing, exactly like
+    * [[sessionizeStream]]'s last-session contract.
+    *
+    * Scale shape: the stateful stage carries (user, win, stage, ts)
+    * longs only — event payloads never enter state; state per group is
+    * that user's stage events inside ONE window, evicted at timeout. The
+    * window is assigned arithmetically (`us div winMicros`) so the batch
+    * oracle replays it exactly.
+    */
+  def streamingFunnel(events: DataFrame, stages: Seq[(String, Column)],
+      winMicros: Long = 86400000000L, watermark: String = "1 hour"): DataFrame = {
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    require(winMicros > 0, "winMicros must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nStages = stages.length
+    // first-match stage tag, -1 = no stage (dropped before the stateful op)
+    val tag = stages.zipWithIndex.foldRight(lit(-1)) { case (((_, p), i), rest) =>
+      when(p, lit(i)).otherwise(rest)
+    }
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), tag.alias("stage"))
+      .filter(col("stage") >= 0)
+      .as[(Long, java.sql.Timestamp, Int)]
+
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    typed
+      .groupByKey(r => (r._1, micros(r._2) / winMicros))
+      .flatMapGroupsWithState[FunnelBuf, FunnelStageHit](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, java.sql.Timestamp, Int)], state: GroupState[FunnelBuf]) =>
+          val (uid, win) = key
+          if (state.hasTimedOut) {
+            // watermark passed the window end: the group is definitively
+            // closed — compute the cascade over the buffered stage events
+            val evs = state.get.evs
+            state.remove()
+            val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelStageHit]
+            var prev = Long.MinValue
+            var k = 0
+            var reached = true
+            while (k < nStages && reached) {
+              // min ts of stage-k events strictly after the previous stage
+              var best = Long.MaxValue
+              evs.foreach { e =>
+                if (e.stage == k && e.us > prev && e.us < best) best = e.us
+              }
+              if (best == Long.MaxValue) reached = false
+              else {
+                hits += FunnelStageHit(uid, win * winMicros, (k + 1).toLong, best)
+                prev = best
+              }
+              k += 1
+            }
+            hits.iterator
+          } else {
+            val add = rows.map(r => FunnelEv(r._3, micros(r._2))).toSeq
+            state.update(FunnelBuf(state.getOption.map(_.evs).getOrElse(Seq.empty) ++ add))
+            // evict when the watermark passes the window end (timeout must
+            // sit above the current watermark)
+            val winEndMs = ((win + 1) * winMicros) / 1000L
+            state.setTimeoutTimestamp(math.max(winEndMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
+  /** Run [[streamingFunnel]] as an actual streaming query over a parquet
+    * directory, timeouts fired by the final no-data batch, drained into a
+    * memory sink — the [[runSessionizeSmoke]] pattern.
+    */
+  def runFunnelSmoke(spark: SparkSession, parquetPath: String, queryName: String,
+      stages: Seq[(String, Column)], winMicros: Long = 86400000000L): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = normalizeTs(schema, spark.readStream.schema(schema).parquet(parquetPath))
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val q = streamingFunnel(stream, stages, winMicros).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** TRUE streaming sessionization with custom state
     * (`flatMapGroupsWithState` + event-time timeout): a session closes when
     * the gap to the next event exceeds `gapMinutes`, or when the watermark

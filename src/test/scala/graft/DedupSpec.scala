@@ -353,4 +353,24 @@ class DedupSpec extends SparkSpec {
     assert(b(1L).intersect(b(3L)).isEmpty)
     assert(b(1L).length == 4)
   }
+
+  test("sortedNeighborhoodPairs: w-window pairs over the (key, id) order, cross-bucket, layout-independent") {
+    // keys span the signed long domain so ranks cross bucket boundaries
+    // (buckets = 4 -> top-2-bit buckets); ids 3 and 4 share a key, so the
+    // order falls back to the id tie-break
+    val df = Seq(
+      (1L, Long.MinValue / 2), (2L, -5L), (3L, 7L), (4L, 7L),
+      (5L, 1L << 60), (6L, Long.MaxValue - 1)).toDF("id", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhoodPairs(d, $"id", $"k", w = 3, buckets = 4)
+        .select($"id_a", $"id_b", $"d").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rank order: 1, 2, 3, 4, 5, 6 -> pairs at distance 1 and 2
+    val expect = Set(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L),
+      (1L, 3L, 2L), (2L, 4L, 2L), (3L, 5L, 2L), (4L, 6L, 2L))
+    assert(run(df) == expect)
+    // pair set must not depend on the physical layout
+    assert(run(df.repartition(5)) == expect)
+  }
 }

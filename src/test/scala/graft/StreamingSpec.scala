@@ -567,4 +567,56 @@ class StreamingSpec extends SparkSpec {
       Seq("kind_domain", "v_cap_400", "v_positive"))
     assert(streamed.forall(r => r.getLong(2) == 1L && r.getLong(4) == 0L)) // each rule: 1 violation
   }
+
+  // 2024-01-01 00:00:00 UTC — epoch-derived so the day-window arithmetic
+  // is timezone-independent (Timestamp.valueOf would use the JVM zone)
+  private val D0 = 1704067200000L
+  private val DAY = 86400000L
+  private val HOUR = 3600000L
+
+  private def funnelStages = Seq(
+    "view" -> (col("event_type") === "view"),
+    "click" -> (col("event_type") === "click"),
+    "purchase" -> (col("event_type") === "purchase"))
+
+  private def runFunnel(name: String, rows: Seq[(Long, Long, String)]): Set[(Long, Long, Long, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    rows.map { case (u, ms, et) => (u, new java.sql.Timestamp(ms), et) }
+      .toDF("user_id", "ts", "event_type")
+      .repartition(1).write.parquet(s"$dir/in")
+    EventStreams.runFunnelSmoke(spark, s"$dir/in", s"graft_$name", funnelStages)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+  }
+
+  test("streamingFunnel: cascade per closed day, out-of-order stage doesn't count, open day emits nothing") {
+    val out = runFunnel("funnel1", Seq(
+      // u1 day 0: view 01:00, purchase 01:30 (BEFORE the click -> must not
+      // cascade), click 02:00 -> stages 1 and 2 reached
+      (1L, D0 + 1 * HOUR, "view"),
+      (1L, D0 + 90 * 60000L, "purchase"),
+      (1L, D0 + 2 * HOUR, "click"),
+      // u2 day 0: click with no view -> nothing
+      (2L, D0 + 3 * HOUR, "click"),
+      // sentinel u99 on day 1 at 23:00 -> watermark = day1 22:00: day 0
+      // closes, day 1 (including this event) stays open
+      (99L, D0 + DAY + 23 * HOUR, "view")))
+    assert(out == Set(
+      (1L, D0 * 1000L, 1L, (D0 + 1 * HOUR) * 1000L),
+      (1L, D0 * 1000L, 2L, (D0 + 2 * HOUR) * 1000L)))
+  }
+
+  test("streamingFunnel: event-time timeout is strict — watermark AT the window end keeps it open") {
+    // wm = max_ms - 1h == day-0 end exactly -> strictly-less timeout must
+    // NOT fire (this pins the comparison the q207 oracle replays)
+    val atBoundary = runFunnel("funnel2", Seq(
+      (1L, D0 + 1 * HOUR, "view"),
+      (9L, D0 + DAY + 1 * HOUR, "view")))
+    assert(atBoundary.isEmpty)
+    // one ms past the boundary -> the day closes and the cascade emits
+    val pastBoundary = runFunnel("funnel3", Seq(
+      (1L, D0 + 1 * HOUR, "view"),
+      (9L, D0 + DAY + 1 * HOUR + 1L, "view")))
+    assert(pastBoundary == Set((1L, D0 * 1000L, 1L, (D0 + 1 * HOUR) * 1000L)))
+  }
 }

@@ -101,4 +101,19 @@ class ValidationSpec extends SparkSpec {
     assert(rep.toSeq == Seq(
       Row("pk", 0L, 0L, 0L, 1L), Row("v_pos", 0L, 0L, 0L, 1L)))
   }
+
+  test("profileColumns: per-column rows from one pass — counts, nulls, distincts, string bounds") {
+    val df = Seq[(java.lang.Long, String)](
+      (3L, "b"), (1L, null), (2L, "a"), (3L, "c"), (null, "a"))
+      .toDF("id", "s")
+    val out = Validation.profileColumns(df, Seq("id", "s"))
+      .orderBy("column").collect()
+    assert(out.toSeq == Seq(
+      Row("id", 5L, 1L, 3L, "1", "3"),
+      Row("s", 5L, 1L, 3L, "a", "c")))
+    // approx mode keeps the shape; HLL on a 3-distinct column is exact
+    val approx = Validation.profileColumns(df, Seq("id"), exactDistinct = false)
+      .collect()
+    assert(approx.head == Row("id", 5L, 1L, 3L, "1", "3"))
+  }
 }
