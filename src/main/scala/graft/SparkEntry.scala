@@ -2207,6 +2207,22 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q211_temperature_weights" -> ((s, dir) =>
+      // alpha=0.5 temperature rebalancing of the source mixture: weight
+      // proportional to sqrt(count), integer-exact via floor(1000*sqrt(n))
+      // = FLOOR(SQRT(n*1e6)) (exact double below 2^53, correctly-rounded
+      // IEEE sqrt), then ppm floor division — engine-replayable end to end
+      Corpus.temperatureWeights(t(s, dir, "documents"), col("source"))
+        .sortBy(Seq(col("group")))),
+
+    "q210_l_diversity" -> ((s, dir) =>
+      // homogeneity-attack audit: is every source's lang distribution at
+      // least 3-diverse? k-anonymity (q202) bounds class SIZE; this bounds
+      // class VARIETY — the pair gates a release together
+      Validation.lDiversity(t(s, dir, "documents"), "docs_lang_by_source_l3",
+          Seq(col("source")), col("lang"), l = 3)
+        .sortBy(Seq(col("rule")))),
+
     "q209_profile" -> ((s, dir) =>
       // dataset-card column profile: ONE aggregate pass over one scan ->
       // per-column rows via a literal stack (no reshuffle); exact distincts
@@ -4013,6 +4029,39 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Integer replay of the sqrt-milli pipeline: FLOOR(SQRT(n*1e6)) is
+    // exact below 2^53, the rest is BIGINT floor division.
+    "q211_temperature_weights" ->
+      """WITH c AS (
+           SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+         s AS (
+           SELECT "group", n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS sqrt_milli
+           FROM c),
+         t AS (SELECT CAST(SUM(sqrt_milli) AS BIGINT) AS tot FROM s)
+         SELECT "group", n, sqrt_milli,
+           CASE WHEN t.tot = 0 THEN CAST(0 AS BIGINT)
+                ELSE (sqrt_milli * 1000000) // t.tot END AS weight_ppm
+         FROM s, t ORDER BY "group" """,
+
+    // Class variety per quasi-identifier class; counts cast to BIGINT
+    // before the ppm division (DuckDB SUM widens to HUGEINT).
+    "q210_l_diversity" ->
+      """WITH cls AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS d
+           FROM documents GROUP BY source)
+         SELECT 'docs_lang_by_source_l3' AS rule,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(d) AS BIGINT) AS min_distinct_sensitive,
+           CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_below_l,
+           (CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+             // CAST(SUM(n) AS BIGINT) AS risk_ppm,
+           CAST(CASE WHEN MIN(d) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
+         FROM cls""",
 
     // Per-column stats UNION'd row-per-column; every count cast to BIGINT
     // (DuckDB SUM would widen to HUGEINT and hash differently).

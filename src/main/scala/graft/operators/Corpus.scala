@@ -726,6 +726,38 @@ object Corpus {
         explode(sequence(lit(0L), col("ncop") - 1)).alias("epoch"))
   }
 
+  /** Temperature-rebalanced mixture weights (the multilingual-training
+    * upsampling rule, alpha = 0.5): a group's sampling weight is
+    * proportional to sqrt(its row count), flattening the natural
+    * distribution toward uniform without inverting it — the companion that
+    * COMPUTES the weights [[mixtureResample]] consumes. Returns
+    * (group, n, sqrt_milli, weight_ppm), weights floor-ppm of the group's
+    * share.
+    *
+    * Exactness: sqrt_milli = floor(1000 * sqrt(n)) computed as
+    * FLOOR(SQRT(n * 1e6)) — n * 1e6 stays under 2^53 for any corpus whose
+    * group counts fit in ~9e9 rows, so the double holds it exactly, IEEE
+    * sqrt is correctly rounded, and the floor is engine-deterministic;
+    * everything after is integer arithmetic (ppm by floor division). Deeper
+    * temperatures compose: alpha = 0.25 is sqrt applied twice on the milli
+    * scale.
+    *
+    * Scale shape: one partial-aggregated groupBy to group counts, a 1-row
+    * decimal-exact total broadcast back — nothing scales with row count
+    * but the scan.
+    */
+  def temperatureWeights(df: DataFrame, group: Column): DataFrame = {
+    val counts = df.groupBy(group.alias("group"))
+      .agg(count(lit(1)).alias("n"))
+      .withColumn("sqrt_milli",
+        floor(sqrt(col("n").cast("double") * lit(1000000.0))).cast("long"))
+    val total = counts.agg(sum(col("sqrt_milli")).alias("t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("weight_ppm", expr(
+        "CASE WHEN t = 0 THEN 0L ELSE (sqrt_milli * 1000000L) DIV t END"))
+      .select(col("group"), col("n"), col("sqrt_milli"), col("weight_ppm"))
+  }
+
   /** Corpus saturation curve: per ingestion batch, how much of its content
     * is NEW — distinct units (shingles) never seen in any earlier batch —
     * versus repeats. The novelty ratio falling toward zero is the signal

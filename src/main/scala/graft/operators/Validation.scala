@@ -130,6 +130,44 @@ object Validation {
         "n_rows_below_k", "risk_ppm", "anonymous")
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s sibling on the SENSITIVE axis
+    * (Machanavajjhala et al.): a release is l-diverse when every
+    * quasi-identifier class contains at least `l` DISTINCT values of the
+    * sensitive attribute. k-anonymity alone leaves the homogeneity attack
+    * open (a class of 50 rows that all share one label re-identifies the
+    * label); this measures exactly that. Returns one row (rule, n_rows,
+    * n_groups, min_distinct_sensitive, n_rows_below_l, risk_ppm, diverse).
+    *
+    * Scale shape: one partial-aggregated groupBy on (qids, sensitive) to
+    * distinct-count per class without a COUNT(DISTINCT) expand, one
+    * class-sized groupBy, one 1-row reduction. NULL sensitive values count
+    * as one distinct value (their own), NULL qids form their own class —
+    * both the conservative choices.
+    */
+  def lDiversity(df: DataFrame, name: String, qids: Seq[Column],
+      sensitive: Column, l: Int): DataFrame = {
+    require(qids.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val pair = df.groupBy((qids :+ sensitive.alias("__s")): _*)
+      .agg(count(lit(1)).alias("__c"))
+    val cls = pair.groupBy(qids.indices.map(i => col(pair.columns(i))): _*)
+      .agg(sum(col("__c")).alias("__n"), count(lit(1)).alias("__d"))
+    cls.agg(
+        coalesce(sum(col("__n")), lit(0L)).alias("n_rows"),
+        count(lit(1)).alias("n_groups"),
+        coalesce(min(col("__d")), lit(0L)).alias("min_distinct_sensitive"),
+        coalesce(sum(when(col("__d") < l, col("__n")).otherwise(0L)), lit(0L))
+          .alias("n_rows_below_l"))
+      .withColumn("risk_ppm", expr(
+        "CASE WHEN n_rows = 0 THEN 0L ELSE (n_rows_below_l * 1000000L) DIV n_rows END"))
+      .withColumn("diverse",
+        when(col("n_rows") === 0, 1L).otherwise(
+          when(col("min_distinct_sensitive") >= l, 1L).otherwise(0L)))
+      .withColumn("rule", lit(name))
+      .select("rule", "n_rows", "n_groups", "min_distinct_sensitive",
+        "n_rows_below_l", "risk_ppm", "diverse")
+  }
+
   /** Categorical-distribution drift between a REFERENCE snapshot and the
     * CURRENT batch (the "did the upstream mix shift" monitor a training
     * pipeline runs per ingest): per-category counts full-outer-joined

@@ -756,4 +756,17 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == Row(2L, 1L, 0.0))
     assert(out(2) == Row(3L, 0L, 25.0)) // exact tie at 25.0 -> cid 0
   }
+
+  test("temperatureWeights: sqrt-proportional shares, floor-exact for non-squares") {
+    // counts 1, 4, 9 -> sqrt_milli 1000, 2000, 3000 -> shares 1/6, 2/6, 3/6
+    val df = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(9)("c")).toDF("g")
+    val out = Corpus.temperatureWeights(df, $"g").orderBy("group").collect()
+    assert(out.toSeq == Seq(
+      Row("a", 1L, 1000L, 166666L),
+      Row("b", 4L, 2000L, 333333L),
+      Row("c", 9L, 3000L, 500000L)))
+    // non-square count: floor(1000 * sqrt(2)) = 1414, not rounded to 1415
+    val two = Corpus.temperatureWeights(Seq("x", "x").toDF("g"), $"g").collect().head
+    assert(two == Row("x", 2L, 1414L, 1000000L))
+  }
 }

@@ -102,6 +102,20 @@ class ValidationSpec extends SparkSpec {
       Row("pk", 0L, 0L, 0L, 1L), Row("v_pos", 0L, 0L, 0L, 1L)))
   }
 
+  test("lDiversity: homogeneous class fails, varied class passes, NULL sensitive is its own value") {
+    // class A: 3 rows all label x -> 1 distinct (homogeneity);
+    // class B: 3 rows labels x, y, null -> 3 distinct (null counts)
+    val df = Seq[(String, String)](
+      ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", null)).toDF("qid", "label")
+    val out = Validation.lDiversity(df, "t", Seq($"qid"), $"label", l = 2).collect().head
+    assert(out == Row("t", 6L, 2L, 1L, 3L, 500000L, 0L))
+    // at l=2 only class A (3 rows, 1 distinct) is below; B has 3 distinct
+    val ok = Validation.lDiversity(
+      df.filter($"qid" === "B"), "t2", Seq($"qid"), $"label", l = 3).collect().head
+    assert(ok == Row("t2", 3L, 1L, 3L, 0L, 0L, 1L))
+  }
+
   test("profileColumns: per-column rows from one pass — counts, nulls, distincts, string bounds") {
     val df = Seq[(java.lang.Long, String)](
       (3L, "b"), (1L, null), (2L, "a"), (3L, "c"), (null, "a"))
