@@ -54,6 +54,56 @@ object SparkEntry {
     * an empty argmax carries the symbol state through unchanged — the
     * early-stop case [[graft.operators.Corpus.bpeMerges]] handles).
     */
+  /** Mechanically-unrolled MMR oracle (q212): candidate pool + pairwise
+    * token-set similarities, then `k` greedy selection rounds — each round
+    * drops the selected set, computes every remaining candidate's
+    * max-similarity barrier, and picks the (score DESC, doc_id ASC) argmax.
+    * All-integer ppm arithmetic, so the replay is exact.
+    */
+  private def mmrOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = r - 1
+      s"""rem$r AS MATERIALIZED (SELECT * FROM cand
+           WHERE doc_id NOT IN (SELECT doc_id FROM selall$prev)),
+         bar$r AS MATERIALIZED (SELECT s_cand AS doc_id, MAX(sim_ppm) AS ms FROM sb
+           WHERE s_sel IN (SELECT doc_id FROM selall$prev) GROUP BY 1),
+         sel$r AS MATERIALIZED (SELECT $r AS round, c.doc_id, c.rel_ppm,
+             COALESCE(b.ms, 0) AS max_sim_ppm,
+             500000 * c.rel_ppm - 500000 * COALESCE(b.ms, 0) AS score
+           FROM rem$r c LEFT JOIN bar$r b USING (doc_id)
+           ORDER BY score DESC, c.doc_id LIMIT 1),
+         selall$r AS MATERIALIZED (SELECT * FROM selall$prev UNION ALL SELECT * FROM sel$r)"""
+    }.mkString(",\n         ")
+    s"""WITH t AS MATERIALIZED (
+         SELECT doc_id, list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'),
+           x -> len(x) > 0)) AS tk
+         FROM documents),
+       rel AS MATERIALIZED (
+         SELECT doc_id,
+           len(list_intersect(tk, ['spark', 'join', 'window'])) * 1000000 // 3 AS rel_ppm
+         FROM t),
+       cand AS MATERIALIZED (SELECT doc_id, CAST(rel_ppm AS BIGINT) AS rel_ppm FROM rel
+         ORDER BY rel_ppm DESC, doc_id LIMIT 20),
+       ct AS MATERIALIZED (SELECT c.doc_id, c.rel_ppm, t.tk FROM cand c JOIN t USING (doc_id)),
+       sims AS MATERIALIZED (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.tk, b.tk)) * 1000000
+             // (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS sim_ppm
+         FROM ct a JOIN ct b ON a.doc_id < b.doc_id),
+       sb AS MATERIALIZED (SELECT id_a AS s_sel, id_b AS s_cand, sim_ppm FROM sims
+         UNION ALL SELECT id_b, id_a, sim_ppm FROM sims),
+       sel1 AS MATERIALIZED (SELECT 1 AS round, doc_id, rel_ppm, CAST(0 AS BIGINT) AS max_sim_ppm,
+           500000 * rel_ppm AS score
+         FROM cand ORDER BY score DESC, doc_id LIMIT 1),
+       selall1 AS MATERIALIZED (SELECT * FROM sel1),
+       $rounds
+       SELECT CAST(1 AS BIGINT) AS qid, CAST(round AS BIGINT) AS round, doc_id,
+         CAST(rel_ppm AS BIGINT) AS rel_ppm, CAST(max_sim_ppm AS BIGINT) AS max_sim_ppm,
+         CAST(score AS BIGINT) AS score
+       FROM selall$k ORDER BY round"""
+  }
+
   private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"s${r - 1}"
@@ -2207,6 +2257,40 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q212_mmr_rerank" -> ((s, dir) => {
+      // diversified top-k: MMR (lambda=0.5) over the 20 best documents for
+      // a 3-term query — rel = query-term containment ppm, sim = token-set
+      // Jaccard ppm, both integers, so the greedy argmax chain replays
+      // exactly in the unrolled oracle. The quadratic sim stage runs over
+      // the BOUNDED candidate pool (20 rows), never the corpus.
+      val qterms = array(lit("spark"), lit("join"), lit("window"))
+      val toks = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          array_distinct(TextFns.tokens(col("text"))).as("tk")))
+      val cand = toks
+        .selectCols(Seq(col("doc_id"),
+          (size(array_intersect(col("tk"), qterms)).cast("long") * lit(1000000L))
+            .as("num")))
+        .selectCols(Seq(col("doc_id"), expr("num DIV 3").as("rel_ppm")))
+        .orderBy(col("rel_ppm").desc, col("doc_id").asc).limit(20)
+        .withColumn("qid", lit(1L))
+      // identity limit: the equi-join on the unique doc_id key returns
+      // exactly the 20 candidate rows, but only a static Limit gives the
+      // plan a provable maxRows — which is what lets ExplainAudit verify
+      // the theta-join below is bounded rather than exempting it
+      val ct = cand.join(toks, "doc_id").limit(20)
+      val a = ct.selectCols(Seq(col("doc_id").as("id_a"), col("tk").as("tk_a")))
+      val b = ct.selectCols(Seq(col("doc_id").as("id_b"), col("tk").as("tk_b")))
+      val sims = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))).cast("long"))
+        .withColumn("uni",
+          size(col("tk_a")).cast("long") + size(col("tk_b")).cast("long") - col("inter"))
+        .selectCols(Seq(lit(1L).as("qid"), col("id_a"), col("id_b"),
+          expr("inter * 1000000L DIV uni").as("sim_ppm")))
+      Retrieval.mmrSelect(cand, sims, k = 8)
+        .sortBy(Seq(col("round")))
+    }),
+
     "q211_temperature_weights" -> ((s, dir) =>
       // alpha=0.5 temperature rebalancing of the source mixture: weight
       // proportional to sqrt(count), integer-exact via floor(1000*sqrt(n))
@@ -4029,6 +4113,10 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // 8 greedy selection rounds unrolled mechanically (the bpeCtes
+    // pattern); every score is integer ppm so the argmax chain is exact.
+    "q212_mmr_rerank" -> mmrOracle(8),
 
     // Integer replay of the sqrt-milli pipeline: FLOOR(SQRT(n*1e6)) is
     // exact below 2^53, the rest is BIGINT floor division.

@@ -153,4 +153,88 @@ object Retrieval {
         row_number().over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
       .select(col("rank"), col("id"), col("rank_a"), col("rank_b"), col("rrf"))
   }
+
+  /** Maximal-marginal-relevance diversified selection (Carbonell &
+    * Goldstein): greedily pick `k` items per query, each round taking the
+    * candidate maximizing
+    * `lambda * relevance - (1 - lambda) * max-similarity-to-selected` —
+    * the standard redundancy remover for retrieval results and for
+    * picking DIVERSE training examples out of a near-duplicate-rich pool.
+    *
+    * Inputs: `candidates` (qid, doc_id, rel_ppm) — a BOUNDED per-query
+    * pool (a top-n from [[bm25TopK]] or an ANN stage; greedy selection
+    * over an unbounded pool is not meaningful); `sims` (qid, id_a, id_b,
+    * sim_ppm) — pairwise similarities among that pool, either direction
+    * (symmetrized here). All scores integer ppm, so the argmax chain —
+    * `score = lambda_ppm * rel_ppm - (1e6 - lambda_ppm) * max_sim_ppm`
+    * in exact longs, ties by doc_id ascending — replays identically in
+    * any engine.
+    *
+    * Returns (qid, round, doc_id, rel_ppm, max_sim_ppm, score): round r
+    * = the r-th pick, max_sim_ppm = the similarity barrier at selection
+    * time (0 for the first pick).
+    *
+    * Scale shape: ALL queries advance together — each of the k rounds is
+    * one anti-join (drop selected), one equi-join onto the selected set
+    * (per-qid, bounded by round ≤ k rows), one partial-agg max, one
+    * partial-agg argmax via min(struct(-score, doc_id)); nothing is ever
+    * per-query driver work, so 1 query or 10 M queries cost the same
+    * number of shuffles. Lineage is truncated per round
+    * ([[graft.operators.Iterative.truncate]]) like every iterative
+    * operator here; state per round is one (qid, doc_id, ...) row per
+    * pick.
+    */
+  def mmrSelect(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambdaPpm: Long = 500000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    val cand = candidates.select(col("qid"), col("doc_id").cast("long"),
+      col("rel_ppm").cast("long"))
+    val simBoth = sims.select(col("qid"), col("id_a").alias("s_sel"),
+        col("id_b").alias("s_cand"), col("sim_ppm"))
+      .unionAll(sims.select(col("qid"), col("id_b").alias("s_sel"),
+        col("id_a").alias("s_cand"), col("sim_ppm")))
+      .select(col("qid"), col("s_sel").cast("long"), col("s_cand").cast("long"),
+        col("sim_ppm").cast("long"))
+    val mu = lit(1000000L) - lit(lambdaPpm)
+    def argmax(scored: DataFrame, round: Int): DataFrame =
+      scored.groupBy(col("qid"))
+        .agg(min(struct((-col("score")).alias("ns"), col("doc_id"),
+          col("rel_ppm"), col("max_sim_ppm"))).alias("w"))
+        .select(col("qid"), lit(round.toLong).alias("round"),
+          col("w.doc_id").alias("doc_id"), col("w.rel_ppm").alias("rel_ppm"),
+          col("w.max_sim_ppm").alias("max_sim_ppm"),
+          (-col("w.ns")).alias("score"))
+    var selected = Iterative.truncate(
+      argmax(cand.withColumn("max_sim_ppm", lit(0L))
+        .withColumn("score", lit(lambdaPpm) * col("rel_ppm")), 1),
+      checkpointDir)
+    var r = 2
+    while (r <= k) {
+      val remaining = cand.join(
+        selected.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"), "left_anti")
+      // per-candidate barrier: max similarity to ANY already-selected doc
+      // (candidates with no sim row to the selected set score barrier 0)
+      val barriers = simBoth
+        .join(selected.select(col("qid"), col("doc_id").alias("s_sel")),
+          Seq("qid", "s_sel"))
+        .groupBy(col("qid"), col("s_cand"))
+        .agg(max(col("sim_ppm")).alias("ms"))
+      val withScore = remaining
+        .join(barriers,
+          remaining("qid") === barriers("qid") &&
+            remaining("doc_id") === barriers("s_cand"),
+          "left_outer")
+        .select(remaining("qid"), remaining("doc_id"), col("rel_ppm"),
+          coalesce(col("ms"), lit(0L)).alias("max_sim_ppm"))
+        .withColumn("score",
+          lit(lambdaPpm) * col("rel_ppm") - mu * col("max_sim_ppm"))
+      selected = Iterative.truncate(
+        selected.unionAll(argmax(withScore, r)), checkpointDir)
+      r += 1
+    }
+    selected
+  }
 }

@@ -163,4 +163,36 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"))
   }
+
+  test("mmrSelect: greedy diversity — high-rel near-dup deferred behind a diverse lower-rel pick") {
+    val cand = Seq(
+      (1L, 10L, 900000L), // A: best rel
+      (1L, 20L, 880000L), // B: near-dup of A (sim 900k)
+      (1L, 30L, 870000L), // C: mildly similar to A (100k), near-dup of B
+      (1L, 40L, 100000L), // D: unrelated
+      (2L, 50L, 500000L)  // second query advances independently
+    ).toDF("qid", "doc_id", "rel_ppm")
+    val sims = Seq(
+      (1L, 10L, 20L, 900000L),
+      (1L, 10L, 30L, 100000L),
+      (1L, 20L, 30L, 800000L),
+      (1L, 10L, 40L, 0L)).toDF("qid", "id_a", "id_b", "sim_ppm")
+    val out = Retrieval.mmrSelect(cand, sims, k = 4)
+      .orderBy("qid", "round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // q1: A first; B (rel 880k) is blocked by its 900k barrier to A, so C
+    // (rel 870k, barrier 100k) goes second; D (barrier 0) third; B last
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, 0L), (1L, 2L, 30L, 100000L),
+      (1L, 3L, 40L, 0L), (1L, 4L, 20L, 900000L),
+      (2L, 1L, 50L, 0L)))
+  }
+
+  test("mmrSelect: score ties break by ascending doc_id") {
+    val cand = Seq((1L, 7L, 500000L), (1L, 3L, 500000L)).toDF("qid", "doc_id", "rel_ppm")
+    val sims = Seq.empty[(Long, Long, Long, Long)].toDF("qid", "id_a", "id_b", "sim_ppm")
+    val out = Retrieval.mmrSelect(cand, sims, k = 2)
+      .orderBy("round").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(3L, 7L))
+  }
 }
