@@ -30,7 +30,8 @@ object ExplainAudit {
         "q166_dsir_weights", "q168_window_frames", "q170_compaction",
         "q188_backoff_lm", "q190_image_dhash_neardup", "q191_hll_distinct",
         "q192_incremental_agg", "q194_ann_sq8", "q198_weighted_sample",
-        "q199_kcore", "q200_image_dedup_pipeline")
+        "q199_kcore", "q200_image_dedup_pipeline",
+        "q208_sorted_neighborhood", "q212_mmr_rerank")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -468,6 +468,46 @@ object RelationalProps extends Properties("relational") {
       }
     }
 
+  property("sortedNeighborhoodPairs: exact pair count (w-1)n - (w-1)w/2, matches the naive windowed model") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 50L), Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))),
+      Gen.choose(2, 5)) { (rows0, w) =>
+      import graft.operators.Dedup
+      import spark.implicits._
+      val rows = rows0.distinctBy(_._1)
+      val n = rows.length.toLong
+      val df = rows.toDF("id", "k")
+      val got = Dedup.sortedNeighborhoodPairs(df, $"id", $"k", w, buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      // naive model: sort by (k, id), pair each row with its w-1 successors
+      val order = rows.sortBy(r => (r._2, r._1)).map(_._1)
+      val model = (for {
+        i <- order.indices; d <- 1 until w; if i + d < order.length
+      } yield (order(i), order(i + d), d.toLong)).toSet
+      val expectCount = math.max(0L, (w - 1).toLong * n - (w - 1).toLong * w / 2)
+      got == model && got.size.toLong == expectCount
+    }
+
+  property("temperatureWeights: ratio compression (w_a/w_b <= n_a/n_b), count-monotone, ppm sums to ~1e6") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 40)).map(_.take(6))) { counts0 =>
+      import graft.operators.Corpus
+      import spark.implicits._
+      val counts = counts0.zipWithIndex.map { case (c, i) => (s"g$i", c) }
+      val df = counts.flatMap { case (g, c) => Seq.fill(c)(g) }.toDF("g")
+      val out = Corpus.temperatureWeights(df, $"g").collect()
+        .map(r => (r.getLong(1), r.getLong(3)))
+      // sqrt compresses ratios: for n_a >= n_b the weight ratio never
+      // exceeds the count ratio (true since w ∝ √n; +1 absorbs the ppm
+      // floor on each side — the bound ppm_a·n_b <= (ppm_b+1)·n_a is exact
+      // for floored values)
+      val pairsOk = (for {
+        (na, pa) <- out; (nb, pb) <- out; if na >= nb
+      } yield pa * nb <= (pb + 1) * na).forall(identity)
+      val mono = out.sortBy(_._1).map(_._2).sorted.sameElements(
+        out.sortBy(_._1).map(_._2))
+      val s = out.map(_._2).sum
+      pairsOk && mono && s <= 1000000L && s >= 1000000L - out.length
+    }
+
   property("weightedSample is partition-layout invariant and weight-monotone-safe") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 60L), Gen.choose(0L, 9L))),
       Gen.choose(1, 6)) { (rows0, k) =>
