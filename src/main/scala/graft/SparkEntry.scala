@@ -2257,6 +2257,39 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q213_entity_resolution" -> ((s, dir) => {
+      // the composed entity-resolution story: prefix-key sorted-
+      // neighborhood blocking -> trigram-Jaccard verification on the
+      // w-window candidates ONLY -> connected components -> longest-text
+      // canonical record (q111's rule). The linear blocking stream
+      // replaces the corpus-wide inverted-index candidate generation of
+      // q50 (which stays as the exhaustive instrument); on this corpus
+      // the 3-token-prefix key recalls every q34 pair (same-prefix runs
+      // of <= 3 docs sit inside the w=8 window). The oracle replays the
+      // same blocking algorithm, so the contract is exact replay.
+      val docs = t(s, dir, "documents")
+      val pfxFp = TextFns.fingerprint(
+        array_join(slice(TextFns.tokens(col("text")), 1, 3), " "),
+        portable = true)
+      val cand = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"), pfxFp, w = 8)
+        .selectCols(Seq(col("id_a"), col("id_b")))
+      val sh = docs.selectCols(Seq(col("doc_id"),
+        array_distinct(TextFns.wordNgrams(col("text"), 3)).as("sh")))
+      val verified = cand
+        .join(sh.selectCols(Seq(col("doc_id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+        .join(sh.selectCols(Seq(col("doc_id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni",
+          size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+        .filterCol(expr("inter * 1000000L DIV uni >= 800000L"))
+        .selectCols(Seq(col("id_a"), col("id_b")))
+      val comps = Dedup.nearDupComponents(verified)
+      val scores = docs.selectCols(Seq(col("doc_id").as("id"),
+        length(col("text")).cast("long").as("score")))
+      Dedup.componentRepresentatives(comps, scores)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q212_mmr_rerank" -> ((s, dir) => {
       // diversified top-k: MMR (lambda=0.5) over the 20 best documents for
       // a 3-term query — rel = query-term containment ppm, sim = token-set
@@ -4113,6 +4146,70 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Blocking replayed exactly: prefix fingerprint (q29's fold over the
+    // first 3 tokens), ROW_NUMBER rank, w-window candidates, integer-ppm
+    // trigram-Jaccard verification, then the q111 component/representative
+    // tail.
+    "q213_entity_resolution" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                      x -> len(x) > 0) AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(toks[1:3], tok ->
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+           FROM t),
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), hlist),
+               (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
+                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
+           FROM hs),
+         key AS (
+           SELECT doc_id,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS k
+           FROM fp),
+         r AS MATERIALIZED (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM key),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7),
+         sh AS MATERIALIZED (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         pairs AS (
+           SELECT id_a, id_b FROM cand
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b
+           WHERE len(list_intersect(sa.s, sb.s)) * 1000000
+             // (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 800000),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+         sc AS (SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS score FROM documents),
+         rep AS (
+           SELECT component_id, id AS rep_id FROM (
+             SELECT c.component_id, c.id,
+               row_number() OVER (PARTITION BY c.component_id
+                 ORDER BY sc.score DESC, c.id) AS rn
+             FROM comp c JOIN sc ON c.id = sc.id)
+           WHERE rn = 1)
+         SELECT c.id, c.component_id, r.rep_id, c.id = r.rep_id AS kept
+         FROM comp c JOIN rep r USING (component_id)
+         ORDER BY c.id""",
 
     // 8 greedy selection rounds unrolled mechanically (the bpeCtes
     // pattern); every score is integer ppm so the argmax chain is exact.
