@@ -2257,6 +2257,17 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q214_quantile_bins" -> ((s, dir) =>
+      // exact decile assignment over event values (micros-scaled decimal ->
+      // long, so the sort key is integer-exact): rank-proportional bins via
+      // the two-level rank with quantile-probed buckets — no global
+      // single-partition window, probe epsilon never reaches the output
+      Relational.quantileBins(
+          t(s, dir, "events").selectCols(Seq(col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmicros"))),
+          col("event_id"), col("vmicros"), nBins = 10)
+        .sortBy(Seq(col("id")))),
+
     "q213_entity_resolution" -> ((s, dir) => {
       // the composed entity-resolution story: prefix-key sorted-
       // neighborhood blocking -> trigram-Jaccard verification on the
@@ -4146,6 +4157,20 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // One-line replay: the bin is a pure function of the exact rank.
+    "q214_quantile_bins" ->
+      """WITH b AS (
+           SELECT event_id AS id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         r AS (
+           SELECT id, v, ROW_NUMBER() OVER (ORDER BY v, id) AS rank,
+             COUNT(*) OVER () AS n
+           FROM b)
+         SELECT id, v, CAST(rank AS BIGINT) AS rank,
+           CAST(((rank - 1) * 10) // n AS BIGINT) AS bin
+         FROM r ORDER BY id""",
 
     // Blocking replayed exactly: prefix fingerprint (q29's fold over the
     // first 3 tokens), ROW_NUMBER rank, w-window candidates, integer-ppm

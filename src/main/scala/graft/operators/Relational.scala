@@ -935,4 +935,50 @@ object Relational {
         measureCols.tail.map(nm => sum(col(nm)).alias(nm)): _*)
     if (dropEmpty) agged.filter(col("n") > 0) else agged
   }
+
+  /** Exact rank-proportional quantile binning: every row's bin is
+    * `floor((rank - 1) * nBins / n)` under the total order (value, id) —
+    * the feature-bucketing transform (deciles, percentile caps) computed
+    * EXACTLY, layout-independently, and without a global single-partition
+    * window. (Not NTILE: remainder rows spread rank-proportionally, not
+    * front-loaded — the formula is what replays in one line of SQL.)
+    *
+    * Returns (id, v, rank, bin).
+    *
+    * Scale shape: the global rank is two-level like
+    * [[graft.operators.Dedup.sortedNeighborhoodPairs]], but the buckets
+    * come from `approxQuantile` probes over the VALUE distribution (a
+    * bounded driver-side array, the kmeans-centroid precedent) rather
+    * than key top-bits — a value domain packed into a narrow range would
+    * land top-bit buckets in one partition, while quantile probes split
+    * any distribution evenly. Probe placement only balances partitions;
+    * the rank — and with it every output value — is exact wherever the
+    * bounds land, so approxQuantile's epsilon never reaches the output.
+    * One scan for the probes, one bucket-keyed window, a buckets-sized
+    * offset frame, a 1-row count broadcast.
+    */
+  def quantileBins(df: DataFrame, id: Column, value: Column, nBins: Int,
+      buckets: Int = 256): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
+    val bounds = base.stat.approxQuantile("v",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val bcol = typedLit(bounds)
+    val bucketed = base.withColumn("bkt",
+      size(filter(bcol, b => col("v") >= b)))
+    val partials = bucketed.groupBy(col("bkt")).agg(count(lit(1)).alias("bn"))
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"), col("id"))
+    val ranked = bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("rank", col("boff") + row_number().over(wIn).cast("long"))
+    val n = base.agg(count(lit(1)).alias("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("id"), col("v"), col("rank"),
+        expr(s"((rank - 1) * ${nBins}L) DIV n").alias("bin"))
+  }
 }

@@ -515,4 +515,18 @@ class RelationalSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(two.toSeq == out.toSeq)
   }
+
+  test("quantileBins: exact rank-proportional bins, value ties break by id, layout-independent") {
+    import graft.operators.Relational
+    val df = Seq((1L, 30L), (2L, 10L), (3L, 30L), (4L, 20L), (5L, 50L)).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.quantileBins(d, $"id", $"v", nBins = 2, buckets = 4)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // order (v, id): (10,2) (20,4) (30,1) (30,3) (50,5) -> ranks 1..5;
+    // bins floor((rank-1)*2/5): 0 0 0 1 1
+    val expect = Seq((1L, 3L, 0L), (2L, 1L, 0L), (3L, 4L, 1L), (4L, 2L, 0L), (5L, 5L, 1L))
+    assert(run(df) == expect)
+    assert(run(df.repartition(4)) == expect)
+  }
 }
