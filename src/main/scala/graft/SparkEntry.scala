@@ -2257,6 +2257,32 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q215_retrieval_eval" -> ((s, dir) => {
+      // retrieval metrics with the ranking signal deliberately WEAKER than
+      // the judgment (rank by 2-term containment, judge by all-3-term
+      // containment): precision/recall@10 and MRR are then genuinely
+      // informative, not 1.0 by construction. All integer ppm. The rank
+      // window runs over the bounded top-50 frame only.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").selectCols(Seq(col("doc_id"),
+        array_distinct(TextFns.tokens(col("text"))).as("tk")))
+      val ranked = toks
+        .selectCols(Seq(col("doc_id"),
+          size(array_intersect(col("tk"), array(lit("spark"), lit("join"))))
+            .cast("long").as("m2")))
+        .orderBy(col("m2").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("m2").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("qid", lit(1L))
+        .selectCols(Seq(col("qid"), col("doc_id"), col("rank")))
+      val qrels = toks
+        .filterCol(size(array_intersect(col("tk"),
+          array(lit("spark"), lit("join"), lit("window")))) === 3)
+        .selectCols(Seq(lit(1L).as("qid"), col("doc_id")))
+      Retrieval.evalRetrieval(ranked, qrels, k = 10)
+        .sortBy(Seq(col("qid")))
+    }),
+
     "q214_quantile_bins" -> ((s, dir) =>
       // exact decile assignment over event values (micros-scaled decimal ->
       // long, so the sort key is integer-exact): rank-proportional bins via
@@ -4157,6 +4183,39 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // Rank + judgment joins replayed; aggregates over an empty hit join
+    // still return their one row (global aggregate semantics both engines).
+    "q215_retrieval_eval" ->
+      """WITH t AS (
+           SELECT doc_id, list_distinct(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS tk
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(list_intersect(tk, ['spark', 'join'])) AS m2,
+             len(list_intersect(tk, ['spark', 'join', 'window'])) AS m3
+           FROM t),
+         ranked AS (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY m2 DESC, doc_id) AS rank
+           FROM m ORDER BY m2 DESC, doc_id LIMIT 50),
+         rel AS (SELECT doc_id FROM m WHERE m3 = 3),
+         hits AS (
+           SELECT MIN(rank) AS frr,
+             COUNT(*) FILTER (rank <= 10) AS hk, COUNT(*) AS ht
+           FROM ranked JOIN rel USING (doc_id)),
+         nr AS (SELECT COUNT(*) AS n_rel FROM rel)
+         SELECT CAST(1 AS BIGINT) AS qid, CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(COALESCE(frr, 0) AS BIGINT) AS first_rel_rank,
+           CAST(COALESCE(hk, 0) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(ht, 0) AS BIGINT) AS hits_total,
+           CAST(CASE WHEN COALESCE(frr, 0) = 0 THEN 0
+                     ELSE 1000000 // frr END AS BIGINT) AS rr_ppm,
+           CAST(COALESCE(hk, 0) * 1000000 // 10 AS BIGINT) AS precision_at_k_ppm,
+           CAST(CASE WHEN n_rel = 0 THEN 0
+                     ELSE COALESCE(hk, 0) * 1000000 // n_rel END AS BIGINT) AS recall_at_k_ppm
+         FROM hits, nr""",
 
     // One-line replay: the bin is a pure function of the exact rank.
     "q214_quantile_bins" ->

@@ -154,6 +154,48 @@ object Retrieval {
       .select(col("rank"), col("id"), col("rank_a"), col("rank_b"), col("rrf"))
   }
 
+  /** Retrieval evaluation against relevance judgments — the metrics a
+    * retrieval stack is tuned by, in integer ppm so every number replays
+    * exactly: per query, the count of judged-relevant docs, the rank of
+    * the first relevant result (0 = none retrieved), reciprocal rank as
+    * `1e6 DIV first_rank` (MRR's per-query term), and precision/recall at
+    * `k` (`hits@k * 1e6 DIV k` / `DIV n_rel`). nDCG is deliberately
+    * absent: its log2 discount is not correctly-rounded-guaranteed across
+    * engines, so it cannot be hash-pinned — rank-based metrics can.
+    *
+    * Inputs: `ranked` (qid, doc_id, rank — 1-based, unique per qid),
+    * `qrels` (qid, doc_id). Returns one row per qid appearing in EITHER
+    * input (a query with judgments but an empty result list still
+    * reports, with zero hits).
+    *
+    * Scale shape: one equi-join on (qid, doc_id), two partial-aggregated
+    * groupBys, a qid-keyed outer join — metrics for a million queries
+    * cost three narrow shuffles.
+    */
+  def evalRetrieval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = ranked.select(col("qid"), col("doc_id").cast("long"),
+      col("rank").cast("long"))
+    val q = qrels.select(col("qid"), col("doc_id").cast("long")).distinct()
+    val nRel = q.groupBy(col("qid")).agg(count(lit(1)).alias("n_rel"))
+    val hits = r.join(q, Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(min(col("rank")).alias("first_rel_rank"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).alias(s"hits_at_k"),
+        count(lit(1)).alias("hits_total"))
+    nRel.join(hits, Seq("qid"), "full_outer")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).alias("n_rel"),
+        coalesce(col("first_rel_rank"), lit(0L)).alias("first_rel_rank"),
+        coalesce(col("hits_at_k"), lit(0L)).alias("hits_at_k"),
+        coalesce(col("hits_total"), lit(0L)).alias("hits_total"))
+      .withColumn("rr_ppm", expr(
+        "CASE WHEN first_rel_rank = 0 THEN 0L ELSE 1000000L DIV first_rel_rank END"))
+      .withColumn("precision_at_k_ppm", expr(s"hits_at_k * 1000000L DIV ${k}L"))
+      .withColumn("recall_at_k_ppm", expr(
+        "CASE WHEN n_rel = 0 THEN 0L ELSE hits_at_k * 1000000L DIV n_rel END"))
+  }
+
   /** Maximal-marginal-relevance diversified selection (Carbonell &
     * Goldstein): greedily pick `k` items per query, each round taking the
     * candidate maximizing

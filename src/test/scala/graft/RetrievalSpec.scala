@@ -188,6 +188,25 @@ class RetrievalSpec extends SparkSpec {
       (2L, 1L, 50L, 0L)))
   }
 
+  test("evalRetrieval: integer metrics — first rank, hits@k, precision/recall; judged-but-unretrieved query reports zeros") {
+    val ranked = Seq(
+      (1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L), (1L, 103L, 4L)
+    ).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 101L), (1L, 103L), (1L, 999L), // 999 never retrieved
+      (2L, 555L)                          // qid 2 has no results at all
+    ).toDF("qid", "doc_id")
+    val out = Retrieval.evalRetrieval(ranked, qrels, k = 3)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // q1: 3 judged, first hit rank 2, 1 hit in top-3, 2 total;
+    // rr = 1e6/2, p@3 = 1/3, recall@3 = 1/3
+    assert(out(0) == (1L, 3L, 2L, 1L, 2L, 500000L, 333333L, 333333L))
+    // q2: judged but empty result list -> all zeros except n_rel
+    assert(out(1) == (2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("mmrSelect: score ties break by ascending doc_id") {
     val cand = Seq((1L, 7L, 500000L), (1L, 3L, 500000L)).toDF("qid", "doc_id", "rel_ppm")
     val sims = Seq.empty[(Long, Long, Long, Long)].toDF("qid", "id_a", "id_b", "sim_ppm")
