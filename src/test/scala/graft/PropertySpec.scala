@@ -483,7 +483,9 @@ object RelationalProps extends Properties("relational") {
       val model = (for {
         i <- order.indices; d <- 1 until w; if i + d < order.length
       } yield (order(i), order(i + d), d.toLong)).toSet
-      val expectCount = math.max(0L, (w - 1).toLong * n - (w - 1).toLong * w / 2)
+      // Σ_{d=1}^{w-1} max(0, n-d): the (w-1)n - (w-1)w/2 closed form only
+      // holds for n >= w; small corpora truncate each distance's run
+      val expectCount = (1 until w).map(d => math.max(0L, n - d)).sum
       got == model && got.size.toLong == expectCount
     }
 
