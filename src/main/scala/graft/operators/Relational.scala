@@ -958,12 +958,18 @@ object Relational {
     * offset frame, a 1-row count broadcast.
     */
   def quantileBins(df: DataFrame, id: Column, value: Column, nBins: Int,
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 64, probeEps: Double = 0.02): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(probeEps > 0 && probeEps <= 0.5, s"probeEps must be in (0, 0.5], got $probeEps")
     val base = df.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
+    // loose epsilon + modest bucket count on purpose: probes only balance
+    // partitions (see above), and the per-row bucket probe is a
+    // buckets-length HOF scan — A/B at sf0.1 (100k events): 256 bounds at
+    // eps 0.001 cost 9.3 s, 64 at 0.02 cost 2.4 s, identical output. Raise
+    // `buckets` with cluster size, not precision.
     val bounds = base.stat.approxQuantile("v",
-      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
       .map(_.toLong).distinct.sorted
     val bcol = typedLit(bounds)
     val bucketed = base.withColumn("bkt",

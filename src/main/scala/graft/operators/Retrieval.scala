@@ -232,14 +232,22 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
       s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    // Persisted: every one of the k rounds re-reads BOTH frames (the
+    // anti-join and the barrier join), and while the frames themselves are
+    // pool-sized, COMPUTING them is corpus-sized (the candidate cut scans
+    // the corpus). Without the cache each round re-runs that scan — A/B at
+    // sf0.1 this halves q212. Pool-sized rows, MEMORY_AND_DISK, the q51
+    // gated-frame pattern.
     val cand = candidates.select(col("qid"), col("doc_id").cast("long"),
-      col("rel_ppm").cast("long"))
+        col("rel_ppm").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val simBoth = sims.select(col("qid"), col("id_a").alias("s_sel"),
         col("id_b").alias("s_cand"), col("sim_ppm"))
       .unionAll(sims.select(col("qid"), col("id_b").alias("s_sel"),
         col("id_a").alias("s_cand"), col("sim_ppm")))
       .select(col("qid"), col("s_sel").cast("long"), col("s_cand").cast("long"),
         col("sim_ppm").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu = lit(1000000L) - lit(lambdaPpm)
     def argmax(scored: DataFrame, round: Int): DataFrame =
       scored.groupBy(col("qid"))
@@ -277,6 +285,10 @@ object Retrieval {
         selected.unionAll(argmax(withScore, r)), checkpointDir)
       r += 1
     }
+    // every round was eagerly truncated, so the result no longer references
+    // the cached inputs — release them now rather than leaking the cache
+    cand.unpersist(false)
+    simBoth.unpersist(false)
     selected
   }
 }
