@@ -229,6 +229,12 @@ object Bench {
     out("simhash") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.simhashPairs(docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
     }
+    // linear by construction: two-level rank + (w-1)-explode equi-join —
+    // the q208/q213 blocking stage
+    out("sorted_neighborhood") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+      Dedup.sortedNeighborhoodPairs(docs.filter(col("orig_id") < base), col("doc_id"),
+        graft.functions.TextFns.fingerprint(col("text")), w = 8)
+    }
     // linear family at 25k/50k/100k vectors
     out("emb_lsh") = series(Seq(500, 1000, 2000), VE.toLong) { base =>
       Dedup.embeddingLshPairs(embs.filter(col("orig_id") < base),
