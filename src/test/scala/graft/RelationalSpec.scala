@@ -516,6 +516,42 @@ class RelationalSpec extends SparkSpec {
     assert(two.toSeq == out.toSeq)
   }
 
+  test("hilbertValue: bijection on the grid, every consecutive code is grid-adjacent, matches the scalar model") {
+    import graft.operators.Relational
+    // independent scalar reference (classic xy2d recurrence)
+    def model(bits: Int, x0: Int, y0: Int): Long = {
+      val n1 = (1 << bits) - 1
+      var x = x0; var y = y0; var d = 0L; var s = 1 << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n1 - x; y = n1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 4
+    val grid = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val got = df.select($"x", $"y",
+        Relational.hilbertValue($"x", $"y", bits).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // Column implementation == scalar model everywhere
+    assert(grid.forall { case (x, y) => got((x, y)) == model(bits, x.toInt, y.toInt) })
+    // bijection onto [0, 256)
+    assert(got.values.toSeq.sorted == (0L until 256L))
+    // THE Hilbert property (Morton lacks it): walking codes in order moves
+    // exactly one grid step each time
+    val byCode = got.toSeq.sortBy(_._2).map(_._1)
+    assert(byCode.sliding(2).forall { case Seq((x1, y1), (x2, y2)) =>
+      (x1 - x2).abs + (y1 - y2).abs == 1
+    })
+  }
+
   test("quantileBins: exact rank-proportional bins, value ties break by id, layout-independent") {
     import graft.operators.Relational
     val df = Seq((1L, 30L), (2L, 10L), (3L, 30L), (4L, 20L), (5L, 50L)).toDF("id", "v")
