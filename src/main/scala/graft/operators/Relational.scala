@@ -678,6 +678,23 @@ object Relational {
         .drop("__z")
     }
 
+    /** As [[layoutZOrder]] but on the Hilbert key
+      * ([[Relational.hilbertValue]]) — strictly tighter 2-D clustering per
+      * row group (consecutive codes are always grid-adjacent). Inputs are
+      * masked into the grid here, honoring hilbertValue's contract.
+      */
+    def layoutHilbert(x: Column, y: Column, bits: Int,
+        numPartitions: Int): DataFrame = {
+      require(numPartitions > 0, s"numPartitions must be positive")
+      val n1 = (1L << bits) - 1
+      df.withColumn("__h", Relational.hilbertValue(
+          x.cast("long").bitwiseAND(lit(n1)),
+          y.cast("long").bitwiseAND(lit(n1)), bits))
+        .repartitionByRange(numPartitions, col("__h"))
+        .sortWithinPartitions(col("__h"))
+        .drop("__h")
+    }
+
     /** Deterministic exactly-k-per-stratum sample — eval-set construction
       * ("exactly 1000 docs per language"): rank rows within each stratum
       * by the multiplicative Knuth hash of the id (rerun-, engine- and

@@ -174,6 +174,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("layoutHilbert: partition h-ranges are disjoint and ordered; row set preserved") {
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val laid = grid.toDF("x", "y").layoutHilbert($"x", $"y", 3, 4)
+    val ranges = laid
+      .withColumn("h", graft.operators.Relational.hilbertValue($"x", $"y", 3))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min($"h").as("lo"), max($"h").as("hi"), count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ranges.map(_._3).sum == 64L)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    assert(laid.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == grid.toSet)
+  }
+
   test("operators fail fast on unknown columns at CALL time (reference error-timing parity)") {
     // classic-mode Spark analyzes at Dataset construction, so bad references
     // throw at the operator call — same timing as DataFusion's per-op
