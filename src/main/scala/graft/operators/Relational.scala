@@ -886,33 +886,20 @@ object Relational {
     * locality-stronger sibling: consecutive Hilbert codes are ALWAYS
     * grid-adjacent (Morton order jumps at quadrant boundaries), so a sort
     * by this key clusters 2-D neighborhoods strictly tighter, which is
-    * what parquet row-group min/max stats see. The classic xy2d bit
-    * recurrence (quadrant digit + conditional flip/swap per level),
-    * unrolled into pure Column integer algebra — codegen-friendly,
-    * replayable exactly in any engine with &, xor, and CASE.
+    * what parquet row-group min/max stats see.
     *
-    * Unlike Morton, high bits are NOT benignly ignored: callers must mask
-    * inputs into [0, 2^bits) first (the flip arithmetic is grid-relative).
+    * Backed by the native [[graft.plans.VectorExprs.HilbertIndex]]
+    * expression (a loop kernel, codegen'd): the xy2d recurrence is
+    * stateful per bit level, so a Column-algebra unroll re-inlines each
+    * level's subexpressions into the next — ~6x tree growth per level,
+    * which OOM'd codegen at 8 bits (q216 post-mortem). Inputs are masked
+    * into [0, 2^bits) by the kernel (Hilbert's flip arithmetic is
+    * grid-relative, so high bits are NOT benignly ignorable the way
+    * Morton's are).
     */
   def hilbertValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
-    val n1 = (1L << bits) - 1
-    var xc = x.cast("long")
-    var yc = y.cast("long")
-    var d: Column = lit(0L)
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val rx = when(xc.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(yc.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // rotate the quadrant: flip both coords when (rx=1, ry=0), then swap
-      val nx = when(ry === 0L, when(rx === 1L, lit(n1) - yc).otherwise(yc)).otherwise(xc)
-      val ny = when(ry === 0L, when(rx === 1L, lit(n1) - xc).otherwise(xc)).otherwise(yc)
-      xc = nx
-      yc = ny
-      s >>= 1
-    }
-    d
+    graft.plans.VectorExprs.hilbertIndex(x.cast("long"), y.cast("long"), bits)
   }
 
   def pivotCounts(df: DataFrame, group: Seq[Column], pivotCol: String,

@@ -91,4 +91,27 @@ object Kernels {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** [[VectorExprs.HilbertIndex]] kernel: classic xy2d recurrence. Inputs
+    * are masked into the grid here (Hilbert's flip arithmetic is
+    * grid-relative, so high bits are NOT benignly ignorable the way
+    * Morton's are).
+    */
+  def hilbert(x0: Long, y0: Long, bits: Int): Long = {
+    val n1 = (1L << bits) - 1
+    var x = x0 & n1; var y = y0 & n1
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n1 - x; y = n1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

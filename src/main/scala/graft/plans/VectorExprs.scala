@@ -325,11 +325,45 @@ object VectorExprs {
     override def prettyName: String = "dequantize_int8"
   }
 
+  /** Hilbert curve index of a 2-D grid cell (classic xy2d) as ONE native
+    * expression. The recurrence is stateful per bit level, so unrolling it
+    * into Column algebra re-inlines each level's subexpressions into the
+    * next — the tree grows ~6x per level and an 8-bit unroll OOM'd codegen
+    * under bench heap pressure (q216); a loop kernel is the honest shape.
+    * Inputs are masked into the grid by the kernel.
+    */
+  case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == LongType && right.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hilbert_index requires two BIGINT arguments, " +
+            s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.hilbert(l.asInstanceOf[Long], r.asInstanceOf[Long], bits)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Kernels.hilbert($a, $b, $bits);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex =
+      copy(left = l, right = r)
+    override def prettyName: String = "hilbert_index"
+  }
+
   // --- Column wrappers ------------------------------------------------------
   // Spark 4.x: Column wraps a ColumnNode; the classic converters are
   // private[sql], bridged via org.apache.spark.sql.graft.Bridge.
 
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
+
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column =
+    asCol(HilbertIndex(asExpr(x), asExpr(y), bits))
 
   def simhash64(c: Column): Column = asCol(SimHash64(asExpr(c)))
   def signLshBuckets(c: Column, dims: Int, planes: Int, tables: Int): Column =
@@ -358,7 +392,11 @@ object VectorExprs {
     "l2_norm" -> (es => L2Norm(es.head)),
     "l2_dist_sq" -> (es => L2DistSq(es(0), es(1))),
     "quantize_int8" -> (es => QuantizeInt8(es.head)),
-    "dequantize_int8" -> (es => DequantizeInt8(es.head)))
+    "dequantize_int8" -> (es => DequantizeInt8(es.head)),
+    // third arg = literal bit width (evaluated at resolution; a scalar
+    // layout function has no data-dependent grid)
+    "hilbert_index" -> (es => HilbertIndex(es(0), es(1),
+      es(2).eval().asInstanceOf[Number].intValue)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
