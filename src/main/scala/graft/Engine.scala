@@ -66,6 +66,18 @@ object Engine {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Schema-evolution read: union the footer schemas of every parquet file
+    * under `path` (`mergeSchema` — off by default in Spark because footer
+    * merging reads every footer at planning time) so a table whose writer
+    * gained columns over time reads as ONE frame, old files padding the
+    * new columns with NULL. This is the no-table-format half of schema
+    * evolution: additive-only (new nullable columns), which is the
+    * compatible-evolution contract every long-lived ingest pipeline keeps;
+    * a type CHANGE still needs a rewrite ([[compactPartitionedParquet]]).
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC: the other columnar format with full pushdown/pruning support —
     * same scale properties as parquet, for lakes standardized on ORC.
     */

@@ -2285,6 +2285,154 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q225_concurrency" -> ((s, dir) =>
+      // capacity-planning sweep: each event opens a session lasting its
+      // value in seconds; every boundary carries the exact number of
+      // concurrently-open sessions after it (max(active) = the peak a
+      // capacity plan provisions for). No interval pair ever materializes;
+      // the running sum is the two-level bucketed pattern, not a global
+      // window. Half-open [s, e): a session ending exactly at another's
+      // start never overlaps it.
+      Relational.concurrencyProfile(
+          t(s, dir, "events").selectCols(Seq(col("event_id"),
+            expr("unix_micros(ts)").as("s_us"),
+            expr("unix_micros(ts) + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+              .as("e_us"))),
+          col("event_id"), col("s_us"), col("e_us"))
+        .sortBy(Seq(col("seq")))),
+
+    "q224_table_fingerprint" -> ((s, dir) => {
+      // replication audit as a driver fact: the same table fingerprinted
+      // twice — once as stored, once re-shuffled into a different
+      // partitioning — produces the SAME mod-2^64 FNV row-hash sum, so
+      // two 100 TB copies compare by exchanging one row each. The oracle
+      // replays the full checksum in HUGEINT arithmetic, proving the
+      // fingerprint is engine-portable, not just layout-portable.
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      Validation.tableFingerprint(li, "lineitem", cols)
+        .union(Validation.tableFingerprint(
+          li.repartition(7, col("l_partkey")), "lineitem_shuffled", cols))
+        .sortBy(Seq(col("tbl")))
+    }),
+
+    "q223_zone_map_skip" -> ((s, dir) =>
+      // what would a sort-by-value rewrite buy this predicate? The
+      // layout-advisor report over event values (micros-exact, q214's
+      // rendering): arrival order leaves every file's zone straddling the
+      // band; value order confines it — the scan_ppm gap IS the read
+      // amplification a 100 TB rewrite would remove, measured for two
+      // scans instead of a full shuffle.
+      Relational.zoneMapSkipReport(
+          t(s, dir, "events").selectCols(Seq(col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmicros"))),
+          col("event_id"), col("vmicros"), nFiles = 32,
+          lo = 30000000L, hi = 40000000L)
+        .sortBy(Seq(col("layout")))),
+
+    "q222_ppjoin" -> ((s, dir) =>
+      // EXACT Jaccard >= 0.9 over token sets via prefix filtering — the
+      // no-false-negative sibling of the MinHash families (q33/q144): at
+      // t=0.9 each doc indexes ~10% of its tokens, so the inverted-index
+      // candidate join stays linear-ish while the result is the full
+      // threshold join, boundary inclusive. Oracle is the brute-force
+      // quadratic — feasible at sf0.01, which is exactly why the exact
+      // operator needs the sub-quadratic candidate path at scale.
+      Dedup.ppJoinPairs(
+          t(s, dir, "documents").selectCols(Seq(col("doc_id"),
+            array_distinct(TextFns.tokens(col("text"))).as("tk"))),
+          col("doc_id"), col("tk"), tPpm = 900000L)
+        .sortBy(Seq(col("id_a"), col("id_b")))),
+
+    "q221_bfs_distance" -> ((s, dir) => {
+      // graph-proximity feature from seed nodes: multi-source BFS over the
+      // q199 co-purchase graph, 3 rounds of frontier relaxation — the
+      // hops-from-trusted-seed signal a curation pipeline thresholds on.
+      // Unreached nodes absent by contract (the reached set is the small
+      // output at 100 TB; its complement is not).
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      val src = e.selectCols(Seq(col("id_a").as("id")))
+        .union(e.selectCols(Seq(col("id_b").as("id")))).distinct()
+        .filterCol(col("id") % 7 === 0)
+      graft.operators.Graph.bfsDistances(e, src, rounds = 3)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q220_label_propagation" -> ((s, dir) => {
+      // community detection over the co-purchase graph: 3 synchronous
+      // rounds with deterministic smallest-label ties — splits the graph
+      // into locally-dense product families where components (q50/q199's
+      // sibling question) would merge everything reachable into one blob
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      graft.operators.Graph.labelPropagation(e, rounds = 3)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q219_schema_evolution" -> ((s, dir) => {
+      // additive schema evolution as a driver fact: batch 1 written before
+      // n_chars existed, batch 2 after; the merged read unions footers and
+      // pads old files with NULL — the no-table-format evolution contract
+      // every long-lived ingest keeps (batch rides along as a partition
+      // column, so the provenance of each row is visible too)
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val docs = t(s, dir, "documents")
+      Engine.writeParquet(docs.filterCol(col("doc_id") % 2 === 0)
+        .selectCols(Seq(col("doc_id"), col("lang"))), s"$scratch/evo/batch=1")
+      Engine.writeParquet(docs.filterCol(col("doc_id") % 2 === 1)
+        .selectCols(Seq(col("doc_id"), col("lang"), col("n_chars"))),
+        s"$scratch/evo/batch=2")
+      Engine.readParquetMerged(s, s"$scratch/evo")
+        .selectCols(Seq(col("doc_id"), col("lang"), col("n_chars"),
+          col("batch").cast("long").as("batch")))
+        .sortBy(Seq(col("doc_id")))
+    }),
+
+    "q218_join_card_estimate" -> ((s, dir) => {
+      // join-size + skew forecast WITHOUT running the joins: the 1:N
+      // orders-lineitem join (est_rows == lineitem's matched rows — safe)
+      // next to the lineitem self-join on partkey (the quadratic-key
+      // blowup a planner must refuse or salt). Histograms only — the
+      // candidate output never materializes; this is the pre-flight check
+      // a 100 TB pipeline runs before committing shuffle capacity.
+      import graft.operators.Relational
+      val li = t(s, dir, "lineitem")
+      val cols = Seq(col("pair"), col("est_rows"), col("n_keys_left"),
+        col("n_keys_right"), col("n_matched_keys"), col("max_key"),
+        col("max_key_rows"), col("max_share_ppm"))
+      val a = Relational.joinCardinalityEstimate(
+          t(s, dir, "orders"), col("o_orderkey"), li, col("l_orderkey"))
+        .withColumn("pair", lit("orders_lineitem")).selectCols(cols)
+      val b = Relational.joinCardinalityEstimate(
+          li, col("l_partkey"), li, col("l_partkey"))
+        .withColumn("pair", lit("lineitem_self_partkey")).selectCols(cols)
+      a.union(b).sortBy(Seq(col("pair")))
+    }),
+
+    "q217_t_closeness" -> ((s, dir) =>
+      // the third release-gate leg after q202 (class size) and q210 (class
+      // variety): does any source's lang DISTRIBUTION diverge more than
+      // 10% TVD from the corpus-wide one (the skewness attack k-anonymity
+      // and l-diversity both miss)? Genuinely mixed on this data — some
+      // sources sit within the band, some outside.
+      Validation.tCloseness(t(s, dir, "documents"), "docs_lang_by_source_t10",
+          Seq(col("source")), col("lang"), tPpm = 100000L)
+        .sortBy(Seq(col("rule")))),
+
     "q216_hilbert" -> ((s, dir) =>
       // Hilbert layout key over (partkey, suppkey) — q90's Morton key with
       // strictly tighter 2-D locality (every consecutive code is
@@ -4224,6 +4372,254 @@ object SparkEntry {
            CAST(sum(s) AS BIGINT) AS score_sum,
            CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_score
          FROM j GROUP BY doc_id ORDER BY id""",
+
+    // The sweep replayed as one global running sum; ties (t, d, id) with
+    // the -1 boundary first — the half-open convention both sides share.
+    "q225_concurrency" ->
+      """WITH b AS (
+           SELECT event_id AS id, CAST(epoch_us(ts) AS BIGINT) AS t,
+             CAST(1 AS BIGINT) AS d
+           FROM events
+           UNION ALL
+           SELECT event_id,
+             CAST(epoch_us(ts) AS BIGINT)
+               + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT),
+             CAST(-1 AS BIGINT)
+           FROM events)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, d, id) AS BIGINT) AS seq,
+           t, d, id,
+           CAST(SUM(d) OVER (ORDER BY t, d, id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS active
+         FROM b ORDER BY seq""",
+
+    // The full FNV-1a fold per canonicalized row in HUGEINT, summed
+    // mod 2^64 and mapped to signed — both output rows replay from the
+    // same table, which is the point (layout cannot move the checksum).
+    "q224_table_fingerprint" ->
+      """WITH r AS (SELECT CAST(l_orderkey AS VARCHAR) || chr(1)
+               || CAST(l_linenumber AS VARCHAR) || chr(1)
+               || l_returnflag || chr(1) || l_linestatus AS s
+             FROM lineitem),
+         h AS (SELECT list_reduce(
+                 list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                   list_transform(string_split(s, ''),
+                     ch -> CAST(unicode(ch) AS HUGEINT))),
+                 (acc, c) -> (xor(acc, c) * 1099511628211)
+                   % CAST('18446744073709551616' AS HUGEINT)) AS u
+               FROM r),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 SUM(u) % CAST('18446744073709551616' AS HUGEINT) AS mm
+               FROM h),
+         one AS (SELECT n_rows,
+                 CAST(CASE WHEN mm >= CAST('9223372036854775808' AS HUGEINT)
+                      THEN mm - CAST('18446744073709551616' AS HUGEINT)
+                      ELSE mm END AS BIGINT) AS checksum
+               FROM m)
+         SELECT 'lineitem' AS tbl, n_rows, checksum FROM one
+         UNION ALL
+         SELECT 'lineitem_shuffled' AS tbl, n_rows, checksum FROM one
+         ORDER BY tbl""",
+
+    // Both layouts replayed with the q214 bin rule on their respective
+    // orders; per-file zones and the band test in plain aggregates.
+    "q223_zone_map_skip" ->
+      """WITH base AS (SELECT event_id AS id,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+             FROM events),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+         arr AS (SELECT v,
+                 ((CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) - 1) * 32)
+                   // n.nn AS f
+               FROM base, n),
+         srt AS (SELECT v,
+                 ((CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) - 1) * 32)
+                   // n.nn AS f
+               FROM base, n),
+         fa AS (SELECT f, MIN(v) AS mn, MAX(v) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(COUNT(*) FILTER (v BETWEEN 30000000 AND 40000000)
+                   AS BIGINT) AS nm
+               FROM arr GROUP BY f),
+         fs AS (SELECT f, MIN(v) AS mn, MAX(v) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(COUNT(*) FILTER (v BETWEEN 30000000 AND 40000000)
+                   AS BIGINT) AS nm
+               FROM srt GROUP BY f),
+         ra AS (SELECT 'arrival' AS layout,
+                 CAST(COUNT(*) AS BIGINT) AS n_files,
+                 CAST(COUNT(*) FILTER (mx >= 30000000 AND mn <= 40000000)
+                   AS BIGINT) AS files_hit,
+                 CAST(COALESCE(SUM(cnt) FILTER (mx >= 30000000
+                   AND mn <= 40000000), 0) AS BIGINT) AS rows_in_hit_files,
+                 CAST(SUM(nm) AS BIGINT) AS rows_matching,
+                 CAST(SUM(cnt) AS BIGINT) AS nr
+               FROM fa),
+         rs AS (SELECT 'value_sorted' AS layout,
+                 CAST(COUNT(*) AS BIGINT) AS n_files,
+                 CAST(COUNT(*) FILTER (mx >= 30000000 AND mn <= 40000000)
+                   AS BIGINT) AS files_hit,
+                 CAST(COALESCE(SUM(cnt) FILTER (mx >= 30000000
+                   AND mn <= 40000000), 0) AS BIGINT) AS rows_in_hit_files,
+                 CAST(SUM(nm) AS BIGINT) AS rows_matching,
+                 CAST(SUM(cnt) AS BIGINT) AS nr
+               FROM fs)
+         SELECT layout, n_files, files_hit, rows_in_hit_files, rows_matching,
+           ((n_files - files_hit) * 1000000) // n_files AS skip_ppm,
+           (rows_in_hit_files * 1000000) // nr AS scan_ppm
+         FROM (SELECT * FROM ra UNION ALL SELECT * FROM rs)
+         ORDER BY layout""",
+
+    // Brute-force quadratic ground truth (feasible at sf0.01) — the
+    // prefix-filtered join must reproduce it EXACTLY, boundary included.
+    "q222_ppjoin" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS tk
+           FROM documents),
+         s AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS sz
+               FROM t WHERE len(tk) > 0),
+         p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+                 x.sz AS sza, y.sz AS szb
+               FROM s x JOIN s y ON x.doc_id < y.doc_id)
+         SELECT id_a, id_b, inter,
+           (inter * 1000000) // (sza + szb - inter) AS jac_ppm
+         FROM p WHERE inter * 1000000 >= 900000 * (sza + szb - inter)
+         ORDER BY id_a, id_b""",
+
+    // Three unrolled min-relaxation rounds over the doubled edge list;
+    // seed set = graph nodes divisible by 7 at distance 0.
+    "q221_bfs_distance" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey),
+         nb AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         d0 AS (SELECT DISTINCT a AS id, CAST(0 AS BIGINT) AS dist
+                FROM nb WHERE a % 7 = 0),
+         d1 AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                  SELECT nb.b AS id, d.dist + 1 AS dist
+                  FROM nb JOIN d0 d ON nb.a = d.id
+                  UNION ALL SELECT id, dist FROM d0) GROUP BY id),
+         d2 AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                  SELECT nb.b AS id, d.dist + 1 AS dist
+                  FROM nb JOIN d1 d ON nb.a = d.id
+                  UNION ALL SELECT id, dist FROM d1) GROUP BY id),
+         d3 AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                  SELECT nb.b AS id, d.dist + 1 AS dist
+                  FROM nb JOIN d2 d ON nb.a = d.id
+                  UNION ALL SELECT id, dist FROM d2) GROUP BY id)
+         SELECT id, dist FROM d3 ORDER BY id""",
+
+    // Three unrolled synchronous rounds; per-node argmax replayed as
+    // ROW_NUMBER over (count DESC, label) — the same smallest-label tie.
+    "q220_label_propagation" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey),
+         nb AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         l0 AS (SELECT DISTINCT a AS id, a AS label FROM nb),
+         l1 AS (SELECT id, label FROM (
+                  SELECT nb.a AS id, l.label AS label,
+                    ROW_NUMBER() OVER (PARTITION BY nb.a
+                      ORDER BY COUNT(*) DESC, l.label) AS rn
+                  FROM nb JOIN l0 l ON nb.b = l.id
+                  GROUP BY nb.a, l.label) WHERE rn = 1),
+         l2 AS (SELECT id, label FROM (
+                  SELECT nb.a AS id, l.label AS label,
+                    ROW_NUMBER() OVER (PARTITION BY nb.a
+                      ORDER BY COUNT(*) DESC, l.label) AS rn
+                  FROM nb JOIN l1 l ON nb.b = l.id
+                  GROUP BY nb.a, l.label) WHERE rn = 1),
+         l3 AS (SELECT id, label FROM (
+                  SELECT nb.a AS id, l.label AS label,
+                    ROW_NUMBER() OVER (PARTITION BY nb.a
+                      ORDER BY COUNT(*) DESC, l.label) AS rn
+                  FROM nb JOIN l2 l ON nb.b = l.id
+                  GROUP BY nb.a, l.label) WHERE rn = 1)
+         SELECT id, label FROM l3 ORDER BY id""",
+
+    // The merged read's answer is the two batches re-unioned with NULL
+    // padding on the pre-evolution rows.
+    "q219_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS batch
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars, CAST(2 AS BIGINT) AS batch
+         FROM documents WHERE doc_id % 2 = 1
+         ORDER BY doc_id""",
+
+    // Histogram arithmetic only — the estimated joins never run here
+    // either; est = sum of per-key count products, argmax by
+    // (product DESC, key).
+    "q218_join_card_estimate" ->
+      """WITH lo AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         ll AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         j1 AS (SELECT lo.k, lo.c * ll.c AS nr FROM lo JOIN ll USING (k)),
+         s1 AS (SELECT CAST(SUM(nr) AS BIGINT) AS est_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_matched FROM j1),
+         m1 AS (SELECT k AS max_key, nr AS max_key_rows FROM j1
+                ORDER BY nr DESC, k LIMIT 1),
+         r1 AS (SELECT 'orders_lineitem' AS pair, est_rows,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lo) AS n_keys_left,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM ll) AS n_keys_right,
+                  n_matched AS n_matched_keys, max_key, max_key_rows,
+                  CAST(CASE WHEN est_rows = 0 THEN 0
+                    ELSE (max_key_rows * 1000000) // est_rows END AS BIGINT)
+                    AS max_share_ppm
+                FROM s1, m1),
+         lp AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         j2 AS (SELECT k, c * c AS nr FROM lp),
+         s2 AS (SELECT CAST(SUM(nr) AS BIGINT) AS est_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_matched FROM j2),
+         m2 AS (SELECT k AS max_key, nr AS max_key_rows FROM j2
+                ORDER BY nr DESC, k LIMIT 1),
+         r2 AS (SELECT 'lineitem_self_partkey' AS pair, est_rows,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lp) AS n_keys_left,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM lp) AS n_keys_right,
+                  n_matched AS n_matched_keys, max_key, max_key_rows,
+                  CAST(CASE WHEN est_rows = 0 THEN 0
+                    ELSE (max_key_rows * 1000000) // est_rows END AS BIGINT)
+                    AS max_share_ppm
+                FROM s2, m2)
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY pair""",
+
+    // Per-class TVD with absent values charged through the constant
+    // global ppm mass; every share a floor division.
+    "q217_t_closeness" ->
+      """WITH pair AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+         gl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS g
+                  FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(g) AS BIGINT) AS t FROM gl),
+         gs AS (SELECT lang, (g * 1000000) // t AS q FROM gl, tot),
+         gm AS (SELECT CAST(SUM(q) AS BIGINT) AS qtot FROM gs),
+         cls AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                 FROM pair GROUP BY 1),
+         pc AS (SELECT p.source, MAX(cls.n) AS n,
+                  (CAST(SUM(ABS((p.c * 1000000) // cls.n - gs.q) - gs.q)
+                     AS BIGINT) + MAX(gm.qtot)) // 2 AS tvd
+                FROM pair p JOIN cls USING (source)
+                  JOIN gs USING (lang), gm
+                GROUP BY p.source)
+         SELECT 'docs_lang_by_source_t10' AS rule,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(tvd) AS BIGINT) AS max_tvd_ppm,
+           CAST(SUM(CASE WHEN tvd > 100000 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_above_t,
+           (CAST(SUM(CASE WHEN tvd > 100000 THEN n ELSE 0 END) AS BIGINT)
+             * 1000000) // CAST(SUM(n) AS BIGINT) AS risk_ppm,
+           CAST(CASE WHEN MAX(tvd) <= 100000 THEN 1 ELSE 0 END AS BIGINT)
+             AS close
+         FROM pc""",
 
     // One CTE per bit level; pure integer recurrence.
     "q216_hilbert" -> hilbertOracle(8),

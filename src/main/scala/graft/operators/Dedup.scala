@@ -874,4 +874,67 @@ object Dedup {
         col("a.k").alias("key_a"), col("b.k").alias("key_b"),
         col("a.d").cast("long").alias("d"))
   }
+
+  /** EXACT set-similarity join above a Jaccard threshold via prefix
+    * filtering (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs — the
+    * PPJoin candidate rule): where MinHash+LSH ([[minhashLshPairs]]) trades
+    * recall for speed, this finds EVERY pair with token-set Jaccard >=
+    * tPpm/1e6 and nothing else — no false negatives to tune away.
+    *
+    * The filter: order every doc's tokens by a single global canonical
+    * rarity order (ascending corpus frequency, token string tie-break) and
+    * keep only each doc's first `|d| - ceil(t*|d|) + 1` tokens (the
+    * PREFIX). Two docs with Jaccard >= t MUST share a prefix token — if
+    * all shared tokens sat past both prefixes, the intersection would be
+    * too small by a counting argument — so the inverted-index equi-join on
+    * prefix tokens is a complete candidate generator. Rare-first ordering
+    * makes prefixes selective: the frequent tokens that would blow up the
+    * index land at the END of each doc and never enter it.
+    *
+    * Verification is the exact integer test
+    * `inter * 1e6 >= tPpm * union` on the candidate pairs only. Returns
+    * (id_a, id_b, inter, jac_ppm) with id_a < id_b, floor-division ppm.
+    *
+    * Scale shape: the vocabulary rank is one window over the VOCAB-sized
+    * frequency table (bounded state, the BPE-vocab argument — at true
+    * web scale swap in the two-level rank); per-doc prefix selection is a
+    * doc-partitioned window; candidates flow through one token-keyed
+    * equi-join carrying ids only; the token arrays move ONCE, in the
+    * verification join by id. Prefix length shrinks as t grows — at
+    * t=0.8 a 100-token doc indexes 21 tokens, not 100.
+    */
+  def ppJoinPairs(df: DataFrame, id: Column, tokens: Column,
+      tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm must be in (0, 1e6], got $tPpm")
+    val d = df.select(id.cast("long").alias("id"),
+        array_distinct(tokens).alias("tk"))
+      .withColumn("sz", size(col("tk")).cast("long"))
+      .filter(col("sz") > 0)
+    val freq = d.select(explode(col("tk")).alias("token"))
+      .groupBy("token").agg(count(lit(1)).alias("tf"))
+    val ranked = freq.withColumn("rk",
+      row_number().over(Window.orderBy(col("tf"), col("token"))).cast("long"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("rk"))
+    val pref = d.select(col("id"), col("sz"), explode(col("tk")).alias("token"))
+      .join(ranked.select(col("token"), col("rk")), Seq("token"))
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(${tPpm}L * sz + 999999L) DIV 1000000L") + 1L)
+      .select(col("id"), col("token"))
+    val cand = pref.alias("x").join(pref.alias("y"),
+        col("x.token") === col("y.token") && col("x.id") < col("y.id"))
+      .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+      .distinct()
+    val sets = d.select(col("id"), col("tk"), col("sz"))
+    cand
+      .join(sets.select(col("id").alias("id_a"), col("tk").alias("tka"),
+        col("sz").alias("sza")), Seq("id_a"))
+      .join(sets.select(col("id").alias("id_b"), col("tk").alias("tkb"),
+        col("sz").alias("szb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .filter(col("inter") * 1000000L >=
+        lit(tPpm) * (col("sza") + col("szb") - col("inter")))
+      .withColumn("jac_ppm", expr("(inter * 1000000L) DIV (sza + szb - inter)"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jac_ppm"))
+  }
 }

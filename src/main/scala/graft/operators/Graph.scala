@@ -137,6 +137,86 @@ object Graph {
     degrees(e)
   }
 
+  /** Fixed-round synchronous label propagation over an undirected edge
+    * list (id_a, id_b) — Raghavan et al.'s community detection, the
+    * standard first-pass clustering of a similarity/co-occurrence graph
+    * (communities in a near-dup pair graph are topical clusters; in a
+    * co-purchase graph, product families). Each node starts labeled with
+    * its own id; every round ALL nodes simultaneously adopt the most
+    * frequent label among their neighbors, ties broken toward the
+    * SMALLEST label — fully deterministic, unlike the classic randomized
+    * sweep, so an oracle can replay R rounds as mechanically unrolled SQL
+    * (the [[pagerank]]/[[kCorePeel]] contract). Differs from
+    * [[Dedup.nearDupComponents]]: components connect everything reachable;
+    * propagation splits a connected graph into locally-dense regions.
+    *
+    * Scale shape per round: one edge-keyed equi-join (neighbor label
+    * lookup), one (node, label) partial-agg count, one per-node argmax via
+    * `min(struct(-count, label))` — no windows, no driver-side state;
+    * lineage truncated per round ([[Iterative.truncate]], reliable
+    * `checkpointDir` opt-in). Isolated nodes never appear in the edge
+    * list and keep their own label by construction of the node set.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
+    val e0 = edges.toDF("a", "b")
+    // both directions once, checkpointed: every round re-reads this frame
+    val nbrs = Iterative.truncate(
+      e0.union(e0.select(col("b").alias("a"), col("a").alias("b"))), checkpointDir)
+    var labels = Iterative.truncate(
+      nbrs.select(col("a").alias("id")).distinct()
+        .withColumn("label", col("id")), checkpointDir)
+    (1 to rounds).foreach { _ =>
+      val counted = nbrs
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").alias("id"), col("label"))
+        .agg(count(lit(1)).alias("c"))
+      labels = Iterative.truncate(
+        counted.groupBy("id")
+          .agg(min(struct((-col("c")).alias("nc"), col("label"))).alias("m"))
+          .select(col("id"), col("m.label").alias("label")), checkpointDir)
+    }
+    labels
+  }
+
+  /** Fixed-round multi-source BFS distances over an undirected edge list
+    * (id_a, id_b): hop distance from the NEAREST source, computed as R
+    * rounds of frontier relaxation — dist'(v) = min(dist(v),
+    * min over neighbors u of dist(u)+1). Returns (id, dist) for nodes
+    * REACHED within R hops only (unreached nodes are absent, not
+    * sentinel-valued — at 100 TB the reached set is the small output, the
+    * complement is not). The graph-proximity feature a curation pipeline
+    * derives from seed sets (distance-to-trusted-domain, hops-from-spam) —
+    * and FIXED rounds, so the oracle replays R relaxations as unrolled SQL
+    * ([[pagerank]]'s contract; BFS needs at most diameter rounds).
+    *
+    * Scale shape per round: one edge equi-join keyed on the node id + one
+    * per-node partial-agg min — the frontier never exists as driver state;
+    * lineage truncated per round ([[Iterative.truncate]]).
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
+    require(sources.columns.length == 1, "sources must be a single id column")
+    val e0 = edges.toDF("a", "b")
+    val nbrs = Iterative.truncate(
+      e0.union(e0.select(col("b").alias("a"), col("a").alias("b"))), checkpointDir)
+    var dist = Iterative.truncate(
+      sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
+    (1 to rounds).foreach { _ =>
+      val relaxed = nbrs
+        .join(dist.withColumnRenamed("id", "a"), Seq("a"))
+        .select(col("b").alias("id"), (col("dist") + 1L).alias("dist"))
+        .union(dist)
+      dist = Iterative.truncate(
+        relaxed.groupBy("id").agg(min(col("dist")).alias("dist")), checkpointDir)
+    }
+    dist
+  }
+
   /** Per-node triangle counts over an undirected edge list given as
     * ordered pairs (id_a < id_b). With every edge stored once in
     * ascending order, a triangle {a < b < c} is found exactly once by

@@ -1024,4 +1024,174 @@ object Relational {
       .select(col("id"), col("v"), col("rank"),
         expr(s"((rank - 1) * ${nBins}L) DIV n").alias("bin"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: key -> the shard
+    * s in [0, nShards) maximizing `fnv64(key || ':' || s)` — Thaler &
+    * Ravishankar's HRW rule, the layout that makes cluster RESIZING cheap:
+    * growing n -> n+1 moves ONLY the keys whose new shard's hash wins
+    * (~1/(n+1) of them), where mod-n hashing reshuffles nearly everything.
+    * Ties (equal hashes) break toward the smaller shard id via the
+    * negated-id struct-max; portable FNV makes every assignment
+    * engine-replayable. Returns (id, shard).
+    *
+    * Scale shape: one narrow projection — nShards hash evaluations per
+    * row, an `array_max` over an nShards-length struct array, no shuffle,
+    * no state. The assignment IS the partitioner; `repartition(col)` on
+    * the result routes rows.
+    */
+  def rendezvousAssign(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = id.cast("long")
+    val cands = (0 until nShards).map { s =>
+      struct(
+        graft.plans.TextExprs.fnv64(
+          concat(key.cast("string"), lit(":" + s))).alias("h"),
+        lit(-s.toLong).alias("ns"))
+    }
+    df.select(key.alias("id"),
+      (-array_max(array(cands: _*)).getField("ns")).alias("shard"))
+  }
+
+  /** Interval sweep-line concurrency profile: given per-row [start, end)
+    * intervals (sessions, jobs, connections), emit every boundary event
+    * with the EXACT number of concurrently-open intervals after it — the
+    * capacity-planning curve (peak concurrency, overlap distribution)
+    * computed without materializing any interval pair. Classic sweep:
+    * each interval contributes (+1 at start, -1 at end); the running sum
+    * over the boundary order is the concurrency. Ties order (t, d, id)
+    * with d = -1 first, so an interval ending exactly where another
+    * starts never overlaps it — the half-open convention.
+    *
+    * Returns (seq, t, d, id, active): seq is the 1-based boundary rank,
+    * active the open count AFTER applying this boundary. max(active) is
+    * peak concurrency; the d = +1 rows alone give each interval's
+    * concurrency-at-admission.
+    *
+    * Scale shape: the global running sum uses the two-level pattern
+    * ([[quantileBins]]): boundaries bucket by approxQuantile probes on t,
+    * per-bucket partial sums broadcast as offsets, the window runs per
+    * bucket — no global single-partition window; probe epsilon balances
+    * buckets but never reaches any output value.
+    */
+  def concurrencyProfile(df: DataFrame, id: Column, start: Column,
+      end: Column, buckets: Int = 64, probeEps: Double = 0.02): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(probeEps > 0 && probeEps <= 0.5, s"probeEps must be in (0, 0.5], got $probeEps")
+    val b = df.select(id.cast("long").alias("id"),
+        start.cast("long").alias("t"), lit(1L).alias("d"))
+      .union(df.select(id.cast("long").alias("id"),
+        end.cast("long").alias("t"), lit(-1L).alias("d")))
+    val bounds = b.stat.approxQuantile("t",
+      (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
+      .map(_.toLong).distinct.sorted
+    val bcol = typedLit(bounds)
+    val bucketed = b.withColumn("bkt",
+      size(filter(bcol, x => col("t") >= x)))
+    val partials = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("d")).alias("bs"), count(lit(1)).alias("bn"))
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
+      .withColumn("roff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"), col("roff"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("t"), col("d"), col("id"))
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("active", col("off") +
+        sum(col("d")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("seq", col("roff") + row_number().over(wIn).cast("long"))
+      .select(col("seq"), col("t"), col("d"), col("id"), col("active"))
+  }
+
+  /** Join-cardinality and skew estimate WITHOUT executing the join — the
+    * planner-style diagnostic that decides, before a 100 TB join runs,
+    * whether its output explodes (many-to-many key blowup) and whether one
+    * key dominates (the salting trigger for [[GraftOps.saltedJoin]]).
+    * Exact, not a sketch: |A ⋈ B| = Σ_k cA(k)·cB(k) over the per-key
+    * histograms, which cost two partial-agg groupBys (key-cardinality
+    * sized — tiny next to the join itself) plus a histogram-sized
+    * equi-join; the candidate output NEVER materializes.
+    *
+    * Returns one row: (est_rows, n_keys_left, n_keys_right,
+    * n_matched_keys, max_key, max_key_rows, max_share_ppm) — max_key is
+    * the heaviest-output key (smallest key wins ties, via the
+    * `min(struct(-rows, key))` argmax), max_share_ppm its floor-division
+    * share of the estimated output (the skew threshold a pipeline
+    * compares against 1e6/shuffle-partitions before choosing a salted
+    * plan). Keys are compared as longs; NULL keys never match in an
+    * equi-join and are excluded from both histograms, matching the join
+    * they predict.
+    */
+  /** Zone-map (per-file min/max statistics) skip report: QUANTIFIES what a
+    * sort-by-value layout buys a range predicate BEFORE anyone rewrites
+    * 100 TB. Rows are assigned to `nFiles` equal files two ways — arrival
+    * order (the id sequence, what an unsorted ingest produces) and value
+    * order (what [[quantileBins]]-style sorted rewrite produces) — and for
+    * each layout the report counts the files whose [min, max] zone
+    * intersects [lo, hi], i.e. the files a stats-pruning scan must read.
+    * One row per layout: (layout, n_files, files_hit, rows_in_hit_files,
+    * rows_matching, skip_ppm, scan_ppm) — rows_matching is
+    * layout-invariant (the true selectivity); the scan_ppm gap between
+    * layouts is the read amplification the rewrite removes.
+    *
+    * File assignment is [[quantileBins]]'s exact rank-proportional rule on
+    * each ordering, so the whole report replays as integer SQL. Scale
+    * shape: two quantileBins passes (each: probe scan + bucketed window),
+    * two file-sized groupBys, two 1-row reductions — the report costs two
+    * scans, the rewrite it evaluates costs the full shuffle.
+    */
+  def zoneMapSkipReport(df: DataFrame, id: Column, value: Column,
+      nFiles: Int, lo: Long, hi: Long): DataFrame = {
+    require(nFiles >= 2, s"nFiles must be >= 2, got $nFiles")
+    require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
+    val base = df.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
+    def report(layout: String, order: Column): DataFrame = {
+      val bins = quantileBins(base, col("id"), order, nFiles)
+        .select(col("id"), col("bin"))
+      val files = base.join(bins, Seq("id"))
+        .groupBy(col("bin"))
+        .agg(min(col("v")).alias("mn"), max(col("v")).alias("mx"),
+          count(lit(1)).alias("n"),
+          sum(when(col("v") >= lo && col("v") <= hi, 1L).otherwise(0L))
+            .alias("nm"))
+      files.agg(
+          count(lit(1)).alias("n_files"),
+          coalesce(sum(when(col("mx") >= lo && col("mn") <= hi, 1L)
+            .otherwise(0L)), lit(0L)).alias("files_hit"),
+          coalesce(sum(when(col("mx") >= lo && col("mn") <= hi, col("n"))
+            .otherwise(0L)), lit(0L)).alias("rows_in_hit_files"),
+          coalesce(sum(col("nm")), lit(0L)).alias("rows_matching"),
+          coalesce(sum(col("n")), lit(0L)).alias("__nr"))
+        .withColumn("skip_ppm", expr(
+          "CASE WHEN n_files = 0 THEN 0L ELSE ((n_files - files_hit) * 1000000L) DIV n_files END"))
+        .withColumn("scan_ppm", expr(
+          "CASE WHEN __nr = 0 THEN 0L ELSE (rows_in_hit_files * 1000000L) DIV __nr END"))
+        .withColumn("layout", lit(layout))
+        .select(col("layout"), col("n_files"), col("files_hit"),
+          col("rows_in_hit_files"), col("rows_matching"), col("skip_ppm"),
+          col("scan_ppm"))
+    }
+    report("arrival", col("id")).union(report("value_sorted", col("v")))
+  }
+
+  def joinCardinalityEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val lh = left.filter(leftKey.isNotNull)
+      .groupBy(leftKey.cast("long").alias("k")).agg(count(lit(1)).alias("cl"))
+    val rh = right.filter(rightKey.isNotNull)
+      .groupBy(rightKey.cast("long").alias("k")).agg(count(lit(1)).alias("cr"))
+    val sides = lh.agg(count(lit(1)).alias("n_keys_left"))
+      .crossJoin(rh.agg(count(lit(1)).alias("n_keys_right")))
+    val matched = lh.join(rh, Seq("k"))
+      .select(col("k"), (col("cl") * col("cr")).alias("rows"))
+    matched.agg(
+        coalesce(sum(col("rows")), lit(0L)).alias("est_rows"),
+        count(lit(1)).alias("n_matched_keys"),
+        min(struct((-col("rows")).alias("nr"), col("k"))).alias("m"))
+      .crossJoin(broadcast(sides))
+      .select(col("est_rows"), col("n_keys_left"), col("n_keys_right"),
+        col("n_matched_keys"),
+        col("m.k").alias("max_key"), (-col("m.nr")).alias("max_key_rows"))
+      .withColumn("max_share_ppm", expr(
+        "CASE WHEN est_rows = 0 THEN 0L ELSE (max_key_rows * 1000000L) DIV est_rows END"))
+  }
 }

@@ -206,6 +206,111 @@ object Validation {
         col("tvd_ppm"))
   }
 
+  /** Order-independent table fingerprint — the replication/migration audit
+    * that answers "are these two copies of a 100 TB table IDENTICAL"
+    * without moving either: every row is canonicalized to a string
+    * (columns cast to string, NULL as a reserved sentinel, 
+    * separators), hashed with portable FNV-1a 64
+    * ([[graft.plans.TextExprs.fnv64]] — the engine-replayable hash the
+    * sketch family already uses), and the hashes are SUMMED mod 2^64.
+    * Addition commutes, so the checksum is independent of row order, file
+    * order, and partitioning — two copies compare by exchanging ONE row
+    * (table, n_rows, checksum) each. Unlike an XOR fold, the sum keeps
+    * duplicate-row multiplicity visible (XOR cancels pairs).
+    *
+    * The mod-2^64 sum runs in DECIMAL(38,0) (exact to ~1e19 rows) and maps
+    * back to the signed long the oracle's HUGEINT arithmetic reproduces.
+    * Restrict `cols` to integral/string columns — float/decimal STRING
+    * RENDERING is engine-specific, the [[profileColumns]] caveat.
+    *
+    * Scale shape: one narrow projection + one 1-row global aggregate with
+    * map-side partial sums; nothing shuffles but 16-byte partials.
+    */
+  def tableFingerprint(df: DataFrame, name: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint needs at least one column")
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("")))
+    val rowStr = rendered.tail.foldLeft(rendered.head)(
+      (acc, c) => concat(acc, lit(""), c))
+    df.select(graft.plans.TextExprs.fnv64(rowStr).alias("h"))
+      .agg(count(lit(1)).alias("n_rows"),
+        coalesce(sum(expr(
+          """CASE WHEN h < 0 THEN CAST(h AS DECIMAL(38,0)) + 18446744073709551616
+             ELSE CAST(h AS DECIMAL(38,0)) END""")), lit(0L).cast("decimal(38,0)"))
+          .alias("__su"))
+      .select(lit(name).alias("tbl"), col("n_rows"),
+        expr("""CAST(CASE
+            WHEN (__su % 18446744073709551616) >= 9223372036854775808
+            THEN (__su % 18446744073709551616) - 18446744073709551616
+            ELSE (__su % 18446744073709551616) END AS BIGINT)""").alias("checksum"))
+  }
+
+  /** t-closeness audit — the third leg of the release-gate trio with
+    * [[kAnonymity]] (class SIZE) and [[lDiversity]] (class VARIETY): a
+    * class can be large and l-diverse yet still leak when its sensitive
+    * DISTRIBUTION diverges from the global one (the skewness attack — a
+    * class that is 90% one diagnosis reveals plenty even with l=3
+    * distinct values present). Li et al.'s t-closeness bounds the distance
+    * between every class's sensitive distribution and the table-wide one.
+    *
+    * Distance here is total-variation in integer ppm (Li et al. use EMD;
+    * for a CATEGORICAL sensitive attribute with uniform ground distance
+    * the two coincide — [[categoricalDrift]]'s metric applied per class).
+    * Computed without expanding absent values: with p = class share and
+    * q = global share, Σ_all |p−q| = Σ_{v∈class} (|p_v−q_v| − q_v) + Σ_all q_v
+    * — the second term is the same 1-row constant for every class, so a
+    * class touches only its own (class, value) rows. tvd_ppm = that sum
+    * DIV 2, every share a ppm floor division — engine-replayable.
+    *
+    * Returns one row: (rule, n_rows, n_groups, max_tvd_ppm,
+    * n_rows_above_t, risk_ppm, close) with close = 1 iff every class's
+    * TVD <= tPpm. NULL sensitive values are their own value, NULL qids
+    * their own class — [[lDiversity]]'s conservative choices.
+    *
+    * Scale shape: one (qids, sensitive) partial-agg groupBy, a
+    * vocab-sized broadcast join on the sensitive value, a class-sized
+    * groupBy, a 1-row reduction. Nothing scales with row count but the
+    * scan.
+    */
+  def tCloseness(df: DataFrame, name: String, qids: Seq[Column],
+      sensitive: Column, tPpm: Long): DataFrame = {
+    require(qids.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(tPpm >= 0, s"tPpm must be >= 0, got $tPpm")
+    val pair = df.groupBy((qids :+ sensitive.alias("__s")): _*)
+      .agg(count(lit(1)).alias("__c"))
+    val qidCols = qids.indices.map(i => col(pair.columns(i)))
+    // global sensitive distribution + its ppm mass total (<= 1e6 under
+    // floor division) — both tiny, broadcast onto every (class, value) row
+    val glob = df.groupBy(sensitive.alias("__s")).agg(count(lit(1)).alias("__g"))
+    val tot = glob.agg(sum(col("__g")).alias("__t"))
+    val globShare = glob.crossJoin(broadcast(tot))
+      .select(col("__s"), expr("(__g * 1000000L) DIV __t").alias("__q"))
+    val globMass = globShare.agg(sum(col("__q")).alias("__qtot"))
+    val cls = pair.groupBy(qidCols: _*).agg(sum(col("__c")).alias("__n"))
+    val terms = pair
+      .join(cls, pair.columns.dropRight(2).toSeq)
+      .join(broadcast(globShare), Seq("__s"))
+      .withColumn("__p", expr("(__c * 1000000L) DIV __n"))
+      .withColumn("__term", abs(col("__p") - col("__q")) - col("__q"))
+    val perClass = terms.groupBy(qidCols: _*)
+      .agg(max(col("__n")).alias("__n"), sum(col("__term")).alias("__tsum"))
+      .crossJoin(broadcast(globMass))
+      .withColumn("__tvd", expr("(__tsum + __qtot) DIV 2"))
+    perClass.agg(
+        coalesce(sum(col("__n")), lit(0L)).alias("n_rows"),
+        count(lit(1)).alias("n_groups"),
+        coalesce(max(col("__tvd")), lit(0L)).alias("max_tvd_ppm"),
+        coalesce(sum(when(col("__tvd") > tPpm, col("__n")).otherwise(0L)), lit(0L))
+          .alias("n_rows_above_t"))
+      .withColumn("risk_ppm", expr(
+        "CASE WHEN n_rows = 0 THEN 0L ELSE (n_rows_above_t * 1000000L) DIV n_rows END"))
+      .withColumn("close",
+        when(col("n_rows") === 0, 1L).otherwise(
+          when(col("max_tvd_ppm") <= tPpm, 1L).otherwise(0L)))
+      .withColumn("rule", lit(name))
+      .select("rule", "n_rows", "n_groups", "max_tvd_ppm",
+        "n_rows_above_t", "risk_ppm", "close")
+  }
+
   /** Per-column dataset profile — the "dataset card" summary every corpus
     * release ships with: one row per profiled column carrying row count,
     * null count, distinct count, and min/max rendered as strings (the one

@@ -173,6 +173,37 @@ class CorpusSpec extends SparkSpec {
     assert(Graph.kCorePeel(path, k = 2, rounds = 3).count() == 0)
   }
 
+  test("labelPropagation: barbell graph splits into its two triangles; ties go to the smallest label") {
+    import graft.operators.Graph
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 from self-labels: every vote count is 1, so the argmax IS
+    // the tie-break — node 1 sees {2,3} and must pick 2
+    assert(m(Graph.labelPropagation(edges, rounds = 1)) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // round 3: converged to one label per triangle, bridge notwithstanding
+    assert(m(Graph.labelPropagation(edges, rounds = 3)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("bfsDistances: multi-source hop distances, unreached nodes absent") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5 and separate edge 6-7; sources {1, 6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val src = Seq(1L, 6L).toDF("id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.bfsDistances(edges, src, rounds = 2)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 0L, 7L -> 1L))
+    // more rounds reach the tail; distances already found never grow
+    assert(m(Graph.bfsDistances(edges, src, rounds = 4)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 0L, 7L -> 1L))
+  }
+
   test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
     // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
     // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;

@@ -373,4 +373,31 @@ class DedupSpec extends SparkSpec {
     // pair set must not depend on the physical layout
     assert(run(df.repartition(5)) == expect)
   }
+
+  test("ppJoinPairs: exact threshold join — complete vs brute force, boundary inclusive") {
+    val sets = Map(
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "b", "c", "e"),
+      3L -> Seq("x", "y"),
+      4L -> Seq("a", "b"),
+      5L -> Seq("a", "b"),
+      6L -> Seq("b", "c", "d", "e", "f", "g"))
+    val docs = sets.toSeq.toDF("id", "tk")
+    def brute(tPpm: Long) = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a).toSet & sets(b).toSet).size.toLong
+      uni = (sets(a).toSet | sets(b).toSet).size.toLong
+      if inter * 1000000L >= tPpm * uni
+    } yield (a, b, inter, inter * 1000000L / uni)).toSet
+    def run(tPpm: Long) =
+      Dedup.ppJoinPairs(docs, $"id", $"tk", tPpm).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // t=0.5 includes the exactly-at-threshold pairs (1,4) (1,5) (2,4) (2,5)
+    assert(run(500000L) == brute(500000L))
+    assert(brute(500000L).contains((1L, 4L, 2L, 500000L)))
+    // t=1.0: only the identical pair survives
+    assert(run(1000000L) == Set((4L, 5L, 2L, 1000000L)))
+    // a tighter threshold between: 0.6 keeps (1,2) and (4,5) only
+    assert(run(600000L) == brute(600000L))
+  }
 }

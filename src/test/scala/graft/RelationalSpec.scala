@@ -582,4 +582,61 @@ class RelationalSpec extends SparkSpec {
     assert(run(df) == expect)
     assert(run(df.repartition(4)) == expect)
   }
+
+  test("concurrencyProfile: sweep-line running count, half-open boundary, layout-independent") {
+    import graft.operators.Relational
+    // intervals: 1:[0,10) 2:[5,15) 3:[10,20) 4:[12,14)
+    // boundary order (t, d, id): (0,+1,1) (5,+1,2) (10,-1,1) (10,+1,3)
+    // (12,+1,4) (14,-1,4) (15,-1,2) (20,-1,3)
+    // active:    1 2 1 2 3 2 1 0  — interval 3 starting AT 1's end never
+    // overlaps it (the -1 sorts first)
+    val df = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 10L, 20L), (4L, 12L, 14L))
+      .toDF("id", "s", "e")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.concurrencyProfile(d, $"id", $"s", $"e", buckets = 4)
+        .orderBy("seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val expect = Seq(
+      (1L, 0L, 1L, 1L, 1L), (2L, 5L, 1L, 2L, 2L), (3L, 10L, -1L, 1L, 1L),
+      (4L, 10L, 1L, 3L, 2L), (5L, 12L, 1L, 4L, 3L), (6L, 14L, -1L, 4L, 2L),
+      (7L, 15L, -1L, 2L, 1L), (8L, 20L, -1L, 3L, 0L))
+    assert(run(df) == expect)
+    assert(run(df.repartition(3)) == expect)
+    // peak concurrency falls out as max(active)
+    assert(expect.map(_._5).max == 3L)
+  }
+
+  test("zoneMapSkipReport: sorted layout prunes files the arrival layout must read") {
+    import graft.operators.Relational
+    // ids 1..8 with values deliberately scattered vs arrival order
+    val df = Seq((1L, 80L), (2L, 10L), (3L, 70L), (4L, 20L),
+      (5L, 60L), (6L, 30L), (7L, 50L), (8L, 40L)).toDF("id", "v")
+    val out = Relational.zoneMapSkipReport(df, $"id", $"v",
+        nFiles = 4, lo = 15L, hi = 35L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // arrival files {80,10} {70,20} {60,30} {50,40}: three zones straddle
+    // [15,35]; value-sorted files {10,20} {30,40} {50,60} {70,80}: two
+    assert(out("arrival") == (4L, 3L, 6L, 2L, 250000L, 750000L))
+    assert(out("value_sorted") == (4L, 2L, 4L, 2L, 500000L, 500000L))
+  }
+
+  test("joinCardinalityEstimate: exact output size + skew key without executing the join") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.Row
+    val left = Seq[java.lang.Long](1L, 1L, 1L, 2L, 3L, null).toDF("k")
+    val right = Seq[java.lang.Long](1L, 1L, 2L, 2L, 2L, 4L, null).toDF("k")
+    val out = Relational.joinCardinalityEstimate(left, $"k", right, $"k")
+      .collect().head
+    // matched histograms: key 1 -> 3*2=6, key 2 -> 1*3=3; est 9;
+    // NULLs excluded from both sides (they never equi-match)
+    assert(out == Row(9L, 3L, 3L, 2L, 1L, 6L, 666666L))
+    // the estimate IS the real inner-join cardinality
+    assert(left.join(right, Seq("k")).count() == 9L)
+    // disjoint keys: zero estimate, null argmax, zero share
+    val none = Relational.joinCardinalityEstimate(
+      Seq(1L).toDF("k"), $"k", Seq(2L).toDF("k"), $"k").collect().head
+    assert(none == Row(0L, 1L, 1L, 0L, null, null, 0L))
+  }
 }

@@ -122,4 +122,24 @@ class SourcesSpec extends SparkSpec {
     Engine.writeJson(df, s"$dir/jw")
     assert(Engine.readJson(spark, s"$dir/jw").orderBy("id").collect().length == 3)
   }
+
+  test("readParquetMerged: additive schema evolution unions footers, old files pad NULL") {
+    val dir = tmpDir("graft-evo")
+    import spark.implicits._
+    // batch 1 written before the column existed; batch 2 after
+    Engine.writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      s"$dir/t/batch=1")
+    Engine.writeParquet(Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "extra"),
+      s"$dir/t/batch=2")
+    val merged = Engine.readParquetMerged(spark, s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "s", "extra", "batch"))
+    val rows = merged.orderBy("id")
+      .select($"id", $"extra", $"batch".cast("long")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, -1L, 1L), (2L, -1L, 1L), (3L, 30L, 2L), (4L, 40L, 2L)))
+    // the default (non-merged) read would plan only the first footer's
+    // schema; the merged read is the schema-evolution contract
+    assert(Engine.readParquet(spark, s"$dir/t").columns.toSet.subsetOf(
+      Set("id", "s", "extra", "batch")))
+  }
 }

@@ -116,6 +116,51 @@ class ValidationSpec extends SparkSpec {
     assert(ok == Row("t2", 3L, 1L, 3L, 0L, 0L, 1L))
   }
 
+  test("tableFingerprint: order/partition-independent checksum, dup-sensitive, NULL distinct from empty") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Validation.tableFingerprint(d, "t", Seq("id", "s")).collect().head
+    val a = fp(df)
+    assert(a.getString(0) == "t" && a.getLong(1) == 3L)
+    // expected: wrap-adding signed longs IS the mod-2^64 sum
+    val expect = Seq("1x", "2y", "3z")
+      .map(graft.plans.TextExprs.fnv1a64).sum
+    assert(a.getLong(2) == expect)
+    // row order and physical layout cannot move the checksum
+    assert(fp(df.orderBy($"id".desc)).getLong(2) == expect)
+    assert(fp(df.repartition(5)).getLong(2) == expect)
+    // a duplicated row changes it (XOR would cancel the pair)
+    assert(fp(df.union(Seq((1L, "x")).toDF("id", "s"))).getLong(2) != expect)
+    // NULL and empty string render differently
+    val withNull = Seq((1L, null: String)).toDF("id", "s")
+    val withEmpty = Seq((1L, "")).toDF("id", "s")
+    assert(fp(withNull).getLong(2) != fp(withEmpty).getLong(2))
+  }
+
+  test("tCloseness: hand-computed per-class TVD vs the global distribution, absent values charged") {
+    // classes A(x,x,x,y), B(x,y,y,y), C(x,x) -> global x=6 y=4 over 10:
+    // q_x=600000 q_y=400000, qtot=1e6
+    // A: p=(750000,250000) -> tvd (|750-600|+|250-400|)/2 = 150000
+    // B: p=(250000,750000) -> tvd 350000
+    // C: p_x=1e6, y ABSENT -> tvd (400000+400000)/2 = 400000  (the absent
+    //    value's full global mass is charged via the qtot constant)
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "x")).toDF("g", "s")
+    val out = Validation.tCloseness(df, "t35", Seq($"g"), $"s", tPpm = 350000L)
+      .collect().head
+    assert(out == Row("t35", 10L, 3L, 400000L, 2L, 200000L, 0L))
+    // loose threshold passes everything
+    val ok = Validation.tCloseness(df, "t40", Seq($"g"), $"s", tPpm = 400000L)
+      .collect().head
+    assert(ok == Row("t40", 10L, 3L, 400000L, 0L, 0L, 1L))
+    // one class == global distribution -> tvd 0, trivially close
+    val same = Seq(("A", "x"), ("A", "y")).toDF("g", "s")
+    assert(Validation.tCloseness(same, "t0", Seq($"g"), $"s", tPpm = 0L)
+      .collect().head == Row("t0", 2L, 1L, 0L, 0L, 0L, 1L))
+  }
+
   test("profileColumns: per-column rows from one pass — counts, nulls, distincts, string bounds") {
     val df = Seq[(java.lang.Long, String)](
       (3L, "b"), (1L, null), (2L, "a"), (3L, "c"), (null, "a"))
