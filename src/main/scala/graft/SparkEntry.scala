@@ -82,6 +82,42 @@ object SparkEntry {
        FROM it$bits ORDER BY h, l_orderkey, l_linenumber"""
   }
 
+  /** Mechanically-unrolled greedy k-center oracle (q230): seed = min id,
+    * then per round the (min-dist DESC, id ASC) argmax over the running
+    * least() of squared L2 distances — the identical left-assoc IEEE sums
+    * as q79's list_sum, so every pick replays exactly.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def dist(vl: String, vr: String) =
+      s"list_sum(list_transform(range(1, len($vl) + 1), i -> ($vl[i] - $vr[i]) * ($vl[i] - $vr[i])))"
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "m1" else s"m${r - 1}"
+      val pick = s"""p$r AS MATERIALIZED (SELECT id AS cid, md FROM $prev
+           ORDER BY md DESC, id LIMIT 1)"""
+      val next =
+        if (r == k) pick
+        else pick + s""",
+         m$r AS MATERIALIZED (SELECT m.id, m.v,
+             least(m.md, ${dist("m.v", "c.v")}) AS md
+           FROM $prev m JOIN e c ON c.id = (SELECT cid FROM p$r))"""
+      next
+    }.mkString(",\n         ")
+    val picks = (2 to k).map(r =>
+      s"SELECT $r AS rank, cid AS id, round(md, 6) AS dist_sq FROM p$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       s1 AS MATERIALIZED (SELECT min(id) AS cid FROM e),
+       m1 AS MATERIALIZED (SELECT e.id, e.v, ${dist("e.v", "c.v")} AS md
+         FROM e JOIN e c ON c.id = (SELECT cid FROM s1)),
+       $rounds
+       SELECT CAST(rank AS BIGINT) AS rank, id, dist_sq FROM (
+         SELECT 1 AS rank, cid AS id, 0.0 AS dist_sq FROM s1
+         UNION ALL $picks)
+       ORDER BY rank"""
+  }
+
   /** Mechanically-unrolled MMR oracle (q212): candidate pool + pairwise
     * token-set similarities, then `k` greedy selection rounds — each round
     * drops the selected set, computes every remaining candidate's
@@ -2285,6 +2321,94 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q232_numeric_drift" -> ((s, dir) => {
+      // numeric-column drift between two event cohorts: the even-user
+      // split's exact deciles (rank rule, never approxQuantile) bin both
+      // splits; TVD in ppm is the drift number. Edges are value-determined
+      // (ties shift ids between bins, never the bin's max value), so the
+      // report replays as integer SQL.
+      val ev = t(s, dir, "events").selectCols(Seq(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmicros")))
+      Validation.numericDrift(
+          ev.filterCol(col("user_id") % 2 === 0),
+          ev.filterCol(col("user_id") % 2 === 1),
+          col("vmicros"), nBins = 10)
+        .sortBy(Seq(col("bin")))
+    }),
+
+    "q231_link_prediction" -> ((s, dir) => {
+      // "edges that should exist" over the q220 co-purchase graph:
+      // common-neighbor count + neighborhood Jaccard for every non-edge
+      // pair sharing a neighbor — the wedge join bounds candidates to
+      // Σ deg², the anti join removes known edges, zero-overlap pairs
+      // never materialize
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      graft.operators.Graph.linkPrediction(e)
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
+    "q230_kcenter" -> ((s, dir) =>
+      // diversity selection: greedy farthest-first over the embedding
+      // corpus — 8 exemplars maximally spread in L2, the coverage-radius
+      // sequence attached. One new-center broadcast + one narrow min-dist
+      // update + one argmax per round; the k×n score table never exists.
+      // Distances are q79's IEEE-sequence doubles, so the oracle unrolls
+      // every round exactly.
+      Similarity.kCenterSelect(
+          t(s, dir, "embeddings").selectCols(Seq(
+            col("vec_id").as("id"), col("embedding").as("v"))), k = 8)
+        .selectCols(Seq(col("rank"), col("id"),
+          round(col("dist_sq"), 6).as("dist_sq")))
+        .sortBy(Seq(col("rank")))),
+
+    "q229_chi2_independence" -> ((s, dir) =>
+      // is language independent of source? per-cell chi-square
+      // contributions in exact integer ppm — margins from the cell table,
+      // DECIMAL(38,0) clears overflow at any corpus size; the statistic is
+      // the contrib_ppm sum at (R-1)(C-1) dof
+      Validation.chiSquareIndependence(
+          t(s, dir, "documents"), col("lang"), col("source"))
+        .sortBy(Seq(col("a"), col("b")))),
+
+    "q228_roc_auc" -> ((s, dir) =>
+      // does document length separate English from the rest? Exact
+      // Mann-Whitney AUC with half-credit ties, integer end to end — the
+      // quality-signal evaluation a threshold sweep starts from. The
+      // corpus collapses to the score histogram before any ranking work.
+      Validation.rocAuc(t(s, dir, "documents"),
+          col("n_chars"), col("lang") === "en")),
+
+    "q227_markov_transitions" -> ((s, dir) =>
+      // behavioral model over user event sequences: every adjacent
+      // event_type pair per user under the (ts, event_id) total order,
+      // row-normalized to floor-ppm probabilities — the lead() window is
+      // per-user (never global), the normalizing window runs over the
+      // |states|^2 aggregate, not the events
+      EventStreams.transitionMatrix(
+          t(s, dir, "events"),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+        .sortBy(Seq(col("from_state"), col("to_state")))),
+
+    "q226_skyline" -> ((s, dir) =>
+      // multi-objective shortlist: parts no other part beats on both
+      // (cheaper-or-equal price, bigger-or-equal size, strict somewhere) —
+      // the Pareto frontier computed by the two-level running-max pattern,
+      // never the O(n^2) dominance join the oracle uses. Price in exact
+      // cents via DECIMAL.
+      Relational.skyline2D(
+          t(s, dir, "part"),
+          col("p_partkey"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(18,6)) * 100 AS BIGINT)"),
+          col("p_size"))
+        .sortBy(Seq(col("id")))),
+
     "q225_concurrency" -> ((s, dir) =>
       // capacity-planning sweep: each event opens a session lasting its
       // value in seconds; every boundary carries the exact number of
@@ -4375,6 +4499,142 @@ object SparkEntry {
 
     // The sweep replayed as one global running sum; ties (t, d, id) with
     // the -1 boundary first — the half-open convention both sides share.
+    // Reference deciles by the exact rank rule, both cohorts re-binned by
+    // strict-greater edge counts, shares and TVD in floor-ppm.
+    "q232_numeric_drift" ->
+      """WITH rv AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+                     FROM events WHERE user_id % 2 = 0),
+         cvv AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+                 FROM events WHERE user_id % 2 = 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM rv),
+         rk AS (SELECT v,
+                  ((CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) - 1) * 10)
+                    // n.nn AS bin
+                FROM rv, n),
+         ed AS (SELECT bin, MAX(v) AS e FROM rk WHERE bin < 9 GROUP BY bin),
+         rb AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed WHERE rv.v > ed.e) AS bin FROM rv),
+         cb AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed WHERE cvv.v > ed.e) AS bin FROM cvv),
+         rg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rb GROUP BY bin),
+         cg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+         j AS (SELECT COALESCE(rg.bin, cg.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+               FROM rg FULL OUTER JOIN cg ON rg.bin = cg.bin),
+         t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                 CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
+         sh AS (SELECT bin, n_ref, n_cur,
+                  CASE WHEN t_ref = 0 THEN 0 ELSE (n_ref * 1000000) // t_ref END AS share_ref_ppm,
+                  CASE WHEN t_cur = 0 THEN 0 ELSE (n_cur * 1000000) // t_cur END AS share_cur_ppm
+                FROM j, t),
+         tv AS (SELECT CAST(SUM(ABS(share_cur_ppm - share_ref_ppm)) // 2 AS BIGINT) AS tvd_ppm
+                FROM sh)
+         SELECT sh.bin,
+           CASE WHEN sh.bin = 0 THEN NULL
+                ELSE (SELECT e FROM ed WHERE ed.bin = sh.bin - 1) END AS edge_lo,
+           sh.n_ref, sh.n_cur, sh.share_ref_ppm, sh.share_cur_ppm,
+           CAST(ABS(sh.share_cur_ppm - sh.share_ref_ppm) AS BIGINT) AS diff_ppm,
+           tv.tvd_ppm
+         FROM sh, tv ORDER BY sh.bin""",
+
+    // Wedges over the symmetric adjacency, known edges anti-joined out,
+    // integer Jaccard over the degree union.
+    "q231_link_prediction" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e AS (SELECT DISTINCT x.l_partkey AS id_a, y.l_partkey AS id_b
+               FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey),
+         adj AS (SELECT id_a AS u, id_b AS w FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+         pairs AS (SELECT x.u AS id_a, y.u AS id_b, CAST(COUNT(*) AS BIGINT) AS cn
+                   FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+                   GROUP BY 1, 2),
+         cand AS (SELECT p.id_a, p.id_b, p.cn FROM pairs p
+                  LEFT JOIN e ON p.id_a = e.id_a AND p.id_b = e.id_b
+                  WHERE e.id_a IS NULL)
+         SELECT c.id_a, c.id_b, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+           (c.cn * 1000000) // (da.deg + db.deg - c.cn) AS jaccard_ppm
+         FROM cand c
+         JOIN deg da ON c.id_a = da.u
+         JOIN deg db ON c.id_b = db.u
+         ORDER BY c.id_a, c.id_b""",
+
+    "q230_kcenter" -> kcenterOracle(8),
+
+    // Contingency margins from the cell table; fraction-cleared
+    // (O·N − rT·cT)²/(N·rT·cT) in HUGEINT, one floor division to ppm.
+    "q229_chi2_independence" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+                 CAST(COUNT(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+         r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS row_total FROM cells GROUP BY a),
+         c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS col_total FROM cells GROUP BY b),
+         n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+         SELECT cells.a, cells.b, cells.o, r.row_total, c.col_total, n.n,
+           CAST((CAST(r.row_total AS HUGEINT) * c.col_total * 1000000)
+             // n.n AS BIGINT) AS e_ppm,
+           CAST(((CAST(cells.o AS HUGEINT) * n.n
+                   - CAST(r.row_total AS HUGEINT) * c.col_total)
+                 * (CAST(cells.o AS HUGEINT) * n.n
+                   - CAST(r.row_total AS HUGEINT) * c.col_total) * 1000000)
+             // (CAST(n.n AS HUGEINT) * r.row_total * c.col_total)
+             AS BIGINT) AS contrib_ppm
+         FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n
+         ORDER BY cells.a, cells.b""",
+
+    // Rank-sum AUC over the score histogram: strictly-below negatives via
+    // the running window, half-credit ties via the doubled numerator.
+    "q228_roc_auc" ->
+      """WITH base AS (SELECT n_chars AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+               FROM documents),
+         h AS (SELECT s, CAST(SUM(p) AS BIGINT) AS cp,
+                 CAST(SUM(1 - p) AS BIGINT) AS cn
+               FROM base GROUP BY s),
+         rr AS (SELECT cp, cn,
+                  COALESCE(SUM(cn) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+                FROM h)
+         SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+           CAST(SUM(cn) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores,
+           CAST((SUM(CAST(cp AS HUGEINT) * (2 * nb + cn)) * 1000000)
+             // (2 * CAST(SUM(cp) AS HUGEINT) * SUM(cn)) AS BIGINT) AS auc_ppm
+         FROM rr""",
+
+    // LEAD over the same (ts, event_id) per-user order; the ppm floor
+    // division replays the integer normalization exactly.
+    "q227_markov_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS s,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+         m AS (
+           SELECT s AS from_state, nxt AS to_state,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY s, nxt)
+         SELECT from_state, to_state, n,
+           CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS from_total,
+           (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+             AS p_ppm
+         FROM m ORDER BY from_state, to_state""",
+
+    // The O(n^2) NOT EXISTS dominance definition — the semantics the
+    // two-level running-max plan must reproduce exactly, duplicates and
+    // equal-x ties included.
+    "q226_skyline" ->
+      """WITH base AS (
+           SELECT p_partkey AS id,
+             CAST(CAST(p_retailprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS x,
+             CAST(p_size AS BIGINT) AS y
+           FROM part)
+         SELECT id, x, y FROM base a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM base b
+           WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
+         ORDER BY id""",
+
     "q225_concurrency" ->
       """WITH b AS (
            SELECT event_id AS id, CAST(epoch_us(ts) AS BIGINT) AS t,

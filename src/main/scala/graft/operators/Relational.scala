@@ -1173,6 +1173,57 @@ object Relational {
     report("arrival", col("id")).union(report("value_sorted", col("v")))
   }
 
+  /** 2-D skyline (Pareto frontier): the rows NOT dominated by any other —
+    * q dominates p when q.x <= p.x AND q.y >= p.y with at least one strict
+    * (minimize x, maximize y; Börzsönyi et al.'s skyline operator). The
+    * multi-objective shortlist query — "no other candidate is at least as
+    * good on both axes and better on one" — without materializing any
+    * dominance pair: under the (x asc) order, p survives iff
+    * max y over {x' < x} < p.y (a strictly-cheaper point at least as good
+    * on y would dominate) AND p.y = max y over {x' = x} (an equal-cost
+    * point strictly better on y would). Exact duplicates (x, y) tie the
+    * group max and all survive — equal points never dominate each other.
+    *
+    * Returns (id, x, y) of the frontier rows.
+    *
+    * Scale shape: the strictly-smaller-x running max uses the two-level
+    * pattern ([[quantileBins]]): x bucketed by approxQuantile probes,
+    * per-bucket max-y partials broadcast as preceding-bucket offsets, the
+    * in-bucket strict max as a RANGE ... -1 frame per bucket — no global
+    * single-partition window, no O(n²) dominance join; probe epsilon
+    * balances buckets but never reaches any output value. Equal x always
+    * land in one bucket (bucket is a function of x), so the equal-x group
+    * max is bucket-local too.
+    */
+  def skyline2D(df: DataFrame, id: Column, minimizeX: Column, maximizeY: Column,
+      buckets: Int = 64, probeEps: Double = 0.02): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(probeEps > 0 && probeEps <= 0.5, s"probeEps must be in (0, 0.5], got $probeEps")
+    val base = df.select(id.cast("long").alias("id"),
+      minimizeX.cast("long").alias("x"), maximizeY.cast("long").alias("y"))
+    val bounds = base.stat.approxQuantile("x",
+      (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
+      .map(_.toLong).distinct.sorted
+    val bcol = typedLit(bounds)
+    val bucketed = base.withColumn("bkt",
+      size(filter(bcol, b => col("x") >= b)))
+    val partials = bucketed.groupBy(col("bkt")).agg(max(col("y")).alias("bm"))
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("pm", max(col("bm")).over(wOff))
+      .select(col("bkt"), col("pm"))
+    val wStrict = Window.partitionBy(col("bkt")).orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("bkt"), col("x"))
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      // greatest skips NULLs: NULL iff no strictly-smaller x exists anywhere
+      .withColumn("prior", greatest(max(col("y")).over(wStrict), col("pm")))
+      .withColumn("xeqmax", max(col("y")).over(wEq))
+      .filter(col("y") === col("xeqmax") &&
+        (col("prior").isNull || col("prior") < col("y")))
+      .select(col("id"), col("x"), col("y"))
+  }
+
   def joinCardinalityEstimate(left: DataFrame, leftKey: Column,
       right: DataFrame, rightKey: Column): DataFrame = {
     val lh = left.filter(leftKey.isNotNull)

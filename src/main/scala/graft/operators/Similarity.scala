@@ -358,6 +358,65 @@ object Similarity {
     cents
   }
 
+  /** Greedy k-center selection (Gonzalez farthest-first traversal): from
+    * the deterministic seed (smallest id), repeatedly pick the point
+    * FARTHEST from everything chosen so far — the classic 2-approximation
+    * of the k-center cover, and the diversity-sampling workhorse for
+    * training-data selection (coreset seeding, eval-set spread, annotation
+    * budgeting): k rounds buy the k most mutually-spread exemplars, and
+    * the picked distance sequence is the coverage-radius curve.
+    *
+    * Returns (rank, id, dist_sq): rank is 1-based pick order, dist_sq the
+    * point's squared L2 distance to the previously-chosen set at pick time
+    * (0.0 for the seed; the sequence is non-increasing — each value bounds
+    * the cover radius of the prefix). Ties break to the smaller id.
+    * Distances are the same left-associated IEEE double sums as
+    * [[kmeansLloydStep]] (q79), so every pick — and the whole output —
+    * replays bit-for-bit cross-engine.
+    *
+    * Scale shape: per round, ONE broadcast of the single new center row,
+    * one narrow min-dist update over the corpus (`least` keeps one double
+    * per row — the k×n score table never materializes), and one
+    * partial-agg argmax (`max` over a (dist, -id) struct) collecting ONE
+    * row of driver state ([[kmeansFit]] precedent); lineage truncated per
+    * round ([[Iterative.truncate]], reliable `checkpointDir` opt-in).
+    */
+  def kCenterSelect(corpus: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("id").cast("long").alias("id"), col("v"))
+    val seed = base.agg(min(col("id"))).collect()(0).getLong(0)
+    var picked = List((1L, seed, 0.0))
+    // running min squared distance to the chosen set, updated per round
+    var state = Iterative.truncate(
+      base.crossJoin(broadcast(base.filter(col("id") === seed).select(
+          col("v").alias("cv"))))
+        .select(col("id"), col("v"),
+          VectorExprs.l2DistSq(col("v"), col("cv")).alias("md")),
+      checkpointDir)
+    var r = 2
+    while (r <= k) {
+      val top = state.agg(
+        max(struct(col("md").alias("d"), (-col("id")).alias("ni")))).collect()(0)
+        .getStruct(0)
+      val (d, cid) = (top.getDouble(0), -top.getLong(1))
+      picked ::= ((r.toLong, cid, d))
+      if (r < k) {
+        state = Iterative.truncate(
+          state.crossJoin(broadcast(state.filter(col("id") === cid).select(
+              col("v").alias("cv"))))
+            .select(col("id"), col("v"),
+              least(col("md"),
+                VectorExprs.l2DistSq(col("v"), col("cv"))).alias("md")),
+          checkpointDir)
+      }
+      r += 1
+    }
+    picked.reverse.toDF("rank", "id", "dist_sq")
+  }
+
   /** Recall@k of an approximate top-k result against the exact one (both in
     * [[explodeTopK]]'s output shape): per query, the fraction of exact
     * neighbors the approximate search recovered. This is how an ANN

@@ -351,4 +351,162 @@ object Validation {
       .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
         col("min_str"), col("max_str"))
   }
+
+  /** Exact ROC AUC of an integer score against a boolean label — the
+    * Mann-Whitney U statistic computed from rank sums, ties handled by the
+    * standard half-credit rule: AUC = (Σ_pos neg_below + ½·neg_equal) /
+    * (n_pos·n_neg). This is how a quality-classifier threshold gets
+    * CHOSEN on a 100 TB corpus — an AUC near ½ means the signal doesn't
+    * separate, near 1 means a threshold sweep is worth running. Everything
+    * is integer: the doubled numerator u2 = Σ cp·(2·neg_below + cn) stays
+    * exact in DECIMAL(38,0), and the output ppm is one floor division —
+    * hash-pinnable cross-engine, where a trapezoid-rule double AUC is not.
+    *
+    * Returns one row (n_pos, n_neg, n_scores, auc_ppm). Degenerate inputs
+    * (no positives or no negatives) yield auc_ppm NULL — there is no
+    * ranking question to answer.
+    *
+    * Scale shape: one partial-agg groupBy collapses the corpus to the
+    * score histogram; the strictly-below running sum over the histogram
+    * uses the two-level pattern ([[graft.operators.Relational.quantileBins]]:
+    * probe-bucketed partials broadcast as offsets, per-bucket window) — no
+    * global single-partition window, no per-row rank materialization.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column,
+      buckets: Int = 64, probeEps: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(probeEps > 0 && probeEps <= 0.5, s"probeEps must be in (0, 0.5], got $probeEps")
+    val base = df.select(score.cast("long").alias("s"),
+      when(label, 1L).otherwise(0L).alias("p"))
+    val h = base.groupBy(col("s")).agg(
+      sum(col("p")).alias("cp"), sum(lit(1L) - col("p")).alias("cn"))
+    val bounds = h.stat.approxQuantile("s",
+      (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
+      .map(_.toLong).distinct.sorted
+    val bcol = typedLit(bounds)
+    val bucketed = h.withColumn("bkt",
+      size(filter(bcol, b => col("s") >= b)))
+    val partials = bucketed.groupBy(col("bkt")).agg(sum(col("cn")).alias("bs"))
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("nb", col("off") + coalesce(sum(col("cn")).over(wIn), lit(0L)))
+      .agg(
+        sum(col("cp")).alias("n_pos"), sum(col("cn")).alias("n_neg"),
+        count(lit(1)).alias("n_scores"),
+        sum((col("cp") * (lit(2L) * col("nb") + col("cn")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).alias("u2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST((u2 * 1000000) DIV
+                  (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+                END""").alias("auc_ppm"))
+  }
+
+  /** Chi-square test of independence between two categorical columns,
+    * integer-exact: the per-cell contingency table with observed counts,
+    * margin totals, expected-count ppm, and the cell's chi-square
+    * contribution in ppm — contrib = (O·N − rT·cT)² / (N·rT·cT), the
+    * textbook (O−E)²/E with E = rT·cT/N cleared of fractions so every
+    * number is one floor division away from integers. The statistic (sum
+    * of contributions against a χ² table at (R−1)(C−1) dof) answers "is
+    * the corpus's source mix independent of language" — dependence means
+    * per-source language quotas need separate curation.
+    *
+    * Returns one row per observed cell: (a, b, o, row_total, col_total, n,
+    * e_ppm, contrib_ppm), sorted by the caller. Absent cells (O = 0)
+    * contribute rT·cT/N each — emitted as a synthetic total row would hide
+    * per-cell structure, so the caller who wants the full statistic over a
+    * sparse table should densify first; on the low-cardinality columns
+    * this targets, observed cells are the whole table in practice.
+    *
+    * Scale shape: one partial-agg groupBy to the cell table, margin totals
+    * as two more groupBys over the CELL table (cell-cardinality sized, not
+    * corpus sized), broadcast joins back, DECIMAL(38,0) clears overflow at
+    * any corpus size.
+    */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.alias("a"), b.alias("b"))
+      .agg(count(lit(1)).alias("o"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("o")).alias("row_total"))
+    val cols_ = cells.groupBy(col("b")).agg(sum(col("o")).alias("col_total"))
+    val total = cells.agg(sum(col("o")).alias("n"))
+    cells.join(broadcast(rows), Seq("a"))
+      .join(broadcast(cols_), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("e_ppm", expr(
+        "CAST((CAST(row_total AS DECIMAL(38,0)) * col_total * 1000000) DIV n AS BIGINT)"))
+      .withColumn("contrib_ppm", expr(
+        """CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(row_total AS DECIMAL(38,0)) * col_total)
+             * (CAST(o AS DECIMAL(38,0)) * n - CAST(row_total AS DECIMAL(38,0)) * col_total)
+             * 1000000)
+           DIV (CAST(n AS DECIMAL(38,0)) * row_total * col_total) AS BIGINT)"""))
+      .select(col("a"), col("b"), col("o"), col("row_total"), col("col_total"),
+        col("n"), col("e_ppm"), col("contrib_ppm"))
+  }
+
+  /** Numeric drift monitor — [[categoricalDrift]]'s sibling for continuous
+    * columns: the REFERENCE split's exact deciles (the
+    * [[graft.operators.Relational.quantileBins]] rank rule) become bin
+    * edges; both splits are re-binned by those edges (bin = count of upper
+    * edges strictly below the value) and compared share-for-share, total
+    * variation distance in ppm. Edge values come from exact ranks — never
+    * from approxQuantile — so the whole report replays as integer SQL.
+    * PSI's log-ratio is deliberately absent (not correctly-rounded
+    * cross-engine; TVD is total and bounded where PSI explodes on empty
+    * bins — the q195 rationale).
+    *
+    * Returns one row per bin: (bin, edge_lo, n_ref, n_cur, share_ref_ppm,
+    * share_cur_ppm, diff_ppm, tvd_ppm) — edge_lo is the bin's lower edge
+    * (NULL for bin 0), tvd_ppm the same global Σ|diff|/2 on every row.
+    *
+    * Scale shape: one quantileBins pass over the reference (probe scan +
+    * bucketed window), the nBins-1 edge values collected as bounded driver
+    * state (kmeans-centroid precedent) and broadcast into two bin-count
+    * groupBys; the report is nBins-sized.
+    */
+  def numericDrift(ref: DataFrame, cur: DataFrame, value: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val rv = ref.select(value.cast("long").alias("v"))
+    val cv = cur.select(value.cast("long").alias("v"))
+    // exact upper edge of bins 0 .. nBins-2: the LAST value of each bin
+    // under the rank rule = the value at rank floor(i*n/nBins) boundary;
+    // equivalently max(v) per bin from quantileBins' exact output
+    val binned = Relational.quantileBins(
+      rv.withColumn("id", monotonically_increasing_id()), col("id"), col("v"), nBins)
+    val edges = binned.groupBy(col("bin")).agg(max(col("v")).alias("e"))
+      .filter(col("bin") < nBins - 1)
+      .orderBy(col("bin")).collect().map(_.getLong(1))
+    val ecol = typedLit(edges)
+    def shares(df: DataFrame, nCol: String): DataFrame =
+      df.withColumn("bin", size(filter(ecol, e => col("v") > e)).cast("long"))
+        .groupBy(col("bin")).agg(count(lit(1)).alias(nCol))
+    val joined = shares(rv, "n_ref").join(shares(cv, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).alias("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).alias("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).alias("t_ref"),
+      sum(col("n_cur")).alias("t_cur"))
+    val shared = joined.crossJoin(broadcast(totals))
+      .withColumn("share_ref_ppm", expr(
+        "CASE WHEN t_ref = 0 THEN 0L ELSE (n_ref * 1000000L) DIV t_ref END"))
+      .withColumn("share_cur_ppm", expr(
+        "CASE WHEN t_cur = 0 THEN 0L ELSE (n_cur * 1000000L) DIV t_cur END"))
+      .withColumn("diff_ppm", abs(col("share_cur_ppm") - col("share_ref_ppm")))
+    val edgeLo = typedLit(edges)
+    val tvd = shared.agg(expr("sum(diff_ppm) DIV 2").alias("tvd_ppm"))
+    shared.crossJoin(broadcast(tvd))
+      .withColumn("edge_lo",
+        when(col("bin") === 0L, lit(null).cast("long"))
+          .otherwise(element_at(edgeLo, col("bin").cast("int"))))
+      .select(col("bin"), col("edge_lo"), col("n_ref"), col("n_cur"),
+        col("share_ref_ppm"), col("share_cur_ppm"), col("diff_ppm"),
+        col("tvd_ppm"))
+  }
 }

@@ -930,6 +930,44 @@ object EventStreams {
         .reduceLeft(_ + _))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for each key's events in (order cols) sequence, count every adjacent
+    * (state -> next state) pair, then normalize each row of the matrix to
+    * floor-ppm probabilities — the behavioral model behind next-action
+    * prediction, funnel leak diagnosis, and bot detection (a user whose
+    * transition row diverges from the population's is mechanical). The
+    * order columns must totally order each key's events (ts + a unique
+    * tie-break id), so the adjacency — and the whole matrix — replays
+    * deterministically on any engine.
+    *
+    * Returns (from_state, to_state, n, from_total, p_ppm), one row per
+    * observed transition; rows of the matrix sum to <= 1e6 ppm (floor
+    * division). A key's last event has no successor and contributes
+    * nothing.
+    *
+    * Scale shape: one lead() window PARTITIONED BY KEY (never global — a
+    * key's history is the frame, the q60 rule), one partial-agg groupBy to
+    * the |states|² matrix, and the row-normalizing window runs over that
+    * tiny aggregate, not the events.
+    */
+  def transitionMatrix(events: DataFrame, key: Column, order: Seq[Column],
+      state: Column): DataFrame = {
+    require(order.nonEmpty, "transitionMatrix needs at least one order column")
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(
+      (Seq(key.alias("__k"), state.alias("__s")) ++
+        order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    val m = base.withColumn("__nxt", lead(col("__s"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("__s").alias("from_state"), col("__nxt").alias("to_state"))
+      .agg(count(lit(1)).alias("n"))
+    m.withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_state"))))
+      .withColumn("p_ppm", expr("(n * 1000000L) DIV from_total"))
+  }
+
   /** Event-rate anomaly detection: hourly counts per key z-scored against
     * that key's own mean/std over all hours; |z| > threshold flags the
     * bucket. Variance comes from integer co-moments (n, sum, sum-of-

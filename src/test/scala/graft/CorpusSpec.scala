@@ -173,6 +173,23 @@ class CorpusSpec extends SparkSpec {
     assert(Graph.kCorePeel(path, k = 2, rounds = 3).count() == 0)
   }
 
+  test("linkPrediction: wedge candidates only, known edges dropped, hub cap excludes through-nodes") {
+    import graft.operators.Graph
+    // 1-2, 1-3, 2-3, 3-4: the only non-edges sharing a neighbor are
+    // (1,4) and (2,4), both through hub 3 (deg 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Graph.linkPrediction(edges).orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // jaccard = 1 / (deg_a + deg_b - 1)
+    assert(out == Seq(
+      (1L, 4L, 1L, 2L, 1L, 500000L),
+      (2L, 4L, 1L, 2L, 1L, 500000L)))
+    // capping the through-node degree at 2 removes every wedge through 3;
+    // the remaining wedges (through 1 and 2) are all existing edges
+    assert(Graph.linkPrediction(edges, maxWedgeDegree = 2).count() == 0)
+  }
+
   test("labelPropagation: barbell graph splits into its two triangles; ties go to the smallest label") {
     import graft.operators.Graph
     // triangles {1,2,3} and {4,5,6} bridged by 3-4

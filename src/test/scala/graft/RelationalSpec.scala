@@ -622,6 +622,36 @@ class RelationalSpec extends SparkSpec {
     assert(out("value_sorted") == (4L, 2L, 4L, 2L, 500000L, 500000L))
   }
 
+  test("skyline2D: dominance semantics incl. equal-x and duplicate ties, layout-independent") {
+    import graft.operators.Relational
+    // min x, max y. points:
+    //  (1, 1, 9) frontier (cheapest)
+    //  (2, 3, 9) dominated by 1 (same y, higher x)
+    //  (3, 3, 12) frontier
+    //  (4, 3, 11) dominated by 3 (equal x, lower y)
+    //  (5, 5, 12) dominated by 3 (same y, higher x)
+    //  (6, 5, 15) frontier
+    //  (7, 5, 15) frontier — exact duplicate of 6, neither dominates
+    //  (8, 9, 14) dominated by 6 (both strict)
+    val df = Seq((1L, 1L, 9L), (2L, 3L, 9L), (3L, 3L, 12L), (4L, 3L, 11L),
+      (5L, 5L, 12L), (6L, 5L, 15L), (7L, 5L, 15L), (8L, 9L, 14L))
+      .toDF("id", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.skyline2D(d, $"id", $"x", $"y", buckets = 4)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Seq((1L, 1L, 9L), (3L, 3L, 12L), (6L, 5L, 15L), (7L, 5L, 15L))
+    assert(run(df) == expect)
+    assert(run(df.repartition(3)) == expect)
+    // matches the brute-force NOT EXISTS definition
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y) }
+    }.map(_._1).sorted.toSeq
+    assert(run(df).map(_._1) == brute)
+  }
+
   test("joinCardinalityEstimate: exact output size + skew key without executing the join") {
     import graft.operators.Relational
     import org.apache.spark.sql.Row

@@ -174,6 +174,23 @@ class SimilaritySpec extends SparkSpec {
     assert(fitted(1L).zip(Seq(31.0 / 3, 32.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("kCenterSelect: farthest-first picks, non-increasing radii, smaller-id ties") {
+    // (0,0) (10,0) (0,1) (5,5) (10,1): seed id 1; farthest 5 (d 101);
+    // then 4 (min-dist 41); then md(2)=md(3)=1.0 ties to id 2
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(5.0f, 5.0f)), (5L, Seq(10.0f, 1.0f))).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Similarity.kCenterSelect(d, k).orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = Seq((1L, 1L, 0.0), (2L, 5L, 101.0), (3L, 4L, 41.0), (4L, 2L, 1.0))
+    assert(run(pts, 4) == expect)
+    assert(run(pts.repartition(3), 4) == expect)
+    // radii never increase; k=1 is just the seed
+    assert(expect.drop(1).map(_._3) == expect.drop(1).map(_._3).sorted.reverse)
+    assert(run(pts, 1) == Seq((1L, 1L, 0.0)))
+  }
+
   test("quantizeInt8: roundtrip error <= scale/2, codes span [0,255], constant vector is all-zero") {
     val vs = Seq(
       (1L, Seq(-1.0f, 0.0f, 0.5f, 1.0f)),

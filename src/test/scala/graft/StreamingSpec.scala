@@ -272,6 +272,29 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("transitionMatrix: adjacency per key under the order, ppm rows, last event drops") {
+    import org.apache.spark.sql.functions.col
+    // user 1: A(t1,id1) B(t2,id2) A(t3,id3) C(t4,id4)  -> A>B, B>A, A>C
+    // user 2: B(t1,id5) B(t1,id6) A(t2,id7)            -> B>B (id tie-break), B>A
+    // transitions: A>B 1, A>C 1, B>A 2, B>B 1; from A total 2, from B total 3
+    val events = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"), (1L, 4L, 4L, "C"),
+      (2L, 1L, 5L, "B"), (2L, 1L, 6L, "B"), (2L, 2L, 7L, "A"))
+      .toDF("user_id", "t", "event_id", "state")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EventStreams.transitionMatrix(d, col("user_id"),
+          Seq(col("t"), col("event_id")), col("state"))
+        .orderBy("from_state", "to_state").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val expect = Seq(
+      ("A", "B", 1L, 2L, 500000L), ("A", "C", 1L, 2L, 500000L),
+      ("B", "A", 2L, 3L, 666666L), ("B", "B", 1L, 3L, 333333L))
+    assert(run(events) == expect)
+    // layout cannot change the per-key order the matrix reads
+    assert(run(events.repartition(3)) == expect)
+  }
+
   test("rateAnomalies: planted spike flagged, steady rate not, constant key z=0") {
     import org.apache.spark.sql.functions.col
     def ts(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)

@@ -175,4 +175,57 @@ class ValidationSpec extends SparkSpec {
       .collect()
     assert(approx.head == Row("id", 5L, 1L, 3L, "1", "3"))
   }
+
+  test("rocAuc: hand rank-sum with ties, degenerate labels yield NULL, layout-independent") {
+    // positives score {3, 5}, negatives {1, 3, 4}
+    // u2 = (2*1 + 1) + (2*3 + 0) = 9; auc = 9 / (2*2*3) = 0.75
+    val df = Seq((3L, true), (5L, true), (1L, false), (3L, false), (4L, false))
+      .toDF("s", "lbl")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Validation.rocAuc(d, $"s", $"lbl", buckets = 2).collect().head
+    assert(run(df) == Row(2L, 3L, 4L, 750000L))
+    assert(run(df.repartition(3)) == Row(2L, 3L, 4L, 750000L))
+    // perfect separation -> 1.0; inverted -> 0.0
+    val perfect = Seq((10L, true), (9L, true), (1L, false)).toDF("s", "lbl")
+    assert(run(perfect).getLong(3) == 1000000L)
+    val inverted = Seq((1L, true), (9L, false)).toDF("s", "lbl")
+    assert(run(inverted).getLong(3) == 0L)
+    // no negatives: no ranking question
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "lbl")
+    assert(run(onlyPos).isNullAt(3))
+  }
+
+  test("chiSquareIndependence: hand 2x2 margins, expected and contribution ppm") {
+    // X: U=10 V=20; Y: U=20 V=10 — every margin 30, N=60, E=15 per cell,
+    // per-cell contrib = (O*N - 900)^2 * 1e6 / (60*900) = 300^2*1e6/54000
+    val rows = Seq.fill(10)(("X", "U")) ++ Seq.fill(20)(("X", "V")) ++
+      Seq.fill(20)(("Y", "U")) ++ Seq.fill(10)(("Y", "V"))
+    val out = Validation.chiSquareIndependence(rows.toDF("a", "b"), $"a", $"b")
+      .orderBy("a", "b").collect()
+    assert(out.toSeq == Seq(
+      Row("X", "U", 10L, 30L, 30L, 60L, 15000000L, 1666666L),
+      Row("X", "V", 20L, 30L, 30L, 60L, 15000000L, 1666666L),
+      Row("Y", "U", 20L, 30L, 30L, 60L, 15000000L, 1666666L),
+      Row("Y", "V", 10L, 30L, 30L, 60L, 15000000L, 1666666L)))
+    // statistic = sum of contributions ~ 4 * 5/3 = 6.67 (chi2 of this table)
+    assert(out.map(_.getLong(7)).sum == 6666664L)
+  }
+
+  test("numericDrift: exact decile edges from ref, strict-greater binning, TVD") {
+    val ref = (1L to 10L).toDF("v")
+    val cur = Seq(1L, 11L, 12L).toDF("v")
+    val out = Validation.numericDrift(ref, cur, $"v", nBins = 10)
+      .orderBy("bin").collect()
+    // ref deciles: one value per bin, edges 1..9; cur: 1 -> bin 0 (no edge
+    // strictly below), 11 and 12 -> bin 9
+    assert(out.length == 10)
+    assert(out.head == Row(0L, null, 1L, 1L, 100000L, 333333L, 233333L, 799999L))
+    assert(out(1) == Row(1L, 1L, 1L, 0L, 100000L, 0L, 100000L, 799999L))
+    assert(out(9) == Row(9L, 9L, 1L, 2L, 100000L, 666666L, 566666L, 799999L))
+    // TVD = (233333 + 8*100000 + 566666) / 2
+    assert(out.forall(_.getLong(7) == 799999L))
+    // identical splits: zero drift
+    val zero = Validation.numericDrift(ref, ref, $"v", nBins = 5).collect()
+    assert(zero.forall(r => r.getLong(6) == 0L && r.getLong(7) == 0L))
+  }
 }
