@@ -2321,6 +2321,79 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q238_association_rules" -> ((s, dir) =>
+      // market-basket rules over (user, day) baskets of event types:
+      // "users who did X that day also did Y" with integer conf/lift ppm
+      // — the q80 no-log rule keeps lift exact. Joint support >= 20
+      // bounds the rule set; all arithmetic replays in SQL.
+      EventStreams.associationRules(
+          t(s, dir, "events"),
+          Seq(col("user_id"), date_trunc("day", col("ts"))),
+          col("event_type"), minSupport = 20L)
+        .sortBy(Seq(col("antecedent"), col("consequent")))),
+
+    "q237_source_overlap" -> ((s, dir) => {
+      // split-contamination audit: every source vs a deterministic mirror
+      // slice (every 7th doc re-labeled) — the operator joins 8-byte FNV
+      // fingerprints, the oracle joins raw text; identical counts up to
+      // 2^-64 collisions (q57 convention). Real sources share nothing on
+      // this corpus, which is itself the finding the mirror makes visible.
+      val d = t(s, dir, "documents")
+      val mirrored = d.filterCol(col("doc_id") % 7 === 0)
+        .selectCols(Seq(lit("mirror").as("source"), col("text")))
+      Corpus.crossSourceOverlap(
+          d.selectCols(Seq(col("source"), col("text"))).union(mirrored),
+          col("source"), col("text"))
+        .sortBy(Seq(col("src_a"), col("src_b")))
+    }),
+
+    "q236_pii_redact" -> ((s, dir) => {
+      // privacy scrub as a driver fact: PII planted deterministically
+      // (q83's same-construction-both-sides pattern), counted per family
+      // on the raw text, redacted sequentially — the output IS the
+      // redacted string, so the hash match proves both engines scrub
+      // byte-identically under the shared Java-regex/RE2 pattern subset
+      val planted = t(s, dir, "documents").selectCols(Seq(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@ex"), col("doc_id") % 7, lit(".org ip 10."),
+            col("doc_id") % 256, lit(".0.1 acct 90000000"), col("doc_id")))
+          .otherwise(col("text")).as("t")))
+      Corpus.piiScan(planted, col("doc_id"), col("t"))
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q235_skipgram_cooc" -> ((s, dir) =>
+      // word2vec/GloVe preprocessing: within-document skip-gram pairs at
+      // distance <= 3 with 1/d floor-ppm weights; one (doc, position)
+      // equi-join, partial-agg pair counts, minCount prunes the tail
+      Corpus.skipgramCounts(
+          t(s, dir, "documents"), col("doc_id"),
+          TextFns.tokens(col("text")), window = 3, minCount = 5L)
+        .sortBy(Seq(col("w_a"), col("w_b")))),
+
+    "q234_benford" -> ((s, dir) =>
+      // first-digit audit of event values (micros): shares vs the pinned
+      // Benford ppm constants, TVD as the drift number — synthetic
+      // uniform-ish values SHOULD fail Benford, and the distance says by
+      // how much
+      Validation.benfordAudit(
+          t(s, dir, "events").selectCols(Seq(
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmicros"))),
+          col("vmicros"))
+        .sortBy(Seq(col("digit")))),
+
+    "q233_cohens_kappa" -> ((s, dir) =>
+      // do two cheap quality gates agree beyond chance? rater A =
+      // character length >= 200, rater B = whitespace token count >= 40 —
+      // kappa in exact sign-split ppm; the gates are correlated by
+      // construction, and kappa says how much
+      Validation.cohensKappa(
+          t(s, dir, "documents").selectCols(Seq(
+            (col("n_chars") >= 200).as("ra"),
+            (size(TextFns.tokens(col("text"))) >= 40).as("rb"))),
+          col("ra"), col("rb"))),
+
     "q232_numeric_drift" -> ((s, dir) => {
       // numeric-column drift between two event cohorts: the even-user
       // split's exact deciles (rank rule, never approxQuantile) bin both
@@ -4499,6 +4572,152 @@ object SparkEntry {
 
     // The sweep replayed as one global running sum; ties (t, d, id) with
     // the -1 boundary first — the half-open convention both sides share.
+    // Distinct (user, day, type) baskets, within-basket pair join, ppm
+    // confidence/lift with HUGEINT-cleared numerators.
+    "q238_association_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+                 event_type AS it
+               FROM events WHERE event_type IS NOT NULL),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+                FROM (SELECT DISTINCT user_id, d FROM b)),
+         supp AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY it),
+         joint AS (SELECT x.it AS antecedent, y.it AS consequent,
+                     CAST(COUNT(*) AS BIGINT) AS n_joint
+                   FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+                     AND x.it <> y.it
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+         SELECT j.antecedent, j.consequent, j.n_joint,
+           sa.s AS n_ante, sc.s AS n_cons, nb.n_baskets,
+           (j.n_joint * 1000000) // sa.s AS conf_ppm,
+           CAST((CAST(j.n_joint AS HUGEINT) * nb.n_baskets * 1000000)
+             // (CAST(sa.s AS HUGEINT) * sc.s) AS BIGINT) AS lift_ppm
+         FROM joint j
+         JOIN supp sa ON j.antecedent = sa.it
+         JOIN supp sc ON j.consequent = sc.it
+         CROSS JOIN nb
+         ORDER BY j.antecedent, j.consequent""",
+
+    // The operator joins FNV-64 fingerprints; the oracle joins raw text —
+    // identical counts up to 2^-64 collisions (the q57 convention).
+    "q237_source_overlap" ->
+      """WITH all_docs AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+         fp AS (SELECT DISTINCT source AS src, text AS t FROM all_docs),
+         tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY src),
+         sh AS (SELECT x.src AS src_a, y.src AS src_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM fp x JOIN fp y ON x.t = y.t AND x.src < y.src
+                GROUP BY 1, 2)
+         SELECT sh.src_a, sh.src_b, sh.n_shared, ta.n AS n_a, tb.n AS n_b,
+           (sh.n_shared * 1000000) // ta.n AS overlap_a_ppm,
+           (sh.n_shared * 1000000) // tb.n AS overlap_b_ppm
+         FROM sh JOIN tot ta ON sh.src_a = ta.src
+         JOIN tot tb ON sh.src_b = tb.src
+         ORDER BY sh.src_a, sh.src_b""",
+
+    // Same planted construction, counts on the raw text, the identical
+    // three-pattern sequential replace — the redacted STRING hash-matches.
+    "q236_pii_redact" ->
+      """WITH planted AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.0.1 acct 90000000'
+                 || CAST(doc_id AS VARCHAR)
+             ELSE text END AS t
+           FROM documents)
+         SELECT id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '[0-9]{9,}')) AS BIGINT) AS n_longnum,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '[0-9]{9,}', '<NUM>', 'g') AS redacted
+         FROM planted ORDER BY id""",
+
+    // Position-stamped tokens, one (doc, pos) equi-join per offset via the
+    // BETWEEN bound, canonical least/greatest pair, 1/d floor-ppm weights.
+    "q235_skipgram_cooc" ->
+      """WITH tok0 AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM documents),
+         t AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+               FROM tok0, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u),
+         p AS (SELECT least(a.tok, b.tok) AS w_a, greatest(a.tok, b.tok) AS w_b,
+                 b.pos - a.pos AS d
+               FROM t a JOIN t b ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + 3)
+         SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(1000000 // d) AS BIGINT) AS weight_ppm
+         FROM p GROUP BY w_a, w_b HAVING COUNT(*) >= 5
+         ORDER BY w_a, w_b""",
+
+    // Leading digit via BIGINT string rendering; expected table = the same
+    // pinned floor(1e6*log10(1+1/d)) constants; TVD in ppm.
+    "q234_benford" ->
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+                    FROM events),
+         d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM v WHERE v > 0),
+         cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         digits(digit, expected_ppm) AS (VALUES
+           (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+           (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+         j AS (SELECT CAST(digits.digit AS BIGINT) AS digit,
+                 COALESCE(cnt.n, 0) AS n,
+                 CAST(digits.expected_ppm AS BIGINT) AS expected_ppm
+               FROM digits LEFT JOIN cnt ON digits.digit = cnt.digit),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM j),
+         sh AS (SELECT digit, n,
+                  CASE WHEN t.t = 0 THEN 0 ELSE (n * 1000000) // t.t END AS share_ppm,
+                  expected_ppm
+                FROM j, t),
+         tv AS (SELECT CAST(SUM(ABS(share_ppm - expected_ppm)) // 2 AS BIGINT) AS tvd_ppm
+                FROM sh)
+         SELECT sh.digit, sh.n, sh.share_ppm, sh.expected_ppm,
+           CAST(ABS(sh.share_ppm - sh.expected_ppm) AS BIGINT) AS diff_ppm,
+           tv.tvd_ppm
+         FROM sh, tv ORDER BY sh.digit""",
+
+    // Fraction-cleared kappa in HUGEINT with the same explicit sign split,
+    // so floor-vs-truncate never diverges.
+    "q233_cohens_kappa" ->
+      """WITH l AS (SELECT
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> len(x) > 0)) >= 40 THEN 1 ELSE 0 END AS b
+           FROM documents),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+                 FROM l),
+         ca AS (SELECT a AS lbl, COUNT(*) AS c FROM l GROUP BY a),
+         cb AS (SELECT b AS lbl, COUNT(*) AS c FROM l GROUP BY b),
+         pe AS (SELECT COALESCE(SUM(CAST(ca.c AS HUGEINT) * cb.c),
+                  CAST(0 AS HUGEINT)) AS pe_num
+                FROM ca JOIN cb USING (lbl))
+         SELECT n, n_agree,
+           (n_agree * 1000000) // n AS po_ppm,
+           CAST((pe_num * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+           CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN NULL
+                WHEN CAST(n_agree AS HUGEINT) * n - pe_num >= 0 THEN
+                  CAST(((CAST(n_agree AS HUGEINT) * n - pe_num) * 1000000)
+                    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
+                ELSE -CAST(((pe_num - CAST(n_agree AS HUGEINT) * n) * 1000000)
+                    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
+           END AS kappa_ppm
+         FROM tot, pe""",
+
     // Reference deciles by the exact rank rule, both cohorts re-binned by
     // strict-greater edge counts, shares and TVD in floor-ppm.
     "q232_numeric_drift" ->

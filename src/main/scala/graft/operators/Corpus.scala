@@ -1464,4 +1464,111 @@ object Corpus {
     }
     vocab.select(col("w"), col("wc"), split(segmented, " ").alias("subtokens"))
   }
+
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe preprocessing
+    * matrix: for every within-document token pair at distance 1..`window`,
+    * the unordered pair's raw count and GloVe's 1/distance weighting as a
+    * floor-ppm integer sum (Σ 1e6 DIV d — no floats, so the matrix
+    * hash-replays cross-engine). `minCount` prunes the long tail, which is
+    * where the quadratic-in-window blowup lives at 100 TB.
+    *
+    * Returns (w_a, w_b, n, weight_ppm) with w_a <= w_b; self-pairs (a
+    * token co-occurring with itself) are counted like any other.
+    *
+    * Scale shape: posexplode + a window-sized offset explode, then ONE
+    * equi-join on (doc, position) — never a per-document cross join; the
+    * pair count collapses via partial aggregation before the shuffle.
+    */
+  def skipgramCounts(df: DataFrame, id: Column, terms: Column,
+      window: Int, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(id.alias("doc"), posexplode(terms).as(Seq("pos", "tok")))
+    val lefts = toks.select(col("doc"), col("pos"), col("tok").alias("tok_l"),
+        explode(typedLit((1 to window).toArray)).alias("d"))
+      .select(col("doc"), (col("pos") + col("d")).alias("pos"),
+        col("tok_l"), col("d"))
+    lefts.join(toks.withColumnRenamed("tok", "tok_r"), Seq("doc", "pos"))
+      .select(least(col("tok_l"), col("tok_r")).alias("w_a"),
+        greatest(col("tok_l"), col("tok_r")).alias("w_b"), col("d"))
+      .groupBy(col("w_a"), col("w_b"))
+      .agg(count(lit(1)).alias("n"),
+        sum(expr("1000000L DIV d")).alias("weight_ppm"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Cross-source content-overlap matrix: for every pair of sources, how
+    * many distinct document contents they share — the split-contamination
+    * / mirror-detection audit run before treating sources as independent
+    * mixture components. Content is witnessed by portable FNV-64 of the
+    * text ([[graft.plans.TextExprs.fnv64]]), so only 8-byte keys shuffle
+    * (identical to a text-equality join up to 2^-64 collisions, the q57
+    * convention); the overlap is reported as ppm of EACH side's distinct
+    * content count — asymmetric by design, a mirror shows ~1e6 on the
+    * smaller side.
+    *
+    * Returns (src_a, src_b, n_shared, n_a, n_b, overlap_a_ppm,
+    * overlap_b_ppm) for source pairs sharing at least one content;
+    * src_a < src_b.
+    *
+    * Scale shape: one distinct on (source, fp), a fp-keyed self equi-join
+    * (duplicated-content keys only — at most |sources| rows per fp), a
+    * pair-cardinality groupBy, two source-sized broadcasts.
+    */
+  def crossSourceOverlap(df: DataFrame, source: Column,
+      content: Column): DataFrame = {
+    val fp = df.select(source.alias("src"),
+        graft.plans.TextExprs.fnv64(content).alias("fp"))
+      .distinct()
+    val tot = fp.groupBy(col("src")).agg(count(lit(1)).alias("n_fp"))
+    fp.alias("x").join(fp.alias("y"),
+        col("x.fp") === col("y.fp") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").alias("src_a"), col("y.src").alias("src_b"))
+      .agg(count(lit(1)).alias("n_shared"))
+      .join(broadcast(tot.select(col("src").alias("src_a"),
+        col("n_fp").alias("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("src").alias("src_b"),
+        col("n_fp").alias("n_b"))), Seq("src_b"))
+      .withColumn("overlap_a_ppm", expr("(n_shared * 1000000L) DIV n_a"))
+      .withColumn("overlap_b_ppm", expr("(n_shared * 1000000L) DIV n_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("overlap_a_ppm"), col("overlap_b_ppm"))
+  }
+
+  /** PII patterns shared by [[piiScan]]'s count and redaction passes —
+    * written in the common Java-regex/RE2 subset (explicit classes, no
+    * lookaround, no lazy quantifiers) so DuckDB's RE2 replays them
+    * byte-for-byte.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("longnum", "[0-9]{9,}", "<NUM>"))
+
+  /** PII scan + redaction: per-document counts of each pattern family
+    * (email, dotted-quad IP, 9+-digit identifier runs) and the text with
+    * every match replaced by its placeholder — the minimum-viable privacy
+    * scrub a training pipeline runs before anything else sees raw text.
+    * Patterns apply in [[PiiPatterns]] order (emails first, so their
+    * digits are gone before the number pass; IPs' dots keep them out of
+    * the digit-run class). Pattern-based scrubbing is a floor, not a
+    * guarantee — names/addresses need NER, which is model territory; this
+    * operator is the deterministic, auditable layer under it.
+    *
+    * Returns (id, n_email, n_ipv4, n_longnum, redacted).
+    *
+    * Scale shape: one narrow projection — three regex count passes and
+    * three chained replaces per row, no shuffle, no state.
+    */
+  def piiScan(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("__t"), lit(pat), lit(0)))
+        .cast("long").alias(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col("__t")) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    df.select((Seq(id.alias("id"), text.alias("__t")) ): _*)
+      .select((Seq(col("id")) ++ counts :+ redacted.alias("redacted")): _*)
+  }
 }

@@ -408,6 +408,92 @@ object Validation {
                 END""").alias("auc_ppm"))
   }
 
+  /** Cohen's kappa: chance-corrected agreement between two labelers over
+    * the same rows — the inter-annotator (or heuristic-vs-heuristic)
+    * agreement gate a labeling pipeline applies before trusting either
+    * signal. κ = (p_o − p_e)/(1 − p_e) computed fraction-cleared:
+    * num = agree·n − Σ_k cA(k)·cB(k), den = n² − Σ_k cA(k)·cB(k), both in
+    * DECIMAL(38,0) so any corpus size fits; the ppm output splits the
+    * sign explicitly (truncation-toward-zero on |num|) so the floor/trunc
+    * divergence between engines on negative κ never appears.
+    *
+    * Returns one row (n, n_agree, po_ppm, pe_ppm, kappa_ppm); kappa_ppm
+    * is NULL when den = 0 (both raters constant — agreement is vacuous).
+    * Rows where either label is NULL are excluded (κ is defined over
+    * doubly-rated items).
+    *
+    * Scale shape: one conditional-sum scan, two label-cardinality
+    * groupBys joined label-for-label, three 1-row broadcasts.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(raterA.cast("string").alias("la"),
+        raterB.cast("string").alias("lb"))
+      .filter(col("la").isNotNull && col("lb").isNotNull)
+    val tot = base.agg(count(lit(1)).alias("n"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).alias("n_agree"))
+    val ca = base.groupBy(col("la").alias("lbl")).agg(count(lit(1)).alias("ca"))
+    val cb = base.groupBy(col("lb").alias("lbl")).agg(count(lit(1)).alias("cb"))
+    val pe = ca.join(cb, Seq("lbl"))
+      .agg(coalesce(sum(col("ca").cast(dec) * col("cb")),
+        lit(0).cast(dec)).alias("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("num", expr("CAST(n_agree AS DECIMAL(38,0)) * n - pe_num"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * n - pe_num"))
+      .select(col("n"), col("n_agree"),
+        expr("CASE WHEN n = 0 THEN NULL ELSE (n_agree * 1000000L) DIV n END")
+          .alias("po_ppm"),
+        expr("""CASE WHEN n = 0 THEN NULL
+                ELSE CAST((pe_num * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)
+                END""").alias("pe_ppm"),
+        expr("""CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+                WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT)
+                ELSE -CAST(((-num) * 1000000) DIV den AS BIGINT)
+                END""").alias("kappa_ppm"))
+  }
+
+  /** Benford first-digit audit: the leading-digit distribution of a
+    * positive numeric column against Benford's law — the classic
+    * fabricated-data / aggregation-artifact screen for naturally-occurring
+    * magnitudes (transaction amounts, populations, file sizes). Expected
+    * shares log10(1+1/d) are pinned as integer ppm CONSTANTS (301030,
+    * 176091, … 45757), so no runtime logarithm exists and the whole report
+    * replays as integer SQL; the drift number is total variation distance
+    * in ppm, the q195 convention. Non-positive values carry no leading
+    * digit and are excluded.
+    *
+    * Returns 9 rows (digit, n, share_ppm, expected_ppm, diff_ppm,
+    * tvd_ppm) — absent digits appear with n = 0, which is itself the
+    * strongest Benford violation.
+    *
+    * Scale shape: one narrow projection (leading digit via string head —
+    * engine-portable for BIGINT rendering), one 9-bucket partial-agg
+    * groupBy, the expected table a 9-literal array lookup.
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    // floor(1e6 * log10(1 + 1/d)) for d = 1..9
+    val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val counts = df.select(value.cast("long").alias("v"))
+      .filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").alias("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).alias("n"))
+    val digits = df.sparkSession.range(1, 10).toDF("digit")
+    val joined = digits.join(counts, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).alias("n"))
+    val tot = joined.agg(sum(col("n")).alias("t"))
+    val shared = joined.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "CASE WHEN t = 0 THEN 0L ELSE (n * 1000000L) DIV t END"))
+      .withColumn("expected_ppm",
+        element_at(typedLit(expected), col("digit").cast("int")))
+      .withColumn("diff_ppm", abs(col("share_ppm") - col("expected_ppm")))
+    val tvd = shared.agg(expr("sum(diff_ppm) DIV 2").alias("tvd_ppm"))
+    shared.crossJoin(broadcast(tvd))
+      .select(col("digit"), col("n"), col("share_ppm"), col("expected_ppm"),
+        col("diff_ppm"), col("tvd_ppm"))
+  }
+
   /** Chi-square test of independence between two categorical columns,
     * integer-exact: the per-cell contingency table with observed counts,
     * margin totals, expected-count ppm, and the cell's chi-square

@@ -930,6 +930,57 @@ object EventStreams {
         .reduceLeft(_ + _))
   }
 
+  /** Pairwise association rules over per-basket item sets (market-basket
+    * analysis, Agrawal et al. bounded to 2-itemsets): baskets are the
+    * distinct (basket key, item) pairs; for every ordered rule a → b the
+    * joint support, per-item supports, confidence = supp(ab)/supp(a) and
+    * lift = supp(ab)·N/(supp(a)·supp(b)), both in floor-ppm integers —
+    * the "users who did X also did Y" signal behind funnel design and
+    * feature-bundling decisions. Lift (= exp(PMI)) keeps the q80 no-log
+    * rule: same ranking, exact cross-engine.
+    *
+    * Returns (antecedent, consequent, n_joint, n_ante, n_cons, n_baskets,
+    * conf_ppm, lift_ppm), both directions of each pair, joint support >=
+    * `minSupport`.
+    *
+    * Scale shape: one distinct to the basket-item set, one within-basket
+    * equi self-join (bounded by per-basket item cardinality — the
+    * |item-vocabulary| cap, not basket row count), item-cardinality
+    * groupBys, broadcast support joins. DECIMAL(38,0) clears the
+    * lift numerator at any corpus size.
+    */
+  def associationRules(df: DataFrame, basket: Seq[Column], item: Column,
+      minSupport: Long = 1L): DataFrame = {
+    require(basket.nonEmpty, "associationRules needs at least one basket key column")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val keys = basket.zipWithIndex.map { case (c, i) => c.alias(s"__b$i") }
+    val keyCols = basket.indices.map(i => col(s"__b$i"))
+    val b = df.select((keys :+ item.alias("it")): _*)
+      .filter(col("it").isNotNull).distinct()
+    val nBaskets = b.select(keyCols: _*).distinct()
+      .agg(count(lit(1)).alias("n_baskets"))
+    val supp = b.groupBy(col("it")).agg(count(lit(1)).alias("s"))
+    val joint = b.alias("x").join(b.alias("y"),
+        basket.indices.map(i => col(s"x.__b$i") === col(s"y.__b$i"))
+          .reduce(_ && _) && col("x.it") =!= col("y.it"))
+      .groupBy(col("x.it").alias("antecedent"), col("y.it").alias("consequent"))
+      .agg(count(lit(1)).alias("n_joint"))
+      .filter(col("n_joint") >= minSupport)
+    joint
+      .join(broadcast(supp.select(col("it").alias("antecedent"),
+        col("s").alias("n_ante"))), Seq("antecedent"))
+      .join(broadcast(supp.select(col("it").alias("consequent"),
+        col("s").alias("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("conf_ppm", expr("(n_joint * 1000000L) DIV n_ante"))
+      .withColumn("lift_ppm", expr(
+        """CAST((CAST(n_joint AS DECIMAL(38,0)) * n_baskets * 1000000)
+           DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"""))
+      .select(col("antecedent"), col("consequent"), col("n_joint"),
+        col("n_ante"), col("n_cons"), col("n_baskets"), col("conf_ppm"),
+        col("lift_ppm"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for each key's events in (order cols) sequence, count every adjacent
     * (state -> next state) pair, then normalize each row of the matrix to

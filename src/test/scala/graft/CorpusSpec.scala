@@ -817,4 +817,46 @@ class CorpusSpec extends SparkSpec {
     val two = Corpus.temperatureWeights(Seq("x", "x").toDF("g"), $"g").collect().head
     assert(two == Row("x", 2L, 1414L, 1000000L))
   }
+
+  test("skipgramCounts: windowed pairs, canonical order, 1/d ppm weights, minCount prune") {
+    val df = Seq((1L, Seq("a", "b", "a", "c"))).toDF("id", "tk")
+    val all = Corpus.skipgramCounts(df, $"id", $"tk", window = 2)
+      .orderBy("w_a", "w_b").collect()
+    // pairs: (a,b)@1 twice, (a,a)@2, (b,c)@2, (a,c)@1
+    assert(all.toSeq == Seq(
+      Row("a", "a", 1L, 500000L),
+      Row("a", "b", 2L, 2000000L),
+      Row("a", "c", 1L, 1000000L),
+      Row("b", "c", 1L, 500000L)))
+    // minCount keeps only the repeated pair
+    val pruned = Corpus.skipgramCounts(df, $"id", $"tk", window = 2, minCount = 2L)
+      .collect()
+    assert(pruned.toSeq == Seq(Row("a", "b", 2L, 2000000L)))
+    // window 1 = adjacent only: no (a,a) or (b,c)
+    val w1 = Corpus.skipgramCounts(df, $"id", $"tk", window = 1)
+      .orderBy("w_a", "w_b").collect()
+    assert(w1.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 2L), ("a", "c", 1L)))
+  }
+
+  test("crossSourceOverlap: shared distinct contents only, asymmetric ppm, dup rows collapse") {
+    val df = Seq(("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "x"), ("s3", "z"))
+      .toDF("src", "t")
+    val out = Corpus.crossSourceOverlap(df, $"src", $"t").collect()
+    // only (s1, s2) share content; s2's duplicate "x" counts once
+    assert(out.toSeq == Seq(Row("s1", "s2", 1L, 2L, 1L, 500000L, 1000000L)))
+  }
+
+  test("piiScan: per-pattern counts on raw text, sequential redaction, clean text untouched") {
+    val df = Seq(
+      (1L, "mail bob@x.com or 10.0.0.1 ref 123456789x"),
+      (2L, "nothing to see"),
+      // digits inside the email count for longnum on the RAW text, but the
+      // email replacement wins the sequential redaction
+      (3L, "9876543210@example.org")).toDF("id", "t")
+    val out = Corpus.piiScan(df, $"id", $"t").orderBy("id").collect()
+    assert(out(0) == Row(1L, 1L, 1L, 1L, "mail <EMAIL> or <IP> ref <NUM>x"))
+    assert(out(1) == Row(2L, 0L, 0L, 0L, "nothing to see"))
+    assert(out(2) == Row(3L, 1L, 0L, 1L, "<EMAIL>"))
+  }
 }

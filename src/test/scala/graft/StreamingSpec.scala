@@ -272,6 +272,26 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("associationRules: distinct baskets, both rule directions, support prune, conf/lift ppm") {
+    import org.apache.spark.sql.functions.col
+    // u1: {A,B,C}, u2: {A,B}, u3: {A}; duplicate (u1, A) row must collapse
+    val df = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A")).toDF("u", "it")
+    val out = EventStreams.associationRules(df, Seq(col("u")), col("it"),
+        minSupport = 2L)
+      .orderBy("antecedent", "consequent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // supp A=3 B=2 C=1, N=3; A&B joint 2; lift = 2*3/(3*2) = 1.0
+    assert(out == Seq(
+      ("A", "B", 2L, 3L, 2L, 3L, 666666L, 1000000L),
+      ("B", "A", 2L, 2L, 3L, 3L, 1000000L, 1000000L)))
+    // minSupport 1 admits the C rules; confidence is direction-sensitive
+    val all = EventStreams.associationRules(df, Seq(col("u")), col("it"))
+      .collect()
+    assert(all.length == 6)
+  }
+
   test("transitionMatrix: adjacency per key under the order, ppm rows, last event drops") {
     import org.apache.spark.sql.functions.col
     // user 1: A(t1,id1) B(t2,id2) A(t3,id3) C(t4,id4)  -> A>B, B>A, A>C

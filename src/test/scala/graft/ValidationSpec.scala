@@ -211,6 +211,34 @@ class ValidationSpec extends SparkSpec {
     assert(out.map(_.getLong(7)).sum == 6666664L)
   }
 
+  test("cohensKappa: hand 2x2 agreement, negative kappa sign-exact, constant raters NULL") {
+    // 20 AA, 5 AB, 10 BA, 15 BB: po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("A", "A")) ++ Seq.fill(5)(("A", "B")) ++
+      Seq.fill(10)(("B", "A")) ++ Seq.fill(15)(("B", "B"))
+    val out = Validation.cohensKappa(rows.toDF("ra", "rb"), $"ra", $"rb")
+      .collect().head
+    assert(out == Row(50L, 35L, 700000L, 500000L, 400000L))
+    // systematic disagreement: kappa = -1, truncation applied to |num|
+    val neg = Validation.cohensKappa(
+      Seq(("A", "B"), ("B", "A")).toDF("ra", "rb"), $"ra", $"rb").collect().head
+    assert(neg.getLong(4) == -1000000L)
+    // both raters constant: den = 0, kappa undefined
+    val const = Validation.cohensKappa(
+      Seq(("A", "A"), ("A", "A")).toDF("ra", "rb"), $"ra", $"rb").collect().head
+    assert(const.isNullAt(4))
+  }
+
+  test("benfordAudit: leading-digit shares vs pinned constants, absent digits at 0, non-positive excluded") {
+    val df = Seq(1L, 19L, 25L, 35L, 911L, 0L, -5L).toDF("v")
+    val out = Validation.benfordAudit(df, $"v").orderBy("digit").collect()
+    assert(out.length == 9)
+    assert(out.head == Row(1L, 2L, 400000L, 301029L, 98971L, 352182L))
+    assert(out(1) == Row(2L, 1L, 200000L, 176091L, 23909L, 352182L))
+    // digits 4..8 absent -> n 0, diff = full expected mass
+    assert(out(3) == Row(4L, 0L, 0L, 96910L, 96910L, 352182L))
+    assert(out(8) == Row(9L, 1L, 200000L, 45757L, 154243L, 352182L))
+  }
+
   test("numericDrift: exact decile edges from ref, strict-greater binning, TVD") {
     val ref = (1L to 10L).toDF("v")
     val cur = Seq(1L, 11L, 12L).toDF("v")
