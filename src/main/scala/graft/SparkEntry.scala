@@ -2321,6 +2321,108 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q244_audio_energy" -> ((s, dir) => {
+      // windowed audio energy / silence map over REAL decoded PCM: q146's
+      // synth WAV folded into 32-sample windows of exact integer
+      // (abs_sum, energy = Σ s²) — the VAD/silence-trim primitive; the
+      // silence flag is one integer compare (mean |s| < 16384 ⟺ abs_sum <
+      // 16384·n). PCM is lossless, so every window replays from the synth
+      // formula in the oracle.
+      val withWav = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n")))
+        .withColumn("wav", Multimodal.synthPcmWavUdf(col("doc_id"), col("n")))
+      withWav
+        .selectCols(Seq(col("doc_id").as("id"),
+          explode(Multimodal.decodeAudioWindows(col("wav"), lit(32))).as("w")))
+        .selectCols(Seq(col("id"), col("w._1").as("win"), col("w._2").as("n"),
+          col("w._3").as("abs_sum"), col("w._4").as("energy"),
+          (col("w._3") < lit(16384L) * col("w._2")).as("silence")))
+        .sortBy(Seq(col("id"), col("win")))
+    }),
+
+    "q243_benford_stream" -> ((s, dir) => {
+      // q234's fabricated-feed alarm running MID-INGEST: leading-digit
+      // counts as a complete-mode streaming aggregation (9 longs of state),
+      // drained through the identical batch decoration — the oracle is
+      // q234's, row for row
+      val staged = java.nio.file.Files.createTempDirectory("graft_q243")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q243_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runBenfordStreamSmoke(s, staged.toString, qn,
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .sortBy(Seq(col("digit")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
+    "q242_personalized_pagerank" -> ((s, dir) => {
+      // trust radiating from seed customers (every 10th) over the q100
+      // purchase graph: teleport mass lands ONLY on seeds, so rank is
+      // proximity to the trusted set — zero means unreachable within 3
+      // rounds of the seed flow. Same DIV-floor arithmetic as q100,
+      // unrolled exactly by the oracle.
+      val o = t(s, dir, "orders").selectCols(Seq(col("o_orderkey"), col("o_custkey")))
+      val l = t(s, dir, "lineitem").selectCols(Seq(col("l_orderkey"), col("l_suppkey")))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .selectCols(Seq(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst")))
+        .distinct()
+      val seeds = edges.selectCols(Seq(col("src").as("id")))
+        .filterCol(col("id") % 10 === 0).distinct()
+      graft.operators.Graph.personalizedPagerank(edges, seeds, rounds = 3)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q241_cluster_purity" -> ((s, dir) => {
+      // do embedding clusters recover the ground-truth labels? q79's
+      // deterministic first-8 centroids assign every vector; per-cluster
+      // majority label + global purity ppm (NMI's logs fail the no-log
+      // rule — purity is the integer-exact quick read)
+      val e = t(s, dir, "embeddings")
+      Similarity.clusterPurity(
+          e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v"),
+            col("label").cast("long").as("label"))),
+          e.filterCol(col("vec_id") < 8)
+            .selectCols(Seq(col("vec_id").as("cid"), col("embedding").as("cv"))))
+        .sortBy(Seq(col("cid")))
+    }),
+
+    "q240_ab_test" -> ((s, dir) => {
+      // did the even-user cohort convert (any purchase) differently? The
+      // two-proportion z² fraction-cleared in DECIMAL — significance is
+      // one integer compare against the pinned 3841459 ppm (z=1.96)
+      // threshold, no sqrt anywhere
+      val units = t(s, dir, "events")
+        .aggregate(Seq(col("user_id")),
+          Seq(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c")))
+      Validation.abTestProportions(units,
+        col("user_id") % 2 === 0, col("c") === 1L)
+    }),
+
+    "q239_calibration" -> ((s, dir) => {
+      // is the stopword score honest as an English-probability proxy?
+      // Fixed-decile reliability report: per-bin empirical P(lang=en) vs
+      // mean score, ECE as the one-number answer — q228's AUC says the
+      // score ranks; this says whether its VALUE can be thresholded as-is
+      val toks = TextFns.tokens(col("text"))
+      val en = TextFns.StopwordSets.head._2
+      val scored = t(s, dir, "documents").selectCols(Seq(
+        size(toks).cast("long").as("nt"),
+        TextFns.stopwordHits(toks, en).cast("long").as("nh"),
+        (col("lang") === "en").as("is_en")))
+        .selectCols(Seq(
+          expr("CASE WHEN nt = 0 THEN 0L ELSE (nh * 1000000L) DIV nt END").as("score"),
+          col("is_en")))
+      Validation.calibrationReport(scored, col("score"), col("is_en"))
+        .sortBy(Seq(col("bin")))
+    }),
+
     "q238_association_rules" -> ((s, dir) =>
       // market-basket rules over (user, day) baskets of event types:
       // "users who did X that day also did Y" with integer conf/lift ppm
@@ -4572,6 +4674,167 @@ object SparkEntry {
 
     // The sweep replayed as one global running sum; ties (t, d, id) with
     // the -1 boundary first — the half-open convention both sides share.
+    // Every window replayed straight from the synth formula — the decoder
+    // is the only thing between the formula and these integers, and PCM
+    // is lossless.
+    "q244_audio_energy" ->
+      """WITH d AS (SELECT doc_id, 64 + (doc_id % 41) AS n FROM documents),
+         s AS (SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536) - 32768 AS smp
+               FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) u)
+         SELECT doc_id AS id, CAST(i // 32 AS BIGINT) AS win,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(smp)) AS BIGINT) AS abs_sum,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy,
+           SUM(ABS(smp)) < 16384 * COUNT(*) AS silence
+         FROM s GROUP BY doc_id, i // 32 ORDER BY id, win""",
+
+    // q234's report, reached through the streaming aggregation — the
+    // oracle is the batch SQL verbatim (stream == batch is the claim).
+    "q243_benford_stream" ->
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+                    FROM events),
+         d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM v WHERE v > 0),
+         cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         digits(digit, expected_ppm) AS (VALUES
+           (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+           (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+         j AS (SELECT CAST(digits.digit AS BIGINT) AS digit,
+                 COALESCE(cnt.n, 0) AS n,
+                 CAST(digits.expected_ppm AS BIGINT) AS expected_ppm
+               FROM digits LEFT JOIN cnt ON digits.digit = cnt.digit),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM j),
+         sh AS (SELECT digit, n,
+                  CASE WHEN t.t = 0 THEN 0 ELSE (n * 1000000) // t.t END AS share_ppm,
+                  expected_ppm
+                FROM j, t),
+         tv AS (SELECT CAST(SUM(ABS(share_ppm - expected_ppm)) // 2 AS BIGINT) AS tvd_ppm
+                FROM sh)
+         SELECT sh.digit, sh.n, sh.share_ppm, sh.expected_ppm,
+           CAST(ABS(sh.share_ppm - sh.expected_ppm) AS BIGINT) AS diff_ppm,
+           tv.tvd_ppm
+         FROM sh, tv ORDER BY sh.digit""",
+
+    // q100's unroll with the teleport gated on the seed flag; rank starts
+    // at scale on seeds, 0 elsewhere.
+    "q242_personalized_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         n AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         sd AS (SELECT n.id,
+                  CASE WHEN n.id IN (SELECT DISTINCT src FROM e WHERE src % 10 = 0)
+                       THEN 1 ELSE 0 END AS is_seed
+                FROM n),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS rank FROM sd),
+         c1 AS (SELECT e.dst AS id, sum(r0.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+         r1 AS (SELECT sd.id, sd.is_seed * 150000
+                  + (85 * COALESCE(c1.contrib, 0)) // 100 AS rank
+                FROM sd LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e.dst AS id, sum(r1.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+         r2 AS (SELECT sd.id, sd.is_seed * 150000
+                  + (85 * COALESCE(c2.contrib, 0)) // 100 AS rank
+                FROM sd LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e.dst AS id, sum(r2.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+         r3 AS (SELECT sd.id, sd.is_seed * 150000
+                  + (85 * COALESCE(c3.contrib, 0)) // 100 AS rank
+                FROM sd LEFT JOIN c3 USING (id))
+         SELECT id, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY id""",
+
+    // q79's assignment CTE (same IEEE distance sums, same lower-cid tie),
+    // then majority label per cluster and the global purity ppm.
+    "q241_cluster_purity" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             label
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         s AS (SELECT e.vec_id AS id, e.label, c.cid,
+                 list_sum(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+               FROM e CROSS JOIN c),
+         a AS (SELECT id, label, cid FROM (
+                 SELECT id, label, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+                 FROM s) WHERE rn = 1),
+         cell AS (SELECT cid, CAST(label AS BIGINT) AS label,
+                    CAST(COUNT(*) AS BIGINT) AS n
+                  FROM a GROUP BY 1, 2),
+         tops AS (SELECT cid, label AS top_label, n AS top_n,
+                    row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+                  FROM cell),
+         tots AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n FROM cell GROUP BY cid),
+         t1 AS (SELECT t.cid, tots.n, t.top_label, t.top_n
+                FROM tops t JOIN tots USING (cid) WHERE t.rn = 1),
+         g AS (SELECT (SUM(top_n) * 1000000) // SUM(n) AS purity_ppm FROM t1)
+         SELECT t1.cid, t1.n, t1.top_label, t1.top_n,
+           CAST(g.purity_ppm AS BIGINT) AS purity_ppm
+         FROM t1, g ORDER BY t1.cid""",
+
+    // Per-user conversion units, then the fraction-cleared z² in HUGEINT
+    // with identical degenerate-case NULLs.
+    "q240_ab_test" ->
+      """WITH u AS (SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+               FROM events GROUP BY user_id),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN c ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE c END) AS BIGINT) AS x_b
+           FROM u),
+         z AS (SELECT n_a, n_b, x_a, x_b,
+             CASE WHEN n_a = 0 THEN NULL ELSE (x_a * 1000000) // n_a END AS p_a_ppm,
+             CASE WHEN n_b = 0 THEN NULL ELSE (x_b * 1000000) // n_b END AS p_b_ppm,
+             CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0
+                    OR x_a + x_b = n_a + n_b THEN NULL
+                  ELSE CAST(((CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+                         * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+                         * (n_a + n_b) * 1000000)
+                    // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+                         * (CAST(n_a AS HUGEINT) + n_b - x_a - x_b)) AS BIGINT)
+             END AS z2_ppm
+           FROM agg)
+         SELECT n_a, n_b, x_a, x_b, p_a_ppm, p_b_ppm, z2_ppm,
+           COALESCE(z2_ppm >= 3841459, FALSE) AS significant
+         FROM z""",
+
+    // Same stopword-hit ppm score, fixed decile bins, per-bin rate vs mean
+    // score, ECE as the n-weighted gap mean — all floor division.
+    "q239_calibration" ->
+      """WITH t AS (
+           SELECT lang, list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         sc AS (SELECT
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (CAST(len(list_filter(toks, x -> list_contains(
+                          ['the','and','of','to','is','that','it','was','with','for'],
+                          x))) AS BIGINT) * 1000000) // len(toks)
+             END AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+           FROM t),
+         b AS (SELECT CAST(LEAST(GREATEST(s, 0) // 100000, 9) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos,
+                 CAST(SUM(s) AS BIGINT) AS ss
+               FROM sc GROUP BY 1),
+         r AS (SELECT bin, n, n_pos, (n_pos * 1000000) // n AS rate_ppm,
+                 ss // n AS mean_score_ppm
+               FROM b),
+         ec AS (SELECT CAST(SUM(n * ABS(rate_ppm - mean_score_ppm)) // SUM(n)
+                  AS BIGINT) AS ece_ppm
+                FROM r)
+         SELECT r.bin, r.n, r.n_pos, r.rate_ppm, r.mean_score_ppm,
+           CAST(ABS(r.rate_ppm - r.mean_score_ppm) AS BIGINT) AS gap_ppm,
+           ec.ece_ppm
+         FROM r, ec ORDER BY r.bin""",
+
     // Distinct (user, day, type) baskets, within-basket pair join, ppm
     // confidence/lift with HUGEINT-cleared numerators.
     "q238_association_rules" ->

@@ -243,6 +243,59 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).alias("n_triangles"))
   }
 
+  /** Personalized PageRank, integer-exact: [[pagerank]] with the teleport
+    * mass restricted to a SEED set — rank'(v) = [v ∈ S]·((100−dNum)·scale)
+    * DIV 100 + (dNum·Σ contrib) DIV 100, starting from rank = scale on
+    * seeds and 0 elsewhere. The "trust/relevance radiates from these
+    * nodes" prior (trusted-domain weighting, related-entity expansion)
+    * where global PageRank answers overall centrality. Same DIV-floor
+    * arithmetic as [[pagerankStep]], so `rounds` rounds unroll into exact
+    * SQL.
+    *
+    * Returns (id, rank) over ALL nodes (zeros included — a zero after r
+    * rounds is the "unreachable within r hops of the seed flow" signal).
+    *
+    * Scale shape: per round one outdeg-joined edge aggregation and one
+    * node-sized left join, lineage truncated ([[Iterative.truncate]],
+    * reliable `checkpointDir` opt-in); the seed flag rides the node frame,
+    * never a driver collection.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      dNum: Int = 85, scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(dNum >= 0 && dNum <= 100, s"dNum must be in [0,100], got $dNum")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = Iterative.truncate(edges.toDF("src", "dst"), checkpointDir)
+    val nodes = e.select(col("src").alias("id"))
+      .union(e.select(col("dst").alias("id"))).distinct()
+    val s = seeds.toDF("id").distinct()
+    val nodeSeed = Iterative.truncate(
+      nodes.join(s.withColumn("__s", lit(1L)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).alias("is_seed")),
+      checkpointDir)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).alias("outdeg"))
+    val teleport = (100L - dNum) * scale / 100L
+    var r = Iterative.truncate(
+      nodeSeed.select(col("id"), (col("is_seed") * scale).alias("rank")),
+      checkpointDir)
+    var i = 0
+    while (i < rounds) {
+      val contrib = e.join(outdeg, "src")
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").alias("id"), expr("rank DIV outdeg").alias("c"))
+        .groupBy("id").agg(sum(col("c")).alias("contrib"))
+      r = Iterative.truncate(
+        nodeSeed.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (col("is_seed") * teleport +
+              expr(s"(${dNum}L * coalesce(contrib, 0L)) DIV 100")).alias("rank")),
+        checkpointDir)
+      i += 1
+    }
+    r
+  }
+
   /** Link prediction by neighborhood overlap: for every NON-edge pair that
     * shares at least one neighbor, the common-neighbor count and the
     * Jaccard of the two neighborhoods in ppm — the Liben-Nowell/Kleinberg

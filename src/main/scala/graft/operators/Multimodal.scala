@@ -356,6 +356,47 @@ object Multimodal {
       decodeAudioInfo(bytes).map { case (n, r, c, s, a, t) => (n, r, c, s, a, t) }.orNull
     }
 
+  /** REAL windowed audio energy profile: decode the payload
+    * ([[decodeAudioInfo]]'s parser) and fold the interleaved 16-bit
+    * samples into fixed `window`-sample frames of (win, n, abs_sum,
+    * energy) — energy = Σ s², exact in a long for any window ≤ 2^23
+    * samples (32768² · 8M < 2^63). The voice-activity / silence-trim
+    * primitive a speech-data pipeline thresholds on: a window whose mean
+    * |s| sits under the floor is silence, and trimming it is the cheapest
+    * data-quality win in audio curation. The trailing partial window is
+    * reported with its honest n. None for undecodable bytes.
+    */
+  def decodeAudioWindowsInfo(bytes: Array[Byte],
+      window: Int): Option[Seq[(Long, Long, Long, Long)]] = {
+    if (bytes == null || bytes.isEmpty || window <= 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val data = ais.readAllBytes()
+      val le = !fmt.isBigEndian
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var w = 0L; var n = 0L; var abs = 0L; var energy = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        val lo = data(if (le) i else i + 1) & 0xff
+        val hi = data(if (le) i + 1 else i)
+        val s = (hi << 8) | lo
+        n += 1; abs += math.abs(s); energy += s.toLong * s
+        if (n == window) { out += ((w, n, abs, energy)); w += 1; n = 0; abs = 0; energy = 0 }
+        i += 2
+      }
+      if (n > 0) out += ((w, n, abs, energy))
+      Some(out.toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  def decodeAudioWindows: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte], window: Int) =>
+      decodeAudioWindowsInfo(bytes, window).orNull
+    }
+
   def synthPcmWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (seed: Long, n: Int) => synthPcmWav(seed, n) }
 

@@ -358,6 +358,38 @@ object Similarity {
     cents
   }
 
+  /** Cluster purity against ground-truth labels: assign every vector to
+    * its nearest centroid ([[assignToCentroids]] — l2, ties to the lower
+    * cid), then per cluster report the majority label and its share; the
+    * global purity Σ majority-count / n in floor ppm is the one-number
+    * "do embedding clusters recover the labels" check (NMI's logs fail
+    * the no-log rule; purity is integer-exact and the standard quick
+    * read). `corpus` carries (id, v, label).
+    *
+    * Returns one row per non-empty cluster (cid, n, top_label, top_n,
+    * purity_ppm — the global purity on every row). Majority ties break to
+    * the smaller label via the min-struct argmax.
+    *
+    * Scale shape: broadcast centroid assignment (one row per vector
+    * through the shuffle), a (cid, label) partial-agg groupBy, a
+    * cluster-sized argmax, a 1-row broadcast.
+    */
+  def clusterPurity(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val a = assignToCentroids(corpus.select(col("id"), col("v")), centroids)
+      .select(col("id"), col("cid"))
+    val cell = corpus.select(col("id"), col("label")).join(a, "id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).alias("n"))
+    val top = cell.groupBy(col("cid")).agg(
+        sum(col("n")).alias("n"),
+        min(struct((-col("n")).alias("nn"), col("label").alias("lbl"))).alias("m"))
+      .select(col("cid"), col("n"), col("m.lbl").alias("top_label"),
+        (-col("m.nn")).alias("top_n"))
+    val g = top.agg(expr("(sum(top_n) * 1000000L) DIV sum(n)").alias("purity_ppm"))
+    top.crossJoin(broadcast(g))
+      .select(col("cid"), col("n"), col("top_label"), col("top_n"),
+        col("purity_ppm"))
+  }
+
   /** Greedy k-center selection (Gonzalez farthest-first traversal): from
     * the deterministic seed (smallest id), repeatedly pick the point
     * FARTHEST from everything chosen so far — the classic 2-approximation

@@ -470,15 +470,22 @@ object Validation {
     * engine-portable for BIGINT rendering), one 9-bucket partial-agg
     * groupBy, the expected table a 9-literal array lookup.
     */
-  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+  def benfordAudit(df: DataFrame, value: Column): DataFrame =
+    benfordDecorate(
+      df.select(value.cast("long").alias("v"))
+        .filter(col("v") > 0L)
+        .select(substring(col("v").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).alias("n")))
+
+  /** [[benfordAudit]]'s report half over a pre-aggregated (digit, n)
+    * frame — shared with the streaming gate, whose digit counts arrive
+    * from a complete-mode streaming aggregation instead of a batch scan.
+    */
+  private[graft] def benfordDecorate(counts: DataFrame): DataFrame = {
     // floor(1e6 * log10(1 + 1/d)) for d = 1..9
     val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
       66946L, 57991L, 51152L, 45757L)
-    val counts = df.select(value.cast("long").alias("v"))
-      .filter(col("v") > 0L)
-      .select(substring(col("v").cast("string"), 1, 1).cast("long").alias("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).alias("n"))
-    val digits = df.sparkSession.range(1, 10).toDF("digit")
+    val digits = counts.sparkSession.range(1, 10).toDF("digit")
     val joined = digits.join(counts, Seq("digit"), "left_outer")
       .select(col("digit"), coalesce(col("n"), lit(0L)).alias("n"))
     val tot = joined.agg(sum(col("n")).alias("t"))
@@ -492,6 +499,87 @@ object Validation {
     shared.crossJoin(broadcast(tvd))
       .select(col("digit"), col("n"), col("share_ppm"), col("expected_ppm"),
         col("diff_ppm"), col("tvd_ppm"))
+  }
+
+  /** Calibration (reliability) report for a ppm-scaled score against a
+    * boolean outcome: fixed-width score bins, per-bin empirical positive
+    * rate vs mean score, the |gap|, and the expected calibration error
+    * ECE = Σ n_b·gap_b / n — [[rocAuc]]'s companion: AUC says the score
+    * RANKS, calibration says its VALUE means what it claims, which is
+    * what threshold-by-score silently assumes. All floor-ppm integers.
+    *
+    * Scores clamp into [0, 1e6): the top bin is closed. Returns one row
+    * per non-empty bin (bin, n, n_pos, rate_ppm, mean_score_ppm, gap_ppm,
+    * ece_ppm — the global ECE on every row).
+    *
+    * Scale shape: one narrow projection, one nBins-bucket partial-agg
+    * groupBy, a 1-row total broadcast.
+    */
+  def calibrationReport(df: DataFrame, scorePpm: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 1000000 % nBins == 0,
+      s"nBins must be >= 2 and divide 1e6 evenly, got $nBins")
+    val w = 1000000L / nBins
+    val base = df.select(scorePpm.cast("long").alias("s"),
+      when(label, 1L).otherwise(0L).alias("p"))
+    val bins = base
+      .withColumn("bin", expr(s"least(greatest(s, 0L) DIV ${w}L, ${nBins - 1}L)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).alias("n"), sum(col("p")).alias("n_pos"),
+        sum(col("s")).alias("__ss"))
+      .withColumn("rate_ppm", expr("(n_pos * 1000000L) DIV n"))
+      .withColumn("mean_score_ppm", expr("__ss DIV n"))
+      .withColumn("gap_ppm", abs(col("rate_ppm") - col("mean_score_ppm")))
+    val ece = bins.agg(
+      expr("sum(n * gap_ppm) DIV sum(n)").alias("ece_ppm"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("rate_ppm"),
+        col("mean_score_ppm"), col("gap_ppm"), col("ece_ppm"))
+  }
+
+  /** Two-proportion A/B significance, integer-exact: the squared z
+    * statistic fraction-cleared — z² = (x_a·n_b − x_b·n_a)²·(n_a+n_b) /
+    * (n_a·n_b·x·(N−x)) with x = x_a+x_b, N = n_a+n_b — in DECIMAL(38,0),
+    * emitted as floor ppm next to the pinned 95% threshold z²=3.841459
+    * (3841459 ppm), so "did the experiment move conversion" is one integer
+    * comparison with no runtime sqrt or normal table. Degenerate inputs
+    * (either arm empty, or pooled conversion 0 or 1 — no variance) yield
+    * NULL z² and false significance.
+    *
+    * Input is one row per experimental UNIT (e.g. user). Returns one row
+    * (n_a, n_b, x_a, x_b, p_a_ppm, p_b_ppm, z2_ppm, significant).
+    *
+    * Scale shape: one conditional-sum scan; everything after is 1-row
+    * arithmetic. The cleared numerator is (x·n)²·N·1e6, so DECIMAL(38,0)
+    * holds exactly up to ~1e12 unit-pairs per arm product (x_a·n_b ≤
+    * ~3e13) — beyond ~10M units per arm, test on a uniform unit sample;
+    * at that n the detectable effect is far below practical relevance
+    * anyway.
+    */
+  def abTestProportions(df: DataFrame, inTreatment: Column,
+      converted: Column): DataFrame = {
+    val base = df.select(when(inTreatment, 1L).otherwise(0L).alias("g"),
+      when(converted, 1L).otherwise(0L).alias("c"))
+    base.agg(
+        sum(col("g")).alias("n_a"), sum(lit(1L) - col("g")).alias("n_b"),
+        sum(col("g") * col("c")).alias("x_a"),
+        sum((lit(1L) - col("g")) * col("c")).alias("x_b"))
+      .withColumn("p_a_ppm", expr(
+        "CASE WHEN n_a = 0 THEN NULL ELSE (x_a * 1000000L) DIV n_a END"))
+      .withColumn("p_b_ppm", expr(
+        "CASE WHEN n_b = 0 THEN NULL ELSE (x_b * 1000000L) DIV n_b END"))
+      .withColumn("z2_ppm", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0
+                  OR x_a + x_b = n_a + n_b THEN CAST(NULL AS BIGINT)
+           ELSE CAST(((CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a)
+                  * (CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a)
+                  * (n_a + n_b) * 1000000)
+             DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b)
+                  * (CAST(n_a AS DECIMAL(38,0)) + n_b - x_a - x_b)) AS BIGINT)
+           END"""))
+      .withColumn("significant", coalesce(col("z2_ppm") >= 3841459L, lit(false)))
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("p_a_ppm"), col("p_b_ppm"), col("z2_ppm"), col("significant"))
   }
 
   /** Chi-square test of independence between two categorical columns,

@@ -727,6 +727,36 @@ object EventStreams {
     Corpus.hllFinalize(sparse, ne, b)
   }
 
+  /** TRUE-streaming Benford gate: the leading-digit counts of a positive
+    * numeric expression as a complete-mode streaming aggregation (9 longs
+    * of state for any stream length), drained and decorated through the
+    * IDENTICAL batch report ([[graft.operators.Validation.benfordDecorate]])
+    * — q234's audit running mid-ingest, so a fabricated-feed alarm fires
+    * before the batch lands. Same stream==batch contract as the HLL
+    * smokes.
+    */
+  def runBenfordStreamSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, valueExpr: String): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val q = raw.select(expr(valueExpr).cast("long").alias("v"))
+      .filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").alias("digit"))
+      .groupBy("digit").agg(count(lit(1)).alias("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val counts = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    graft.operators.Validation.benfordDecorate(counts)
+  }
+
   /** WINDOWED true-streaming HyperLogLog: distinct-per-event-time-window
     * without ever storing values — register max grouped by (tumbling
     * window, bucket), 2^b longs of state PER WINDOW, drained dense via

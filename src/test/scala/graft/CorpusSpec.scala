@@ -173,6 +173,27 @@ class CorpusSpec extends SparkSpec {
     assert(Graph.kCorePeel(path, k = 2, rounds = 3).count() == 0)
   }
 
+  test("personalizedPagerank: teleport lands only on seeds, hand rounds, no-seed graph all zero") {
+    import graft.operators.Graph
+    // path 1 -> 2 -> 3, seed {1}, d = 50/100, scale 100
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: 100/0/0; r1: 1 -> 50 (teleport only), 2 -> 50*100/100 = 50, 3 -> 0
+    val r1 = Graph.personalizedPagerank(edges, seeds, rounds = 1,
+      dNum = 50, scale = 100L)
+    assert(m(r1) == Map(1L -> 50L, 2L -> 50L, 3L -> 0L))
+    // r2: 1 -> 50, 2 -> 50*50/100 = 25, 3 -> 25
+    val r2 = Graph.personalizedPagerank(edges, seeds, rounds = 2,
+      dNum = 50, scale = 100L)
+    assert(m(r2) == Map(1L -> 50L, 2L -> 25L, 3L -> 25L))
+    // empty seed set: no teleport source, every rank collapses to zero
+    val none = Graph.personalizedPagerank(edges,
+      Seq.empty[Long].toDF("id"), rounds = 1, dNum = 50, scale = 100L)
+    assert(m(none) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("linkPrediction: wedge candidates only, known edges dropped, hub cap excludes through-nodes") {
     import graft.operators.Graph
     // 1-2, 1-3, 2-3, 3-4: the only non-edges sharing a neighbor are

@@ -172,6 +172,24 @@ class MultimodalSpec extends SparkSpec {
     assert(sum == samples.sum && abs == samples.map(math.abs).sum)
   }
 
+  test("REAL codec: windowed audio energy — exact per-window sums, honest trailing window") {
+    val seed = 1057L; val n = 100; val w = 32
+    val wav = Multimodal.synthPcmWav(seed, n)
+    val Some(wins) = Multimodal.decodeAudioWindowsInfo(wav, w)
+    val samples = (0 until n).map(i => ((seed * 31 + i * 7) % 65536 - 32768).toLong)
+    val expect = samples.grouped(w).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.length.toLong, g.map(math.abs).sum, g.map(s => s * s).sum)
+    }.toSeq
+    assert(wins == expect)
+    // 100 = 3 full windows of 32 + trailing 4
+    assert(wins.length == 4 && wins.last._2 == 4L)
+    // window bigger than the clip: one partial window holding everything
+    val Some(one) = Multimodal.decodeAudioWindowsInfo(wav, 1000)
+    assert(one == Seq((0L, 100L, samples.map(math.abs).sum,
+      samples.map(s => s * s).sum)))
+    assert(Multimodal.decodeAudioWindowsInfo("junk".getBytes, w).isEmpty)
+  }
+
   test("REAL video: animated-GIF frame sampling reports exact per-frame sums") {
     // frame f pixel(x,y) = (seed*31 + f*17 + x*7 + y*13) % 256; GIF LZW is
     // lossless on the indexed raster, so every kept frame's sum must match

@@ -174,6 +174,27 @@ class SimilaritySpec extends SparkSpec {
     assert(fitted(1L).zip(Seq(31.0 / 3, 32.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("clusterPurity: majority label per cluster, smaller-label ties, global ppm") {
+    val corpus = Seq(
+      (1L, Seq(0.0f, 1.0f), 1L), (2L, Seq(1.0f, 0.0f), 1L),
+      (3L, Seq(0.5f, 0.0f), 2L),
+      (4L, Seq(10.0f, 10.0f), 2L), (5L, Seq(9.0f, 10.0f), 2L))
+      .toDF("id", "v", "label")
+    val cents = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f))).toDF("cid", "cv")
+    val out = graft.operators.Similarity.clusterPurity(corpus, cents)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // cluster 0: labels {1:2, 2:1} -> top 1; cluster 1: all 2
+    // purity = (2 + 2) / 5
+    assert(out == Seq((0L, 3L, 1L, 2L, 800000L), (1L, 2L, 2L, 2L, 800000L)))
+    // majority tie: equal counts pick the smaller label
+    val tied = Seq((1L, Seq(0.0f), 5L), (2L, Seq(0.0f), 3L)).toDF("id", "v", "label")
+    val oneC = Seq((0L, Seq(0.0f))).toDF("cid", "cv")
+    val t = graft.operators.Similarity.clusterPurity(tied, oneC).collect().head
+    assert(t.getLong(2) == 3L && t.getLong(3) == 1L)
+  }
+
   test("kCenterSelect: farthest-first picks, non-increasing radii, smaller-id ties") {
     // (0,0) (10,0) (0,1) (5,5) (10,1): seed id 1; farthest 5 (d 101);
     // then 4 (min-dist 41); then md(2)=md(3)=1.0 ties to id 2

@@ -567,6 +567,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(0).getLong(3) == 313L) // n_exact instrument
   }
 
+  test("streaming Benford: drained digit counts decorate into the exact batch report") {
+    import graft.operators.Validation
+    val dir = java.nio.file.Files.createTempDirectory("graft_benford").toString
+    val df = (1 to 400).map(i => (i.toLong, (i * i).toLong)).toDF("id", "v")
+    df.write.parquet(s"$dir/data.parquet")
+    val streamed = EventStreams.runBenfordStreamSmoke(
+        spark, s"$dir/data.parquet", "graft_benford_test", "v")
+      .orderBy("digit").collect()
+    val batch = Validation.benfordAudit(
+        spark.read.parquet(s"$dir/data.parquet"), $"v")
+      .orderBy("digit").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 9)
+  }
+
   test("windowed streaming HLL: per-window registers equal the batch grouped sketch") {
     import graft.operators.Corpus
     val dir = java.nio.file.Files.createTempDirectory("graft_hllwin").toString

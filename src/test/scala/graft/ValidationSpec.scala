@@ -239,6 +239,37 @@ class ValidationSpec extends SparkSpec {
     assert(out(8) == Row(9L, 1L, 200000L, 45757L, 154243L, 352182L))
   }
 
+  test("calibrationReport: fixed bins with clamping, per-bin rate vs mean score, ECE") {
+    val df = Seq((50000L, true), (50000L, false), (950000L, true),
+      (1500000L, false)).toDF("s", "lbl")
+    val out = Validation.calibrationReport(df, $"s", $"lbl", nBins = 10)
+      .orderBy("bin").collect()
+    // bin 0: rate 1/2, mean score 50000; bin 9 holds 950000 AND the
+    // clamped 1500000: rate 1/2, mean 1225000
+    assert(out.toSeq == Seq(
+      Row(0L, 2L, 1L, 500000L, 50000L, 450000L, 587500L),
+      Row(9L, 2L, 1L, 500000L, 1225000L, 725000L, 587500L)))
+    // ECE = (2*450000 + 2*725000) / 4
+    assert(out.head.getLong(6) == 587500L)
+  }
+
+  test("abTestProportions: z² at the significance boundary, degenerate NULLs") {
+    // 5/10 vs 1/10: z² = 1600*20e6/8400 = 3809523 ppm — just UNDER 3.8415
+    val close = (1 to 10).map(i => ("a", i <= 5)) ++ (1 to 10).map(i => ("b", i <= 1))
+    val out = Validation.abTestProportions(close.toDF("g", "c"),
+      $"g" === "a", $"c").collect().head
+    assert(out == Row(10L, 10L, 5L, 1L, 500000L, 100000L, 3809523L, false))
+    // 5/10 vs 0/10: z² = 2500*20e6/7500 = 6666666 ppm — significant
+    val wide = (1 to 10).map(i => ("a", i <= 5)) ++ (1 to 10).map(_ => ("b", false))
+    val sig = Validation.abTestProportions(wide.toDF("g", "c"),
+      $"g" === "a", $"c").collect().head
+    assert(sig.getLong(6) == 6666666L && sig.getBoolean(7))
+    // everyone converted: no variance, NULL z², not significant
+    val flat = Seq(("a", true), ("b", true)).toDF("g", "c")
+    val f = Validation.abTestProportions(flat, $"g" === "a", $"c").collect().head
+    assert(f.isNullAt(6) && !f.getBoolean(7))
+  }
+
   test("numericDrift: exact decile edges from ref, strict-greater binning, TVD") {
     val ref = (1L to 10L).toDF("v")
     val cur = Seq(1L, 11L, 12L).toDF("v")
