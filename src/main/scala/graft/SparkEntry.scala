@@ -2321,6 +2321,60 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q249_hits" -> ((s, dir) => {
+      // hubs vs authorities over the purchase bipartite graph — the two
+      // roles q100's single PageRank score conflates: prolific customers
+      // (hubs) vs widely-bought suppliers (authorities). Max-normalized
+      // integer rounds (no sqrt), unrolled exactly by the oracle.
+      val o = t(s, dir, "orders").selectCols(Seq(col("o_orderkey"), col("o_custkey")))
+      val l = t(s, dir, "lineitem").selectCols(Seq(col("l_orderkey"), col("l_suppkey")))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .selectCols(Seq(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst")))
+        .distinct()
+      graft.operators.Graph.hits(edges, rounds = 2)
+        .sortBy(Seq(col("kind"), col("id")))
+    }),
+
+    "q248_attribution" -> ((s, dir) =>
+      // what action immediately precedes a purchase? Last-touch credit
+      // within 24h per user — user-keyed join, per-conversion argmax, the
+      // '(none)' bucket for unattributable conversions; deterministic
+      // larger-id tie at equal timestamps
+      EventStreams.lastTouchAttribution(
+          t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "purchase", col("event_type"),
+          windowHours = 24)
+        .sortBy(Seq(col("channel")))),
+
+    "q247_autocorrelation" -> ((s, dir) =>
+      // daily-cycle detector: lag-1 and lag-24 autocorrelation of hourly
+      // event counts per type, from exact DECIMAL co-moments with q78's
+      // IEEE tail — pairs exist only where both hours do (sparse
+      // semantics)
+      EventStreams.autocorrelation(
+          t(s, dir, "events"), col("event_type"), col("ts"), Seq(1, 24))
+        .sortBy(Seq(col("key"), col("lag")))),
+
+    "q246_decision_stump" -> ((s, dir) =>
+      // the strongest cheap baseline: one exact Gini-optimal threshold on
+      // n_chars predicting lang='en', candidates = the exact decile edges,
+      // majority-vote accuracy attached — a learned quality classifier
+      // must beat this number to justify its cost
+      Validation.decisionStump(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+
+    "q245_gini_importance" -> ((s, dir) =>
+      // which metadata column carries signal about language? Gini
+      // impurity reduction per feature (source, and the n_chars/100
+      // length bucket) — entropy's logs fail the no-log rule, Gini ranks
+      // the same and stays integer
+      Validation.giniFeatureImportance(t(s, dir, "documents"),
+          col("lang"), Seq(
+            "lenbucket" -> expr("n_chars DIV 100"),
+            "source" -> col("source")))
+        .sortBy(Seq(col("feature")))),
+
     "q244_audio_energy" -> ((s, dir) => {
       // windowed audio energy / silence map over REAL decoded PCM: q146's
       // synth WAV folded into 32-sample windows of exact integer
@@ -4674,6 +4728,183 @@ object SparkEntry {
 
     // The sweep replayed as one global running sum; ties (t, d, id) with
     // the -1 boundary first — the half-open convention both sides share.
+    // Two unrolled max-normalized rounds: a from h, h from a, each half
+    // pinned at 1e6 by its own maximum in HUGEINT floor division.
+    "q249_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS score FROM e),
+         a1r AS (SELECT e.dst AS id, CAST(SUM(h0.score) AS BIGINT) AS s
+                 FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
+         a1m AS (SELECT MAX(s) AS m FROM a1r),
+         a1 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 1000000) // m AS BIGINT) AS score
+                FROM a1r, a1m),
+         h1r AS (SELECT e.src AS id, CAST(SUM(a1.score) AS BIGINT) AS s
+                 FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+         h1m AS (SELECT MAX(s) AS m FROM h1r),
+         h1 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 1000000) // m AS BIGINT) AS score
+                FROM h1r, h1m),
+         a2r AS (SELECT e.dst AS id, CAST(SUM(h1.score) AS BIGINT) AS s
+                 FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+         a2m AS (SELECT MAX(s) AS m FROM a2r),
+         a2 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 1000000) // m AS BIGINT) AS score
+                FROM a2r, a2m),
+         h2r AS (SELECT e.src AS id, CAST(SUM(a2.score) AS BIGINT) AS s
+                 FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+         h2m AS (SELECT MAX(s) AS m FROM h2r),
+         h2 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 1000000) // m AS BIGINT) AS score
+                FROM h2r, h2m)
+         SELECT id, 'hub' AS kind, score FROM h2
+         UNION ALL SELECT id, 'auth' AS kind, score FROM a2
+         ORDER BY kind, id""",
+
+    // Per-conversion argmax via ROW_NUMBER (tt DESC, tid DESC) over the
+    // windowed left join; NULL touch coalesces to '(none)'.
+    "q248_attribution" ->
+      """WITH b AS (SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t,
+                 event_id AS eid, event_type = 'purchase' AS conv,
+                 event_type AS ch
+               FROM events),
+         c AS (SELECT u, t AS ct, eid AS cid FROM b WHERE conv),
+         tc AS (SELECT u, t AS tt, eid AS tid, ch FROM b WHERE NOT conv),
+         j AS (SELECT c.cid, tc.tt, tc.tid, tc.ch
+               FROM c LEFT JOIN tc ON c.u = tc.u AND tc.tt < c.ct
+                 AND tc.tt >= c.ct - 86400000000),
+         r AS (SELECT cid, ch, ROW_NUMBER() OVER (
+                 PARTITION BY cid ORDER BY tt DESC NULLS LAST, tid DESC) AS rn
+               FROM j),
+         cr AS (SELECT COALESCE(ch, '(none)') AS channel FROM r WHERE rn = 1),
+         ct2 AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credited
+                 FROM cr GROUP BY channel),
+         t2 AS (SELECT CAST(SUM(n_credited) AS BIGINT) AS t FROM ct2)
+         SELECT channel, n_credited, (n_credited * 1000000) // t2.t AS share_ppm
+         FROM ct2, t2 ORDER BY channel""",
+
+    // Hourly counts paired at +lag per key, then q78's exact co-moments
+    // and identical IEEE tail.
+    "q247_autocorrelation" ->
+      """WITH h AS (SELECT event_type AS k,
+                 CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+         p AS (SELECT l.k, l.x, r.x AS y, CAST(1 AS BIGINT) AS lag
+               FROM h l JOIN h r ON l.k = r.k AND r.b = l.b + 1
+               UNION ALL
+               SELECT l.k, l.x, r.x, CAST(24 AS BIGINT)
+               FROM h l JOIN h r ON l.k = r.k AND r.b = l.b + 24),
+         m AS (SELECT k, lag, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(30,6))) AS sx,
+                 SUM(CAST(y AS DECIMAL(30,6))) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(30,6))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(30,6))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(30,6))) AS syy
+               FROM p GROUP BY k, lag),
+         d AS (SELECT k, lag, n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                 CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+                 CAST(syy AS DOUBLE) AS syy
+               FROM m)
+         SELECT k AS key, lag, n,
+           round(CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+             THEN (nd * sxy - sx * sy)
+               / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+             END, 6) AS corr
+         FROM d ORDER BY key, lag""",
+
+    // Decile-edge candidates by the exact rank rule, prefix-summed class
+    // counts, fraction-cleared Gini per side, (wg, threshold) argmin.
+    "q246_decision_stump" ->
+      """WITH base AS (SELECT n_chars AS v,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+               FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+         rk AS (SELECT v,
+                  ((CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) - 1) * 10)
+                    // nn.nn AS bin
+                FROM base, nn),
+         ed0 AS (SELECT bin, MAX(v) AS e FROM rk WHERE bin < 9 GROUP BY bin),
+         ed AS (SELECT e, ROW_NUMBER() OVER (ORDER BY e) - 1 AS i
+                FROM (SELECT DISTINCT e FROM ed0)),
+         bb AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed
+                        WHERE base.v > ed.e) AS bin, p
+                FROM base),
+         pb AS (SELECT bin, CAST(SUM(p) AS BIGINT) AS bp,
+                  CAST(SUM(1 - p) AS BIGINT) AS bn
+                FROM bb GROUP BY bin),
+         tt AS (SELECT CAST(SUM(bp) AS BIGINT) AS tp,
+                  CAST(SUM(bn) AS BIGINT) AS tn FROM pb),
+         pre AS (SELECT bin,
+                  CAST(SUM(bp) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lp,
+                  CAST(SUM(bn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln
+                FROM pb),
+         cand AS (SELECT ed.e AS threshold, pre.lp, pre.ln
+                  FROM pre JOIN ed ON ed.i = pre.bin),
+         sc AS (SELECT threshold, lp, ln, tp - lp AS rp, tn - ln AS rn,
+                  lp + ln AS nl, tp + tn - lp - ln AS nr
+                FROM cand, tt),
+         g AS (SELECT threshold, nl, nr,
+                 CASE WHEN nl = 0 THEN 0 ELSE 1000000
+                   - CAST(((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
+                       * 1000000) // (CAST(nl AS HUGEINT) * nl) AS BIGINT) END AS gl,
+                 CASE WHEN nr = 0 THEN 0 ELSE 1000000
+                   - CAST(((CAST(rp AS HUGEINT) * rp + CAST(rn AS HUGEINT) * rn)
+                       * 1000000) // (CAST(nr AS HUGEINT) * nr) AS BIGINT) END AS gr,
+                 GREATEST(lp, ln) + GREATEST(rp, rn) AS hits
+               FROM sc),
+         w AS (SELECT threshold, nl, nr,
+                 CAST((CAST(nl AS HUGEINT) * gl + CAST(nr AS HUGEINT) * gr)
+                   // (nl + nr) AS BIGINT) AS wg,
+                 (hits * 1000000) // (nl + nr) AS acc
+               FROM g),
+         best AS (SELECT * FROM w ORDER BY wg, threshold LIMIT 1),
+         bg AS (SELECT 1000000 - CAST(((CAST(tp AS HUGEINT) * tp
+                    + CAST(tn AS HUGEINT) * tn) * 1000000)
+                  // (CAST(tp + tn AS HUGEINT) * (tp + tn)) AS BIGINT)
+                  AS base_gini_ppm
+                FROM tt)
+         SELECT best.threshold, best.nl AS n_left, best.nr AS n_right,
+           bg.base_gini_ppm, best.wg AS weighted_gini_ppm,
+           CAST(bg.base_gini_ppm - best.wg AS BIGINT) AS reduction_ppm,
+           best.acc AS acc_ppm
+         FROM best, bg""",
+
+    // Fraction-cleared Gini per feature value in HUGEINT, nv-weighted
+    // child impurity, base minus weighted.
+    "q245_gini_importance" ->
+      """WITH base AS (SELECT lang AS y,
+                 CAST(n_chars // 100 AS VARCHAR) AS f_lenbucket,
+                 source AS f_source
+               FROM documents),
+         cc AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY y),
+         br AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CAST(c AS HUGEINT) * c) AS ss FROM cc),
+         b2 AS (SELECT n, 1000000 - CAST((ss * 1000000)
+                  // (CAST(n AS HUGEINT) * n) AS BIGINT) AS bg FROM br),
+         f1 AS (SELECT f_lenbucket AS v, y, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2),
+         g1 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS nv,
+                  SUM(CAST(c AS HUGEINT) * c) AS ss FROM f1 GROUP BY v),
+         h1 AS (SELECT nv, 1000000 - CAST((ss * 1000000)
+                  // (CAST(nv AS HUGEINT) * nv) AS BIGINT) AS gv FROM g1),
+         r1 AS (SELECT 'lenbucket' AS feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+                  CAST(SUM(CAST(nv AS HUGEINT) * gv) // SUM(nv) AS BIGINT) AS wg
+                FROM h1),
+         f2 AS (SELECT f_source AS v, y, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2),
+         g2 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS nv,
+                  SUM(CAST(c AS HUGEINT) * c) AS ss FROM f2 GROUP BY v),
+         h2 AS (SELECT nv, 1000000 - CAST((ss * 1000000)
+                  // (CAST(nv AS HUGEINT) * nv) AS BIGINT) AS gv FROM g2),
+         r2 AS (SELECT 'source' AS feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+                  CAST(SUM(CAST(nv AS HUGEINT) * gv) // SUM(nv) AS BIGINT) AS wg
+                FROM h2),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         SELECT u.feature, u.n_values, b2.bg AS base_gini_ppm,
+           u.wg AS weighted_gini_ppm,
+           CAST(b2.bg - u.wg AS BIGINT) AS reduction_ppm
+         FROM u, b2 ORDER BY u.feature""",
+
     // Every window replayed straight from the synth formula — the decoder
     // is the only thing between the formula and these integers, and PCM
     // is lossless.

@@ -296,6 +296,56 @@ object Graph {
     r
   }
 
+  /** HITS hubs-and-authorities, integer-exact: authority(v) = Σ_{u→v}
+    * hub(u), hub(u) = Σ_{u→v} authority(v), each half-round renormalized
+    * by DIV-flooring against the current maximum (score·scale DIV max) —
+    * max-normalization instead of the textbook L2 norm, so no sqrt exists
+    * and `rounds` rounds unroll into exact SQL (the q100 discipline). On a
+    * purchase/link bipartite graph this separates "prolific pointers"
+    * (hubs) from "widely pointed-at" entities (authorities) — the two
+    * roles PageRank's single score conflates.
+    *
+    * Returns (id, kind, score) with kind ∈ {'hub', 'auth'}: hubs are the
+    * distinct src nodes, authorities the distinct dst nodes (a node id
+    * appearing on both sides gets one row per role). Scores are in
+    * [0, scale], the round's maximum pinned at scale exactly.
+    *
+    * Scale shape: per round two edge-keyed partial-agg joins and two
+    * 1-row max broadcasts; lineage truncated per round
+    * ([[Iterative.truncate]], reliable `checkpointDir` opt-in).
+    */
+  def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = Iterative.truncate(edges.toDF("src", "dst"), checkpointDir)
+    var h = Iterative.truncate(
+      e.select(col("src").alias("id")).distinct()
+        .select(col("id"), lit(scale).alias("score")),
+      checkpointDir)
+    var a: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      val araw = e.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").alias("id")).agg(sum(col("score")).alias("s"))
+      val amax = araw.agg(max(col("s")).alias("m"))
+      a = Iterative.truncate(
+        araw.crossJoin(broadcast(amax))
+          .select(col("id"), expr(s"CAST((CAST(s AS DECIMAL(38,0)) * ${scale}L) DIV m AS BIGINT)").alias("score")),
+        checkpointDir)
+      val hraw = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").alias("id")).agg(sum(col("score")).alias("s"))
+      val hmax = hraw.agg(max(col("s")).alias("m"))
+      h = Iterative.truncate(
+        hraw.crossJoin(broadcast(hmax))
+          .select(col("id"), expr(s"CAST((CAST(s AS DECIMAL(38,0)) * ${scale}L) DIV m AS BIGINT)").alias("score")),
+        checkpointDir)
+      i += 1
+    }
+    h.select(col("id"), lit("hub").alias("kind"), col("score"))
+      .union(a.select(col("id"), lit("auth").alias("kind"), col("score")))
+  }
+
   /** Link prediction by neighborhood overlap: for every NON-edge pair that
     * shares at least one neighbor, the common-neighbor count and the
     * Jaccard of the two neighborhoods in ppm — the Liben-Nowell/Kleinberg

@@ -537,6 +537,134 @@ object Validation {
         col("mean_score_ppm"), col("gap_ppm"), col("ece_ppm"))
   }
 
+  /** Gini feature importance, integer-exact: for each categorical feature,
+    * the impurity reduction a single split on it buys against a
+    * categorical label — base Gini 1e6 − (Σ c²·1e6) DIV n² minus the
+    * per-value-weighted child impurity (Σ n_v·gini_v) DIV n, all floor-ppm
+    * with DECIMAL(38,0)-cleared squares. The feature-ranking pass a
+    * labeling pipeline runs before training anything: a near-zero
+    * reduction means the feature carries no signal for this label;
+    * entropy/information-gain needs logs and fails the no-log rule, and
+    * Gini ranks near-identically.
+    *
+    * Returns one row per feature (feature, n_values, base_gini_ppm,
+    * weighted_gini_ppm, reduction_ppm). NULL feature values form their
+    * own split branch; NULL labels their own class (both conservative).
+    *
+    * Scale shape per feature: one (value, class) partial-agg groupBy, one
+    * value-sized reduction, a 1-row base broadcast; features iterate as a
+    * bounded driver list (schema-sized, the kmeans-centroid precedent).
+    */
+  def giniFeatureImportance(df: DataFrame, label: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "giniFeatureImportance needs at least one feature")
+    val dec = "DECIMAL(38,0)"
+    val base = df.select((label.cast("string").alias("y") +:
+      features.map { case (n, c) => c.cast("string").alias(s"__f_$n") }): _*)
+    val classCounts = base.groupBy(col("y")).agg(count(lit(1)).alias("c"))
+    val baseRow = classCounts.agg(sum(col("c")).alias("n"),
+        sum(expr(s"CAST(c AS $dec) * c")).alias("ss"))
+      .select(col("n"),
+        expr(s"1000000L - CAST((ss * 1000000) DIV (CAST(n AS $dec) * n) AS BIGINT)")
+          .alias("base_gini_ppm"))
+    val perFeature = features.map { case (name, _) =>
+      val vc = base.groupBy(col(s"__f_$name").alias("v"), col("y"))
+        .agg(count(lit(1)).alias("c"))
+      val gv = vc.groupBy(col("v")).agg(sum(col("c")).alias("nv"),
+          sum(expr(s"CAST(c AS $dec) * c")).alias("ss"))
+        .select(col("nv"),
+          expr(s"1000000L - CAST((ss * 1000000) DIV (CAST(nv AS $dec) * nv) AS BIGINT)")
+            .alias("gv"))
+      gv.agg(count(lit(1)).alias("n_values"),
+          sum(expr(s"CAST(nv AS $dec) * gv")).alias("wsum"),
+          sum(col("nv")).alias("nt"))
+        .crossJoin(broadcast(baseRow))
+        .select(lit(name).alias("feature"), col("n_values"),
+          col("base_gini_ppm"),
+          expr(s"CAST(wsum DIV nt AS BIGINT)").alias("weighted_gini_ppm"))
+        .withColumn("reduction_ppm",
+          col("base_gini_ppm") - col("weighted_gini_ppm"))
+    }
+    perFeature.reduce(_.union(_))
+  }
+
+  /** Exact one-split decision stump on a numeric feature vs a boolean
+    * label: candidate thresholds are the feature's exact decile edges
+    * (the [[graft.operators.Relational.quantileBins]] rank rule — never
+    * approxQuantile), each scored by weighted Gini of the (v <= t) /
+    * (v > t) split; the winner (max reduction, ties to the smaller
+    * threshold) is returned with its majority-vote accuracy. The simplest
+    * trainable model, and therefore the strongest BASELINE a learned
+    * quality classifier must beat before its cost is justified — all
+    * integer, so training replays cross-engine.
+    *
+    * Returns one row (threshold, n_left, n_right, base_gini_ppm,
+    * weighted_gini_ppm, reduction_ppm, acc_ppm). Degenerate splits (all
+    * rows one side) score as no-reduction and lose to any real split.
+    *
+    * Scale shape: one quantileBins edge probe (bounded driver state), one
+    * per-bin (pos, neg) partial-agg groupBy, prefix sums over the ≤nBins
+    * aggregate, a 1-row argmax.
+    */
+  def decisionStump(df: DataFrame, value: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val dec = "DECIMAL(38,0)"
+    val base = df.select(value.cast("long").alias("v"),
+      when(label, 1L).otherwise(0L).alias("p"))
+    val binned = Relational.quantileBins(
+      base.withColumn("id", monotonically_increasing_id()), col("id"), col("v"), nBins)
+    val edges = binned.groupBy(col("bin")).agg(max(col("v")).alias("e"))
+      .filter(col("bin") < nBins - 1)
+      .orderBy(col("bin")).collect().map(_.getLong(1)).distinct.sorted
+    val ecol = typedLit(edges)
+    val perBin = base
+      .withColumn("bin", size(filter(ecol, e => col("v") > e)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(col("p")).alias("bp"), sum(lit(1L) - col("p")).alias("bn"))
+    val tot = perBin.agg(sum(col("bp")).alias("tp"), sum(col("bn")).alias("tn"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    // threshold candidates = edges; the split at edges(i) keeps bins 0..i left
+    val scored = perBin
+      .withColumn("lp", sum(col("bp")).over(w))
+      .withColumn("ln", sum(col("bn")).over(w))
+      .filter(col("bin") < edges.length)
+      .withColumn("threshold", element_at(ecol, (col("bin") + 1).cast("int")))
+      .crossJoin(broadcast(tot))
+      .withColumn("rp", col("tp") - col("lp"))
+      .withColumn("rn", col("tn") - col("ln"))
+      .withColumn("nl", col("lp") + col("ln"))
+      .withColumn("nr", col("rp") + col("rn"))
+      .withColumn("gl", expr(
+        s"""CASE WHEN nl = 0 THEN 0L ELSE 1000000L -
+           CAST(((CAST(lp AS $dec) * lp + CAST(ln AS $dec) * ln) * 1000000)
+             DIV (CAST(nl AS $dec) * nl) AS BIGINT) END"""))
+      .withColumn("gr", expr(
+        s"""CASE WHEN nr = 0 THEN 0L ELSE 1000000L -
+           CAST(((CAST(rp AS $dec) * rp + CAST(rn AS $dec) * rn) * 1000000)
+             DIV (CAST(nr AS $dec) * nr) AS BIGINT) END"""))
+      .withColumn("wg", expr(
+        s"CAST((CAST(nl AS $dec) * gl + CAST(nr AS $dec) * gr) DIV (nl + nr) AS BIGINT)"))
+      .withColumn("acc", expr(
+        "((greatest(lp, ln) + greatest(rp, rn)) * 1000000L) DIV (nl + nr)"))
+    val best = scored.agg(min(struct(col("wg"), col("threshold").alias("t"),
+        col("nl"), col("nr"), col("acc"))).alias("m"))
+    best.crossJoin(broadcast(
+        tot.select(expr(
+          s"""1000000L - CAST(((CAST(tp AS $dec) * tp + CAST(tn AS $dec) * tn) * 1000000)
+             DIV (CAST(tp + tn AS $dec) * (tp + tn)) AS BIGINT)""")
+          .alias("base_gini_ppm"))))
+      .select(col("m.t").alias("threshold"), col("m.nl").alias("n_left"),
+        col("m.nr").alias("n_right"), col("base_gini_ppm"),
+        col("m.wg").alias("weighted_gini_ppm"))
+      .withColumn("reduction_ppm", col("base_gini_ppm") - col("weighted_gini_ppm"))
+      .crossJoin(broadcast(best.select(col("m.acc").alias("acc_ppm"))))
+      .select(col("threshold"), col("n_left"), col("n_right"),
+        col("base_gini_ppm"), col("weighted_gini_ppm"), col("reduction_ppm"),
+        col("acc_ppm"))
+  }
+
   /** Two-proportion A/B significance, integer-exact: the squared z
     * statistic fraction-cleared — z² = (x_a·n_b − x_b·n_a)²·(n_a+n_b) /
     * (n_a·n_b·x·(N−x)) with x = x_a+x_b, N = n_a+n_b — in DECIMAL(38,0),

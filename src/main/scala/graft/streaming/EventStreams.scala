@@ -960,6 +960,87 @@ object EventStreams {
         .reduceLeft(_ + _))
   }
 
+  /** Lag-k autocorrelation of per-key hourly event counts — the
+    * periodicity detector: r(24) near 1 on hourly buckets means a daily
+    * cycle, r(1) near 0 means bursts don't persist; both feed anomaly
+    * thresholds ([[rateAnomalies]]) and capacity plans. Counts pair as
+    * (x_t, x_{t+lag}) over buckets where BOTH exist (sparse semantics —
+    * missing hours are absent, not zero), and the correlation comes from
+    * exact DECIMAL co-moments with q78's two-op IEEE tail, so the doubles
+    * hash-match cross-engine.
+    *
+    * Returns one row per (key, lag): (key, lag, n, corr) — corr NULL when
+    * either side is constant (undefined), n the pair count.
+    *
+    * Scale shape per lag: the hourly aggregate (key-and-bucket sized, not
+    * event sized) self-equi-joins on (key, bucket+lag), then corrStats'
+    * partial-agg moment reduction per key.
+    */
+  def autocorrelation(events: DataFrame, key: Column, ts: Column,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    import graft.operators.Relational.GraftOps
+    val hourly = events
+      .groupBy(key.alias("k"),
+        (unix_timestamp(date_trunc("hour", ts)) / 3600L).cast("long").alias("b"))
+      .agg(count(lit(1)).alias("x"))
+    val perLag = lags.map { lag =>
+      val paired = hourly.alias("l").join(
+          hourly.select(col("k"), (col("b") - lag).alias("b"),
+            col("x").alias("y")).alias("r"),
+          Seq("k", "b"))
+      paired.corrStats(Seq(col("k")), col("x"), col("y"))
+        .select(col("k").alias("key"), lit(lag.toLong).alias("lag"),
+          col("n"), round(col("corr"), 6).alias("corr"))
+    }
+    perLag.reduce(_.union(_))
+  }
+
+  /** Last-touch conversion attribution: each conversion event credits the
+    * LATEST preceding touch (non-conversion) event by the same user within
+    * `windowHours` — the standard marketing attribution read, and more
+    * generally "what action immediately precedes the outcome". Ties at
+    * the same timestamp break to the larger touch id (the latest-writer
+    * convention), conversions with no in-window touch credit the
+    * '(none)' channel; every choice is deterministic, so the report
+    * replays as SQL.
+    *
+    * Returns (channel, n_credited, share_ppm) over all conversions.
+    *
+    * Scale shape: one user-keyed equi-join with the window as a residual
+    * range predicate (a user's history is the join cell — never a global
+    * range join), a per-conversion max-struct argmax (one row per
+    * conversion through the shuffle), a channel-sized groupBy, a 1-row
+    * total broadcast.
+    */
+  def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
+      id: Column, isConversion: Column, channel: Column,
+      windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1, got $windowHours")
+    val base = events.select(user.alias("u"),
+      unix_micros(ts.cast("timestamp")).alias("t"), id.alias("eid"),
+      isConversion.alias("conv"), channel.alias("ch"))
+    val convs = base.filter(col("conv"))
+      .select(col("u"), col("t").alias("ct"), col("eid").alias("cid"))
+    val touches = base.filter(!col("conv"))
+      .select(col("u"), col("t").alias("tt"), col("eid").alias("tid"),
+        col("ch"))
+    val winUs = windowHours * 3600L * 1000000L
+    val credited = convs.join(touches,
+        convs("u") === touches("u") && col("tt") < col("ct") &&
+          col("tt") >= col("ct") - winUs, "left")
+      .groupBy(col("cid"))
+      .agg(max(struct(col("tt").alias("t"), col("tid").alias("i"),
+        col("ch").alias("c"))).alias("m"))
+      .select(col("cid"), coalesce(col("m.c"), lit("(none)")).alias("channel"))
+    val counts = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).alias("n_credited"))
+    val tot = counts.agg(sum(col("n_credited")).alias("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_credited"),
+        expr("(n_credited * 1000000L) DIV t").alias("share_ppm"))
+  }
+
   /** Pairwise association rules over per-basket item sets (market-basket
     * analysis, Agrawal et al. bounded to 2-itemsets): baskets are the
     * distinct (basket key, item) pairs; for every ordered rule a → b the

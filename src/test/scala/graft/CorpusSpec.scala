@@ -194,6 +194,24 @@ class CorpusSpec extends SparkSpec {
     assert(m(none) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("hits: max-normalized hand rounds, hub/auth roles separate") {
+    import graft.operators.Graph
+    // hubs {1, 2}, auths {10, 11}: 1->10, 2->10, 2->11
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    // round 1: a_raw 10 -> 2e6, 11 -> 1e6, max-normed (1e6, 5e5);
+    // h_raw 1 -> 1e6, 2 -> 1.5e6 -> (666666, 1e6)
+    val r1 = m(Graph.hits(edges, rounds = 1))
+    assert(r1 == Map(("auth", 10L) -> 1000000L, ("auth", 11L) -> 500000L,
+      ("hub", 1L) -> 666666L, ("hub", 2L) -> 1000000L))
+    // round 2: a_raw 10 -> 1666666, 11 -> 1e6 -> (1e6, 600000);
+    // h_raw 1 -> 1e6, 2 -> 1.6e6 -> (625000, 1e6)
+    val r2 = m(Graph.hits(edges, rounds = 2))
+    assert(r2 == Map(("auth", 10L) -> 1000000L, ("auth", 11L) -> 600000L,
+      ("hub", 1L) -> 625000L, ("hub", 2L) -> 1000000L))
+  }
+
   test("linkPrediction: wedge candidates only, known edges dropped, hub cap excludes through-nodes") {
     import graft.operators.Graph
     // 1-2, 1-3, 2-3, 3-4: the only non-edges sharing a neighbor are

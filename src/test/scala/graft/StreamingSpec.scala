@@ -272,6 +272,43 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("autocorrelation: alternating series r(1) = -1, r(2) = +1, sparse pair counts") {
+    import org.apache.spark.sql.functions.col
+    // hourly counts alternate 1, 2, 1, 2, 1, 2 for key "a"
+    def ts(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
+    val events = (0 until 6).flatMap { h =>
+      (0 until (if (h % 2 == 0) 1 else 2)).map(m => ("a", ts(h, m)))
+    }.toDF("k", "ts")
+    val out = EventStreams.autocorrelation(events, col("k"), col("ts"), Seq(1, 2))
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // lag 1: 5 pairs perfectly anti-phase; lag 2: 4 pairs in phase
+    assert(out == Seq((1L, 5L, -1.0), (2L, 4L, 1.0)))
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, id tie-break, (none) bucket") {
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: click then view then purchase -> view credited
+      (1L, ts(100), 1L, "click"), (1L, ts(200), 2L, "view"),
+      (1L, ts(300), 3L, "purchase"),
+      // user 2: conversion with no touch at all -> (none)
+      (2L, ts(100), 4L, "purchase"),
+      // user 3: touch 25h before conversion -> outside 24h window -> (none)
+      (3L, ts(0), 5L, "click"), (3L, ts(25 * 3600), 6L, "purchase"),
+      // user 4: two touches at the SAME second -> larger event id wins
+      (4L, ts(50), 7L, "click"), (4L, ts(50), 8L, "view"),
+      (4L, ts(60), 9L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventStreams.lastTouchAttribution(events, col("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "purchase",
+        col("event_type"))
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("(none)", 2L, 500000L), ("view", 2L, 500000L)))
+  }
+
   test("associationRules: distinct baskets, both rule directions, support prune, conf/lift ppm") {
     import org.apache.spark.sql.functions.col
     // u1: {A,B,C}, u2: {A,B}, u3: {A}; duplicate (u1, A) row must collapse

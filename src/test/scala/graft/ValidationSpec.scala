@@ -270,6 +270,29 @@ class ValidationSpec extends SparkSpec {
     assert(f.isNullAt(6) && !f.getBoolean(7))
   }
 
+  test("giniFeatureImportance: perfect split zeroes impurity, useless feature zero reduction") {
+    val df = Seq(("A", "x", "m"), ("A", "x", "n"), ("B", "z", "m"), ("B", "z", "n"))
+      .toDF("y", "f", "g")
+    val out = Validation.giniFeatureImportance(df, $"y",
+        Seq("f" -> $"f", "g" -> $"g"))
+      .orderBy("feature").collect()
+    // base gini of 2/2 = 0.5; f separates perfectly, g not at all
+    assert(out.toSeq == Seq(
+      Row("f", 2L, 500000L, 0L, 500000L),
+      Row("g", 2L, 500000L, 500000L, 0L)))
+  }
+
+  test("decisionStump: exact Gini-optimal threshold, pure split, full accuracy") {
+    val df = (1L to 10L).map(v => (v, v <= 5L)).toDF("v", "lbl")
+    val out = Validation.decisionStump(df, $"v", $"lbl").collect().head
+    // threshold 5 splits 5 pos / 5 neg perfectly
+    assert(out == Row(5L, 5L, 5L, 500000L, 0L, 500000L, 1000000L))
+    // constant label: base gini 0, no split helps, accuracy still 1
+    val const = (1L to 10L).map(v => (v, true)).toDF("v", "lbl")
+    val c = Validation.decisionStump(const, $"v", $"lbl").collect().head
+    assert(c.getLong(3) == 0L && c.getLong(5) == 0L && c.getLong(6) == 1000000L)
+  }
+
   test("numericDrift: exact decile edges from ref, strict-greater binning, TVD") {
     val ref = (1L to 10L).toDF("v")
     val cur = Seq(1L, 11L, 12L).toDF("v")
