@@ -2321,6 +2321,58 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q253_conversion_lag" -> ((s, dir) =>
+      // how long does signup -> purchase take? First strictly-after
+      // purchase per signed-up user (the funnel rule), lag decomposed
+      // into exact deciles — ten (bin, n, lo, hi) rows instead of one
+      // opaque mean; non-converters absent by funnel semantics
+      EventStreams.conversionLagDeciles(
+          t(s, dir, "events"), col("user_id"), col("ts"),
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .sortBy(Seq(col("bin")))),
+
+    "q252_event_paths" -> ((s, dir) =>
+      // what do users ACTUALLY do: every consecutive event_type trigram
+      // per user under (ts, event_id), counted — the n-gram view of
+      // behavior a hypothesized funnel can't surface; one per-user window
+      // pass, minCount prunes the tail
+      EventStreams.eventPaths(
+          t(s, dir, "events"), col("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_type"),
+          depth = 3, minCount = 10L)
+        .sortBy(Seq(col("path")))),
+
+    "q251_html_strip" -> ((s, dir) => {
+      // web-corpus text extraction as a driver fact: markup planted
+      // deterministically (q83's pattern), tags to spaces, the five core
+      // entities decoded with &amp; LAST — the cleaned STRING hash-matches,
+      // so both engines strip byte-identically
+      val planted = t(s, dir, "documents").selectCols(Seq(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<p class=\"x\">"), col("text"),
+            lit("</p><br><a href=\"https://e.x/y?q=1\">link &amp; more &lt;b&gt;</a>")))
+          .otherwise(col("text")).as("t")))
+      planted.selectCols(Seq(col("doc_id"),
+          TextFns.stripHtml(col("t")).as("clean_text"),
+          (length(col("t")) - length(TextFns.stripHtml(col("t")))).cast("long")
+            .as("removed_chars")))
+        .sortBy(Seq(col("doc_id")))
+    }),
+
+    "q250_quantile_normalize" -> ((s, dir) => {
+      // distribution matching: odd-user event values remapped onto the
+      // even-user cohort's distribution by exact rank — the batch-effect
+      // removal / recalibration transform; two two-level rank passes and
+      // one equi-join on the mapped rank
+      val ev = t(s, dir, "events").selectCols(Seq(col("user_id"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmicros")))
+      Relational.quantileNormalize(
+          ev.filterCol(col("user_id") % 2 === 0),
+          ev.filterCol(col("user_id") % 2 === 1),
+          col("event_id"), col("vmicros"))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q249_hits" -> ((s, dir) => {
       // hubs vs authorities over the purchase bipartite graph — the two
       // roles q100's single PageRank score conflates: prolific customers
@@ -4728,6 +4780,81 @@ object SparkEntry {
 
     // The sweep replayed as one global running sum; ties (t, d, id) with
     // the -1 boundary first — the half-open convention both sides share.
+    // Funnel min-ts pair per user, then the exact rank-rule deciles of
+    // the lag with per-bin bounds.
+    "q253_conversion_lag" ->
+      """WITH b AS (SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t,
+                 event_type
+               FROM events),
+         ta AS (SELECT u, MIN(t) AS t_a FROM b WHERE event_type = 'signup'
+                GROUP BY u),
+         tb AS (SELECT b.u, MIN(b.t) AS t_b, MIN(ta.t_a) AS t_a
+                FROM b JOIN ta ON b.u = ta.u
+                WHERE b.event_type = 'purchase' AND b.t > ta.t_a
+                GROUP BY b.u),
+         lg AS (SELECT u, t_b - t_a AS lag FROM tb),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lg),
+         rk AS (SELECT lag,
+                  ((CAST(ROW_NUMBER() OVER (ORDER BY lag, u) AS BIGINT) - 1) * 10)
+                    // n.nn AS bin
+                FROM lg, n)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(lag) AS BIGINT) AS lo_us, CAST(MAX(lag) AS BIGINT) AS hi_us
+         FROM rk GROUP BY bin ORDER BY bin""",
+
+    // The same lead-chain trigrams under (ts, event_id) per user.
+    "q252_event_paths" ->
+      """WITH s AS (SELECT user_id, event_type AS s0,
+                 LEAD(event_type, 1) OVER w AS s1,
+                 LEAD(event_type, 2) OVER w AS s2
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT s0 || '>' || s1 || '>' || s2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM s WHERE s2 IS NOT NULL
+         GROUP BY 1 HAVING COUNT(*) >= 10 ORDER BY path""",
+
+    // Same planted markup, tags -> single space, the same five literal
+    // entity replaces with &amp; decoded last.
+    "q251_html_strip" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               '<p class="x">' || text
+                 || '</p><br><a href="https://e.x/y?q=1">link &amp; more &lt;b&gt;</a>'
+             ELSE text END AS t
+           FROM documents),
+         c AS (SELECT doc_id, t,
+             replace(replace(replace(replace(replace(
+               regexp_replace(t, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&amp;', '&') AS clean_text
+           FROM planted)
+         SELECT doc_id, clean_text,
+           CAST(len(t) - len(clean_text) AS BIGINT) AS removed_chars
+         FROM c ORDER BY doc_id""",
+
+    // Two exact rank passes and the ceiling rank map; the reference value
+    // at a rank is tie-break-independent.
+    "q250_quantile_normalize" ->
+      """WITH rv AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+                     FROM events WHERE user_id % 2 = 0),
+         cv AS (SELECT event_id AS id,
+                  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+                FROM events WHERE user_id % 2 = 1),
+         rr AS (SELECT v AS mapped_v,
+                  CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS rrank
+                FROM rv),
+         cr AS (SELECT id, v,
+                  CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS rank
+                FROM cv),
+         n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_r FROM rv),
+         n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_c FROM cv)
+         SELECT cr.id, cr.v, rr.mapped_v
+         FROM cr CROSS JOIN n1 CROSS JOIN n2
+         JOIN rr ON rr.rrank = (cr.rank * n1.n_r + n2.n_c - 1) // n2.n_c
+         ORDER BY cr.id""",
+
     // Two unrolled max-normalized rounds: a from h, h from a, each half
     // pinned at 1e6 by its own maximum in HUGEINT floor division.
     "q249_hits" ->

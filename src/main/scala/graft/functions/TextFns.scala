@@ -116,6 +116,25 @@ object TextFns {
     regexp_replace(url, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
   }
 
+  /** Strip HTML markup down to text: every `<...>` tag replaced by a
+    * single space (so `a</p><p>b` keeps its word boundary), then the five
+    * core character entities decoded — `&amp;` LAST, so `&amp;lt;`
+    * correctly yields the literal `&lt;` rather than double-decoding to
+    * `<` (the classic entity-order bug). The first transform of any
+    * web-corpus pipeline; patterns sit in the shared Java-regex/RE2
+    * subset, so both engines strip byte-identically. Not a sanitizer —
+    * malformed markup (unclosed `<`) passes through untouched by design;
+    * this is text extraction, not parsing.
+    */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    ents.foldLeft(noTags) { case (col0, (e, r)) =>
+      replace(col0, lit(e), lit(r))
+    }
+  }
+
   /** Count of http(s) URLs in `c` — same Java/RE2-agnostic pattern as
     * [[redactPii]], so the count is reproducible cross-engine. The PII /
     * link-density profile: docs above a link-count threshold are usually

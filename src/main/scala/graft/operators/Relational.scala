@@ -1025,6 +1025,39 @@ object Relational {
         expr(s"((rank - 1) * ${nBins}L) DIV n").alias("bin"))
   }
 
+  /** Quantile normalization: remap a cohort's values onto a REFERENCE
+    * distribution by rank — row at rank r of n_c takes the reference
+    * value at rank ceil(r·n_r/n_c) — the distribution-matching transform
+    * (batch-effect removal, score recalibration across re-scored corpora)
+    * done exactly: both ranks come from the two-level [[quantileBins]]
+    * machinery under the (v, id) total order, and the rank map is one
+    * integer ceiling division, so the whole output hash-replays.
+    *
+    * Returns (id, v, mapped_v). The mapped distribution equals the
+    * reference's up to rank granularity; equal input values can map to
+    * different reference values (their ranks differ by the id tie-break)
+    * — the standard rank-based semantics.
+    *
+    * Scale shape: two quantileBins passes (probe scan + bucketed window
+    * each), one equi-join on the mapped rank, two 1-row count broadcasts.
+    */
+  def quantileNormalize(ref: DataFrame, cur: DataFrame, id: Column,
+      value: Column): DataFrame = {
+    val rv = ref.select(value.cast("long").alias("v"))
+      .withColumn("rid", monotonically_increasing_id())
+    val rRank = quantileBins(rv, col("rid"), col("v"), 2)
+      .select(col("rank").alias("rrank"), col("v").alias("mapped_v"))
+    val cv = cur.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
+    val cRank = quantileBins(cv, col("id"), col("v"), 2)
+      .select(col("id"), col("v"), col("rank"))
+    val nr = rv.agg(count(lit(1)).alias("n_r"))
+    val nc = cv.agg(count(lit(1)).alias("n_c"))
+    cRank.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .withColumn("rrank", expr("(rank * n_r + n_c - 1) DIV n_c"))
+      .join(rRank, Seq("rrank"))
+      .select(col("id"), col("v"), col("mapped_v"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: key -> the shard
     * s in [0, nShards) maximizing `fnv64(key || ':' || s)` — Thaler &
     * Ravishankar's HRW rule, the layout that makes cluster RESIZING cheap:

@@ -960,6 +960,63 @@ object EventStreams {
         .reduceLeft(_ + _))
   }
 
+  /** Frequent event paths: every length-`depth` run of consecutive states
+    * per key under the caller's total order, concatenated `a>b>c` and
+    * counted — the "what do users actually do" n-gram view of behavior
+    * that funnels (a HYPOTHESIZED path) can't surface. minCount prunes
+    * the long tail, which is where path cardinality explodes at scale.
+    *
+    * Returns (path, n) with n >= minCount.
+    *
+    * Scale shape: depth−1 lead() offsets inside ONE per-key window pass
+    * (never a global window), then a partial-agg path count.
+    */
+  def eventPaths(events: DataFrame, key: Column, order: Seq[Column],
+      state: Column, depth: Int = 3, minCount: Long = 1L): DataFrame = {
+    require(depth >= 2, s"depth must be >= 2, got $depth")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(
+      (Seq(key.alias("__k"), state.alias("__s")) ++
+        order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    val steps = col("__s") +: (1 until depth).map(d => lead(col("__s"), d).over(w))
+    base.select(concat_ws(">", steps: _*).alias("path"),
+        steps.last.isNotNull.alias("__full"))
+      .filter(col("__full"))
+      .groupBy(col("path")).agg(count(lit(1)).alias("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Conversion-lag decile profile: per user, the first stage-B event
+    * STRICTLY AFTER the first stage-A event (the [[funnel]] cascade rule),
+    * the lag between them, and the exact decile decomposition of the lag
+    * distribution — "how long does signup→purchase take" as ten
+    * (bin, n, lo_us, hi_us) rows instead of one opaque mean. Deciles come
+    * from the exact rank rule ([[graft.operators.Relational.quantileBins]]),
+    * so the whole profile hash-replays; users who never convert are
+    * absent by funnel semantics.
+    *
+    * Scale shape: two per-user min aggregations + one narrow join (the
+    * funnel shape), then one quantileBins pass over the user-sized lag
+    * frame.
+    */
+  def conversionLagDeciles(events: DataFrame, user: Column, ts: Column,
+      stageA: Column, stageB: Column): DataFrame = {
+    val base = events.select(user.alias("u"),
+      unix_micros(ts.cast("timestamp")).alias("t"),
+      stageA.alias("a"), stageB.alias("b"))
+    val ta = base.filter(col("a")).groupBy(col("u")).agg(min(col("t")).alias("t_a"))
+    val tb = base.join(ta, "u").filter(col("b") && col("t") > col("t_a"))
+      .groupBy(col("u")).agg(min(col("t")).alias("t_b"), min(col("t_a")).alias("t_a"))
+    val lags = tb.select(col("u"), (col("t_b") - col("t_a")).alias("lag_us"))
+    graft.operators.Relational.quantileBins(lags, col("u"), col("lag_us"), 10)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).alias("n"), min(col("v")).alias("lo_us"),
+        max(col("v")).alias("hi_us"))
+  }
+
   /** Lag-k autocorrelation of per-key hourly event counts — the
     * periodicity detector: r(24) near 1 on hourly buckets means a daily
     * cycle, r(1) near 0 means bursts don't persist; both feed anomaly

@@ -523,4 +523,67 @@ object RelationalProps extends Properties("relational") {
       val nPos = rows.count(_._2 > 0)
       once == relaid && once.length == math.min(k, nPos)
     }
+
+  property("skyline2D equals the brute-force dominance model on random point sets") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L)))) { pts0 =>
+      import spark.implicits._
+      import graft.operators.Relational
+      val pts = pts0.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val df = pts.toDF("id", "x", "y")
+      val got = Relational.skyline2D(df, $"id", $"x", $"y", buckets = 3)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val brute = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, bx, by) => bx <= x && by >= y && (bx < x || by > y) }
+      }.map(_._1).sorted
+      got == brute
+    }
+
+  property("transitionMatrix: Σn = Σ_keys (len-1); n sums to from_total per row") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L), Gen.oneOf("A", "B", "C")))) { evs0 =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val evs = evs0.zipWithIndex.map { case ((k, s), i) => (k, i.toLong, s) }
+      val df = evs.toDF("k", "seq", "s")
+      val out = graft.streaming.EventStreams.transitionMatrix(
+          df, col("k"), Seq(col("seq")), col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      val expectTotal = evs.groupBy(_._1).map { case (_, g) => (g.size - 1).toLong }.sum
+      val fromTotals = out.groupBy(_._1).forall { case (_, rows) =>
+        rows.map(_._2).sum == rows.head._3
+      }
+      out.map(_._2).sum == expectTotal && fromTotals
+    }
+
+  property("rocAuc equals the brute-force pair model and is monotone-transform invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 6L), Gen.oneOf(true, false)))) { rows =>
+      import spark.implicits._
+      import graft.operators.Validation
+      val df = rows.toDF("s", "p")
+      def auc(d: DataFrame) = Validation.rocAuc(d, $"s", $"p", buckets = 2)
+        .collect().head
+      val base = auc(df)
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) base.isNullAt(3)
+      else {
+        val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+        val expect = (u2 * 1000000L) / (2L * pos.size * neg.size)
+        val shifted = auc(df.selectExpr("s * 3 + 1 AS s", "p"))
+        base.getLong(3) == expect && shifted.getLong(3) == expect
+      }
+    }
+
+  property("skipgramCounts: total pairs = Σ_docs Σ_d max(0, len-d)") =
+    forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))),
+      Gen.choose(1, 3)) { (docs, w) =>
+      import spark.implicits._
+      import graft.operators.Corpus
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "tk")
+      val total = Corpus.skipgramCounts(df, $"id", $"tk", window = w)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n"),
+          org.apache.spark.sql.functions.lit(0L))).collect().head.getLong(0)
+      val expect = docs.map(d => (1 to w).map(k => math.max(0, d.size - k)).sum.toLong).sum
+      total == expect
+    }
 }

@@ -652,6 +652,22 @@ class RelationalSpec extends SparkSpec {
     assert(run(df).map(_._1) == brute)
   }
 
+  test("quantileNormalize: ceiling rank map onto the reference, identity on itself") {
+    import graft.operators.Relational
+    val ref = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val cur = Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("id", "v")
+    val out = Relational.quantileNormalize(ref, cur, $"id", $"v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // ranks 1..3 of 3 map to ref ranks ceil(4/3)=2, ceil(8/3)=3, 4
+    assert(out == Seq((1L, 5L, 20L), (2L, 6L, 30L), (3L, 7L, 40L)))
+    // normalizing a frame onto itself is the identity on values
+    val self = Seq((1L, 7L), (2L, 3L), (3L, 9L)).toDF("id", "v")
+    val idm = Relational.quantileNormalize(self, self, $"id", $"v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    assert(idm.forall { case (v, m) => v == m })
+  }
+
   test("joinCardinalityEstimate: exact output size + skew key without executing the join") {
     import graft.operators.Relational
     import org.apache.spark.sql.Row

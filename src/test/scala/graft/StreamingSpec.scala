@@ -272,6 +272,49 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("eventPaths: per-key trigram runs, short keys contribute nothing, minCount prune") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
+      (2L, 1L, "A"), (2L, 2L, "B"),            // only 2 events: no trigram
+      (3L, 1L, "A"), (3L, 2L, "B"), (3L, 3L, "C"))
+      .toDF("u", "seq", "s")
+    val out = EventStreams.eventPaths(events, col("u"), Seq(col("seq")),
+        col("s"), depth = 3)
+      .orderBy("path").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("A>B>C", 2L), ("B>C>D", 1L)))
+    val pruned = EventStreams.eventPaths(events, col("u"), Seq(col("seq")),
+      col("s"), depth = 3, minCount = 2L).collect()
+    assert(pruned.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A>B>C", 2L)))
+    // depth 2 = the transition pairs
+    val d2 = EventStreams.eventPaths(events, col("u"), Seq(col("seq")),
+        col("s"), depth = 2)
+      .orderBy("path").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(d2 == Seq(("A>B", 3L), ("B>C", 2L), ("C>D", 1L)))
+  }
+
+  test("conversionLagDeciles: strictly-after funnel pair, exact decile bounds, non-converters absent") {
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // users 1..5 convert with lags 10, 20, 30, 40, 50 s;
+    // user 6 signs up but never buys; user 7 buys BEFORE signing up
+    val events = (1L to 5L).flatMap { u =>
+      Seq((u, ts(100), "signup"), (u, ts(100 + 10 * u), "purchase"))
+    } ++ Seq((6L, ts(100), "signup"),
+      (7L, ts(100), "purchase"), (7L, ts(200), "signup"))
+    val df = events.toDF("user_id", "ts", "event_type")
+    val out = EventStreams.conversionLagDeciles(df, col("user_id"), col("ts"),
+        col("event_type") === "signup", col("event_type") === "purchase")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 5 lags over 10 bins: each lag occupies 2 bins' worth -> bins 0,2,4,6,8
+    assert(out == Seq(
+      (0L, 1L, 10000000L, 10000000L), (2L, 1L, 20000000L, 20000000L),
+      (4L, 1L, 30000000L, 30000000L), (6L, 1L, 40000000L, 40000000L),
+      (8L, 1L, 50000000L, 50000000L)))
+  }
+
   test("autocorrelation: alternating series r(1) = -1, r(2) = +1, sparse pair counts") {
     import org.apache.spark.sql.functions.col
     // hourly counts alternate 1, 2, 1, 2, 1, 2 for key "a"

@@ -240,4 +240,20 @@ class TextFnsSpec extends SparkSpec {
     ).count()
     assert(mismatches == 0)
   }
+
+  test("stripHtml: tags to spaces, entity decode order, malformed markup untouched") {
+    import graft.functions.TextFns
+    val df = Seq(
+      (1L, "<p>a &amp;lt; b</p>"),          // &amp;lt; -> literal "&lt;", not "<"
+      (2L, "&quot;x&#39;s&quot; &gt; &lt;"),
+      (3L, "plain text"),
+      (4L, "unclosed <tag and < alone")      // malformed: no closing > -> untouched
+    ).toDF("id", "t")
+    val out = df.select($"id", TextFns.stripHtml($"t").as("c"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == " a &lt; b ")
+    assert(out(2L) == "\"x's\" > <")
+    assert(out(3L) == "plain text")
+    assert(out(4L) == "unclosed <tag and < alone")
+  }
 }
