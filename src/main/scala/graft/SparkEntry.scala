@@ -2321,6 +2321,40 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q255_drift_stream" -> ((s, dir) => {
+      // q195's mix-shift monitor running MID-INGEST: the odd-user split's
+      // event_type counts as a complete-mode streaming aggregation,
+      // drained through the identical batch drift decoration against the
+      // even-user reference — stream == batch, and the oracle replays the
+      // batch shape
+      val staged = java.nio.file.Files.createTempDirectory("graft_q255")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q255_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runDriftStreamSmoke(s, staged.toString, qn,
+            "event_type", "user_id % 2 = 0", "user_id % 2 = 1")
+          .sortBy(Seq(col("category")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
+    "q254_power_iteration" -> ((s, dir) =>
+      // the corpus's dominant principal direction (uncentered PCA axis) —
+      // the anisotropy axis retrieval pipelines remove — by two power
+      // iteration rounds whose every number is exactly replayable: IEEE
+      // dot folds, floor()-quantized terms, DECIMAL sums, sign-split
+      // integer normalization. The corpus never shuffles; each round
+      // collects 64 driver rows.
+      Similarity.powerIteration(
+          t(s, dir, "embeddings").selectCols(Seq(
+            col("vec_id").as("id"), col("embedding").as("v"))),
+          dim = 64, rounds = 2)
+        .sortBy(Seq(col("dim")))),
+
     "q253_conversion_lag" -> ((s, dir) =>
       // how long does signup -> purchase take? First strictly-after
       // purchase per signed-up user (the funnel rule), lag decomposed
@@ -4780,6 +4814,65 @@ object SparkEntry {
 
     // The sweep replayed as one global running sum; ties (t, d, id) with
     // the -1 boundary first — the half-open convention both sides share.
+    // q195's batch drift shape over the same even/odd split — stream ==
+    // batch is the claim, so the oracle is the batch SQL.
+    "q255_drift_stream" ->
+      """WITH r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_ref
+                    FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+         c AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_cur
+               FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+         j AS (SELECT COALESCE(r.category, c.category) AS category,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+               FROM r FULL OUTER JOIN c ON r.category = c.category),
+         t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                 CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
+         sh AS (SELECT category, n_ref, n_cur,
+                  CASE WHEN t_ref = 0 THEN 0 ELSE (n_ref * 1000000) // t_ref END AS share_ref_ppm,
+                  CASE WHEN t_cur = 0 THEN 0 ELSE (n_cur * 1000000) // t_cur END AS share_cur_ppm
+                FROM j, t),
+         tv AS (SELECT CAST(SUM(ABS(share_cur_ppm - share_ref_ppm)) // 2 AS BIGINT) AS tvd_ppm
+                FROM sh)
+         SELECT sh.category, sh.n_ref, sh.n_cur, sh.share_ref_ppm,
+           sh.share_cur_ppm,
+           CAST(ABS(sh.share_cur_ppm - sh.share_ref_ppm) AS BIGINT) AS diff_ppm,
+           tv.tvd_ppm
+         FROM sh, tv ORDER BY sh.category""",
+
+    // Two unrolled rounds: IEEE dot folds against the integer iterate,
+    // floor()-quantized terms, HUGEINT sums, sign-split normalization.
+    "q254_power_iteration" ->
+      """WITH e AS (SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         d1 AS (SELECT e.id, e.v,
+                  list_sum(list_transform(range(1, 65),
+                    i -> e.v[i] * CAST(1000000 AS DOUBLE))) AS dot
+                FROM e),
+         t1 AS (SELECT t.i - 1 AS dim,
+                  CAST(FLOOR(d.v[t.i] * d.dot * 1000000.0) AS BIGINT) AS q
+                FROM d1 d, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+         s1 AS (SELECT dim, SUM(CAST(q AS HUGEINT)) AS s FROM t1 GROUP BY dim),
+         m1 AS (SELECT MAX(ABS(s)) AS m FROM s1),
+         w1 AS (SELECT dim,
+                  CASE WHEN s >= 0 THEN CAST((s * 1000000) // m AS BIGINT)
+                       ELSE -CAST(((-s) * 1000000) // m AS BIGINT) END AS w
+                FROM s1, m1),
+         wl1 AS (SELECT list(CAST(w AS DOUBLE) ORDER BY dim) AS wl FROM w1),
+         d2 AS (SELECT e.id, e.v,
+                  list_sum(list_transform(range(1, 65),
+                    i -> e.v[i] * wl.wl[i])) AS dot
+                FROM e, wl1 wl),
+         t2 AS (SELECT t.i - 1 AS dim,
+                  CAST(FLOOR(d.v[t.i] * d.dot * 1000000.0) AS BIGINT) AS q
+                FROM d2 d, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+         s2 AS (SELECT dim, SUM(CAST(q AS HUGEINT)) AS s FROM t2 GROUP BY dim),
+         m2 AS (SELECT MAX(ABS(s)) AS m FROM s2),
+         w2 AS (SELECT dim,
+                  CASE WHEN s >= 0 THEN CAST((s * 1000000) // m AS BIGINT)
+                       ELSE -CAST(((-s) * 1000000) // m AS BIGINT) END AS w
+                FROM s2, m2)
+         SELECT CAST(dim AS BIGINT) AS dim, w AS v FROM w2 ORDER BY dim""",
+
     // Funnel min-ts pair per user, then the exact rank-rule deciles of
     // the lag with per-bin bounds.
     "q253_conversion_lag" ->

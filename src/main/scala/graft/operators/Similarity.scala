@@ -358,6 +358,63 @@ object Similarity {
     cents
   }
 
+  /** Power iteration for the dominant principal DIRECTION of an embedding
+    * corpus (PCA's first axis, uncentered — the Gram-matrix eigenvector):
+    * w ← Σ_i x_i·(x_i·w), max-abs-normalized to scaled integers each
+    * round. The anisotropy probe: embedding sets collapse toward a
+    * dominant direction ("common-token" axes), and downstream cosine
+    * retrieval improves when it is removed — this computes the axis to
+    * remove, at scale, with an EXACTLY replayable output: dots are q79's
+    * left-associated IEEE folds, every per-(row, dim) term is floor()ed
+    * to a 1e-6-scaled integer BEFORE summation (floor is bit-identical
+    * cross-engine where double→int casts are not), sums are DECIMAL, and
+    * the normalization is the sign-split integer division. The 1e-6 term
+    * quantization perturbs the iterate far less than one round of power
+    * iteration corrects, and determinism is what makes the output a
+    * contract rather than a sample.
+    *
+    * Returns (dim, v): the direction after `rounds` rounds, components in
+    * [-1e6, 1e6] with max |v| pinned at 1e6.
+    *
+    * Scale shape per round: one narrow dot-product projection, one
+    * posexplode collapsed by partial aggregation to `dim` rows, a
+    * dim-sized driver collect (the kmeans-centroid precedent) — the
+    * corpus never shuffles.
+    */
+  def powerIteration(corpus: DataFrame, dim: Int, rounds: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var w = Array.fill(dim)(1000000L)
+    var r = 0
+    while (r < rounds) {
+      val wcol = typedLit(w.toSeq)
+      val dot = aggregate(
+        zip_with(col("v"), wcol, (x, wv) => x.cast("double") * wv.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      val sums = corpus.select(col("v"), dot.alias("dt"))
+        .select(posexplode(col("v")).as(Seq("dim0", "x")), col("dt"))
+        .select(col("dim0"),
+          floor(col("x").cast("double") * col("dt") * lit(1000000.0))
+            .cast("long").alias("q"))
+        .groupBy(col("dim0"))
+        .agg(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .alias("s"))
+        .orderBy("dim0").collect()
+        .map(row => BigInt(row.getDecimal(1).toBigInteger))
+      val maxabs = sums.map(_.abs).max
+      w =
+        if (maxabs == 0) Array.fill(dim)(0L)
+        else sums.map { s =>
+          if (s.signum >= 0) ((s * 1000000) / maxabs).toLong
+          else -(((-s) * 1000000) / maxabs).toLong
+        }.toArray
+      r += 1
+    }
+    w.zipWithIndex.map { case (v, d) => (d.toLong, v) }.toSeq.toDF("dim", "v")
+  }
+
   /** Cluster purity against ground-truth labels: assign every vector to
     * its nearest centroid ([[assignToCentroids]] — l2, ties to the lower
     * cid), then per cluster report the majority label and its share; the

@@ -182,11 +182,17 @@ object Validation {
     * category-keyed outer join, a 1-row total broadcast. Nothing scales
     * with row count but the scans.
     */
-  def categoricalDrift(ref: DataFrame, cur: DataFrame, category: Column): DataFrame = {
-    val r = ref.groupBy(category.alias("category"))
-      .agg(count(lit(1)).alias("n_ref"))
-    val c = cur.groupBy(category.alias("category"))
-      .agg(count(lit(1)).alias("n_cur"))
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, category: Column): DataFrame =
+    categoricalDriftCounts(
+      ref.groupBy(category.alias("category")).agg(count(lit(1)).alias("n_ref")),
+      cur.groupBy(category.alias("category")).agg(count(lit(1)).alias("n_cur")))
+
+  /** [[categoricalDrift]]'s report half over pre-aggregated (category,
+    * n_ref) / (category, n_cur) frames — shared with the streaming gate,
+    * whose current-split counts arrive from a complete-mode streaming
+    * aggregation.
+    */
+  private[graft] def categoricalDriftCounts(r: DataFrame, c: DataFrame): DataFrame = {
     val joined = r.join(c, Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("n_ref"), lit(0L)).alias("n_ref"),

@@ -757,6 +757,41 @@ object EventStreams {
     graft.operators.Validation.benfordDecorate(counts)
   }
 
+  /** TRUE-streaming categorical drift gate: the CURRENT split's category
+    * counts as a complete-mode streaming aggregation (category-cardinality
+    * state), drained and compared against a BATCH reference through the
+    * identical [[graft.operators.Validation.categoricalDriftCounts]]
+    * decoration — q195's monitor running mid-ingest, so a mix shift fires
+    * before the batch lands. `refFilter`/`curFilter` are SQL predicates
+    * selecting the two splits from the same source.
+    */
+  def runDriftStreamSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, category: String, refFilter: String,
+      curFilter: String): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = spark.readStream.schema(schema).parquet(parquetPath)
+    val q = raw.filter(expr(curFilter))
+      .groupBy(col(category).alias("category"))
+      .agg(count(lit(1)).alias("n_cur"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val curCounts = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    val refDf = spark.read.parquet(parquetPath).filter(expr(refFilter))
+      .groupBy(col(category).alias("category"))
+      .agg(count(lit(1)).alias("n_ref"))
+    val refRows = java.util.Arrays.asList(refDf.collect(): _*)
+    val refCounts = spark.createDataFrame(refRows, refDf.schema)
+    graft.operators.Validation.categoricalDriftCounts(refCounts, curCounts)
+  }
+
   /** WINDOWED true-streaming HyperLogLog: distinct-per-event-time-window
     * without ever storing values — register max grouped by (tumbling
     * window, bucket), 2^b longs of state PER WINDOW, drained dense via

@@ -174,6 +174,27 @@ class SimilaritySpec extends SparkSpec {
     assert(fitted(1L).zip(Seq(31.0 / 3, 32.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("powerIteration: dominant axis found, max pinned at 1e6, layout-invariant") {
+    // spread is overwhelmingly along x: the dominant uncentered direction
+    val pts = Seq(
+      (1L, Seq(10.0f, 1.0f)), (2L, Seq(10.0f, -1.0f)),
+      (3L, Seq(-10.0f, 0.5f)), (4L, Seq(8.0f, 0.0f)))
+      .toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.powerIteration(d, dim = 2, rounds = 2)
+        .orderBy("dim").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val out = run(pts)
+    // x component pinned at the max, y far smaller
+    assert(math.abs(out(0)._2) == 1000000L)
+    assert(math.abs(out(1)._2) < 200000L)
+    // floor-quantized terms are per-row, decimal sums order-independent:
+    // the output is partition-layout invariant
+    assert(run(pts.repartition(3)) == out)
+    // all-zero corpus: zero vector, no division blowup
+    val zeros = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    assert(run(zeros).map(_._2).forall(_ == 0L))
+  }
+
   test("clusterPurity: majority label per cluster, smaller-label ties, global ppm") {
     val corpus = Seq(
       (1L, Seq(0.0f, 1.0f), 1L), (2L, Seq(1.0f, 0.0f), 1L),

@@ -647,6 +647,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(0).getLong(3) == 313L) // n_exact instrument
   }
 
+  test("streaming categorical drift: drained counts equal the batch drift report") {
+    import graft.operators.Validation
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftstream").toString
+    val df = (1 to 300).map(i => (i.toLong, if (i % 2 == 0) s"c${i % 3}" else s"c${i % 5}"))
+      .toDF("id", "cat")
+    df.write.parquet(s"$dir/data.parquet")
+    val streamed = EventStreams.runDriftStreamSmoke(spark, s"$dir/data.parquet",
+        "graft_driftstream_test", "cat", "id % 2 = 0", "id % 2 = 1")
+      .orderBy("category").collect()
+    val src = spark.read.parquet(s"$dir/data.parquet")
+    val batch = Validation.categoricalDrift(
+        src.filter(col("id") % 2 === 0), src.filter(col("id") % 2 === 1),
+        col("cat"))
+      .orderBy("category").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming Benford: drained digit counts decorate into the exact batch report") {
     import graft.operators.Validation
     val dir = java.nio.file.Files.createTempDirectory("graft_benford").toString
