@@ -151,4 +151,24 @@ object Engine {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
     path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
   }
+
+  /** Built-in XML source (Spark 4 folded spark-xml into core): one row
+    * element per record under `rowTag`. The fifth lake format after
+    * parquet/csv/json/orc.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.format("xml").option("rowTag", rowTag).mode("overwrite").save(path)
+
+  /** Plain (unbucketed) catalog table — the registration ANALYZE TABLE and
+    * the cost-based optimizer need: statistics attach to catalog entries,
+    * not paths, so a CBO story starts here rather than at read.parquet.
+    */
+  def writeTable(df: DataFrame, tableName: String,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }

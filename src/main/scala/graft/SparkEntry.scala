@@ -2321,6 +2321,242 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q266_xml_roundtrip" -> ((s, dir) => {
+      // the fifth lake format: documents written through the built-in XML
+      // source (Spark 4 folded spark-xml into core) and read back
+      // losslessly — ids, categoricals, numerics; free text stays with
+      // q153's ORC/JSON roundtrip, since XML readers legitimately trim
+      // surrounding whitespace. Hash match vs the parquet original proves
+      // a lake standardized on XML interchange gets identical semantics.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val docs = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+      Engine.writeXml(docs, s"$scratch/docs_xml", "doc")
+      Engine.readXml(s, s"$scratch/docs_xml", "doc")
+        .selectCols(Seq(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("n_chars").cast("long").as("n_chars")))
+        .sortBy(Seq(col("doc_id")))
+    }),
+
+    "q265_variant_json" -> ((s, dir) =>
+      // Spark 4 VARIANT for semi-structured columns: parse_json lands the
+      // payload in the binary variant encoding ONCE at the scan (shredded
+      // typed access thereafter — the scale answer to per-query string
+      // re-parsing that q62's get_json_object does), variant_get extracts
+      // with a type. Same answer as the string path, different storage
+      // posture; the oracle is plain json_extract.
+      t(s, dir, "events")
+        .selectCols(Seq(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k")))
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max")))
+        .sortBy(Seq(col("event_type")))),
+
+    "q264_unpivot" -> ((s, dir) =>
+      // wide→long relayout (UNPIVOT/melt — the inverse of q73's pivot):
+      // three measure columns fold into (metric, val) rows via one Expand
+      // (no union of three scans), then a per-metric decimal-exact profile
+      t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount")))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "val")
+        .aggregate(Seq(col("metric")), Seq(
+          count(lit(1)).as("n"),
+          sum(col("val").cast(DecimalType(18, 2))).cast("double").as("total")))
+        .sortBy(Seq(col("metric")))),
+
+    "q263_bitmap_distinct" -> ((s, dir) =>
+      // EXACT distinct counting that merges across shards — the bitmap
+      // aggregate family (Spark 3.5+): per (event_type, bucket, shard)
+      // the member bit positions become a bitmap, shard bitmaps OR-merge
+      // (associative — the re-aggregation HLL can't do exactly), and the
+      // popcount sum is the exact distinct-user count. At 100 TB this is
+      // the pre-aggregated distinct: shards build bitmaps independently,
+      // only 4 KB bitmaps cross the wire, never user ids. The shard split
+      // here (user_id % 4) simulates independent ingest shards; the
+      // oracle is the plain COUNT(DISTINCT).
+      t(s, dir, "events")
+        .selectCols(Seq(col("event_type"), col("user_id")))
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"),
+          pmod(col("user_id"), lit(4L)).as("shard"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .sortBy(Seq(col("event_type")))),
+
+    "q262_cbo_join_reorder" -> ((s, dir) => {
+      // Cost-based optimization as a driver fact: catalog tables with
+      // ANALYZE'd row counts + column NDVs (the statistics layer a 100 TB
+      // warehouse runs on), then a star query planned under
+      // spark.sql.cbo.enabled + joinReorder — Catalyst picks the join
+      // order from measured cardinalities instead of the textual order
+      // the query happens to be written in (scan stats asserted in
+      // ExplainAuditSpec). Stats attach to catalog entries, so the tables
+      // are saveAsTable'd (Engine.writeTable), not read from bare paths.
+      // Conf is isolated in a newSession; stats change the plan, not the
+      // answer — the oracle is the plain 3-way join.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      Engine.writeTable(t(s, dir, "customer")
+        .selectCols(Seq(col("c_custkey"), col("c_mktsegment"))),
+        "graft_customer_cbo", Some(s"$scratch/customer_cbo"))
+      Engine.writeTable(t(s, dir, "orders")
+        .selectCols(Seq(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+        "graft_orders_cbo", Some(s"$scratch/orders_cbo"))
+      Engine.writeTable(t(s, dir, "lineitem")
+        .selectCols(Seq(col("l_orderkey"), col("l_extendedprice"))),
+        "graft_lineitem_cbo", Some(s"$scratch/lineitem_cbo"))
+      Seq("graft_customer_cbo", "graft_orders_cbo", "graft_lineitem_cbo")
+        .foreach(tn => s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // written biggest-first on purpose: the reorder has something to fix
+      s2.table("graft_lineitem_cbo")
+        .join(s2.table("graft_orders_cbo")
+            .filterCol(col("o_totalprice") > 150000.0),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s2.table("graft_customer_cbo"),
+          col("o_custkey") === col("c_custkey"))
+        .aggregate(Seq(col("c_mktsegment")), Seq(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue")))
+        .sortBy(Seq(col("c_mktsegment")))
+    }),
+
+    "q261_fd_audit" -> ((s, dir) =>
+      // functional-dependency audit — does the denormalized column obey
+      // its contract? Two rules, one report row each: documents'
+      // source→lang (mostly clean) and orders' custkey→orderpriority
+      // (emphatically not a dependency — the negative control);
+      // n_violation_rows is the minimum fix-to-majority repair size.
+      Validation.functionalDependency(
+          t(s, dir, "documents"), "docs_source_determines_lang",
+          col("source"), col("lang"))
+        .union(Validation.functionalDependency(
+          t(s, dir, "orders"), "orders_custkey_determines_priority",
+          col("o_custkey"), col("o_orderpriority")))
+        .sortBy(Seq(col("rule")))),
+
+    "q260_bloom_join" -> ((s, dir) => {
+      // Runtime bloom-filter join pruning — Spark's row-level semi-join
+      // pushdown for the 100 TB fact⋈dim shape: the selective dim side
+      // (p_size = 1, ~2% of part) builds a bloom filter during its own
+      // scan, Catalyst injects it as a might_contain predicate on the
+      // FACT scan, and rows that cannot match die before the shuffle
+      // instead of after it. An isolated newSession turns the feature on
+      // (and disables broadcast so the shuffle join it targets exists)
+      // without leaking config into sibling queries — the returned frame
+      // carries its session, so the driver's later action still plans
+      // under it. Layout/filter changes the plan, not the answer: the
+      // oracle is the plain join+agg.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Engine.readParquet(s2, s"$dir/lineitem.parquet")
+      val p = Engine.readParquet(s2, s"$dir/part.parquet")
+        .filterCol(col("p_size") === 1)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .sortBy(Seq(col("p_brand")))
+    }),
+
+    "q259_rand_index" -> ((s, dir) =>
+      // chance-corrected agreement between two labelings of the corpus —
+      // here lang vs source, the "does provenance predict language?"
+      // diagnostic; the same operator scores a dedup clustering against
+      // ground truth. Pure pair counting: every component an exact
+      // integer, ppm sign-split over non-negative DECIMAL(38,0) integral
+      // division so floor-vs-truncate never diverges across engines.
+      Validation.adjustedRandIndex(
+        t(s, dir, "documents"), col("lang"), col("source"))),
+
+    "q258_ewma_revenue" -> ((s, dir) => {
+      // exact geometric-decay smoothed daily revenue (EWMA ×256): absent
+      // dates decay the average (calendar semantics, not previous-rows),
+      // every term an integer-weighted DECIMAL product — the alerting
+      // baseline a metrics pipeline lays over daily totals. No global
+      // window: contribution fan-out + date-keyed groupBy, calendar-
+      // bounded shuffles.
+      val daily = t(s, dir, "orders")
+        .selectCols(Seq(to_date(col("o_orderdate")).as("d"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p")))
+        .groupBy(col("d"))
+        .agg(sum(col("p")).cast(DecimalType(28, 2)).as("v"))
+      // decimal internally, DOUBLE at the output boundary (the dsum
+      // pattern): both engines cast the same exact decimal, and the
+      // magnitudes (≤ daily revenue × 256, cents-scaled) sit far inside
+      // the 2^53 exact-integer range
+      Relational.geometricDateSmoothing(daily, col("d"), col("v"), 8)
+        .selectCols(Seq(col("d"), col("v").cast("double").as("v"),
+          col("smoothed_scaled").cast("double").as("smoothed_x256"),
+          col("n_terms")))
+        .sortBy(Seq(col("d")))
+    }),
+
+    "q257_wht_bands" -> ((s, dir) => {
+      // integer-exact "spectral" profile over REAL decoded PCM: q146's
+      // synth WAV cut into 8-sample frames, each frame's 8 Walsh–Hadamard
+      // coefficients (±1 matrix — every c_k an exact integer, unlike a
+      // float FFT) abs-summed per band. Band 0 is DC, band 7 the fastest
+      // alternation: the energy-by-frequency witness an audio-quality
+      // filter thresholds on (hiss = high bands, hum = low), and the
+      // oracle replays it with bit_count arithmetic because PCM is
+      // lossless.
+      val withWav = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n")))
+        .withColumn("wav", Multimodal.synthPcmWavUdf(col("doc_id"), col("n")))
+      withWav
+        .selectCols(Seq(col("doc_id").as("id"),
+          explode(Multimodal.whtBands(col("wav"))).as("b")))
+        .selectCols(Seq(col("id"), col("b._1").cast("long").as("band"),
+          col("b._2").as("c_abs_sum")))
+        .sortBy(Seq(col("id"), col("band")))
+    }),
+
+    "q256_video_motion" -> ((s, dir) => {
+      // REAL scene-change detection: q149's animated clips demuxed with
+      // EVERY frame decoded, SAD = Σ|p_next − p_prev| per consecutive
+      // pair, and a cut flag from one integer compare (mean per-pixel
+      // diff ≥ 30 ⟺ sad·100 ≥ 30·w·h). The synth pattern shifts +17 mod
+      // 256 each frame, so per-pixel diffs are 17 or 239 (wraparound) —
+      // the oracle replays both branches exactly because GIF LZW is
+      // lossless on the indexed raster.
+      val withGif = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(6) + pmod(col("doc_id"), lit(5))).cast("int").as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(4))).cast("int").as("h"),
+          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf")))
+        .withColumn("gif",
+          Multimodal.synthAnimGifUdf(col("doc_id"), col("w"), col("h"), col("nf")))
+      withGif
+        .withColumn("m", explode(Multimodal.frameMotion(col("gif"))))
+        .selectCols(Seq(
+          col("doc_id").as("id"),
+          col("m._1").cast("long").as("to_frame"),
+          col("m._2").as("sad"),
+          (col("m._2") * lit(100L) >= lit(30L) * col("w") * col("h")).as("cut")))
+        .sortBy(Seq(col("id"), col("to_frame")))
+    }),
+
     "q255_drift_stream" -> ((s, dir) => {
       // q195's mix-shift monitor running MID-INGEST: the odd-user split's
       // event_type counts as a complete-mode streaming aggregation,
@@ -4816,6 +5052,166 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // Roundtrip: the XML layout must carry exactly the source rows.
+    "q266_xml_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // The variant encoding changes storage, not values: the oracle is the
+    // plain JSON string path.
+    "q265_variant_json" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // The UNPIVOT replayed as a union of the three measures.
+    "q264_unpivot" ->
+      """WITH u AS (
+           SELECT 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+           UNION ALL
+           SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+           UNION ALL
+           SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+         SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM u GROUP BY metric ORDER BY metric""",
+
+    // Bitmaps are an exact-distinct mechanism, not an estimate: the
+    // oracle is the plain COUNT(DISTINCT).
+    "q263_bitmap_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Statistics change the plan, not the answer.
+    "q262_cbo_join_reorder" ->
+      """SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 150000.0
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    // Majority-RHS repair size per rule over the (lhs, rhs) contingency
+    // table.
+    "q261_fd_audit" ->
+      """WITH c1 AS (SELECT source AS l, lang AS r, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1, 2),
+         p1 AS (SELECT l, SUM(n) AS nl, MAX(n) AS maxn, COUNT(*) AS ndist
+                FROM c1 GROUP BY l),
+         r1 AS (SELECT 'docs_source_determines_lang' AS rule,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN ndist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_groups,
+                  CAST(SUM(nl) AS BIGINT) AS n_rows,
+                  CAST(SUM(nl - maxn) AS BIGINT) AS n_violation_rows
+                FROM p1),
+         c2 AS (SELECT o_custkey AS l, o_orderpriority AS r,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1, 2),
+         p2 AS (SELECT l, SUM(n) AS nl, MAX(n) AS maxn, COUNT(*) AS ndist
+                FROM c2 GROUP BY l),
+         r2 AS (SELECT 'orders_custkey_determines_priority' AS rule,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN ndist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_groups,
+                  CAST(SUM(nl) AS BIGINT) AS n_rows,
+                  CAST(SUM(nl - maxn) AS BIGINT) AS n_violation_rows
+                FROM p2),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         SELECT rule, n_groups, n_clean_groups, n_rows, n_violation_rows,
+           CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((n_violation_rows * 1000000) // n_rows AS BIGINT)
+           END AS violation_ppm
+         FROM u ORDER BY rule""",
+
+    // The bloom filter changes the plan, not the answer.
+    "q260_bloom_join" ->
+      """SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_size = 1
+         GROUP BY p.p_brand ORDER BY p.p_brand""",
+
+    // Pair counting over the lang×source contingency table; HUGEINT for
+    // the ~N2² products, sign-split ppm.
+    "q259_rand_index" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM documents GROUP BY 1, 2),
+         s AS (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT) AS s_pairs,
+                 CAST(SUM(n) AS BIGINT) AS n_rows FROM cells),
+         ra AS (SELECT CAST(SUM(na*(na-1)//2) AS BIGINT) AS a2
+                FROM (SELECT SUM(n) AS na FROM cells GROUP BY lang)),
+         rb AS (SELECT CAST(SUM(nb*(nb-1)//2) AS BIGINT) AS b2
+                FROM (SELECT SUM(n) AS nb FROM cells GROUP BY source)),
+         x AS (SELECT s_pairs, a2, b2,
+                 CAST(n_rows*(n_rows-1)//2 AS BIGINT) AS n2 FROM s, ra, rb),
+         y AS (SELECT s_pairs, a2, b2, n2,
+                 CAST(2 AS HUGEINT)*(CAST(s_pairs AS HUGEINT)*n2
+                   - CAST(a2 AS HUGEINT)*b2) AS num2,
+                 CAST(a2+b2 AS HUGEINT)*n2
+                   - CAST(2 AS HUGEINT)*CAST(a2 AS HUGEINT)*b2 AS den2
+               FROM x)
+         SELECT s_pairs, a2, b2, n2,
+           CAST(CASE WHEN den2 = 0 THEN 1000000
+                WHEN num2 >= 0 THEN (num2 * 1000000) // den2
+                ELSE -(((-num2) * 1000000) // den2) END AS BIGINT) AS ari_ppm
+         FROM y""",
+
+    // The contribution join replays the fan-out: weight 2^(7−gap) for
+    // gap = a.d − b.d ∈ [0,7]; decimal widths pinned (28,2)×(10,0) so
+    // neither engine spills past DECIMAL(38,2).
+    "q258_ewma_revenue" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+           FROM orders GROUP BY 1)
+         SELECT a.d, CAST(a.v AS DOUBLE) AS v,
+           CAST(SUM(CAST(b.v AS DECIMAL(28,2))
+             * CAST(1 << (7 - date_diff('day', b.d, a.d)) AS DECIMAL(10,0)))
+             AS DOUBLE) AS smoothed_x256,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+         FROM daily a JOIN daily b
+           ON b.d <= a.d AND b.d >= a.d - 7
+         GROUP BY a.d, a.v ORDER BY a.d""",
+
+    // Full frames only (n // 8 · 8 samples); the ±1 matrix entry is
+    // (−1)^bit_count(k AND j) — HUGEINT-free, every sum fits a BIGINT.
+    "q257_wht_bands" ->
+      """WITH d AS (SELECT doc_id, 64 + (doc_id % 41) AS n FROM documents),
+         s AS (SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536) - 32768 AS smp
+               FROM d, LATERAL (SELECT unnest(range(0, (n // 8) * 8)) AS i) u),
+         c AS (SELECT doc_id, i // 8 AS f, k.k AS k,
+                 SUM(CASE WHEN bit_count(CAST(k.k AS BIGINT) & CAST(i % 8 AS BIGINT)) % 2 = 0
+                          THEN smp ELSE -smp END) AS ck
+               FROM s, LATERAL (SELECT unnest(range(0, 8)) AS k) k
+               GROUP BY doc_id, i // 8, k.k)
+         SELECT doc_id AS id, CAST(k AS BIGINT) AS band,
+           CAST(SUM(ABS(ck)) AS BIGINT) AS c_abs_sum
+         FROM c GROUP BY doc_id, k ORDER BY id, band""",
+
+    // Transitions replay from the synth formula: frame f's pixel minus
+    // frame f−1's — the +17 mod 256 shift wraps at 239, both branches in
+    // the ABS.
+    "q256_video_motion" ->
+      """WITH d AS (
+           SELECT doc_id, 6 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+                  3 + doc_id % 4 AS nf
+           FROM documents),
+         fr AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM d),
+         px AS (
+           SELECT doc_id, w, h, f,
+             CAST(list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 ABS((doc_id*31 + f*17 + x*7 + y*13) % 256
+                     - (doc_id*31 + (f-1)*17 + x*7 + y*13) % 256))))) AS BIGINT) AS sad
+           FROM fr)
+         SELECT doc_id AS id, CAST(f AS BIGINT) AS to_frame, sad,
+           sad * 100 >= 30 * w * h AS cut
+         FROM px ORDER BY id, to_frame""",
+
     "q255_drift_stream" ->
       """WITH r AS (SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_ref
                     FROM events WHERE user_id % 2 = 0 GROUP BY 1),

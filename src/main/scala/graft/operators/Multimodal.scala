@@ -526,6 +526,95 @@ object Multimodal {
       withGifFrames(bytes, everyN)((_, img) => encodePng(img)).orNull
     }
 
+  /** REAL frame-to-frame motion: decode EVERY frame and report, per
+    * consecutive pair, (to_frame_idx, sad) — SAD = Σ|p_next − p_prev| over
+    * the shared raster (band 0; the synthetic clips are single-band
+    * indexed). The scene-change primitive a video-curation pipeline
+    * thresholds on: a transition whose per-pixel mean difference spikes is
+    * a cut, and sampling one frame per cut beats sampling every Nth frame
+    * for training-data coverage. Pairs with mismatched dims are skipped
+    * (honest absence, not a crash); None for undecodable bytes.
+    */
+  def decodeGifMotionInfos(bytes: Array[Byte]): Option[Seq[(Int, Long)]] =
+    withGifFrames(bytes, 1) { (i, img) =>
+      val r = img.getRaster
+      (i, img.getWidth, img.getHeight, r.getSamples(0, 0, img.getWidth, img.getHeight, 0,
+        null.asInstanceOf[Array[Int]]))
+    }.map { frames =>
+      frames.sliding(2).collect {
+        case Seq((_, w0, h0, p0), (i1, w1, h1, p1)) if w0 == w1 && h0 == h1 =>
+          var sad = 0L
+          var j = 0
+          while (j < p0.length) { sad += math.abs(p1(j) - p0(j)); j += 1 }
+          (i1, sad)
+      }.toSeq
+    }
+
+  /** Motion profile as a column op — `array<struct>` of (to_frame_idx,
+    * sad), null for undecodable payloads. Same codec-as-UDF rationale as
+    * [[sampleFrameInfos]]; narrow, payload never shuffles.
+    */
+  def frameMotion: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      decodeGifMotionInfos(bytes).orNull
+    }
+
+  /** Integer-exact "spectral" band profile: decode 16-bit PCM
+    * ([[decodeAudioInfo]]'s parser), cut the interleaved samples into
+    * 8-sample frames (trailing partial frame dropped — it has no full
+    * transform), and for each Walsh–Hadamard band k∈[0,8) report
+    * Σ_frames |c_k| where c_k = Σ_j sign_k(j)·s_j and sign_k(j) =
+    * (−1)^popcount(k AND j). The Hadamard matrix is ±1-valued, so every
+    * coefficient is an exact integer — a DFT-shaped energy-by-frequency
+    * witness (k=0 is DC, k=7 the fastest alternation) that a SQL oracle
+    * replays with bit_count arithmetic, unlike a float FFT. |c_k| ≤
+    * 8·32768 and frames ≤ 2^20 per payload keep the sum far inside a
+    * long. None for undecodable bytes.
+    */
+  def whtBandsInfo(bytes: Array[Byte]): Option[Seq[(Int, Long)]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val data = ais.readAllBytes()
+      val le = !fmt.isBigEndian
+      val acc = new Array[Long](8)
+      val frame = new Array[Int](8)
+      var n = 0
+      var i = 0
+      while (i + 1 < data.length) {
+        val lo = data(if (le) i else i + 1) & 0xff
+        val hi = data(if (le) i + 1 else i)
+        frame(n) = (hi << 8) | lo
+        n += 1
+        if (n == 8) {
+          var k = 0
+          while (k < 8) {
+            var c = 0L
+            var j = 0
+            while (j < 8) {
+              c += (if (java.lang.Integer.bitCount(k & j) % 2 == 0) frame(j)
+                    else -frame(j))
+              j += 1
+            }
+            acc(k) += math.abs(c)
+            k += 1
+          }
+          n = 0
+        }
+        i += 2
+      }
+      Some((0 until 8).map(k => (k, acc(k))))
+    } catch { case _: Exception => None }
+  }
+
+  def whtBands: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      whtBandsInfo(bytes).orNull
+    }
+
   /** Feature extraction as native Catalyst expressions
     * ([[graft.plans.BinaryExprs]]) — one narrow projection, no RDD hop:
     * column pruning reaches the scan, sibling columns survive, and the plan

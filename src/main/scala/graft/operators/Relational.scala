@@ -1278,4 +1278,37 @@ object Relational {
       .withColumn("max_share_ppm", expr(
         "CASE WHEN est_rows = 0 THEN 0L ELSE (max_key_rows * 1000000L) DIV est_rows END"))
   }
+
+  /** Geometric-decay smoothing over a DATE-keyed series — the EWMA a
+    * metrics pipeline lays over daily revenue/volume, made exact: for each
+    * present date d, smoothed_xS = Σ_{i=0..w−1} v(d−i) · 2^(w−1−i) with
+    * S = 2^w and absent dates contributing zero (decay over CALENDAR
+    * days, not previous rows — a gap day decays the average, which is the
+    * semantics an alerting pipeline wants). Keeping the ×S scaling makes
+    * every term an integer-weighted DECIMAL product — no 1/2^i rounding
+    * to disagree on — and the caller can divide at display time.
+    *
+    * Scale shape: no global single-partition window. Each row fans out to
+    * the w target dates it contributes to (explode by a w-element
+    * broadcast weight array), then one partial-aggregating groupBy on the
+    * target date and an equi-join back to the present-date frame. Both
+    * shuffles are date-keyed — calendar-bounded cardinality, immune to
+    * row-count growth.
+    */
+  def geometricDateSmoothing(df: DataFrame, date: Column, value: Column,
+      window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 62, s"window must be in [1,62], got $window")
+    val base = df.select(date.alias("d"), value.alias("v"))
+    val weights = typedLit((0 until window).map(i => 1L << (window - 1 - i)).toArray)
+    val contrib = base
+      .select(col("d"), col("v"),
+        explode(sequence(lit(0), lit(window - 1))).alias("i"))
+      .select(date_add(col("d"), col("i")).alias("d"),
+        (col("v") * element_at(weights, col("i") + 1)).alias("wv"))
+      .groupBy(col("d"))
+      .agg(sum(col("wv")).alias("smoothed_scaled"),
+        count(lit(1)).alias("n_terms"))
+    base.join(contrib, Seq("d"))
+      .select(col("d"), col("v"), col("smoothed_scaled"), col("n_terms"))
+  }
 }

@@ -817,4 +817,81 @@ object Validation {
         col("share_ref_ppm"), col("share_cur_ppm"), col("diff_ppm"),
         col("tvd_ppm"))
   }
+
+  /** Functional-dependency audit: does LHS determine RHS? One report row
+    * per rule: n_groups (distinct LHS values), n_clean_groups (LHS values
+    * with exactly one RHS), n_rows, n_violation_rows (rows disagreeing
+    * with their group's MAJORITY RHS — the minimum repair size, i.e. how
+    * many rows a fix-to-majority cleanup would rewrite), violation_ppm.
+    * The schema-inference / data-contract check a 100 TB ingest runs
+    * before trusting a denormalized column.
+    *
+    * Scale shape: one partial-aggregating groupBy on (lhs, rhs) — the
+    * contingency table — then an LHS-keyed aggregate and a rule-sized
+    * report row. One scan, no joins.
+    */
+  def functionalDependency(df: DataFrame, rule: String, lhs: Column,
+      rhs: Column): DataFrame = {
+    val cells = df.groupBy(lhs.alias("l"), rhs.alias("r"))
+      .agg(count(lit(1)).alias("n"))
+    val per = cells.groupBy(col("l")).agg(
+      sum(col("n")).alias("nl"), max(col("n")).alias("maxn"),
+      count(lit(1)).alias("ndist"))
+    per.agg(
+        count(lit(1)).alias("n_groups"),
+        // empty input: SUMs are NULL — report honest zeros, not a null row
+        coalesce(sum(when(col("ndist") === 1L, 1L).otherwise(0L)), lit(0L))
+          .alias("n_clean_groups"),
+        coalesce(sum(col("nl")), lit(0L)).alias("n_rows"),
+        coalesce(sum(col("nl") - col("maxn")), lit(0L)).alias("n_violation_rows"))
+      .select(lit(rule).alias("rule"), col("n_groups"), col("n_clean_groups"),
+        col("n_rows"), col("n_violation_rows"))
+      .withColumn("violation_ppm", expr(
+        "CASE WHEN n_rows = 0 THEN 0L ELSE (n_violation_rows * 1000000L) DIV n_rows END"))
+  }
+
+  /** Adjusted Rand index between two labelings of the same rows — the
+    * chance-corrected agreement score for comparing a dedup clustering, a
+    * model's cluster assignment, or a provenance split against a ground
+    * truth. Pure pair counting, so every component is an exact integer:
+    * over the contingency table n_ij, S = Σ C(n_ij,2), A2 = Σ C(a_i,2)
+    * (row sums), B2 = Σ C(b_j,2) (col sums), N2 = C(n,2), and
+    *
+    *   ARI = 2(S·N2 − A2·B2) / ((A2+B2)·N2 − 2·A2·B2)
+    *
+    * reported as ari_ppm with the integer components alongside, so the
+    * consumer can re-derive at any precision. Products reach ~N2² —
+    * DECIMAL(38,0) territory at corpus scale, far out of a BIGINT — and
+    * the ppm quotient is sign-split over non-negative integral division
+    * so floor-vs-truncate never diverges across engines.
+    *
+    * Scale shape: one partial-aggregating groupBy on (a, b) — the
+    * contingency table, label-cardinality-sized — then label-count-sized
+    * aggregates and 1-row broadcasts. The data is scanned once.
+    */
+  def adjustedRandIndex(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.alias("la"), b.alias("lb"))
+      .agg(count(lit(1)).alias("n"))
+    // C(n,2) = n(n-1)/2 — n(n-1) is even, so a right shift is the exact
+    // halving (a `/` would detour through double and shed precision past
+    // 2^53); n(n-1) itself bounds usable n at ~3e9 rows per call
+    def pairs(c: Column): Column = shiftright(c * (c - 1L), 1)
+    val s = cells.agg(sum(pairs(col("n"))).alias("s_pairs"),
+      sum(col("n")).alias("n_rows"))
+    val a2 = cells.groupBy(col("la")).agg(sum(col("n")).alias("na"))
+      .agg(sum(pairs(col("na"))).alias("a2"))
+    val b2 = cells.groupBy(col("lb")).agg(sum(col("n")).alias("nb"))
+      .agg(sum(pairs(col("nb"))).alias("b2"))
+    s.crossJoin(broadcast(a2)).crossJoin(broadcast(b2))
+      .withColumn("n2", pairs(col("n_rows")))
+      .selectExpr("s_pairs", "a2", "b2", "n2",
+        // DECIMAL(38,0) keeps S·N2 and A2·B2 exact; num2 may be negative
+        // (worse-than-chance agreement), den2 is ≥ 0 by AM–GM
+        "CAST(2 AS DECIMAL(38,0)) * (CAST(s_pairs AS DECIMAL(38,0)) * n2 - CAST(a2 AS DECIMAL(38,0)) * b2) AS num2",
+        "CAST(a2 + b2 AS DECIMAL(38,0)) * n2 - CAST(2 AS DECIMAL(38,0)) * CAST(a2 AS DECIMAL(38,0)) * b2 AS den2")
+      .selectExpr("s_pairs", "a2", "b2", "n2",
+        """CAST(CASE WHEN den2 = 0 THEN 1000000
+             WHEN num2 >= 0 THEN (num2 * 1000000) DIV den2
+             ELSE -((-num2 * 1000000) DIV den2) END AS BIGINT) AS ari_ppm""")
+  }
 }

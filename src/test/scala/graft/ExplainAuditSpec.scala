@@ -140,4 +140,27 @@ class ExplainAuditSpec extends SparkSpec {
         s"broadcast hint over non-centroid frame with columns $outCols — corpus-sized broadcast in the scale path")
     }
   }
+
+  test("q260 runtime bloom filter: the fact scan carries a might_contain probe") {
+    // the row-level semi-join pushdown the query exists to demonstrate:
+    // Catalyst must inject a bloom filter built from the filtered dim side
+    // as a might_contain predicate on the lineitem side of the shuffle join
+    val df = SparkEntry.queries("q260_bloom_join")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no might_contain probe in q260's optimized plan — the runtime bloom filter did not inject:\n$plan")
+  }
+
+  test("q262 CBO: ANALYZE'd catalog statistics reach every scan in the optimized plan") {
+    // the statistics layer the cost-based reorder runs on: under the CBO
+    // session every leaf must report an exact ANALYZE'd rowCount — absent
+    // stats would silently degrade the reorder to the textual join order
+    val df = SparkEntry.queries("q262_cbo_join_reorder")(spark, sfDir)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size >= 3, s"expected the 3 catalog scans, got ${leaves.size}")
+    leaves.foreach { l =>
+      assert(l.stats.rowCount.isDefined,
+        s"leaf without ANALYZE'd rowCount under CBO — stats are not flowing:\n$l")
+    }
+  }
 }

@@ -232,4 +232,48 @@ class MultimodalSpec extends SparkSpec {
       yield (seed * 31 + (x * w / 4) * 7 + (y * h / 4) * 13) % 256).sum
     assert(rsum == expected)
   }
+
+  test("REAL video: frame-to-frame motion SAD replays the synth formula") {
+    // the synth pattern shifts +17 mod 256 per frame: per-pixel diff is 17
+    // or 239 (wraparound) — the decode must reproduce the exact mix
+    val seed = 7L; val w = 8; val h = 6; val nf = 5
+    val gif = Multimodal.synthAnimGif(seed, w, h, nf)
+    val Some(motion) = Multimodal.decodeGifMotionInfos(gif)
+    assert(motion.map(_._1) == Seq(1, 2, 3, 4))
+    motion.foreach { case (f, sad) =>
+      val expected = (for { y <- 0 until h; x <- 0 until w } yield {
+        val a = (seed * 31 + (f - 1) * 17 + x * 7 + y * 13) % 256
+        val b = (seed * 31 + f * 17 + x * 7 + y * 13) % 256
+        math.abs(b - a)
+      }).sum
+      assert(sad == expected, s"transition to frame $f")
+    }
+    assert(Multimodal.decodeGifMotionInfos("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeGifMotionInfos(null).isEmpty)
+    // single-frame clip: no transitions — honest empty, not a crash
+    assert(Multimodal.decodeGifMotionInfos(Multimodal.synthAnimGif(1L, 4, 4, 1)).get.isEmpty)
+  }
+
+  test("WHT bands: exact coefficients vs a direct reference fold") {
+    val seed = 3L; val n = 20 // 2 full 8-sample frames; 4-sample tail dropped
+    val wav = Multimodal.synthPcmWav(seed, n)
+    val Some(bands) = Multimodal.whtBandsInfo(wav)
+    assert(bands.map(_._1) == (0 until 8))
+    val samples = (0 until n).map(i => (((seed * 31 + i * 7) % 65536) - 32768).toInt)
+    val expect = (0 until 8).map { k =>
+      (0 until 2).map { f =>
+        math.abs((0 until 8).map { j =>
+          val s = samples(8 * f + j).toLong
+          if (Integer.bitCount(k & j) % 2 == 0) s else -s
+        }.sum)
+      }.sum
+    }
+    bands.zip(expect).foreach { case ((k, v), e) => assert(v == e, s"band $k") }
+    // band 0 is the ±-free fold: Σ|frame sums| directly
+    assert(bands.head._2 ==
+      math.abs(samples.slice(0, 8).map(_.toLong).sum) +
+      math.abs(samples.slice(8, 16).map(_.toLong).sum))
+    assert(Multimodal.whtBandsInfo("junk".getBytes).isEmpty)
+    assert(Multimodal.whtBandsInfo(null).isEmpty)
+  }
 }

@@ -685,4 +685,22 @@ class RelationalSpec extends SparkSpec {
       Seq(1L).toDF("k"), $"k", Seq(2L).toDF("k"), $"k").collect().head
     assert(none == Row(0L, 1L, 1L, 0L, null, null, 0L))
   }
+
+  test("geometricDateSmoothing: calendar decay with exact integer weights") {
+    // window 3 -> weights 4,2,1 for gaps 0,1,2; absent dates contribute 0
+    val df = Seq(("2024-01-01", "1.00"), ("2024-01-02", "2.00"),
+        ("2024-01-05", "4.00"))
+      .toDF("d", "v")
+      .select(to_date($"d").as("d"), $"v".cast("decimal(18,2)").as("v"))
+    val out = graft.operators.Relational.geometricDateSmoothing(df, $"d", $"v", window = 3)
+      .orderBy($"d").collect()
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // 01-01: 1*4 = 4; 01-02: 2*4 + 1*2 = 10; 01-05: 4*4 = 16 (03/04 absent,
+    // 01-02 outside the 3-day horizon)
+    assert(out.map(r => (r.getDate(0).toString,
+      r.getDecimal(2).stripTrailingZeros, r.getLong(3))).toSeq == Seq(
+      ("2024-01-01", bd("4").stripTrailingZeros, 1L),
+      ("2024-01-02", bd("10").stripTrailingZeros, 2L),
+      ("2024-01-05", bd("16").stripTrailingZeros, 1L)))
+  }
 }

@@ -310,4 +310,46 @@ class ValidationSpec extends SparkSpec {
     val zero = Validation.numericDrift(ref, ref, $"v", nBins = 5).collect()
     assert(zero.forall(r => r.getLong(6) == 0L && r.getLong(7) == 0L))
   }
+
+  test("functionalDependency: majority repair size, clean FD, empty input") {
+    // groups: a -> {x:2, y:1} (3 rows, max 2), b -> {z:1}; repair = 1 row
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")).toDF("l", "r")
+    val row = Validation.functionalDependency(df, "t", $"l", $"r").collect().head
+    assert(row == Row("t", 2L, 1L, 4L, 1L, 250000L))
+    // a real FD: zero violations, every group clean
+    val clean = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("l", "r")
+    assert(Validation.functionalDependency(clean, "t", $"l", $"r")
+      .collect().head == Row("t", 2L, 2L, 3L, 0L, 0L))
+    // empty input: honest zeros, not a null row
+    val empty = Seq.empty[(String, String)].toDF("l", "r")
+    assert(Validation.functionalDependency(empty, "t", $"l", $"r")
+      .collect().head == Row("t", 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("adjustedRandIndex: textbook pair counts and the fixed points") {
+    // A = [1,1,1,2,2], B = [1,1,2,2,2]: contingency {(1,1):2,(1,2):1,
+    // (2,2):2} -> S=2, A2=4, B2=4, N2=10 -> ARI = 2(20-16)/(80-32) = 1/6
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 2L), (2L, 2L)).toDF("a", "b")
+    val r = Validation.adjustedRandIndex(df, $"a", $"b").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L && r.getLong(2) == 4L &&
+      r.getLong(3) == 10L)
+    assert(r.getLong(4) == 166666L) // floor(1e6/6)
+    // identical labelings agree perfectly
+    val same = Seq((1L, 1L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Validation.adjustedRandIndex(same, $"a", $"b")
+      .collect().head.getLong(4) == 1000000L)
+    // degenerate single cluster on both sides: den2 = 0 -> 1e6 by convention
+    val one = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Validation.adjustedRandIndex(one, $"a", $"b")
+      .collect().head.getLong(4) == 1000000L)
+    // independent labelings sit near zero (can be negative) — exercise the
+    // sign-split branch: a 2x2 uniform table has ARI exactly 0... use a
+    // worse-than-chance pairing instead: A=[1,2], B groups them together
+    val anti = Seq((1L, 9L), (2L, 9L), (1L, 8L), (2L, 8L)).toDF("a", "b")
+    val v = Validation.adjustedRandIndex(anti, $"a", $"b").collect().head
+    // S=0+..: cells are 4 singles... each (a,b) distinct once -> S=0;
+    // A2 = 2*C(2,2)... a-sums 2,2 -> A2=2; b-sums 2,2 -> B2=2; N2=6
+    // num2 = 2(0-4) = -8; den2 = 4*6-8 = 16 -> ARI = -1/2
+    assert(v.getLong(4) == -500000L)
+  }
 }
