@@ -2321,6 +2321,63 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q269_stream_left_outer_join" -> ((s, dir) => {
+      // TRUE left-outer stream-stream join: inner matches emit with the
+      // data; unmatched views emit null-extended only when the advancing
+      // watermark EVICTS them — the harness pins watermark progression
+      // (three time-split files, one per micro-batch, watermark before
+      // the type filter) so the emission set is an exact contract the
+      // oracle replays: matches ∪ unmatched with window-end < final-batch
+      // watermark. The outer-join semantics Structured Streaming is
+      // genuinely hard about, made hash-checkable.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/lojoin"
+      val qn = s"graft_q269_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      EventStreams.runStreamLeftOuterJoinSmoke(s, s"$dir/events.parquet",
+          scratch, qn, "user_id", "view", "purchase", 7200L,
+          Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00"), "1 hour")
+        .selectCols(Seq(col("l_event_id"), col("l_user_id"),
+          unix_micros(col("l_ts")).as("l_ts_us"),
+          col("r_event_id"), unix_micros(col("r_ts")).as("r_ts_us")))
+        .sortBy(Seq(col("l_event_id"), col("r_event_id")))
+    }),
+
+    "q268_collation" -> ((s, dir) =>
+      // Spark 4 collations: UTF8_LCASE makes case-insensitivity a COLUMN
+      // TYPE property the whole engine honors (groupBy/join/distinct),
+      // not a lower() call sprinkled per query — the i18n-correct dedup
+      // key for web-scale text where 'EN', 'En', 'en' are one value.
+      // Planted mixed case (odd doc_ids upper their source), then the
+      // sensitive vs collated distinct counts side by side.
+      t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 1, upper(col("source")))
+            .otherwise(col("source")).as("src_mixed")))
+        .aggregate(Seq.empty, Seq(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("src_mixed")).as("n_distinct_cs"),
+          countDistinct(expr("collate(src_mixed, 'UTF8_LCASE')"))
+            .as("n_distinct_ci")))),
+
+    "q267_nullsafe_join" -> ((s, dir) => {
+      // null-safe equality join (<=>): NULL keys match each other instead
+      // of vanishing — the semantic a sessionless-events enrichment needs
+      // when "no user" is itself a group. Every 10th user id is nulled,
+      // per-key counts computed INCLUDING the NULL group, then joined
+      // back null-safely; a plain equi-join would drop the NULL rows
+      // (the bug this query exists to contrast).
+      val e = t(s, dir, "events")
+        .selectCols(Seq(col("event_id"),
+          when(pmod(col("user_id"), lit(10L)) === 0L, lit(null))
+            .otherwise(col("user_id")).cast("long").as("uid_n")))
+      val cnt = e.groupBy(col("uid_n")).agg(count(lit(1)).as("n_for_uid"))
+      e.alias("ev").join(cnt.alias("ct"),
+          col("ev.uid_n") <=> col("ct.uid_n"))
+        .selectCols(Seq(col("ev.event_id").as("event_id"),
+          col("ev.uid_n").as("uid_n"), col("ct.n_for_uid").as("n_for_uid")))
+        .sortBy(Seq(col("event_id")))
+    }),
+
     "q266_xml_roundtrip" -> ((s, dir) => {
       // the fifth lake format: documents written through the built-in XML
       // source (Spark 4 folded spark-xml into core) and read back
@@ -5052,6 +5109,60 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // The emission contract: inner matches, plus unmatched left rows whose
+    // join-window end closed under the final batch's watermark. The type
+    // filters sit BELOW each watermark node (Catalyst pushdown — pinned by
+    // the StreamingSpec hand case), so the global watermark is
+    // min(max view ts, max purchase ts before the last split) − 1 h,
+    // strict < on the eviction boundary.
+    "q269_stream_left_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS tus, event_type
+               FROM events),
+         l AS (SELECT * FROM e WHERE event_type = 'view'),
+         r AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(tus) FROM l
+                   WHERE tus < CAST(epoch_us(TIMESTAMP '2024-01-21 00:00:00') AS BIGINT)),
+                  (SELECT MAX(tus) FROM r
+                   WHERE tus < CAST(epoch_us(TIMESTAMP '2024-01-21 00:00:00') AS BIGINT)))
+                  - 3600000000 AS w),
+         m AS (SELECT l.event_id AS l_event_id, l.user_id AS l_user_id,
+                 l.tus AS l_ts_us, r.event_id AS r_event_id, r.tus AS r_ts_us
+               FROM l JOIN r ON l.user_id = r.user_id
+                 AND r.tus >= l.tus AND r.tus <= l.tus + 7200000000),
+         um AS (SELECT l.event_id, l.user_id, l.tus FROM l
+                WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+                  AND r.tus >= l.tus AND r.tus <= l.tus + 7200000000)),
+         uo AS (SELECT um.event_id AS l_event_id, um.user_id AS l_user_id,
+                  um.tus AS l_ts_us, CAST(NULL AS BIGINT) AS r_event_id,
+                  CAST(NULL AS BIGINT) AS r_ts_us
+                FROM um, wm WHERE um.tus + 7200000000 < wm.w)
+         SELECT * FROM m UNION ALL SELECT * FROM uo
+         ORDER BY l_event_id, r_event_id""",
+
+    // Collation-insensitive distinct == distinct of lower(); the
+    // case-sensitive count is the control.
+    "q268_collation" ->
+      """WITH m AS (SELECT CASE WHEN doc_id % 2 = 1 THEN upper(source)
+                          ELSE source END AS src_mixed
+               FROM documents)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT src_mixed) AS BIGINT) AS n_distinct_cs,
+           CAST(COUNT(DISTINCT lower(src_mixed)) AS BIGINT) AS n_distinct_ci
+         FROM m""",
+
+    // IS NOT DISTINCT FROM is SQL's null-safe equality.
+    "q267_nullsafe_join" ->
+      """WITH e AS (SELECT event_id,
+                 CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS uid_n
+               FROM events),
+         c AS (SELECT uid_n, CAST(COUNT(*) AS BIGINT) AS n_for_uid
+               FROM e GROUP BY uid_n)
+         SELECT e.event_id, e.uid_n, c.n_for_uid
+         FROM e JOIN c ON e.uid_n IS NOT DISTINCT FROM c.uid_n
+         ORDER BY e.event_id""",
+
     // Roundtrip: the XML layout must carry exactly the source rows.
     "q266_xml_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars

@@ -914,27 +914,91 @@ object Dedup {
       .groupBy("token").agg(count(lit(1)).alias("tf"))
     val ranked = freq.withColumn("rk",
       row_number().over(Window.orderBy(col("tf"), col("token"))).cast("long"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("rk"))
-    val pref = d.select(col("id"), col("sz"), explode(col("tk")).alias("token"))
+    // ---- dictionary-encode docs to sorted integer rank arrays ----------
+    // Ascending rk == rarity order (rk 1 is the rarest token), so a doc's
+    // PREFIX is simply the first p elements of its sorted rank array —
+    // and every downstream comparison is integer work, never string work.
+    val sets = d.select(col("id"), explode(col("tk")).alias("token"))
       .join(ranked.select(col("token"), col("rk")), Seq("token"))
-      .withColumn("pos", row_number().over(wDoc).cast("long"))
-      .filter(col("pos") <=
-        col("sz") - expr(s"(${tPpm}L * sz + 999999L) DIV 1000000L") + 1L)
-      .select(col("id"), col("token"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rk"))).alias("rks"))
+      .withColumn("sz", size(col("rks")).cast("long"))
+    // ---- collapse IDENTICAL token sets into one representative --------
+    // Web-scale corpora are full of exact duplicates; every candidate,
+    // verification, and intersection below runs ONCE per distinct set,
+    // and doc pairs are re-expanded at the end (within-group pairs are
+    // Jaccard 1 by construction — no verification needed at all).
+    val groups = sets.groupBy(col("rks"), col("sz"))
+      .agg(min(col("id")).alias("gid"), count(lit(1)).alias("gn"))
+    val members = sets.join(groups.select(col("rks"), col("gid")), Seq("rks"))
+      .select(col("gid"), col("id"))
+    // ---- prefix index + candidate generation with the LENGTH filter ---
+    // Jaccard >= t forces t·|y| <= |x| <= |y|/t: pairs outside the size
+    // band die in the join condition, before the verification shuffle.
+    val pref = groups.select(col("gid"), col("sz"),
+      explode(slice(col("rks"), lit(1),
+        (col("sz") - expr(s"(${tPpm}L * sz + 999999L) DIV 1000000L") + 1L)
+          .cast("int"))).alias("rk"))
     val cand = pref.alias("x").join(pref.alias("y"),
-        col("x.token") === col("y.token") && col("x.id") < col("y.id"))
-      .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+        col("x.rk") === col("y.rk") && col("x.gid") < col("y.gid") &&
+          col("x.sz") * 1000000L >= lit(tPpm) * col("y.sz") &&
+          col("y.sz") * 1000000L >= lit(tPpm) * col("x.sz"))
+      .select(col("x.gid").alias("ga"), col("y.gid").alias("gb"))
       .distinct()
-    val sets = d.select(col("id"), col("tk"), col("sz"))
-    cand
-      .join(sets.select(col("id").alias("id_a"), col("tk").alias("tka"),
-        col("sz").alias("sza")), Seq("id_a"))
-      .join(sets.select(col("id").alias("id_b"), col("tk").alias("tkb"),
-        col("sz").alias("szb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+    // ---- verification -------------------------------------------------
+    // Small vocabularies (dictionary-encoded categorical corpora, sharded
+    // dedup of templated text) get the bitmask fast path: the whole token
+    // set packs into <= 4 longs and the intersection is a handful of
+    // AND+popcounts inside codegen. Large vocabularies verify by integer
+    // array_intersect — already far cheaper than the string intersect.
+    // The vocab size is ONE bounded driver scalar (the BPE-vocab
+    // argument), not a vocab transfer.
+    val vocab = ranked.agg(coalesce(max(col("rk")), lit(0L)))
+      .collect()(0).getLong(0)
+    val gsets = groups.select(col("gid"), col("rks"), col("sz"))
+    val verified =
+      if (vocab <= 256) {
+        val w = ((vocab + 63) / 64).toInt
+        val packed = gsets.withColumn("words", expr(
+          s"""transform(sequence(0, ${w - 1}), w ->
+                aggregate(filter(rks, r -> CAST((r - 1) DIV 64 AS INT) = w),
+                  0L, (acc, r) -> acc + shiftleft(1L, CAST((r - 1) % 64 AS INT))))"""))
+          .select(col("gid"), col("sz"), col("words"))
+        cand
+          .join(packed.select(col("gid").alias("ga"), col("words").alias("wa"),
+            col("sz").alias("sza")), Seq("ga"))
+          .join(packed.select(col("gid").alias("gb"), col("words").alias("wb"),
+            col("sz").alias("szb")), Seq("gb"))
+          .withColumn("inter", expr(
+            "CAST(aggregate(zip_with(wa, wb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v) AS BIGINT)"))
+      } else {
+        cand
+          .join(gsets.select(col("gid").alias("ga"), col("rks").alias("rka"),
+            col("sz").alias("sza")), Seq("ga"))
+          .join(gsets.select(col("gid").alias("gb"), col("rks").alias("rkb"),
+            col("sz").alias("szb")), Seq("gb"))
+          .withColumn("inter",
+            size(array_intersect(col("rka"), col("rkb"))).cast("long"))
+      }
+    val qual = verified
       .filter(col("inter") * 1000000L >=
         lit(tPpm) * (col("sza") + col("szb") - col("inter")))
       .withColumn("jac_ppm", expr("(inter * 1000000L) DIV (sza + szb - inter)"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("jac_ppm"))
+      .select(col("ga"), col("gb"), col("inter"), col("jac_ppm"))
+    // ---- expand group pairs back to doc pairs -------------------------
+    val cross = qual
+      .join(members.select(col("gid").alias("ga"), col("id").alias("ia")), Seq("ga"))
+      .join(members.select(col("gid").alias("gb"), col("id").alias("ib")), Seq("gb"))
+      .select(least(col("ia"), col("ib")).alias("id_a"),
+        greatest(col("ia"), col("ib")).alias("id_b"),
+        col("inter"), col("jac_ppm"))
+    val within = members.alias("ma")
+      .join(members.alias("mb"),
+        col("ma.gid") === col("mb.gid") && col("ma.id") < col("mb.id"))
+      .join(groups.select(col("gid").alias("wg"), col("sz")),
+        col("ma.gid") === col("wg"))
+      .select(col("ma.id").alias("id_a"), col("mb.id").alias("id_b"),
+        col("sz").alias("inter"), lit(1000000L).alias("jac_ppm"))
+    cross.union(within)
   }
 }

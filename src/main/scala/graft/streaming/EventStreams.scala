@@ -888,6 +888,102 @@ object EventStreams {
     out
   }
 
+  /** TRUE left-outer stream-stream join with DETERMINISTIC eviction
+    * emission. Inner matches emit as data arrives; an UNMATCHED left row
+    * only emits (null-extended) when the event-time watermark passes its
+    * join-window end and the state store evicts it — so the output depends
+    * on how the watermark advanced, which this harness pins down exactly:
+    *
+    *  - the source parquet is staged as `splitTs.size + 1` time-range
+    *    files with forced-increasing mtimes, drained ONE FILE PER
+    *    MICRO-BATCH (maxFilesPerTrigger=1) oldest range first;
+    *  - each side's watermark node tracks ITS OWN filtered max event time:
+    *    the type filter is written after `withWatermark`, but Catalyst
+    *    pushes deterministic predicates beneath the EventTimeWatermark
+    *    node (empirically pinned by the StreamingSpec hand case), so the
+    *    rows that reach each node are that side's type only. The query's
+    *    global watermark is the MIN across nodes — after batch i it is
+    *    min(max left-type ts, max right-type ts over files 0..i) − delay,
+    *    used while processing batch i+1;
+    *  - no-data micro-batches are disabled: evictions happen only inside
+    *    data batches, so the final batch's leftover state is absent from
+    *    the output BY RULE, not by scheduler timing.
+    *
+    * Net effect (the SQL-replayable contract, pinned by q269's oracle):
+    * emitted rows = all inner matches ∪ unmatched left rows with
+    * l_ts + window < min(max left ts, max right ts before the last split
+    * boundary) − delay.
+    *
+    * Scale shape: state is watermark-bounded on both sides; the staging
+    * write is the verification harness, not the operator.
+    */
+  def runStreamLeftOuterJoinSmoke(spark: SparkSession, srcParquet: String,
+      stageDir: String, queryName: String, key: String,
+      leftType: String, rightType: String, windowSeconds: Long,
+      splitTs: Seq[String], delay: String = "1 hour"): DataFrame = {
+    require(splitTs.nonEmpty, "need >= 1 time split for multi-batch drains")
+    deleteRecursively(stageDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
+    val raw = spark.read.parquet(srcParquet)
+    val src = normalizeTs(raw.schema, raw)
+    val bounds = (None +: splitTs.map(Option(_))).zip(splitTs.map(Option(_)) :+ None)
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = src.where(
+        lo.map(b => col("ts") >= lit(b).cast("timestamp")).getOrElse(lit(true)) &&
+        hi.map(b => col("ts") < lit(b).cast("timestamp")).getOrElse(lit(true)))
+      val tmp = s"$stageDir/_tmp$i"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"p$i%02d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      // the file source orders by (mtime, path): force both
+      dst.setLastModified(1000000L * (i + 1))
+      deleteRecursively(tmp)
+    }
+    val schema = spark.read.parquet(stageDir).schema
+    def stream(): DataFrame =
+      normalizeTs(schema, spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir))
+        .withWatermark("ts", delay) // BEFORE the type filter — see Scaladoc
+    def side(p: String, tpe: String): DataFrame = {
+      val f = stream().filter(col("event_type") === tpe)
+      f.select(f.columns.map(c => f(c).alias(p + c)): _*)
+    }
+    val l = side("l_", leftType)
+    val r = side("r_", rightType)
+    val joined = l.join(r,
+      l("l_" + key) === r("r_" + key) &&
+        r("r_ts") >= l("l_ts") &&
+        r("r_ts") <= l("l_ts") + expr(s"interval $windowSeconds seconds"),
+      "left_outer")
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      if (sys.props.get("graft.debug.stream").contains("1"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[loj] batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")}"))
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       windowSeconds: Long, leftTs: String = "ts", rightTs: String = "ts",
       watermark: String = "1 hour"): DataFrame = {

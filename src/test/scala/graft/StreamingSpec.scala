@@ -218,6 +218,37 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_dedup_test")
   }
 
+  test("runStreamLeftOuterJoinSmoke: matches emit with data, watermark-evicted unmatched emit null-extended, retained state stays absent") {
+    // delay 1h, window 600s, splits at 02:00 / 04:00 -> three files.
+    // The type filters sit BELOW the watermark nodes (Catalyst pushes
+    // them — the semantics this test pins), so the final-batch watermark
+    // is min(max view 03:55, max purchase 03:50 before 04:00) - 1h = 02:50:
+    //  - view@00:10 (user 1): unmatched, window end 00:20 < 02:50 -> EMITS null-extended (evicted in batch 2, not batch 0 — mid-drain eviction)
+    //  - view@00:30 (user 2): matched by purchase@00:35 -> emits; eviction adds nothing
+    //  - view@03:00 (user 3): unmatched, window end 03:10 > 02:50 -> stays in state, ABSENT by rule
+    //  - an 'other'@05:00 row forms the last batch but reaches NEITHER
+    //    watermark node: it advances nothing — also pinned here
+    val src = java.nio.file.Files.createTempDirectory("graft_loj_src").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_loj_stage").toString
+    Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "view"),
+      (2L, "2024-01-01 00:30:00", 2L, "view"),
+      (3L, "2024-01-01 00:35:00", 2L, "purchase"),
+      (4L, "2024-01-01 03:00:00", 3L, "view"),
+      (5L, "2024-01-01 03:50:00", 8L, "purchase"),
+      (7L, "2024-01-01 03:55:00", 9L, "view"),
+      (6L, "2024-01-01 05:00:00", 9L, "other"))
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id", $"event_type")
+      .write.mode("overwrite").parquet(src)
+    val out = EventStreams.runStreamLeftOuterJoinSmoke(spark, src, stage,
+        "graft_loj_test", "user_id", "view", "purchase", 600L,
+        Seq("2024-01-01 02:00:00", "2024-01-01 04:00:00"), "1 hour")
+      .select($"l_event_id", $"r_event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set((2L, 3L), (1L, -1L)), s"got $out")
+  }
+
   test("streamStreamJoin: finite drain equals the batch time-range join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     java.nio.file.Files.copy(
