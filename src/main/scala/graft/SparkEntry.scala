@@ -2321,6 +2321,40 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q271_transform_with_state" -> ((s, dir) => {
+      // Spark 4 transformWithState — the arbitrary-stateful API running a
+      // per-user online profile (count, exact micros sum, batches seen)
+      // in a ValueState over the RocksDB store, drained across THREE
+      // micro-batches (event_id % 3 split, so active users span batches).
+      // Commutative accumulators make the final per-key emission equal
+      // the batch groupBy exactly; batches_seen (= distinct event_id % 3
+      // per user) proves the state survived batch boundaries.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/tws"
+      val qn = s"graft_q271_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      EventStreams.runTransformWithStateSmoke(s, s"$dir/events.parquet",
+          scratch, qn)
+        .sortBy(Seq(col("user_id")))
+    }),
+
+    "q270_recursive_cte" -> ((s, dir) =>
+      // Spark 4 recursive CTEs (WITH RECURSIVE … UNION ALL): the ancestor
+      // closure of the halving hierarchy node → node DIV 2 — each node
+      // has ONE parent, so the recursion is acyclic with unique paths and
+      // terminates in ⌈log2 n⌉ rounds; the iterative-plan morphology
+      // (UnionLoop) the engine previously only reached through
+      // hand-unrolled joins, now driven from the SQL surface.
+      s.sql(s"""
+        WITH RECURSIVE anc(node, anc, depth) AS (
+          SELECT p_partkey AS node, p_partkey DIV 2L AS anc, 1L AS depth
+          FROM parquet.`$dir/part.parquet` WHERE p_partkey BETWEEN 2 AND 2000
+          UNION ALL
+          SELECT a.node, a.anc DIV 2L, a.depth + 1L
+          FROM anc a WHERE a.anc >= 2
+        )
+        SELECT node, anc, depth FROM anc""")
+        .sortBy(Seq(col("node"), col("depth")))),
+
     "q269_stream_left_outer_join" -> ((s, dir) => {
       // TRUE left-outer stream-stream join: inner matches emit with the
       // data; unmatched views emit null-extended only when the advancing
@@ -5109,6 +5143,25 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // Stream == batch: the final per-key state equals the plain groupBy;
+    // batches_seen replays as distinct event_id % 3 per user.
+    "q271_transform_with_state" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_micros,
+           CAST(COUNT(DISTINCT event_id % 3) AS BIGINT) AS batches_seen
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // DuckDB's recursion replays Spark's: same seed, same step, UNION ALL
+    // multiplicity identical (single-parent chain → unique paths).
+    "q270_recursive_cte" ->
+      """WITH RECURSIVE anc(node, anc, depth) AS (
+           SELECT p_partkey AS node, p_partkey // 2 AS anc, CAST(1 AS BIGINT) AS depth
+           FROM part WHERE p_partkey BETWEEN 2 AND 2000
+           UNION ALL
+           SELECT node, anc // 2, depth + 1 FROM anc WHERE anc >= 2
+         )
+         SELECT node, anc, depth FROM anc ORDER BY node, depth""",
+
     // The emission contract: inner matches, plus unmatched left rows whose
     // join-window end closed under the final batch's watermark. The type
     // filters sit BELOW each watermark node (Catalyst pushdown — pinned by

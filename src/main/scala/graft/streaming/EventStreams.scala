@@ -888,6 +888,112 @@ object EventStreams {
     out
   }
 
+  /** Output row of [[RunningTotalsProcessor]] — the per-user running
+    * profile a feature store maintains online.
+    */
+  private[streaming] case class UserTotals(user_id: Long, n_events: Long,
+      value_micros: Long, batches_seen: Long)
+
+  /** Spark 4 `transformWithState` stateful processor: per-key running
+    * (count, integer-micros sum, batches-touched) in a single ValueState.
+    * Both accumulators are commutative/associative, so the FINAL emission
+    * per key equals the batch aggregate regardless of row order within a
+    * micro-batch — that is what makes a TWS pipeline oracle-checkable.
+    */
+  private[streaming] class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserTotals] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long, Long)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[UserTotals] = {
+      var (n, s, b) = if (totals.exists()) totals.get() else (0L, 0L, 0L)
+      rows.foreach { case (_, micros) => n += 1; s += micros }
+      b += 1
+      totals.update((n, s, b))
+      Iterator.single(UserTotals(key, n, s, b))
+    }
+  }
+
+  /** Drain events through [[RunningTotalsProcessor]] as a TRUE streaming
+    * query — the `transformWithState` API (Spark 4's arbitrary-stateful
+    * successor to [flat]mapGroupsWithState; requires the RocksDB state
+    * store, set for the run and restored after). The source is staged as
+    * THREE files split by `event_id % 3` (every active user spans
+    * batches), drained one file per micro-batch; update mode emits each
+    * touched key's running totals per batch, and the caller-visible frame
+    * reduces the update log to the LAST emission per key — which equals
+    * the batch groupBy exactly (commutative accumulators), while
+    * batches_seen proves the multi-batch path (= distinct event_id % 3
+    * values per user, deterministic by construction).
+    */
+  def runTransformWithStateSmoke(spark: SparkSession, srcParquet: String,
+      stageDir: String, queryName: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    deleteRecursively(stageDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
+    val src = spark.read.parquet(srcParquet)
+    (0 until 3).foreach { i =>
+      val tmp = s"$stageDir/_tmp$i"
+      src.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"p$i%02d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+      deleteRecursively(tmp)
+    }
+    val schema = spark.read.parquet(stageDir).schema
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val keyed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        .select(col("user_id").cast("long"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+        .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .groupByKey(_._1)(Encoders.scalaLong)
+      implicit val utEnc: org.apache.spark.sql.Encoder[UserTotals] =
+        Encoders.product[UserTotals]
+      val out = keyed.transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val updates = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      // the update log reduced to each key's final emission: max by
+      // batches_seen (strictly increasing per key per touched batch)
+      updates.groupBy(col("user_id"))
+        .agg(max(struct(col("batches_seen"), col("n_events"),
+          col("value_micros"))).alias("m"))
+        .select(col("user_id"), col("m.n_events").alias("n_events"),
+          col("m.value_micros").alias("value_micros"),
+          col("m.batches_seen").alias("batches_seen"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** TRUE left-outer stream-stream join with DETERMINISTIC eviction
     * emission. Inner matches emit as data arrives; an UNMATCHED left row
     * only emits (null-extended) when the event-time watermark passes its

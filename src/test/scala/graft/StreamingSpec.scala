@@ -218,6 +218,22 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_dedup_test")
   }
 
+  test("transformWithState: running totals survive batch boundaries (RocksDB store)") {
+    // user 1's events land in all three event_id % 3 batches, user 2's in
+    // one — the final emissions must show exact totals AND the batch span
+    val src = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_tws_stage").toString
+    Seq((3L, 1L, 1.25), (4L, 1L, 2.5), (5L, 1L, 0.125), (6L, 2L, 7.0))
+      .toDF("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(src)
+    val out = EventStreams.runTransformWithStateSmoke(spark, src, stage, "graft_tws_test")
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 3875000L, 3L),  // 1.25 + 2.5 + 0.125 in micros, 3 batches
+      (2L, 1L, 7000000L, 1L)))
+  }
+
   test("runStreamLeftOuterJoinSmoke: matches emit with data, watermark-evicted unmatched emit null-extended, retained state stays absent") {
     // delay 1h, window 600s, splits at 02:00 / 04:00 -> three files.
     // The type filters sit BELOW the watermark nodes (Catalyst pushes
