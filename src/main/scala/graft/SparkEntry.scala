@@ -2321,6 +2321,52 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q275_map_groups" -> ((s, dir) =>
+      // the TYPED Dataset API as a driver fact: groupByKey + mapGroups
+      // with case-class encoders (the Scala applyInPandas) walking each
+      // customer's order-day series imperatively — max inter-order gap
+      // and active span. The oracle is the declarative LAG-window form:
+      // same answer, two APIs, and the Scaladoc says when each is right.
+      Relational.groupGapStats(
+          t(s, dir, "orders"),
+          col("o_custkey"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date")))
+        .sortBy(Seq(col("key")))),
+
+    "q274_restart_ingest" -> ((s, dir) => {
+      // exactly-once ACROSS RESTARTS: half the events land, the
+      // AvailableNow file-stream ingest drains them into the partitioned
+      // store and STOPS; the other half lands, a NEW query restarts from
+      // the SAME checkpoint and drains only the new files. The hash match
+      // against the all-events batch aggregate proves checkpoint recovery
+      // delivered every row exactly once — the property a 100 TB
+      // incremental backfill stands on (q155 proves one drain; this
+      // proves the restart).
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/restart"
+      val landing = s"$scratch/landing"
+      val ev = t(s, dir, "events")
+        .selectCols(Seq(col("event_id"), col("user_id"), col("value"),
+          col("event_type")))
+      ev.filterCol(pmod(col("event_id"), lit(2L)) === 0L)
+        .write.mode("overwrite").parquet(landing)
+      EventStreams.runPartitionedIngest(s, landing, s"$scratch/data",
+        s"$scratch/ckpt", Seq("event_type"),
+        Seq("event_id", "user_id", "value", "event_type"), fresh = true)
+      ev.filterCol(pmod(col("event_id"), lit(2L)) === 1L)
+        .write.mode("append").parquet(landing)
+      EventStreams.runPartitionedIngest(s, landing, s"$scratch/data",
+        s"$scratch/ckpt", Seq("event_type"),
+        Seq("event_id", "user_id", "value", "event_type"), fresh = false)
+      s.read.parquet(s"$scratch/data")
+        .aggregate(Seq(col("event_type")), Seq(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value")))
+        .sortBy(Seq(col("event_type")))
+    }),
+
     "q273_pipe_syntax" -> ((s, dir) =>
       // Spark 4 SQL pipe syntax (|>): the dataflow-ordered dialect —
       // FROM … |> WHERE … |> AGGREGATE — planning to the identical
@@ -5170,6 +5216,27 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // The imperative mapGroups walk must equal the declarative LAG form.
+    "q275_map_groups" ->
+      """WITH o AS (SELECT o_custkey AS key,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+               FROM orders),
+         g AS (SELECT key, d,
+                 d - lag(d) OVER (PARTITION BY key ORDER BY d) AS gap
+               FROM o)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days,
+           CAST(MAX(d) - MIN(d) AS BIGINT) AS span_days
+         FROM g GROUP BY key ORDER BY key""",
+
+    // Restart changes delivery, not the answer: the oracle is the
+    // all-events batch aggregate.
+    "q274_restart_ingest" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     // Pipe syntax plans to the identical tree: the oracle is the classic
     // form.
     "q273_pipe_syntax" ->

@@ -1279,6 +1279,42 @@ object Relational {
         "CASE WHEN est_rows = 0 THEN 0L ELSE (max_key_rows * 1000000L) DIV est_rows END"))
   }
 
+  /** Output row of [[groupGapStats]]. NOT `private`: the generated
+    * encoder class must be able to construct it (the [[Multimodal.Feat]]
+    * rule).
+    */
+  private[operators] case class GroupGapStats(
+      key: Long, n: Long, max_gap_days: Long, span_days: Long)
+
+  /** Per-group imperative analysis through the TYPED Dataset API —
+    * `groupByKey(...).mapGroups` with case-class encoders, the Scala
+    * analogue of a pandas `applyInPandas` stage: each group's day series
+    * is sorted and walked in plain Scala (max inter-event gap, span).
+    * Exists as the API-surface demonstration AND the escape hatch for
+    * logic that genuinely cannot be expressed as window/aggregate
+    * functions; where it CAN (this gap computation can — the oracle is a
+    * LAG window), prefer the declarative form: mapGroups shuffles whole
+    * rows and materializes each group on one task, so it is only
+    * 100 TB-safe when groups are bounded (orders per customer here).
+    */
+  def groupGapStats(df: DataFrame, key: Column, day: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    df.select(key.cast("long"), day.cast("long"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (k, rows) =>
+        val days = rows.map(_._2).toArray.sorted
+        var maxGap = 0L
+        var i = 1
+        while (i < days.length) {
+          if (days(i) - days(i - 1) > maxGap) maxGap = days(i) - days(i - 1)
+          i += 1
+        }
+        GroupGapStats(k, days.length.toLong, maxGap, days.last - days.head)
+      }(Encoders.product[GroupGapStats])
+      .toDF()
+  }
+
   /** Geometric-decay smoothing over a DATE-keyed series — the EWMA a
     * metrics pipeline lays over daily revenue/volume, made exact: for each
     * present date d, smoothed_xS = Σ_{i=0..w−1} v(d−i) · 2^(w−1−i) with

@@ -686,6 +686,17 @@ class RelationalSpec extends SparkSpec {
     assert(none == Row(0L, 1L, 1L, 0L, null, null, 0L))
   }
 
+  test("groupGapStats: typed mapGroups walk — gaps, span, singleton group") {
+    val df = Seq((1L, 10L), (1L, 12L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, 7L))
+      .toDF("k", "d")
+    val out = graft.operators.Relational.groupGapStats(df, $"k", $"d")
+      .orderBy($"key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // k=1: days 10,12,20 -> max gap 8, span 10; k=2: singleton -> 0,0;
+    // k=3: duplicate day -> gap 0, span 0
+    assert(out == Seq((1L, 3L, 8L, 10L), (2L, 1L, 0L, 0L), (3L, 2L, 0L, 0L)))
+  }
+
   test("geometricDateSmoothing: calendar decay with exact integer weights") {
     // window 3 -> weights 4,2,1 for gaps 0,1,2; absent dates contribute 0
     val df = Seq(("2024-01-01", "1.00"), ("2024-01-02", "2.00"),
