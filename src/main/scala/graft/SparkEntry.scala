@@ -2321,6 +2321,24 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q276_tws_timers" -> ((s, dir) => {
+      // TWS EVENT-TIME TIMERS (q271 covers ValueState; this covers the
+      // timer half): one open inactivity session per purchasing user,
+      // timer re-armed at last-purchase + 6h, fired — emitting the closed
+      // session — when a batch's watermark passes the horizon with no
+      // newer rows to re-arm it. Three time-split batches pin watermark
+      // progression; rows-processed-before-timers is pinned by the
+      // StreamingSpec hand case, so the emission set is an exact
+      // two-phase state machine the oracle replays.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/tws_timers"
+      val qn = s"graft_q276_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      EventStreams.runTimerSessionsSmoke(s, s"$dir/events.parquet",
+          scratch, qn, "purchase", 21600L,
+          Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00"), "1 hour")
+        .sortBy(Seq(col("user_id")))
+    }),
+
     "q275_map_groups" -> ((s, dir) =>
       // the TYPED Dataset API as a driver fact: groupByKey + mapGroups
       // with case-class encoders (the Scala applyInPandas) walking each
@@ -5216,6 +5234,35 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // The two-phase timer state machine: a user fires in batch i iff it
+    // has no rows there and last_event + gap < that batch's watermark
+    // (ms-floored, strict <); fired state clears, a b2 re-opening never
+    // emits. e1 = fires during b1, e2 = fires during b2.
+    "q276_tws_timers" ->
+      """WITH p AS (SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS tus
+                    FROM events WHERE event_type = 'purchase'),
+         t1 AS (SELECT CAST(epoch_us(TIMESTAMP '2024-01-11 00:00:00') AS BIGINT) AS v),
+         t2 AS (SELECT CAST(epoch_us(TIMESTAMP '2024-01-21 00:00:00') AS BIGINT) AS v),
+         b0 AS (SELECT u, MIN(tus) st, MAX(tus) en, COUNT(*) n
+                FROM p, t1 WHERE tus < t1.v GROUP BY u),
+         b01 AS (SELECT u, MIN(tus) st, MAX(tus) en, COUNT(*) n
+                 FROM p, t2 WHERE tus < t2.v GROUP BY u),
+         p1u AS (SELECT DISTINCT u FROM p, t1, t2 WHERE tus >= t1.v AND tus < t2.v),
+         p2u AS (SELECT DISTINCT u FROM p, t2 WHERE tus >= t2.v),
+         wm1 AS (SELECT (MAX(tus) // 1000) - 3600000 AS w FROM p, t1 WHERE tus < t1.v),
+         wm2 AS (SELECT (MAX(tus) // 1000) - 3600000 AS w FROM p, t2 WHERE tus < t2.v),
+         e1 AS (SELECT b0.u, b0.st, b0.en, b0.n FROM b0, wm1
+                WHERE b0.u NOT IN (SELECT u FROM p1u)
+                  AND (b0.en // 1000) + 21600000 < wm1.w),
+         e2 AS (SELECT b01.u, b01.st, b01.en, b01.n FROM b01, wm2
+                WHERE b01.u NOT IN (SELECT u FROM e1)
+                  AND b01.u NOT IN (SELECT u FROM p2u)
+                  AND (b01.en // 1000) + 21600000 < wm2.w)
+         SELECT u AS user_id, st AS start_us, en AS end_us,
+           CAST(n AS BIGINT) AS n_events
+         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         ORDER BY user_id""",
+
     // The imperative mapGroups walk must equal the declarative LAG form.
     "q275_map_groups" ->
       """WITH o AS (SELECT o_custkey AS key,

@@ -994,6 +994,146 @@ object EventStreams {
     }
   }
 
+  /** Output row of [[InactivitySessionProcessor]] — a closed inactivity
+    * session (micros bounds, event count).
+    */
+  private[streaming] case class TimedSession(user_id: Long, start_us: Long,
+      end_us: Long, n_events: Long)
+
+  /** Spark 4 TWS with EVENT-TIME TIMERS: rows merge into one open session
+    * per key and re-arm a single timer at `last event + gapMs`; the timer
+    * firing (watermark passed the horizon with no newer rows to re-arm
+    * it) emits the closed session and clears state. Because input rows
+    * are processed BEFORE expired timers within a batch (pinned by the
+    * StreamingSpec hand case), a key with rows in the firing batch
+    * re-arms first and does NOT fire — the deterministic contract q276's
+    * oracle replays: a key fires in batch i iff it has NO rows there and
+    * last_event + gap < that batch's watermark.
+    */
+  private[streaming] class InactivitySessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), TimedSession] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    private def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[TimedSession] = {
+      var (st, en, n) =
+        if (sess.exists()) sess.get() else (Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { case (_, t) =>
+        val us = micros(t)
+        if (us < st) st = us
+        if (us > en) en = us
+        n += 1
+      }
+      sess.update((st, en, n))
+      // ONE armed timer per key: replace the old horizon with the new
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(en / 1000L + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[TimedSession] = {
+      if (!sess.exists()) return Iterator.empty
+      val (st, en, n) = sess.get()
+      sess.clear()
+      Iterator.single(TimedSession(key, st, en, n))
+    }
+  }
+
+  /** Drain one event type through [[InactivitySessionProcessor]] over a
+    * time-split multi-batch staging ([[stageTimeSplitFiles]]) — the
+    * event-time-timer side of the TWS surface (q271 covers ValueState
+    * without timers). The type filter sits below the watermark node
+    * (Catalyst pushdown, the q269 finding), so each batch's watermark is
+    * max(filtered ts of prior batches) − delay; no-data batches are
+    * disabled, so firings happen only inside data batches — absent
+    * open sessions at drain end are absent BY RULE.
+    */
+  def runTimerSessionsSmoke(spark: SparkSession, srcParquet: String,
+      stageDir: String, queryName: String, eventType: String,
+      gapSeconds: Long, splitTs: Seq[String],
+      delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val keyed = normalizeTs(schema, spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir))
+        .withWatermark("ts", delay)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+        .as[(Long, java.sql.Timestamp)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP))
+        .groupByKey(_._1)(Encoders.scalaLong)
+      implicit val tsEnc: org.apache.spark.sql.Encoder[TimedSession] =
+        Encoders.product[TimedSession]
+      val out = keyed.transformWithState(
+        new InactivitySessionProcessor(gapSeconds * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val res = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      res
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Stage `srcParquet` into `stageDir` as `splitTs.size + 1` single-file
+    * time-range parquets with forced-increasing mtimes, so a file-stream
+    * source with maxFilesPerTrigger=1 drains them oldest range first —
+    * one range per micro-batch, watermark progression pinned exactly.
+    * Returns the staged schema.
+    */
+  private def stageTimeSplitFiles(spark: SparkSession, srcParquet: String,
+      stageDir: String, splitTs: Seq[String]): org.apache.spark.sql.types.StructType = {
+    deleteRecursively(stageDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
+    val raw = spark.read.parquet(srcParquet)
+    val src = normalizeTs(raw.schema, raw)
+    val bounds = (None +: splitTs.map(Option(_))).zip(splitTs.map(Option(_)) :+ None)
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val part = src.where(
+        lo.map(b => col("ts") >= lit(b).cast("timestamp")).getOrElse(lit(true)) &&
+        hi.map(b => col("ts") < lit(b).cast("timestamp")).getOrElse(lit(true)))
+      val tmp = s"$stageDir/_tmp$i"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"p$i%02d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      // the file source orders by (mtime, path): force both
+      dst.setLastModified(1000000L * (i + 1))
+      deleteRecursively(tmp)
+    }
+    spark.read.parquet(stageDir).schema
+  }
+
   /** TRUE left-outer stream-stream join with DETERMINISTIC eviction
     * emission. Inner matches emit as data arrives; an UNMATCHED left row
     * only emits (null-extended) when the event-time watermark passes its
@@ -1028,26 +1168,7 @@ object EventStreams {
       leftType: String, rightType: String, windowSeconds: Long,
       splitTs: Seq[String], delay: String = "1 hour"): DataFrame = {
     require(splitTs.nonEmpty, "need >= 1 time split for multi-batch drains")
-    deleteRecursively(stageDir)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
-    val raw = spark.read.parquet(srcParquet)
-    val src = normalizeTs(raw.schema, raw)
-    val bounds = (None +: splitTs.map(Option(_))).zip(splitTs.map(Option(_)) :+ None)
-    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val part = src.where(
-        lo.map(b => col("ts") >= lit(b).cast("timestamp")).getOrElse(lit(true)) &&
-        hi.map(b => col("ts") < lit(b).cast("timestamp")).getOrElse(lit(true)))
-      val tmp = s"$stageDir/_tmp$i"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(stageDir, f"p$i%02d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      // the file source orders by (mtime, path): force both
-      dst.setLastModified(1000000L * (i + 1))
-      deleteRecursively(tmp)
-    }
-    val schema = spark.read.parquet(stageDir).schema
+    val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
     def stream(): DataFrame =
       normalizeTs(schema, spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir))

@@ -218,6 +218,37 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("graft_dedup_test")
   }
 
+  test("TWS event-time timers: expired inactivity fires on a later batch; same-batch rows re-arm first") {
+    // gap 600s, delay 1h, splits 02:00/04:00. WM during b2 =
+    // max view ts of b0∪b1 (03:55) - 1h = 02:55.
+    //  - u1: view@00:10 only -> horizon 00:20 < 02:55, NO rows in b2 -> FIRES in b2
+    //  - u2: views@00:30+03:00 -> horizon 03:10 > 02:55 -> open, absent
+    //  - u3: view@03:55 -> open, absent
+    //  - u4: view@00:05 (horizon 00:15 < 02:55) AND view@05:10 in b2 ->
+    //    rows processed BEFORE expired timers re-arm the horizon, so u4
+    //    does NOT fire — the ordering this test exists to pin
+    //  - u9: view@05:00 in b2 -> open, absent
+    val src = java.nio.file.Files.createTempDirectory("graft_tmr_src").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_tmr_stage").toString
+    Seq(
+      (1L, "2024-01-01 00:05:00", 4L, "view"),
+      (2L, "2024-01-01 00:10:00", 1L, "view"),
+      (3L, "2024-01-01 00:30:00", 2L, "view"),
+      (4L, "2024-01-01 03:00:00", 2L, "view"),
+      (5L, "2024-01-01 03:55:00", 3L, "view"),
+      (6L, "2024-01-01 05:00:00", 9L, "view"),
+      (7L, "2024-01-01 05:10:00", 4L, "view"))
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id", $"event_type")
+      .write.mode("overwrite").parquet(src)
+    val out = EventStreams.runTimerSessionsSmoke(spark, src, stage,
+        "graft_tmr_test", "view", 600L,
+        Seq("2024-01-01 02:00:00", "2024-01-01 04:00:00"), "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val t0010 = java.time.Instant.parse("2024-01-01T00:10:00Z").toEpochMilli * 1000L
+    assert(out == Set((1L, t0010, t0010, 1L)), s"got $out")
+  }
+
   test("transformWithState: running totals survive batch boundaries (RocksDB store)") {
     // user 1's events land in all three event_id % 3 batches, user 2's in
     // one — the final emissions must show exact totals AND the batch span
