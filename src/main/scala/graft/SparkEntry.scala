@@ -2321,6 +2321,46 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q278_sql_scripting" -> ((s, dir) => {
+      // SQL scripting (Spark 4 BEGIN…END): DECLARE/SET/WHILE driving an
+      // iterative-doubling search — the smallest power-of-2 price cap
+      // with fewer than 100 orders above it — entirely inside the SQL
+      // surface; the script's last SELECT is the result. The oracle
+      // replays the doubling rule as a generate-series argmin (the count
+      // is monotone in the cap, so first-power-under-100 == loop exit).
+      t(s, dir, "orders").createOrReplaceTempView("graft_q278_orders")
+      s.sql("""BEGIN
+           DECLARE c BIGINT DEFAULT 1024;
+           WHILE (SELECT COUNT(*) FROM graft_q278_orders WHERE o_totalprice > c) >= 100 DO
+             SET c = c * 2;
+           END WHILE;
+           SELECT c AS cap,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_q278_orders WHERE o_totalprice > c) AS n_above;
+         END""")
+    }),
+
+    "q277_sql_udf" -> ((s, dir) => {
+      // SQL-DEFINED functions (Spark 4 CREATE FUNCTION … RETURN): a
+      // scalar ppm ratio and a PARAMETERIZED TABLE FUNCTION — reusable
+      // logic shipped as catalog objects with zero Scala on the user
+      // side; the reference's define-udf tier expressed in pure SQL.
+      t(s, dir, "events").createOrReplaceTempView("graft_q277_events")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_q277_share_ppm(
+             x BIGINT, y BIGINT) RETURNS BIGINT
+           RETURN CASE WHEN y = 0 THEN 0 ELSE x * 1000000 DIV y END""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_q277_by_type(tt STRING)
+           RETURNS TABLE (user_id BIGINT, value DOUBLE)
+           RETURN SELECT user_id, value FROM graft_q277_events
+           WHERE event_type = tt""")
+      s.sql("""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          graft_q277_share_ppm(COUNT(*),
+            (SELECT COUNT(*) FROM graft_q277_by_type('purchase'))) AS share_ppm
+        FROM graft_q277_by_type('purchase')
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     "q276_tws_timers" -> ((s, dir) => {
       // TWS EVENT-TIME TIMERS (q271 covers ValueState; this covers the
       // timer half): one open inactivity session per purchasing user,
@@ -5234,6 +5274,26 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // The loop exit == first power-of-2 cap with under-100 count (the
+    // count is monotone non-increasing in the cap).
+    "q278_sql_scripting" ->
+      """WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+         c AS (SELECT 1024 * (CAST(1 AS BIGINT) << k) AS cap FROM ks),
+         q AS (SELECT cap,
+                 (SELECT COUNT(*) FROM orders WHERE o_totalprice > cap) AS n
+               FROM c),
+         f AS (SELECT cap, n FROM q WHERE n < 100 ORDER BY cap LIMIT 1)
+         SELECT CAST(cap AS BIGINT) AS cap, CAST(n AS BIGINT) AS n_above FROM f""",
+
+    // The SQL functions are macros over the same relational algebra: the
+    // oracle inlines them.
+    "q277_sql_udf" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT COUNT(*) AS tot FROM p)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) * 1000000) // tot AS BIGINT) AS share_ppm
+         FROM p, t GROUP BY user_id, tot ORDER BY user_id""",
+
     // The two-phase timer state machine: a user fires in batch i iff it
     // has no rows there and last_event + gap < that batch's watermark
     // (ms-floored, strict <); fired state clears, a b2 re-opening never
