@@ -2321,6 +2321,26 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q279_stream_full_outer_join" -> ((s, dir) => {
+      // q269's contract extended to FULL OUTER: unmatched views emit when
+      // the watermark closes their join window (l_ts + 2h < W), unmatched
+      // purchases when it passes them outright (r_ts < W — any matching
+      // view would be wholly behind the watermark). Same pinned three-
+      // batch drain; the oracle replays all three emission sets.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/fojoin"
+      val qn = s"graft_q279_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      EventStreams.runStreamLeftOuterJoinSmoke(s, s"$dir/events.parquet",
+          scratch, qn, "user_id", "view", "purchase", 7200L,
+          Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00"), "1 hour",
+          joinType = "full_outer")
+        .selectCols(Seq(col("l_event_id"), col("l_user_id"),
+          unix_micros(col("l_ts")).as("l_ts_us"),
+          col("r_event_id"), col("r_user_id"),
+          unix_micros(col("r_ts")).as("r_ts_us")))
+        .sortBy(Seq(col("l_event_id"), col("r_event_id")))
+    }),
+
     "q278_sql_scripting" -> ((s, dir) => {
       // SQL scripting (Spark 4 BEGIN…END): DECLARE/SET/WHILE driving an
       // iterative-doubling search — the smallest power-of-2 price cap
@@ -5274,6 +5294,46 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // Matches ∪ window-closed unmatched views ∪ watermark-passed
+    // unmatched purchases — q269's formula plus the right-side rule.
+    "q279_stream_full_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS tus, event_type
+               FROM events),
+         l AS (SELECT * FROM e WHERE event_type = 'view'),
+         r AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         wm AS (SELECT LEAST(
+                  (SELECT MAX(tus) FROM l
+                   WHERE tus < CAST(epoch_us(TIMESTAMP '2024-01-21 00:00:00') AS BIGINT)),
+                  (SELECT MAX(tus) FROM r
+                   WHERE tus < CAST(epoch_us(TIMESTAMP '2024-01-21 00:00:00') AS BIGINT)))
+                  - 3600000000 AS w),
+         m AS (SELECT l.event_id AS l_event_id, l.user_id AS l_user_id,
+                 l.tus AS l_ts_us, r.event_id AS r_event_id,
+                 r.user_id AS r_user_id, r.tus AS r_ts_us
+               FROM l JOIN r ON l.user_id = r.user_id
+                 AND r.tus >= l.tus AND r.tus <= l.tus + 7200000000),
+         uol AS (SELECT l.event_id, l.user_id, l.tus FROM l, wm
+                 WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+                   AND r.tus >= l.tus AND r.tus <= l.tus + 7200000000)
+                   AND l.tus + 7200000000 < wm.w),
+         uor AS (SELECT r.event_id, r.user_id, r.tus FROM r, wm
+                 WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.user_id = r.user_id
+                   AND r.tus >= l.tus AND r.tus <= l.tus + 7200000000)
+                   AND r.tus < wm.w)
+         SELECT l_event_id, l_user_id, l_ts_us, r_event_id, r_user_id, r_ts_us
+         FROM (
+           SELECT * FROM m
+           UNION ALL
+           SELECT event_id, user_id, tus,
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM uol
+           UNION ALL
+           SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             event_id, user_id, tus
+           FROM uor)
+         ORDER BY l_event_id, r_event_id""",
+
     // The loop exit == first power-of-2 cap with under-100 count (the
     // count is monotone non-increasing in the cap).
     "q278_sql_scripting" ->

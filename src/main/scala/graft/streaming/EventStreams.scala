@@ -1163,10 +1163,16 @@ object EventStreams {
     * Scale shape: state is watermark-bounded on both sides; the staging
     * write is the verification harness, not the operator.
     */
+  /** `joinType` extends the contract to "full_outer": an unmatched RIGHT
+    * row evicts (and emits null-extended) when r_ts < watermark — a
+    * matching left row would need l_ts ∈ [r_ts − window, r_ts], all of
+    * which is behind the watermark and thus can no longer arrive.
+    */
   def runStreamLeftOuterJoinSmoke(spark: SparkSession, srcParquet: String,
       stageDir: String, queryName: String, key: String,
       leftType: String, rightType: String, windowSeconds: Long,
-      splitTs: Seq[String], delay: String = "1 hour"): DataFrame = {
+      splitTs: Seq[String], delay: String = "1 hour",
+      joinType: String = "left_outer"): DataFrame = {
     require(splitTs.nonEmpty, "need >= 1 time split for multi-batch drains")
     val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
     def stream(): DataFrame =
@@ -1183,7 +1189,7 @@ object EventStreams {
       l("l_" + key) === r("r_" + key) &&
         r("r_ts") >= l("l_ts") &&
         r("r_ts") <= l("l_ts") + expr(s"interval $windowSeconds seconds"),
-      "left_outer")
+      joinType)
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
