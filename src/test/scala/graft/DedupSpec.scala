@@ -400,4 +400,33 @@ class DedupSpec extends SparkSpec {
     // a tighter threshold between: 0.6 keeps (1,2) and (4,5) only
     assert(run(600000L) == brute(600000L))
   }
+
+  test("ppJoinPairs: general path (vocab > 256 disables the bitmask) still exact vs brute force") {
+    // 300-token vocabulary forces the integer array_intersect verification
+    // branch — the code path the small-vocab spec above never reaches.
+    // Deterministic synthetic sets: doc i draws 20 tokens from a 300-token
+    // vocab by stride, plus planted near-identical pairs.
+    val vocab = (0 until 300).map(v => f"tok$v%03d")
+    def setFor(i: Int): Seq[String] =
+      (0 until 20).map(j => vocab((i * 7 + j * 13) % 300)).distinct
+    val planted = Map(
+      100L -> setFor(0),              // identical to doc 0
+      101L -> (setFor(1).drop(1) :+ "tok999")) // near-dup of doc 1
+    val sets: Map[Long, Seq[String]] =
+      (0 until 40).map(i => i.toLong -> setFor(i)).toMap ++ planted
+    val docs = sets.toSeq.toDF("id", "tk")
+    def brute(tPpm: Long) = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a).toSet & sets(b).toSet).size.toLong
+      uni = (sets(a).toSet | sets(b).toSet).size.toLong
+      if inter * 1000000L >= tPpm * uni
+    } yield (a, b, inter, inter * 1000000L / uni)).toSet
+    def run(tPpm: Long) =
+      Dedup.ppJoinPairs(docs, $"id", $"tk", tPpm).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b8 = brute(800000L)
+    assert(b8.contains((0L, 100L, setFor(0).size.toLong, 1000000L)), "identical pair present")
+    assert(run(800000L) == b8)
+    assert(run(500000L) == brute(500000L))
+  }
 }

@@ -281,6 +281,7 @@ class StreamingSpec extends SparkSpec {
       (1L, "2024-01-01 00:10:00", 1L, "view"),
       (2L, "2024-01-01 00:30:00", 2L, "view"),
       (3L, "2024-01-01 00:35:00", 2L, "purchase"),
+      (8L, "2024-01-01 01:00:00", 7L, "purchase"),
       (4L, "2024-01-01 03:00:00", 3L, "view"),
       (5L, "2024-01-01 03:50:00", 8L, "purchase"),
       (7L, "2024-01-01 03:55:00", 9L, "view"),
@@ -294,6 +295,18 @@ class StreamingSpec extends SparkSpec {
       .select($"l_event_id", $"r_event_id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(out == Set((2L, 3L), (1L, -1L)), s"got $out")
+    // FULL OUTER adds the right-side rule: unmatched purchase@01:00 (u7)
+    // evicts (r_ts < 02:50) and emits null-extended; unmatched
+    // purchase@03:50 (u8) is inside the horizon — retained, absent
+    val stage2 = java.nio.file.Files.createTempDirectory("graft_foj_stage").toString
+    val fo = EventStreams.runStreamLeftOuterJoinSmoke(spark, src, stage2,
+        "graft_foj_test", "user_id", "view", "purchase", 600L,
+        Seq("2024-01-01 02:00:00", "2024-01-01 04:00:00"), "1 hour",
+        joinType = "full_outer")
+      .select($"l_event_id", $"r_event_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fo == Set((2L, 3L), (1L, -1L), (-1L, 8L)), s"got $fo")
   }
 
   test("streamStreamJoin: finite drain equals the batch time-range join") {
