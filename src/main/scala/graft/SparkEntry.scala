@@ -255,6 +255,29 @@ object SparkEntry {
         dsum(col("l_extendedprice")).as("revenue"),
         count(lit(1)).as("n_lines")))
 
+  /** q282's rebalanced frame, shared with ExplainAuditSpec's skewed-read
+    * assertion: events with a planted hot key (2/3 of rows on k=0) under a
+    * REBALANCE hint, in an isolated session whose advisory partition size
+    * is scaled to sf-sized shuffles. The hint must stay TERMINAL (write
+    * or collect it directly) — an aggregation on top lets Catalyst prune
+    * the user shuffle as redundant, which is exactly the non-demo plan.
+    */
+  private[graft] def skewRebalanced(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4k")
+    s2.conf.set("spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor", "0.2")
+    Engine.readParquet(s2, s"$dir/events.parquet")
+      // skew splits happen at MAP-OUTPUT granularity: a single-mapper
+      // shuffle (one small input file) has nothing to split along, so
+      // give the rebalance shuffle the multiple mappers any real corpus
+      // has
+      .repartition(8)
+      .withColumn("k",
+        when(pmod(col("event_id"), lit(3L)) =!= 0L, lit(0L))
+          .otherwise(col("event_id")))
+      .hint("rebalance", col("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.2 core relational surface -----------------------------------
     "q01_select" -> ((s, dir) =>
@@ -2319,6 +2342,72 @@ object SparkEntry {
           Validation.checkForeignKey(o, "orders_custkey_fk",
             col("o_custkey"), c, col("c_custkey")))
         .sortBy(Seq(col("rule")))
+    }),
+
+    "q282_skew_rebalance" -> ((s, dir) => {
+      // AQE runtime skew handling — the AUTOMATIC counterpart of q47's
+      // manual salting: two thirds of the rows share one synthetic key,
+      // and the REBALANCE hint's shuffle lets AQE both SPLIT the hot
+      // key's oversized partition into advisory-sized pieces and coalesce
+      // the slivers ("coalesced and skewed" on the read, asserted
+      // post-execution in ExplainAuditSpec). This is the write-path skew
+      // answer at 100 TB: balanced output tasks from organically skewed
+      // keys, no salting column, no code change. Advisory size is scaled
+      // down so sf-sized shuffles exhibit what production defaults
+      // reserve for multi-GB partitions; the relayout changes
+      // partitioning, not the answer.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/skew_rebalance"
+      val reb = skewRebalanced(s, dir)
+      // the balanced WRITE is the demo: the skewed partition lands as
+      // several advisory-sized files, the slivers coalesce
+      reb.write.mode("overwrite").parquet(scratch)
+      reb.sparkSession.read.parquet(scratch)
+        .aggregate(Seq(pmod(col("k"), lit(7L)).as("bucket")), Seq(
+          count(lit(1)).as("n"),
+          countDistinct(col("k")).as("n_keys"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value")))
+        .sortBy(Seq(col("bucket")))
+    }),
+
+    "q281_lateral_join" -> ((s, dir) =>
+      // correlated LATERAL derived table: each nation's two highest-value
+      // customers computed by a per-row subquery — the SQL morphology for
+      // "top-N per key without a window over the whole table" (Catalyst
+      // decorrelates it into the same ranked join) plus deterministic
+      // acctbal/custkey tie-break.
+      s.sql(s"""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM parquet.`$dir/nation.parquet` n,
+        LATERAL (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM parquet.`$dir/customer.parquet`
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t""")
+        .sortBy(Seq(col("n_name"), col("c_custkey")))),
+
+    "q280_union_by_name" -> ((s, dir) => {
+      // schema-drift union — the ingestion reality where shards disagree
+      // on columns: unionByName(allowMissingColumns) aligns by NAME and
+      // null-fills the gaps (positional union would silently mis-bind);
+      // the profile then aggregates with GROUP BY inferred from the
+      // aggregation (the Dataset groupBy shape). Old shard: no props;
+      // new shard: no value.
+      val ev = t(s, dir, "events")
+      val oldShard = ev.filterCol(pmod(col("event_id"), lit(2L)) === 0L)
+        .selectCols(Seq(col("event_id"), col("event_type"), col("value")))
+      val newShard = ev.filterCol(pmod(col("event_id"), lit(2L)) === 1L)
+        .selectCols(Seq(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")))
+      oldShard.unionByName(newShard, allowMissingColumns = true)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          count(col("k")).as("n_with_k"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
+          sum(col("k")).as("sum_k"))
+        .sortBy(Seq(col("event_type")))
     }),
 
     "q279_stream_full_outer_join" -> ((s, dir) => {
@@ -5294,6 +5383,44 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // The skew split changes partitioning, not the answer.
+    "q282_skew_rebalance" ->
+      """WITH ev AS (SELECT *,
+                 CASE WHEN event_id % 3 <> 0 THEN 0 ELSE event_id END AS k
+               FROM events)
+         SELECT k % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM ev GROUP BY k % 7 ORDER BY bucket""",
+
+    // DuckDB's LATERAL replays the correlated top-2.
+    "q281_lateral_join" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (
+           SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+           FROM customer
+           WHERE c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+         ) t
+         ORDER BY n.n_name, t.c_custkey""",
+
+    // Name-aligned union with null fill, replayed as two padded halves.
+    "q280_union_by_name" ->
+      """WITH olds AS (SELECT event_id, event_type, value,
+                  CAST(NULL AS BIGINT) AS k
+                FROM events WHERE event_id % 2 = 0),
+         news AS (SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events WHERE event_id % 2 = 1),
+         u AS (SELECT * FROM olds UNION ALL SELECT * FROM news)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(value) AS BIGINT) AS n_with_value,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+         FROM u GROUP BY event_type ORDER BY event_type""",
+
     // Matches ∪ window-closed unmatched views ∪ watermark-passed
     // unmatched purchases — q269's formula plus the right-side rule.
     "q279_stream_full_outer_join" ->

@@ -151,6 +151,18 @@ class ExplainAuditSpec extends SparkSpec {
       s"no might_contain probe in q260's optimized plan — the runtime bloom filter did not inject:\n$plan")
   }
 
+  test("q282 AQE splits the skewed rebalance partition (skewed read in the final plan)") {
+    // runtime behavior, so the assertion runs AFTER an action — and on
+    // THIS df's QueryExecution (a write would execute a copy, leaving
+    // this plan isFinalPlan=false): the rebalance shuffle's read must be
+    // marked skew-split by OptimizeSkewInRebalancePartitions
+    val df = SparkEntry.skewRebalanced(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skewed"),
+      s"no skewed AQEShuffleRead in q282's final adaptive plan — the hot partition was not split:\n$plan")
+  }
+
   test("q262 CBO: ANALYZE'd catalog statistics reach every scan in the optimized plan") {
     // the statistics layer the cost-based reorder runs on: under the CBO
     // session every leaf must report an exact ANALYZE'd rowCount — absent
