@@ -586,4 +586,43 @@ object RelationalProps extends Properties("relational") {
       val expect = docs.map(d => (1 to w).map(k => math.max(0, d.size - k)).sum.toLong).sum
       total == expect
     }
+
+  property("adjustedRandIndex: symmetric in its labelings and invariant under label renaming") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 3L)))) { pairs =>
+      import spark.implicits._
+      import graft.operators.Validation
+      val df = pairs.toDF("a", "b")
+      def ari(d: DataFrame, x: String, y: String): Seq[Long] = {
+        val r = Validation.adjustedRandIndex(d, col(x), col(y)).collect().head
+        (0 until 5).map(r.getLong)
+      }
+      val ab = ari(df, "a", "b")
+      // swap: S and N2 identical, A2/B2 swap, ppm identical
+      val ba = ari(df, "b", "a")
+      // renaming: an injective relabeling of `a` changes nothing
+      val ren = ari(df.selectExpr("a * 7 + 3 AS a", "b"), "a", "b")
+      ab(0) == ba(0) && ab(3) == ba(3) && ab(1) == ba(2) && ab(2) == ba(1) &&
+        ab(4) == ba(4) && ren == ab
+    }
+
+  property("geometricDateSmoothing: value-additive (smoothing of v1+v2 = sum of smoothings)") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 20), Gen.choose(-50, 50), Gen.choose(-50, 50)))) { rows =>
+      import spark.implicits._
+      import graft.operators.Relational
+      // one row per date: sum duplicate day-offsets first
+      val byDay = rows.groupBy(_._1).map { case (d, rs) =>
+        (d, rs.map(_._2).sum, rs.map(_._3).sum) }.toSeq
+      def frame(f: ((Int, Int, Int)) => Int): DataFrame =
+        byDay.map { case t @ (d, _, _) => (d, f(t)) }.toDF("off", "v")
+          .selectExpr("date_add(DATE '2024-03-01', off) AS d",
+            "CAST(v AS DECIMAL(18,0)) AS v")
+      def sm(df: DataFrame): Map[java.sql.Date, java.math.BigDecimal] =
+        Relational.geometricDateSmoothing(df, col("d"), col("v"), window = 4)
+          .collect().map(r => r.getDate(0) -> r.getDecimal(2)).toMap
+      val s1 = sm(frame(_._2)); val s2 = sm(frame(_._3))
+      val s12 = sm(frame(t => t._2 + t._3))
+      s12.keySet == s1.keySet &&
+        s12.forall { case (d, v) =>
+          v.compareTo(s1(d).add(s2(d))) == 0 }
+    }
 }
