@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for the full 280-query bench/verify sweep in one JVM
+  // (max, not committed memory — small runs are unaffected); override
+  // with SPARK_DRIVER_MEM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Interactive entry point — the reference is a REPL (its rustyline loop
 // feeds the Steel VM); the Spark-native equivalent is a Scala REPL with a
