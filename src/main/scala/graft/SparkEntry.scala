@@ -2344,6 +2344,22 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q283_chained_stateful" -> ((s, dir) => {
+      // CHAINED stateful operators in one streaming query: the source
+      // arrives in duplicate (two unioned file streams), dropDuplicates
+      // absorbs the copies, and the tumbling 1-day window aggregation
+      // counts the survivors — dedup state and window state live in the
+      // same query, the shape Spark only allows with aligned event-time
+      // semantics. Append emits a day once the watermark passes its end;
+      // the oracle replays the finalized-window set exactly.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/chained"
+      val qn = s"graft_q283_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      EventStreams.runChainedStatefulSmoke(s, s"$dir/events.parquet",
+          scratch, qn, Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00"), "1 hour")
+        .sortBy(Seq(col("day_start_us")))
+    }),
+
     "q282_skew_rebalance" -> ((s, dir) => {
       // AQE runtime skew handling — the AUTOMATIC counterpart of q47's
       // manual salting: two thirds of the rows share one synthetic key,
@@ -5383,6 +5399,22 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // Dedup makes the duplicated stream equal the plain table; emitted
+    // windows are those whose end closed under the final batch's
+    // watermark (max ts before the last split − 1 h, strict <).
+    "q283_chained_stateful" ->
+      """WITH e AS (SELECT
+               CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start_us,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic,
+               CAST(epoch_us(ts) AS BIGINT) AS tus
+             FROM events),
+         wm AS (SELECT MAX(tus) - 3600000000 AS w FROM e
+                WHERE tus < CAST(epoch_us(TIMESTAMP '2024-01-21 00:00:00') AS BIGINT))
+         SELECT day_start_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vmic) AS BIGINT) AS value_micros
+         FROM e, wm WHERE day_start_us + 86400000000 < wm.w
+         GROUP BY day_start_us ORDER BY day_start_us""",
+
     // The skew split changes partitioning, not the answer.
     "q282_skew_rebalance" ->
       """WITH ev AS (SELECT *,

@@ -1104,6 +1104,57 @@ object EventStreams {
     }
   }
 
+  /** CHAINED stateful operators in ONE streaming query (Spark supports
+    * stateful-after-stateful since 3.4): dropDuplicates feeding a tumbling
+    * event-time window aggregation. The source is read TWICE and unioned,
+    * so every event arrives in duplicate within its micro-batch — the
+    * dedup state must absorb them before the aggregation counts. Append
+    * mode emits a window once the watermark passes its end; with the
+    * time-split multi-batch staging the finalized-window set is exact:
+    * windows whose end <= the final batch's watermark (max ts of all but
+    * the last range − delay). In-horizon windows stay in state — absent
+    * BY RULE (no-data batches disabled).
+    */
+  def runChainedStatefulSmoke(spark: SparkSession, srcParquet: String,
+      stageDir: String, queryName: String, splitTs: Seq[String],
+      delay: String = "1 hour"): DataFrame = {
+    val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
+    def stream(): DataFrame =
+      normalizeTs(schema, spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir))
+        .withWatermark("ts", delay)
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = stream().unionByName(stream())
+        .dropDuplicates("event_id")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .as("value_micros"))
+        .select(unix_micros(col("w.start")).as("day_start_us"),
+          col("n_events"), col("value_micros"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Stage `srcParquet` into `stageDir` as `splitTs.size + 1` single-file
     * time-range parquets with forced-increasing mtimes, so a file-stream
     * source with maxFilesPerTrigger=1 drains them oldest range first —
