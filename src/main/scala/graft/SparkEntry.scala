@@ -2344,6 +2344,45 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q284_degree_stats" -> ((s, dir) => {
+      // first diagnostic read on a derived graph: the q199/q220 co-purchase
+      // part graph's degree histogram — a fat degree-1 tail means mostly
+      // noise edges, a heavy head means hub parts that will dominate wedge
+      // joins (q231's maxWedgeDegree decision input). One endpoint union +
+      // two partial-agg groupBys + a 1-row totals broadcast.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      graft.operators.Graph.degreeStats(e)
+        .sortBy(Seq(col("degree")))
+    }),
+
+    "q285_assortativity" -> ((s, dir) => {
+      // do hub parts co-purchase with other hubs? Newman's degree
+      // assortativity over the same graph — EXACTLY RATIONAL on an
+      // undirected graph (symmetry collapses Pearson's sqrt), so the ppm
+      // replays bit-for-bit; negative = hub-and-spoke (the typical
+      // purchase-graph shape). One degree groupBy + two lookup joins +
+      // a 1-row reduction.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      graft.operators.Graph.degreeAssortativity(e)
+        .selectCols(Seq(col("m"), col("sx"), col("sxy"), col("sxx"),
+          col("num").cast("long").as("num"), col("den").cast("long").as("den"),
+          col("r_ppm")))
+    }),
+
     "q283_chained_stateful" -> ((s, dir) => {
       // CHAINED stateful operators in one streaming query: the source
       // arrives in duplicate (two unioned file streams), dropDuplicates
@@ -5399,6 +5438,59 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q231's edge CTE, then histogram + totals; each undirected edge
+    // contributes 2 to the degree sum, so n_edges = deg_sum DIV 2.
+    "q284_degree_stats" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e AS (SELECT DISTINCT x.l_partkey AS id_a, y.l_partkey AS id_b
+               FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey),
+         deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM
+                 (SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+                 GROUP BY id),
+         hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                  FROM deg GROUP BY degree),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_total,
+                   CAST(SUM(degree) AS BIGINT) AS deg_sum,
+                   CAST(MAX(degree) AS BIGINT) AS max_degree FROM deg)
+         SELECT h.degree, h.n_nodes,
+           CAST((h.n_nodes * 1000000) // t.n_nodes_total AS BIGINT) AS node_share_ppm,
+           t.n_nodes_total, CAST(t.deg_sum // 2 AS BIGINT) AS n_edges,
+           t.max_degree
+         FROM hist h, tot t ORDER BY h.degree""",
+
+    // the directed orientation list (each edge both ways) makes Σx = Σy
+    // and Σx² = Σy², so r = (m·Σxy − Σx²)/(m·Σx² − (Σx)²) — no sqrt,
+    // HUGEINT products, sign-split floor division to ppm.
+    "q285_assortativity" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e AS (SELECT DISTINCT x.l_partkey AS id_a, y.l_partkey AS id_b
+               FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey),
+         dir AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM dir GROUP BY a),
+         p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM dir
+               JOIN deg dx ON dir.a = dx.id
+               JOIN deg dy ON dir.b = dy.id),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(dx) AS BIGINT) AS sx,
+                 SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+                 SUM(CAST(dx AS HUGEINT) * dx) AS sxx FROM p),
+         nd AS (SELECT m, sx, sxy, sxx,
+                  CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS num,
+                  CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+                FROM s)
+         SELECT m, sx, CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+           CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           CAST(CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN (num * 1000000) // den
+                ELSE -((-num * 1000000) // den) END AS BIGINT) AS r_ppm
+         FROM nd""",
+
     // Dedup makes the duplicated stream equal the plain table; emitted
     // windows are those whose end closed under the final batch's
     // watermark (max ts before the last split − 1 h, strict <).

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph operators for corpus curation: centrality-style quality priors
   * over entity/link graphs (the CommonCrawl recipe weights domains by
@@ -344,6 +345,76 @@ object Graph {
     }
     h.select(col("id"), lit("hub").alias("kind"), col("score"))
       .union(a.select(col("id"), lit("auth").alias("kind"), col("score")))
+  }
+
+  /** Degree distribution over an undirected edge list (id_a, id_b): one
+    * row per distinct degree with the node count holding it and its share
+    * of all nodes in ppm — the first diagnostic read on ANY derived graph
+    * (a near-dup pair graph whose distribution is head-heavy has hub
+    * documents that will explode wedge joins; a co-occurrence graph with a
+    * fat degree-1 tail is mostly noise edges). Summary columns (n_nodes,
+    * n_edges, max degree) ride every row so the profile is one frame.
+    *
+    * Scale shape: one endpoint union + two partial-agg groupBys (node- and
+    * degree-cardinality sized) + a 1-row totals broadcast — no windows, no
+    * driver state.
+    */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
+    val e = edges.toDF("a", "b")
+    val deg = e.select(col("a").alias("id")).union(e.select(col("b").alias("id")))
+      .groupBy("id").agg(count(lit(1)).alias("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).alias("n_nodes"))
+    val totals = deg.agg(count(lit(1)).alias("n_nodes_total"),
+      sum(col("degree")).alias("deg_sum"), max(col("degree")).alias("max_degree"))
+    hist.crossJoin(broadcast(totals))
+      .select(col("degree"), col("n_nodes"),
+        expr("(n_nodes * 1000000L) DIV n_nodes_total").alias("node_share_ppm"),
+        col("n_nodes_total"),
+        // each undirected edge contributes 2 to the degree sum
+        expr("deg_sum DIV 2").alias("n_edges"),
+        col("max_degree"))
+  }
+
+  /** Degree assortativity over an undirected edge list (id_a, id_b) —
+    * Newman's "do hubs link to hubs" coefficient, and on an UNDIRECTED
+    * graph an EXACT RATIONAL: over the directed orientation list (each
+    * edge counted both ways, m = 2E rows of (deg_u, deg_v)), symmetry
+    * makes Σx = Σy and Σx² = Σy², so Pearson's sqrt(den_x·den_y)
+    * collapses to den_x and
+    *
+    *   r = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²)
+    *
+    * needs no square root — the same no-log/no-sqrt discipline as
+    * [[hits]]/[[pagerank]], so the ppm output replays bit-for-bit in SQL.
+    * Positive r: assortative (social-graph-like); negative: disassortative
+    * (hub-and-spoke, the shape of most web/purchase graphs). Returns ONE
+    * row (m, sx, sxy, sxx, num, den, r_ppm), num/den in DECIMAL(38,0),
+    * r_ppm sign-split floor division, NULL when den = 0 (degree-regular
+    * graph — assortativity undefined).
+    *
+    * Scale shape: one degree groupBy, two edge-keyed degree-lookup joins,
+    * one 1-row reduction; nothing quadratic, no windows.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
+    val e = edges.toDF("a", "b")
+    val dir = e.union(e.select(col("b").alias("a"), col("a").alias("b")))
+    val deg = dir.groupBy(col("a").alias("id")).agg(count(lit(1)).alias("deg"))
+    val pairs = dir
+      .join(deg.select(col("id").alias("a"), col("deg").alias("dx")), Seq("a"))
+      .join(deg.select(col("id").alias("b"), col("deg").alias("dy")), Seq("b"))
+    pairs.agg(count(lit(1)).alias("m"),
+        sum(col("dx")).alias("sx"),
+        sum(col("dx").cast(DecimalType(38, 0)) * col("dy")).alias("sxy"),
+        sum(col("dx").cast(DecimalType(38, 0)) * col("dx")).alias("sxx"))
+      .selectExpr("m", "sx", "CAST(sxy AS BIGINT) AS sxy", "CAST(sxx AS BIGINT) AS sxx",
+        "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx AS num",
+        "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den")
+      .selectExpr("m", "sx", "sxy", "sxx", "num", "den",
+        """CAST(CASE WHEN den = 0 THEN NULL
+             WHEN num >= 0 THEN (num * 1000000) DIV den
+             ELSE -((-num * 1000000) DIV den) END AS BIGINT) AS r_ppm""")
   }
 
   /** Link prediction by neighborhood overlap: for every NON-edge pair that

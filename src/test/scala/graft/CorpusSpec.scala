@@ -173,6 +173,35 @@ class CorpusSpec extends SparkSpec {
     assert(Graph.kCorePeel(path, k = 2, rounds = 3).count() == 0)
   }
 
+  test("degreeStats: star graph histogram, shares, edge count from the degree sum") {
+    import graft.operators.Graph
+    // star: center 1 with leaves 2, 3, 4
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val rows = Graph.degreeStats(star).orderBy("degree").collect()
+    assert(rows.length == 2)
+    // degree 1: the 3 leaves (750000 ppm); degree 3: the center (250000 ppm)
+    assert(rows(0) == Row(1L, 3L, 750000L, 4L, 3L, 3L))
+    assert(rows(1) == Row(3L, 1L, 250000L, 4L, 3L, 3L))
+  }
+
+  test("degreeAssortativity: star exactly -1, mixed case -1/2, regular graph NULL") {
+    import graft.operators.Graph
+    def one(df: org.apache.spark.sql.DataFrame) = df.collect()(0)
+    // star: hubs only ever touch leaves — perfectly disassortative
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val s = one(Graph.degreeAssortativity(star))
+    // m=6, sx=12, sxy=18, sxx=30 -> num=-36, den=36 -> r = -1 exactly
+    assert(s.getLong(0) == 6L && s.getLong(1) == 12L)
+    assert(s.getLong(2) == 18L && s.getLong(3) == 30L)
+    assert(s.getLong(6) == -1000000L)
+    // (1,2),(3,4),(1,3): hand co-moments give r = -1/2 exactly
+    val mixed = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(one(Graph.degreeAssortativity(mixed)).getLong(6) == -500000L)
+    // triangle: degree-regular, den = 0 -> undefined, NULL by contract
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(one(Graph.degreeAssortativity(tri)).isNullAt(6))
+  }
+
   test("personalizedPagerank: teleport lands only on seeds, hand rounds, no-seed graph all zero") {
     import graft.operators.Graph
     // path 1 -> 2 -> 3, seed {1}, d = 50/100, scale 100
