@@ -2344,6 +2344,36 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q286_cusum_changepoints" -> ((s, dir) =>
+      // structural level-shift detection per event type: scaled cumulative
+      // deviation dev_r = C_r·T − r·N over hourly counts (division-free
+      // CUSUM, exact longs), peak |dev| = the single-changepoint estimate.
+      // q127's z-scores flag outlier HOURS; this finds the rate SHIFT.
+      EventStreams.cusumChangepoints(t(s, dir, "events"),
+          col("event_type"), col("ts"))
+        .selectCols(Seq(col("key"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n"), col("r"), col("cum"), col("t_buckets"), col("n_total"),
+          col("dev"), col("is_peak")))
+        .sortBy(Seq(col("key"), col("r")))),
+
+    "q287_dow_profile" -> ((s, dir) =>
+      // calendar seasonality read per event type: weekday share in ppm,
+      // deviation vs the uniform 1/7, peak weekday (tie to smaller dow) —
+      // what a seasonal adjustment consults before trusting any
+      // day-over-day comparison. dow: 1 = Sunday … 7 = Saturday.
+      EventStreams.dowProfile(t(s, dir, "events"), col("event_type"),
+          col("ts"))
+        .sortBy(Seq(col("key"), col("dow")))),
+
+    "q288_seasonal_naive_backtest" -> ((s, dir) =>
+      // the zero-parameter forecast baseline: predict each day's value
+      // total as the same type's total 7 days earlier, score days where
+      // both sides exist — exact integer micro sums, MAE/bias as floor
+      // divisions. The number a real forecaster must beat.
+      EventStreams.seasonalNaiveBacktest(t(s, dir, "events"),
+          col("event_type"), col("ts"), col("value"), seasonDays = 7)
+        .sortBy(Seq(col("key")))),
+
     "q284_degree_stats" -> ((s, dir) => {
       // first diagnostic read on a derived graph: the q199/q220 co-purchase
       // part graph's degree histogram — a fat degree-1 tail means mostly
@@ -5438,6 +5468,74 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // division-free CUSUM: dev_r = cum·T − r·N over hourly counts; the
+    // peak |dev| row (tie to earliest rank) is the changepoint estimate.
+    "q286_cusum_changepoints" ->
+      """WITH h AS (
+           SELECT event_type AS key,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT key, bucket, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY bucket) AS BIGINT) AS r,
+             CAST(SUM(n) OVER (PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum
+           FROM h),
+         t AS (SELECT key, MAX(r) AS t_buckets, CAST(SUM(n) AS BIGINT) AS n_total
+           FROM c GROUP BY key),
+         d AS (SELECT c.key, c.bucket, c.n, c.r, c.cum, t.t_buckets, t.n_total,
+             c.cum * t.t_buckets - c.r * t.n_total AS dev
+           FROM c JOIN t USING (key)),
+         p AS (SELECT key, r AS peak_r FROM (
+             SELECT key, r, ROW_NUMBER() OVER (PARTITION BY key
+               ORDER BY ABS(dev) DESC, r) AS rk FROM d) WHERE rk = 1)
+         SELECT d.key, epoch_us(d.bucket) AS bucket_us, d.n, d.r, d.cum,
+           d.t_buckets, d.n_total, CAST(d.dev AS BIGINT) AS dev,
+           d.r = p.peak_r AS is_peak
+         FROM d JOIN p USING (key)
+         ORDER BY key, r""",
+
+    // Spark dayofweek is 1 = Sunday; DuckDB's is 0 = Sunday, hence +1.
+    "q287_dow_profile" ->
+      """WITH cells AS (
+           SELECT event_type AS key,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT key, CAST(SUM(n) AS BIGINT) AS key_total
+           FROM cells GROUP BY key),
+         p AS (SELECT key, dow AS peak_dow FROM (
+             SELECT key, dow, ROW_NUMBER() OVER (PARTITION BY key
+               ORDER BY n DESC, dow) AS rk FROM cells) WHERE rk = 1)
+         SELECT c.key, c.dow, c.n, t.key_total,
+           CAST((c.n * 1000000) // t.key_total AS BIGINT) AS share_ppm,
+           CAST((c.n * 1000000) // t.key_total - 142857 AS BIGINT)
+             AS dev_vs_uniform_ppm,
+           c.dow = p.peak_dow AS is_peak_dow
+         FROM cells c JOIN t USING (key) JOIN p USING (key)
+         ORDER BY key, dow""",
+
+    // prediction = same key's daily total 7 days earlier (integer-us day
+    // keys); MAE/bias as floor divisions, bias sign-split.
+    "q288_seasonal_naive_backtest" ->
+      """WITH daily AS (
+           SELECT event_type AS key,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS BIGINT) AS vmic
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT cur.key, cur.vmic - prev.vmic AS err
+           FROM daily cur JOIN daily prev
+             ON cur.key = prev.key
+             AND cur.day_us = prev.day_us + CAST(7 AS BIGINT) * 86400 * 1000000)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(err)) AS BIGINT) AS abs_err_sum,
+           CAST(SUM(err) AS BIGINT) AS err_sum,
+           CAST(SUM(ABS(err)) // COUNT(*) AS BIGINT) AS mae_mic,
+           CAST(CASE WHEN SUM(err) >= 0 THEN SUM(err) // COUNT(*)
+             ELSE -((-SUM(err)) // COUNT(*)) END AS BIGINT) AS bias_mic
+         FROM scored GROUP BY key ORDER BY key""",
+
     // q231's edge CTE, then histogram + totals; each undirected edge
     // contributes 2 to the degree sum, so n_edges = deg_sum DIV 2.
     "q284_degree_stats" ->

@@ -1639,6 +1639,117 @@ object EventStreams {
         col("zscore"), (abs(col("zscore")) > z).alias("is_anomaly"))
   }
 
+  /** CUSUM-style changepoint scan over each key's hourly event counts:
+    * with T observed (non-empty) hour buckets and N total events, the
+    * scaled cumulative deviation at bucket rank r is
+    *
+    *   dev_r = C_r · T − r · N        (C_r = running count sum)
+    *
+    * — the division-free form of "cumulative count minus expected
+    * cumulative at the key's overall rate" (multiply both sides by T·N:
+    * exact longs, zero at r = T by construction). The rank where |dev|
+    * peaks is the classic single-changepoint estimator for count data: a
+    * rate that jumps mid-series bows the cumulative curve and the apex IS
+    * the change. [[rateAnomalies]] flags individual outlier hours; this
+    * finds the structural level shift those z-scores can't see.
+    * `is_peak` ties break to the EARLIEST rank. Keys with one bucket get
+    * dev = 0, peak at rank 1.
+    *
+    * Scale shape: one partial-agg hourly groupBy, one window PARTITIONED
+    * BY KEY (a key's own history is the frame — never global), one
+    * per-key argmax via min(struct) joined back. All integers.
+    */
+  def cusumChangepoints(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(key.alias("key"), date_trunc("hour", ts).alias("bucket"))
+      .agg(count(lit(1)).alias("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val cum = hourly
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = cum.groupBy(col("key")).agg(
+      max(col("r")).alias("t_buckets"), sum(col("n")).alias("n_total"))
+    val dev = cum.join(broadcast(totals), "key")
+      .withColumn("dev", col("cum") * col("t_buckets") - col("r") * col("n_total"))
+    val peak = dev.groupBy(col("key"))
+      .agg(min(struct((-abs(col("dev"))).alias("nad"), col("r").alias("pr"))).alias("m"))
+      .select(col("key"), col("m.pr").alias("peak_r"))
+    dev.join(broadcast(peak), "key")
+      .select(col("key"), col("bucket"), col("n"), col("r"), col("cum"),
+        col("t_buckets"), col("n_total"), col("dev"),
+        (col("r") === col("peak_r")).alias("is_peak"))
+  }
+
+  /** Day-of-week seasonality profile per key: event share by weekday in
+    * ppm, deviation vs the uniform 1/7, and the key's peak weekday —
+    * the calendar shape a seasonal-adjustment or staffing decision reads
+    * before trusting any daily comparison. `dow` is 1 = Sunday … 7 =
+    * Saturday (Spark's dayofweek convention). `is_peak_dow` ties break to
+    * the smaller dow. Integer ppm floor division throughout.
+    *
+    * Scale shape: one (key, dow) partial-agg groupBy (≤ 7 rows per key),
+    * per-key totals + argmax broadcast back — no windows.
+    */
+  def dowProfile(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    val cells = events
+      .groupBy(key.alias("key"), dayofweek(ts).cast("long").alias("dow"))
+      .agg(count(lit(1)).alias("n"))
+    val totals = cells.groupBy(col("key")).agg(
+      sum(col("n")).alias("key_total"))
+    val peaks = cells.groupBy(col("key"))
+      .agg(min(struct((-col("n")).alias("nn"), col("dow").alias("pd"))).alias("m"))
+      .select(col("key"), col("m.pd").alias("peak_dow"))
+    cells.join(broadcast(totals), "key").join(broadcast(peaks), "key")
+      .withColumn("share_ppm", expr("(n * 1000000L) DIV key_total"))
+      .select(col("key"), col("dow"), col("n"), col("key_total"),
+        col("share_ppm"),
+        // 1/7 of a million, floored — the uniform-calendar reference
+        (col("share_ppm") - lit(142857L)).alias("dev_vs_uniform_ppm"),
+        (col("dow") === col("peak_dow")).alias("is_peak_dow"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each day's value total as
+    * the SAME KEY's total `seasonDays` earlier, score only days where
+    * both sides exist, and report per key the exact integer error profile
+    * — n_scored, Σ|err|, Σ err, MAE and bias as floor-ppm-style micro
+    * divisions. The zero-parameter baseline every real forecaster must
+    * beat (and the data-drift smell test: a key whose seasonal-naive MAE
+    * explodes changed behavior). Values are exact micros
+    * (DECIMAL(18,6)·1e6), so sums replay cross-engine; bias is
+    * sign-split floor division.
+    *
+    * Scale shape: one (key, day) partial-agg groupBy, one integer-keyed
+    * self equi-join at day − seasonDays (no window, no range join), one
+    * per-key reduction.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, key: Column, ts: Column,
+      value: Column, seasonDays: Int = 7): DataFrame = {
+    require(seasonDays >= 1, s"seasonDays must be >= 1, got $seasonDays")
+    val daily = events
+      .groupBy(key.alias("key"),
+        unix_micros(date_trunc("day", ts)).alias("day_us"))
+      .agg(sum((value.cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+        lit(1000000L)).cast("long")).alias("vmic"))
+    val lagUs = seasonDays * 86400L * 1000000L
+    val scored = daily.alias("cur").join(
+        daily.select(col("key"),
+          (col("day_us") + lagUs).alias("day_us"),
+          col("vmic").alias("pred")).alias("prev"),
+        Seq("key", "day_us"))
+    scored
+      .withColumn("err", col("vmic") - col("pred"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).alias("n_scored"),
+        sum(abs(col("err"))).alias("abs_err_sum"),
+        sum(col("err")).alias("err_sum"))
+      .selectExpr("key", "n_scored", "abs_err_sum", "err_sum",
+        "abs_err_sum DIV n_scored AS mae_mic",
+        """CASE WHEN err_sum >= 0 THEN err_sum DIV n_scored
+             ELSE -((-err_sum) DIV n_scored) END AS bias_mic""")
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * FIRST event (date_trunc week, Monday start); each later event lands
     * in offset = whole weeks since the cohort week start. Returns

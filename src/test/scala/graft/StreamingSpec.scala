@@ -503,6 +503,69 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall(x => x._3 == 0.0 && !x._4))
   }
 
+  test("cusumChangepoints: level shift peaks at the change, head-heavy key peaks at rank 1") {
+    import org.apache.spark.sql.functions.col
+    def ts(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
+    // key "s": 3 quiet hours of 1, then 3 loud hours of 5 — T=6, N=18;
+    // dev = cum·6 − r·18 = -12,-24,-36,-24,-12,0: apex EXACTLY at r=3
+    val shift = (0 until 3).map(h => ("s", ts(h, 0))) ++
+      (3 until 6).flatMap(h => (0 until 5).map(m => ("s", ts(h, m))))
+    // key "a": counts 3,1,1 — T=3, N=5; dev = 4,2,0, peak at r=1
+    val head = Seq(("a", ts(0, 0)), ("a", ts(0, 1)), ("a", ts(0, 2)),
+      ("a", ts(1, 0)), ("a", ts(2, 0)))
+    val out = EventStreams.cusumChangepoints((shift ++ head).toDF("k", "ts"),
+        col("k"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(7), r.getBoolean(8))).toMap
+    assert(out(("s", 3L)) == (1L, 3L, -36L, true))
+    assert(out(("s", 4L)) == (5L, 8L, -24L, false))
+    assert(out(("s", 6L)) == (5L, 18L, 0L, false))
+    assert(out(("a", 1L)) == (3L, 3L, 4L, true))
+    assert(out(("a", 3L)) == (1L, 5L, 0L, false))
+  }
+
+  test("dowProfile: shares and uniform deviation exact, peak ties to the smaller dow") {
+    import org.apache.spark.sql.functions.col
+    def d(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDateTime.of(2024, 1, day, 12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    // 2024-01-07 is a Sunday (dow 1), 2024-01-08 a Monday (dow 2)
+    val events = Seq(
+      ("x", d(7)), ("x", d(7)), ("x", d(7)), ("x", d(8)),  // 3:1 split
+      ("t", d(7)), ("t", d(8))                             // tie -> dow 1 peaks
+    ).toDF("k", "ts")
+    val out = EventStreams.dowProfile(events, col("k"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(("x", 1L)) == (3L, 750000L, 607143L, true))
+    assert(out(("x", 2L)) == (1L, 250000L, 107143L, false))
+    assert(out(("t", 1L)) == (1L, 500000L, 357143L, true))
+    assert(out(("t", 2L)) == (1L, 500000L, 357143L, false))
+  }
+
+  test("seasonalNaiveBacktest: only both-sides days score; MAE floor, bias sign-split") {
+    import org.apache.spark.sql.functions.col
+    def d(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDateTime.of(2024, 1, day, 6, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    val events = Seq(
+      ("k", d(1), 1.5),   // day 1: 1_500_000 mic — never scored (no day -6)
+      ("k", d(8), 2.0),   // day 8 vs day 1: err = +500_000
+      ("k", d(15), 1.0),  // day 15 vs day 8: err = -1_000_000
+      ("lone", d(3), 9.9) // no 7-day-earlier partner -> absent entirely
+    ).toDF("k", "ts", "v")
+    val rows = EventStreams.seasonalNaiveBacktest(events, col("k"), col("ts"),
+      col("v"), seasonDays = 7).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "k" && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1500000L && r.getLong(3) == -500000L)
+    assert(r.getLong(4) == 750000L)   // MAE = 1_500_000 DIV 2
+    assert(r.getLong(5) == -250000L)  // bias sign-split: -(500_000 DIV 2)
+  }
+
   test("cohortRetention: cohort by first-event day, offsets count later activity, offset 0 full") {
     import org.apache.spark.sql.functions.col
     def d(day: Int, h: Int = 12) = new java.sql.Timestamp(
