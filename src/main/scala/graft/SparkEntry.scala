@@ -2344,6 +2344,30 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q289_fairness_report" -> ((s, dir) =>
+      // group-fairness audit of a length gate (n_chars >= 500) across
+      // sources, with lang='en' as the "relevant" label: selection rate +
+      // demographic-parity gap, TPR + equal-opportunity gap, all integer
+      // ppm vs the global rates — the corpus-composition decision a gate
+      // silently makes, surfaced per segment. One groupBy scan; globals
+      // reduced from the cells, never a second pass.
+      Validation.fairnessReport(t(s, dir, "documents"), col("source"),
+          col("n_chars") >= 500L, col("lang") === "en")
+        .sortBy(Seq(col("grp")))),
+
+    "q290_weighted_median" -> ((s, dir) =>
+      // token-weighted percentiles, exact: the quantity-weighted median
+      // unit price per return flag — lower weighted quantile by integer
+      // contract (no interpolation), duplicates collapsed per (group,
+      // value) BEFORE ordering so row layout can't matter. Weight = qty
+      // turns a per-line median into a per-unit one.
+      t(s, dir, "lineitem")
+        .weightedPercentile(Seq(col("l_returnflag")),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+          col("l_quantity"), pPpm = 500000L)
+        .withColumnRenamed("g0", "l_returnflag")
+        .sortBy(Seq(col("l_returnflag")))),
+
     "q286_cusum_changepoints" -> ((s, dir) =>
       // structural level-shift detection per event type: scaled cumulative
       // deviation dev_r = C_r·T − r·N over hourly counts (division-free
@@ -5468,6 +5492,53 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // one contingency scan per source; gaps vs global rates in ppm; TPR
+    // NULL-guarded for label-free groups.
+    "q289_fairness_report" ->
+      """WITH cells AS (
+           SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pos,
+             CAST(SUM(CASE WHEN n_chars >= 500 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos
+           FROM documents GROUP BY source),
+         g AS (SELECT CAST(SUM(n) AS BIGINT) AS g_n,
+             CAST(SUM(n_pred_pos) AS BIGINT) AS g_pred_pos,
+             CAST(SUM(n_label_pos) AS BIGINT) AS g_label_pos,
+             CAST(SUM(n_true_pos) AS BIGINT) AS g_true_pos FROM cells),
+         r AS (SELECT c.grp, c.n, c.n_pred_pos, c.n_label_pos, c.n_true_pos,
+             CAST((c.n_pred_pos * 1000000) // c.n AS BIGINT) AS sel_ppm,
+             CAST((g.g_pred_pos * 1000000) // g.g_n AS BIGINT) AS global_sel_ppm,
+             CAST(CASE WHEN c.n_label_pos = 0 THEN NULL
+               ELSE (c.n_true_pos * 1000000) // c.n_label_pos END AS BIGINT) AS tpr_ppm,
+             CAST(CASE WHEN g.g_label_pos = 0 THEN NULL
+               ELSE (g.g_true_pos * 1000000) // g.g_label_pos END AS BIGINT) AS global_tpr_ppm
+           FROM cells c, g)
+         SELECT grp, n, n_pred_pos, n_label_pos, n_true_pos,
+           sel_ppm, global_sel_ppm,
+           sel_ppm - global_sel_ppm AS dp_gap_ppm,
+           tpr_ppm, global_tpr_ppm,
+           tpr_ppm - global_tpr_ppm AS eo_gap_ppm
+         FROM r ORDER BY grp""",
+
+    // (group, value) weight collapse first, cumulative over distinct
+    // values, lower weighted quantile at cum·1e6 >= total·p.
+    "q290_weighted_median" ->
+      """WITH pv AS (
+           SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vw
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT g, v, vw,
+             CAST(SUM(vw) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+           FROM pv),
+         t AS (SELECT g, MAX(cum) AS total_w FROM c GROUP BY g),
+         f AS (SELECT c.g, c.v, c.cum, t.total_w,
+             ROW_NUMBER() OVER (PARTITION BY c.g ORDER BY c.v) AS rk
+           FROM c JOIN t USING (g)
+           WHERE c.cum * 1000000 >= t.total_w * 500000)
+         SELECT g AS l_returnflag, total_w, v AS p_value, cum AS cum_w
+         FROM f WHERE rk = 1 ORDER BY l_returnflag""",
+
     // division-free CUSUM: dev_r = cum·T − r·N over hourly counts; the
     // peak |dev| row (tie to earliest rank) is the changepoint estimate.
     "q286_cusum_changepoints" ->

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The reference's core relational surface (SURVEY.md §2.2-2.3), as an
   * extension-method layer over `DataFrame`. Each method cites the wrapper it
@@ -517,6 +518,53 @@ object Relational {
         .filter(floor(col("__cum").cast("double") / step) >
           floor((col("__cum") - col("__w")).cast("double") / step))
         .drop("__w", "__cum")
+    }
+
+    /** Exact weighted percentile per group: the smallest `value` whose
+      * cumulative weight reaches `pPpm` millionths of the group's total —
+      * the weighted median (p = 500000) and friends, computed as pure
+      * integer arithmetic so the answer replays bit-for-bit (DuckDB's
+      * quantile_cont interpolates; this is the lower weighted quantile by
+      * contract). Weight = token count turns a per-DOC median into a
+      * per-TOKEN median — the corpus-composition read that doc-level
+      * percentiles get wrong whenever length correlates with the value.
+      *
+      * Returns one row per group: (group…, total_w, p_value, cum_w) with
+      * cum_w the cumulative weight at the picked value. `value` and
+      * `weight` must be integer-valued (cast to long); zero/negative
+      * weights are rejected as meaningless.
+      *
+      * Scale shape: one (group, value) partial-agg groupBy collapses
+      * duplicates BEFORE any ordering (row order can't matter), one
+      * cumulative window per group over that collapsed frame (distinct
+      * values per group is the frame size, not rows), one argmin
+      * reduction. Products go through DECIMAL(38,0) so ppm · total never
+      * overflows at 100 TB weight totals.
+      */
+    def weightedPercentile(group: Seq[Column], value: Column, weight: Column,
+        pPpm: Long): DataFrame = {
+      require(pPpm >= 1 && pPpm <= 1000000L, s"pPpm must be in [1, 1e6], got $pPpm")
+      require(group.nonEmpty, "weightedPercentile needs >= 1 group column")
+      val gk = group.indices.map(i => s"__g$i")
+      val perValue = df
+        .select(group.zip(gk).map { case (g, n) => g.alias(n) } :+
+          value.cast("long").alias("__v") :+ weight.cast("long").alias("__w"): _*)
+        .groupBy((gk.map(col) :+ col("__v")): _*)
+        .agg(sum(col("__w")).alias("__vw"))
+      val w = Window.partitionBy(gk.map(col): _*).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = perValue.withColumn("__cum", sum(col("__vw")).over(w))
+      val totals = cum.groupBy(gk.map(col): _*)
+        .agg(max(col("__cum")).alias("total_w"))
+      cum.join(totals, gk)
+        .filter(col("__cum").cast(DecimalType(38, 0)) * 1000000L >=
+          col("total_w").cast(DecimalType(38, 0)) * pPpm)
+        .groupBy(gk.map(col): _*)
+        .agg(max(col("total_w")).alias("total_w"),
+          min(struct(col("__v").alias("v"), col("__cum").alias("c"))).alias("__m"))
+        .select((gk.map(col) :+ col("total_w") :+
+          col("__m.v").alias("p_value") :+ col("__m.c").alias("cum_w")): _*)
+        .toDF(group.indices.map(i => s"g$i") ++ Seq("total_w", "p_value", "cum_w"): _*)
     }
 
     /** Per-group winsorization (outlier clipping): `value` is clamped to its

@@ -869,6 +869,49 @@ object Validation {
     * contingency table, label-cardinality-sized — then label-count-sized
     * aggregates and 1-row broadcasts. The data is scanned once.
     */
+  /** Group-fairness audit of a boolean decision (a quality gate, a
+    * classifier threshold) against a protected/segment attribute: per
+    * group the selection rate (demographic-parity read) and the
+    * true-positive rate among `label`-positive rows (equal-opportunity
+    * read), each with its gap vs the GLOBAL rate in ppm — the two
+    * headline metrics of Hardt et al.'s equalized-odds family, computed
+    * with the no-log/no-sqrt integer discipline so every number replays
+    * cross-engine. A gate that keeps 60% of one source and 20% of another
+    * is a corpus-composition decision someone should have made on
+    * purpose; this surfaces it. `tpr_ppm`/`eo_gap_ppm` are NULL for
+    * groups with no positive labels (rate undefined, never 0-faked).
+    *
+    * Scale shape: ONE partial-agg groupBy scan (three conditional sums),
+    * globals reduced from the per-group aggregate (never a second scan),
+    * broadcast back. Group-cardinality-sized everything.
+    */
+  def fairnessReport(df: DataFrame, group: Column, prediction: Column,
+      label: Column): DataFrame = {
+    val cells = df.groupBy(group.alias("grp")).agg(
+      count(lit(1)).alias("n"),
+      sum(when(prediction, 1L).otherwise(0L)).alias("n_pred_pos"),
+      sum(when(label, 1L).otherwise(0L)).alias("n_label_pos"),
+      sum(when(prediction && label, 1L).otherwise(0L)).alias("n_true_pos"))
+    val globals = cells.agg(
+      sum(col("n")).alias("g_n"),
+      sum(col("n_pred_pos")).alias("g_pred_pos"),
+      sum(col("n_label_pos")).alias("g_label_pos"),
+      sum(col("n_true_pos")).alias("g_true_pos"))
+    cells.crossJoin(broadcast(globals))
+      .selectExpr("grp", "n", "n_pred_pos", "n_label_pos", "n_true_pos",
+        "(n_pred_pos * 1000000L) DIV n AS sel_ppm",
+        "(g_pred_pos * 1000000L) DIV g_n AS global_sel_ppm",
+        """CASE WHEN n_label_pos = 0 THEN NULL
+             ELSE (n_true_pos * 1000000L) DIV n_label_pos END AS tpr_ppm""",
+        """CASE WHEN g_label_pos = 0 THEN NULL
+             ELSE (g_true_pos * 1000000L) DIV g_label_pos END AS global_tpr_ppm""")
+      .selectExpr("grp", "n", "n_pred_pos", "n_label_pos", "n_true_pos",
+        "sel_ppm", "global_sel_ppm",
+        "sel_ppm - global_sel_ppm AS dp_gap_ppm",
+        "tpr_ppm", "global_tpr_ppm",
+        "tpr_ppm - global_tpr_ppm AS eo_gap_ppm")
+  }
+
   def adjustedRandIndex(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.groupBy(a.alias("la"), b.alias("lb"))
       .agg(count(lit(1)).alias("n"))

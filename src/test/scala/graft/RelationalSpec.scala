@@ -116,6 +116,26 @@ class RelationalSpec extends SparkSpec {
     assert(again == got, "systematic sample must be deterministic")
   }
 
+  test("weightedPercentile: lower weighted quantile, duplicate collapse, layout independence") {
+    import graft.operators.Relational.GraftOps
+    // g: value 1 (w 1), 2 (w 1), 3 (w 2 as two duplicate rows) — total 4
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 3L, 1L),
+      ("h", 10L, 5L)).toDF("k", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame, p: Long) =
+      d.weightedPercentile(Seq(col("k")), col("v"), col("w"), p)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // median: cum >= 2 first at value 2 (cum 2)
+    assert(run(df, 500000L)("g") == (4L, 2L, 2L))
+    // p75: cum >= 3 first at value 3 (cum 4, duplicates collapsed)
+    assert(run(df, 750000L)("g") == (4L, 3L, 4L))
+    // p -> 1 ppm: the smallest value wins
+    assert(run(df, 1L)("g") == (4L, 1L, 1L))
+    // single-value group: every p lands on it
+    assert(run(df, 999999L)("h") == (5L, 10L, 5L))
+    // partition layout cannot change the answer
+    assert(run(df.repartition(4), 500000L) == run(df, 500000L))
+  }
+
   test("winsorize: R-7 percentile bounds, selection-only clipping") {
     val df = (1 to 10).map(i => ("a", i.toDouble)).toDF("g", "x")
     val out = df.winsorize(Seq($"g"), $"x", 0.1, 0.9)

@@ -326,6 +326,27 @@ class ValidationSpec extends SparkSpec {
       .collect().head == Row("t", 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("fairnessReport: hand contingency, gaps vs global, NULL TPR on label-free group") {
+    // A: 4 rows, 3 selected, 2 labeled (both selected); B: 2 rows, none
+    // selected, none labeled -> TPR undefined, never 0-faked
+    val df = Seq(
+      ("A", true, true), ("A", true, true), ("A", true, false), ("A", false, false),
+      ("B", false, false), ("B", false, false)
+    ).toDF("g", "pred", "lab")
+    val out = Validation.fairnessReport(df, $"g", $"pred", $"lab")
+      .orderBy($"grp").collect()
+    // globals: sel 3/6 = 500000 ppm, TPR 2/2 = 1e6
+    val a = out(0)
+    assert(a.getString(0) == "A" && a.getLong(1) == 4L)
+    assert(a.getLong(5) == 750000L && a.getLong(6) == 500000L)
+    assert(a.getLong(7) == 250000L)               // dp gap
+    assert(a.getLong(8) == 1000000L && a.getLong(10) == 0L)  // TPR, eo gap
+    val b = out(1)
+    assert(b.getString(0) == "B" && b.getLong(5) == 0L)
+    assert(b.getLong(7) == -500000L)
+    assert(b.isNullAt(8) && b.isNullAt(10))
+  }
+
   test("adjustedRandIndex: textbook pair counts and the fixed points") {
     // A = [1,1,1,2,2], B = [1,1,2,2,2]: contingency {(1,1):2,(1,2):1,
     // (2,2):2} -> S=2, A2=4, B2=4, N2=10 -> ARI = 2(20-16)/(80-32) = 1/6
