@@ -2344,6 +2344,18 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q291_encoding_advisor" -> ((s, dir) =>
+      // per-column RLE/dictionary compressibility, measured: exact run
+      // counts under the write order (event_id) vs the one-run-per-value
+      // best case a sort-by-that-column rewrite reaches — the encoding
+      // decision parquet writers make implicitly, priced per column.
+      // zoneMapSkipReport (q223) prices scan skipping; this prices
+      // encoding. Neighbor pairing via the two-level rank, never a global
+      // single-partition window.
+      Relational.encodingAdvisor(t(s, dir, "events"), col("event_id"),
+          Seq("event_type", "user_id", "value"))
+        .sortBy(Seq(col("col_name")))),
+
     "q289_fairness_report" -> ((s, dir) =>
       // group-fairness audit of a length gate (n_chars >= 500) across
       // sources, with lang='en' as the "relevant" label: selection rate +
@@ -5492,6 +5504,39 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // ROW_NUMBER neighbor pairing, IS DISTINCT FROM boundaries (a null
+    // run is a run), distincts + null group; runs_sorted = n_distinct.
+    "q291_encoding_advisor" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+             event_type, user_id, value FROM events),
+         p AS (SELECT
+             CAST(SUM(CASE WHEN a.event_type IS DISTINCT FROM b.event_type
+               THEN 1 ELSE 0 END) AS BIGINT) AS b_et,
+             CAST(SUM(CASE WHEN a.user_id IS DISTINCT FROM b.user_id
+               THEN 1 ELSE 0 END) AS BIGINT) AS b_u,
+             CAST(SUM(CASE WHEN a.value IS DISTINCT FROM b.value
+               THEN 1 ELSE 0 END) AS BIGINT) AS b_v
+           FROM r a JOIN r b ON b.rn = a.rn + 1),
+         d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type)
+               + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_et,
+             CAST(COUNT(DISTINCT user_id)
+               + MAX(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_u,
+             CAST(COUNT(DISTINCT value)
+               + MAX(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_v
+           FROM events),
+         u AS (
+           SELECT 'event_type' AS col_name, d.n, d.d_et AS n_distinct, p.b_et AS nb FROM d, p
+           UNION ALL SELECT 'user_id', d.n, d.d_u, p.b_u FROM d, p
+           UNION ALL SELECT 'value', d.n, d.d_v, p.b_v FROM d, p)
+         SELECT col_name, n, n_distinct,
+           nb + CASE WHEN n > 0 THEN 1 ELSE 0 END AS runs_arrival,
+           n_distinct AS runs_sorted,
+           CAST((n * 1000) // (nb + 1) AS BIGINT) AS arrival_mean_run_ppk,
+           CAST((n * 1000) // n_distinct AS BIGINT) AS sorted_mean_run_ppk,
+           CAST(((nb + 1 - n_distinct) * 1000000) // (nb + 1) AS BIGINT) AS rle_gain_ppm
+         FROM u ORDER BY col_name""",
+
     // one contingency scan per source; gaps vs global rates in ppm; TPR
     // NULL-guarded for label-free groups.
     "q289_fairness_report" ->

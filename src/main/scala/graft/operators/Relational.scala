@@ -1073,6 +1073,66 @@ object Relational {
         expr(s"((rank - 1) * ${nBins}L) DIV n").alias("bin"))
   }
 
+  /** Column-encoding advisor: for each candidate column, the exact
+    * run-length profile under the table's ARRIVAL order (unique long
+    * `order` column — the write sequence) next to its best case — sorted
+    * by the column itself, where runs collapse to one per distinct value.
+    * `rle_gain_ppm` is the fraction of runs a sort-by-this-column rewrite
+    * eliminates: the dictionary/RLE compressibility question parquet
+    * writers answer implicitly, here as a measured number per column
+    * (the [[zoneMapSkipReport]] sibling — that one prices SCAN SKIPPING
+    * from a sorted rewrite, this one prices ENCODING). NULL-safe equality:
+    * a null run is a run.
+    *
+    * Returns one row per column: (col_name, n, n_distinct, runs_arrival,
+    * runs_sorted = n_distinct, arrival_mean_run_ppk, sorted_mean_run_ppk,
+    * rle_gain_ppm).
+    *
+    * Scale shape: the global neighbor pairing uses the two-level
+    * [[quantileBins]] rank over the order key (probe scan + bucketed
+    * window, never a global single-partition window), ONE self equi-join
+    * at rank+1 scoring every column's boundaries in a single conditional-
+    * sum pass, one exact count_distinct aggregate (the audit mode; at
+    * 100 TB swap in approx_count_distinct the q77 way if distinct counts
+    * may exceed memory-comfortable agg state), unpivoted via stack.
+    */
+  def encodingAdvisor(df: DataFrame, order: Column,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "encodingAdvisor needs >= 1 column")
+    val base = df.select(order.cast("long").alias("__o") +: cols.map(col): _*)
+    val ranked = quantileBins(base.select(col("__o").alias("id")), col("id"),
+        col("id"), 2)
+      .select(col("id").alias("__o"), col("rank"))
+      .join(base, "__o")
+    // pair rank r with rank r+1 once; score every column in one pass
+    val nxt = ranked.select(
+      (col("rank") - 1L).alias("rank") +:
+        cols.map(c => col(c).alias(s"__x_$c")): _*)
+    val boundAggs = cols.map(c =>
+      coalesce(sum(when(!(col(c) <=> col(s"__x_$c")), 1L).otherwise(0L)), lit(0L))
+        .alias(s"__b_$c"))
+    val boundRow = ranked.join(nxt, Seq("rank"))
+      .agg(boundAggs.head, boundAggs.tail: _*)
+    // distinct counts incl. the null group (a null run is a run)
+    val distinctAggs = count(lit(1)).alias("__n") +: cols.map(c =>
+      (count_distinct(col(c)) +
+        max(when(col(c).isNull, 1L).otherwise(0L))).alias(s"__d_$c"))
+    val distinctRow = base.agg(distinctAggs.head, distinctAggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', __d_$c, __b_$c").mkString(", ")
+    distinctRow.crossJoin(boundRow)
+      .selectExpr("__n AS n",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_distinct, nb)")
+      .selectExpr("col_name", "n", "n_distinct",
+        "nb + CASE WHEN n > 0 THEN 1L ELSE 0L END AS runs_arrival",
+        "n_distinct AS runs_sorted")
+      .selectExpr("col_name", "n", "n_distinct", "runs_arrival", "runs_sorted",
+        "CASE WHEN runs_arrival = 0 THEN NULL ELSE (n * 1000L) DIV runs_arrival END AS arrival_mean_run_ppk",
+        "CASE WHEN runs_sorted = 0 THEN NULL ELSE (n * 1000L) DIV runs_sorted END AS sorted_mean_run_ppk",
+        """CASE WHEN runs_arrival = 0 THEN NULL
+             ELSE ((runs_arrival - runs_sorted) * 1000000L) DIV runs_arrival
+           END AS rle_gain_ppm""")
+  }
+
   /** Quantile normalization: remap a cohort's values onto a REFERENCE
     * distribution by rank — row at rank r of n_c takes the reference
     * value at rank ceil(r·n_r/n_c) — the distribution-matching transform

@@ -116,6 +116,28 @@ class RelationalSpec extends SparkSpec {
     assert(again == got, "systematic sample must be deterministic")
   }
 
+  test("encodingAdvisor: hand run counts, null runs count, layout independence") {
+    // arrival order by o: c1 = a,a,b,b,a (3 runs); c2 = 1,1,1,null,null
+    // (2 runs — null-safe equality makes the null tail ONE run)
+    val df = Seq(
+      (1L, "a", Option(1L)), (2L, "a", Option(1L)), (3L, "b", Option(1L)),
+      (4L, "b", None), (5L, "a", None)
+    ).toDF("o", "c1", "c2")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relational.encodingAdvisor(d, col("o"), Seq("c1", "c2"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val out = run(df)
+    // c1: 3 arrival runs vs 2 distinct -> sorting kills 1/3 of runs
+    assert(out("c1") == (5L, 2L, 3L, 2L, 1666L, 2500L, 333333L))
+    // c2: 2 runs (1,1,1 | null,null), 2 distinct incl. the null group
+    // -> already one run per value, zero gain
+    assert(out("c2") == (5L, 2L, 2L, 2L, 2500L, 2500L, 0L))
+    // partition layout cannot change the profile
+    assert(run(df.repartition(3)) == out)
+  }
+
   test("weightedPercentile: lower weighted quantile, duplicate collapse, layout independence") {
     import graft.operators.Relational.GraftOps
     // g: value 1 (w 1), 2 (w 1), 3 (w 2 as two duplicate rows) — total 4
