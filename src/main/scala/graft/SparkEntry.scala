@@ -2344,6 +2344,27 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q292_audio_fingerprint_neardup" -> ((s, dir) => {
+      // perceptual AUDIO near-dup — the q190 story for sound: synth a
+      // noise-like PCM WAV per doc (content groups of 3, lengths
+      // varying INSIDE a group), REAL-decode into the 65-window
+      // energy-delta sign print, and find all Hamming<=3 pairs with the
+      // exact pigeonhole join. Same content + different byte length =>
+      // identical print — the perceptual-match-across-binaries claim,
+      // pinned because PCM is lossless and the print is integer
+      // arithmetic the oracle replays from the synth formula.
+      val wavs = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), expr("doc_id DIV 3").as("seed"),
+          (lit(2080) + pmod(col("doc_id"), lit(5L)).cast("int") * lit(32))
+            .cast("int").as("n")))
+        .withColumn("wav", Multimodal.synthNoisePcmWavUdf(col("seed"), col("n")))
+        .withColumn("sig", Multimodal.audioFingerprint64(32)(col("wav")))
+      Dedup.hamming64Pairs(wavs, col("doc_id"), col("sig"), maxHamming = 3)
+        .selectCols(Seq(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming")))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q291_encoding_advisor" -> ((s, dir) =>
       // per-column RLE/dictionary compressibility, measured: exact run
       // counts under the write order (event_id) vs the one-run-per-value
@@ -5504,6 +5525,37 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // per-seed window |s| sums from the synth formula, delta-sign bits,
+    // lo/hi 32-bit halves (the q190 sign-bit dodge), brute-force pairs.
+    "q292_audio_fingerprint_neardup" ->
+      """WITH docs AS (SELECT doc_id, doc_id // 3 AS seed FROM documents),
+         seeds AS (SELECT DISTINCT seed FROM docs),
+         s1 AS (SELECT seed, i,
+             ((seed * 1000003 + i) * 2654435761) % 4294967296 AS h1
+           FROM seeds, LATERAL (SELECT unnest(range(0, 2080)) AS i) u),
+         smp AS (SELECT seed, i // 32 AS w,
+             SUM(ABS((((xor(h1, h1 // 65536)) * 40503) % 4294967296)
+               // 65536 - 32768)) AS a
+           FROM s1 GROUP BY 1, 2),
+         bits AS (SELECT cur.seed, cur.w,
+             CASE WHEN nxt.a > cur.a THEN 1 ELSE 0 END AS b
+           FROM smp cur JOIN smp nxt
+             ON cur.seed = nxt.seed AND nxt.w = cur.w + 1
+           WHERE cur.w < 64),
+         sig AS (SELECT seed,
+             CAST(SUM(CASE WHEN w < 32
+               THEN b * (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN w >= 32
+               THEN b * (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END) AS BIGINT) AS hi
+           FROM bits GROUP BY seed),
+         ds AS (SELECT d.doc_id, s.lo, s.hi FROM docs d JOIN sig s USING (seed))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+             AS BIGINT) AS hamming
+         FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         ORDER BY id_a, id_b""",
+
     // ROW_NUMBER neighbor pairing, IS DISTINCT FROM boundaries (a null
     // run is a run), distincts + null group; runs_sorted = n_distinct.
     "q291_encoding_advisor" ->

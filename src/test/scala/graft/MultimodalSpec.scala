@@ -254,6 +254,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGifMotionInfos(Multimodal.synthAnimGif(1L, 4, 4, 1)).get.isEmpty)
   }
 
+  test("audio fingerprint: bits replay the synth formula, appends don't change the print") {
+    def sample(seed: Long, i: Long): Long = {
+      val h1 = ((seed * 1000003L + i) * 2654435761L) & 0xffffffffL
+      val h2 = ((h1 ^ (h1 >> 16)) * 40503L) & 0xffffffffL
+      (h2 >> 16) - 32768L
+    }
+    val seed = 42L
+    val wav = Multimodal.synthNoisePcmWav(seed, 2080)
+    // decode witness: the noise synth round-trips like the ramp synth
+    val info = Multimodal.decodeAudioInfo(wav).get
+    assert(info._1 == 2080L && info._3 == 1)
+    assert(info._4 == (0 until 2080).map(i => sample(seed, i)).sum)
+    // print = delta-sign bits over 65 window |s| sums, straight from math
+    val sums = (0 until 65).map(w =>
+      (32 * w until 32 * (w + 1)).map(i => math.abs(sample(seed, i))).sum)
+    var expect = 0L
+    (0 until 64).foreach(w => if (sums(w + 1) > sums(w)) expect |= 1L << w)
+    assert(Multimodal.audioFingerprint64Info(wav, 32).get == expect)
+    // appended content never reaches the print: a longer binary with the
+    // same leading 65 windows is a perceptual MATCH of a different file
+    val longer = Multimodal.synthNoisePcmWav(seed, 2400)
+    assert(!java.util.Arrays.equals(wav, longer))
+    assert(Multimodal.audioFingerprint64Info(longer, 32).get == expect)
+    // 64 full windows + a partial is not enough — null, never a short print
+    assert(Multimodal.audioFingerprint64Info(
+      Multimodal.synthNoisePcmWav(seed, 2079), 32).isEmpty)
+    assert(Multimodal.audioFingerprint64Info("junk".getBytes, 32).isEmpty)
+    assert(Multimodal.audioFingerprint64Info(null, 32).isEmpty)
+  }
+
   test("WHT bands: exact coefficients vs a direct reference fold") {
     val seed = 3L; val n = 20 // 2 full 8-sample frames; 4-sample tail dropped
     val wav = Multimodal.synthPcmWav(seed, n)
