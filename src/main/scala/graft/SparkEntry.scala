@@ -2344,6 +2344,46 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q293_video_frameset_neardup" -> ((s, dir) => {
+      // VIDEO near-dup by shared frame content: synth animated GIFs
+      // (content groups of 3 sharing a seed, frame COUNTS differing inside
+      // a group — shorter cuts of the same clip), REAL-demux every frame,
+      // fingerprint each clip as its distinct (frame_idx, pixel_sum) set,
+      // and join clips on shared frames (the q34 inverted-index shape over
+      // narrow keys — pairs sharing no frame never materialize). The
+      // index RIDES IN THE KEY on purpose: the synthesis formula is
+      // mod-256 affine, so bare pixel sums take only 256 values and
+      // collide across unrelated clips (measured: 1875 pairs vs the 499
+      // planted); time-aligned (idx, sum) keys make the witness honest.
+      // Set Jaccard >= 0.6 keeps the planted prefix cuts; GIF is lossless
+      // so the oracle replays every frame sum from the synthesis formula.
+      val clips = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), expr("doc_id DIV 3").as("seed"),
+          (lit(6) + pmod(col("doc_id"), lit(4L)).cast("int")).as("nf")))
+        .withColumn("gif", Multimodal.synthAnimGifUdf(
+          col("seed"), lit(16), lit(12), col("nf")))
+      val frames = clips
+        .selectCols(Seq(col("doc_id").as("id"),
+          explode(Multimodal.sampleFrameInfos(1)(col("gif"))).as("fr")))
+        .selectCols(Seq(col("id"), col("fr._1").as("fidx"), col("fr._4").as("fsum")))
+        .distinct()
+      val sizes = frames.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      frames.alias("a")
+        .join(frames.alias("b"),
+          col("a.fidx") === col("b.fidx") && col("a.fsum") === col("b.fsum") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.selectCols(Seq(col("id").as("id_a"), col("sz").as("sz_a"))), Seq("id_a"))
+        .join(sizes.selectCols(Seq(col("id").as("id_b"), col("sz").as("sz_b"))), Seq("id_b"))
+        .withColumn("jaccard_ppm",
+          expr("(shared * 1000000L) DIV (sz_a + sz_b - shared)"))
+        .filterCol(col("jaccard_ppm") >= 600000L)
+        .selectCols(Seq(col("id_a"), col("id_b"), col("shared"),
+          col("sz_a"), col("sz_b"), col("jaccard_ppm")))
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q292_audio_fingerprint_neardup" -> ((s, dir) => {
       // perceptual AUDIO near-dup — the q190 story for sound: synth a
       // noise-like PCM WAV per doc (content groups of 3, lengths
@@ -5525,6 +5565,33 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // frame sums replayed from the synth formula (the q149 witness),
+    // inverted-index pair join on (frame_idx, sum), integer Jaccard at 0.6.
+    "q293_video_frameset_neardup" ->
+      """WITH docs AS (SELECT doc_id, doc_id // 3 AS seed, 6 + doc_id % 4 AS nf
+           FROM documents),
+         fs AS (SELECT s.seed, f.f,
+             CAST(SUM((s.seed * 31 + f.f * 17 + x.x * 7 + y.y * 13) % 256)
+               AS BIGINT) AS fsum
+           FROM (SELECT DISTINCT seed FROM docs) s,
+             LATERAL (SELECT unnest(range(0, 9)) AS f) f,
+             LATERAL (SELECT unnest(range(0, 16)) AS x) x,
+             LATERAL (SELECT unnest(range(0, 12)) AS y) y
+           GROUP BY s.seed, f.f),
+         fr AS (SELECT DISTINCT d.doc_id AS id, fs.f AS fidx, fs.fsum
+           FROM docs d JOIN fs ON fs.seed = d.seed AND fs.f < d.nf),
+         sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM fr GROUP BY id),
+         p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+           FROM fr a JOIN fr b
+             ON a.fidx = b.fidx AND a.fsum = b.fsum AND a.id < b.id
+           GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b, p.shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST((p.shared * 1000000) // (sa.sz + sb.sz - p.shared) AS BIGINT)
+             AS jaccard_ppm
+         FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+         WHERE (p.shared * 1000000) // (sa.sz + sb.sz - p.shared) >= 600000
+         ORDER BY id_a, id_b""",
+
     // per-seed window |s| sums from the synth formula, delta-sign bits,
     // lo/hi 32-bit halves (the q190 sign-bit dodge), brute-force pairs.
     "q292_audio_fingerprint_neardup" ->
