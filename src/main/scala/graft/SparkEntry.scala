@@ -2344,6 +2344,23 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q294_textrank_keywords" -> ((s, dir) => {
+      // TextRank keyword extraction (Mihalcea-Tarau): corpus-level word
+      // graph from q235's skip-gram co-occurrence (window 3, minCount 5
+      // prunes noise edges), then 3 integer-exact PageRank rounds — the
+      // centrality ranking IS the keyword list, no supervision. Pure
+      // composition of two spec-covered operators; the oracle unrolls
+      // q235's pair SQL into q100's round SQL with string node ids.
+      val cooc = Corpus.skipgramCounts(t(s, dir, "documents"), col("doc_id"),
+        TextFns.tokens(col("text")), window = 3, minCount = 5L)
+      val edges = cooc
+        .selectCols(Seq(col("w_a").as("src"), col("w_b").as("dst")))
+        .union(cooc.selectCols(Seq(col("w_b").as("src"), col("w_a").as("dst"))))
+      graft.operators.Graph.pagerank(edges, rounds = 3)
+        .selectCols(Seq(col("id").as("word"), col("rank")))
+        .sortExprs(Seq(col("rank").desc, col("word").asc))
+    }),
+
     "q293_video_frameset_neardup" -> ((s, dir) => {
       // VIDEO near-dup by shared frame content: synth animated GIFs
       // (content groups of 3 sharing a seed, frame COUNTS differing inside
@@ -5565,6 +5582,41 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q235's pair SQL feeding q100's unrolled rounds, string node ids,
+    // both edge directions (TextRank's graph is undirected).
+    "q294_textrank_keywords" ->
+      """WITH tok0 AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM documents),
+         t AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+               FROM tok0, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u),
+         p AS (SELECT least(a.tok, b.tok) AS w_a, greatest(a.tok, b.tok) AS w_b
+               FROM t a JOIN t b ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + 3),
+         co AS (SELECT w_a, w_b FROM p GROUP BY w_a, w_b HAVING COUNT(*) >= 5),
+         e AS (SELECT w_a AS src, w_b AS dst FROM co
+               UNION ALL SELECT w_b, w_a FROM co),
+         n AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+         c1 AS (SELECT e.dst AS id, sum(r0.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+         r1 AS (SELECT n.id, 150000 + (85 * COALESCE(c1.contrib, 0)) // 100 AS rank
+                FROM n LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e.dst AS id, sum(r1.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+         r2 AS (SELECT n.id, 150000 + (85 * COALESCE(c2.contrib, 0)) // 100 AS rank
+                FROM n LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e.dst AS id, sum(r2.rank // od.outdeg) AS contrib
+                FROM e JOIN od USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+         r3 AS (SELECT n.id, 150000 + (85 * COALESCE(c3.contrib, 0)) // 100 AS rank
+                FROM n LEFT JOIN c3 USING (id))
+         SELECT id AS word, CAST(rank AS BIGINT) AS rank FROM r3
+         ORDER BY rank DESC, word""",
+
     // frame sums replayed from the synth formula (the q149 witness),
     // inverted-index pair join on (frame_idx, sum), integer Jaccard at 0.6.
     "q293_video_frameset_neardup" ->
