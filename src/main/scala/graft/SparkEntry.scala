@@ -2344,6 +2344,41 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q295_neighbor_agg" -> ((s, dir) => {
+      // one round of graph message passing: each part in the q199
+      // co-purchase graph aggregates its NEIGHBORS' retail price (cents)
+      // — count/sum/min/max + exact floor-ppk mean, the feature a
+      // graph-aware quality or recommendation model consumes. One
+      // orientation union, one feature equi-join, one partial-agg groupBy.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      val feats = t(s, dir, "part").selectCols(Seq(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")))
+      graft.operators.Graph.neighborAgg(e, feats)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q296_markov_backtest" -> ((s, dir) => {
+      // the zero-parameter sequence baseline: argmax next-event-type per
+      // current type learned on EVEN users, scored on ODD users' actual
+      // consecutive pairs — per-state accuracy in floor ppm; q288's
+      // seasonal-naive idea for categorical sequences (and the number a
+      // session model must beat).
+      val ev = t(s, dir, "events")
+      EventStreams.markovBacktest(
+          ev.filterCol(pmod(col("user_id"), lit(2L)) === 0L),
+          ev.filterCol(pmod(col("user_id"), lit(2L)) === 1L),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+        .sortBy(Seq(col("from_state")))
+    }),
+
     "q294_textrank_keywords" -> ((s, dir) => {
       // TextRank keyword extraction (Mihalcea-Tarau): corpus-level word
       // graph from q235's skip-gram co-occurrence (window 3, minCount 5
@@ -5582,6 +5617,57 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q231's edge CTE; neighbor features via the symmetric orientation
+    // list; mean as sign-split floor ppk (prices are positive here, but
+    // the contract is general).
+    "q295_neighbor_agg" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e AS (SELECT DISTINCT x.l_partkey AS id_a, y.l_partkey AS id_b
+               FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey),
+         dir AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         f AS (SELECT p_partkey AS b,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS f
+           FROM part),
+         agg AS (SELECT dir.a AS id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+             CAST(SUM(f.f) AS BIGINT) AS f_sum,
+             CAST(MIN(f.f) AS BIGINT) AS f_min,
+             CAST(MAX(f.f) AS BIGINT) AS f_max
+           FROM dir JOIN f USING (b) GROUP BY dir.a)
+         SELECT id, n_nbrs, f_sum, f_min, f_max,
+           CAST(CASE WHEN f_sum >= 0 THEN (f_sum * 1000) // n_nbrs
+             ELSE -((-f_sum * 1000) // n_nbrs) END AS BIGINT) AS f_mean_ppk
+         FROM agg ORDER BY id""",
+
+    // train argmax transitions (ties to the smaller label), test pairs
+    // via the same (ts, event_id) lead; unseen from-states predict NULL.
+    "q296_markov_backtest" ->
+      """WITH tr AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE user_id % 2 = 0),
+         te AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE user_id % 2 = 1),
+         tp AS (SELECT event_type AS f, LEAD(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS t FROM tr),
+         mat AS (SELECT f, t, COUNT(*) AS n FROM tp
+           WHERE t IS NOT NULL GROUP BY f, t),
+         pred AS (SELECT f, t AS predicted FROM (
+             SELECT f, t, ROW_NUMBER() OVER (PARTITION BY f
+               ORDER BY n DESC, t) AS rk FROM mat) WHERE rk = 1),
+         sp AS (SELECT event_type AS f, LEAD(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM te),
+         spp AS (SELECT f, nxt FROM sp WHERE nxt IS NOT NULL)
+         SELECT spp.f AS from_state, pred.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN spp.nxt = pred.predicted THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST((SUM(CASE WHEN spp.nxt = pred.predicted THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS acc_ppm
+         FROM spp LEFT JOIN pred ON spp.f = pred.f
+         GROUP BY spp.f, pred.predicted
+         ORDER BY from_state""",
+
     // q235's pair SQL feeding q100's unrolled rounds, string node ids,
     // both edge directions (TextRank's graph is undirected).
     "q294_textrank_keywords" ->

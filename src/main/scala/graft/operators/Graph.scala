@@ -417,6 +417,40 @@ object Graph {
              ELSE -((-num * 1000000) DIV den) END AS BIGINT) AS r_ppm""")
   }
 
+  /** One round of neighborhood feature aggregation over an undirected
+    * edge list (id_a, id_b): for every node with at least one neighbor,
+    * the count / sum / min / max of its NEIGHBORS' integer feature — the
+    * message-passing primitive GNN pipelines and graph feature
+    * engineering run before any model sees the graph ("average quality of
+    * the documents this one links to", "max toxicity among co-cluster
+    * members"). Mean is delivered as the exact (sum, count) pair plus a
+    * floor-ppk quotient — never a double division, the no-log rule.
+    * Nodes missing from `features` contribute nothing and aggregate
+    * nothing (inner join semantics — absent features must not read as 0).
+    *
+    * Returns (id, n_nbrs, f_sum, f_min, f_max, f_mean_ppk).
+    *
+    * Scale shape: one symmetric orientation union, one feature equi-join
+    * keyed on the neighbor id, one per-node partial-agg groupBy — a
+    * single round of Pregel without the framework; stack rounds by
+    * feeding the output back as the next feature frame.
+    */
+  def neighborAgg(edges: DataFrame, features: DataFrame): DataFrame = {
+    require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
+    require(features.columns.length == 2, "features must be exactly (id, f)")
+    val e = edges.toDF("a", "b")
+    val dir = e.union(e.select(col("b").alias("a"), col("a").alias("b")))
+    val f = features.toDF("id", "f")
+      .select(col("id").alias("b"), col("f").cast("long").alias("f"))
+    dir.join(f, Seq("b"))
+      .groupBy(col("a").alias("id"))
+      .agg(count(lit(1)).alias("n_nbrs"), sum(col("f")).alias("f_sum"),
+        min(col("f")).alias("f_min"), max(col("f")).alias("f_max"))
+      .selectExpr("id", "n_nbrs", "f_sum", "f_min", "f_max",
+        """CASE WHEN f_sum >= 0 THEN (f_sum * 1000L) DIV n_nbrs
+             ELSE -((-f_sum * 1000L) DIV n_nbrs) END AS f_mean_ppk""")
+  }
+
   /** Link prediction by neighborhood overlap: for every NON-edge pair that
     * shares at least one neighbor, the common-neighbor count and the
     * Jaccard of the two neighborhoods in ppm — the Liben-Nowell/Kleinberg

@@ -1602,6 +1602,45 @@ object EventStreams {
       .withColumn("p_ppm", expr("(n * 1000000L) DIV from_total"))
   }
 
+  /** Markov next-event baseline backtest: learn the per-state argmax
+    * transition from a TRAIN split ([[transitionMatrix]]'s counts, ties
+    * to the smaller state label), predict every consecutive TEST pair's
+    * next state from its current one, and report accuracy per from-state
+    * — the zero-parameter sequence model a session-recommendation or
+    * next-action model must beat, the [[seasonalNaiveBacktest]] idea
+    * applied to categorical sequences. From-states never seen in train
+    * predict NULL and score zero (visible, not silently dropped).
+    * Integer counts + floor ppm, replayable.
+    *
+    * Scale shape: one train lead() window per key + matrix groupBy, one
+    * per-from-state argmax via min(struct), one test lead() window, one
+    * broadcast-sized prediction join (|states| rows), one final groupBy.
+    */
+  def markovBacktest(train: DataFrame, test: DataFrame, key: Column,
+      order: Seq[Column], state: Column): DataFrame = {
+    require(order.nonEmpty, "markovBacktest needs at least one order column")
+    import org.apache.spark.sql.expressions.Window
+    val m = transitionMatrix(train, key, order, state)
+    val pred = m.groupBy(col("from_state"))
+      .agg(min(struct((-col("n")).alias("nn"), col("to_state").alias("p"))).alias("m"))
+      .select(col("from_state").alias("__s"), col("m.p").alias("predicted"))
+    val base = test.select(
+      (Seq(key.alias("__k"), state.alias("__s")) ++
+        order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    val pairs = base.withColumn("__nxt", lead(col("__s"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+    pairs.join(broadcast(pred), Seq("__s"), "left")
+      .groupBy(col("__s").alias("from_state"))
+      .agg(max(col("predicted")).alias("predicted"),
+        count(lit(1)).alias("n_pairs"),
+        sum(when(col("__nxt") === col("predicted"), 1L).otherwise(0L))
+          .alias("n_correct"))
+      .selectExpr("from_state", "predicted", "n_pairs", "n_correct",
+        "(n_correct * 1000000L) DIV n_pairs AS acc_ppm")
+  }
+
   /** Event-rate anomaly detection: hourly counts per key z-scored against
     * that key's own mean/std over all hours; |z| > threshold flags the
     * bucket. Variance comes from integer co-moments (n, sum, sum-of-

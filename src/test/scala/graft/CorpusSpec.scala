@@ -202,6 +202,23 @@ class CorpusSpec extends SparkSpec {
     assert(one(Graph.degreeAssortativity(tri)).isNullAt(6))
   }
 
+  test("neighborAgg: hand aggregates, featureless neighbors invisible, sign-split mean") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L)).toDF("id_a", "id_b")
+    // node 4 and 5 carry no feature: they aggregate but never contribute
+    val feats = Seq((1L, 10L), (2L, -20L), (3L, 30L)).toDF("id", "f")
+    val out = Graph.neighborAgg(edges, feats).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // 1 sees 2 (-20) and 3 (30); 4 is featureless -> n_nbrs = 2
+    assert(out(1L) == (2L, 10L, -20L, 30L, 5000L))
+    // 2 sees 1 (10) and featureless 5
+    assert(out(2L) == (1L, 10L, 10L, 10L, 10000L))
+    assert(out(4L) == (1L, 10L, 10L, 10L, 10000L))
+    // 5 sees only 2 (-20): the sign-split floor branch
+    assert(out(5L) == (1L, -20L, -20L, -20L, -20000L))
+  }
+
   test("personalizedPagerank: teleport lands only on seeds, hand rounds, no-seed graph all zero") {
     import graft.operators.Graph
     // path 1 -> 2 -> 3, seed {1}, d = 50/100, scale 100

@@ -503,6 +503,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall(x => x._3 == 0.0 && !x._4))
   }
 
+  test("markovBacktest: argmax from train only, unseen from-state predicts NULL") {
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // train (user 1): A->B, B->A, A->B  =>  pred(A)=B, pred(B)=A
+    val train = Seq((1L, ts(0), 0L, "A"), (1L, ts(1), 1L, "B"),
+      (1L, ts(2), 2L, "A"), (1L, ts(3), 3L, "B")).toDF("u", "ts", "eid", "s")
+    // test: user 2 A->B (hit), B->B (miss); user 3 C->A (C unseen in train)
+    val test = Seq((2L, ts(0), 4L, "A"), (2L, ts(1), 5L, "B"), (2L, ts(2), 6L, "B"),
+      (3L, ts(0), 7L, "C"), (3L, ts(1), 8L, "A")).toDF("u", "ts", "eid", "s")
+    val out = EventStreams.markovBacktest(train, test, col("u"),
+        Seq(col("ts"), col("eid")), col("s"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == (Some("B"), 1L, 1L, 1000000L))
+    assert(out("B") == (Some("A"), 1L, 0L, 0L))
+    assert(out("C") == (None, 1L, 0L, 0L))
+  }
+
   test("cusumChangepoints: level shift peaks at the change, head-heavy key peaks at rank 1") {
     import org.apache.spark.sql.functions.col
     def ts(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
