@@ -113,6 +113,31 @@ object Engine {
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Targeted-deletion rewrite (GDPR / right-to-be-forgotten over a plain
+    * parquet lake): anti-join the stored rows against a key set and write
+    * the survivors to a NEW partitioned layout — the no-table-format
+    * delete, same immutability rule as [[compactPartitionedParquet]]
+    * (in-place overwrite would truncate the lazy source scan). Returns
+    * the re-read survivor frame so callers can fingerprint/audit it
+    * ([[graft.operators.Validation.tableFingerprint]] is the natural
+    * witness that nothing ELSE changed).
+    *
+    * Scale shape: one anti join keyed on the forget key (Catalyst picks
+    * broadcast when the forget set is small — the common case; a
+    * billion-key purge shuffles, which is the honest cost) + one
+    * distributed partitioned write. When forget keys correlate with
+    * partition values, rewrite only the dirty partitions via dynamic
+    * partition overwrite (the [[graft.streaming.EventStreams]] keyed-
+    * upsert pattern) instead of calling this full-store form.
+    */
+  def forgetRewrite(spark: SparkSession, src: String, dst: String,
+      key: String, forget: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val store = spark.read.parquet(src)
+    val cleaned = store.join(forget.toDF(key).distinct(), Seq(key), "left_anti")
+    writeParquetPartitioned(cleaned, dst, partitionCols)
+    spark.read.parquet(dst)
+  }
+
   /** Compact a hive-partitioned parquet layout into `dst` with one file
     * per partition directory — the small-files remediation every
     * long-lived 100 TB store needs (streaming ingest and fine-grained

@@ -2344,6 +2344,89 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q297_forget_rewrite" -> ((s, dir) => {
+      // deletion compliance over a plain parquet lake: land events in a
+      // partitioned store, purge every 10th user by anti-join rewrite
+      // into a NEW layout (the no-table-format delete; immutability rule
+      // of compactPartitionedParquet), and hash-audit the survivors —
+      // n_forgotten = 0 is the load-bearing witness column.
+      val sf = new java.io.File(dir).getName
+      val base = s"/root/repo/target/graft-scratch/$sf/forget"
+      val ev = t(s, dir, "events").selectCols(Seq(col("event_id"),
+        col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmic")))
+      Engine.writeParquetPartitioned(ev, s"$base/src", Seq("event_type"))
+      val forget = ev.filterCol(pmod(col("user_id"), lit(10L)) === 0L)
+        .selectCols(Seq(col("user_id")))
+      Engine.forgetRewrite(s, s"$base/src", s"$base/dst", "user_id",
+          forget, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(pmod(col("user_id"), lit(10L)) === 0L, 1L).otherwise(0L))
+            .as("n_forgotten"),
+          sum(col("vmic")).as("sum_vmic"))
+        .sortBy(Seq(col("event_type")))
+    }),
+
+    "q298_bootstrap_ci" -> ((s, dir) =>
+      // sampling spread of the revenue total without RNG: 32 deterministic
+      // Poisson-bootstrap replicates of sum(value) over events — pinned
+      // Poisson(1) CDF cuts on the xor-mix hash, every replicate
+      // bit-replayable. The spread around total_sum is the error bar a
+      // point estimate can't give.
+      Relational.bootstrapSums(t(s, dir, "events"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"),
+          replicates = 32)
+        .sortBy(Seq(col("rep")))),
+
+    "q299_span_dedup_by_source" -> ((s, dir) => {
+      // which sources carry boilerplate: q107's corpus-duplicated 64-char
+      // windows rolled up per source — docs flagged, windows flagged,
+      // flagged-doc share ppm; zero-flag sources kept (a LEFT join, the
+      // honest denominator). The observability read before tuning any
+      // span-cut threshold.
+      val docs = t(s, dir, "documents")
+      val spans = Corpus.repeatedSpans(docs, col("doc_id"), col("text"),
+        winLen = 64, step = 16, minDocs = 2L)
+      val flagged = spans
+        .join(docs.selectCols(Seq(col("doc_id").as("id"), col("source"))), Seq("id"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("id")).as("n_docs_flagged"),
+          count(lit(1)).as("n_windows_flagged"))
+      docs.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .join(flagged, Seq("source"), "left")
+        .selectCols(Seq(col("source"), col("n_docs"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+          coalesce(col("n_windows_flagged"), lit(0L)).as("n_windows_flagged")))
+        .withColumn("flagged_share_ppm",
+          expr("(n_docs_flagged * 1000000L) DIV n_docs"))
+        .sortBy(Seq(col("source")))
+    }),
+
+    "q300_two_hop_features" -> ((s, dir) => {
+      // message passing STACKED: round 2 aggregates round 1's neighbor
+      // sums — the 2-hop receptive field a GNN builds, as two plain
+      // joins; proves neighborAgg's feed-the-output-back contract as a
+      // driver fact, not a Scaladoc claim.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b")))
+        .distinct()
+      val feats = t(s, dir, "part").selectCols(Seq(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")))
+      val round1 = graft.operators.Graph.neighborAgg(e, feats)
+        .selectCols(Seq(col("id"), col("f_sum")))
+      graft.operators.Graph.neighborAgg(e, round1)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q295_neighbor_agg" -> ((s, dir) => {
       // one round of graph message passing: each part in the q199
       // co-purchase graph aggregates its NEIGHBORS' retail price (cents)
@@ -5617,6 +5700,93 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // survivors = everything but the forgotten users; n_forgotten = 0 is
+    // replayed, not assumed.
+    "q297_forget_rewrite" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic
+           FROM events)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_forgotten,
+           CAST(SUM(vmic) AS BIGINT) AS sum_vmic
+         FROM ev WHERE user_id % 10 <> 0
+         GROUP BY event_type ORDER BY event_type""",
+
+    // the xor-mix hash and the pinned Poisson(1) CDF cuts, replayed per
+    // (row, replicate); totals ride every row.
+    "q298_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_id AS id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS total_sum FROM ev),
+         r AS (SELECT id, v, rep
+           FROM ev, LATERAL (SELECT unnest(range(0, 32)) AS rep) u),
+         h AS (SELECT rep, v,
+             ((((id * 1000003 + rep) % 2147483648) * 2654435761)
+               % 4294967296) AS h1 FROM r),
+         w AS (SELECT rep, v,
+             CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+               WHEN u < 60273 THEN 2 ELSE 3 END AS w
+           FROM (SELECT rep, v,
+               (((xor(h1, h1 // 65536)) * 40503) % 4294967296) // 65536 AS u
+             FROM h))
+         SELECT CAST(rep AS BIGINT) AS rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * v) AS BIGINT) AS boot_sum, t.n, t.total_sum
+         FROM w, t GROUP BY rep, t.n, t.total_sum ORDER BY rep""",
+
+    // text windows stand in for the engine's xxhash64 keys (the q57/q107
+    // hash-equality == text-equality convention); LEFT JOIN keeps
+    // zero-flag sources.
+    "q299_span_dedup_by_source" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents
+           WHERE len(text) >= 64),
+         wins AS (SELECT doc_id, source, substr(text, k * 16 + 1, 64) AS w
+           FROM docs, LATERAL (SELECT unnest(
+             range(0, (len(text) - 64) // 16 + 1)) AS k) u),
+         freq AS (SELECT w FROM wins GROUP BY w
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         fl AS (SELECT wins.doc_id, wins.source FROM wins JOIN freq USING (w)),
+         flagged AS (SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged,
+             CAST(COUNT(*) AS BIGINT) AS n_windows_flagged
+           FROM fl GROUP BY source),
+         tot AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+         SELECT t.source, t.n_docs,
+           COALESCE(f.n_docs_flagged, 0) AS n_docs_flagged,
+           COALESCE(f.n_windows_flagged, 0) AS n_windows_flagged,
+           CAST((COALESCE(f.n_docs_flagged, 0) * 1000000) // t.n_docs
+             AS BIGINT) AS flagged_share_ppm
+         FROM tot t LEFT JOIN flagged f USING (source)
+         ORDER BY t.source""",
+
+    // round 1 sums become round 2's features — two joins, no framework.
+    "q300_two_hop_features" ->
+      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_quantity >= 45),
+         e AS (SELECT DISTINCT x.l_partkey AS id_a, y.l_partkey AS id_b
+               FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey),
+         dir AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         f AS (SELECT p_partkey AS b,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS f
+           FROM part),
+         r1 AS (SELECT dir.a AS b, CAST(SUM(f.f) AS BIGINT) AS f
+           FROM dir JOIN f USING (b) GROUP BY dir.a),
+         agg2 AS (SELECT dir.a AS id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+             CAST(SUM(r1.f) AS BIGINT) AS f_sum,
+             CAST(MIN(r1.f) AS BIGINT) AS f_min,
+             CAST(MAX(r1.f) AS BIGINT) AS f_max
+           FROM dir JOIN r1 USING (b) GROUP BY dir.a)
+         SELECT id, n_nbrs, f_sum, f_min, f_max,
+           CAST(CASE WHEN f_sum >= 0 THEN (f_sum * 1000) // n_nbrs
+             ELSE -((-f_sum * 1000) // n_nbrs) END AS BIGINT) AS f_mean_ppk
+         FROM agg2 ORDER BY id""",
+
     // q231's edge CTE; neighbor features via the symmetric orientation
     // list; mean as sign-split floor ppk (prices are positive here, but
     // the contract is general).

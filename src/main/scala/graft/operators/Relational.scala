@@ -1133,6 +1133,54 @@ object Relational {
            END AS rle_gain_ppm""")
   }
 
+  /** Deterministic Poisson bootstrap for an aggregate's sampling spread:
+    * replicate r resamples every row with weight w(id, r) ~ pseudo-
+    * Poisson(1) — the classic streaming bootstrap (each replicate's
+    * expected mass equals the corpus, no row list is ever materialized)
+    * made RNG-free: w comes from the multiply → xor-shift → multiply
+    * integer mix (the [[graft.operators.Multimodal.synthNoisePcmWav]]
+    * finalizer) cut at the PINNED Poisson(1) CDF points
+    * floor(65536·P(X ≤ k)) = 24109 / 48218 / 60273, tail capped at w = 3
+    * (99.98% of the mass; no runtime exp, the Benford-constants rule).
+    * The replicate spread around the true sum is the confidence read a
+    * single point estimate can't give — and every replicate replays
+    * bit-for-bit cross-engine.
+    *
+    * Returns one row per replicate: (rep, n_eff, boot_sum, n, total_sum).
+    * `id` must be integer-valued below ~9e12 (the no-overflow contract on
+    * id·1000003).
+    *
+    * Scale shape: the corpus streams ONCE — the ×replicates explode and
+    * the partial-agg groupBy on the replicate id live in the same scan,
+    * and aggregate state is replicate-count-sized. Row cost is
+    * O(replicates); pick B accordingly (32-128 is the usual bootstrap
+    * range).
+    */
+  def bootstrapSums(df: DataFrame, id: Column, value: Column,
+      replicates: Int): DataFrame = {
+    require(replicates >= 1 && replicates <= 4096,
+      s"replicates must be in [1, 4096], got $replicates")
+    val base = df.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
+    val totals = base.agg(count(lit(1)).alias("n"),
+      sum(col("v")).alias("total_sum"))
+    base
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(replicates - 1))).alias("rep"))
+      .withColumn("__h1",
+        expr("((((id * 1000003L + rep) % 2147483648L) * 2654435761L) % 4294967296L)"))
+      .withColumn("__u",
+        expr("(((__h1 ^ (__h1 DIV 65536L)) * 40503L) % 4294967296L) DIV 65536L"))
+      .withColumn("__w",
+        expr("""CASE WHEN __u < 24109L THEN 0L WHEN __u < 48218L THEN 1L
+                  WHEN __u < 60273L THEN 2L ELSE 3L END"""))
+      .groupBy(col("rep").cast("long").alias("rep"))
+      .agg(sum(col("__w")).alias("n_eff"),
+        sum(col("__w") * col("v")).alias("boot_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("rep"), col("n_eff"), col("boot_sum"), col("n"),
+        col("total_sum"))
+  }
+
   /** Quantile normalization: remap a cohort's values onto a REFERENCE
     * distribution by rank — row at rank r of n_c takes the reference
     * value at rank ceil(r·n_r/n_c) — the distribution-matching transform

@@ -116,6 +116,31 @@ class RelationalSpec extends SparkSpec {
     assert(again == got, "systematic sample must be deterministic")
   }
 
+  test("bootstrapSums: weights replay the pinned hash/CDF model, layout independence") {
+    // plain-Scala model of the weight chain — the spec-side oracle
+    def w(id: Long, rep: Long): Long = {
+      val h1 = (((id * 1000003L + rep) % 2147483648L) * 2654435761L) % 4294967296L
+      val u = (((h1 ^ (h1 / 65536L)) * 40503L) % 4294967296L) / 65536L
+      if (u < 24109L) 0L else if (u < 48218L) 1L else if (u < 60273L) 2L else 3L
+    }
+    val data = (1L to 200L).map(i => (i, i * 7L))
+    val df = data.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relational.bootstrapSums(d, col("id"), col("v"), 8)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val out = run(df)
+    assert(out.size == 8)
+    (0L until 8L).foreach { rep =>
+      val nEff = data.map { case (id, _) => w(id, rep) }.sum
+      val bSum = data.map { case (id, v) => w(id, rep) * v }.sum
+      assert(out(rep) == (nEff, bSum, 200L, data.map(_._2).sum))
+      // pseudo-Poisson(1): each replicate's mass sits near the corpus size
+      assert(nEff > 140L && nEff < 260L)
+    }
+    assert(run(df.repartition(5)) == out)
+  }
+
   test("encodingAdvisor: hand run counts, null runs count, layout independence") {
     // arrival order by o: c1 = a,a,b,b,a (3 runs); c2 = 1,1,1,null,null
     // (2 runs — null-safe equality makes the null tail ONE run)

@@ -123,6 +123,24 @@ class SourcesSpec extends SparkSpec {
     assert(Engine.readJson(spark, s"$dir/jw").orderBy("id").collect().length == 3)
   }
 
+  test("forgetRewrite: forgotten keys gone, survivors byte-identical, layout preserved") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_forget").toString
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+      .toDF("uid", "part", "v")
+    Engine.writeParquetPartitioned(df, s"$base/src", Seq("part"))
+    val out = Engine.forgetRewrite(spark, s"$base/src", s"$base/dst", "uid",
+      Seq(2L, 3L).toDF("uid"), Seq("part"))
+    val rows = out.select("uid", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", 10.0), (4L, "b", 40.0)))
+    // survivors keep the hive layout (both partition dirs still exist)
+    assert(new java.io.File(s"$base/dst/part=a").isDirectory)
+    assert(new java.io.File(s"$base/dst/part=b").isDirectory)
+    // the source store is untouched — rewrite never mutates in place
+    assert(spark.read.parquet(s"$base/src").count() == 4)
+  }
+
   test("readParquetMerged: additive schema evolution unions footers, old files pad NULL") {
     val dir = tmpDir("graft-evo")
     import spark.implicits._
