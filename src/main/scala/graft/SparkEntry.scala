@@ -2344,6 +2344,37 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q301_ohlc_bars" -> ((s, dir) =>
+      // canonical value-stream downsampling: hourly open/high/low/close
+      // per event type — open/close via min_by/max_by over the
+      // (ts, event_id) total order, ONE partial-agg pass, constant state
+      // per group (never a window over the events)
+      EventStreams.ohlcBars(t(s, dir, "events"), col("event_type"),
+          col("ts"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+        .selectCols(Seq(col("key"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n"), col("open"), col("close"), col("high"), col("low"),
+          col("sum_v")))
+        .sortBy(Seq(col("key"), col("bucket_us")))),
+
+    "q302_sliding_dau" -> ((s, dir) =>
+      // rolling 24 h distinct users at hourly steps: each event fans out
+      // to the 24 hour-aligned window starts covering it (horizon-bounded
+      // explode — never a per-window rescan), one distinct aggregate;
+      // the exact sliding metric, HLL-by-start being the sketch sibling
+      EventStreams.slidingDistinct(t(s, dir, "events"), col("user_id"),
+          col("ts"), windowHours = 24)
+        .sortBy(Seq(col("win_start_us")))),
+
+    "q303_churn_hazard" -> ((s, dir) =>
+      // life table without the unreplayable cumulative product: per
+      // lifetime day, users still observed (at_risk), uncensored users
+      // ending exactly there (churned), hazard in floor ppm; last-week
+      // actives are censored — at risk, never churned
+      EventStreams.churnHazard(t(s, dir, "events"), col("user_id"),
+          col("ts"), censorDays = 7)
+        .sortBy(Seq(col("lifetime")))),
+
     "q297_forget_rewrite" -> ((s, dir) => {
       // deletion compliance over a plain parquet lake: land events in a
       // partitioned store, purge every 10th user by anti-join rewrite
@@ -5700,6 +5731,62 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // open/close via ROW_NUMBER ends of the (ts, event_id) order — the
+    // window runs over DuckDB's side only; the engine uses min_by/max_by.
+    "q301_ohlc_bars" ->
+      """WITH ev AS (SELECT event_type AS key,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         r AS (SELECT key, bucket, v,
+             ROW_NUMBER() OVER (PARTITION BY key, bucket
+               ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY key, bucket
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM ev)
+         SELECT key, epoch_us(bucket) AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS open,
+           CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close,
+           CAST(MAX(v) AS BIGINT) AS high, CAST(MIN(v) AS BIGINT) AS low,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+         FROM r GROUP BY key, bucket ORDER BY key, bucket_us""",
+
+    // the same 24-start fan-out; empty starts absent on both sides.
+    "q302_sliding_dau" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h
+           FROM events),
+         x AS (SELECT user_id, h - k * 3600000000 AS win_start_us
+           FROM ev, LATERAL (SELECT unnest(range(0, 24)) AS k) u)
+         SELECT win_start_us, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM x GROUP BY win_start_us ORDER BY win_start_us""",
+
+    // lifetime histogram + suffix-sum at-risk; censored = active within
+    // 7 days of the corpus max day.
+    "q303_churn_hazard" ->
+      """WITH s AS (SELECT user_id,
+             MIN(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS fd,
+             MAX(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS ld
+           FROM events GROUP BY user_id),
+         m AS (SELECT MAX(ld) AS max_day FROM s),
+         mk AS (SELECT (ld - fd) // 86400000000 AS lifetime,
+             ld > m.max_day - 7 * 86400000000 AS censored
+           FROM s, m),
+         hist AS (SELECT lifetime, COUNT(*) AS n_ending,
+             SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS churned,
+             SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS censored_at
+           FROM mk GROUP BY lifetime),
+         a AS (SELECT lifetime,
+             CAST(SUM(n_ending) OVER (ORDER BY lifetime DESC) AS BIGINT) AS at_risk,
+             CAST(churned AS BIGINT) AS churned,
+             CAST(censored_at AS BIGINT) AS censored_at
+           FROM hist)
+         SELECT lifetime, at_risk, churned, censored_at,
+           CAST((churned * 1000000) // at_risk AS BIGINT) AS hazard_ppm
+         FROM a ORDER BY lifetime""",
+
     // survivors = everything but the forgotten users; n_forgotten = 0 is
     // replayed, not assumed.
     "q297_forget_rewrite" ->

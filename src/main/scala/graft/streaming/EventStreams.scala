@@ -1602,6 +1602,98 @@ object EventStreams {
       .withColumn("p_ppm", expr("(n * 1000000L) DIV from_total"))
   }
 
+  /** OHLC bars (open-high-low-close) per key and time bucket — the
+    * canonical downsampling of a value stream for dashboards and drift
+    * monitors: open/close are the FIRST/LAST value under the
+    * (ts, tieBreak) total order (min_by/max_by over a struct — never a
+    * window), high/low the extremes, n and the exact integer sum along
+    * for reaggregation. `value` must be integer-valued (pass micros).
+    *
+    * Scale shape: ONE partial-agg groupBy on (key, bucket); min_by/max_by
+    * carry a single (order, value) pair through the combiner — constant
+    * state per group.
+    */
+  def ohlcBars(events: DataFrame, key: Column, ts: Column, tieBreak: Column,
+      value: Column, bucket: String = "hour"): DataFrame = {
+    val ord = struct(ts.alias("t"), tieBreak.alias("tb"))
+    events
+      .groupBy(key.alias("key"), date_trunc(bucket, ts).alias("bucket"))
+      .agg(count(lit(1)).alias("n"),
+        min_by(value, ord).alias("open"),
+        max_by(value, ord).alias("close"),
+        max(value).alias("high"),
+        min(value).alias("low"),
+        sum(value).alias("sum_v"))
+  }
+
+  /** Sliding-window distinct users ("rolling 24 h DAU at hourly steps"):
+    * every event fans out to the `windowHours` hour-aligned window starts
+    * it falls inside, then one COUNT(DISTINCT user) per start — the
+    * sliding metric computed with a HORIZON-BOUNDED explode (×window
+    * fan-out) instead of a per-window rescan or any global window.
+    * Starts with zero events are absent by construction (the reached-set
+    * rule — at scale the empty grid is the big set, not the output).
+    *
+    * Scale shape: narrow ×windowHours explode in the scan, one
+    * (start, user) distinct aggregate. Fan-out is the window/step ratio —
+    * the standard cost of exact sliding distincts; HLL by start
+    * ([[graft.operators.Corpus.hllSketchGrouped]]) is the sketch sibling
+    * when windows are huge.
+    */
+  def slidingDistinct(events: DataFrame, user: Column, ts: Column,
+      windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1, got $windowHours")
+    val hourUs = 3600L * 1000000L
+    events
+      .select(user.alias("user_id"),
+        unix_micros(date_trunc("hour", ts)).alias("h"))
+      .select(col("user_id"), col("h"),
+        explode(sequence(lit(0), lit(windowHours - 1))).alias("k"))
+      .select(col("user_id"), (col("h") - col("k") * hourUs).alias("win_start_us"))
+      .groupBy(col("win_start_us"))
+      .agg(count_distinct(col("user_id")).alias("n_users"))
+  }
+
+  /** Discrete churn-hazard table (the Kaplan-Meier life table without the
+    * cumulative product — products of rationals don't replay, per-step
+    * hazards do): users are observed from their FIRST event day; lifetime
+    * = whole days between first and last event day. A user whose last
+    * activity sits within `censorDays` of the corpus's last day is
+    * CENSORED — still at risk through their observed lifetime, never
+    * counted churned (they may simply not have acted yet). Per lifetime
+    * day d: at_risk = users observed ≥ d days, churned = uncensored users
+    * whose lifetime is exactly d, hazard_ppm = churned·1e6 DIV at_risk.
+    *
+    * Scale shape: one per-user (min, max) partial agg, one
+    * lifetime-histogram groupBy (horizon-sized), a suffix-sum window over
+    * that TINY aggregate, a 1-row corpus-max broadcast.
+    */
+  def churnHazard(events: DataFrame, user: Column, ts: Column,
+      censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val spans = events
+      .groupBy(user.alias("user_id"))
+      .agg(min(unix_micros(date_trunc("day", ts))).alias("first_day"),
+        max(unix_micros(date_trunc("day", ts))).alias("last_day"))
+    val corpusMax = spans.agg(max(col("last_day")).alias("max_day"))
+    val marked = spans.crossJoin(broadcast(corpusMax))
+      .select(expr(s"(last_day - first_day) DIV ${dayUs}L").alias("lifetime"),
+        (col("last_day") > col("max_day") - censorDays * dayUs).alias("censored"))
+    val hist = marked.groupBy(col("lifetime"))
+      .agg(count(lit(1)).alias("n_ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).alias("churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).alias("censored_at"))
+    val wSuffix = Window.orderBy(col("lifetime").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("at_risk", sum(col("n_ending")).over(wSuffix))
+      .select(col("lifetime"), col("at_risk"), col("churned"),
+        col("censored_at"),
+        expr("(churned * 1000000L) DIV at_risk").alias("hazard_ppm"))
+  }
+
   /** Markov next-event baseline backtest: learn the per-state argmax
     * transition from a TRAIN split ([[transitionMatrix]]'s counts, ties
     * to the smaller state label), predict every consecutive TEST pair's

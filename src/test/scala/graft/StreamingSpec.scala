@@ -503,6 +503,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall(x => x._3 == 0.0 && !x._4))
   }
 
+  test("ohlcBars: open/close under the (ts, tie) total order, same-ts tie by id") {
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(("a", ts(0), 2L, 7L), ("a", ts(0), 1L, 5L), ("a", ts(30), 3L, 3L),
+      ("a", ts(70), 4L, 9L)).toDF("k", "ts", "eid", "v")
+    val out = EventStreams.ohlcBars(ev, col("k"), col("ts"), col("eid"), col("v"))
+      .collect().map(r => r.getTimestamp(1).getTime ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // hour 0: open = id1's 5 (same-ts tie), close = 3, high 7, low 3
+    assert(out(0L) == (3L, 5L, 3L, 7L, 3L, 15L))
+    assert(out(3600000L) == (1L, 9L, 9L, 9L, 9L, 9L))
+  }
+
+  test("slidingDistinct: events fan out to the covering starts, distinct per start") {
+    import org.apache.spark.sql.functions.col
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    val ev = Seq((1L, ts(5)), (1L, ts(5)), (2L, ts(6))).toDF("u", "ts")
+    val out = EventStreams.slidingDistinct(ev, col("u"), col("ts"), windowHours = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hourUs = 3600L * 1000000L
+    // u1@5 covers starts {4,5}; u2@6 covers {5,6}; duplicates collapse
+    assert(out == Map(4 * hourUs -> 1L, 5 * hourUs -> 2L, 6 * hourUs -> 1L))
+  }
+
+  test("churnHazard: suffix-sum at-risk, censored active never churns") {
+    import org.apache.spark.sql.functions.col
+    def d(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val ev = Seq((1L, d(0)), (1L, d(2)),   // lifetime 2, churned
+      (2L, d(0)),                           // lifetime 0, churned
+      (3L, d(9))                            // lifetime 0, active at corpus end -> censored
+    ).toDF("u", "ts")
+    val out = EventStreams.churnHazard(ev, col("u"), col("ts"), censorDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == (3L, 1L, 1L, 333333L))
+    assert(out(2L) == (1L, 1L, 0L, 1000000L))
+  }
+
   test("markovBacktest: argmax from train only, unseen from-state predicts NULL") {
     import org.apache.spark.sql.functions.col
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
