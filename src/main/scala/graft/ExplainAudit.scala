@@ -35,7 +35,11 @@ object ExplainAudit {
         // round-6 session cost leaders + new plan morphologies
         "q213_entity_resolution", "q222_ppjoin", "q256_video_motion",
         "q260_bloom_join", "q262_cbo_join_reorder", "q263_bitmap_distinct",
-        "q270_recursive_cte")
+        "q270_recursive_cte",
+        // round-6 additions: fingerprint pigeonhole on audio prints,
+        // anti-join purge rewrite, inverted-index sparse cosine
+        "q292_audio_fingerprint_neardup", "q297_forget_rewrite",
+        "q304_tfidf_cosine_pairs")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

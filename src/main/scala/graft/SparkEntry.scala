@@ -2344,6 +2344,38 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q304_tfidf_cosine_pairs" -> ((s, dir) => {
+      // lexical document-similarity join WITHOUT embeddings: bigram
+      // hashed-TF-IDF sparse vectors (q94's integer weights, scale 1000
+      // for the Σw² overflow contract) through the inverted-index cosine
+      // join — sqrt-free (dot²·1e6 vs t²·n2·n2 in DECIMAL), every pair
+      // exact. Pairs sharing no bucket never materialize; PPJoin (q222)
+      // is the prefix-filtered sibling for unweighted sets.
+      // even-doc subset: this corpus is ADVERSARIALLY dense for a sparse
+      // join (a ~930-bigram vocabulary shared by every doc — candidate
+      // mass Σ df² grows with corpus² on identical vocab); real corpora
+      // get sparser as they grow, this one doesn't. A third of the docs
+      // keeps the bench honest without changing any semantics.
+      val withBi = t(s, dir, "documents")
+        .filterCol(pmod(col("doc_id"), lit(3L)) === 0L)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .withColumn("__bi", expr(
+          """IF(size(__toks) < 2, array(),
+               transform(sequence(1, size(__toks) - 1),
+                 i -> concat(element_at(__toks, i), '_',
+                   element_at(__toks, i + 1))))"""))
+      // '_' joiner, not ' ': hashedTfIdf's portable hash is the rolling
+      // token fingerprint, which would TOKENIZE a space-joined bigram and
+      // fold two FNVs — the oracle hashes the joined string whole, and a
+      // single-token input makes the two identical
+      val vecs = Corpus.hashedTfIdf(withBi, col("doc_id"), col("__bi"),
+        dim = 4096, scale = 1000L, portable = true)
+      Dedup.sparseCosinePairs(
+          vecs.selectCols(Seq(col("id"), col("bucket"), col("weight"))),
+          thresholdThousandths = 300)
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q301_ohlc_bars" -> ((s, dir) =>
       // canonical value-stream downsampling: hourly open/high/low/close
       // per event type — open/close via min_by/max_by over the
@@ -5731,6 +5763,54 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q94's FNV/bucket/weight chain over BIGRAMS at dim 4096 scale 1000,
+    // then norms + inverted-index dot + the sqrt-free threshold
+    // (t = 0.3 -> t² = 90000 millionths).
+    "q304_tfidf_cosine_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         tok0 AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM docs),
+         bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> tk[i] || '_' || tk[i+1])) AS term
+           FROM tok0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM bi GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+         hv AS (
+           SELECT term,
+             list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(term, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211)
+                 % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM dfreq),
+         bk AS (
+           SELECT term, CAST(((((CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END) % 4096)
+                  + 4096) % 4096) AS BIGINT) AS bucket
+           FROM hv),
+         v AS (SELECT tf.doc_id AS id, bk.bucket,
+             CAST(sum((tf.tf * (nd.n_docs + 1) * 1000) // (dfreq.doc_freq + 1))
+               AS BIGINT) AS w
+           FROM tf JOIN dfreq USING (term) JOIN bk USING (term) CROSS JOIN nd
+           GROUP BY 1, 2),
+         n2 AS (SELECT id, SUM(CAST(w AS HUGEINT) * w) AS n2 FROM v GROUP BY id),
+         d AS (SELECT a.id AS id_a, b.id AS id_b,
+             SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+           FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+           GROUP BY 1, 2),
+         f AS (SELECT d.id_a, d.id_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+           FROM d JOIN n2 na ON d.id_a = na.id JOIN n2 nb ON d.id_b = nb.id
+           WHERE d.dot > 0
+             AND d.dot * d.dot * 1000000 >= na.n2 * nb.n2 * 90000)
+         SELECT id_a, id_b,
+           CAST((dot * dot * 1000000) // (n2_a * n2_b) AS BIGINT) AS cos2_ppm,
+           CAST(dot AS BIGINT) AS dot, CAST(n2_a AS BIGINT) AS n2_a,
+           CAST(n2_b AS BIGINT) AS n2_b
+         FROM f ORDER BY id_a, id_b""",
+
     // open/close via ROW_NUMBER ends of the (ts, event_id) order — the
     // window runs over DuckDB's side only; the engine uses min_by/max_by.
     "q301_ohlc_bars" ->

@@ -339,6 +339,64 @@ object Dedup {
     pairs
   }
 
+  /** Exact sparse-vector cosine pairs over an inverted index: input is a
+    * sparse matrix (id, bucket, w) — [[graft.operators.Corpus.hashedTfIdf]]
+    * rows, integer weights — and output is every i<j pair whose cosine
+    * meets `thresholdThousandths`/1000, WITHOUT any square root: cos ≥ t
+    * over non-negative dots ⟺ dot²·10⁶ ≥ t²·‖a‖²·‖b‖², all integer
+    * (DECIMAL(38,0) products), so the TF-IDF document-similarity join
+    * replays bit-for-bit. The lexical sibling of [[embeddingCosinePairs]]
+    * — but LINEAR in shared-bucket co-occurrence instead of quadratic:
+    * pairs sharing no bucket never materialize.
+    *
+    * Returns (id_a, id_b, dot, n2_a, n2_b, cos2_ppm) with cos2_ppm =
+    * floor(dot²·10⁶ / (n2_a·n2_b)) — the SQUARED cosine in ppm (monotone
+    * in cosine on the dot>0 branch, so thresholds and rankings agree).
+    *
+    * `maxBucket` caps hub buckets (the stop-word bucket every doc hits
+    * would contribute |bucket|² candidates); dropped buckets lose their
+    * dot contribution, so leave the default unless a profile
+    * ([[graft.operators.Graph.degreeStats]] on the bucket graph) shows
+    * degenerate hubs — with IDF weighting those buckets carry the least
+    * signal. Overflow contract: per-doc Σw² and any dot must stay below
+    * 2⁶³ (the norm/dot accumulators are LONGS — whole-stage-codegen'd
+    * hash aggregates, measured ~3x over DECIMAL sums on the 73M-candidate
+    * bench corpus); only the final dot²·10⁶ product goes through
+    * DECIMAL(38,0), bounding dot at ~10¹⁵. Pick hashedTfIdf's `scale`
+    * accordingly.
+    *
+    * Scale shape: one norm groupBy, one bucket-keyed self equi-join, one
+    * pair partial agg, two norm lookup joins. The prefix-filtered exact
+    * form at high thresholds is [[ppJoinPairs]]; this one handles
+    * arbitrary integer weights.
+    */
+  def sparseCosinePairs(vecs: DataFrame, thresholdThousandths: Int,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(thresholdThousandths >= 1 && thresholdThousandths <= 1000,
+      s"thresholdThousandths must be in [1, 1000], got $thresholdThousandths")
+    val v = vecs.toDF("id", "bucket", "w")
+      .select(col("id"), col("bucket"), col("w").cast("long").alias("w"))
+    val n2 = v.groupBy("id").agg(sum(col("w") * col("w")).alias("n2"))
+    val bucketSizes = v.groupBy("bucket").count()
+    val kept = v.join(bucketSizes.filter(col("count") <= maxBucket)
+      .select("bucket"), Seq("bucket"))
+    val t2 = thresholdThousandths.toLong * thresholdThousandths
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).alias("dot"))
+      .join(n2.select(col("id").alias("id_a"), col("n2").alias("n2_a")), Seq("id_a"))
+      .join(n2.select(col("id").alias("id_b"), col("n2").alias("n2_b")), Seq("id_b"))
+      .filter(col("dot") > 0 &&
+        expr("CAST(dot AS DECIMAL(38,0)) * dot * 1000000 >= " +
+          s"CAST(n2_a AS DECIMAL(38,0)) * n2_b * ${t2}L"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) DIV " +
+          "(CAST(n2_a AS DECIMAL(38,0)) * n2_b) AS BIGINT)").alias("cos2_ppm"),
+        col("dot"), col("n2_a"), col("n2_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs
     * with cosine >= threshold. Quadratic AND broadcasts the whole corpus —
     * correct tool only for verifying or for corpora small enough to

@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("sparseCosinePairs: hand cosine threshold, no-shared-bucket absence, hub cap") {
+    // a = {b0: 3, b1: 4} (n2 25), b = {b0: 3} (n2 9), c = {b2: 5}
+    val v = Seq((1L, 0L, 3L), (1L, 1L, 4L), (2L, 0L, 3L), (3L, 2L, 5L))
+      .toDF("id", "bucket", "w")
+    // cos(a, b) = 9/15 = 0.6 -> cos² = 360000 ppm; kept at t = 0.5
+    val out = Dedup.sparseCosinePairs(v, thresholdThousandths = 500).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4), out(0).getLong(5)) ==
+      (1L, 2L, 360000L, 9L, 25L, 9L))
+    // t = 0.7 excludes it; c never materializes (no shared bucket)
+    assert(Dedup.sparseCosinePairs(v, 700).count() == 0)
+    // hub cap: bucket 0 holds both docs; cap 1 drops it -> no pairs
+    assert(Dedup.sparseCosinePairs(v, 500, maxBucket = 1).count() == 0)
+  }
+
   test("embedding cosine pairs: brute force and sign-LSH find planted near-dup vectors") {
     val dims = 16
     val v1 = Array.tabulate(dims)(i => math.sin(i + 1).toFloat)
