@@ -2344,6 +2344,46 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q305_jl_projection" -> ((s, dir) => {
+      // RNG-free Johnson-Lindenstrauss: 64-dim embeddings -> int8 codes
+      // (q76's codec) -> 16-dim ±1 sign projection with the sign matrix a
+      // pure function of (i, j) — every output an exact integer, the
+      // cheap pre-filter in front of exact re-rank. No shuffle at all.
+      val q = t(s, dir, "embeddings")
+        .selectCols(Seq(col("vec_id"),
+          graft.plans.VectorExprs.quantizeInt8(col("embedding"))
+            .getField("q").as("codes")))
+      Similarity.jlProjectCodes(q, col("vec_id"), col("codes"), outDim = 16)
+        .selectCols(Seq(col("id").as("vec_id"), col("j"), col("y")))
+        .sortBy(Seq(col("vec_id"), col("j")))
+    }),
+
+    "q306_profile_drift" -> ((s, dir) => {
+      // the dataset-card diff per refresh: q187's derived v2 (every 11th
+      // doc dropped, every remaining 7th edited, one added per 13th with
+      // a NEW source) profiled against v1 — row/null/distinct deltas and
+      // min/max excursions per column; the schema-level companion of the
+      // row-level corpusDiff. Two single-pass profiles + a columns-sized
+      // join.
+      val v1 = t(s, dir, "documents")
+      val edited = v1.filterCol(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2-edit"))).otherwise(col("text")))
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            length(col("text")).cast("long")).otherwise(col("n_chars")))
+      val v2 = edited.unionByName(
+        v1.filterCol(pmod(col("doc_id"), lit(13)) === 0)
+          .selectCols(Seq((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text"),
+            lit("xx").as("lang"), lit("new-src").as("source"),
+            length(concat(lit("new doc "), col("doc_id"))).cast("long")
+              .as("n_chars"))))
+      Validation.profileDrift(v1, v2, Seq("text", "lang", "source", "n_chars"))
+        .sortBy(Seq(col("column")))
+    }),
+
     "q304_tfidf_cosine_pairs" -> ((s, dir) => {
       // lexical document-similarity join WITHOUT embeddings: bigram
       // hashed-TF-IDF sparse vectors (q94's integer weights, scale 1000
@@ -5763,6 +5803,94 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q76's quantize replay feeding the same (i, j) sign-mix; list_sum
+    // over 0-based range indices.
+    "q305_jl_projection" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (
+           SELECT vec_id, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+           FROM e),
+         q AS (
+           SELECT vec_id,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+               ELSE CAST(least(greatest(floor((x - mn) / scale + 0.5), 0), 255)
+                 AS BIGINT) END) AS qs
+           FROM p),
+         proj AS (
+           SELECT vec_id, jj.j AS j,
+             CAST(list_sum(list_transform(range(0, len(qs)), i ->
+               qs[i + 1] * (1 - 2 * ((((xor(
+                 (((i * 16 + jj.j) * 1000003 % 2147483648) * 2654435761) % 4294967296,
+                 ((((i * 16 + jj.j) * 1000003 % 2147483648) * 2654435761) % 4294967296)
+                   // 65536) * 40503) % 4294967296) // 65536) % 2))))
+               AS BIGINT) AS y
+           FROM q, LATERAL (SELECT unnest(range(0, 16)) AS j) jj)
+         SELECT vec_id, CAST(j AS BIGINT) AS j, y FROM proj
+         ORDER BY vec_id, j""",
+
+    // v2 derived as in q187 (plus a NEW source and recomputed n_chars on
+    // edits); per-column stats replayed as UNION ALL rows, deltas v2-v1.
+    "q306_profile_drift" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2-edit' ELSE text END AS text,
+             lang, source,
+             CASE WHEN doc_id % 7 = 0
+               THEN CAST(len(text || ' v2-edit') AS BIGINT) ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR),
+             'xx', 'new-src',
+             CAST(len('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+           FROM documents WHERE doc_id % 13 = 0),
+         p1 AS (
+           SELECT 'text' AS col_id, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS nd1,
+             CAST(MIN(text) AS VARCHAR) AS mn1, CAST(MAX(text) AS VARCHAR) AS mx1
+           FROM documents
+           UNION ALL SELECT 'lang', COUNT(*),
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+           FROM documents
+           UNION ALL SELECT 'source', COUNT(*),
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+           FROM documents
+           UNION ALL SELECT 'n_chars', COUNT(*),
+             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+           FROM documents),
+         p2 AS (
+           SELECT 'text' AS col_id, CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS nd2,
+             CAST(MIN(text) AS VARCHAR) AS mn2, CAST(MAX(text) AS VARCHAR) AS mx2
+           FROM v2
+           UNION ALL SELECT 'lang', COUNT(*),
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+           FROM v2
+           UNION ALL SELECT 'source', COUNT(*),
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+           FROM v2
+           UNION ALL SELECT 'n_chars', COUNT(*),
+             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+           FROM v2)
+         SELECT p1.col_id AS column, CAST(p1.n1 AS BIGINT) AS n_rows_v1,
+           CAST(p2.n2 AS BIGINT) AS n_rows_v2,
+           CAST(p2.n2 - p1.n1 AS BIGINT) AS rows_delta,
+           CAST(p2.nn2 - p1.nn1 AS BIGINT) AS nulls_delta,
+           CAST(p2.nd2 - p1.nd1 AS BIGINT) AS distinct_delta,
+           p1.mn1 IS DISTINCT FROM p2.mn2 AS min_moved,
+           p1.mx1 IS DISTINCT FROM p2.mx2 AS max_moved
+         FROM p1 JOIN p2 USING (col_id) ORDER BY p1.col_id""",
+
     // q94's FNV/bucket/weight chain over BIGRAMS at dim 4096 scale 1000,
     // then norms + inverted-index dot + the sqrt-free threshold
     // (t = 0.3 -> t² = 90000 millionths).

@@ -774,4 +774,44 @@ object Similarity {
         (-col("n.score")).alias("adist"),
         (col("pos") + 1).cast("long").alias("rank"))
   }
+
+  /** Johnson-Lindenstrauss ±1 sign projection over INTEGER codes
+    * (Achlioptas's database-friendly random projection, RNG-free): output
+    * dimension j is
+    *
+    *   y_j = Σ_i code_i · s(i, j),   s = ±1 from one bit of the
+    *                                 multiply→xor-shift→multiply mix
+    *
+    * — dimensionality reduction whose every output is an EXACT integer,
+    * because the input is the int8 code array of [[graft.plans.VectorExprs.QuantizeInt8]]
+    * (the dequantized float path would be IEEE-order-dependent; the code
+    * path replays bit-for-bit). Distances contract by the JL guarantee in
+    * expectation; use as the cheap pre-filter stage in front of an exact
+    * re-rank, or as compact ANN keys (4-16x fewer dimensions before
+    * sign-LSH). The sign matrix is a pure FUNCTION of (i, j) — nothing is
+    * stored, any engine regenerates it.
+    *
+    * Returns (id, j, y) exploded rows — the shape both a downstream
+    * reassembly and a value-level oracle consume.
+    *
+    * Scale shape: narrow per-row HOF (outDim · inDim multiply-adds),
+    * ×outDim explode; no shuffle at all.
+    */
+  def jlProjectCodes(df: DataFrame, id: Column, codes: Column,
+      outDim: Int): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, s"outDim must be in [1, 4096], got $outDim")
+    // s(i, j) from the xor-mix bit; h1 is inlined twice (SQL lambdas have
+    // no lets) — the optimizer CSEs it
+    val x = s"(CAST(i AS BIGINT) * ${outDim}L + j)"
+    val h1 = s"((($x * 1000003L) % 2147483648L) * 2654435761L % 4294967296L)"
+    val h2 = s"((($h1 ^ ($h1 DIV 65536L)) * 40503L) % 4294967296L)"
+    val sign = s"(1L - 2L * (($h2 DIV 65536L) % 2L))"
+    df.select(id.alias("id"), codes.alias("__codes"))
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, ${outDim - 1}), j ->
+              aggregate(sequence(0, size(__codes) - 1), 0L, (acc, i) ->
+                acc + element_at(__codes, i + 1) * $sign))"""))
+        .as(Seq("j", "y")))
+      .select(col("id"), col("j").cast("long").alias("j"), col("y"))
+  }
 }

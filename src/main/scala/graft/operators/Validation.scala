@@ -358,6 +358,33 @@ object Validation {
         col("min_str"), col("max_str"))
   }
 
+  /** Column-profile drift between two dataset versions — the dataset-card
+    * diff a versioned lake publishes per refresh: [[profileColumns]] runs
+    * on both versions and joins per column, reporting row/null/distinct
+    * deltas and whether the min/max strings moved. The SCHEMA-level
+    * companion of [[graft.operators.Corpus.corpusDiff]] (that one
+    * classifies ROWS); a distinct-count collapse or a min/max excursion
+    * here flags an upstream change BEFORE any row-level investigation.
+    * Deltas are v2 − v1, exact integers.
+    *
+    * Scale shape: two single-pass profile aggregates + one
+    * columns-sized join — cost is two scans regardless of width.
+    */
+  def profileDrift(v1: DataFrame, v2: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val p1 = profileColumns(v1, cols).toDF(
+      "column", "n_rows_v1", "n_nulls_v1", "n_distinct_v1", "min_v1", "max_v1")
+    val p2 = profileColumns(v2, cols).toDF(
+      "column", "n_rows_v2", "n_nulls_v2", "n_distinct_v2", "min_v2", "max_v2")
+    p1.join(p2, Seq("column"))
+      .select(col("column"), col("n_rows_v1"), col("n_rows_v2"),
+        (col("n_rows_v2") - col("n_rows_v1")).alias("rows_delta"),
+        (col("n_nulls_v2") - col("n_nulls_v1")).alias("nulls_delta"),
+        (col("n_distinct_v2") - col("n_distinct_v1")).alias("distinct_delta"),
+        (!(col("min_v1") <=> col("min_v2"))).alias("min_moved"),
+        (!(col("max_v1") <=> col("max_v2"))).alias("max_moved"))
+  }
+
   /** Exact ROC AUC of an integer score against a boolean label — the
     * Mann-Whitney U statistic computed from rank sums, ties handled by the
     * standard half-credit rule: AUC = (Σ_pos neg_below + ½·neg_equal) /

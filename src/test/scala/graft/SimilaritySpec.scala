@@ -374,6 +374,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("jlProjectCodes: outputs replay the sign-mix model exactly") {
+    import graft.operators.Similarity
+    // plain-Scala model of s(i, j) — the spec-side oracle
+    def sign(i: Long, j: Long, outDim: Long): Long = {
+      val x = i * outDim + j
+      val h1 = ((x * 1000003L) % 2147483648L) * 2654435761L % 4294967296L
+      val h2 = ((h1 ^ (h1 / 65536L)) * 40503L) % 4294967296L
+      1L - 2L * ((h2 / 65536L) % 2L)
+    }
+    val codes = Array(7, 11, 255, 0, 42)
+    val df = Seq((1L, codes.toSeq)).toDF("id", "codes")
+    val out = Similarity.jlProjectCodes(df, col("id"), col("codes"), outDim = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (0L until 4L).foreach { j =>
+      val expect = codes.indices.map(i => codes(i) * sign(i, j, 4)).sum
+      assert(out(j) == expect, s"dim $j")
+    }
+    // the sign matrix is balanced enough that projections differ by dim
+    assert(out.values.toSet.size > 1)
+  }
+
   test("native expressions are reachable from the SQL surface via register") {
     graft.plans.VectorExprs.register(spark)
     Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vecs")

@@ -347,6 +347,18 @@ class ValidationSpec extends SparkSpec {
     assert(b.isNullAt(8) && b.isNullAt(10))
   }
 
+  test("profileDrift: deltas and min/max movement flags per column") {
+    val v1 = Seq((1L, Option("a")), (2L, Option("b")), (3L, None))
+      .toDF("id", "s")
+    // v2: one row fewer, nulls gone, a new max value
+    val v2 = Seq((1L, Option("a")), (2L, Option("z"))).toDF("id", "s")
+    val out = Validation.profileDrift(v1, v2, Seq("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    // rows -1, nulls -1, distinct 0 (a,b -> a,z), min same 'a', max b -> z
+    assert(out("s") == (-1L, -1L, 0L, false, true))
+  }
+
   test("adjustedRandIndex: textbook pair counts and the fixed points") {
     // A = [1,1,1,2,2], B = [1,1,2,2,2]: contingency {(1,1):2,(1,2):1,
     // (2,2):2} -> S=2, A2=4, B2=4, N2=10 -> ARI = 2(20-16)/(80-32) = 1/6
