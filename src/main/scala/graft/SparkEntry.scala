@@ -2344,6 +2344,94 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q307_sliding_dau_hll" -> ((s, dir) => {
+      // q302's rolling 24 h distinct users through SKETCHES — the scale
+      // path its Scaladoc promises: per-hour HLL register vectors (2^6
+      // longs each), each hour's registers fanned to its 24 covering
+      // window starts, merged by element-wise max (the HLL union law —
+      // raw user ids never enter the window fan-out), per-window scaled
+      // harmonic sum EXACT in a long; q302's exact count rides along as
+      // the instrument. Registers + sums hash-match; only the final
+      // alpha/s double is approximate BY NATURE and stays out.
+      val ev = t(s, dir, "events")
+      val hourly = Corpus.hllSketchGrouped(
+        ev.selectCols(Seq(unix_micros(date_trunc("hour", col("ts"))).as("h"),
+          col("user_id").cast("string").as("u"))),
+        col("h"), col("u"), b = 6)
+      val merged = hourly
+        .selectCols(Seq(col("group").as("h"), col("bucket"), col("register"),
+          explode(sequence(lit(0), lit(23))).as("k")))
+        .selectCols(Seq((col("h") - col("k") * (3600L * 1000000L)).as("win_start_us"),
+          col("bucket"), col("register")))
+        .groupBy(col("win_start_us"), col("bucket"))
+        .agg(max(col("register")).as("register"))
+      // b = 6 -> sum scale 56 (the q191 constant)
+      val sums = merged.groupBy(col("win_start_us"))
+        .agg(sum(expr(
+          "CAST(CASE WHEN register <= 56 THEN shiftleft(1L, 56 - register) ELSE 0L END AS BIGINT)"))
+          .as("s_scaled"))
+      val exact = EventStreams.slidingDistinct(ev, col("user_id"), col("ts"),
+        windowHours = 24).withColumnRenamed("n_users", "n_exact")
+      merged.join(sums, Seq("win_start_us")).join(exact, Seq("win_start_us"))
+        .selectCols(Seq(col("win_start_us"), col("bucket"), col("register"),
+          col("s_scaled"), col("n_exact")))
+        .sortBy(Seq(col("win_start_us"), col("bucket")))
+    }),
+
+    "q308_ohlc_stream" -> ((s, dir) => {
+      // q301's candle chart running MID-INGEST: the same per-(type, hour)
+      // OHLC aggregate in complete mode — min_by/max_by state is one
+      // (order, value) pair per group; the oracle is the batch SQL
+      // verbatim (stream == batch is the claim)
+      val staged = java.nio.file.Files.createTempDirectory("graft_q308")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val qn = s"graft_q308_${java.util.UUID.randomUUID().toString.replace('-', '_')}"
+      try {
+        EventStreams.runOhlcStreamSmoke(s, staged.toString, qn,
+            "event_type", "event_id",
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .selectCols(Seq(col("key"), unix_micros(col("bucket")).as("bucket_us"),
+            col("n"), col("open"), col("close"), col("high"), col("low"),
+            col("sum_v")))
+          .sortBy(Seq(col("key"), col("bucket_us")))
+      } finally {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+
+    "q309_blocking_eval" -> ((s, dir) => {
+      // dedup-pipeline evaluation as a driver fact: the linear
+      // sorted-neighborhood blocker (q208) scored against exact trigram
+      // Jaccard >= 0.5 ground truth (q34's instrument) — TP counts,
+      // precision and recall in floor ppm. The number that justifies (or
+      // indicts) a blocking configuration BEFORE it gates a 100 TB dedup.
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          ngram = 3, threshold = 0.5)
+        .selectCols(Seq(col("id_a"), col("id_b")))
+      // q213's similarity-preserving 3-token-PREFIX key — a whole-doc
+      // fingerprint would scatter near-dups (one changed token flips the
+      // rolling hash; measured recall 0 on this corpus), the prefix key
+      // blocks them together
+      val cand = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"),
+          TextFns.fingerprint(
+            array_join(slice(TextFns.tokens(col("text")), 1, 3), " "),
+            portable = true), w = 8)
+        .selectCols(Seq(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")))
+        .distinct()
+      val tp = truth.join(cand, Seq("id_a", "id_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .selectExpr("n_truth", "n_cand", "n_tp",
+          "CASE WHEN n_cand = 0 THEN NULL ELSE (n_tp * 1000000L) DIV n_cand END AS precision_ppm",
+          "CASE WHEN n_truth = 0 THEN NULL ELSE (n_tp * 1000000L) DIV n_truth END AS recall_ppm")
+    }),
+
     "q305_jl_projection" -> ((s, dir) => {
       // RNG-free Johnson-Lindenstrauss: 64-dim embeddings -> int8 codes
       // (q76's codec) -> 16-dim ±1 sign projection with the sign matrix a
@@ -5803,6 +5891,136 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q191's FNV/rho chain per (hour, bucket), window fan-out, register
+    // max, per-window harmonic sum at scale 56; exact distinct rides.
+    "q307_sliding_dau_hll" ->
+      """WITH ev AS (SELECT
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h,
+             CAST(user_id AS VARCHAR) AS s
+           FROM events),
+         hs AS (SELECT DISTINCT h, s FROM ev),
+         uh AS (SELECT h, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211)
+               % CAST('18446744073709551616' AS HUGEINT)) AS u
+           FROM hs),
+         rr AS (SELECT h, CAST(u % 64 AS BIGINT) AS bucket,
+             CASE WHEN u // 64 = 0 THEN 59
+               ELSE bit_count(((u // 64) & -(u // 64)) - 1) + 1 END AS rho
+           FROM uh),
+         hourly AS (SELECT h, bucket, MAX(rho) AS register
+           FROM rr GROUP BY h, bucket),
+         fan AS (SELECT h - k.k * 3600000000 AS win_start_us, bucket, register
+           FROM hourly, LATERAL (SELECT unnest(range(0, 24)) AS k) k),
+         sparse AS (SELECT win_start_us, bucket, MAX(register) AS register
+           FROM fan GROUP BY 1, 2),
+         wins AS (SELECT DISTINCT win_start_us FROM fan),
+         spine AS (SELECT w.win_start_us, b.bucket
+           FROM wins w, LATERAL (SELECT unnest(range(0, 64)) AS bucket) b),
+         filled AS (SELECT sp.win_start_us, sp.bucket,
+             CAST(COALESCE(s.register, 0) AS BIGINT) AS register
+           FROM spine sp LEFT JOIN sparse s
+             ON sp.win_start_us = s.win_start_us AND sp.bucket = s.bucket),
+         summ AS (SELECT win_start_us,
+             CAST(SUM(CASE WHEN register <= 56
+               THEN CAST(1 AS BIGINT) << (56 - register) ELSE 0 END) AS BIGINT) AS s_scaled
+           FROM filled GROUP BY win_start_us),
+         ex AS (SELECT win_start_us,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM (SELECT user_id,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) - k.k * 3600000000
+                 AS win_start_us
+             FROM events, LATERAL (SELECT unnest(range(0, 24)) AS k) k)
+           GROUP BY win_start_us)
+         SELECT f.win_start_us, CAST(f.bucket AS BIGINT) AS bucket, f.register,
+           summ.s_scaled, ex.n_exact
+         FROM filled f JOIN summ USING (win_start_us) JOIN ex USING (win_start_us)
+         ORDER BY win_start_us, bucket""",
+
+    // stream == batch: q301's oracle verbatim.
+    "q308_ohlc_stream" ->
+      """WITH ev AS (SELECT event_type AS key,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         r AS (SELECT key, bucket, v,
+             ROW_NUMBER() OVER (PARTITION BY key, bucket
+               ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY key, bucket
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM ev)
+         SELECT key, epoch_us(bucket) AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS open,
+           CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close,
+           CAST(MAX(v) AS BIGINT) AS high, CAST(MIN(v) AS BIGINT) AS low,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+         FROM r GROUP BY key, bucket ORDER BY key, bucket_us""",
+
+    // truth = q34's trigram-Jaccard chain at 0.5; candidates = q208's
+    // rank-window pairs canonicalized; counts + floor-ppm scores.
+    "q309_blocking_eval" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         truth AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+         hsf AS (
+           SELECT doc_id, list_transform(toks[1:3], tok ->
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211)
+                 % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+           FROM t),
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), hlist),
+               (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
+                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
+           FROM hsf),
+         k AS (
+           SELECT doc_id,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS k
+           FROM fp),
+         r AS (SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM k),
+         cand AS (
+           SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+           FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7),
+         tp AS (SELECT t2.id_a FROM truth t2 JOIN cand
+           ON t2.id_a = cand.id_a AND t2.id_b = cand.id_b),
+         c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tp FROM tp)
+         SELECT c1.n_truth, c2.n_cand, c3.n_tp,
+           CAST(CASE WHEN c2.n_cand = 0 THEN NULL
+             ELSE (c3.n_tp * 1000000) // c2.n_cand END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN c1.n_truth = 0 THEN NULL
+             ELSE (c3.n_tp * 1000000) // c1.n_truth END AS BIGINT) AS recall_ppm
+         FROM c1, c2, c3""",
+
     // q76's quantize replay feeding the same (i, j) sign-mix; list_sum
     // over 0-based range indices.
     "q305_jl_projection" ->

@@ -727,6 +727,40 @@ object EventStreams {
     Corpus.hllFinalize(sparse, ne, b)
   }
 
+  /** TRUE-streaming OHLC bars: [[ohlcBars]]'s per-(key, hour) aggregate
+    * as a complete-mode streaming aggregation — min_by/max_by carry one
+    * (order, value) pair of state per group, so the dashboard's candle
+    * chart updates mid-ingest with exactly the batch semantics (the
+    * stream == batch contract of the HLL/Benford smokes; the oracle is
+    * the batch SQL verbatim).
+    */
+  def runOhlcStreamSmoke(spark: SparkSession, parquetPath: String,
+      queryName: String, keyCol: String, tieCol: String,
+      valueExpr: String): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val raw = normalizeTs(schema,
+      spark.readStream.schema(schema).parquet(parquetPath))
+    val ord = struct(col("ts").alias("t"), col(tieCol).alias("tb"))
+    val v = expr(valueExpr)
+    val q = raw
+      .groupBy(col(keyCol).alias("key"), date_trunc("hour", col("ts")).alias("bucket"))
+      .agg(count(lit(1)).alias("n"),
+        min_by(v, ord).alias("open"), max_by(v, ord).alias("close"),
+        max(v).alias("high"), min(v).alias("low"), sum(v).alias("sum_v"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table(queryName)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
   /** TRUE-streaming Benford gate: the leading-digit counts of a positive
     * numeric expression as a complete-mode streaming aggregation (9 longs
     * of state for any stream length), drained and decorated through the

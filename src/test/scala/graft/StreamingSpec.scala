@@ -503,6 +503,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall(x => x._3 == 0.0 && !x._4))
   }
 
+  test("runOhlcStreamSmoke: streamed bars equal the batch aggregate row for row") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    try {
+      val vexpr = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      val streamed = EventStreams.runOhlcStreamSmoke(spark, dir,
+          "graft_ohlc_stream_test", "event_type", "event_id", vexpr)
+        .orderBy("key", "bucket").collect().toSeq
+      val batch = EventStreams.ohlcBars(loadBatch, col("event_type"),
+          col("ts"), col("event_id"), expr(vexpr))
+        .orderBy("key", "bucket").collect().toSeq
+      assert(streamed == batch)
+    } finally {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "events.parquet"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("ohlcBars: open/close under the (ts, tie) total order, same-ts tie by id") {
     import org.apache.spark.sql.functions.col
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
