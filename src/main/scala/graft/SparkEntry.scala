@@ -2344,6 +2344,51 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q310_bootstrap_grouped" -> ((s, dir) =>
+      // q298's deterministic Poisson bootstrap PER SEGMENT: 16 replicate
+      // revenue sums per event type from one corpus scan — the
+      // per-segment error bar; same pinned hash and CDF cuts
+      Relational.bootstrapSumsGrouped(t(s, dir, "events"), col("event_type"),
+          col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"),
+          replicates = 16)
+        .withColumnRenamed("g", "event_type")
+        .sortBy(Seq(col("event_type"), col("rep")))),
+
+    "q311_lateness_profile" -> ((s, dir) => {
+      // watermark-delay measurement: the testdata feed is perfectly
+      // ordered, so simulate a realistic ingest by jittering each event's
+      // ARRIVAL ±1 h with the pinned xor-mix hash (deterministic — both
+      // engines replay the same feed), then profile event-time disorder:
+      // lateness vs the running event-time max, worst case, and the exact
+      // lower p95 — "set withWatermark to p95 and you drop <= 5%".
+      val ev = t(s, dir, "events")
+        .withColumn("__tus", unix_micros(col("ts")))
+        .withColumn("__h1", expr(
+          "((((event_id * 1000003L) % 2147483648L) * 2654435761L) % 4294967296L)"))
+        .withColumn("__u", expr(
+          "(((__h1 ^ (__h1 DIV 65536L)) * 40503L) % 4294967296L) DIV 65536L"))
+        // unique arrival key: jittered micros, event_id breaking ties
+        .withColumn("__arrival",
+          expr("(__tus + __u * 109863L - 3600000000L) * 1000L + event_id % 1000L"))
+      EventStreams.latenessProfile(ev, col("event_type"), col("__arrival"),
+          col("ts"))
+        .sortBy(Seq(col("key")))
+    }),
+
+    "q312_vocab_drift" -> ((s, dir) =>
+      // which WORDS moved between corpus halves: q195's categorical-drift
+      // machinery over exploded tokens — per-term shares, diffs, TVD; the
+      // vocabulary-drift read before retraining a tokenizer or trusting a
+      // frequency-sensitive filter on a new crawl
+      Validation.categoricalDrift(
+          t(s, dir, "documents").filterCol(pmod(col("doc_id"), lit(2)) === 0)
+            .selectCols(Seq(explode(TextFns.tokens(col("text"))).as("term"))),
+          t(s, dir, "documents").filterCol(pmod(col("doc_id"), lit(2)) === 1)
+            .selectCols(Seq(explode(TextFns.tokens(col("text"))).as("term"))),
+          col("term"))
+        .sortBy(Seq(col("category")))),
+
     "q307_sliding_dau_hll" -> ((s, dir) => {
       // q302's rolling 24 h distinct users through SKETCHES — the scale
       // path its Scaladoc promises: per-hour HLL register vectors (2^6
@@ -5891,6 +5936,101 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q298's weight chain with GROUP BY (event_type, rep); totals per
+    // group ride every row.
+    "q310_bootstrap_grouped" ->
+      """WITH ev AS (SELECT event_type AS g, event_id AS id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS total_sum FROM ev GROUP BY g),
+         r AS (SELECT g, id, v, rep
+           FROM ev, LATERAL (SELECT unnest(range(0, 16)) AS rep) u),
+         h AS (SELECT g, rep, v,
+             ((((id * 1000003 + rep) % 2147483648) * 2654435761)
+               % 4294967296) AS h1 FROM r),
+         w AS (SELECT g, rep, v,
+             CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+               WHEN u < 60273 THEN 2 ELSE 3 END AS w
+           FROM (SELECT g, rep, v,
+               (((xor(h1, h1 // 65536)) * 40503) % 4294967296) // 65536 AS u
+             FROM h))
+         SELECT w.g AS event_type, CAST(rep AS BIGINT) AS rep,
+           CAST(SUM(w.w) AS BIGINT) AS n_eff,
+           CAST(SUM(w.w * w.v) AS BIGINT) AS boot_sum, t.n, t.total_sum
+         FROM w JOIN t ON w.g = t.g
+         GROUP BY w.g, rep, t.n, t.total_sum
+         ORDER BY event_type, rep""",
+
+    // jittered arrival replayed with the same hash; running event-time
+    // max over the arrival order; p95 = lower weighted quantile with
+    // weight 1 (cum·1e6 >= n·950000 over distinct lateness values).
+    "q311_lateness_profile" ->
+      """WITH ev AS (SELECT event_type AS k, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+           FROM events),
+         h AS (SELECT k, event_id, tus,
+             ((((event_id * 1000003) % 2147483648) * 2654435761)
+               % 4294967296) AS h1 FROM ev),
+         a AS (SELECT k, tus,
+             (tus + ((((xor(h1, h1 // 65536)) * 40503) % 4294967296) // 65536)
+               * 109863 - 3600000000) * 1000 + event_id % 1000 AS arrival
+           FROM h),
+         late AS (SELECT k,
+             GREATEST(COALESCE(MAX(tus) OVER (PARTITION BY k ORDER BY arrival
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tus, 0), 0) AS late
+           FROM a),
+         summary AS (SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(MAX(late) AS BIGINT) AS max_late_us
+           FROM late GROUP BY k),
+         pv AS (SELECT k, late, CAST(COUNT(*) AS BIGINT) AS vw
+           FROM late GROUP BY k, late),
+         cum AS (SELECT k, late,
+             CAST(SUM(vw) OVER (PARTITION BY k ORDER BY late) AS BIGINT) AS cum
+           FROM pv),
+         tt AS (SELECT k, MAX(cum) AS total FROM cum GROUP BY k),
+         pick AS (SELECT c.k, c.late,
+             ROW_NUMBER() OVER (PARTITION BY c.k ORDER BY c.late) AS rk
+           FROM cum c JOIN tt ON c.k = tt.k
+           WHERE c.cum * 1000000 >= tt.total * 950000)
+         SELECT s.key, s.n, s.n_late,
+           CAST((s.n_late * 1000000) // s.n AS BIGINT) AS late_ppm,
+           s.max_late_us, CAST(p.late AS BIGINT) AS p95_late_us
+         FROM summary s JOIN pick p ON s.key = p.k AND p.rk = 1
+         ORDER BY s.key""",
+
+    // q195's share/TVD replay over exploded tokens.
+    "q312_vocab_drift" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS term
+           FROM documents),
+         r AS (SELECT term, CAST(count(*) AS BIGINT) AS n_ref
+               FROM tok WHERE doc_id % 2 = 0 GROUP BY term),
+         c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_cur
+               FROM tok WHERE doc_id % 2 = 1 GROUP BY term),
+         j AS (
+           SELECT COALESCE(r.term, c.term) AS category,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+           FROM r FULL OUTER JOIN c ON r.term = c.term),
+         t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                 CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j),
+         sh AS (
+           SELECT category, n_ref, n_cur,
+             CASE WHEN t_ref = 0 THEN 0 ELSE (n_ref * 1000000) // t_ref END AS share_ref_ppm,
+             CASE WHEN t_cur = 0 THEN 0 ELSE (n_cur * 1000000) // t_cur END AS share_cur_ppm
+           FROM j CROSS JOIN t),
+         df_ AS (
+           SELECT *, abs(share_cur_ppm - share_ref_ppm) AS diff_ppm FROM sh),
+         tv AS (SELECT CAST(sum(diff_ppm) // 2 AS BIGINT) AS tvd_ppm FROM df_)
+         SELECT category, n_ref, n_cur,
+           CAST(share_ref_ppm AS BIGINT) AS share_ref_ppm,
+           CAST(share_cur_ppm AS BIGINT) AS share_cur_ppm,
+           CAST(diff_ppm AS BIGINT) AS diff_ppm, tv.tvd_ppm
+         FROM df_ CROSS JOIN tv ORDER BY category""",
+
     // q191's FNV/rho chain per (hour, bucket), window fan-out, register
     // max, per-window harmonic sum at scale 56; exact distinct rides.
     "q307_sliding_dau_hll" ->

@@ -1181,6 +1181,37 @@ object Relational {
         col("total_sum"))
   }
 
+  /** Per-group [[bootstrapSums]]: the same pinned-weight replicates keyed
+    * by a group column — per-segment error bars from one corpus scan
+    * (groups × replicates aggregate state). Same hash, same CDF cuts,
+    * same overflow contract.
+    */
+  def bootstrapSumsGrouped(df: DataFrame, group: Column, id: Column,
+      value: Column, replicates: Int): DataFrame = {
+    require(replicates >= 1 && replicates <= 4096,
+      s"replicates must be in [1, 4096], got $replicates")
+    val base = df.select(group.alias("g"), id.cast("long").alias("id"),
+      value.cast("long").alias("v"))
+    val totals = base.groupBy("g").agg(count(lit(1)).alias("n"),
+      sum(col("v")).alias("total_sum"))
+    base
+      .select(col("g"), col("id"), col("v"),
+        explode(sequence(lit(0), lit(replicates - 1))).alias("rep"))
+      .withColumn("__h1",
+        expr("((((id * 1000003L + rep) % 2147483648L) * 2654435761L) % 4294967296L)"))
+      .withColumn("__u",
+        expr("(((__h1 ^ (__h1 DIV 65536L)) * 40503L) % 4294967296L) DIV 65536L"))
+      .withColumn("__w",
+        expr("""CASE WHEN __u < 24109L THEN 0L WHEN __u < 48218L THEN 1L
+                  WHEN __u < 60273L THEN 2L ELSE 3L END"""))
+      .groupBy(col("g"), col("rep").cast("long").alias("rep"))
+      .agg(sum(col("__w")).alias("n_eff"),
+        sum(col("__w") * col("v")).alias("boot_sum"))
+      .join(totals, Seq("g"))
+      .select(col("g"), col("rep"), col("n_eff"), col("boot_sum"), col("n"),
+        col("total_sum"))
+  }
+
   /** Quantile normalization: remap a cohort's values onto a REFERENCE
     * distribution by rank — row at rank r of n_c takes the reference
     * value at rank ceil(r·n_r/n_c) — the distribution-matching transform

@@ -1728,6 +1728,45 @@ object EventStreams {
         expr("(churned * 1000000L) DIV at_risk").alias("hazard_ppm"))
   }
 
+  /** Event-time disorder profile — the measurement a watermark delay
+    * should be CHOSEN from instead of guessed: per key, every event's
+    * lateness = (running event-time max over the ARRIVAL order, before
+    * this event) − its own event time, floored at 0. Summarized as
+    * counts, the worst case, and the exact lower p95 (the
+    * [[graft.operators.Relational.GraftOps.weightedPercentile]] integer
+    * rule) — "set withWatermark to p95_late and you drop <= 5% of these".
+    * Integer microseconds throughout.
+    *
+    * Returns (key, n, n_late, late_ppm, max_late_us, p95_late_us).
+    *
+    * Scale shape: one per-key arrival-order window (running max), one
+    * per-key reduction, and the percentile's per-key cumulative over
+    * DISTINCT lateness values.
+    */
+  def latenessProfile(events: DataFrame, key: Column, arrivalOrder: Column,
+      ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Relational.GraftOps
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events
+      .select(key.alias("__k"), arrivalOrder.alias("__o"),
+        unix_micros(ts).alias("__t"))
+      .withColumn("__late",
+        greatest(coalesce(max(col("__t")).over(w) - col("__t"), lit(0L)), lit(0L)))
+    val summary = late.groupBy(col("__k").alias("key"))
+      .agg(count(lit(1)).alias("n"),
+        sum(when(col("__late") > 0L, 1L).otherwise(0L)).alias("n_late"),
+        max(col("__late")).alias("max_late_us"))
+      .withColumn("late_ppm", expr("(n_late * 1000000L) DIV n"))
+    val p95 = late.weightedPercentile(Seq(col("__k")), col("__late"),
+        lit(1L), pPpm = 950000L)
+      .select(col("g0").alias("key"), col("p_value").alias("p95_late_us"))
+    summary.join(p95, Seq("key"))
+      .select(col("key"), col("n"), col("n_late"), col("late_ppm"),
+        col("max_late_us"), col("p95_late_us"))
+  }
+
   /** Markov next-event baseline backtest: learn the per-state argmax
     * transition from a TRAIN split ([[transitionMatrix]]'s counts, ties
     * to the smaller state label), predict every consecutive TEST pair's

@@ -141,6 +141,29 @@ class RelationalSpec extends SparkSpec {
     assert(run(df.repartition(5)) == out)
   }
 
+  test("bootstrapSumsGrouped: per-group replicates replay the same model") {
+    def w(id: Long, rep: Long): Long = {
+      val h1 = (((id * 1000003L + rep) % 2147483648L) * 2654435761L) % 4294967296L
+      val u = (((h1 ^ (h1 / 65536L)) * 40503L) % 4294967296L) / 65536L
+      if (u < 24109L) 0L else if (u < 48218L) 1L else if (u < 60273L) 2L else 3L
+    }
+    val data = (1L to 60L).map(i => (if (i % 2 == 0) "even" else "odd", i, i * 3L))
+    val df = data.toDF("g", "id", "v")
+    val out = graft.operators.Relational.bootstrapSumsGrouped(
+        df, col("g"), col("id"), col("v"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 8)
+    Seq("even", "odd").foreach { g =>
+      val rows = data.filter(_._1 == g)
+      (0L until 4L).foreach { rep =>
+        val nEff = rows.map { case (_, id, _) => w(id, rep) }.sum
+        val bSum = rows.map { case (_, id, v) => w(id, rep) * v }.sum
+        assert(out((g, rep)) == (nEff, bSum, rows.size.toLong, rows.map(_._3).sum))
+      }
+    }
+  }
+
   test("encodingAdvisor: hand run counts, null runs count, layout independence") {
     // arrival order by o: c1 = a,a,b,b,a (3 runs); c2 = 1,1,1,null,null
     // (2 runs — null-safe equality makes the null tail ONE run)

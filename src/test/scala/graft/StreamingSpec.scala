@@ -503,6 +503,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall(x => x._3 == 0.0 && !x._4))
   }
 
+  test("latenessProfile: running-max lateness, first event never late, exact p95") {
+    import org.apache.spark.sql.functions.col
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // arrival order 1..4; event times 100, 50, 200, 150 s:
+    // lateness 0, 50 s, 0, 50 s
+    val ev = Seq(("a", 1L, ts(100)), ("a", 2L, ts(50)),
+      ("a", 3L, ts(200)), ("a", 4L, ts(150))).toDF("k", "arr", "ts")
+    val r = EventStreams.latenessProfile(ev, col("k"), col("arr"), col("ts"))
+      .collect()(0)
+    assert(r.getString(0) == "a" && r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 500000L)
+    assert(r.getLong(4) == 50000000L)   // worst case 50 s
+    assert(r.getLong(5) == 50000000L)   // p95 lands on the late tail
+    // an ordered feed profiles clean: zero lateness, p95 = 0
+    val ordered = Seq(("b", 1L, ts(10)), ("b", 2L, ts(20))).toDF("k", "arr", "ts")
+    val o = EventStreams.latenessProfile(ordered, col("k"), col("arr"), col("ts"))
+      .collect()(0)
+    assert(o.getLong(2) == 0L && o.getLong(4) == 0L && o.getLong(5) == 0L)
+  }
+
   test("runOhlcStreamSmoke: streamed bars equal the batch aggregate row for row") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_ohlc_stream").toString
