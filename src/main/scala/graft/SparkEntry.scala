@@ -2344,6 +2344,37 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q313_embedding_drift" -> ((s, dir) => {
+      // did the embedding space move: even vs odd vec_id splits as two
+      // "versions" — per-dim DECIMAL-exact centroids (q79's mean rule),
+      // per-dim diff, squared centroid shift as the dim-ordered IEEE fold
+      // (q185's norm discipline). The ANN-index-rebuild monitor.
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+          e.filterCol(pmod(col("vec_id"), lit(2L)) === 0L),
+          e.filterCol(pmod(col("vec_id"), lit(2L)) === 1L),
+          col("embedding"))
+        .sortBy(Seq(col("dim")))
+    }),
+
+    "q314_dup_cluster_sizes" -> ((s, dir) => {
+      // dedup observability: the near-dup component SIZE distribution —
+      // near-cliques vs chain over-merge shows up here first (q129's
+      // triangle census is the other lens); plus how many docs pair at
+      // all. Composition of q34 pairs -> q50 components -> histogram.
+      val comps = Dedup.nearDupComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), threshold = 0.8))
+      val sizes = comps.groupBy(col("component_id")).agg(count(lit(1)).as("sz"))
+      val totals = sizes.agg(count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_docs_paired"), max(col("sz")).as("largest"))
+      sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_comps"))
+        .crossJoin(broadcast(totals))
+        .selectCols(Seq(col("sz"), col("n_comps"), col("n_components"),
+          col("n_docs_paired"), col("largest")))
+        .sortBy(Seq(col("sz")))
+    }),
+
     "q310_bootstrap_grouped" -> ((s, dir) =>
       // q298's deterministic Poisson bootstrap PER SEGMENT: 16 replicate
       // revenue sums per event type from one corpus scan — the
@@ -5936,6 +5967,74 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q79's decimal-mean rule per split, per-dim diffs, the l2 fold in
+    // dim order (list_sum over list_transform — the q230 IEEE-sequence
+    // convention); every output rounds to 6.
+    "q313_embedding_drift" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         xr AS (SELECT t.i AS dim, CAST(v[t.i] AS DECIMAL(30,12)) AS xd
+           FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+           WHERE vec_id % 2 = 0),
+         xc AS (SELECT t.i AS dim, CAST(v[t.i] AS DECIMAL(30,12)) AS xd
+           FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+           WHERE vec_id % 2 = 1),
+         cr AS (SELECT dim, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS c_ref,
+             CAST(COUNT(*) AS BIGINT) AS n_ref FROM xr GROUP BY dim),
+         cc AS (SELECT dim, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS c_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_cur FROM xc GROUP BY dim),
+         j AS (SELECT cr.dim, cr.c_ref, cc.c_cur, cr.n_ref, cc.n_cur
+           FROM cr JOIN cc USING (dim)),
+         f AS (SELECT round(list_sum(list_transform(
+               list_sort(list(ROW(dim, c_cur - c_ref))),
+               r -> r[2] * r[2])), 6) AS shift_l2sq
+           FROM j)
+         SELECT CAST(j.dim AS BIGINT) AS dim, round(j.c_ref, 6) AS c_ref,
+           round(j.c_cur, 6) AS c_cur, round(j.c_cur - j.c_ref, 6) AS diff,
+           j.n_ref, j.n_cur, f.shift_l2sq
+         FROM j, f ORDER BY dim""",
+
+    // q50's recursive-CTE components rolled up to the size histogram.
+    "q314_dup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes0 AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes0 sa ON sa.doc_id = id_a
+           JOIN sizes0 sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+         csz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM comp GROUP BY component_id),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(SUM(sz) AS BIGINT) AS n_docs_paired,
+             CAST(MAX(sz) AS BIGINT) AS largest FROM csz)
+         SELECT csz.sz, CAST(COUNT(*) AS BIGINT) AS n_comps,
+           tot.n_components, tot.n_docs_paired, tot.largest
+         FROM csz, tot GROUP BY csz.sz, tot.n_components, tot.n_docs_paired, tot.largest
+         ORDER BY csz.sz""",
+
     // q298's weight chain with GROUP BY (event_type, rep); totals per
     // group ride every row.
     "q310_bootstrap_grouped" ->

@@ -775,6 +775,46 @@ object Similarity {
         (col("pos") + 1).cast("long").alias("rank"))
   }
 
+  /** Embedding-space drift between two corpus versions / model runs: the
+    * per-dimension DECIMAL-exact centroid of each split ([[kmeansLloydStep]]'s
+    * order-independent mean rule), the per-dim difference, and the squared
+    * L2 centroid shift as a dim-ordered IEEE fold ([[meanPoolVectors]]'s
+    * norm discipline) — the "did the embedding model or the corpus move"
+    * monitor an ANN index rebuild decision reads. Everything replays:
+    * means are exact-decimal-then-one-division, the fold is one pinned
+    * op sequence, outputs round to 6.
+    *
+    * Returns one row per dimension (dim, c_ref, c_cur, diff) with the
+    * 1-row summary (n_ref, n_cur, shift_l2sq) riding every row.
+    *
+    * Scale shape: two (dim)-keyed partial-agg groupBys (corpus never
+    * shuffles whole vectors), one dims-sized join + fold.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vec: Column): DataFrame = {
+    def centroid(df: DataFrame, cName: String, nName: String): DataFrame = df
+      .select(posexplode(vec).as(Seq("dim0", "x")))
+      .groupBy(col("dim0"))
+      .agg(sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 12))).alias("sx"),
+        count(lit(1)).alias(nName))
+      .select((col("dim0") + 1).cast("long").alias("dim"),
+        (col("sx").cast("double") / col(nName)).alias(cName), col(nName))
+    val a = centroid(ref, "c_ref", "n_ref")
+    val b = centroid(cur, "c_cur", "n_cur")
+    val joined = a.join(b, Seq("dim"))
+    val shift = joined
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("dim"), (col("c_cur") - col("c_ref")).alias("d")))),
+          s => s("d")),
+        lit(0.0), (acc, d) => acc + d * d).alias("shift_l2sq"))
+      .select(round(col("shift_l2sq"), 6).alias("shift_l2sq"))
+    joined.crossJoin(broadcast(shift))
+      .select(col("dim"), round(col("c_ref"), 6).alias("c_ref"),
+        round(col("c_cur"), 6).alias("c_cur"),
+        round(col("c_cur") - col("c_ref"), 6).alias("diff"),
+        col("n_ref"), col("n_cur"), col("shift_l2sq"))
+  }
+
   /** Johnson-Lindenstrauss ±1 sign projection over INTEGER codes
     * (Achlioptas's database-friendly random projection, RNG-free): output
     * dimension j is

@@ -374,6 +374,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("embeddingDrift: hand centroids, per-dim diffs, dim-ordered l2 fold") {
+    import graft.operators.Similarity
+    val ref = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 4.0f))).toDF("id", "v")
+    val cur = Seq((3L, Seq(3.0f, 6.0f))).toDF("id", "v")
+    val out = Similarity.embeddingDrift(ref, cur, col("v"))
+      .orderBy("dim").collect()
+    // centroids: ref (1, 2), cur (3, 6) -> diffs (2, 4) -> shift 4 + 16
+    assert(out.length == 2)
+    assert((out(0).getLong(0), out(0).getDouble(1), out(0).getDouble(2),
+      out(0).getDouble(3)) == (1L, 1.0, 3.0, 2.0))
+    assert((out(1).getLong(0), out(1).getDouble(1), out(1).getDouble(2),
+      out(1).getDouble(3)) == (2L, 2.0, 6.0, 4.0))
+    assert(out(0).getLong(4) == 2L && out(0).getLong(5) == 1L)
+    assert(out(0).getDouble(6) == 20.0)
+    // identical splits: zero shift everywhere
+    val same = Similarity.embeddingDrift(ref, ref, col("v")).collect()
+    assert(same.forall(r => r.getDouble(3) == 0.0 && r.getDouble(6) == 0.0))
+  }
+
   test("jlProjectCodes: outputs replay the sign-mix model exactly") {
     import graft.operators.Similarity
     // plain-Scala model of s(i, j) — the spec-side oracle
