@@ -2344,6 +2344,31 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q315_rendezvous_resize" -> ((s, dir) => {
+      // HRW sharding's resize promise, measured: assign every customer at
+      // 8 shards and again at 9 — only keys whose NEW shard's hash wins
+      // move (~1/9 of them), where mod-n hashing reshuffles nearly all.
+      // Per-shard movement + the global moved share in ppm; portable FNV
+      // makes every assignment (and so the movement ratio) replayable.
+      val keys = t(s, dir, "customer").selectCols(Seq(col("c_custkey")))
+      val a8 = Relational.rendezvousAssign(keys, col("c_custkey"), 8)
+        .withColumnRenamed("shard", "shard8")
+      val a9 = Relational.rendezvousAssign(keys, col("c_custkey"), 9)
+        .withColumnRenamed("shard", "shard9")
+      val j = a8.join(a9, Seq("id"))
+      val total = j.agg(count(lit(1)).as("n_total"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved_total"))
+      j.groupBy(col("shard8").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved"))
+        .crossJoin(broadcast(total))
+        .selectCols(Seq(col("shard"), col("n"), col("n_moved"),
+          expr("(n_moved * 1000000L) DIV n").as("moved_ppm"),
+          col("n_total"), col("n_moved_total"),
+          expr("(n_moved_total * 1000000L) DIV n_total").as("moved_total_ppm")))
+        .sortBy(Seq(col("shard")))
+    }),
+
     "q313_embedding_drift" -> ((s, dir) => {
       // did the embedding space move: even vs odd vec_id splits as two
       // "versions" — per-dim DECIMAL-exact centroids (q79's mean rule),
@@ -5967,6 +5992,52 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // the q94 FNV chain per (key, candidate shard) pushed through one
+    // xorshift64 round (<<13, >>>7, <<17) in HUGEINT mod 2^64; SIGNED
+    // argmax with ties to the smaller shard.
+    "q315_rendezvous_resize" ->
+      """WITH k AS (SELECT c_custkey AS id FROM customer),
+         cand AS (SELECT id, s.s AS s,
+             CAST(s.s AS VARCHAR) || ':' || CAST(id AS VARCHAR) AS key
+           FROM k, LATERAL (SELECT unnest(range(0, 9)) AS s) s),
+         hv AS (SELECT id, s, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(key, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211)
+               % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM cand),
+         z1 AS (SELECT id, s, xor(h, (h * 8192)
+             % CAST('18446744073709551616' AS HUGEINT)) AS z FROM hv),
+         z2 AS (SELECT id, s, xor(z, z // 128) AS z FROM z1),
+         z3 AS (SELECT id, s, xor(z, (z * 131072)
+             % CAST('18446744073709551616' AS HUGEINT)) AS h FROM z2),
+         hs AS (SELECT id, s,
+             CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+               THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS h
+           FROM z3),
+         a8 AS (SELECT id, s AS shard8 FROM (
+             SELECT id, s, ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY h DESC, s) AS rk FROM hs WHERE s < 8) WHERE rk = 1),
+         a9 AS (SELECT id, s AS shard9 FROM (
+             SELECT id, s, ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY h DESC, s) AS rk FROM hs) WHERE rk = 1),
+         j AS (SELECT a8.id, a8.shard8, a9.shard9
+           FROM a8 JOIN a9 ON a8.id = a9.id),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_total FROM j)
+         SELECT CAST(j.shard8 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN j.shard8 <> j.shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST((SUM(CASE WHEN j.shard8 <> j.shard9 THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) AS BIGINT) AS moved_ppm,
+           tot.n_total, tot.n_moved_total,
+           CAST((tot.n_moved_total * 1000000) // tot.n_total AS BIGINT)
+             AS moved_total_ppm
+         FROM j, tot
+         GROUP BY j.shard8, tot.n_total, tot.n_moved_total
+         ORDER BY shard""",
+
     // q79's decimal-mean rule per split, per-dim diffs, the l2 fold in
     // dim order (list_sum over list_transform — the q230 IEEE-sequence
     // convention); every output rounds to 6.

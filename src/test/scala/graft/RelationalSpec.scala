@@ -141,6 +141,24 @@ class RelationalSpec extends SparkSpec {
     assert(run(df.repartition(5)) == out)
   }
 
+  test("rendezvousAssign: balanced shards, and growth moves keys ONLY to the new shard") {
+    import graft.operators.Relational
+    val keys = (1L to 2000L).toDF("id")
+    def assign(n: Int) = Relational.rendezvousAssign(keys, col("id"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a8 = assign(8); val a9 = assign(9)
+    // all shards populated, roughly balanced (within 3x of fair share)
+    val sizes8 = a8.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes8.size == 8 && sizes8.values.forall(s => s > 80 && s < 750))
+    // the HRW contract: a key moves iff the NEW shard's hash wins — so
+    // every moved key lands on shard 8, and the moved share is ~1/9
+    val moved = a8.keys.filter(k => a8(k) != a9(k))
+    assert(moved.forall(k => a9(k) == 8L))
+    assert(moved.size > 2000 / 9 / 3 && moved.size < 2000 / 9 * 3)
+    // determinism
+    assert(assign(8) == a8)
+  }
+
   test("bootstrapSumsGrouped: per-group replicates replay the same model") {
     def w(id: Long, rep: Long): Long = {
       val h1 = (((id * 1000003L + rep) % 2147483648L) * 2654435761L) % 4294967296L
