@@ -2344,6 +2344,58 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q316_ivf_cell_drift" -> ((s, dir) => {
+      // ANN index maintenance signal: assign the OLD half and the NEW
+      // half of the corpus to the same centroids (q65's fixed first-8,
+      // exact l2) and compare per-cell populations — a cell whose share
+      // moves is where the IVF index goes stale first; growth in
+      // sign-split floor ppm. Two broadcast assignments + cell-sized
+      // aggregates.
+      val e = t(s, dir, "embeddings")
+      val cents = e.filterCol(col("vec_id") < 8)
+        .selectCols(Seq(col("vec_id").as("cid"), col("embedding").as("cv")))
+      def cells(half: Long) = Similarity.assignToCentroids(
+          e.filterCol(pmod(col("vec_id"), lit(2L)) === half)
+            .selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v"))),
+          cents)
+        .groupBy(col("cid")).agg(count(lit(1)).as(s"n_$half"))
+      cells(0L).join(cells(1L), Seq("cid"), "full")
+        .selectCols(Seq(col("cid"),
+          coalesce(col("n_0"), lit(0L)).as("n_old"),
+          coalesce(col("n_1"), lit(0L)).as("n_new")))
+        .withColumn("growth_ppm", expr(
+          """CASE WHEN n_old = 0 THEN NULL
+               WHEN n_new >= n_old THEN ((n_new - n_old) * 1000000L) DIV n_old
+               ELSE -(((n_old - n_new) * 1000000L) DIV n_old) END"""))
+        .sortBy(Seq(col("cid")))
+    }),
+
+    "q317_order_reconciliation" -> ((s, dir) => {
+      // money-column reconciliation: does each order's header total equal
+      // the sum of its lines' extendedprice·(1−disc)·(1+tax)? Compared in
+      // exact integer MICROS (decimal sums — never a float equality);
+      // headerless/lineless orders counted separately, one report row.
+      // The cross-table consistency gate a finance pipeline runs nightly.
+      val o = t(s, dir, "orders").selectCols(Seq(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("o_mic")))
+      val l = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("rev_mic"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "full")
+        .selectCols(Seq(col("o_orderkey"), col("l_orderkey"), col("o_mic"),
+          col("rev_mic")))
+        .aggregate(Seq.empty, Seq(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orphan_lines"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_lineless"),
+          sum(when(col("o_mic") === col("rev_mic"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(abs(col("o_mic") - col("rev_mic")) <= 10000L, 1L).otherwise(0L))
+            .as("n_within_cent"),
+          max(abs(col("o_mic") - col("rev_mic"))).as("max_abs_diff_mic")))
+    }),
+
     "q315_rendezvous_resize" -> ((s, dir) => {
       // HRW sharding's resize promise, measured: assign every customer at
       // 8 shards and again at 9 — only keys whose NEW shard's hash wins
@@ -5992,6 +6044,59 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q79's l2 argmin replay per half, cell counts full-outer joined,
+    // growth as sign-split floor ppm.
+    "q316_ivf_cell_drift" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         s AS (
+           SELECT e.vec_id AS id, e.vec_id % 2 AS half, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+           FROM e CROSS JOIN c),
+         a AS (SELECT id, half, cid FROM (
+             SELECT id, half, cid, row_number() OVER (PARTITION BY id
+               ORDER BY d, cid) AS rn FROM s) WHERE rn = 1),
+         c0 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_old
+           FROM a WHERE half = 0 GROUP BY cid),
+         c1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new
+           FROM a WHERE half = 1 GROUP BY cid),
+         j AS (SELECT COALESCE(c0.cid, c1.cid) AS cid,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+           FROM c0 FULL OUTER JOIN c1 ON c0.cid = c1.cid)
+         SELECT CAST(cid AS BIGINT) AS cid, n_old, n_new,
+           CAST(CASE WHEN n_old = 0 THEN NULL
+             WHEN n_new >= n_old THEN ((n_new - n_old) * 1000000) // n_old
+             ELSE -(((n_old - n_new) * 1000000) // n_old) END AS BIGINT) AS growth_ppm
+         FROM j ORDER BY cid""",
+
+    // per-line micros summed exactly, header micros, FULL OUTER, one
+    // report row; NULL sides fall out of the equality sums on both
+    // engines identically.
+    "q317_order_reconciliation" ->
+      """WITH o AS (SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS o_mic
+           FROM orders),
+         l AS (SELECT l_orderkey,
+             CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS rev_mic
+           FROM lineitem GROUP BY 1),
+         j AS (SELECT o.o_orderkey, l.l_orderkey, o.o_mic, l.rev_mic
+           FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_lines,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lineless,
+           CAST(SUM(CASE WHEN o_mic = rev_mic THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN ABS(o_mic - rev_mic) <= 10000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_within_cent,
+           CAST(MAX(ABS(o_mic - rev_mic)) AS BIGINT) AS max_abs_diff_mic
+         FROM j""",
+
     // the q94 FNV chain per (key, candidate shard) pushed through one
     // xorshift64 round (<<13, >>>7, <<17) in HUGEINT mod 2^64; SIGNED
     // argmax with ties to the smaller shard.
