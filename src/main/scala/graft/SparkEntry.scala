@@ -2344,6 +2344,73 @@ object SparkEntry {
         .sortBy(Seq(col("rule")))
     }),
 
+    "q318_rolling_p95" -> ((s, dir) => {
+      // the SLO read: exact lower p95 of event value (micros) over every
+      // rolling 24 h window at hourly steps — q302's horizon-bounded
+      // fan-out feeding q290's integer percentile rule; a latency monitor
+      // with zero approximation and no per-window rescan
+      val fanned = t(s, dir, "events")
+        .selectCols(Seq(
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmic"),
+          unix_micros(date_trunc("hour", col("ts"))).as("h")))
+        .selectCols(Seq(col("vmic"), col("h"),
+          explode(sequence(lit(0), lit(23))).as("k")))
+        .selectCols(Seq(col("vmic"),
+          (col("h") - col("k") * (3600L * 1000000L)).as("win_start_us")))
+      fanned.weightedPercentile(Seq(col("win_start_us")), col("vmic"),
+          lit(1L), pPpm = 950000L)
+        .selectCols(Seq(col("g0").as("win_start_us"),
+          col("total_w").as("n_values"), col("p_value").as("p95_mic"),
+          col("cum_w")))
+        .sortBy(Seq(col("win_start_us")))
+    }),
+
+    "q319_blocking_threshold_sweep" -> ((s, dir) => {
+      // q309 swept across ground-truth strictness: the same candidates
+      // scored against exact-Jaccard truth at 0.5 / 0.7 / 0.9 — one row
+      // per threshold, recall and precision in floor ppm. The blocking
+      // config is judged across the whole operating range in one pass.
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          ngram = 3, threshold = 0.5)
+        .selectCols(Seq(col("id_a"), col("id_b"), col("jaccard")))
+      val cand = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"),
+          TextFns.fingerprint(
+            array_join(slice(TextFns.tokens(col("text")), 1, 3), " "),
+            portable = true), w = 8)
+        .selectCols(Seq(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")))
+        .distinct()
+        .withColumn("in_cand", lit(1L))
+      val joined = truth.join(cand, Seq("id_a", "id_b"), "left")
+        .withColumn("in_cand", coalesce(col("in_cand"), lit(0L)))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      joined
+        .selectCols(Seq(col("jaccard"), col("in_cand"),
+          explode(array(lit(0.5), lit(0.7), lit(0.9))).as("t")))
+        .filterCol(col("jaccard") >= col("t"))
+        .groupBy(col("t").as("threshold"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(col("in_cand")).as("n_tp"))
+        .crossJoin(broadcast(nCand))
+        .selectExpr("threshold", "n_truth", "n_tp", "n_cand",
+          "(n_tp * 1000000L) DIV n_truth AS recall_ppm",
+          "(n_tp * 1000000L) DIV n_cand AS precision_ppm")
+        .sortBy(Seq(col("threshold")))
+    }),
+
+    "q320_token_budget_quota" -> ((s, dir) =>
+      // mixture planning that SUMS TO THE BUDGET: a 1M-token budget
+      // apportioned across sources proportionally to their token counts
+      // by Hamilton largest remainder — floor division alone leaks up to
+      // (sources-1) units; the remainder ranking hands them back
+      // deterministically
+      Corpus.largestRemainderQuota(
+          t(s, dir, "documents").selectCols(Seq(col("source"),
+            graft.plans.TextExprs.tokenCount(col("text")).cast("long").as("ntok"))),
+          col("source"), col("ntok"), budget = 1000000L)
+        .sortBy(Seq(col("group")))),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6044,6 +6111,115 @@ object SparkEntry {
     // the -1 boundary first — the half-open convention both sides share.
     // q195's batch drift shape over the same even/odd split — stream ==
     // batch is the claim, so the oracle is the batch SQL.
+    // q302's fan-out feeding q311's percentile replay, keyed per window.
+    "q318_rolling_p95" ->
+      """WITH ev AS (SELECT
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic,
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h
+           FROM events),
+         f AS (SELECT vmic, h - k.k * 3600000000 AS w
+           FROM ev, LATERAL (SELECT unnest(range(0, 24)) AS k) k),
+         pv AS (SELECT w, vmic, CAST(COUNT(*) AS BIGINT) AS vw
+           FROM f GROUP BY 1, 2),
+         cum AS (SELECT w, vmic,
+             CAST(SUM(vw) OVER (PARTITION BY w ORDER BY vmic) AS BIGINT) AS cum
+           FROM pv),
+         tt AS (SELECT w, MAX(cum) AS total FROM cum GROUP BY w),
+         pick AS (SELECT c.w, c.vmic, c.cum,
+             ROW_NUMBER() OVER (PARTITION BY c.w ORDER BY c.vmic) AS rk
+           FROM cum c JOIN tt ON c.w = tt.w
+           WHERE c.cum * 1000000 >= tt.total * 950000)
+         SELECT p.w AS win_start_us, tt.total AS n_values,
+           p.vmic AS p95_mic, p.cum AS cum_w
+         FROM pick p JOIN tt ON p.w = tt.w WHERE p.rk = 1
+         ORDER BY win_start_us""",
+
+    // q309's generators with the Jaccard value carried; thresholds as a
+    // VALUES list, counts per threshold.
+    "q319_blocking_threshold_sweep" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         truthj AS (
+           SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+         hsf AS (
+           SELECT doc_id, list_transform(toks[1:3], tok ->
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211)
+                 % CAST('18446744073709551616' AS HUGEINT))) AS hlist
+           FROM t),
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), hlist),
+               (acc, h) -> xor((acc * 32) % CAST('18446744073709551616' AS HUGEINT)
+                               + acc // CAST('576460752303423488' AS HUGEINT), h)) AS u
+           FROM hsf),
+         k AS (
+           SELECT doc_id,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS k
+           FROM fp),
+         r AS (SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM k),
+         cand AS (
+           SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+           FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 7),
+         m AS (SELECT tj.j,
+             CASE WHEN cand.id_a IS NULL THEN 0 ELSE 1 END AS in_cand
+           FROM truthj tj LEFT JOIN cand
+             ON tj.id_a = cand.id_a AND tj.id_b = cand.id_b),
+         th AS (SELECT unnest([0.5, 0.7, 0.9]) AS t),
+         c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+         SELECT th.t AS threshold, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(m.in_cand) AS BIGINT) AS n_tp, c2.n_cand,
+           CAST((SUM(m.in_cand) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm,
+           CAST((SUM(m.in_cand) * 1000000) // c2.n_cand AS BIGINT) AS precision_ppm
+         FROM m, th, c2 WHERE m.j >= th.t
+         GROUP BY th.t, c2.n_cand ORDER BY threshold""",
+
+    // per-source token totals, DECIMAL base/remainder split, leftover
+    // units to the largest remainders (ties to the smaller source).
+    "q320_token_budget_quota" ->
+      """WITH d AS (SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS ntok
+           FROM documents),
+         g AS (SELECT source AS "group", CAST(SUM(ntok) AS BIGINT) AS w
+           FROM d GROUP BY source),
+         tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g),
+         based AS (SELECT g."group", g.w,
+             CAST((CAST(1000000 AS HUGEINT) * g.w) // tot.tw AS BIGINT) AS base,
+             CAST((CAST(1000000 AS HUGEINT) * g.w) % tot.tw AS BIGINT) AS rem
+           FROM g, tot),
+         short AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS leftover FROM based),
+         rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, "group")
+             AS BIGINT) AS rnk FROM based)
+         SELECT rk."group", rk.w,
+           rk.base + CASE WHEN rk.rnk <= short.leftover THEN 1 ELSE 0 END AS quota,
+           rk.base, rk.rem
+         FROM rk, short ORDER BY rk."group"""",
+
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
     "q316_ivf_cell_drift" ->

@@ -1497,6 +1497,42 @@ object Corpus {
       .filter(col("n") >= minCount)
   }
 
+  /** Hamilton largest-remainder apportionment: split an integer `budget`
+    * across groups proportionally to an integer weight, EXACTLY — each
+    * group gets floor(budget·w/W), and the leftover units go one each to
+    * the largest remainders (ties toward the smaller group label). The
+    * mixture-planning step that turns [[temperatureWeights]]-style shares
+    * into actual token/document quotas that SUM TO THE BUDGET — floor
+    * division alone under-allocates by up to (groups−1) units, which at a
+    * 10B-token budget is real data someone forgot to take.
+    *
+    * Returns (group, w, quota, base, rem) — base/rem expose the
+    * apportionment arithmetic for audit. DECIMAL(38,0) products, so
+    * budget·w never overflows.
+    *
+    * Scale shape: one weight groupBy upstream of the caller, a 1-row
+    * total broadcast, one window over the GROUPS frame (group-cardinality
+    * sized — never rows).
+    */
+  def largestRemainderQuota(df: DataFrame, group: Column, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val g = df.groupBy(group.alias("group"))
+      .agg(sum(weight.cast("long")).alias("w"))
+    val tot = g.agg(sum(col("w")).alias("tw"))
+    val based = g.crossJoin(broadcast(tot))
+      .selectExpr("group", "w",
+        s"CAST((CAST(${budget}L AS DECIMAL(38,0)) * w) DIV tw AS BIGINT) AS base",
+        s"CAST((CAST(${budget}L AS DECIMAL(38,0)) * w) % tw AS BIGINT) AS rem")
+    val short = based.agg((lit(budget) - sum(col("base"))).alias("leftover"))
+    val w = Window.orderBy(col("rem").desc, col("group"))
+    based.crossJoin(broadcast(short))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .selectExpr("group", "w",
+        "base + CASE WHEN __rk <= leftover THEN 1L ELSE 0L END AS quota",
+        "base", "rem")
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources, how
     * many distinct document contents they share — the split-contamination
     * / mirror-detection audit run before treating sources as independent

@@ -202,6 +202,18 @@ class CorpusSpec extends SparkSpec {
     assert(one(Graph.degreeAssortativity(tri)).isNullAt(6))
   }
 
+  test("largestRemainderQuota: sums to the budget exactly, remainder ties to the smaller label") {
+    val df = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("src", "n")
+    def run(budget: Long) = Corpus.largestRemainderQuota(df, $"src", $"n", budget)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // budget 11: bases 3/3/4 leave 1 unit; c's remainder 4 wins it
+    assert(run(11L) == Map("a" -> 3L, "b" -> 3L, "c" -> 5L))
+    // budget 12: 2 units; c first, then the a/b remainder tie -> a
+    assert(run(12L) == Map("a" -> 4L, "b" -> 3L, "c" -> 5L))
+    // the whole point: quotas always sum to the budget
+    Seq(1L, 7L, 10L, 99L).foreach { b => assert(run(b).values.sum == b) }
+  }
+
   test("neighborAgg: hand aggregates, featureless neighbors invisible, sign-split mean") {
     import graft.operators.Graph
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L)).toDF("id_a", "id_b")
