@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{ColFns, TextFns, Udfs}
-import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Validation}
+import graft.operators.{Corpus, Dedup, Multimodal, Retrieval, Similarity, Spatial, Validation}
 import graft.operators.Relational
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
@@ -2410,6 +2410,43 @@ object SparkEntry {
             graft.plans.TextExprs.tokenCount(col("text")).cast("long").as("ntok"))),
           col("source"), col("ntok"), budget = 1000000L)
         .sortBy(Seq(col("group")))),
+
+    // Spatial coordinates for q321/q322: deterministic fixed-point projection
+    // of the keys onto a 10000x10000 non-negative grid (prime multipliers,
+    // BIGINT-safe — no 64-bit overflow at any SF). Supplier is the 9x fan-out
+    // side (the smaller frame); customer is the single-cell side.
+    "q321_spatial_nearest" -> ((s, dir) => {
+      // per-customer supplier catchment: how many suppliers sit within
+      // radius 700 of each customer, and which one is nearest (exact
+      // integer d^2, ties to the smaller supplier id). Grid equi-join on
+      // (cx, cy) — never a cross join; the DuckDB oracle IS the cross join.
+      val cust = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 10000).as("x"),
+        (col("c_custkey") * 104729 % 10000).as("y")))
+      val supp = t(s, dir, "supplier").selectCols(Seq(
+        col("s_suppkey").as("id"),
+        (col("s_suppkey") * 12553 % 10000).as("x"),
+        (col("s_suppkey") * 30011 % 10000).as("y")))
+      Spatial.nearestWithinRadius(supp, cust, radius = 700L)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q322_spatial_knn" -> ((s, dir) => {
+      // bounded-radius kNN: the 3 nearest suppliers within radius 1500 of
+      // each customer, ranked. The radius cap is the contract that keeps
+      // exact kNN grid-partitionable (no outward ring search per point).
+      val cust = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 10000).as("x"),
+        (col("c_custkey") * 104729 % 10000).as("y")))
+      val supp = t(s, dir, "supplier").selectCols(Seq(
+        col("s_suppkey").as("id"),
+        (col("s_suppkey") * 12553 % 10000).as("x"),
+        (col("s_suppkey") * 30011 % 10000).as("y")))
+      Spatial.knnWithinRadius(supp, cust, radius = 1500L, k = 3)
+        .sortBy(Seq(col("id"), col("rank")))
+    }),
 
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
@@ -6219,6 +6256,41 @@ object SparkEntry {
            rk.base + CASE WHEN rk.rnk <= short.leftover THEN 1 ELSE 0 END AS quota,
            rk.base, rk.rem
          FROM rk, short ORDER BY rk."group"""",
+
+    // brute-force cross join + exact integer d^2 — the ground truth the
+    // grid equi-join must reproduce pair-for-pair.
+    "q321_spatial_nearest" ->
+      """WITH c AS (SELECT c_custkey AS id, (c_custkey*7919)%10000 AS x,
+             (c_custkey*104729)%10000 AS y FROM customer),
+         s AS (SELECT s_suppkey AS id, (s_suppkey*12553)%10000 AS x,
+             (s_suppkey*30011)%10000 AS y FROM supplier),
+         p AS (SELECT c.id AS b_id, s.id AS a_id,
+             (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) AS d2
+           FROM c CROSS JOIN s
+           WHERE (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) <= 700*700),
+         r AS (SELECT b_id, a_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY d2, a_id) AS rn,
+             COUNT(*) OVER (PARTITION BY b_id) AS n_within
+           FROM p)
+         SELECT b_id AS id, CAST(n_within AS BIGINT) AS n_within,
+           a_id AS nearest_id, CAST(d2 AS BIGINT) AS nearest_d2
+         FROM r WHERE rn = 1 ORDER BY id""",
+
+    "q322_spatial_knn" ->
+      """WITH c AS (SELECT c_custkey AS id, (c_custkey*7919)%10000 AS x,
+             (c_custkey*104729)%10000 AS y FROM customer),
+         s AS (SELECT s_suppkey AS id, (s_suppkey*12553)%10000 AS x,
+             (s_suppkey*30011)%10000 AS y FROM supplier),
+         p AS (SELECT c.id AS b_id, s.id AS a_id,
+             (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) AS d2
+           FROM c CROSS JOIN s
+           WHERE (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) <= 1500*1500),
+         r AS (SELECT b_id, a_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY d2, a_id) AS rn
+           FROM p)
+         SELECT b_id AS id, CAST(rn AS BIGINT) AS rank,
+           a_id AS neighbor_id, CAST(d2 AS BIGINT) AS d2
+         FROM r WHERE rn <= 3 ORDER BY id, rank""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

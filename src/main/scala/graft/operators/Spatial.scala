@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.GraftOps
+
+/** Grid-partitioned spatial operators over planar integer coordinates.
+  *
+  * The scale story: a radius join is a similarity join in 2-D, and the
+  * same blocking discipline applies as in the dedup stack — never a
+  * cross join. Both sides hash into square cells of side `cell >=
+  * radius`; a point's true neighbors within `radius` can then only live
+  * in its own cell or the 8 surrounding ones, so the candidate set is an
+  * EQUI-join on the cell key with a 3x3 neighborhood fan-out on ONE side
+  * (the caller puts the smaller side there — 9x row expansion on the
+  * small side is cheaper than 9x on the big one). The exact integer
+  * squared-distance filter runs after the equi-join, so correctness never
+  * depends on the grid: the grid only bounds the candidates.
+  *
+  * At 100 TB the plan is a plain shuffled hash join keyed by (cx, cy):
+  * each executor sees one bag of cells, candidate pairs never leave the
+  * cell's partition, and density skew (one hot city cell) is AQE's
+  * skew-join case — the same mitigation as any skewed equi-join. Nothing
+  * here is a window over the whole table, a driver collect, or an R-tree
+  * that would have to be built and broadcast.
+  *
+  * Coordinates are caller-supplied integers (e.g. fixed-point microdegrees
+  * or projected meters) and must be non-negative — integer `x / cell`
+  * truncation equals floor only for non-negative values, and fixed-point
+  * geo data is naturally shifted to a non-negative frame. Distances are
+  * compared as exact 64-bit squared sums: no doubles, no epsilon.
+  *
+  * The reference engine has no spatial surface (`/root/reference/src/
+  * main.rs` registers none); this module is part of the beyond-parity
+  * tier (SURVEY.md §7).
+  */
+object Spatial {
+
+  /** Candidate pairs within `radius` (inclusive, squared-exact): returns
+    * `(a_id, a_x, a_y, b_id, b_x, b_y, d2)` with one row per (a, b) pair
+    * at Euclidean distance^2 <= radius^2.
+    *
+    * `a` is the fan-out side (9 cell keys per point — pass the SMALLER
+    * frame), `b` is the single-cell side. Both frames need integer
+    * columns `(id, x, y)` with `x, y >= 0`. Each b-point holds exactly
+    * one cell key, so a pair can meet in at most one cell — no
+    * post-join dedup is needed.
+    */
+  def gridRadiusJoin(a: DataFrame, b: DataFrame, radius: Long,
+      cellSize: Long = 0L): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    val cell = if (cellSize <= 0L) radius else cellSize
+    require(cell >= radius,
+      s"cell side $cell < radius $radius would miss neighbors beyond the 3x3 neighborhood")
+    def cellOf(c: Column): Column = (c.cast("long") / lit(cell)).cast("long")
+    val bb = b.selectCols(Seq(col("id").as("b_id"),
+      col("x").cast("long").as("b_x"), col("y").cast("long").as("b_y"),
+      cellOf(col("x")).as("cx"), cellOf(col("y")).as("cy")))
+    val off = array((-1 to 1).map(lit(_)): _*)
+    val aa = a.selectCols(Seq(col("id").as("a_id"),
+        col("x").cast("long").as("a_x"), col("y").cast("long").as("a_y")))
+      .withColumn("dx", explode(off))
+      .withColumn("dy", explode(off))
+      .selectCols(Seq(col("a_id"), col("a_x"), col("a_y"),
+        (cellOf(col("a_x")) + col("dx")).as("cx"),
+        (cellOf(col("a_y")) + col("dy")).as("cy")))
+    val d2 = (col("a_x") - col("b_x")) * (col("a_x") - col("b_x")) +
+      (col("a_y") - col("b_y")) * (col("a_y") - col("b_y"))
+    aa.join(bb, Seq("cx", "cy"))
+      .withColumn("d2", d2)
+      .filterCol(col("d2") <= lit(radius * radius))
+      .selectCols(Seq(col("a_id"), col("a_x"), col("a_y"),
+        col("b_id"), col("b_x"), col("b_y"), col("d2")))
+  }
+
+  /** Per-b-point neighborhood report: for every b-point with at least one
+    * a-neighbor within `radius`, the neighbor count, the nearest a-point
+    * (ties broken by smaller `a_id`) and its exact squared distance.
+    * One window pass over the candidate pairs, partitioned by `b_id` —
+    * the partition is a point's neighbor list, never the whole table.
+    */
+  def nearestWithinRadius(a: DataFrame, b: DataFrame, radius: Long,
+      cellSize: Long = 0L): DataFrame = {
+    val pairs = gridRadiusJoin(a, b, radius, cellSize)
+    val w = Window.partitionBy(col("b_id")).orderBy(col("d2").asc, col("a_id").asc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_within", count(lit(1)).over(Window.partitionBy(col("b_id"))))
+      .filterCol(col("rn") === 1)
+      .selectCols(Seq(col("b_id").as("id"), col("n_within"),
+        col("a_id").as("nearest_id"), col("d2").as("nearest_d2")))
+  }
+
+  /** Bounded-radius k-nearest-neighbors: for every b-point, the up-to-`k`
+    * nearest a-points within `radius`, ranked (ties by smaller `a_id`).
+    * The radius cap is what keeps this grid-exact AND scale-sane: an
+    * uncapped exact kNN would have to ring-search outward per point
+    * (unbounded candidate generation around isolated points); capping the
+    * search radius is the standard production contract ("neighbors within
+    * 5 km, best k") and turns the whole operator into one equi-join plus
+    * one per-point window.
+    */
+  def knnWithinRadius(a: DataFrame, b: DataFrame, radius: Long, k: Int,
+      cellSize: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("b_id")).orderBy(col("d2").asc, col("a_id").asc)
+    gridRadiusJoin(a, b, radius, cellSize)
+      .withColumn("rank", row_number().over(w))
+      .filterCol(col("rank") <= k)
+      .selectCols(Seq(col("b_id").as("id"), col("rank").cast("long").as("rank"),
+        col("a_id").as("neighbor_id"), col("d2")))
+  }
+}

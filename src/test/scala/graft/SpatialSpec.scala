@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Spatial
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "x", "y")
+
+  /** Ground truth by literal cross join — the thing the grid must equal. */
+  private def brute(a: DataFrame, b: DataFrame, radius: Long): Set[(Long, Long, Long)] = {
+    val aa = a.select(col("id").as("a_id"), col("x").as("a_x"), col("y").as("a_y"))
+    val bb = b.select(col("id").as("b_id"), col("x").as("b_x"), col("y").as("b_y"))
+    aa.crossJoin(bb)
+      .withColumn("d2", (col("a_x") - col("b_x")) * (col("a_x") - col("b_x")) +
+        (col("a_y") - col("b_y")) * (col("a_y") - col("b_y")))
+      .filter(col("d2") <= lit(radius * radius))
+      .select("a_id", "b_id", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def grid(a: DataFrame, b: DataFrame, radius: Long, cell: Long = 0L): Set[(Long, Long, Long)] =
+    Spatial.gridRadiusJoin(a, b, radius, cell)
+      .select("a_id", "b_id", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("gridRadiusJoin equals the brute-force cross join, incl. cross-cell and boundary pairs") {
+    // neighbors straddling cell borders, a pair at EXACTLY d2 = r^2 (kept:
+    // inclusive), a pair one unit past it (dropped), and isolated points
+    val a = pts((1L, 0L, 0L), (2L, 99L, 0L), (3L, 100L, 100L), (4L, 350L, 350L), (5L, 1000L, 1000L))
+    val b = pts((10L, 100L, 0L), (11L, 101L, 0L), (12L, 0L, 100L), (13L, 250L, 350L), (14L, 5000L, 5000L))
+    for (r <- Seq(100L, 150L); cell <- Seq(0L, r, r + 37L)) {
+      val g = grid(a, b, r, cell)
+      val t = brute(a, b, r)
+      assert(g == t, s"radius=$r cell=$cell")
+    }
+    // the exact-boundary pair is present at r=100 (d2 = 100^2 between 1 and 10)
+    assert(grid(a, b, 100L).contains((1L, 10L, 10000L)))
+    // and (2,10) at d2=1 is there while (1,11) at d2=101^2 is not
+    assert(grid(a, b, 100L).contains((2L, 10L, 1L)))
+    assert(!grid(a, b, 100L).exists(p => p._1 == 1L && p._2 == 11L))
+  }
+
+  test("gridRadiusJoin deduplicates nothing because it never duplicates: one row per true pair") {
+    val a = pts((1L, 50L, 50L))
+    val b = pts((2L, 51L, 50L))
+    val rows = Spatial.gridRadiusJoin(a, b, 100L).collect()
+    assert(rows.length == 1)
+  }
+
+  test("cell smaller than radius is rejected (would miss neighbors)") {
+    val e = intercept[IllegalArgumentException] {
+      Spatial.gridRadiusJoin(pts((1L, 0L, 0L)), pts((2L, 0L, 0L)), 100L, cellSize = 99L)
+    }
+    assert(e.getMessage.contains("3x3"))
+  }
+
+  test("nearestWithinRadius: counts, argmin, and id tie-break at equal distance") {
+    val a = pts((7L, 10L, 0L), (3L, 0L, 10L), (9L, 30L, 0L)) // 7 and 3 both at d2=100 from b
+    val b = pts((1L, 0L, 0L), (2L, 1000L, 1000L))
+    val out = Spatial.nearestWithinRadius(a, b, 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 3L, 3L, 100L))) // 3 neighbors, nearest = id 3 (tie 100 vs 100, smaller id), d2=100
+  }
+
+  test("knnWithinRadius: ranked, capped at k, radius-capped") {
+    val a = pts((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 400L, 0L))
+    val b = pts((10L, 0L, 0L))
+    val out = Spatial.knnWithinRadius(a, b, 100L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((10L, 1L, 1L, 1L), (10L, 2L, 2L, 4L))) // id 3 cut by k, id 4 by radius
+  }
+}
