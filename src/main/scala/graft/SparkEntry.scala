@@ -2448,6 +2448,41 @@ object SparkEntry {
         .sortBy(Seq(col("id"), col("rank")))
     }),
 
+    "q323_jw_name_pairs" -> ((s, dir) => {
+      // entity-resolution scoring: distinct part names under brand
+      // blocking, scored with the native Jaro-Winkler expression (IEEE
+      // op order pinned to DuckDB — raw doubles hash-match). 0.9 keeps
+      // the one-word-apart color-name variants.
+      Dedup.jaroWinklerPairs(t(s, dir, "part"), col("p_name"), col("p_brand"),
+          minSim = 0.9)
+        .sortBy(Seq(col("blk"), col("sa"), col("sb")))
+    }),
+
+    "q324_jw_reconcile" -> ((s, dir) => {
+      // fuzzy catalog reconciliation: each part name with one char
+      // deterministically deleted (position p_partkey % len) is matched
+      // back against the distinct clean-name catalog under first-char
+      // blocking; best candidate per row by (sim DESC, name ASC), plus a
+      // hit flag against the true origin — the ER accuracy harness.
+      val part = t(s, dir, "part")
+      val cat = part.selectCols(Seq(col("p_name").as("cand"))).distinct()
+      val k = (col("p_partkey") % length(col("p_name"))).cast("int")
+      val dirty = concat(
+        col("p_name").substr(lit(1), k),
+        col("p_name").substr(k + lit(2), length(col("p_name"))))
+      val d = part.selectCols(Seq(col("p_partkey").as("id"),
+        col("p_name").as("truth"), dirty.as("dirty")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("sim").desc, col("cand").asc)
+      d.join(cat, substring(col("dirty"), 1, 1) === substring(col("cand"), 1, 1))
+        .withColumn("sim", TextFns.jaroWinkler(col("dirty"), col("cand")))
+        .withColumn("rn", row_number().over(w))
+        .filterCol(col("rn") === 1)
+        .selectCols(Seq(col("id"), col("dirty"), col("cand").as("best_match"),
+          col("sim"), (col("cand") === col("truth")).cast("long").as("hit")))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6291,6 +6326,32 @@ object SparkEntry {
          SELECT b_id AS id, CAST(rn AS BIGINT) AS rank,
            a_id AS neighbor_id, CAST(d2 AS BIGINT) AS d2
          FROM r WHERE rn <= 3 ORDER BY id, rank""",
+
+    // DuckDB's jaro_winkler_similarity is the bit-compatible reference
+    // the native expression is pinned to — raw doubles hash-match.
+    "q323_jw_name_pairs" ->
+      """WITH v AS (SELECT DISTINCT p_brand AS blk, p_name AS nm FROM part),
+         p AS (SELECT a.blk, a.nm AS sa, b.nm AS sb,
+             jaro_winkler_similarity(a.nm, b.nm) AS sim
+           FROM v a JOIN v b ON a.blk = b.blk AND a.nm < b.nm)
+         SELECT blk, sa, sb, sim FROM p WHERE sim >= 0.9
+         ORDER BY blk, sa, sb""",
+
+    "q324_jw_reconcile" ->
+      """WITH cat AS (SELECT DISTINCT p_name AS cand FROM part),
+         d AS (SELECT p_partkey AS id, p_name AS truth,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||
+             substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2,
+                    length(p_name)) AS dirty
+           FROM part),
+         m AS (SELECT d.id, d.truth, d.dirty, c.cand,
+             jaro_winkler_similarity(d.dirty, c.cand) AS sim
+           FROM d JOIN cat c ON substr(d.dirty, 1, 1) = substr(c.cand, 1, 1)),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+             ORDER BY sim DESC, cand) AS rn FROM m)
+         SELECT id, dirty, cand AS best_match, sim,
+           CAST(cand = truth AS BIGINT) AS hit
+         FROM r WHERE rn = 1 ORDER BY id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

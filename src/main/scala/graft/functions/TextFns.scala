@@ -234,4 +234,11 @@ object TextFns {
     * Deterministic, pure expression.
     */
   def qualityScore(c: Column): Column = graft.plans.TextExprs.qualityScore(c)
+
+  /** Jaro-Winkler similarity in [0,1] — prefix-weighted fuzzy match for
+    * entity names. Native generated expression
+    * ([[graft.plans.TextExprs.JaroWinklerExpr]]), DuckDB-bit-compatible.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graft.plans.TextExprs.jaroWinkler(a, b)
 }

@@ -490,6 +490,35 @@ object Dedup {
         levenshtein(col("sa"), col("sb")).cast("long").alias("dist"))
   }
 
+  /** Jaro-Winkler fuzzy-match pairs under caller-supplied blocking — the
+    * classic entity-resolution shape (Fellegi-Sunter style blocking +
+    * scoring): all unordered pairs of distinct (block, string) values in
+    * the SAME block with `jaro_winkler >= minSim`. Unlike
+    * [[editDistancePairs]]' complete length blocking, a JW threshold
+    * admits no sound algebraic blocking key, so the block column IS the
+    * recall contract (pairs straddling blocks are unscored by design —
+    * pick the key accordingly: phonetic code, brand, first token).
+    *
+    * Scale shape: distinct-first, then an EQUI-join on the block key —
+    * candidate pairs never leave the block's partition, skewed hot blocks
+    * are AQE's skew-join case. The scorer is a generated native expression
+    * ([[graft.plans.TextExprs.JaroWinklerExpr]]) evaluated once per
+    * candidate inside the joined stage. Ordering anchor `sa < sb` pins
+    * each pair to one row. Returns (blk, sa, sb, sim).
+    */
+  def jaroWinklerPairs(df: DataFrame, str: Column, block: Column,
+      minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1], got $minSim")
+    val s = df.select(block.alias("blk"), str.alias("s"))
+      .filter(col("s").isNotNull && col("blk").isNotNull).distinct()
+    val a = s.select(col("blk"), col("s").alias("sa"))
+    val b = s.select(col("blk").alias("__blkb"), col("s").alias("sb"))
+    a.join(b, col("blk") === col("__blkb") && col("sa") < col("sb"))
+      .withColumn("sim", graft.plans.TextExprs.jaroWinkler(col("sa"), col("sb")))
+      .filter(col("sim") >= minSim)
+      .select(col("blk"), col("sa"), col("sb"), col("sim"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (`id_a`, `id_b` columns): returns (id, component_id) where
     * component_id = the minimum id reachable from `id`. This is the

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -327,6 +327,37 @@ object TextExprs {
     override def prettyName: String = "fnv64"
   }
 
+  /** Jaro-Winkler similarity of two strings — the fuzzy-match score for
+    * entity resolution where edit distance is too coarse (it has no
+    * notion of prefix weight or transposition locality). Semantics and
+    * IEEE op order pinned to DuckDB's `jaro_winkler_similarity` in
+    * [[Kernels.jaroWinkler]]. Generates code (one static kernel call):
+    * like [[VectorExprs.CosineSim]] this sits inside blocked-join
+    * conditions, the hottest expression position.
+    */
+  case class JaroWinklerExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaro_winkler requires string arguments, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Kernels.jaroWinkler($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerExpr =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaro_winkler"
+  }
+
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def langId(c: Column): Column = asCol(LangIdExpr(asExpr(c)))
@@ -343,6 +374,8 @@ object TextExprs {
   def normalizeUnicode(c: Column, form: String = "NFC"): Column =
     asCol(NormalizeExpr(asExpr(c), form))
   def fnv64(c: Column): Column = asCol(Fnv64Expr(asExpr(c)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    asCol(JaroWinklerExpr(asExpr(a), asExpr(b)))
 
   /** SQL-name → builder table for the unary text expressions (see
     * [[VectorExprs.sqlFunctions]]; the arity-2 forms stay Column-API-only
@@ -354,7 +387,8 @@ object TextExprs {
     "token_count" -> (es => TokenCountExpr(es.head)),
     "stopword_ratio" -> (es => StopwordRatioExpr(es.head)),
     "mean_token_len" -> (es => MeanTokenLenExpr(es.head)),
-    "fnv64" -> (es => Fnv64Expr(es.head)))
+    "fnv64" -> (es => Fnv64Expr(es.head)),
+    "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))))
 
   /** SQL-name registration (same pattern as [[VectorExprs.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -151,6 +151,24 @@ class DedupSpec extends SparkSpec {
     assert(got.size == Dedup.editDistancePairs(df, col("s"), 2).count())
   }
 
+  test("jaroWinklerPairs: block key bounds candidates, threshold + anchor + distinct-first") {
+    val df = Seq(
+      ("b1", "martha"), ("b1", "marhta"), ("b1", "zzzzzz"),
+      ("b2", "martha"),               // same string, other block: no cross-block pair
+      ("b1", "martha"),               // duplicate row: distinct-first
+      ("b2", "marthb"), (null, "martha")
+    ).toDF("blk", "s")
+    val got = Dedup.jaroWinklerPairs(df, col("s"), col("blk"), minSim = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    // b1: martha~marhta (0.9611); b2: martha~marthb (4/5 prefix, high);
+    // martha never pairs with itself across b1/b2, zzzzzz below threshold
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Set(("b1", "marhta", "martha"), ("b2", "martha", "marthb")))
+    assert(got.find(_._1 == "b1").get._4 == 0.9611111111111111)
+    // each unordered pair exactly once
+    assert(Dedup.jaroWinklerPairs(df, col("s"), col("blk"), 0.9).count() == 2L)
+  }
+
   test("nearDupComponents: transitive closure with min-id component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
     val comps = Dedup.nearDupComponents(pairs).collect()

@@ -256,4 +256,31 @@ class TextFnsSpec extends SparkSpec {
     assert(out(3L) == "plain text")
     assert(out(4L) == "unclosed <tag and < alone")
   }
+
+  test("jaroWinkler: DuckDB-bit-identical constants, boost gate, empties") {
+    import graft.functions.TextFns
+    // expected doubles are DuckDB jaro_winkler_similarity outputs, repr'd
+    // to full precision (round-6 session probe) — equality is EXACT.
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // transposition + boost
+      ("dwayne", "duane", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334),     // prefix 0: jw == jaro
+      // jaro = 2/3 < 0.7: boost gated OFF despite the 5-char prefix
+      ("abcdexxxxx", "abcdeyyyyy", 0.6666666666666666),
+      ("ab", "ba", 0.0),                           // window 0, no matches
+      ("abc", "abc", 1.0),
+      ("", "", 0.0), ("a", "", 0.0), ("", "a", 0.0), // DuckDB's empty rule
+      ("abc", "xyz", 0.0))
+    val df = cases.zipWithIndex
+      .map { case ((a, b, e), i) => (i.toLong, a, b, e) }
+      .toDF("id", "a", "b", "expect")
+    val bad = df.select($"id", TextFns.jaroWinkler($"a", $"b").as("got"), $"expect")
+      .filter($"got" =!= $"expect").collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+    // symmetric
+    val sym = df.filter(
+      TextFns.jaroWinkler($"a", $"b") =!= TextFns.jaroWinkler($"b", $"a")).count()
+    assert(sym == 0)
+  }
 }
