@@ -2483,6 +2483,19 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q325_token_bucket" -> ((s, dir) => {
+      // rate-limiter tuning harness: replay the event log through a
+      // per-user token bucket (3000 mtok cap, 1000/event, 100 mtok/h
+      // refill) — exact integer-microsecond arithmetic, emitting the
+      // admit/reject trace a limiter rollout is tuned on. The clamp
+      // makes the fold non-linear: bounded-group mapGroups, oracle is a
+      // recursive CTE.
+      EventStreams.tokenBucketAdmission(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_id"),
+          capacity = 3000L, cost = 1000L, refillPerHour = 100L)
+        .sortBy(Seq(col("user_id"), col("rn")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6352,6 +6365,31 @@ object SparkEntry {
          SELECT id, dirty, cand AS best_match, sim,
            CAST(cand = truth AS BIGINT) AS hit
          FROM r WHERE rn = 1 ORDER BY id""",
+
+    // the non-linear fold (min-clamp) as a recursive CTE: one step per
+    // per-user event rank; integer-us refill identical to the Scala fold.
+    "q325_token_bucket" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         tb AS (
+           SELECT user_id, event_id, tus, rn,
+             CAST(3000 AS BIGINT) AS tokens_before,
+             CAST(1 AS BIGINT) AS admit,
+             CAST(2000 AS BIGINT) AS tokens_after
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.tus, e.rn,
+             LEAST(3000, tb.tokens_after + (e.tus - tb.tus) * 100 // 3600000000),
+             CAST(CASE WHEN LEAST(3000, tb.tokens_after + (e.tus - tb.tus) * 100 // 3600000000) >= 1000
+                  THEN 1 ELSE 0 END AS BIGINT),
+             CAST(CASE WHEN LEAST(3000, tb.tokens_after + (e.tus - tb.tus) * 100 // 3600000000) >= 1000
+                  THEN LEAST(3000, tb.tokens_after + (e.tus - tb.tus) * 100 // 3600000000) - 1000
+                  ELSE LEAST(3000, tb.tokens_after + (e.tus - tb.tus) * 100 // 3600000000) END AS BIGINT)
+           FROM tb JOIN e ON e.user_id = tb.user_id AND e.rn = tb.rn + 1)
+         SELECT user_id, event_id, rn, tokens_before, admit, tokens_after
+         FROM tb ORDER BY user_id, rn""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -2020,6 +2020,66 @@ object EventStreams {
         col("__ts").alias("valid_from"), col("valid_to"))
   }
 
+  /** Output row of [[tokenBucketAdmission]] (public for the generated
+    * encoder, the [[graft.operators.Multimodal.Feat]] rule).
+    */
+  private[streaming] case class TokenBucketRow(user_id: Long, event_id: Long,
+      rn: Long, tokens_before: Long, admit: Long, tokens_after: Long)
+
+  /** Token-bucket admission control replayed over an event log: per key,
+    * a bucket starts at `capacity` millitokens, refills at
+    * `refillPerHour` millitokens/hour (computed in exact integer
+    * microseconds: `dt_us * refillPerHour / 3_600_000_000`, floor), and
+    * each event is admitted iff `cost` tokens are available (admitted
+    * events deduct, rejected ones don't). Emits one row per event with
+    * the bucket state around it — the offline harness for tuning a rate
+    * limiter against real traffic before deploying it.
+    *
+    * The fold is non-linear (the `min(capacity, …)` clamp), so no
+    * window/aggregate form exists — this is the bounded-group
+    * `groupByKey.mapGroups` contract ([[graft.operators.Relational.groupGapStats]]):
+    * one shuffle on the key, each key's (bounded) event list sorted and
+    * walked on its executor. Event order is (ts, event_id) — same-ts ties
+    * deterministic. All arithmetic is 64-bit integer: dt_us ≤ 3e12 times
+    * refill rates up to ~1e6/h stay far inside Long.
+    */
+  def tokenBucketAdmission(events: DataFrame, key: Column, ts: Column,
+      id: Column, capacity: Long, cost: Long, refillPerHour: Long): DataFrame = {
+    require(capacity >= cost && cost > 0 && refillPerHour >= 0,
+      s"need capacity >= cost > 0 and refill >= 0, got ($capacity, $cost, $refillPerHour)")
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(key.cast("long").alias("k"), unix_micros(ts).alias("tus"),
+        id.cast("long").alias("i"))
+      .as[(Long, Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroups { (k, rows) =>
+        val evs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val out = new Array[TokenBucketRow](evs.length)
+        var tokens = capacity
+        var prevUs = 0L
+        var i = 0
+        while (i < evs.length) {
+          val (tus, id) = evs(i)
+          val before =
+            if (i == 0) capacity
+            else {
+              val refill = (tus - prevUs) * refillPerHour / 3600000000L
+              val t = tokens + refill
+              if (t > capacity) capacity else t
+            }
+          val admit = before >= cost
+          tokens = if (admit) before - cost else before
+          out(i) = TokenBucketRow(k, id, i + 1L, before, if (admit) 1L else 0L, tokens)
+          prevUs = tus
+          i += 1
+        }
+        out.iterator
+      }(Encoders.product[TokenBucketRow])
+      .toDF()
+  }
+
   /** Streaming near-dup INGESTION: drain a parquet directory one file per
     * micro-batch (`maxFilesPerTrigger = 1`, file order = modification
     * time), checking each batch against the accumulated MinHash-LSH index

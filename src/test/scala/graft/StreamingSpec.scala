@@ -683,6 +683,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("tokenBucketAdmission: clamp, reject-no-deduct, integer refill, same-ts id order") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // cap 3000, cost 1000, refill 3_600_000/h = 1 mtok per ms (exact)
+    val events = Seq(
+      (1L, 1L, 0L), (1L, 2L, 500000L),      // 0.5 s -> +500
+      (1L, 3L, 600000L), (1L, 4L, 700000L), // +100 each; 4th must reject
+      (1L, 5L, 3000000L),                   // +2300 clamps to cap
+      (2L, 20L, 42L),                       // singleton: full bucket
+      (3L, 31L, 1000L), (3L, 30L, 1000L)    // same ts: id order decides rn
+    ).toDF("user_id", "event_id", "tsus")
+      .withColumn("ts", timestamp_micros(col("tsus")))
+    val out = EventStreams.tokenBucketAdmission(events, col("user_id"),
+        col("ts"), col("event_id"), capacity = 3000L, cost = 1000L,
+        refillPerHour = 3600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((1L, 1L)) == (1L, 3000L, 1L, 2000L))
+    assert(out((1L, 2L)) == (2L, 2500L, 1L, 1500L))
+    assert(out((1L, 3L)) == (3L, 1600L, 1L, 600L))
+    assert(out((1L, 4L)) == (4L, 700L, 0L, 700L))   // rejected: no deduction
+    assert(out((1L, 5L)) == (5L, 3000L, 1L, 2000L)) // refill clamped at cap
+    assert(out((2L, 20L)) == (1L, 3000L, 1L, 2000L))
+    assert(out((3L, 30L)) == (1L, 3000L, 1L, 2000L)) // smaller id first at same ts
+    assert(out((3L, 31L)) == (2L, 2000L, 1L, 1000L))
+    assert(out.size == 8)
+  }
+
   test("stateIntervals: consecutive runs collapse, valid_to = next change, last open") {
     import org.apache.spark.sql.functions.col
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
