@@ -2496,6 +2496,20 @@ object SparkEntry {
         .sortBy(Seq(col("user_id"), col("rn")))
     }),
 
+    "q326_phrase_search" -> ((s, dir) => {
+      // quoted-query evaluation over positional postings: each phrase's
+      // terms are filtered BEFORE any join (postings cost ∝ term df, not
+      // corpus size), then k-1 equi-joins on (doc, aligned start). Two
+      // selective trigrams + one frequent bigram, all occurrences.
+      val docs = t(s, dir, "documents")
+      Seq("slow hash batch", "part filter scan", "row column").map { p =>
+        Retrieval.phraseOccurrences(docs, col("doc_id"), col("text"),
+            p.split(" ").toSeq)
+          .selectCols(Seq(lit(p).as("phrase"), col("doc_id"), col("pos")))
+      }.reduce(_ union _)
+        .sortBy(Seq(col("phrase"), col("doc_id"), col("pos")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6390,6 +6404,40 @@ object SparkEntry {
            FROM tb JOIN e ON e.user_id = tb.user_id AND e.rn = tb.rn + 1)
          SELECT user_id, event_id, rn, tokens_before, admit, tokens_after
          FROM tb ORDER BY user_id, rn""",
+
+    "q326_phrase_search" ->
+      """WITH tok0 AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM documents),
+         t AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+               FROM tok0, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u),
+         o1 AS (SELECT 'slow hash batch' AS phrase, t0.doc_id,
+               CAST(t0.pos AS BIGINT) AS pos
+             FROM t t0
+             JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+               AND t1.tok = 'hash'
+             JOIN t t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+               AND t2.tok = 'batch'
+             WHERE t0.tok = 'slow'),
+         o2 AS (SELECT 'part filter scan' AS phrase, t0.doc_id,
+               CAST(t0.pos AS BIGINT) AS pos
+             FROM t t0
+             JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+               AND t1.tok = 'filter'
+             JOIN t t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+               AND t2.tok = 'scan'
+             WHERE t0.tok = 'part'),
+         o3 AS (SELECT 'row column' AS phrase, t0.doc_id,
+               CAST(t0.pos AS BIGINT) AS pos
+             FROM t t0
+             JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+               AND t1.tok = 'column'
+             WHERE t0.tok = 'row')
+         SELECT * FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+           UNION ALL SELECT * FROM o3)
+         ORDER BY phrase, doc_id, pos""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

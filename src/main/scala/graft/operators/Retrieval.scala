@@ -123,6 +123,41 @@ object Retrieval {
         col("score"))
   }
 
+  /** Exact positional phrase search: every occurrence of the k-term
+    * phrase in the tokenized corpus, as (doc_id, pos) with `pos` the
+    * 0-based position of the phrase's first term. Tokenization is the
+    * engine-wide [[graft.functions.TextFns.tokens]] (trim, lowercase,
+    * whitespace split).
+    *
+    * Inverted-index join formulation — the positional-postings analogue
+    * of how a search engine evaluates quoted queries: the (doc, pos, tok)
+    * postings are FILTERED to the phrase's own terms before anything
+    * joins (selective terms ⇒ tiny frames; the filter reaches the scan),
+    * each slot i is shifted to its implied start `pos - i`, and matching
+    * is k−1 EQUI-joins on (doc_id, start). Postings are unique per
+    * (doc, pos), so every output row is one distinct occurrence — no
+    * dedup. Overlapping occurrences (e.g. "a a a" in "a a a a") all
+    * report, as positional search must.
+    *
+    * At scale each join is shuffle-keyed by (doc_id, start) over
+    * term-filtered postings only — cost proportional to the phrase
+    * terms' document frequency, never to corpus size; a stopword-heavy
+    * phrase degrades toward the frequent term's postings length, the
+    * standard positional-index behavior.
+    */
+  def phraseOccurrences(docs: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val toks = docs.select(id.alias("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(text)).as(Seq("pos", "tok")))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("tok") === lit(t))
+        .select(col("doc_id"), (col("pos") - i).alias("start"))
+    }
+    slots.reduceLeft((a, b) => a.join(b, Seq("doc_id", "start")))
+      .select(col("doc_id"), col("start").cast("long").alias("pos"))
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack/Clarke/Buettcher):
     * rrf(d) = 1/(c + rank_a(d)) + 1/(c + rank_b(d)), a document absent from
     * one list contributing 0 from it. The standard way to hybridize a

@@ -207,6 +207,24 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1) == (2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("phraseOccurrences: overlap, repeated-term phrase, normalization, absence") {
+    val d = Seq(
+      (1L, "a a a a end"),            // "a a" overlaps: starts 0,1,2
+      (2L, "  A  a b  "),             // case+whitespace normalize: "a a" at 0
+      (3L, "a b a b a"),              // "a b a" at 0 and 2 (shared middle)
+      (4L, "nothing here")
+    ).toDF("doc_id", "text")
+    def occ(p: String) = Retrieval.phraseOccurrences(d, col("doc_id"), col("text"),
+        p.split(" ").toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(occ("a a") == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(occ("a b a") == Set((3L, 0L), (3L, 2L)))
+    assert(occ("a a a a") == Set((1L, 0L)))
+    assert(occ("missing phrase") == Set.empty)
+    // single-term degenerates to the postings list itself
+    assert(occ("b") == Set((2L, 2L), (3L, 1L), (3L, 3L)))
+  }
+
   test("mmrSelect: score ties break by ascending doc_id") {
     val cand = Seq((1L, 7L, 500000L), (1L, 3L, 500000L)).toDF("qid", "doc_id", "rel_ppm")
     val sims = Seq.empty[(Long, Long, Long, Long)].toDF("qid", "id_a", "id_b", "sim_ppm")
