@@ -2510,6 +2510,15 @@ object SparkEntry {
         .sortBy(Seq(col("phrase"), col("doc_id"), col("pos")))
     }),
 
+    "q327_weighted_jaccard" -> ((s, dir) => {
+      // tf-aware near-dup pairs: multiset Jaccard ≥ 0.6 in floor ppm,
+      // inverted-index equi-join on shared tokens only (Σ max via the
+      // n_a + n_b − Σ min identity — union never materializes).
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), minPpm = 600000L)
+        .sortBy(Seq(col("id_a"), col("id_b")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6438,6 +6447,27 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
            UNION ALL SELECT * FROM o3)
          ORDER BY phrase, doc_id, pos""",
+
+    "q327_weighted_jaccard" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS tok
+             FROM documents) GROUP BY doc_id, tok),
+         tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter
+           FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, inter, ta.n + tb.n - inter AS uni
+           FROM inter
+           JOIN tot ta ON ta.doc_id = id_a
+           JOIN tot tb ON tb.doc_id = id_b)
+         SELECT id_a, id_b, inter, uni, inter * 1000000 // uni AS wjacc_ppm
+         FROM j WHERE inter * 1000000 // uni >= 600000
+         ORDER BY id_a, id_b""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -397,6 +397,46 @@ object Dedup {
         col("dot"), col("n2_a"), col("n2_b"))
   }
 
+  /** Weighted (multiset) Jaccard near-dup pairs over token bags:
+    * `wJ(a,b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t))` —
+    * the tf-aware refinement of set Jaccard (a doc that repeats "the
+    * cat" 50 times no longer looks identical to one mentioning it once).
+    * Computed integer-exact via the identity `Σ max = n_a + n_b − Σ min`
+    * (n = total tokens), so only the SHARED tokens ever join; the ratio
+    * is reported as floor ppm, one integer division both engines agree
+    * on.
+    *
+    * Scale shape (the [[sparseCosinePairs]] discipline): tf frames are
+    * one partial-agg groupBy; candidate pairs come from an inverted-index
+    * EQUI-join on token, cost ∝ Σ_t df(t)², never corpus². The `maxDf`
+    * cap drops hub tokens (stopword-like, df > cap) from pair GENERATION
+    * only — their mass still counts in n_a/n_b, so reported similarity
+    * is then a lower bound, the same contract as sparseCosinePairs'
+    * maxBucket. Returns (id_a, id_b, inter, uni, wjacc_ppm).
+    */
+  def weightedJaccardPairs(docs: DataFrame, id: Column, text: Column,
+      minPpm: Long, maxDf: Int = 1 << 20): DataFrame = {
+    require(minPpm >= 1 && minPpm <= 1000000L,
+      s"minPpm must be in [1, 1000000], got $minPpm")
+    val tf = docs.select(id.alias("id"),
+        explode(graft.functions.TextFns.tokens(text)).alias("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).alias("tf"))
+    val tot = tf.groupBy("id").agg(sum("tf").alias("n"))
+    val dfreq = tf.groupBy("tok").count()
+    val kept = tf.join(dfreq.filter(col("count") <= maxDf).select("tok"), Seq("tok"))
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).alias("inter"))
+      .join(tot.select(col("id").alias("id_a"), col("n").alias("n_a")), Seq("id_a"))
+      .join(tot.select(col("id").alias("id_b"), col("n").alias("n_b")), Seq("id_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("wjacc_ppm", expr("(inter * 1000000) DIV uni"))
+      .filter(col("wjacc_ppm") >= minPpm)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("wjacc_ppm"))
+  }
+
   /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs
     * with cosine >= threshold. Quadratic AND broadcasts the whole corpus —
     * correct tool only for verifying or for corpora small enough to

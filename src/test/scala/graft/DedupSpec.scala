@@ -169,6 +169,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaroWinklerPairs(df, col("s"), col("blk"), 0.9).count() == 2L)
   }
 
+  test("weightedJaccardPairs: hand multiset values, floor ppm, hub-cap lower bound") {
+    val d = Seq((1L, "x x y"), (2L, "x y y"), (3L, "x x z"))
+      .toDF("doc_id", "text")
+    def run(minPpm: Long, maxDf: Int = 1 << 20) =
+      Dedup.weightedJaccardPairs(d, col("doc_id"), col("text"), minPpm, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val all = run(1L)
+    // tf1={x:2,y:1} tf2={x:1,y:2} tf3={x:2,z:1}; df: x=3, y=2, z=1
+    assert(all((1L, 2L)) == (2L, 4L, 500000L))   // min-sum 2, union 4
+    assert(all((1L, 3L)) == (2L, 4L, 500000L))   // via x only
+    assert(all((2L, 3L)) == (1L, 5L, 200000L))
+    // threshold is inclusive on the floored ppm
+    assert(run(500000L).keySet == Set((1L, 2L), (1L, 3L)))
+    // maxDf=2 drops hub token x (df 3) from pair GENERATION only: 1-2
+    // survives on y alone with x's mass still in the totals (lower
+    // bound), and the x-only pairs (1-3, 2-3) vanish entirely
+    val capped = run(1L, maxDf = 2)
+    assert(capped == Map((1L, 2L) -> (1L, 5L, 200000L)))
+  }
+
   test("nearDupComponents: transitive closure with min-id component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
     val comps = Dedup.nearDupComponents(pairs).collect()
