@@ -2519,6 +2519,18 @@ object SparkEntry {
         .sortBy(Seq(col("id_a"), col("id_b")))
     }),
 
+    "q328_interval_coverage" -> ((s, dir) => {
+      // per-supplier in-transit coverage: half-open [ship_day, ship_day
+      // + 1 + (orderkey+linenumber)%7) intervals swept into islands —
+      // union length, island count, span. O(n log n) sweep per key, no
+      // pair materialization.
+      val li = t(s, dir, "lineitem")
+        .withColumn("sday", unix_date(to_date(col("l_shipdate"))))
+      Relational.intervalCoverage(li, col("l_suppkey"), col("sday"),
+          col("sday") + lit(1) + (col("l_orderkey") + col("l_linenumber")) % 7)
+        .sortBy(Seq(col("key")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6468,6 +6480,34 @@ object SparkEntry {
          SELECT id_a, id_b, inter, uni, inter * 1000000 // uni AS wjacc_ppm
          FROM j WHERE inter * 1000000 // uni >= 600000
          ORDER BY id_a, id_b""",
+
+    // the sweep replayed with SQL windows; island totals are tie-order
+    // independent (see Relational.intervalCoverage scaladoc).
+    "q328_interval_coverage" ->
+      """WITH iv AS (SELECT l_suppkey AS k,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               + 1 + (l_orderkey + l_linenumber) % 7 AS e
+           FROM lineitem),
+         m AS (SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM iv WHERE e > s),
+         fl AS (SELECT k, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+           FROM m),
+         isl AS (SELECT k, s, e,
+             sum(ni) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM fl),
+         g AS (SELECT k, island, min(s) AS i_s, max(e) AS i_e,
+             count(*) AS n
+           FROM isl GROUP BY k, island)
+         SELECT k AS key, CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+           CAST(max(i_e) - min(i_s) AS BIGINT) AS span
+         FROM g GROUP BY k ORDER BY key""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -1269,6 +1269,50 @@ object Relational {
     * no state. The assignment IS the partitioner; `repartition(col)` on
     * the result routes rows.
     */
+  /** Interval union-length (coverage) per key, by sweep: intervals are
+    * half-open `[start, end)` in caller units (epoch days, micros —
+    * anything Long); rows with `end <= start` contribute nothing and are
+    * dropped. Touching intervals (`[1,3) [3,5)`) merge. Returns per key:
+    * `(key, n_intervals, n_islands, covered, span)` where `covered` is
+    * the union length and `span = max end − min start`.
+    *
+    * The sweep is the O(n log n) classic: order by (start, end) within
+    * the key, a row opens a new island iff its start exceeds the running
+    * max end of all EARLIER rows; island id = running sum of the flag.
+    * Same-(start,end) duplicate rows are order-stable by construction
+    * (whichever lands first absorbs the other), so the aggregate outputs
+    * are deterministic even though the window tie order isn't.
+    *
+    * Scale shape: one shuffle on the key; both windows and both groupBys
+    * reuse that partitioning (the window is per-key, never global), and
+    * the island groupBy partially aggregates map-side. The naive
+    * alternative — all-pairs overlap testing — is quadratic per key;
+    * this never materializes a pair.
+    */
+  def intervalCoverage(df: DataFrame, key: Column, start: Column,
+      end: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("s").asc, col("e").asc)
+    df.select(key.alias("k"), start.cast("long").alias("s"),
+        end.cast("long").alias("e"))
+      .filter(col("e") > col("s"))
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        (col("prev_max_e").isNull || col("s") > col("prev_max_e")).cast("long"))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).alias("is"), max(col("e")).alias("ie"),
+        count(lit(1)).alias("n"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).alias("n_intervals"),
+        count(lit(1)).alias("n_islands"),
+        sum(col("ie") - col("is")).alias("covered"),
+        (max(col("ie")) - min(col("is"))).alias("span"))
+      .withColumnRenamed("k", "key")
+  }
+
   def rendezvousAssign(df: DataFrame, id: Column, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val key = id.cast("long")

@@ -794,6 +794,22 @@ class RelationalSpec extends SparkSpec {
     assert(none == Row(0L, 1L, 1L, 0L, null, null, 0L))
   }
 
+  test("intervalCoverage: merge/touch/disjoint islands, empty dropped, singleton") {
+    val iv = Seq(
+      (1L, 0L, 5L), (1L, 3L, 7L),   // overlap -> one island
+      (1L, 7L, 9L),                 // touching merges (half-open)
+      (1L, 20L, 22L),               // disjoint second island
+      (1L, 5L, 5L),                 // empty: dropped
+      (2L, 10L, 11L)
+    ).toDF("k", "s", "e")
+    val out = graft.operators.Relational.intervalCoverage(iv, $"k", $"s", $"e")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (4L, 2L, 11L, 22L))  // 4 intervals, 2 islands, |[0,9)|+|[20,22)|=11, span 22
+    assert(out(2L) == (1L, 1L, 1L, 1L))
+    assert(out.size == 2)
+  }
+
   test("groupGapStats: typed mapGroups walk — gaps, span, singleton group") {
     val df = Seq((1L, 10L), (1L, 12L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, 7L))
       .toDF("k", "d")
