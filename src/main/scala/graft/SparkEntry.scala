@@ -2531,6 +2531,22 @@ object SparkEntry {
         .sortBy(Seq(col("key")))
     }),
 
+    "q329_multi_pattern" -> ((s, dir) => {
+      // blocklist probe: 4 raw-substring patterns counted in ONE
+      // Aho-Corasick pass per document (overlaps included) vs the
+      // oracle's 4 per-position scans — the N-patterns-one-scan shape
+      // contamination checks need at scale.
+      val pats = Seq("scan", "scan slow", "table table", "row c")
+      val patArr = array(pats.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("counts", TextFns.multiPatternCounts(col("text"), pats))
+        .select(col("doc_id"), posexplode(col("counts")).as(Seq("pi", "n")))
+        .filterCol(col("n") > 0)
+        .selectCols(Seq(col("doc_id"),
+          element_at(patArr, col("pi") + 1).as("pattern"), col("n")))
+        .sortBy(Seq(col("doc_id"), col("pattern")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6508,6 +6524,20 @@ object SparkEntry {
            CAST(sum(i_e - i_s) AS BIGINT) AS covered,
            CAST(max(i_e) - min(i_s) AS BIGINT) AS span
          FROM g GROUP BY k ORDER BY key""",
+
+    // per-position substring equality = the automaton's overlap-inclusive
+    // count, one scan per pattern (the thing the automaton amortizes).
+    "q329_multi_pattern" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('scan'), ('scan slow'),
+             ('table table'), ('row c')) AS p(pattern)),
+         occ AS (
+           SELECT d.doc_id, p.pattern, CAST(count(*) AS BIGINT) AS n
+           FROM documents d, pats p,
+             LATERAL (SELECT unnest(range(1,
+               len(d.text) - len(p.pattern) + 2)) AS i) u
+           WHERE substr(d.text, CAST(i AS INT), len(p.pattern)) = p.pattern
+           GROUP BY 1, 2)
+         SELECT doc_id, pattern, n FROM occ ORDER BY doc_id, pattern""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -241,4 +241,12 @@ object TextFns {
     */
   def jaroWinkler(a: Column, b: Column): Column =
     graft.plans.TextExprs.jaroWinkler(a, b)
+
+  /** Occurrence counts (overlaps included) of N fixed patterns in one
+    * Aho-Corasick pass — `array<long>` aligned with `patterns`. The
+    * blocklist/contamination probe at N patterns per scan instead of N
+    * scans ([[graft.plans.TextExprs.MultiPatternCountExpr]]).
+    */
+  def multiPatternCounts(c: Column, patterns: Seq[String]): Column =
+    graft.plans.TextExprs.multiPatternCounts(c, patterns)
 }

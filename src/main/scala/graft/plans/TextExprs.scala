@@ -358,6 +358,91 @@ object TextExprs {
     override def prettyName: String = "jaro_winkler"
   }
 
+  /** Aho-Corasick automaton over UTF-16 code units: goto trie + BFS fail
+    * links with per-node merged output lists. Built once per expression
+    * instance (lazily, on the executor after deserialization) and reused
+    * across every row — the point of the algorithm: one pass over the
+    * text counts ALL patterns, vs N separate scans for N `instr`-style
+    * probes. Occurrence counting includes overlaps and nested matches
+    * ("aa" occurs 3x in "aaaa"; "a" and "aa" both count independently),
+    * the standard automaton semantics.
+    */
+  private[plans] final class AhoCorasick(patterns: Array[String])
+      extends Serializable {
+    private val (gotoArr, fail, out) = {
+      val gotoB = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.HashMap.empty[Char, Int])
+      val failB = scala.collection.mutable.ArrayBuffer(0)
+      val outB = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+      patterns.zipWithIndex.foreach { case (p, pi) =>
+        var v = 0
+        p.foreach { c =>
+          v = gotoB(v).getOrElseUpdate(c, {
+            gotoB += scala.collection.mutable.HashMap.empty[Char, Int]
+            failB += 0; outB += Nil
+            gotoB.size - 1
+          })
+        }
+        outB(v) = pi :: outB(v)
+      }
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoB(0).valuesIterator.foreach { u => failB(u) = 0; queue += u }
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        gotoB(v).foreach { case (c, u) =>
+          queue += u
+          var f = failB(v)
+          while (f != 0 && !gotoB(f).contains(c)) f = failB(f)
+          val t = gotoB(f).getOrElse(c, 0)
+          failB(u) = if (t != u) t else 0
+          // BFS order: failB(u) is shallower, its output list is final
+          outB(u) = outB(u) ++ outB(failB(u))
+        }
+      }
+      (gotoB.map(_.toMap).toArray, failB.toArray, outB.map(_.toArray).toArray)
+    }
+
+    def countInto(text: String, counts: Array[Long]): Unit = {
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (state != 0 && !gotoArr(state).contains(c)) state = fail(state)
+        state = gotoArr(state).getOrElse(c, 0)
+        val o = out(state)
+        var j = 0
+        while (j < o.length) { counts(o(j)) += 1; j += 1 }
+        i += 1
+      }
+    }
+  }
+
+  /** Occurrence counts of N fixed patterns in one text pass
+    * (Aho-Corasick): returns `array<long>` aligned with `patterns`.
+    * Overlapping and nested occurrences all count — exactly what a
+    * per-position substring-equality scan would find, which is what the
+    * cross-engine oracle replays. The multi-pattern blocklist/leakage
+    * probe: at N patterns this is one automaton walk per document where
+    * N `instr` probes would be N scans.
+    */
+  case class MultiPatternCountExpr(child: Expression, patterns: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    require(patterns.distinct.size == patterns.size,
+      "patterns must be distinct (counts are per-pattern)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+    override def nullSafeEval(input: Any): Any = {
+      val counts = new Array[Long](patterns.size)
+      ac.countInto(input.asInstanceOf[UTF8String].toString, counts)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    }
+    override protected def withNewChildInternal(c: Expression): MultiPatternCountExpr =
+      copy(child = c)
+    override def prettyName: String = "multi_pattern_counts"
+  }
+
   import org.apache.spark.sql.graft.Bridge.{column => asCol, expression => asExpr}
 
   def langId(c: Column): Column = asCol(LangIdExpr(asExpr(c)))
@@ -376,6 +461,8 @@ object TextExprs {
   def fnv64(c: Column): Column = asCol(Fnv64Expr(asExpr(c)))
   def jaroWinkler(a: Column, b: Column): Column =
     asCol(JaroWinklerExpr(asExpr(a), asExpr(b)))
+  def multiPatternCounts(c: Column, patterns: Seq[String]): Column =
+    asCol(MultiPatternCountExpr(asExpr(c), patterns))
 
   /** SQL-name → builder table for the unary text expressions (see
     * [[VectorExprs.sqlFunctions]]; the arity-2 forms stay Column-API-only

@@ -283,4 +283,21 @@ class TextFnsSpec extends SparkSpec {
       TextFns.jaroWinkler($"a", $"b") =!= TextFns.jaroWinkler($"b", $"a")).count()
     assert(sym == 0)
   }
+
+  test("multiPatternCounts: overlaps, nesting, fail links (ushers), absents") {
+    import graft.functions.TextFns
+    def counts(text: String, pats: Seq[String]): Seq[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextFns.multiPatternCounts($"t", pats).as("c"))
+        .collect()(0).getSeq[Long](0)
+    assert(counts("aaaa", Seq("a", "aa", "aaa")) == Seq(4L, 3L, 2L))
+    assert(counts("abab", Seq("ab", "ba", "bab", "zz")) == Seq(2L, 1L, 1L, 0L))
+    // the classic automaton case: "hers" shares the trie path of "he",
+    // "she" ends mid-path — fail links must surface all three
+    assert(counts("ushers", Seq("she", "he", "hers", "us")) == Seq(1L, 1L, 1L, 1L))
+    assert(counts("", Seq("x")) == Seq(0L))
+    intercept[IllegalArgumentException] {
+      counts("x", Seq("a", "a"))  // duplicate patterns rejected
+    }
+  }
 }
