@@ -2547,6 +2547,29 @@ object SparkEntry {
         .sortBy(Seq(col("doc_id"), col("pattern")))
     }),
 
+    "q330_group_ols" -> ((s, dir) => {
+      // per-supplier price-vs-quantity trend line: exact closed-form OLS
+      // over five decimal sums (one partial-agg groupBy), slope/
+      // intercept/r² in truncation ppm. The per-segment regression scan.
+      val li = t(s, dir, "lineitem").selectCols(Seq(
+        col("l_suppkey").as("k"),
+        col("l_quantity").cast("long").as("x"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("y")))
+      Relational.groupOls(li, col("k"), col("x"), col("y"))
+        .sortBy(Seq(col("key")))
+    }),
+
+    "q331_winnow_fingerprints" -> ((s, dir) => {
+      // MOSS robust winnowing: rightmost-min FNV hash per window of 4
+      // consecutive token 3-grams — the guarantee-carrying plagiarism
+      // sketch (any ≥6-token match shares a fingerprint), fully
+      // declarative in both engines.
+      Dedup.winnowFingerprints(t(s, dir, "documents"), col("doc_id"),
+          col("text"), k = 3, w = 4)
+        .sortBy(Seq(col("doc_id"), col("pos"), col("h")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6538,6 +6561,68 @@ object SparkEntry {
            WHERE substr(d.text, CAST(i AS INT), len(p.pattern)) = p.pattern
            GROUP BY 1, 2)
          SELECT doc_id, pattern, n FROM occ ORDER BY doc_id, pattern""",
+
+    // the five-sum closed forms in HUGEINT (DuckDB's exact int128 —
+    // Spark computes the same values in DECIMAL(38,0)); sign-split //
+    // replicates Spark's truncation-toward-zero DIV.
+    "q330_group_ols" ->
+      """WITH b AS (SELECT l_suppkey AS key, CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM lineitem),
+         s AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x*y) AS HUGEINT) AS sxy,
+             CAST(sum(x*x) AS HUGEINT) AS sxx,
+             CAST(sum(y*y) AS HUGEINT) AS syy
+           FROM b GROUP BY key),
+         c AS (SELECT key, n,
+             n*sxx - sx*sx AS den, n*syy - sy*sy AS den2,
+             n*sxy - sx*sy AS num, sy*sxx - sx*sxy AS numi
+           FROM s)
+         SELECT key, n,
+           CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
+                ELSE CAST(-((-num * 1000000) // den) AS BIGINT) END AS slope_ppm,
+           CASE WHEN den = 0 THEN NULL
+                WHEN numi >= 0 THEN CAST((numi * 1000000) // den AS BIGINT)
+                ELSE CAST(-((-numi * 1000000) // den) AS BIGINT) END AS intercept_ppm,
+           CASE WHEN den = 0 OR den2 = 0 THEN NULL
+                ELSE CAST((num * num * 1000000) // (den * den2) AS BIGINT) END AS r2_ppm
+         FROM c ORDER BY key""",
+
+    // positional 3-grams via the lateral-range index, FNV HUGEINT fold
+    // (q173's pattern), rightmost-min as min(struct(h, -pos)) over the
+    // same 4-gram frame, distinct selections.
+    "q331_winnow_fingerprints" ->
+      """WITH tok0 AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM documents),
+         g AS (SELECT doc_id, len(tk) - 2 AS m, i AS pos,
+             array_to_string(tk[i+1:i+3], ' ') AS gs
+           FROM tok0, LATERAL (SELECT unnest(range(0, len(tk) - 2)) AS i) u
+           WHERE len(tk) >= 3),
+         hh AS (SELECT doc_id, m, pos,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN u - CAST('18446744073709551616' AS HUGEINT)
+                  ELSE u END AS BIGINT) AS h
+           FROM (SELECT doc_id, m, pos,
+               list_reduce(
+                 list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                   list_transform(string_split(gs, ''),
+                     ch -> CAST(unicode(ch) AS HUGEINT))),
+                 (acc, c) -> (xor(acc, c) * 1099511628211)
+                   % CAST('18446744073709551616' AS HUGEINT)) AS u
+             FROM g)),
+         wm AS (SELECT doc_id, m, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+           FROM hh),
+         sel AS (SELECT DISTINCT doc_id,
+             CAST(-(wmin.np) AS BIGINT) AS pos, wmin.h AS h
+           FROM wm WHERE pos <= m - 4)
+         SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos, h""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -437,6 +437,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("wjacc_ppm"))
   }
 
+  /** Robust-winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's
+    * MOSS): over each document's POSITIONAL token k-gram sequence, hash
+    * every k-gram with the portable FNV-1a64 and, for every window of
+    * `w` consecutive k-grams, select the minimum hash — rightmost
+    * position on ties (the "robust" rule: re-selecting the same
+    * occurrence across overlapping windows, so shared substrings yield
+    * shared fingerprints). Returns distinct `(doc_id, pos, h)`.
+    * Guarantees: ≥1 fingerprint per w consecutive k-grams; any match of
+    * length ≥ w+k−1 tokens between two documents shares ≥1 fingerprint —
+    * the plagiarism/near-dup screening sketch with tunable density 2/(w+1).
+    *
+    * Docs with fewer than w k-grams emit nothing (no full window) —
+    * lower `w` or fall back to [[minhashLshPairs]] for short docs.
+    *
+    * Fully declarative in both engines: the rightmost-min is
+    * `min(struct(h, −pos))` over a (CURRENT ROW, w−1 FOLLOWING) frame —
+    * per-doc windows partition by doc_id, never globally; the shuffle
+    * carries (doc, pos, hash) triples only. FNV (not xxhash) keeps every
+    * fingerprint value SQL-replayable cross-engine.
+    */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val tk = graft.functions.TextFns.tokens(text)
+    val grams = when(size(tk) - (k - 1) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - k),
+        i => array_join(slice(tk, i + 1, lit(k)), " ")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs.select(id.alias("doc_id"), grams.alias("grams"))
+      .select(col("doc_id"), size(col("grams")).alias("m"),
+        posexplode(col("grams")).as(Seq("pos", "g")))
+      .withColumn("h", graft.plans.TextExprs.fnv64(col("g")))
+      .withColumn("wmin", min(struct(col("h"), (-col("pos")).alias("np"))).over(win))
+      .filter(col("pos") <= col("m") - w)
+      .select(col("doc_id"), (-col("wmin.np")).cast("long").alias("pos"),
+        col("wmin.h").alias("h"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs
     * with cosine >= threshold. Quadratic AND broadcasts the whole corpus —
     * correct tool only for verifying or for corpora small enough to

@@ -1313,6 +1313,48 @@ object Relational {
       .withColumnRenamed("k", "key")
   }
 
+  /** Exact per-group simple OLS (y = a + b·x) over INTEGER-valued inputs
+    * (caller pre-scales: cents, counts — per-row |x·y| and |y²| must fit
+    * a Long, i.e. |x|,|y| ≲ 3e9). Closed forms over five DECIMAL(38,0)
+    * sums:
+    *   b  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   a  = (Σy·Σx² − Σx·Σxy) / same-denominator
+    *   r² = (n·Σxy − Σx·Σy)² / (den · (n·Σy² − (Σy)²))
+    * reported as truncation-toward-zero ppm BIGINTs (sign-split in the
+    * oracle — the house DIV contract), NULL when x (or, for r², y) is
+    * constant in the group. The per-segment trend-line scan: ONE
+    * partial-aggregating groupBy, five map-side sums — nothing else
+    * moves, the ideal 100 TB shape.
+    */
+  def groupOls(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    df.select(key.alias("key"), x.cast("long").alias("x"), y.cast("long").alias("y"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).alias("n"),
+        sum((col("x")).cast(d)).alias("sx"),
+        sum((col("y")).cast(d)).alias("sy"),
+        sum((col("x") * col("y")).cast(d)).alias("sxy"),
+        sum((col("x") * col("x")).cast(d)).alias("sxx"),
+        sum((col("y") * col("y")).cast(d)).alias("syy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("den2", expr("n * syy - sy * sy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("numi", expr("sy * sxx - sx * sxy"))
+      .withColumn("slope_ppm", expr(
+        """CASE WHEN den = 0 THEN NULL
+           WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT)
+           ELSE CAST(-((-num * 1000000) DIV den) AS BIGINT) END"""))
+      .withColumn("intercept_ppm", expr(
+        """CASE WHEN den = 0 THEN NULL
+           WHEN numi >= 0 THEN CAST((numi * 1000000) DIV den AS BIGINT)
+           ELSE CAST(-((-numi * 1000000) DIV den) AS BIGINT) END"""))
+      .withColumn("r2_ppm", expr(
+        """CASE WHEN den = 0 OR den2 = 0 THEN NULL
+           ELSE CAST((num * num * 1000000) DIV (den * den2) AS BIGINT) END"""))
+      .select(col("key"), col("n"), col("slope_ppm"), col("intercept_ppm"),
+        col("r2_ppm"))
+  }
+
   def rendezvousAssign(df: DataFrame, id: Column, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val key = id.cast("long")

@@ -190,6 +190,37 @@ class DedupSpec extends SparkSpec {
     assert(capped == Map((1L, 2L) -> (1L, 5L, 200000L)))
   }
 
+  test("winnowFingerprints: density guarantee, shared-substring property, rightmost ties, short docs") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"x y $shared z w v u t s"),
+      (3L, "a a a a a a a a"),          // identical grams: rightmost tie
+      (4L, "too short")                 // < k tokens: nothing
+    ).toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val fp = Dedup.winnowFingerprints(d, col("doc_id"), col("text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1)
+    // density: every full window of w grams holds >= 1 selected position
+    for (doc <- Seq(1L, 2L, 3L)) {
+      val poss = byDoc(doc).map(_._2).toSet
+      val m = d.filter(col("doc_id") === doc)
+        .select(size(graft.functions.TextFns.tokens(col("text"))))
+        .collect()(0).getInt(0) - (k - 1)
+      for (j <- 0 to m - w)
+        assert((j until j + w).exists(p => poss.contains(p.toLong)), s"doc $doc window $j")
+    }
+    // the 8-token shared run (6 shared 3-grams >= w+ ... >= w) must yield
+    // at least one fingerprint HASH common to docs 1 and 2
+    val h1 = byDoc(1L).map(_._3).toSet; val h2 = byDoc(2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty)
+    // identical hashes: rightmost-min selects exactly {w-1 .. m-1}
+    val m3 = 8 - (k - 1)
+    assert(byDoc(3L).map(_._2).toSet == ((w - 1) until m3).map(_.toLong).toSet)
+    assert(!byDoc.contains(4L))
+  }
+
   test("nearDupComponents: transitive closure with min-id component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
     val comps = Dedup.nearDupComponents(pairs).collect()

@@ -810,6 +810,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("groupOls: perfect fit, negative intercept, truncation ppm, constant-x nulls") {
+    val pts = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),   // y = 2x exactly
+      ("b", 1L, 1L), ("b", 2L, 3L),                  // y = 2x - 1
+      ("c", 5L, 1L), ("c", 5L, 9L),                  // constant x
+      ("d", 0L, 0L), ("d", 1L, 1L), ("d", 2L, 1L)    // slope 1/2, r2 3/4
+    ).toDF("k", "x", "y")
+    val out = graft.operators.Relational.groupOls(pts, $"k", $"x", $"y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(out("a") == (3L, Some(2000000L), Some(0L), Some(1000000L)))
+    assert(out("b") == (2L, Some(2000000L), Some(-1000000L), Some(1000000L)))
+    assert(out("c") == (2L, None, None, None))
+    // 1e6/6 truncates to 166666; r2 = 9/12
+    assert(out("d") == (3L, Some(500000L), Some(166666L), Some(750000L)))
+  }
+
   test("groupGapStats: typed mapGroups walk — gaps, span, singleton group") {
     val df = Seq((1L, 10L), (1L, 12L), (1L, 20L), (2L, 5L), (3L, 7L), (3L, 7L))
       .toDF("k", "d")
