@@ -2570,6 +2570,29 @@ object SparkEntry {
         .sortBy(Seq(col("doc_id"), col("pos"), col("h")))
     }),
 
+    "q332_point_in_polygon" -> ((s, dir) => {
+      // geofence containment: q321's projected customers against three
+      // convex CCW polygons via bbox-cell equi-join + exact integer
+      // cross-product test (boundary inclusive). Overlapping fences
+      // multi-report, as geofencing must.
+      import s.implicits._
+      val cust = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 10000).as("x"),
+        (col("c_custkey") * 104729 % 10000).as("y")))
+      val polys = Seq(
+        ("pent", Seq((6500L, 5000L), (5464L, 6427L), (3787L, 5882L),
+          (3787L, 4118L), (5464L, 3573L))),
+        ("sq", Seq((2000L, 2000L), (7000L, 2000L), (7000L, 7000L),
+          (2000L, 7000L))),
+        ("tri", Seq((0L, 0L), (9999L, 0L), (0L, 9999L)))
+      ).toDF("poly_id", "vraw")
+        .withColumn("vs", transform(col("vraw"),
+          v => struct(v("_1").as("x"), v("_2").as("y"))))
+      Spatial.pointInConvexPolygon(cust, polys, cellSize = 2000L)
+        .sortBy(Seq(col("poly_id"), col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6623,6 +6646,28 @@ object SparkEntry {
              CAST(-(wmin.np) AS BIGINT) AS pos, wmin.h AS h
            FROM wm WHERE pos <= m - 4)
          SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos, h""",
+
+    // the polygons unrolled to edge rows; containment = bool_and of the
+    // same integer cross products (the grid only bounds candidates, so
+    // the oracle needs no grid).
+    "q332_point_in_polygon" ->
+      """WITH pts AS (SELECT c_custkey AS id, (c_custkey*7919)%10000 AS x,
+             (c_custkey*104729)%10000 AS y FROM customer),
+         e AS (SELECT * FROM (VALUES
+             ('tri', 0, 0, 9999, 0), ('tri', 9999, 0, 0, 9999),
+             ('tri', 0, 9999, 0, 0),
+             ('sq', 2000, 2000, 7000, 2000), ('sq', 7000, 2000, 7000, 7000),
+             ('sq', 7000, 7000, 2000, 7000), ('sq', 2000, 7000, 2000, 2000),
+             ('pent', 6500, 5000, 5464, 6427), ('pent', 5464, 6427, 3787, 5882),
+             ('pent', 3787, 5882, 3787, 4118), ('pent', 3787, 4118, 5464, 3573),
+             ('pent', 5464, 3573, 6500, 5000))
+           AS e(poly_id, x1, y1, x2, y2)),
+         m AS (SELECT p.id, p.x, p.y, e.poly_id,
+             bool_and((e.x2-e.x1)*(p.y-e.y1) - (e.y2-e.y1)*(p.x-e.x1) >= 0)
+               AS inside
+           FROM pts p CROSS JOIN e GROUP BY 1, 2, 3, 4)
+         SELECT id, x, y, poly_id FROM m WHERE inside
+         ORDER BY poly_id, id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

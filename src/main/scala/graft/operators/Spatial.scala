@@ -112,4 +112,59 @@ object Spatial {
       .selectCols(Seq(col("b_id").as("id"), col("rank").cast("long").as("rank"),
         col("a_id").as("neighbor_id"), col("d2")))
   }
+
+  /** Point-in-convex-polygon containment join, exact in integers.
+    *
+    * `points` needs `(id, x, y)`; `polys` needs `(poly_id, vs)` with `vs`
+    * an `array<struct<x: long, y: long>>` of the CONVEX polygon's
+    * vertices in counter-clockwise order (caller contract — a CW ring
+    * tests empty, a concave ring under-covers; both are caught by the
+    * spec, not at runtime). A point is contained (boundary inclusive)
+    * iff every edge's cross product `(v2−v1) × (p−v1) >= 0` — pure
+    * 64-bit integer arithmetic, no epsilon (coordinates must stay below
+    * ~2^31 so products fit a Long).
+    *
+    * Scale shape, same discipline as [[gridRadiusJoin]]: each polygon
+    * fans out to every grid cell its bounding box covers (choose
+    * `cellSize` ~ typical polygon extent so the fan-out stays O(1)–O(10)
+    * per polygon), each point holds ONE cell key, candidates come from
+    * the (cx, cy) EQUI-join, and the exact all-edges test runs only on
+    * candidates. Polygon count is typically thousands (geofences,
+    * regions) against billions of points — the polygon side is the
+    * fan-out side by construction. Returns (id, x, y, poly_id).
+    */
+  def pointInConvexPolygon(points: DataFrame, polys: DataFrame,
+      cellSize: Long): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    def cellOf(c: Column): Column = (c.cast("long") / lit(cellSize)).cast("long")
+    val xs = transform(col("vs"), v => v("x"))
+    val ys = transform(col("vs"), v => v("y"))
+    // rotate vs by one and pre-pack edge structs: edge i = (vs[i], rot[i]).
+    // This lambda references ONLY its own variables + vs, deliberately: a
+    // lambda body that captures an OUTER column is dropped from the
+    // predicate's references when PushPredicateThroughJoin splits a join
+    // condition (Spark 4.1.2), which mis-pushes the filter below the join
+    // and dies binding ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]). All point
+    // columns therefore enter the lambda domain via array_repeat below.
+    val rot = concat(slice(col("vs"), lit(2), size(col("vs")) - 1),
+      slice(col("vs"), lit(1), lit(1)))
+    val edges = zip_with(col("vs"), rot, (a, b) => struct(
+      a("x").as("x1"), a("y").as("y1"), b("x").as("x2"), b("y").as("y2")))
+    val pp = polys.selectCols(Seq(col("poly_id"), edges.as("edges"),
+        cellOf(array_min(xs)).as("cx0"), cellOf(array_max(xs)).as("cx1"),
+        cellOf(array_min(ys)).as("cy0"), cellOf(array_max(ys)).as("cy1")))
+      .withColumn("cx", explode(sequence(col("cx0"), col("cx1"))))
+      .withColumn("cy", explode(sequence(col("cy0"), col("cy1"))))
+      .selectCols(Seq(col("poly_id"), col("edges"), col("cx"), col("cy")))
+    val pts = points.selectCols(Seq(col("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+      cellOf(col("x")).as("cx"), cellOf(col("y")).as("cy")))
+    val pRep = array_repeat(struct(col("x"), col("y")), size(col("edges")))
+    val inside = forall(zip_with(col("edges"), pRep, (e, p) =>
+      (e("x2") - e("x1")) * (p("y") - e("y1")) -
+        (e("y2") - e("y1")) * (p("x") - e("x1")) >= 0), ok => ok)
+    pts.join(pp, Seq("cx", "cy"))
+      .filterCol(inside)
+      .selectCols(Seq(col("id"), col("x"), col("y"), col("poly_id")))
+  }
 }

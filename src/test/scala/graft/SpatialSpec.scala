@@ -67,6 +67,40 @@ class SpatialSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 3L, 3L, 100L))) // 3 neighbors, nearest = id 3 (tie 100 vs 100, smaller id), d2=100
   }
 
+  test("pointInConvexPolygon: boundary inclusive, CCW contract, cross-cell bbox, overlap multi-report") {
+    import spark.implicits._
+    def polys(rows: (String, Seq[(Long, Long)])*): DataFrame =
+      rows.toSeq.toDF("poly_id", "vraw")
+        .withColumn("vs", transform(col("vraw"),
+          v => struct(v("_1").as("x"), v("_2").as("y"))))
+    val sqCcw = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val pts = pts5(
+      (1L, 5L, 5L),    // interior
+      (2L, 0L, 5L),    // on an edge: inclusive
+      (3L, 0L, 0L),    // on a vertex: inclusive
+      (4L, 11L, 0L),   // outside the square, same cell at cellSize 16
+      (5L, 9L, 9L))
+    val got = Spatial.pointInConvexPolygon(pts, polys(("sq", sqCcw)), cellSize = 16L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(got == Set((1L, "sq"), (2L, "sq"), (3L, "sq"), (5L, "sq")))
+    // tiny cell: the bbox fans across many cells, same answer
+    val gotSmall = Spatial.pointInConvexPolygon(pts, polys(("sq", sqCcw)), cellSize = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(gotSmall == got)
+    // the CW ring is the documented miss: interior tests empty
+    assert(Spatial.pointInConvexPolygon(pts, polys(("cw", sqCcw.reverse)), 16L)
+      .count() == 0)
+    // overlapping fences both report
+    val two = polys(("sq", sqCcw), ("tri", Seq((0L, 0L), (12L, 0L), (0L, 12L))))
+    val both = Spatial.pointInConvexPolygon(pts, two, 16L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(both.contains((1L, "sq")) && both.contains((1L, "tri")))
+    assert(both.contains((4L, "tri")) && !both.contains((4L, "sq")))
+  }
+
+  private def pts5(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "x", "y")
+
   test("knnWithinRadius: ranked, capped at k, radius-capped") {
     val a = pts((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 400L, 0L))
     val b = pts((10L, 0L, 0L))
