@@ -2593,6 +2593,15 @@ object SparkEntry {
         .sortBy(Seq(col("poly_id"), col("id")))
     }),
 
+    "q333_edit_distance_pairs" -> ((s, dir) => {
+      // fuzzy key matching: every customer-name pair within one edit,
+      // FastSS deletion-neighborhood candidates + exact Levenshtein
+      // verify — the oracle IS the quadratic cross join, the operator
+      // never builds it.
+      Dedup.editDistancePairs(t(s, dir, "customer"), col("c_name"), maxDist = 1)
+        .sortBy(Seq(col("sa"), col("sb")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6668,6 +6677,16 @@ object SparkEntry {
            FROM pts p CROSS JOIN e GROUP BY 1, 2, 3, 4)
          SELECT id, x, y, poly_id FROM m WHERE inside
          ORDER BY poly_id, id""",
+
+    // the oracle is the brute-force cross join the operator exists to avoid
+    "q333_edit_distance_pairs" ->
+      """WITH s AS (SELECT DISTINCT c_name AS nm FROM customer
+             WHERE c_name IS NOT NULL AND length(c_name) <= 64)
+         SELECT a.nm AS sa, b.nm AS sb,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM s a JOIN s b ON a.nm < b.nm
+         WHERE levenshtein(a.nm, b.nm) <= 1
+         ORDER BY sa, sb""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

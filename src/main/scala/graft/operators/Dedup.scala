@@ -1194,4 +1194,46 @@ object Dedup {
         col("sz").alias("inter"), lit(1000000L).alias("jac_ppm"))
     cross.union(within)
   }
+
+  /** Exact bounded-edit-distance self-join via deletion-neighborhood
+    * blocking (FastSS — Bocek et al. 2007, "Fast Similarity Search in
+    * Large Dictionaries"): if `lev(a,b) <= d` then the sets of strings
+    * reachable by deleting up to `d` characters from `a` and from `b`
+    * intersect, so candidate pairs come from an EQUI-join on shared
+    * deletion variants and the true `levenshtein` filter afterwards makes
+    * the result exact — never a cross join. Built for short keys (names,
+    * codes, titles): variants per string are O(len^d), so `maxLen` hard-
+    * caps the fan-out (longer strings are DROPPED from matching — the
+    * caller's recall contract, asserted in the spec). `maxDist` ∈ {1, 2}.
+    *
+    * Scale shape: distinct-first (dictionary semantics — dedup/ER match
+    * keys, then map back to rows), variants are 64-bit-hashable short
+    * strings, the variant join groups are tiny for natural keys (a hub
+    * variant means near-identical strings, exactly what should pair),
+    * and candidate pairs are `distinct`ed before the O(len²) verify so
+    * each pair pays Levenshtein once. Returns (sa, sb, dist), sa < sb.
+    */
+  def editDistancePairs(df: DataFrame, str: Column, maxDist: Int,
+      maxLen: Int = 64): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    val s0 = df.select(str.alias("s"))
+      .filter(col("s").isNotNull && length(col("s")) <= maxLen)
+      .distinct()
+    // all strings with exactly one character deleted (1-based positions)
+    def delOne(c: Column): Column = transform(sequence(lit(1), length(c)),
+      i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))
+    val v1 = array_union(array(col("s")), delOne(col("s")))
+    val vset =
+      if (maxDist == 1) array_distinct(v1)
+      else array_distinct(concat(v1, flatten(transform(v1, x => delOne(x)))))
+    val vars = s0.select(col("s"), explode(vset).alias("v"))
+    val cands = vars.select(col("s").alias("sa"), col("v"))
+      .join(vars.select(col("s").alias("sb"), col("v").alias("__vb")),
+        col("v") === col("__vb") && col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    cands
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
 }

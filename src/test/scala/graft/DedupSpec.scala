@@ -515,4 +515,36 @@ class DedupSpec extends SparkSpec {
     assert(run(800000L) == b8)
     assert(run(500000L) == brute(500000L))
   }
+  test("editDistancePairs: FastSS blocking is exact vs brute force at d=1 and d=2") {
+    // substitutions, insertions, deletions, transposition (= 2 subs for
+    // plain Levenshtein), a d=3 miss, and a maxLen drop
+    val names = Seq("martha", "marhta", "martja", "marthas", "marta",
+      "zzzzzz", "completely-different-string-beyond-the-len-cap", "bob", "rob", "roc")
+    val df = names.toDF("nm")
+    def brute(d: Int, cap: Int) = (for {
+      a <- names; b <- names if a < b && a.length <= cap && b.length <= cap
+      dist = {
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if dist <= d
+    } yield (a, b, dist.toLong)).toSet
+    def run(d: Int, cap: Int) =
+      Dedup.editDistancePairs(df, $"nm", d, cap).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b1 = brute(1, 20)
+    assert(b1.contains(("martha", "martja", 1L)) && b1.contains(("marta", "martha", 1L)))
+    assert(run(1, 20) == b1)
+    val b2 = brute(2, 20)
+    assert(b2.contains(("marhta", "martha", 2L)), "transposition = 2 plain-Levenshtein edits")
+    assert(!b2.exists(p => p._1 == "zzzzzz" || p._2 == "zzzzzz"), "d=3 stays out")
+    assert(run(2, 20) == b2)
+    // the long string is dropped by maxLen, not matched
+    assert(!run(2, 20).exists(_._2.contains("beyond")))
+    assert(run(2, 64) == brute(2, 64))
+  }
 }
