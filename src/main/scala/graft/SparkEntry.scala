@@ -2602,6 +2602,33 @@ object SparkEntry {
         .sortBy(Seq(col("sa"), col("sb")))
     }),
 
+    "q334_dag_critical_path" -> ((s, dir) => {
+      // critical-path depth over a layered co-purchase DAG: parts of
+      // size k point at co-purchased parts of size k+1 (acyclic by
+      // construction), edge weight = co-purchase order count; dist(v) =
+      // heaviest dependency chain ending at v. 25 layers ⇒ rounds=24 is
+      // the structural convergence bound at ANY scale factor; the oracle
+      // replays it as (node, pathsum) pair enumeration in a recursive
+      // CTE (bounded by distinct sums, never path count).
+      val ps = t(s, dir, "part")
+        .filterCol(col("p_size").between(1, 25))
+        .selectCols(Seq(col("p_partkey"), col("p_size")))
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 30)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") =!= col("y.l_partkey"))
+        .join(broadcast(ps.alias("a")),
+          col("a.p_partkey") === col("x.l_partkey"))
+        .join(broadcast(ps.alias("b")),
+          col("b.p_partkey") === col("y.l_partkey") &&
+            col("b.p_size") === col("a.p_size") + 1)
+        .aggregate(Seq(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst")), Seq(count(lit(1)).as("w")))
+      graft.operators.Graph.dagLongestPath(e, rounds = 24)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6687,6 +6714,29 @@ object SparkEntry {
          FROM s a JOIN s b ON a.nm < b.nm
          WHERE levenshtein(a.nm, b.nm) <= 1
          ORDER BY sa, sb""",
+
+    // the recursive CTE enumerates distinct (node, pathsum) pairs — the
+    // UNION dedup bounds it by distinct sums, never path count — and the
+    // final max per node is the converged relaxation.
+    "q334_dag_critical_path" ->
+      """WITH RECURSIVE
+         ps AS (SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 1 AND 25),
+         hi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_quantity >= 30),
+         e AS (SELECT x.l_partkey AS src, y.l_partkey AS dst,
+                      COUNT(*) AS w
+               FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey <> y.l_partkey
+               JOIN ps a ON a.p_partkey = x.l_partkey
+               JOIN ps b ON b.p_partkey = y.l_partkey
+                 AND b.p_size = a.p_size + 1
+               GROUP BY 1, 2),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         d(id, dist) AS (
+           SELECT id, CAST(0 AS BIGINT) FROM nodes
+           UNION
+           SELECT e.dst, d.dist + e.w FROM d JOIN e ON e.src = d.id)
+         SELECT id, MAX(dist) AS dist FROM d GROUP BY id ORDER BY id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -494,4 +494,44 @@ object Graph {
       .select(col("id_a"), col("id_b"), col("cn"), col("deg_a"), col("deg_b"),
         col("jaccard_ppm"))
   }
+
+  /** Weighted longest path (critical path) per node over a DAG: returns
+    * (id, dist) where dist = the maximum total edge weight over any path
+    * ending at id (0 for sources), i.e. the critical-path schedule of a
+    * task/dependency graph. `edges` is (src, dst, w) with integer weights;
+    * ACYCLICITY is the caller's contract — construct edges along a
+    * monotone axis (ascending ids, layer i → i+1) and it holds by
+    * construction. On a cyclic input the relaxation never converges and
+    * `rounds` simply truncates it (values still grow monotonically — the
+    * spec pins the under-converged behavior).
+    *
+    * Bellman-Ford-style max-relaxation: `rounds` must be ≥ the DAG depth
+    * for exact convergence; each round is one equi-join of edges against
+    * the current frontier and a partial-agg max per node — shuffles carry
+    * (id, dist) pairs only, never paths. Layered DAGs know their depth
+    * up front (the layer count), which is how the q334 caller sizes
+    * `rounds`. Per-round lineage is truncated (see [[Iterative.truncate]];
+    * pass `checkpointDir` for cluster-reliable checkpoints on long runs).
+    */
+  def dagLongestPath(edges: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(edges.columns.length == 3, "edges must be exactly (src, dst, w)")
+    val e0 = Iterative.truncate(edges.toDF("src", "dst", "w")
+      .select(col("src"), col("dst"), col("w").cast("long").alias("w")),
+      checkpointDir)
+    val nodes = e0.select(col("src").alias("id"))
+      .union(e0.select(col("dst").alias("id"))).distinct()
+    var dist = Iterative.truncate(
+      nodes.withColumn("dist", lit(0L)), checkpointDir)
+    (1 to rounds).foreach { _ =>
+      val relaxed = e0
+        .join(dist.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").alias("id"), (col("dist") + col("w")).alias("dist"))
+        .union(dist)
+      dist = Iterative.truncate(
+        relaxed.groupBy("id").agg(max(col("dist")).alias("dist")), checkpointDir)
+    }
+    dist
+  }
 }

@@ -318,6 +318,21 @@ class CorpusSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 0L, 7L -> 1L))
   }
 
+  test("dagLongestPath: diamond takes the heavier arm, sources at 0, rounds truncate") {
+    import graft.operators.Graph
+    // diamond 1→2→4 (3+1) vs 1→3→4 (1+10), tail 4→5 (2); isolated edge 6→7
+    val edges = Seq((1L, 2L, 3L), (2L, 4L, 1L), (1L, 3L, 1L), (3L, 4L, 10L),
+      (4L, 5L, 2L), (6L, 7L, 5L)).toDF("src", "dst", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.dagLongestPath(edges, rounds = 3)) ==
+      Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 11L, 5L -> 13L, 6L -> 0L, 7L -> 5L))
+    // under-convergence contract: rounds < depth sees only paths that
+    // short; values are monotone in rounds, never wrong-side-high
+    assert(m(Graph.dagLongestPath(edges, rounds = 1)) ==
+      Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 10L, 5L -> 2L, 6L -> 0L, 7L -> 5L))
+  }
+
   test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
     // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
     // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;
