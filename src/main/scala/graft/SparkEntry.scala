@@ -2629,6 +2629,25 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q335_theil_sen" -> ((s, dir) => {
+      // q330's trend line, robustified: per-supplier Theil-Sen median
+      // slope of price-vs-quantity over one ship-year — the panel slice
+      // that bounds the O(g²) pair fan-out. Lower-median ppm keeps both
+      // engines on the same integer.
+      val li = t(s, dir, "lineitem")
+        .filterCol(col("l_shipdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate").cast("date") <
+            lit(java.sql.Date.valueOf("1997-01-01")))
+        .selectCols(Seq(
+          col("l_suppkey").as("k"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("y")))
+      Relational.theilSenSlope(li, col("k"), col("x"), col("y"))
+        .sortBy(Seq(col("key")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6737,6 +6756,26 @@ object SparkEntry {
            UNION
            SELECT e.dst, d.dist + e.w FROM d JOIN e ON e.src = d.id)
          SELECT id, MAX(dist) AS dist FROM d GROUP BY id ORDER BY id""",
+
+    // pairwise slopes in sign-split truncation ppm, lower median by rank
+    "q335_theil_sen" ->
+      """WITH b AS (SELECT l_suppkey AS key, CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'),
+         p AS (SELECT u.key,
+             CASE WHEN (v.y - u.y) >= 0
+                  THEN CAST(((v.y - u.y) * 1000000) // (v.x - u.x) AS BIGINT)
+                  ELSE CAST(-((-(v.y - u.y) * 1000000) // (v.x - u.x)) AS BIGINT)
+             END AS slope_ppm
+           FROM b u JOIN b v ON u.key = v.key AND u.x < v.x),
+         r AS (SELECT key, slope_ppm,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY slope_ppm) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS n_pairs
+           FROM p)
+         SELECT key, n_pairs, slope_ppm AS ts_slope_ppm
+         FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY key""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

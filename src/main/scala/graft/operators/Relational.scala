@@ -1355,6 +1355,41 @@ object Relational {
         col("r2_ppm"))
   }
 
+  /** Per-group Theil-Sen robust slope: the LOWER median of all pairwise
+    * slopes `(y_j − y_i)/(x_j − x_i)` over pairs with `x_i < x_j` —
+    * outlier-resistant where [[groupOls]] is not (breakdown point ~29%
+    * vs 0). Slopes are truncation-toward-zero ppm BIGINTs (the sign-split
+    * q330 convention) and the lower median (rank `(n+1) DIV 2`) keeps the
+    * statistic integer-exact cross-engine — no averaging of middle pairs.
+    * Pairs with equal x are undefined-slope and skipped (classic T-S);
+    * groups whose x is constant therefore vanish from the output.
+    *
+    * Scale contract: pairwise-in-group is O(g²) BY DESIGN — this is the
+    * robust-trend instrument for bounded panels (a key × time-window
+    * slice), not corpus-scale pair generation; the caller bounds g the
+    * way q335 does (one ship-year per supplier). The group equi-join and
+    * per-key window both shuffle on `key` once; nothing is collected.
+    * Returns (key, n_pairs, ts_slope_ppm).
+    */
+  def theilSenSlope(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val d = df.select(key.alias("key"), x.cast("long").alias("x"),
+        y.cast("long").alias("y"))
+      .filter(col("key").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val p = d.alias("a").join(d.alias("b"),
+        col("a.key") === col("b.key") && col("a.x") < col("b.x"))
+      .select(col("a.key").alias("key"),
+        (col("b.y") - col("a.y")).alias("dy"),
+        (col("b.x") - col("a.x")).alias("dx"))
+      .withColumn("slope_ppm", expr(
+        """CASE WHEN dy >= 0 THEN CAST((dy * 1000000) DIV dx AS BIGINT)
+           ELSE CAST(-((-dy * 1000000) DIV dx) AS BIGINT) END"""))
+    p.withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("slope_ppm")))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("key"), col("n_pairs"), col("slope_ppm").alias("ts_slope_ppm"))
+  }
+
   def rendezvousAssign(df: DataFrame, id: Column, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val key = id.cast("long")

@@ -857,4 +857,20 @@ class RelationalSpec extends SparkSpec {
       ("2024-01-02", bd("10").stripTrailingZeros, 2L),
       ("2024-01-05", bd("16").stripTrailingZeros, 1L)))
   }
+  test("theilSenSlope: outlier-resistant lower median, sign-split ppm, x-ties skipped, constant-x absent") {
+    import spark.implicits._
+    val df = Seq(
+      // g: linear slope 2 plus one wild outlier — median ignores it
+      ("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 5L), ("g", 10L, 100L),
+      // h: negative slopes (sign-split truncation) + an x-tie pair skipped
+      ("h", 0L, 0L), ("h", 1L, -3L), ("h", 1L, 10L), ("h", 2L, -5L),
+      // cx: constant x -> no pairs -> absent
+      ("cx", 5L, 1L), ("cx", 5L, 2L)
+    ).toDF("k", "x", "y")
+    val got = graft.operators.Relational.theilSenSlope(df, $"k", $"x", $"y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // g pairs sorted: [2M, 2M, 2M, 11M, 12125000, 13571428]; rank (6+1) DIV 2 = 3
+    // h pairs sorted: [-15M, -3M, -2500000, -2M, 10M]; rank 3; -5/2 truncates to -2500000
+    assert(got == Map("g" -> (6L, 2000000L), "h" -> (5L, -2500000L)))
+  }
 }
