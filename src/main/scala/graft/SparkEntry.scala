@@ -2648,6 +2648,17 @@ object SparkEntry {
         .sortBy(Seq(col("key")))
     }),
 
+    "q336_holt_linear" -> ((s, dir) => {
+      // trend-aware smoothing baseline: Holt linear over each event
+      // type's daily value total (exact micros), α=0.3 β=0.1 in ppm with
+      // truncation division — the recurrence replays bit-for-bit in the
+      // recursive-CTE oracle.
+      graft.streaming.EventStreams.holtLinear(
+          t(s, dir, "events"), col("event_type"), col("ts"), col("value"),
+          alphaPpm = 300000L, betaPpm = 100000L)
+        .sortBy(Seq(col("key"), col("r")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6776,6 +6787,37 @@ object SparkEntry {
            FROM p)
          SELECT key, n_pairs, slope_ppm AS ts_slope_ppm
          FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY key""",
+
+    // the recurrence replayed row-by-row; the inner derived table computes
+    // the new level once so trend can reuse it. Truncation division is the
+    // sign-split CASE (all a*y terms are non-negative here, trend is not).
+    "q336_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type AS key,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS dus,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT key, y,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY dus) AS r
+           FROM daily),
+         h(key, r, y, level, trend) AS (
+           SELECT key, r, y, y, CAST(0 AS BIGINT) FROM o WHERE r = 1
+           UNION ALL
+           SELECT key, r, y, lvl,
+             CASE WHEN (100000 * (lvl - plevel) + 900000 * ptrend) >= 0
+                  THEN (100000 * (lvl - plevel) + 900000 * ptrend) // 1000000
+                  ELSE -((-(100000 * (lvl - plevel) + 900000 * ptrend)) // 1000000)
+             END
+           FROM (
+             SELECT o.key, o.r, o.y, h.level AS plevel, h.trend AS ptrend,
+               CASE WHEN (300000 * o.y + 700000 * (h.level + h.trend)) >= 0
+                    THEN (300000 * o.y + 700000 * (h.level + h.trend)) // 1000000
+                    ELSE -((-(300000 * o.y + 700000 * (h.level + h.trend))) // 1000000)
+               END AS lvl
+             FROM h JOIN o ON o.key = h.key AND o.r = h.r + 1) t)
+         SELECT key, r, y, level, trend, level + trend AS forecast
+         FROM h ORDER BY key, r""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

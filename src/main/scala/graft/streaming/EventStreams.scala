@@ -2026,6 +2026,62 @@ object EventStreams {
   private[streaming] case class TokenBucketRow(user_id: Long, event_id: Long,
       rn: Long, tokens_before: Long, admit: Long, tokens_after: Long)
 
+  private[streaming] case class HoltRow(key: String, r: Long, y: Long,
+      level: Long, trend: Long, forecast: Long)
+
+  /** Holt linear (double-exponential) smoothing replayed exactly over a
+    * per-key daily series: `l_t = ⌊(α·y_t + (1M−α)·(l_{t−1}+b_{t−1}))/1M⌋`,
+    * `b_t = ⌊(β·(l_t−l_{t−1}) + (1M−β)·b_{t−1})/1M⌋` with α, β in ppm and
+    * truncation-toward-zero division (BigInt intermediates — no float
+    * drift, no overflow), seeded `l_1 = y_1, b_1 = 0`. `forecast` is the
+    * one-step-ahead `l_t + b_t` — the trend-aware baseline [[
+    * seasonalNaiveBacktest]]'s flat predictor can't give. Values must be
+    * exact integers (micros); the whole recurrence replays in a recursive
+    * CTE, which is q336's oracle.
+    *
+    * Scale shape: the daily pre-agg is one partial-agg groupBy; the fold
+    * itself is a bounded-group mapGroups (days per key — panel length,
+    * thousands at most), the [[tokenBucketAdmission]] contract: state is
+    * O(1) per key, output one row per observation, keys distribute.
+    */
+  def holtLinear(events: DataFrame, key: Column, ts: Column, value: Column,
+      alphaPpm: Long, betaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000 && betaPpm >= 0 && betaPpm <= 1000000,
+      s"alpha/beta must be ppm in [0, 1000000], got ($alphaPpm, $betaPpm)")
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(key.cast("string").alias("k"),
+        date_trunc("day", ts).alias("day"))
+      .agg((sum(value.cast(org.apache.spark.sql.types.DecimalType(18, 6))) * 1000000)
+        .cast("long").alias("y"))
+      .select(col("k"), unix_micros(col("day")).alias("dus"), col("y"))
+    def tdiv(n: BigInt): Long = (n / 1000000).toLong // BigInt / truncates toward zero
+    daily.as[(String, Long, Long)](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (k, rows) =>
+        val obs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val out = new Array[HoltRow](obs.length)
+        var l = 0L; var b = 0L
+        var i = 0
+        while (i < obs.length) {
+          val y = obs(i)._2
+          if (i == 0) { l = y; b = 0L }
+          else {
+            val pl = l
+            l = tdiv(BigInt(alphaPpm) * y + BigInt(1000000 - alphaPpm) * (pl + b))
+            b = tdiv(BigInt(betaPpm) * (l - pl) + BigInt(1000000 - betaPpm) * b)
+          }
+          out(i) = HoltRow(k, i + 1L, y, l, b, l + b)
+          i += 1
+        }
+        out.iterator
+      }(Encoders.product[HoltRow])
+      .toDF()
+  }
+
   /** Token-bucket admission control replayed over an event log: per key,
     * a bucket starts at `capacity` millitokens, refills at
     * `refillPerHour` millitokens/hour (computed in exact integer

@@ -1054,4 +1054,28 @@ class StreamingSpec extends SparkSpec {
       (9L, D0 + DAY + 1 * HOUR + 1L, "view")))
     assert(pastBoundary == Set((1L, D0 * 1000L, 1L, (D0 + 1 * HOUR) * 1000L)))
   }
+  test("holtLinear: hand-replayed recurrence with truncation, negative trend, day pre-agg") {
+    import spark.implicits._
+    val ts = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d $h%02d:00:00")
+    // day 1 split across two events (pre-agg), day 4 is one micro
+    val ev = Seq(
+      ("a", ts(1, 5), 6.5), ("a", ts(1, 9), 3.5),
+      ("a", ts(2, 1), 20.0), ("a", ts(3, 1), 30.0),
+      ("a", ts(4, 1), 0.000001),
+      ("z", ts(1, 1), 1.0)
+    ).toDF("et", "ts", "v")
+    val got = graft.streaming.EventStreams.holtLinear(
+        ev, $"et", $"ts", $"v", alphaPpm = 500000L, betaPpm = 300000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      ("a", 1L) -> (10000000L, 10000000L, 0L, 10000000L),
+      ("a", 2L) -> (20000000L, 15000000L, 1500000L, 16500000L),
+      ("a", 3L) -> (30000000L, 23250000L, 3525000L, 26775000L),
+      // l4 = trunc((500000*1 + 500000*26775000)/1e6) = 13387500 (.5 truncated)
+      ("a", 4L) -> (1L, 13387500L, -491250L, 12896250L),
+      ("z", 1L) -> (1000000L, 1000000L, 0L, 1000000L)))
+  }
 }
