@@ -2659,6 +2659,26 @@ object SparkEntry {
         .sortBy(Seq(col("key"), col("r")))
     }),
 
+    "q337_grid_density_clusters" -> ((s, dir) => {
+      // grid density clustering over five planted diagonal blobs plus
+      // 1-in-11 uniform noise (all integer arithmetic both engines
+      // replay): dense cells (>= 8 pts at cell 250) connect over the
+      // 8-neighborhood, labels = min cell key per component, sparse
+      // cells are noise and drop out.
+      val blob = col("c_custkey") % 5
+      val noise = col("c_custkey") % 11 === 0
+      val c = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("id"),
+        when(noise, (col("c_custkey") * 7919) % 10000)
+          .otherwise(lit(1000) + blob * 1700 +
+            (col("c_custkey") * 7919) % 1001).as("x"),
+        when(noise, (col("c_custkey") * 104729) % 10000)
+          .otherwise(lit(1000) + blob * 1700 +
+            (col("c_custkey") * 104729) % 1001).as("y")))
+      Spatial.gridDensityClusters(c, cellSize = 250L, minPts = 8L)
+        .sortBy(Seq(col("cluster"), col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6818,6 +6838,34 @@ object SparkEntry {
              FROM h JOIN o ON o.key = h.key AND o.r = h.r + 1) t)
          SELECT key, r, y, level, trend, level + trend AS forecast
          FROM h ORDER BY key, r""",
+
+    // dense cells, 8-neighbor adjacency as a tiny cell-level theta join,
+    // min-label closure via reachable-label enumeration, points mapped back
+    "q337_grid_density_clusters" ->
+      """WITH RECURSIVE pts AS (
+           SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 11 = 0 THEN (c_custkey*7919) % 10000
+                  ELSE 1000 + (c_custkey % 5)*1700 + (c_custkey*7919) % 1001
+             END AS x,
+             CASE WHEN c_custkey % 11 = 0 THEN (c_custkey*104729) % 10000
+                  ELSE 1000 + (c_custkey % 5)*1700 + (c_custkey*104729) % 1001
+             END AS y
+           FROM customer),
+         pc AS (SELECT id, x, y, x // 250 AS cx, y // 250 AS cy FROM pts),
+         dense AS (SELECT cx, cy, cx*32768 + cy AS ckey
+                   FROM pc GROUP BY cx, cy HAVING COUNT(*) >= 8),
+         e AS (SELECT a.ckey AS src, b.ckey AS dst
+               FROM dense a JOIN dense b
+                 ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                 AND a.ckey <> b.ckey),
+         l(id, lbl) AS (
+           SELECT ckey, ckey FROM dense
+           UNION
+           SELECT e.dst, l.lbl FROM l JOIN e ON e.src = l.id),
+         comp AS (SELECT id AS ckey, MIN(lbl) AS cluster FROM l GROUP BY id)
+         SELECT p.id, p.x, p.y, c.cluster
+         FROM pc p JOIN comp c ON p.cx*32768 + p.cy = c.ckey
+         ORDER BY cluster, id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -167,4 +167,55 @@ object Spatial {
       .filterCol(inside)
       .selectCols(Seq(col("id"), col("x"), col("y"), col("poly_id")))
   }
+
+  /** Grid density clustering (the CLIQUE/STING family — grid-quantized
+    * DBSCAN, NOT point-radius DBSCAN: density is judged per cell, border
+    * points of a sparse cell are noise by definition): points fall into
+    * `cellSize` squares, a cell is DENSE iff it holds >= `minPts` points,
+    * clusters are the 8-neighborhood connected components of dense cells,
+    * and every point of a dense cell carries its component's label
+    * (= the component's minimum cell key — stable across runs). Points in
+    * sparse cells are noise and are EXCLUDED from the output; `points`
+    * needs (id, x, y) with 0 <= x/cellSize, y/cellSize < 32768 (the
+    * cell-key packing bound, caller contract). Returns
+    * (id, x, y, cluster).
+    *
+    * Scale shape: the density pass is one partial-agg groupBy on the
+    * cell key; dense-cell adjacency is an explode(9) + equi-join on
+    * packed 64-bit keys over the DENSE CELLS ONLY (a frame ~|points| /
+    * minPts at worst, usually far smaller); component labels come from
+    * [[Dedup.nearDupComponents]]'s min-label propagation + pointer
+    * jumping, so a continent-sized dense blob converges in O(log
+    * diameter) rounds; the final point labeling is one broadcast-sized
+    * join back on the cell key. No step touches point pairs.
+    */
+  def gridDensityClusters(points: DataFrame, cellSize: Long,
+      minPts: Long): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    def cellOf(c: Column): Column = (c.cast("long") / lit(cellSize)).cast("long")
+    val pts = points.selectCols(Seq(col("id"),
+      col("x").cast("long").alias("x"), col("y").cast("long").alias("y"),
+      cellOf(col("x")).alias("cx"), cellOf(col("y")).alias("cy")))
+    val dense = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).alias("n"))
+      .filterCol(col("n") >= minPts)
+      .withColumn("ckey", col("cx") * 32768L + col("cy"))
+    val edges = dense
+      .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+      .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+      .selectCols(Seq(col("ckey"),
+        ((col("cx") + col("dx")) * 32768L + col("cy") + col("dy")).alias("nkey")))
+      .join(dense.selectCols(Seq(col("ckey").alias("nkey"))), Seq("nkey"))
+      .filterCol(col("ckey") < col("nkey"))
+      .selectCols(Seq(col("ckey").alias("id_a"), col("nkey").alias("id_b")))
+    val linked = Dedup.nearDupComponents(edges)
+      .selectCols(Seq(col("id").alias("ckey"), col("component_id").alias("cluster")))
+    val isolated = dense.join(linked, Seq("ckey"), "left_anti")
+      .selectCols(Seq(col("ckey"), col("ckey").alias("cluster")))
+    val labels = linked.union(isolated)
+    pts.withColumn("ckey", col("cx") * 32768L + col("cy"))
+      .join(labels, Seq("ckey"))
+      .selectCols(Seq(col("id"), col("x"), col("y"), col("cluster")))
+  }
 }

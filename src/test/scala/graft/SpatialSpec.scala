@@ -108,4 +108,15 @@ class SpatialSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(out == Set((10L, 1L, 1L, 1L), (10L, 2L, 2L, 4L))) // id 3 cut by k, id 4 by radius
   }
+  test("gridDensityClusters: diagonal adjacency merges, isolated dense cell self-labels, sparse is noise") {
+    // cellSize 10, minPts 2: cells (0,0) and (1,1) dense and diagonal ->
+    // one cluster labeled min ckey 0; (5,5) dense isolated -> own key;
+    // (9,9) single point -> noise, absent
+    val p = pts5((1L, 1L, 1L), (2L, 2L, 2L), (3L, 11L, 11L), (4L, 12L, 12L),
+      (5L, 51L, 51L), (6L, 52L, 52L), (7L, 99L, 99L))
+    val got = Spatial.gridDensityClusters(p, cellSize = 10L, minPts = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 163845L, 6L -> 163845L))
+  }
 }
