@@ -2679,6 +2679,24 @@ object SparkEntry {
         .sortBy(Seq(col("cluster"), col("id")))
     }),
 
+    "q338_image_patch_grid" -> ((s, dir) => {
+      // ViT-style patch tokenization over a REAL decode: q145's synthetic
+      // gray PNGs split into 4x4 patches, exact integer gray sum per
+      // patch (edge patches partial, n_px says how). PNG lossless ⇒ every
+      // patch sum replays as plain integer math in the oracle.
+      val withPng = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h")))
+        .withColumn("png", Multimodal.synthGrayPngUdf(col("doc_id"), col("w"), col("h")))
+      withPng
+        .withColumn("p", explode(Multimodal.patchGridUdf(4, 4)(col("png"))))
+        .selectCols(Seq(col("doc_id").as("id"),
+          col("p._1").cast("long").as("pr"), col("p._2").cast("long").as("pc"),
+          col("p._3").as("n_px"), col("p._4").as("px_sum")))
+        .sortBy(Seq(col("id"), col("pr"), col("pc")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6866,6 +6884,19 @@ object SparkEntry {
          SELECT p.id, p.x, p.y, c.cluster
          FROM pc p JOIN comp c ON p.cx*32768 + p.cy = c.ckey
          ORDER BY cluster, id""",
+
+    // the PNG is lossless, so the oracle regenerates the raster from the
+    // synth formula and sums patches as integer math
+    "q338_image_patch_grid" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+                    FROM documents),
+         px AS (SELECT d.doc_id, gx.x, gy.y,
+                  (d.doc_id*31 + gx.x*7 + gy.y*13) % 256 AS v
+                FROM d JOIN generate_series(0, 16) AS gx(x) ON gx.x < d.w
+                       JOIN generate_series(0, 14) AS gy(y) ON gy.y < d.h)
+         SELECT doc_id AS id, y // 4 AS pr, x // 4 AS pc,
+                CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum
+         FROM px GROUP BY 1, 2, 3 ORDER BY id, pr, pc""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

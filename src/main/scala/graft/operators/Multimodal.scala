@@ -740,4 +740,50 @@ object Multimodal {
       }
     }(Encoders.product[Feat]).toDF()
   }
+
+  /** ViT-style patch grid over a REAL decode: split the image into
+    * `pw`×`ph` pixel patches (edge patches partial — n_px says how
+    * partial) and report each patch's exact integer gray sum, row-major
+    * (pr, pc, n_px, px_sum). Gray is the [[resizeImageNN]] rule — band 0
+    * for single-band rasters, (299 r + 587 g + 114 b)/1000 for color —
+    * so a lossless source (PNG) makes every patch sum oracle-replayable.
+    * This is the tokenization step of an image-patch pipeline: the patch
+    * sums (or means) are what an embedding/quantization stage consumes.
+    * Null/undecodable input → empty (the row vanishes on explode).
+    */
+  def patchGridInfo(bytes: Array[Byte], pw: Int, ph: Int): Seq[(Int, Int, Long, Long)] = {
+    require(pw > 0 && ph > 0, s"patch dims must be positive, got ($pw, $ph)")
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return Seq.empty
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    def gray(x: Int, y: Int): Int =
+      if (r.getNumBands >= 3)
+        (r.getSample(x, y, 0) * 299 + r.getSample(x, y, 1) * 587 +
+          r.getSample(x, y, 2) * 114) / 1000
+      else r.getSample(x, y, 0)
+    val nr = (h + ph - 1) / ph
+    val nc = (w + pw - 1) / pw
+    val n = new Array[Long](nr * nc)
+    val s = new Array[Long](nr * nc)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y / ph) * nc + (x / pw)
+        n(i) += 1L; s(i) += gray(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    (0 until nr * nc).map(i => (i / nc, i % nc, n(i), s(i)))
+  }
+
+  def patchGridUdf(pw: Int, ph: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      patchGridInfo(bytes, pw, ph)
+    }
 }

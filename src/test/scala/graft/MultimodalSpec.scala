@@ -306,4 +306,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.whtBandsInfo("junk".getBytes).isEmpty)
     assert(Multimodal.whtBandsInfo(null).isEmpty)
   }
+  test("patchGridInfo: partial edge patches, row-major order, gray rule, undecodable empty") {
+    // 10x6 image, 4x4 patches -> 2 patch rows x 3 patch cols; last col 2px
+    // wide, last row 2px tall
+    val png = Multimodal.synthGrayPng(5L, 10, 6)
+    val got = Multimodal.patchGridInfo(png, 4, 4)
+    assert(got.map(p => (p._1, p._2, p._3)) == Seq(
+      (0, 0, 16L), (0, 1, 16L), (0, 2, 8L),
+      (1, 0, 8L), (1, 1, 8L), (1, 2, 4L)))
+    def pix(x: Int, y: Int): Long = (5L * 31 + x * 7 + y * 13) % 256
+    val want00 = (for (y <- 0 until 4; x <- 0 until 4) yield pix(x, y)).sum
+    val want12 = (for (y <- 4 until 6; x <- 8 until 10) yield pix(x, y)).sum
+    assert(got.find(p => p._1 == 0 && p._2 == 0).get._4 == want00)
+    assert(got.find(p => p._1 == 1 && p._2 == 2).get._4 == want12)
+    assert(got.map(_._3).sum == 60L, "every pixel lands in exactly one patch")
+    assert(Multimodal.patchGridInfo(Array[Byte](1, 2, 3), 4, 4).isEmpty)
+    assert(Multimodal.patchGridInfo(null, 4, 4).isEmpty)
+  }
 }
