@@ -2697,6 +2697,22 @@ object SparkEntry {
         .sortBy(Seq(col("id"), col("pr"), col("pc")))
     }),
 
+    "q339_vad_segments" -> ((s, dir) => {
+      // voice-activity segmentation over a REAL decode: burst-gated noise
+      // WAVs (320-sample talk/silence blocks), 48-sample energy frames —
+      // deliberately NOT aligned to the block length, so the threshold
+      // genuinely decides the straddling frames — merged into islands of
+      // mean|s| >= 4000. PCM lossless ⇒ the oracle replays every sample.
+      val wavs = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"),
+          (lit(2080) + pmod(col("doc_id"), lit(5L)).cast("int") * lit(32))
+            .cast("int").as("n")))
+        .withColumn("wav", Multimodal.synthBurstPcmWavUdf(col("doc_id"), col("n")))
+      Multimodal.vadSegments(wavs, col("doc_id").as("id"), col("wav"),
+          window = 48, thrMilli = 4000000L, minFrames = 2)
+        .sortBy(Seq(col("id"), col("w_start")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6897,6 +6913,30 @@ object SparkEntry {
          SELECT doc_id AS id, y // 4 AS pr, x // 4 AS pc,
                 CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum
          FROM px GROUP BY 1, 2, 3 ORDER BY id, pr, pc""",
+
+    // burst-gated noise replayed sample-by-sample, framed at 48, islands
+    // via the w - row_number trick, slivers < 2 frames dropped
+    "q339_vad_segments" ->
+      """WITH docs AS (SELECT doc_id, 2080 + (doc_id % 5)*32 AS n FROM documents),
+         s1 AS (SELECT d.doc_id, u.i,
+             ((d.doc_id * 1000003 + u.i) * 2654435761) % 4294967296 AS h1,
+             ((u.i // 320) + d.doc_id) % 3 AS blk
+           FROM docs d JOIN generate_series(0, 2207) AS u(i) ON u.i < d.n),
+         smp AS (SELECT doc_id, i // 48 AS w, COUNT(*) AS n,
+             SUM(CASE WHEN blk = 0
+               THEN ABS((((xor(h1, h1 // 65536)) * 40503) % 4294967296)
+                 // 65536 - 32768)
+               ELSE 0 END) AS abs_sum
+           FROM s1 GROUP BY 1, 2),
+         act AS (SELECT doc_id, w, abs_sum,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS rn
+           FROM smp WHERE abs_sum * 1000 >= 4000000 * n),
+         seg AS (SELECT doc_id, w - rn AS g, MIN(w) AS w_start,
+             MAX(w) AS w_end, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(abs_sum) AS BIGINT) AS abs_total
+           FROM act GROUP BY 1, 2)
+         SELECT doc_id AS id, w_start, w_end, n_frames, abs_total
+         FROM seg WHERE n_frames >= 2 ORDER BY id, w_start""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -445,6 +446,75 @@ object Multimodal {
 
   def synthNoisePcmWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (seed: Long, n: Int) => synthNoisePcmWav(seed, n) }
+
+  /** Burst-gated sibling of [[synthNoisePcmWav]]: the same noise stream,
+    * but sample i is HARD-MUTED to 0 unless its 320-sample block is
+    * active — block b speaks iff `(b + seed) % 3 == 0`. Speech-shaped
+    * test audio (talk / silence / talk) whose every sample still replays
+    * as three lines of integer SQL, for voice-activity segmentation
+    * witnesses (q339).
+    */
+  def synthBurstPcmWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(seed >= 0 && seed < 3400000000L, s"seed out of the no-overflow contract: $seed")
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s =
+        if ((i / 320 + seed) % 3 == 0) {
+          val h1 = ((seed * 1000003L + i) * 2654435761L) & 0xffffffffL
+          val h2 = ((h1 ^ (h1 >> 16)) * 40503L) & 0xffffffffL
+          ((h2 >> 16) - 32768L).toInt
+        } else 0
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  def synthBurstPcmWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (seed: Long, n: Int) => synthBurstPcmWav(seed, n) }
+
+  /** Voice-activity segmentation over a REAL decode: frame the payload
+    * into `window`-sample energy frames ([[decodeAudioWindowsInfo]]), mark
+    * a frame ACTIVE iff its mean |sample| clears the floor — integer-
+    * exactly, `abs_sum * 1000 >= thrMilli * n` with `thrMilli` the
+    * threshold in milli-sample units — and merge consecutive active
+    * frames into segments (gaps-and-islands on the frame index), dropping
+    * slivers shorter than `minFrames`. The silence-trim / speech-extract
+    * primitive of audio curation; returns one row per kept segment:
+    * (id, w_start, w_end, n_frames, abs_total).
+    *
+    * Scale shape: the codec UDF emits bounded per-payload frame arrays,
+    * explode is linear, and the islands trick (frame − row_number) uses a
+    * window PARTITIONED BY id — a payload's own frames are the frame,
+    * never a global sort.
+    */
+  def vadSegments(df: DataFrame, id: Column, wav: Column, window: Int,
+      thrMilli: Long, minFrames: Int): DataFrame = {
+    require(minFrames >= 1, s"minFrames must be >= 1, got $minFrames")
+    require(thrMilli >= 0, s"thrMilli must be >= 0, got $thrMilli")
+    val frames = df.select(id.alias("id"),
+        explode(decodeAudioWindows(wav, lit(window))).alias("f"))
+      .select(col("id"), col("f._1").alias("w"), col("f._2").alias("n"),
+        col("f._3").alias("abs_sum"))
+    val active = frames.filter(col("abs_sum") * 1000 >= lit(thrMilli) * col("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy("w")))
+    active.withColumn("g", col("w") - col("rn"))
+      .groupBy(col("id"), col("g"))
+      .agg(min(col("w")).alias("w_start"), max(col("w")).alias("w_end"),
+        count(lit(1)).alias("n_frames"), sum(col("abs_sum")).alias("abs_total"))
+      .filter(col("n_frames") >= minFrames)
+      .select(col("id"), col("w_start"), col("w_end"), col("n_frames"),
+        col("abs_total"))
+  }
 
   /** Perceptual 64-bit audio fingerprint from REAL PCM decode: fold the
     * payload's samples into the first 65 full `windowSamples`-sample

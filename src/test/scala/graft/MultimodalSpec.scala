@@ -323,4 +323,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.patchGridInfo(Array[Byte](1, 2, 3), 4, 4).isEmpty)
     assert(Multimodal.patchGridInfo(null, 4, 4).isEmpty)
   }
+  test("vadSegments: burst WAV segments at block boundaries, straddle frames decide, slivers drop") {
+    import spark.implicits._
+    // seed 0, n 2080: active 320-sample blocks 0, 3, 6 -> samples
+    // [0,320), [960,1280), [1920,2080). 48-sample frames: islands
+    // 0..6 (frame 6 straddles 32/48 active), 20..26, 40..43 (43 partial).
+    val wav = Multimodal.synthBurstPcmWav(0L, 2080)
+    val frames = Multimodal.decodeAudioWindowsInfo(wav, 48).get
+    assert(frames.length == 44)
+    assert(frames(10)._3 == 0L, "frame fully inside a silent block is HARD zero")
+    assert(frames(6)._3 > 0L && frames(6)._3 < frames(5)._3,
+      "straddle frame has partial energy")
+    val df = Seq((7L, wav)).toDF("doc_id", "wav")
+    val got = Multimodal.vadSegments(df, $"doc_id".as("id"), $"wav",
+        window = 48, thrMilli = 4000000L, minFrames = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.map(t => (t._1, t._2)) == Set((0L, 6L), (20L, 26L), (40L, 43L)))
+    // a sky-high floor keeps nothing
+    assert(Multimodal.vadSegments(df, $"doc_id".as("id"), $"wav",
+      48, 40000000L, 2).count() == 0)
+  }
 }
