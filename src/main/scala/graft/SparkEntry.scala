@@ -2713,6 +2713,24 @@ object SparkEntry {
         .sortBy(Seq(col("id"), col("w_start")))
     }),
 
+    "q340_golden_record" -> ((s, dir) => {
+      // MDM survivorship: each customer's order history as a dirty
+      // version feed (status nulled on 1-in-3 versions, balance on
+      // 1-in-5), merged to one golden record per field independently —
+      // latest non-null wins, ordered by (date, orderkey).
+      val v = t(s, dir, "orders").selectCols(Seq(
+        col("o_custkey").as("k"),
+        struct(col("o_orderdate").cast("date").as("d"),
+          col("o_orderkey").as("i")).as("ord"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("bal_c")))
+      Relational.goldenRecord(v, col("k"), col("ord"), Seq("status", "bal_c"))
+        .sortBy(Seq(col("key")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6937,6 +6955,23 @@ object SparkEntry {
            FROM act GROUP BY 1, 2)
          SELECT doc_id AS id, w_start, w_end, n_frames, abs_total
          FROM seg WHERE n_frames >= 2 ORDER BY id, w_start""",
+
+    // latest non-null per field: ordered filtered list, first element
+    "q340_golden_record" ->
+      """WITH v AS (SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS d,
+             o_orderkey AS i,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS bal_c
+           FROM orders)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_versions,
+           (list(status ORDER BY d DESC, i DESC)
+              FILTER (WHERE status IS NOT NULL))[1] AS status_latest,
+           (list(bal_c ORDER BY d DESC, i DESC)
+              FILTER (WHERE bal_c IS NOT NULL))[1] AS bal_c_latest
+         FROM v GROUP BY key ORDER BY key""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -1390,6 +1390,36 @@ object Relational {
       .select(col("key"), col("n_pairs"), col("slope_ppm").alias("ts_slope_ppm"))
   }
 
+  /** Golden-record survivorship merge: collapse an entity's version
+    * history to one record, each field independently taking its LATEST
+    * NON-NULL value — the standard MDM survivorship rule (a field absent
+    * from the newest version survives from an older one; fields never
+    * regress to null once seen). `ord` must totally order a key's
+    * versions (pass `struct(ts, version_id)` — a bare timestamp with
+    * ties would make the winner ambiguous); on a true ord tie the larger
+    * value wins, deterministically.
+    *
+    * Scale shape: ONE partial-agg groupBy — each field is a
+    * `max(struct(ord, value))` over non-null rows, so the map side
+    * reduces every partition to one candidate per (key, field) before
+    * the shuffle; no window, no sort, no per-entity collect. This is the
+    * merge step that follows [[graft.operators.Dedup.nearDupComponents]]
+    * + representatives in an ER pipeline. Returns
+    * (key, n_versions, <col>_latest...).
+    */
+  def goldenRecord(df: DataFrame, key: Column, ord: Column,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val base = df.select(
+      (Seq(key.alias("key"), ord.alias("__ord")) ++ valueCols.map(col)): _*)
+    val aggs = count(lit(1)).alias("n_versions") +:
+      valueCols.map(c =>
+        max(when(col(c).isNotNull,
+          struct(col("__ord").alias("o"), col(c).alias("v"))))
+          .getField("v").alias(c + "_latest"))
+    base.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+  }
+
   def rendezvousAssign(df: DataFrame, id: Column, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val key = id.cast("long")

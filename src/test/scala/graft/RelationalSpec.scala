@@ -873,4 +873,25 @@ class RelationalSpec extends SparkSpec {
     // h pairs sorted: [-15M, -3M, -2500000, -2M, 10M]; rank 3; -5/2 truncates to -2500000
     assert(got == Map("g" -> (6L, 2000000L), "h" -> (5L, -2500000L)))
   }
+  test("goldenRecord: per-field latest non-null, ord tiebreak to larger value, all-null field stays null") {
+    import spark.implicits._
+    val v = Seq(
+      // k1: newest version (d=3) has null phone -> phone survives from d=2
+      ("k1", 1L, Some("a@x"), Some(10L)),
+      ("k1", 2L, Some("b@x"), None),
+      ("k1", 3L, None, Some(30L)),
+      // k2: true ord tie (same ord value twice) -> larger value wins
+      ("k2", 5L, Some("p"), Some(1L)),
+      ("k2", 5L, Some("q"), Some(2L)),
+      // k3: a field null in EVERY version stays null
+      ("k3", 9L, None, Some(7L))
+    ).toDF("k", "o", "email", "bal")
+    val got = graft.operators.Relational.goldenRecord(v, $"k", $"o", Seq("email", "bal"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(
+      "k1" -> (3L, Some("b@x"), Some(30L)),
+      "k2" -> (2L, Some("q"), Some(2L)),
+      "k3" -> (1L, None, Some(7L))))
+  }
 }
