@@ -2731,6 +2731,34 @@ object SparkEntry {
         .sortBy(Seq(col("key")))
     }),
 
+    "q341_fence_occupancy" -> ((s, dir) => {
+      // geofence occupancy report: q332's three fences with exact
+      // shoelace metrics (2·area, 6A·centroid — integers, no division)
+      // and the contained-point count per fence; density as points per
+      // million area units, floor ppm of (2M·n)/area2.
+      import s.implicits._
+      val cust = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 10000).as("x"),
+        (col("c_custkey") * 104729 % 10000).as("y")))
+      val polys = Seq(
+        ("pent", Seq((6500L, 5000L), (5464L, 6427L), (3787L, 5882L),
+          (3787L, 4118L), (5464L, 3573L))),
+        ("sq", Seq((2000L, 2000L), (7000L, 2000L), (7000L, 7000L),
+          (2000L, 7000L))),
+        ("tri", Seq((0L, 0L), (9999L, 0L), (0L, 9999L)))
+      ).toDF("poly_id", "vraw")
+        .withColumn("vs", transform(col("vraw"),
+          v => struct(v("_1").as("x"), v("_2").as("y"))))
+      val inside = Spatial.pointInConvexPolygon(cust, polys, cellSize = 2000L)
+        .aggregate(Seq(col("poly_id")), Seq(count(lit(1)).as("n_inside")))
+      Spatial.polygonMetrics(polys)
+        .join(inside, Seq("poly_id"), "left")
+        .withColumn("n_inside", coalesce(col("n_inside"), lit(0L)))
+        .withColumn("density_ppm", expr("(n_inside * 2000000L) DIV area2"))
+        .sortBy(Seq(col("poly_id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -6972,6 +7000,38 @@ object SparkEntry {
            (list(bal_c ORDER BY d DESC, i DESC)
               FILTER (WHERE bal_c IS NOT NULL))[1] AS bal_c_latest
          FROM v GROUP BY key ORDER BY key""",
+
+    // q332's edge rows again: shoelace sums per polygon + containment count
+    "q341_fence_occupancy" ->
+      """WITH pts AS (SELECT c_custkey AS id, (c_custkey*7919)%10000 AS x,
+             (c_custkey*104729)%10000 AS y FROM customer),
+         e AS (SELECT * FROM (VALUES
+             ('tri', 0, 0, 9999, 0), ('tri', 9999, 0, 0, 9999),
+             ('tri', 0, 9999, 0, 0),
+             ('sq', 2000, 2000, 7000, 2000), ('sq', 7000, 2000, 7000, 7000),
+             ('sq', 7000, 7000, 2000, 7000), ('sq', 2000, 7000, 2000, 2000),
+             ('pent', 6500, 5000, 5464, 6427), ('pent', 5464, 6427, 3787, 5882),
+             ('pent', 3787, 5882, 3787, 4118), ('pent', 3787, 4118, 5464, 3573),
+             ('pent', 5464, 3573, 6500, 5000))
+           AS e(poly_id, x1, y1, x2, y2)),
+         met AS (SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(SUM(CAST(x1 AS BIGINT)*y2 - CAST(x2 AS BIGINT)*y1) AS BIGINT) AS area2,
+             CAST(SUM((CAST(x1 AS BIGINT)+x2) *
+               (CAST(x1 AS BIGINT)*y2 - CAST(x2 AS BIGINT)*y1)) AS BIGINT) AS cx6,
+             CAST(SUM((CAST(y1 AS BIGINT)+y2) *
+               (CAST(x1 AS BIGINT)*y2 - CAST(x2 AS BIGINT)*y1)) AS BIGINT) AS cy6
+           FROM e GROUP BY poly_id),
+         m AS (SELECT p.id, e.poly_id,
+             bool_and((e.x2-e.x1)*(p.y-e.y1) - (e.y2-e.y1)*(p.x-e.x1) >= 0)
+               AS inside
+           FROM pts p CROSS JOIN e GROUP BY 1, 2),
+         cnt AS (SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_inside
+                 FROM m WHERE inside GROUP BY poly_id)
+         SELECT met.poly_id, met.n_vertices, met.area2, met.cx6, met.cy6,
+           COALESCE(cnt.n_inside, 0) AS n_inside,
+           (COALESCE(cnt.n_inside, 0) * 2000000) // met.area2 AS density_ppm
+         FROM met LEFT JOIN cnt ON met.poly_id = cnt.poly_id
+         ORDER BY met.poly_id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

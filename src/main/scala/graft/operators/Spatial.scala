@@ -168,6 +168,32 @@ object Spatial {
       .selectCols(Seq(col("id"), col("x"), col("y"), col("poly_id")))
   }
 
+  /** Exact shoelace metrics per polygon: (poly_id, n_vertices, area2,
+    * cx6, cy6) where `area2` = Σ (x_i·y_{i+1} − x_{i+1}·y_i) is TWICE the
+    * signed area (positive for the CCW rings [[pointInConvexPolygon]]
+    * requires — a negative area2 is how a caller catches a CW ring) and
+    * (cx6, cy6) are 6·area·centroid — Σ (x_i+x_{i+1})·cross_i and the y
+    * analogue — kept as exact integers instead of dividing (centroid =
+    * cx6/(3·area2), the caller's float call to make). Same `vs`
+    * array<struct<x,y>> input contract as the containment join; pure
+    * array expressions, no UDF, no shuffle.
+    */
+  def polygonMetrics(polys: DataFrame): DataFrame = {
+    val rot = concat(slice(col("vs"), lit(2), size(col("vs")) - 1),
+      slice(col("vs"), lit(1), lit(1)))
+    val crosses = zip_with(col("vs"), rot, (a, b) =>
+      struct((a("x") * b("y") - b("x") * a("y")).alias("c"),
+        (a("x") + b("x")).alias("sx"), (a("y") + b("y")).alias("sy")))
+    def asum(f: Column => Column): Column =
+      aggregate(col("__cr"), lit(0L), (acc, e) => acc + f(e))
+    polys.withColumn("__cr", crosses)
+      .selectCols(Seq(col("poly_id"),
+        size(col("vs")).cast("long").alias("n_vertices"),
+        asum(e => e("c")).alias("area2"),
+        asum(e => e("sx") * e("c")).alias("cx6"),
+        asum(e => e("sy") * e("c")).alias("cy6")))
+  }
+
   /** Grid density clustering (the CLIQUE/STING family — grid-quantized
     * DBSCAN, NOT point-radius DBSCAN: density is judged per cell, border
     * points of a sparse cell are noise by definition): points fall into

@@ -119,4 +119,22 @@ class SpatialSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
       5L -> 163845L, 6L -> 163845L))
   }
+  test("polygonMetrics: shoelace 2A and 6A-centroid exact, CW ring flags negative") {
+    import spark.implicits._
+    def polys(rows: (String, Seq[(Long, Long)])*): DataFrame =
+      rows.toSeq.toDF("poly_id", "vraw")
+        .withColumn("vs", transform(col("vraw"),
+          v => struct(v("_1").as("x"), v("_2").as("y"))))
+    // unit-ish square 10x10 at origin, CCW: area2 = 200, centroid (5,5) ->
+    // cx6 = 3*area2*5 = 3000
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val tri = Seq((0L, 0L), (4L, 0L), (0L, 3L)) // area 6 -> area2 = 12
+    val got = Spatial.polygonMetrics(polys(("sq", sq), ("tri", tri), ("cw", sq.reverse)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("sq") == (4L, 200L, 3000L, 3000L))
+    // tri centroid (4/3, 1): cx6 = 3*12*4/3 = 48, cy6 = 3*12*1 = 36
+    assert(got("tri") == (3L, 12L, 48L, 36L))
+    assert(got("cw")._2 == -200L, "CW ring shows as negative area2")
+  }
 }
