@@ -2759,6 +2759,16 @@ object SparkEntry {
         .sortBy(Seq(col("poly_id")))
     }),
 
+    "q342_greedy_max_coverage" -> ((s, dir) => {
+      // submodular curation: the 3 documents that greedily maximize
+      // distinct word-3-gram coverage (q34's exact shingles, as strings —
+      // coverage must not depend on hash collisions). The oracle unrolls
+      // the same 3 greedy rounds.
+      Corpus.greedyMaxCoverage(t(s, dir, "documents"), col("doc_id"),
+          col("text"), k = 3)
+        .sortBy(Seq(col("rank")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7032,6 +7042,41 @@ object SparkEntry {
            (COALESCE(cnt.n_inside, 0) * 2000000) // met.area2 AS density_ppm
          FROM met LEFT JOIN cnt ON met.poly_id = cnt.poly_id
          ORDER BY met.poly_id""",
+
+    // q34's shingles, three greedy rounds unrolled; ANTI JOIN = the
+    // covered-set subtraction, (gain DESC, doc_id) = the tie rule
+    "q342_greedy_max_coverage" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+         p1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM inv
+                GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+         c1 AS (SELECT g FROM inv WHERE doc_id = (SELECT doc_id FROM p1)),
+         p2 AS (SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+                FROM inv i ANTI JOIN c1 ON i.g = c1.g
+                GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+         c2 AS (SELECT g FROM c1 UNION ALL
+                SELECT g FROM inv WHERE doc_id = (SELECT doc_id FROM p2)),
+         p3 AS (SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+                FROM inv i ANTI JOIN c2 ON i.g = c2.g
+                GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rank, doc_id, gain,
+                gain AS covered_total FROM p1
+         UNION ALL
+         SELECT 2, doc_id, gain, (SELECT gain FROM p1) + gain FROM p2
+         UNION ALL
+         SELECT 3, doc_id, gain,
+           (SELECT gain FROM p1) + (SELECT gain FROM p2) + gain FROM p3
+         ORDER BY rank""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

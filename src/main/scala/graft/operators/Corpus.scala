@@ -1607,4 +1607,59 @@ object Corpus {
     df.select((Seq(id.alias("id"), text.alias("__t")) ): _*)
       .select((Seq(col("id")) ++ counts :+ redacted.alias("redacted")): _*)
   }
+
+  /** Greedy maximum-coverage document selection — the classic submodular
+    * curation step (pick the k docs that together cover the most distinct
+    * word 3-gram shingles; each round's winner is the doc with the most
+    * NOT-YET-COVERED shingles, ties to the smaller id). The greedy
+    * solution is within (1 − 1/e) of optimal (Nemhauser et al. 1978) and
+    * is what "select a diverse seed subset" means in practice. Stops
+    * early when the best remaining gain is 0. Returns one row per pick:
+    * (rank, doc_id, gain, covered_total).
+    *
+    * Scale shape: the inverted doc→shingle index is built once and
+    * persisted; each of the k rounds is one anti-join against the covered
+    * set (broadcast-sized: it only ever holds the CHOSEN docs' shingles,
+    * not the corpus), one partial-agg count per doc, and a 1-row
+    * TakeOrdered — the k·O(index) pattern, with only k rows of driver
+    * state (the k-means-centroid precedent). k is require-bounded.
+    * Shingles are STRINGS (q34's exact tokenization), not hashes: a
+    * coverage count must not depend on hash collisions.
+    */
+  def greedyMaxCoverage(docs: DataFrame, id: Column, text: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = filter(split(lower(trim(text)), "\\s+"), x => length(x) > 0)
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+      i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))
+    val inv = docs.select(id.cast("long").alias("id"), toks.alias("__toks"))
+      .select(col("id"), explode(sh).alias("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var covered = inv.select(col("g")).limit(0)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cum = 0L
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = inv.join(covered, Seq("g"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).alias("gain"))
+        .orderBy(col("gain").desc, col("id").asc)
+        .limit(1).collect() // 1 row per round, k rounds — bounded driver state
+      if (top.isEmpty || top(0).getLong(1) == 0L) done = true
+      else {
+        val d = top(0).getLong(0); val gn = top(0).getLong(1)
+        cum += gn
+        chosen += ((r.toLong, d, gn, cum))
+        covered = covered.union(inv.filter(col("id") === d).select(col("g")))
+        r += 1
+      }
+    }
+    val out = chosen.toSeq.toDF("rank", "doc_id", "gain", "covered_total")
+    inv.unpersist()
+    out
+  }
 }

@@ -971,4 +971,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == Row(2L, 0L, 0L, 0L, "nothing to see"))
     assert(out(2) == Row(3L, 1L, 0L, 1L, "<EMAIL>"))
   }
+  test("greedyMaxCoverage: greedy beats biggest-doc-first, ties to smaller id, zero-gain stop") {
+    import graft.operators.Corpus
+    // doc 1 has 4 shingles; docs 2+3 have 3 each but DISJOINT from each
+    // other and from only part of doc 1: greedy picks 1 first, then the
+    // doc with most uncovered. "a b c d e f" -> shingles {a b c, b c d,
+    // c d e, d e f}
+    val docs = Seq(
+      (1L, "a b c d e f"),          // 4 shingles
+      (2L, "a b c d"),              // {a b c, b c d} subset of doc 1 -> gain 0 later
+      (3L, "x y z w"),              // {x y z, y z w} disjoint
+      (4L, "p q r"),                // {p q r}
+      (5L, "p q r")                 // duplicate of 4 -> tie, smaller id wins
+    ).toDF("id", "txt")
+    val got = Corpus.greedyMaxCoverage(docs, $"id", $"txt", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rounds: 1 (gain 4), 3 (gain 2), 4 (gain 1, tie 4<5), then all gains 0 -> stop
+    assert(got.toSeq == Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L), (3L, 4L, 1L, 7L)))
+  }
 }
