@@ -2597,8 +2597,11 @@ object SparkEntry {
       // fuzzy key matching: every customer-name pair within one edit,
       // FastSS deletion-neighborhood candidates + exact Levenshtein
       // verify — the oracle IS the quadratic cross join, the operator
-      // never builds it.
-      Dedup.editDistancePairs(t(s, dir, "customer"), col("c_name"), maxDist = 1)
+      // never builds it. NOT editDistancePairs: these names are uniform-
+      // length, the degenerate case where length banding is the cross
+      // join in disguise (q137 keeps banding — part names vary).
+      Dedup.deletionNeighborhoodPairs(t(s, dir, "customer"), col("c_name"),
+          maxDist = 1)
         .sortBy(Seq(col("sa"), col("sb")))
     }),
 

@@ -552,6 +552,10 @@ object Dedup {
     *     band and the next — any qualifying pair differs by < one band
     *     width, so the two bands cover every case exactly once). No
     *     cartesian, no theta join; the O(len²) DP runs only on candidates.
+    *     CAVEAT: on a UNIFORM-length dictionary (fixed-width codes,
+    *     generated names) one band holds everything and this is the n²
+    *     cross join in disguise — use [[deletionNeighborhoodPairs]]
+    *     there; its candidate set never depends on the length histogram.
     * Ordering anchor: (len, string) ascending pins each pair to one output
     * row. Returns (sa, sb, dist).
     */
@@ -1206,6 +1210,15 @@ object Dedup {
     * caps the fan-out (longer strings are DROPPED from matching — the
     * caller's recall contract, asserted in the spec). `maxDist` ∈ {1, 2}.
     *
+    * Vs [[editDistancePairs]] (complete LENGTH-band blocking): length
+    * banding is sound and cheap when lengths VARY, but on a uniform-
+    * length dictionary it degenerates to one band = the full n² cross
+    * join (measured: 15k same-length TPC-H names = 112M candidate pairs
+    * on one key — minutes; this operator's variant join = 2.2M — around
+    * a second). Inversely, deletion variants on long, length-diverse
+    * strings cost O(len^d) fan-out where banding is nearly free. Pick by
+    * the dictionary's length histogram.
+    *
     * Scale shape: distinct-first (dictionary semantics — dedup/ER match
     * keys, then map back to rows), variants are 64-bit-hashable short
     * strings, the variant join groups are tiny for natural keys (a hub
@@ -1213,7 +1226,7 @@ object Dedup {
     * and candidate pairs are `distinct`ed before the O(len²) verify so
     * each pair pays Levenshtein once. Returns (sa, sb, dist), sa < sb.
     */
-  def editDistancePairs(df: DataFrame, str: Column, maxDist: Int,
+  def deletionNeighborhoodPairs(df: DataFrame, str: Column, maxDist: Int,
       maxLen: Int = 64): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     require(maxLen >= 1, s"maxLen must be positive, got $maxLen")

@@ -515,7 +515,7 @@ class DedupSpec extends SparkSpec {
     assert(run(800000L) == b8)
     assert(run(500000L) == brute(500000L))
   }
-  test("editDistancePairs: FastSS blocking is exact vs brute force at d=1 and d=2") {
+  test("deletionNeighborhoodPairs: FastSS blocking is exact vs brute force at d=1 and d=2") {
     // substitutions, insertions, deletions, transposition (= 2 subs for
     // plain Levenshtein), a d=3 miss, and a maxLen drop
     val names = Seq("martha", "marhta", "martja", "marthas", "marta",
@@ -534,7 +534,7 @@ class DedupSpec extends SparkSpec {
       if dist <= d
     } yield (a, b, dist.toLong)).toSet
     def run(d: Int, cap: Int) =
-      Dedup.editDistancePairs(df, $"nm", d, cap).collect()
+      Dedup.deletionNeighborhoodPairs(df, $"nm", d, cap).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val b1 = brute(1, 20)
     assert(b1.contains(("martha", "martja", 1L)) && b1.contains(("marta", "martha", 1L)))
