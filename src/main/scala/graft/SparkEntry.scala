@@ -2772,6 +2772,28 @@ object SparkEntry {
         .sortBy(Seq(col("rank")))
     }),
 
+    "q343_weighted_sssp" -> ((s, dir) => {
+      // bounded-hop weighted routing: cheapest ≤4-hop path from the seed
+      // parts (id % 97 = 0) over the undirected co-purchase graph, edge
+      // cost 1 + count % 3 (coarse integer costs keep the oracle's
+      // (node, dist, hops) enumeration bounded). Unreached-within-bound
+      // nodes absent by the bfsDistances contract.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
+      val e0 = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .aggregate(Seq(col("x.l_partkey").as("a"),
+          col("y.l_partkey").as("b")), Seq(count(lit(1)).as("n")))
+        .withColumn("w", lit(1L) + col("n") % 3)
+      val und = e0.selectCols(Seq(col("a").as("src"), col("b").as("dst"), col("w")))
+        .union(e0.selectCols(Seq(col("b").as("src"), col("a").as("dst"), col("w"))))
+      val seeds = und.selectCols(Seq(col("src").as("id"))).distinctAll
+        .filterCol(col("id") % 97 === 0)
+      graft.operators.Graph.shortestPaths(und, seeds, rounds = 4)
+        .sortBy(Seq(col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7080,6 +7102,26 @@ object SparkEntry {
          SELECT 3, doc_id, gain,
            (SELECT gain FROM p1) + (SELECT gain FROM p2) + gain FROM p3
          ORDER BY rank""",
+
+    // (node, dist, hops) enumeration with the hop cap in the recursion
+    // guard; coarse costs (1..3) bound distinct sums. min at the end.
+    "q343_weighted_sssp" ->
+      """WITH RECURSIVE hi AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem WHERE l_quantity >= 45),
+         e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+                  1 + COUNT(*) % 3 AS w
+                FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2),
+         e AS (SELECT a AS src, b AS dst, w FROM e0
+               UNION ALL SELECT b, a, w FROM e0),
+         seeds AS (SELECT DISTINCT src AS id FROM e WHERE src % 97 = 0),
+         d(id, dist, hops) AS (
+           SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+           UNION
+           SELECT e.dst, d.dist + e.w, d.hops + 1
+           FROM d JOIN e ON e.src = d.id WHERE d.hops < 4)
+         SELECT id, MIN(dist) AS dist FROM d GROUP BY id ORDER BY id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

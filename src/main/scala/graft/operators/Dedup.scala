@@ -1240,7 +1240,13 @@ object Dedup {
     val vset =
       if (maxDist == 1) array_distinct(v1)
       else array_distinct(concat(v1, flatten(transform(v1, x => delOne(x)))))
+    // the source is often one small parquet file = ONE input partition;
+    // explode keeps it, and the O(Σ df²) candidate join + Levenshtein
+    // verify would then run on a single core (measured 18 s vs 2 s at
+    // sf0.1). Hash-repartition on the variant: parallelizes the join AND
+    // co-locates both sides of the self-join on the join key.
     val vars = s0.select(col("s"), explode(vset).alias("v"))
+      .repartition(col("v"))
     val cands = vars.select(col("s").alias("sa"), col("v"))
       .join(vars.select(col("s").alias("sb"), col("v").alias("__vb")),
         col("v") === col("__vb") && col("sa") < col("sb"))

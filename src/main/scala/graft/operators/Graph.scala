@@ -513,6 +513,41 @@ object Graph {
     * `rounds`. Per-round lineage is truncated (see [[Iterative.truncate]];
     * pass `checkpointDir` for cluster-reliable checkpoints on long runs).
     */
+  /** Multi-source weighted shortest path with a hop bound: returns
+    * (id, dist) = the minimum total edge weight over any path of at most
+    * `rounds` hops from any source to id (sources at 0; nodes unreachable
+    * within the bound are ABSENT — at 100 TB the reached set is the small
+    * output, its complement is not). Weights must be non-negative
+    * (require-checked on the first batch is impossible declaratively —
+    * the caller's contract; negative weights would need the full
+    * |V|−1-round Bellman-Ford to be exact). The weighted sibling of
+    * [[bfsDistances]] and the min-dual of [[dagLongestPath]]: same
+    * frontier relaxation, same shuffle shape — each round one equi-join
+    * of edges against the current distances and a partial-agg min per
+    * node. Edges are directed; pass both orientations for an undirected
+    * graph.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(edges.columns.length == 3, "edges must be exactly (src, dst, w)")
+    require(sources.columns.length == 1, "sources must be a single id column")
+    val e0 = Iterative.truncate(edges.toDF("src", "dst", "w")
+      .select(col("src"), col("dst"), col("w").cast("long").alias("w")),
+      checkpointDir)
+    var dist = Iterative.truncate(
+      sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
+    (1 to rounds).foreach { _ =>
+      val relaxed = e0
+        .join(dist.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").alias("id"), (col("dist") + col("w")).alias("dist"))
+        .union(dist)
+      dist = Iterative.truncate(
+        relaxed.groupBy("id").agg(min(col("dist")).alias("dist")), checkpointDir)
+    }
+    dist
+  }
+
   def dagLongestPath(edges: DataFrame, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -333,6 +333,25 @@ class CorpusSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 10L, 5L -> 2L, 6L -> 0L, 7L -> 5L))
   }
 
+  test("shortestPaths: weighted multi-source min, hop bound bites, unreached absent") {
+    import graft.operators.Graph
+    // 1 -2-> 2 -2-> 3 -2-> 4; shortcut 1 -7-> 4 (more weight, fewer hops);
+    // island 9 -1-> 10; sources {1, 9}
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L), (1L, 4L, 7L),
+      (9L, 10L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L, 9L).toDF("id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.shortestPaths(edges, src, rounds = 3)) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L, 9L -> 0L, 10L -> 1L))
+    // hop bound 1: only direct edges — the costly shortcut IS the answer
+    assert(m(Graph.shortestPaths(edges, src, rounds = 1)) ==
+      Map(1L -> 0L, 2L -> 2L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
+    // hop bound 2: 1-2-3 reached; 4 still best at 7 via the shortcut
+    assert(m(Graph.shortestPaths(edges, src, rounds = 2)) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
+  }
+
   test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
     // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
     // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;
