@@ -2794,6 +2794,21 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q344_review_pair_matching" -> ((s, dir) => {
+      // one-partner-each allocation: local-max greedy matching over the
+      // co-purchase graph (strongest-association pairs first, no part
+      // reused) — 3 deterministic rounds, oracle unrolls the same three.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
+      val e0 = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .aggregate(Seq(col("x.l_partkey").as("a"),
+          col("y.l_partkey").as("b")), Seq(count(lit(1)).as("w")))
+      graft.operators.Graph.localMaxMatching(e0, rounds = 3)
+        .sortBy(Seq(col("round"), col("a"), col("b")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7122,6 +7137,52 @@ object SparkEntry {
            SELECT e.dst, d.dist + e.w, d.hops + 1
            FROM d JOIN e ON e.src = d.id WHERE d.hops < 4)
          SELECT id, MIN(dist) AS dist FROM d GROUP BY id ORDER BY id""",
+
+    // three unrolled local-max rounds: per-node best incident edge by
+    // (w DESC, a, b), matched iff both endpoints agree, matched nodes out
+    "q344_review_pair_matching" ->
+      """WITH hi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             WHERE l_quantity >= 45),
+         e1 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+                  CAST(COUNT(*) AS BIGINT) AS w
+                FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
+         o1 AS (SELECT a AS node, a, b, w FROM e1
+                UNION ALL SELECT b, a, b, w FROM e1),
+         b1 AS (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
+                  OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
+                FROM o1) WHERE rn = 1),
+         m1 AS (SELECT e.a, e.b, e.w FROM e1 e
+                JOIN b1 x ON x.node = e.a AND x.a = e.a AND x.b = e.b
+                JOIN b1 y ON y.node = e.b AND y.a = e.a AND y.b = e.b),
+         t1 AS (SELECT a AS n FROM m1 UNION SELECT b FROM m1),
+         e2 AS (SELECT e.a, e.b, e.w FROM e1 e
+                WHERE e.a NOT IN (SELECT n FROM t1)
+                  AND e.b NOT IN (SELECT n FROM t1)),
+         o2 AS (SELECT a AS node, a, b, w FROM e2
+                UNION ALL SELECT b, a, b, w FROM e2),
+         b2 AS (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
+                  OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
+                FROM o2) WHERE rn = 1),
+         m2 AS (SELECT e.a, e.b, e.w FROM e2 e
+                JOIN b2 x ON x.node = e.a AND x.a = e.a AND x.b = e.b
+                JOIN b2 y ON y.node = e.b AND y.a = e.a AND y.b = e.b),
+         t2 AS (SELECT a AS n FROM m2 UNION SELECT b FROM m2),
+         e3 AS (SELECT e.a, e.b, e.w FROM e2 e
+                WHERE e.a NOT IN (SELECT n FROM t2)
+                  AND e.b NOT IN (SELECT n FROM t2)),
+         o3 AS (SELECT a AS node, a, b, w FROM e3
+                UNION ALL SELECT b, a, b, w FROM e3),
+         b3 AS (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
+                  OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
+                FROM o3) WHERE rn = 1),
+         m3 AS (SELECT e.a, e.b, e.w FROM e3 e
+                JOIN b3 x ON x.node = e.a AND x.a = e.a AND x.b = e.b
+                JOIN b3 y ON y.node = e.b AND y.a = e.a AND y.b = e.b)
+         SELECT a, b, w, CAST(1 AS BIGINT) AS round FROM m1
+         UNION ALL SELECT a, b, w, 2 FROM m2
+         UNION ALL SELECT a, b, w, 3 FROM m3
+         ORDER BY round, a, b""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -513,6 +513,58 @@ object Graph {
     * `rounds`. Per-round lineage is truncated (see [[Iterative.truncate]];
     * pass `checkpointDir` for cluster-reliable checkpoints on long runs).
     */
+  /** Local-max greedy matching over an undirected weighted graph — the
+    * distributed version of sorted greedy matching (each round an edge is
+    * matched iff it is the best incident edge of BOTH its endpoints;
+    * matched nodes leave the graph; repeat). Priority is (w DESC, a ASC,
+    * b ASC) — fully deterministic, and the round-1 winners are exactly
+    * the locally-dominant edges of the classic analysis (converges to a
+    * maximal matching in O(log n) expected rounds; `rounds` truncates —
+    * leftovers are simply unmatched, identically in any replay). Weight
+    * at least half the maximum-weight matching when run to maximality
+    * (the greedy bound). Use: assigning near-dup pairs for one-pass
+    * human review, pairing A/B cohorts, any one-partner-each allocation.
+    * Returns (a, b, w, round).
+    *
+    * Scale shape per round: one partial-agg min(struct) per node for the
+    * best incident edge, two equi-joins to test both-endpoints-agree,
+    * two anti joins to drop matched nodes' edges — all on 64-bit node
+    * keys; lineage truncated per round ([[Iterative.truncate]]).
+    */
+  def localMaxMatching(edges: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(edges.columns.length == 3, "edges must be exactly (a, b, w)")
+    var e = Iterative.truncate(edges.toDF("a", "b", "w")
+      .select(col("a"), col("b"), col("w").cast("long").alias("w")),
+      checkpointDir)
+    var matched: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val o = e.select(col("a").alias("node"), col("a"), col("b"), col("w"))
+        .union(e.select(col("b").alias("node"), col("a"), col("b"), col("w")))
+      val best = o.groupBy(col("node"))
+        .agg(min(struct((-col("w")).alias("nw"), col("a").alias("pa"),
+          col("b").alias("pb"))).alias("m"))
+        .select(col("node"), col("m.pa").alias("pa"), col("m.pb").alias("pb"))
+      val m1 = Iterative.truncate(
+        e.join(best.alias("x"),
+            col("x.node") === col("a") && col("x.pa") === col("a") &&
+              col("x.pb") === col("b"))
+          .join(best.alias("y"),
+            col("y.node") === col("b") && col("y.pa") === col("a") &&
+              col("y.pb") === col("b"))
+          .select(col("a"), col("b"), col("w")), checkpointDir)
+      val withRound = m1.withColumn("round", lit(r.toLong))
+      matched = if (matched == null) withRound else matched.union(withRound)
+      val touched = m1.select(col("a").alias("n"))
+        .union(m1.select(col("b").alias("n"))).distinct()
+      e = Iterative.truncate(
+        e.join(touched, col("a") === col("n"), "left_anti")
+          .join(touched, col("b") === col("n"), "left_anti"), checkpointDir)
+    }
+    matched
+  }
+
   /** Multi-source weighted shortest path with a hop bound: returns
     * (id, dist) = the minimum total edge weight over any path of at most
     * `rounds` hops from any source to id (sources at 0; nodes unreachable

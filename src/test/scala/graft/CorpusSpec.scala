@@ -352,6 +352,22 @@ class CorpusSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
   }
 
+  test("localMaxMatching: both-endpoints-agree rule, weight tie to (a,b), multi-round") {
+    import graft.operators.Graph
+    def run(es: Seq[(Long, Long, Long)], rounds: Int) =
+      Graph.localMaxMatching(es.toDF("a", "b", "w"), rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // descending chain: e12 wins round 1, blocks e23; e34 only in round 2
+    assert(run(Seq((1L, 2L, 9L), (2L, 3L, 8L), (3L, 4L, 7L)), 3) ==
+      Set((1L, 2L, 1L), (3L, 4L, 2L)))
+    // weight tie at node 3: (2,3) beats (3,4) by the (a,b) rule
+    assert(run(Seq((1L, 2L, 5L), (2L, 3L, 9L), (3L, 4L, 9L)), 2) ==
+      Set((2L, 3L, 1L)))
+    // star: only the heaviest spoke survives, nothing left after
+    assert(run(Seq((1L, 2L, 3L), (1L, 3L, 5L), (1L, 4L, 4L)), 2) ==
+      Set((1L, 3L, 1L)))
+  }
+
   test("bigramSurprise: hand-computed smoothed inverse transition probabilities") {
     // docs: [a b a], [b a], [x] -> uni a=3 b=2 x=1; bigrams (a,b)=1 (b,a)=2,
     // B=2; surprise(a,b) = (3+2)*1e6 DIV 2 = 2.5e6;
