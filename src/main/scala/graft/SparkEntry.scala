@@ -2809,6 +2809,45 @@ object SparkEntry {
         .sortBy(Seq(col("round"), col("a"), col("b")))
     }),
 
+    "q345_stratified_ate" -> ((s, dir) => {
+      // experimentation analytics: treatment (custkey % 7 = 0) vs control
+      // compared WITHIN exact account-balance deciles (q214's rank rule),
+      // outcome = lifetime order spend in cents (0 for orderless). Per
+      // stratum: arm sizes, exact outcome sums, and the mean difference
+      // as one sign-split micro-cent integer (DECIMAL(38,0) cross
+      // products — no float means); NULL when an arm is empty.
+      val cust = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("id"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("bal_c")))
+      val spend = t(s, dir, "orders")
+        .aggregate(Seq(col("o_custkey").as("id")), Seq(
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("out_c")))
+      val bins = Relational.quantileBins(cust, col("id"), col("bal_c"), 10)
+        .selectCols(Seq(col("id"), col("bin")))
+      cust.join(spend, Seq("id"), "left")
+        .withColumn("out_c", coalesce(col("out_c"), lit(0L)))
+        .join(bins, Seq("id"))
+        .withColumn("treat", (col("id") % 7 === 0).cast("long"))
+        .aggregate(Seq(col("bin")), Seq(
+          sum(col("treat")).as("n_t"),
+          sum(lit(1L) - col("treat")).as("n_c"),
+          sum(col("out_c") * col("treat")).as("sum_t"),
+          sum(col("out_c") * (lit(1L) - col("treat"))).as("sum_c")))
+        .withColumn("num", expr(
+          "CAST(sum_t AS DECIMAL(38,0)) * n_c - CAST(sum_c AS DECIMAL(38,0)) * n_t"))
+        .withColumn("diff_micro", expr(
+          """CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+             WHEN num >= 0 THEN CAST((num * 1000000)
+               DIV (CAST(n_t AS DECIMAL(38,0)) * n_c) AS BIGINT)
+             ELSE CAST(-((-num * 1000000)
+               DIV (CAST(n_t AS DECIMAL(38,0)) * n_c)) AS BIGINT) END"""))
+        .selectCols(Seq(col("bin"), col("n_t"), col("n_c"), col("sum_t"),
+          col("sum_c"), col("diff_micro")))
+        .sortBy(Seq(col("bin")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7183,6 +7222,38 @@ object SparkEntry {
          UNION ALL SELECT a, b, w, 2 FROM m2
          UNION ALL SELECT a, b, w, 3 FROM m3
          ORDER BY round, a, b""",
+
+    // q214's exact rank-decile rule, then per-stratum arm sums and the
+    // HUGEINT cross-product mean difference in sign-split micro-cents
+    "q345_stratified_ate" ->
+      """WITH cust AS (SELECT c_custkey AS id,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+           FROM customer),
+         spend AS (SELECT o_custkey AS id,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS out_c
+           FROM orders GROUP BY 1),
+         r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY bal_c, id) AS rank,
+             COUNT(*) OVER () AS n FROM cust),
+         base AS (SELECT c.id, ((r.rank - 1) * 10) // r.n AS bin,
+             COALESCE(s.out_c, 0) AS out_c,
+             CASE WHEN c.id % 7 = 0 THEN 1 ELSE 0 END AS treat
+           FROM cust c JOIN r ON r.id = c.id
+           LEFT JOIN spend s ON s.id = c.id),
+         agg AS (SELECT bin, CAST(SUM(treat) AS BIGINT) AS n_t,
+             CAST(SUM(1 - treat) AS BIGINT) AS n_c,
+             CAST(SUM(out_c * treat) AS BIGINT) AS sum_t,
+             CAST(SUM(out_c * (1 - treat)) AS BIGINT) AS sum_c
+           FROM base GROUP BY bin),
+         d AS (SELECT *, CAST(sum_t AS HUGEINT) * n_c -
+             CAST(sum_c AS HUGEINT) * n_t AS num FROM agg)
+         SELECT bin, n_t, n_c, sum_t, sum_c,
+           CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((num * 1000000)
+                  // (CAST(n_t AS HUGEINT) * n_c) AS BIGINT)
+                ELSE CAST(-((-num * 1000000)
+                  // (CAST(n_t AS HUGEINT) * n_c)) AS BIGINT) END AS diff_micro
+         FROM d ORDER BY bin""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
