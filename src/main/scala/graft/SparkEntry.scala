@@ -2848,6 +2848,21 @@ object SparkEntry {
         .sortBy(Seq(col("bin")))
     }),
 
+    "q346_rolling_ols" -> ((s, dir) => {
+      // 7-day rolling trend per event type: exact OLS slope of daily
+      // value micros over the trailing week at every day — q330's
+      // decimal-exact regression as a RANGE-window monitor.
+      val daily = t(s, dir, "events")
+        .aggregate(Seq(col("event_type").as("k"),
+          (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+            .cast("long").as("d")), Seq(
+          sum((col("value").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long")).as("y")))
+      Relational.rollingOls(daily, col("k"), col("d"), col("y"),
+          windowRange = 6L)
+        .sortBy(Seq(col("key"), col("x")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7254,6 +7269,32 @@ object SparkEntry {
                 ELSE CAST(-((-num * 1000000)
                   // (CAST(n_t AS HUGEINT) * n_c)) AS BIGINT) END AS diff_micro
          FROM d ORDER BY bin""",
+
+    // the same five HUGEINT window sums over RANGE 6 PRECEDING, then the
+    // q330 sign-split slope
+    "q346_rolling_ols" ->
+      """WITH daily AS (SELECT event_type AS k,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000
+               AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         wnd AS (SELECT k AS key, x, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+             SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx
+           FROM (SELECT k, d AS x, y FROM daily)
+           WINDOW w AS (PARTITION BY k ORDER BY x
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         c AS (SELECT key, x, y, n, n * sxx - sx * sx AS den,
+             n * sxy - sx * sy AS num FROM wnd)
+         SELECT key, x, y, n,
+           CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
+                ELSE CAST(-((-num * 1000000) // den) AS BIGINT) END AS slope_ppm
+         FROM c ORDER BY key, x""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

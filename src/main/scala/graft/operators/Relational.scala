@@ -1390,6 +1390,42 @@ object Relational {
       .select(col("key"), col("n_pairs"), col("slope_ppm").alias("ts_slope_ppm"))
   }
 
+  /** Rolling exact OLS slope per key — [[groupOls]] over a trailing
+    * RANGE window instead of the whole group: at every observation, the
+    * regression of the last `windowRange`+1 x-units (inclusive frame
+    * [x − windowRange, x]) ends there. The trend monitor that answers
+    * "is this key's metric drifting, judged on the recent window only" —
+    * early rows regress over however much history exists (honest n says
+    * how much). Same DECIMAL(38,0) sums and sign-split truncation-ppm
+    * slope as q330; x must be an integer axis (epoch days, minutes).
+    *
+    * Scale shape: one window PARTITIONED BY KEY with a RANGE frame on
+    * the integer axis — the frame sums are incremental per partition,
+    * never a per-row rescan, and nothing is global.
+    */
+  def rollingOls(df: DataFrame, key: Column, x: Column, y: Column,
+      windowRange: Long): DataFrame = {
+    require(windowRange >= 1, s"windowRange must be >= 1, got $windowRange")
+    val d = DecimalType(38, 0)
+    val base = df.select(key.alias("key"), x.cast("long").alias("x"),
+      y.cast("long").alias("y"))
+    val w = Window.partitionBy(col("key")).orderBy(col("x"))
+      .rangeBetween(-windowRange, 0)
+    base
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast(d)).over(w))
+      .withColumn("sy", sum(col("y").cast(d)).over(w))
+      .withColumn("sxy", sum((col("x") * col("y")).cast(d)).over(w))
+      .withColumn("sxx", sum((col("x") * col("x")).cast(d)).over(w))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("slope_ppm", expr(
+        """CASE WHEN den = 0 THEN NULL
+           WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT)
+           ELSE CAST(-((-num * 1000000) DIV den) AS BIGINT) END"""))
+      .select(col("key"), col("x"), col("y"), col("n"), col("slope_ppm"))
+  }
+
   /** Golden-record survivorship merge: collapse an entity's version
     * history to one record, each field independently taking its LATEST
     * NON-NULL value — the standard MDM survivorship rule (a field absent

@@ -894,4 +894,22 @@ class RelationalSpec extends SparkSpec {
       "k2" -> (2L, Some("q"), Some(2L)),
       "k3" -> (1L, None, Some(7L))))
   }
+  test("rollingOls: trailing-range frame, honest early n, slope flips with the window") {
+    import spark.implicits._
+    // key a: y = 10x for x 1..5, then a crash at x=6 pulls the recent
+    // window's slope negative while the full history would stay positive
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 40L), ("a", 5L, 50L), ("a", 6L, 0L),
+      // key g: gap beyond the range -> the frame forgets
+      ("g", 1L, 100L), ("g", 10L, 100L)).toDF("k", "x", "y")
+    val got = graft.operators.Relational.rollingOls(df, $"k", $"x", $"y", windowRange = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got(("a", 1L)) == (1L, None))          // single point: den 0
+    assert(got(("a", 3L)) == (3L, Some(10000000L))) // perfect slope 10
+    assert(got(("a", 5L)) == (3L, Some(10000000L)))
+    // frame {40, 50, 0} at x 4..6: slope = (3*590-15*90)/(3*77-225) = -20
+    assert(got(("a", 6L)) == (3L, Some(-20000000L)))
+    assert(got(("g", 10L)) == (1L, None))         // gap: alone in its frame
+  }
 }
