@@ -2863,6 +2863,40 @@ object SparkEntry {
         .sortBy(Seq(col("key"), col("x")))
     }),
 
+    "q347_bitemporal_asof" -> ((s, dir) => {
+      // bitemporal query: "what did we BELIEVE on 1997-07-01 about each
+      // customer's latest state as of their own probe date" — orders as
+      // a version feed (valid = order date, txn = valid + 0..4 late
+      // days), corrections resolved by per-(key, valid) max-txn
+      // struct-max ≤ the cutoff, then the one-shuffle as-of join on
+      // valid time against per-customer probe dates.
+      val day = 86400000000L
+      val cutUs = unix_micros(lit("1997-07-01 00:00:00").cast("timestamp"))
+      val baseUs = unix_micros(lit("1997-01-01 00:00:00").cast("timestamp"))
+      val vers = t(s, dir, "orders").selectCols(Seq(
+          col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("valid_us"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) +
+            (col("o_orderkey") % 5) * day).as("txn_us"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("val_c")))
+        .filterCol(col("txn_us") <= cutUs)
+        .aggregate(Seq(col("k"), col("valid_us")), Seq(
+          max(struct(col("txn_us"), col("val_c"))).as("m")))
+        .selectCols(Seq(col("k"), col("valid_us"),
+          col("m.txn_us").as("txn_us"), col("m.val_c").as("val_c")))
+      val probe = t(s, dir, "customer").selectCols(Seq(
+        col("c_custkey").as("k"),
+        (baseUs + (col("c_custkey") % 365) * day).as("probe_us")))
+      probe.asofJoin(vers, Seq("k"), Seq("k"), "probe_us", "valid_us")
+        .selectCols(Seq(col("l.k").as("custkey"),
+          (col("l.probe_us") / day).cast("long").as("probe_day"),
+          (col("r.valid_us") / day).cast("long").as("valid_day"),
+          (col("r.txn_us") / day).cast("long").as("txn_day"),
+          col("r.val_c").as("val_c")))
+        .sortBy(Seq(col("custkey")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7295,6 +7329,35 @@ object SparkEntry {
                 WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
                 ELSE CAST(-((-num * 1000000) // den) AS BIGINT) END AS slope_ppm
          FROM c ORDER BY key, x""",
+
+    // txn-filtered snapshot, correction dedup by (txn DESC, val DESC),
+    // then the as-of pick = max valid <= probe per customer
+    "q347_bitemporal_asof" ->
+      """WITH vers0 AS (SELECT o_custkey AS k,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS valid_us,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP))
+               + (o_orderkey % 5) * 86400000000 AS txn_us,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_c
+           FROM orders),
+         snap AS (SELECT k, valid_us, txn_us, val_c FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY k, valid_us
+                 ORDER BY txn_us DESC, val_c DESC) AS rn
+             FROM vers0
+             WHERE txn_us <= epoch_us(TIMESTAMP '1997-07-01 00:00:00'))
+           WHERE rn = 1),
+         probe AS (SELECT c_custkey AS k,
+             epoch_us(TIMESTAMP '1997-01-01 00:00:00')
+               + (c_custkey % 365) * 86400000000 AS probe_us
+           FROM customer),
+         m AS (SELECT p.k, p.probe_us, s.valid_us, s.txn_us, s.val_c,
+             ROW_NUMBER() OVER (PARTITION BY p.k
+               ORDER BY s.valid_us DESC) AS rn
+           FROM probe p JOIN snap s
+             ON s.k = p.k AND s.valid_us <= p.probe_us)
+         SELECT k AS custkey, probe_us // 86400000000 AS probe_day,
+           valid_us // 86400000000 AS valid_day,
+           txn_us // 86400000000 AS txn_day, val_c
+         FROM m WHERE rn = 1 ORDER BY custkey""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
