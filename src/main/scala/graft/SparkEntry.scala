@@ -2897,6 +2897,18 @@ object SparkEntry {
         .sortBy(Seq(col("custkey")))
     }),
 
+    "q348_temporal_pairs" -> ((s, dir) => {
+      // what follows what within the hour, per user: gap-bounded ordered
+      // type pairs via the bucketed interval-join discipline (probe own
+      // + next hour bucket, candidate Δt filter), share of each source
+      // type's outgoing pairs in floor ppm. The oracle is the per-user
+      // theta
+      // join the operator exists to avoid.
+      graft.streaming.EventStreams.temporalPairs(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), gapUs = 3600000000L)
+        .sortBy(Seq(col("type_a"), col("type_b")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7358,6 +7370,23 @@ object SparkEntry {
            valid_us // 86400000000 AS valid_day,
            txn_us // 86400000000 AS txn_day, val_c
          FROM m WHERE rn = 1 ORDER BY custkey""",
+
+    // the per-user theta join is the oracle instrument; shares re-derived
+    "q348_temporal_pairs" ->
+      """WITH b AS (SELECT user_id AS u,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type AS t
+           FROM events),
+         p AS (SELECT a.t AS type_a, c.t AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM b a JOIN b c ON a.u = c.u AND c.tus > a.tus
+             AND c.tus - a.tus <= 3600000000
+           GROUP BY 1, 2),
+         tot AS (SELECT type_a, CAST(SUM(n_pairs) AS BIGINT) AS n_from_a
+                 FROM p GROUP BY 1)
+         SELECT p.type_a, p.type_b, p.n_pairs, tot.n_from_a,
+           (p.n_pairs * 1000000) // tot.n_from_a AS share_ppm
+         FROM p JOIN tot ON p.type_a = tot.type_a
+         ORDER BY p.type_a, p.type_b""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -2029,6 +2029,47 @@ object EventStreams {
   private[streaming] case class HoltRow(key: String, r: Long, y: Long,
       level: Long, trend: Long, forecast: Long)
 
+  /** Gap-bounded temporal co-occurrence: count ordered event-type pairs
+    * (a then b, 0 < Δt <= gapUs) within each user's stream, plus each
+    * pair's share of all pairs STARTING at type a (floor ppm) — the
+    * "what follows what, soon" matrix. q227's Markov transitions see
+    * only adjacent events; this sees every pair inside the gap, the
+    * difference between "next click" and "within the session".
+    *
+    * Scale shape — the interval-join discipline, not a per-user theta
+    * join: the LEFT event probes its own time bucket and the next
+    * (bucket width = gapUs, explode ×2), the RIGHT event sits in exactly
+    * one bucket, so candidates come from an EQUI-join on (user, bucket)
+    * and each true pair is found exactly once; the Δt filter runs on
+    * candidates. Pair counting is one partial-agg groupBy; totals
+    * broadcast back.
+    */
+  def temporalPairs(events: DataFrame, user: Column, ts: Column,
+      typ: Column, gapUs: Long): DataFrame = {
+    require(gapUs >= 1, s"gapUs must be positive, got $gapUs")
+    val base = events.select(user.alias("u"), unix_micros(ts).alias("tus"),
+      typ.alias("t"))
+    val left = base
+      .withColumn("bkt", explode(array(expr(s"tus DIV ${gapUs}L"),
+        expr(s"tus DIV ${gapUs}L") + 1L)))
+      .select(col("u"), col("bkt"), col("tus").alias("ta_us"),
+        col("t").alias("type_a"))
+    val right = base
+      .select(col("u"), expr(s"tus DIV ${gapUs}L").alias("bkt"),
+        col("tus").alias("tb_us"), col("t").alias("type_b"))
+    val pairs = left.join(right, Seq("u", "bkt"))
+      .filter(col("tb_us") > col("ta_us") &&
+        col("tb_us") - col("ta_us") <= gapUs)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).alias("n_pairs"))
+    val totals = pairs.groupBy(col("type_a"))
+      .agg(sum(col("n_pairs")).alias("n_from_a"))
+    pairs.join(broadcast(totals), Seq("type_a"))
+      .withColumn("share_ppm", expr("(n_pairs * 1000000L) DIV n_from_a"))
+      .select(col("type_a"), col("type_b"), col("n_pairs"), col("n_from_a"),
+        col("share_ppm"))
+  }
+
   /** Holt linear (double-exponential) smoothing replayed exactly over a
     * per-key daily series: `l_t = ⌊(α·y_t + (1M−α)·(l_{t−1}+b_{t−1}))/1M⌋`,
     * `b_t = ⌊(β·(l_t−l_{t−1}) + (1M−β)·b_{t−1})/1M⌋` with α, β in ppm and

@@ -1078,4 +1078,28 @@ class StreamingSpec extends SparkSpec {
       ("a", 4L) -> (1L, 13387500L, -491250L, 12896250L),
       ("z", 1L) -> (1000000L, 1000000L, 0L, 1000000L)))
   }
+  test("temporalPairs: gap bound inclusive, cross-bucket pair found once, shares per source") {
+    import spark.implicits._
+    val T0 = 1700000000000000L
+    val G = 1000000L // 1 s gap
+    val ev = Seq(
+      // u1: a@0, b@0.9s (in, crosses no bucket), c@1.0s from a (EXACTLY gap: in),
+      // b->c at 0.1s (in), a@2.5s too far from everything before
+      (1L, T0, "a"), (1L, T0 + 900000L, "b"), (1L, T0 + 1000000L, "c"),
+      (1L, T0 + 2500000L, "a"),
+      // u2: straddles a bucket boundary: a@0.95s, b@1.05s -> dt 0.1s in,
+      // different buckets — the ×2 probe must still find it exactly once
+      (2L, T0 + 950000L, "a"), (2L, T0 + 1050000L, "b")
+    ).map { case (u, t, k) => (u, new java.sql.Timestamp(t / 1000L), k) }
+      .toDF("u", "ts", "t")
+    val got = graft.streaming.EventStreams.temporalPairs(ev, $"u", $"ts", $"t", G)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    // from a: (a,b)@u1 0.9s + (a,b)@u2 = 2; (a,c) exactly at gap = 1 -> shares 666666/333333
+    assert(got(("a", "b")) == (2L, 666666L))
+    assert(got(("a", "c")) == (1L, 333333L))
+    assert(got(("b", "c")) == (1L, 1000000L))
+    assert(!got.contains(("c", "a")), "2.5s gap excluded")
+    assert(got.size == 3)
+  }
 }
