@@ -2909,6 +2909,46 @@ object SparkEntry {
         .sortBy(Seq(col("type_a"), col("type_b")))
     }),
 
+    "q349_bipartite_check" -> ((s, dir) => {
+      // two-colorability audit: the customer-part purchase graph is
+      // bipartite by construction; part-part co-purchase edges (qty=50)
+      // inject odd cycles. Components (min-label), BFS parity from each
+      // component's min node (15-hop horizon — both engines cap
+      // identically), conflict = edge whose endpoints share parity.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 49)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+      val withCust = hi.join(t(s, dir, "orders")
+          .selectCols(Seq(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .selectCols(Seq((col("o_custkey") + 1000000L).as("id_a"),
+          col("l_partkey").as("id_b"))).distinctAll
+      val hi49 = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 50)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
+      val pp = hi49.alias("x").join(hi49.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .selectCols(Seq(col("x.l_partkey").as("id_a"),
+          col("y.l_partkey").as("id_b"))).distinctAll
+      val edges = withCust.union(pp).distinctAll
+      val comps = Dedup.nearDupComponents(edges)
+      val seeds = comps.selectCols(Seq(col("component_id").as("id"))).distinctAll
+      val dist = graft.operators.Graph.bfsDistances(edges, seeds, rounds = 15)
+      val e2 = edges
+        .join(dist.selectCols(Seq(col("id").as("id_a"), col("dist").as("da"))), Seq("id_a"))
+        .join(dist.selectCols(Seq(col("id").as("id_b"), col("dist").as("db"))), Seq("id_b"))
+        .join(comps.selectCols(Seq(col("id").as("id_a"), col("component_id").as("comp"))), Seq("id_a"))
+      val edgeStats = e2.aggregate(Seq(col("comp")), Seq(
+        count(lit(1)).as("n_edges"),
+        sum(((col("da") + col("db")) % 2 === 0).cast("long")).as("n_conflicts")))
+      val nodeStats = comps.aggregate(Seq(col("component_id").as("comp")), Seq(
+        count(lit(1)).as("n_nodes")))
+      nodeStats.join(edgeStats, Seq("comp"), "left")
+        .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+        .withColumn("n_conflicts", coalesce(col("n_conflicts"), lit(0L)))
+        .withColumn("bipartite", col("n_conflicts") === 0)
+        .sortBy(Seq(col("comp")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7387,6 +7427,44 @@ object SparkEntry {
            (p.n_pairs * 1000000) // tot.n_from_a AS share_ppm
          FROM p JOIN tot ON p.type_a = tot.type_a
          ORDER BY p.type_a, p.type_b""",
+
+    // min-label closure for components, capped (node, dist) enumeration
+    // for parity, conflicts = same-parity edges; all per component
+    "q349_bipartite_check" ->
+      """WITH RECURSIVE hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+             WHERE l_quantity >= 49),
+         wc AS (SELECT DISTINCT o.o_custkey + 1000000 AS a, h.l_partkey AS b
+                FROM hi h JOIN orders o ON o.o_orderkey = h.l_orderkey),
+         h50 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                 WHERE l_quantity >= 50),
+         pp AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM h50 x JOIN h50 y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey),
+         e AS (SELECT a, b FROM wc UNION SELECT a, b FROM pp),
+         u AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+         n AS (SELECT DISTINCT s AS id FROM u),
+         l(id, lbl) AS (SELECT id, id FROM n
+           UNION SELECT u.d, l.lbl FROM l JOIN u ON u.s = l.id),
+         comp AS (SELECT id, MIN(lbl) AS comp FROM l GROUP BY id),
+         seeds AS (SELECT DISTINCT comp AS id FROM comp),
+         d0(id, dist) AS (SELECT id, 0 FROM seeds
+           UNION SELECT u.d, d0.dist + 1 FROM d0 JOIN u ON u.s = d0.id
+           WHERE d0.dist < 15),
+         dist AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+                  FROM d0 GROUP BY id),
+         es AS (SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                  CAST(SUM(CASE WHEN (da.dist + db.dist) % 2 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts
+                FROM e JOIN dist da ON da.id = e.a
+                  JOIN dist db ON db.id = e.b
+                  JOIN comp c ON c.id = e.a
+                GROUP BY 1),
+         ns AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                FROM comp GROUP BY 1)
+         SELECT ns.comp, ns.n_nodes, COALESCE(es.n_edges, 0) AS n_edges,
+           COALESCE(es.n_conflicts, 0) AS n_conflicts,
+           COALESCE(es.n_conflicts, 0) = 0 AS bipartite
+         FROM ns LEFT JOIN es ON ns.comp = es.comp ORDER BY ns.comp""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
