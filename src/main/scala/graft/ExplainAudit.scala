@@ -39,7 +39,13 @@ object ExplainAudit {
         // round-6 additions: fingerprint pigeonhole on audio prints,
         // anti-join purge rewrite, inverted-index sparse cosine
         "q292_audio_fingerprint_neardup", "q297_forget_rewrite",
-        "q304_tfidf_cosine_pairs")
+        "q304_tfidf_cosine_pairs",
+        // this session's cost leaders + new plan morphologies: FastSS
+        // variant join, 24-round relaxation, panel pair window, dense-cell
+        // components, greedy coverage anti-join, geofence containment
+        "q332_point_in_polygon", "q333_edit_distance_pairs",
+        "q334_dag_critical_path", "q335_theil_sen",
+        "q337_grid_density_clusters", "q342_greedy_max_coverage")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
