@@ -2949,6 +2949,30 @@ object SparkEntry {
         .sortBy(Seq(col("comp")))
     }),
 
+    "q350_decayed_heavy_hitters" -> ((s, dir) => {
+      // recency-weighted heavy hitters: per event type, the top-5 users
+      // by half-life-decayed activity — day weight = 1e6 >> age_days
+      // (exact integer halving, zero past 20 days), so yesterday's spam
+      // outweighs last month's. One partial-agg groupBy + per-type rank.
+      val daily = t(s, dir, "events")
+        .aggregate(Seq(col("event_type").as("typ"), col("user_id").as("u"),
+          (unix_micros(date_trunc("day", col("ts"))) / 86400000000L)
+            .cast("long").as("d")), Seq(count(lit(1)).as("n")))
+      val mx = daily.aggregate(Seq.empty, Seq(max(col("d")).as("dmax")))
+      val scored = daily.crossJoin(broadcast(mx))
+        .withColumn("w", expr(
+          "n * (CAST(1000000 AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), CAST(dmax - d AS INT)))"))
+        .aggregate(Seq(col("typ"), col("u")), Seq(
+          sum(col("w")).as("decayed_micro"), sum(col("n")).as("n_raw")))
+      scored.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("typ"))
+            .orderBy(col("decayed_micro").desc, col("u").asc)).cast("long"))
+        .filterCol(col("rank") <= 5)
+        .selectCols(Seq(col("typ"), col("rank"), col("u"),
+          col("decayed_micro"), col("n_raw")))
+        .sortBy(Seq(col("typ"), col("rank")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7465,6 +7489,27 @@ object SparkEntry {
            COALESCE(es.n_conflicts, 0) AS n_conflicts,
            COALESCE(es.n_conflicts, 0) = 0 AS bipartite
          FROM ns LEFT JOIN es ON ns.comp = es.comp ORDER BY ns.comp""",
+
+    // integer halving decay replayed with the same shift
+    "q350_decayed_heavy_hitters" ->
+      """WITH daily AS (SELECT event_type AS typ, user_id AS u,
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+               // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+         mx AS (SELECT MAX(d) AS dmax FROM daily),
+         sc AS (SELECT typ, u,
+             CAST(SUM(n * (1000000 //
+               (CAST(1 AS BIGINT) << CAST(dmax - d AS INT)))) AS BIGINT)
+               AS decayed_micro,
+             CAST(SUM(n) AS BIGINT) AS n_raw
+           FROM daily, mx GROUP BY 1, 2),
+         r AS (SELECT typ, u, decayed_micro, n_raw,
+             ROW_NUMBER() OVER (PARTITION BY typ
+               ORDER BY decayed_micro DESC, u) AS rank
+           FROM sc)
+         SELECT typ, CAST(rank AS BIGINT) AS rank, u, decayed_micro, n_raw
+         FROM r WHERE rank <= 5 ORDER BY typ, rank""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
