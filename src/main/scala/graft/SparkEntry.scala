@@ -2973,6 +2973,30 @@ object SparkEntry {
         .sortBy(Seq(col("typ"), col("rank")))
     }),
 
+    "q351_timeline_resolve" -> ((s, dir) => {
+      // override-layer timelines: each sampled supplier's Q1-1996
+      // transit intervals as claims (priority = linenumber, value =
+      // orderkey), resolved so the highest-priority covering claim wins
+      // every instant, merged into maximal segments. The quarter slice
+      // is the bounded-group contract.
+      val ivl = t(s, dir, "lineitem")
+        .filterCol(col("l_suppkey") % 10 === 0 &&
+          col("l_shipdate").cast("date") >=
+            lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate").cast("date") <
+            lit(java.sql.Date.valueOf("1996-04-01")))
+        .withColumn("sday", unix_date(to_date(col("l_shipdate"))).cast("long"))
+        .selectCols(Seq(col("l_suppkey").as("k"),
+          col("sday").as("s"),
+          (col("sday") + lit(1) + (col("l_orderkey") + col("l_linenumber")) % 7)
+            .cast("long").as("e"),
+          col("l_linenumber").cast("long").as("p"),
+          col("l_orderkey").as("v")))
+      Relational.timelineResolve(ivl, col("k"), col("s"), col("e"),
+          col("p"), col("v"))
+        .sortBy(Seq(col("key"), col("seg_start")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7510,6 +7534,38 @@ object SparkEntry {
            FROM sc)
          SELECT typ, CAST(rank AS BIGINT) AS rank, u, decayed_micro, n_raw
          FROM r WHERE rank <= 5 ORDER BY typ, rank""",
+
+    // boundary sweep: elementary segments by LEAD, winner rn=1 by
+    // (p DESC, s DESC, v DESC), run merge by the lag-flag cumulative sum
+    "q351_timeline_resolve" ->
+      """WITH ivl AS (SELECT l_suppkey AS k,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+               + 1 + (l_orderkey + l_linenumber) % 7 AS BIGINT) AS e,
+             CAST(l_linenumber AS BIGINT) AS p, l_orderkey AS v
+           FROM lineitem
+           WHERE l_suppkey % 10 = 0
+             AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'),
+         b AS (SELECT k, s AS bd FROM ivl UNION SELECT k, e FROM ivl),
+         segs AS (SELECT k, bd AS seg_s,
+             LEAD(bd) OVER (PARTITION BY k ORDER BY bd) AS seg_e FROM b),
+         w AS (SELECT k, seg_s, seg_e, p, v FROM (
+             SELECT s2.k, s2.seg_s, s2.seg_e, i.p, i.v,
+               ROW_NUMBER() OVER (PARTITION BY s2.k, s2.seg_s
+                 ORDER BY i.p DESC, i.s DESC, i.v DESC) AS rn
+             FROM segs s2 JOIN ivl i ON i.k = s2.k
+               AND i.s <= s2.seg_s AND s2.seg_s < i.e
+             WHERE s2.seg_e IS NOT NULL) WHERE rn = 1),
+         r AS (SELECT *, CASE WHEN LAG(seg_e) OVER w1 = seg_s
+                 AND LAG(p) OVER w1 = p AND LAG(v) OVER w1 = v
+               THEN 0 ELSE 1 END AS newrun
+           FROM w WINDOW w1 AS (PARTITION BY k ORDER BY seg_s)),
+         r2 AS (SELECT *, SUM(newrun) OVER (PARTITION BY k ORDER BY seg_s)
+               AS run FROM r)
+         SELECT k AS key, MIN(seg_s) AS seg_start, MAX(seg_e) AS seg_end,
+           CAST(MIN(p) AS BIGINT) AS prio, CAST(MIN(v) AS BIGINT) AS value
+         FROM r2 GROUP BY k, run ORDER BY key, seg_start""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

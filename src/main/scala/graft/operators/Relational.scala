@@ -1426,6 +1426,58 @@ object Relational {
       .select(col("key"), col("x"), col("y"), col("n"), col("slope_ppm"))
   }
 
+  /** Priority timeline resolution: overlapping half-open intervals
+    * `[start, end)` per key, each carrying a priority and a value,
+    * resolved so that AT EVERY INSTANT the highest-priority covering
+    * interval wins (ties by larger (start, value) — the later, then
+    * larger claim), then maximal same-winner runs merge into one output
+    * segment. The identity-timeline / override-layer primitive (base
+    * config vs campaign overrides, vendor feed vs manual correction).
+    * Returns (key, seg_start, seg_end, prio, value); uncovered time
+    * yields nothing.
+    *
+    * Shape: boundary sweep — per key the distinct endpoints cut time
+    * into elementary segments (lead window), each segment equi-joins
+    * back to its covering intervals (BOUNDED-GROUP contract: cost is
+    * O(intervals × segments) per key, so keys must hold panel-sized
+    * interval sets — q351 slices one quarter), the winner is one
+    * max(struct), and adjacent same-winner segments merge via the
+    * run-flag cumulative-sum trick (windows all PARTITIONED BY KEY).
+    */
+  def timelineResolve(intervals: DataFrame, key: Column, start: Column,
+      end: Column, prio: Column, value: Column): DataFrame = {
+    val ivl = intervals.select(key.alias("k"), start.cast("long").alias("s"),
+        end.cast("long").alias("e"), prio.cast("long").alias("p"),
+        value.cast("long").alias("v"))
+      .filter(col("s") < col("e"))
+    val bounds = ivl.select(col("k"), col("s").alias("b"))
+      .union(ivl.select(col("k"), col("e").alias("b"))).distinct()
+    val wB = Window.partitionBy("k").orderBy("b")
+    val segs = bounds.withColumn("nb", lead(col("b"), 1).over(wB))
+      .filter(col("nb").isNotNull)
+      .select(col("k"), col("b").alias("seg_s"), col("nb").alias("seg_e"))
+    val winners = segs.join(ivl, Seq("k"))
+      .filter(col("s") <= col("seg_s") && col("seg_s") < col("e"))
+      .groupBy(col("k"), col("seg_s"), col("seg_e"))
+      .agg(max(struct(col("p"), col("s"), col("v"))).alias("m"))
+      .select(col("k"), col("seg_s"), col("seg_e"),
+        col("m.p").alias("p"), col("m.v").alias("v"))
+    val wS = Window.partitionBy("k").orderBy("seg_s")
+    val runs = winners
+      .withColumn("newrun",
+        when(lag(col("seg_e"), 1).over(wS) === col("seg_s") &&
+          lag(col("p"), 1).over(wS) === col("p") &&
+          lag(col("v"), 1).over(wS) === col("v"), 0L).otherwise(1L))
+      .withColumn("run", sum(col("newrun")).over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col("k"), col("run"))
+      .agg(min(col("seg_s")).alias("seg_start"),
+        max(col("seg_e")).alias("seg_end"),
+        first(col("p")).alias("prio"), first(col("v")).alias("value"))
+      .select(col("k").alias("key"), col("seg_start"), col("seg_end"),
+        col("prio"), col("value"))
+  }
+
   /** Golden-record survivorship merge: collapse an entity's version
     * history to one record, each field independently taking its LATEST
     * NON-NULL value — the standard MDM survivorship rule (a field absent

@@ -912,4 +912,22 @@ class RelationalSpec extends SparkSpec {
     assert(got(("a", 6L)) == (3L, Some(-20000000L)))
     assert(got(("g", 10L)) == (1L, None))         // gap: alone in its frame
   }
+  test("timelineResolve: override layering, same-prio tie to later start, run merge, gaps split") {
+    import spark.implicits._
+    val ivl = Seq(
+      ("a", 0L, 100L, 1L, 10L),   // base layer
+      ("a", 20L, 40L, 2L, 20L),   // override
+      ("a", 30L, 50L, 2L, 30L),   // same-prio later start wins the overlap
+      ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L), // gap: no merge
+      ("z", 5L, 5L, 9L, 9L)       // degenerate, dropped
+    ).toDF("k", "s", "e", "p", "v")
+    val got = graft.operators.Relational.timelineResolve(
+        ivl, $"k", $"s", $"e", $"p", $"v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("a", 0L, 20L, 1L, 10L), ("a", 20L, 30L, 2L, 20L),
+      ("a", 30L, 50L, 2L, 30L), ("a", 50L, 100L, 1L, 10L),
+      ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L)))
+  }
 }
