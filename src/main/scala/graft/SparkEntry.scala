@@ -2997,6 +2997,36 @@ object SparkEntry {
         .sortBy(Seq(col("key"), col("seg_start")))
     }),
 
+    "q352_pseudonymize_audit" -> ((s, dir) => {
+      // privacy rewrite with referential integrity: customer and order
+      // keys replaced by the SAME keyed hash (FNV-1a + one xorshift64
+      // round — the q315 mixer), then orders re-joined to customers ON
+      // THE PSEUDONYM. Per nation: customers, distinct pseudonyms
+      // (injectivity witness), and orders surviving the pseudonym join
+      // (must equal the raw-key join — the integrity claim the oracle
+      // hash pins cross-engine).
+      def mix64(c: Column): Column = {
+        val z1 = c.bitwiseXOR(shiftleft(c, 13))
+        val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 7))
+        z2.bitwiseXOR(shiftleft(z2, 17))
+      }
+      def pid(c: Column): Column =
+        mix64(graft.plans.TextExprs.fnv64(concat(lit("p:"), c.cast("string"))))
+      val custP = t(s, dir, "customer").selectCols(Seq(
+        col("c_nationkey").cast("long").as("nation"),
+        pid(col("c_custkey")).as("h")))
+      val ordP = t(s, dir, "orders").selectCols(Seq(
+        pid(col("o_custkey")).as("h")))
+      val perNation = custP.aggregate(Seq(col("nation")), Seq(
+        count(lit(1)).as("n_cust"),
+        countDistinct(col("h")).as("n_pids")))
+      val joined = ordP.join(custP, Seq("h"))
+        .aggregate(Seq(col("nation")), Seq(count(lit(1)).as("n_orders")))
+      perNation.join(joined, Seq("nation"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .sortBy(Seq(col("nation")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7566,6 +7596,42 @@ object SparkEntry {
          SELECT k AS key, MIN(seg_s) AS seg_start, MAX(seg_e) AS seg_end,
            CAST(MIN(p) AS BIGINT) AS prio, CAST(MIN(v) AS BIGINT) AS value
          FROM r2 GROUP BY k, run ORDER BY key, seg_start""",
+
+    // the q315 FNV-1a + xorshift64 replay keyed 'p:', applied to BOTH
+    // tables, orders re-joined on the pseudonym
+    "q352_pseudonymize_audit" ->
+      """WITH ids AS (SELECT DISTINCT id FROM (
+             SELECT c_custkey AS id FROM customer
+             UNION ALL SELECT o_custkey FROM orders)),
+         hv AS (SELECT id, list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split('p:' || CAST(id AS VARCHAR), ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211)
+               % CAST('18446744073709551616' AS HUGEINT)) AS h0
+           FROM ids),
+         z1 AS (SELECT id, xor(h0, (h0 * 8192)
+             % CAST('18446744073709551616' AS HUGEINT)) AS z FROM hv),
+         z2 AS (SELECT id, xor(z, z // 128) AS z FROM z1),
+         z3 AS (SELECT id, xor(z, (z * 131072)
+             % CAST('18446744073709551616' AS HUGEINT)) AS h FROM z2),
+         pid AS (SELECT id,
+             CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+               THEN h - CAST('18446744073709551616' AS HUGEINT)
+               ELSE h END AS BIGINT) AS h
+           FROM z3),
+         custp AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation, p.h
+           FROM customer c JOIN pid p ON p.id = c.c_custkey),
+         ordp AS (SELECT p.h FROM orders o JOIN pid p ON p.id = o.o_custkey),
+         pn AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_pids
+           FROM custp GROUP BY nation),
+         j AS (SELECT c.nation, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM ordp o JOIN custp c ON o.h = c.h GROUP BY c.nation)
+         SELECT pn.nation, pn.n_cust, pn.n_pids,
+           COALESCE(j.n_orders, 0) AS n_orders
+         FROM pn LEFT JOIN j ON pn.nation = j.nation
+         ORDER BY pn.nation""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
