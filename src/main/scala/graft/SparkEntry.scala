@@ -3027,6 +3027,16 @@ object SparkEntry {
         .sortBy(Seq(col("nation")))
     }),
 
+    "q353_gram_matrix" -> ((s, dir) => {
+      // PCA-prep statistic: exact upper-triangle Gram matrix of the
+      // corpus embeddings, quantized floor(x·1000) — join-free per-row
+      // outer products into one partial-agg groupBy; the shuffle carries
+      // ≤ d(d+1)/2 cells per partition however many rows there are.
+      Similarity.gramMatrix(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), scale = 1000L)
+        .sortBy(Seq(col("i"), col("j")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7632,6 +7642,18 @@ object SparkEntry {
            COALESCE(j.n_orders, 0) AS n_orders
          FROM pn LEFT JOIN j ON pn.nation = j.nation
          ORDER BY pn.nation""",
+
+    // same floor(double·1000) quantization, the pair join IS the oracle
+    "q353_gram_matrix" ->
+      """WITH q AS (SELECT vec_id, g.i,
+             CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000)
+               AS BIGINT) AS qx
+           FROM embeddings JOIN generate_series(0, 63) AS g(i) ON TRUE),
+         p AS (SELECT a.i AS i, b.i AS j, a.qx * b.qx AS prod
+           FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i)
+         SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(prod) AS BIGINT) AS dot
+         FROM p GROUP BY 1, 2 ORDER BY i, j""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -854,4 +854,34 @@ object Similarity {
         .as(Seq("j", "y")))
       .select(col("id"), col("j").cast("long").alias("j"), col("y"))
   }
+
+  /** Exact Gram matrix of quantized embeddings — the Σ x xᵀ statistic a
+    * PCA / covariance / whitening stage consumes, computed with NO
+    * self-join: each row expands to its own upper-triangle outer product
+    * (d(d+1)/2 `(i, j, q_i·q_j)` structs, nested index-aware
+    * `transform`s over the quantized vector only), one explode, one
+    * partial-agg groupBy on (i, j). The shuffle carries at most
+    * d(d+1)/2 cells PER PARTITION regardless of row count — the
+    * map-side-combine ideal; raw vectors never meet a join.
+    *
+    * Quantization `q = floor(double(x) · scale)` makes every cell an
+    * exact integer both engines reproduce bit-for-bit (float→double is
+    * exact, one double multiply rounds identically under IEEE). Returns
+    * (i, j, n, dot) for i <= j, 0-based dims.
+    */
+  def gramMatrix(df: DataFrame, id: Column, vec: Column,
+      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val qv = transform(vec, x =>
+      floor(x.cast("double") * scale).cast("long"))
+    val prods = flatten(transform(col("__qv"), (xi, i) =>
+      transform(slice(col("__qv"), i + 1, size(col("__qv")) - i),
+        (xj, jj) => struct(i.alias("i"), (i + jj).alias("j"),
+          (xi * xj).alias("p")))))
+    df.select(id.alias("id"), qv.alias("__qv"))
+      .select(explode(prods).alias("c"))
+      .groupBy(col("c.i").cast("long").alias("i"),
+        col("c.j").cast("long").alias("j"))
+      .agg(count(lit(1)).alias("n"), sum(col("c.p")).alias("dot"))
+  }
 }

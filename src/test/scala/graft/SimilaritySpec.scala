@@ -422,4 +422,15 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
   }
+  test("gramMatrix: hand outer products, upper triangle only, negative quantization floors") {
+    import spark.implicits._
+    // v1 = [1.0, -0.5], v2 = [2.0, 0.25]; q(scale 10): [10, -5], [20, 2]
+    // (floor(-5.0) = -5; floor(2.5) = 2 — the negative/truncation cases)
+    val df = Seq((1L, Seq(1.0f, -0.5f)), (2L, Seq(2.0f, 0.25f))).toDF("id", "v")
+    val got = graft.operators.Similarity.gramMatrix(df, $"id", $"v", scale = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // (0,0): 100 + 400 = 500; (0,1): -50 + 40 = -10; (1,1): 25 + 4 = 29
+    assert(got == Map((0L, 0L) -> (2L, 500L), (0L, 1L) -> (2L, -10L),
+      (1L, 1L) -> (2L, 29L)))
+  }
 }
