@@ -3037,6 +3037,16 @@ object SparkEntry {
         .sortBy(Seq(col("i"), col("j")))
     }),
 
+    "q354_trigram_search" -> ((s, dir) => {
+      // pg_trgm-style exact substring search: inverted trigram index →
+      // all-trigrams candidate count → contains verify on candidates
+      // only; the oracle is the full-scan LIKE the index exists to avoid.
+      Retrieval.trigramSubstringSearch(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          Seq("fast sort", "table table", "scan query big", "merge batch"))
+        .sortBy(Seq(col("pattern"), col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7654,6 +7664,14 @@ object SparkEntry {
          SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(prod) AS BIGINT) AS dot
          FROM p GROUP BY 1, 2 ORDER BY i, j""",
+
+    // the full-scan contains the index-side must equal
+    "q354_trigram_search" ->
+      """WITH p AS (SELECT * FROM (VALUES ('fast sort'), ('table table'),
+             ('scan query big'), ('merge batch')) AS p(pattern))
+         SELECT d.doc_id AS id, p.pattern
+         FROM documents d JOIN p ON contains(d.text, p.pattern)
+         ORDER BY p.pattern, id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -326,4 +326,43 @@ object Retrieval {
     simBoth.unpersist(false)
     selected
   }
+  /** Index-accelerated exact substring search (the pg_trgm / code-search
+    * discipline): a document can contain `pattern` only if it contains
+    * EVERY character trigram of the pattern, so candidates come from an
+    * inverted trigram-index equi-join counted up to the pattern's
+    * requirement set, and the exact `contains` check runs on candidates
+    * only — never a full-corpus scan per pattern. Patterns must be >= 3
+    * chars (the filter is vacuous below that). Returns (id, pattern),
+    * one row per true match.
+    *
+    * Scale shape: the trigram index is built once per call (explode of
+    * distinct per-doc trigrams — at 100 TB you'd persist it bucketed on
+    * g and reuse it across queries); patterns are a broadcast list; the
+    * all-trigrams test is a partial-agg count per (doc, pattern); the
+    * verify joins candidates back to text by id, so document text
+    * crosses the wire once, not once per pattern.
+    */
+  def trigramSubstringSearch(docs: DataFrame, id: Column, text: Column,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.length >= 3),
+      "patterns must be non-empty strings of length >= 3")
+    require(patterns.distinct.size == patterns.size, "duplicate pattern")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = patterns.flatMap { p =>
+      val ts = p.sliding(3).toSeq.distinct
+      ts.map(t => (p, t, ts.size.toLong))
+    }.toDF("pattern", "g", "need")
+    val base = docs.select(id.alias("id"), text.alias("__t"))
+    val inv = base.select(col("id"),
+      explode(graft.functions.TextFns.charNgrams(col("__t"), 3)).alias("g"))
+    val cand = inv.join(broadcast(pats), Seq("g"))
+      .groupBy(col("id"), col("pattern"), col("need"))
+      .agg(count(lit(1)).alias("have"))
+      .filter(col("have") === col("need"))
+      .select(col("id"), col("pattern"))
+    cand.join(base, Seq("id"))
+      .filter(col("__t").contains(col("pattern")))
+      .select(col("id"), col("pattern"))
+  }
 }

@@ -232,4 +232,24 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("round").collect().map(_.getLong(2))
     assert(out.toSeq == Seq(3L, 7L))
   }
+  test("trigramSubstringSearch: index candidates equal the full scan, near-miss pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick quicker quickest"),
+      (3L, "a qu ick decoy with all trigram letters scattered"),
+      (4L, "brown foxes fan out")
+    ).toDF("id", "txt")
+    def run(ps: Seq[String]) =
+      graft.operators.Retrieval.trigramSubstringSearch(docs, $"id", $"txt", ps)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // "quick" in 1 and 2; doc 3 has "qu " and "ick" but not the substring
+    // -> must be pruned by either the trigram set or the verify
+    assert(run(Seq("quick", "brown fox")) ==
+      Set((1L, "quick"), (2L, "quick"), (1L, "brown fox"), (4L, "brown fox")))
+    assert(run(Seq("zzz")).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.trigramSubstringSearch(docs, $"id", $"txt", Seq("ab")); ()
+    }
+  }
 }
