@@ -3047,6 +3047,19 @@ object SparkEntry {
         .sortBy(Seq(col("pattern"), col("id")))
     }),
 
+    "q355_bandit_replay" -> ((s, dir) => {
+      // offline policy evaluation: ε-greedy (explore every 5th round,
+      // cross-multiplied exact argmax otherwise) replayed over the
+      // logged event stream per user cohort — pulls bank the logged
+      // reward only when policy and log agree (the replay method).
+      // Recursive-CTE oracle carries the full 10-register state.
+      graft.streaming.EventStreams.epsilonGreedyReplay(
+          t(s, dir, "events"), col("user_id") % 8, col("ts"),
+          col("event_id"), col("event_type"), col("value"),
+          arms = Seq("click", "error", "purchase", "signup", "view"))
+        .sortBy(Seq(col("cohort"), col("arm_idx")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7672,6 +7685,66 @@ object SparkEntry {
          SELECT d.doc_id AS id, p.pattern
          FROM documents d JOIN p ON contains(d.text, p.pattern)
          ORDER BY p.pattern, id""",
+
+    // the full 10-register (counts + sums per arm) state walked row by
+    // row; exploit argmax = list_reduce with the cross-multiplied
+    // comparator, optimistic never-pulled short-circuit, explore cycle
+    "q355_bandit_replay" ->
+      """WITH RECURSIVE ev AS (SELECT user_id % 8 AS co,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS i,
+             CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+               WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+               WHEN 'view' THEN 4 END AS a,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rew
+           FROM events),
+         o AS (SELECT co, a, rew,
+             ROW_NUMBER() OVER (PARTITION BY co ORDER BY tus, i) AS r
+           FROM ev),
+         st(co, r, c0, c1, c2, c3, c4, s0, s1, s2, s3, s4) AS (
+           SELECT DISTINCT co, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           FROM o
+           UNION ALL
+           SELECT co, r,
+             c0 + CASE WHEN a = 0 AND ch = 0 THEN 1 ELSE 0 END,
+             c1 + CASE WHEN a = 1 AND ch = 1 THEN 1 ELSE 0 END,
+             c2 + CASE WHEN a = 2 AND ch = 2 THEN 1 ELSE 0 END,
+             c3 + CASE WHEN a = 3 AND ch = 3 THEN 1 ELSE 0 END,
+             c4 + CASE WHEN a = 4 AND ch = 4 THEN 1 ELSE 0 END,
+             s0 + CASE WHEN a = 0 AND ch = 0 THEN rew ELSE 0 END,
+             s1 + CASE WHEN a = 1 AND ch = 1 THEN rew ELSE 0 END,
+             s2 + CASE WHEN a = 2 AND ch = 2 THEN rew ELSE 0 END,
+             s3 + CASE WHEN a = 3 AND ch = 3 THEN rew ELSE 0 END,
+             s4 + CASE WHEN a = 4 AND ch = 4 THEN rew ELSE 0 END
+           FROM (
+             SELECT st.co, o.r, o.a, o.rew,
+               st.c0, st.c1, st.c2, st.c3, st.c4,
+               st.s0, st.s1, st.s2, st.s3, st.s4,
+               CASE WHEN o.r % 5 = 0 THEN (o.r // 5) % 5
+                    WHEN st.c0 = 0 THEN 0 WHEN st.c1 = 0 THEN 1
+                    WHEN st.c2 = 0 THEN 2 WHEN st.c3 = 0 THEN 3
+                    WHEN st.c4 = 0 THEN 4
+                    ELSE list_reduce([0, 1, 2, 3, 4], (acc, i) ->
+                      CASE WHEN
+                        [st.s0, st.s1, st.s2, st.s3, st.s4][i + 1] *
+                          [st.c0, st.c1, st.c2, st.c3, st.c4][acc + 1] >
+                        [st.s0, st.s1, st.s2, st.s3, st.s4][acc + 1] *
+                          [st.c0, st.c1, st.c2, st.c3, st.c4][i + 1]
+                      THEN i ELSE acc END)
+               END AS ch
+             FROM st JOIN o ON o.co = st.co AND o.r = st.r + 1) t),
+         fin AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY co ORDER BY r DESC) AS rn FROM st) WHERE rn = 1)
+         SELECT co AS cohort, CAST(0 AS BIGINT) AS arm_idx, 'click' AS arm,
+                c0 AS pulls, s0 AS reward_micro FROM fin
+         UNION ALL SELECT co, 1, 'error', c1, s1 FROM fin
+         UNION ALL SELECT co, 2, 'purchase', c2, s2 FROM fin
+         UNION ALL SELECT co, 3, 'signup', c3, s3 FROM fin
+         UNION ALL SELECT co, 4, 'view', c4, s4 FROM fin
+         ORDER BY cohort, arm_idx""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

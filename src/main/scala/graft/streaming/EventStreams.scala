@@ -2029,6 +2029,68 @@ object EventStreams {
   private[streaming] case class HoltRow(key: String, r: Long, y: Long,
       level: Long, trend: Long, forecast: Long)
 
+  private[streaming] case class BanditArmRow(cohort: Long, arm_idx: Long,
+      arm: String, pulls: Long, reward_micro: Long)
+
+  /** Offline ε-greedy bandit REPLAY (the Li et al. 2011 replay method:
+    * walk the logged stream in order; whenever the policy's choice
+    * matches the logged arm, count it as a pull and bank the logged
+    * reward — an unbiased offline estimate of the policy's value when
+    * the log is uniform). Fully deterministic, integer-exact:
+    *   - round t (1-based per cohort, ordered by (ts, id)) explores iff
+    *     `t % exploreEvery == 0`, cycling arms `(t / exploreEvery) % K`;
+    *   - otherwise it exploits: any never-pulled arm first (smallest
+    *     index — optimistic init), else the argmax of mean banked reward
+    *     decided by CROSS-MULTIPLICATION (`s_i·c_j > s_j·c_i` — no
+    *     float means), ties to the smaller index.
+    * Returns one row per (cohort, arm): final pulls and banked reward
+    * micros; cohort totals are the per-arm sums.
+    *
+    * Scale shape: the [[tokenBucketAdmission]] bounded-group mapGroups
+    * contract — cohorts are the parallel unit, state is O(K) per cohort.
+    */
+  def epsilonGreedyReplay(events: DataFrame, cohort: Column, ts: Column,
+      id: Column, arm: Column, reward: Column, arms: Seq[String],
+      exploreEvery: Int = 5): DataFrame = {
+    require(arms.nonEmpty && arms.distinct.size == arms.size,
+      "arms must be distinct and non-empty")
+    require(exploreEvery >= 2, s"exploreEvery must be >= 2, got $exploreEvery")
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    val k = arms.size
+    val armIdx = arms.zipWithIndex.toMap
+    val in = events.select(cohort.cast("long").alias("co"),
+        unix_micros(ts).alias("tus"), id.cast("long").alias("i"),
+        arm.cast("string").alias("a"),
+        (reward.cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long").alias("rew"))
+      .as[(Long, Long, Long, String, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+    in.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroups { (co, rows) =>
+        val evs = rows.map(r => (r._2, r._3, r._4, r._5)).toArray.sortInPlace()
+        val c = new Array[Long](k); val s = new Array[Long](k)
+        var t = 1
+        evs.foreach { case (_, _, a, rew) =>
+          val chosen =
+            if (t % exploreEvery == 0) (t / exploreEvery) % k
+            else {
+              val unpulled = c.indexWhere(_ == 0L)
+              if (unpulled >= 0) unpulled
+              else (1 until k).foldLeft(0) { (acc, i) =>
+                if (s(i) * c(acc) > s(acc) * c(i)) i else acc
+              }
+            }
+          armIdx.get(a).foreach { ai =>
+            if (ai == chosen) { c(ai) += 1; s(ai) += rew }
+          }
+          t += 1
+        }
+        (0 until k).iterator.map(i => BanditArmRow(co, i.toLong, arms(i), c(i), s(i)))
+      }(Encoders.product[BanditArmRow])
+      .toDF()
+  }
+
   /** Gap-bounded temporal co-occurrence: count ordered event-type pairs
     * (a then b, 0 < Δt <= gapUs) within each user's stream, plus each
     * pair's share of all pairs STARTING at type a (floor ppm) — the

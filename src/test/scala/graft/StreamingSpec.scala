@@ -1102,4 +1102,24 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(("c", "a")), "2.5s gap excluded")
     assert(got.size == 3)
   }
+  test("epsilonGreedyReplay: optimistic init, explore cycle, cross-multiplied exploit, replay banking") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def tsOf(k: Int) = new java.sql.Timestamp((t0 + k * 1000000L) / 1000L)
+    // hand trace (exploreEvery=3, arms x,y): t1 exploit->x(match,10);
+    // t2 exploit->y(logged x: miss); t3 explore->y(match,4);
+    // t4 exploit x wins 10/1 vs 4/1 (match,2); t5 exploit x (logged y: miss
+    // — the 100 reward is NOT banked); t6 explore->x(match,0)
+    val ev = Seq(
+      (1L, tsOf(1), 101L, "x", 10.0), (1L, tsOf(2), 102L, "x", 7.0),
+      (1L, tsOf(3), 103L, "y", 4.0), (1L, tsOf(4), 104L, "x", 2.0),
+      (1L, tsOf(5), 105L, "y", 100.0), (1L, tsOf(6), 106L, "x", 0.0)
+    ).toDF("co", "ts", "id", "arm", "v")
+    val got = graft.streaming.EventStreams.epsilonGreedyReplay(
+        ev, $"co", $"ts", $"id", $"arm", $"v", arms = Seq("x", "y"),
+        exploreEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map((1L, "x") -> (3L, 12000000L), (1L, "y") -> (1L, 4000000L)))
+  }
 }
