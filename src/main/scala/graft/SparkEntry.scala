@@ -3060,6 +3060,17 @@ object SparkEntry {
         .sortBy(Seq(col("cohort"), col("arm_idx")))
     }),
 
+    "q356_shapley_attribution" -> ((s, dir) => {
+      // data valuation: exact Shapley payout of "distinct users covered"
+      // to each event type (coverage game, k=5 players, x120 so every
+      // value is an exact BIGINT). One data-sized shuffle (per-user
+      // bit_or mask); the 32-coalition lattice is broadcast algebra.
+      graft.streaming.EventStreams.shapleyCoverage(
+          t(s, dir, "events"), col("user_id"), col("event_type"),
+          players = Seq("click", "error", "purchase", "signup", "view"))
+        .sortBy(Seq(col("player_idx")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7745,6 +7756,31 @@ object SparkEntry {
          UNION ALL SELECT co, 3, 'signup', c3, s3 FROM fin
          UNION ALL SELECT co, 4, 'view', c4, s4 FROM fin
          ORDER BY cohort, arm_idx""",
+
+    // per-user bit_or mask -> 32-mask histogram -> v(S) containment sum
+    // over the coalition lattice -> Shapley marginals with |S|!(4-|S|)!
+    // weights (x120 keeps everything integral)
+    "q356_shapley_attribution" ->
+      """WITH tm(player, pi) AS (VALUES ('click', 0), ('error', 1),
+             ('purchase', 2), ('signup', 3), ('view', 4)),
+         um AS (SELECT user_id AS u, bit_or(1 << pi) AS mask
+           FROM events JOIN tm ON event_type = player GROUP BY u),
+         mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n
+           FROM um GROUP BY mask),
+         co AS (SELECT UNNEST(range(32)) AS s),
+         v AS (SELECT s, COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM mc
+             WHERE (mask & s) <> 0), CAST(0 AS BIGINT)) AS v FROM co),
+         w(sz, w) AS (VALUES (0, 24), (1, 6), (2, 4), (3, 6), (4, 24)),
+         sh AS (SELECT pi, player,
+             CAST(SUM(w.w * (v1.v - v0.v)) AS BIGINT) AS shapley_xkfact
+           FROM tm CROSS JOIN co
+           JOIN v v0 ON v0.s = co.s
+           JOIN v v1 ON v1.s = (co.s | (1 << pi))
+           JOIN w ON w.sz = bit_count(co.s)
+           WHERE ((co.s >> pi) & 1) = 0 GROUP BY pi, player)
+         SELECT CAST(pi AS BIGINT) AS player_idx, player,
+           (SELECT v FROM v WHERE s = (1 << pi)) AS v_solo, shapley_xkfact
+         FROM sh ORDER BY player_idx""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

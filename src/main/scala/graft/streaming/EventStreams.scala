@@ -2091,6 +2091,59 @@ object EventStreams {
       .toDF()
   }
 
+  /** Exact Shapley attribution of unit coverage to event types (the
+    * cooperative "coverage game" of data valuation, Shapley 1953 /
+    * Ghorbani-Zou Data Shapley framing): player i = one event type,
+    * v(S) = number of distinct units that fired at least one event whose
+    * type is in S, and each player's payout is its exact Shapley value
+    * phi_i = sum over coalitions S not containing i of
+    * |S|!(k-1-|S|)! / k! * (v(S u {i}) - v(S)). Returned scaled by k!
+    * (`shapley_xkfact`) so every number is an exact BIGINT — no
+    * factorial division, no floats; sum(shapley_xkfact) = k! * v(full)
+    * (the efficiency axiom, asserted in the spec).
+    *
+    * Scale shape: the ONLY data-sized shuffle is the per-unit bitmask
+    * groupBy (map-side combined `bit_or`); masks then collapse to at
+    * most 2^k rows, and the whole coalition lattice (2^k x 2^k cells,
+    * k <= 12 enforced) is tiny broadcast-join algebra — v(S) via a
+    * mask x coalition containment join, marginals via two self-joins of
+    * the 2^k-row v frame. No driver math, no collect.
+    */
+  def shapleyCoverage(events: DataFrame, unit: Column, typ: Column,
+      players: Seq[String]): DataFrame = {
+    require(players.nonEmpty && players.distinct.size == players.size,
+      "players must be distinct and non-empty")
+    require(players.size <= 12, s"coalition lattice is 2^k; k=${players.size} > 12")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = players.size
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val pl = players.zipWithIndex.toDF("player", "pi")
+    // one real shuffle: unit -> OR of player bits (partial-agg combines)
+    val masks = events.select(unit.alias("u"), typ.cast("string").alias("t"))
+      .join(broadcast(pl), $"t" === $"player")
+      .groupBy($"u")
+      .agg(bit_or(expr("shiftleft(1L, pi)")).alias("mask"))
+      .groupBy($"mask").agg(count(lit(1)).alias("n"))
+    val coal = spark.range(1L << k).toDF("s")
+    // v(S) = units whose mask intersects S; S=0 and uncovered S get 0
+    val v = coal.join(broadcast(masks), ($"s".bitwiseAND($"mask")) =!= 0L, "left")
+      .groupBy($"s").agg(coalesce(sum($"n"), lit(0L)).alias("v"))
+    val w = (0 until k).map(s => (s, fact(s) * fact(k - 1 - s)))
+      .toDF("sz", "w")
+    val pairs = pl.crossJoin(v.select($"s", $"v".alias("v0")))
+      .where(expr("shiftright(s, pi)").bitwiseAND(lit(1L)) === 0L)
+      .join(broadcast(w), bit_count($"s") === $"sz")
+      .join(v.select($"s".alias("s1"), $"v".alias("v1")),
+        $"s".bitwiseOR(expr("shiftleft(1L, pi)")) === $"s1")
+    val solo = v.select($"s".alias("sb"), $"v".alias("v_solo"))
+    pairs.groupBy($"pi", $"player")
+      .agg(sum($"w" * ($"v1" - $"v0")).alias("shapley_xkfact"))
+      .join(broadcast(solo), expr("shiftleft(1L, pi)") === $"sb")
+      .select($"pi".cast("long").alias("player_idx"), $"player",
+        $"v_solo", $"shapley_xkfact")
+  }
+
   /** Gap-bounded temporal co-occurrence: count ordered event-type pairs
     * (a then b, 0 < Δt <= gapUs) within each user's stream, plus each
     * pair's share of all pairs STARTING at type a (floor ppm) — the

@@ -1122,4 +1122,23 @@ class StreamingSpec extends SparkSpec {
         (r.getLong(3), r.getLong(4))).toMap
     assert(got == Map((1L, "x") -> (3L, 12000000L), (1L, "y") -> (1L, 4000000L)))
   }
+  test("shapleyCoverage: hand-computed 2-player game, efficiency axiom, uncovered player") {
+    import spark.implicits._
+    // u1 {a}, u2 {a,b}, u3 {b}: v(a)=2 v(b)=2 v(ab)=3; k=2 -> x2 payouts
+    // phi_a*2 = 1*(v{a}-0) + 1*(v{ab}-v{b}) = 2+1 = 3; symmetric for b.
+    // Player c never fires: phi_c = 0, v_solo = 0 (k=3 run below).
+    val ev = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("u", "t")
+    val two = graft.streaming.EventStreams.shapleyCoverage(
+        ev, $"u", $"t", players = Seq("a", "b"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(two == Map("a" -> (2L, 3L), "b" -> (2L, 3L)))
+    val three = graft.streaming.EventStreams.shapleyCoverage(
+        ev, $"u", $"t", players = Seq("a", "b", "c"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // k=3 -> x6: phi_a*6 = 2*(2-0) + 1*(3-2) + 1*(2-0) + 2*(3-2) = 9
+    assert(three("a") == (2L, 9L) && three("b") == (2L, 9L))
+    assert(three("c") == (0L, 0L), "never-firing player pays out zero")
+    assert(three.values.map(_._2).sum == 6L * 3L, "efficiency: sum = k! * v(full)")
+  }
 }
