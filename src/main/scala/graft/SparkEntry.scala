@@ -3071,6 +3071,22 @@ object SparkEntry {
         .sortBy(Seq(col("player_idx")))
     }),
 
+    "q357_kendall_concordance" -> ((s, dir) => {
+      // rank-correlation audit per nation: does a customer's order count
+      // move with its total spend — exact concordant/discordant/tie pair
+      // counts via the O(n log n) Fenwick fold (the oracle runs the
+      // O(n^2) pair join this operator exists to avoid) + tau-a ppm.
+      val cust = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .aggregate(Seq(col("c_nationkey").as("nk"), col("o_custkey").as("ck")),
+          Seq(count(lit(1)).as("x"),
+            sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long")).as("y")))
+      graft.operators.Validation.kendallConcordance(
+          cust, col("nk"), col("x"), col("y"))
+        .sortBy(Seq(col("grp")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7781,6 +7797,37 @@ object SparkEntry {
          SELECT CAST(pi AS BIGINT) AS player_idx, player,
            (SELECT v FROM v WHERE s = (1 << pi)) AS v_solo, shapley_xkfact
          FROM sh ORDER BY player_idx""",
+
+    // the quadratic ground truth: every customer pair per nation CASE'd
+    // into concordant/discordant/tie buckets; tau-a sign-split ppm
+    "q357_kendall_concordance" ->
+      """WITH c AS (SELECT c_nationkey AS nk, o_custkey AS ck,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         t AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY nk),
+         p AS (SELECT a.nk,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+               OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+               OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+             CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS txy
+           FROM c a JOIN c b ON a.nk = b.nk AND a.ck < b.ck GROUP BY a.nk)
+         SELECT CAST(t.nk AS VARCHAR) AS grp, t.n,
+           t.n * (t.n - 1) // 2 AS n_pairs,
+           COALESCE(cc, 0) AS concordant, COALESCE(dd, 0) AS discordant,
+           COALESCE(tx, 0) AS ties_x, COALESCE(ty, 0) AS ties_y,
+           COALESCE(txy, 0) AS ties_xy,
+           CASE WHEN t.n < 2 THEN NULL
+                WHEN cc >= dd THEN ((cc - dd) * 1000000) // (t.n * (t.n - 1) // 2)
+                ELSE -(((dd - cc) * 1000000) // (t.n * (t.n - 1) // 2))
+                END AS tau_a_ppm
+         FROM t LEFT JOIN p ON t.nk = p.nk ORDER BY grp""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -485,6 +485,101 @@ object Validation {
                 END""").alias("kappa_ppm"))
   }
 
+  private[graft] case class KendallRow(grp: String, n: Long, n_pairs: Long,
+      concordant: Long, discordant: Long, ties_x: Long, ties_y: Long,
+      ties_xy: Long, tau_a_ppm: Option[Long])
+
+  /** Kendall concordance per group: exact concordant / discordant / tie
+    * pair counts between two integer metrics, plus tau-a in truncation
+    * ppm ((C−D)·1e6 over all pairs, sign split so floor-vs-truncate
+    * never diverges; NULL on singleton groups). The rank-correlation
+    * audit ("does metric x move with metric y") that is robust to any
+    * monotone transform — unlike Pearson (q115's corr) it never
+    * multiplies the metrics, so outliers cannot dominate. Tie counts
+    * follow the standard convention (`ties_x`/`ties_y` include pairs
+    * tied in both; `ties_xy` is the overlap), so tau-b's n1/n2
+    * correction terms are derivable from the output without any sqrt —
+    * the spec asserts C + D + tx + ty − txy = n_pairs.
+    *
+    * Scale shape: never the O(n²) dominance pair join (that is the
+    * ORACLE'S job) — each group is one O(n log n) fold: sort by (x, y),
+    * rank-compress y, and walk equal-x blocks over a Fenwick tree
+    * (strictly-less prefix = concordant, strictly-greater = discordant
+    * vs all strictly-earlier-x rows); ties fall out of run lengths.
+    * Bounded-group contract (the [[graft.streaming.EventStreams.epsilonGreedyReplay]]
+    * discipline): one group's rows must fit one task; groups themselves
+    * scale out across the cluster.
+    */
+  def kendallConcordance(df: DataFrame, group: Column, x: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = df.select(group.cast("string").alias("g"),
+        x.cast("long").alias("x"), y.cast("long").alias("y"))
+      .filter(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Long, Long)](Encoders.tuple(Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaLong))
+    in.groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (g, rows) =>
+        val a = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val n = a.length
+        val ys: Array[Long] = a.map(_._2).distinct.sorted.toArray
+        val m = ys.length
+        val bit = new Array[Long](m + 1)
+        def add(i0: Int): Unit = {
+          var i = i0; while (i <= m) { bit(i) += 1; i += i & -i }
+        }
+        def pref(i0: Int): Long = {
+          var i = i0; var s = 0L; while (i > 0) { s += bit(i); i -= i & -i }; s
+        }
+        def rk(v: Long): Int = java.util.Arrays.binarySearch(ys, v) + 1
+        var cC = 0L; var cD = 0L; var tx = 0L; var txy = 0L
+        var processed = 0L
+        var i = 0
+        while (i < n) {
+          var j = i
+          while (j < n && a(j)._1 == a(i)._1) j += 1
+          var k = i
+          while (k < j) {
+            val r = rk(a(k)._2)
+            cC += pref(r - 1)
+            cD += processed - pref(r)
+            k += 1
+          }
+          val gsz = (j - i).toLong
+          tx += gsz * (gsz - 1) / 2
+          var p = i
+          while (p < j) { // (x,y)-sorted, so both-tied pairs are runs
+            var q = p
+            while (q < j && a(q)._2 == a(p)._2) q += 1
+            val run = (q - p).toLong
+            txy += run * (run - 1) / 2
+            p = q
+          }
+          k = i
+          while (k < j) { add(rk(a(k)._2)); k += 1 }
+          processed += gsz
+          i = j
+        }
+        var ty = 0L
+        val sortedY = a.map(_._2).sorted
+        var p = 0
+        while (p < n) {
+          var q = p
+          while (q < n && sortedY(q) == sortedY(p)) q += 1
+          val run = (q - p).toLong
+          ty += run * (run - 1) / 2
+          p = q
+        }
+        val pairsN = n.toLong * (n - 1) / 2
+        val tau = if (pairsN == 0) None else {
+          val num = (BigInt(cC) - BigInt(cD)) * 1000000
+          Some(((num.abs / pairsN) * num.signum).toLong)
+        }
+        KendallRow(g, n.toLong, pairsN, cC, cD, tx, ty, txy, tau)
+      }(Encoders.product[KendallRow])
+      .toDF()
+  }
+
   /** Benford first-digit audit: the leading-digit distribution of a
     * positive numeric column against Benford's law — the classic
     * fabricated-data / aggregation-artifact screen for naturally-occurring

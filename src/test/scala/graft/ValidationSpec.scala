@@ -385,4 +385,45 @@ class ValidationSpec extends SparkSpec {
     // num2 = 2(0-4) = -8; den2 = 4*6-8 = 16 -> ARI = -1/2
     assert(v.getLong(4) == -500000L)
   }
+  test("kendallConcordance: hand counts, tie conventions, invariant, brute-force equality") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 15L), ("g", 3L, 15L),
+      ("g", 2L, 20L),
+      ("h", 1L, 30L), ("h", 2L, 20L), ("h", 3L, 10L),
+      ("m", 1L, 7L), ("m", 2L, 7L),
+      ("s", 5L, 5L)
+    ).toDF("k", "x", "y")
+    val got = Validation.kendallConcordance(df, $"k", $"x", $"y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // g hand-traced: C=4 D=4 tx=2 ty=2 txy=2 over 10 pairs -> tau 0
+    val g = got("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+      g.getLong(5), g.getLong(6), g.getLong(7)) == (5L, 10L, 4L, 4L, 2L, 2L, 2L))
+    assert(g.getLong(8) == 0L)
+    // invariant C + D + tx + ty - txy = n_pairs on every group
+    got.values.filter(_.getLong(2) > 0).foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6) -
+        r.getLong(7) == r.getLong(2))
+    }
+    assert(got("h").getLong(8) == -1000000L, "perfect inversion")
+    val mRow = got("m") // y-tie across different x: ties_y only
+    assert((mRow.getLong(5), mRow.getLong(6), mRow.getLong(7)) == (0L, 1L, 0L))
+    assert(got("s").isNullAt(8) && got("s").getLong(2) == 0L, "singleton NULL tau")
+    // brute-force pair-join equality on a pseudo-random group
+    val rnd = (0 until 60).map(i =>
+      ("r", (i * 37 % 11).toLong, (i * 53 % 7).toLong)).toDF("k", "x", "y")
+    val fast = Validation.kendallConcordance(rnd, $"k", $"x", $"y").collect().head
+    val rows = (0 until 60).map(i => ((i * 37 % 11).toLong, (i * 53 % 7).toLong))
+    val pairs = for { i <- 0 until 60; j <- i + 1 until 60 } yield (rows(i), rows(j))
+    def cnt(f: ((Long, Long), (Long, Long)) => Boolean) =
+      pairs.count { case (p, q) => f(p, q) }.toLong
+    assert(fast.getLong(3) == cnt((p, q) => (p._1 < q._1 && p._2 < q._2) ||
+      (p._1 > q._1 && p._2 > q._2)))
+    assert(fast.getLong(4) == cnt((p, q) => (p._1 < q._1 && p._2 > q._2) ||
+      (p._1 > q._1 && p._2 < q._2)))
+    assert(fast.getLong(5) == cnt((p, q) => p._1 == q._1))
+    assert(fast.getLong(6) == cnt((p, q) => p._2 == q._2))
+    assert(fast.getLong(7) == cnt((p, q) => p._1 == q._1 && p._2 == q._2))
+  }
 }
