@@ -3087,6 +3087,48 @@ object SparkEntry {
         .sortBy(Seq(col("grp")))
     }),
 
+    "q358_lpm_enrichment" -> ((s, dir) => {
+      // log enrichment by CIDR ownership: nations own deterministic /8,
+      // /16 (nested in another nation's /8) and /24 blocks; each event
+      // derives an IPv4 and is tagged by longest-prefix match — zero
+      // shuffles, one broadcast join per prefix length. Report matched
+      // traffic per (owner, prefix length) with distinct users.
+      val n = t(s, dir, "nation").selectCols(Seq(
+        col("n_nationkey").cast("long").as("k"), col("n_name").as("owner")))
+      val pfx = n.select(expr("shiftleft(k * 5 % 64 + 16, 24)").as("net"),
+          lit(8).as("len"), col("owner"))
+        .union(n.select(
+          expr("shiftleft((k + 3) % 25 * 5 % 64 + 16, 24) + shiftleft(k * 41 % 256, 16)").as("net"),
+          lit(16).as("len"), col("owner")))
+        .union(n.select(
+          expr("""shiftleft((k + 7) % 25 * 5 % 64 + 16, 24)
+                  + shiftleft((k * 41 + 64) % 256, 16)
+                  + shiftleft(k * 13 % 256, 8)""").as("net"),
+          lit(24).as("len"), col("owner")))
+      val ev = t(s, dir, "events")
+        .selectCols(Seq(col("event_id").cast("long").as("eid"), col("user_id")))
+        .withColumn("ip", expr(
+          """CASE WHEN eid % 97 = 0 THEN
+               shiftleft((eid % 25 + 7) % 25 * 5 % 64 + 16, 24)
+               + shiftleft((eid % 25 * 41 + 64) % 256, 16)
+               + shiftleft(eid % 25 * 13 % 256, 8) + eid % 256
+             WHEN eid % 13 = 0 THEN
+               shiftleft((eid % 25 + 3) % 25 * 5 % 64 + 16, 24)
+               + shiftleft(eid % 25 * 41 % 256, 16) + eid * 7 % 65536
+             WHEN eid % 7 = 0 THEN
+               shiftleft(200 + eid % 40, 24) + eid * 3 % 16777216
+             ELSE shiftleft(eid % 25 * 5 % 64 + 16, 24)
+               + shiftleft(eid * 11 % 256, 16)
+               + shiftleft(eid * 13 % 256, 8) + eid * 17 % 256 END"""))
+      graft.operators.Relational.lpmEnrich(ev, col("ip"), pfx)
+        .aggregate(
+          Seq(coalesce(col("lpm_owner"), lit("(unmatched)")).as("owner"),
+            coalesce(col("lpm_len"), lit(-1)).cast("long").as("plen")),
+          Seq(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users")))
+        .sortBy(Seq(col("owner"), col("plen")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7828,6 +7870,47 @@ object SparkEntry {
                 ELSE -(((dd - cc) * 1000000) // (t.n * (t.n - 1) // 2))
                 END AS tau_a_ppm
          FROM t LEFT JOIN p ON t.nk = p.nk ORDER BY grp""",
+
+    // same deterministic CIDR lattice + event IPs; LPM as three masked
+    // LEFT joins with a longest-first COALESCE (unique per (len, key))
+    "q358_lpm_enrichment" ->
+      """WITH n AS (SELECT n_nationkey AS k, n_name AS owner FROM nation),
+         pf AS (
+           SELECT ((k * 5 % 64 + 16) << 24) AS net, 8 AS len, owner FROM n
+           UNION ALL
+           SELECT (((k + 3) % 25 * 5 % 64 + 16) << 24)
+             + ((k * 41 % 256) << 16), 16, owner FROM n
+           UNION ALL
+           SELECT (((k + 7) % 25 * 5 % 64 + 16) << 24)
+             + (((k * 41 + 64) % 256) << 16) + ((k * 13 % 256) << 8),
+             24, owner FROM n),
+         ev AS (SELECT event_id AS eid, user_id,
+           CASE WHEN event_id % 97 = 0 THEN
+               (((event_id % 25 + 7) % 25 * 5 % 64 + 16) << 24)
+               + (((event_id % 25 * 41 + 64) % 256) << 16)
+               + ((event_id % 25 * 13 % 256) << 8) + (event_id % 256)
+             WHEN event_id % 13 = 0 THEN
+               (((event_id % 25 + 3) % 25 * 5 % 64 + 16) << 24)
+               + ((event_id % 25 * 41 % 256) << 16) + (event_id * 7 % 65536)
+             WHEN event_id % 7 = 0 THEN
+               ((200 + event_id % 40) << 24) + (event_id * 3 % 16777216)
+             ELSE ((event_id % 25 * 5 % 64 + 16) << 24)
+               + ((event_id * 11 % 256) << 16)
+               + ((event_id * 13 % 256) << 8) + (event_id * 17 % 256)
+             END AS ip FROM events),
+         m AS (SELECT ev.user_id,
+             COALESCE(p24.owner, p16.owner, p8.owner, '(unmatched)') AS owner,
+             CASE WHEN p24.owner IS NOT NULL THEN 24
+                  WHEN p16.owner IS NOT NULL THEN 16
+                  WHEN p8.owner IS NOT NULL THEN 8 ELSE -1 END AS plen
+           FROM ev
+           LEFT JOIN pf p8 ON p8.len = 8 AND (ev.ip >> 24) = (p8.net >> 24)
+           LEFT JOIN pf p16 ON p16.len = 16 AND (ev.ip >> 16) = (p16.net >> 16)
+           LEFT JOIN pf p24 ON p24.len = 24 AND (ev.ip >> 8) = (p24.net >> 8))
+         SELECT owner, CAST(plen AS BIGINT) AS plen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM m GROUP BY 1, 2 ORDER BY owner, plen""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

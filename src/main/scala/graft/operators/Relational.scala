@@ -1789,4 +1789,41 @@ object Relational {
     base.join(contrib, Seq("d"))
       .select(col("d"), col("v"), col("smoothed_scaled"), col("n_terms"))
   }
+
+  /** Longest-prefix-match enrichment: tag each row's IPv4 address (as an
+    * unsigned 32-bit value in a BIGINT) with the owner of the most
+    * specific covering CIDR block — the router's LPM rule, and the
+    * standard log-enrichment join (GeoIP, ASN, tenant subnets) that a
+    * plain equi-join cannot express. `prefixes` is (net BIGINT, len INT
+    * in [1,32], owner STRING) and must be unique per (len, net>>32−len);
+    * rows covered by no block get NULL owner / NULL lpm_len.
+    *
+    * Scale shape: ZERO shuffles — one broadcast LEFT join per DISTINCT
+    * prefix length present (≤ 32, read via a bounded ≤32-row collect,
+    * the k-means-centroid discipline), probing `ip >> (32−len)` against
+    * the block's masked key, then a longest-first COALESCE picks the
+    * winner map-side. The alternative (explode ×lengths + shuffle join +
+    * per-row argmax) pays two shuffles of the full log; a prefix table
+    * is reference data and belongs on the broadcast side.
+    */
+  def lpmEnrich(df: DataFrame, ip: Column, prefixes: DataFrame): DataFrame = {
+    val lens = prefixes.select(col("len").cast("int").alias("l")).distinct()
+      .collect().map(_.getInt(0)).sorted.reverse
+    require(lens.nonEmpty && lens.forall(l => l >= 1 && l <= 32),
+      s"prefix lengths must be within [1,32], got ${lens.mkString(",")}")
+    var out = df.withColumn("__ip", ip.cast("long"))
+    lens.foreach { l =>
+      val p = prefixes.filter(col("len") === l)
+        .select(expr(s"shiftright(CAST(net AS BIGINT), ${32 - l})")
+          .alias(s"__k_$l"), col("owner").cast("string").alias(s"__o_$l"))
+      out = out.join(broadcast(p),
+        expr(s"shiftright(__ip, ${32 - l}) = __k_$l"), "left")
+    }
+    val lenCol = lens.foldRight(lit(null).cast("int")) { (l, acc) =>
+      when(col(s"__o_$l").isNotNull, lit(l)).otherwise(acc)
+    }
+    out.withColumn("lpm_owner", coalesce(lens.map(l => col(s"__o_$l")): _*))
+      .withColumn("lpm_len", lenCol)
+      .drop("__ip" +: lens.flatMap(l => Seq(s"__k_$l", s"__o_$l")): _*)
+  }
 }

@@ -930,4 +930,25 @@ class RelationalSpec extends SparkSpec {
       ("a", 30L, 50L, 2L, 30L), ("a", 50L, 100L, 1L, 10L),
       ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L)))
   }
+  test("lpmEnrich: most-specific block wins, no-match NULL, zero shuffles in the plan") {
+    import spark.implicits._
+    def ip(a: Long, b: Long, c: Long, d: Long) = (a << 24) | (b << 16) | (c << 8) | d
+    val pfx = Seq(
+      (ip(10, 0, 0, 0), 8, "A"), (ip(10, 1, 0, 0), 16, "B"),
+      (ip(10, 1, 2, 0), 24, "C")).toDF("net", "len", "owner")
+    val rows = Seq(
+      (1L, ip(10, 1, 2, 5)), (2L, ip(10, 1, 9, 9)),
+      (3L, ip(10, 9, 9, 9)), (4L, ip(11, 0, 0, 1))).toDF("id", "ip")
+    val out = graft.operators.Relational.lpmEnrich(rows, $"ip", pfx)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (Option(r.getString(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == (Some("C"), Some(24)))
+    assert(got(2L) == (Some("B"), Some(16)))
+    assert(got(3L) == (Some("A"), Some(8)))
+    assert(got(4L) == (None, None))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || !plan.split("\n").exists(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")),
+      s"LPM must not shuffle the probe side:\n$plan")
+  }
 }
