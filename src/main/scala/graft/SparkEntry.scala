@@ -3129,6 +3129,17 @@ object SparkEntry {
         .sortBy(Seq(col("owner"), col("plen")))
     }),
 
+    "q359_lis_persistence" -> ((s, dir) => {
+      // trend persistence per user: longest strictly-increasing and
+      // strictly-decreasing subsequences of the event-value stream via
+      // patience sorting — the oracle replays the same pile-top state as
+      // a recursive CTE carrying two BIGINT lists.
+      graft.streaming.EventStreams.lisLengths(
+          t(s, dir, "events"), col("user_id"), col("ts"),
+          col("event_id"), col("value"))
+        .sortBy(Seq(col("u")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7911,6 +7922,40 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM m GROUP BY 1, 2 ORDER BY owner, plen""",
+
+    // patience piles as recursive-CTE list state: c = tops < x decides
+    // replace-vs-append for the increasing piles, d = tops > x for the
+    // decreasing ones; final pile counts are the subsequence lengths
+    "q359_lis_persistence" ->
+      """WITH RECURSIVE ev AS (SELECT user_id AS u,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS i,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+           FROM events),
+         o AS (SELECT u, x,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY tus, i) AS r
+           FROM ev),
+         st(u, r, L, M) AS (
+           SELECT DISTINCT u, CAST(0 AS BIGINT),
+             CAST([] AS BIGINT[]), CAST([] AS BIGINT[]) FROM o
+           UNION ALL
+           SELECT u, r,
+             CASE WHEN c = len(L) THEN list_append(L, x)
+                  ELSE list_slice(L, 1, c) || [x]
+                    || list_slice(L, c + 2, len(L)) END,
+             CASE WHEN d = len(M) THEN list_append(M, x)
+                  ELSE list_slice(M, 1, d) || [x]
+                    || list_slice(M, d + 2, len(M)) END
+           FROM (SELECT st.u, o.r, o.x, st.L, st.M,
+               len(list_filter(st.L, e -> e < o.x)) AS c,
+               len(list_filter(st.M, e -> e > o.x)) AS d
+             FROM st JOIN o ON o.u = st.u AND o.r = st.r + 1) t),
+         fin AS (SELECT u, L, M, ROW_NUMBER() OVER
+             (PARTITION BY u ORDER BY r DESC) AS rn FROM st)
+         SELECT f.u, c.n, CAST(len(f.L) AS BIGINT) AS lis_len,
+           CAST(len(f.M) AS BIGINT) AS lds_len
+         FROM fin f JOIN (SELECT u, CAST(COUNT(*) AS BIGINT) AS n
+           FROM o GROUP BY u) c USING (u)
+         WHERE f.rn = 1 ORDER BY u""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

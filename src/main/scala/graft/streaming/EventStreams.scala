@@ -2091,6 +2091,60 @@ object EventStreams {
       .toDF()
   }
 
+  private[streaming] case class LisRow(u: Long, n: Long, lis_len: Long,
+      lds_len: Long)
+
+  /** Longest strictly-increasing and strictly-decreasing subsequence
+    * lengths per key over the (ts, id)-ordered value stream — patience
+    * sorting (the Mallows solitaire bound / Aldous-Diaconis): one pass,
+    * a sorted pile-top array per direction, each element binary-searching
+    * the first top ≥ x (resp. ≤ x) to replace, appending when none. The
+    * trend-persistence probe of monitoring: a long LIS in a latency
+    * series is sustained drift upward, where lag-k autocorrelation
+    * (q-series) only sees local structure. O(n log n) per key.
+    *
+    * Scale shape: bounded-key contract (the [[epsilonGreedyReplay]]
+    * discipline — one key's events fit one task, keys scale out). The
+    * oracle replays the IDENTICAL pile-top state as a recursive CTE
+    * carrying two BIGINT lists, so the algorithm itself is what gets
+    * cross-engine verified, not just the answer.
+    */
+  def lisLengths(events: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = events.select(key.cast("long").alias("u"),
+        unix_micros(ts).alias("tus"), id.cast("long").alias("i"),
+        (value.cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long").alias("x"))
+      .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    in.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (u, rows) =>
+        val xs = rows.map(r => (r._2, r._3, r._4)).toArray.sortInPlace()
+          .map(_._3)
+        // first index in [0, size) with !pred(tops(idx)); tops kept sorted
+        def lowerBound(tops: scala.collection.mutable.ArrayBuffer[Long],
+            pred: Long => Boolean): Int = {
+          var lo = 0; var hi = tops.size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (pred(tops(mid))) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        val inc = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val dec = scala.collection.mutable.ArrayBuffer.empty[Long]
+        xs.foreach { x =>
+          val ci = lowerBound(inc, _ < x) // first top >= x
+          if (ci == inc.size) inc += x else inc(ci) = x
+          val di = lowerBound(dec, _ > x) // first top <= x
+          if (di == dec.size) dec += x else dec(di) = x
+        }
+        LisRow(u, xs.length.toLong, inc.size.toLong, dec.size.toLong)
+      }(Encoders.product[LisRow])
+      .toDF()
+  }
+
   /** Exact Shapley attribution of unit coverage to event types (the
     * cooperative "coverage game" of data valuation, Shapley 1953 /
     * Ghorbani-Zou Data Shapley framing): player i = one event type,

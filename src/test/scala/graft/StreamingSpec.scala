@@ -1141,4 +1141,23 @@ class StreamingSpec extends SparkSpec {
     assert(three("c") == (0L, 0L), "never-firing player pays out zero")
     assert(three.values.map(_._2).sum == 6L * 3L, "efficiency: sum = k! * v(full)")
   }
+  test("lisLengths: patience piles hand trace with duplicates, monotone extremes") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def tsOf(k: Int) = new java.sql.Timestamp((t0 + k * 1000000L) / 1000L)
+    // u1 = [3,1,4,1,5,9,2,6]: LIS {1,4,5,9} = 4, LDS pairs only = 2
+    // u2 strictly rising -> LIS 4 / LDS 1; u3 constant -> both 1
+    val vals1 = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val ev = (vals1.zipWithIndex.map { case (v, k) => (1L, tsOf(k), k.toLong, v) } ++
+        (0 until 4).map(k => (2L, tsOf(k), (10 + k).toLong, k * 2.0)) ++
+        (0 until 3).map(k => (3L, tsOf(k), (20 + k).toLong, 7.0)))
+      .toDF("u", "ts", "id", "v")
+    val got = graft.streaming.EventStreams.lisLengths(
+        ev, $"u", $"ts", $"id", $"v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (8L, 4L, 2L))
+    assert(got(2L) == (4L, 4L, 1L))
+    assert(got(3L) == (3L, 1L, 1L), "equal values extend neither direction")
+  }
 }
