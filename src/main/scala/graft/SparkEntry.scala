@@ -3140,6 +3140,23 @@ object SparkEntry {
         .sortBy(Seq(col("u")))
     }),
 
+    "q360_ols_two_regressors" -> ((s, dir) => {
+      // multivariate step q330 can't take: price vs quantity AFTER
+      // controlling for discount, per (returnflag, linestatus) — exact
+      // 3x3 normal equations via Cramer in DECIMAL(38,0); one 9-sum
+      // map-side-combined groupBy carries the whole fit.
+      val li = t(s, dir, "lineitem").selectCols(Seq(
+        concat(col("l_returnflag"), lit("|"), col("l_linestatus")).as("k"),
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,6)) * 10000 AS BIGINT)")
+          .as("disc_bp"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_c")))
+      graft.operators.Relational.olsTwo(
+          li, col("k"), col("q"), col("disc_bp"), col("price_c"))
+        .sortBy(Seq(col("key")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -7956,6 +7973,51 @@ object SparkEntry {
          FROM fin f JOIN (SELECT u, CAST(COUNT(*) AS BIGINT) AS n
            FROM o GROUP BY u) c USING (u)
          WHERE f.rn = 1 ORDER BY u""",
+
+    // the same nine sufficient statistics in HUGEINT, the same four
+    // Cramer determinants, det sign-normalized before the sign-split ppm
+    "q360_ols_two_regressors" ->
+      """WITH b AS (SELECT l_returnflag || '|' || l_linestatus AS key,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,6)) * 10000 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yy
+           FROM lineitem),
+         a AS (SELECT key, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+             CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+             CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+             CAST(SUM(yy) AS HUGEINT) AS sy,
+             CAST(SUM(x1 * yy) AS HUGEINT) AS s1y,
+             CAST(SUM(x2 * yy) AS HUGEINT) AS s2y
+           FROM b GROUP BY key),
+         d AS (SELECT key, CAST(n AS BIGINT) AS n_out,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2
+           FROM a),
+         e AS (SELECT key, n_out,
+             CASE WHEN det < 0 THEN -det ELSE det END AS deta,
+             CASE WHEN det < 0 THEN -det0 ELSE det0 END AS nd0,
+             CASE WHEN det < 0 THEN -det1 ELSE det1 END AS nd1,
+             CASE WHEN det < 0 THEN -det2 ELSE det2 END AS nd2
+           FROM d)
+         SELECT key, n_out AS n,
+           CASE WHEN deta = 0 THEN NULL
+                WHEN nd0 >= 0 THEN CAST((nd0 * 1000000) // deta AS BIGINT)
+                ELSE -CAST(((-nd0) * 1000000) // deta AS BIGINT) END AS b0_ppm,
+           CASE WHEN deta = 0 THEN NULL
+                WHEN nd1 >= 0 THEN CAST((nd1 * 1000000) // deta AS BIGINT)
+                ELSE -CAST(((-nd1) * 1000000) // deta AS BIGINT) END AS b1_ppm,
+           CASE WHEN deta = 0 THEN NULL
+                WHEN nd2 >= 0 THEN CAST((nd2 * 1000000) // deta AS BIGINT)
+                ELSE -CAST(((-nd2) * 1000000) // deta AS BIGINT) END AS b2_ppm
+         FROM e ORDER BY key""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -1355,6 +1355,65 @@ object Relational {
         col("r2_ppm"))
   }
 
+  /** Per-group TWO-regressor OLS — ŷ = b0 + b1·x1 + b2·x2 fit exactly by
+    * the 3×3 normal equations solved with Cramer's rule entirely in
+    * DECIMAL(38,0): nine partial-agg sums (n, Σx1, Σx2, Σx1², Σx1x2,
+    * Σx2², Σy, Σx1y, Σx2y) and four integer determinants, coefficients
+    * as the [[groupOls]] sign-split truncation ppm. The multivariate
+    * step [[groupOls]] cannot take: "is spend explained by quantity
+    * AFTER controlling for discount" needs the partialled coefficient,
+    * not two marginal slopes. NULL coefficients on a singular system
+    * (collinear or constant regressors).
+    *
+    * Scale shape: ONE map-side-combined groupBy — the whole fit rides a
+    * 9-number sufficient statistic per group, so data size only affects
+    * the scan; Cramer runs on the aggregated rows. Magnitude contract:
+    * determinant terms are ~n·max(x)⁴ and numerators ~n·max(x)³·max(y) —
+    * keep regressors in small integer units (counts, bp, cents/100) so
+    * products stay inside DECIMAL(38,0); the q330 discipline.
+    */
+  def olsTwo(df: DataFrame, key: Column, x1: Column, x2: Column,
+      y: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    def ppm(num: String, den: String, out: String) = expr(
+      s"""CASE WHEN $den = 0 THEN NULL
+          WHEN $num >= 0 THEN CAST(($num * 1000000) DIV $den AS BIGINT)
+          ELSE CAST(-((-$num * 1000000) DIV $den) AS BIGINT) END""").alias(out)
+    df.select(key.alias("key"), x1.cast("long").alias("x1"),
+        x2.cast("long").alias("x2"), y.cast("long").alias("yy"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).cast(d).alias("n"),
+        sum(col("x1").cast(d)).alias("s1"),
+        sum(col("x2").cast(d)).alias("s2"),
+        sum((col("x1") * col("x1")).cast(d)).alias("s11"),
+        sum((col("x1") * col("x2")).cast(d)).alias("s12"),
+        sum((col("x2") * col("x2")).cast(d)).alias("s22"),
+        sum(col("yy").cast(d)).alias("sy"),
+        sum((col("x1") * col("yy")).cast(d)).alias("s1y"),
+        sum((col("x2") * col("yy")).cast(d)).alias("s2y"))
+      .withColumn("det", expr(
+        """n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)"""))
+      .withColumn("det0", expr(
+        """sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y)"""))
+      .withColumn("det1", expr(
+        """n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2)"""))
+      .withColumn("det2", expr(
+        """n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2)"""))
+      // normalize det > 0 (flip all four signs together — the ratios are
+      // invariant) so the sign-split ppm never divides by a negative
+      .withColumn("deta", expr("CASE WHEN det < 0 THEN -det ELSE det END"))
+      .withColumn("nd0", expr("CASE WHEN det < 0 THEN -det0 ELSE det0 END"))
+      .withColumn("nd1", expr("CASE WHEN det < 0 THEN -det1 ELSE det1 END"))
+      .withColumn("nd2", expr("CASE WHEN det < 0 THEN -det2 ELSE det2 END"))
+      .select(col("key"), col("n").cast("long").alias("n"),
+        ppm("nd0", "deta", "b0_ppm"), ppm("nd1", "deta", "b1_ppm"),
+        ppm("nd2", "deta", "b2_ppm"))
+  }
+
   /** Per-group Theil-Sen robust slope: the LOWER median of all pairwise
     * slopes `(y_j − y_i)/(x_j − x_i)` over pairs with `x_i < x_j` —
     * outlier-resistant where [[groupOls]] is not (breakdown point ~29%

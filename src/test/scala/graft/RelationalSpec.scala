@@ -930,6 +930,20 @@ class RelationalSpec extends SparkSpec {
       ("a", 30L, 50L, 2L, 30L), ("a", 50L, 100L, 1L, 10L),
       ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L)))
   }
+  test("olsTwo: exact planar fits, negative coefficients, singular collinear NULL") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
+    val df = (pts.map { case (a, b) => ("up", a, b, 2L + 3 * a + 5 * b) } ++
+        pts.map { case (a, b) => ("dn", a, b, 10L - a - 2 * b) } ++
+        pts.map { case (a, _) => ("col", a, 2 * a, 7L + a) })
+      .toDF("k", "x1", "x2", "y")
+    val got = graft.operators.Relational.olsTwo(df, $"k", $"x1", $"x2", $"y")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got("up") == (Some(2000000L), Some(3000000L), Some(5000000L)))
+    assert(got("dn") == (Some(10000000L), Some(-1000000L), Some(-2000000L)))
+    assert(got("col") == (None, None, None), "collinear regressors are singular")
+  }
   test("lpmEnrich: most-specific block wins, no-match NULL, zero shuffles in the plan") {
     import spark.implicits._
     def ip(a: Long, b: Long, c: Long, d: Long) = (a << 24) | (b << 16) | (c << 8) | d
