@@ -3157,6 +3157,33 @@ object SparkEntry {
         .sortBy(Seq(col("key")))
     }),
 
+    "q361_rank_biased_overlap" -> ((s, dir) => {
+      // judgment-free ranking agreement per nation: do "top-10 customers
+      // by revenue" and "by order count" agree — RBO(p=0.9, depth 10) as
+      // exact pinned-weight integers; each common doc contributes one
+      // cumulative weight at max(rank_a, rank_b).
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .aggregate(
+          Seq(col("c_nationkey").as("qid"), col("o_custkey").as("doc_id")),
+          Seq(sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("rev"), count(lit(1)).as("cnt")))
+      val byRev = Window.partitionBy(col("qid"))
+        .orderBy(col("rev").desc, col("doc_id"))
+      val byCnt = Window.partitionBy(col("qid"))
+        .orderBy(col("cnt").desc, col("doc_id"))
+      val a = per.withColumn("rank", row_number().over(byRev))
+        .filterCol(col("rank") <= 10).selectCols(Seq(col("qid"),
+          col("doc_id"), col("rank")))
+      val b = per.withColumn("rank", row_number().over(byCnt))
+        .filterCol(col("rank") <= 10).selectCols(Seq(col("qid"),
+          col("doc_id"), col("rank")))
+      graft.operators.Retrieval.rankBiasedOverlap10(a, b)
+        .sortBy(Seq(col("qid")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8018,6 +8045,34 @@ object SparkEntry {
                 WHEN nd2 >= 0 THEN CAST((nd2 * 1000000) // deta AS BIGINT)
                 ELSE -CAST(((-nd2) * 1000000) // deta AS BIGINT) END AS b2_ppm
          FROM e ORDER BY key""",
+
+    // same pinned cumulative weights W(m) = sum_{d=m..10} 9^(d-1)
+    // 10^(10-d) 2520/d; join on max(rank_a, rank_b); 2520(10^10-9^10)
+    // is the identical-ranking normalizer
+    "q361_rank_biased_overlap" ->
+      """WITH per AS (SELECT c_nationkey AS qid, o_custkey AS doc,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         a AS (SELECT qid, doc, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rev DESC, doc) AS ra FROM per QUALIFY ra <= 10),
+         b AS (SELECT qid, doc, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cnt DESC, doc) AS rb FROM per QUALIFY rb <= 10),
+         w(m, wt) AS (VALUES (1, 5932493265528), (2, 3412493265528),
+           (3, 2278493265528), (4, 1598093265528), (5, 1138823265528),
+           (6, 808148865528), (7, 560143065528), (8, 368824305528),
+           (9, 218160782028), (10, 97629963228)),
+         j AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(w.wt) AS BIGINT) AS rbo_scaled
+           FROM a JOIN b ON a.qid = b.qid AND a.doc = b.doc
+           JOIN w ON w.m = GREATEST(a.ra, b.rb) GROUP BY a.qid)
+         SELECT q.qid, COALESCE(n_common, CAST(0 AS BIGINT)) AS n_common,
+           COALESCE(rbo_scaled, CAST(0 AS BIGINT)) AS rbo_scaled,
+           CAST(CAST(COALESCE(rbo_scaled, 0) AS HUGEINT) * 1000000
+             // 16413303309480 AS BIGINT) AS rbo_ppm
+         FROM (SELECT qid FROM a UNION SELECT qid FROM b) q
+         LEFT JOIN j ON q.qid = j.qid ORDER BY q.qid""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

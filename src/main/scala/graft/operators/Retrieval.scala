@@ -231,6 +231,52 @@ object Retrieval {
         "CASE WHEN n_rel = 0 THEN 0L ELSE hits_at_k * 1000000L DIV n_rel END"))
   }
 
+  /** Rank-biased overlap at depth 10 (Webber-Moffat-Zobel, p = 9/10):
+    * top-weighted agreement between two top-k rankings of the same
+    * queries — the ranking-EVALUATION complement to [[rrfFuse]] (which
+    * merges rankings) and [[evalRetrieval]] (which needs judgments; RBO
+    * needs none). Exact integers end to end: RBO·(10¹⁰·2520) is a sum of
+    * pinned per-depth weights (2520 = lcm(1..10) clears every /d), the
+    * [[Validation.benfordAudit]] pinned-constant discipline; a doc at
+    * ranks (ra, rb) joins the overlap for all depths ≥ max(ra, rb), so
+    * each common doc contributes ONE pinned cumulative weight
+    * W(max(ra, rb)) and the whole metric is a single groupBy-sum.
+    * `rbo_ppm` normalizes by the identical-ranking value
+    * 2520·(10¹⁰ − 9¹⁰).
+    *
+    * Inputs: (qid, doc_id, rank) each, rank 1-based; rows with rank > 10
+    * are ignored. Queries present in either input but sharing no docs
+    * report 0.
+    *
+    * Scale shape: one (qid, doc) equi-join of two ≤10-row-per-query
+    * frames, one partial-agg groupBy, a broadcastable weight lookup
+    * folded into `element_at` on a literal array — no windows, no
+    * per-query work.
+    */
+  def rankBiasedOverlap10(a: DataFrame, b: DataFrame): DataFrame = {
+    // W(m) = sum_{d=m..10} 9^(d-1) * 10^(10-d) * 2520 / d  (exact longs)
+    val w = Array(5932493265528L, 3412493265528L, 2278493265528L,
+      1598093265528L, 1138823265528L, 808148865528L, 560143065528L,
+      368824305528L, 218160782028L, 97629963228L)
+    val maxVal = 16413303309480L // 2520 * (10^10 - 9^10), identical rankings
+    def side(df: DataFrame, rn: String) =
+      df.select(col("qid"), col("doc_id").cast("long").alias("doc"),
+          col("rank").cast("int").alias(rn))
+        .filter(col(rn).between(1, 10))
+    val joined = side(a, "ra").join(side(b, "rb"), Seq("qid", "doc"))
+      .select(col("qid"), greatest(col("ra"), col("rb")).alias("m"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).alias("n_common"),
+        sum(element_at(typedLit(w), col("m"))).alias("rbo_scaled"))
+    val qs = side(a, "ra").select(col("qid"))
+      .union(side(b, "rb").select(col("qid"))).distinct()
+    qs.join(joined, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_common"), lit(0L)).alias("n_common"),
+        coalesce(col("rbo_scaled"), lit(0L)).alias("rbo_scaled"))
+      .withColumn("rbo_ppm", expr( // decimal: scaled * 1e6 tops 1.6e19 > int64
+        s"CAST(CAST(rbo_scaled AS DECIMAL(38,0)) * 1000000 DIV ${maxVal}L AS BIGINT)"))
+  }
+
   /** Maximal-marginal-relevance diversified selection (Carbonell &
     * Goldstein): greedily pick `k` items per query, each round taking the
     * candidate maximizing

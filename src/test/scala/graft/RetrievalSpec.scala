@@ -252,4 +252,25 @@ class RetrievalSpec extends SparkSpec {
       graft.operators.Retrieval.trigramSubstringSearch(docs, $"id", $"txt", Seq("ab")); ()
     }
   }
+  test("rankBiasedOverlap10: identical=1e6 ppm, disjoint=0, depth-weighted partial overlap") {
+    import spark.implicits._
+    def ranking(qid: String, docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => (qid, d, i + 1) }
+    val idDocs = (1L to 10L).toSeq
+    val a = (ranking("same", idDocs) ++ ranking("none", idDocs) ++
+        ranking("head", idDocs)).toDF("qid", "doc_id", "rank")
+    val b = (ranking("same", idDocs) ++ ranking("none", (101L to 110L).toSeq) ++
+        // doc 1 moves to rank 3 in B; docs 2,3 shift up; tail disjoint
+        ranking("head", Seq(2L, 3L, 1L) ++ (201L to 207L))).toDF("qid", "doc_id", "rank")
+    val got = Retrieval.rankBiasedOverlap10(a, b)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("same") == (10L, 16413303309480L, 1000000L))
+    assert(got("none") == (0L, 0L, 0L))
+    // common docs 1@(1,3), 2@(2,1), 3@(3,2): weights W(3)+W(2)+W(3)
+    val w3 = 2278493265528L; val w2 = 3412493265528L
+    val exp = w3 + w2 + w3
+    val expPpm = (BigInt(exp) * 1000000 / BigInt(16413303309480L)).toLong
+    assert(got("head") == (3L, exp, expPpm))
+  }
 }
