@@ -3184,6 +3184,27 @@ object SparkEntry {
         .sortBy(Seq(col("qid")))
     }),
 
+    "q362_ndcg" -> ((s, dir) => {
+      // graded ranking quality per user: rank events by value, grade by
+      // conversion strength (purchase 3, signup 2, click 1) — NDCG@10
+      // with pinned integer log2 discounts; IDCG from the same grade
+      // multiset sorted descending, no second shuffle.
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Window.partitionBy(col("qid")).orderBy(
+        col("value_micro").desc, col("event_id"))
+      val ranked = t(s, dir, "events").selectCols(Seq(
+          col("user_id").as("qid"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("value_micro"),
+          expr("""CASE event_type WHEN 'purchase' THEN 3
+                  WHEN 'signup' THEN 2 WHEN 'click' THEN 1
+                  ELSE 0 END""").as("grade")))
+        .withColumn("rank", row_number().over(byVal))
+        .filterCol(col("rank") <= 10)
+      graft.operators.Retrieval.ndcg10(ranked)
+        .sortBy(Seq(col("qid")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8073,6 +8094,34 @@ object SparkEntry {
              // 16413303309480 AS BIGINT) AS rbo_ppm
          FROM (SELECT qid FROM a UNION SELECT qid FROM b) q
          LEFT JOIN j ON q.qid = j.qid ORDER BY q.qid""",
+
+    // same pinned floor(1e9/log2(r+1)) discounts; IDCG re-ranks the
+    // grade multiset descending with a second ROW_NUMBER
+    "q362_ndcg" ->
+      """WITH ev AS (SELECT user_id AS qid, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm,
+             CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+               WHEN 'click' THEN 1 ELSE 0 END AS grade
+           FROM events),
+         r AS (SELECT qid, grade, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY vm DESC, event_id) AS rk FROM ev QUALIFY rk <= 10),
+         d(rk, disc) AS (VALUES (1, 1000000000), (2, 630929753),
+           (3, 500000000), (4, 430676558), (5, 386852807),
+           (6, 356207187), (7, 333333333), (8, 315464876),
+           (9, 301029995), (10, 289064826)),
+         dcg AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(grade AS BIGINT) * disc) AS BIGINT) AS dcg_scaled
+           FROM r JOIN d USING (rk) GROUP BY qid),
+         i AS (SELECT qid, grade, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY grade DESC) AS rk FROM r),
+         idcg AS (SELECT qid, CAST(SUM(CAST(grade AS BIGINT) * disc) AS BIGINT)
+             AS idcg_scaled
+           FROM i JOIN d USING (rk) GROUP BY qid)
+         SELECT qid, n, dcg_scaled, idcg_scaled,
+           CASE WHEN idcg_scaled = 0 THEN NULL
+                ELSE CAST(dcg_scaled * 1000000 // idcg_scaled AS BIGINT)
+                END AS ndcg_ppm
+         FROM dcg JOIN idcg USING (qid) ORDER BY qid""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -277,6 +277,44 @@ object Retrieval {
         s"CAST(CAST(rbo_scaled AS DECIMAL(38,0)) * 1000000 DIV ${maxVal}L AS BIGINT)"))
   }
 
+  /** NDCG at depth 10 with graded relevance — the position-discounted
+    * ranking quality metric [[evalRetrieval]]'s binary hits cannot
+    * express. Discounts floor(10⁹/log₂(r+1)) are PINNED integer
+    * constants (the [[Validation.benfordAudit]] discipline — no runtime
+    * logarithm anywhere), so DCG·10⁹ is an exact integer sum and the
+    * whole metric replays in any engine. IDCG re-weights the SAME grade
+    * multiset sorted descending — computed without a second shuffle via
+    * `sort_array(collect_list(...))` over the ≤10-row group and an
+    * index-aware transform+aggregate. ndcg_ppm NULL when every grade is
+    * 0 (quality undefined, not perfect).
+    *
+    * Input: (qid, rank, grade) with rank 1-based (rows > 10 ignored),
+    * grade a small non-negative integer. One partial-agg groupBy total.
+    */
+  def ndcg10(ranked: DataFrame): DataFrame = {
+    val d = Array(1000000000L, 630929753L, 500000000L, 430676558L,
+      386852807L, 356207187L, 333333333L, 315464876L, 301029995L,
+      289064826L)
+    ranked.select(col("qid"), col("rank").cast("int").alias("r"),
+        col("grade").cast("long").alias("g"))
+      .filter(col("r").between(1, 10))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("g") * element_at(typedLit(d), col("r")))
+          .alias("dcg_scaled"),
+        sort_array(collect_list(col("g")), asc = false).alias("gs"))
+      .withColumn("idcg_scaled", expr(
+        """aggregate(transform(gs, (g, i) ->
+             g * element_at(array(1000000000L, 630929753L, 500000000L,
+               430676558L, 386852807L, 356207187L, 333333333L,
+               315464876L, 301029995L, 289064826L), i + 1)),
+           0L, (acc, x) -> acc + x)"""))
+      .select(col("qid"), col("n"), col("dcg_scaled"), col("idcg_scaled"),
+        expr("""CASE WHEN idcg_scaled = 0 THEN NULL
+                ELSE dcg_scaled * 1000000 DIV idcg_scaled END""")
+          .alias("ndcg_ppm"))
+  }
+
   /** Maximal-marginal-relevance diversified selection (Carbonell &
     * Goldstein): greedily pick `k` items per query, each round taking the
     * candidate maximizing

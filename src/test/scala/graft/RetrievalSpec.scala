@@ -273,4 +273,20 @@ class RetrievalSpec extends SparkSpec {
     val expPpm = (BigInt(exp) * 1000000 / BigInt(16413303309480L)).toLong
     assert(got("head") == (3L, exp, expPpm))
   }
+  test("ndcg10: ideal order = 1e6, swapped head pays the log discount, all-zero NULL") {
+    import spark.implicits._
+    val ranked = Seq(
+      ("ideal", 1, 3L), ("ideal", 2, 2L), ("ideal", 3, 0L),
+      ("rev", 1, 0L), ("rev", 2, 3L),
+      ("zero", 1, 0L), ("zero", 2, 0L)
+    ).toDF("qid", "rank", "grade")
+    val got = Retrieval.ndcg10(ranked)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    // ideal: dcg = idcg = 3e9 + 2*630929753
+    assert(got("ideal") == (4261859506L, 4261859506L, Some(1000000L)))
+    // rev: dcg = 3*630929753, idcg = 3e9 -> floor ppm
+    assert(got("rev") == (1892789259L, 3000000000L, Some(630929L)))
+    assert(got("zero") == (0L, 0L, None), "all-zero grades leave NDCG undefined")
+  }
 }
