@@ -3205,6 +3205,26 @@ object SparkEntry {
         .sortBy(Seq(col("qid")))
     }),
 
+    "q363_dtw_profile_drift" -> ((s, dir) => {
+      // phase-tolerant behavior drift per user: 12-bucket (2-hour)
+      // activity profile on even vs odd days, compared by BOTH L1 and
+      // DTW — a shifted-but-same-shape profile shows high L1, low DTW.
+      // One groupBy builds both dense profiles; DTW is a row-local map.
+      val prof = t(s, dir, "events")
+        .selectCols(Seq(col("user_id").as("u"),
+          expr("CAST(hour(ts) AS INT) DIV 2").as("bkt"),
+          expr("day(ts) % 2").as("half")))
+        .groupBy(col("u"))
+        .agg(
+          array((0 until 12).map(i => sum(when(col("bkt") === i &&
+            col("half") === 0, 1L).otherwise(0L))): _*).as("a"),
+          array((0 until 12).map(i => sum(when(col("bkt") === i &&
+            col("half") === 1, 1L).otherwise(0L))): _*).as("b"))
+      graft.streaming.EventStreams.dtwDistance(
+          prof, col("u"), col("a"), col("b"))
+        .sortBy(Seq(col("u")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8122,6 +8142,59 @@ object SparkEntry {
                 ELSE CAST(dcg_scaled * 1000000 // idcg_scaled AS BIGINT)
                 END AS ndcg_ppm
          FROM dcg JOIN idcg USING (qid) ORDER BY qid""",
+
+    // DTW DP replayed cell-by-cell (row-major): the recursive state
+    // carries the last 13 dp values, so up = win[2], up-left = win[1],
+    // left = win[13]; edge rows/cols CASE around the zero init
+    "q363_dtw_profile_drift" ->
+      """WITH RECURSIVE ev AS (SELECT user_id AS u,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) // 2 AS bkt,
+             day(CAST(ts AS TIMESTAMP)) % 2 AS half
+           FROM events),
+         arr AS (SELECT u,
+             [CAST(SUM(CASE WHEN bkt = 0 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 1 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 2 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 3 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 4 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 5 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 6 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 7 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 8 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 9 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 10 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 11 AND half = 0 THEN 1 ELSE 0 END) AS BIGINT)] AS a,
+             [CAST(SUM(CASE WHEN bkt = 0 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 1 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 2 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 3 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 4 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 5 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 6 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 7 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 8 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 9 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 10 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN bkt = 11 AND half = 1 THEN 1 ELSE 0 END) AS BIGINT)] AS b
+           FROM ev GROUP BY u),
+         st(u, idx, win) AS (
+           SELECT u, 0, CAST([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+             AS BIGINT[]) FROM arr
+           UNION ALL
+           SELECT u, idx, list_slice(win, 2, 13) || [dp]
+           FROM (SELECT st.u, st.idx + 1 AS idx, st.win,
+               abs(arr.a[st.idx // 12 + 1] - arr.b[st.idx % 12 + 1])
+               + CASE WHEN st.idx // 12 = 0 AND st.idx % 12 = 0 THEN 0
+                      WHEN st.idx // 12 = 0 THEN win[13]
+                      WHEN st.idx % 12 = 0 THEN win[2]
+                      ELSE least(win[1], win[2], win[13]) END AS dp
+             FROM st JOIN arr USING (u) WHERE st.idx < 144) t),
+         fin AS (SELECT u, win[13] AS dtw FROM st WHERE idx = 144)
+         SELECT arr.u AS u,
+           CAST(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+             11, 12], x -> abs(a[x] - b[x]))) AS BIGINT) AS l1,
+           CAST(fin.dtw AS BIGINT) AS dtw
+         FROM arr JOIN fin USING (u) ORDER BY u""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -2091,6 +2091,58 @@ object EventStreams {
       .toDF()
   }
 
+  private[streaming] case class DtwRow(u: Long, l1: Long, dtw: Long)
+
+  /** Dynamic-time-warping distance between two equal-length integer
+    * series per row — the phase-shift-tolerant profile comparison: a
+    * user whose activity pattern merely SHIFTED two hours has a large
+    * L1 distance but a small DTW, so (l1, dtw) together separate
+    * "changed shape" from "changed phase" (Sakoe-Chiba's original DP,
+    * full window, |a_i − b_j| cost). Both distances exact longs.
+    *
+    * Input: (key, a ARRAY<LONG>, b ARRAY<LONG>), arrays the same
+    * bounded length n (the caller builds dense profiles; n ≤ 64
+    * enforced — the O(n²) DP is a per-ROW kernel, not a scan cost).
+    * Scale shape: a typed row-local map — NO shuffle, no state; the
+    * oracle replays the DP cell-by-cell as a systolic recursive CTE
+    * carrying the last n+1 anti-diagonal values.
+    */
+  def dtwDistance(df: DataFrame, key: Column, a: Column,
+      b: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val in = df.select(key.cast("long").alias("u"), a.alias("a"), b.alias("b"))
+      .as[(Long, Seq[Long], Seq[Long])]
+    in.map { case (u, sa, sb) =>
+      val n = sa.length
+      require(n == sb.length && n >= 1 && n <= 64,
+        s"series must be equal bounded length, got ${sa.length}/${sb.length}")
+      val av = sa.toArray; val bv = sb.toArray
+      val l1 = av.indices.map(i => math.abs(av(i) - bv(i))).sum
+      var prev = new Array[Long](n) // dp row i-1
+      var cur = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          val cost = math.abs(av(i) - bv(j))
+          val best =
+            if (i == 0 && j == 0) 0L
+            else if (i == 0) cur(j - 1)
+            else if (j == 0) prev(j)
+            else math.min(math.min(prev(j), prev(j - 1)), cur(j - 1))
+          cur(j) = cost + best
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      DtwRow(u, l1, prev(n - 1))
+    }(Encoders.product[DtwRow])
+      .toDF()
+  }
+
   private[streaming] case class LisRow(u: Long, n: Long, lis_len: Long,
       lds_len: Long)
 

@@ -1160,4 +1160,18 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == (4L, 4L, 1L))
     assert(got(3L) == (3L, 1L, 1L), "equal values extend neither direction")
   }
+  test("dtwDistance: shifted spike warps to zero, identical zero, hand DP") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0L, 5L, 0L, 0L), Seq(0L, 0L, 5L, 0L)), // shift: L1 10, DTW 0
+      (2L, Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
+      (3L, Seq(2L, 0L, 0L, 0L), Seq(0L, 1L, 0L, 0L)) // hand DP below
+    ).toDF("u", "a", "b")
+    val got = graft.streaming.EventStreams.dtwDistance(df, $"u", $"a", $"b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (10L, 0L), "pure phase shift: high L1, zero DTW")
+    assert(got(2L) == (0L, 0L))
+    // row3 DP: costs i1=[2,1,2,2] i2..4=[0,1,0,0]; best path 2+0+0+0... = 3
+    assert(got(3L) == (3L, 3L))
+  }
 }
