@@ -3225,6 +3225,25 @@ object SparkEntry {
         .sortBy(Seq(col("u")))
     }),
 
+    "q364_allen_census" -> ((s, dir) => {
+      // temporal-topology census: each user's per-type activity span
+      // [first, last event], every ordered type pair classified into
+      // Allen's 13 interval relations — one bounded per-user self-join
+      // (≤10 pairs/user), endpoint-only comparisons.
+      val iv = t(s, dir, "events").aggregate(
+        Seq(col("user_id").as("u"), col("event_type").as("ty")),
+        Seq(min(unix_micros(col("ts"))).as("st"),
+          max(unix_micros(col("ts"))).as("en")))
+      iv.alias("x").join(iv.alias("y"),
+          col("x.u") === col("y.u") && col("x.ty") < col("y.ty"))
+        .selectCols(Seq(col("x.u").as("u"),
+          graft.operators.Relational.allenRelation(col("x.st"), col("x.en"),
+            col("y.st"), col("y.en")).as("rel")))
+        .aggregate(Seq(col("rel")), Seq(count(lit(1)).as("n_pairs"),
+          countDistinct(col("u")).as("n_users")))
+        .sortBy(Seq(col("rel")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8195,6 +8214,34 @@ object SparkEntry {
              11, 12], x -> abs(a[x] - b[x]))) AS BIGINT) AS l1,
            CAST(fin.dtw AS BIGINT) AS dtw
          FROM arr JOIN fin USING (u) ORDER BY u""",
+
+    // same span construction, same classification CASE in the same
+    // order (degenerate intervals resolve by clause order)
+    "q364_allen_census" ->
+      """WITH iv AS (SELECT user_id AS u, event_type AS ty,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS st,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS en
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT x.u,
+             CASE WHEN x.st = y.st AND x.en = y.en THEN 'equals'
+                  WHEN x.en < y.st THEN 'before'
+                  WHEN y.en < x.st THEN 'after'
+                  WHEN x.en = y.st THEN 'meets'
+                  WHEN y.en = x.st THEN 'met_by'
+                  WHEN x.st < y.st AND x.en > y.st AND x.en < y.en
+                    THEN 'overlaps'
+                  WHEN y.st < x.st AND y.en > x.st AND y.en < x.en
+                    THEN 'overlapped_by'
+                  WHEN x.st = y.st AND x.en < y.en THEN 'starts'
+                  WHEN x.st = y.st AND x.en > y.en THEN 'started_by'
+                  WHEN x.st > y.st AND x.en < y.en THEN 'during'
+                  WHEN x.st < y.st AND x.en > y.en THEN 'contains'
+                  WHEN x.en = y.en AND x.st > y.st THEN 'finishes'
+                  ELSE 'finished_by' END AS rel
+           FROM iv x JOIN iv y ON x.u = y.u AND x.ty < y.ty)
+         SELECT rel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+         FROM p GROUP BY rel ORDER BY rel""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

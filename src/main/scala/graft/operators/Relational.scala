@@ -1849,6 +1849,33 @@ object Relational {
       .select(col("d"), col("v"), col("smoothed_scaled"), col("n_terms"))
   }
 
+  /** Allen's interval-algebra relation of [s1,e1] vs [s2,e2] as a
+    * column — the 13 mutually-exclusive temporal relations (Allen 1983:
+    * equals, before/after, meets/met_by, overlaps/overlapped_by,
+    * starts/started_by, during/contains, finishes/finished_by), the
+    * vocabulary interval joins (q63) flatten away. Pure endpoint
+    * comparisons, so it rides any join and replays as the same CASE in
+    * any engine. Degenerate (zero-length) intervals can satisfy two
+    * relations at once; the documented CASE order — equals, before,
+    * after, meets, met_by, overlaps, overlapped_by, starts, started_by,
+    * during, contains, finishes, finished_by — resolves them
+    * deterministically.
+    */
+  def allenRelation(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+    when(s1 === s2 && e1 === e2, "equals")
+      .when(e1 < s2, "before")
+      .when(e2 < s1, "after")
+      .when(e1 === s2, "meets")
+      .when(e2 === s1, "met_by")
+      .when(s1 < s2 && e1 > s2 && e1 < e2, "overlaps")
+      .when(s2 < s1 && e2 > s1 && e2 < e1, "overlapped_by")
+      .when(s1 === s2 && e1 < e2, "starts")
+      .when(s1 === s2 && e1 > e2, "started_by")
+      .when(s1 > s2 && e1 < e2, "during")
+      .when(s1 < s2 && e1 > e2, "contains")
+      .when(e1 === e2 && s1 > s2, "finishes")
+      .otherwise("finished_by")
+
   /** Longest-prefix-match enrichment: tag each row's IPv4 address (as an
     * unsigned 32-bit value in a BIGINT) with the owner of the most
     * specific covering CIDR block — the router's LPM rule, and the

@@ -930,6 +930,25 @@ class RelationalSpec extends SparkSpec {
       ("a", 30L, 50L, 2L, 30L), ("a", 50L, 100L, 1L, 10L),
       ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L)))
   }
+  test("allenRelation: all 13 relations, degenerate point resolves by clause order") {
+    import spark.implicits._
+    val cases = Seq(
+      ("equals", 0L, 10L, 0L, 10L), ("before", 0L, 1L, 5L, 10L),
+      ("after", 5L, 10L, 0L, 1L), ("meets", 0L, 5L, 5L, 10L),
+      ("met_by", 5L, 10L, 0L, 5L), ("overlaps", 0L, 6L, 5L, 10L),
+      ("overlapped_by", 5L, 10L, 0L, 6L), ("starts", 0L, 5L, 0L, 10L),
+      ("started_by", 0L, 10L, 0L, 5L), ("during", 3L, 5L, 0L, 10L),
+      ("contains", 0L, 10L, 3L, 5L), ("finishes", 5L, 10L, 0L, 10L),
+      ("finished_by", 0L, 10L, 5L, 10L),
+      // degenerate point at y's start: meets wins over starts by order
+      ("meets", 5L, 5L, 5L, 10L))
+    val got = cases.toDF("expect", "s1", "e1", "s2", "e2")
+      .withColumn("rel", graft.operators.Relational.allenRelation(
+        $"s1", $"e1", $"s2", $"e2"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(5),
+      s"${r.getString(0)} misclassified as ${r.getString(5)}"))
+  }
   test("olsTwo: exact planar fits, negative coefficients, singular collinear NULL") {
     import spark.implicits._
     val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
