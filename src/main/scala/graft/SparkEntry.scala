@@ -3244,6 +3244,16 @@ object SparkEntry {
         .sortBy(Seq(col("rel")))
     }),
 
+    "q365_huffman_budget" -> ((s, dir) => {
+      // compression leverage of the corpus: exact Huffman bit budget for
+      // the top-32 tokens (sum-of-merged-weights identity, no tree, no
+      // logs) vs the 5-bit fixed-width budget. Real work = one (term,
+      // count) groupBy + TakeOrdered; the greedy is a bounded 32-row fold.
+      graft.operators.Corpus.huffmanBudget(
+        t(s, dir, "documents"), graft.functions.TextFns.tokens(col("text")),
+        k = 32)
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8242,6 +8252,34 @@ object SparkEntry {
          SELECT rel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
          FROM p GROUP BY rel ORDER BY rel""",
+
+    // the same greedy as a recursive CTE: L sorted ascending, each step
+    // merges L[1]+L[2] and banks the merged weight; fixed width by the
+    // same integer ladder
+    "q365_huffman_budget" ->
+      """WITH RECURSIVE tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS term FROM documents)
+           GROUP BY term ORDER BY n DESC, term LIMIT 32),
+         init AS (SELECT list_sort(list(n)) AS L FROM tc),
+         st(step, L, acc) AS (
+           SELECT 0, L, CAST(0 AS BIGINT) FROM init
+           UNION ALL
+           SELECT step + 1,
+             list_sort(list_slice(L, 3, len(L)) || [L[1] + L[2]]),
+             acc + L[1] + L[2]
+           FROM st WHERE len(L) > 1),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_symbols,
+             CAST(SUM(n) AS BIGINT) AS total_count FROM tc)
+         SELECT n_symbols, total_count,
+           (CASE WHEN n_symbols <= 2 THEN 1 WHEN n_symbols <= 4 THEN 2
+                 WHEN n_symbols <= 8 THEN 3 WHEN n_symbols <= 16 THEN 4
+                 WHEN n_symbols <= 32 THEN 5 ELSE 6 END) * total_count
+             AS fixed_bits,
+           (SELECT CAST(acc AS BIGINT) FROM st WHERE len(L) = 1)
+             AS huffman_bits
+         FROM agg""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -353,6 +353,56 @@ object Corpus {
       .limit(k)
   }
 
+  private[operators] case class HuffRow(n_symbols: Long, total_count: Long,
+      fixed_bits: Long, huffman_bits: Long)
+
+  /** Optimal prefix-code budget over the top-k tokens — exact Huffman
+    * cost without building the tree: repeatedly merge the two smallest
+    * weights and SUM THE MERGED WEIGHTS (the classic identity: total
+    * Huffman bits = Σ internal-node weights), all integer. Reported next
+    * to the fixed-width budget ceil(log2(k))·total, so the row reads as
+    * "entropy coding would save this many bits on the token stream" —
+    * the compression-leverage probe of a corpus, with no logarithm and
+    * no floats anywhere.
+    *
+    * Scale shape: the real work is the (term, count) partial-agg groupBy
+    * and a TakeOrdered top-k (count desc, term asc — the q58 tie
+    * discipline); the greedy fold runs over k ≤ 64 rows in one bounded
+    * group. The oracle replays the SAME fold as a recursive CTE on a
+    * sorted weight list, so the greedy itself is cross-engine verified.
+    */
+  def huffmanBudget(df: DataFrame, terms: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
+    import org.apache.spark.sql.Encoders
+    val counts = heavyHitters(df, terms, k)
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    counts.groupByKey(_ => 0)(Encoders.scalaInt)
+      .mapGroups { (_, rows) =>
+        val buf = scala.collection.mutable.ArrayBuffer(
+          rows.map(_._2).toArray.sorted.toSeq: _*)
+        val total = buf.sum
+        val n = buf.size
+        var acc = 0L
+        while (buf.size > 1) {
+          val s2 = buf.remove(0) + buf.remove(0)
+          acc += s2
+          // keep sorted ascending: multiset identity with the oracle's
+          // list_sort(rest || [merged]) regardless of insertion point
+          val pos = buf.indexWhere(_ >= s2) match {
+            case -1 => buf.size
+            case i => i
+          }
+          buf.insert(pos, s2)
+        }
+        // ceil(log2(n)) as an integer ladder (n <= 64 by contract)
+        val width =
+          if (n <= 2) 1L else if (n <= 4) 2L else if (n <= 8) 3L
+          else if (n <= 16) 4L else if (n <= 32) 5L else 6L
+        HuffRow(n.toLong, total, width * total, acc)
+      }(Encoders.product[HuffRow])
+      .toDF()
+  }
+
   /** Per-document TF-IDF keyword extraction: the k terms of each document
     * with the highest tf x idf, ties broken (score desc, term asc).
     * Returns (id, term, tf, doc_freq, score, rank).

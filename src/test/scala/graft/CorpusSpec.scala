@@ -1024,4 +1024,19 @@ class CorpusSpec extends SparkSpec {
     // rounds: 1 (gain 4), 3 (gain 2), 4 (gain 1, tie 4<5), then all gains 0 -> stop
     assert(got.toSeq == Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L), (3L, 4L, 1L, 7L)))
   }
+  test("huffmanBudget: hand merge trace equals code-length optimum, width ladder") {
+    import spark.implicits._
+    // counts d:4 c:2 a:1 b:1 -> merges 1+1=2, 2+2=4, 4+4=8: cost 14
+    // = optimal code lengths (d:1, c:2, a:3, b:3) weighted: 4+4+3+3
+    val docs = Seq((1L, "d d d d c c a b")).toDF("doc_id", "text")
+    val r = graft.operators.Corpus.huffmanBudget(
+      docs, graft.functions.TextFns.tokens(col("text")), k = 32).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 8L, 16L, 14L))
+    // uniform weights hit the fixed-width bound exactly: 4 symbols x2 bits
+    val uni = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val u = graft.operators.Corpus.huffmanBudget(
+      uni, graft.functions.TextFns.tokens(col("text")), k = 4).collect().head
+    assert((u.getLong(2), u.getLong(3)) == (8L, 8L), "uniform = no entropy savings")
+  }
 }
