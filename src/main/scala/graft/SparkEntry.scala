@@ -3254,6 +3254,19 @@ object SparkEntry {
         k = 32)
     }),
 
+    "q366_isotonic_calibration" -> ((s, dir) => {
+      // monotone calibration of P(status=F) vs order-size bin: PAVA with
+      // cross-multiplied exact pooling; the oracle computes the minimax
+      // closed form max_{j<=i} min_{k>=i} avg(j..k) — an independent
+      // characterization of the same optimum (floor commutes with
+      // min/max, so ppm floors agree exactly).
+      graft.operators.Validation.isotonicCalibration(
+          t(s, dir, "orders"),
+          least(lit(19L), expr("CAST(FLOOR(o_totalprice / 30000) AS BIGINT)")),
+          col("o_orderstatus") === "F")
+        .sortBy(Seq(col("bin")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8280,6 +8293,34 @@ object SparkEntry {
            (SELECT CAST(acc AS BIGINT) FROM st WHERE len(L) = 1)
              AS huffman_bits
          FROM agg""",
+
+    // minimax closed form of the isotonic fit over present bins in
+    // order: segment means from prefix sums, inner MIN over k >= i,
+    // outer MAX over j <= i; floor-ppm commutes with both
+    "q366_isotonic_calibration" ->
+      """WITH bins AS (SELECT
+             LEAST(19, CAST(FLOOR(o_totalprice / 30000) AS BIGINT)) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         idx AS (SELECT b, n, c, ROW_NUMBER() OVER (ORDER BY b) AS i
+           FROM bins),
+         pre AS (SELECT i, SUM(c) OVER (ORDER BY i) AS cc,
+             SUM(n) OVER (ORDER BY i) AS nn FROM idx),
+         seg AS (SELECT pj.i AS j, pk.i AS k,
+             (1000000 * (pk.cc - COALESCE(p0.cc, 0)))
+               // (pk.nn - COALESCE(p0.nn, 0)) AS a
+           FROM pre pj JOIN pre pk ON pk.i >= pj.i
+           LEFT JOIN pre p0 ON p0.i = pj.i - 1),
+         fit AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_ppm FROM (
+             SELECT x.i AS i, s.j, MIN(s.a) AS mn
+             FROM idx x JOIN seg s ON s.j <= x.i AND s.k >= x.i
+             GROUP BY x.i, s.j) t GROUP BY i)
+         SELECT idx.b AS bin, idx.n, idx.c AS conv,
+           CAST((idx.c * 1000000) // idx.n AS BIGINT) AS raw_ppm,
+           fit.iso_ppm
+         FROM idx JOIN fit USING (i) ORDER BY bin""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

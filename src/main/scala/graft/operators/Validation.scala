@@ -580,6 +580,66 @@ object Validation {
       .toDF()
   }
 
+  private[graft] case class IsoRow(bin: Long, n: Long, conv: Long,
+      raw_ppm: Long, iso_ppm: Long)
+
+  /** Isotonic (monotone non-decreasing) calibration by
+    * pool-adjacent-violators — the standard score-calibration fit
+    * (Zadrozny-Elkan): per score bin, the empirical success rate is
+    * replaced by the closest non-decreasing fit in weighted least
+    * squares. Exact rationals throughout: pooling compares block means
+    * cross-multiplied (never divides), and the fitted value only becomes
+    * a floor-ppm at output. The ORACLE does not replay the stack — it
+    * computes the minimax closed form ŷ_i = max_{j≤i} min_{k≥i}
+    * avg(y_{j..k}) (floor commutes with min/max, so the ppm floors agree
+    * exactly), which verifies PAVA against an INDEPENDENT
+    * characterization of the same optimum, the strongest oracle shape
+    * available.
+    *
+    * Scale shape: the data-sized work is one (bin, count, successes)
+    * partial-agg groupBy; the PAVA fold runs over the bounded ordered
+    * bin list (≤ 4096 enforced) in one task. Returns per present bin:
+    * (bin, n, conv, raw_ppm, iso_ppm).
+    */
+  def isotonicCalibration(df: DataFrame, bin: Column,
+      success: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val agg = df.select(bin.cast("long").alias("b"),
+        success.cast("boolean").alias("s"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).alias("n"),
+        sum(when(col("s"), 1L).otherwise(0L)).alias("c"))
+      .as[(Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+    agg.groupByKey(_ => 0)(Encoders.scalaInt)
+      .flatMapGroups { (_, rows) =>
+        val bins = rows.toArray.sortInPlace()
+        require(bins.length <= 4096, s"bounded-bin contract: ${bins.length}")
+        // blocks of pooled (startIdx, sumConv, sumN)
+        val st = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        bins.zipWithIndex.foreach { case ((_, n, c), i) =>
+          st += ((i, c, n))
+          // pool while the previous block's mean >= this one's
+          // (cross-multiplied; non-strict merges equal means harmlessly)
+          while (st.size >= 2 && // BigInt: count*count can pass int64
+              BigInt(st(st.size - 2)._2) * st.last._3 >=
+                BigInt(st.last._2) * st(st.size - 2)._3) {
+            val t = st.remove(st.size - 1)
+            val p = st.remove(st.size - 1)
+            st += ((p._1, p._2 + t._2, p._3 + t._3))
+          }
+        }
+        st.iterator.flatMap { case (start, bc, bn) =>
+          val end = st.find(_._1 > start).map(_._1).getOrElse(bins.length)
+          (start until end).iterator.map { i =>
+            val (b, n, c) = bins(i)
+            IsoRow(b, n, c, c * 1000000L / n, bc * 1000000L / bn)
+          }
+        }
+      }(Encoders.product[IsoRow])
+      .toDF()
+  }
+
   /** Benford first-digit audit: the leading-digit distribution of a
     * positive numeric column against Benford's law — the classic
     * fabricated-data / aggregation-artifact screen for naturally-occurring

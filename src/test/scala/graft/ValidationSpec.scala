@@ -385,6 +385,26 @@ class ValidationSpec extends SparkSpec {
     // num2 = 2(0-4) = -8; den2 = 4*6-8 = 16 -> ARI = -1/2
     assert(v.getLong(4) == -500000L)
   }
+  test("isotonicCalibration: PAVA pools violations, preserves monotone runs") {
+    import spark.implicits._
+    // group A bins: rates 1/2, 1/4, 3/4 -> first two pool to 2/6
+    val rows =
+      (0 until 2).map(i => (0L, i == 0)) ++ // b0: 1/2
+        (0 until 4).map(i => (1L, i == 0)) ++ // b1: 1/4
+        (0 until 4).map(i => (i < 3, 2L)).map(p => (p._2, p._1)) // b2: 3/4
+    val got = Validation.isotonicCalibration(
+        rows.toDF("b", "s"), $"b", $"s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == (500000L, 333333L))
+    assert(got(1L) == (250000L, 333333L))
+    assert(got(2L) == (750000L, 750000L))
+    // strictly increasing input is a fixed point
+    val inc = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true)).toDF("b", "s")
+    val fx = Validation.isotonicCalibration(inc, $"b", $"s")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(fx == Map(0L -> 0L, 1L -> 500000L, 2L -> 1000000L))
+  }
   test("kendallConcordance: hand counts, tie conventions, invariant, brute-force equality") {
     import spark.implicits._
     val df = Seq(
