@@ -3267,6 +3267,23 @@ object SparkEntry {
         .sortBy(Seq(col("bin")))
     }),
 
+    "q367_skyline3d" -> ((s, dir) => {
+      // part value frontier in three dimensions: cheapest list price,
+      // most units sold, broadest order reach — no part on the frontier
+      // is beaten on all three. Streaming BNL local pass + broadcast
+      // anti-dominance join over candidates; oracle is NOT EXISTS.
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .aggregate(Seq(col("p_partkey").as("pk"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("price_c")),
+          Seq(sum(col("l_quantity").cast("long")).as("qty"),
+            countDistinct(col("l_orderkey")).as("ords")))
+      graft.operators.Relational.skyline3D(per, col("pk"),
+          col("price_c"), -col("qty"), -col("ords"))
+        .sortBy(Seq(col("id")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8321,6 +8338,21 @@ object SparkEntry {
            CAST((idx.c * 1000000) // idx.n AS BIGINT) AS raw_ppm,
            fit.iso_ppm
          FROM idx JOIN fit USING (i) ORDER BY bin""",
+
+    // the dominance definition verbatim as NOT EXISTS over the same
+    // per-part aggregates (y, z negated to minimize)
+    "q367_skyline3d" ->
+      """WITH per AS (SELECT p_partkey AS id,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             -CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+             -CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS z
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2)
+         SELECT id, x, y, z FROM per p
+         WHERE NOT EXISTS (SELECT 1 FROM per d
+           WHERE d.x <= p.x AND d.y <= p.y AND d.z <= p.z
+             AND (d.x < p.x OR d.y < p.y OR d.z < p.z))
+         ORDER BY id""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

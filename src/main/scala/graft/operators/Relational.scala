@@ -1849,6 +1849,59 @@ object Relational {
       .select(col("d"), col("v"), col("smoothed_scaled"), col("n_terms"))
   }
 
+  /** 3-D skyline (Pareto frontier), all-minimize convention (negate a
+    * dimension to maximize): rows not dominated in (x, y, z) —
+    * [[skyline2D]]'s two-level sort trick is 2-D-only, so the third
+    * dimension needs the real distributed algorithm. Two phases:
+    * (1) a streaming block-nested local pass per partition (Börzsönyi
+    * BNL window: keep a candidate set, drop newcomers dominated by it,
+    * evict members the newcomer dominates — memory = local skyline
+    * size, NOT partition size, and order-independent by dominance
+    * transitivity); (2) the surviving candidates — already
+    * skyline-of-their-partition — meet in one broadcast LEFT ANTI
+    * self-join on the strict-dominance predicate. Equal points dominate
+    * neither direction and co-survive, matching the NOT EXISTS oracle.
+    * Contract: the GLOBAL skyline (phase-2 broadcast side) is
+    * bounded — true for correlated dimensions in practice; the
+    * anti-dominance join is the oracle's O(n²) shape only over
+    * candidates, never the corpus.
+    */
+  def skyline3D(df: DataFrame, id: Column, x: Column, y: Column,
+      z: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val base = df.select(id.cast("long").alias("id"),
+        x.cast("long").alias("x"), y.cast("long").alias("y"),
+        z.cast("long").alias("z"))
+      .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    def dom(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4 &&
+        (a._2 < b._2 || a._3 < b._3 || a._4 < b._4)
+    val local = base.mapPartitions { it =>
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      it.foreach { r =>
+        if (!kept.exists(k => dom(k, r))) {
+          var i = 0
+          while (i < kept.size) {
+            if (dom(r, kept(i))) kept.remove(i) else i += 1
+          }
+          kept += r
+        }
+      }
+      kept.iterator
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "x", "y", "z")
+    val d = local.select(col("x").alias("dx"), col("y").alias("dy"),
+      col("z").alias("dz"))
+    local.join(broadcast(d),
+      col("dx") <= col("x") && col("dy") <= col("y") &&
+        col("dz") <= col("z") &&
+        (col("dx") < col("x") || col("dy") < col("y") ||
+          col("dz") < col("z")), "left_anti")
+  }
+
   /** Allen's interval-algebra relation of [s1,e1] vs [s2,e2] as a
     * column — the 13 mutually-exclusive temporal relations (Allen 1983:
     * equals, before/after, meets/met_by, overlaps/overlapped_by,

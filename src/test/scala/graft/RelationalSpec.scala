@@ -930,6 +930,18 @@ class RelationalSpec extends SparkSpec {
       ("a", 30L, 50L, 2L, 30L), ("a", 50L, 100L, 1L, 10L),
       ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L)))
   }
+  test("skyline3D: dominance pruning across partitions, duplicates co-survive") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1L, 5L, 5L), (2L, 2L, 6L, 6L), // 2 dominated by 1
+      (3L, 3L, 1L, 9L), (4L, 1L, 5L, 5L), // 4 duplicates 1: both stay
+      (5L, 0L, 9L, 9L), (6L, 2L, 5L, 5L) // 6 dominated by 1
+    ).toDF("id", "x", "y", "z").repartition(3)
+    val got = graft.operators.Relational.skyline3D(
+        pts, $"id", $"x", $"y", $"z")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L, 5L))
+  }
   test("allenRelation: all 13 relations, degenerate point resolves by clause order") {
     import spark.implicits._
     val cases = Seq(
