@@ -3284,6 +3284,22 @@ object SparkEntry {
         .sortBy(Seq(col("id")))
     }),
 
+    "q368_activity_selection" -> ((s, dir) => {
+      // scheduling capacity per user: events become sessions
+      // [ts, ts + value seconds]; the earliest-finish greedy (optimal)
+      // counts how many could run back-to-back without overlap —
+      // q328's union sweep measures covered TIME, this counts JOBS.
+      val iv = t(s, dir, "events").selectCols(Seq(
+        col("user_id").as("u"), col("event_id").as("i"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("en")))
+      graft.streaming.EventStreams.activitySelection(
+          iv, col("u"), col("st"), col("en"), col("i"))
+        .sortBy(Seq(col("u")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8353,6 +8369,32 @@ object SparkEntry {
            WHERE d.x <= p.x AND d.y <= p.y AND d.z <= p.z
              AND (d.x < p.x OR d.y < p.y OR d.z < p.z))
          ORDER BY id""",
+
+    // the same two-register greedy (lastEnd, count) walked over the
+    // (end, start, id)-ordered stream per user
+    "q368_activity_selection" ->
+      """WITH RECURSIVE iv AS (SELECT user_id AS u, event_id AS i,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS en
+           FROM events),
+         o AS (SELECT u, st, en, ROW_NUMBER() OVER (PARTITION BY u
+             ORDER BY en, st, i) AS r FROM iv),
+         rec(u, r, cnt, le) AS (
+           SELECT DISTINCT u, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(-4611686018427387904 AS BIGINT) FROM o
+           UNION ALL
+           SELECT rec.u, o.r,
+             CASE WHEN o.st >= rec.le THEN rec.cnt + 1 ELSE rec.cnt END,
+             CASE WHEN o.st >= rec.le THEN o.en ELSE rec.le END
+           FROM rec JOIN o ON o.u = rec.u AND o.r = rec.r + 1),
+         fin AS (SELECT u, cnt, le, ROW_NUMBER() OVER (PARTITION BY u
+             ORDER BY r DESC) AS rn FROM rec),
+         tot AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY u)
+         SELECT t.u, t.n AS n_intervals, f.cnt AS max_nonoverlap,
+           CASE WHEN f.cnt = 0 THEN 0 ELSE f.le END AS last_end
+         FROM tot t JOIN fin f ON t.u = f.u AND f.rn = 1 ORDER BY t.u""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -2091,6 +2091,44 @@ object EventStreams {
       .toDF()
   }
 
+  private[streaming] case class ActSelRow(u: Long, n_intervals: Long,
+      max_nonoverlap: Long, last_end: Long)
+
+  /** Maximum non-overlapping interval count per key — the activity-
+    * selection greedy (earliest finish first), which is provably OPTIMAL
+    * for this objective: sort by (end, start, id), take an interval iff
+    * its start >= the last taken end (touching endpoints compatible).
+    * The capacity question behind scheduling ("how many of these
+    * sessions could one resource serve") that q328's union-length sweep
+    * — total covered time — cannot answer.
+    *
+    * Bounded-key fold (the [[epsilonGreedyReplay]] discipline); the
+    * oracle replays the same two-register greedy as a recursive CTE over
+    * the end-ordered stream. Returns (key, n_intervals, max_nonoverlap,
+    * last_end) — the final accepted end is part of the verified state.
+    */
+  def activitySelection(intervals: DataFrame, key: Column, start: Column,
+      end: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = intervals.select(key.cast("long").alias("u"),
+        start.cast("long").alias("s"), end.cast("long").alias("e"),
+        id.cast("long").alias("i"))
+      .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    in.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (u, rows) =>
+        val iv = rows.map(r => (r._3, r._2, r._4)).toArray.sortInPlace()
+        var cnt = 0L
+        var lastEnd = Long.MinValue
+        iv.foreach { case (e, s, _) =>
+          if (s >= lastEnd) { cnt += 1; lastEnd = e }
+        }
+        ActSelRow(u, iv.length.toLong, cnt,
+          if (cnt == 0) 0L else lastEnd)
+      }(Encoders.product[ActSelRow])
+      .toDF()
+  }
+
   private[streaming] case class DtwRow(u: Long, l1: Long, dtw: Long)
 
   /** Dynamic-time-warping distance between two equal-length integer

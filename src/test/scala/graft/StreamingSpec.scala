@@ -1160,6 +1160,24 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == (4L, 4L, 1L))
     assert(got(3L) == (3L, 1L, 1L), "equal values extend neither direction")
   }
+  test("activitySelection: earliest-finish greedy, touching endpoints compatible") {
+    import spark.implicits._
+    // u1: [0,10],[2,3],[4,5],[5,9],[1,2]: greedy by end takes
+    // [1,2],[2,3],[4,5],[5,9] = 4; [0,10] skipped
+    val iv = Seq(
+      (1L, 0L, 10L, 1L), (1L, 2L, 3L, 2L), (1L, 4L, 5L, 3L),
+      (1L, 5L, 9L, 4L), (1L, 1L, 2L, 5L),
+      (2L, 0L, 5L, 6L), (2L, 1L, 4L, 7L), // nested: only one fits
+      (3L, 7L, 7L, 8L) // degenerate point interval
+    ).toDF("u", "s", "e", "i")
+    val got = graft.streaming.EventStreams.activitySelection(
+        iv, $"u", $"s", $"e", $"i")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (5L, 4L, 9L))
+    assert(got(2L) == (2L, 1L, 4L), "earliest FINISH wins, not earliest start")
+    assert(got(3L) == (1L, 1L, 7L))
+  }
   test("dtwDistance: shifted spike warps to zero, identical zero, hand DP") {
     import spark.implicits._
     val df = Seq(
