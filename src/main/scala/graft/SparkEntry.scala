@@ -3300,6 +3300,24 @@ object SparkEntry {
         .sortBy(Seq(col("u")))
     }),
 
+    "q369_cuped" -> ((s, dir) => {
+      // variance-reduced A/B readout: arm = user parity, Y = spend
+      // (cents) on days 16+, X = pre-period spend on days 1-15; CUPED
+      // adjusts each arm's mean by theta = Cov(X,Y)/Var(X), all exact
+      // rationals with one sign-split ppm floor at the end.
+      val per = t(s, dir, "events").aggregate(
+        Seq(col("user_id").as("u")),
+        Seq(sum(when(expr("day(ts) <= 15"),
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"))
+          .otherwise(0L)).as("x"),
+          sum(when(expr("day(ts) > 15"),
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"))
+          .otherwise(0L)).as("y")))
+      graft.operators.Validation.cupedAdjustment(
+          per, col("u") % 2, col("x"), col("y"))
+        .sortBy(Seq(col("arm")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8395,6 +8413,47 @@ object SparkEntry {
          SELECT t.u, t.n AS n_intervals, f.cnt AS max_nonoverlap,
            CASE WHEN f.cnt = 0 THEN 0 ELSE f.le END AS last_end
          FROM tot t JOIN fin f ON t.u = f.u AND f.rn = 1 ORDER BY t.u""",
+
+    // same moments in HUGEINT; theta kept as a fraction, the adjusted
+    // mean assembled as one integer fraction before the ppm floor
+    "q369_cuped" ->
+      """WITH per AS (SELECT user_id AS u,
+             CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+               THEN CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+               THEN CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY u),
+         g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+           FROM per),
+         a AS (SELECT u % 2 AS arm, CAST(COUNT(*) AS HUGEINT) AS na,
+             CAST(SUM(x) AS HUGEINT) AS sxa,
+             CAST(SUM(y) AS HUGEINT) AS sya
+           FROM per GROUP BY 1),
+         e AS (SELECT arm, na, sxa, sya, n, sx,
+             n * sxy - sx * sy AS tn, n * sxx - sx * sx AS td
+           FROM a CROSS JOIN g)
+         SELECT CAST(arm AS BIGINT) AS arm, CAST(na AS BIGINT) AS n,
+           CAST(sxa AS BIGINT) AS sum_x, CAST(sya AS BIGINT) AS sum_y,
+           CASE WHEN sya >= 0 THEN CAST((sya * 1000000) // na AS BIGINT)
+                ELSE -CAST(((-sya) * 1000000) // na AS BIGINT)
+                END AS raw_mean_ppm,
+           CASE WHEN td = 0 THEN NULL
+                WHEN sya * td * n - tn * (sxa * n - sx * na) >= 0 THEN
+                  CAST(((sya * td * n - tn * (sxa * n - sx * na)) * 1000000)
+                    // (na * td * n) AS BIGINT)
+                ELSE -CAST(((tn * (sxa * n - sx * na) - sya * td * n) * 1000000)
+                    // (na * td * n) AS BIGINT)
+                END AS adj_mean_ppm,
+           CASE WHEN td = 0 THEN NULL
+                WHEN tn >= 0 THEN CAST((tn * 1000000) // td AS BIGINT)
+                ELSE -CAST(((-tn) * 1000000) // td AS BIGINT)
+                END AS theta_ppm
+         FROM e ORDER BY arm""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -580,6 +580,59 @@ object Validation {
       .toDF()
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013):
+    * per-arm metric means adjusted by a pre-period covariate,
+    * ŷ_a = mean(Y_a) − θ·(mean(X_a) − mean(X)), with θ = Cov(X,Y)/Var(X)
+    * pooled over all units. Entirely exact rationals: θ stays the
+    * fraction (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) and the adjusted mean is
+    * assembled as ONE integer fraction
+    * (Σy_a·θD·n − θN·(Σx_a·n − Σx·n_a)) / (n_a·θD·n) before a single
+    * sign-split ppm floor — no intermediate division anywhere. NULL
+    * adjustment when Var(X) = 0 (constant covariate, CUPED undefined).
+    *
+    * Returns per arm: (arm, n, sum_x, sum_y, raw_mean_ppm,
+    * adj_mean_ppm, theta_ppm). Input units should be small-integer
+    * (cents, not micros): numerators reach n_a·θD·n·10⁶ — the q360
+    * DECIMAL(38,0) magnitude contract.
+    *
+    * Scale shape: one per-unit scan feeding TWO partial-agg groupBys
+    * (global 1-row moments, per-arm sums) joined by a 1-row broadcast.
+    */
+  def cupedAdjustment(df: DataFrame, arm: Column, x: Column,
+      y: Column): DataFrame = {
+    val d = DecimalType38
+    val base = df.select(arm.cast("long").alias("arm"),
+      x.cast("long").alias("x"), y.cast("long").alias("y"))
+    val glob = base.agg(count(lit(1)).cast(d).alias("n"),
+      sum(col("x").cast(d)).alias("sx"), sum(col("y").cast(d)).alias("sy"),
+      sum((col("x") * col("x")).cast(d)).alias("sxx"),
+      sum((col("x") * col("y")).cast(d)).alias("sxy"))
+    base.groupBy(col("arm"))
+      .agg(count(lit(1)).cast(d).alias("na"),
+        sum(col("x").cast(d)).alias("sxa"),
+        sum(col("y").cast(d)).alias("sya"))
+      .crossJoin(broadcast(glob))
+      .withColumn("tn", expr("n * sxy - sx * sy"))
+      .withColumn("td", expr("n * sxx - sx * sx"))
+      .withColumn("adjn", expr("sya * td * n - tn * (sxa * n - sx * na)"))
+      .withColumn("adjd", expr("na * td * n"))
+      .select(col("arm"), col("na").cast("long").alias("n"),
+        col("sxa").cast("long").alias("sum_x"),
+        col("sya").cast("long").alias("sum_y"),
+        expr("""CASE WHEN sya >= 0 THEN CAST((sya * 1000000) DIV na AS BIGINT)
+                ELSE -CAST(((-sya) * 1000000) DIV na AS BIGINT) END""")
+          .alias("raw_mean_ppm"),
+        expr("""CASE WHEN td = 0 THEN NULL
+                WHEN adjn >= 0 THEN CAST((adjn * 1000000) DIV adjd AS BIGINT)
+                ELSE -CAST(((-adjn) * 1000000) DIV adjd AS BIGINT) END""")
+          .alias("adj_mean_ppm"),
+        expr("""CASE WHEN td = 0 THEN NULL
+                WHEN tn >= 0 THEN CAST((tn * 1000000) DIV td AS BIGINT)
+                ELSE -CAST(((-tn) * 1000000) DIV td AS BIGINT) END""")
+          .alias("theta_ppm"))
+  }
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   private[graft] case class IsoRow(bin: Long, n: Long, conv: Long,
       raw_ppm: Long, iso_ppm: Long)
 

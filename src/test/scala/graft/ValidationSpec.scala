@@ -385,6 +385,21 @@ class ValidationSpec extends SparkSpec {
     // num2 = 2(0-4) = -8; den2 = 4*6-8 = 16 -> ARI = -1/2
     assert(v.getLong(4) == -500000L)
   }
+  test("cupedAdjustment: perfect covariate collapses the arm gap, constant-X NULL") {
+    import spark.implicits._
+    // y = 10x + 10 exactly: theta = 10, both adjusted means -> 25
+    val df = Seq((0L, 0L, 10L), (0L, 2L, 30L), (1L, 1L, 20L), (1L, 3L, 40L))
+      .toDF("arm", "x", "y")
+    val got = Validation.cupedAdjustment(df, $"arm", $"x", $"y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(0L) == (20000000L, 25000000L, 10000000L))
+    assert(got(1L) == (30000000L, 25000000L, 10000000L))
+    val const = Seq((0L, 5L, 1L), (1L, 5L, 2L)).toDF("arm", "x", "y")
+    val c = Validation.cupedAdjustment(const, $"arm", $"x", $"y").collect()
+    assert(c.forall(r => r.isNullAt(5) && r.isNullAt(6)),
+      "Var(X)=0 leaves CUPED undefined")
+  }
   test("isotonicCalibration: PAVA pools violations, preserves monotone runs") {
     import spark.implicits._
     // group A bins: rates 1/2, 1/4, 3/4 -> first two pool to 2/6
