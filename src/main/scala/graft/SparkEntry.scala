@@ -3318,6 +3318,60 @@ object SparkEntry {
         .sortBy(Seq(col("arm")))
     }),
 
+    "q370_boruvka_mst" -> ((s, dir) => {
+      // minimum spanning forest of the weighted co-purchase graph by
+      // Borůvka (per-component lightest edge, components halve per
+      // round); (w, a, b) tuple order makes the forest unique, so the
+      // Kruskal-replaying oracle must select the IDENTICAL edge set —
+      // two different algorithms, one verified answer.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .aggregate(Seq(col("x.l_partkey").as("a"),
+          col("y.l_partkey").as("b")), Seq(count(lit(1)).as("n")))
+        .selectCols(Seq(col("a"), col("b"),
+          (lit(1L) + col("n") % 7).as("w")))
+      graft.operators.Graph.boruvkaMst(e)
+        .sortBy(Seq(col("w"), col("a"), col("b")))
+    }),
+
+    "q371_concentration" -> ((s, dir) => {
+      // revenue inequality per nation: exact Gini (sorted-rank identity,
+      // tie-invariant), Herfindahl, and top-customer share — the
+      // "is this market one whale or many minnows" readout, one window
+      // + one five-sum groupBy.
+      val per = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .aggregate(Seq(col("c_nationkey").as("nk"),
+          col("o_custkey").as("ck")),
+          Seq(sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("rev")))
+      graft.operators.Relational.concentrationReport(
+          per, col("nk"), col("rev"))
+        .sortBy(Seq(col("key")))
+    }),
+
+    "q372_weighted_scheduling" -> ((s, dir) => {
+      // value-optimal session selection per user (q368 maximizes COUNT;
+      // under weights the greedy is suboptimal): classic weighted
+      // interval scheduling DP, sessions [ts, ts + value s] worth their
+      // value in micros.
+      val iv = t(s, dir, "events").selectCols(Seq(
+        col("user_id").as("u"), col("event_id").as("i"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("en"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("vm")))
+      graft.streaming.EventStreams.weightedIntervalSchedule(
+          iv, col("u"), col("st"), col("en"), col("i"), col("vm"))
+        .sortBy(Seq(col("u")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8454,6 +8508,93 @@ object SparkEntry {
                 ELSE -CAST(((-tn) * 1000000) // td AS BIGINT)
                 END AS theta_ppm
          FROM e ORDER BY arm""",
+
+    // Kruskal over the same (w, a, b)-ordered edges with a union-find
+    // label LIST in the recursive state: accept iff labels differ, then
+    // rewrite the greater label to the smaller
+    "q370_boruvka_mst" ->
+      """WITH RECURSIVE hi AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem WHERE l_quantity >= 45),
+         e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
+         e AS (SELECT a, b, CAST(1 + n % 7 AS BIGINT) AS w FROM e0),
+         nd AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS ix
+           FROM (SELECT a AS id FROM e UNION SELECT b FROM e)),
+         cnt AS (SELECT COUNT(*) AS n FROM nd),
+         eo AS (SELECT e.a, e.b, e.w, na.ix AS ia, nb.ix AS ib,
+             ROW_NUMBER() OVER (ORDER BY e.w, e.a, e.b) AS r
+           FROM e JOIN nd na ON na.id = e.a JOIN nd nb ON nb.id = e.b),
+         init AS (SELECT range(1, n + 1) AS L FROM cnt),
+         st(r, a, b, w, acc, L) AS (
+           SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE, L
+           FROM init
+           UNION ALL
+           SELECT t.r, t.a, t.b, t.w, t.la <> t.lb,
+             CASE WHEN t.la <> t.lb THEN
+               list_transform(t.L, x -> CASE
+                 WHEN x = greatest(t.la, t.lb) THEN least(t.la, t.lb)
+                 ELSE x END)
+             ELSE t.L END
+           FROM (SELECT eo.r, eo.a, eo.b, eo.w, st.L,
+               st.L[eo.ia] AS la, st.L[eo.ib] AS lb
+             FROM st JOIN eo ON eo.r = st.r + 1) t)
+         SELECT a, b, w FROM st WHERE acc ORDER BY w, a, b""",
+
+    // same rank identity in HUGEINT; ROW_NUMBER tie order is irrelevant
+    // by the tie-invariance of sum(i * x)
+    "q371_concentration" ->
+      """WITH per AS (SELECT c_nationkey AS nk, o_custkey AS ck,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         r AS (SELECT nk, rev, ROW_NUMBER() OVER (PARTITION BY nk
+             ORDER BY rev) AS rn FROM per),
+         a AS (SELECT nk AS key, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(rev) AS HUGEINT) AS sv,
+             CAST(SUM(CAST(rn AS HUGEINT) * rev) AS HUGEINT) AS siv,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS svv,
+             CAST(MAX(rev) AS HUGEINT) AS mx
+           FROM r GROUP BY 1)
+         SELECT key, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS total,
+           CASE WHEN sv = 0 THEN NULL ELSE
+             CAST(((2 * siv - (n + 1) * sv) * 1000000) // (n * sv)
+               AS BIGINT) END AS gini_ppm,
+           CASE WHEN sv = 0 THEN NULL ELSE
+             CAST((svv * 1000000) // (sv * sv) AS BIGINT) END AS hhi_ppm,
+           CASE WHEN sv = 0 THEN NULL ELSE
+             CAST((mx * 1000000) // sv AS BIGINT) END AS top1_ppm
+         FROM a ORDER BY key""",
+
+    // the DP as list state: E = processed ends (non-decreasing), D = dp
+    // table with leading 0; predecessor = count of ends <= start
+    "q372_weighted_scheduling" ->
+      """WITH RECURSIVE iv AS (SELECT user_id AS u, event_id AS i,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS en,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+           FROM events),
+         o AS (SELECT u, st, en, vm, ROW_NUMBER() OVER (PARTITION BY u
+             ORDER BY en, st, i) AS r FROM iv),
+         rec(u, r, E, D) AS (
+           SELECT DISTINCT u, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST([0] AS BIGINT[]) FROM o
+           UNION ALL
+           SELECT t.u, t.r, list_append(t.E, t.en),
+             list_append(t.D, greatest(t.D[t.r], t.vm + t.D[t.c + 1]))
+           FROM (SELECT rec.u, o.r, o.en, o.vm, rec.E, rec.D,
+               len(list_filter(rec.E, e -> e <= o.st)) AS c
+             FROM rec JOIN o ON o.u = rec.u AND o.r = rec.r + 1) t),
+         fin AS (SELECT u, D, ROW_NUMBER() OVER (PARTITION BY u
+             ORDER BY r DESC) AS rn FROM rec)
+         SELECT f.u, CAST(len(f.D) - 1 AS BIGINT) AS n_intervals,
+           CAST(f.D[len(f.D)] AS BIGINT) AS best_value
+         FROM fin f WHERE f.rn = 1 ORDER BY u""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -649,7 +649,8 @@ object Dedup {
       // propagate each node's label to its neighbors, keep the minimum
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
-        .select(col("src").alias("id"), col("comp"))
+        .select(col("src").alias("id"), col("comp"),
+          lit(false).alias("own"))
       // pointer jumping: also adopt the label OF the current label
       // (comp(comp(id)) — always defined: labels are node ids). Neighbor
       // propagation alone walks one hop per round (rounds = diameter — a
@@ -659,22 +660,25 @@ object Dedup {
       // converge immediately, and the jump's label self-join would cost
       // every round what deep chains need rarely (measured +30% on q50
       // when unconditional).
-      val withNeighbors = labels.select(col("id"), col("comp")).union(prop)
+      val withNeighbors = labels.select(col("id"), col("comp"),
+        lit(true).alias("own")).union(prop)
       val candidates =
         if (it < 2) withNeighbors
         else withNeighbors.union(
           labels.alias("x")
             .join(labels.alias("y"), col("x.comp") === col("y.id"))
-            .select(col("x.id").alias("id"), col("y.comp").alias("comp")))
+            .select(col("x.id").alias("id"), col("y.comp").alias("comp"),
+              lit(false).alias("own")))
+      // the node's OLD label rides through the same aggregate (each id has
+      // exactly one own=true row), so convergence detection is a limit-1
+      // scan over the freshly checkpointed blocks instead of a join +
+      // count job per iteration (measured ~40% of the loop's wall time)
       val next = Iterative.truncate(
-        candidates.groupBy(col("id")).agg(min(col("comp")).alias("comp")),
+        candidates.groupBy(col("id")).agg(min(col("comp")).alias("comp"),
+          max(when(col("own"), col("comp"))).alias("old")),
         checkpointDir)
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.id") === col("l.id"))
-        .filter(col("n.comp") =!= col("l.comp"))
-        .limit(1).count() > 0
-      labels = next
-      converged = !changed
+      converged = next.filter(col("comp") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       it += 1
     }
     edges.unpersist()

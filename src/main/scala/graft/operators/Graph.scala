@@ -138,6 +138,84 @@ object Graph {
     degrees(e)
   }
 
+  /** Borůvka minimum spanning forest over an undirected weighted edge
+    * list (a, b, w) — THE distributed MST algorithm (each round every
+    * component picks its lightest outgoing edge; components at least
+    * halve per round, so rounds ~ log₂ n). Weights are totally ordered
+    * by the tuple (w, a, b), which makes the forest UNIQUE — Borůvka
+    * here and Kruskal in the oracle provably select the identical edge
+    * set, so the driver check verifies the algorithm against an
+    * independent one (the q366 discipline).
+    *
+    * Scale shape per round: one edge relabel join, one per-component
+    * partial-agg `min(struct(w, a, b))` (map-side combined — the shuffle
+    * carries one candidate per component per partition), and component
+    * merging delegated to [[graft.operators.Dedup.nearDupComponents]]
+    * over the CHOSEN edges only (a pseudo-forest that shrinks
+    * geometrically); lineage truncated per round, reliable
+    * `checkpointDir` opt-in. Returns the accepted edges (a, b, w).
+    */
+  def boruvkaMst(edges: DataFrame, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // `e` lives at COMPONENT granularity: (ca, cb, w, a, b) with
+    // ca < cb the endpoint components and (w, a, b) the original edge.
+    // Per unordered component pair only the LIGHTEST edge is kept — by
+    // the cut property no other inter-pair edge can ever enter the
+    // forest, and the per-component min is unchanged by the pruning, so
+    // the edge list shrinks geometrically with the components and no
+    // node-level label table (or node-relabel join) is needed at all.
+    def contract(df: DataFrame): DataFrame = df
+      .groupBy(col("ca"), col("cb"))
+      .agg(min(struct(col("w"), col("a"), col("b"))).alias("m"))
+      .select(col("ca"), col("cb"), col("m.w").alias("w"),
+        col("m.a").alias("a"), col("m.b").alias("b"))
+    var e = Iterative.truncate(
+      contract(edges.toDF("a", "b", "w").filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).alias("ca"),
+          greatest(col("a"), col("b")).alias("cb"),
+          col("w"), col("a"), col("b"))), checkpointDir)
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    while (!e.isEmpty) {
+      require(round < maxRounds,
+        s"boruvkaMst did not converge in $maxRounds rounds")
+      // every component with any edge picks its lightest; carrying the
+      // far component in the struct makes the chosen frame double as the
+      // component-merge graph (no relabel join to recover endpoints)
+      val cand = e.select(col("ca").alias("comp"), struct(col("w"),
+          col("a"), col("b"), col("cb").alias("other")).alias("m"))
+        .union(e.select(col("cb").alias("comp"), struct(col("w"),
+          col("a"), col("b"), col("ca").alias("other")).alias("m")))
+      val chosen = Iterative.truncate(
+        cand.groupBy(col("comp")).agg(min(col("m")).alias("m")),
+        checkpointDir)
+      // distinct: a mutual-min pair of components chooses the same edge
+      accepted += chosen.select(col("m.w").alias("w"),
+        col("m.a").alias("a"), col("m.b").alias("b")).distinct()
+      // merge the chosen comp-graph (chains are possible — comp1's pick
+      // can bridge into comp2 whose pick bridges further), then contract
+      // the edge list to the merged granularity
+      val merged = graft.operators.Dedup.nearDupComponents(
+        chosen.select(col("comp").alias("id_a"),
+          col("m.other").alias("id_b")),
+        checkpointDir = checkpointDir)
+      e = Iterative.truncate(
+        contract(e
+          .join(merged.select(col("id").alias("__ca"),
+            col("component_id").alias("na")), col("ca") === col("__ca"))
+          .join(merged.select(col("id").alias("__cb"),
+            col("component_id").alias("nb")), col("cb") === col("__cb"))
+          .filter(col("na") =!= col("nb"))
+          .select(least(col("na"), col("nb")).alias("ca"),
+            greatest(col("na"), col("nb")).alias("cb"),
+            col("w"), col("a"), col("b"))), checkpointDir)
+      round += 1
+    }
+    if (accepted.isEmpty)
+      edges.toDF("a", "b", "w").select(col("a"), col("b"), col("w")).limit(0)
+    else accepted.reduce(_ union _).select(col("a"), col("b"), col("w"))
+  }
+
   /** Fixed-round synchronous label propagation over an undirected edge
     * list (id_a, id_b) — Raghavan et al.'s community detection, the
     * standard first-pass clustering of a similarity/co-occurrence graph

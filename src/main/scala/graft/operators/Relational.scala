@@ -1849,6 +1849,44 @@ object Relational {
       .select(col("d"), col("v"), col("smoothed_scaled"), col("n_terms"))
   }
 
+  /** Concentration report per group — the inequality statistics of a
+    * non-negative value column: exact Gini coefficient via the sorted
+    * rank identity G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) (tie-invariant:
+    * permuting equal values among ranks leaves Σi·x unchanged, so the
+    * window's tie order cannot leak into the result), Herfindahl index
+    * Σxᵢ²/(Σx)², and the top-1 share — all DECIMAL(38,0) rationals with
+    * one ppm floor each, NULL on an all-zero group. "How concentrated is
+    * revenue/traffic/token mass" in one partial-agg pass.
+    *
+    * Scale shape: one per-group rank window (partitioned — never
+    * global) feeding one map-side-combined groupBy of five sums.
+    */
+  def concentrationReport(df: DataFrame, key: Column,
+      value: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("v"))
+    df.select(key.alias("key"), value.cast("long").alias("v"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).cast(d).alias("n"),
+        sum(col("v").cast(d)).alias("sv"),
+        sum((col("rn") * col("v")).cast(d)).alias("siv"),
+        sum((col("v") * col("v")).cast(d)).alias("svv"),
+        max(col("v")).cast(d).alias("mx"))
+      .select(col("key"), col("n").cast("long").alias("n"),
+        col("sv").cast("long").alias("total"),
+        expr("""CASE WHEN sv = 0 THEN NULL ELSE
+                CAST(((2 * siv - (n + 1) * sv) * 1000000) DIV (n * sv)
+                  AS BIGINT) END""").alias("gini_ppm"),
+        expr("""CASE WHEN sv = 0 THEN NULL ELSE
+                CAST((svv * 1000000) DIV (sv * sv) AS BIGINT) END""")
+          .alias("hhi_ppm"),
+        expr("""CASE WHEN sv = 0 THEN NULL ELSE
+                CAST((mx * 1000000) DIV sv AS BIGINT) END""")
+          .alias("top1_ppm"))
+  }
+
   /** 3-D skyline (Pareto frontier), all-minimize convention (negate a
     * dimension to maximize): rows not dominated in (x, y, z) —
     * [[skyline2D]]'s two-level sort trick is 2-D-only, so the third

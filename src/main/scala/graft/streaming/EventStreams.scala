@@ -2129,6 +2129,52 @@ object EventStreams {
       .toDF()
   }
 
+  private[streaming] case class WisRow(u: Long, n_intervals: Long,
+      best_value: Long)
+
+  /** Weighted interval scheduling per key — the VALUE-optimal sibling of
+    * [[activitySelection]] (whose greedy maximizes the COUNT and is not
+    * optimal under weights): classic DP over end-sorted intervals,
+    * dp(i) = max(dp(i−1), vᵢ + dp(p(i))) with p(i) = the last interval
+    * finishing by start(i) (touching compatible), found by binary search
+    * over the processed end list. Exact integer values; bounded-key
+    * fold. The oracle replays the DP as a recursive CTE carrying the
+    * end list and the dp table as two BIGINT lists — the same
+    * list-state discipline as q359/q363.
+    */
+  def weightedIntervalSchedule(intervals: DataFrame, key: Column,
+      start: Column, end: Column, id: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = intervals.select(key.cast("long").alias("u"),
+        start.cast("long").alias("s"), end.cast("long").alias("e"),
+        id.cast("long").alias("i"), value.cast("long").alias("v"))
+      .as[(Long, Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong))
+    in.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (u, rows) =>
+        val iv = rows.map(r => (r._3, r._2, r._4, r._5)).toArray.sortInPlace()
+        val n = iv.length
+        val ends = new Array[Long](n)
+        val dp = new Array[Long](n + 1)
+        var i = 0
+        while (i < n) {
+          val (e, s, _, v) = iv(i)
+          // #processed intervals with end <= s (ends sorted non-decr.)
+          var lo = 0; var hi = i
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ends(mid) <= s) lo = mid + 1 else hi = mid
+          }
+          dp(i + 1) = math.max(dp(i), v + dp(lo))
+          ends(i) = e
+          i += 1
+        }
+        WisRow(u, n.toLong, dp(n))
+      }(Encoders.product[WisRow])
+      .toDF()
+  }
+
   private[streaming] case class DtwRow(u: Long, l1: Long, dtw: Long)
 
   /** Dynamic-time-warping distance between two equal-length integer

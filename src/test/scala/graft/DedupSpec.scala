@@ -292,6 +292,21 @@ class DedupSpec extends SparkSpec {
     assert(!state2.storageLevel.useMemory)
   }
 
+  test("boruvkaMst: hand MST, chain merge across a round, forest over components") {
+    import spark.implicits._
+    // component A (nodes 1-5): unique MST {12,34,23,25}; component B
+    // (nodes 11-15): a path — every comp picks rightward, the chosen
+    // comp-graph is a CHAIN, exercising the multi-hop merge
+    val e = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L), (3L, 4L, 1L),
+      (4L, 5L, 5L), (2L, 5L, 4L),
+      (11L, 12L, 10L), (12L, 13L, 20L), (13L, 14L, 30L), (14L, 15L, 40L)
+    ).toDF("a", "b", "w")
+    val got = graft.operators.Graph.boruvkaMst(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L), (2L, 5L, 4L),
+      (11L, 12L, 10L), (12L, 13L, 20L), (13L, 14L, 30L), (14L, 15L, 40L)))
+  }
   test("triangleCounts: 4-clique has 3 per node, chains none, each triangle counted once") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + chain 10-11-12 (none)
     val edges = Seq(

@@ -930,6 +930,20 @@ class RelationalSpec extends SparkSpec {
       ("a", 30L, 50L, 2L, 30L), ("a", 50L, 100L, 1L, 10L),
       ("g", 0L, 10L, 1L, 1L), ("g", 20L, 30L, 1L, 2L)))
   }
+  test("concentrationReport: hand Gini/HHI/top-share, equality zero, all-zero NULL") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L), ("b", 5L),
+      ("c", 0L), ("c", 0L), ("c", 10L), ("z", 0L), ("z", 0L))
+      .toDF("k", "v")
+    val got = graft.operators.Relational.concentrationReport(df, $"k", $"v")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got("a") == (Some(166666L), Some(375000L), Some(500000L)))
+    assert(got("b") == (Some(0L), Some(500000L), Some(500000L)), "equality: zero Gini")
+    assert(got("c") == (Some(666666L), Some(1000000L), Some(1000000L)),
+      "one whale: Gini (n-1)/n, HHI 1")
+    assert(got("z") == (None, None, None), "all-zero mass undefined")
+  }
   test("skyline3D: dominance pruning across partitions, duplicates co-survive") {
     import spark.implicits._
     val pts = Seq(

@@ -1178,6 +1178,23 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == (2L, 1L, 4L), "earliest FINISH wins, not earliest start")
     assert(got(3L) == (1L, 1L, 7L))
   }
+  test("weightedIntervalSchedule: beats the count greedy when one heavy job pays more") {
+    import spark.implicits._
+    // u1: [0,10] worth 100 vs [1,2]+[3,4] worth 5+5: DP picks 100,
+    // the count greedy would take the two small ones
+    // u2: compatible chain takes everything; touching endpoints ok
+    val iv = Seq(
+      (1L, 0L, 10L, 1L, 100L), (1L, 1L, 2L, 2L, 5L), (1L, 3L, 4L, 3L, 5L),
+      (2L, 0L, 2L, 4L, 7L), (2L, 2L, 5L, 5L, 8L), (2L, 5L, 6L, 6L, 9L),
+      (3L, 0L, 4L, 7L, 6L), (3L, 1L, 3L, 8L, 4L) // nested: best single
+    ).toDF("u", "s", "e", "i", "v")
+    val got = graft.streaming.EventStreams.weightedIntervalSchedule(
+        iv, $"u", $"s", $"e", $"i", $"v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 100L), "value beats count")
+    assert(got(2L) == (3L, 24L), "touching chain all compatible")
+    assert(got(3L) == (2L, 6L))
+  }
   test("dtwDistance: shifted spike warps to zero, identical zero, hand DP") {
     import spark.implicits._
     val df = Seq(
