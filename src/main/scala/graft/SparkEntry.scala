@@ -3372,6 +3372,78 @@ object SparkEntry {
         .sortBy(Seq(col("u")))
     }),
 
+    "q373_kaplan_meier" -> ((s, dir) => {
+      // time-to-failure survival per cohort: entry = first signup, event
+      // = first error at-or-after entry, right-censored at the global
+      // horizon; Kaplan-Meier steps as the ppm floor recurrence
+      // S <- floor(S * (n-d)/n), replayed by a recursive-CTE oracle.
+      val ev = t(s, dir, "events").selectCols(Seq(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tm")))
+      val entry = ev.filterCol(col("event_type") === "signup")
+        .aggregate(Seq(col("user_id").as("u")), Seq(min(col("tm")).as("ent")))
+      val hz = ev.aggregate(Nil, Seq(max(col("tm")).as("hz")))
+      val subj = entry
+        .join(ev.filterCol(col("event_type") === "error")
+            .selectCols(Seq(col("user_id").as("du"), col("tm").as("dts"))),
+          col("u") === col("du") && col("dts") >= col("ent"), "left")
+        .aggregate(Seq(col("u"), col("ent")), Seq(min(col("dts")).as("dt")))
+        .crossJoin(broadcast(hz))
+        .selectCols(Seq((col("u") % 3).as("g"),
+          expr("(coalesce(dt, hz) - ent) DIV 1000000").as("dur"),
+          when(col("dt").isNotNull, 1L).otherwise(0L).as("evt")))
+      graft.operators.Validation.kaplanMeier(
+          subj, col("g"), col("dur"), col("evt"))
+        .sortBy(Seq(col("g"), col("t")))
+    }),
+
+    "q374_did" -> ((s, dir) => {
+      // difference-in-differences readout per event family: treatment =
+      // user parity, post = days 16+, metric = value in micros; the
+      // causal delta as one exact rational per group.
+      val e = t(s, dir, "events").selectCols(Seq(
+        col("event_type").as("g"), (col("user_id") % 2).as("tr"),
+        when(expr("day(ts) > 15"), 1).otherwise(0).as("po"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("v")))
+      graft.operators.Validation.didReadout(
+          e, col("g"), col("tr"), col("po"), col("v"))
+        .sortBy(Seq(col("g")))
+    }),
+
+    "q375_ccf_lag" -> ((s, dir) => {
+      // does purchasing FOLLOW clicking, and by how many hours: hourly
+      // click/purchase counts cross-correlated at lags 0-6, exact signed
+      // r-squared ppm per lag.
+      val hb = t(s, dir, "events")
+        .filterCol(col("event_type").isin("click", "purchase"))
+        .aggregate(Seq(expr("unix_micros(ts) DIV 3600000000").as("hb")),
+          Seq(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y")))
+      graft.streaming.EventStreams.crossCorrelation(
+          hb, col("hb"), col("x"), col("y"), maxLag = 6)
+        .sortBy(Seq(col("lag")))
+    }),
+
+    "q376_drawdown" -> ((s, dir) => {
+      // per-user net ledger (purchases credit, errors debit, micros):
+      // running-peak drawdown report — max depth and the step where the
+      // worst trough FIRST occurs, ordered by (ts, event_id).
+      val fl = t(s, dir, "events")
+        .filterCol(col("event_type").isin("purchase", "error"))
+        .selectCols(Seq(col("user_id").as("u"),
+          unix_micros(col("ts")).as("tm"), col("event_id").as("i"),
+          when(col("event_type") === "purchase",
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .otherwise(
+              -expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .as("v")))
+      graft.streaming.EventStreams.drawdownReport(
+          fl, col("u"), Seq(col("tm"), col("i")), col("v"))
+        .sortBy(Seq(col("k")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8595,6 +8667,151 @@ object SparkEntry {
          SELECT f.u, CAST(len(f.D) - 1 AS BIGINT) AS n_intervals,
            CAST(f.D[len(f.D)] AS BIGINT) AS best_value
          FROM fin f WHERE f.rn = 1 ORDER BY u""",
+
+    // same ppm floor recurrence as a recursive CTE over rank-ordered
+    // (group, time) steps; n_risk = suffix sum including the current row
+    "q373_kaplan_meier" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+         entry AS (SELECT user_id AS u, MIN(tm) AS ent FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         subj AS (SELECT e.u, e.ent, MIN(d.tm) AS dt
+           FROM entry e LEFT JOIN ev d ON d.user_id = e.u
+             AND d.event_type = 'error' AND d.tm >= e.ent
+           GROUP BY 1, 2),
+         base AS (SELECT u % 3 AS g,
+             (COALESCE(dt, (SELECT MAX(tm) FROM ev)) - ent) // 1000000
+               AS dur,
+             CASE WHEN dt IS NOT NULL THEN 1 ELSE 0 END AS ev FROM subj),
+         agg AS (SELECT g, dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS m FROM base GROUP BY 1, 2),
+         o AS (SELECT g, dur, d,
+             CAST(SUM(m) OVER (PARTITION BY g ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS nr,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY dur) AS rn
+           FROM agg),
+         rec(g, rn, surv) AS (
+           SELECT g, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+           FROM (SELECT DISTINCT g FROM o)
+           UNION ALL
+           SELECT o.g, o.rn, CASE WHEN o.d = 0 THEN rec.surv
+             ELSE (rec.surv * (o.nr - o.d)) // o.nr END
+           FROM rec JOIN o ON o.g = rec.g AND o.rn = rec.rn + 1)
+         SELECT o.g, o.dur AS t, o.nr AS n_risk, o.d, rec.surv AS surv_ppm
+         FROM rec JOIN o ON o.g = rec.g AND o.rn = rec.rn
+         WHERE o.d > 0 ORDER BY o.g, t""",
+
+    // four conditional (sum,count) cells, common-denominator rational in
+    // HUGEINT, one sign-split ppm floor
+    "q374_did" ->
+      """WITH b AS (SELECT event_type AS g, user_id % 2 AS tr,
+             CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END
+               AS po,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         c AS (SELECT g,
+             CAST(SUM(CASE WHEN tr = 1 AND po = 1 THEN v ELSE 0 END)
+               AS HUGEINT) AS s11,
+             CAST(SUM(CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS n11,
+             CAST(SUM(CASE WHEN tr = 1 AND po = 0 THEN v ELSE 0 END)
+               AS HUGEINT) AS s10,
+             CAST(SUM(CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS n10,
+             CAST(SUM(CASE WHEN tr = 0 AND po = 1 THEN v ELSE 0 END)
+               AS HUGEINT) AS s01,
+             CAST(SUM(CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS n01,
+             CAST(SUM(CASE WHEN tr = 0 AND po = 0 THEN v ELSE 0 END)
+               AS HUGEINT) AS s00,
+             CAST(SUM(CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS n00
+           FROM b GROUP BY 1),
+         r AS (SELECT *,
+             s11 * n10 * n01 * n00 - s10 * n11 * n01 * n00
+               - s01 * n11 * n10 * n00 + s00 * n11 * n10 * n01 AS num,
+             n11 * n10 * n01 * n00 AS den FROM c)
+         SELECT g, CAST(n11 AS BIGINT) AS n_treat_post,
+           CAST(n10 AS BIGINT) AS n_treat_pre,
+           CAST(n01 AS BIGINT) AS n_ctrl_post,
+           CAST(n00 AS BIGINT) AS n_ctrl_pre,
+           CASE WHEN n11 = 0 THEN NULL WHEN s11 >= 0 THEN
+             CAST((s11 * 1000000) // n11 AS BIGINT)
+             ELSE -CAST(((-s11) * 1000000) // n11 AS BIGINT) END
+             AS m_treat_post_ppm,
+           CASE WHEN n10 = 0 THEN NULL WHEN s10 >= 0 THEN
+             CAST((s10 * 1000000) // n10 AS BIGINT)
+             ELSE -CAST(((-s10) * 1000000) // n10 AS BIGINT) END
+             AS m_treat_pre_ppm,
+           CASE WHEN n01 = 0 THEN NULL WHEN s01 >= 0 THEN
+             CAST((s01 * 1000000) // n01 AS BIGINT)
+             ELSE -CAST(((-s01) * 1000000) // n01 AS BIGINT) END
+             AS m_ctrl_post_ppm,
+           CASE WHEN n00 = 0 THEN NULL WHEN s00 >= 0 THEN
+             CAST((s00 * 1000000) // n00 AS BIGINT)
+             ELSE -CAST(((-s00) * 1000000) // n00 AS BIGINT) END
+             AS m_ctrl_pre_ppm,
+           CASE WHEN den = 0 THEN NULL WHEN num >= 0 THEN
+             CAST((num * 1000000) // den AS BIGINT)
+             ELSE -CAST(((-num) * 1000000) // den AS BIGINT) END AS did_ppm
+         FROM r ORDER BY g""",
+
+    // lag grid via range(), shifted equi-join, HUGEINT sufficient stats
+    "q375_ccf_lag" ->
+      """WITH hb AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+             AS hb,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, 7)),
+         j AS (SELECT l.lag, a.x, b.y FROM l
+           JOIN hb a ON TRUE JOIN hb b ON b.hb = a.hb + l.lag),
+         st AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+           FROM j GROUP BY 1),
+         f AS (SELECT lag, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM st)
+         SELECT lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN dx = 0 OR dy = 0 THEN NULL
+             WHEN num >= 0 THEN
+               CAST((num * num * 1000000) // (dx * dy) AS BIGINT)
+             ELSE -CAST((num * num * 1000000) // (dx * dy) AS BIGINT) END
+             AS r2_signed_ppm
+         FROM f ORDER BY lag""",
+
+    // same running-peak windows; first-step tie via MIN over rn where
+    // dd equals the group max (computed as a second window)
+    "q376_drawdown" ->
+      """WITH fl AS (SELECT user_id AS u,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id AS i,
+             CASE WHEN event_type = 'purchase' THEN
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             ELSE -CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             END AS v
+           FROM events WHERE event_type IN ('purchase', 'error')),
+         w AS (SELECT u, v,
+             CAST(SUM(v) OVER (PARTITION BY u ORDER BY tm, i
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY tm, i) AS rn
+           FROM fl),
+         w2 AS (SELECT u, v, cum, rn,
+             CAST(MAX(cum) OVER (PARTITION BY u ORDER BY rn
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak FROM w),
+         w3 AS (SELECT u, v, cum, rn, peak, peak - cum AS dd,
+             MAX(peak - cum) OVER (PARTITION BY u) AS mx FROM w2)
+         SELECT u AS k, CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(v) AS BIGINT) AS final_cum,
+           CAST(MAX(peak) AS BIGINT) AS peak,
+           CAST(MAX(dd) AS BIGINT) AS max_dd,
+           CAST(MIN(CASE WHEN dd = mx THEN rn END) AS BIGINT) AS dd_step
+         FROM w3 GROUP BY u ORDER BY k""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -1172,4 +1172,107 @@ object Validation {
              WHEN num2 >= 0 THEN (num2 * 1000000) DIV den2
              ELSE -((-num2 * 1000000) DIV den2) END AS BIGINT) AS ari_ppm""")
   }
+
+  private[operators] case class KmRow(g: Long, t: Long, n_risk: Long,
+      d: Long, surv_ppm: Long)
+
+  /** Kaplan–Meier survival curve per group over right-censored durations —
+    * the standard nonparametric time-to-event estimator (churn, failure,
+    * time-to-conversion). Input: one row per subject with its duration and
+    * an event flag (1 = event observed, 0 = censored at that duration).
+    * Output: one row per (group, event time) with the at-risk count, the
+    * death count, and the survival probability as an INTEGER ppm floor
+    * recurrence
+    *
+    *   S(tᵢ) = ⌊S(tᵢ₋₁) · (nᵢ − dᵢ) / nᵢ⌋,  S(0) = 10⁶
+    *
+    * — the same deterministic-sequential-fold contract as the engine's
+    * other recurrences (each step loses < 1 ppm; cross-engine replay is
+    * bit-exact where a float cumprod would drift). The usual convention:
+    * deaths at t precede censorings at t (both count as at-risk at t);
+    * censor-only times emit no curve row but still shrink the risk set.
+    *
+    * Scale shape: subjects are first reduced to one row per (group,
+    * distinct duration) by a partial-agg groupBy — the sequential fold
+    * sees the aggregated step list (bounded by distinct event times per
+    * group), never the subjects.
+    */
+  def kaplanMeier(df: DataFrame, group: Column, duration: Column,
+      event: Column): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val steps = df.select(group.cast("long").alias("g"),
+        duration.cast("long").alias("t"), event.cast("long").alias("ev"))
+      .groupBy(col("g"), col("t"))
+      .agg(sum(col("ev")).alias("d"), count(lit(1)).alias("m"))
+      .select(col("g"), col("t"), col("d"), col("m"))
+      .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    steps.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroups { (g, rows) =>
+        val a = rows.map(r => (r._2, r._3, r._4)).toArray.sortInPlace()
+        var atRisk = 0L
+        a.foreach(s => atRisk += s._3)
+        var surv = 1000000L
+        val out = Array.newBuilder[KmRow]
+        a.foreach { case (t, d, m) =>
+          if (d > 0) {
+            surv = surv * (atRisk - d) / atRisk // surv*n <= 1e6*n: long-safe
+            out += KmRow(g, t, atRisk, d, surv)
+          }
+          atRisk -= m
+        }
+        out.result().iterator
+      }(Encoders.product[KmRow])
+      .toDF()
+  }
+
+  /** Difference-in-differences readout per group: four conditional
+    * (sum, count) pairs in ONE partial-agg pass, then
+    *
+    *   DiD = (m̄ treat,post − m̄ treat,pre) − (m̄ ctrl,post − m̄ ctrl,pre)
+    *
+    * as an exact DECIMAL(38,0) rational over the common denominator
+    * n₁₁n₁₀n₀₁n₀₀ with a single sign-split ppm floor (the [[cupedAdjustment]]
+    * contract); NULL when any cell is empty. Magnitude: |Σv|·n³·10⁶ must fit
+    * 38 digits — micros-scaled metrics and ≤10⁹-row cells leave headroom.
+    *
+    * `treat` and `post` are 0/1 indicator columns; `value` an integer
+    * metric (scale currency/floats to micros first).
+    */
+  def didReadout(df: DataFrame, group: Column, treat: Column, post: Column,
+      value: Column): DataFrame = {
+    val d = DecimalType38
+    val base = df.select(group.alias("g"), treat.cast("int").alias("tr"),
+      post.cast("int").alias("po"), value.cast("long").alias("v"))
+    def s(t: Int, p: Int): Column =
+      sum(when(col("tr") === t && col("po") === p, col("v")).otherwise(0L))
+        .cast(d).alias(s"s$t$p")
+    def n(t: Int, p: Int): Column =
+      sum(when(col("tr") === t && col("po") === p, 1L).otherwise(0L))
+        .cast(d).alias(s"n$t$p")
+    def meanPpm(sc: String, nc: String): Column = expr(
+      s"""CASE WHEN $nc = 0 THEN NULL
+          WHEN $sc >= 0 THEN CAST(($sc * 1000000) DIV $nc AS BIGINT)
+          ELSE -CAST(((-$sc) * 1000000) DIV $nc AS BIGINT) END""")
+    base.groupBy(col("g"))
+      .agg(s(1, 1), n(1, 1), s(1, 0), n(1, 0),
+        s(0, 1), n(0, 1), s(0, 0), n(0, 0))
+      .withColumn("num", expr(
+        "s11 * n10 * n01 * n00 - s10 * n11 * n01 * n00" +
+          " - s01 * n11 * n10 * n00 + s00 * n11 * n10 * n01"))
+      .withColumn("den", expr("n11 * n10 * n01 * n00"))
+      .select(col("g"),
+        col("n11").cast("long").alias("n_treat_post"),
+        col("n10").cast("long").alias("n_treat_pre"),
+        col("n01").cast("long").alias("n_ctrl_post"),
+        col("n00").cast("long").alias("n_ctrl_pre"),
+        meanPpm("s11", "n11").alias("m_treat_post_ppm"),
+        meanPpm("s10", "n10").alias("m_treat_pre_ppm"),
+        meanPpm("s01", "n01").alias("m_ctrl_post_ppm"),
+        meanPpm("s00", "n00").alias("m_ctrl_pre_ppm"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT)
+                ELSE -CAST(((-num) * 1000000) DIV den AS BIGINT) END""")
+          .alias("did_ppm"))
+  }
 }

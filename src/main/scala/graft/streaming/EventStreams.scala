@@ -2556,4 +2556,82 @@ object EventStreams {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Cross-correlation function between two aligned integer series at lags
+    * 0..maxLag — "does y follow x, and by how much?" (conversion lag, cache
+    * warm-up, leading indicators). Input: one row per time bucket with both
+    * series' values; for each lag the pairs are (x_t, y_{t+lag}) over the
+    * buckets where both exist. Pearson r is irrational, so the output is
+    * the EXACT signed r² in ppm: with num = nΣxy−ΣxΣy, dx = nΣx²−(Σx)²,
+    * dy = nΣy²−(Σy)², r2_signed_ppm = sign(num)·⌊num²·10⁶/(dx·dy)⌋ —
+    * DECIMAL(38,0) sufficient statistics, one floor, NULL on a constant
+    * side. Magnitude: num²·10⁶ must fit 38 digits (|num| ≲ 10¹⁵ — counts
+    * and micros-scaled bucket sums leave headroom).
+    *
+    * Scale shape: the x side is exploded (maxLag+1)× and equi-joined on
+    * the shifted bucket key — a bounded fan-out feeding one partial-agg
+    * groupBy per lag; no window, no driver state.
+    */
+  def crossCorrelation(df: DataFrame, time: Column, x: Column, y: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(time.cast("long").alias("tt"),
+      x.cast("long").alias("x"), y.cast("long").alias("y"))
+    val a = base.select(col("tt"), col("x"))
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+    val b = base.select(col("tt").alias("tb"), col("y"))
+    a.join(b, col("tb") === col("tt") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast(d).alias("n"),
+        sum(col("x").cast(d)).alias("sx"), sum(col("y").cast(d)).alias("sy"),
+        sum((col("x") * col("y")).cast(d)).alias("sxy"),
+        sum((col("x") * col("x")).cast(d)).alias("sxx"),
+        sum((col("y") * col("y")).cast(d)).alias("syy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("dx", expr("n * sxx - sx * sx"))
+      .withColumn("dy", expr("n * syy - sy * sy"))
+      .select(col("lag").cast("long").alias("lag"),
+        col("n").cast("long").alias("n"),
+        expr("""CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                WHEN num >= 0 THEN CAST((num * num * 1000000) DIV (dx * dy) AS BIGINT)
+                ELSE -CAST((num * num * 1000000) DIV (dx * dy) AS BIGINT) END""")
+          .alias("r2_signed_ppm"))
+  }
+
+  /** Per-key maximum-drawdown report over an integer flow ordered by
+    * `order` (which must be a TOTAL order within each key — pass a
+    * tie-broken composite): cum = running sum of `value`, peak = running
+    * max of cum, drawdown = peak − cum. Returns one row per key with the
+    * step count, final cumulative value, all-time peak, the maximum
+    * drawdown, and the 1-based step at which it is FIRST attained
+    * (min(struct(−dd, rn)) — argmax with deterministic earliest-step
+    * ties, resolved inside the aggregate, not by scan order).
+    *
+    * Scale shape: one partitioned running-sum window (never global) and
+    * one partial-agg groupBy; exact integers end to end.
+    */
+  def drawdownReport(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column): DataFrame = {
+    // order expressions are aliased into the projection so arbitrary
+    // expressions (not just attributes) survive the select for the window
+    val oc = order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(oc.indices.map(i => col(s"__o$i")): _*)
+    val cum = df.select((Seq(key.alias("k"),
+        value.cast("long").alias("v")) ++ oc): _*)
+      .withColumn("cum", sum(col("v")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("dd", col("peak") - col("cum"))
+    cum.groupBy(col("k"))
+      .agg(count(lit(1)).alias("n_steps"),
+        sum(col("v")).alias("final_cum"),
+        max(col("peak")).alias("peak"),
+        min(struct(negate(col("dd")).alias("ndd"),
+          col("rn").alias("rn"))).alias("m"))
+      .select(col("k"), col("n_steps"), col("final_cum"), col("peak"),
+        negate(col("m").getField("ndd")).alias("max_dd"),
+        col("m").getField("rn").alias("dd_step"))
+  }
 }

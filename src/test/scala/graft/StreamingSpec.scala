@@ -1195,6 +1195,43 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == (3L, 24L), "touching chain all compatible")
     assert(got(3L) == (2L, 6L))
   }
+  test("crossCorrelation: shifted copy peaks at its lag, inversion negative, constant NULL") {
+    import spark.implicits._
+    // y_{t+1} = x_t exactly: lag 1 is a perfect linear fit
+    val df = Seq(
+      (0L, 2L, 99L), (1L, 4L, 2L), (2L, 6L, 4L), (3L, 8L, 6L), (4L, 1L, 8L)
+    ).toDF("t", "x", "y")
+    val got = graft.streaming.EventStreams.crossCorrelation(
+        df, $"t", $"x", $"y", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L) == (4L, Some(1000000L)), "exact linear fit at lag 1")
+    assert(got(0L)._1 == 5L && got(0L)._2.get < 1000000L)
+    val inv = Seq((0L, 1L, 5L), (1L, 2L, 3L), (2L, 3L, 1L)).toDF("t", "x", "y")
+    val gi = graft.streaming.EventStreams.crossCorrelation(
+      inv, $"t", $"x", $"y", 0).collect().head
+    assert(gi.getLong(2) == -1000000L, "y = -2x + 7: signed r2 is -1")
+    val const = Seq((0L, 1L, 7L), (1L, 2L, 7L)).toDF("t", "x", "y")
+    assert(graft.streaming.EventStreams.crossCorrelation(
+      const, $"t", $"x", $"y", 0).collect().head.isNullAt(2))
+  }
+
+  test("drawdownReport: running peak minus trough, first-step ties") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, -4L), ("a", 3L, -3L), ("a", 4L, 8L),
+      ("a", 5L, -15L),
+      ("b", 1L, 5L), ("b", 2L, -2L), ("b", 3L, 2L), ("b", 4L, -2L)
+    ).toDF("k", "step", "v")
+    val got = graft.streaming.EventStreams.drawdownReport(
+        df, $"k", Seq($"step"), $"v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("a") == (5L, -4L, 11L, 15L, 5L))
+    assert(got("b") == (4L, 3L, 5L, 2L, 2L), "tie resolved to FIRST step")
+  }
+
   test("dtwDistance: shifted spike warps to zero, identical zero, hand DP") {
     import spark.implicits._
     val df = Seq(

@@ -461,4 +461,34 @@ class ValidationSpec extends SparkSpec {
     assert(fast.getLong(6) == cnt((p, q) => p._2 == q._2))
     assert(fast.getLong(7) == cnt((p, q) => p._1 == q._1 && p._2 == q._2))
   }
+
+  test("kaplanMeier: hand curve, censor-only times shrink risk set silently") {
+    val subj = Seq(
+      (0L, 5L, 1L), (0L, 5L, 1L), (0L, 8L, 0L), (0L, 10L, 1L), (0L, 12L, 0L),
+      (1L, 3L, 0L), (1L, 7L, 0L), // all censored: no curve rows
+      (2L, 3L, 1L)                // single death: survival drops to 0
+    ).toDF("g", "dur", "ev")
+    val got = Validation.kaplanMeier(subj, $"g", $"dur", $"ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 3)
+    assert(got((0L, 5L)) == (5L, 2L, 600000L), "2 of 5 die at t=5")
+    assert(got((0L, 10L)) == (2L, 1L, 300000L),
+      "t=8 censor row emits nothing but removes one at-risk subject")
+    assert(got((2L, 3L)) == (1L, 1L, 0L))
+  }
+
+  test("didReadout: hand parallel-trends delta, empty cell NULLs") {
+    val rows = Seq(
+      ("a", 1, 1, 10L), ("a", 1, 1, 20L), ("a", 1, 0, 5L),
+      ("a", 0, 1, 4L), ("a", 0, 0, 2L),
+      ("e", 1, 1, 9L), ("e", 0, 1, 3L), ("e", 0, 0, 1L) // no treat-pre cell
+    ).toDF("g", "tr", "po", "v")
+    val got = Validation.didReadout(rows, $"g", $"tr", $"po", $"v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(5) == 15000000L && a.getLong(6) == 5000000L)
+    assert(a.getLong(9) == 8000000L, "(15-5)-(4-2) = 8")
+    assert(got("e").isNullAt(9) && got("e").isNullAt(6), "empty cell => NULL")
+  }
 }
