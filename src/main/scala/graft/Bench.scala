@@ -36,13 +36,21 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q33_minhash_lsh,q37_emb_pairs).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_PREFIX")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected0 = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val selected = prefixes.fold(selected0)(ps =>
+      selected0.filter(kv => ps.exists(kv._1.startsWith)))
     // Failures are caught per-query so one bad query can't kill the run —
     // but they must be machine-visible, not just stderr noise: a failed
     // query's "time" is a fast no-op and silently flatters the total
     // (this hid a guard bug for a full round). Collected into the JSON.
     val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // progress marker: when a query wedges (e.g. a driver-side planning
+      // blowup), the LAST start line names the culprit — without it a
+      // silent 45-minute hang is undiagnosable
+      System.err.println(s"[bench] start $name")
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -45,7 +45,12 @@ object ExplainAudit {
         // components, greedy coverage anti-join, geofence containment
         "q332_point_in_polygon", "q333_edit_distance_pairs",
         "q334_dag_critical_path", "q335_theil_sen",
-        "q337_grid_density_clusters", "q342_greedy_max_coverage")
+        "q337_grid_density_clusters", "q342_greedy_max_coverage",
+        // round-6 cost leaders: 15-hop parity BFS + CC (the stats-
+        // propagation wedge regression query), component-contracted MST,
+        // and the new rank/bucket + sequential-fold morphologies
+        "q349_bipartite_check", "q370_boruvka_mst", "q377_uplift_qini",
+        "q381_seq_patterns", "q386_corr_matrix")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

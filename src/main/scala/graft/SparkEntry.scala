@@ -3444,6 +3444,238 @@ object SparkEntry {
         .sortBy(Seq(col("k")))
     }),
 
+    "q377_uplift_qini" -> ((s, dir) => {
+      // uplift evaluation: users ranked by pre-period click count,
+      // treatment = parity, outcome = post-period purchases; per-decile
+      // uplift and the cumulative Qini curve as exact rationals.
+      val per = t(s, dir, "events").aggregate(
+        Seq(col("user_id").as("u")),
+        Seq(sum(when(expr("day(ts) <= 15") &&
+            col("event_type") === "click", 1L).otherwise(0L)).as("sc"),
+          sum(when(expr("day(ts) > 15") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("oc")))
+      graft.operators.Validation.upliftDeciles(
+          per, col("sc"), col("u"), col("u") % 2, col("oc"), buckets = 10)
+        .sortBy(Seq(col("bucket")))
+    }),
+
+    "q378_seasonal_decompose" -> ((s, dir) => {
+      // weekly-seasonal additive decomposition of daily revenue (micros)
+      // per event family: centered 7-day integer moving-average trend,
+      // phase means sign-split, residual exact.
+      val daily = t(s, dir, "events").aggregate(
+        Seq(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 86400000000").as("d")),
+        Seq(sum(expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("v")))
+      graft.streaming.EventStreams.seasonalDecompose(
+          daily, col("k"), col("d"), col("v"), period = 7)
+        .sortBy(Seq(col("k"), col("t")))
+    }),
+
+    "q379_runs_test" -> ((s, dir) => {
+      // is the per-event value sequence random around its median: runs
+      // count vs the Wald-Wolfowitz expectation, exact ppm.
+      val e = t(s, dir, "events").selectCols(Seq(
+        col("event_type").as("k"), unix_micros(col("ts")).as("tm"),
+        col("event_id").as("i"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("v")))
+      graft.streaming.EventStreams.runsTest(
+          e, col("k"), Seq(col("tm"), col("i")), col("v"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q380_pettitt" -> ((s, dir) => {
+      // nonparametric single-changepoint scan over daily revenue per
+      // event family: doubled-midrank Pettitt statistic, first argmax.
+      val daily = t(s, dir, "events").aggregate(
+        Seq(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 86400000000").as("d")),
+        Seq(sum(expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("v")))
+      graft.streaming.EventStreams.pettittChangepoint(
+          daily, col("k"), Seq(col("d")), col("v"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q381_seq_patterns" -> ((s, dir) => {
+      // GSP-style sequential-pattern mining: which ordered event-type
+      // triples do users actually traverse — exact support via the
+      // first/last-extremes identity, no triple self-join.
+      val ev = t(s, dir, "events").selectCols(Seq(col("user_id").as("u"),
+        col("event_type").as("ty"), unix_micros(col("ts")).as("tm")))
+      graft.streaming.EventStreams.seqPatternSupport(
+          ev, col("u"), col("ty"), col("tm"))
+        .sortBy(Seq(col("a"), col("b"), col("c")))
+    }),
+
+    "q382_cvm" -> ((s, dir) => {
+      // whole-distribution drift check per user cohort: click vs view
+      // value distributions under the two-sample Cramer-von Mises
+      // statistic, doubled midranks, exact ppm.
+      val e = t(s, dir, "events")
+        .filterCol(col("event_type").isin("click", "view"))
+        .selectCols(Seq((col("user_id") % 2).as("k"),
+          when(col("event_type") === "view", 1).otherwise(0).as("s"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("v")))
+      graft.operators.Validation.cramerVonMises(
+          e, col("k"), col("s"), col("v"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q383_mcnemar" -> ((s, dir) => {
+      // did the SAME users purchase differently before vs after mid-
+      // month: McNemar discordant-pair statistic per cohort.
+      val per = t(s, dir, "events").aggregate(
+        Seq(col("user_id").as("u")),
+        Seq(max(when(expr("day(ts) <= 15") &&
+            col("event_type") === "purchase", 1).otherwise(0)).as("p0"),
+          max(when(expr("day(ts) > 15") &&
+            col("event_type") === "purchase", 1).otherwise(0)).as("p1")))
+      graft.operators.Validation.mcnemarReadout(
+          per, col("u") % 3, col("p0"), col("p1"))
+        .sortBy(Seq(col("g")))
+    }),
+
+    "q384_spearman" -> ((s, dir) => {
+      // monotone association between event value and time per event
+      // family: Spearman over doubled midranks, signed rho-squared ppm.
+      val e = t(s, dir, "events").selectCols(Seq(
+        col("event_type").as("k"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("x"),
+        unix_micros(col("ts")).as("y")))
+      graft.operators.Validation.spearmanReport(
+          e, col("k"), col("x"), col("y"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q385_pr_curve" -> ((s, dir) => {
+      // operating-point sweep for the q377 ranking used as a converter
+      // classifier: precision/recall/F1 at each score-decile threshold,
+      // exact ppm.
+      val per = t(s, dir, "events").aggregate(
+        Seq(col("user_id").as("u")),
+        Seq(sum(when(expr("day(ts) <= 15") &&
+            col("event_type") === "click", 1L).otherwise(0L)).as("sc"),
+          max(when(expr("day(ts) > 15") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y")))
+      graft.operators.Validation.prCurveDeciles(
+          per, col("sc"), col("u"), col("y"), buckets = 10)
+        .sortBy(Seq(col("bucket")))
+    }),
+
+    "q386_corr_matrix" -> ((s, dir) => {
+      // all-pairs association screen over four small-integer lineitem
+      // variables from ONE scan: 15 sufficient statistics, 6 pair rows
+      // exploded from the single aggregate.
+      graft.operators.Relational.corrMatrix(t(s, dir, "lineitem"), Seq(
+          "qty" -> col("l_quantity").cast("long"),
+          "disc_pct" ->
+            expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+          "tax_pct" ->
+            expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+          "ship_day" -> dayofmonth(col("l_shipdate"))))
+        .sortBy(Seq(col("var_a"), col("var_b")))
+    }),
+
+    "q387_holt_winters" -> ((s, dir) => {
+      // weekly-seasonal exponential smoothing of daily revenue per event
+      // family: additive Holt-Winters, ppm weights, truncated integer
+      // steps, 3-day-ahead forecasts; recursive-CTE oracle carries the
+      // seasonal circular queue as a BIGINT list.
+      val daily = t(s, dir, "events").aggregate(
+        Seq(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 86400000000").as("d")),
+        Seq(sum(expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("v")))
+      graft.streaming.EventStreams.holtWinters(
+          daily, col("k"), col("d"), col("v"), period = 7,
+          alphaPpm = 300000L, betaPpm = 100000L, gammaPpm = 200000L)
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q388_cdc_apply" -> ((s, dir) => {
+      // materialize the current user table from the event log read as a
+      // CDC changelog: signup inserts, interactions upsert, errors
+      // delete, later activity resurrects — last writer wins inside the
+      // aggregate, no window.
+      val ch = t(s, dir, "events").selectCols(Seq(col("user_id").as("u"),
+        unix_micros(col("ts")).as("tm"), col("event_id").as("i"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("v")))
+      graft.streaming.EventStreams.cdcApply(
+          ch, col("u"), Seq(col("tm"), col("i")), col("op"), col("v"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q389_burst_viterbi" -> ((s, dir) => {
+      // which event families have genuine burst DAYS (vs noise): the
+      // integer L1 two-state Viterbi over daily counts, burst rate 3x
+      // the key's own median, fewest-burst-days tie break.
+      val daily = t(s, dir, "events").aggregate(
+        Seq(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 86400000000").as("d")),
+        Seq(count(lit(1)).as("y")))
+      graft.streaming.EventStreams.burstViterbi(
+          daily, col("k"), col("d"), col("y"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q390_best_streak" -> ((s, dir) => {
+      // best contiguous net-positive run of the q376 ledger per user —
+      // Kadane's DP as two prefix windows, zero sequential code.
+      val fl = t(s, dir, "events")
+        .filterCol(col("event_type").isin("purchase", "error"))
+        .selectCols(Seq(col("user_id").as("u"),
+          unix_micros(col("ts")).as("tm"), col("event_id").as("i"),
+          when(col("event_type") === "purchase",
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .otherwise(
+              -expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .as("v")))
+      graft.streaming.EventStreams.bestStreak(
+          fl, col("u"), Seq(col("tm"), col("i")), col("v"))
+        .sortBy(Seq(col("k")))
+    }),
+
+    "q391_lorenz" -> ((s, dir) => {
+      // the curve behind q371's Gini: cumulative revenue share by
+      // customer decile, cents-exact.
+      val per = t(s, dir, "orders").aggregate(
+        Seq(col("o_custkey").as("ck")),
+        Seq(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev")))
+      graft.operators.Validation.lorenzDeciles(
+          per, col("rev"), col("ck"), buckets = 10)
+        .sortBy(Seq(col("bucket")))
+    }),
+
+    "q392_simpson_diversity" -> ((s, dir) => {
+      // language concentration per document source: Simpson match
+      // probability and Gini-Simpson diversity, exact rationals.
+      graft.operators.Validation.simpsonDiversity(
+          t(s, dir, "documents"), col("source"), col("lang"))
+        .sortBy(Seq(col("g")))
+    }),
+
+    "q393_motifs" -> ((s, dir) => {
+      // SAX-lite: daily event counts symbolized into within-key rank
+      // quartiles, most frequent 3-day shape per event family.
+      val daily = t(s, dir, "events").aggregate(
+        Seq(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 86400000000").as("d")),
+        Seq(count(lit(1)).as("y")))
+      graft.streaming.EventStreams.quartileMotifs(
+          daily, col("k"), Seq(col("d")), col("y"))
+        .sortBy(Seq(col("k")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -8812,6 +9044,500 @@ object SparkEntry {
            CAST(MAX(dd) AS BIGINT) AS max_dd,
            CAST(MIN(CASE WHEN dd = mx THEN rn END) AS BIGINT) AS dd_step
          FROM w3 GROUP BY u ORDER BY k""",
+
+    // global ROW_NUMBER rank (the oracle may; the engine replaces it
+    // with per-score offsets), same bucket formula and HUGEINT rationals
+    "q377_uplift_qini" ->
+      """WITH per AS (SELECT user_id AS u,
+             SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+               AND event_type = 'click' THEN 1 ELSE 0 END) AS sc,
+             SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS oc
+           FROM events GROUP BY 1),
+         r AS (SELECT u % 2 AS tr, oc,
+             ROW_NUMBER() OVER (ORDER BY sc, u) AS rank,
+             COUNT(*) OVER () AS n FROM per),
+         b AS (SELECT ((rank - 1) * 10) // n + 1 AS bucket, tr, oc FROM r),
+         p2 AS (SELECT bucket,
+             CAST(SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+             CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+             CAST(SUM(CASE WHEN tr = 1 THEN oc ELSE 0 END) AS HUGEINT) AS ct,
+             CAST(SUM(CASE WHEN tr = 0 THEN oc ELSE 0 END) AS HUGEINT) AS cc
+           FROM b GROUP BY 1),
+         c AS (SELECT *,
+             SUM(nt) OVER (ORDER BY bucket) AS cnt,
+             SUM(nc) OVER (ORDER BY bucket) AS cnc,
+             SUM(ct) OVER (ORDER BY bucket) AS cct,
+             SUM(cc) OVER (ORDER BY bucket) AS ccc FROM p2)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           CAST(ct AS BIGINT) AS conv_treat, CAST(cc AS BIGINT) AS conv_ctrl,
+           CASE WHEN nt = 0 OR nc = 0 THEN NULL
+             WHEN ct * nc - cc * nt >= 0 THEN
+               CAST(((ct * nc - cc * nt) * 1000000) // (nt * nc) AS BIGINT)
+             ELSE -CAST(((cc * nt - ct * nc) * 1000000) // (nt * nc)
+               AS BIGINT) END AS uplift_ppm,
+           CASE WHEN cnc = 0 THEN NULL
+             WHEN cct * cnc - ccc * cnt >= 0 THEN
+               CAST(((cct * cnc - ccc * cnt) * 1000000) // cnc AS BIGINT)
+             ELSE -CAST(((ccc * cnt - cct * cnc) * 1000000) // cnc
+               AS BIGINT) END AS qini_ppm
+         FROM c ORDER BY bucket""",
+
+    // same centered RANGE window and sign-split phase means
+    "q378_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+               AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT k, d AS t, v,
+             COUNT(*) OVER (PARTITION BY k ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nn,
+             SUM(v) OVER (PARTITION BY k ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s
+           FROM daily),
+         t2 AS (SELECT k, t, v, s // 7 AS trend, v - s // 7 AS detr
+           FROM w WHERE nn = 7),
+         seas AS (SELECT k AS sk, t % 7 AS phase,
+             CASE WHEN SUM(detr) >= 0 THEN SUM(detr) // COUNT(*)
+               ELSE -((-SUM(detr)) // COUNT(*)) END AS seasonal
+           FROM t2 GROUP BY 1, 2)
+         SELECT t2.k, CAST(t2.t AS BIGINT) AS t, t2.v,
+           CAST(t2.trend AS BIGINT) AS trend,
+           CAST(seas.seasonal AS BIGINT) AS seasonal,
+           CAST(t2.detr - seas.seasonal AS BIGINT) AS residual
+         FROM t2 JOIN seas ON seas.sk = t2.k AND seas.phase = t2.t % 7
+         ORDER BY t2.k, t2.t""",
+
+    // lower median by rank, ties at the median dropped, lag sign changes
+    "q379_runs_test" ->
+      """WITH e AS (SELECT event_type AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id AS i,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         m AS (SELECT k AS mk, v AS med FROM (SELECT k, v,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS n FROM e)
+           WHERE rn = (n + 1) // 2),
+         s AS (SELECT e.k, tm, i,
+             CASE WHEN v > med THEN 1 ELSE -1 END AS sgn
+           FROM e JOIN m ON mk = e.k WHERE v <> med),
+         c AS (SELECT k, sgn, CASE
+             WHEN LAG(sgn) OVER (PARTITION BY k ORDER BY tm, i) IS NULL
+               THEN 1
+             WHEN LAG(sgn) OVER (PARTITION BY k ORDER BY tm, i) <> sgn
+               THEN 1 ELSE 0 END AS chg FROM s)
+         SELECT k,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(chg) AS BIGINT) AS runs,
+           CAST(1000000 + (2000000
+               * SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+               * SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END))
+             // (SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)) AS BIGINT)
+             AS expected_runs_ppm
+         FROM c GROUP BY k ORDER BY k""",
+
+    // doubled midranks 2*RANK + ties - 1, running U2, first argmax
+    "q380_pettitt" ->
+      """WITH daily AS (SELECT event_type AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+               AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT k, d, v,
+             RANK() OVER (PARTITION BY k ORDER BY v) AS rmin,
+             COUNT(*) OVER (PARTITION BY k, v) AS ties,
+             COUNT(*) OVER (PARTITION BY k) AS n FROM daily),
+         u AS (SELECT k, n,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) AS step,
+             SUM(2 * (2 * rmin + ties - 1) - 2 * (n + 1))
+               OVER (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS u2
+           FROM r),
+         f AS (SELECT k, n, step, u2, ABS(u2) AS a FROM u WHERE step < n),
+         mx AS (SELECT k AS xk, MAX(a) AS ka FROM f GROUP BY 1),
+         fin AS (SELECT f.k, f.n, f.step, f.u2,
+             ROW_NUMBER() OVER (PARTITION BY f.k ORDER BY f.step) AS rn
+           FROM f JOIN mx ON xk = f.k AND f.a = mx.ka)
+         SELECT k, CAST(n AS BIGINT) AS n, CAST(ABS(u2) AS BIGINT)
+             AS k_stat,
+           CAST(step AS BIGINT) AS t_star_step, CAST(u2 AS BIGINT)
+             AS u2_at_star
+         FROM fin WHERE rn = 1 ORDER BY k""",
+
+    // same extremes identity: b-events strictly between the unit's first
+    // a and last c
+    "q381_seq_patterns" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+         ext AS (SELECT u, ty, MIN(tm) AS fmin, MAX(tm) AS lmax
+           FROM e GROUP BY 1, 2),
+         supp AS (SELECT DISTINCT e.u, xa.ty AS a, e.ty AS b, xc.ty AS c
+           FROM e
+           JOIN ext xa ON xa.u = e.u AND xa.fmin < e.tm
+           JOIN ext xc ON xc.u = e.u AND e.tm < xc.lmax),
+         tot AS (SELECT COUNT(DISTINCT u) AS nu FROM e)
+         SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support,
+           CAST((COUNT(*) * 1000000) // (SELECT nu FROM tot) AS BIGINT)
+             AS support_ppm
+         FROM supp GROUP BY 1, 2, 3 ORDER BY a, b, c""",
+
+    // doubled pooled midranks vs within-sample positions; sign-split T
+    "q382_cvm" ->
+      """WITH e AS (SELECT user_id % 2 AS k,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'view')),
+         r AS (SELECT k, s, v,
+             2 * RANK() OVER (PARTITION BY k ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY k, v) - 1 AS r2,
+             ROW_NUMBER() OVER (PARTITION BY k, s ORDER BY v) AS i
+           FROM e),
+         a AS (SELECT k,
+             CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS m,
+             CAST(SUM(CASE WHEN s = 0 THEN (r2 - 2 * i) * (r2 - 2 * i)
+               ELSE 0 END) AS HUGEINT) AS ux,
+             CAST(SUM(CASE WHEN s = 1 THEN (r2 - 2 * i) * (r2 - 2 * i)
+               ELSE 0 END) AS HUGEINT) AS uy
+           FROM r GROUP BY 1),
+         f AS (SELECT k, n, m, n * ux + m * uy AS u2,
+             3 * (n * ux + m * uy) - 2 * n * m * (4 * n * m - 1) AS tn,
+             12 * n * m * (n + m) AS td FROM a)
+         SELECT k, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+           CAST(u2 AS BIGINT) AS u2,
+           CASE WHEN n = 0 OR m = 0 THEN NULL
+             WHEN tn >= 0 THEN CAST((tn * 1000000) // td AS BIGINT)
+             ELSE -CAST(((-tn) * 1000000) // td AS BIGINT) END AS t_ppm
+         FROM f ORDER BY k""",
+
+    // per-user paired indicators, discordant-cell chi-square ppm
+    "q383_mcnemar" ->
+      """WITH per AS (SELECT user_id AS u,
+             MAX(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p0,
+             MAX(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p1
+           FROM events GROUP BY 1)
+         SELECT u % 3 AS g,
+           CAST(SUM(CASE WHEN p0 = 1 AND p1 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS both,
+           CAST(SUM(CASE WHEN p0 = 1 AND p1 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS pre_only,
+           CAST(SUM(CASE WHEN p0 = 0 AND p1 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS post_only,
+           CAST(SUM(CASE WHEN p0 = 0 AND p1 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS neither,
+           CASE WHEN SUM(CASE WHEN p0 <> p1 THEN 1 ELSE 0 END) = 0
+             THEN NULL
+             ELSE CAST(((SUM(CASE WHEN p0 = 1 AND p1 = 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN p0 = 0 AND p1 = 1 THEN 1 ELSE 0 END))
+               * (SUM(CASE WHEN p0 = 1 AND p1 = 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN p0 = 0 AND p1 = 1 THEN 1 ELSE 0 END))
+               * 1000000)
+               // (SUM(CASE WHEN p0 = 1 AND p1 = 0 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN p0 = 0 AND p1 = 1 THEN 1 ELSE 0 END))
+               AS BIGINT) END AS chi2_ppm
+         FROM per GROUP BY 1 ORDER BY g""",
+
+    // centered doubled midranks (mean n+1 known), Pearson on ranks
+    "q384_spearman" ->
+      """WITH e AS (SELECT event_type AS k,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS y FROM events),
+         r AS (SELECT k,
+             2 * RANK() OVER (PARTITION BY k ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY k, x) - 1
+               - (COUNT(*) OVER (PARTITION BY k) + 1) AS dx,
+             2 * RANK() OVER (PARTITION BY k ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY k, y) - 1
+               - (COUNT(*) OVER (PARTITION BY k) + 1) AS dy
+           FROM e),
+         a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+           FROM r GROUP BY 1)
+         SELECT k, n,
+           CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+             WHEN sxy >= 0 THEN
+               CAST((sxy * sxy * 1000000) // (sxx * syy) AS BIGINT)
+             ELSE -CAST((sxy * sxy * 1000000) // (sxx * syy) AS BIGINT)
+             END AS rho2_signed_ppm
+         FROM a ORDER BY k""",
+
+    // same rank -> bucket -> suffix-sum sweep
+    "q385_pr_curve" ->
+      """WITH per AS (SELECT user_id AS u,
+             SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+               AND event_type = 'click' THEN 1 ELSE 0 END) AS sc,
+             MAX(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           FROM events GROUP BY 1),
+         r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY sc, u) AS rank,
+             COUNT(*) OVER () AS n FROM per),
+         b AS (SELECT ((rank - 1) * 10) // n + 1 AS bucket, y FROM r),
+         p2 AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+           FROM b GROUP BY 1),
+         c AS (SELECT *,
+             CAST(SUM(pos) OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS fp,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p_total FROM p2)
+         SELECT CAST(bucket AS BIGINT) AS bucket, pos, neg, tp, fp,
+           p_total - tp AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+           CASE WHEN p_total = 0 THEN NULL
+             ELSE (tp * 1000000) // p_total END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + p_total - tp = 0 THEN NULL
+             ELSE (2 * tp * 1000000) // (2 * tp + fp + p_total - tp) END
+             AS f1_ppm
+         FROM c ORDER BY bucket""",
+
+    // the same 15 sufficient statistics in HUGEINT, pairs unioned
+    "q386_corr_matrix" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS disc_pct,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_pct,
+             CAST(day(l_shipdate) AS BIGINT) AS ship_day FROM lineitem),
+         a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(qty) AS HUGEINT) AS s1,
+             CAST(SUM(disc_pct) AS HUGEINT) AS s2,
+             CAST(SUM(tax_pct) AS HUGEINT) AS s3,
+             CAST(SUM(ship_day) AS HUGEINT) AS s4,
+             CAST(SUM(qty * qty) AS HUGEINT) AS p11,
+             CAST(SUM(qty * disc_pct) AS HUGEINT) AS p12,
+             CAST(SUM(qty * tax_pct) AS HUGEINT) AS p13,
+             CAST(SUM(qty * ship_day) AS HUGEINT) AS p14,
+             CAST(SUM(disc_pct * disc_pct) AS HUGEINT) AS p22,
+             CAST(SUM(disc_pct * tax_pct) AS HUGEINT) AS p23,
+             CAST(SUM(disc_pct * ship_day) AS HUGEINT) AS p24,
+             CAST(SUM(tax_pct * tax_pct) AS HUGEINT) AS p33,
+             CAST(SUM(tax_pct * ship_day) AS HUGEINT) AS p34,
+             CAST(SUM(ship_day * ship_day) AS HUGEINT) AS p44
+           FROM b),
+         pairs AS (
+           SELECT 'qty' AS var_a, 'disc_pct' AS var_b, n,
+             n * p12 - s1 * s2 AS num, n * p11 - s1 * s1 AS dx,
+             n * p22 - s2 * s2 AS dy FROM a
+           UNION ALL SELECT 'qty', 'tax_pct', n, n * p13 - s1 * s3,
+             n * p11 - s1 * s1, n * p33 - s3 * s3 FROM a
+           UNION ALL SELECT 'qty', 'ship_day', n, n * p14 - s1 * s4,
+             n * p11 - s1 * s1, n * p44 - s4 * s4 FROM a
+           UNION ALL SELECT 'disc_pct', 'tax_pct', n, n * p23 - s2 * s3,
+             n * p22 - s2 * s2, n * p33 - s3 * s3 FROM a
+           UNION ALL SELECT 'disc_pct', 'ship_day', n, n * p24 - s2 * s4,
+             n * p22 - s2 * s2, n * p44 - s4 * s4 FROM a
+           UNION ALL SELECT 'tax_pct', 'ship_day', n, n * p34 - s3 * s4,
+             n * p33 - s3 * s3, n * p44 - s4 * s4 FROM a)
+         SELECT var_a, var_b, CAST(n AS BIGINT) AS n,
+           CASE WHEN dx = 0 OR dy = 0 THEN NULL
+             WHEN num >= 0 THEN
+               CAST((num * num * 1000000) // (dx * dy) AS BIGINT)
+             ELSE -CAST((num * num * 1000000) // (dx * dy) AS BIGINT) END
+             AS r2_signed_ppm
+         FROM pairs ORDER BY var_a, var_b""",
+
+    // recurrence replay: truncated-division smoothing steps sign-split,
+    // the seasonal circular queue as list state (consume head, append)
+    "q387_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+               AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT k, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY d)
+             AS rn FROM daily),
+         cnt AS (SELECT k, COUNT(*) AS n FROM o GROUP BY 1),
+         init AS (SELECT k, CAST(CASE WHEN SUM(y) >= 0 THEN SUM(y) // 7
+               ELSE -((-SUM(y)) // 7) END AS BIGINT) AS l
+           FROM o WHERE rn <= 7 GROUP BY k HAVING COUNT(*) = 7),
+         inits AS (SELECT i.k, i.l,
+             list(CAST(o.y - i.l AS BIGINT) ORDER BY o.rn) AS s
+           FROM init i JOIN o ON o.k = i.k AND o.rn <= 7
+           GROUP BY i.k, i.l),
+         rec(k, step, l, t, s) AS (
+           SELECT k, CAST(7 AS BIGINT), l, CAST(0 AS BIGINT), s FROM inits
+           UNION ALL
+           SELECT w.k, w.step, w.l2,
+             CASE WHEN 100000 * (w.l2 - w.l) + 900000 * w.t >= 0
+               THEN (100000 * (w.l2 - w.l) + 900000 * w.t) // 1000000
+               ELSE -((-(100000 * (w.l2 - w.l) + 900000 * w.t)) // 1000000)
+               END,
+             list_concat(w.s[2:], [CASE
+               WHEN 200000 * (w.y - w.l2) + 800000 * w.sold >= 0
+               THEN (200000 * (w.y - w.l2) + 800000 * w.sold) // 1000000
+               ELSE -((-(200000 * (w.y - w.l2) + 800000 * w.sold))
+                 // 1000000) END])
+           FROM (SELECT rec.k, o.rn AS step, o.y, rec.l, rec.t, rec.s,
+               rec.s[1] AS sold,
+               CASE WHEN 300000 * (o.y - rec.s[1])
+                   + 700000 * (rec.l + rec.t) >= 0
+                 THEN (300000 * (o.y - rec.s[1])
+                   + 700000 * (rec.l + rec.t)) // 1000000
+                 ELSE -((-(300000 * (o.y - rec.s[1])
+                   + 700000 * (rec.l + rec.t))) // 1000000) END AS l2
+             FROM rec JOIN o ON o.k = rec.k AND o.rn = rec.step + 1) w)
+         SELECT f.k, CAST(c.n AS BIGINT) AS n, CAST(f.l AS BIGINT)
+             AS level, CAST(f.t AS BIGINT) AS trend,
+           CAST(f.l + f.t + f.s[1] AS BIGINT) AS f1,
+           CAST(f.l + 2 * f.t + f.s[2] AS BIGINT) AS f2,
+           CAST(f.l + 3 * f.t + f.s[3] AS BIGINT) AS f3
+         FROM rec f JOIN cnt c ON c.k = f.k AND f.step = c.n
+         ORDER BY f.k""",
+
+    // last-row-per-key via a window instead of the engine's struct argmax
+    "q388_cdc_apply" ->
+      """WITH ch AS (SELECT user_id AS u,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id AS i,
+             CASE WHEN event_type = 'signup' THEN 'I'
+               WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           FROM events),
+         r AS (SELECT u, op, v,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY tm DESC, i DESC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY u) AS n_changes,
+             SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY u) AS n_deletes
+           FROM ch)
+         SELECT u AS k, v AS value, CAST(n_changes AS BIGINT) AS n_changes,
+           CAST(n_deletes AS BIGINT) AS n_deletes
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""",
+
+    // the same lexicographic (cost, burstDays) Viterbi as a recursive CTE
+    "q389_burst_viterbi" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+         o AS (SELECT k, y, ROW_NUMBER() OVER (PARTITION BY k ORDER BY d)
+             AS rn, COUNT(*) OVER (PARTITION BY k) AS n FROM daily),
+         m AS (SELECT k AS mk, y AS med FROM (SELECT k, y,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY y) AS r,
+             COUNT(*) OVER (PARTITION BY k) AS n FROM daily)
+           WHERE r = (n + 1) // 2),
+         o2 AS (SELECT o.k, o.rn, o.n, o.y, m.med, 3 * m.med AS r1
+           FROM o JOIN m ON mk = o.k),
+         rec(k, rn, c0, d0, c1, d1) AS (
+           SELECT k, CAST(1 AS BIGINT), ABS(y - med), CAST(0 AS BIGINT),
+             ABS(y - r1), CAST(1 AS BIGINT) FROM o2 WHERE rn = 1
+           UNION ALL
+           SELECT t.k, t.rn,
+             ABS(t.y - t.med) + CASE WHEN t.p0 THEN t.c0
+               ELSE t.c1 + t.med END,
+             CASE WHEN t.p0 THEN t.d0 ELSE t.d1 END,
+             ABS(t.y - t.r1) + CASE WHEN t.p1 THEN t.c1
+               ELSE t.c0 + t.med END,
+             CASE WHEN t.p1 THEN t.d1 ELSE t.d0 END + 1
+           FROM (SELECT o2.k, o2.rn, o2.y, o2.med, o2.r1,
+               rec.c0, rec.d0, rec.c1, rec.d1,
+               (rec.c0 < rec.c1 + o2.med OR (rec.c0 = rec.c1 + o2.med
+                 AND rec.d0 <= rec.d1)) AS p0,
+               (rec.c1 < rec.c0 + o2.med OR (rec.c1 = rec.c0 + o2.med
+                 AND rec.d1 <= rec.d0)) AS p1
+             FROM rec JOIN o2 ON o2.k = rec.k AND o2.rn = rec.rn + 1) t)
+         SELECT r.k, CAST(o2.n AS BIGINT) AS n_days, o2.med AS base_rate,
+           o2.r1 AS burst_rate,
+           CASE WHEN r.c0 < r.c1 OR (r.c0 = r.c1 AND r.d0 <= r.d1)
+             THEN r.c0 ELSE r.c1 END AS min_cost,
+           CASE WHEN r.c0 < r.c1 OR (r.c0 = r.c1 AND r.d0 <= r.d1)
+             THEN r.d0 ELSE r.d1 END AS burst_days
+         FROM rec r JOIN o2 ON o2.k = r.k AND o2.rn = r.rn
+           AND r.rn = o2.n
+         ORDER BY r.k""",
+
+    // Kadane as prefix windows: P_t - min(0, min P_{<t}), first argmax
+    "q390_best_streak" ->
+      """WITH fl AS (SELECT user_id AS u,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id AS i,
+             CASE WHEN event_type = 'purchase' THEN
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             ELSE -CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             END AS v
+           FROM events WHERE event_type IN ('purchase', 'error')),
+         w AS (SELECT u, v,
+             CAST(SUM(v) OVER (PARTITION BY u ORDER BY tm, i
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY tm, i) AS rn
+           FROM fl),
+         w2 AS (SELECT u, v, rn, pre - LEAST(0, COALESCE(MIN(pre)
+             OVER (PARTITION BY u ORDER BY rn ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0)) AS endbest FROM w),
+         w3 AS (SELECT u, v, rn, endbest,
+             MAX(endbest) OVER (PARTITION BY u) AS mx FROM w2)
+         SELECT u AS k, CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(v) AS BIGINT) AS total, CAST(MAX(endbest) AS BIGINT)
+             AS best_sum,
+           CAST(MIN(CASE WHEN endbest = mx THEN rn END) AS BIGINT)
+             AS best_end_step
+         FROM w3 GROUP BY u ORDER BY k""",
+
+    // ascending revenue rank -> equal-count buckets -> cumulative share
+    "q391_lorenz" ->
+      """WITH per AS (SELECT o_custkey AS ck,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, ck) AS rank,
+             COUNT(*) OVER () AS n FROM per),
+         b AS (SELECT ((rank - 1) * 10) // n + 1 AS bucket, rev FROM r),
+         p2 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) AS bucket_sum FROM b GROUP BY 1),
+         c AS (SELECT *, CAST(SUM(bucket_sum) OVER (ORDER BY bucket)
+               AS BIGINT) AS cum,
+             CAST(SUM(bucket_sum) OVER () AS BIGINT) AS total FROM p2)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n, bucket_sum,
+           CASE WHEN total = 0 THEN NULL
+             ELSE (cum * 1000000) // total END AS cum_share_ppm
+         FROM c ORDER BY bucket""",
+
+    // category pair-match probability without replacement
+    "q392_simpson_diversity" ->
+      """WITH c AS (SELECT source AS g, lang, CAST(COUNT(*) AS BIGINT)
+             AS ni FROM documents GROUP BY 1, 2),
+         a AS (SELECT g, CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_distinct,
+             CAST(SUM(ni * (ni - 1)) AS BIGINT) AS match2 FROM c
+           GROUP BY 1)
+         SELECT g, n, k_distinct,
+           CASE WHEN n < 2 THEN NULL
+             ELSE (match2 * 1000000) // (n * (n - 1)) END AS simpson_ppm,
+           CASE WHEN n < 2 THEN NULL
+             ELSE 1000000 - (match2 * 1000000) // (n * (n - 1)) END
+             AS diversity_ppm
+         FROM a ORDER BY g""",
+
+    // same rank-quartile symbols, day-lead 3-grams, (count, motif) argmax
+    "q393_motifs" ->
+      """WITH daily AS (SELECT event_type AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+         r AS (SELECT k, d,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY y, d) AS rnk,
+             COUNT(*) OVER (PARTITION BY k) AS n FROM daily),
+         s AS (SELECT k, d, n, ((rnk - 1) * 4) // n + 1 AS sym FROM r),
+         g AS (SELECT k, n, sym,
+             LEAD(sym, 1) OVER (PARTITION BY k ORDER BY d) AS s1,
+             LEAD(sym, 2) OVER (PARTITION BY k ORDER BY d) AS s2 FROM s),
+         mc AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n_obs,
+             CAST(sym AS VARCHAR) || '-' || CAST(s1 AS VARCHAR) || '-'
+               || CAST(s2 AS VARCHAR) AS motif,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM g WHERE s2 IS NOT NULL GROUP BY k, motif),
+         mx AS (SELECT k, MAX(cnt) AS mc FROM mc GROUP BY 1)
+         SELECT mc.k, mc.n_obs, MIN(mc.motif) AS top_motif,
+           CAST(MAX(mx.mc) AS BIGINT) AS motif_count
+         FROM mc JOIN mx ON mx.k = mc.k AND mc.cnt = mx.mc
+         GROUP BY mc.k, mc.n_obs ORDER BY mc.k""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

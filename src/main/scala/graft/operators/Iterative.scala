@@ -43,12 +43,25 @@ object Iterative {
     * under a generated subdirectory of `dir`, so concurrent jobs don't
     * collide.
     */
-  def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
+  def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
+    val cp = checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (lastSetDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+    // The checkpoint truncates the PLAN but deliberately propagates the
+    // source stats (LogicalRDD.originStats) — in a SELF-JOINING loop the
+    // carried sizeInBytes squares per round into a million-digit BigInt
+    // that wedges Catalyst's size estimation in BigInteger multiplies
+    // (observed: q349's parity BFS never finished planning at sf0.1).
+    // Sane estimates are kept — they carry the bounded-side evidence that
+    // lets small iterative frames broadcast — and only a blown-past-1PB
+    // estimate is reset to the conservative default (AQE re-derives real
+    // sizes at runtime, so execution strategy is unaffected).
+    if (org.apache.spark.sql.graft.Bridge.statsSizeInBytes(cp) <=
+        BigInt("1000000000000000")) cp
+    else org.apache.spark.sql.graft.Bridge.withoutOriginStats(cp)
+  }
 }

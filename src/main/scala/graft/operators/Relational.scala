@@ -1887,6 +1887,50 @@ object Relational {
           .alias("top1_ppm"))
   }
 
+  /** All-pairs correlation matrix in ONE scan: k integer variables, one
+    * aggregate of k(k+3)/2 + 1 DECIMAL(38,0) sufficient statistics,
+    * pairs exploded from the single result row (no per-pair re-scan).
+    * Pearson r is irrational, so each pair reports the signed r² in ppm:
+    * sign(num)·⌊num²·10⁶/(dx·dy)⌋ with num = nΣxy−ΣxΣy — NULL on a
+    * constant side. Magnitude contract: num²·10⁶ must fit 38 digits —
+    * |x| ≲ 100-scale variables hold to ~10⁶ rows per call; rescale
+    * inputs (not the output) beyond that.
+    */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.size >= 2, s"need >= 2 variables, got ${vars.size}")
+    val d = DecimalType(38, 0)
+    val base = df.select(vars.map { case (n, c) =>
+      c.cast("long").alias(n) }: _*)
+    val names = vars.map(_._1)
+    val aggs = Seq(count(lit(1)).cast(d).alias("__n")) ++
+      names.map(n => sum(col(n).cast(d)).alias(s"__s_$n")) ++
+      (for { i <- names.indices; j <- i until names.size } yield {
+        val (a, b) = (names(i), names(j))
+        sum((col(a) * col(b)).cast(d)).alias(s"__p_${a}_$b")
+      })
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- names.indices; j <- i + 1 until names.size }
+      yield {
+        val (a, b) = (names(i), names(j))
+        struct(lit(a).alias("var_a"), lit(b).alias("var_b"),
+          (col("__n") * col(s"__p_${a}_$b") -
+            col(s"__s_$a") * col(s"__s_$b")).alias("num"),
+          (col("__n") * col(s"__p_${a}_$a") -
+            col(s"__s_$a") * col(s"__s_$a")).alias("dx"),
+          (col("__n") * col(s"__p_${b}_$b") -
+            col(s"__s_$b") * col(s"__s_$b")).alias("dy"))
+      }
+    agg.select(col("__n").cast("long").alias("n"),
+        explode(array(pairs: _*)).alias("p"))
+      .select(col("p.var_a").alias("var_a"), col("p.var_b").alias("var_b"),
+        col("n"),
+        expr("""CASE WHEN p.dx = 0 OR p.dy = 0 THEN NULL
+                WHEN p.num >= 0 THEN
+                  CAST((p.num * p.num * 1000000) DIV (p.dx * p.dy) AS BIGINT)
+                ELSE -CAST((p.num * p.num * 1000000) DIV (p.dx * p.dy)
+                  AS BIGINT) END""").alias("r2_signed_ppm"))
+  }
+
   /** 3-D skyline (Pareto frontier), all-minimize convention (negate a
     * dimension to maximize): rows not dominated in (x, y, z) —
     * [[skyline2D]]'s two-level sort trick is 2-D-only, so the third

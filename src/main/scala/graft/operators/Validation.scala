@@ -1226,6 +1226,302 @@ object Validation {
       .toDF()
   }
 
+  /** Two-sample Cramér–von Mises statistic per key over integer samples
+    * labeled by `side` (0/1) — the whole-distribution ECDF-distance
+    * companion to the KS test (KS sees the worst gap; CvM integrates all
+    * of them). Integer-exact via DOUBLED midranks: with R2ᵢ = 2·midrank
+    * in the pooled sample and i the within-sample position,
+    *
+    *   U2 = n·Σ_x (R2ᵢ − 2i)² + m·Σ_y (S2ⱼ − 2j)²   (= 4U classical)
+    *   T  = (3·U2 − 2nm(4nm−1)) / (12·nm·(n+m))     (ppm floor)
+    *
+    * Tied blocks share one midrank while the within-sample positions
+    * permute over a fixed set, so Σ(R2−2i)² is tie-order invariant — the
+    * statistic is deterministic without needing a tiebreak column.
+    *
+    * Scale shape: two partitioned rank windows and one groupBy; the
+    * DECIMAL(38,0) ppm holds to ~10⁶ rows per key.
+    */
+  def cramerVonMises(df: DataFrame, key: Column, side: Column,
+      value: Column): DataFrame = {
+    val d = DecimalType38
+    val base = df.select(key.alias("k"), side.cast("int").alias("s"),
+      value.cast("long").alias("v"))
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    val wSide = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("s")).orderBy(col("v"))
+    base
+      .withColumn("r2", lit(2L) * rank().over(wPool) +
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"), col("v"))) - 1L)
+      .withColumn("i", row_number().over(wSide).cast("long"))
+      .withColumn("dev2", (col("r2") - col("i") * 2L)
+        * (col("r2") - col("i") * 2L))
+      .groupBy(col("k"))
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).alias("n"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).alias("m"),
+        sum(when(col("s") === 0, col("dev2")).otherwise(0L)).cast(d)
+          .alias("ux"),
+        sum(when(col("s") === 1, col("dev2")).otherwise(0L)).cast(d)
+          .alias("uy"))
+      .withColumn("u2", expr("CAST(n AS DECIMAL(38,0)) * ux +" +
+        " CAST(m AS DECIMAL(38,0)) * uy"))
+      .withColumn("tn", expr("3 * u2 - CAST(2 AS DECIMAL(38,0)) * n * m" +
+        " * (4 * CAST(n AS DECIMAL(38,0)) * m - 1)"))
+      .withColumn("td",
+        expr("CAST(12 AS DECIMAL(38,0)) * n * m * (n + m)"))
+      .select(col("k"), col("n"), col("m"),
+        col("u2").cast("long").alias("u2"),
+        // sign-split: T can dip below zero for near-perfectly interleaved
+        // samples, and DIV (truncation) vs // (floor) diverge there
+        expr("""CASE WHEN n = 0 OR m = 0 THEN NULL
+                WHEN tn >= 0 THEN CAST((tn * 1000000) DIV td AS BIGINT)
+                ELSE -CAST(((-tn) * 1000000) DIV td AS BIGINT) END""")
+          .alias("t_ppm"))
+  }
+
+  /** McNemar paired-proportions readout per group: with b = #(pre=1,
+    * post=0) and c = #(pre=0, post=1) discordant pairs, the statistic
+    * (b−c)²/(b+c) as a ppm floor (NULL when no discordant pairs) plus
+    * the four cell counts — "did the rate change within the SAME units",
+    * the paired complement of [[didReadout]].
+    */
+  def mcnemarReadout(df: DataFrame, group: Column, pre: Column,
+      post: Column): DataFrame = {
+    val base = df.select(group.alias("g"), pre.cast("int").alias("p0"),
+      post.cast("int").alias("p1"))
+    base.groupBy(col("g"))
+      .agg(sum(when(col("p0") === 1 && col("p1") === 1, 1L).otherwise(0L))
+        .alias("both"),
+        sum(when(col("p0") === 1 && col("p1") === 0, 1L).otherwise(0L))
+          .alias("pre_only"),
+        sum(when(col("p0") === 0 && col("p1") === 1, 1L).otherwise(0L))
+          .alias("post_only"),
+        sum(when(col("p0") === 0 && col("p1") === 0, 1L).otherwise(0L))
+          .alias("neither"))
+      .withColumn("chi2_ppm", expr(
+        """CASE WHEN pre_only + post_only = 0 THEN NULL
+           ELSE ((pre_only - post_only) * (pre_only - post_only) * 1000000)
+             DIV (pre_only + post_only) END"""))
+  }
+
+  /** Spearman rank correlation per key, exact under ties: both columns
+    * get DOUBLED midranks (2·RANK + ties − 1, an integer), centered by
+    * their known mean n+1, and Pearson's formula runs on the centered
+    * ranks. ρ itself is irrational, so the output is the signed ρ² in
+    * ppm (the [[graft.streaming.EventStreams.crossCorrelation]]
+    * convention): sign(Σdxdy)·⌊(Σdxdy)²·10⁶/(Σdx²·Σdy²)⌋, NULL when a
+    * side is constant. |dev| ≤ n keeps DECIMAL(38,0) exact to ~10⁵ rows
+    * per key.
+    *
+    * Scale shape: two partitioned rank windows, one groupBy of three
+    * sums.
+    */
+  def spearmanReport(df: DataFrame, key: Column, x: Column,
+      y: Column): DataFrame = {
+    val d = DecimalType38
+    val base = df.select(key.alias("k"), x.cast("long").alias("x"),
+      y.cast("long").alias("y"))
+    def dev(c: String): Column = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col(c))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col(c))
+      lit(2L) * rank().over(w) + count(lit(1)).over(wt) - 1L -
+        (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"))) + 1L)
+    }
+    base
+      .withColumn("dx", dev("x"))
+      .withColumn("dy", dev("y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).alias("n"),
+        sum((col("dx") * col("dy")).cast(d)).alias("sxy"),
+        sum((col("dx") * col("dx")).cast(d)).alias("sxx"),
+        sum((col("dy") * col("dy")).cast(d)).alias("syy"))
+      .select(col("k"), col("n"),
+        expr("""CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+                WHEN sxy >= 0 THEN
+                  CAST((sxy * sxy * 1000000) DIV (sxx * syy) AS BIGINT)
+                ELSE -CAST((sxy * sxy * 1000000) DIV (sxx * syy) AS BIGINT)
+                END""").alias("rho2_signed_ppm"))
+  }
+
+  /** Uplift-by-decile report with the cumulative Qini curve: units are
+    * ranked by `score` (ties broken by `tie` — the pair must totally
+    * order units), split into `buckets` equal-count bins, and each bin
+    * compares treated vs control outcome rates:
+    *
+    *   uplift(b)  = conv_t/n_t − conv_c/n_c        (exact rational, ppm)
+    *   qini(b)    = CC_t − CC_c · CN_t / CN_c      (cumulative, ppm)
+    *
+    * where C· are cumulative sums down the ranking — the standard uplift
+    * evaluation pair (Radcliffe's Qini). Sign-split ppm floors; NULL when
+    * a side is empty.
+    *
+    * Scale shape: the global rank is NOT a global window — per-score
+    * counts aggregate first (bounded by distinct scores), a broadcast
+    * cumulative offset places each score block, and row_number within a
+    * score partition finishes the rank; the only unpartitioned windows
+    * run over the `buckets`-row aggregate and the distinct-score count
+    * frame.
+    */
+  /** Equal-count score buckets WITHOUT a global row_number: per-score
+    * counts aggregate first (bounded by distinct scores), a broadcast
+    * cumulative offset places each score block, and row_number within a
+    * score partition finishes the global rank; bucket =
+    * ((rank−1)·buckets) DIV n + 1. Input needs (sc, tb) columns; adds
+    * (rank, bucket, n).
+    */
+  private def rankBuckets(base: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val wSc = org.apache.spark.sql.expressions.Window.orderBy(col("sc"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("sc")).agg(count(lit(1)).alias("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wSc), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("sc"), col("off"), col("n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sc")).orderBy(col("tb"))
+    base.join(broadcast(offsets), "sc")
+      .withColumn("rank", col("off") + row_number().over(wIn))
+      .withColumn("bucket", expr(s"((rank - 1) * $buckets) DIV n + 1"))
+  }
+
+  def upliftDeciles(df: DataFrame, score: Column, tie: Column, treat: Column,
+      outcome: Column, buckets: Int = 10): DataFrame = {
+    val base = df.select(score.cast("long").alias("sc"),
+      tie.cast("long").alias("tb"), treat.cast("int").alias("tr"),
+      outcome.cast("long").alias("oc"))
+    val ranked = rankBuckets(base, buckets)
+    val d = DecimalType38
+    val per = ranked.groupBy(col("bucket"))
+      .agg(sum(when(col("tr") === 1, 1L).otherwise(0L)).cast(d).alias("nt"),
+        sum(when(col("tr") === 0, 1L).otherwise(0L)).cast(d).alias("nc"),
+        sum(when(col("tr") === 1, col("oc")).otherwise(0L)).cast(d)
+          .alias("ct"),
+        sum(when(col("tr") === 0, col("oc")).otherwise(0L)).cast(d)
+          .alias("cc"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .withColumn("cnt", sum(col("nt")).over(wB))
+      .withColumn("cnc", sum(col("nc")).over(wB))
+      .withColumn("cct", sum(col("ct")).over(wB))
+      .withColumn("ccc", sum(col("cc")).over(wB))
+      .select(col("bucket").cast("long").alias("bucket"),
+        col("nt").cast("long").alias("n_treat"),
+        col("nc").cast("long").alias("n_ctrl"),
+        col("ct").cast("long").alias("conv_treat"),
+        col("cc").cast("long").alias("conv_ctrl"),
+        expr("""CASE WHEN nt = 0 OR nc = 0 THEN NULL
+                WHEN ct * nc - cc * nt >= 0 THEN
+                  CAST(((ct * nc - cc * nt) * 1000000) DIV (nt * nc) AS BIGINT)
+                ELSE -CAST(((cc * nt - ct * nc) * 1000000) DIV (nt * nc) AS BIGINT)
+                END""").alias("uplift_ppm"),
+        expr("""CASE WHEN cnc = 0 THEN NULL
+                WHEN cct * cnc - ccc * cnt >= 0 THEN
+                  CAST(((cct * cnc - ccc * cnt) * 1000000) DIV cnc AS BIGINT)
+                ELSE -CAST(((ccc * cnt - cct * cnc) * 1000000) DIV cnc AS BIGINT)
+                END""").alias("qini_ppm"))
+  }
+
+  /** Lorenz curve over value deciles: units ranked ASCENDING by `value`
+    * (ties broken by `tie`), equal-count buckets, cumulative share of the
+    * total value per bucket in ppm — the curve behind
+    * [[graft.operators.Relational.concentrationReport]]'s Gini number
+    * ("the bottom 50% of customers hold 8% of revenue"). NULL shares on
+    * an all-zero total.
+    */
+  def lorenzDeciles(df: DataFrame, value: Column, tie: Column,
+      buckets: Int = 10): DataFrame = {
+    val base = df.select(value.cast("long").alias("sc"),
+      tie.cast("long").alias("tb"))
+    val per = rankBuckets(base, buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n"), sum(col("sc")).alias("bucket_sum"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("cum", sum(col("bucket_sum")).over(wCum))
+      .withColumn("total", sum(col("bucket_sum")).over(wAll))
+      .select(col("bucket").cast("long").alias("bucket"), col("n"),
+        col("bucket_sum"),
+        expr("""CASE WHEN total = 0 THEN NULL
+                ELSE (cum * 1000000) DIV total END""").alias("cum_share_ppm"))
+  }
+
+  /** Simpson concentration / Gini–Simpson diversity per group over a
+    * categorical column, exact rationals: with category counts nᵢ and
+    * N = Σnᵢ, simpson = Σnᵢ(nᵢ−1) / (N(N−1)) (the probability two
+    * draws WITHOUT replacement match — 10⁶ = monoculture), diversity =
+    * 1 − simpson; NULL for N < 2. One partial-agg pass over (group,
+    * category) then a per-group reduce.
+    */
+  def simpsonDiversity(df: DataFrame, group: Column,
+      category: Column): DataFrame = {
+    df.groupBy(group.alias("g"), category.alias("c"))
+      .agg(count(lit(1)).alias("ni"))
+      .groupBy(col("g"))
+      .agg(sum(col("ni")).alias("n"),
+        count(lit(1)).alias("k_distinct"),
+        sum(col("ni") * (col("ni") - 1L)).alias("match2"))
+      .select(col("g"), col("n"), col("k_distinct"),
+        expr("""CASE WHEN n < 2 THEN NULL
+                ELSE (match2 * 1000000) DIV (n * (n - 1)) END""")
+          .alias("simpson_ppm"),
+        expr("""CASE WHEN n < 2 THEN NULL
+                ELSE 1000000 - (match2 * 1000000) DIV (n * (n - 1)) END""")
+          .alias("diversity_ppm"))
+  }
+
+  /** Precision/recall curve over score buckets: units are ranked by
+    * `score` (ties broken by `tie`), bucketed equal-count, and for each
+    * operating point b the classifier "predict positive when bucket ≥ b"
+    * is scored exactly — TP/FP from suffix sums down the ranking, FN
+    * from the positive total, precision/recall/F1 as ppm floors. The
+    * threshold-sweep companion of the single-number AUC.
+    *
+    * Scale shape: [[rankBuckets]] (no global row window) + one bucket
+    * groupBy; the suffix windows run over the `buckets`-row aggregate.
+    */
+  def prCurveDeciles(df: DataFrame, score: Column, tie: Column,
+      label: Column, buckets: Int = 10): DataFrame = {
+    val base = df.select(score.cast("long").alias("sc"),
+      tie.cast("long").alias("tb"), label.cast("long").alias("y"))
+    val per = rankBuckets(base, buckets)
+      .groupBy(col("bucket"))
+      .agg(sum(col("y")).alias("pos"),
+        (count(lit(1)) - sum(col("y"))).alias("neg"))
+    val wSuf = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("tp", sum(col("pos")).over(wSuf))
+      .withColumn("fp", sum(col("neg")).over(wSuf))
+      .withColumn("p_total", sum(col("pos")).over(wAll))
+      .withColumn("fn", col("p_total") - col("tp"))
+      .select(col("bucket").cast("long").alias("bucket"),
+        col("pos"), col("neg"), col("tp"), col("fp"), col("fn"),
+        expr("""CASE WHEN tp + fp = 0 THEN NULL
+                ELSE (tp * 1000000) DIV (tp + fp) END""")
+          .alias("precision_ppm"),
+        expr("""CASE WHEN p_total = 0 THEN NULL
+                ELSE (tp * 1000000) DIV p_total END""").alias("recall_ppm"),
+        expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE (2 * tp * 1000000) DIV (2 * tp + fp + fn) END""")
+          .alias("f1_ppm"))
+  }
+
   /** Difference-in-differences readout per group: four conditional
     * (sum, count) pairs in ONE partial-agg pass, then
     *

@@ -2599,6 +2599,402 @@ object EventStreams {
           .alias("r2_signed_ppm"))
   }
 
+  private[streaming] case class BurstRow(k: String, n_days: Long,
+      base_rate: Long, burst_rate: Long, min_cost: Long, burst_days: Long)
+
+  /** Two-state burst detection per key — Kleinberg's burst automaton with
+    * an INTEGER L1 objective so the optimum is exact: states base/burst
+    * with rates (median, burstMult·median) of the key's own counts,
+    * emission cost |yₜ − rate|, switch penalty λ = median, solved by
+    * Viterbi. Ties between equal-cost paths resolve to the FEWEST burst
+    * days (lexicographic (cost, burstDays) DP — both components are
+    * additive along paths, so the lexicographic min is itself a valid
+    * DP). Returns (k, n_days, base_rate, burst_rate, min_cost,
+    * burst_days); no backtrack pass is needed because the day count
+    * rides the DP state.
+    *
+    * Scale shape: bounded per-key fold over the (key, day)-aggregated
+    * series — days per key bound the state, not raw events.
+    */
+  def burstViterbi(df: DataFrame, key: Column, time: Column, value: Column,
+      burstMult: Long = 3L): DataFrame = {
+    require(burstMult >= 2, s"burstMult must be >= 2, got $burstMult")
+    import org.apache.spark.sql.Encoders
+    df.select(key.cast("string").alias("k"), time.cast("long").alias("t"),
+        value.cast("long").alias("y"))
+      .as[(String, Long, Long)](Encoders.tuple(Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (k, rows) =>
+        val obs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val n = obs.length
+        val med = obs.map(_._2).sorted.apply((n - 1) / 2) // lower median
+        val r1 = burstMult * med
+        val lam = med
+        // lexicographic (cost, burstDays) min
+        def lexMin(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+          if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+        var s0 = (math.abs(obs(0)._2 - med), 0L)
+        var s1 = (math.abs(obs(0)._2 - r1), 1L)
+        var i = 1
+        while (i < n) {
+          val y = obs(i)._2
+          val b0 = lexMin(s0, (s1._1 + lam, s1._2))
+          val b1 = lexMin(s1, (s0._1 + lam, s0._2))
+          s0 = (math.abs(y - med) + b0._1, b0._2)
+          s1 = (math.abs(y - r1) + b1._1, b1._2 + 1L)
+          i += 1
+        }
+        val best = lexMin(s0, s1)
+        BurstRow(k, n.toLong, med, r1, best._1, best._2)
+      }(Encoders.product[BurstRow])
+      .toDF()
+  }
+
+  /** Materialize the final snapshot of an ordered CDC changelog: per key
+    * the LAST change wins — upsert semantics (I and U both set the
+    * payload, a later U resurrects a deleted key), keys whose final
+    * operation is a delete drop out. Emits the surviving rows with audit
+    * counts (total changes, deletes seen).
+    *
+    * Scale shape: argmax-by-sequence INSIDE the aggregate
+    * (max(struct(order..., op, payload)) with map-side combine) — one
+    * partial-agg groupBy, no window, no per-key sort. `order` must
+    * totally order changes within a key.
+    */
+  def cdcApply(changes: DataFrame, key: Column, order: Seq[Column],
+      op: Column, payload: Column): DataFrame = {
+    val oc = order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }
+    val base = changes.select((Seq(key.alias("k"), op.alias("op"),
+      payload.cast("long").alias("v")) ++ oc): _*)
+    base.groupBy(col("k"))
+      .agg(max(struct((oc.indices.map(i => col(s"__o$i")) ++
+          Seq(col("op").alias("op"), col("v").alias("v"))): _*))
+          .alias("last"),
+        count(lit(1)).alias("n_changes"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).alias("n_deletes"))
+      .filter(col("last.op") =!= "D")
+      .select(col("k"), col("last.v").alias("value"), col("n_changes"),
+        col("n_deletes"))
+  }
+
+  private[streaming] case class HwRow(k: String, n: Long, level: Long,
+      trend: Long, f1: Long, f2: Long, f3: Long)
+
+  /** Additive Holt–Winters (level + trend + seasonal) per key over an
+    * integer series, ppm smoothing weights, truncation-toward-zero at
+    * every step (BigInt intermediates; the oracle replays with sign-split
+    * floor division) — [[holtLinear]] plus the seasonal component:
+    *
+    *   L_t = ⌈α(y_t − S_{t−p}) + (1−α)(L_{t−1} + T_{t−1})⌉₀
+    *   T_t = ⌈β(L_t − L_{t−1}) + (1−β)T_{t−1}⌉₀
+    *   S_t = ⌈γ(y_t − L_t) + (1−γ)S_{t−p}⌉₀
+    *
+    * initialized from the first `period` observations (L = their
+    * truncated mean, T = 0, S_i = y_i − L). The seasonal state is a
+    * CIRCULAR QUEUE — each step consumes the head and appends the
+    * update, so no positional indexing exists to disagree on. Returns
+    * one row per key with ≥ period observations: final level/trend and
+    * the h = 1..3 forecasts L + h·T + S_(h).
+    *
+    * Scale shape: the fold sees the (key, time)-aggregated series, never
+    * raw rows; keys fold independently in mapGroups.
+    */
+  def holtWinters(df: DataFrame, key: Column, time: Column, value: Column,
+      period: Int, alphaPpm: Long, betaPpm: Long,
+      gammaPpm: Long): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    Seq(alphaPpm, betaPpm, gammaPpm).foreach(p =>
+      require(p >= 0 && p <= 1000000, s"ppm weight out of range: $p"))
+    import org.apache.spark.sql.Encoders
+    def tdiv(x: BigInt): Long = (x / 1000000).toLong // truncates toward 0
+    df.select(key.cast("string").alias("k"), time.cast("long").alias("t"),
+        value.cast("long").alias("y"))
+      .as[(String, Long, Long)](Encoders.tuple(Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (k, rows) =>
+        val obs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val n = obs.length
+        if (n < period) Iterator.empty
+        else {
+          var init = 0L
+          obs.take(period).foreach(o => init += o._2)
+          var l = if (init >= 0) init / period else -((-init) / period)
+          var tr = 0L
+          val s = scala.collection.mutable.Queue.empty[Long]
+          obs.take(period).foreach(o => s.enqueue(o._2 - l))
+          var i = period
+          while (i < n) {
+            val y = obs(i)._2
+            val sOld = s.dequeue()
+            val pl = l
+            l = tdiv(BigInt(alphaPpm) * (y - sOld) +
+              BigInt(1000000 - alphaPpm) * (pl + tr))
+            tr = tdiv(BigInt(betaPpm) * (l - pl) +
+              BigInt(1000000 - betaPpm) * tr)
+            s.enqueue(tdiv(BigInt(gammaPpm) * (y - l) +
+              BigInt(1000000 - gammaPpm) * sOld))
+            i += 1
+          }
+          val sa = s.toArray
+          Iterator.single(HwRow(k, n.toLong, l, tr,
+            l + tr + sa(0), l + 2 * tr + sa(1 % period),
+            l + 3 * tr + sa(2 % period)))
+        }
+      }(Encoders.product[HwRow])
+      .toDF()
+  }
+
+  /** Sequential-pattern (GSP-style) support of ordered type triples: a
+    * unit supports pattern a→b→c when it has events of those kinds at
+    * STRICTLY increasing times t₁ < t₂ < t₃. Exact via the extremes
+    * identity — the subsequence exists iff some b-event falls strictly
+    * between the unit's FIRST a-event and LAST c-event — so support needs
+    * no triple self-join: per-unit (kind, min, max) extremes, one bounded
+    * fan-out join over the middle events, distinct, count. Returns
+    * (a, b, c, support, support_ppm) over the distinct-unit total.
+    *
+    * Scale shape: extremes are a partial-agg groupBy (units × kinds);
+    * the middle-event join fans each event by kinds² (bounded — pattern
+    * mining over a SMALL kind alphabet); the distinct shuffles at most
+    * kinds³ rows per unit.
+    */
+  def seqPatternSupport(events: DataFrame, unit: Column, kind: Column,
+      time: Column): DataFrame = {
+    val base = events.select(unit.alias("u"), kind.alias("ty"),
+      time.cast("long").alias("tm"))
+    val ext = base.groupBy(col("u"), col("ty"))
+      .agg(min(col("tm")).alias("fmin"), max(col("tm")).alias("lmax"))
+    val supp = base.select(col("u"), col("ty").alias("b"), col("tm"))
+      .join(ext.select(col("u").alias("ua"), col("ty").alias("a"),
+        col("fmin")), col("u") === col("ua") && col("fmin") < col("tm"))
+      .join(ext.select(col("u").alias("uc"), col("ty").alias("c"),
+        col("lmax")), col("u") === col("uc") && col("tm") < col("lmax"))
+      .select(col("u"), col("a"), col("b"), col("c")).distinct()
+    val total = base.select(col("u")).distinct()
+      .agg(count(lit(1)).alias("nu"))
+    supp.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).alias("support"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c"), col("support"),
+        expr("(support * 1000000) DIV nu").alias("support_ppm"))
+  }
+
+  /** Classical additive seasonal decomposition per key, integer-exact:
+    * over a time grid `t` (consecutive integers; gaps simply shorten the
+    * windows they fall in) with non-negative integer `v`,
+    *
+    *   trend(t)    = ⌊Σ v over t±halfWin / period⌋   (only where the
+    *                 window is FULL — the standard edge-NA convention)
+    *   detrended   = v − trend
+    *   seasonal(p) = sign-split ⌊mean of detrended at phase p = t mod period⌋
+    *   residual    = detrended − seasonal
+    *
+    * period must equal 2·halfWin + 1 (centered window = one full cycle,
+    * the classical moving-average decomposition). Emits only rows with a
+    * defined trend. Sign-split floors keep Spark's DIV (truncation) and
+    * an oracle's floor division in agreement on negative detrended sums.
+    *
+    * Scale shape: one partitioned range window per key + one phase
+    * groupBy — no global windows, no driver state.
+    */
+  def seasonalDecompose(df: DataFrame, key: Column, time: Column,
+      value: Column, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered window), got $period")
+    val half = period / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"))
+      .rangeBetween(-half, half)
+    val t2 = df.select(key.alias("k"), time.cast("long").alias("t"),
+        value.cast("long").alias("v"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("v")).over(w))
+      .filter(col("__n") === period)
+      .withColumn("trend", expr(s"__s DIV $period"))
+      .withColumn("detr", col("v") - col("trend"))
+    val seas = t2.groupBy(col("k"), (col("t") % period).alias("phase"))
+      .agg(sum(col("detr")).alias("sd"), count(lit(1)).alias("nd"))
+      .select(col("k").alias("__k"), col("phase"),
+        expr("""CASE WHEN sd >= 0 THEN sd DIV nd
+                ELSE -((-sd) DIV nd) END""").alias("seasonal"))
+    t2.join(seas, t2("k") === seas("__k") &&
+        (t2("t") % period) === seas("phase"))
+      .select(col("k"), col("t"), col("v"), col("trend"),
+        col("seasonal"), (col("detr") - col("seasonal")).alias("residual"))
+  }
+
+  /** Wald–Wolfowitz runs test per key: values ordered by `order` are
+    * signed against their key's EXACT lower median (ties AT the median
+    * are dropped — the standard convention), and the run count is
+    * 1 + the number of sign changes. Returns (k, n_above, n_below, runs,
+    * expected_runs_ppm) with E[R] = 1 + 2·n₁n₂/(n₁+n₂) as a ppm floor —
+    * the randomness diagnostic for residual/arrival sequences.
+    *
+    * Scale shape: median via one partitioned rank window, sign changes
+    * via a partitioned lag — everything keyed, one groupBy at the end.
+    */
+  def runsTest(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column): DataFrame = {
+    val oc = order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }
+    val ocols = oc.indices.map(i => col(s"__o$i"))
+    val base = df.select((Seq(key.alias("k"),
+      value.cast("long").alias("v")) ++ oc): _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    val wK = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val med = base
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wK))
+      // (n + 1) DIV 2 — column `/` is double division and would miss the
+      // row entirely for even n
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("k").alias("__k"), col("v").alias("med"))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(ocols: _*)
+    base.join(med, col("k") === col("__k"))
+      .filter(col("v") =!= col("med"))
+      .withColumn("sgn", when(col("v") > col("med"), 1).otherwise(-1))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(wSeq).isNull, 1L)
+          .when(lag(col("sgn"), 1).over(wSeq) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("k"))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).alias("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).alias("n_below"),
+        sum(col("chg")).alias("runs"))
+      .select(col("k"), col("n_above"), col("n_below"), col("runs"),
+        expr("""1000000 + (2000000 * n_above * n_below)
+                DIV (n_above + n_below)""").alias("expected_runs_ppm"))
+  }
+
+  /** Pettitt changepoint test per key, integer-exact via doubled
+    * midranks: with R2ᵢ = 2·midrank(vᵢ) (an integer even under ties),
+    * the doubled Mann–Whitney-style statistic at each split t is
+    *
+    *   U2(t) = Σ_{i≤t} (2·R2ᵢ − 2(N+1))
+    *
+    * and the test reports K = max |U2(t)| over t = 1..N−1 with the
+    * FIRST attaining step — the standard nonparametric single-
+    * changepoint location. Returns (k, n, k_stat, t_star_step,
+    * t_star).
+    *
+    * Scale shape: midranks from two partitioned rank windows, the
+    * cumulative sum from a partitioned running window, argmax resolved
+    * inside a min(struct) aggregate — all keyed.
+    */
+  def pettittChangepoint(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column): DataFrame = {
+    val oc = order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }
+    val ocols = oc.indices.map(i => col(s"__o$i"))
+    val base = df.select((Seq(key.alias("k"),
+      value.cast("long").alias("v")) ++ oc): _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    val wK = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(ocols: _*)
+    val wCum = wSeq.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base
+      // R2 = rank_min + rank_max = 2*RANK + ties - 1: both from one sort
+      .withColumn("rmin", rank().over(wRank))
+      .withColumn("ties", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"), col("v"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("ties") - 1L)
+      .withColumn("n", count(lit(1)).over(wK))
+      .withColumn("u2", sum(lit(2L) * col("r2") - (col("n") + 1L) * 2L)
+        .over(wCum))
+      .withColumn("step", row_number().over(wSeq).cast("long"))
+      .filter(col("step") < col("n")) // splits at t = 1..N-1
+      .groupBy(col("k"))
+      .agg(max(col("n")).alias("n"),
+        min(struct(negate(abs(col("u2"))).alias("nk"),
+          col("step").alias("st"), col("u2").alias("u"))).alias("m"))
+      .select(col("k"), col("n"),
+        abs(col("m").getField("u")).alias("k_stat"),
+        col("m").getField("st").alias("t_star_step"),
+        col("m").getField("u").alias("u2_at_star"))
+  }
+
+  /** SAX-lite motif discovery per key: each observation is symbolized
+    * into its within-key value QUARTILE (rank-based — no Gaussian
+    * breakpoints, so exact and distribution-free), consecutive symbols
+    * form 3-gram motifs, and the key's most frequent motif wins (ties →
+    * lexicographically smallest). Rank ties break by the order columns,
+    * making the symbolization total. Returns (k, n_obs, top_motif,
+    * motif_count).
+    *
+    * Scale shape: one rank window + two lead windows + two partial-agg
+    * groupBys, all keyed.
+    */
+  def quartileMotifs(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column): DataFrame = {
+    val oc = order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }
+    val ocols = oc.indices.map(i => col(s"__o$i"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy((col("v") +: ocols): _*)
+    val wK = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(ocols: _*)
+    df.select((Seq(key.alias("k"), value.cast("long").alias("v")) ++ oc): _*)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wK))
+      .withColumn("sym", expr("((rnk - 1) * 4) DIV n + 1"))
+      .withColumn("s1", lead(col("sym"), 1).over(wSeq))
+      .withColumn("s2", lead(col("sym"), 2).over(wSeq))
+      .filter(col("s2").isNotNull) // concat_ws would silently shorten
+      .withColumn("motif",
+        concat_ws("-", col("sym"), col("s1"), col("s2")))
+      .groupBy(col("k"), col("motif"))
+      .agg(count(lit(1)).alias("cnt"), max(col("n")).alias("n_obs"))
+      .groupBy(col("k"))
+      .agg(max(col("n_obs")).alias("n_obs"),
+        min(struct(negate(col("cnt")).alias("nc"),
+          col("motif").alias("m"))).alias("top"))
+      .select(col("k"), col("n_obs"),
+        col("top").getField("m").alias("top_motif"),
+        negate(col("top").getField("nc")).alias("motif_count"))
+  }
+
+  /** Per-key maximum-sum contiguous run (best streak) of a signed integer
+    * flow — Kadane's DP expressed ENTIRELY as windows, no fold: with
+    * prefix sums Pₜ, the best nonempty run ending at t is
+    * Pₜ − min(0, min_{j<t} Pⱼ), and the answer is its max with the
+    * FIRST attaining step (min(struct) argmax, deterministic). All-
+    * negative keys correctly report their best single element.
+    *
+    * Scale shape: two partitioned running windows + one partial-agg
+    * groupBy — the classic example of a "sequential" DP that the
+    * prefix-sum identity makes data-parallel.
+    */
+  def bestStreak(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column): DataFrame = {
+    val oc = order.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }
+    val ocols = oc.indices.map(i => col(s"__o$i"))
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(ocols: _*)
+    val wCum = wSeq.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wPrev = wSeq.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select((Seq(key.alias("k"), value.cast("long").alias("v")) ++ oc): _*)
+      .withColumn("pre", sum(col("v")).over(wCum))
+      .withColumn("floor0",
+        least(lit(0L), coalesce(min(col("pre")).over(wPrev), lit(0L))))
+      .withColumn("endbest", col("pre") - col("floor0"))
+      .withColumn("rn", row_number().over(wSeq).cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).alias("n_steps"), sum(col("v")).alias("total"),
+        min(struct(negate(col("endbest")).alias("nb"),
+          col("rn").alias("rn"))).alias("m"))
+      .select(col("k"), col("n_steps"), col("total"),
+        negate(col("m").getField("nb")).alias("best_sum"),
+        col("m").getField("rn").alias("best_end_step"))
+  }
+
   /** Per-key maximum-drawdown report over an integer flow ordered by
     * `order` (which must be a TOTAL order within each key — pass a
     * tie-broken composite): cum = running sum of `value`, peak = running

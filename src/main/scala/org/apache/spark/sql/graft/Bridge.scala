@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -14,4 +14,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rewrap a (checkpointed) frame so its `LogicalRDD` carries NO
+    * origin statistics. `Dataset.checkpoint`/`localCheckpoint`
+    * deliberately propagate the source plan's stats through the
+    * checkpoint (`originStats`), so in a SELF-JOINING iterative loop the
+    * propagated `sizeInBytes` SQUARES every round — after ~20 rounds it
+    * is a million-digit BigInt and Catalyst's size estimation spends
+    * MINUTES in BigInteger multiplies (observed wedging q349's parity
+    * BFS at sf0.1). Rebuilding from the executed RDD resets the estimate
+    * to the conservative default each round; AQE re-derives real sizes
+    * at runtime, so join strategy is unaffected where it matters.
+    */
+  def withoutOriginStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    spark.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
+  /** The optimizer-visible sizeInBytes estimate of a frame. */
+  def statsSizeInBytes(df: DataFrame): BigInt =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
 }

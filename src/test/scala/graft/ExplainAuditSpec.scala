@@ -47,7 +47,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q194_ann_sq8" -> "broadcast-kNN contract (q36's shape) on int8 codes: queries are the declared small side (vec_id < 10 parquet filter, no static maxRows)",
     "q215_retrieval_eval" -> "single-literal qid fixture: the (qid) equi key constant-folds away, leaving a join of two per-query 1-row aggregates (grouped aggregates have no static maxRows); with real multi-query inputs the join stays equi on qid",
     "q241_cluster_purity" -> "centroid frame = the first-8 embeddings read from parquet (bounded by the vec_id < 8 contract; a parquet filter has no static maxRows — the q65/q79 pattern)",
-    "q316_ivf_cell_drift" -> "two assignToCentroids passes against the same first-8 centroid frame (the q65/q79 vec_id < 8 contract; one non-equi join per corpus half)"
+    "q316_ivf_cell_drift" -> "two assignToCentroids passes against the same first-8 centroid frame (the q65/q79 vec_id < 8 contract; one non-equi join per corpus half)",
+    "q367_skyline3d" -> "dominance anti-join's right side is the explicitly broadcast per-partition skyline candidate set — bounded by the BNL pruning contract (|skyline| << n), not statically provable (mapPartitions has no static maxRows)"
   )
 
   private def nonEquiJoins(plan: LogicalPlan): Seq[Join] = plan.collect {

@@ -944,6 +944,22 @@ class RelationalSpec extends SparkSpec {
       "one whale: Gini (n-1)/n, HHI 1")
     assert(got("z") == (None, None, None), "all-zero mass undefined")
   }
+  test("corrMatrix: one-pass all pairs, monotone +-1, constant NULL") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L, 5L), (2L, 4L, 2L, 5L), (3L, 6L, 1L, 5L))
+      .toDF("x", "y", "z", "w")
+    val got = graft.operators.Relational.corrMatrix(df,
+        Seq("x" -> $"x", "y" -> $"y", "z" -> $"z", "w" -> $"w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got.size == 6, "k(k-1)/2 pairs from one row")
+    assert(got(("x", "y")) == (3L, Some(1000000L)))
+    assert(got(("x", "z")) == (3L, Some(-1000000L)))
+    assert(got(("y", "z"))._2 == Some(-1000000L))
+    assert(got(("x", "w"))._2 == None && got(("z", "w"))._2 == None)
+  }
+
   test("skyline3D: dominance pruning across partitions, duplicates co-survive") {
     import spark.implicits._
     val pts = Seq(

@@ -1216,6 +1216,134 @@ class StreamingSpec extends SparkSpec {
       const, $"t", $"x", $"y", 0).collect().head.isNullAt(2))
   }
 
+  test("quartileMotifs: repeating shape found, count ties lexicographic") {
+    import spark.implicits._
+    val df = (Seq(10L, 20L, 30L, 40L, 11L, 21L, 31L, 41L).zipWithIndex
+      .map { case (v, i) => ("a", i + 1L, v) }).toDF("k", "t", "v")
+    val got = graft.streaming.EventStreams.quartileMotifs(
+      df, $"k", Seq($"t"), $"v").collect().head
+    assert((got.getLong(1), got.getString(2), got.getLong(3))
+      == (8L, "1-2-3", 2L),
+      "two rising-quartile repeats; 2-3-4 also has 2 but sorts later")
+  }
+
+  test("bestStreak: Kadane via prefix windows, all-negative, first-step tie") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, -5L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("a", 5L, -1L),
+      ("b", 1L, -2L), ("b", 2L, -7L), ("b", 3L, -1L),
+      ("c", 1L, 5L), ("c", 2L, -5L), ("c", 3L, 5L)
+    ).toDF("k", "t", "v")
+    val got = graft.streaming.EventStreams.bestStreak(
+        df, $"k", Seq($"t"), $"v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == (5L, 3L, 7L, 4L), "streak 3+4 ends at step 4")
+    assert(got("b") == (3L, -10L, -1L, 3L), "all negative: best single")
+    assert(got("c") == (3L, 5L, 5L, 1L), "equal streaks: FIRST end step")
+  }
+
+  test("burstViterbi: hand DP, fewest-burst-days tie break") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 2L), ("a", 3L, 10L),
+      ("a", 4L, 10L), ("a", 5L, 2L)).toDF("k", "t", "y")
+    val got = graft.streaming.EventStreams.burstViterbi(
+      df, $"k", $"t", $"y").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == (5L, 2L, 6L, 12L, 2L),
+      "median 2, burst rate 6, two burst days at cost 12")
+  }
+
+  test("cdcApply: last writer wins, delete drops, later upsert resurrects") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 1L, "I", 10L), (1L, 2L, "U", 20L),             // plain upsert
+      (2L, 1L, "I", 5L), (2L, 2L, "D", 0L),               // deleted
+      (3L, 1L, "I", 7L), (3L, 2L, "D", 0L), (3L, 3L, "U", 9L) // resurrected
+    ).toDF("k", "seq", "op", "v")
+    val got = graft.streaming.EventStreams.cdcApply(
+        ch, $"k", Seq($"seq"), $"op", $"v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (20L, 2L, 0L), 3L -> (9L, 3L, 1L)),
+      "key 2 ends deleted and is absent")
+  }
+
+  test("holtWinters: hand period-2 recurrence, circular seasonal queue, short key dropped") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 14L),
+      ("a", 4L, 24L), ("b", 1L, 99L)).toDF("k", "t", "y")
+    val got = graft.streaming.EventStreams.holtWinters(
+        df, $"k", $"t", $"y", period = 2,
+        alphaPpm = 500000L, betaPpm = 500000L, gammaPpm = 500000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set("a"), "key shorter than one period is dropped")
+    assert(got("a") == (4L, 18L, 1L, 15L, 25L, 17L),
+      "L=18 T=1 S=[-4,5]: forecasts wrap the seasonal queue")
+  }
+
+  test("seqPatternSupport: extremes identity, strict ordering, ppm of units") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 1L), (2L, "C", 2L), (2L, "B", 3L), (2L, "C", 4L)
+    ).toDF("u", "ty", "tm")
+    val got = graft.streaming.EventStreams.seqPatternSupport(
+        ev, $"u", $"ty", $"tm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("A", "B", "C")) == (2L, 1000000L), "both units")
+    assert(got(("A", "C", "B")) == (1L, 500000L), "unit 2 only")
+    assert(got(("C", "B", "C")) == (1L, 500000L),
+      "same kind can open and close the pattern")
+    assert(!got.contains(("B", "A", "C")), "no A strictly after first B")
+    assert(!got.contains(("A", "A", "B")),
+      "strict: an event cannot follow itself at the same instant")
+  }
+
+  test("seasonalDecompose: hand period-3 trend/seasonal/residual, edges dropped") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 4L), ("a", 2L, 10L), ("a", 3L, 1L),
+      ("a", 4L, 7L), ("a", 5L, 13L), ("a", 6L, 4L)).toDF("k", "t", "v")
+    val got = graft.streaming.EventStreams.seasonalDecompose(
+        df, $"k", $"t", $"v", period = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L, 5L), "edge rows have no full window")
+    assert(got(2L) == (5L, 5L, 0L))
+    assert(got(3L) == (6L, -5L, 0L), "negative seasonal sign-split floor")
+    assert(got(4L) == (7L, 0L, 0L))
+    assert(got(5L) == (8L, 5L, 0L), "phase 2 pools t=2 and t=5")
+  }
+
+  test("runsTest: alternation counts runs, median ties dropped, even-n median") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 5L), ("a", 3L, 2L), ("a", 4L, 6L),
+      ("a", 5L, 3L), ("a", 6L, 7L),
+      ("b", 1L, 1L), ("b", 2L, 3L), ("b", 3L, 2L), ("b", 4L, 4L)
+    ).toDF("k", "t", "v")
+    val got = graft.streaming.EventStreams.runsTest(df, $"k", Seq($"t"), $"v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == (3L, 2L, 4L, 3400000L),
+      "median 3 dropped; - + - + + is four runs")
+    assert(got("b") == (2L, 1L, 2L, 2333333L),
+      "even n: lower median 2 dropped; - + + is two runs")
+  }
+
+  test("pettittChangepoint: level shift located, doubled midranks exact under ties") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L),
+      ("a", 4L, 9L), ("a", 5L, 8L), ("a", 6L, 9L)).toDF("k", "t", "v")
+    val got = graft.streaming.EventStreams.pettittChangepoint(
+      df, $"k", Seq($"t"), $"v").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      == (6L, 18L, 3L, -18L), "split after step 3 maximizes |U2|")
+  }
+
   test("drawdownReport: running peak minus trough, first-step ties") {
     import spark.implicits._
     val df = Seq(

@@ -478,6 +478,94 @@ class ValidationSpec extends SparkSpec {
     assert(got((2L, 3L)) == (1L, 1L, 0L))
   }
 
+  test("lorenzDeciles: cumulative share, zero total NULL") {
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("v", "tb")
+    val got = Validation.lorenzDeciles(rows, $"v", $"tb", buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 3L, 300000L), "bottom half holds 30%")
+    assert(got(2L) == (2L, 7L, 1000000L))
+    val zero = Seq((0L, 1L), (0L, 2L)).toDF("v", "tb")
+    assert(Validation.lorenzDeciles(zero, $"v", $"tb", 2)
+      .collect().forall(_.isNullAt(3)))
+  }
+
+  test("simpsonDiversity: hand match probability, singleton NULL") {
+    val df = Seq(("g1", "A"), ("g1", "A"), ("g1", "B"), ("g2", "X"))
+      .toDF("g", "c")
+    val got = Validation.simpsonDiversity(df, $"g", $"c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4))
+      == (3L, 2L, 333333L, 666667L))
+    assert(got("g2").isNullAt(3), "one draw: undefined")
+  }
+
+  test("prCurveDeciles: hand threshold sweep, exact ppm") {
+    val rows = Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 0L), (4L, 4L, 1L))
+      .toDF("sc", "tb", "y")
+    val got = Validation.prCurveDeciles(rows, $"sc", $"tb", $"y", buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got(1L) == (2L, 2L, 0L, 500000L, 1000000L, 666666L),
+      "threshold at bucket 1 predicts everything positive")
+    assert(got(2L) == (1L, 1L, 1L, 500000L, 500000L, 500000L))
+  }
+
+  test("cramerVonMises: hand interleaving, tie-order invariance") {
+    val df = Seq(("k", 0, 1L), ("k", 0, 3L), ("k", 1, 2L), ("k", 1, 4L),
+      ("t", 0, 1L), ("t", 0, 1L), ("t", 1, 1L), ("t", 1, 2L))
+      .toDF("k", "s", "v")
+    val got = Validation.cramerVonMises(df, $"k", $"s", $"v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("k") == (2L, 2L, 48L, 125000L), "U2 = 4U = 48, T = 24/192")
+    assert(got("t")._3 == 48L, "triple tie at 1: doubled midranks stay integer")
+  }
+
+  test("mcnemarReadout: discordant cells drive the statistic") {
+    val df = Seq(("g", 1, 1), ("g", 1, 0), ("g", 1, 0), ("g", 1, 0),
+      ("g", 0, 1), ("g", 0, 0), ("h", 1, 1), ("h", 0, 0)).toDF("g", "p0", "p1")
+    val got = Validation.mcnemarReadout(df, $"g", $"p0", $"p1")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
+      == (1L, 3L, 1L, 1L))
+    assert(g.getLong(5) == 1000000L, "(3-1)^2 / 4 = 1")
+    assert(got("h").isNullAt(5), "no discordant pairs: undefined")
+  }
+
+  test("spearmanReport: monotone +-1, hand ties via doubled midranks") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 1L, 6L), ("b", 2L, 4L), ("b", 3L, 2L),
+      ("c", 1L, 1L), ("c", 1L, 2L), ("c", 2L, 2L)).toDF("k", "x", "y")
+    val got = Validation.spearmanReport(df, $"k", $"x", $"y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got("a") == Some(1000000L) && got("b") == Some(-1000000L))
+    assert(got("c") == Some(250000L), "dx=(-1,-1,2), dy=(-2,1,1): 9/36")
+  }
+
+  test("upliftDeciles: hand two-bucket uplift and qini, tie-broken equal scores") {
+    val rows = Seq(
+      (1L, 1L, 1, 1L), (2L, 2L, 0, 0L), (3L, 3L, 1, 1L), (4L, 4L, 0, 0L),
+      (5L, 5L, 1, 0L), (6L, 6L, 0, 1L), (7L, 7L, 1, 0L), (8L, 8L, 0, 1L)
+    ).toDF("sc", "tb", "tr", "oc")
+    val got = Validation.upliftDeciles(rows, $"sc", $"tb", $"tr", $"oc",
+        buckets = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(5) == 1000000L && got(1L).getLong(6) == 2000000L)
+    assert(got(2L).getLong(5) == -1000000L && got(2L).getLong(6) == 0L,
+      "cumulative qini returns to zero when control catches up")
+    // all-equal scores: the tie column alone orders the ranking
+    val ties = Seq((7L, 1L, 1, 0L), (7L, 2L, 0, 0L), (7L, 3L, 1, 0L),
+      (7L, 4L, 0, 0L)).toDF("sc", "tb", "tr", "oc")
+    val tg = Validation.upliftDeciles(ties, $"sc", $"tb", $"tr", $"oc", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tg(1L) == (1L, 1L) && tg(2L) == (1L, 1L))
+  }
+
   test("didReadout: hand parallel-trends delta, empty cell NULLs") {
     val rows = Seq(
       ("a", 1, 1, 10L), ("a", 1, 1, 20L), ("a", 1, 0, 5L),
