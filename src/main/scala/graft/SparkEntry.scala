@@ -2511,11 +2511,13 @@ object SparkEntry {
     }),
 
     "q327_weighted_jaccard" -> ((s, dir) => {
-      // tf-aware near-dup pairs: multiset Jaccard ≥ 0.6 in floor ppm,
-      // inverted-index equi-join on shared tokens only (Σ max via the
-      // n_a + n_b − Σ min identity — union never materializes).
+      // tf-aware near-dup pairs: multiset Jaccard ≥ 0.6 in floor ppm
+      // over df-capped tokens (df ≤ 64 — ubiquitous tokens are pruned
+      // from BOTH multiset sides, the stopword-pruning semantics that
+      // also bounds the inverted-index fan-out), equi-join on shared
+      // tokens only (Σ max via the n_a + n_b − Σ min identity).
       Dedup.weightedJaccardPairs(t(s, dir, "documents"), col("doc_id"),
-          col("text"), minPpm = 600000L)
+          col("text"), minPpm = 600000L, maxDf = 64)
         .sortBy(Seq(col("id_a"), col("id_b")))
     }),
 
@@ -3674,6 +3676,48 @@ object SparkEntry {
       graft.streaming.EventStreams.quartileMotifs(
           daily, col("k"), Seq(col("d")), col("y"))
         .sortBy(Seq(col("k")))
+    }),
+
+    "q394_sql_variables" -> ((s, dir) => {
+      // Spark 4 SQL-surface trio in one pass: a SESSION VARIABLE holds
+      // the mean order value in cents (exact SUM DIV COUNT), EXECUTE
+      // IMMEDIATE binds it into parameterized dynamic SQL via USING
+      // (never string interpolation), and the statement itself uses
+      // GROUP BY ALL / ORDER BY ALL.
+      t(s, dir, "orders").createOrReplaceTempView("graft_q394_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_q394_cut BIGINT")
+      s.sql("""SET VARIABLE graft_q394_cut =
+           (SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) DIV COUNT(*) FROM graft_q394_orders)""")
+      s.sql("""EXECUTE IMMEDIATE
+           'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * 100 AS BIGINT) > ? THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_above,
+              ? AS cut_cents
+            FROM graft_q394_orders GROUP BY ALL ORDER BY ALL'
+           USING graft_q394_cut, graft_q394_cut""")
+    }),
+
+    "q395_clustering_coeff" -> ((s, dir) => {
+      // neighborhood cliquishness of the near-dup graph: local
+      // clustering coefficient per doc — near-1 inside true duplicate
+      // clusters, 0 along q50's transitive chains.
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), threshold = 0.8)
+      graft.operators.Graph.clusteringCoefficients(pairs)
+        .sortBy(Seq(col("id")))
+    }),
+
+    "q396_ktruss" -> ((s, dir) => {
+      // densest-core extraction from the near-dup graph: 3-truss peeling
+      // (every surviving edge closes a triangle) — the edge-level
+      // cohesion filter that separates true duplicate cliques from
+      // borderline chains q50's closure would merge.
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), threshold = 0.8)
+      graft.operators.Graph.kTrussPeel(pairs, k = 3, rounds = 2)
+        .sortBy(Seq(col("id_a"), col("id_b")))
     }),
 
     "q316_ivf_cell_drift" -> ((s, dir) => {
@@ -7612,11 +7656,14 @@ object SparkEntry {
                regexp_split_to_array(lower(trim(text)), '\s+'),
                x -> len(x) > 0)) AS tok
              FROM documents) GROUP BY doc_id, tok),
-         tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+         kept AS (SELECT tf.* FROM tf JOIN (SELECT tok FROM tf
+             GROUP BY tok HAVING COUNT(*) <= 64) d USING (tok)),
+         tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n
+           FROM kept GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter
-           FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          j AS (SELECT id_a, id_b, inter, ta.n + tb.n - inter AS uni
            FROM inter
@@ -9538,6 +9585,113 @@ object SparkEntry {
            CAST(MAX(mx.mc) AS BIGINT) AS motif_count
          FROM mc JOIN mx ON mx.k = mc.k AND mc.cnt = mx.mc
          GROUP BY mc.k, mc.n_obs ORDER BY mc.k""",
+
+    // the variable + dynamic SQL collapse to a plain parameterized query
+    "q394_sql_variables" ->
+      """WITH cut AS (SELECT CAST(SUM(CAST(CAST(o_totalprice
+               AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS c FROM orders)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+               * 100 AS BIGINT) > (SELECT c FROM cut) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_above,
+           (SELECT c FROM cut) AS cut_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // q129's edge chain + degrees; wedge denominator C(deg,2)
+    "q395_clustering_coeff" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         e AS (
+           SELECT id_a AS a, id_b AS b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+           FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+           GROUP BY 1),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+         corners AS (
+           SELECT x AS id FROM tri UNION ALL
+           SELECT y FROM tri UNION ALL SELECT z FROM tri),
+         tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM corners GROUP BY 1)
+         SELECT d.id, d.degree,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN NULL
+             ELSE (COALESCE(tc.n_triangles, 0) * 1000000)
+               // ((d.degree * (d.degree - 1)) // 2) END AS coeff_ppm
+         FROM deg d LEFT JOIN tc ON tc.id = d.id ORDER BY d.id""",
+
+    // two mechanically-unrolled peel rounds (support >= k-2 = 1), then
+    // the final support readout — the q216-style unroll discipline
+    "q396_ktruss" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         e0 AS (
+           SELECT id_a AS a, id_b AS b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         c1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1
+           JOIN e0 e2 ON e1.b = e2.a
+           JOIN e0 e3 ON e1.a = e3.a AND e2.b = e3.b),
+         n1 AS (SELECT a, b, COUNT(*) AS n FROM (
+             SELECT x AS a, y AS b FROM c1 UNION ALL
+             SELECT y, z FROM c1 UNION ALL SELECT x, z FROM c1)
+           GROUP BY 1, 2),
+         e1r AS (SELECT e0.a, e0.b FROM e0 JOIN n1 USING (a, b)
+           WHERE n1.n >= 1),
+         c2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e1r e1
+           JOIN e1r e2 ON e1.b = e2.a
+           JOIN e1r e3 ON e1.a = e3.a AND e2.b = e3.b),
+         n2 AS (SELECT a, b, COUNT(*) AS n FROM (
+             SELECT x AS a, y AS b FROM c2 UNION ALL
+             SELECT y, z FROM c2 UNION ALL SELECT x, z FROM c2)
+           GROUP BY 1, 2),
+         e2r AS (SELECT e1r.a, e1r.b FROM e1r JOIN n2 USING (a, b)
+           WHERE n2.n >= 1),
+         c3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e2r e1
+           JOIN e2r e2 ON e1.b = e2.a
+           JOIN e2r e3 ON e1.a = e3.a AND e2.b = e3.b),
+         n3 AS (SELECT a, b, COUNT(*) AS n FROM (
+             SELECT x AS a, y AS b FROM c3 UNION ALL
+             SELECT y, z FROM c3 UNION ALL SELECT x, z FROM c3)
+           GROUP BY 1, 2)
+         SELECT e2r.a AS id_a, e2r.b AS id_b,
+           CAST(COALESCE(n3.n, 0) AS BIGINT) AS support
+         FROM e2r LEFT JOIN n3 USING (a, b) ORDER BY id_a, id_b""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

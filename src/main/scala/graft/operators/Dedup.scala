@@ -421,9 +421,16 @@ object Dedup {
     val tf = docs.select(id.alias("id"),
         explode(graft.functions.TextFns.tokens(text)).alias("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).alias("tf"))
-    val tot = tf.groupBy("id").agg(sum("tf").alias("n"))
     val dfreq = tf.groupBy("tok").count()
     val kept = tf.join(dfreq.filter(col("count") <= maxDf).select("tok"), Seq("tok"))
+    // totals over the KEPT multiset, not the raw one: pruning a ubiquitous
+    // token from the intersection but not the union would push true
+    // near-dups BELOW threshold — df-capping must shrink both sides (the
+    // similarity is then "over informative tokens", the production
+    // stopword-pruning semantics). The cap also bounds the inverted-index
+    // fan-out (sum over tokens of df^2 <= maxDf * corpus tf mass) — the
+    // uncapped q327 cost 128 s at sf0.1; capped at 64 it is sub-second.
+    val tot = kept.groupBy("id").agg(sum("tf").alias("n"))
     kept.alias("a")
       .join(kept.alias("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

@@ -322,6 +322,82 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).alias("n_triangles"))
   }
 
+  /** Fixed-round k-truss peeling over an undirected edge list given as
+    * ordered pairs (id_a < id_b): each round computes every edge's
+    * SUPPORT (triangles it participates in — each ascending triangle
+    * (a,b),(b,c),(a,c) credits all three edges) and drops edges with
+    * support < k−2; removals cascade across rounds. The edge-level
+    * sibling of [[kCorePeel]] — k-trusses isolate the provably dense
+    * cores (every edge in a k-truss has k−2 common neighbors), the
+    * strongest standard cohesion filter for near-dup cluster quality.
+    *
+    * FIXED `rounds` (deterministic cost, mechanically unrollable
+    * oracle — the [[kCorePeel]]/[[pagerank]] contract). Returns the
+    * surviving (id_a, id_b, support) with support measured over
+    * surviving edges.
+    *
+    * Scale shape per round: [[triangleCounts]]'s two equi-joins plus an
+    * edge-keyed count and a semi-join filter; lineage truncated per
+    * round ([[Iterative.truncate]], reliable `checkpointDir` opt-in).
+    */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").alias("x"), col("e1.b").alias("y"),
+          col("e2.b").alias("z"))
+      val credit = tri.select(col("x").alias("a"), col("y").alias("b"))
+        .union(tri.select(col("y").alias("a"), col("z").alias("b")))
+        .union(tri.select(col("x").alias("a"), col("z").alias("b")))
+      e.join(credit.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).alias("support")),
+          Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).alias("support"))
+    }
+    var e = Iterative.truncate(
+      edges.select(col("id_a").alias("a"), col("id_b").alias("b")),
+      checkpointDir)
+    (1 to rounds).foreach { _ =>
+      e = Iterative.truncate(
+        support(e).filter(col("support") >= (k - 2).toLong)
+          .select(col("a"), col("b")), checkpointDir)
+    }
+    support(e).select(col("a").alias("id_a"), col("b").alias("id_b"),
+      col("support"))
+  }
+
+  /** Local clustering coefficient per node — triangles through the node
+    * over its possible wedges, the "how clique-like is this node's
+    * neighborhood" diagnostic (near-1 inside true duplicate clusters,
+    * near-0 along transitive chains): coeff = ⌊tri·10⁶ / C(deg,2)⌋, NULL
+    * for degree < 2. Input: undirected edges as ordered pairs
+    * (id_a < id_b), each stored once — [[triangleCounts]]'s convention.
+    * Returns (id, degree, n_triangles, coeff_ppm) over ALL nodes.
+    *
+    * Scale shape: [[triangleCounts]]'s two equi-joins plus one
+    * node-sized degree groupBy and a left join — no new morphology.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").alias("a"), col("id_b").alias("b"))
+    val deg = e.select(col("a").alias("id"))
+      .union(e.select(col("b").alias("id")))
+      .groupBy(col("id")).agg(count(lit(1)).alias("degree"))
+    deg.join(triangleCounts(edges).withColumnRenamed("id", "__t"),
+        col("id") === col("__t"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).alias("n_triangles"),
+        expr("""CASE WHEN degree < 2 THEN NULL
+                ELSE (coalesce(n_triangles, 0) * 1000000)
+                  DIV ((degree * (degree - 1)) DIV 2) END""")
+          .alias("coeff_ppm"))
+  }
+
   /** Personalized PageRank, integer-exact: [[pagerank]] with the teleport
     * mass restricted to a SEED set — rank'(v) = [v ∈ S]·((100−dNum)·scale)
     * DIV 100 + (dNum·Σ contrib) DIV 100, starting from rank = scale on

@@ -183,11 +183,12 @@ class DedupSpec extends SparkSpec {
     assert(all((2L, 3L)) == (1L, 5L, 200000L))
     // threshold is inclusive on the floored ppm
     assert(run(500000L).keySet == Set((1L, 2L), (1L, 3L)))
-    // maxDf=2 drops hub token x (df 3) from pair GENERATION only: 1-2
-    // survives on y alone with x's mass still in the totals (lower
-    // bound), and the x-only pairs (1-3, 2-3) vanish entirely
+    // maxDf=2 prunes hub token x (df 3) from BOTH multiset sides — the
+    // similarity is over informative tokens, so 1-2 survives on y with
+    // x's mass gone from the totals too (kept multisets {y:1} vs {y:2}),
+    // and the x-only pairs (1-3, 2-3) vanish entirely
     val capped = run(1L, maxDf = 2)
-    assert(capped == Map((1L, 2L) -> (1L, 5L, 200000L)))
+    assert(capped == Map((1L, 2L) -> (1L, 2L, 500000L)))
   }
 
   test("winnowFingerprints: density guarantee, shared-substring property, rightmost ties, short docs") {
@@ -307,6 +308,45 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L), (2L, 5L, 4L),
       (11L, 12L, 10L), (12L, 13L, 20L), (13L, 14L, 30L), (14L, 15L, 40L)))
   }
+  test("kTrussPeel: K4 is a 4-truss, pendant triangle peels, cascade removes") {
+    import spark.implicits._
+    // K4 + a triangle {30,31,32} + a pendant edge: at k=4 only K4
+    // survives; the triangle edges (support 1) drop in round 1, and any
+    // edge surviving only via them would cascade in round 2
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (30L, 31L), (30L, 32L), (31L, 32L), (32L, 33L)
+    ).toDF("id_a", "id_b")
+    val k4 = graft.operators.Graph.kTrussPeel(edges, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(k4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(k4.values.forall(_ == 2L), "every K4 edge closes 2 triangles")
+    val k3 = graft.operators.Graph.kTrussPeel(edges, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (30L, 31L), (30L, 32L), (31L, 32L)),
+      "3-truss keeps the triangle, drops the pendant edge")
+  }
+
+  test("clusteringCoefficients: clique 1.0, chain 0, wedge third, degree-1 NULL") {
+    import spark.implicits._
+    // K4 (coeff 1), chain 10-11-12 (11 has a wedge but no triangle),
+    // star-plus-one-edge at 20 (1 triangle over 3 wedges)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L)
+    ).toDF("id_a", "id_b")
+    val got = graft.operators.Graph.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == (3L, 3L, Some(1000000L)))
+    assert(got(11L) == (2L, 0L, Some(0L)), "wedge, no triangle")
+    assert(got(10L) == (1L, 0L, None), "degree 1: undefined")
+    assert(got(20L) == (3L, 1L, Some(333333L)), "1 of 3 wedges closed")
+  }
+
   test("triangleCounts: 4-clique has 3 per node, chains none, each triangle counted once") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + chain 10-11-12 (none)
     val edges = Seq(
