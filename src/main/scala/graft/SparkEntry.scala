@@ -3720,6 +3720,46 @@ object SparkEntry {
         .sortBy(Seq(col("id_a"), col("id_b")))
     }),
 
+    "q397_rfm" -> ((s, dir) => {
+      // classic RFM segmentation of the user base: recency (days from
+      // the corpus horizon), frequency, monetary micros, each quintiled
+      // independently, composite code 100r+10f+m.
+      val per = t(s, dir, "events").aggregate(
+        Seq(col("user_id").as("u")),
+        Seq(max(expr("unix_micros(ts) DIV 86400000000")).as("last_d"),
+          count(lit(1)).as("fq"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .as("mo")))
+      val hz = per.aggregate(Nil, Seq(max(col("last_d")).as("hz")))
+      val rf = per.crossJoin(broadcast(hz)).selectCols(Seq(col("u"),
+        (col("hz") - col("last_d")).as("rd"), col("fq"), col("mo")))
+      graft.operators.Validation.rfmScores(
+          rf, col("u"), col("rd"), col("fq"), col("mo"), buckets = 5)
+        .sortBy(Seq(col("u")))
+    }),
+
+    "q398_logrank" -> ((s, dir) => {
+      // does the odd-parity cohort hit its first error faster than
+      // chance: log-rank O-E per event time over the q373 subjects.
+      val ev = t(s, dir, "events").selectCols(Seq(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tm")))
+      val entry = ev.filterCol(col("event_type") === "signup")
+        .aggregate(Seq(col("user_id").as("u")), Seq(min(col("tm")).as("ent")))
+      val hz = ev.aggregate(Nil, Seq(max(col("tm")).as("hz")))
+      val subj = entry
+        .join(ev.filterCol(col("event_type") === "error")
+            .selectCols(Seq(col("user_id").as("du"), col("tm").as("dts"))),
+          col("u") === col("du") && col("dts") >= col("ent"), "left")
+        .aggregate(Seq(col("u"), col("ent")), Seq(min(col("dts")).as("dt")))
+        .crossJoin(broadcast(hz))
+        .selectCols(Seq((col("u") % 2).as("g"),
+          expr("(coalesce(dt, hz) - ent) DIV 1000000").as("dur"),
+          when(col("dt").isNotNull, 1L).otherwise(0L).as("evt")))
+      graft.operators.Validation.logRank(
+          subj, col("g"), col("dur"), col("evt"))
+        .sortBy(Seq(col("t")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -9692,6 +9732,65 @@ object SparkEntry {
          SELECT e2r.a AS id_a, e2r.b AS id_b,
            CAST(COALESCE(n3.n, 0) AS BIGINT) AS support
          FROM e2r LEFT JOIN n3 USING (a, b) ORDER BY id_a, id_b""",
+
+    // three global rankings (the oracle may), same bucket formula
+    "q397_rfm" ->
+      """WITH per AS (SELECT user_id AS u,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS fq,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+               AS BIGINT)) AS BIGINT) AS mo
+           FROM events GROUP BY 1),
+         rf AS (SELECT u, (SELECT MAX(last_d) FROM per) - last_d AS rd,
+             fq, mo FROM per),
+         rr AS (SELECT u, rd, fq, mo,
+             ROW_NUMBER() OVER (ORDER BY -rd, u) AS kr,
+             ROW_NUMBER() OVER (ORDER BY fq, u) AS kf,
+             ROW_NUMBER() OVER (ORDER BY mo, u) AS km,
+             COUNT(*) OVER () AS n FROM rf),
+         sc AS (SELECT u, rd, fq, mo,
+             ((kr - 1) * 5) // n + 1 AS r_score,
+             ((kf - 1) * 5) // n + 1 AS f_score,
+             ((km - 1) * 5) // n + 1 AS m_score FROM rr)
+         SELECT u, CAST(rd AS BIGINT) AS recency_days, fq AS n_events,
+           mo AS monetary, CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+             AS rfm_code
+         FROM sc ORDER BY u""",
+
+    // q373's subjects with a parity cohort; suffix-sum risk sets, one
+    // sign-split ppm per event time — no recursion needed
+    "q398_logrank" ->
+      """WITH ev AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+         entry AS (SELECT user_id AS u, MIN(tm) AS ent FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         subj AS (SELECT e.u, e.ent, MIN(d.tm) AS dt
+           FROM entry e LEFT JOIN ev d ON d.user_id = e.u
+             AND d.event_type = 'error' AND d.tm >= e.ent
+           GROUP BY 1, 2),
+         base AS (SELECT u % 2 AS g,
+             (COALESCE(dt, (SELECT MAX(tm) FROM ev)) - ent) // 1000000
+               AS dur,
+             CASE WHEN dt IS NOT NULL THEN 1 ELSE 0 END AS ev FROM subj),
+         st AS (SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+           FROM base GROUP BY 1),
+         w AS (SELECT t, d, d1,
+             CAST(SUM(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+             CAST(SUM(m1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS n1_risk FROM st)
+         SELECT t, n_risk, n1_risk, d, d1,
+           CASE WHEN d1 * n_risk - d * n1_risk >= 0 THEN
+             ((d1 * n_risk - d * n1_risk) * 1000000) // n_risk
+           ELSE -(((d * n1_risk - d1 * n_risk) * 1000000) // n_risk) END
+             AS oe_ppm
+         FROM w WHERE d > 0 ORDER BY t""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

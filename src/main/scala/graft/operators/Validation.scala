@@ -1458,6 +1458,70 @@ object Validation {
                 ELSE (cum * 1000000) DIV total END""").alias("cum_share_ppm"))
   }
 
+  /** Log-rank O−E table comparing cohort 1's survival against the rest —
+    * the hypothesis-test companion of [[kaplanMeier]]: at each event
+    * time, observed cohort-1 deaths minus the expected share
+    * d·n₁/n under the null, as an exact sign-split ppm per time
+    * (Σ oe_ppm > 0 ⇒ cohort 1 dies faster than chance). Input: one row
+    * per subject (group 0/1, duration, event 0/1); censor-only times
+    * emit no row but shrink the risk sets. Returns
+    * (t, n_risk, n1_risk, d, d1, oe_ppm) per event time.
+    *
+    * Scale shape: one (time)-keyed partial agg, then suffix-sum windows
+    * over the DISTINCT-TIME frame (bounded by distinct durations, not
+    * subjects).
+    */
+  def logRank(df: DataFrame, group: Column, duration: Column,
+      event: Column): DataFrame = {
+    val steps = df.select(group.cast("int").alias("g"),
+        duration.cast("long").alias("t"), event.cast("long").alias("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).alias("d"),
+        sum(when(col("g") === 1, col("ev")).otherwise(0L)).alias("d1"),
+        count(lit(1)).alias("m"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).alias("m1"))
+    val wSuf = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    steps
+      .withColumn("n_risk", sum(col("m")).over(wSuf))
+      .withColumn("n1_risk", sum(col("m1")).over(wSuf))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("n1_risk"), col("d"), col("d1"),
+        expr("""CASE WHEN (d1 * n_risk - d * n1_risk) >= 0 THEN
+                  ((d1 * n_risk - d * n1_risk) * 1000000) DIV n_risk
+                ELSE -(((d * n1_risk - d1 * n_risk) * 1000000) DIV n_risk)
+                END""").alias("oe_ppm"))
+  }
+
+  /** RFM segmentation: each unit's Recency / Frequency / Monetary value
+    * quintiled independently ([[rankBuckets]] ×3 — no global row
+    * window), scores 1..buckets with `buckets` = best (most recent,
+    * most frequent, highest spend; recency ranks NEGATED days so the
+    * freshest unit lands in the top bucket), and the composite
+    * `rfm_code = 100·r + 10·f + m` — the standard marketing-segmentation
+    * readout, exact end to end.
+    */
+  def rfmScores(df: DataFrame, unit: Column, recencyDays: Column,
+      frequency: Column, monetary: Column, buckets: Int = 5): DataFrame = {
+    val base = df.select(unit.cast("long").alias("u"),
+      recencyDays.cast("long").alias("rd"),
+      frequency.cast("long").alias("fq"),
+      monetary.cast("long").alias("mo"))
+    def score(v: Column, out: String): DataFrame =
+      rankBuckets(base.select(v.alias("sc"), col("u").alias("tb")), buckets)
+        .select(col("tb").alias(s"__u_$out"), col("bucket").alias(out))
+    base
+      .join(score(negate(col("rd")), "r_score"),
+        col("u") === col("__u_r_score"))
+      .join(score(col("fq"), "f_score"), col("u") === col("__u_f_score"))
+      .join(score(col("mo"), "m_score"), col("u") === col("__u_m_score"))
+      .select(col("u"), col("rd").alias("recency_days"),
+        col("fq").alias("n_events"), col("mo").alias("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .alias("rfm_code"))
+  }
+
   /** Simpson concentration / Gini–Simpson diversity per group over a
     * categorical column, exact rationals: with category counts nᵢ and
     * N = Σnᵢ, simpson = Σnᵢ(nᵢ−1) / (N(N−1)) (the probability two

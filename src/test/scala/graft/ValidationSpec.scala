@@ -478,6 +478,27 @@ class ValidationSpec extends SparkSpec {
     assert(got((2L, 3L)) == (1L, 1L, 0L))
   }
 
+  test("logRank: O-E per event time, censoring shrinks risk sets") {
+    val subj = Seq((1, 5L, 1L), (1, 10L, 0L), (0, 5L, 1L), (0, 7L, 1L))
+      .toDF("g", "dur", "ev")
+    val got = Validation.logRank(subj, $"g", $"dur", $"ev")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(5L) == (4L, 2L, 2L, 1L, 0L), "balanced deaths: O = E")
+    assert(got(7L) == (2L, 1L, 1L, 0L, -500000L),
+      "cohort-0 death while cohort 1 holds half the risk set")
+    assert(!got.contains(10L), "censor-only time emits no row")
+  }
+
+  test("rfmScores: three independent quintiles, recency inverted, code composition") {
+    val df = Seq((1L, 1L, 10L, 100L), (2L, 5L, 1L, 10L),
+      (3L, 3L, 5L, 50L), (4L, 9L, 7L, 5L)).toDF("u", "rd", "fq", "mo")
+    val got = Validation.rfmScores(df, $"u", $"rd", $"fq", $"mo", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(got == Map(1L -> 222L, 2L -> 111L, 3L -> 212L, 4L -> 121L),
+      "freshest/most-frequent/highest-spend units land in the top bucket")
+  }
+
   test("lorenzDeciles: cumulative share, zero total NULL") {
     val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("v", "tb")
     val got = Validation.lorenzDeciles(rows, $"v", $"tb", buckets = 2)
