@@ -3760,6 +3760,31 @@ object SparkEntry {
         .sortBy(Seq(col("t")))
     }),
 
+    "q399_read_csv" -> ((s, dir) => {
+      // read-csv as a driver fact (closing the one §2 row without an
+      // oracle-backed CORRECTNESS entry): orders written to CSV through
+      // Engine.writeCsv, read back through Engine.readCsv — header row =
+      // column names, schema inferred: the reference's exact
+      // CsvReadOptions::new() defaults (main.rs:574) — and hash-matched
+      // against the parquet original. Proves header naming, type
+      // inference, quoting, and double textual round-trip (Java
+      // shortest-repr Double.toString reparses exactly) are lossless.
+      // Inference correctly picks the narrowest integer type (INT at
+      // this key range); the cast restores the parquet width so the
+      // driver's dtype-sensitive hash compares like for like.
+      val sf = new java.io.File(dir).getName
+      val scratch = s"/root/repo/target/graft-scratch/$sf/orders_csv"
+      Engine.writeCsv(t(s, dir, "orders").selectCols(Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))), scratch)
+      Engine.readCsv(s, scratch).selectCols(Seq(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority")))
+        .sortBy(Seq(col("o_orderkey")))
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -5911,6 +5936,9 @@ object SparkEntry {
         .sortBy(Seq(col("query_id"), col("rank")))
     }),
 
+    // NOTE: q193 never existed — a numbering gap, not a removed query.
+    // Audits counting "queries" must use SparkEntry.queries.size, not
+    // max(qNNN).
     "q192_incremental_agg" -> ((s, dir) => {
       // incremental view maintenance: the pre-cutoff rollup is NEVER
       // recomputed — a changelog (post-cutoff inserts + every-13th-key
@@ -8095,42 +8123,42 @@ object SparkEntry {
     // three unrolled local-max rounds: per-node best incident edge by
     // (w DESC, a, b), matched iff both endpoints agree, matched nodes out
     "q344_review_pair_matching" ->
-      """WITH hi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      """WITH hi AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
              WHERE l_quantity >= 45),
-         e1 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+         e1 AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b,
                   CAST(COUNT(*) AS BIGINT) AS w
                 FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
                   AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
-         o1 AS (SELECT a AS node, a, b, w FROM e1
+         o1 AS MATERIALIZED (SELECT a AS node, a, b, w FROM e1
                 UNION ALL SELECT b, a, b, w FROM e1),
-         b1 AS (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
+         b1 AS MATERIALIZED (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
                   OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
                 FROM o1) WHERE rn = 1),
-         m1 AS (SELECT e.a, e.b, e.w FROM e1 e
+         m1 AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e1 e
                 JOIN b1 x ON x.node = e.a AND x.a = e.a AND x.b = e.b
                 JOIN b1 y ON y.node = e.b AND y.a = e.a AND y.b = e.b),
-         t1 AS (SELECT a AS n FROM m1 UNION SELECT b FROM m1),
-         e2 AS (SELECT e.a, e.b, e.w FROM e1 e
+         t1 AS MATERIALIZED (SELECT a AS n FROM m1 UNION SELECT b FROM m1),
+         e2 AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e1 e
                 WHERE e.a NOT IN (SELECT n FROM t1)
                   AND e.b NOT IN (SELECT n FROM t1)),
-         o2 AS (SELECT a AS node, a, b, w FROM e2
+         o2 AS MATERIALIZED (SELECT a AS node, a, b, w FROM e2
                 UNION ALL SELECT b, a, b, w FROM e2),
-         b2 AS (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
+         b2 AS MATERIALIZED (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
                   OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
                 FROM o2) WHERE rn = 1),
-         m2 AS (SELECT e.a, e.b, e.w FROM e2 e
+         m2 AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e2 e
                 JOIN b2 x ON x.node = e.a AND x.a = e.a AND x.b = e.b
                 JOIN b2 y ON y.node = e.b AND y.a = e.a AND y.b = e.b),
-         t2 AS (SELECT a AS n FROM m2 UNION SELECT b FROM m2),
-         e3 AS (SELECT e.a, e.b, e.w FROM e2 e
+         t2 AS MATERIALIZED (SELECT a AS n FROM m2 UNION SELECT b FROM m2),
+         e3 AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e2 e
                 WHERE e.a NOT IN (SELECT n FROM t2)
                   AND e.b NOT IN (SELECT n FROM t2)),
-         o3 AS (SELECT a AS node, a, b, w FROM e3
+         o3 AS MATERIALIZED (SELECT a AS node, a, b, w FROM e3
                 UNION ALL SELECT b, a, b, w FROM e3),
-         b3 AS (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
+         b3 AS MATERIALIZED (SELECT node, a, b FROM (SELECT node, a, b, ROW_NUMBER()
                   OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
                 FROM o3) WHERE rn = 1),
-         m3 AS (SELECT e.a, e.b, e.w FROM e3 e
+         m3 AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e3 e
                 JOIN b3 x ON x.node = e.a AND x.a = e.a AND x.b = e.b
                 JOIN b3 y ON y.node = e.b AND y.a = e.a AND y.b = e.b)
          SELECT a, b, w, CAST(1 AS BIGINT) AS round FROM m1
@@ -8393,14 +8421,14 @@ object SparkEntry {
     // row; exploit argmax = list_reduce with the cross-multiplied
     // comparator, optimistic never-pulled short-circuit, explore cycle
     "q355_bandit_replay" ->
-      """WITH RECURSIVE ev AS (SELECT user_id % 8 AS co,
+      """WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id % 8 AS co,
              epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id AS i,
              CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
                WHEN 'view' THEN 4 END AS a,
              CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rew
            FROM events),
-         o AS (SELECT co, a, rew,
+         o AS MATERIALIZED (SELECT co, a, rew,
              ROW_NUMBER() OVER (PARTITION BY co ORDER BY tus, i) AS r
            FROM ev),
          st(co, r, c0, c1, c2, c3, c4, s0, s1, s2, s3, s4) AS (
@@ -8439,7 +8467,7 @@ object SparkEntry {
                       THEN i ELSE acc END)
                END AS ch
              FROM st JOIN o ON o.co = st.co AND o.r = st.r + 1) t),
-         fin AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+         fin AS MATERIALIZED (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
              (PARTITION BY co ORDER BY r DESC) AS rn FROM st) WHERE rn = 1)
          SELECT co AS cohort, CAST(0 AS BIGINT) AS arm_idx, 'click' AS arm,
                 c0 AS pulls, s0 AS reward_micro FROM fin
@@ -9791,6 +9819,12 @@ object SparkEntry {
            ELSE -(((d * n1_risk - d1 * n_risk) * 1000000) // n_risk) END
              AS oe_ppm
          FROM w WHERE d > 0 ORDER BY t""",
+
+    // The CSV round trip is lossless, so the answer is the source rows.
+    "q399_read_csv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.
@@ -12695,30 +12729,30 @@ object SparkEntry {
     // Four mechanically unrolled peel rounds (the q100 pattern): degree,
     // alive filter, both-endpoint edge survival, repeated.
     "q199_kcore" ->
-      """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem
+      """WITH hi AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem
                      WHERE l_quantity >= 45),
-         e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
                 FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
                   AND x.l_partkey < y.l_partkey),
-         d1 AS (SELECT id, count(*) AS deg FROM
+         d1 AS MATERIALIZED (SELECT id, count(*) AS deg FROM
                  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id),
-         a1 AS (SELECT id FROM d1 WHERE deg >= 3),
-         e1 AS (SELECT e0.a, e0.b FROM e0
+         a1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 3),
+         e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
                 JOIN a1 x ON e0.a = x.id JOIN a1 y ON e0.b = y.id),
-         d2 AS (SELECT id, count(*) AS deg FROM
+         d2 AS MATERIALIZED (SELECT id, count(*) AS deg FROM
                  (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY id),
-         a2 AS (SELECT id FROM d2 WHERE deg >= 3),
-         e2 AS (SELECT e1.a, e1.b FROM e1
+         a2 AS MATERIALIZED (SELECT id FROM d2 WHERE deg >= 3),
+         e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
                 JOIN a2 x ON e1.a = x.id JOIN a2 y ON e1.b = y.id),
-         d3 AS (SELECT id, count(*) AS deg FROM
+         d3 AS MATERIALIZED (SELECT id, count(*) AS deg FROM
                  (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id),
-         a3 AS (SELECT id FROM d3 WHERE deg >= 3),
-         e3 AS (SELECT e2.a, e2.b FROM e2
+         a3 AS MATERIALIZED (SELECT id FROM d3 WHERE deg >= 3),
+         e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
                 JOIN a3 x ON e2.a = x.id JOIN a3 y ON e2.b = y.id),
-         d4 AS (SELECT id, count(*) AS deg FROM
+         d4 AS MATERIALIZED (SELECT id, count(*) AS deg FROM
                  (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id),
-         a4 AS (SELECT id FROM d4 WHERE deg >= 3),
-         e4 AS (SELECT e3.a, e3.b FROM e3
+         a4 AS MATERIALIZED (SELECT id FROM d4 WHERE deg >= 3),
+         e4 AS MATERIALIZED (SELECT e3.a, e3.b FROM e3
                 JOIN a4 x ON e3.a = x.id JOIN a4 y ON e3.b = y.id)
          SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
            (SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
