@@ -271,9 +271,15 @@ object Graph {
     * and FIXED rounds, so the oracle replays R relaxations as unrolled SQL
     * ([[pagerank]]'s contract; BFS needs at most diameter rounds).
     *
-    * Scale shape per round: one edge equi-join keyed on the node id + one
-    * per-node partial-agg min — the frontier never exists as driver state;
-    * lineage truncated per round ([[Iterative.truncate]]).
+    * Scale shape per round: FRONTIER-relaxed — with unit weights a node's
+    * distance never improves after its first reach, so only the nodes
+    * discovered LAST round need their neighbors expanded: one edge
+    * equi-join keyed on the frontier id + one per-node partial-agg min +
+    * one anti-join against the settled set. Join input is the frontier
+    * (shrinks to zero at the true diameter), not the whole reached set —
+    * and an empty frontier ends the loop early (identical answer: no
+    * further round can change anything), so R is a CAP, not a cost.
+    * Lineage truncated per round ([[Iterative.truncate]]).
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -285,13 +291,25 @@ object Graph {
       e0.union(e0.select(col("b").alias("a"), col("a").alias("b"))), checkpointDir)
     var dist = Iterative.truncate(
       sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
-    (1 to rounds).foreach { _ =>
-      val relaxed = nbrs
-        .join(dist.withColumnRenamed("id", "a"), Seq("a"))
-        .select(col("b").alias("id"), (col("dist") + 1L).alias("dist"))
-        .union(dist)
-      dist = Iterative.truncate(
-        relaxed.groupBy("id").agg(min(col("dist")).alias("dist")), checkpointDir)
+    var frontier = dist
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val reached = nbrs
+        .join(frontier.withColumnRenamed("id", "a"), Seq("a"))
+        .groupBy(col("b").alias("id"))
+        .agg(min(col("dist") + 1L).alias("dist"))
+      frontier = Iterative.truncate(
+        reached.join(dist, Seq("id"), "left_anti"), checkpointDir)
+      // empty-frontier early exit: isEmpty on the just-materialized
+      // checkpoint is a cheap driver action, and it skips every
+      // post-diameter round entirely
+      if (frontier.isEmpty) done = true
+      // dist needs NO truncate of its own: it is a union of already-
+      // checkpointed frontiers — a depth-R plan over materialized leaves,
+      // nothing recomputes and stats merely add
+      else dist = dist.union(frontier)
+      r += 1
     }
     dist
   }
