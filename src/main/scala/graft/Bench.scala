@@ -46,18 +46,50 @@ object Bench {
     // query's "time" is a fast no-op and silently flatters the total
     // (this hid a guard bug for a full round). Collected into the JSON.
     val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
+    // Per-query watchdog: a wedged query (runaway plan, interpreted-eval
+    // blowup) must cost its own entry, never the round's whole artifact —
+    // round 7's bench died rc=124 because one query ran unbounded. Each
+    // run executes under its own job group with interruptOnCancel; a timer
+    // cancels the group after the cap, the noop save throws, and the query
+    // lands in `failed` with a "(timeout)" marker. Driver-side planning
+    // wedges are not cancellable this way, but every observed wedge so far
+    // has been executor-side.
+    val benchCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "120").toLong
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+    def guarded(name: String)(body: => Unit): Boolean = {
+      val group = s"bench-$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val task = new java.util.TimerTask {
+        def run(): Unit = {
+          timedOut.set(true)
+          System.err.println(s"[bench] $name exceeded ${benchCapSec}s — cancelling job group")
+          spark.sparkContext.cancelJobGroup(group)
+        }
+      }
+      watchdog.schedule(task, benchCapSec * 1000L)
+      val ok =
+        try { body; true }
+        catch {
+          case e: Throwable =>
+            failedQueries += (if (timedOut.get) s"$name(timeout)" else name)
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        } finally {
+          task.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
+      ok
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // progress marker: when a query wedges (e.g. a driver-side planning
       // blowup), the LAST start line names the culprit — without it a
       // silent 45-minute hang is undiagnosable
       System.err.println(s"[bench] start $name")
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            failedQueries += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val ok = guarded(name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         val t = (System.nanoTime() - t0) / 1e9
         // Drop anything the query persisted (e.g. minhash doc state), outside
@@ -69,10 +101,12 @@ object Bench {
         // prior query runs otherwise surface as a multi-second full-GC pause
         // attributed to whichever query it lands on.
         System.gc()
-        t
+        (t, ok)
       }
-      once()
-      name -> once()
+      val (t1, ok1) = once()
+      // skip pass 2 after a failed/timed-out pass 1: re-running a wedged
+      // query would double its cap cost for no information
+      name -> (if (ok1) once()._1 else t1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -213,13 +247,37 @@ object Bench {
     val docsDirty = spark.read.parquet(s"$scaleDir/documents_dirty")
     val embs = spark.read.parquet(s"$scaleDir/embeddings")
 
-    def run(f: => DataFrame): Double = {
+    // Same watchdog discipline as the per-query section: one wedged scale
+    // op must not forfeit the round's artifact. On timeout/failure the run
+    // returns NaN-free elapsed time and the series aborts (remaining sizes
+    // would each pay the full cap for no information).
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "300").toLong
+    val watchdog = new java.util.Timer("scale-watchdog", true)
+    def run(label: String)(f: => DataFrame): (Double, Boolean) = {
+      val group = s"scale-$label"
+      spark.sparkContext.setJobGroup(group, label, interruptOnCancel = true)
+      val task = new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[bench] scale:$label exceeded ${capSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+        }
+      }
+      watchdog.schedule(task, capSec * 1000L)
       val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
+      val ok =
+        try { f.write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale:$label failed: ${e.getMessage}")
+            false
+        } finally {
+          task.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
-      t
+      (t, ok)
     }
 
     val out = scala.collection.mutable.LinkedHashMap[String, Seq[(Long, Double)]]()
@@ -233,8 +291,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def series(name: String, sizes: Seq[Int], mult: Long)(f: Int => DataFrame): Seq[(Long, Double)] = {
       if (!scaleOnly.forall(_.contains(name))) return Seq.empty
-      run(f(sizes.head))
-      sizes.map(base => (base * mult, math.min(run(f(base)), run(f(base)))))
+      if (!run(name)(f(sizes.head))._2) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      var alive = true
+      for (base <- sizes if alive) {
+        val (t1, ok1) = run(name)(f(base))
+        if (!ok1) alive = false
+        else {
+          val (t2, ok2) = run(name)(f(base))
+          if (!ok2) alive = false else out += ((base * mult, math.min(t1, t2)))
+        }
+      }
+      out.toSeq
     }
 
     // linear family at 25k/50k/100k docs

@@ -57,7 +57,17 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(2, TimeUnit.HOURS)
+    // A timed-out pool means UNFINISHED queries: exiting 0 here would let a
+    // partial dump masquerade as a complete gate. Name the stragglers and
+    // exit nonzero so the driver sees the truncation.
+    if (!pool.awaitTermination(2, TimeUnit.HOURS)) {
+      val missing = work.map(_._1).filterNot(n =>
+        Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+      System.err.println(
+        s"[verify] TIMEOUT after 2h — ${missing.size} unfinished: ${missing.mkString(", ")}")
+      pool.shutdownNow()
+      sys.exit(2)
+    }
     System.err.println(f"[verify] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -460,9 +460,20 @@ object Dedup {
     *
     * Fully declarative in both engines: the rightmost-min is
     * `min(struct(h, −pos))` over a (CURRENT ROW, w−1 FOLLOWING) frame —
-    * per-doc windows partition by doc_id, never globally; the shuffle
-    * carries (doc, pos, hash) triples only. FNV (not xxhash) keeps every
+    * per-doc windows partition by doc_id, never globally, and the shuffle
+    * carries (doc, pos, hash) triples only; the per-doc dedup then REUSES
+    * that same doc_id partitioning (groupBy doc_id + collect_set), so the
+    * whole sketch costs exactly ONE shuffle. FNV (not xxhash) keeps every
     * fingerprint value SQL-replayable cross-engine.
+    *
+    * Why not a zero-shuffle array-domain scan: any formulation that
+    * references the per-doc hash array from inside a higher-order-function
+    * lambda gets the whole tokenize→gram→hash subtree inlined into the
+    * lambda by CollapseProject, and HOF eval is interpreted
+    * (CodegenFallback) with no subexpression reuse — the subtree re-runs
+    * per (window, element), turning O(m·w) into O(m²·w) with a regex
+    * re-tokenize in the inner loop (measured: 14 s → >320 s at sf0.1).
+    * One doc_id shuffle of narrow triples is the honest, scale-safe cost.
     */
   def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
       k: Int, w: Int): DataFrame = {
@@ -472,33 +483,22 @@ object Dedup {
     val grams = when(size(tk) - (k - 1) <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(tk) - k),
         i => array_join(slice(tk, i + 1, lit(k)), " ")))
-    // Whole computation stays in the ARRAY domain — per-doc gram hashes,
-    // per-window rightmost-min scan (O(m·w) codegen'd arithmetic, w is a
-    // small constant), in-array dedup, one explode of the already-final
-    // fingerprint set. ZERO shuffles: the previous formulation
-    // (posexplode → per-doc window sort → global distinct) paid three for
-    // the same answer, and at 100 TB the per-doc window partition is
-    // exactly the shuffle a linear sketch must not need.
-    val hs = transform(grams, g => graft.plans.TextExprs.fnv64(g))
-    val m = size(grams)
-    val accT = "struct<h:bigint,p:int>"
-    val sel = transform(sequence(lit(0), m - w), p =>
-      aggregate(
-        sequence(p, p + w - 1),
-        struct(lit(Long.MaxValue).alias("h"), lit(-1).alias("p")).cast(accT),
-        (acc, i) => {
-          val h = element_at(hs, i + 1)
-          when(h < acc.getField("h") ||
-              (h === acc.getField("h") && i > acc.getField("p")),
-            struct(h.alias("h"), i.cast("int").alias("p")).cast(accT))
-            .otherwise(acc)
-        }))
-    docs.select(id.alias("doc_id"),
-        when(m >= w, array_distinct(sel))
-          .otherwise(array().cast(s"array<$accT>")).alias("fps"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs.select(id.alias("doc_id"), grams.alias("grams"))
+      .select(col("doc_id"), size(col("grams")).alias("m"),
+        posexplode(col("grams")).as(Seq("pos", "g")))
+      .withColumn("h", graft.plans.TextExprs.fnv64(col("g")))
+      .withColumn("wmin", min(struct(col("h"), (-col("pos")).alias("np"))).over(win))
+      .filter(col("pos") <= col("m") - w)
+      // per-doc dedup on the window's existing doc_id partitioning — no
+      // second shuffle (a global distinct() would re-hash on all 3 cols)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(struct((-col("wmin.np")).cast("long").alias("pos"),
+        col("wmin.h").alias("h"))).alias("fps"))
       .select(col("doc_id"), explode(col("fps")).alias("fp"))
-      .select(col("doc_id"), col("fp.p").cast("long").alias("pos"),
-        col("fp.h").alias("h"))
+      .select(col("doc_id"), col("fp.pos"), col("fp.h"))
   }
 
   /** Embedding-cosine near-dup pairs, brute force (exact): all i<j pairs

@@ -25,9 +25,10 @@ for name in sorted(oracle):
         print(f"{name}: ORACLE ERROR {e}")
         issues += 1
         continue
-    spark = pd.concat([pd.read_parquet(f)
-                       for f in sorted(glob.glob(f"{d}/*.parquet"))]) \
-        if os.path.isdir(d) else None
+    # a failed/partial write can leave the dir with no part files —
+    # pd.concat([]) raises, which would abort the whole audit
+    files = sorted(glob.glob(f"{d}/*.parquet")) if os.path.isdir(d) else []
+    spark = pd.concat([pd.read_parquet(f) for f in files]) if files else None
     for side, df in (("duck", duck), ("spark", spark)):
         if df is None:
             continue
