@@ -634,14 +634,34 @@ object Dedup {
     * alone under-removes (a~b, b~c but a!~c must still collapse to one
     * survivor).
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and keeps the per-node minimum; converges in O(graph diameter)
-    * rounds. Near-dup graphs are unions of small dense cliques (diameter
-    * 2-3 in practice), so a handful of shuffles on 64-bit keys. For
-    * adversarially long chains the standard O(log n)-round fix is
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"); `maxIter` bounds the loop and fails loudly
-    * rather than spinning.
+    * Two-phase algorithm, tuned to the two graph shapes this engine
+    * actually meets:
+    *
+    * Phase 1 — min-label propagation with pointer jumping, at most
+    * `labelRounds` rounds. Near-dup graphs are unions of small dense
+    * cliques (diameter 2-3 in practice) and converge here in 2-3 cheap
+    * rounds (one edge join + one partial-agg min per round).
+    *
+    * Phase 2 — if phase 1 did not converge (deep tree/chain structure:
+    * pointer jumping stops doubling on trees because a node's label
+    * chases the minimum of whatever side branch it currently points
+    * into — measured 25 rounds on q349's depth-~30 purchase graph), the
+    * graph is CONTRACTED by the current labels (all shallow regions
+    * collapse to supernodes) and the remainder runs large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): each round rewrites the EDGE set toward a star per
+    * component, O(log² n) rounds worst case, a handful in practice —
+    * star contraction moves whole neighborhoods up the tree instead of
+    * labels down it, which is why it keeps its bound where jumping loses
+    * it. Final labels compose: comp(id) = star(label(id)).
+    *
+    * Scale shape, phase 2 per half-round: one partial-agg min per node
+    * (skew-safe) + one equi-join of edges against that per-node min (AQE
+    * broadcasts the min table when small, splits skewed partitions when
+    * not) + one edge dedup — all on 64-bit pairs, never a window over a
+    * hub's neighborhood. Convergence = edge set checksum unchanged over
+    * a full round (count + two independent XOR hash folds on freshly
+    * checkpointed edges; one 1-row driver collect per round — bounded).
     *
     * `checkpointDir`: per-round state is localCheckpoint'ed by default
     * (executor-local — lost on executor death at cluster scale); pass a
@@ -650,6 +670,7 @@ object Dedup {
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
+    val labelRounds = 4
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -663,25 +684,14 @@ object Dedup {
       checkpointDir)
     var it = 0
     var converged = edges.isEmpty
-    while (!converged) {
-      require(it < maxIter,
-        s"nearDupComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (with pointer jumping the bound covers graphs of " +
-          "diameter ~2^$maxIter)")
-      // propagate each node's label to its neighbors, keep the minimum
+    while (!converged && it < labelRounds) {
+      // propagate each node's label to its neighbors, keep the minimum;
+      // also adopt the label OF the current label (pointer jumping —
+      // comp(comp(id)), always defined since labels are node ids).
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .select(col("src").alias("id"), col("comp"),
           lit(false).alias("own"))
-      // pointer jumping: also adopt the label OF the current label
-      // (comp(comp(id)) — always defined: labels are node ids). Neighbor
-      // propagation alone walks one hop per round (rounds = diameter — a
-      // 10^6-doc chain at 100 TB would need 10^6 rounds); the jump doubles
-      // the reach each round, so rounds ~ log2(diameter). Enabled only
-      // after round 2: near-dup graphs are usually shallow cliques that
-      // converge immediately, and the jump's label self-join would cost
-      // every round what deep chains need rarely (measured +30% on q50
-      // when unconditional).
       val withNeighbors = labels.select(col("id"), col("comp"),
         lit(true).alias("own")).union(prop)
       val candidates =
@@ -703,10 +713,93 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       it += 1
     }
+    val out =
+      if (converged) labels
+      else {
+        // contract by current labels and finish with star alternation on
+        // the (much smaller) quotient graph; supernode ids are label
+        // values = original node ids, so the star minimum IS the true
+        // component minimum
+        val la = labels.select(col("id").alias("src"), col("comp").alias("ca"))
+        val lb = labels.select(col("id").alias("dst"), col("comp").alias("cb"))
+        val contracted = edges.join(la, Seq("src")).join(lb, Seq("dst"))
+          .filter(col("ca") =!= col("cb"))
+          .select(greatest(col("ca"), col("cb")).alias("u"),
+            least(col("ca"), col("cb")).alias("v"))
+          .distinct()
+        val starred = starComponents(contracted, maxIter - it, checkpointDir)
+        labels.join(starred.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+          .select(col("id"),
+            coalesce(col("component_id"), col("comp")).alias("comp"))
+      }
     edges.unpersist()
-    // labels is checkpointed (materialized, lineage-free) — the caller's
-    // action reads the checkpoint blocks directly
-    labels.select(col("id"), col("comp").alias("component_id"))
+    // checkpointed (materialized, lineage-free) state — the caller's
+    // action reads the checkpoint blocks (plus at most one compose join)
+    out.select(col("id"), col("comp").alias("component_id"))
+  }
+
+  /** Large-star/small-star alternation over an oriented, deduped edge
+    * list (u > v): returns (id, component_id = component minimum) for
+    * every node incident to an edge. See [[nearDupComponents]] phase 2
+    * for the cost model and why this beats label propagation on deep
+    * graphs.
+    */
+  private def starComponents(oriented: DataFrame, maxIter: Int,
+      checkpointDir: Option[String]): DataFrame = {
+    var edges = Iterative.truncate(oriented, checkpointDir)
+    // set checksum (edges are distinct'd): count + XOR of two independent
+    // 64-bit hashes — order-independent and overflow-free under ANSI mode
+    // (sum would throw ARITHMETIC_OVERFLOW on long hash sums)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"), expr("bit_xor(xxhash64(v, u, 7L))"))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var prev = checksum(edges)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (!converged) {
+      require(it < maxIter,
+        s"starComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (star alternation needs O(log^2 n) rounds worst " +
+          "case, single digits in practice)")
+      // large-star: for each center c of the SYMMETRIC graph with
+      // m = min(neighbors ∪ {c}), re-attach every larger neighbor x > c
+      // to m. Output stays oriented (x > c >= m). No dedup here:
+      // duplicates ((x,m) via two centers sharing m) are bounded within
+      // the round (|ls| <= 2|E|) and the small-star output dedups.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").alias("u"), col("u").alias("v"))) // u = center
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).alias("mv"))
+      val ls = sym.join(lsMin, Seq("u"))
+        .select(col("v").alias("x"), col("u").alias("c"),
+          least(col("mv"), col("u")).alias("m"))
+        .filter(col("x") > col("c"))
+        .select(col("x").alias("u"), col("m").alias("v"))
+      // small-star: edges already oriented u > v; for each u with
+      // m = min of its smaller neighbors, attach u and every other
+      // smaller neighbor to m.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).alias("m"))
+      val withM = ls.join(ssMin, Seq("u"))
+      val ss = withM.filter(col("v") =!= col("m"))
+        .select(col("v").alias("u"), col("m").alias("v"))
+        .union(ssMin.select(col("u"), col("m").alias("v")))
+        .distinct()
+      edges = Iterative.truncate(ss, checkpointDir)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    // fixed point: every non-root points at its component root (= the
+    // component minimum — each star op only ever attaches to a smaller
+    // id reachable in the component, and a star is stable only when its
+    // center is the minimum); roots have no outgoing oriented edge.
+    edges.select(col("u").alias("id"), col("v").alias("component_id"))
+      .union(edges.select(col("v").alias("id"), col("v").alias("component_id"))
+        .distinct())
   }
 
   /** Random-hyperplane (sign) LSH bucket keys for embedding vectors:

@@ -193,12 +193,34 @@ object Graph {
       accepted += chosen.select(col("m.w").alias("w"),
         col("m.a").alias("a"), col("m.b").alias("b")).distinct()
       // merge the chosen comp-graph (chains are possible — comp1's pick
-      // can bridge into comp2 whose pick bridges further), then contract
-      // the edge list to the merged granularity
-      val merged = graft.operators.Dedup.nearDupComponents(
-        chosen.select(col("comp").alias("id_a"),
-          col("m.other").alias("id_b")),
-        checkpointDir = checkpointDir)
+      // can bridge into comp2 whose pick bridges further). The graph is
+      // FUNCTIONAL (every component points at exactly one other, and the
+      // only cycles are mutual-min 2-cycles — strictly decreasing (w,a,b)
+      // along any longer cycle is impossible), so the merge needs no
+      // general components machinery: break each 2-cycle to its min
+      // endpoint (roots point at themselves), then pointer-double the
+      // resulting FOREST — p ← p∘p reaches every root in ⌈log₂ depth⌉
+      // rounds with none of label propagation's side-branch decoys.
+      // Labels are canonical-root ids (not component minima) — Borůvka
+      // only needs consistency, the accepted edge set is recorded above.
+      val p0 = chosen.select(col("comp").alias("id"), col("m.other").alias("p"))
+      var p = Iterative.truncate(
+        p0.alias("x").join(p0.alias("y"), col("x.p") === col("y.id"))
+          .select(col("x.id").alias("id"),
+            when(col("y.p") === col("x.id"),
+              least(col("x.id"), col("x.p"))).otherwise(col("x.p")).alias("p")),
+        checkpointDir)
+      var stable = false
+      while (!stable) {
+        val next = Iterative.truncate(
+          p.alias("x").join(p.alias("y"), col("x.p") === col("y.id"))
+            .select(col("x.id").alias("id"), col("y.p").alias("p"),
+              (col("y.p") =!= col("x.p")).alias("chg")),
+          checkpointDir)
+        stable = next.filter(col("chg")).isEmpty
+        p = next.select(col("id"), col("p"))
+      }
+      val merged = p.select(col("id"), col("p").alias("component_id"))
       e = Iterative.truncate(
         contract(e
           .join(merged.select(col("id").alias("__ca"),

@@ -229,12 +229,13 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
   }
 
-  test("nearDupComponents: pointer jumping converges a 200-chain in ~log2 rounds") {
-    // diameter 200: plain one-hop propagation would need 200 rounds; with
-    // comp(comp(id)) jumping the reach doubles per round => maxIter 12
-    // (2^12 >> 200) must suffice, and every node lands in component 0
+  test("nearDupComponents: a 200-chain converges in far fewer than diameter rounds") {
+    // diameter 200: plain one-hop propagation would need 200 rounds; the
+    // two-phase algorithm (bounded label rounds, then large-star/small-star
+    // halving the chain per round) must land every node in component 0
+    // within the default budget of 25 — sub-linear in diameter
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.nearDupComponents(chain, maxIter = 12)
+    val labels = Dedup.nearDupComponents(chain)
       .collect().map(_.getLong(1)).distinct.toSeq
     assert(labels == Seq(0L))
     assert(Dedup.nearDupComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect().isEmpty)
