@@ -671,8 +671,12 @@ object Dedup {
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val labelRounds = 4
+    // pre-partitioned by the label-join key before caching: the cached
+    // relation keeps its outputPartitioning, so each phase-1 round's join
+    // reads edges exchange-free (only the label table re-shuffles)
     val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each round's result is eagerly checkpointed: an iterative
     // dataflow MUST truncate lineage per round, or the logical plan doubles

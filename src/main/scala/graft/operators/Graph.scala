@@ -309,8 +309,13 @@ object Graph {
     require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
     require(sources.columns.length == 1, "sources must be a single id column")
     val e0 = edges.toDF("a", "b")
+    // pre-partitioned by the per-round join key: the checkpoint preserves
+    // outputPartitioning (LogicalRDD carries it), so every round's
+    // frontier join reads nbrs exchange-free instead of re-shuffling the
+    // full edge list R times — only the (shrinking) frontier moves
     val nbrs = Iterative.truncate(
-      e0.union(e0.select(col("b").alias("a"), col("a").alias("b"))), checkpointDir)
+      e0.union(e0.select(col("b").alias("a"), col("a").alias("b")))
+        .repartition(col("a")), checkpointDir)
     var dist = Iterative.truncate(
       sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
     var frontier = dist
