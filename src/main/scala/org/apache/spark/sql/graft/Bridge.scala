@@ -37,4 +37,14 @@ object Bridge {
   def statsSizeInBytes(df: DataFrame): BigInt =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Catalyst <-> Scala value converters for custom expressions that
+    * surface external values (the UDTF generator hands row values to a
+    * user closure) — CatalystTypeConverters sits behind the sql package
+    * boundary, hence exposed here like the Column converters above.
+    */
+  def toScalaConverter(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(dt)
+  def toCatalystConverter(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)
 }
