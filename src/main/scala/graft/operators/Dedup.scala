@@ -637,10 +637,15 @@ object Dedup {
     * Two-phase algorithm, tuned to the two graph shapes this engine
     * actually meets:
     *
-    * Phase 1 — min-label propagation with pointer jumping, at most
-    * `labelRounds` rounds. Near-dup graphs are unions of small dense
-    * cliques (diameter 2-3 in practice) and converge here in 2-3 cheap
-    * rounds (one edge join + one partial-agg min per round).
+    * Phase 1 — min-label propagation with pointer jumping. Near-dup
+    * graphs are unions of small dense cliques (diameter 2-3 in practice)
+    * and converge here in 2-3 cheap rounds (one edge join + one
+    * partial-agg min per round). The phase ends ADAPTIVELY: while the
+    * changed-label count collapses geometrically (halves per round) the
+    * graph is a converging shallow blob and propagation is the cheapest
+    * finisher; once the count stalls (a constant-size frontier walking a
+    * deep structure — the O(diameter) signature) it switches to phase 2
+    * rather than walk the front one hop per round. Hard cap 8 rounds.
     *
     * Phase 2 — if phase 1 did not converge (deep tree/chain structure:
     * pointer jumping stops doubling on trees because a node's label
@@ -670,7 +675,7 @@ object Dedup {
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
-    val labelRounds = 4
+    val labelRoundsCap = 8
     // pre-partitioned by the label-join key before caching: the cached
     // relation keeps its outputPartitioning, so each phase-1 round's join
     // reads edges exchange-free (only the label table re-shuffles)
@@ -688,7 +693,9 @@ object Dedup {
       checkpointDir)
     var it = 0
     var converged = edges.isEmpty
-    while (!converged && it < labelRounds) {
+    var prevChanged = Long.MaxValue
+    var stalled = false
+    while (!converged && !stalled && it < labelRoundsCap) {
       // propagate each node's label to its neighbors, keep the minimum;
       // also adopt the label OF the current label (pointer jumping —
       // comp(comp(id)), always defined since labels are node ids).
@@ -706,14 +713,20 @@ object Dedup {
             .select(col("x.id").alias("id"), col("y.comp").alias("comp"),
               lit(false).alias("own")))
       // the node's OLD label rides through the same aggregate (each id has
-      // exactly one own=true row), so convergence detection is a limit-1
-      // scan over the freshly checkpointed blocks instead of a join +
-      // count job per iteration (measured ~40% of the loop's wall time)
+      // exactly one own=true row), so convergence/stall detection is one
+      // count over the freshly checkpointed blocks instead of a join per
+      // iteration
       val next = Iterative.truncate(
         candidates.groupBy(col("id")).agg(min(col("comp")).alias("comp"),
           max(when(col("own"), col("comp"))).alias("old")),
         checkpointDir)
-      converged = next.filter(col("comp") =!= col("old")).isEmpty
+      val changed = next.filter(col("comp") =!= col("old")).count()
+      converged = changed == 0L
+      // stall rule: a shallow blob's change count at least halves per
+      // round once jumping is active; a count that doesn't is a frontier
+      // walking a deep structure — hand it to the star phase
+      stalled = !converged && it >= 2 && changed * 2 >= prevChanged
+      prevChanged = changed
       labels = next.select(col("id"), col("comp"))
       it += 1
     }
