@@ -4133,6 +4133,11 @@ object SparkEntry {
       // token fingerprint, which would TOKENIZE a space-joined bigram and
       // fold two FNVs — the oracle hashes the joined string whole, and a
       // single-token input makes the two identical
+      // NOT materialized: sparseCosinePairs consumes the vector frame four
+      // times (norms, bucket sizes, both join sides), but the subtrees end
+      // in the same canonical aggregate, so exchange reuse computes the
+      // tokenize→bigram→hash→agg pipeline once; an explicit truncate
+      // A/B-measured equal-to-slower (the candidate join dominates)
       val vecs = Corpus.hashedTfIdf(withBi, col("doc_id"), col("__bi"),
         dim = 4096, scale = 1000L, portable = true)
       Dedup.sparseCosinePairs(
@@ -5650,6 +5655,10 @@ object SparkEntry {
         portable = true)
       val cand = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"), pfxFp, w = 8)
         .selectCols(Seq(col("id_a"), col("id_b")))
+      // NOT materialized: both verification join sides consume this frame,
+      // but their subtrees are canonically identical, so exchange reuse
+      // already computes the ngram pass once (a truncate here measured
+      // 1.4 s SLOWER — it forces a full materialization the plan avoids)
       val sh = docs.selectCols(Seq(col("doc_id"),
         array_distinct(TextFns.wordNgrams(col("text"), 3)).as("sh")))
       val verified = cand
