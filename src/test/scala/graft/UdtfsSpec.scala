@@ -49,6 +49,15 @@ class UdtfsSpec extends SparkSpec {
       Set((7L, 0L, "x"), (7L, 1L, "y")))
   }
 
+  test("scale shape: UDTF plans as Generate with no exchange") {
+    val g = indexer
+    val plan = Seq((1L, Seq("a"))).toDF("id", "xs")
+      .select(col("id"), g(col("xs")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected GenerateExec in:\n$plan")
+    assert(!plan.contains("Exchange"), s"a row-local generator must not shuffle:\n$plan")
+  }
+
   test("null argument expands to nothing (no NPE)") {
     indexer
     val df = Seq(Tuple1(1L)).toDF("id").withColumn("xs",
