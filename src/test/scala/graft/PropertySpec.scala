@@ -625,4 +625,25 @@ object RelationalProps extends Properties("relational") {
         s12.forall { case (d, v) =>
           v.compareTo(s1(d).add(s2(d))) == 0 }
     }
+
+  property("nearDupComponents = brute-force min-reachable on random graphs") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { pairs =>
+      import spark.implicits._
+      // brute force: repeated relaxation to a fixed point over the tiny
+      // node range — independent of the two-phase star implementation
+      val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var lbl = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        val next = lbl.map { case (n, c) =>
+          n -> (sym.collect { case (x, y) if x == n => lbl(y) } :+ c).min }
+        changed = next != lbl
+        lbl = next
+      }
+      val got = graft.operators.Dedup.nearDupComponents(
+          pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == lbl
+    }
 }
