@@ -54,13 +54,25 @@ object TextFns {
   /** Word n-gram shingles (distinct), the standard unit for document-level
     * near-dup detection (MinHash/Jaccard). For docs shorter than n words the
     * whole doc is the single shingle (so every doc has >=1 shingle).
+    *
+    * Built with `zip_with` over n shifted slices, NOT
+    * `transform(sequence(...), i => slice(toks, i+1, n))`: a lambda that
+    * references the computed `toks` subtree re-evaluates it per element
+    * under interpreted HOF eval (no subexpression reuse) — an O(m²) regex
+    * re-tokenize per document. zip_with's inputs are ARGUMENTS, evaluated
+    * once per row; the lambda touches only its elements, so the whole
+    * construction is O(m·n).
     */
   def wordNgrams(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    val count = greatest(size(toks) - (n - 1), lit(1))
+    val cnt = size(toks) - (n - 1)
+    var full = slice(toks, lit(1), cnt)
+    for (j <- 1 until n)
+      full = zip_with(full, slice(toks, lit(j + 1), cnt),
+        (a, b) => concat(a, lit(" "), b))
     array_distinct(
-      transform(sequence(lit(0), count - 1), i => array_join(slice(toks, i + 1, lit(n)), " "))
-    )
+      when(cnt < 1, array(array_join(slice(toks, 1, n), " ")))
+        .otherwise(full))
   }
 
   /** 64-bit shingle hashes: the form every downstream dedup operator

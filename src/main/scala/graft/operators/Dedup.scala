@@ -480,9 +480,17 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 2, s"w must be >= 2, got $w")
     val tk = graft.functions.TextFns.tokens(text)
-    val grams = when(size(tk) - (k - 1) <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(tk) - k),
-        i => array_join(slice(tk, i + 1, lit(k)), " ")))
+    // grams via zip_with over k shifted slices — the iterated arrays are
+    // evaluated-once ARGUMENTS; a transform lambda referencing the
+    // computed tk subtree would re-tokenize per gram under interpreted
+    // HOF eval (O(m²) — see TextFns.wordNgrams)
+    val mOut = size(tk) - (k - 1)
+    var joined = slice(tk, lit(1), mOut)
+    for (j <- 1 until k)
+      joined = zip_with(joined, slice(tk, lit(j + 1), mOut),
+        (a, b) => concat(a, lit(" "), b))
+    val grams = when(mOut <= 0, array().cast("array<string>"))
+      .otherwise(joined)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
