@@ -24,9 +24,14 @@ object Corpus {
     val toks = TextFns.tokens(c)
     val n = org.apache.spark.sql.functions.size(toks)
     val chunks = ceil(n.cast("double") / chunkTokens).cast("int")
+    // the token array rides into the lambda as the ITERATED element
+    // (array_repeat is a shallow reference copy), not as a captured
+    // subtree: a lambda referencing the computed `toks` would re-tokenize
+    // per chunk under interpreted HOF eval (O(m²/chunk) — the
+    // TextFns.wordNgrams trap)
     when(n === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), chunks - 1),
-        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .otherwise(transform(array_repeat(toks, chunks), (tk, i) =>
+        array_join(slice(tk, i * chunkTokens + 1, lit(chunkTokens)), " ")))
   }
 
   /** CCNet-style segment-level corpus deduplication: every distinct segment
