@@ -64,7 +64,11 @@ object Bench {
         def run(): Unit = {
           timedOut.set(true)
           System.err.println(s"[bench] $name exceeded ${benchCapSec}s — cancelling job group")
-          spark.sparkContext.cancelJobGroup(group)
+          // AndFutureJobs: cancelJobGroup only kills in-flight jobs — an
+          // iterative query between jobs on the driver (count/checkpoint
+          // loops) would sail past a plain cancel and run unbounded, the
+          // exact rc=124 mode this watchdog exists to prevent
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
         }
       }
       watchdog.schedule(task, benchCapSec * 1000L)
@@ -134,8 +138,35 @@ object Bench {
       else ""
 
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Round-over-round diff: the q169 r6->r8 3.7x drift was only visible
+    // because a human diffed two JSON artifacts. Read the PREVIOUS round's
+    // bench_out.json (the file this run is about to overwrite) and emit a
+    // `regressions` array of queries >1.5x their prior time (and >1s abs,
+    // so 0.3s->0.5s jitter doesn't spam) — the artifact itself now carries
+    // the comparison the judge had to do by hand.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val prevTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8)
+        val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        m.fold(Map.empty[String, Double]) { g =>
+          """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(g.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results.flatMap { case (name, t) =>
+      prevTimes.get(name).collect {
+        case p if t > p * 1.5 && t - p > 1.0 =>
+          s"""{"q":"$name","prev":$p,"now":$t}"""
+      }
+    }
+    val regressionsJson =
+      if (prevTimes.isEmpty) "" // first run / no prior artifact: omit
+      else s""","regressions":${regressions.mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","core44_r01_set":$core44,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"$scaleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","core44_r01_set":$core44,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"$regressionsJson$scaleJson}"""
     // Full-precision JSON (with the scale section) goes to a file the driver
     // can read verbatim — sbt prefixes stdout with [info] noise.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -156,7 +187,17 @@ object Bench {
     def line(qpairs: Seq[(String, Double)], truncated: Boolean): String = {
       val qj = qpairs.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }.mkString("{", ",", "}")
       val trunc = if (truncated) s""","queries_shown":${qpairs.size},"queries_full":"bench_out.json"""" else ""
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"n_queries":${results.size},"queries":$qj,"failed":$failedJson,"sf":"$sfDir"$trunc}"""
+      // regressions ride the stdout line too (short keys): the driver's
+      // artifact captures stdout's tail, and the whole point is that a
+      // round-over-round drift is visible IN the artifact
+      val regs = if (prevTimes.isEmpty) "" else
+        "," + "\"regressions\":" + results.flatMap { case (name, tq) =>
+          prevTimes.get(name).collect {
+            case p if tq > p * 1.5 && tq - p > 1.0 =>
+              s"""{"q":"${shortKey(name)}","prev":${f2(p)},"now":${f2(tq)}}"""
+          }
+        }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"n_queries":${results.size},"queries":$qj,"failed":$failedJson$regs,"sf":"$sfDir"$trunc}"""
     }
     val full = line(results, truncated = false)
     val budget = 1850
@@ -211,18 +252,27 @@ object Bench {
     val salted = concat_ws(" ",
       transform(split(col("text"), "\\s+"), (t, i) =>
         when(pmod(i, lit(2)) === 0, concat(lit("d"), col("doc_id"), lit("_"), t)).otherwise(t)))
+    // The variant text MUST be computed in its own step BEFORE the select
+    // that re-aliases `doc_id`: Spark 4.x lateral-column-alias resolution
+    // lets `col("doc_id")` inside the same select list resolve to the NEW
+    // alias (base*V+variant) instead of the input column — which silently
+    // salted every VARIANT with a unique id, destroying the planted
+    // 4-cliques (measured: zero LSH candidates on the "clean" corpus, so
+    // r6-r8 minhash_lsh scale series exercised only the no-output path).
     def variants(bodyFirst4: Column) =
       docs0.withColumn("variant", explode(sequence(lit(0), lit(V - 1))))
-        .select(
-          col("doc_id").as("orig_id"),
-          (col("doc_id") * V + col("variant")).as("doc_id"),
+        .withColumn("vtext",
           // variants >= 4: prefix every token with (variant, BASE DOC id) —
           // doc-specific, so the raw corpus's template clusters do not
           // survive inside a variant layer (u7_A_tok vs u7_B_tok differ)
           when(col("variant") < 4, concat(bodyFirst4, lit(" vt"), col("variant")))
             .otherwise(concat_ws(" ",
               transform(split(col("text"), "\\s+"),
-                t => concat(lit("u"), col("variant"), lit("_"), col("doc_id"), lit("_"), t)))).as("text"))
+                t => concat(lit("u"), col("variant"), lit("_"), col("doc_id"), lit("_"), t)))))
+        .select(
+          col("doc_id").as("orig_id"),
+          (col("doc_id") * V + col("variant")).as("doc_id"),
+          col("vtext").as("text"))
         .repartition(32)
     variants(salted).write.mode("overwrite").parquet(s"$scaleDir/documents")
     variants(col("text")).write.mode("overwrite").parquet(s"$scaleDir/documents_dirty")
@@ -230,16 +280,22 @@ object Bench {
     // deterministic pseudo-noise in [-1, 1] from (vec_id, variant, dim)
     def noise(seed: Column*): Column =
       pmod(xxhash64(seed: _*), lit(2001L)).cast("double") / 1000.0 - 1.0
+    // same lateral-alias hazard as variants(): compute the vector before
+    // the select that re-aliases vec_id, so noise seeds use the BASE id
+    // (variants 0-3 stay a fixed near-dup clique regardless of resolver
+    // behavior)
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     emb0.withColumn("variant", explode(sequence(lit(0), lit(VE - 1))))
-      .select(
-        col("vec_id").as("orig_id"),
-        (col("vec_id") * VE + col("variant")).as("vec_id"),
+      .withColumn("vvec",
         when(col("variant") < 4,
           transform(col("embedding"), (x, i) =>
             (x + noise(col("vec_id"), col("variant"), i) * lit(0.02)).cast("float")))
           .otherwise(transform(col("embedding"), (x, i) =>
-            noise(col("vec_id"), col("variant"), i).cast("float"))).as("embedding"))
+            noise(col("vec_id"), col("variant"), i).cast("float"))))
+      .select(
+        col("vec_id").as("orig_id"),
+        (col("vec_id") * VE + col("variant")).as("vec_id"),
+        col("vvec").as("embedding"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$scaleDir/embeddings")
 
@@ -251,7 +307,10 @@ object Bench {
     // op must not forfeit the round's artifact. On timeout/failure the run
     // returns NaN-free elapsed time and the series aborts (remaining sizes
     // would each pay the full cap for no information).
-    val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "300").toLong
+    // own env var (falls back to the per-query cap's var for back-compat):
+    // tightening the query cap must not silently tighten the scale cap
+    val capSec = sys.env.get("SPARK_GRAFT_SCALE_CAP_SEC")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_CAP_SEC")).fold(300L)(_.toLong)
     val watchdog = new java.util.Timer("scale-watchdog", true)
     def run(label: String)(f: => DataFrame): (Double, Boolean) = {
       val group = s"scale-$label"
@@ -259,7 +318,7 @@ object Bench {
       val task = new java.util.TimerTask {
         def run(): Unit = {
           System.err.println(s"[bench] scale:$label exceeded ${capSec}s — cancelling")
-          spark.sparkContext.cancelJobGroup(group)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
         }
       }
       watchdog.schedule(task, capSec * 1000L)
@@ -305,9 +364,32 @@ object Bench {
       out.toSeq
     }
 
+    // UNTIMED attribution counters, emitted as sibling `scale` entries:
+    // a bending time curve is only diagnosable with the matching volume
+    // curve (is the DATA producing more pairs, or did the PLAN degrade?)
+    val counts = scala.collection.mutable.LinkedHashMap[String, Seq[(Long, Long)]]()
+
     // linear family at 25k/50k/100k docs
     out("minhash_lsh") = series("minhash_lsh", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.minhashLshPairs(docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
+    }
+    // candidate-pair volume behind the minhash_lsh curve (r8's 4.6->20.7 s
+    // bend at 100k was otherwise unattributable); verified-output volume
+    // too, so candidate inflation vs genuine near-dup growth separate
+    if (out("minhash_lsh").nonEmpty) {
+      counts("minhash_lsh_cand") = Seq(1250, 2500, 5000).map { base =>
+        val (cand, st) = Dedup.minhashLshCandidates(
+          docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
+        val n = cand.count()
+        st.unpersist()
+        (base * V.toLong, n)
+      }
+      counts("minhash_lsh_out") = Seq(1250, 2500, 5000).map { base =>
+        val n = Dedup.minhashLshPairs(
+          docs.filter(col("orig_id") < base), col("doc_id"), col("text")).count()
+        spark.catalog.clearCache()
+        (base * V.toLong, n)
+      }
     }
     out("simhash") = series("simhash", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.simhashPairs(docs.filter(col("orig_id") < base), col("doc_id"), col("text"))
@@ -432,6 +514,29 @@ object Bench {
     // (assignment, residuals, codes) dominate 10 queries over 64-dim
     // vectors — the same small-scale crossover as clean_corpus_lsh vs the
     // exact pair join; the LUT join is what survives 100x, not the setup
+    // candidate volume behind the ivfpq curve: rows entering the ADC LUT
+    // join = sum of probed-cell sizes over the 10 queries (x m sub-rows).
+    // If this is linear while the time bends, the bend is plan/spill, not
+    // data.
+    def ivfpqCand(base: Int): Long = {
+      val e = embs.filter(col("orig_id") < base)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("v").as("cv"))
+      val cellSizes = graft.operators.Similarity.assignToCentroids(e, cents)
+        .groupBy(col("cid")).count()
+      val probes = e.filter(col("id") < 10)
+        .select(col("id").alias("q_id"), col("v").alias("qv"))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          graft.plans.VectorExprs.l2DistSq(col("qv"), col("cv")).alias("cd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cd").asc, col("cid").asc)
+      probes.withColumn("pr", row_number().over(w)).filter(col("pr") <= 2)
+        .join(cellSizes, Seq("cid"))
+        .agg(sum(col("count"))).collect()(0).getLong(0)
+    }
     out("ivfpq_adc_10q") = series("ivfpq_adc_10q", Seq(500, 1000, 2000), VE.toLong) { base =>
       val e = embs.filter(col("orig_id") < base)
         .select(col("vec_id").as("id"),
@@ -451,6 +556,8 @@ object Bench {
       graft.operators.Similarity.ivfPqAdcTopK(e, e.filter(col("id") < 10),
         cents, cb, m = 8, subDims = 8, nprobe = 2, k = 10)
     }
+    if (out("ivfpq_adc_10q").nonEmpty)
+      counts("ivfpq_adc_cand") = Seq(500, 1000, 2000).map(b => (b * VE.toLong, ivfpqCand(b)))
 
     // best-effort temp cleanup (bench correctness does not depend on it)
     try {
@@ -459,8 +566,10 @@ object Bench {
         .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
-    out.filter(_._2.nonEmpty).map { case (op, pts) =>
+    (out.filter(_._2.nonEmpty).map { case (op, pts) =>
       "\"" + op + "\":" + pts.map { case (n, s) => "\"" + n + "\":" + s }.mkString("{", ",", "}")
-    }.mkString("\"scale\":{", ",", "}")
+    } ++ counts.map { case (op, pts) =>
+      "\"" + op + "\":" + pts.map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
+    }).mkString("\"scale\":{", ",", "}")
   }
 }

@@ -1937,10 +1937,17 @@ object SparkEntry {
       // dynamic partition overwrite (the no-table-format SCD-1 sink).
       // The hash match proves the multi-batch merge converges to exactly
       // the batch latest-per-key answer regardless of file order.
-      // Bench note: ~6 s at sf0.1 BY CONSTRUCTION — three sequential
-      // micro-batches, each a store read + dirty-bucket rewrite; the cost
-      // is the multi-round merge instrument, not a plan problem (a single
-      // AvailableNow batch would be 3x cheaper and test nothing)
+      // Bench note: ~5-8 s at sf0.1 — three sequential micro-batches,
+      // each a store read + dirty-bucket rewrite; the cost is the
+      // multi-round merge instrument, not a plan problem (a single
+      // AvailableNow batch would be 3x cheaper and test nothing).
+      // r8's unexplained 23 s: the merged store was written WITHOUT
+      // repartitioning on the bucket column, so every batch emitted up to
+      // shufflePartitions x nBuckets (~500) small files and later batches
+      // re-read the accumulated fragments — FS-cache-sensitive, hence the
+      // run-to-run swings. Fixed in runKeyedUpsert (one file per bucket
+      // per rewrite); per-batch phase timings now print to stderr so any
+      // future drift self-attributes in the bench log.
       val sf = new java.io.File(dir).getName
       val scratch = s"/root/repo/target/graft-scratch/$sf/upsert"
       val landing = s"$scratch/landing"
@@ -3816,7 +3823,7 @@ object SparkEntry {
             .split("\\s+").filter(_.nonEmpty)
           (0 to toks.length - n).iterator.map(i =>
             Seq(i.toLong, toks.slice(i, i + n).mkString(" ")))
-        })
+        }, arity = 1)
       t(s, dir, "documents").createOrReplaceTempView("q400_docs")
       s.sql("""
         SELECT g.gram AS gram, count(*) AS n, sum(g.pos) AS pos_sum

@@ -39,6 +39,9 @@ object Verify {
     val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
     val pool = Executors.newFixedThreadPool(nThreads)
     val done = new AtomicInteger(0)
+    // failed-fast queries also never write _SUCCESS; tracked separately so
+    // a pool timeout reports genuinely-truncated stragglers, not failures
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val t0 = System.nanoTime()
     work.foreach { case (name, fn) =>
       pool.submit(new Runnable {
@@ -47,6 +50,7 @@ object Verify {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failed.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
           val dt = (System.nanoTime() - q0) / 1e9
@@ -62,9 +66,12 @@ object Verify {
     // exit nonzero so the driver sees the truncation.
     if (!pool.awaitTermination(2, TimeUnit.HOURS)) {
       val missing = work.map(_._1).filterNot(n =>
-        Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+        Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")) || failed.contains(n))
       System.err.println(
-        s"[verify] TIMEOUT after 2h — ${missing.size} unfinished: ${missing.mkString(", ")}")
+        s"[verify] TIMEOUT after 2h — ${missing.size} unfinished: ${missing.mkString(", ")}" +
+          (if (failed.isEmpty) "" else
+            s"; ${failed.size} failed (not stragglers): " +
+              failed.toArray.mkString(", ")))
       pool.shutdownNow()
       sys.exit(2)
     }

@@ -35,8 +35,19 @@ object Udtfs {
       name: String,
       override val elementSchema: StructType,
       fn: Seq[Any] => Iterator[Seq[Any]],
-      children: Seq[Expression])
+      children: Seq[Expression],
+      declaredArity: Int = -1)
     extends Expression with Generator with CodegenFallback {
+
+    // fail at ANALYSIS time on wrong argument count: without this a SQL
+    // call with the wrong arity hands raw values to the user closure and
+    // dies mid-execution with a ClassCastException deep in a task
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (declaredArity >= 0 && children.length != declaredArity)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects $declaredArity argument(s), got ${children.length}")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
     @transient private lazy val inConv =
       children.map(c => Bridge.toScalaConverter(c.dataType))
@@ -61,10 +72,10 @@ object Udtfs {
     * lifts `explode`).
     */
   case class GraftUdtf(name: String, elementSchema: StructType,
-      fn: Seq[Any] => Iterator[Seq[Any]]) {
+      fn: Seq[Any] => Iterator[Seq[Any]], arity: Int = -1) {
     def apply(args: Column*): Column =
       Bridge.column(GraftGenerator(name, elementSchema, fn,
-        args.map(Bridge.expression)))
+        args.map(Bridge.expression), arity))
   }
 
   /** `define-udtf`: register a table function under `name` for SQL use
@@ -76,11 +87,11 @@ object Udtfs {
     * (createOrReplace), matching [[Udafs.register]]'s contract.
     */
   def defineUdtf(spark: SparkSession, name: String, elementSchema: StructType,
-      fn: Seq[Any] => Iterator[Seq[Any]]): GraftUdtf = {
+      fn: Seq[Any] => Iterator[Seq[Any]], arity: Int = -1): GraftUdtf = {
     // source must be one of Spark's enumerated kinds; "scala_udf" is the
     // one that describes a JVM-closure-backed function
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, es => GraftGenerator(name, elementSchema, fn, es), "scala_udf")
-    GraftUdtf(name, elementSchema, fn)
+      name, es => GraftGenerator(name, elementSchema, fn, es, arity), "scala_udf")
+    GraftUdtf(name, elementSchema, fn, arity)
   }
 }

@@ -118,6 +118,27 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 2000
   ): (DataFrame, DataFrame) = {
+    val (candidates, docs) =
+      minhashLshCandidates(df, id, text, ngram, k, bands, maxBucket)
+    (verifyJaccard(candidates, docs.select(col("id"), col("sh")), threshold), docs)
+  }
+
+  /** The candidate-generation stage of [[minhashLshPairs]] on its own:
+    * (distinct candidate id pairs, persisted per-doc shingle state).
+    * Exposed so instrumentation (the scale bench's per-size candidate
+    * counts) can measure the pre-verification pair volume — the number
+    * that explains whether a time curve bends because the DATA has more
+    * near-dups or because the PLAN degraded.
+    */
+  def minhashLshCandidates(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ngram: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 2000
+  ): (DataFrame, DataFrame) = {
     // Persisted: this narrow per-doc state (id + shingle hashes) is
     // referenced by the band explode AND twice by the verification joins;
     // without persistence Spark recomputes the shingling for each reference.
@@ -142,8 +163,7 @@ object Dedup {
       .join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
       .distinct()
-
-    (verifyJaccard(candidates, docs.select(col("id"), col("sh")), threshold), docs)
+    (candidates, docs)
   }
 
   /** Estimated INPUT bytes of a frame: the sum of its leaf (scan) sizes.
@@ -691,6 +711,10 @@ object Dedup {
       .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the whole iteration runs under try/finally: starComponents can throw
+    // its non-convergence require, and the cached symmetric edge list must
+    // not leak into the rest of the session on that path
+    try {
     // Each round's result is eagerly checkpointed: an iterative
     // dataflow MUST truncate lineage per round, or the logical plan doubles
     // every iteration (persist alone short-circuits execution but not plan
@@ -757,10 +781,10 @@ object Dedup {
           .select(col("id"),
             coalesce(col("component_id"), col("comp")).alias("comp"))
       }
-    edges.unpersist()
     // checkpointed (materialized, lineage-free) state — the caller's
     // action reads the checkpoint blocks (plus at most one compose join)
     out.select(col("id"), col("comp").alias("component_id"))
+    } finally { edges.unpersist(); () }
   }
 
   /** Large-star/small-star alternation over an oriented, deduped edge

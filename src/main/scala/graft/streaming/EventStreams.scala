@@ -534,13 +534,19 @@ object EventStreams {
       .parquet(srcParquet)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-phase wall times to stderr: this query's bench cost has
+        // shown large unexplained run-to-run swings (r8: 6 s -> 23 s with
+        // no code change) — permanent cheap attribution beats re-living
+        // that bisect. One line per micro-batch.
+        val tb0 = System.nanoTime()
         val b = latestPerKey(batch.select((Seq(keyCol, seqCol, tieBreak) ++ cols).map(col): _*))
           .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
           .persist()
         try {
           val dirty = b.select(col("bucket")).distinct()
             .collect().map(_.getLong(0)) // bounded by nBuckets
+          val tb1 = System.nanoTime()
           val existingDirs = dirty.map(i => s"$storeDir/bucket=$i")
             .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
           val merged =
@@ -552,10 +558,25 @@ object EventStreams {
               latestPerKey(existing.unionByName(b))
                 .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
             }
-          merged.write.mode("overwrite")
+          // repartition ON the partition column before the write: without
+          // it every one of the groupBy's shuffle partitions opens a
+          // writer per bucket it holds rows for — up to partitions x
+          // nBuckets files PER BATCH (measured 32x16 -> ~500 small files
+          // at sf0.1), and each later batch re-reads the accumulated
+          // fragments, so the store read cost grows per batch and the
+          // query time swings with FS cache state (the r8 bench's
+          // unexplained 6 s -> 23 s drift). One writer per bucket is also
+          // the 100 TB shape: a bucket rewrite is one aligned file, not a
+          // shard per upstream task.
+          merged.repartition(nBuckets, col("bucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(storeDir)
+          val tb2 = System.nanoTime()
+          System.err.println(
+            f"[upsert] batch=$batchId reduce+collect=${(tb1 - tb0) / 1e9}%.2fs " +
+              f"merge+write=${(tb2 - tb1) / 1e9}%.2fs dirty=${dirty.length}")
         } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)

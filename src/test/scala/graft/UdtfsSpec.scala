@@ -17,7 +17,7 @@ class UdtfsSpec extends SparkSpec {
   private def indexer = Udtfs.defineUdtf(spark, "t_indexed", schema, args => {
     val xs = Option(args.head).map(_.asInstanceOf[Seq[_]]).getOrElse(Seq.empty)
     xs.iterator.zipWithIndex.map { case (x, i) => Seq(i.toLong, String.valueOf(x)) }
-  })
+  }, arity = 1)
 
   test("SQL LATERAL VIEW expands one row into N with the declared schema") {
     indexer
@@ -65,5 +65,17 @@ class UdtfsSpec extends SparkSpec {
     df.createOrReplaceTempView("udtf_null_in")
     assert(spark.sql(
       "SELECT t.i FROM udtf_null_in LATERAL VIEW t_indexed(xs) t AS i, s").count() == 0L)
+  }
+
+  test("wrong arity fails at analysis, not mid-task") {
+    indexer
+    Seq((1L, Seq("a"))).toDF("id", "xs").createOrReplaceTempView("udtf_ar_in")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT t.i FROM udtf_ar_in LATERAL VIEW t_indexed(xs, id) t AS i, s")
+        .collect()
+    }
+    assert(e.getMessage.contains("expects 1 argument"),
+      s"expected the arity message, got: ${e.getMessage}")
   }
 }
