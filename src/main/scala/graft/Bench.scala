@@ -489,10 +489,14 @@ object Bench {
     // the measured version of the O(log^2) claim in
     // Dedup.nearDupComponents. Two sizes: the growth ratio is the
     // signal, and each run costs ~18 driver rounds regardless of n.
+    // maxLocalEdges=0 forces the DISTRIBUTED star path: the default hybrid
+    // would finish this quotient on the driver (it fits by design), and
+    // this series exists to measure the O(log² n) distributed shape that
+    // runs when the quotient does NOT fit
     out("components_chain") = series("components_chain", Seq(12500, 50000), 1L) { n =>
       val chain = spark.range(n - 1L)
         .select(col("id").alias("id_a"), (col("id") + 1L).alias("id_b"))
-      Dedup.nearDupComponents(chain, maxIter = 40)
+      Dedup.nearDupComponents(chain, maxIter = 40, maxLocalEdges = 0L)
     }
     // dsir: vocab-sized feature join, linear in corpus tokens; cms: the
     // counter matrix stays width x depth cells at EVERY size — the time

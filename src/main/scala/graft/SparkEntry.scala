@@ -2924,14 +2924,18 @@ object SparkEntry {
       // inject odd cycles. Components (min-label), BFS parity from each
       // component's min node (15-hop horizon — both engines cap
       // identically), conflict = edge whose endpoints share parity.
+      // one lineitem scan feeds both thresholds (qty>=49 superset, >=50
+      // flag) — the >=50 frame is a filter over the same projection, so
+      // the scan + its pushed filter run once
       val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 49)
-        .selectCols(Seq(col("l_orderkey"), col("l_partkey")))
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"),
+          (col("l_quantity") >= 50).as("is50")))
       val withCust = hi.join(t(s, dir, "orders")
           .selectCols(Seq(col("o_orderkey"), col("o_custkey"))),
           col("l_orderkey") === col("o_orderkey"))
         .selectCols(Seq((col("o_custkey") + 1000000L).as("id_a"),
           col("l_partkey").as("id_b"))).distinctAll
-      val hi49 = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 50)
+      val hi49 = hi.filterCol(col("is50"))
         .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
       val pp = hi49.alias("x").join(hi49.alias("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
@@ -2942,15 +2946,20 @@ object SparkEntry {
       // nbrs frame), and the conflict-audit joins below all consume it —
       // without the checkpoint the scan+join+distinct pipeline re-executes
       // three times (measured ~2x of this query's wall time)
+      val tq0 = System.nanoTime()
       val edges = graft.operators.Iterative.truncate(
         withCust.union(pp).distinctAll, None)
+      val tq1 = System.nanoTime()
       // comps feeds three consumers (seeds, the conflict join, node stats)
       // and its tail is a compose join over checkpointed label frames —
       // one more truncate stops that join re-executing per consumer
       val comps = graft.operators.Iterative.truncate(
         Dedup.nearDupComponents(edges), None)
+      val tq2 = System.nanoTime()
       val seeds = comps.selectCols(Seq(col("component_id").as("id"))).distinctAll
       val dist = graft.operators.Graph.bfsDistances(edges, seeds, rounds = 15)
+      val tq3 = System.nanoTime()
+      System.err.println(f"[q349] edges=${(tq1-tq0)/1e9}%.2fs comps=${(tq2-tq1)/1e9}%.2fs bfs=${(tq3-tq2)/1e9}%.2fs")
       val e2 = edges
         .join(dist.selectCols(Seq(col("id").as("id_a"), col("dist").as("da"))), Seq("id_a"))
         .join(dist.selectCols(Seq(col("id").as("id_b"), col("dist").as("db"))), Seq("id_b"))

@@ -702,7 +702,8 @@ object Dedup {
     * (see [[Iterative.truncate]] for the trade).
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 4L << 20): DataFrame = {
     val labelRoundsCap = 8
     // pre-partitioned by the label-join key before caching: the cached
     // relation keeps its outputPartitioning, so each phase-1 round's join
@@ -724,6 +725,7 @@ object Dedup {
         .withColumn("comp", col("id")),
       checkpointDir)
     var it = 0
+    var roundT0 = System.nanoTime()
     var converged = edges.isEmpty
     var prevChanged = Long.MaxValue
     var stalled = false
@@ -753,11 +755,16 @@ object Dedup {
           max(when(col("own"), col("comp"))).alias("old")),
         checkpointDir)
       val changed = next.filter(col("comp") =!= col("old")).count()
+      System.err.println(f"[components] label round=$it changed=$changed t=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
+      roundT0 = System.nanoTime()
       converged = changed == 0L
       // stall rule: a shallow blob's change count at least halves per
-      // round once jumping is active; a count that doesn't is a frontier
-      // walking a deep structure — hand it to the star phase
-      stalled = !converged && it >= 2 && changed * 2 >= prevChanged
+      // round; a count that doesn't is a frontier walking a deep
+      // structure — hand it to the contraction finish. Checked from
+      // round 1 (not 2): with the hybrid local finish an early handoff
+      // costs one bounded collect, while a wasted propagation round
+      // costs two jobs — the asymmetric price favors leaving early
+      stalled = !converged && it >= 1 && changed * 2 >= prevChanged
       prevChanged = changed
       labels = next.select(col("id"), col("comp"))
       it += 1
@@ -771,12 +778,49 @@ object Dedup {
         // component minimum
         val la = labels.select(col("id").alias("src"), col("comp").alias("ca"))
         val lb = labels.select(col("id").alias("dst"), col("comp").alias("cb"))
-        val contracted = edges.join(la, Seq("src")).join(lb, Seq("dst"))
-          .filter(col("ca") =!= col("cb"))
-          .select(greatest(col("ca"), col("cb")).alias("u"),
-            least(col("ca"), col("cb")).alias("v"))
-          .distinct()
-        val starred = starComponents(contracted, maxIter - it, checkpointDir)
+        val contracted = Iterative.truncate(
+          edges.join(la, Seq("src")).join(lb, Seq("dst"))
+            .filter(col("ca") =!= col("cb"))
+            .select(greatest(col("ca"), col("cb")).alias("u"),
+              least(col("ca"), col("cb")).alias("v"))
+            .distinct(), checkpointDir)
+        val m = contracted.count()
+        // Hybrid finish — the standard iterate-until-it-fits pattern: the
+        // label phase has already collapsed every shallow region, so the
+        // quotient is typically orders of magnitude smaller than the
+        // input. Below `maxLocalEdges` (default 4M edges = ~64 MB of
+        // longs, one bounded collect) a driver union-find finishes in
+        // milliseconds what star alternation spends 6-12 shuffle stages
+        // per round on; above it, the distributed star path keeps the
+        // O(log² n) bound. Same fixed point either way: comp = component
+        // minimum, exact.
+        val starred =
+          if (m <= maxLocalEdges) {
+            val parent = new java.util.HashMap[Long, Long]()
+            def find(x0: Long): Long = {
+              var x = x0
+              var p = parent.getOrDefault(x, x)
+              while (p != x) { // path halving
+                val gp = parent.getOrDefault(p, p)
+                parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+              }
+              x
+            }
+            contracted.collect().foreach { r =>
+              val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+              // union by min: the smaller root stays root, so every
+              // root IS its tree's minimum id at all times
+              if (ru != rv) {
+                if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            // non-roots only: roots (comp minima) fall through the caller's
+            // coalesce, exactly like the star path's fixed point
+            val mapping = parent.keySet().asScala.toSeq.map(x => (x, find(x)))
+            contracted.sparkSession.createDataFrame(mapping)
+              .toDF("id", "component_id")
+          } else starComponents(contracted, maxIter - it, checkpointDir)
         labels.join(starred.withColumnRenamed("id", "comp"), Seq("comp"), "left")
           .select(col("id"),
             coalesce(col("component_id"), col("comp")).alias("comp"))
@@ -808,19 +852,17 @@ object Dedup {
     }
     var prev = checksum(edges)
     var it = 0
+    var starT0 = System.nanoTime()
     var converged = prev._1 == 0L
-    while (!converged) {
-      require(it < maxIter,
-        s"starComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (star alternation needs O(log^2 n) rounds worst " +
-          "case, single digits in practice)")
+    // one large-star + small-star alternation over an oriented edge list
+    def starPass(in: DataFrame): DataFrame = {
       // large-star: for each center c of the SYMMETRIC graph with
       // m = min(neighbors ∪ {c}), re-attach every larger neighbor x > c
       // to m. Output stays oriented (x > c >= m). No dedup here:
       // duplicates ((x,m) via two centers sharing m) are bounded within
       // the round (|ls| <= 2|E|) and the small-star output dedups.
-      val sym = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").alias("u"), col("u").alias("v"))) // u = center
+      val sym = in.select(col("u"), col("v"))
+        .union(in.select(col("v").alias("u"), col("u").alias("v"))) // u = center
       val lsMin = sym.groupBy(col("u")).agg(min(col("v")).alias("mv"))
       val ls = sym.join(lsMin, Seq("u"))
         .select(col("v").alias("x"), col("u").alias("c"),
@@ -832,12 +874,25 @@ object Dedup {
       // smaller neighbor to m.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).alias("m"))
       val withM = ls.join(ssMin, Seq("u"))
-      val ss = withM.filter(col("v") =!= col("m"))
+      withM.filter(col("v") =!= col("m"))
         .select(col("v").alias("u"), col("m").alias("v"))
         .union(ssMin.select(col("u"), col("m").alias("v")))
         .distinct()
-      edges = Iterative.truncate(ss, checkpointDir)
+    }
+    while (!converged) {
+      require(it < maxIter,
+        s"starComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (star alternation needs O(log^2 n) rounds worst " +
+          "case, single digits in practice)")
+      // TWO alternations per materialize+checksum: the loop is round-
+      // dominated (each round costs one truncate job + one checksum job
+      // over a shrinking edge list), and the fixed point is stable under
+      // extra passes, so doubling the per-round contraction halves the
+      // driver rounds without changing the result
+      edges = Iterative.truncate(starPass(starPass(edges)), checkpointDir)
       val cur = checksum(edges)
+      System.err.println(f"[components] star round=$it edges=${cur._1} t=${(System.nanoTime() - starT0) / 1e9}%.2fs")
+      starT0 = System.nanoTime()
       converged = cur == prev
       prev = cur
       it += 1

@@ -320,14 +320,38 @@ object Graph {
       sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
     var frontier = dist
     var r = 0
+    var bfsT0 = System.nanoTime()
     var done = false
+    // THREE hops per driver round: on round-dominated graphs (tiny frames,
+    // deep structure — q349 runs its full 15-hop horizon) the cost is
+    // fixed per-round overhead (one truncate job + one isEmpty job), not
+    // data, so batching hops cuts the wall time almost proportionally.
+    // Hop h+1 expands hop h's un-materialized fresh set, re-executing the
+    // earlier hops' joins inside the same job — the plan deepens
+    // geometrically with hops-per-round, which is why this stops at 3:
+    // cheap exactly when rounds dominate, and bounded when they don't.
+    // Correctness is plain frontier BFS: every expansion is anti-joined
+    // against known dists and the union takes min(dist), so a node
+    // reached at several hops keeps the shortest distance, and a mixed-
+    // depth frontier only ever relaxes edges forward.
     while (r < rounds && !done) {
-      val reached = nbrs
-        .join(frontier.withColumnRenamed("id", "a"), Seq("a"))
+      def expand(f: DataFrame): DataFrame = nbrs
+        .join(f.withColumnRenamed("id", "a"), Seq("a"))
         .groupBy(col("b").alias("id"))
         .agg(min(col("dist") + 1L).alias("dist"))
-      frontier = Iterative.truncate(
-        reached.join(dist, Seq("id"), "left_anti"), checkpointDir)
+        .join(dist, Seq("id"), "left_anti")
+      val hops = math.min(3, rounds - r)
+      var acc = expand(frontier)
+      var last = acc
+      (2 to hops).foreach { _ =>
+        last = expand(last)
+        acc = acc.union(last)
+      }
+      val fresh =
+        if (hops > 1)
+          acc.groupBy(col("id")).agg(min(col("dist")).alias("dist"))
+        else acc
+      frontier = Iterative.truncate(fresh, checkpointDir)
       // empty-frontier early exit: isEmpty on the just-materialized
       // checkpoint is a cheap driver action, and it skips every
       // post-diameter round entirely
@@ -336,8 +360,11 @@ object Graph {
       // checkpointed frontiers — a depth-R plan over materialized leaves,
       // nothing recomputes and stats merely add
       else dist = dist.union(frontier)
-      r += 1
+      r += hops
+      System.err.println(f"[bfs] hops=$r t=${(System.nanoTime() - bfsT0) / 1e9}%.2fs")
+      bfsT0 = System.nanoTime()
     }
+    System.err.println(s"[bfs] total hops=$r done=$done")
     dist
   }
 
