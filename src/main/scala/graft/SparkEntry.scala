@@ -13606,6 +13606,26 @@ object SparkEntry {
                 round(score, 6) AS cosine, rnk AS rank
          FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
 
+    // PINNED oracle (r9): recall@5 of the approximate IVF config over a
+    // fully deterministic fixture (first-10 queries, decimal-exact k-means
+    // cells, id tie-breaks) — DuckDB cannot re-derive the cell boundaries,
+    // but the output is a constant of the sf0.01 gate data (measured
+    // stable across repeated runs), so the expected rows ARE the oracle.
+    // Regenerate with tools/pin_oracle.py if the testdata ever changes.
+    "q46_ann_ivf_recall" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0.8 AS DOUBLE)),
+           (CAST(1 AS BIGINT), CAST(0.8 AS DOUBLE)),
+           (CAST(2 AS BIGINT), CAST(0.4 AS DOUBLE)),
+           (CAST(3 AS BIGINT), CAST(0.2 AS DOUBLE)),
+           (CAST(4 AS BIGINT), CAST(0.8 AS DOUBLE)),
+           (CAST(5 AS BIGINT), CAST(0.8 AS DOUBLE)),
+           (CAST(6 AS BIGINT), CAST(0.6 AS DOUBLE)),
+           (CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE)),
+           (CAST(8 AS BIGINT), CAST(0.6 AS DOUBLE)),
+           (CAST(9 AS BIGINT), CAST(0.6 AS DOUBLE))
+         ) AS t(query_id, recall)""",
+
     // Exact-config IVF (nprobe = nlist) equals brute force by construction —
     // same oracle as q36.
     "q45_ann_ivf_exact" ->
@@ -13948,6 +13968,33 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY "group", rank""",
+
+    // PINNED oracle (r9): approx_percentile's Greenwald-Khanna sketch is
+    // deterministic for this gate's fixed data/partitioning (measured
+    // stable across repeated Verify runs); the <=accuracy error bound vs
+    // exact stays spec-pinned in CorpusSpec. Regenerate with
+    // tools/pin_oracle.py if the testdata ever changes.
+    "q70_approx_percentiles" ->
+      """SELECT * FROM (VALUES
+           ('de', CAST(53.0 AS DOUBLE), CAST(78.0 AS DOUBLE), CAST(70 AS BIGINT)),
+           ('en', CAST(55.0 AS DOUBLE), CAST(88.0 AS DOUBLE), CAST(218 AS BIGINT)),
+           ('es', CAST(57.0 AS DOUBLE), CAST(89.0 AS DOUBLE), CAST(73 AS BIGINT)),
+           ('fr', CAST(60.0 AS DOUBLE), CAST(93.0 AS DOUBLE), CAST(64 AS BIGINT)),
+           ('zh', CAST(54.0 AS DOUBLE), CAST(88.0 AS DOUBLE), CAST(75 AS BIGINT))
+         ) AS t(lang, p50a, p90a, n)""",
+
+    // PINNED oracle (r9): HLL++ registers are a pure hash fold — order-
+    // independent by construction, so the sketch output is a constant of
+    // the data. The <=5% relative-error bound vs exact stays spec-pinned
+    // (CorpusSpec). Regenerate with tools/pin_oracle.py on data change.
+    "q77_approx_distinct" ->
+      """SELECT * FROM (VALUES
+           ('de', CAST(31 AS BIGINT), CAST(31 AS BIGINT)),
+           ('en', CAST(31 AS BIGINT), CAST(31 AS BIGINT)),
+           ('es', CAST(31 AS BIGINT), CAST(31 AS BIGINT)),
+           ('fr', CAST(31 AS BIGINT), CAST(31 AS BIGINT)),
+           ('zh', CAST(31 AS BIGINT), CAST(31 AS BIGINT))
+         ) AS t(lang, approx_toks, exact_toks)""",
 
     // The streaming inner join's finite drain equals the batch join: every
     // click paired with every same-user purchase in [ts, ts + 30 min].
@@ -14694,6 +14741,16 @@ object SparkEntry {
          FROM k f JOIN k g ON f.q_id = g.c_id AND f.c_id = g.q_id
          WHERE f.q_id < f.c_id
          ORDER BY id_a, id_b""",
+
+    // PINNED oracle (r9): pair-level recall of the approximate mutual-kNN
+    // config over the same deterministic fixture as q46 — constant of the
+    // sf0.01 gate data (measured stable across repeated runs). Regenerate
+    // with tools/pin_oracle.py if the testdata ever changes.
+    "q143_mutual_knn_ivf_recall" ->
+      """SELECT * FROM (VALUES
+           (CAST(2026 AS BIGINT), CAST(1294 AS BIGINT), CAST(803 AS BIGINT),
+            CAST(0.396347 AS DOUBLE))
+         ) AS t(n_exact, n_approx, n_hit, pair_recall)""",
 
     // Disjunctive predicate evaluated identically; decimal-exact revenue.
     "q137_tpch_q19" ->

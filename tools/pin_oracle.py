@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Regenerate a PINNED oracle (a `SELECT * FROM (VALUES ...)` constant) from
+a graft.Verify output directory. Used for the declared-approximation queries
+whose output is deterministic on the gate data but not re-derivable in
+DuckDB (IVF recall configs, sketch outputs): the expected rows ARE the
+oracle, pinned at sf0.01.
+
+Usage: pin_oracle.py <verifyOutDir> <queryName> [<queryName> ...]
+Paste the printed SQL into SparkEntry.oracleSql. Re-run whenever the
+driver's testdata changes (the pin is a constant of the data).
+"""
+import sys, glob
+import pandas as pd
+
+outdir = sys.argv[1]
+for q in sys.argv[2:]:
+    df = pd.concat([pd.read_parquet(f)
+                    for f in sorted(glob.glob(f"{outdir}/{q}/*.parquet"))])
+    rows = []
+    for _, r in df.iterrows():
+        vals = []
+        for c in df.columns:
+            v = r[c]
+            if str(df[c].dtype) == "float64":
+                # repr = shortest round-trip literal; DuckDB's parse is
+                # correctly rounded, so the pinned double is bit-exact
+                vals.append(f"CAST({float(v)!r} AS DOUBLE)")
+            elif str(df[c].dtype) == "int64":
+                vals.append(f"CAST({int(v)} AS BIGINT)")
+            else:
+                vals.append("'" + str(v).replace("'", "''") + "'")
+        rows.append("(" + ", ".join(vals) + ")")
+    cols = ", ".join(df.columns)
+    print(f"-- {q} ({len(df)} rows)")
+    print(f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})")
+    print()
