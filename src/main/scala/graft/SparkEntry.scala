@@ -3844,6 +3844,49 @@ object SparkEntry {
         LIMIT 100""")
     }),
 
+    "q401_udtf_sql_function" -> ((s, dir) => {
+      // UDTF composed INTO a catalog object: the Scala-closure generator
+      // (q400's tier) wrapped by a SQL CREATE FUNCTION ... RETURNS TABLE
+      // (q277's tier), so downstream SQL users call a PARAMETERIZED table
+      // function — q401_long_toks(minLen) — with zero knowledge that a
+      // JVM closure sits underneath. The registration chain this
+      // exercises: FunctionRegistry (generator) -> SQL function catalog
+      // (wrapper) -> analyzer inlining the wrapper body with the bound
+      // parameter; the generator stays a row-local Generate node (no
+      // shuffle) inside the inlined plan.
+      graft.functions.Udtfs.defineUdtf(s, "q401_tok",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("nchars",
+            org.apache.spark.sql.types.LongType))),
+        args => {
+          val toks = Option(args.head).map(_.asInstanceOf[String]).getOrElse("")
+            .trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          toks.iterator.zipWithIndex.map { case (tk, i) =>
+            Seq(i.toLong, tk, tk.length.toLong)
+          }
+        }, arity = 1)
+      t(s, dir, "documents").createOrReplaceTempView("q401_docs")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q401_long_toks(minLen BIGINT)
+           RETURNS TABLE (doc_id BIGINT, pos BIGINT, tok STRING)
+           RETURN SELECT d.doc_id, t.pos, t.tok
+             FROM q401_docs d
+             LATERAL VIEW q401_tok(d.text) t AS pos, tok, nchars
+             WHERE t.nchars >= minLen""")
+      s.sql("""
+        SELECT tok, count(*) AS n, min(pos) AS first_pos,
+               count(DISTINCT doc_id) AS n_docs
+        FROM q401_long_toks(5)
+        GROUP BY tok
+        HAVING count(*) >= 3
+        ORDER BY n DESC, tok
+        LIMIT 50""")
+    }),
+
     "q316_ivf_cell_drift" -> ((s, dir) => {
       // ANN index maintenance signal: assign the OLD half and the NEW
       // half of the corpus to the same centroids (q65's fixed first-8,
@@ -9911,6 +9954,26 @@ object SparkEntry {
          SELECT e.gram AS gram, count(*) AS n, CAST(sum(e.pos) AS BIGINT) AS pos_sum
          FROM g GROUP BY 1 HAVING count(*) >= 3
          ORDER BY n DESC, gram LIMIT 100""",
+
+    // Same tokenizer replay as q400, parameter minLen=8 inlined; the
+    // UDTF-through-SQL-function plumbing is the thing under test, the
+    // token math replays exactly. minLen=5/support>=3 sized so the sf0.01
+    // gate checks a multi-row result (15 rows), not a near-empty one.
+    "q401_udtf_sql_function" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+               i -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := toks[i]))) AS e
+           FROM t),
+         f AS (SELECT doc_id, e.pos AS pos, e.tok AS tok FROM p WHERE len(e.tok) >= 5)
+         SELECT tok, count(*) AS n, CAST(min(pos) AS BIGINT) AS first_pos,
+                count(DISTINCT doc_id) AS n_docs
+         FROM f GROUP BY 1 HAVING count(*) >= 3
+         ORDER BY n DESC, tok LIMIT 50""",
 
     // q79's l2 argmin replay per half, cell counts full-outer joined,
     // growth as sign-split floor ppm.

@@ -67,6 +67,22 @@ class UdtfsSpec extends SparkSpec {
       "SELECT t.i FROM udtf_null_in LATERAL VIEW t_indexed(xs) t AS i, s").count() == 0L)
   }
 
+  test("UDTF composes into a SQL CREATE FUNCTION ... RETURNS TABLE wrapper") {
+    indexer
+    Seq((1L, Seq("a", "bb", "ccc")), (2L, Seq("dd"))).toDF("id", "xs")
+      .createOrReplaceTempView("udtf_wrap_in")
+    // parameterized SQL table function over the Scala-closure generator:
+    // callers see a catalog object, not a closure
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION udtf_wrap(minI BIGINT)
+         RETURNS TABLE (id BIGINT, s STRING)
+         RETURN SELECT w.id, t.s FROM udtf_wrap_in w
+           LATERAL VIEW t_indexed(w.xs) t AS i, s
+           WHERE t.i >= minI""")
+    val out = spark.sql("SELECT id, s FROM udtf_wrap(1) ORDER BY id, s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "bb"), (1L, "ccc"))) // i>=1 drops each row's head
+  }
+
   test("wrong arity fails at analysis, not mid-task") {
     indexer
     Seq((1L, Seq("a"))).toDF("id", "xs").createOrReplaceTempView("udtf_ar_in")
