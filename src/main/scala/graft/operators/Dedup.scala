@@ -888,8 +888,15 @@ object Dedup {
       // dominated (each round costs one truncate job + one checksum job
       // over a shrinking edge list), and the fixed point is stable under
       // extra passes, so doubling the per-round contraction halves the
-      // driver rounds without changing the result
-      edges = Iterative.truncate(starPass(starPass(edges)), checkpointDir)
+      // driver rounds without changing the result. Adaptively gated (the
+      // bfs/dag pattern): the inner pass re-executes inside the job, so
+      // batch only while the edge list is small enough that recompute is
+      // cheaper than the extra driver round
+      val doubled =
+        if (org.apache.spark.sql.graft.Bridge
+            .statsSizeInBytes(edges) <= (64L << 20)) starPass(starPass(edges))
+        else starPass(edges)
+      edges = Iterative.truncate(doubled, checkpointDir)
       val cur = checksum(edges)
       System.err.println(f"[components] star round=$it edges=${cur._1} t=${(System.nanoTime() - starT0) / 1e9}%.2fs")
       starT0 = System.nanoTime()
