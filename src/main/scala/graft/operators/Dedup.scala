@@ -891,10 +891,11 @@ object Dedup {
       // driver rounds without changing the result. Adaptively gated (the
       // bfs/dag pattern): the inner pass re-executes inside the job, so
       // batch only while the edge list is small enough that recompute is
-      // cheaper than the extra driver round
+      // cheaper than the extra driver round. The gate reuses the previous
+      // round's checksum COUNT — zero extra jobs (estimates inflate, see
+      // Iterative.batchRows).
       val doubled =
-        if (org.apache.spark.sql.graft.Bridge
-            .statsSizeInBytes(edges) <= (64L << 20)) starPass(starPass(edges))
+        if (prev._1 <= Iterative.batchRows) starPass(starPass(edges))
         else starPass(edges)
       edges = Iterative.truncate(doubled, checkpointDir)
       val cur = checksum(edges)

@@ -220,10 +220,7 @@ object Graph {
         def step(q: DataFrame): DataFrame =
           q.alias("x").join(q.alias("y"), col("x.p") === col("y.id"))
             .select(col("x.id").alias("id"), col("y.p").alias("p"))
-        val base =
-          if (org.apache.spark.sql.graft.Bridge
-              .statsSizeInBytes(p) <= (64L << 20)) step(p)
-          else p
+        val base = if (p.count() <= Iterative.batchRows) step(p) else p
         val next = Iterative.truncate(
           base.alias("x").join(base.alias("y"), col("x.p") === col("y.id"))
             .select(col("x.id").alias("id"), col("y.p").alias("p"),
@@ -316,11 +313,60 @@ object Graph {
     * Lineage truncated per round ([[Iterative.truncate]]).
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame, rounds: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 4L << 20): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
     require(sources.columns.length == 1, "sources must be a single id column")
     val e0 = edges.toDF("a", "b")
+    // Hybrid driver path — nearDupComponents' iterate-until-it-fits
+    // pattern, applicable at step 0 because BFS never shrinks its graph:
+    // below `maxLocalEdges` (default 4M edges, one bounded collect) the
+    // level-synchronous multi-source BFS runs in memory, collapsing up to
+    // `rounds` driver-loop rounds of fixed job-scheduling cost (measured
+    // ~0.3 s/round at sf0.1 — q349's 15-hop horizon spent ~4.5 s on a
+    // 12.5k-edge graph) into one collect + milliseconds of adjacency
+    // walking. Above the bound, the distributed frontier loop below keeps
+    // the shuffle-per-hop shape that scales. Identical contract either
+    // way: min hop distance from any source, horizon `rounds`, unreached
+    // nodes absent. Requires matching id types (the local map compares
+    // boxed values); mixed-type callers fall through to the join path.
+    if (sources.schema.head.dataType == e0.schema.head.dataType &&
+        e0.count() <= maxLocalEdges) {
+      val t0 = System.nanoTime()
+      val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
+      e0.collect().foreach { row =>
+        val (x, y) = (row.get(0), row.get(1))
+        adj.computeIfAbsent(x, _ => scala.collection.mutable.ArrayBuffer.empty) += y
+        adj.computeIfAbsent(y, _ => scala.collection.mutable.ArrayBuffer.empty) += x
+      }
+      val distL = new java.util.LinkedHashMap[Any, Long]()
+      var frontier: Seq[Any] =
+        sources.toDF("id").distinct().collect().map(_.get(0)).toSeq
+      frontier.foreach(distL.put(_, 0L))
+      var d = 0L
+      while (d < rounds && frontier.nonEmpty) {
+        d += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Any]
+        frontier.foreach { u =>
+          val ns = adj.get(u)
+          if (ns != null) ns.foreach { v =>
+            if (!distL.containsKey(v)) { distL.put(v, d); next += v }
+          }
+        }
+        frontier = next.toSeq
+      }
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        e0.schema.head.copy(name = "id"),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = distL.entrySet().asScala.toSeq
+        .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue))
+      System.err.println(
+        f"[bfs] local hops=$d t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      return edges.sparkSession.createDataFrame(rows.asJava, schema)
+    }
     // pre-partitioned by the per-round join key: the checkpoint preserves
     // outputPartitioning (LogicalRDD carries it), so every round's
     // frontier join reads nbrs exchange-free instead of re-shuffling the
@@ -352,36 +398,40 @@ object Graph {
         .groupBy(col("b").alias("id"))
         .agg(min(col("dist") + 1L).alias("dist"))
         .join(dist, Seq("id"), "left_anti")
-      // ADAPTIVE batching: hop h+1 re-executes hop h's joins inside the
-      // same job, so batching only pays while ROUNDS dominate (small
-      // frontier). On a fat frontier (cluster scale: billions of live
-      // nodes) the recompute would multiply the expansion work 2-3x —
-      // there, fall back to one materialized hop per round. The gate
-      // reads the checkpointed frontier's size estimate (LogicalRDD
-      // carries it), costing nothing.
-      val batchable = org.apache.spark.sql.graft.Bridge
-        .statsSizeInBytes(frontier) <= (64L << 20)
-      val hops = if (batchable) math.min(3, rounds - r) else 1
-      var acc = expand(frontier)
-      var last = acc
-      (2 to hops).foreach { _ =>
-        last = expand(last)
-        acc = acc.union(last)
+      // ONE count job per round on the materialized frontier: it is both
+      // the ADAPTIVE batching gate (hop h+1 re-executes hop h's joins
+      // inside the same job, so batching only pays while ROUNDS dominate —
+      // on a fat frontier the recompute would multiply the expansion work
+      // 2-3x, so past Iterative.batchRows fall back to one materialized
+      // hop per round) and the empty-frontier early exit that skips every
+      // post-diameter round. Counting replaces the former isEmpty probe,
+      // so the per-round job count is unchanged — and unlike the plan-
+      // stats byte gate it used to be, a count cannot be inflated by
+      // join/agg derivation (which silently disabled batching here).
+      val frontierRows = frontier.count()
+      if (frontierRows == 0) done = true
+      else {
+        val hops =
+          if (frontierRows <= Iterative.batchRows) math.min(3, rounds - r)
+          else 1
+        var acc = expand(frontier)
+        var last = acc
+        (2 to hops).foreach { _ =>
+          last = expand(last)
+          acc = acc.union(last)
+        }
+        val fresh =
+          if (hops > 1)
+            acc.groupBy(col("id")).agg(min(col("dist")).alias("dist"))
+          else acc
+        frontier = Iterative.truncate(fresh, checkpointDir)
+        // dist needs NO truncate of its own: it is a union of already-
+        // checkpointed frontiers — a depth-R plan over materialized
+        // leaves, nothing recomputes and stats merely add. A final empty
+        // frontier unions in zero rows; the next round's count exits.
+        dist = dist.union(frontier)
+        r += hops
       }
-      val fresh =
-        if (hops > 1)
-          acc.groupBy(col("id")).agg(min(col("dist")).alias("dist"))
-        else acc
-      frontier = Iterative.truncate(fresh, checkpointDir)
-      // empty-frontier early exit: isEmpty on the just-materialized
-      // checkpoint is a cheap driver action, and it skips every
-      // post-diameter round entirely
-      if (frontier.isEmpty) done = true
-      // dist needs NO truncate of its own: it is a union of already-
-      // checkpointed frontiers — a depth-R plan over materialized leaves,
-      // nothing recomputes and stats merely add
-      else dist = dist.union(frontier)
-      r += hops
       System.err.println(f"[bfs] hops=$r t=${(System.nanoTime() - bfsT0) / 1e9}%.2fs")
       bfsT0 = System.nanoTime()
     }
@@ -875,8 +925,7 @@ object Graph {
       // adaptive (see bfsDistances): batch only while the dist table is
       // small enough that re-executing inner relax steps is cheaper than
       // the driver rounds they replace
-      val batchable = org.apache.spark.sql.graft.Bridge
-        .statsSizeInBytes(dist) <= (64L << 20)
+      val batchable = dist.count() <= Iterative.batchRows
       val steps = if (batchable) math.min(3, rounds - r) else 1
       var d = dist
       (1 to steps).foreach(_ => d = relax(d))

@@ -26,6 +26,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterative {
 
+  /** Max materialized ROWS for which iterative loops compose 2-3
+    * un-materialized steps per truncate (hop/relax/star batching). The
+    * composed inner steps re-execute inside the round's job, so batching
+    * pays exactly while the frame is small enough that the recompute is
+    * cheaper than the driver round it replaces; fatter frames fall back
+    * to one materialized step per round. Gate on a COUNT of the already-
+    * materialized checkpoint (one cheap scan-only job) — optimizer size
+    * estimates inflate through join/agg derivations (measured: q349's
+    * ~12k-row BFS frontier was estimated past a 64 MB byte gate, silently
+    * disabling the batching for the exact round-dominated shape it was
+    * built for).
+    */
+  val batchRows: Long = 2L * 1000 * 1000
+
   /** The dir this JVM last passed to setCheckpointDir. The stored
     * SparkContext value is NOT comparable to the caller's string —
     * setCheckpointDir records a scheme-qualified per-run UUID child

@@ -316,6 +316,13 @@ class CorpusSpec extends SparkSpec {
     // more rounds reach the tail; distances already found never grow
     assert(m(Graph.bfsDistances(edges, src, rounds = 4)) ==
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 0L, 7L -> 1L))
+    // maxLocalEdges=0 forces the DISTRIBUTED frontier loop (the default
+    // hybrid takes the driver path on a graph this small) — both paths
+    // must produce the identical horizon-capped answer
+    assert(m(Graph.bfsDistances(edges, src, rounds = 2, maxLocalEdges = 0L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 0L, 7L -> 1L))
+    assert(m(Graph.bfsDistances(edges, src, rounds = 4, maxLocalEdges = 0L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 0L, 7L -> 1L))
   }
 
   test("dagLongestPath: diamond takes the heavier arm, sources at 0, rounds truncate") {
