@@ -220,7 +220,7 @@ object Graph {
         def step(q: DataFrame): DataFrame =
           q.alias("x").join(q.alias("y"), col("x.p") === col("y.id"))
             .select(col("x.id").alias("id"), col("y.p").alias("p"))
-        val base = if (p.count() <= Iterative.batchRows) step(p) else p
+        val base = if (Iterative.smallMaterialized(p)) step(p) else p
         val next = Iterative.truncate(
           base.alias("x").join(base.alias("y"), col("x.p") === col("y.id"))
             .select(col("x.id").alias("id"), col("y.p").alias("p"),
@@ -925,7 +925,7 @@ object Graph {
       // adaptive (see bfsDistances): batch only while the dist table is
       // small enough that re-executing inner relax steps is cheaper than
       // the driver rounds they replace
-      val batchable = dist.count() <= Iterative.batchRows
+      val batchable = Iterative.smallMaterialized(dist)
       val steps = if (batchable) math.min(3, rounds - r) else 1
       var d = dist
       (1 to steps).foreach(_ => d = relax(d))
