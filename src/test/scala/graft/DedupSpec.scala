@@ -224,9 +224,16 @@ class DedupSpec extends SparkSpec {
 
   test("nearDupComponents: transitive closure with min-id component labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L)).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L)
+    // default: the step-0 driver union-find path (the graph fits)
     val comps = Dedup.nearDupComponents(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+    assert(comps == want)
+    // maxLocalEdges=0 forces the DISTRIBUTED label+star phases — both
+    // paths must produce the identical min-id labeling
+    val dist = Dedup.nearDupComponents(pairs, maxLocalEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == want)
   }
 
   test("nearDupComponents: a 200-chain converges in far fewer than diameter rounds") {
@@ -235,7 +242,9 @@ class DedupSpec extends SparkSpec {
     // halving the chain per round) must land every node in component 0
     // within the default budget of 25 — sub-linear in diameter
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.nearDupComponents(chain)
+    // maxLocalEdges=0: the round-count claim is about the DISTRIBUTED
+    // phases (the default hybrid finishes a 200-edge graph on the driver)
+    val labels = Dedup.nearDupComponents(chain, maxLocalEdges = 0L)
       .collect().map(_.getLong(1)).distinct.toSeq
     assert(labels == Seq(0L))
     assert(Dedup.nearDupComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect().isEmpty)
@@ -248,7 +257,10 @@ class DedupSpec extends SparkSpec {
     // identical labels, and the dir is actually used
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val reliable = Dedup.nearDupComponents(pairs, checkpointDir = Some(dir)).collect()
+    // maxLocalEdges=0: checkpoint files are a distributed-phase artifact
+    // (the driver path has no round state to persist)
+    val reliable = Dedup.nearDupComponents(pairs, checkpointDir = Some(dir),
+        maxLocalEdges = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))

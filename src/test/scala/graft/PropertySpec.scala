@@ -641,9 +641,15 @@ object RelationalProps extends Properties("relational") {
         changed = next != lbl
         lbl = next
       }
-      val got = graft.operators.Dedup.nearDupComponents(
+      // maxLocalEdges=0 pins the DISTRIBUTED label+star phases against
+      // the brute force; the default call covers the step-0 driver
+      // union-find — both must match the fixed point exactly
+      val gotDist = graft.operators.Dedup.nearDupComponents(
+          pairs.toDF("id_a", "id_b"), maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotLocal = graft.operators.Dedup.nearDupComponents(
           pairs.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == lbl
+      gotDist == lbl && gotLocal == lbl
     }
 }
