@@ -156,7 +156,8 @@ object Graph {
     * `checkpointDir` opt-in. Returns the accepted edges (a, b, w).
     */
   def boruvkaMst(edges: DataFrame, maxRounds: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 4L << 20): DataFrame = {
     // `e` lives at COMPONENT granularity: (ca, cb, w, a, b) with
     // ca < cb the endpoint components and (w, a, b) the original edge.
     // Per unordered component pair only the LIGHTEST edge is kept — by
@@ -174,6 +175,45 @@ object Graph {
         .select(least(col("a"), col("b")).alias("ca"),
           greatest(col("a"), col("b")).alias("cb"),
           col("w"), col("a"), col("b"))), checkpointDir)
+    // Hybrid driver path (the bfsDistances/nearDupComponents move): the
+    // forest is UNIQUE under the (w, a, b) total order, so Kruskal over
+    // the collected edges provably returns Borůvka's exact edge set — the
+    // scaladoc's uniqueness argument IS the equivalence proof. Below
+    // maxLocalEdges (counted on the materialized contract, which the
+    // first distributed round would materialize anyway), one bounded
+    // collect + an in-memory sort/union-find replaces ~log n rounds of
+    // relabel joins and pointer doubling; corpus-scale graphs keep the
+    // distributed rounds, and the spec pins both paths to the same set.
+    // Long ids/weights only (the union-find keys on getLong).
+    if (e.schema.drop(2).take(3).forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        e.count() <= maxLocalEdges) {
+      val rows = e.select(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy { case (w, a, b, _, _) => (w, a, b) }
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val kept = rows.flatMap { case (w, a, b, ca, cb) =>
+        val (ru, rv) = (find(ca), find(cb))
+        if (ru == rv) None
+        else {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          Some((a, b, w))
+        }
+      }
+      import edges.sparkSession.implicits._
+      return kept.toSeq.toDF("a", "b", "w")
+    }
     val accepted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     while (!e.isEmpty) {

@@ -316,10 +316,17 @@ class DedupSpec extends SparkSpec {
       (4L, 5L, 5L), (2L, 5L, 4L),
       (11L, 12L, 10L), (12L, 13L, 20L), (13L, 14L, 30L), (14L, 15L, 40L)
     ).toDF("a", "b", "w")
+    val want = Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L), (2L, 5L, 4L),
+      (11L, 12L, 10L), (12L, 13L, 20L), (13L, 14L, 30L), (14L, 15L, 40L))
+    // default: the driver Kruskal hybrid (the graph fits)
     val got = graft.operators.Graph.boruvkaMst(e)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L), (2L, 5L, 4L),
-      (11L, 12L, 10L), (12L, 13L, 20L), (13L, 14L, 30L), (14L, 15L, 40L)))
+    assert(got == want)
+    // maxLocalEdges=0 forces the DISTRIBUTED Borůvka rounds — the unique
+    // forest under (w, a, b) order must be the identical edge set
+    val dist = graft.operators.Graph.boruvkaMst(e, maxLocalEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == want)
   }
   test("kTrussPeel: K4 is a 4-truss, pendant triangle peels, cascade removes") {
     import spark.implicits._
