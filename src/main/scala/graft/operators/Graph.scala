@@ -917,13 +917,23 @@ object Graph {
     * graph.
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame, rounds: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 4L << 20): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(edges.columns.length == 3, "edges must be exactly (src, dst, w)")
     require(sources.columns.length == 1, "sources must be a single id column")
     val e0 = Iterative.truncate(edges.toDF("src", "dst", "w")
       .select(col("src"), col("dst"), col("w").cast("long").alias("w")),
       checkpointDir)
+    // Hybrid driver path (the bfsDistances move): the round function is a
+    // SYNCHRONOUS relaxation — each round reads only the previous round's
+    // table — so an in-memory two-map sweep replays it exactly, round for
+    // round, with early exit at the monotone fixed point (further rounds
+    // are no-ops by idempotence). One bounded collect replaces `rounds`
+    // join+agg driver rounds; larger graphs keep the distributed loop.
+    if (localRelaxable(e0, sources) && e0.count() <= maxLocalEdges) {
+      return localRelax(e0, Some(sources), rounds, minimize = true)
+    }
     var dist = Iterative.truncate(
       sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
     (1 to rounds).foreach { _ =>
@@ -937,13 +947,76 @@ object Graph {
     dist
   }
 
+  /** Gate for the driver relaxation hybrids: Long node ids (the local
+    * maps key on getLong) on both the edge list and the optional source
+    * set. */
+  private def localRelaxable(e0: DataFrame, sources: DataFrame): Boolean = {
+    val lt = org.apache.spark.sql.types.LongType
+    e0.schema.take(2).forall(_.dataType == lt) &&
+      (sources == null || sources.schema.head.dataType == lt)
+  }
+
+  /** In-memory synchronous relaxation shared by [[shortestPaths]]
+    * (minimize, source-seeded, unreached absent) and [[dagLongestPath]]
+    * (maximize, all nodes at 0). Replays exactly `rounds` rounds of the
+    * distributed round function over collected (src, dst, w) edges, with
+    * early exit once a round changes nothing (monotone fixed point —
+    * identical output by idempotence).
+    */
+  private def localRelax(e0: DataFrame, sources: Option[DataFrame],
+      rounds: Int, minimize: Boolean): DataFrame = {
+    val es = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var dist = new java.util.HashMap[Long, Long]()
+    sources match {
+      case Some(s) =>
+        s.toDF("id").distinct().collect().foreach(r => dist.put(r.getLong(0), 0L))
+      case None =>
+        es.foreach { case (a, b, _) => dist.put(a, 0L); dist.put(b, 0L) }
+    }
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val next = new java.util.HashMap[Long, Long](dist)
+      changed = false
+      es.foreach { case (src, dst, w) =>
+        // synchronous: candidates read the PREVIOUS round's table
+        if (dist.containsKey(src)) {
+          val cand = dist.get(src) + w
+          val better =
+            if (!next.containsKey(dst)) true // first reach always wins
+            else if (minimize) cand < next.get(dst)
+            else cand > next.get(dst)
+          if (better) { next.put(dst, cand); changed = true }
+        }
+      }
+      dist = next
+      r += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = dist.entrySet().asScala.toSeq
+      .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue))
+    e0.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
   def dagLongestPath(edges: DataFrame, rounds: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 4L << 20): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(edges.columns.length == 3, "edges must be exactly (src, dst, w)")
     val e0 = Iterative.truncate(edges.toDF("src", "dst", "w")
       .select(col("src"), col("dst"), col("w").cast("long").alias("w")),
       checkpointDir)
+    // Hybrid driver path — see shortestPaths: the synchronous max-relax
+    // replays exactly in memory (all nodes seeded at 0), early-exiting at
+    // the monotone fixed point with an identical result.
+    if (localRelaxable(e0, null) && e0.count() <= maxLocalEdges) {
+      return localRelax(e0, None, rounds, minimize = false)
+    }
     val nodes = e0.select(col("src").alias("id"))
       .union(e0.select(col("dst").alias("id"))).distinct()
     var dist = Iterative.truncate(

@@ -338,6 +338,12 @@ class CorpusSpec extends SparkSpec {
     // short; values are monotone in rounds, never wrong-side-high
     assert(m(Graph.dagLongestPath(edges, rounds = 1)) ==
       Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 10L, 5L -> 2L, 6L -> 0L, 7L -> 5L))
+    // maxLocalEdges=0 forces the DISTRIBUTED relax loop (the default
+    // hybrid runs this graph on the driver) — identical both rounds
+    assert(m(Graph.dagLongestPath(edges, rounds = 3, maxLocalEdges = 0L)) ==
+      Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 11L, 5L -> 13L, 6L -> 0L, 7L -> 5L))
+    assert(m(Graph.dagLongestPath(edges, rounds = 1, maxLocalEdges = 0L)) ==
+      Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 10L, 5L -> 2L, 6L -> 0L, 7L -> 5L))
   }
 
   test("shortestPaths: weighted multi-source min, hop bound bites, unreached absent") {
@@ -356,6 +362,12 @@ class CorpusSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 2L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
     // hop bound 2: 1-2-3 reached; 4 still best at 7 via the shortcut
     assert(m(Graph.shortestPaths(edges, src, rounds = 2)) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
+    // maxLocalEdges=0 forces the DISTRIBUTED loop — the horizon-sensitive
+    // hop-1/hop-2 answers must match the driver hybrid exactly
+    assert(m(Graph.shortestPaths(edges, src, rounds = 1, maxLocalEdges = 0L)) ==
+      Map(1L -> 0L, 2L -> 2L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
+    assert(m(Graph.shortestPaths(edges, src, rounds = 2, maxLocalEdges = 0L)) ==
       Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 7L, 9L -> 0L, 10L -> 1L))
   }
 
