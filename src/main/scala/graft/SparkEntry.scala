@@ -6033,9 +6033,21 @@ object SparkEntry {
         .sortBy(Seq(col("query_id"), col("rank")))
     }),
 
-    // NOTE: q193 never existed — a numbering gap, not a removed query.
-    // Audits counting "queries" must use SparkEntry.queries.size, not
-    // max(qNNN).
+    // q193 — historically a numbering gap; filled in r9 with the
+    // distributed-tier gate for connected components. q50 takes the
+    // step-0 driver union-find at sf scales (the graph fits); this runs
+    // the IDENTICAL pair graph through the distributed label-propagation
+    // + star-contraction phases (maxLocalEdges=0, the 100 TB code path)
+    // against the SAME recursive-CTE oracle — so the tier that actually
+    // runs at cluster scale is itself driver-verified per round, not
+    // just spec-pinned at toy sizes.
+    "q193_components_distributed" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+            col("text"), threshold = 0.8),
+          maxLocalEdges = 0L)
+        .sortBy(Seq(col("id")))),
+
     "q192_incremental_agg" -> ((s, dir) => {
       // incremental view maintenance: the pre-cutoff rollup is NEVER
       // recomputed — a changelog (post-cutoff inserts + every-13th-key
@@ -7077,6 +7089,38 @@ object SparkEntry {
 
     // Components via recursive CTE: reach(id, r) = ids reachable from id
     // over the (undirected) pair edges; component = min reachable.
+    // q193 runs the identical pair graph through the DISTRIBUTED
+    // components tier — same fixed point, same oracle as q50
+    "q193_components_distributed" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         SELECT id, MIN(r) AS component_id FROM reach GROUP BY id ORDER BY id""",
+
     "q50_neardup_components" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id,
