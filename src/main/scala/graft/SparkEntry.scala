@@ -3348,6 +3348,28 @@ object SparkEntry {
         .sortBy(Seq(col("arm")))
     }),
 
+    "q402_mst_distributed" -> ((s, dir) => {
+      // q370's forest through the DISTRIBUTED Borůvka rounds
+      // (maxLocalEdges=0 — the 100 TB code path; q370 itself takes the
+      // driver Kruskal at sf scales): per-component lightest edge,
+      // functional-graph merge, geometric edge shrink — against the SAME
+      // Kruskal-replaying oracle. Three independent algorithms (driver
+      // Kruskal, distributed Borůvka, recursive-CTE Kruskal) now pin one
+      // verified edge set, and the cluster-scale tier is driver-verified
+      // per round rather than spec-only.
+      val hi = t(s, dir, "lineitem").filterCol(col("l_quantity") >= 45)
+        .selectCols(Seq(col("l_orderkey"), col("l_partkey"))).distinctAll
+      val e = hi.alias("x").join(hi.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .aggregate(Seq(col("x.l_partkey").as("a"),
+          col("y.l_partkey").as("b")), Seq(count(lit(1)).as("n")))
+        .selectCols(Seq(col("a"), col("b"),
+          (lit(1L) + col("n") % 7).as("w")))
+      graft.operators.Graph.boruvkaMst(e, maxLocalEdges = 0L)
+        .sortBy(Seq(col("w"), col("a"), col("b")))
+    }),
+
     "q370_boruvka_mst" -> ((s, dir) => {
       // minimum spanning forest of the weighted co-purchase graph by
       // Borůvka (per-component lightest edge, components halve per
@@ -9065,6 +9087,39 @@ object SparkEntry {
                 ELSE -CAST(((-tn) * 1000000) // td AS BIGINT)
                 END AS theta_ppm
          FROM e ORDER BY arm""",
+
+    // q402: identical Kruskal oracle — the distributed Borůvka tier must
+    // select the same unique forest
+    "q402_mst_distributed" ->
+      """WITH RECURSIVE hi AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem WHERE l_quantity >= 45),
+         e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM hi x JOIN hi y ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
+         e AS (SELECT a, b, CAST(1 + n % 7 AS BIGINT) AS w FROM e0),
+         nd AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS ix
+           FROM (SELECT a AS id FROM e UNION SELECT b FROM e)),
+         cnt AS (SELECT COUNT(*) AS n FROM nd),
+         eo AS (SELECT e.a, e.b, e.w, na.ix AS ia, nb.ix AS ib,
+             ROW_NUMBER() OVER (ORDER BY e.w, e.a, e.b) AS r
+           FROM e JOIN nd na ON na.id = e.a JOIN nd nb ON nb.id = e.b),
+         init AS (SELECT range(1, n + 1) AS L FROM cnt),
+         st(r, a, b, w, acc, L) AS (
+           SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE, L
+           FROM init
+           UNION ALL
+           SELECT t.r, t.a, t.b, t.w, t.la <> t.lb,
+             CASE WHEN t.la <> t.lb THEN
+               list_transform(t.L, x -> CASE
+                 WHEN x = greatest(t.la, t.lb) THEN least(t.la, t.lb)
+                 ELSE x END)
+             ELSE t.L END
+           FROM (SELECT eo.r, eo.a, eo.b, eo.w, st.L,
+               st.L[eo.ia] AS la, st.L[eo.ib] AS lb
+             FROM st JOIN eo ON eo.r = st.r + 1) t)
+         SELECT a, b, w FROM st WHERE acc ORDER BY w, a, b""",
 
     // Kruskal over the same (w, a, b)-ordered edges with a union-find
     // label LIST in the recursive state: accept iff labels differ, then
