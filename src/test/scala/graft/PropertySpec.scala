@@ -652,4 +652,70 @@ object RelationalProps extends Properties("relational") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       gotDist == lbl && gotLocal == lbl
     }
+
+  // Cross-tier laws for the r9 two-tier graph operators: the driver
+  // finish (default) and the distributed rounds (maxLocalEdges = 0) must
+  // agree exactly on random inputs — the same discipline the components
+  // brute-force property established, applied tier-vs-tier.
+  private val wEdgeGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L),
+      Gen.choose(1L, 5L)))
+
+  property("shortestPaths: driver tier == distributed tier, any hop bound") =
+    forAll(wEdgeGen, Gen.choose(1, 4)) { (es, rounds) =>
+      import spark.implicits._
+      val edges = es.toDF("src", "dst", "w")
+      val srcs = Seq(0L, 3L, 7L).toDF("id")
+      def m(df: DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      m(graft.operators.Graph.shortestPaths(edges, srcs, rounds)) ==
+        m(graft.operators.Graph.shortestPaths(edges, srcs, rounds,
+          maxLocalEdges = 0L))
+    }
+
+  property("dagLongestPath: driver tier == distributed tier, any round cap") =
+    forAll(wEdgeGen, Gen.choose(1, 4)) { (es0, rounds) =>
+      import spark.implicits._
+      // orient edges src < dst so the graph is a DAG (the operator's
+      // precondition; cyclic inputs under a round CAP are still defined
+      // and still must agree, but the DAG shape is the contract)
+      val es = es0.collect { case (a, b, w) if a != b =>
+        (math.min(a, b), math.max(a, b), w) }
+      val edges = es.toDF("src", "dst", "w")
+      def m(df: DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      es.isEmpty || {
+        m(graft.operators.Graph.dagLongestPath(edges, rounds)) ==
+          m(graft.operators.Graph.dagLongestPath(edges, rounds,
+            maxLocalEdges = 0L))
+      }
+    }
+
+  property("bfsDistances: driver tier == distributed tier") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))),
+        Gen.choose(1, 5)) { (es, rounds) =>
+      import spark.implicits._
+      val edges = es.toDF("id_a", "id_b")
+      val srcs = Seq(0L, 5L).toDF("id")
+      def m(df: DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      es.isEmpty || {
+        m(graft.operators.Graph.bfsDistances(edges, srcs, rounds)) ==
+          m(graft.operators.Graph.bfsDistances(edges, srcs, rounds,
+            maxLocalEdges = 0L))
+      }
+    }
+
+  property("boruvkaMst: driver Kruskal == distributed Boruvka edge set") =
+    forAll(wEdgeGen) { es0 =>
+      import spark.implicits._
+      val es = es0.filter { case (a, b, _) => a != b }
+      val edges = es.toDF("a", "b", "w")
+      def m(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      es.isEmpty || {
+        m(graft.operators.Graph.boruvkaMst(edges)) ==
+          m(graft.operators.Graph.boruvkaMst(edges, maxLocalEdges = 0L))
+      }
+    }
 }
