@@ -21,7 +21,13 @@ for q in sys.argv[2:]:
         vals = []
         for c in df.columns:
             v = r[c]
-            if str(df[c].dtype) == "float64":
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                # genuine NULL (describe's non-numeric stats): typed so
+                # DuckDB's VALUES column type matches the data rows
+                t = {"float64": "DOUBLE", "int64": "BIGINT"}.get(
+                    str(df[c].dtype), "VARCHAR")
+                vals.append(f"CAST(NULL AS {t})")
+            elif str(df[c].dtype) == "float64":
                 # repr = shortest round-trip literal; DuckDB's parse is
                 # correctly rounded, so the pinned double is bit-exact
                 vals.append(f"CAST({float(v)!r} AS DOUBLE)")
