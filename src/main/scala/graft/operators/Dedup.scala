@@ -930,16 +930,15 @@ object Dedup {
       // dominated (each round costs one truncate job + one checksum job
       // over a shrinking edge list), and the fixed point is stable under
       // extra passes, so doubling the per-round contraction halves the
-      // driver rounds without changing the result. Adaptively gated (the
-      // bfs/dag pattern): the inner pass re-executes inside the job, so
-      // batch only while the edge list is small enough that recompute is
-      // cheaper than the extra driver round. The gate reuses the previous
-      // round's checksum COUNT — zero extra jobs (estimates inflate, see
-      // Iterative.batchRows).
-      val doubled =
-        if (prev._1 <= Iterative.batchRows) starPass(starPass(edges))
-        else starPass(edges)
-      edges = Iterative.truncate(doubled, checkpointDir)
+      // ONE starPass per materialize. The bfs/dag batching pattern does
+      // NOT transfer here and was reverted after measurement: a starPass
+      // is itself ~4 shuffle stages (two groupBy mins + joins), so an
+      // un-materialized inner pass re-executes those shuffles inside the
+      // outer pass's job — unlike the narrow hop/relax steps the pattern
+      // was built for, the recompute costs more than the driver round it
+      // saves (chain scale series: single-pass 10.3 s vs doubled 14.5 s
+      // at 12.5k nodes, same answers).
+      edges = Iterative.truncate(starPass(edges), checkpointDir)
       val cur = checksum(edges)
       System.err.println(f"[components] star round=$it edges=${cur._1} t=${(System.nanoTime() - starT0) / 1e9}%.2fs")
       starT0 = System.nanoTime()
