@@ -252,17 +252,16 @@ object Graph {
         checkpointDir)
       var stable = false
       while (!stable) {
-        // two compose steps per truncate+stability check (the bfs/dag
-        // batching pattern, adaptively gated the same way): composition
-        // is idempotent at the fixed point, so `chg` on the LAST step
-        // alone decides stability — if step 1 already converged, step 2
-        // is a no-op and chg stays false
-        def step(q: DataFrame): DataFrame =
-          q.alias("x").join(q.alias("y"), col("x.p") === col("y.id"))
-            .select(col("x.id").alias("id"), col("y.p").alias("p"))
-        val base = if (Iterative.smallMaterialized(p)) step(p) else p
+        // ONE pointer-doubling join per truncate+stability check. The
+        // bfs/dag compose batching was tried and reverted after
+        // measurement (q402 distributed MST: composed 8.3-9.1 s vs
+        // single-step 7.7-7.9 s): the step is a self-JOIN whose two
+        // references to the un-materialized inner step re-execute its
+        // shuffle inside the outer job — same lesson as the starPass
+        // revert, recompute of shuffle-bearing steps costs more than the
+        // driver round it saves.
         val next = Iterative.truncate(
-          base.alias("x").join(base.alias("y"), col("x.p") === col("y.id"))
+          p.alias("x").join(p.alias("y"), col("x.p") === col("y.id"))
             .select(col("x.id").alias("id"), col("y.p").alias("p"),
               (col("y.p") =!= col("x.p")).alias("chg")),
           checkpointDir)
