@@ -1020,29 +1020,22 @@ object Graph {
       .union(e0.select(col("dst").alias("id"))).distinct()
     var dist = Iterative.truncate(
       nodes.withColumn("dist", lit(0L)), checkpointDir)
-    // THREE relax steps per truncate (same batching as bfsDistances): the
-    // relax is monotone and keeps the full dist table each step, so
-    // relax(relax(relax(d))) truncated once is EXACTLY three rounds —
-    // the fixed-round contract (oracle replays `rounds` relaxations) is
-    // unchanged while the driver-round overhead drops 3x. The un-
-    // materialized inner steps re-execute inside the same job; cheap
-    // exactly because these per-layer frames are node-sized.
+    // ONE relax per truncate. The compose batching (3 steps per
+    // materialize) was reverted with the starPass/pointer-doubling
+    // composes: a relax references its input TWICE (join side + union
+    // side), both shuffle-bearing, so an un-materialized inner step's
+    // shuffles re-execute inside the outer job — the measured lesson
+    // from the star (14.5 s vs 8.8 s) and pointer-doubling (9.1 s vs
+    // 7.7 s) reverts. Sub-threshold inputs take the driver hybrid above,
+    // so this loop only runs where the frames are big enough that the
+    // recompute would dominate anyway.
     def relax(d: DataFrame): DataFrame = e0
       .join(d.withColumnRenamed("id", "src"), Seq("src"))
       .select(col("dst").alias("id"), (col("dist") + col("w")).alias("dist"))
       .union(d)
       .groupBy("id").agg(max(col("dist")).alias("dist"))
-    var r = 0
-    while (r < rounds) {
-      // adaptive (see bfsDistances): batch only while the dist table is
-      // small enough that re-executing inner relax steps is cheaper than
-      // the driver rounds they replace
-      val batchable = Iterative.smallMaterialized(dist)
-      val steps = if (batchable) math.min(3, rounds - r) else 1
-      var d = dist
-      (1 to steps).foreach(_ => d = relax(d))
-      dist = Iterative.truncate(d, checkpointDir)
-      r += steps
+    (1 to rounds).foreach { _ =>
+      dist = Iterative.truncate(relax(dist), checkpointDir)
     }
     dist
   }
