@@ -660,10 +660,22 @@ object SparkEntry {
     }),
 
     "q38_ann_ivf" -> ((s, dir) => {
+      // PRUNED IVF config (nprobe=4 of nlist=16) over a fixture coarse
+      // quantizer — the first 16 corpus vectors as cells (the q174
+      // deterministic-fixture trick, via ivfTopK's pre-trained-codebook
+      // parameter). With re-derivable cells, the ENTIRE pruned path —
+      // corpus cell assignment, query probe selection, probe join, exact
+      // cosine, top-k — replays as plain SQL in DuckDB: a fully
+      // independent oracle (r10; the r9 pin is gone). The k-means-seeded
+      // production config stays oracle-covered by q45 (nprobe=nlist ==
+      // brute force, exact hash vs q36's oracle).
       val e = t(s, dir, "embeddings")
       val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
       val queries = corpus.filterCol(col("id") < 10)
-      Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 4, k = 5)
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 4, k = 5,
+          centroids = Some(cents))
         .withColumn("cosine", round(col("cosine"), 6))
         .withColumn("rank", col("rank").cast("long"))
         .sortBy(Seq(col("query_id"), col("rank")))
@@ -685,16 +697,21 @@ object SparkEntry {
     }),
 
     "q46_ann_ivf_recall" -> ((s, dir) => {
-      // Recall@5 of the approximate IVF config (nprobe=4 of nlist=16) vs
-      // exact brute force, per query — the approximation measured, not
-      // asserted. Rows-only by construction (the IVF result depends on
-      // k-means cell boundaries DuckDB cannot reproduce).
+      // Recall@5 of the pruned IVF config (nprobe=4 of nlist=16) vs exact
+      // brute force, per query — the approximation measured, not asserted.
+      // Same fixture quantizer as q38, so BOTH sides of the recall (the
+      // pruned probe and the exact top-5) replay in DuckDB and the recall
+      // itself is an independent oracle (r10; the r9 pin is gone).
       val e = t(s, dir, "embeddings")
       val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
       val queries = corpus.filterCol(col("id") < 10)
-      val approx = Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 4, k = 5)
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      val approx = Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 4, k = 5,
+        centroids = Some(cents))
       val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
       Similarity.recallAtK(approx, exact)
+        .withColumn("recall", round(col("recall"), 6))
         .sortBy(Seq(col("query_id")))
     }),
 
@@ -1374,11 +1391,18 @@ object SparkEntry {
     "q143_mutual_knn_ivf_recall" -> ((s, dir) => {
       // the APPROXIMATE mutual-kNN config (nprobe 4 of 16) measured against
       // the exact graph — q46's recall pattern lifted to the pair level.
-      // Rows-only by construction (cell boundaries come from k-means).
+      // Fixture quantizer (first-16 cells, as q38/q46): the pruned all-pairs
+      // kNN, the mutual filter, and the exact graph all replay in DuckDB,
+      // so the pair recall is an independent oracle (r10; the r9 pin is
+      // gone). The k-means-seeded config stays covered by q142's exact
+      // sibling and SimilaritySpec's recall bounds.
       val e = t(s, dir, "embeddings")
       val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
       val approx = Similarity.mutualPairs(Similarity.ivfTopK(corpus, corpus,
-        nlist = 16, nprobe = 4, k = 10, broadcastQueries = false))
+        nlist = 16, nprobe = 4, k = 10, broadcastQueries = false,
+        centroids = Some(cents)))
         .selectCols(Seq(col("id_a"), col("id_b")))
       val exact = Similarity.mutualPairs(Similarity.bruteForceTopK(corpus, corpus, k = 10))
         .selectCols(Seq(col("id_a"), col("id_b")))
@@ -6683,9 +6707,16 @@ object SparkEntry {
     * Not-SQL-derivable but DETERMINISTIC-on-the-gate-data queries carry
     * PINNED expected-value oracles (measured byte-identical across
     * independent runs) — `SELECT * FROM (VALUES ...)` constants
-    * regenerable with tools/pin_oracle.py when testdata changes: the IVF
-    * family (q38, q46, q143), sign-LSH pairs (q43), sketches (q70, q77),
-    * and the stringified describe layout (q25).
+    * regenerable with tools/pin_oracle.py when testdata changes. A pin is
+    * a determinism/regression check, NOT independent verification, so the
+    * set is kept minimal and tagged in [[oracleProvenance]] (dumped by
+    * Verify as oracle_provenance.json): only sign-LSH pairs (q43 —
+    * splitmix64 hyperplanes need wrapping 64-bit multiply, not expressible
+    * as portable SQL) and the two sketch outputs (q70 GK percentiles, q77
+    * HLL registers) remain pinned. The r9 pins for the IVF family
+    * (q38/q46/q143) were upgraded to full DuckDB replays over a fixture
+    * coarse quantizer, and q25's describe stats are now derived directly
+    * in SQL.
     *
     * Remaining true omissions:
     *   - q26_explain: Spark plan text has no SQL equivalent (and pinning
@@ -6696,16 +6727,92 @@ object SparkEntry {
     *     hash-matched siblings are q89/q115 and specs bound sketch error.
     */
   def oracleSql: Map[String, String] = Map(
-    // PINNED expected-value oracles (see scaladoc above): deterministic
-    // constants of the sf0.01 gate data, regenerate via tools/pin_oracle.py
+    // Full IVF replay (r10, replacing the r9 pin): fixture coarse quantizer
+    // (first-16 vectors as cells) -> corpus cell assignment (argmax cosine,
+    // tie to lower cell), query probe selection (top-4 cells), probe join,
+    // exact cosine, top-5 — every stage re-derived by DuckDB from the raw
+    // parquet, nothing quoted from the implementation.
     "q38_ann_ivf" ->
-      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.287861 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.322744 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.316374 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(0.245311 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(0.239829 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(0.298788 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(0.276738 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(3 AS BIGINT), CAST(463 AS BIGINT), CAST(0.260873 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(134 AS BIGINT), CAST(0.250601 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(444 AS BIGINT), CAST(0.244498 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.279631 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.310987 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(5 AS BIGINT), CAST(359 AS BIGINT), CAST(0.305821 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(5 AS BIGINT), CAST(316 AS BIGINT), CAST(0.291112 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(6 AS BIGINT), CAST(386 AS BIGINT), CAST(0.275196 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(6 AS BIGINT), CAST(395 AS BIGINT), CAST(0.25912 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(6 AS BIGINT), CAST(252 AS BIGINT), CAST(0.25563 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.356901 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(7 AS BIGINT), CAST(445 AS BIGINT), CAST(0.340782 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(7 AS BIGINT), CAST(221 AS BIGINT), CAST(0.324678 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.304526 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(8 AS BIGINT), CAST(173 AS BIGINT), CAST(0.30203 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(8 AS BIGINT), CAST(207 AS BIGINT), CAST(0.285675 AS DOUBLE), CAST(5 AS BIGINT)), (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.385171 AS DOUBLE), CAST(1 AS BIGINT)), (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(9 AS BIGINT), CAST(256 AS BIGINT), CAST(0.284474 AS DOUBLE), CAST(4 AS BIGINT)), (CAST(9 AS BIGINT), CAST(198 AS BIGINT), CAST(0.258676 AS DOUBLE), CAST(5 AS BIGINT))) AS t(query_id, neighbor_id, cosine, rank)""",
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+         ca AS (SELECT id, cell FROM (
+             SELECT e.id, cent.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         qp AS (SELECT id AS q_id, cell FROM (
+             SELECT e.id, cent.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent WHERE e.id < 10) WHERE rn <= 4),
+         s AS (SELECT qp.q_id, ca.id AS c_id,
+                 list_cosine_similarity(qv.v, cv.v) AS score
+               FROM qp JOIN ca USING (cell)
+               JOIN e qv ON qv.id = qp.q_id
+               JOIN e cv ON cv.id = ca.id
+               WHERE ca.id <> qp.q_id),
+         r AS (SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+               FROM s)
+         SELECT q_id AS query_id, c_id AS neighbor_id,
+                round(score, 6) AS cosine, rnk AS rank
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
 
+    // Describe stats derived directly in SQL (r10, replacing the r9 pin):
+    // counts as longs, numeric stats printed through DECIMAL(38,6) (the
+    // engine-independent fixed-point print describeDf uses), median =
+    // quantile_cont == Spark's exact interpolated percentile (q61-pinned
+    // equivalence).
+    "q25_describe" ->
+      """SELECT 'count' AS "describe",
+           CAST(COUNT(l_quantity) AS VARCHAR) AS l_quantity,
+           CAST(COUNT(l_extendedprice) AS VARCHAR) AS l_extendedprice,
+           CAST(COUNT(l_returnflag) AS VARCHAR) AS l_returnflag
+         FROM lineitem
+         UNION ALL
+         SELECT 'null_count',
+           CAST(COUNT(*) - COUNT(l_quantity) AS VARCHAR),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS VARCHAR),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'mean',
+           CAST(CAST(AVG(l_quantity) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(AVG(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(NULL AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'std',
+           CAST(CAST(STDDEV_SAMP(l_quantity) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(STDDEV_SAMP(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(NULL AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'min',
+           CAST(CAST(MIN(l_quantity) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(MIN(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+           MIN(l_returnflag)
+         FROM lineitem
+         UNION ALL
+         SELECT 'max',
+           CAST(CAST(MAX(l_quantity) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(MAX(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+           MAX(l_returnflag)
+         FROM lineitem
+         UNION ALL
+         SELECT 'median',
+           CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(NULL AS VARCHAR)
+         FROM lineitem""",
+
+    // PINNED expected-value oracle (see scaladoc above; tagged in
+    // oracleProvenance): splitmix64 hyperplanes need wrapping 64-bit
+    // multiplies — not portable SQL. Deterministic constant of the sf0.01
+    // gate data, regenerate via tools/pin_oracle.py.
     "q43_emb_lsh" ->
       """SELECT * FROM (VALUES (CAST(123 AS BIGINT), CAST(327 AS BIGINT), CAST(0.352051 AS DOUBLE)), (CAST(203 AS BIGINT), CAST(414 AS BIGINT), CAST(0.409831 AS DOUBLE)), (CAST(253 AS BIGINT), CAST(401 AS BIGINT), CAST(0.387486 AS DOUBLE)), (CAST(290 AS BIGINT), CAST(331 AS BIGINT), CAST(0.412944 AS DOUBLE)), (CAST(336 AS BIGINT), CAST(399 AS BIGINT), CAST(0.36362 AS DOUBLE)), (CAST(381 AS BIGINT), CAST(413 AS BIGINT), CAST(0.371086 AS DOUBLE)), (CAST(386 AS BIGINT), CAST(485 AS BIGINT), CAST(0.356251 AS DOUBLE))) AS t(id_a, id_b, cosine)""",
-
-    "q25_describe" ->
-      """SELECT * FROM (VALUES ('count', '60000', '60000', '60000'), ('null_count', '0', '0', '0'), ('mean', '25.40225', '53054.271193833', CAST(NULL AS VARCHAR)), ('std', '14.4321175290082', '30082.911305728154', CAST(NULL AS VARCHAR)), ('min', '1.0', '901.82', 'A'), ('max', '50.0', '104997.88', 'R'), ('median', '25.0', '53020.59', CAST(NULL AS VARCHAR))) AS t("describe", l_quantity, l_extendedprice, l_returnflag)""",
 
     "q01_select" ->
       """SELECT l_orderkey, l_linenumber,
@@ -13764,25 +13871,45 @@ object SparkEntry {
                 round(score, 6) AS cosine, rnk AS rank
          FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
 
-    // PINNED oracle (r9): recall@5 of the approximate IVF config over a
-    // fully deterministic fixture (first-10 queries, decimal-exact k-means
-    // cells, id tie-breaks) — DuckDB cannot re-derive the cell boundaries,
-    // but the output is a constant of the sf0.01 gate data (measured
-    // stable across repeated runs), so the expected rows ARE the oracle.
-    // Regenerate with tools/pin_oracle.py if the testdata ever changes.
+    // Recall fully re-derived (r10, replacing the r9 pin): BOTH sides —
+    // the pruned IVF top-5 over the fixture quantizer (q38's replay) and
+    // the exact brute-force top-5 (q36's replay) — computed by DuckDB,
+    // then recall@5 per query from their overlap.
     "q46_ann_ivf_recall" ->
-      """SELECT * FROM (VALUES
-           (CAST(0 AS BIGINT), CAST(0.8 AS DOUBLE)),
-           (CAST(1 AS BIGINT), CAST(0.8 AS DOUBLE)),
-           (CAST(2 AS BIGINT), CAST(0.4 AS DOUBLE)),
-           (CAST(3 AS BIGINT), CAST(0.2 AS DOUBLE)),
-           (CAST(4 AS BIGINT), CAST(0.8 AS DOUBLE)),
-           (CAST(5 AS BIGINT), CAST(0.8 AS DOUBLE)),
-           (CAST(6 AS BIGINT), CAST(0.6 AS DOUBLE)),
-           (CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE)),
-           (CAST(8 AS BIGINT), CAST(0.6 AS DOUBLE)),
-           (CAST(9 AS BIGINT), CAST(0.6 AS DOUBLE))
-         ) AS t(query_id, recall)""",
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+         ca AS (SELECT id, cell FROM (
+             SELECT e.id, cent.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         qp AS (SELECT id AS q_id, cell FROM (
+             SELECT e.id, cent.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent WHERE e.id < 10) WHERE rn <= 4),
+         s AS (SELECT qp.q_id, ca.id AS c_id,
+                 list_cosine_similarity(qv.v, cv.v) AS score
+               FROM qp JOIN ca USING (cell)
+               JOIN e qv ON qv.id = qp.q_id
+               JOIN e cv ON cv.id = ca.id
+               WHERE ca.id <> qp.q_id),
+         a AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             FROM s) WHERE rnk <= 5),
+         bs AS (SELECT qv.id AS q_id, cv.id AS c_id,
+                  list_cosine_similarity(qv.v, cv.v) AS score
+                FROM e qv JOIN e cv ON cv.id <> qv.id WHERE qv.id < 10),
+         br AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             FROM bs) WHERE rnk <= 5)
+         SELECT br.q_id AS query_id,
+           round(CAST(COUNT(a.c_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         FROM br LEFT JOIN a ON br.q_id = a.q_id AND br.c_id = a.c_id
+         GROUP BY 1 ORDER BY query_id""",
 
     // Exact-config IVF (nprobe = nlist) equals brute force by construction —
     // same oracle as q36.
@@ -14900,15 +15027,56 @@ object SparkEntry {
          WHERE f.q_id < f.c_id
          ORDER BY id_a, id_b""",
 
-    // PINNED oracle (r9): pair-level recall of the approximate mutual-kNN
-    // config over the same deterministic fixture as q46 — constant of the
-    // sf0.01 gate data (measured stable across repeated runs). Regenerate
-    // with tools/pin_oracle.py if the testdata ever changes.
+    // Pair-level recall fully re-derived (r10, replacing the r9 pin): the
+    // pruned all-pairs kNN over the fixture quantizer, the mutual filter
+    // on both graphs, and the exact all-pairs kNN-10 are each replayed by
+    // DuckDB; the recall falls out of their pair-set overlap.
     "q143_mutual_knn_ivf_recall" ->
-      """SELECT * FROM (VALUES
-           (CAST(2026 AS BIGINT), CAST(1294 AS BIGINT), CAST(803 AS BIGINT),
-            CAST(0.396347 AS DOUBLE))
-         ) AS t(n_exact, n_approx, n_hit, pair_recall)""",
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cent AS (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+         ca AS (SELECT id, cell FROM (
+             SELECT e.id, cent.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         qp AS (SELECT id AS q_id, cell FROM (
+             SELECT e.id, cent.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent) WHERE rn <= 4),
+         s AS (SELECT qp.q_id, ca.id AS c_id,
+                 list_cosine_similarity(qv.v, cv.v) AS score
+               FROM qp JOIN ca USING (cell)
+               JOIN e qv ON qv.id = qp.q_id
+               JOIN e cv ON cv.id = ca.id
+               WHERE ca.id <> qp.q_id),
+         ak AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             FROM s) WHERE rnk <= 10),
+         ap AS (SELECT f.q_id AS id_a, f.c_id AS id_b
+                FROM ak f JOIN ak g ON f.q_id = g.c_id AND f.c_id = g.q_id
+                WHERE f.q_id < f.c_id),
+         bs AS (SELECT qv.id AS q_id, cv.id AS c_id,
+                  list_cosine_similarity(qv.v, cv.v) AS score
+                FROM e qv JOIN e cv ON cv.id <> qv.id),
+         ek AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             FROM bs) WHERE rnk <= 10),
+         ex AS (SELECT f.q_id AS id_a, f.c_id AS id_b
+                FROM ek f JOIN ek g ON f.q_id = g.c_id AND f.c_id = g.q_id
+                WHERE f.q_id < f.c_id),
+         hit AS (SELECT COUNT(*) AS n_hit FROM ex
+                 WHERE EXISTS (SELECT 1 FROM ap
+                               WHERE ap.id_a = ex.id_a AND ap.id_b = ex.id_b))
+         SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+                (SELECT COUNT(*) FROM ap) AS n_approx,
+                n_hit,
+                round(CAST(n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6)
+                  AS pair_recall
+         FROM hit""",
 
     // Disjunctive predicate evaluated identically; decimal-exact revenue.
     "q137_tpch_q19" ->
@@ -15814,5 +15982,28 @@ object SparkEntry {
            SELECT id, cid, d, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
            FROM s) WHERE rn = 1
          ORDER BY id"""
+  )
+
+  /** Oracle provenance, dumped by Verify as `oracle_provenance.json` so the
+    * correctness artifact's readers can tell the two verification tiers
+    * apart without reading SQL:
+    *
+    *   - "pinned": the oracle is a `VALUES` constant regenerated from this
+    *     implementation's own output (tools/pin_oracle.py) — a determinism
+    *     / regression pin, NOT independent verification. Kept only where a
+    *     portable-SQL re-derivation is genuinely impossible; each carries a
+    *     ScalaTest spec bounding its semantics independently.
+    *   - "no_oracle": no SQL at all (declared in the oracleSql scaladoc).
+    *
+    * Every query absent from this map has an INDEPENDENT oracle: DuckDB
+    * re-derives the expected rows from the raw parquet tables.
+    */
+  def oracleProvenance: Map[String, String] = Map(
+    "q43_emb_lsh" -> "pinned", // splitmix64 hyperplanes: wrapping 64-bit mul
+    "q70_approx_percentiles" -> "pinned", // GK sketch internals
+    "q77_approx_distinct" -> "pinned", // HLL++ registers
+    "q26_explain" -> "no_oracle", // plan text has no SQL equivalent
+    "q147_winsorize_approx" -> "no_oracle", // 60k-row sketch output
+    "q148_robust_scale_approx" -> "no_oracle" // 60k-row sketch output
   )
 }

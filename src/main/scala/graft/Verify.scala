@@ -91,6 +91,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Verification-tier tags (pinned / no_oracle; absent = independent) —
+    // a sidecar the driver ignores but the artifact's readers need to tell
+    // regression pins apart from independent DuckDB re-derivations.
+    val prov = SparkEntry.oracleProvenance
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_provenance.json"), prov)
     spark.stop()
   }
 }

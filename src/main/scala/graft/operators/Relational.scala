@@ -848,30 +848,40 @@ object Relational {
       * every cell, then a transpose into the reference's row layout.
       * All cells are stringified (mixed types in one column).
       *
-      * Scale: a single full-scan aggregation; `median` is
-      * `percentile_approx` at accuracy 10000 (~0.005% rank error) — a
-      * partial-mergeable sketch, so the pass stays one shuffle at any scale.
+      * Numeric cells are stringified through DECIMAL(38,6) — a fixed-point
+      * print that is engine-independent (double shortest-repr differs in
+      * style between the JVM and C-family printers, e.g. the 1e7 scientific
+      * cutoff) and absorbs last-ulp aggregation-order differences, which is
+      * what lets q25 carry an INDEPENDENT DuckDB oracle instead of a pinned
+      * snapshot. `median` is the exact interpolated percentile
+      * (== DuckDB's quantile_cont, the q61-pinned equivalence); its
+      * aggregation state is bounded by the column's distinct-value count —
+      * for open-domain doubles at extreme scale, the sketch-based siblings
+      * are q147/q148 (percentile_approx, spec-bounded error).
+      *
+      * Scale: a single full-scan aggregation, partial-combined per mapper.
       */
     def describeDf: DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
       val numeric = df.schema.fields.map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
       val cols = df.columns.toSeq
+      // fixed-point print (see scaladoc): engine-independent, ulp-absorbing
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      def fp(e: Column): Column = e.cast(dec6).cast("string")
       val aggs = cols.flatMap { c =>
         val base = Seq(
           count(col(c)).cast("string").alias(s"${c}__count"),
           count(when(col(c).isNull, 1)).cast("string").alias(s"${c}__null_count"),
-          min(col(c)).cast("string").alias(s"${c}__min"),
-          max(col(c)).cast("string").alias(s"${c}__max")
+          (if (numeric(c)) fp(min(col(c))) else min(col(c)).cast("string")).alias(s"${c}__min"),
+          (if (numeric(c)) fp(max(col(c))) else max(col(c)).cast("string")).alias(s"${c}__max")
         )
         val num =
           if (numeric(c))
             Seq(
-              avg(col(c)).cast("string").alias(s"${c}__mean"),
-              stddev(col(c)).cast("string").alias(s"${c}__std"),
-              // accuracy 10000: exact to ~0.005% rank error — indistinguishable
-              // from exact medians at test scale, mergeable sketch memory at 100 TB
-              percentile_approx(col(c), lit(0.5), lit(10000)).cast("string").alias(s"${c}__median")
+              fp(avg(col(c))).alias(s"${c}__mean"),
+              fp(stddev(col(c))).alias(s"${c}__std"),
+              fp(percentile(col(c), lit(0.5))).alias(s"${c}__median")
             )
           else
             Seq(

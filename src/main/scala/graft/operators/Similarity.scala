@@ -224,6 +224,14 @@ object Similarity {
     * no side is ever collected to one JVM, which is what makes all-pairs
     * kNN survive a corpus that doesn't fit in a single executor
     * (brute-force all-pairs broadcasts the whole corpus and OOMs there).
+    *
+    * `centroids` (columns `cell`, `cv`), when given, replaces the k-means
+    * seeding with a caller-supplied coarse quantizer — the production use
+    * is a PRE-TRAINED codebook reused across incremental corpus batches
+    * (retraining per batch would move every cell boundary and invalidate
+    * the bucketed layout); the verification use is a fixture quantizer
+    * whose cells an external engine can re-derive, making the whole
+    * pruned-probe path independently replayable (q38/q46/q143's oracles).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -231,11 +239,14 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       k: Int = 10,
-      broadcastQueries: Boolean = true
+      broadcastQueries: Boolean = true,
+      centroids: Option[DataFrame] = None
   ): DataFrame = {
-    val cents = kmeansCentroids(corpus, nlist).zipWithIndex.map { case (v, i) => (i, v) }
     val spark = corpus.sparkSession
-    val centDf = spark.createDataFrame(cents.toSeq.map { case (i, v) => (i, v) }).toDF("cell", "cv")
+    val centDf = centroids.getOrElse {
+      val cents = kmeansCentroids(corpus, nlist).zipWithIndex.map { case (v, i) => (i, v) }
+      spark.createDataFrame(cents.toSeq.map { case (i, v) => (i, v) }).toDF("cell", "cv")
+    }
 
     def assign(df: DataFrame, vcol: String, n: Int): DataFrame = {
       // score against every centroid (broadcast — nlist is tiny), keep top-n cells

@@ -36,6 +36,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q16_cross" -> "the operator IS a cross join (df/join-on with empty condition)",
     "q37_emb_pairs" -> "exact all-pairs cosine oracle instrument: id_a < id_b non-equi self-join by construction (size-guarded; q43 sign-LSH is the scale path)",
     "q36_ann_brute" -> "broadcast-kNN contract: queries are the declared small side (filter vec_id < 10); a parquet filter has no static maxRows",
+    "q38_ann_ivf" -> "fixture coarse quantizer = the first-16 embeddings read from parquet (bounded by the vec_id < 16 contract; a parquet filter has no static maxRows — the q65/q79/q174 pattern); the probe join itself is equi on cell",
     "q46_ann_ivf_recall" -> "inherits q36's exact baseline (small declared query side)",
     "q117_mutual_knn" -> "exact all-pairs kNN oracle instrument — whole corpus as queries BY DESIGN for the hash-matched baseline; q142 is the partitioned scale path",
     "q126_hard_negatives" -> "mining contract: the query set is the declared small side of the broadcast kNN",

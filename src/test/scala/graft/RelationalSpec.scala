@@ -438,7 +438,12 @@ class RelationalSpec extends SparkSpec {
     assert(rows("count").getString(1) == "2")      // non-null v count
     assert(rows("null_count").getString(1) == "1") // one null v
     assert(rows("null_count").getString(2) == "1") // one null s
-    assert(rows("mean").getString(1) == "2.0")
+    // numeric cells print through DECIMAL(38,6) — the engine-independent
+    // fixed-point form q25's independent DuckDB oracle re-derives
+    assert(rows("mean").getString(1) == "2.000000")
+    assert(rows("median").getString(1) == "2.000000") // exact interpolated
+    assert(rows("min").getString(1) == "1.000000")
+    assert(rows("min").getString(2) == "a")        // non-numeric min: raw
     assert(rows("mean").getString(2) == null)      // non-numeric => null
   }
 

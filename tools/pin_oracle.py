@@ -1,9 +1,15 @@
 #!/usr/bin/env python3
 """Regenerate a PINNED oracle (a `SELECT * FROM (VALUES ...)` constant) from
-a graft.Verify output directory. Used for the declared-approximation queries
-whose output is deterministic on the gate data but not re-derivable in
-DuckDB (IVF recall configs, sketch outputs): the expected rows ARE the
-oracle, pinned at sf0.01.
+a graft.Verify output directory.
+
+A pin is a DETERMINISM/REGRESSION check, not independent verification —
+the constant is quoted from this implementation's own output. Policy
+(r10): keep a pin ONLY when a portable-SQL re-derivation is genuinely
+impossible, tag it in SparkEntry.oracleProvenance, and cover its
+semantics with a ScalaTest spec. Current pins: q43 (splitmix64
+hyperplanes need wrapping 64-bit multiplies), q70/q77 (GK-percentile /
+HLL sketch internals). The former IVF/describe pins (q25/q38/q46/q143)
+were upgraded to full DuckDB replays in r10 — prefer that route.
 
 Usage: pin_oracle.py <verifyOutDir> <queryName> [<queryName> ...]
 Paste the printed SQL into SparkEntry.oracleSql. Re-run whenever the
