@@ -30,6 +30,17 @@ import graft.streaming.EventStreams
   */
 object SparkEntry {
 
+  /** Scratch root for queries whose CONTRACT includes a write (format
+    * round-trips, streaming stores/checkpoints, compaction). Default: the
+    * repo's target dir. Bench redirects it to tmpfs via the
+    * `graft.scratch` system property (or SPARK_GRAFT_SCRATCH) so those
+    * queries measure the operator, not the box's disk; Verify keeps the
+    * disk default — correctness is location-independent.
+    */
+  def scratchRoot: String =
+    sys.props.getOrElse("graft.scratch",
+      sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/root/repo/target/graft-scratch"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts has shipped as TIMESTAMP(NANOS) (read as int64 under
@@ -48,6 +59,34 @@ object SparkEntry {
     */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** q304's sparse-vector construction (bigram hashed-TF-IDF over every
+    * 3rd doc), factored out so Bench's attribution counters measure
+    * candidate volume on the EXACT frame the query joins.
+    *
+    * '_' joiner, not ' ': hashedTfIdf's portable hash is the rolling
+    * token fingerprint, which would TOKENIZE a space-joined bigram and
+    * fold two FNVs — the oracle hashes the joined string whole, and a
+    * single-token input makes the two identical.
+    * NOT materialized: sparseCosinePairs consumes the vector frame four
+    * times (norms, bucket sizes, both join sides), but the subtrees end
+    * in the same canonical aggregate, so exchange reuse computes the
+    * tokenize→bigram→hash→agg pipeline once; an explicit truncate
+    * A/B-measured equal-to-slower (the candidate join dominates).
+    */
+  def tfidfBigramVecs(s: SparkSession, dir: String): DataFrame = {
+    val withBi = t(s, dir, "documents")
+      .filterCol(pmod(col("doc_id"), lit(3L)) === 0L)
+      .withColumn("__toks", TextFns.tokens(col("text")))
+      .withColumn("__bi", expr(
+        """IF(size(__toks) < 2, array(),
+             transform(sequence(1, size(__toks) - 1),
+               i -> concat(element_at(__toks, i), '_',
+                 element_at(__toks, i + 1))))"""))
+    Corpus.hashedTfIdf(withBi, col("doc_id"), col("__bi"),
+        dim = 4096, scale = 1000L, portable = true)
+      .selectCols(Seq(col("id"), col("bucket"), col("weight")))
+  }
 
   /** Shared CTE chain for the BPE oracles: word-frequency state `s0`, then
     * per round (pair counts `pN` -> argmax `mN` -> greedy rewrite `sN`;
@@ -1563,7 +1602,7 @@ object SparkEntry {
       // that would mask it at this sf). The write cost is deliberately
       // inside the timed query: pre-paying it is the trade being measured.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val scratch = s"${scratchRoot}/$sf"
       Engine.writeBucketed(
         t(s, dir, "orders").selectCols(Seq(col("o_orderkey"), col("o_orderpriority"))),
         "graft_orders_b", Seq("o_orderkey"), 8, Some(s"$scratch/orders_b"))
@@ -1582,7 +1621,7 @@ object SparkEntry {
       // asserted in ExplainAuditSpec). At 100 TB this is the difference
       // between scanning a store and scanning 1/5th of it.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/events_by_type"
+      val scratch = s"${scratchRoot}/$sf/events_by_type"
       Engine.writeParquetPartitioned(
         t(s, dir, "events").selectCols(Seq(
           col("event_id"), col("user_id"), col("value"), col("event_type"))),
@@ -1629,7 +1668,7 @@ object SparkEntry {
       // covered elsewhere (every query reads parquet; read-csv is the
       // reference-parity path in SourcesSpec).
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val scratch = s"${scratchRoot}/$sf"
       val docs = t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), col("text"), col("lang")))
       Engine.writeOrc(docs, s"$scratch/docs_orc")
@@ -1655,7 +1694,7 @@ object SparkEntry {
       // (q151) cannot see.
       import s.implicits._
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/events_dpp"
+      val scratch = s"${scratchRoot}/$sf/events_dpp"
       Engine.writeParquetPartitioned(
         t(s, dir, "events").selectCols(Seq(
           col("event_id"), col("user_id"), col("value"), col("event_type"))),
@@ -1685,7 +1724,7 @@ object SparkEntry {
       // store is read back and aggregated — the hash match proves the
       // streamed layout carries exactly the source rows.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/stream_ingest"
+      val scratch = s"${scratchRoot}/$sf/stream_ingest"
       EventStreams.runPartitionedIngest(s, s"$dir/events.parquet",
         s"$scratch/data", s"$scratch/ckpt", Seq("event_type"),
         Seq("event_id", "user_id", "value", "event_type"))
@@ -1973,7 +2012,7 @@ object SparkEntry {
       // per rewrite); per-batch phase timings now print to stderr so any
       // future drift self-attributes in the bench log.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/upsert"
+      val scratch = s"${scratchRoot}/$sf/upsert"
       // the 3-file landing is input prep, identical every run — staged
       // once per JVM (the store + checkpoint below stay per-run fresh)
       val landing = EventStreams.stagedOnce(s"upsert_landing|$dir") { d =>
@@ -2003,7 +2042,7 @@ object SparkEntry {
       // The hash match proves compaction preserves content exactly;
       // SourcesSpec asserts the file-count collapse itself
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/compact"
+      val scratch = s"${scratchRoot}/$sf/compact"
       t(s, dir, "events")
         .selectCols(Seq(col("event_id"), col("user_id"), col("value"),
           col("event_type")))
@@ -3372,6 +3411,20 @@ object SparkEntry {
         .sortBy(Seq(col("arm")))
     }),
 
+    "q403_dataset_card" -> ((s, dir) =>
+      // one-call dataset-card export (round-10 surface growth): column
+      // profile + n_chars histogram + top-10 token heavy hitters composed
+      // into ONE long-format driver fact (section, key, metric,
+      // value_str) — the card a lake publishes next to a dataset version.
+      // Three partial-agg passes over one scan; every cell is a count, an
+      // exact distinct, a bucket id, or a raw min/max string, so the
+      // whole card replays in DuckDB.
+      Validation.datasetCard(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"),
+          col("n_chars").cast("double"), histLo = 0.0, histHi = 2000.0,
+          histBuckets = 8, tokens = TextFns.tokens(col("text")), topK = 10)
+        .sortBy(Seq(col("section"), col("key"), col("metric")))),
+
     "q402_mst_distributed" -> ((s, dir) => {
       // q370's forest through the DISTRIBUTED Borůvka rounds
       // (maxLocalEdges=0 — the 100 TB code path; q370 itself takes the
@@ -3847,7 +3900,7 @@ object SparkEntry {
       // this key range); the cast restores the parquet width so the
       // driver's dtype-sensitive hash compares like for like.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/orders_csv"
+      val scratch = s"${scratchRoot}/$sf/orders_csv"
       Engine.writeCsv(t(s, dir, "orders").selectCols(Seq(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))), scratch)
@@ -4229,27 +4282,7 @@ object SparkEntry {
       // mass Σ df² grows with corpus² on identical vocab); real corpora
       // get sparser as they grow, this one doesn't. A third of the docs
       // keeps the bench honest without changing any semantics.
-      val withBi = t(s, dir, "documents")
-        .filterCol(pmod(col("doc_id"), lit(3L)) === 0L)
-        .withColumn("__toks", TextFns.tokens(col("text")))
-        .withColumn("__bi", expr(
-          """IF(size(__toks) < 2, array(),
-               transform(sequence(1, size(__toks) - 1),
-                 i -> concat(element_at(__toks, i), '_',
-                   element_at(__toks, i + 1))))"""))
-      // '_' joiner, not ' ': hashedTfIdf's portable hash is the rolling
-      // token fingerprint, which would TOKENIZE a space-joined bigram and
-      // fold two FNVs — the oracle hashes the joined string whole, and a
-      // single-token input makes the two identical
-      // NOT materialized: sparseCosinePairs consumes the vector frame four
-      // times (norms, bucket sizes, both join sides), but the subtrees end
-      // in the same canonical aggregate, so exchange reuse computes the
-      // tokenize→bigram→hash→agg pipeline once; an explicit truncate
-      // A/B-measured equal-to-slower (the candidate join dominates)
-      val vecs = Corpus.hashedTfIdf(withBi, col("doc_id"), col("__bi"),
-        dim = 4096, scale = 1000L, portable = true)
-      Dedup.sparseCosinePairs(
-          vecs.selectCols(Seq(col("id"), col("bucket"), col("weight"))),
+      Dedup.sparseCosinePairs(tfidfBigramVecs(s, dir),
           thresholdThousandths = 300)
         .sortBy(Seq(col("id_a"), col("id_b")))
     }),
@@ -4292,7 +4325,7 @@ object SparkEntry {
       // of compactPartitionedParquet), and hash-audit the survivors —
       // n_forgotten = 0 is the load-bearing witness column.
       val sf = new java.io.File(dir).getName
-      val base = s"/root/repo/target/graft-scratch/$sf/forget"
+      val base = s"${scratchRoot}/$sf/forget"
       val ev = t(s, dir, "events").selectCols(Seq(col("event_id"),
         col("user_id"), col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmic")))
@@ -4613,7 +4646,7 @@ object SparkEntry {
       // reserve for multi-GB partitions; the relayout changes
       // partitioning, not the answer.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/skew_rebalance"
+      val scratch = s"${scratchRoot}/$sf/skew_rebalance"
       val reb = skewRebalanced(s, dir)
       // the balanced WRITE is the demo: the skewed partition lands as
       // several advisory-sized files, the slivers coalesce
@@ -4763,7 +4796,7 @@ object SparkEntry {
       // incremental backfill stands on (q155 proves one drain; this
       // proves the restart).
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/restart"
+      val scratch = s"${scratchRoot}/$sf/restart"
       val landing = s"$scratch/landing"
       val ev = t(s, dir, "events")
         .selectCols(Seq(col("event_id"), col("user_id"), col("value"),
@@ -4907,7 +4940,7 @@ object SparkEntry {
       // surrounding whitespace. Hash match vs the parquet original proves
       // a lake standardized on XML interchange gets identical semantics.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val scratch = s"${scratchRoot}/$sf"
       val docs = t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), col("lang"), col("source"), col("n_chars")))
       Engine.writeXml(docs, s"$scratch/docs_xml", "doc")
@@ -4986,7 +5019,7 @@ object SparkEntry {
       // Conf is isolated in a newSession; stats change the plan, not the
       // answer — the oracle is the plain 3-way join.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val scratch = s"${scratchRoot}/$sf"
       Engine.writeTable(t(s, dir, "customer")
         .selectCols(Seq(col("c_custkey"), col("c_mktsegment"))),
         "graft_customer_cbo", Some(s"$scratch/customer_cbo"))
@@ -5642,7 +5675,7 @@ object SparkEntry {
       // every long-lived ingest keeps (batch rides along as a partition
       // column, so the provenance of each row is visible too)
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf"
+      val scratch = s"${scratchRoot}/$sf"
       val docs = t(s, dir, "documents")
       Engine.writeParquet(docs.filterCol(col("doc_id") % 2 === 0)
         .selectCols(Seq(col("doc_id"), col("lang"))), s"$scratch/evo/batch=1")
@@ -5878,7 +5911,7 @@ object SparkEntry {
       // what the oracle computes. Decimal-exact, so fold == recompute
       // bit-for-bit regardless of batch order.
       val sf = new java.io.File(dir).getName
-      val scratch = s"/root/repo/target/graft-scratch/$sf/ivm"
+      val scratch = s"${scratchRoot}/$sf/ivm"
       val e = t(s, dir, "events")
       val changelog = e.selectCols(Seq(col("event_type"),
           col("value").cast("decimal(18,6)").as("v"), lit(false).as("is_del")))
@@ -6806,6 +6839,45 @@ object SparkEntry {
            CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(38,6)) AS VARCHAR),
            CAST(NULL AS VARCHAR)
          FROM lineitem""",
+
+    // Full card replay: per-column profile stats (the q25 discipline —
+    // counts as strings, raw min/max), the clamped-bucket histogram rule,
+    // and the (count desc, term asc) top-k over the shared token
+    // tokenization.
+    "q403_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars, text FROM documents)
+         SELECT * FROM (
+         SELECT 'profile' AS section, 'doc_id' AS key, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value_str FROM d
+         UNION ALL SELECT 'profile', 'doc_id', 'n_nulls', CAST(COUNT(*) - COUNT(doc_id) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'doc_id', 'n_distinct', CAST(COUNT(DISTINCT doc_id) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'doc_id', 'min', CAST(MIN(doc_id) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'doc_id', 'max', CAST(MAX(doc_id) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'lang', 'n_rows', CAST(COUNT(*) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'lang', 'n_nulls', CAST(COUNT(*) - COUNT(lang) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'lang', 'n_distinct', CAST(COUNT(DISTINCT lang) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'lang', 'min', MIN(lang) FROM d
+         UNION ALL SELECT 'profile', 'lang', 'max', MAX(lang) FROM d
+         UNION ALL SELECT 'profile', 'source', 'n_rows', CAST(COUNT(*) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'source', 'n_nulls', CAST(COUNT(*) - COUNT(source) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'source', 'n_distinct', CAST(COUNT(DISTINCT source) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'source', 'min', MIN(source) FROM d
+         UNION ALL SELECT 'profile', 'source', 'max', MAX(source) FROM d
+         UNION ALL SELECT 'profile', 'n_chars', 'n_rows', CAST(COUNT(*) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'n_chars', 'n_nulls', CAST(COUNT(*) - COUNT(n_chars) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'n_chars', 'n_distinct', CAST(COUNT(DISTINCT n_chars) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'n_chars', 'min', CAST(MIN(n_chars) AS VARCHAR) FROM d
+         UNION ALL SELECT 'profile', 'n_chars', 'max', CAST(MAX(n_chars) AS VARCHAR) FROM d
+         UNION ALL
+         SELECT 'histogram', CAST(b AS VARCHAR), 'count', CAST(COUNT(*) AS VARCHAR)
+         FROM (SELECT CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 250.0), 0), 7) AS BIGINT) AS b FROM d)
+         GROUP BY b
+         UNION ALL
+         SELECT 'top_terms', term, 'count', CAST(n AS VARCHAR) FROM (
+           SELECT term, COUNT(*) AS n FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS term FROM d)
+           GROUP BY term ORDER BY n DESC, term LIMIT 10)
+         ) ORDER BY section, key, metric""",
 
     // PINNED expected-value oracle (see scaladoc above; tagged in
     // oracleProvenance): splitmix64 hyperplanes need wrapping 64-bit
@@ -14254,11 +14326,12 @@ object SparkEntry {
            FROM documents)
          WHERE rn <= 20 ORDER BY "group", rank""",
 
-    // PINNED oracle (r9): approx_percentile's Greenwald-Khanna sketch is
-    // deterministic for this gate's fixed data/partitioning (measured
-    // stable across repeated Verify runs); the <=accuracy error bound vs
-    // exact stays spec-pinned in CorpusSpec. Regenerate with
-    // tools/pin_oracle.py if the testdata ever changes.
+    // PINNED oracle (r9; tagged "pinned" in oracleProvenance):
+    // approx_percentile's Greenwald-Khanna sketch is deterministic for
+    // this gate's fixed data/partitioning (measured stable across
+    // repeated Verify runs) but its internals are not portable SQL; the
+    // <=accuracy error bound vs exact stays spec-pinned in CorpusSpec.
+    // Regenerate with tools/pin_oracle.py if the testdata ever changes.
     "q70_approx_percentiles" ->
       """SELECT * FROM (VALUES
            ('de', CAST(53.0 AS DOUBLE), CAST(78.0 AS DOUBLE), CAST(70 AS BIGINT)),
@@ -14268,10 +14341,12 @@ object SparkEntry {
            ('zh', CAST(54.0 AS DOUBLE), CAST(88.0 AS DOUBLE), CAST(75 AS BIGINT))
          ) AS t(lang, p50a, p90a, n)""",
 
-    // PINNED oracle (r9): HLL++ registers are a pure hash fold — order-
-    // independent by construction, so the sketch output is a constant of
-    // the data. The <=5% relative-error bound vs exact stays spec-pinned
-    // (CorpusSpec). Regenerate with tools/pin_oracle.py on data change.
+    // PINNED oracle (r9; tagged "pinned" in oracleProvenance): HLL++
+    // registers are a pure hash fold — order-independent by construction,
+    // so the sketch output is a constant of the data, but the register
+    // hash is not portable SQL. The <=5% relative-error bound vs exact
+    // stays spec-pinned (CorpusSpec). Regenerate with tools/pin_oracle.py
+    // on data change.
     "q77_approx_distinct" ->
       """SELECT * FROM (VALUES
            ('de', CAST(31 AS BIGINT), CAST(31 AS BIGINT)),

@@ -417,6 +417,25 @@ object Dedup {
         col("dot"), col("n2_a"), col("n2_b"))
   }
 
+  /** Candidate-pair volume behind [[sparseCosinePairs]]: the distinct
+    * (id_a, id_b) pairs sharing >= 1 surviving bucket, BEFORE the dot
+    * aggregation and threshold filter — the bench attribution instrument
+    * (the minhashLshCandidates pattern: a bending time curve is only
+    * diagnosable next to the matching candidate-volume curve).
+    */
+  def sparseCosineCandidates(vecs: DataFrame,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    val v = vecs.toDF("id", "bucket", "w").select(col("id"), col("bucket"))
+    val bucketSizes = v.groupBy("bucket").count()
+    val kept = v.join(bucketSizes.filter(col("count") <= maxBucket)
+      .select("bucket"), Seq("bucket"))
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .distinct()
+  }
+
   /** Weighted (multiset) Jaccard near-dup pairs over token bags:
     * `wJ(a,b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t))` —
     * the tf-aware refinement of set Jaccard (a doc that repeats "the
@@ -708,8 +727,14 @@ object Dedup {
     // pre-partitioned by the label-join key before caching: the cached
     // relation keeps its outputPartitioning, so each phase-1 round's join
     // reads edges exchange-free (only the label table re-shuffles)
-    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
-      .union(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+    // null endpoints dropped up front: the label-propagation joins would
+    // never match them (equi-join semantics) and the driver union-find
+    // keys on getLong — both tiers must see the same edge set.
+    val edges = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .union(pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+        .select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the whole iteration runs under try/finally: starComponents can throw
@@ -726,11 +751,22 @@ object Dedup {
     // contraction + the quotient collect (~2.8 s) into one collect
     // (~0.3 s). Long ids only (the union-find keys on getLong — same
     // assumption the quotient finish already makes); other id types and
-    // corpus-scale inputs take the distributed phases unchanged.
-    val symCount = edges.count()
+    // corpus-scale inputs take the distributed phases unchanged — and,
+    // via Graph.plausiblyDriverSized's free leaf pre-check, never pay a
+    // gate count at all (the first label round materializes the cache
+    // instead). The budget is heap-aware (Graph.driverRowBudget): the
+    // collected rows are boxed, so the bound self-lowers on small
+    // drivers.
+    // pre-check on the RAW caller frame: `edges` is persisted, and an
+    // InMemoryRelation's pre-materialization stats are the child plan's
+    // join-inflated root estimate (measured: q349's MB-scale pair frame
+    // reported huge, disabling the hybrid) — `pairs`' leaves are real
+    // file/relation sizes.
+    val compBudget = Graph.driverRowBudget(maxLocalEdges / 2)
     if (edges.schema.head.dataType ==
           org.apache.spark.sql.types.LongType &&
-        symCount <= maxLocalEdges / 2) {
+        Graph.plausiblyDriverSized(pairs, compBudget) &&
+        edges.count() <= compBudget) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -1348,8 +1384,33 @@ object Dedup {
     * verification join by id. Prefix length shrinks as t grows — at
     * t=0.8 a 100-token doc indexes 21 tokens, not 100.
     */
+  /** Shared front half of [[ppJoinPairs]] (rank-encode, identical-set
+    * grouping, prefix index, length-filtered candidate join), carried as
+    * named frames so [[ppJoinCandidates]] can count the candidate volume
+    * on the exact pipeline the production join runs.
+    */
+  private case class PpJoinStage(sets: DataFrame, groups: DataFrame,
+      members: DataFrame, cand: DataFrame)
+
+  /** Candidate GROUP-pair volume behind [[ppJoinPairs]] — after the
+    * prefix + length filters, before verification; the bench attribution
+    * instrument. Returns (candidates, persisted handles to unpersist when
+    * done) — the [[minhashLshCandidates]] contract.
+    */
+  def ppJoinCandidates(df: DataFrame, id: Column, tokens: Column,
+      tPpm: Long): (DataFrame, Seq[DataFrame]) = {
+    val st = ppJoinStage(df, id, tokens, tPpm)
+    (st.cand, Seq(st.sets, st.groups, st.members))
+  }
+
   def ppJoinPairs(df: DataFrame, id: Column, tokens: Column,
       tPpm: Long): DataFrame = {
+    val st = ppJoinStage(df, id, tokens, tPpm)
+    ppJoinVerify(st, tPpm)
+  }
+
+  private def ppJoinStage(df: DataFrame, id: Column, tokens: Column,
+      tPpm: Long): PpJoinStage = {
     require(tPpm > 0 && tPpm <= 1000000L, s"tPpm must be in (0, 1e6], got $tPpm")
     val d = df.select(id.cast("long").alias("id"),
         array_distinct(tokens).alias("tk"))
@@ -1414,6 +1475,11 @@ object Dedup {
           col("y.sz") * 1000000L >= lit(tPpm) * col("x.sz"))
       .select(col("x.gid").alias("ga"), col("y.gid").alias("gb"))
       .distinct()
+    PpJoinStage(sets, groups, members, cand)
+  }
+
+  private def ppJoinVerify(st: PpJoinStage, tPpm: Long): DataFrame = {
+    val PpJoinStage(sets, groups, members, cand) = st
     // ---- verification -------------------------------------------------
     // Small vocabularies (dictionary-encoded categorical corpora, sharded
     // dedup of templated text) get the bitmask fast path: the whole token

@@ -170,8 +170,13 @@ object Graph {
       .agg(min(struct(col("w"), col("a"), col("b"))).alias("m"))
       .select(col("ca"), col("cb"), col("m.w").alias("w"),
         col("m.a").alias("a"), col("m.b").alias("b"))
+    // null w dropped up front (null ids already die in the a =!= b
+    // filter): equi-join semantics on both tiers — the driver Kruskal
+    // keys on getLong and must see the same edge set the distributed
+    // joins would.
     var e = Iterative.truncate(
-      contract(edges.toDF("a", "b", "w").filter(col("a") =!= col("b"))
+      contract(edges.toDF("a", "b", "w")
+        .filter(col("a") =!= col("b") && col("w").isNotNull)
         .select(least(col("a"), col("b")).alias("ca"),
           greatest(col("a"), col("b")).alias("cb"),
           col("w"), col("a"), col("b"))), checkpointDir)
@@ -184,10 +189,15 @@ object Graph {
     // collect + an in-memory sort/union-find replaces ~log n rounds of
     // relabel joins and pointer doubling; corpus-scale graphs keep the
     // distributed rounds, and the spec pins both paths to the same set.
-    // Long ids/weights only (the union-find keys on getLong).
+    // Long ids/weights only (the union-find keys on getLong). The
+    // plausiblyDriverSized leaf pre-check makes the gate FREE on
+    // corpus-scale inputs (no count job at all); driverRowBudget bounds
+    // the boxed collect to the actual heap.
+    val kruskalBudget = driverRowBudget(maxLocalEdges)
     if (e.schema.drop(2).take(3).forall(_.dataType ==
           org.apache.spark.sql.types.LongType) &&
-        e.count() <= maxLocalEdges) {
+        plausiblyDriverSized(edges, kruskalBudget) &&
+        e.count() <= kruskalBudget) {
       val rows = e.select(col("w"), col("a"), col("b"), col("ca"), col("cb"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -357,24 +367,43 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(edges.columns.length == 2, "edges must be exactly (id_a, id_b)")
     require(sources.columns.length == 1, "sources must be a single id column")
+    // null endpoints dropped up front: the distributed frontier join
+    // would never match them (equi-join semantics), and the local
+    // adjacency map must not treat null as a joinable key.
     val e0 = edges.toDF("a", "b")
+      .filter(col("a").isNotNull && col("b").isNotNull)
     // Hybrid driver path — nearDupComponents' iterate-until-it-fits
     // pattern, applicable at step 0 because BFS never shrinks its graph:
-    // below `maxLocalEdges` (default 4M edges, one bounded collect) the
-    // level-synchronous multi-source BFS runs in memory, collapsing up to
-    // `rounds` driver-loop rounds of fixed job-scheduling cost (measured
-    // ~0.3 s/round at sf0.1 — q349's 15-hop horizon spent ~4.5 s on a
-    // 12.5k-edge graph) into one collect + milliseconds of adjacency
-    // walking. Above the bound, the distributed frontier loop below keeps
-    // the shuffle-per-hop shape that scales. Identical contract either
-    // way: min hop distance from any source, horizon `rounds`, unreached
-    // nodes absent. Requires matching id types (the local map compares
-    // boxed values); mixed-type callers fall through to the join path.
+    // below the driver budget (maxLocalEdges capped by heap, one bounded
+    // collect) the level-synchronous multi-source BFS runs in memory,
+    // collapsing up to `rounds` driver-loop rounds of fixed
+    // job-scheduling cost (measured ~0.3 s/round at sf0.1 — q349's
+    // 15-hop horizon spent ~4.5 s on a 12.5k-edge graph) into one
+    // collect + milliseconds of adjacency walking. Above the bound, the
+    // distributed frontier loop below keeps the shuffle-per-hop shape
+    // that scales. Identical contract either way: min hop distance from
+    // any source, horizon `rounds`, unreached nodes absent. Requires
+    // matching id types (the local map compares boxed values);
+    // mixed-type callers fall through to the join path.
+    //
+    // The gate frame is materialized ONCE and reused: the count used to
+    // run on the RAW input — executing the caller's whole upstream
+    // lineage for the gate and again when staging nbrs — and it ran
+    // unconditionally, so a corpus-scale caller paid a full extra pass
+    // just to learn it was too big. Now the free leaf pre-check skips
+    // both the checkpoint and the count when the input cannot plausibly
+    // fit, and when it can, the materialized frame feeds BOTH the local
+    // collect and the distributed nbrs staging.
+    val bfsBudget = driverRowBudget(maxLocalEdges)
+    val e0m =
+      if (plausiblyDriverSized(e0, bfsBudget))
+        Some(Iterative.truncate(e0, checkpointDir))
+      else None
     if (sources.schema.head.dataType == e0.schema.head.dataType &&
-        e0.count() <= maxLocalEdges) {
+        e0m.exists(_.count() <= bfsBudget)) {
       val t0 = System.nanoTime()
       val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
-      e0.collect().foreach { row =>
+      e0m.get.collect().foreach { row =>
         val (x, y) = (row.get(0), row.get(1))
         adj.computeIfAbsent(x, _ => scala.collection.mutable.ArrayBuffer.empty) += y
         adj.computeIfAbsent(y, _ => scala.collection.mutable.ArrayBuffer.empty) += x
@@ -409,9 +438,13 @@ object Graph {
     // pre-partitioned by the per-round join key: the checkpoint preserves
     // outputPartitioning (LogicalRDD carries it), so every round's
     // frontier join reads nbrs exchange-free instead of re-shuffling the
-    // full edge list R times — only the (shrinking) frontier moves
+    // full edge list R times — only the (shrinking) frontier moves.
+    // eBase: the gate's materialized frame when it exists (sub-budget
+    // inputs with a non-matching id type), else the raw input — either
+    // way the caller's upstream lineage executes exactly once.
+    val eBase = e0m.getOrElse(e0)
     val nbrs = Iterative.truncate(
-      e0.union(e0.select(col("b").alias("a"), col("a").alias("b")))
+      eBase.union(eBase.select(col("b").alias("a"), col("a").alias("b")))
         .repartition(col("a")), checkpointDir)
     var dist = Iterative.truncate(
       sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
@@ -921,7 +954,11 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(edges.columns.length == 3, "edges must be exactly (src, dst, w)")
     require(sources.columns.length == 1, "sources must be a single id column")
+    // null src/dst/w dropped up front: the distributed relaxation's
+    // equi-join would never match them, and the local replay keys on
+    // getLong — both tiers must see the same edge set.
     val e0 = Iterative.truncate(edges.toDF("src", "dst", "w")
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
       .select(col("src"), col("dst"), col("w").cast("long").alias("w")),
       checkpointDir)
     // Hybrid driver path (the bfsDistances move): the round function is a
@@ -929,12 +966,16 @@ object Graph {
     // table — so an in-memory two-map sweep replays it exactly, round for
     // round, with early exit at the monotone fixed point (further rounds
     // are no-ops by idempotence). One bounded collect replaces `rounds`
-    // join+agg driver rounds; larger graphs keep the distributed loop.
-    if (localRelaxable(e0, sources) && e0.count() <= maxLocalEdges) {
+    // join+agg driver rounds; larger graphs keep the distributed loop
+    // and, via the free leaf pre-check, never pay a count to learn so.
+    val ssspBudget = driverRowBudget(maxLocalEdges)
+    if (localRelaxable(e0, sources) && plausiblyDriverSized(edges, ssspBudget) &&
+        e0.count() <= ssspBudget) {
       return localRelax(e0, Some(sources), rounds, minimize = true)
     }
     var dist = Iterative.truncate(
-      sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)
+      sources.toDF("id").filter(col("id").isNotNull).distinct()
+        .withColumn("dist", lit(0L)), checkpointDir)
     (1 to rounds).foreach { _ =>
       val relaxed = e0
         .join(dist.withColumnRenamed("id", "src"), Seq("src"))
@@ -945,6 +986,54 @@ object Graph {
     }
     dist
   }
+
+  /** FREE size pre-gate for the driver-tier hybrids: before paying a
+    * `count()` to learn whether an edge frame fits under the driver
+    * bound, check the LEAF-scan bytes of its plan (the
+    * Dedup.leafInputBytes pattern — leaf sizes are file/relation sizes,
+    * the number that bounds what the count would read, unlike root
+    * estimates which inflate through join/agg derivation). A 100 TB edge
+    * list fails this check and skips straight to the distributed tier
+    * WITHOUT scanning anything; the sf-scale graphs the hybrids exist
+    * for pass it (MB-sized leaves) and pay the one cheap count as
+    * before. Direction of error is safe by construction: a falsely-huge
+    * estimate only forfeits the driver shortcut (the distributed tier is
+    * always correct), and a falsely-small one is caught by the count
+    * that follows. The bound is generous — 512 B per candidate edge or
+    * 4 GB, whichever is larger — so only genuinely corpus-scale inputs
+    * skip the count.
+    *
+    * ALREADY-MATERIALIZED leaves (checkpoints' LogicalRDD, cached
+    * InMemoryRelation, LocalRelation) are excluded from the sum: a count
+    * over them never re-executes upstream lineage and touches at most
+    * what the distributed tier would materialize anyway — and their
+    * "leaf" stats are the pre-materialization plan's ROOT estimate,
+    * join-inflated (measured: q334's MB-scale checkpointed DAG edges and
+    * q349's pair frame both reported past the bound, silently disabling
+    * their driver tiers, 1.2 s -> 5.5 s in a focused A/B). Scan leaves
+    * carry real file/relation sizes — the number that bounds what the
+    * count would read.
+    */
+  private[graft] def plausiblyDriverSized(df: DataFrame, maxRows: Long): Boolean = {
+    val scanBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .filterNot(l =>
+        l.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+          l.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation] ||
+          l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      .map(_.stats.sizeInBytes).sum
+    scanBytes <= (BigInt(maxRows) * 512).max(BigInt(4L << 30))
+  }
+
+  /** Heap-aware driver row budget: the collected representation is BOXED
+    * (Row arrays, HashMap adjacency with per-entry overhead — ~160 bytes
+    * per edge, not the 8-byte longs of the raw column), so a raw 4M-edge
+    * default can need several hundred MB of driver heap. Spend at most
+    * 1/8 of max heap on a hybrid's collect: a 16 GB driver keeps the full
+    * configured bound, a 1 GB one self-lowers to ~800k edges instead of
+    * risking an OOM exactly where the hybrid engages.
+    */
+  private[graft] def driverRowBudget(maxRows: Long): Long =
+    math.min(maxRows, Runtime.getRuntime.maxMemory() / 1280)
 
   /** Gate for the driver relaxation hybrids: Long node ids (the local
     * maps key on getLong) on both the edge list and the optional source
@@ -968,7 +1057,10 @@ object Graph {
     var dist = new java.util.HashMap[Long, Long]()
     sources match {
       case Some(s) =>
-        s.toDF("id").distinct().collect().foreach(r => dist.put(r.getLong(0), 0L))
+        // null sources dropped on both tiers (the distributed init below
+        // does the same) — getLong on a null id would NPE here
+        s.toDF("id").filter(col("id").isNotNull).distinct()
+          .collect().foreach(r => dist.put(r.getLong(0), 0L))
       case None =>
         es.foreach { case (a, b, _) => dist.put(a, 0L); dist.put(b, 0L) }
     }
@@ -1007,13 +1099,18 @@ object Graph {
       maxLocalEdges: Long = 4L << 20): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(edges.columns.length == 3, "edges must be exactly (src, dst, w)")
+    // null src/dst/w dropped — see shortestPaths (tier parity).
     val e0 = Iterative.truncate(edges.toDF("src", "dst", "w")
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
       .select(col("src"), col("dst"), col("w").cast("long").alias("w")),
       checkpointDir)
     // Hybrid driver path — see shortestPaths: the synchronous max-relax
     // replays exactly in memory (all nodes seeded at 0), early-exiting at
-    // the monotone fixed point with an identical result.
-    if (localRelaxable(e0, null) && e0.count() <= maxLocalEdges) {
+    // the monotone fixed point with an identical result; the leaf
+    // pre-check keeps the gate count-free on corpus-scale inputs.
+    val dagBudget = driverRowBudget(maxLocalEdges)
+    if (localRelaxable(e0, null) && plausiblyDriverSized(edges, dagBudget) &&
+        e0.count() <= dagBudget) {
       return localRelax(e0, None, rounds, minimize = false)
     }
     val nodes = e0.select(col("src").alias("id"))

@@ -470,7 +470,17 @@ object EventStreams {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedZoneCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private lazy val stagedZoneRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_staged_zones")
+    // honor the bench's tmpfs scratch redirect (graft.scratch) so staged
+    // zones share the same fast, process-scoped root; default JVM tmpdir
+    // otherwise
+    val d = sys.props.get("graft.scratch") match {
+      case Some(base) =>
+        val b = java.nio.file.Paths.get(base)
+        java.nio.file.Files.createDirectories(b)
+        java.nio.file.Files.createTempDirectory(b, "graft_staged_zones")
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft_staged_zones")
+    }
     d.toFile.deleteOnExit()
     d.toString
   }

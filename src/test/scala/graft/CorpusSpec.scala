@@ -325,6 +325,73 @@ class CorpusSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 0L, 7L -> 1L))
   }
 
+  test("two-tier size pre-gate: corpus-scale scan leaves skip the driver tier with ZERO jobs; materialized/small frames pay the count") {
+    import graft.operators.Graph
+    // a 10B-row Range leaf reports ~80 GB of scan bytes — the gate must
+    // say "not driver-sized" WITHOUT running any job (the whole point:
+    // a 100 TB edge list must not pay a count to learn it's too big)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val huge = spark.range(10L * 1000 * 1000 * 1000)
+        .select($"id".as("a"), ($"id" + 1L).as("b"))
+      assert(!Graph.plausiblyDriverSized(huge, 4L << 20))
+      // listener events are async: a job start would enqueue within the
+      // submit call itself; give the bus a beat before asserting empty
+      Thread.sleep(300)
+      assert(jobs.get() == 0, "the pre-gate must be plan-analysis only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // small scan-backed and already-materialized frames pass (and then
+    // pay the one cheap count): a LocalRelation has no scan leaves at
+    // all, and a checkpoint's LogicalRDD leaf is excluded because its
+    // stats are the pre-checkpoint ROOT estimate (join-inflated), while
+    // counting it never re-executes upstream lineage
+    val small = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.plausiblyDriverSized(small, 4L << 20))
+    val ckpt = graft.operators.Iterative.truncate(
+      small.join(small.toDF("b", "c"), "b"), None)
+    assert(Graph.plausiblyDriverSized(ckpt, 4L << 20))
+    // heap-aware budget: never above the configured bound, and positive
+    val budget = Graph.driverRowBudget(4L << 20)
+    assert(budget > 0 && budget <= (4L << 20))
+  }
+
+  test("driver-tier null parity: null ids/weights drop on BOTH tiers (equi-join semantics), never NPE") {
+    import graft.operators.{Graph, Dedup}
+    val edges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L))
+    ).toDF("id_a", "id_b")
+    val src = Seq(1L).toDF("id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null-endpoint edges contribute nothing on either tier
+    val expected = Map(1L -> 0L, 2L -> 1L)
+    assert(m(Graph.bfsDistances(edges, src, rounds = 3)) == expected)
+    assert(m(Graph.bfsDistances(edges, src, rounds = 3, maxLocalEdges = 0L)) == expected)
+    // components: the 2-null and null-5 edges vanish; {1,2} remains
+    val comp = Map(1L -> 1L, 2L -> 1L)
+    assert(m(Dedup.nearDupComponents(edges)) == comp)
+    assert(m(Dedup.nearDupComponents(edges, maxLocalEdges = 0L)) == comp)
+    // weighted: a null weight drops the edge on both tiers
+    val wedges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L), java.lang.Long.valueOf(7L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long])
+    ).toDF("src", "dst", "w")
+    val sp = Map(1L -> 0L, 2L -> 7L)
+    assert(m(Graph.shortestPaths(wedges, src, rounds = 3)) == sp)
+    assert(m(Graph.shortestPaths(wedges, src, rounds = 3, maxLocalEdges = 0L)) == sp)
+    val mst = Graph.boruvkaMst(wedges.toDF("a", "b", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mst == Set((1L, 2L, 7L)))
+  }
+
   test("dagLongestPath: diamond takes the heavier arm, sources at 0, rounds truncate") {
     import graft.operators.Graph
     // diamond 1→2→4 (3+1) vs 1→3→4 (1+10), tail 4→5 (2); isolated edge 6→7
