@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Arrow's memory core asks for java.nio opened to its NAMED module as
+  // well as ALL-UNNAMED (classpath jars are unnamed, but the message —
+  // and any future module-path use — names both)
+  "--add-opens", "java.base/java.nio=org.apache.arrow.memory.core,ALL-UNNAMED",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // default sized for the full 280-query bench/verify sweep in one JVM

@@ -187,6 +187,24 @@ object Engine {
   def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
     df.write.format("xml").option("rowTag", rowTag).mode("overwrite").save(path)
 
+  /** Arrow IPC record-batch interchange — the reference's RecordBatch
+    * return surface (`SRecordBatch`, `src/main.rs:103-105`) re-expressed
+    * distributed and inspectable: every partition encodes to a stream of
+    * Arrow IPC batches (`df.toArrowBatchRdd`, the same encoder Spark's
+    * Python/R bridges use) and [[fromArrowBatches]] decodes them back to
+    * a DataFrame with the original schema. Nothing funnels through the
+    * driver in either direction, so this is also the zero-copy-ish hand-
+    * off lane to Arrow-native consumers (feature stores, GPU loaders) at
+    * 100 TB: batches stay partition-local.
+    */
+  def toArrowBatches(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
+    org.apache.spark.sql.graft.Bridge.toArrowBatchRdd(df)
+
+  def fromArrowBatches(spark: SparkSession,
+      batches: org.apache.spark.rdd.RDD[Array[Byte]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    org.apache.spark.sql.graft.Bridge.fromArrowBatchRdd(spark, batches, schema)
+
   /** Plain (unbucketed) catalog table — the registration ANALYZE TABLE and
     * the cost-based optimizer need: statistics attach to catalog entries,
     * not paths, so a CBO story starts here rather than at read.parquet.

@@ -786,9 +786,11 @@ object SparkEntry {
 
     "q43_emb_lsh" -> ((s, dir) => {
       // Sign-LSH near-dup pairs (the linear-shuffle 100 TB path; q37 is the
-      // quadratic exact baseline). Deterministic (splitmix hyperplanes) but
-      // approximate-recall by construction => rows-only check; DedupSpec
-      // pins that it finds planted near-dups and never emits a false pair.
+      // quadratic exact baseline). Fully independently oracle-verified
+      // (r10): DuckDB re-derives the splitmix64 hyperplanes in HUGEINT
+      // mod-2^64 arithmetic and replays buckets, band join, and cosine
+      // verify from the raw parquet; DedupSpec additionally pins that it
+      // finds planted near-dups and never emits a false pair.
       val e = t(s, dir, "embeddings")
       Dedup.embeddingLshPairs(
           e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v"))),
@@ -3424,6 +3426,20 @@ object SparkEntry {
           col("n_chars").cast("double"), histLo = 0.0, histHi = 2000.0,
           histBuckets = 8, tokens = TextFns.tokens(col("text")), topK = 10)
         .sortBy(Seq(col("section"), col("key"), col("metric")))),
+
+    "q404_arrow_roundtrip" -> ((s, dir) => {
+      // Arrow IPC interchange round trip (the reference's SRecordBatch
+      // surface, main.rs:103-105, distributed): every partition encodes
+      // to Arrow record batches and decodes back; hash-matching the plain
+      // projection proves the interchange is lossless for ids,
+      // categoricals, numerics AND free text (Arrow UTF-8 is exact, so
+      // text rides along — unlike the XML roundtrip where readers trim).
+      val docs = t(s, dir, "documents")
+        .selectCols(Seq(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")))
+      Engine.fromArrowBatches(s, Engine.toArrowBatches(docs), docs.schema)
+        .sortBy(Seq(col("doc_id")))
+    }),
 
     "q402_mst_distributed" -> ((s, dir) => {
       // q370's forest through the DISTRIBUTED Borůvka rounds
@@ -6743,13 +6759,14 @@ object SparkEntry {
     * regenerable with tools/pin_oracle.py when testdata changes. A pin is
     * a determinism/regression check, NOT independent verification, so the
     * set is kept minimal and tagged in [[oracleProvenance]] (dumped by
-    * Verify as oracle_provenance.json): only sign-LSH pairs (q43 —
-    * splitmix64 hyperplanes need wrapping 64-bit multiply, not expressible
-    * as portable SQL) and the two sketch outputs (q70 GK percentiles, q77
-    * HLL registers) remain pinned. The r9 pins for the IVF family
-    * (q38/q46/q143) were upgraded to full DuckDB replays over a fixture
-    * coarse quantizer, and q25's describe stats are now derived directly
-    * in SQL.
+    * Verify as oracle_provenance.json): only the two sketch outputs (q70
+    * GK percentiles, q77 HLL registers — engine-internal sketch state)
+    * remain pinned. All r9 pins besides those were upgraded to full
+    * DuckDB replays in r10: the IVF family (q38/q46/q143) over a fixture
+    * coarse quantizer, q25's describe stats derived directly in SQL, and
+    * q43's sign-LSH including its splitmix64 hyperplane generator —
+    * wrapping 64-bit arithmetic replays in HUGEINT mod 2^64, so "needs
+    * wrapping multiply" turned out not to be a blocker.
     *
     * Remaining true omissions:
     *   - q26_explain: Spark plan text has no SQL equivalent (and pinning
@@ -6840,6 +6857,12 @@ object SparkEntry {
            CAST(NULL AS VARCHAR)
          FROM lineitem""",
 
+    // The interchange must be exactly the identity — the oracle is the
+    // plain projection.
+    "q404_arrow_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text
+         FROM documents ORDER BY doc_id""",
+
     // Full card replay: per-column profile stats (the q25 discipline —
     // counts as strings, raw min/max), the clamped-bucket histogram rule,
     // and the (count desc, term asc) top-k over the shared token
@@ -6879,12 +6902,61 @@ object SparkEntry {
            GROUP BY term ORDER BY n DESC, term LIMIT 10)
          ) ORDER BY section, key, metric""",
 
-    // PINNED expected-value oracle (see scaladoc above; tagged in
-    // oracleProvenance): splitmix64 hyperplanes need wrapping 64-bit
-    // multiplies — not portable SQL. Deterministic constant of the sf0.01
-    // gate data, regenerate via tools/pin_oracle.py.
+    // Full sign-LSH replay (r10, replacing the r9 pin): the splitmix64
+    // hyperplane generator IS portable SQL after all — wrapping 64-bit
+    // arithmetic runs in HUGEINT mod 2^64 (the 64x64-bit multiply split
+    // into 32-bit halves so no intermediate exceeds 2^97; logical shifts
+    // are floor-divisions on the non-negative representative; the final
+    // signed reinterpretation routes through BIGINT because DuckDB's
+    // HUGEINT->DOUBLE cast double-rounds). Bit-exact vs the Scala
+    // coefficients (4608/4608 measured equal); everything downstream —
+    // per-(table, plane) dots in Scala's summation order, sign buckets,
+    // band equi-join, exact-cosine verify — is the q174-style replay.
     "q43_emb_lsh" ->
-      """SELECT * FROM (VALUES (CAST(123 AS BIGINT), CAST(327 AS BIGINT), CAST(0.352051 AS DOUBLE)), (CAST(203 AS BIGINT), CAST(414 AS BIGINT), CAST(0.409831 AS DOUBLE)), (CAST(253 AS BIGINT), CAST(401 AS BIGINT), CAST(0.387486 AS DOUBLE)), (CAST(290 AS BIGINT), CAST(331 AS BIGINT), CAST(0.412944 AS DOUBLE)), (CAST(336 AS BIGINT), CAST(399 AS BIGINT), CAST(0.36362 AS DOUBLE)), (CAST(381 AS BIGINT), CAST(413 AS BIGINT), CAST(0.371086 AS DOUBLE)), (CAST(386 AS BIGINT), CAST(485 AS BIGINT), CAST(0.356251 AS DOUBLE))) AS t(id_a, id_b, cosine)""",
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         grid AS (SELECT t.t, p.p, d.d
+           FROM (SELECT unnest(range(6)) AS t) t,
+                (SELECT unnest(range(12)) AS p) p,
+                (SELECT unnest(range(64)) AS d) d),
+         c AS (SELECT t, p, d,
+           CAST(11400714819323198485 AS HUGEINT) AS C1,
+           CAST(13787848793156543929 AS HUGEINT) AS C2,
+           CAST(10723151780598845931 AS HUGEINT) AS C3,
+           CAST(18446744073709551616 AS HUGEINT) AS M
+           FROM grid),
+         z0 AS (SELECT *, (t*C1 + p*C2 + d*C3) % M AS z FROM c),
+         x1 AS (SELECT *, xor(z, z // 1073741824) AS x FROM z0),
+         z1 AS (SELECT *, ((x % 4294967296) * C2 +
+             ((x // 4294967296) * (C2 % 4294967296)) % 4294967296 * 4294967296) % M AS z2
+           FROM x1),
+         x2 AS (SELECT *, xor(z2, z2 // 134217728) AS y FROM z1),
+         z2b AS (SELECT *, ((y % 4294967296) * C3 +
+             ((y // 4294967296) * (C3 % 4294967296)) % 4294967296 * 4294967296) % M AS z3
+           FROM x2),
+         fin AS (SELECT t, p, d, xor(z3, z3 // 2147483648) AS zf FROM z2b),
+         co AS (SELECT t, p, d,
+           CAST(CAST(CASE WHEN zf >= CAST(9223372036854775808 AS HUGEINT)
+                          THEN zf - CAST(18446744073709551616 AS HUGEINT)
+                          ELSE zf END AS BIGINT) AS DOUBLE)
+             / 9223372036854775807.0 AS coeff
+           FROM fin),
+         pl AS (SELECT t, p, list(coeff ORDER BY d) AS w FROM co GROUP BY t, p),
+         dots AS (SELECT e.id, pl.t, pl.p,
+             list_sum(list_transform(range(1, 65), i -> e.v[i] * pl.w[i])) AS dot
+           FROM e CROSS JOIN pl),
+         bkt AS (SELECT id, t,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+               AS BIGINT) AS bucket
+           FROM dots GROUP BY id, t),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM bkt a JOIN bkt b
+                  ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         outp AS (SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+                  FROM cand c JOIN e ea ON ea.id = c.id_a
+                  JOIN e eb ON eb.id = c.id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cosine
+         FROM outp WHERE cos >= 0.35 ORDER BY id_a, id_b""",
 
     "q01_select" ->
       """SELECT l_orderkey, l_linenumber,
@@ -16074,7 +16146,6 @@ object SparkEntry {
     * re-derives the expected rows from the raw parquet tables.
     */
   def oracleProvenance: Map[String, String] = Map(
-    "q43_emb_lsh" -> "pinned", // splitmix64 hyperplanes: wrapping 64-bit mul
     "q70_approx_percentiles" -> "pinned", // GK sketch internals
     "q77_approx_distinct" -> "pinned", // HLL++ registers
     "q26_explain" -> "no_oracle", // plan text has no SQL equivalent

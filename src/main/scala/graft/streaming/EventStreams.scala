@@ -1345,6 +1345,10 @@ object EventStreams {
         r("r_ts") <= l("l_ts") + expr(s"interval $windowSeconds seconds"),
       joinType)
     val confs = Seq(
+      // 8 is NOT the bottleneck: an A/B at 4 partitions measured q269/q279
+      // unchanged (4.98/4.52 s vs 4.66/4.53 s) — the per-pass floor is 3
+      // data batches each scanning both file streams (~66k rows x 2 sides)
+      // plus batch planning, not state-store instantiation
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

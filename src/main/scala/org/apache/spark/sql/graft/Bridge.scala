@@ -38,6 +38,33 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** Arrow-batch interchange, both directions (the reference's
+    * RecordBatch surface made inspectable AND distributed). Spark keeps
+    * `toArrowBatchRdd` / `ArrowConverters` private[sql] — they exist for
+    * the Python/R bridges — so the shim lives here with the other
+    * boundary crossings. Encode/decode share the session's Arrow confs
+    * (timezone, large-var-types), which is what makes the round trip
+    * lossless; each PARTITION becomes a stream of Arrow IPC record
+    * batches, so neither direction ever funnels through the driver.
+    */
+  def toArrowBatchRdd(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .toArrowBatchRdd
+
+  def fromArrowBatchRdd(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: org.apache.spark.rdd.RDD[Array[Byte]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val tz = s.sessionState.conf.sessionLocalTimeZone
+    val largeVar = s.sessionState.conf.arrowUseLargeVarTypes
+    val rows = batches.mapPartitions { it =>
+      org.apache.spark.sql.execution.arrow.ArrowConverters.fromBatchIterator(
+        it, schema, tz, true, largeVar, org.apache.spark.TaskContext.get())
+    }
+    s.internalCreateDataFrame(rows, schema, isStreaming = false)
+  }
+
   /** Catalyst <-> Scala value converters for custom expressions that
     * surface external values (the UDTF generator hands row values to a
     * user closure) — CatalystTypeConverters sits behind the sql package

@@ -160,4 +160,24 @@ class SourcesSpec extends SparkSpec {
     assert(Engine.readParquet(spark, s"$dir/t").columns.toSet.subsetOf(
       Set("id", "s", "extra", "batch")))
   }
+
+  test("Arrow IPC round trip is the identity across types, nulls, and partitions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.5), "a", Some("x")),
+      (2L, None, "b", None),
+      (3L, Some(-0.0), "", Some("unicode: äöü 中文"))
+    ).toDF("id", "d", "s", "opt").repartition(3)
+    val back = Engine.fromArrowBatches(spark,
+      Engine.toArrowBatches(df), df.schema)
+    assert(back.schema == df.schema)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a == b)
+    // empty frame: zero batches decode to an empty frame, same schema
+    val empty = df.filter($"id" < 0L)
+    val eback = Engine.fromArrowBatches(spark,
+      Engine.toArrowBatches(empty), empty.schema)
+    assert(eback.count() == 0L && eback.schema == df.schema)
+  }
 }

@@ -600,4 +600,30 @@ class ValidationSpec extends SparkSpec {
     assert(a.getLong(9) == 8000000L, "(15-5)-(4-2) = 8")
     assert(got("e").isNullAt(9) && got("e").isNullAt(6), "empty cell => NULL")
   }
+
+  test("datasetCard: one long-format frame with hand-checked profile, histogram, and top-term cells") {
+    val df = Seq(
+      (1L, "hello world", 11.0),
+      (2L, "hello again", 11.0),
+      (3L, null.asInstanceOf[String], 100.0)
+    ).toDF("id", "txt", "len")
+    val card = Validation.datasetCard(df, Seq("id", "txt"),
+        histCol = $"len", histLo = 0.0, histHi = 100.0, histBuckets = 4,
+        tokens = org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.coalesce($"txt",
+            org.apache.spark.sql.functions.lit("")), " "),
+        topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3))
+      .toMap
+    assert(card(("profile", "id", "n_rows")) == "3")
+    assert(card(("profile", "txt", "n_nulls")) == "1")
+    assert(card(("profile", "id", "n_distinct")) == "3")
+    assert(card(("profile", "id", "min")) == "1" && card(("profile", "id", "max")) == "3")
+    // len 11 -> bucket 0 (x2); len 100 clamps into the last bucket (3)
+    assert(card(("histogram", "0", "count")) == "2")
+    assert(card(("histogram", "3", "count")) == "1")
+    // "hello" x2 beats everything; ties below it break lexicographically
+    assert(card(("top_terms", "hello", "count")) == "2")
+  }
 }

@@ -6,10 +6,11 @@ A pin is a DETERMINISM/REGRESSION check, not independent verification —
 the constant is quoted from this implementation's own output. Policy
 (r10): keep a pin ONLY when a portable-SQL re-derivation is genuinely
 impossible, tag it in SparkEntry.oracleProvenance, and cover its
-semantics with a ScalaTest spec. Current pins: q43 (splitmix64
-hyperplanes need wrapping 64-bit multiplies), q70/q77 (GK-percentile /
-HLL sketch internals). The former IVF/describe pins (q25/q38/q46/q143)
-were upgraded to full DuckDB replays in r10 — prefer that route.
+semantics with a ScalaTest spec. Current pins: q70/q77 only
+(GK-percentile / HLL sketch internals). The former IVF/describe/sign-LSH
+pins (q25/q38/q43/q46/q143) were all upgraded to full DuckDB replays in
+r10 — even splitmix64's wrapping 64-bit arithmetic replays in HUGEINT
+mod 2^64 — so prefer that route.
 
 Usage: pin_oracle.py <verifyOutDir> <queryName> [<queryName> ...]
 Paste the printed SQL into SparkEntry.oracleSql. Re-run whenever the
