@@ -192,7 +192,14 @@ object Bench {
     // reproduce, noise doesn't. Bounded to 12 re-runs so a systemic
     // slowdown (e.g. a config regression slowing everything) degrades to
     // flagging at pass-2 numbers instead of doubling the run.
+    // severity-ordered: the 12 bonus slots go to the WORST now/ref ratios
+    // first — alphabetical order once spent the whole cap on 1.5-2x flags
+    // while a 10x GC-stall spike (q304, 96 s in-run vs 10 s focused) never
+    // got its re-measure
+    def worstRatio(n: String, t: Double): Double =
+      (prevOf(n).toSeq ++ bestOf(n).toSeq).map(r => t / r).maxOption.getOrElse(1.0)
     val tentative = results.filter { case (n, t) => isRegression(n, t) }
+      .sortBy { case (n, t) => -worstRatio(n, t) }
     val remeasuredNames = tentative.take(12).map(_._1)
     if (tentative.nonEmpty) {
       // The re-measure is a BONUS pass: a timeout/flake here must not mark
