@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-and-timing probe for a single SparkEntry query: prints the
+  * formatted physical plan once, then times `reps` fresh executions in
+  * one JVM (same session config as [[Bench]], same noop sink, same
+  * cache-clear discipline). The tool behind per-query regression
+  * attribution: within-JVM repeat times separate plan cost from
+  * run-context noise, and the plan dump shows the exchange count the
+  * README's scale notes cite.
+  *
+  * Usage: sbt "runMain graft.Probe q142_mutual_knn_ivf 4"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q142_mutual_knn_ivf")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    // one warm pass (plan + janino codegen), as Bench's warmup does
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    fn(spark, sfDir).explain("formatted")
+    spark.catalog.clearCache()
+    (1 to reps).foreach { i =>
+      // construction (driver work in the query builder — e.g. sampled
+      // k-means seeding, plan assembly) timed apart from execution: the
+      // split attributes a cold-JIT tail to the right phase
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val tExec = (System.nanoTime() - t1) / 1e9
+      println(f"[probe] $name rep $i: build $tBuild%.3f s + exec $tExec%.3f s = ${tBuild + tExec}%.3f s")
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -3441,6 +3441,79 @@ object SparkEntry {
         .sortBy(Seq(col("doc_id")))
     }),
 
+    "q405_ivf_index_persist" -> ((s, dir) => {
+      // Build-once/serve-many ANN (r11): the IVF index — centroids plus
+      // the corpus cell assignments PARTITIONED BY cell — persists to
+      // parquet and top-k is served from the stored layout: no centroid
+      // training, no corpus re-assignment, and with nprobe < nlist only
+      // the probed cell directories are read (partition pruning applied
+      // to vector search). Same fixture quantizer and probe config as
+      // q38, so the served answer must hash-match q38's independent
+      // DuckDB replay verbatim — the layout changes the plan, never the
+      // answer (the q150 pattern). The write is inside the timed query:
+      // amortizing it across queries is exactly the trade being measured.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      val sf = new java.io.File(dir).getName
+      val idx = s"${scratchRoot}/$sf/ivf_index"
+      Similarity.writeIvfIndex(corpus, idx, nlist = 16, centroids = Some(cents))
+      Similarity.ivfTopKIndexed(s, idx, queries, nprobe = 4, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q406_ivfpq_index_persist" -> ((s, dir) => {
+      // q174's IVFADC served from a PERSISTED quantizer pair (coarse
+      // centroids + PQ residual codebooks reloaded from parquet): codebook
+      // training is the once-per-corpus cost, serving pays only LUT build
+      // + probed-cell ADC scan. Identical fixture quantizer to q174, so
+      // the stored-index answer must hash-match q174's exact DuckDB
+      // replay verbatim.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")))
+      val cents = corpus.filterCol(col("id") < 8)
+        .selectCols(Seq(col("id").as("cid"), col("v").as("cv")))
+      val first16 = corpus.filterCol(col("id") < 16)
+      val a16 = Similarity.assignToCentroids(first16, cents)
+        .selectCols(Seq(col("id"), col("cid")))
+      val res16 = first16.join(a16, "id")
+        .join(broadcast(cents), "cid")
+        .selectCols(Seq(col("id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv")))
+      val cb = res16.selectCols(Seq(col("id").as("cbid"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("rv")))
+        .selectCols(Seq(col("sub"), col("cbid").as("cid"),
+          slice(col("rv"), col("sub") * 8 + 1, lit(8)).as("cv")))
+      val sf = new java.io.File(dir).getName
+      val idx = s"${scratchRoot}/$sf/pq_index"
+      Similarity.writePqIndex(cents, cb, idx)
+      val (centsR, cbR) = Similarity.readPqIndex(s, idx)
+      Similarity.ivfPqAdcTopK(corpus, corpus.filterCol(col("id") < 4),
+          centsR, cbR, m = 8, subDims = 8, nprobe = 2, k = 5)
+        .withColumn("adist", round(col("adist"), 6))
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q407_decision_tree2" -> ((s, dir) =>
+      // the learned-quality-filter baseline (r11): exact depth-2 decision
+      // tree over (n_chars, token count) predicting lang='en' — feature
+      // SELECTION at every node (decile-edge candidates, integer Gini,
+      // (wg, feature, threshold) tie order), root winner splits, branches
+      // train their own stumps. The whole training run — which feature
+      // each node picked included — replays in DuckDB via the generated
+      // 3-node oracle (treeOracle); q246's one-split stump is the
+      // baseline this must beat on reduction_ppm to justify depth
+      Validation.decisionTree2(t(s, dir, "documents"),
+          Seq("len" -> col("n_chars"),
+            "ntok" -> size(TextFns.tokens(col("text"))).cast("long")),
+          col("lang") === "en")
+        .sortBy(Seq(col("node")))),
+
     "q402_mst_distributed" -> ((s, dir) => {
       // q370's forest through the DISTRIBUTED Borůvka rounds
       // (maxLocalEdges=0 — the 100 TB code path; q370 itself takes the
@@ -6776,7 +6849,116 @@ object SparkEntry {
     *     stability across task schedules is not guaranteed; their exact
     *     hash-matched siblings are q89/q115 and specs bound sketch error.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // The persisted-index queries serve the SAME fixture quantizer and
+    // probe config as their inline siblings, so the siblings' independent
+    // replays apply VERBATIM — a stored layout that changed the answer
+    // would hash-mismatch here (the q150 layout-not-answer contract).
+    "q405_ivf_index_persist" -> "q38_ann_ivf",
+    "q406_ivfpq_index_persist" -> "q174_ivfpq_adc"
+  ).map { case (q, sibling) => q -> oracleSqlBase(sibling) } +
+    // the depth-2 tree oracle is GENERATED: 3 nodes x k features of the
+    // q246 stump-replay block is mechanical SQL — building it from the
+    // same template that names the nodes keeps the replay and the Spark
+    // tie-break contract in one place
+    ("q407_decision_tree2" -> treeOracle("documents",
+      Seq("len" -> "n_chars",
+        "ntok" -> ("len(list_filter(string_split_regex(trim(lower(text)), " +
+          "'\\s+'), x -> len(x) > 0))")),
+      labelSql = "lang = 'en'", nBins = 10))
+
+  /** Generated oracle for [[graft.operators.Validation.decisionTree2]]:
+    * the full depth-2 training replay — per (node, feature) the rank-rule
+    * decile edges of the NODE SUBSET, value-binned class counts, prefix
+    * sums, fraction-cleared integer Gini, and the (wg, feature,
+    * threshold) argmin; branch membership is re-derived in SQL from the
+    * root argmax via a CASE over the feature columns, so feature
+    * SELECTION — not just the winning thresholds — is independently
+    * verified. Every bin 0..edges-1 is provably non-empty (each edge is a
+    * data value attaining its own bin), so the prefix join covers every
+    * candidate in both engines.
+    */
+  private def treeOracle(table: String, feats: Seq[(String, String)],
+      labelSql: String, nBins: Int): String = {
+    def featCase(best: String): String = feats.map { case (n, _) =>
+      s"WHEN $best.feature = '$n' THEN f_$n"
+    }.mkString("CASE ", " ", " END")
+    def block(node: String, f: String): String = s"""
+      nn_${node}_$f AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base_$node),
+      rk_${node}_$f AS (SELECT f_$f AS v,
+          ((CAST(ROW_NUMBER() OVER (ORDER BY f_$f) AS BIGINT) - 1) * $nBins)
+            // nn.nn AS bin
+        FROM base_$node, nn_${node}_$f AS nn),
+      ed0_${node}_$f AS (SELECT bin, MAX(v) AS e FROM rk_${node}_$f
+        WHERE bin < ${nBins - 1} GROUP BY bin),
+      ed_${node}_$f AS (SELECT e, ROW_NUMBER() OVER (ORDER BY e) - 1 AS i
+        FROM (SELECT DISTINCT e FROM ed0_${node}_$f)),
+      bb_${node}_$f AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM ed_${node}_$f ed WHERE b.f_$f > ed.e) AS bin, p
+        FROM base_$node b),
+      pb_${node}_$f AS (SELECT bin, CAST(SUM(p) AS BIGINT) AS bp,
+          CAST(SUM(1 - p) AS BIGINT) AS bn
+        FROM bb_${node}_$f GROUP BY bin),
+      pre_${node}_$f AS (SELECT bin,
+          CAST(SUM(bp) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lp,
+          CAST(SUM(bn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln
+        FROM pb_${node}_$f),
+      cand_${node}_$f AS (SELECT '$f' AS feature, ed.e AS threshold,
+          pre.lp, pre.ln
+        FROM pre_${node}_$f pre JOIN ed_${node}_$f ed ON ed.i = pre.bin)"""
+    def nodeSql(node: String): String = {
+      val blocks = feats.map(f => block(node, f._1)).mkString(",")
+      val unioned = feats.map(f => s"SELECT * FROM cand_${node}_${f._1}")
+        .mkString(" UNION ALL ")
+      s"""
+      tt_$node AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS tp,
+          CAST(COUNT(*) - COALESCE(SUM(p), 0) AS BIGINT) AS tn,
+          CAST(COUNT(*) AS BIGINT) AS n FROM base_$node),
+      $blocks,
+      sc_$node AS (SELECT feature, threshold, lp, ln,
+          tt.tp - lp AS rp, tt.tn - ln AS rn,
+          lp + ln AS nl, tt.n - lp - ln AS nr, tt.n AS n
+        FROM ($unioned) AS u, tt_$node AS tt),
+      w_$node AS (SELECT feature, threshold,
+          CAST((CAST(nl AS HUGEINT) *
+              (CASE WHEN nl = 0 THEN 0 ELSE 1000000 -
+                CAST(((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
+                  * 1000000) // (CAST(nl AS HUGEINT) * nl) AS BIGINT) END)
+            + CAST(nr AS HUGEINT) *
+              (CASE WHEN nr = 0 THEN 0 ELSE 1000000 -
+                CAST(((CAST(rp AS HUGEINT) * rp + CAST(rn AS HUGEINT) * rn)
+                  * 1000000) // (CAST(nr AS HUGEINT) * nr) AS BIGINT) END))
+            // n AS BIGINT) AS wg,
+          ((GREATEST(lp, ln) + GREATEST(rp, rn)) * 1000000) // n AS acc
+        FROM sc_$node),
+      best_$node AS (SELECT * FROM w_$node
+        ORDER BY wg, feature, threshold LIMIT 1),
+      stat_$node AS (SELECT n, tp AS n_pos,
+          1000000 - CAST(((CAST(tp AS HUGEINT) * tp + CAST(tn AS HUGEINT) * tn)
+            * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm
+        FROM tt_$node)"""
+    }
+    val featSelects = feats.map { case (n, e) => s"$e AS f_$n" }.mkString(", ")
+    def nodeRow(node: String): String =
+      s"""SELECT '$node' AS node, b.feature, b.threshold, s.n, s.n_pos,
+            s.gini_ppm, b.wg AS weighted_gini_ppm,
+            s.gini_ppm - b.wg AS reduction_ppm, b.acc AS acc_ppm
+          FROM best_$node AS b, stat_$node AS s"""
+    s"""WITH base_root AS (SELECT $featSelects,
+          CASE WHEN $labelSql THEN 1 ELSE 0 END AS p FROM $table),
+      ${nodeSql("root")},
+      base_left AS (SELECT b.* FROM base_root AS b, best_root
+        WHERE (${featCase("best_root")}) <= best_root.threshold),
+      base_right AS (SELECT b.* FROM base_root AS b, best_root
+        WHERE (${featCase("best_root")}) > best_root.threshold),
+      ${nodeSql("left")},
+      ${nodeSql("right")}
+      SELECT * FROM (${nodeRow("root")} UNION ALL ${nodeRow("left")}
+        UNION ALL ${nodeRow("right")}) AS t
+      ORDER BY node"""
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     // Full IVF replay (r10, replacing the r9 pin): fixture coarse quantizer
     // (first-16 vectors as cells) -> corpus cell assignment (argmax cosine,
     // tie to lower cell), query probe selection (top-4 cells), probe join,

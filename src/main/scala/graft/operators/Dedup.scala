@@ -394,16 +394,9 @@ object Dedup {
       maxBucket: Int = 1 << 20): DataFrame = {
     require(thresholdThousandths >= 1 && thresholdThousandths <= 1000,
       s"thresholdThousandths must be in [1, 1000], got $thresholdThousandths")
-    val v = vecs.toDF("id", "bucket", "w")
-      .select(col("id"), col("bucket"), col("w").cast("long").alias("w"))
-    val n2 = v.groupBy("id").agg(sum(col("w") * col("w")).alias("n2"))
-    val bucketSizes = v.groupBy("bucket").count()
-    val kept = v.join(bucketSizes.filter(col("count") <= maxBucket)
-      .select("bucket"), Seq("bucket"))
+    val (cand, n2) = sparseCosineStage(vecs, maxBucket)
     val t2 = thresholdThousandths.toLong * thresholdThousandths
-    kept.alias("a")
-      .join(kept.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    cand
       .groupBy(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
       .agg(sum(col("a.w") * col("b.w")).alias("dot"))
       .join(n2.select(col("id").alias("id_a"), col("n2").alias("n2_a")), Seq("id_a"))
@@ -417,24 +410,43 @@ object Dedup {
         col("dot"), col("n2_a"), col("n2_b"))
   }
 
+  /** Shared front half of [[sparseCosinePairs]] and
+    * [[sparseCosineCandidates]] (the ppJoinStage treatment): the
+    * hub-capped inverted index and its bucket-keyed candidate self-join
+    * (aliases `a`/`b`, id_a < id_b), plus the UNCAPPED norm frame (dropped
+    * hub buckets lose dot contribution, never norm mass). Factored so the
+    * bench attribution counter measures the SAME candidate pipeline the
+    * production pairs run — a future change to the cap or an extra pruning
+    * filter flows to both by construction.
+    */
+  private def sparseCosineStage(vecs: DataFrame,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    val v = vecs.toDF("id", "bucket", "w")
+      .select(col("id"), col("bucket"), col("w").cast("long").alias("w"))
+    val n2 = v.groupBy("id").agg(sum(col("w") * col("w")).alias("n2"))
+    val bucketSizes = v.groupBy("bucket").count()
+    val kept = v.join(bucketSizes.filter(col("count") <= maxBucket)
+      .select("bucket"), Seq("bucket"))
+    val cand = kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    (cand, n2)
+  }
+
   /** Candidate-pair volume behind [[sparseCosinePairs]]: the distinct
     * (id_a, id_b) pairs sharing >= 1 surviving bucket, BEFORE the dot
     * aggregation and threshold filter — the bench attribution instrument
     * (the minhashLshCandidates pattern: a bending time curve is only
-    * diagnosable next to the matching candidate-volume curve).
+    * diagnosable next to the matching candidate-volume curve). Consumes
+    * [[sparseCosineStage]], the exact frame the production pairs
+    * aggregate; Catalyst prunes the unused weight columns from this
+    * branch's scan.
     */
   def sparseCosineCandidates(vecs: DataFrame,
-      maxBucket: Int = 1 << 20): DataFrame = {
-    val v = vecs.toDF("id", "bucket", "w").select(col("id"), col("bucket"))
-    val bucketSizes = v.groupBy("bucket").count()
-    val kept = v.join(bucketSizes.filter(col("count") <= maxBucket)
-      .select("bucket"), Seq("bucket"))
-    kept.alias("a")
-      .join(kept.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      maxBucket: Int = 1 << 20): DataFrame =
+    sparseCosineStage(vecs, maxBucket)._1
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
       .distinct()
-  }
 
   /** Weighted (multiset) Jaccard near-dup pairs over token bags:
     * `wJ(a,b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t))` —

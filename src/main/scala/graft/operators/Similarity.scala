@@ -242,38 +242,57 @@ object Similarity {
       broadcastQueries: Boolean = true,
       centroids: Option[DataFrame] = None
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    val centDf = centroids.getOrElse {
-      val cents = kmeansCentroids(corpus, nlist).zipWithIndex.map { case (v, i) => (i, v) }
-      spark.createDataFrame(cents.toSeq.map { case (i, v) => (i, v) }).toDF("cell", "cv")
-    }
-
-    def assign(df: DataFrame, vcol: String, n: Int): DataFrame = {
-      // score against every centroid (broadcast — nlist is tiny), keep top-n cells
-      val scored = df
-        .crossJoin(broadcast(centDf))
-        .select(df.columns.map(col) :+ col("cell") :+ VectorExprs.cosine(col(vcol), col("cv")).alias("cscore"): _*)
-      if (n == 1) {
-        // argmax by (cscore desc, cell asc) as a hash aggregate: partial
-        // map-side combine means the shuffle carries one row per id, not the
-        // id x nlist scored table a window row_number would sort — this is
-        // the corpus-side path, the one that sees 100% of the data.
-        scored
-          .groupBy(col("id"))
-          .agg(
-            max_by(col("cell"), struct(col("cscore"), -col("cell").cast("double"))).alias("cell"),
-            first(col(vcol)).alias(vcol))
-          .select(col("id"), col(vcol), col("cell"))
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id"))
-          .orderBy(col("cscore").desc, col("cell"))
-        scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n).drop("cv", "cscore", "crank")
-      }
-    }
-
-    val cCells = assign(corpus.select(col("id"), col("v")), "v", 1)
+    val centDf = centroids.getOrElse(trainCentroidsDf(corpus, nlist))
+    val cCells = ivfAssignCells(corpus.select(col("id"), col("v")), centDf, "v", 1)
       .select(col("id").alias("c_id"), col("v").alias("c_v"), col("cell"))
+    ivfProbe(cCells, centDf, queries, nlist, nprobe, k, broadcastQueries)
+  }
+
+  /** [[kmeansCentroids]] lifted to the (cell, cv) frame every IVF entry
+    * point consumes.
+    */
+  private def trainCentroidsDf(corpus: DataFrame, nlist: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, nlist).zipWithIndex.map { case (v, i) => (i, v) }
+    corpus.sparkSession
+      .createDataFrame(cents.toSeq.map { case (i, v) => (i, v) }).toDF("cell", "cv")
+  }
+
+  /** Top-n cell assignment against a broadcast centroid frame — shared by
+    * the inline build, the persisted-index build, and the probe side.
+    */
+  private def ivfAssignCells(df: DataFrame, centDf: DataFrame, vcol: String,
+      n: Int): DataFrame = {
+    // score against every centroid (broadcast — nlist is tiny), keep top-n cells
+    val scored = df
+      .crossJoin(broadcast(centDf))
+      .select(df.columns.map(col) :+ col("cell") :+ VectorExprs.cosine(col(vcol), col("cv")).alias("cscore"): _*)
+    if (n == 1) {
+      // argmax by (cscore desc, cell asc) as a hash aggregate: partial
+      // map-side combine means the shuffle carries one row per id, not the
+      // id x nlist scored table a window row_number would sort — this is
+      // the corpus-side path, the one that sees 100% of the data.
+      scored
+        .groupBy(col("id"))
+        .agg(
+          max_by(col("cell"), struct(col("cscore"), -col("cell").cast("double"))).alias("cell"),
+          first(col(vcol)).alias(vcol))
+        .select(col("id"), col(vcol), col("cell"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("cscore").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n).drop("cv", "cscore", "crank")
+    }
+  }
+
+  /** The probe half of IVF: select each query's nprobe cells, equi-join
+    * against the cell-assigned corpus, exact cosine, top-k. `cCells` is
+    * (c_id, c_v, cell) from either the inline assignment ([[ivfTopK]]) or
+    * a persisted index ([[ivfTopKIndexed]]).
+    */
+  private def ivfProbe(cCells: DataFrame, centDf: DataFrame,
+      queries: DataFrame, nlist: Int, nprobe: Int, k: Int,
+      broadcastQueries: Boolean): DataFrame = {
     // nprobe >= nlist probes everything: skip the per-centroid scoring and
     // pair each query with every cell directly — exhaustive, equals brute
     // force (this is the exact, oracle-checkable configuration).
@@ -282,7 +301,7 @@ object Similarity {
         queries.select(col("id").alias("q_id"), col("v").alias("q_v"))
           .crossJoin(broadcast(centDf.select(col("cell"))))
       else
-        assign(queries.select(col("id"), col("v")), "v", nprobe)
+        ivfAssignCells(queries.select(col("id"), col("v")), centDf, "v", nprobe)
           .select(col("id").alias("q_id"), col("v").alias("q_v"), col("cell"))
 
     val probeSide = if (broadcastQueries) broadcast(qCells) else qCells
@@ -292,6 +311,61 @@ object Similarity {
       .select(col("q_id"), col("c_id"), VectorExprs.cosine(col("q_v"), col("c_v")).alias("score"))
     explodeTopK(scored, k)
   }
+
+  /** Persist an IVF index: build once, serve many — the 100 TB serving
+    * shape (a pipeline that rebuilds centroids and re-assigns the corpus
+    * per query burns a full corpus scan each time; a persisted index pays
+    * it once). Layout:
+    *   - `path/centroids`: (cell, cv) — the coarse quantizer, tiny;
+    *   - `path/cells`: (id, v) PARTITIONED BY cell — each cell is its own
+    *     parquet directory, so a pruned probe reads ONLY the probed cells
+    *     (partition pruning applied to vector search; with a broadcast
+    *     query side the cell filter reaches the scan as dynamic partition
+    *     pruning).
+    * Pass `centroids` to persist a pre-trained/fixture quantizer.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      centroids: Option[DataFrame] = None): Unit = {
+    val centDf = centroids.getOrElse(trainCentroidsDf(corpus, nlist))
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssignCells(corpus.select(col("id"), col("v")), centDf, "v", 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Serve top-k from a persisted IVF index ([[writeIvfIndex]] layout):
+    * no centroid training, no corpus assignment — the only corpus-sized
+    * work is the probe join against the pre-partitioned cells, and with
+    * nprobe < nlist only the probed cell directories are read. Answers
+    * hash-match the inline [[ivfTopK]] at the same quantizer by
+    * construction (same probe half, same exact cosine, same top-k ties).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, nprobe: Int, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val nlist = centDf.count().toInt // tiny frame: one cheap driver count
+    val cCells = spark.read.parquet(s"$path/cells")
+      .select(col("id").alias("c_id"), col("v").alias("c_v"), col("cell"))
+    ivfProbe(cCells, centDf, queries, nlist, nprobe, k, broadcastQueries)
+  }
+
+  /** Persist the IVFADC quantizer pair — coarse centroids (cid, cv) and
+    * PQ residual codebooks (sub, cid, cv) — the [[ivfPqAdcTopK]] serving
+    * state. Codebook training is the expensive once-per-corpus step; the
+    * per-query cost with a stored quantizer is only the LUT build + the
+    * probed-cell ADC scan.
+    */
+  def writePqIndex(centroids: DataFrame, codebooks: DataFrame,
+      path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Reload [[writePqIndex]] state: (centroids, codebooks). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"))
 
   /** Assign every corpus vector to its nearest centroid by squared L2
     * distance (ties broken by ascending centroid id) — the clustering /

@@ -944,6 +944,125 @@ object Validation {
         col("acc_ppm"))
   }
 
+  /** Exact depth-2 decision tree over multiple numeric features — the
+    * learned-quality-filter baseline that generalizes [[decisionStump]]:
+    * at each node the best (feature, threshold) pair is chosen across
+    * `features` (candidates = the NODE SUBSET's exact decile edges per
+    * feature, the quantileBins rank rule; scores = the stump's
+    * fraction-cleared integer Gini), the root's winner splits the data,
+    * and each branch trains its own best stump. All integer, so the whole
+    * training run — feature selection included — replays cross-engine.
+    *
+    * Ties: (weighted gini, feature name, threshold) ascending, both at
+    * candidate level and across features — the deterministic contract
+    * both engines sort by.
+    *
+    * Returns up to 3 rows (node ∈ root/left/right; a node with no valid
+    * candidate — constant features — is omitted): (node, feature,
+    * threshold, n, n_pos, gini_ppm, weighted_gini_ppm, reduction_ppm,
+    * acc_ppm), acc = the node's own split's majority-vote accuracy.
+    *
+    * Scale shape: per node, one quantileBins edge probe plus one per-bin
+    * (pos, neg) partial-agg groupBy per feature; driver state is ≤ nBins
+    * count rows per (node, feature) and 3 argmax tuples — never data.
+    * Branch subsets are filters over the base scan (predicate pushdown),
+    * so the whole tree is 3 × |features| cheap aggregation passes.
+    */
+  def decisionTree2(df: DataFrame, features: Seq[(String, Column)],
+      label: Column, nBins: Int = 10): DataFrame = {
+    require(features.nonEmpty && features.size <= 8,
+      s"need 1..8 features, got ${features.size}")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(features.map(_._1).distinct.size == features.size,
+      "feature names must be distinct")
+    val spark = df.sparkSession
+    // training makes ~2 aggregation passes per (node, feature) over this
+    // frame; persisting the NARROW projection (k longs + p — bytes per
+    // row regardless of how heavy the feature exprs are, e.g. full-text
+    // tokenization) pays the feature computation once instead of ~6k
+    // times. All passes complete inside this call (results are collected
+    // driver tuples), so the handle unpersists before returning.
+    val base = df.select(
+      features.map { case (n, c) => c.cast("long").alias(s"f_$n") } :+
+        when(label, 1L).otherwise(0L).alias("p"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // (wg, feature, threshold, nl, nr, acc) per winning candidate;
+    // node facts (n, nPos, giniPpm) alongside
+    def giniPpm(a: Long, b: Long): Long = {
+      val n = a + b
+      if (n == 0) 0L
+      else 1000000L - ((BigInt(a) * a + BigInt(b) * b) * 1000000 /
+        (BigInt(n) * n)).toLong
+    }
+    def bestSplit(node: DataFrame)
+        : Option[(String, Long, Long, Long, Long, Long, Long)] = {
+      val trow = node.agg(count(lit(1)), coalesce(sum(col("p")), lit(0L)))
+        .collect()(0)
+      val n = trow.getLong(0)
+      if (n == 0) return None
+      val tp = trow.getLong(1)
+      val tn = n - tp
+      val winners = features.map(_._1).flatMap { name =>
+        val vcol = col(s"f_$name")
+        val edges = Relational.quantileBins(
+            node.withColumn("id", monotonically_increasing_id()),
+            col("id"), vcol, nBins)
+          .groupBy(col("bin")).agg(max(col("v")).alias("e"))
+          .filter(col("bin") < nBins - 1)
+          .orderBy(col("bin")).collect().map(_.getLong(1)).distinct.sorted
+        if (edges.isEmpty) None
+        else {
+          val ecol = typedLit(edges)
+          // per-bin class counts; the ≤nBins aggregate comes to the driver
+          // and the prefix scan + argmin run there (bounded state, the
+          // decisionStump contract)
+          val byBin = node.select(vcol.alias("v"), col("p"))
+            .withColumn("bin", size(filter(ecol, e => col("v") > e)).cast("long"))
+            .groupBy(col("bin"))
+            .agg(sum(col("p")).alias("bp"), sum(lit(1L) - col("p")).alias("bn"))
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          var lp = 0L; var ln = 0L
+          val cands = edges.indices.map { i =>
+            val (bp, bn) = byBin.getOrElse(i.toLong, (0L, 0L))
+            lp += bp; ln += bn
+            val rp = tp - lp; val rn = tn - ln
+            val nl = lp + ln; val nr = rp + rn
+            val wg = ((BigInt(nl) * giniPpm(lp, ln) +
+              BigInt(nr) * giniPpm(rp, rn)) / BigInt(n)).toLong
+            val acc = (math.max(lp, ln) + math.max(rp, rn)) * 1000000L / n
+            (wg, name, edges(i), nl, nr, acc)
+          }
+          Some(cands.minBy(c => (c._1, c._2, c._3)))
+        }
+      }
+      if (winners.isEmpty) None
+      else {
+        val w = winners.minBy(c => (c._1, c._2, c._3))
+        Some((w._2, w._3, n, tp, giniPpm(tp, tn), w._1, w._6))
+      }
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+    try {
+      bestSplit(base).foreach { case (f, t, n, np, g, wg, acc) =>
+        rows += (("root", f, t, n, np, g, wg, g - wg, acc))
+        Seq(("left", base.filter(col(s"f_$f") <= t)),
+            ("right", base.filter(col(s"f_$f") > t))).foreach {
+          case (tag, sub) =>
+            bestSplit(sub).foreach { case (f2, t2, n2, np2, g2, wg2, acc2) =>
+              rows += ((tag, f2, t2, n2, np2, g2, wg2, g2 - wg2, acc2))
+            }
+        }
+      }
+    } finally base.unpersist(blocking = false)
+    import spark.implicits._
+    rows.toSeq.toDF("node", "feature", "threshold", "n", "n_pos",
+      "gini_ppm", "weighted_gini_ppm", "reduction_ppm", "acc_ppm")
+  }
+
   /** Two-proportion A/B significance, integer-exact: the squared z
     * statistic fraction-cleared — z² = (x_a·n_b − x_b·n_a)²·(n_a+n_b) /
     * (n_a·n_b·x·(N−x)) with x = x_a+x_b, N = n_a+n_b — in DECIMAL(38,0),

@@ -2093,6 +2093,40 @@ object EventStreams {
         col("__ts").alias("valid_from"), col("valid_to"))
   }
 
+  /** Bounded-group contract enforcement for the mapGroups fold family
+    * (tokenBucketAdmission, holtLinear/holtWinters, lisLengths,
+    * epsilonGreedyReplay, activitySelection, weightedIntervalSchedule,
+    * burstViterbi): each fold materializes one key's rows on one executor,
+    * which is correct while groups are bounded (events per user, days per
+    * key) but would OOM an executor on a 100 TB hot key. The guard counts
+    * DURING materialization and fails loudly AT the threshold — strictly
+    * cheaper than a pre-agg max-group-size check (no second pass over the
+    * upstream) and it stops buffering at the cap instead of after it.
+    * Default 10M rows/group (~1 GB of boxed tuples); override with
+    * -Dgraft.maxGroupRows. The cap is read on the DRIVER at plan build
+    * (each fold captures it before groupByKey) so it serializes into the
+    * closure and holds on a real cluster, not just local mode.
+    */
+  private[streaming] def maxGroupRows: Long =
+    sys.props.get("graft.maxGroupRows").map(_.toLong).getOrElse(10000000L)
+
+  private[streaming] def boundedGroupArray[T: scala.reflect.ClassTag](
+      op: String, key: Any, rows: Iterator[T], cap: Long): Array[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    var n = 0L
+    while (rows.hasNext) {
+      n += 1
+      if (n > cap)
+        throw new IllegalStateException(
+          s"graft.$op: group '$key' exceeds the bounded-group contract " +
+          s"(> $cap rows); this fold materializes each group on one " +
+          "executor. Pre-aggregate the group (e.g. to daily grain) or " +
+          "raise -Dgraft.maxGroupRows if the group genuinely fits memory.")
+      buf += rows.next()
+    }
+    buf.toArray
+  }
+
   /** Output row of [[tokenBucketAdmission]] (public for the generated
     * encoder, the [[graft.operators.Multimodal.Feat]] rule).
     */
@@ -2139,9 +2173,11 @@ object EventStreams {
           .cast("long").alias("rew"))
       .as[(Long, Long, Long, String, Long)](Encoders.tuple(Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+    val cap = maxGroupRows
     in.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroups { (co, rows) =>
-        val evs = rows.map(r => (r._2, r._3, r._4, r._5)).toArray.sortInPlace()
+        val evs = boundedGroupArray("epsilonGreedyReplay", co,
+          rows.map(r => (r._2, r._3, r._4, r._5)), cap).sortInPlace()
         val c = new Array[Long](k); val s = new Array[Long](k)
         var t = 1
         evs.foreach { case (_, _, a, rew) =>
@@ -2188,9 +2224,11 @@ object EventStreams {
         id.cast("long").alias("i"))
       .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    val cap = maxGroupRows
     in.groupByKey(_._1)(Encoders.scalaLong)
       .mapGroups { (u, rows) =>
-        val iv = rows.map(r => (r._3, r._2, r._4)).toArray.sortInPlace()
+        val iv = boundedGroupArray("activitySelection", u,
+          rows.map(r => (r._3, r._2, r._4)), cap).sortInPlace()
         var cnt = 0L
         var lastEnd = Long.MinValue
         iv.foreach { case (e, s, _) =>
@@ -2224,9 +2262,11 @@ object EventStreams {
       .as[(Long, Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong))
+    val cap = maxGroupRows
     in.groupByKey(_._1)(Encoders.scalaLong)
       .mapGroups { (u, rows) =>
-        val iv = rows.map(r => (r._3, r._2, r._4, r._5)).toArray.sortInPlace()
+        val iv = boundedGroupArray("weightedIntervalSchedule", u,
+          rows.map(r => (r._3, r._2, r._4, r._5)), cap).sortInPlace()
         val n = iv.length
         val ends = new Array[Long](n)
         val dp = new Array[Long](n + 1)
@@ -2327,9 +2367,11 @@ object EventStreams {
           .cast("long").alias("x"))
       .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    val cap = maxGroupRows
     in.groupByKey(_._1)(Encoders.scalaLong)
       .mapGroups { (u, rows) =>
-        val xs = rows.map(r => (r._2, r._3, r._4)).toArray.sortInPlace()
+        val xs = boundedGroupArray("lisLengths", u,
+          rows.map(r => (r._2, r._3, r._4)), cap).sortInPlace()
           .map(_._3)
         // first index in [0, size) with !pred(tops(idx)); tops kept sorted
         def lowerBound(tops: scala.collection.mutable.ArrayBuffer[Long],
@@ -2477,11 +2519,13 @@ object EventStreams {
         .cast("long").alias("y"))
       .select(col("k"), unix_micros(col("day")).alias("dus"), col("y"))
     def tdiv(n: BigInt): Long = (n / 1000000).toLong // BigInt / truncates toward zero
+    val cap = maxGroupRows
     daily.as[(String, Long, Long)](
         Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroups { (k, rows) =>
-        val obs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val obs = boundedGroupArray("holtLinear", k,
+          rows.map(r => (r._2, r._3)), cap).sortInPlace()
         val out = new Array[HoltRow](obs.length)
         var l = 0L; var b = 0L
         var i = 0
@@ -2525,12 +2569,14 @@ object EventStreams {
     import org.apache.spark.sql.Encoders
     val spark = events.sparkSession
     import spark.implicits._
+    val cap = maxGroupRows
     events.select(key.cast("long").alias("k"), unix_micros(ts).alias("tus"),
         id.cast("long").alias("i"))
       .as[(Long, Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroups { (k, rows) =>
-        val evs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val evs = boundedGroupArray("tokenBucketAdmission", k,
+          rows.map(r => (r._2, r._3)), cap).sortInPlace()
         val out = new Array[TokenBucketRow](evs.length)
         var tokens = capacity
         var prevUs = 0L
@@ -2693,13 +2739,15 @@ object EventStreams {
       burstMult: Long = 3L): DataFrame = {
     require(burstMult >= 2, s"burstMult must be >= 2, got $burstMult")
     import org.apache.spark.sql.Encoders
+    val cap = maxGroupRows
     df.select(key.cast("string").alias("k"), time.cast("long").alias("t"),
         value.cast("long").alias("y"))
       .as[(String, Long, Long)](Encoders.tuple(Encoders.STRING,
         Encoders.scalaLong, Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.STRING)
       .mapGroups { (k, rows) =>
-        val obs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val obs = boundedGroupArray("burstViterbi", k,
+          rows.map(r => (r._2, r._3)), cap).sortInPlace()
         val n = obs.length
         val med = obs.map(_._2).sorted.apply((n - 1) / 2) // lower median
         val r1 = burstMult * med
@@ -2781,13 +2829,15 @@ object EventStreams {
       require(p >= 0 && p <= 1000000, s"ppm weight out of range: $p"))
     import org.apache.spark.sql.Encoders
     def tdiv(x: BigInt): Long = (x / 1000000).toLong // truncates toward 0
+    val cap = maxGroupRows
     df.select(key.cast("string").alias("k"), time.cast("long").alias("t"),
         value.cast("long").alias("y"))
       .as[(String, Long, Long)](Encoders.tuple(Encoders.STRING,
         Encoders.scalaLong, Encoders.scalaLong))
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroups { (k, rows) =>
-        val obs = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+        val obs = boundedGroupArray("holtWinters", k,
+          rows.map(r => (r._2, r._3)), cap).sortInPlace()
         val n = obs.length
         if (n < period) Iterator.empty
         else {

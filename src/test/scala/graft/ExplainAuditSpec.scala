@@ -45,6 +45,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q105_rrf_hybrid" -> "semantic arm is the exact single-query brute-force kNN (query side = vec_id = 0 parquet filter, bounded by contract)",
     "q143_mutual_knn_ivf_recall" -> "contains q117's exact all-pairs baseline as the recall denominator — the instrument the IVF path is measured against",
     "q174_ivfpq_adc" -> "centroid/codebook frames = first-8/first-16 embeddings read from parquet (bounded by the vec_id-filter contract; a parquet filter has no static maxRows — the q65/q79 pattern); every corpus-sized join is equi on (cell, sub, code)",
+    "q405_ivf_index_persist" -> "q38's shape served from the persisted index: the assign/probe crossJoins are against the broadcast 16-row quantizer (vec_id < 16 fixture, parquet filter has no static maxRows); the probe join itself is equi on cell",
+    "q406_ivfpq_index_persist" -> "q174's shape with the quantizer pair reloaded from parquet (reloaded frames carry no maxRows bound at all, but are the same first-8/first-16 fixtures); every corpus-sized join is equi on (cell, sub, code)",
     "q194_ann_sq8" -> "broadcast-kNN contract (q36's shape) on int8 codes: queries are the declared small side (vec_id < 10 parquet filter, no static maxRows)",
     "q215_retrieval_eval" -> "single-literal qid fixture: the (qid) equi key constant-folds away, leaving a join of two per-query 1-row aggregates (grouped aggregates have no static maxRows); with real multi-query inputs the join stays equi on qid",
     "q241_cluster_purity" -> "centroid frame = the first-8 embeddings read from parquet (bounded by the vec_id < 8 contract; a parquet filter has no static maxRows — the q65/q79 pattern)",

@@ -70,6 +70,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("persisted IVF index serves the same answers as the inline build (trained path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val queries = corpus.filter($"id" < 3)
+    // trained (k-means) quantizer — the production path, not the fixture:
+    // the stored layout must not change the answer at ANY nprobe (pruned
+    // probes read the same cells either way; deterministic seeding makes
+    // inline and persisted builds train identical centroids)
+    Similarity.writeIvfIndex(corpus, dir, nlist = 4)
+    for (nprobe <- Seq(1, 4)) {
+      val inline = Similarity.ivfTopK(corpus, queries, nlist = 4,
+        nprobe = nprobe, k = 5).collect().map(_.toString).sorted.toSeq
+      val served = Similarity.ivfTopKIndexed(spark, dir, queries,
+        nprobe = nprobe, k = 5).collect().map(_.toString).sorted.toSeq
+      assert(served == inline, s"nprobe=$nprobe persisted != inline")
+    }
+    // the cells layout is partitioned by cell (one directory per cell) —
+    // the physical property the pruned probe's scan pruning rides on
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 4, s"expected 4 cell= partitions, got ${cellDirs.length}")
+  }
+
   test("kmeansCentroids: deterministic across calls, unit-norm, nlist cells") {
     val c1 = Similarity.kmeansCentroids(corpus, nlist = 4)
     val c2 = Similarity.kmeansCentroids(corpus, nlist = 4)

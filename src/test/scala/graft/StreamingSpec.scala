@@ -1372,6 +1372,68 @@ class StreamingSpec extends SparkSpec {
     assert(got(3L) == (3L, 3L))
   }
 
+  test("bounded-group contract: the mapGroups folds fail loudly past graft.maxGroupRows") {
+    import graft.streaming.EventStreams
+    // one key, 50 rows — over a cap of 10, under a cap of 1000
+    val events = spark.range(0, 50).select(
+      lit(1L).as("k"),
+      timestamp_micros(col("id") * 86400000000L).as("ts"), // distinct days
+      col("id").as("i"),
+      (col("id") % 7).cast("double").as("v"),
+      (col("id") % 2).cast("string").as("arm"))
+    val intervals = spark.range(0, 50).select(
+      lit(1L).as("k"), col("id").as("s"), (col("id") + 2).as("e"),
+      col("id").as("i"), (col("id") % 5 + 1).as("v"))
+    val folds: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "tokenBucketAdmission" -> (() => EventStreams.tokenBucketAdmission(
+        events, col("k"), col("ts"), col("i"), capacity = 10L, cost = 1L,
+        refillPerHour = 100L)),
+      "holtLinear" -> (() => EventStreams.holtLinear(
+        events, col("k"), col("ts"), col("v"), alphaPpm = 500000L,
+        betaPpm = 300000L)),
+      "lisLengths" -> (() => EventStreams.lisLengths(
+        events, col("k"), col("ts"), col("i"), col("v"))),
+      "epsilonGreedyReplay" -> (() => EventStreams.epsilonGreedyReplay(
+        events, col("k"), col("ts"), col("i"), col("arm"), col("v"),
+        arms = Seq("0", "1"))),
+      "activitySelection" -> (() => EventStreams.activitySelection(
+        intervals, col("k"), col("s"), col("e"), col("i"))),
+      "weightedIntervalSchedule" -> (() => EventStreams.weightedIntervalSchedule(
+        intervals, col("k"), col("s"), col("e"), col("i"), col("v"))))
+    def causeChain(t: Throwable): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur: Throwable = t
+      var depth = 0
+      while (cur != null && depth < 20) {
+        buf += Option(cur.getMessage).getOrElse("")
+        cur = cur.getCause; depth += 1
+      }
+      buf.toSeq
+    }
+    val old = sys.props.get("graft.maxGroupRows")
+    try {
+      // cap below the group size: every fold must fail AT the cap with an
+      // error naming the op and the remedy (the cap is read at plan build,
+      // so setting it before the call is the real contract)
+      sys.props("graft.maxGroupRows") = "10"
+      folds.foreach { case (op, f) =>
+        val e = intercept[Throwable] { f().collect() }
+        assert(causeChain(e).exists(_.contains(s"graft.$op")),
+          s"$op: expected a bounded-group error naming the op, got $e")
+      }
+      // cap above the group size: same plans succeed untouched
+      sys.props("graft.maxGroupRows") = "1000"
+      folds.foreach { case (op, f) =>
+        assert(f().collect().nonEmpty, s"$op under the cap must produce rows")
+      }
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.maxGroupRows") = v
+        case None => sys.props -= "graft.maxGroupRows"
+      }
+    }
+  }
+
   test("stagedOnce: one build per key, zone reused; failed builds are not cached") {
     import graft.streaming.EventStreams
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

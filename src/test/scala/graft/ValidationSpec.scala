@@ -293,6 +293,47 @@ class ValidationSpec extends SparkSpec {
     assert(c.getLong(3) == 0L && c.getLong(5) == 0L && c.getLong(6) == 1000000L)
   }
 
+  test("decisionTree2: XOR grid — root tie order, branches pick the complementary feature") {
+    // 10x10 grid, label = (a<5) XOR (b<5): every single split leaves 50/50,
+    // so ALL root candidates tie at wg=500000 and the (wg, feature,
+    // threshold) order must pick ('a', 0); the left branch (a=0 only, 'a'
+    // constant there) must then find 'b' <= 4 as a PERFECT split
+    val df = (for (a <- 0 until 10; b <- 0 until 10)
+      yield (a.toLong, b.toLong, (a < 5) != (b < 5))).toDF("a", "b", "lbl")
+    val out = Validation.decisionTree2(df,
+        Seq("a" -> $"a", "b" -> $"b"), $"lbl")
+      .orderBy("node").collect()
+    assert(out.length == 3)
+    val byNode = out.map(r => r.getString(0) -> r).toMap
+    val root = byNode("root")
+    assert(root.getString(1) == "a" && root.getLong(2) == 0L,
+      s"root tie order must pick (a, 0), got $root")
+    assert(root.getLong(7) == 0L, "no single split reduces XOR impurity")
+    val left = byNode("left")
+    // left = the 10 rows with a=0: label = (b >= 5); b<=4 is pure
+    assert(left.getString(1) == "b" && left.getLong(2) == 4L)
+    assert(left.getLong(3) == 10L && left.getLong(4) == 5L)
+    assert(left.getLong(5) == 500000L && left.getLong(6) == 0L)
+    assert(left.getLong(8) == 1000000L)
+    // right (a in 1..9): 'b' still carries more signal than 'a'
+    assert(byNode("right").getString(1) == "b")
+    assert(byNode("right").getLong(3) == 90L)
+  }
+
+  test("decisionTree2: single-feature root row agrees with decisionStump") {
+    val df = (0L until 200L).map(i => ((i * 37) % 100, (i % 13) < 6))
+      .toDF("v", "lbl")
+    val stump = Validation.decisionStump(df, $"v", $"lbl").collect().head
+    val root = Validation.decisionTree2(df, Seq("v" -> $"v"), $"lbl")
+      .filter($"node" === "root").collect().head
+    // (threshold, base gini, weighted gini, reduction, acc) must match
+    assert(root.getLong(2) == stump.getLong(0), "threshold")
+    assert(root.getLong(5) == stump.getLong(3), "base gini")
+    assert(root.getLong(6) == stump.getLong(4), "weighted gini")
+    assert(root.getLong(7) == stump.getLong(5), "reduction")
+    assert(root.getLong(8) == stump.getLong(6), "accuracy")
+  }
+
   test("numericDrift: exact decile edges from ref, strict-greater binning, TVD") {
     val ref = (1L to 10L).toDF("v")
     val cur = Seq(1L, 11L, 12L).toDF("v")
