@@ -122,6 +122,18 @@ class ExplainAuditSpec extends SparkSpec {
       s"no dynamicpruningexpression on the partitioned scan — DPP did not plan:\n$formatted")
   }
 
+  test("q405 persisted IVF index: the pruned probe's cells scan carries a DPP subquery on cell") {
+    // the scale claim behind writeIvfIndex's partitionBy(cell) layout:
+    // with nprobe < nlist and a broadcast probe side, the stored-corpus
+    // scan must read ONLY the probed cell directories — partition pruning
+    // applied to vector search, visible as dynamic pruning in the plan
+    val df = SparkEntry.queries("q405_ivf_index_persist")(spark, sfDir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("(?s).*PartitionFilters:[^\\n]*cell[^\\n]*dynamicpruning.*".r.matches(formatted),
+      s"no dynamicpruningexpression on the cells scan — the persisted index reads every cell:\n$formatted")
+  }
+
   test("q142 mutual-kNN scale path never broadcasts a corpus-sized frame") {
     // the q117-vs-q142 distinction the whole scale story rests on: every
     // broadcast in q142's plan must be centroid-sized (the nlist-row
