@@ -3499,6 +3499,52 @@ object SparkEntry {
         .sortBy(Seq(col("query_id"), col("rank")))
     }),
 
+    "q408_leak_safe_split" -> ((s, dir) => {
+      // Leakage-safe train/validation split (r11): a per-doc random
+      // holdout strands near-dup twins on opposite sides of the boundary
+      // — val contamination by construction; splitting by the near-dup
+      // COMPONENT id keeps every clique on one side, provably (leak_group
+      // must be 0). One row: corpus size, ≥0.8-Jaccard pair volume, val
+      // sizes and cross-split pair counts under both keys. Exact pair
+      // generation + recursive-CTE components + the HUGEINT FNV fold all
+      // replay in DuckDB, so the oracle verifies the leak numbers, not
+      // just the split arithmetic. At 100 TB swap the exact pair oracle
+      // for minhashLshPairs — groupHoldout itself is one stateless
+      // projection either way.
+      val docs = t(s, dir, "documents").selectCols(Seq(col("doc_id"), col("text")))
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          threshold = 0.8)
+        .selectCols(Seq(col("id_a"), col("id_b")))
+      val comp = Dedup.nearDupComponents(pairs)
+      val fam = docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .selectCols(Seq(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("family")))
+      val naive = Corpus.groupHoldout(fam, col("doc_id"), col("doc_id"), 128)
+        .selectCols(Seq(col("id"), col("split").as("s_naive")))
+      val grp = Corpus.groupHoldout(fam, col("doc_id"), col("family"), 128)
+        .selectCols(Seq(col("id").as("gid"), col("split").as("s_group")))
+      val sp = naive.join(grp, col("id") === col("gid"))
+        .selectCols(Seq(col("id"), col("s_naive"), col("s_group")))
+      val agg = sp.aggregate(Seq.empty, Seq(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s_naive") === "val", 1L).otherwise(0L)).as("n_val_naive"),
+        sum(when(col("s_group") === "val", 1L).otherwise(0L)).as("n_val_group")))
+      val a = sp.selectCols(Seq(col("id").as("id_a"),
+        col("s_naive").as("na"), col("s_group").as("ga")))
+      val b = sp.selectCols(Seq(col("id").as("id_b"),
+        col("s_naive").as("nb"), col("s_group").as("gb")))
+      val leak = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .aggregate(Seq.empty, Seq(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_naive"),
+          coalesce(sum(when(col("ga") =!= col("gb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_group")))
+      agg.crossJoin(leak)
+        .selectCols(Seq(col("n_docs"), col("n_pairs"), col("n_val_naive"),
+          col("n_val_group"), col("leak_naive"), col("leak_group")))
+    }),
+
     "q407_decision_tree2" -> ((s, dir) =>
       // the learned-quality-filter baseline (r11): exact depth-2 decision
       // tree over (n_chars, token count) predicting lang='en' — feature
@@ -6865,7 +6911,70 @@ object SparkEntry {
       Seq("len" -> "n_chars",
         "ntok" -> ("len(list_filter(string_split_regex(trim(lower(text)), " +
           "'\\s+'), x -> len(x) > 0))")),
-      labelSql = "lang = 'en'", nBins = 10))
+      labelSql = "lang = 'en'", nBins = 10)) +
+    // Full leak-audit replay: q50's exact pair + recursive-CTE component
+    // blocks, the HUGEINT mod-2^64 FNV-1a fold for both split keys (low
+    // 10 bits — power-of-two residue, identical signed/unsigned), and the
+    // cross-split pair counts under each key.
+    ("q408_leak_safe_split" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+         fam AS (SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS family
+                 FROM (SELECT doc_id FROM documents) d
+                 LEFT JOIN comp c ON c.id = d.doc_id),
+         sp AS (SELECT doc_id,
+             CASE WHEN list_reduce(
+                 list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                   list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                     ch -> CAST(unicode(ch) AS HUGEINT))),
+                 (acc, c) -> (xor(acc, c) * 1099511628211)
+                   % CAST('18446744073709551616' AS HUGEINT)) % 1024 < 128
+               THEN 'val' ELSE 'train' END AS s_naive,
+             CASE WHEN list_reduce(
+                 list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                   list_transform(string_split(CAST(family AS VARCHAR), ''),
+                     ch -> CAST(unicode(ch) AS HUGEINT))),
+                 (acc, c) -> (xor(acc, c) * 1099511628211)
+                   % CAST('18446744073709551616' AS HUGEINT)) % 1024 < 128
+               THEN 'val' ELSE 'train' END AS s_group
+           FROM fam),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN s_naive = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val_naive,
+             CAST(SUM(CASE WHEN s_group = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val_group
+           FROM sp),
+         leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN a.s_naive <> b.s_naive THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_naive,
+             CAST(COALESCE(SUM(CASE WHEN a.s_group <> b.s_group THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_group
+           FROM pairs p JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b)
+         SELECT agg.n_docs, leak.n_pairs, agg.n_val_naive, agg.n_val_group,
+           leak.leak_naive, leak.leak_group
+         FROM agg, leak""")
 
   /** Generated oracle for [[graft.operators.Validation.decisionTree2]]:
     * the full depth-2 training replay — per (node, feature) the rank-rule

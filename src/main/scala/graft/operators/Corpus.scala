@@ -1717,4 +1717,34 @@ object Corpus {
     inv.unpersist()
     out
   }
+
+  /** Deterministic, leakage-safe holdout assignment by GROUP key: split =
+    * 'val' iff the low 10 bits of the portable FNV-1a hash of the group
+    * key's string form fall below `valPer1024`. Every row of one group
+    * lands on one side, so near-dup cliques keyed by their component id
+    * never straddle the train/validation boundary — the
+    * decontamination-BY-CONSTRUCTION split a training pipeline wants
+    * (per-doc random holdout puts one member of a duplicated pair in
+    * train and its twin in val, the exact leakage Lee et al.'s dedup
+    * paper measures; cf. /root/reference has no split surface at all).
+    *
+    * Power-of-two modulus on purpose: two's-complement low bits are
+    * identical signed or unsigned, so the assignment replays exactly from
+    * the HUGEINT mod-2^64 FNV fold in plain SQL (the
+    * [[graft.plans.TextExprs.fnv64]] portability contract) — a ppm
+    * threshold would need the unsigned-vs-signed residue correction.
+    * Holdout fractions quantize to 1/1024, plenty for split sizing.
+    *
+    * Returns (id, split). Scale shape: one stateless projection — zero
+    * shuffles, zero joins; composes with [[graft.operators.Dedup
+    * .nearDupComponents]] (group = component id) for the leak-free key.
+    */
+  def groupHoldout(df: DataFrame, id: Column, group: Column,
+      valPer1024: Int): DataFrame = {
+    require(valPer1024 >= 0 && valPer1024 <= 1024,
+      s"valPer1024 must be in [0, 1024], got $valPer1024")
+    df.select(id.alias("id"),
+      when(pmod(graft.plans.TextExprs.fnv64(group.cast("string")),
+        lit(1024L)) < valPer1024, "val").otherwise("train").alias("split"))
+  }
 }

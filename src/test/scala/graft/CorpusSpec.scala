@@ -1092,6 +1092,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == Row(2L, 0L, 0L, 0L, "nothing to see"))
     assert(out(2) == Row(3L, 1L, 0L, 1L, "<EMAIL>"))
   }
+  test("groupHoldout: group-coherent, deterministic, FNV low-bit rule, boundary fractions") {
+    // 50 rows in 10 groups of 5: every group's rows must share one split
+    val df = spark.range(0, 50).select($"id", ($"id" % 10).as("grp"))
+    val out = Corpus.groupHoldout(df, $"id", $"grp", 512)
+    val perGroup = out.join(df, out("id") === df("id"))
+      .groupBy($"grp").agg(countDistinct($"split").as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L), "a group straddled the split")
+    // the rule is exactly fnv1a64(key-string) low 10 bits < threshold
+    val got = out.orderBy("id").collect().map(_.getString(1))
+    val want = (0 until 50).map { i =>
+      val h = graft.plans.TextExprs.fnv1a64((i % 10).toString)
+      val low = ((h % 1024) + 1024) % 1024
+      if (low < 512) "val" else "train"
+    }
+    assert(got.toSeq == want, "split disagrees with the FNV low-bit rule")
+    // both splits non-empty at 512/1024 on 10 groups (sanity, not chance:
+    // deterministic hash, fixed keys)
+    assert(got.distinct.sorted.toSeq == Seq("train", "val"))
+    // boundary fractions: 0 => all train, 1024 => all val
+    assert(Corpus.groupHoldout(df, $"id", $"grp", 0)
+      .filter($"split" === "val").count() == 0L)
+    assert(Corpus.groupHoldout(df, $"id", $"grp", 1024)
+      .filter($"split" === "train").count() == 0L)
+  }
+
   test("greedyMaxCoverage: greedy beats biggest-doc-first, ties to smaller id, zero-gain stop") {
     import graft.operators.Corpus
     // doc 1 has 4 shingles; docs 2+3 have 3 each but DISJOINT from each
