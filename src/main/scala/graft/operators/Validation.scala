@@ -982,9 +982,13 @@ object Validation {
     // tokenization) pays the feature computation once instead of ~6k
     // times. All passes complete inside this call (results are collected
     // driver tuples), so the handle unpersists before returning.
+    // rows with a null feature (or null label) are dropped up front —
+    // the simplest CART missing-value policy, and it keeps every
+    // feature's histogram over the same row set
     val base = df.select(
       features.map { case (n, c) => c.cast("long").alias(s"f_$n") } :+
-        when(label, 1L).otherwise(0L).alias("p"): _*)
+        when(label, 1L).when(!label, 0L).alias("p"): _*)
+      .na.drop()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (wg, feature, threshold, nl, nr, acc) per winning candidate;
@@ -995,44 +999,69 @@ object Validation {
       else 1000000L - ((BigInt(a) * a + BigInt(b) * b) * 1000000 /
         (BigInt(n) * n)).toLong
     }
+    // ONE aggregation job per node: the per-(feature, value) class-count
+    // histogram (stack -> partial-agg groupBy), with the rank-rule decile
+    // edges and the prefix-scored argmin re-derived on the driver — the
+    // LightGBM-histogram shape. Driver state = distinct values per
+    // feature, loudly capped (quality-filter features are length-like
+    // integer signals; pre-bucket anything open-domain). The edge rule is
+    // IDENTICAL to quantileBins' ((rank-1)*nBins) div n (bin maxima
+    // depend only on per-value counts, never on tie order), so the
+    // decisionStump parity and the SQL replay are unchanged.
+    val maxDistinct = 1 << 20
     def bestSplit(node: DataFrame)
         : Option[(String, Long, Long, Long, Long, Long, Long)] = {
-      val trow = node.agg(count(lit(1)), coalesce(sum(col("p")), lit(0L)))
-        .collect()(0)
-      val n = trow.getLong(0)
+      val stackExpr = s"stack(${features.size}, " +
+        features.map { case (nm, _) => s"'$nm', f_$nm" }.mkString(", ") +
+        ") AS (feature, v)"
+      val hist = node.select(expr(stackExpr), col("p"))
+        .groupBy(col("feature"), col("v"))
+        .agg(sum(col("p")).alias("bp"), count(lit(1)).alias("cnt"))
+        .collect()
+      if (hist.length > maxDistinct)
+        throw new IllegalStateException(
+          s"decisionTree2: ${hist.length} distinct (feature, value) rows " +
+          s"exceed the driver histogram cap ($maxDistinct); pre-bucket " +
+          "open-domain features (e.g. quantileBins) before training.")
+      val byFeature = hist.groupBy(_.getString(0))
+      val first = byFeature.headOption.getOrElse(return None)._2
+      val n = first.map(_.getLong(3)).sum
       if (n == 0) return None
-      val tp = trow.getLong(1)
+      val tp = first.map(_.getLong(2)).sum
       val tn = n - tp
       val winners = features.map(_._1).flatMap { name =>
-        val vcol = col(s"f_$name")
-        val edges = Relational.quantileBins(
-            node.withColumn("id", monotonically_increasing_id()),
-            col("id"), vcol, nBins)
-          .groupBy(col("bin")).agg(max(col("v")).alias("e"))
-          .filter(col("bin") < nBins - 1)
-          .orderBy(col("bin")).collect().map(_.getLong(1)).distinct.sorted
+        val vals = byFeature.getOrElse(name, Array.empty[org.apache.spark.sql.Row])
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // (v, bp, cnt)
+          .sortBy(_._1)
+        // rank-rule edges: value v spanning ranks [lo, hi] covers bins
+        // floor((lo-1)k/n)..floor((hi-1)k/n); the bin's max value is the
+        // last value whose span touches it — exactly groupBy(bin).max(v)
+        val edgeByBin = new Array[Option[Long]](nBins)
+        var cum = 0L
+        vals.foreach { case (v, _, cnt) =>
+          val blo = (cum * nBins / n).toInt
+          val bhi = ((cum + cnt - 1) * nBins / n).toInt
+          var b = blo
+          while (b <= bhi) { edgeByBin(b) = Some(v); b += 1 }
+          cum += cnt
+        }
+        val edges = edgeByBin.take(nBins - 1).flatten.distinct.sorted
         if (edges.isEmpty) None
         else {
-          val ecol = typedLit(edges)
-          // per-bin class counts; the ≤nBins aggregate comes to the driver
-          // and the prefix scan + argmin run there (bounded state, the
-          // decisionStump contract)
-          val byBin = node.select(vcol.alias("v"), col("p"))
-            .withColumn("bin", size(filter(ecol, e => col("v") > e)).cast("long"))
-            .groupBy(col("bin"))
-            .agg(sum(col("p")).alias("bp"), sum(lit(1L) - col("p")).alias("bn"))
-            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-            .toMap
+          // prefix class counts at each candidate: lp/ln over values <= edge
           var lp = 0L; var ln = 0L
-          val cands = edges.indices.map { i =>
-            val (bp, bn) = byBin.getOrElse(i.toLong, (0L, 0L))
-            lp += bp; ln += bn
+          var vi = 0
+          val cands = edges.map { e =>
+            while (vi < vals.length && vals(vi)._1 <= e) {
+              lp += vals(vi)._2; ln += vals(vi)._3 - vals(vi)._2
+              vi += 1
+            }
             val rp = tp - lp; val rn = tn - ln
             val nl = lp + ln; val nr = rp + rn
             val wg = ((BigInt(nl) * giniPpm(lp, ln) +
               BigInt(nr) * giniPpm(rp, rn)) / BigInt(n)).toLong
             val acc = (math.max(lp, ln) + math.max(rp, rn)) * 1000000L / n
-            (wg, name, edges(i), nl, nr, acc)
+            (wg, name, e, nl, nr, acc)
           }
           Some(cands.minBy(c => (c._1, c._2, c._3)))
         }
