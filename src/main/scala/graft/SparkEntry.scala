@@ -3545,6 +3545,22 @@ object SparkEntry {
           col("n_val_group"), col("leak_naive"), col("leak_group")))
     }),
 
+    "q409_quality_filter_eval" -> ((s, dir) =>
+      // the learned filter's HONEST number (r11): deterministic hash
+      // holdout (the groupHoldout FNV low-bit rule, 128/1024 held out),
+      // depth-2 tree trained on the train partition ONLY, confusion
+      // matrix on the held-out partition — training, feature selection,
+      // every leaf's majority vote, and the val-side scoring all replay
+      // in DuckDB via the generated eval oracle. q246/q407 report
+      // training-set fit; this is the generalization metric a learned
+      // quality filter must clear before replacing the q28 heuristics
+      Validation.decisionTree2Eval(t(s, dir, "documents"),
+        Seq("len" -> col("n_chars"),
+          "ntok" -> size(TextFns.tokens(col("text"))).cast("long")),
+        col("lang") === "en",
+        isTrain = pmod(graft.plans.TextExprs.fnv64(
+          col("doc_id").cast("string")), lit(1024L)) >= 128)),
+
     "q407_decision_tree2" -> ((s, dir) =>
       // the learned-quality-filter baseline (r11): exact depth-2 decision
       // tree over (n_chars, token count) predicting lang='en' — feature
@@ -6912,6 +6928,13 @@ object SparkEntry {
         "ntok" -> ("len(list_filter(string_split_regex(trim(lower(text)), " +
           "'\\s+'), x -> len(x) > 0))")),
       labelSql = "lang = 'en'", nBins = 10)) +
+    ("q409_quality_filter_eval" -> treeEvalOracle("documents",
+      Seq("len" -> "n_chars",
+        "ntok" -> ("len(list_filter(string_split_regex(trim(lower(text)), " +
+          "'\\s+'), x -> len(x) > 0))")),
+      labelSql = "lang = 'en'",
+      trainSql = s"${fnvFoldSql("CAST(doc_id AS VARCHAR)")} % 1024 >= 128",
+      nBins = 10)) +
     // Full leak-audit replay: q50's exact pair + recursive-CTE component
     // blocks, the HUGEINT mod-2^64 FNV-1a fold for both split keys (low
     // 10 bits — power-of-two residue, identical signed/unsigned), and the
@@ -6987,12 +7010,103 @@ object SparkEntry {
     * data value attaining its own bin), so the prefix join covers every
     * candidate in both engines.
     */
+  /** The portable FNV-1a fold as DuckDB SQL (HUGEINT mod-2^64, per code
+    * point) — replays [[graft.plans.TextExprs.fnv64]] exactly; power-of-two
+    * residues of the result equal Spark's pmod on the signed long.
+    */
+  private def fnvFoldSql(valueSql: String): String =
+    s"""list_reduce(
+         list_prepend(CAST('14695981039346656037' AS HUGEINT),
+           list_transform(string_split($valueSql, ''),
+             ch -> CAST(unicode(ch) AS HUGEINT))),
+         (acc, c) -> (xor(acc, c) * 1099511628211)
+           % CAST('18446744073709551616' AS HUGEINT))"""
+
   private def treeOracle(table: String, feats: Seq[(String, String)],
       labelSql: String, nBins: Int): String = {
-    def featCase(best: String): String = feats.map { case (n, _) =>
-      s"WHEN $best.feature = '$n' THEN f_$n"
-    }.mkString("CASE ", " ", " END")
-    def block(node: String, f: String): String = s"""
+    val g = new TreeOracleGen(feats, nBins)
+    val featSelects = feats.map { case (n, e) => s"$e AS f_$n" }.mkString(", ")
+    def nodeRow(node: String): String =
+      s"""SELECT '$node' AS node, b.feature, b.threshold, s.n, s.n_pos,
+            s.gini_ppm, b.wg AS weighted_gini_ppm,
+            s.gini_ppm - b.wg AS reduction_ppm, b.acc AS acc_ppm,
+            b.nl AS n_left, b.lp AS pos_left
+          FROM best_$node AS b, stat_$node AS s"""
+    s"""WITH base_root AS (SELECT $featSelects,
+          CASE WHEN $labelSql THEN 1 ELSE 0 END AS p FROM $table),
+      ${g.nodeSql("root")},
+      base_left AS (SELECT b.* FROM base_root AS b, best_root
+        WHERE (${g.featCase("best_root", "b")}) <= best_root.threshold),
+      base_right AS (SELECT b.* FROM base_root AS b, best_root
+        WHERE (${g.featCase("best_root", "b")}) > best_root.threshold),
+      ${g.nodeSql("left")},
+      ${g.nodeSql("right")}
+      SELECT * FROM (${nodeRow("root")} UNION ALL ${nodeRow("left")}
+        UNION ALL ${nodeRow("right")}) AS t
+      ORDER BY node"""
+  }
+
+  /** [[treeOracle]]'s held-out sibling ([[graft.operators.Validation
+    * .decisionTree2Eval]]): train CTEs over the `trainSql` partition,
+    * then replay the leaf predictions (each side's strict majority, ties
+    * negative; missing branches LEFT-JOIN to NULL and fall back to the
+    * root side's majority) over the validation partition into one
+    * confusion row.
+    */
+  private def treeEvalOracle(table: String, feats: Seq[(String, String)],
+      labelSql: String, trainSql: String, nBins: Int): String = {
+    val g = new TreeOracleGen(feats, nBins)
+    val featSelects = feats.map { case (n, e) => s"$e AS f_$n" }.mkString(", ")
+    def majority(b: String, left: Boolean): String =
+      if (left) s"(CASE WHEN $b.lp > $b.ln THEN 1 ELSE 0 END)"
+      else s"(CASE WHEN $b.rp > $b.rn THEN 1 ELSE 0 END)"
+    def branchPred(b: String, rootSide: Boolean): String =
+      s"""CASE WHEN $b.feature IS NULL THEN ${majority("br", rootSide)}
+            WHEN (${g.featCase(b, "vv")}) <= $b.threshold
+              THEN ${majority(b, left = true)}
+            ELSE ${majority(b, left = false)} END"""
+    s"""WITH base_all AS (SELECT $featSelects,
+          CASE WHEN $labelSql THEN 1 ELSE 0 END AS p,
+          ($trainSql) AS is_train FROM $table),
+      base_root AS (SELECT * FROM base_all WHERE is_train),
+      ${g.nodeSql("root")},
+      base_left AS (SELECT b.* FROM base_root AS b, best_root
+        WHERE (${g.featCase("best_root", "b")}) <= best_root.threshold),
+      base_right AS (SELECT b.* FROM base_root AS b, best_root
+        WHERE (${g.featCase("best_root", "b")}) > best_root.threshold),
+      ${g.nodeSql("left")},
+      ${g.nodeSql("right")},
+      vv AS (SELECT * FROM base_all WHERE NOT is_train),
+      pv AS (SELECT vv.p,
+          CASE WHEN (${g.featCase("br", "vv")}) <= br.threshold
+            THEN ${branchPred("bl", rootSide = true)}
+            ELSE ${branchPred("bb", rootSide = false)} END AS yhat
+        FROM vv CROSS JOIN best_root AS br
+        LEFT JOIN best_left AS bl ON TRUE
+        LEFT JOIN best_right AS bb ON TRUE),
+      conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_val,
+          CAST(COALESCE(SUM(p * yhat), 0) AS BIGINT) AS tp,
+          CAST(COALESCE(SUM((1 - p) * yhat), 0) AS BIGINT) AS fp,
+          CAST(COALESCE(SUM(p * (1 - yhat)), 0) AS BIGINT) AS fn,
+          CAST(COALESCE(SUM((1 - p) * (1 - yhat)), 0) AS BIGINT) AS tn
+        FROM pv)
+      SELECT (SELECT n FROM tt_root) AS n_train, conf.n_val, conf.tp,
+        conf.fp, conf.fn, conf.tn,
+        CASE WHEN conf.n_val = 0 THEN 0
+          ELSE ((conf.tp + conf.tn) * 1000000) // conf.n_val END AS acc_ppm
+      FROM conf"""
+  }
+
+  /** The shared per-node CTE blocks of [[treeOracle]] / [[treeEvalOracle]]
+    * — one stump-replay block per (node, feature), the cross-feature
+    * (wg, feature, threshold) argmin, and the node stats.
+    */
+  private final class TreeOracleGen(feats: Seq[(String, String)], nBins: Int) {
+    def featCase(best: String, rowAlias: String): String =
+      feats.map { case (n, _) =>
+        s"WHEN $best.feature = '$n' THEN $rowAlias.f_$n"
+      }.mkString("CASE ", " ", " END")
+    private def block(node: String, f: String): String = s"""
       nn_${node}_$f AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base_$node),
       rk_${node}_$f AS (SELECT f_$f AS v,
           ((CAST(ROW_NUMBER() OVER (ORDER BY f_$f) AS BIGINT) - 1) * $nBins)
@@ -7028,7 +7142,7 @@ object SparkEntry {
           tt.tp - lp AS rp, tt.tn - ln AS rn,
           lp + ln AS nl, tt.n - lp - ln AS nr, tt.n AS n
         FROM ($unioned) AS u, tt_$node AS tt),
-      w_$node AS (SELECT feature, threshold,
+      w_$node AS (SELECT feature, threshold, lp, ln, rp, rn, nl,
           CAST((CAST(nl AS HUGEINT) *
               (CASE WHEN nl = 0 THEN 0 ELSE 1000000 -
                 CAST(((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
@@ -7047,24 +7161,6 @@ object SparkEntry {
             * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm
         FROM tt_$node)"""
     }
-    val featSelects = feats.map { case (n, e) => s"$e AS f_$n" }.mkString(", ")
-    def nodeRow(node: String): String =
-      s"""SELECT '$node' AS node, b.feature, b.threshold, s.n, s.n_pos,
-            s.gini_ppm, b.wg AS weighted_gini_ppm,
-            s.gini_ppm - b.wg AS reduction_ppm, b.acc AS acc_ppm
-          FROM best_$node AS b, stat_$node AS s"""
-    s"""WITH base_root AS (SELECT $featSelects,
-          CASE WHEN $labelSql THEN 1 ELSE 0 END AS p FROM $table),
-      ${nodeSql("root")},
-      base_left AS (SELECT b.* FROM base_root AS b, best_root
-        WHERE (${featCase("best_root")}) <= best_root.threshold),
-      base_right AS (SELECT b.* FROM base_root AS b, best_root
-        WHERE (${featCase("best_root")}) > best_root.threshold),
-      ${nodeSql("left")},
-      ${nodeSql("right")}
-      SELECT * FROM (${nodeRow("root")} UNION ALL ${nodeRow("left")}
-        UNION ALL ${nodeRow("right")}) AS t
-      ORDER BY node"""
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

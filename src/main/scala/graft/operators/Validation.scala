@@ -968,6 +968,29 @@ object Validation {
     * Branch subsets are filters over the base scan (predicate pushdown),
     * so the whole tree is 3 × |features| cheap aggregation passes.
     */
+  /** One trained node of [[decisionTree2]]: the winning (feature,
+    * threshold) with the node's totals and the winning split's LEFT-side
+    * class counts — (lp, ln); the right side is (nPos−lp, (n−nPos)−ln).
+    * Side counts make the tree APPLICABLE: each leaf predicts its side's
+    * majority class.
+    */
+  private[operators] case class TreeNode(feature: String, threshold: Long,
+      n: Long, nPos: Long, lp: Long, ln: Long, wg: Long, acc: Long) {
+    def gini: Long = giniOf(nPos, n - nPos)
+    def rp: Long = nPos - lp
+    def rn: Long = (n - nPos) - ln
+    /** Majority vote of a side; strict — a tie predicts negative. */
+    def predLeft: Boolean = lp > ln
+    def predRight: Boolean = rp > rn
+  }
+
+  private def giniOf(a: Long, b: Long): Long = {
+    val n = a + b
+    if (n == 0) 0L
+    else 1000000L - ((BigInt(a) * a + BigInt(b) * b) * 1000000 /
+      (BigInt(n) * n)).toLong
+  }
+
   def decisionTree2(df: DataFrame, features: Seq[(String, Column)],
       label: Column, nBins: Int = 10): DataFrame = {
     require(features.nonEmpty && features.size <= 8,
@@ -999,20 +1022,37 @@ object Validation {
       else 1000000L - ((BigInt(a) * a + BigInt(b) * b) * 1000000 /
         (BigInt(n) * n)).toLong
     }
-    // ONE aggregation job per node: the per-(feature, value) class-count
-    // histogram (stack -> partial-agg groupBy), with the rank-rule decile
-    // edges and the prefix-scored argmin re-derived on the driver — the
-    // LightGBM-histogram shape. Driver state = distinct values per
-    // feature, loudly capped (quality-filter features are length-like
-    // integer signals; pre-bucket anything open-domain). The edge rule is
-    // IDENTICAL to quantileBins' ((rank-1)*nBins) div n (bin maxima
-    // depend only on per-value counts, never on tie order), so the
-    // decisionStump parity and the SQL replay are unchanged.
+    val model =
+      try trainDepth2(base, features.map(_._1), nBins)
+      finally base.unpersist(blocking = false)
+    import spark.implicits._
+    model.map { case (tag, nd) =>
+      (tag, nd.feature, nd.threshold, nd.n, nd.nPos, nd.gini, nd.wg,
+        nd.gini - nd.wg, nd.acc, nd.lp + nd.ln, nd.lp)
+    }.toDF("node", "feature", "threshold", "n", "n_pos",
+      "gini_ppm", "weighted_gini_ppm", "reduction_ppm", "acc_ppm",
+      "n_left", "pos_left")
+  }
+
+  /** Depth-2 trainer behind [[decisionTree2]] and [[decisionTree2Eval]]:
+    * `base` carries `f_<name>` long columns and `p` ∈ {0,1}. ONE
+    * aggregation job per node — the per-(feature, value) class-count
+    * histogram (stack → partial-agg groupBy), with the rank-rule decile
+    * edges and the prefix-scored argmin re-derived on the driver (the
+    * LightGBM-histogram shape). Driver state = distinct values per
+    * feature, loudly capped (quality-filter features are length-like
+    * integer signals; pre-bucket anything open-domain). The edge rule is
+    * IDENTICAL to quantileBins' ((rank−1)·nBins) div n (bin maxima depend
+    * only on per-value counts, never on tie order), so decisionStump
+    * parity and the SQL replay hold. Returns up to 3 (tag, node) pairs,
+    * tag ∈ root/left/right.
+    */
+  private def trainDepth2(base: DataFrame, featNames: Seq[String],
+      nBins: Int): Seq[(String, TreeNode)] = {
     val maxDistinct = 1 << 20
-    def bestSplit(node: DataFrame)
-        : Option[(String, Long, Long, Long, Long, Long, Long)] = {
-      val stackExpr = s"stack(${features.size}, " +
-        features.map { case (nm, _) => s"'$nm', f_$nm" }.mkString(", ") +
+    def bestSplit(node: DataFrame): Option[TreeNode] = {
+      val stackExpr = s"stack(${featNames.size}, " +
+        featNames.map(nm => s"'$nm', f_$nm").mkString(", ") +
         ") AS (feature, v)"
       val hist = node.select(expr(stackExpr), col("p"))
         .groupBy(col("feature"), col("v"))
@@ -1029,7 +1069,7 @@ object Validation {
       if (n == 0) return None
       val tp = first.map(_.getLong(2)).sum
       val tn = n - tp
-      val winners = features.map(_._1).flatMap { name =>
+      val winners = featNames.flatMap { name =>
         val vals = byFeature.getOrElse(name, Array.empty[org.apache.spark.sql.Row])
           .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // (v, bp, cnt)
           .sortBy(_._1)
@@ -1056,12 +1096,12 @@ object Validation {
               lp += vals(vi)._2; ln += vals(vi)._3 - vals(vi)._2
               vi += 1
             }
-            val rp = tp - lp; val rn = tn - ln
-            val nl = lp + ln; val nr = rp + rn
-            val wg = ((BigInt(nl) * giniPpm(lp, ln) +
-              BigInt(nr) * giniPpm(rp, rn)) / BigInt(n)).toLong
-            val acc = (math.max(lp, ln) + math.max(rp, rn)) * 1000000L / n
-            (wg, name, e, nl, nr, acc)
+            val nl = lp + ln; val nr = n - nl
+            val wg = ((BigInt(nl) * giniOf(lp, ln) +
+              BigInt(nr) * giniOf(tp - lp, tn - ln)) / BigInt(n)).toLong
+            val acc = (math.max(lp, ln) + math.max(tp - lp, tn - ln)) *
+              1000000L / n
+            (wg, name, e, lp, ln, acc)
           }
           Some(cands.minBy(c => (c._1, c._2, c._3)))
         }
@@ -1069,27 +1109,87 @@ object Validation {
       if (winners.isEmpty) None
       else {
         val w = winners.minBy(c => (c._1, c._2, c._3))
-        Some((w._2, w._3, n, tp, giniPpm(tp, tn), w._1, w._6))
+        Some(TreeNode(w._2, w._3, n, tp, w._4, w._5, w._1, w._6))
       }
     }
+    bestSplit(base).toSeq.flatMap { root =>
+      ("root", root) +: Seq(
+        ("left", base.filter(col(s"f_${root.feature}") <= root.threshold)),
+        ("right", base.filter(col(s"f_${root.feature}") > root.threshold)))
+        .flatMap { case (tag, sub) => bestSplit(sub).map(tag -> _) }
+    }
+  }
 
-    val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+  /** Held-out evaluation of the [[decisionTree2]] quality filter: rows
+    * where `isTrain` holds train the tree, every other row is scored by
+    * it, and the ONE output row is the validation confusion matrix —
+    * (n_train, n_val, tp, fp, fn, tn, acc_ppm), the honest leakage-free
+    * test metric a learned filter must report before replacing the q28
+    * heuristics. Pair with [[Corpus.groupHoldout]] keyed by near-dup
+    * component for a contamination-free split (q408's audit). Leaves
+    * predict their side's majority TRAIN class (strict — ties negative);
+    * a branch the trainer could not split (constant features there)
+    * falls back to the root side's majority, and an untrainable root
+    * (constant features everywhere) predicts the train majority class.
+    *
+    * Scale shape: [[trainDepth2]]'s three histogram passes over the
+    * train partition plus ONE confusion aggregation over the validation
+    * partition — all partial-agg; the trained model is a handful of
+    * driver constants baked into the prediction expression.
+    */
+  def decisionTree2Eval(df: DataFrame, features: Seq[(String, Column)],
+      label: Column, isTrain: Column, nBins: Int = 10): DataFrame = {
+    require(features.nonEmpty && features.size <= 8,
+      s"need 1..8 features, got ${features.size}")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(features.map(_._1).distinct.size == features.size,
+      "feature names must be distinct")
+    val base = df.select(
+      features.map { case (n, c) => c.cast("long").alias(s"f_$n") } ++
+        Seq(when(label, 1L).when(!label, 0L).alias("p"),
+          isTrain.cast("boolean").alias("is_train")): _*)
+      .na.drop()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bestSplit(base).foreach { case (f, t, n, np, g, wg, acc) =>
-        rows += (("root", f, t, n, np, g, wg, g - wg, acc))
-        Seq(("left", base.filter(col(s"f_$f") <= t)),
-            ("right", base.filter(col(s"f_$f") > t))).foreach {
-          case (tag, sub) =>
-            bestSplit(sub).foreach { case (f2, t2, n2, np2, g2, wg2, acc2) =>
-              rows += ((tag, f2, t2, n2, np2, g2, wg2, g2 - wg2, acc2))
+      val model = trainDepth2(base.filter(col("is_train")),
+        features.map(_._1), nBins).toMap
+      val (nTrain, pred) = model.get("root") match {
+        case Some(r) =>
+          def sidePred(branch: Option[TreeNode], fallback: Boolean): Column =
+            branch match {
+              case Some(b) =>
+                when(col(s"f_${b.feature}") <= b.threshold, lit(b.predLeft))
+                  .otherwise(lit(b.predRight))
+              case None => lit(fallback)
             }
-        }
+          (r.n,
+            when(col(s"f_${r.feature}") <= r.threshold,
+              sidePred(model.get("left"), r.predLeft))
+            .otherwise(sidePred(model.get("right"), r.predRight)))
+        case None =>
+          val t = base.filter(col("is_train"))
+            .agg(coalesce(sum(col("p")), lit(0L)), count(lit(1))).collect()(0)
+          (t.getLong(1), lit(t.getLong(0) * 2 > t.getLong(1)))
       }
+      // the single confusion row materializes HERE (while base is still
+      // cached); the returned frame is a driver literal
+      val c = base.filter(!col("is_train"))
+        .select(col("p"), when(pred, 1L).otherwise(0L).alias("yhat"))
+        .agg(
+          count(lit(1)),
+          coalesce(sum(col("p") * col("yhat")), lit(0L)),
+          coalesce(sum((lit(1L) - col("p")) * col("yhat")), lit(0L)),
+          coalesce(sum(col("p") * (lit(1L) - col("yhat"))), lit(0L)),
+          coalesce(sum((lit(1L) - col("p")) * (lit(1L) - col("yhat"))), lit(0L)))
+        .collect()(0)
+      val (nVal, tp, fp, fn, tn) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4))
+      val acc = if (nVal == 0) 0L else (tp + tn) * 1000000L / nVal
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((nTrain, nVal, tp, fp, fn, tn, acc))
+        .toDF("n_train", "n_val", "tp", "fp", "fn", "tn", "acc_ppm")
     } finally base.unpersist(blocking = false)
-    import spark.implicits._
-    rows.toSeq.toDF("node", "feature", "threshold", "n", "n_pos",
-      "gini_ppm", "weighted_gini_ppm", "reduction_ppm", "acc_ppm")
   }
 
   /** Two-proportion A/B significance, integer-exact: the squared z

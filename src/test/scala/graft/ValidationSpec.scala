@@ -315,9 +315,35 @@ class ValidationSpec extends SparkSpec {
     assert(left.getLong(3) == 10L && left.getLong(4) == 5L)
     assert(left.getLong(5) == 500000L && left.getLong(6) == 0L)
     assert(left.getLong(8) == 1000000L)
+    // side class counts (the applicable-model columns): left side of the
+    // b<=4 split holds the 5 negatives (label = b>=5), so pos_left = 0
+    assert(left.getLong(9) == 5L && left.getLong(10) == 0L)
     // right (a in 1..9): 'b' still carries more signal than 'a'
     assert(byNode("right").getString(1) == "b")
     assert(byNode("right").getLong(3) == 90L)
+  }
+
+  test("decisionTree2Eval: held-out confusion on a separable feature; constant-feature fallback") {
+    // v = i % 100, label = v < 50; train on evens, score the odds. The
+    // train deciles put a candidate at 48 (pure split), so the tree
+    // separates perfectly except the two held-out v=49 rows (49 > 48
+    // falls in the all-negative right branch)
+    val df = (0L until 200L).map(i => (i, i % 100, (i % 100) < 50))
+      .toDF("id", "v", "lbl")
+    val out = Validation.decisionTree2Eval(df, Seq("v" -> $"v"), $"lbl",
+      isTrain = $"id" % 2 === 0).collect().head
+    assert(out.getLong(0) == 100L && out.getLong(1) == 100L, "train/val sizes")
+    assert((out.getLong(2), out.getLong(3), out.getLong(4), out.getLong(5)) ==
+      ((48L, 0L, 2L, 50L)), "confusion (tp, fp, fn, tn)")
+    assert(out.getLong(6) == 980000L, "acc_ppm")
+    // constant feature: no split trains, the val partition gets the
+    // train majority class (6 of 10 train rows negative => predict neg)
+    val const = (0L until 20L).map(i => (i, 7L, i < 8)).toDF("id", "v", "lbl")
+    val c = Validation.decisionTree2Eval(const, Seq("v" -> $"v"), $"lbl",
+      isTrain = $"id" % 2 === 0).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+      c.getLong(4), c.getLong(5), c.getLong(6)) ==
+      ((10L, 10L, 0L, 0L, 4L, 6L, 600000L)))
   }
 
   test("decisionTree2: single-feature root row agrees with decisionStump") {
