@@ -170,9 +170,13 @@ object Bench {
           // from ~400 neighbors) lands inside pass 2, pass 1 caps it.
           // r10's official total read +12% vs a same-code rehearsal purely
           // from such noise; min-of-2 makes round-over-round totals
-          // readable. A failed pass 2 never substitutes its fast-failure
-          // time (the query is already in `failed`).
-          if (ok2 && t1 < t2) { gcOfChosen(name) = gc1; t1 }
+          // readable. A failed pass 2 never substitutes its time — its
+          // fast-failure elapsed would poison the best-of-rounds ratchet
+          // (and a timeout would record the watchdog cap); pass 1's real
+          // success time is the official number, the query still lands in
+          // `failed`.
+          if (!ok2) { gcOfChosen(name) = gc1; t1 }
+          else if (t1 < t2) { gcOfChosen(name) = gc1; t1 }
           else { gcOfChosen(name) = gc2; t2 }
         }
       name -> t
@@ -644,6 +648,13 @@ object Bench {
         .select(col("vec_id").as("id"), col("embedding").as("v"))
       Similarity.bruteForceTopK(e, e.filter(col("id") < 10), k = 10)
     }
+    // (A persisted-index "serve vs inline" series was measured here and
+    // removed: at 25k-100k x 64-dim both paths are job-overhead-bound
+    // (~2 s flat each, A/B 2026-08-16), so a time series demonstrates
+    // nothing the q405 DPP plan assertion doesn't already prove — the
+    // serving win is the untimed once-per-corpus build plus the pruned
+    // cells scan, both structural, visible in the plan, and material only
+    // at corpus sizes this bench can't generate.)
     // quadratic family (the exact ground-truth tools; the growth factor per
     // doubling is the story — and the reason the LSH family above is the
     // default at scale). ngram_jaccard runs on the DIRTY corpus where its

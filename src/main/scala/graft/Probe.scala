@@ -18,6 +18,25 @@ object Probe {
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // bench-parity scratch: Probe exists to attribute BENCH numbers, so
+    // queries whose contract includes a write (index persistence, format
+    // round trips, streaming stores) must hit the same tmpfs root the
+    // flagged number was measured against — a disk-backed probe of a
+    // tmpfs-measured query attributes nothing. Cleaned via shutdown hook
+    // (same discipline as Bench's).
+    if (sys.props.get("graft.scratch").isEmpty &&
+        sys.env.get("SPARK_GRAFT_SCRATCH").isEmpty &&
+        new java.io.File("/dev/shm").canWrite) {
+      val d = s"/dev/shm/graft-probe-${ProcessHandle.current().pid()}"
+      sys.props("graft.scratch") = d
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
+            .asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -54,6 +54,31 @@ object SparkEntry {
     else df
   }
 
+  /** q174/q406's shared IVFADC fixture quantizer over a (id, v) corpus:
+    * coarse centroids = the first-8 vectors, residual PQ codebooks =
+    * 8-dim sub-slices of the first-16 vectors' residuals — deterministic,
+    * so DuckDB re-derives both. Factored so the persisted-index sibling
+    * (q406) provably serves the SAME quantizer as the inline build
+    * (q174) — the "hash-match q174's oracle verbatim" contract holds by
+    * construction. Returns (centroids (cid, cv), codebooks (sub, cid, cv)).
+    */
+  private def pqFixture(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val cents = corpus.filterCol(col("id") < 8)
+      .selectCols(Seq(col("id").as("cid"), col("v").as("cv")))
+    val first16 = corpus.filterCol(col("id") < 16)
+    val a16 = Similarity.assignToCentroids(first16, cents)
+      .selectCols(Seq(col("id"), col("cid")))
+    val res16 = first16.join(a16, "id")
+      .join(broadcast(cents), "cid")
+      .selectCols(Seq(col("id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv")))
+    val cb = res16.selectCols(Seq(col("id").as("cbid"),
+        explode(sequence(lit(0), lit(7))).as("sub"), col("rv")))
+      .selectCols(Seq(col("sub"), col("cbid").as("cid"),
+        slice(col("rv"), col("sub") * 8 + 1, lit(8)).as("cv")))
+    (cents, cb)
+  }
+
   /** Exact decimal sum surfaced as double — order-independent, so Spark's
     * partial-aggregate merge order vs DuckDB's scan order cannot diverge.
     */
@@ -2124,19 +2149,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val corpus = e.selectCols(Seq(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("v")))
-      val cents = corpus.filterCol(col("id") < 8)
-        .selectCols(Seq(col("id").as("cid"), col("v").as("cv")))
-      val first16 = corpus.filterCol(col("id") < 16)
-      val a16 = Similarity.assignToCentroids(first16, cents)
-        .selectCols(Seq(col("id"), col("cid")))
-      val res16 = first16.join(a16, "id")
-        .join(broadcast(cents), "cid")
-        .selectCols(Seq(col("id"),
-          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv")))
-      val cb = res16.selectCols(Seq(col("id").as("cbid"),
-          explode(sequence(lit(0), lit(7))).as("sub"), col("rv")))
-        .selectCols(Seq(col("sub"), col("cbid").as("cid"),
-          slice(col("rv"), col("sub") * 8 + 1, lit(8)).as("cv")))
+      val (cents, cb) = pqFixture(corpus)
       Similarity.ivfPqAdcTopK(corpus, corpus.filterCol(col("id") < 4),
           cents, cb, m = 8, subDims = 8, nprobe = 2, k = 5)
         .withColumn("adist", round(col("adist"), 6))
@@ -3470,25 +3483,13 @@ object SparkEntry {
       // q174's IVFADC served from a PERSISTED quantizer pair (coarse
       // centroids + PQ residual codebooks reloaded from parquet): codebook
       // training is the once-per-corpus cost, serving pays only LUT build
-      // + probed-cell ADC scan. Identical fixture quantizer to q174, so
-      // the stored-index answer must hash-match q174's exact DuckDB
-      // replay verbatim.
+      // + probed-cell ADC scan. The SAME pqFixture builder as q174, so
+      // "identical quantizer, hash-match q174's oracle verbatim" is true
+      // by construction, not by keeping two copied blocks in lockstep.
       val e = t(s, dir, "embeddings")
       val corpus = e.selectCols(Seq(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("v")))
-      val cents = corpus.filterCol(col("id") < 8)
-        .selectCols(Seq(col("id").as("cid"), col("v").as("cv")))
-      val first16 = corpus.filterCol(col("id") < 16)
-      val a16 = Similarity.assignToCentroids(first16, cents)
-        .selectCols(Seq(col("id"), col("cid")))
-      val res16 = first16.join(a16, "id")
-        .join(broadcast(cents), "cid")
-        .selectCols(Seq(col("id"),
-          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv")))
-      val cb = res16.selectCols(Seq(col("id").as("cbid"),
-          explode(sequence(lit(0), lit(7))).as("sub"), col("rv")))
-        .selectCols(Seq(col("sub"), col("cbid").as("cid"),
-          slice(col("rv"), col("sub") * 8 + 1, lit(8)).as("cv")))
+      val (cents, cb) = pqFixture(corpus)
       val sf = new java.io.File(dir).getName
       val idx = s"${scratchRoot}/$sf/pq_index"
       Similarity.writePqIndex(cents, cb, idx)
@@ -7032,8 +7033,7 @@ object SparkEntry {
             s.gini_ppm - b.wg AS reduction_ppm, b.acc AS acc_ppm,
             b.nl AS n_left, b.lp AS pos_left
           FROM best_$node AS b, stat_$node AS s"""
-    s"""WITH base_root AS (SELECT $featSelects,
-          CASE WHEN $labelSql THEN 1 ELSE 0 END AS p FROM $table),
+    s"""WITH base_root AS (${g.cleanBase(featSelects, labelSql, table)}),
       ${g.nodeSql("root")},
       base_left AS (SELECT b.* FROM base_root AS b, best_root
         WHERE (${g.featCase("best_root", "b")}) <= best_root.threshold),
@@ -7065,9 +7065,8 @@ object SparkEntry {
             WHEN (${g.featCase(b, "vv")}) <= $b.threshold
               THEN ${majority(b, left = true)}
             ELSE ${majority(b, left = false)} END"""
-    s"""WITH base_all AS (SELECT $featSelects,
-          CASE WHEN $labelSql THEN 1 ELSE 0 END AS p,
-          ($trainSql) AS is_train FROM $table),
+    s"""WITH base_all AS (${g.cleanBase(featSelects, labelSql, table,
+          extraCols = s", ($trainSql) AS is_train")}),
       base_root AS (SELECT * FROM base_all WHERE is_train),
       ${g.nodeSql("root")},
       base_left AS (SELECT b.* FROM base_root AS b, best_root
@@ -7078,10 +7077,13 @@ object SparkEntry {
       ${g.nodeSql("right")},
       vv AS (SELECT * FROM base_all WHERE NOT is_train),
       pv AS (SELECT vv.p,
-          CASE WHEN (${g.featCase("br", "vv")}) <= br.threshold
+          CASE WHEN br.feature IS NULL
+            THEN (CASE WHEN tt.tp * 2 > tt.n THEN 1 ELSE 0 END)
+          WHEN (${g.featCase("br", "vv")}) <= br.threshold
             THEN ${branchPred("bl", rootSide = true)}
             ELSE ${branchPred("bb", rootSide = false)} END AS yhat
-        FROM vv CROSS JOIN best_root AS br
+        FROM vv CROSS JOIN tt_root AS tt
+        LEFT JOIN best_root AS br ON TRUE
         LEFT JOIN best_left AS bl ON TRUE
         LEFT JOIN best_right AS bb ON TRUE),
       conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_val,
@@ -7106,6 +7108,20 @@ object SparkEntry {
       feats.map { case (n, _) =>
         s"WHEN $best.feature = '$n' THEN $rowAlias.f_$n"
       }.mkString("CASE ", " ", " END")
+    /** The base projection with decisionTree2's na.drop() policy
+      * mirrored: the label CASE yields NULL (not 0) on a NULL label, and
+      * rows with a NULL feature or label are filtered — Spark and SQL
+      * train on the same row set even if a regenerated fixture
+      * introduces nulls.
+      */
+    def cleanBase(featSelects: String, labelSql: String, table: String,
+        extraCols: String = ""): String = {
+      val notNull = (feats.map { case (n, _) => s"f_$n IS NOT NULL" } :+
+        "p IS NOT NULL").mkString(" AND ")
+      s"""SELECT * FROM (SELECT $featSelects,
+            CASE WHEN $labelSql THEN 1 WHEN NOT ($labelSql) THEN 0 END AS p$extraCols
+          FROM $table) AS raw WHERE $notNull"""
+    }
     private def block(node: String, f: String): String = s"""
       nn_${node}_$f AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base_$node),
       rk_${node}_$f AS (SELECT f_$f AS v,

@@ -1014,14 +1014,6 @@ object Validation {
       .na.drop()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (wg, feature, threshold, nl, nr, acc) per winning candidate;
-    // node facts (n, nPos, giniPpm) alongside
-    def giniPpm(a: Long, b: Long): Long = {
-      val n = a + b
-      if (n == 0) 0L
-      else 1000000L - ((BigInt(a) * a + BigInt(b) * b) * 1000000 /
-        (BigInt(n) * n)).toLong
-    }
     val model =
       try trainDepth2(base, features.map(_._1), nBins)
       finally base.unpersist(blocking = false)
@@ -1054,9 +1046,14 @@ object Validation {
       val stackExpr = s"stack(${featNames.size}, " +
         featNames.map(nm => s"'$nm', f_$nm").mkString(", ") +
         ") AS (feature, v)"
+      // the cap must bound what reaches the driver, not scold after the
+      // fact: limit(cap + 1) keeps the fetch bounded — all rows arrive
+      // when under the cap, an arbitrary cap+1 subset (enough to throw)
+      // when over
       val hist = node.select(expr(stackExpr), col("p"))
         .groupBy(col("feature"), col("v"))
         .agg(sum(col("p")).alias("bp"), count(lit(1)).alias("cnt"))
+        .limit(maxDistinct + 1)
         .collect()
       if (hist.length > maxDistinct)
         throw new IllegalStateException(
@@ -1076,7 +1073,10 @@ object Validation {
         // rank-rule edges: value v spanning ranks [lo, hi] covers bins
         // floor((lo-1)k/n)..floor((hi-1)k/n); the bin's max value is the
         // last value whose span touches it — exactly groupBy(bin).max(v)
-        val edgeByBin = new Array[Option[Long]](nBins)
+        // Array.fill, NOT new Array[Option[Long]](n): the latter is
+        // null-initialized and a node smaller than nBins skips bins,
+        // leaving nulls that NPE the flatten below
+        val edgeByBin = Array.fill(nBins)(Option.empty[Long])
         var cum = 0L
         vals.foreach { case (v, _, cnt) =>
           val blo = (cum * nBins / n).toInt

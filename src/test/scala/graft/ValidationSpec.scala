@@ -346,6 +346,18 @@ class ValidationSpec extends SparkSpec {
       ((10L, 10L, 0L, 0L, 4L, 6L, 600000L)))
   }
 
+  test("decisionTree2: branches smaller than nBins train without error") {
+    // 13 rows, pure split at v=3: the 3-row left branch has fewer rows
+    // than nBins=10, so its rank bins are sparse — regression test for
+    // the null-initialized Array[Option] NPE in the edge derivation
+    val df = (1L to 13L).map(v => (v, v <= 3L)).toDF("v", "lbl")
+    val out = Validation.decisionTree2(df, Seq("v" -> $"v"), $"lbl").collect()
+    val root = out.find(_.getString(0) == "root").get
+    assert(root.getLong(2) == 3L, "pure split at v=3")
+    assert(out.exists(_.getString(0) == "left"), "3-row branch must train")
+    assert(out.exists(_.getString(0) == "right"), "10-row branch must train")
+  }
+
   test("decisionTree2: single-feature root row agrees with decisionStump") {
     val df = (0L until 200L).map(i => ((i * 37) % 100, (i % 13) < 6))
       .toDF("v", "lbl")
