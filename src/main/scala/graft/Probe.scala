@@ -41,6 +41,10 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // same context-cleaner cadence as Bench: broadcast/shuffle remnants
+      // accumulate on the cleaner's schedule, and a probe attributing a
+      // bench warmth curve must age them the same way
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -957,8 +957,10 @@ object Validation {
     * candidate level and across features — the deterministic contract
     * both engines sort by.
     *
-    * Returns up to 3 rows (node ∈ root/left/right; a node with no valid
-    * candidate — constant features — is omitted): (node, feature,
+    * Returns up to 3 rows (node ∈ root/left/right; an EMPTY node is
+    * omitted — a constant feature still yields one degenerate candidate,
+    * which scores zero reduction and loses to any real split): (node,
+    * feature,
     * threshold, n, n_pos, gini_ppm, weighted_gini_ppm, reduction_ppm,
     * acc_ppm), acc = the node's own split's majority-vote accuracy.
     *
@@ -1128,9 +1130,12 @@ object Validation {
     * heuristics. Pair with [[Corpus.groupHoldout]] keyed by near-dup
     * component for a contamination-free split (q408's audit). Leaves
     * predict their side's majority TRAIN class (strict — ties negative);
-    * a branch the trainer could not split (constant features there)
-    * falls back to the root side's majority, and an untrainable root
-    * (constant features everywhere) predicts the train majority class.
+    * an EMPTY branch (the root split put every row on one side) falls
+    * back to the root side's majority, and an EMPTY train partition
+    * predicts the train majority class (vacuously negative). Constant
+    * features do NOT reach these fallbacks — they train a degenerate
+    * zero-reduction split whose side majorities give the same
+    * majority-class behavior.
     *
     * Scale shape: [[trainDepth2]]'s three histogram passes over the
     * train partition plus ONE confusion aggregation over the validation

@@ -336,14 +336,22 @@ class ValidationSpec extends SparkSpec {
     assert((out.getLong(2), out.getLong(3), out.getLong(4), out.getLong(5)) ==
       ((48L, 0L, 2L, 50L)), "confusion (tp, fp, fn, tn)")
     assert(out.getLong(6) == 980000L, "acc_ppm")
-    // constant feature: no split trains, the val partition gets the
-    // train majority class (6 of 10 train rows negative => predict neg)
+    // constant feature: a DEGENERATE zero-reduction root trains (one
+    // edge at the constant, everything on the left) and both side
+    // majorities are the train majority — predict negative (4 pos of 10)
     val const = (0L until 20L).map(i => (i, 7L, i < 8)).toDF("id", "v", "lbl")
     val c = Validation.decisionTree2Eval(const, Seq("v" -> $"v"), $"lbl",
       isTrain = $"id" % 2 === 0).collect().head
     assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
       c.getLong(4), c.getLong(5), c.getLong(6)) ==
       ((10L, 10L, 0L, 0L, 4L, 6L, 600000L)))
+    // EMPTY train partition: the only path to the case-None fallback —
+    // n_train = 0 and every val row gets the vacuous negative majority
+    val e = Validation.decisionTree2Eval(const, Seq("v" -> $"v"), $"lbl",
+      isTrain = lit(false)).collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+      e.getLong(4), e.getLong(5), e.getLong(6)) ==
+      ((0L, 20L, 0L, 0L, 8L, 12L, 600000L)))
   }
 
   test("decisionTree2: branches smaller than nBins train without error") {
