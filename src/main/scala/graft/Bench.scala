@@ -159,11 +159,15 @@ object Bench {
       val (t1, ok1, gc1) = onePass(name, fn)
       // skip pass 2 after a failed/timed-out pass 1: re-running a wedged
       // query would double its cap cost for no information
+      // FAILED passes ride `passes` NEGATED (-elapsed): a failure's
+      // fast-failure elapsed is not a measurement, and an unmarked one
+      // would make min(passes) disagree with the official `queries` entry
+      // (which only ever keeps successful-pass times). Sign = pass_ok.
       val t =
-        if (!ok1) { rawPasses(name) = Seq(t1); gcOfChosen(name) = gc1; t1 }
+        if (!ok1) { rawPasses(name) = Seq(-t1); gcOfChosen(name) = gc1; t1 }
         else {
           val (t2, ok2, gc2) = onePass(name, fn)
-          rawPasses(name) = Seq(t1, t2)
+          rawPasses(name) = Seq(t1, if (ok2) t2 else -t2)
           // Official time is min-of-2: pass 1 pays plan + janino codegen
           // (driver-side, amortized to zero at 100 TB) so pass 2 normally
           // wins — but when run-context noise (GC debt, page-cache state
@@ -315,6 +319,59 @@ object Bench {
         }
       }
     }
+    // ---- warmth/GC self-attribution for surviving flags -------------------
+    // The best-of-rounds ratchet records each query at maximum observed JVM
+    // warmth, so mixed-warmth full runs trip ~7 transient flags per run
+    // whose `passes` already show the q142 decay signature (pass 1 >> best
+    // pass, same JVM). Each used to cost a manual fresh-JVM focused study;
+    // the bench now self-attributes each surviving flag, machine-readable
+    // in its regressions entry:
+    //   "gc"         — the chosen pass's stop-the-world GC time covers
+    //                  >= 60% of the overshoot past the tripped reference
+    //                  (and >= 0.5 s absolute): run-context GC debt.
+    //   "warmth"     — successful passes decay >= 1.4x from pass 1 to the
+    //                  best pass AND one extra same-JVM pass confirms the
+    //                  descent (lands <= prior best * 1.1): C2 warmth, not
+    //                  a plan change. The extra pass is a real measurement
+    //                  — recorded in `passes`, allowed to substitute the
+    //                  min (which may un-flag the query entirely).
+    //   "reproduced" — neither signature held: a human should look.
+    // Bounded to 8 extra passes; unattributed overflow reads "reproduced".
+    val attributions = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (prevTimes.nonEmpty || bestTimes.nonEmpty) {
+      // same discipline as the re-measure bonus pass: an extra-pass
+      // timeout/flake must not mark an officially-passing query failed
+      val failedSnapshot2 = failedQueries.toSet
+      var extraBudget = 8
+      results = results.map { case (name, t) =>
+        if (!isRegression(name, t)) name -> t
+        else {
+          val okPasses = rawPasses.getOrElse(name, Seq.empty).filter(_ >= 0)
+          val refMin = (prevOf(name).toSeq ++ bestOf(name).toSeq)
+            .filter(r => trips(Some(r), t)).minOption
+          val overshootMs = refMin.fold(0.0)(r => (t - r) * 1000.0)
+          val gcMs = gcOfChosen.getOrElse(name, 0L).toDouble
+          if (gcMs >= 0.6 * overshootMs && gcMs >= 500.0) {
+            attributions(name) = "gc"
+            name -> t
+          } else if (okPasses.nonEmpty && okPasses.head >= okPasses.min * 1.4 &&
+              extraBudget > 0) {
+            extraBudget -= 1
+            System.err.println(s"[bench] warmth-check extra pass for $name")
+            val (et, eok, egc) = onePass(name, selected(name))
+            rawPasses(name) = rawPasses(name) :+ (if (eok) et else -et)
+            val newT = if (eok && et < t) { gcOfChosen(name) = egc; et } else t
+            attributions(name) =
+              if (eok && et <= okPasses.min * 1.1) "warmth" else "reproduced"
+            name -> newT
+          } else {
+            attributions(name) = "reproduced"
+            name -> t
+          }
+        }
+      }
+      failedQueries.filterInPlace(failedSnapshot2.contains)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Round-over-round comparability: the query surface grows every round,
@@ -385,9 +442,15 @@ object Bench {
     def refJson(v: Option[Double]): String = v.fold("null")(_.toString)
     // each entry carries the chosen pass's GC time so an in-run spike
     // self-attributes as GC debt vs a plan change from the artifact alone
+    // each surviving entry also carries its machine-readable `attribution`
+    // ("gc" | "warmth" | "reproduced" — see the self-attribution pass
+    // above), so a transient flag dismisses itself in the artifact instead
+    // of costing a manual fresh-JVM study next round
+    def attrJson(name: String): String =
+      attributions.get(name).fold("")(a => s""","attribution":"$a"""")
     val regressions = results.collect {
       case (name, t) if isRegression(name, t) =>
-        s"""{"q":"$name","prev":${refJson(prevOf(name))},"best":${refJson(bestOf(name))},"now":$t,"gc_ms":${gcOfChosen.getOrElse(name, 0L)}}"""
+        s"""{"q":"$name","prev":${refJson(prevOf(name))},"best":${refJson(bestOf(name))},"now":$t,"gc_ms":${gcOfChosen.getOrElse(name, 0L)}${attrJson(name)}}"""
     }
     val regressionsJson =
       if (prevTimes.isEmpty && bestTimes.isEmpty) "" // first run: omit
@@ -407,7 +470,7 @@ object Bench {
     val gcJson = gcOfChosen.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"per-query min of 2 official passes (plus bonus re-measure for flagged queries); raw passes in `passes`","core44_r01_set":$core44,"queries":$qs,"passes":$passesJson,"gc_ms":$gcJson,"failed":$failedJson,"sf":"$sfDir"$regressionsJson$remeasuredJson$attribJson$scaleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"per-query min of 2 official passes (plus bonus re-measure for flagged queries); raw passes in `passes`, failed passes negated (sign = pass_ok, excluded from the min)","core44_r01_set":$core44,"queries":$qs,"passes":$passesJson,"gc_ms":$gcJson,"failed":$failedJson,"sf":"$sfDir"$regressionsJson$remeasuredJson$attribJson$scaleJson}"""
     // Full-precision JSON (with the scale section) goes to a file the driver
     // can read verbatim — sbt prefixes stdout with [info] noise.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -436,7 +499,7 @@ object Bench {
           case (name, tq) if isRegression(name, tq) =>
             val p = prevOf(name).fold("null")(f2)
             val b = bestOf(name).fold("null")(f2)
-            s"""{"q":"${shortKey(name)}","prev":$p,"best":$b,"now":${f2(tq)},"gc_ms":${gcOfChosen.getOrElse(name, 0L)}}"""
+            s"""{"q":"${shortKey(name)}","prev":$p,"best":$b,"now":${f2(tq)},"gc_ms":${gcOfChosen.getOrElse(name, 0L)}${attrJson(name)}}"""
         }.mkString("[", ",", "]")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"n_queries":${results.size},"queries":$qj,"failed":$failedJson$regs,"sf":"$sfDir"$trunc}"""
     }
@@ -654,13 +717,42 @@ object Bench {
         .select(col("vec_id").as("id"), col("embedding").as("v"))
       Similarity.bruteForceTopK(e, e.filter(col("id") < 10), k = 10)
     }
-    // (A persisted-index "serve vs inline" series was measured here and
-    // removed: at 25k-100k x 64-dim both paths are job-overhead-bound
-    // (~2 s flat each, A/B 2026-08-16), so a time series demonstrates
-    // nothing the q405 DPP plan assertion doesn't already prove — the
-    // serving win is the untimed once-per-corpus build plus the pruned
-    // cells scan, both structural, visible in the plan, and material only
-    // at corpus sizes this bench can't generate.)
+    // Persisted-IVF serve vs inline, as doubling-size curves (the q405
+    // claim "serving skips training + corpus assignment", measured rather
+    // than plan-asserted). An earlier 10-query attempt was job-overhead-
+    // bound (~2 s flat both paths, A/B 2026-08-16); this one probes 100
+    // queries per pass so the per-call work — inline: k-means training +
+    // full-corpus cell assignment + probe join; serve: probe join over the
+    // pre-partitioned cells only — is the measured signal. The index
+    // builds are the once-per-corpus cost by definition, so they happen
+    // before the timed series (same exclusion as the corpus generation).
+    val embSizes = Seq(500, 1000, 2000)
+    def ivfCorpus(base: Int): DataFrame =
+      embs.filter(col("orig_id") < base)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+    if (scaleOnly.forall(_.contains("ann_ivf_serve")))
+      embSizes.foreach { base =>
+        Similarity.writeIvfIndex(ivfCorpus(base), s"$scaleDir/ivf_$base", nlist = 16)
+      }
+    out("ann_ivf_inline") = series("ann_ivf_inline", embSizes, VE.toLong) { base =>
+      val e = ivfCorpus(base)
+      Similarity.ivfTopK(e, e.filter(col("id") < 100), nlist = 16, nprobe = 2, k = 10)
+    }
+    out("ann_ivf_serve") = series("ann_ivf_serve", embSizes, VE.toLong) { base =>
+      Similarity.ivfTopKIndexed(spark, s"$scaleDir/ivf_$base",
+        ivfCorpus(base).filter(col("id") < 100), nprobe = 2, k = 10)
+    }
+    // candidate volume behind both ivf curves (identical probe half): rows
+    // entering the exact-scoring join = Σ probed-cell sizes over the 100
+    // queries — a super-linear time bend with a linear candidate curve
+    // would be plan, not data
+    if (out("ann_ivf_serve").nonEmpty) {
+      counts("ann_ivf_probe_cand") = embSizes.map { base =>
+        val n = Similarity.ivfProbeCandidates(spark, s"$scaleDir/ivf_$base",
+          ivfCorpus(base).filter(col("id") < 100), nprobe = 2).count()
+        (base * VE.toLong, n)
+      }
+    }
     // quadratic family (the exact ground-truth tools; the growth factor per
     // doubling is the story — and the reason the LSH family above is the
     // default at scale). ngram_jaccard runs on the DIRTY corpus where its
@@ -739,6 +831,31 @@ object Bench {
     out("ppjoin") = series("ppjoin", Seq(1250, 2500, 5000), V.toLong) { base =>
       Dedup.ppJoinPairs(docs.filter(col("orig_id") < base), col("doc_id"),
         graft.functions.TextFns.tokens(col("text")), tPpm = 900000L)
+    }
+    // exact depth-2 tree trainer (q407): the one-histogram-pass-per-node
+    // claim means time should track the CORPUS scan (3 stacked-histogram
+    // aggregations + feature computation) linearly, with the driver
+    // argmin flat — the curve that validates the LightGBM-histogram shape
+    // beyond the single size q407's focused timing covered
+    out("decision_tree2") = series("decision_tree2", Seq(1250, 2500, 5000), V.toLong) { base =>
+      graft.operators.Validation.decisionTree2(
+        docs.filter(col("orig_id") < base),
+        Seq("len" -> length(col("text")).cast("long"),
+          "ntok" -> size(graft.functions.TextFns.tokens(col("text"))).cast("long")),
+        pmod(col("doc_id"), lit(3)) === 0)
+    }
+    // driver-state volume behind the tree curve: stacked (feature, value)
+    // histogram rows at the root — the quantity the 2^20 cap bounds; the
+    // scan is linear in rows, the collected histogram in DISTINCT values
+    if (out("decision_tree2").nonEmpty) {
+      counts("decision_tree2_hist") = Seq(1250, 2500, 5000).map { base =>
+        val n = docs.filter(col("orig_id") < base)
+          .agg((countDistinct(length(col("text")).cast("long")) +
+            countDistinct(size(graft.functions.TextFns.tokens(col("text"))).cast("long")))
+            .alias("h"))
+          .collect()(0).getLong(0)
+        (base * V.toLong, n)
+      }
     }
     out("bpe_merges") = series("bpe_merges", Seq(1250, 2500, 5000), V.toLong) { base =>
       Corpus.bpeMerges(docs.filter(col("orig_id") < base),

@@ -14,8 +14,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Probe {
   def main(args: Array[String]): Unit = {
+    // diagnostic tool, so diagnose its own inputs: a typo'd query name or
+    // non-numeric rep count gets a usage line, not a raw
+    // NoSuchElementException/NumberFormatException stack
+    def usage(problem: String): Nothing = {
+      System.err.println(s"[probe] $problem")
+      System.err.println("usage: sbt \"runMain graft.Probe <query_name> [reps]\"")
+      sys.exit(2)
+    }
     val name = args.headOption.getOrElse("q142_mutual_knn_ivf")
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    if (!SparkEntry.queries.contains(name)) {
+      val near = SparkEntry.queries.keys.toSeq.sorted
+        .filter(_.startsWith(name.takeWhile(_ != '_'))).take(5)
+      usage(s"unknown query '$name'" +
+        (if (near.nonEmpty) s"; close matches: ${near.mkString(", ")}"
+         else "; see SparkEntry.queries for the full list"))
+    }
+    val reps = args.drop(1).headOption.map { r =>
+      r.toIntOption.filter(_ > 0).getOrElse(usage(s"reps must be a positive int, got '$r'"))
+    }.getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // bench-parity scratch: Probe exists to attribute BENCH numbers, so

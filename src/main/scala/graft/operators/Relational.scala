@@ -669,6 +669,149 @@ object Relational {
         .drop(gk: _*)
     }
 
+    /** Banded-deviation contract for [[winsorize]]'s `approximate = true`
+      * path — upgrades the sketch configuration from "rows-only, a spec
+      * bounds the error" to an independently hash-verifiable artifact.
+      * Sketch cut points are engine-specific, so the contract emits only
+      * values an independent engine can replay from the EXACT
+      * distribution: per group — `n_rows`, the exact percentile bounds
+      * (`p_lo`, `p_hi`, round-6), and three integers that are the
+      * constants (1, 1, 0) WHENEVER the sketch honors its guarantee:
+      *
+      *   - `lo_in_band` / `hi_in_band`: the approx percentile lies inside
+      *     the exact quantile band [q(p−δ), q(p+δ)]. The GK summary under
+      *     `percentile_approx` guarantees rank error ≤ n/accuracy;
+      *     δ = 2/accuracy + bandSlack, where the 2× covers the sketch
+      *     bound with interpolation margin and the additive slack
+      *     (default 0.002) absorbs the rank-convention gap between the
+      *     sketch's discrete rank and the interpolated exact quantile at
+      *     small n (at n = 2000 the band is still only ~4 ranks wide).
+      *   - `n_decision_diff_outside`: rows whose CLIP DECISION differs
+      *     between the approx and exact bounds while sitting OUTSIDE both
+      *     bands. Both bounds live inside their band when the flags hold,
+      *     so any decision flip happens between them — the count is 0
+      *     unless the sketch broke its bound or the per-row clamp itself
+      *     is wrong (the per-row coverage the group flags alone lack).
+      *
+      * A violation flips an integer and fails the driver's hash compare;
+      * the oracle replays the exact quantiles plus the constants. Group
+      * output columns keep their input expression names — pass plain or
+      * aliased columns.
+      *
+      * Scale shape: the operator under test runs unchanged (sketch
+      * aggregate + broadcast clamp); the contract adds one exact
+      * percentile aggregate (the instrument — it buffers per-group values
+      * exactly like [[winsorize]]'s default, so run the contract at audit
+      * scale, not on the 100 TB corpus) and a per-group re-aggregation of
+      * the operator's own output.
+      */
+    def winsorizeApproxBands(group: Seq[Column], value: Column, lo: Double,
+        hi: Double, accuracy: Int = 10000,
+        bandSlack: Double = 0.002): DataFrame = {
+      require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+      require(group.nonEmpty, "winsorizeApproxBands needs >= 1 group column")
+      require(accuracy > 0 && bandSlack >= 0, "accuracy > 0, bandSlack >= 0")
+      val delta = 2.0 / accuracy + bandSlack
+      def cl(p: Double) = math.min(1.0, math.max(0.0, p))
+      val v = value.cast("double")
+      val gk = group.indices.map(i => s"__g$i")
+      // one exact aggregate carries the band edges AND the oracle-able
+      // bounds: [lo−δ, lo, lo+δ, hi−δ, hi, hi+δ]
+      val fr = Seq(cl(lo - delta), lo, cl(lo + delta), cl(hi - delta), hi, cl(hi + delta))
+      val exact = df
+        .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
+        .agg(percentile(v, array(fr.map(lit): _*)).alias("__pe"))
+      val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
+      // the operator under test: approx bounds + per-row clip decisions
+      val approx = winsorize(group, value, lo, hi, approximate = true,
+        accuracy = accuracy)
+      def pe(i: Int) = element_at(col("__pe"), i)
+      val (eLoLo, eLo, eLoHi, eHiLo, eHi, eHiHi) =
+        (pe(1), pe(2), pe(3), pe(4), pe(5), pe(6))
+      val decisionDiffOutside =
+        ((v < col("p_lo")) =!= (v < eLo)) && !v.between(eLoLo, eLoHi) ||
+        ((v > col("p_hi")) =!= (v > eHi)) && !v.between(eHiLo, eHiHi)
+      approx.join(broadcast(exact), cond)
+        .groupBy(group: _*)
+        .agg(
+          count(lit(1)).alias("n_rows"),
+          round(min(eLo), 6).alias("p_lo"),
+          round(min(eHi), 6).alias("p_hi"),
+          min(when(col("p_lo").between(eLoLo, eLoHi), 1L).otherwise(0L))
+            .alias("lo_in_band"),
+          min(when(col("p_hi").between(eHiLo, eHiHi), 1L).otherwise(0L))
+            .alias("hi_in_band"),
+          sum(when(decisionDiffOutside, 1L).otherwise(0L))
+            .alias("n_decision_diff_outside"))
+    }
+
+    /** Banded-deviation contract for [[robustScale]]'s `approximate =
+      * true` path — [[winsorizeApproxBands]]' sibling for the median/MAD
+      * sketch, with one extra derivation step because the approx MAD is a
+      * sketch over deviations from the approx (engine-specific) median:
+      *
+      *   - `med_in_band`: approx median ∈ [q(0.5−δ), q(0.5+δ)] of x —
+      *     the direct GK rank guarantee, δ = 2/accuracy + bandSlack.
+      *   - `mad_in_band`: with B₁ = max(med−q(0.5−δ), q(0.5+δ)−med) the
+      *     worst in-band median displacement, |x−med_a| and |x−med_e|
+      *     differ pointwise by ≤ B₁, so every quantile of the approx
+      *     deviation distribution lives within ±B₁ of the exact one:
+      *     approx MAD ∈ [D(0.5−δ) − B₁, D(0.5+δ) + B₁] where D is the
+      *     exact quantile of |x − med_e|. Both edges replay from exact
+      *     values only.
+      *   - `n_scaled_mismatch`: rows where the operator's `scaled` does
+      *     not round-trip `scaled·mad + med = x` to 1e-9 relative (or a
+      *     zero-MAD group scaled ≠ 0) — the per-row arithmetic check.
+      *
+      * Output per group: `n_rows`, exact `v_med`/`v_mad` (round-6,
+      * oracle-replayable), `med_in_band`, `mad_in_band`,
+      * `n_scaled_mismatch` — the constants (1, 1, 0) whenever the sketch
+      * honors its bound. Same instrument caveat as
+      * [[winsorizeApproxBands]]: the contract itself runs exact
+      * percentiles; audit scale only.
+      */
+    def robustScaleApproxBands(group: Seq[Column], value: Column,
+        accuracy: Int = 10000, bandSlack: Double = 0.002): DataFrame = {
+      require(group.nonEmpty, "robustScaleApproxBands needs >= 1 group column")
+      require(accuracy > 0 && bandSlack >= 0, "accuracy > 0, bandSlack >= 0")
+      val delta = math.min(0.49, 2.0 / accuracy + bandSlack)
+      val v = value.cast("double")
+      val gk = group.indices.map(i => s"__g$i")
+      val frs = Seq(0.5 - delta, 0.5, 0.5 + delta)
+      val medE = df
+        .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
+        .agg(percentile(v, array(frs.map(lit): _*)).alias("__me"))
+      val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
+      def me(i: Int) = element_at(col("__me"), i)
+      // exact deviation-quantile band of |x − med_e| (second pass, as the
+      // exact MAD itself needs)
+      val madE = df.join(broadcast(medE), cond)
+        .groupBy(gk.map(col): _*)
+        .agg(percentile(abs(v - me(2)), array(frs.map(lit): _*)).alias("__de"))
+      val bands = medE.join(madE, gk)
+      def de(i: Int) = element_at(col("__de"), i)
+      val b1 = greatest(me(2) - me(1), me(3) - me(2))
+      // the operator under test: per-group approx (v_med, v_mad) +
+      // per-row scaled
+      val approx = robustScale(group, value, approximate = true,
+        accuracy = accuracy)
+      val scaledMismatch =
+        when(col("v_mad") === 0.0, col("scaled") =!= 0.0)
+          .otherwise(abs(col("scaled") * col("v_mad") + col("v_med") - v) >
+            greatest(abs(v), lit(1.0)) * 1e-9)
+      approx.join(broadcast(bands), cond)
+        .groupBy(group: _*)
+        .agg(
+          count(lit(1)).alias("n_rows"),
+          round(min(me(2)), 6).alias("v_med"),
+          round(min(de(2)), 6).alias("v_mad"),
+          min(when(col("v_med").between(me(1), me(3)), 1L).otherwise(0L))
+            .alias("med_in_band"),
+          min(when(col("v_mad").between(de(1) - b1, de(3) + b1), 1L)
+            .otherwise(0L)).alias("mad_in_band"),
+          sum(when(scaledMismatch, 1L).otherwise(0L)).alias("n_scaled_mismatch"))
+    }
+
     /** Exact two-sample Kolmogorov-Smirnov statistic between the `value`
       * distributions of two label groups — the drift monitor that says
       * whether yesterday's corpus (or source A) is length/score-

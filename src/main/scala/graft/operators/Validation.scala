@@ -993,6 +993,20 @@ object Validation {
       (BigInt(n) * n)).toLong
   }
 
+  /** Feature names flow into generated text in three places — the
+    * trainer's SQL `stack(..., '<name>', f_<name>)` expression, the
+    * `f_<name>` column aliases, and the caller-side DuckDB oracle text —
+    * so a quote/space/backtick in a name fails with an opaque parse
+    * error (or worse, splices expression SQL). Identifier-charset names
+    * only; rename at the call site (the tuple's first element is free).
+    */
+  private def requireSafeFeatureNames(names: Seq[String]): Unit =
+    names.foreach { nm =>
+      require(nm.matches("[A-Za-z0-9_]+"),
+        s"feature name '$nm' must match [A-Za-z0-9_]+ — it is interpolated " +
+        "into a SQL stack() expression and into f_<name> column aliases")
+    }
+
   def decisionTree2(df: DataFrame, features: Seq[(String, Column)],
       label: Column, nBins: Int = 10): DataFrame = {
     require(features.nonEmpty && features.size <= 8,
@@ -1000,6 +1014,7 @@ object Validation {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(features.map(_._1).distinct.size == features.size,
       "feature names must be distinct")
+    requireSafeFeatureNames(features.map(_._1))
     val spark = df.sparkSession
     // training makes ~2 aggregation passes per (node, feature) over this
     // frame; persisting the NARROW projection (k longs + p — bytes per
@@ -1033,9 +1048,12 @@ object Validation {
     * aggregation job per node — the per-(feature, value) class-count
     * histogram (stack → partial-agg groupBy), with the rank-rule decile
     * edges and the prefix-scored argmin re-derived on the driver (the
-    * LightGBM-histogram shape). Driver state = distinct values per
-    * feature, loudly capped (quality-filter features are length-like
-    * integer signals; pre-bucket anything open-domain). The edge rule is
+    * LightGBM-histogram shape). Driver state = the COMBINED
+    * (feature, value) histogram across all stacked features, loudly
+    * capped at 2^20 TOTAL rows — 8 features share the budget (~131k
+    * distinct values each), it is not a per-feature cap
+    * (quality-filter features are length-like integer signals;
+    * pre-bucket anything open-domain). The edge rule is
     * IDENTICAL to quantileBins' ((rank−1)·nBins) div n (bin maxima depend
     * only on per-value counts, never on tie order), so decisionStump
     * parity and the SQL replay hold. Returns up to 3 (tag, node) pairs,
@@ -1149,6 +1167,7 @@ object Validation {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(features.map(_._1).distinct.size == features.size,
       "feature names must be distinct")
+    requireSafeFeatureNames(features.map(_._1))
     val base = df.select(
       features.map { case (n, c) => c.cast("long").alias(s"f_$n") } ++
         Seq(when(label, 1L).when(!label, 0L).alias("p"),

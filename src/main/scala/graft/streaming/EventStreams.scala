@@ -1322,11 +1322,77 @@ object EventStreams {
     * matching left row would need l_ts ∈ [r_ts − window, r_ts], all of
     * which is behind the watermark and thus can no longer arrive.
     */
+  /** Drain an append-mode streaming frame synchronously and return the
+    * materialized result.
+    *
+    *   - `drain = "parquet"` (the default for the join smokes, and the
+    *     production shape): the stream COMMITS to a parquet store with a
+    *     checkpoint — the [[runPartitionedIngest]] sink pattern — and the
+    *     result is read BACK from the store, so data-sized output (e.g.
+    *     stream-stream join matches) never funnels through the driver and
+    *     what gets verified is the store's committed contents, exactly
+    *     what a downstream consumer would read.
+    *   - `drain = "memory"`: the original smoke harness — output rows
+    *     collect through the driver's memory sink. Kept for the
+    *     complete-mode aggregate smokes (state is bounded there) and for
+    *     the StreamingSpec equality pin between the two drains.
+    *
+    * The parquet store lives under the bench's tmpfs scratch when
+    * redirected (`graft.scratch`), a JVM temp dir otherwise; it must
+    * outlive this call (the returned frame reads from it lazily), so it
+    * dies with the scratch cleanup / the JVM, not with the query.
+    */
+  private def drainAppend(spark: SparkSession, joined: DataFrame,
+      queryName: String, drain: String): DataFrame = drain match {
+    case "memory" =>
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      if (sys.props.get("graft.debug.stream").contains("1"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[drain] batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")}"))
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    case "parquet" =>
+      val base = sys.props.get("graft.scratch") match {
+        case Some(b) =>
+          val p = java.nio.file.Paths.get(b)
+          java.nio.file.Files.createDirectories(p)
+          java.nio.file.Files.createTempDirectory(p, s"drain_$queryName")
+        case None => java.nio.file.Files.createTempDirectory(s"drain_$queryName")
+      }
+      val store = s"$base/store"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable()
+      if (sys.props.get("graft.debug.stream").contains("1"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[drain] batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")}"))
+      q.stop()
+      // explicit schema: a zero-match drain leaves a store with only
+      // _spark_metadata, which schema inference cannot read
+      spark.read.schema(joined.schema).parquet(store)
+    case other =>
+      throw new IllegalArgumentException(
+        s"drain must be 'parquet' or 'memory', got '$other'")
+  }
+
   def runStreamLeftOuterJoinSmoke(spark: SparkSession, srcParquet: String,
       queryName: String, key: String,
       leftType: String, rightType: String, windowSeconds: Long,
       splitTs: Seq[String], delay: String = "1 hour",
-      joinType: String = "left_outer"): DataFrame = {
+      joinType: String = "left_outer", drain: String = "parquet"): DataFrame = {
     require(splitTs.nonEmpty, "need >= 1 time split for multi-batch drains")
     val (stageDir, schema) = stageTimeSplitFiles(spark, srcParquet, splitTs)
     def stream(): DataFrame =
@@ -1353,23 +1419,8 @@ object EventStreams {
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      q.processAllAvailable()
-      if (sys.props.get("graft.debug.stream").contains("1"))
-        q.recentProgress.foreach(p => System.err.println(
-          s"[loj] batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")}"))
-      q.stop()
-      val sink = spark.table(queryName)
-      val rows = java.util.Arrays.asList(sink.collect(): _*)
-      val out = spark.createDataFrame(rows, sink.schema)
-      spark.catalog.dropTempView(queryName)
-      out
-    } finally prev.foreach {
+    try drainAppend(spark, joined, queryName, drain)
+    finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
@@ -1392,14 +1443,17 @@ object EventStreams {
 
   /** Drain [[streamStreamJoin]] over one parquet directory read as TWO
     * independent file streams (left rows `event_type = leftType`, right
-    * rows `event_type = rightType`), synchronously into a memory sink.
-    * Inner-join output is append-only and watermark-independent for a
-    * finite drain, so the result is deterministic and equals the batch
-    * join — the differential oracle the driver replays in DuckDB.
+    * rows `event_type = rightType`), synchronously through [[drainAppend]]
+    * — a committed parquet store read back (default; join output is
+    * data-sized, so the production path keeps it off the driver) or a
+    * memory sink. Inner-join output is append-only and
+    * watermark-independent for a finite drain, so the result is
+    * deterministic and equals the batch join — the differential oracle
+    * the driver replays in DuckDB.
     */
   def runStreamJoinSmoke(spark: SparkSession, parquetPath: String, queryName: String,
       keys: Seq[String], leftType: String, rightType: String,
-      windowSeconds: Long): DataFrame = {
+      windowSeconds: Long, drain: String = "parquet"): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     def stream(): DataFrame =
       normalizeTs(schema, spark.readStream.schema(schema).parquet(parquetPath))
@@ -1417,20 +1471,8 @@ object EventStreams {
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      val sink = spark.table(queryName)
-      val rows = java.util.Arrays.asList(sink.collect(): _*)
-      val out = spark.createDataFrame(rows, sink.schema)
-      spark.catalog.dropTempView(queryName)
-      out
-    } finally prev.foreach {
+    try drainAppend(spark, joined, queryName, drain)
+    finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }

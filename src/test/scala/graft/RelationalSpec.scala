@@ -241,6 +241,55 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(approx.getDouble(1) - 9.1) <= 1.0)
   }
 
+  test("winsorizeApproxBands / robustScaleApproxBands: sketch-guarantee constants hold") {
+    // the q147/q148 contract: per group, the approx percentile/median/MAD
+    // must land inside the exact quantile band and every per-row
+    // decision/arithmetic counter must be 0 — on the real sf0.001 corpus
+    // AND on a synthetic frame with a skewed group
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val w = li.winsorizeApproxBands(Seq($"l_returnflag"), $"l_extendedprice", 0.01, 0.99)
+      .collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      assert(r.getAs[Long]("lo_in_band") == 1L, s"lo out of band: $r")
+      assert(r.getAs[Long]("hi_in_band") == 1L, s"hi out of band: $r")
+      assert(r.getAs[Long]("n_decision_diff_outside") == 0L, s"decision diff: $r")
+    }
+    val rsc = li.robustScaleApproxBands(Seq($"l_returnflag"), $"l_extendedprice")
+      .collect()
+    rsc.foreach { r =>
+      assert(r.getAs[Long]("med_in_band") == 1L, s"med out of band: $r")
+      assert(r.getAs[Long]("mad_in_band") == 1L, s"mad out of band: $r")
+      assert(r.getAs[Long]("n_scaled_mismatch") == 0L, s"scaled mismatch: $r")
+    }
+    // exact columns replay q89/q115's values (same percentile calls)
+    val exactW = li.winsorize(Seq($"l_returnflag"), $"l_extendedprice", 0.01, 0.99)
+      .groupBy($"l_returnflag")
+      .agg(round(min($"p_lo"), 6).as("p_lo"), round(min($"p_hi"), 6).as("p_hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    w.foreach { r =>
+      val (elo, ehi) = exactW(r.getString(0))
+      assert(r.getAs[Double]("p_lo") == elo && r.getAs[Double]("p_hi") == ehi)
+    }
+    // synthetic: skewed group (power-law values) + near-constant group —
+    // a LOW-accuracy sketch (real compression, genuinely approximate) must
+    // still sit inside its correspondingly wider band
+    val syn = ((1 to 4000).map(i => ("skew", math.pow(1.002, i))) ++
+      (1 to 3000).map(i => ("flat", 5.0 + (i % 3) * 0.001))).toDF("g", "x")
+    val ws = syn.winsorizeApproxBands(Seq($"g"), $"x", 0.05, 0.95, accuracy = 100)
+      .collect()
+    assert(ws.length == 2)
+    ws.foreach { r =>
+      assert(r.getAs[Long]("lo_in_band") == 1L && r.getAs[Long]("hi_in_band") == 1L
+        && r.getAs[Long]("n_decision_diff_outside") == 0L, s"synthetic: $r")
+    }
+    val rs = syn.robustScaleApproxBands(Seq($"g"), $"x", accuracy = 100).collect()
+    rs.foreach { r =>
+      assert(r.getAs[Long]("med_in_band") == 1L && r.getAs[Long]("mad_in_band") == 1L
+        && r.getAs[Long]("n_scaled_mismatch") == 0L, s"synthetic: $r")
+    }
+  }
+
   test("normalizeMinMax: [0,1] scaling, constant groups pin to 0.0") {
     val df = Seq(("a", 10.0), ("a", 20.0), ("a", 40.0), ("b", 5.0), ("b", 5.0))
       .toDF("g", "x")

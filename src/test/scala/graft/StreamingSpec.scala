@@ -327,6 +327,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("join smokes: parquet (file-sink) drain equals the memory drain row for row") {
+    // the production drain commits join output to a parquet store and
+    // reads the store back (data-sized output never funnels through the
+    // driver); this pin keeps it answer-identical to the memory-sink
+    // harness for both the inner and the outer (watermark-evicted) paths
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain_eq").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    def innerVia(drain: String) =
+      EventStreams.runStreamJoinSmoke(spark, dir, s"graft_deq_$drain",
+          Seq("user_id"), leftType = "click", rightType = "purchase",
+          windowSeconds = 1800, drain = drain)
+        .select($"l_event_id", $"r_event_id")
+    val ip = innerVia("parquet"); val im = innerVia("memory")
+    assert(ip.count() > 0)
+    assert(ip.exceptAll(im).count() == 0 && im.exceptAll(ip).count() == 0)
+    def outerVia(drain: String) =
+      EventStreams.runStreamLeftOuterJoinSmoke(spark,
+          s"$dir/events.parquet", s"graft_deq_loj_$drain", "user_id",
+          "view", "purchase", 7200L,
+          Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00"), "1 hour",
+          drain = drain)
+        .select($"l_event_id", $"r_event_id")
+    val op = outerVia("parquet"); val om = outerVia("memory")
+    assert(op.count() > 0)
+    assert(op.exceptAll(om).count() == 0 && om.exceptAll(op).count() == 0)
+  }
+
   test("streamStaticEnrich: finite drain equals the batch LEFT join, keeps dim-less facts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sse").toString
     java.nio.file.Files.copy(
