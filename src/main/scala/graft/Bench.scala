@@ -753,6 +753,32 @@ object Bench {
         (base * VE.toLong, n)
       }
     }
+    // graph-ANN tier (r12): build cost vs served-walk cost at doubling
+    // sizes. The build is the corpus-sized half (cell assignment + probed-
+    // cell candidate join + top-degree cut); the served walk reads the
+    // persisted edge list and pays only the fixed hop pipeline, so its
+    // curve should stay near-flat while the build doubles. Cells = first
+    // 64 ids here (not the 16-cell oracle fixture): a quantizer held at 16
+    // cells while n doubles would grow per-cell candidates linearly and
+    // measure the WRONG thing — at scale nlist tracks ~sqrt(n), and 64
+    // keeps the 25k-100k candidate volume in the regime the design runs.
+    def nswCells(e: DataFrame): DataFrame =
+      e.filter(col("id") < 64).select(col("id").cast("int").as("cell"), col("v").as("cv"))
+    if (scaleOnly.forall(_.contains("nsw_serve")))
+      embSizes.foreach { base =>
+        val e = ivfCorpus(base)
+        Similarity.writeNswIndex(
+          Similarity.nswBuildGraph(e, nswCells(e), nprobe = 2, degree = 8),
+          e, s"$scaleDir/nsw_$base")
+      }
+    out("nsw_build") = series("nsw_build", embSizes, VE.toLong) { base =>
+      val e = ivfCorpus(base)
+      Similarity.nswBuildGraph(e, nswCells(e), nprobe = 2, degree = 8)
+    }
+    out("nsw_serve") = series("nsw_serve", embSizes, VE.toLong) { base =>
+      Similarity.nswSearchIndexed(spark, s"$scaleDir/nsw_$base",
+        ivfCorpus(base).filter(col("id") < 100), hops = 5, ef = 16, k = 10)
+    }
     // quadratic family (the exact ground-truth tools; the growth factor per
     // doubling is the story — and the reason the LSH family above is the
     // default at scale). ngram_jaccard runs on the DIRTY corpus where its

@@ -284,6 +284,67 @@ object SparkEntry {
     q1Pricing(spark, "/root/testdata/sf0.001")
 
   /** TPC-H Q1 pricing summary — `df/aggregate` with full agg-builder set. */
+  /** Shared CTE chain for the graph-ANN oracles (q410/q411/q414): the
+    * deterministic kNN edge list — fixture cells (first 16 vectors), one
+    * cell per corpus node (rn = 1), `nprobe` probed cells per node, exact
+    * cosine over the probed candidates, top-`degree` by (raw score DESC,
+    * id). Identical structure to q38's oracle with the corpus on both
+    * sides; ends with `ek (src, dst, score, rnk)`.
+    */
+  private[graft] def nswGraphCtes(nprobe: Int, degree: Int): String =
+    s"""e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+       cent AS MATERIALIZED (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+       nca AS MATERIALIZED (SELECT id, cell FROM (
+           SELECT e.id, cent.cell,
+             row_number() OVER (PARTITION BY e.id
+               ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+           FROM e CROSS JOIN cent) WHERE rn = 1),
+       nqp AS MATERIALIZED (SELECT id AS q_id, cell FROM (
+           SELECT e.id, cent.cell,
+             row_number() OVER (PARTITION BY e.id
+               ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+           FROM e CROSS JOIN cent) WHERE rn <= $nprobe),
+       ns AS MATERIALIZED (SELECT nqp.q_id, nca.id AS c_id,
+               list_cosine_similarity(qv.v, cv.v) AS score
+             FROM nqp JOIN nca USING (cell)
+             JOIN e qv ON qv.id = nqp.q_id
+             JOIN e cv ON cv.id = nca.id
+             WHERE nca.id <> nqp.q_id),
+       ek AS MATERIALIZED (SELECT q_id AS src, c_id AS dst, score, rnk FROM (
+           SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, c_id) AS rnk
+           FROM ns) WHERE rnk <= $degree)"""
+
+  /** Unrolled greedy-beam-search CTEs over [[nswGraphCtes]]' edge list —
+    * one (candidates, scores, beam) triple per hop, the q216/q230
+    * unroll-don't-iterate oracle pattern. Entry = min node id of the
+    * symmetrized graph; each hop keeps top-`ef` of beam ∪ out-neighbors
+    * by (raw score DESC, id); ends with `b<hops> (q_id, n_id)`.
+    */
+  private[graft] def nswSearchCtes(hops: Int, ef: Int, nq: Int): String = {
+    val hopCtes = (1 to hops).map { h =>
+      s"""c$h AS MATERIALIZED (SELECT q_id, n_id FROM b${h - 1}
+             UNION
+             SELECT b.q_id, u.dst AS n_id
+             FROM b${h - 1} b JOIN und u ON u.src = b.n_id),
+         s$h AS MATERIALIZED (SELECT c.q_id, c.n_id,
+                 list_cosine_similarity(q.v, nv.v) AS score
+               FROM c$h c JOIN e q ON q.id = c.q_id
+               JOIN e nv ON nv.id = c.n_id),
+         b$h AS MATERIALIZED (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id) AS rn
+             FROM s$h) WHERE rn <= $ef)"""
+    }.mkString(",\n         ")
+    s"""und AS MATERIALIZED (SELECT src, dst FROM ek UNION SELECT dst, src FROM ek),
+       b0 AS MATERIALIZED (SELECT q.id AS q_id, (SELECT min(src) FROM und) AS n_id
+              FROM e q WHERE q.id < $nq),
+       $hopCtes"""
+  }
+
   private[graft] def q1Pricing(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
       .filterCol(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
@@ -389,7 +450,8 @@ object SparkEntry {
     // replays apply VERBATIM — a stored layout that changed the answer
     // would hash-mismatch here (the q150 layout-not-answer contract).
     "q405_ivf_index_persist" -> "q38_ann_ivf",
-    "q406_ivfpq_index_persist" -> "q174_ivfpq_adc"
+    "q406_ivfpq_index_persist" -> "q174_ivfpq_adc",
+    "q412_nsw_index_persist" -> "q411_nsw_search"
   ).map { case (q, sibling) => q -> oracleSqlBase(sibling) } +
     // the depth-2 tree oracle is GENERATED: 3 nodes x k features of the
     // q246 stump-replay block is mechanical SQL — building it from the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.SparkEntry.{hilbertOracle, kcenterOracle, mmrOracle, bpeCtes, bpeOracle, bpeVocabOracle}
+import graft.SparkEntry.{hilbertOracle, kcenterOracle, mmrOracle, bpeCtes, bpeOracle, bpeVocabOracle, nswGraphCtes, nswSearchCtes}
 
 /** [[SparkEntry.oracleSql]] base part: 134 entries, q204_hll_windowed_stream .. q65_centroid_assign. Mechanical
   * split of the single oracle map (round 12) — entry order, SQL text, and
@@ -3156,6 +3156,102 @@ private[graft] object SparkEntryOraclesC {
          SELECT id, cid, round(d, 6) AS dist_sq FROM (
            SELECT id, cid, d, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
            FROM s) WHERE rn = 1
-         ORDER BY id"""
+         ORDER BY id""",
+
+    // The kNN edge list replayed whole: q38's oracle structure with the
+    // corpus on both sides (one cell per node, 2 probed cells, exact
+    // cosine, top-8 by raw score DESC / id).
+    "q410_nsw_graph" ->
+      s"""WITH ${nswGraphCtes(2, 8)}
+         SELECT src, dst, round(score, 6) AS score, rnk AS rank
+         FROM ek ORDER BY src, rank""",
+
+    // The greedy walk replayed hop by hop (unrolled CTEs — the q216
+    // pattern): symmetrized edges, entry = min node id, 5 hops of
+    // expand/score/top-ef(16), final top-10 with self excluded. Raw-score
+    // ordering is engine-equal (q38 precedent), so every beam is
+    // identical on both sides.
+    "q411_nsw_search" ->
+      s"""WITH ${nswGraphCtes(2, 8)},
+         ${nswSearchCtes(5, 16, 10)},
+         fs AS (SELECT c.q_id, c.n_id,
+                 list_cosine_similarity(q.v, nv.v) AS score
+               FROM b5 c JOIN e q ON q.id = c.q_id
+               JOIN e nv ON nv.id = c.n_id
+               WHERE c.n_id <> c.q_id),
+         fr AS (SELECT q_id, n_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, n_id) AS rnk
+               FROM fs)
+         SELECT q_id AS query_id, n_id AS neighbor_id,
+           round(score, 6) AS cosine, rnk AS rank
+         FROM fr WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    // recall@10 with BOTH sides independently replayed: exact = the q36
+    // brute-force ranking, approx = the q38 pruned-IVF ranking at
+    // nprobe=2; hits = set intersection, all integers.
+    "q413_ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         xs AS (SELECT q.id AS q_id, c.id AS c_id,
+                 list_cosine_similarity(q.v, c.v) AS score
+               FROM e q JOIN e c ON c.id <> q.id WHERE q.id < 10),
+         xr AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, c_id) AS rn FROM xs) WHERE rn <= 10),
+         cent AS (SELECT id AS cell, v AS cv FROM e WHERE id < 16),
+         ca AS (SELECT id, cell FROM (
+             SELECT e.id, cent.cell, row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         qp AS (SELECT id AS q_id, cell FROM (
+             SELECT e.id, cent.cell, row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cell) AS rn
+             FROM e CROSS JOIN cent WHERE e.id < 10) WHERE rn <= 2),
+         s AS (SELECT qp.q_id, ca.id AS c_id,
+                 list_cosine_similarity(qv.v, cv.v) AS score
+               FROM qp JOIN ca USING (cell)
+               JOIN e qv ON qv.id = qp.q_id JOIN e cv ON cv.id = ca.id
+               WHERE ca.id <> qp.q_id),
+         ar AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, c_id) AS rnk FROM s) WHERE rnk <= 10),
+         h AS (SELECT q_id, count(*) AS n_hit FROM (
+             SELECT q_id, c_id FROM xr INTERSECT SELECT q_id, c_id FROM ar)
+             GROUP BY 1)
+         SELECT q.id AS query_id, CAST(10 AS BIGINT) AS k,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) * 100000 AS recall_ppm
+         FROM e q LEFT JOIN h ON h.q_id = q.id
+         WHERE q.id < 10 ORDER BY query_id""",
+
+    // recall@10 of the greedy walk vs the same exact ground truth — the
+    // graph-connectivity loss, measured as hash-checked integers.
+    "q414_nsw_recall" ->
+      s"""WITH ${nswGraphCtes(2, 8)},
+         ${nswSearchCtes(5, 16, 10)},
+         fs AS (SELECT c.q_id, c.n_id,
+                 list_cosine_similarity(q.v, nv.v) AS score
+               FROM b5 c JOIN e q ON q.id = c.q_id
+               JOIN e nv ON nv.id = c.n_id
+               WHERE c.n_id <> c.q_id),
+         ar AS (SELECT q_id, n_id AS c_id FROM (
+             SELECT q_id, n_id, score, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id) AS rnk
+               FROM fs) WHERE rnk <= 10),
+         xs AS (SELECT q.id AS q_id, c.id AS c_id,
+                 list_cosine_similarity(q.v, c.v) AS score
+               FROM e q JOIN e c ON c.id <> q.id WHERE q.id < 10),
+         xr AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, c_id) AS rn FROM xs) WHERE rn <= 10),
+         h AS (SELECT q_id, count(*) AS n_hit FROM (
+             SELECT q_id, c_id FROM xr INTERSECT SELECT q_id, c_id FROM ar)
+             GROUP BY 1)
+         SELECT q.id AS query_id, CAST(10 AS BIGINT) AS k,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) * 100000 AS recall_ppm
+         FROM e q LEFT JOIN h ON h.q_id = q.id
+         WHERE q.id < 10 ORDER BY query_id"""
   )
 }

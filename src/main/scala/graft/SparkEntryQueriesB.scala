@@ -3277,6 +3277,116 @@ private[graft] object SparkEntryQueriesB {
         .sortBy(Seq(col("id")))
     }),
 
+    "q410_nsw_graph" -> ((s, dir) => {
+      // graph-ANN tier (r12), BUILD half: each vector's top-8 neighbors
+      // among its 2 nearest fixture cells (q38's first-16 quantizer) —
+      // the kNN edge list a navigable-small-world search walks. The build
+      // is ivfTopK with the corpus on both sides (broadcastQueries=false:
+      // the probe side is corpus-sized), so cell assignment, probe join,
+      // exact cosine, and the (score desc, id) top-degree cut all replay
+      // as plain SQL — the graph itself is a hash-verified fact before
+      // any search runs over it.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      Similarity.nswBuildGraph(corpus, cents, nprobe = 2, degree = 8)
+        .withColumn("score", round(col("score"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .sortBy(Seq(col("src"), col("rank")))
+    }),
+
+    "q411_nsw_search" -> ((s, dir) => {
+      // graph-ANN tier, SERVE half: greedy beam search over the
+      // symmetrized q410 graph — entry = min node id, 5 hops, beam ef=16,
+      // top-10 out. A FIXED hop count (not a convergence loop) makes the
+      // whole walk an exact contract: the oracle replays every hop as an
+      // unrolled CTE (expand neighbors, score, keep top-ef by raw score
+      // desc / id — raw-score order is engine-equal, q38 precedent).
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      val edges = Similarity.nswBuildGraph(corpus, cents, nprobe = 2, degree = 8)
+      Similarity.nswGreedySearch(edges, corpus, corpus.filterCol(col("id") < 10),
+          hops = 5, ef = 16, k = 10)
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q412_nsw_index_persist" -> ((s, dir) => {
+      // build-once/serve-many for the graph tier (q405's layout contract):
+      // the kNN edges + vector table persist to parquet and the search is
+      // served from the store — same graph, same walk, so the served
+      // answer must hash-match q411's independent oracle VERBATIM; a
+      // stored layout that changed the answer would fail here.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      val sf = new java.io.File(dir).getName
+      val idx = s"${scratchRoot}/$sf/nsw_index"
+      Similarity.writeNswIndex(
+        Similarity.nswBuildGraph(corpus, cents, nprobe = 2, degree = 8),
+        corpus, idx)
+      Similarity.nswSearchIndexed(s, idx, corpus.filterCol(col("id") < 10),
+          hops = 5, ef = 16, k = 10)
+        .sortBy(Seq(col("query_id"), col("rank")))
+    }),
+
+    "q413_ann_ivf_recall" -> ((s, dir) => {
+      // measured answer quality of the approximate tier, hash-verified:
+      // recall@10 of pruned IVF (nprobe=2 of the 16-cell fixture) against
+      // the exact brute-force ground truth, per query — integers only
+      // (hit counts, ppm), and BOTH sides replay in SQL, so the recall
+      // number itself is an oracle-checked fact rather than a README
+      // claim. The eval harness for every future ANN variant.
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .selectCols(Seq(col("query_id"), col("neighbor_id")))
+      val approx = Similarity.ivfTopK(corpus, queries, nlist = 16, nprobe = 2,
+          k = 10, centroids = Some(cents))
+        .selectCols(Seq(col("query_id"), col("neighbor_id")))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.selectCols(Seq(col("id").as("query_id")))
+        .join(hits, Seq("query_id"), "left")
+        .selectCols(Seq(col("query_id"), lit(10L).as("k"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * 100000L).as("recall_ppm")))
+        .sortBy(Seq(col("query_id")))
+    }),
+
+    "q414_nsw_recall" -> ((s, dir) => {
+      // q413's harness pointed at the graph tier: recall@10 of the 5-hop
+      // ef=16 greedy walk vs exact ground truth — the navigability of the
+      // degree-8 graph measured as a hash-checked integer per query
+      // (where q413 measures what cell pruning loses, this measures what
+      // the graph's connectivity loses).
+      val e = t(s, dir, "embeddings")
+      val corpus = e.selectCols(Seq(col("vec_id").as("id"), col("embedding").as("v")))
+      val queries = corpus.filterCol(col("id") < 10)
+      val cents = corpus.filterCol(col("id") < 16)
+        .selectCols(Seq(col("id").cast("int").as("cell"), col("v").as("cv")))
+      val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .selectCols(Seq(col("query_id"), col("neighbor_id")))
+      val edges = Similarity.nswBuildGraph(corpus, cents, nprobe = 2, degree = 8)
+      val approx = Similarity.nswGreedySearch(edges, corpus, queries,
+          hops = 5, ef = 16, k = 10)
+        .selectCols(Seq(col("query_id"), col("neighbor_id")))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.selectCols(Seq(col("id").as("query_id")))
+        .join(hits, Seq("query_id"), "left")
+        .selectCols(Seq(col("query_id"), lit(10L).as("k"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * 100000L).as("recall_ppm")))
+        .sortBy(Seq(col("query_id")))
+    }),
+
     "q65_centroid_assign" -> ((s, dir) => {
       // nearest-centroid labeling; centroids = the first 8 embeddings (exact
       // float values from parquet => bit-identical distances cross-engine)

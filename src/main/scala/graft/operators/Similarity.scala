@@ -349,6 +349,123 @@ object Similarity {
     ivfProbe(cCells, centDf, queries, nlist, nprobe, k, broadcastQueries)
   }
 
+  /** Deterministic kNN-graph construction — the BUILD half of the graph
+    * ANN tier (the NSW/HNSW family, restricted to one layer so every step
+    * is an exact, engine-replayable contract). Each node's out-edges are
+    * its top-`degree` neighbors by exact cosine among the candidates in
+    * its `nprobe` nearest IVF cells, ordered (score desc, id asc) — i.e.
+    * [[ivfTopK]] with the corpus on BOTH sides and `broadcastQueries =
+    * false` (the query side is corpus-sized; broadcasting it would be the
+    * exact mistake the IVF layout exists to avoid). With a re-derivable
+    * quantizer (e.g. the q38 first-16-vectors fixture) the whole graph
+    * replays as plain SQL.
+    *
+    * Scale shape: candidate generation is the cell-partitioned equi-join
+    * (Σ per-node probed-cell sizes, never corpus²); the top-degree cut is
+    * a partial-aggregating [[explodeTopK]]. Returns (src, dst, score,
+    * rank) — directed; navigational consumers symmetrize (see
+    * [[nswGreedySearch]]).
+    */
+  def nswBuildGraph(corpus: DataFrame, centroids: DataFrame, nprobe: Int,
+      degree: Int): DataFrame = {
+    val nlist = centroids.count().toInt // tiny frame: one cheap driver count
+    ivfTopK(corpus, corpus, nlist = nlist, nprobe = nprobe, k = degree,
+        broadcastQueries = false, centroids = Some(centroids))
+      .select(col("query_id").alias("src"), col("neighbor_id").alias("dst"),
+        col("cosine").alias("score"), col("rank"))
+  }
+
+  /** Greedy beam search over a kNN graph — the SERVE half of the graph
+    * ANN tier, restricted to a FIXED hop count so the walk is an exact
+    * engine-replayable contract rather than a convergence loop (the same
+    * design rule that made q216's Hilbert recurrence and q230's k-center
+    * rounds oracle-able: unroll, don't iterate-to-fixpoint).
+    *
+    * Semantics: the graph is symmetrized (edges ∪ reversed — NSW
+    * navigability needs in-edges walkable), the entry point is the
+    * smallest node id, and each hop expands the current beam's
+    * out-neighbors, scores them against the query, and keeps the top-`ef`
+    * of (beam ∪ frontier) by (raw score desc, id asc) — raw-score
+    * ordering is engine-equal (q38 precedent: DuckDB
+    * list_cosine_similarity ranks hash-match [[graft.plans.VectorExprs]]
+    * cosine). After `hops` rounds the per-query top-`k` (self excluded)
+    * is returned as (query_id, neighbor_id, cosine round-6, rank).
+    *
+    * Scale shape: per hop, the beam (|queries| × ef rows) broadcast-joins
+    * the edge list and the frontier joins the vector table by id — the
+    * corpus is touched only through those equi-joins, never scanned per
+    * query; scores ride the beam so nothing is re-scored. The symmetrized
+    * edge list is materialized ONCE and each hop's beam truncates its
+    * lineage ([[Iterative]] house rule): without that, hop h's plan embeds
+    * hop h−1 twice (frontier + union) — 2^hops plan copies, each
+    * re-executing the graph build — and the driver chokes on plan trees
+    * long before the data is big. `checkpointDir` selects the truncation
+    * mode (None = localCheckpoint; Some(dir) = reliable checkpoint for
+    * long cluster runs — the [[Iterative]] contract).
+    */
+  def nswGreedySearch(edges: DataFrame, vectors: DataFrame,
+      queries: DataFrame, hops: Int, ef: Int, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(hops >= 1 && hops <= 8, s"hops must be 1..8 (unrolled plan), got $hops")
+    require(ef >= k, s"ef ($ef) must be >= k ($k)")
+    val undirected = Iterative.truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").alias("src"), col("src").alias("dst")))
+        .distinct(), checkpointDir)
+    val entry = undirected.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
+    val vecs = vectors.select(col("id").alias("n_id"), col("v").alias("n_v"))
+    val qv = queries.select(col("id").alias("q_id"), col("v").alias("q_v"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(vecs, "n_id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("n_id"),
+          VectorExprs.cosine(col("q_v"), col("n_v")).alias("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    var beam = Iterative.truncate(
+      score(qv.select(col("q_id")).withColumn("n_id", lit(entry))), checkpointDir)
+    (1 to hops).foreach { _ =>
+      val frontier = broadcast(beam.select(col("q_id"), col("n_id")))
+        .join(undirected, col("n_id") === col("src"))
+        .select(col("q_id"), col("dst").alias("n_id"))
+        .distinct()
+      // scores are pure functions of (q, n): the beam already carries its
+      // own, so only the frontier pays the vector join; max() is just the
+      // dedup when a frontier node re-finds a beam member
+      beam = Iterative.truncate(
+        beam.union(score(frontier))
+          .groupBy(col("q_id"), col("n_id")).agg(max(col("score")).alias("score"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= ef)
+          .drop("__rn"), checkpointDir)
+    }
+    beam.filter(col("n_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id").alias("query_id"), col("n_id").alias("neighbor_id"),
+        round(col("score"), 6).alias("cosine"), col("rank"))
+  }
+
+  /** Persist a kNN graph index: [[nswBuildGraph]] edges plus the vector
+    * table (search needs both — edges to walk, vectors to score). Build
+    * once / serve many, the q405 layout contract for the graph tier: a
+    * stored layout that changed the ANSWER would hash-fail the serve
+    * query against the inline oracle.
+    */
+  def writeNswIndex(edges: DataFrame, vectors: DataFrame, path: String): Unit = {
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+    vectors.select(col("id"), col("v")).write.mode("overwrite")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Serve [[nswGreedySearch]] from a persisted [[writeNswIndex]] layout:
+    * no graph build, no corpus assignment — the per-query cost is the
+    * fixed hop pipeline over the stored edge list.
+    */
+  def nswSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, hops: Int, ef: Int, k: Int,
+      checkpointDir: Option[String] = None): DataFrame =
+    nswGreedySearch(spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/vectors"), queries, hops, ef, k, checkpointDir)
+
   /** Candidate-volume instrument for the persisted-index serve path: the
     * (q_id, c_id) pairs entering [[ivfTopKIndexed]]'s exact-scoring join
     * (Σ probed-cell sizes over the query set) BEFORE top-k truncation —

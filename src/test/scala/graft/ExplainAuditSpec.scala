@@ -51,7 +51,10 @@ class ExplainAuditSpec extends SparkSpec {
     "q215_retrieval_eval" -> "single-literal qid fixture: the (qid) equi key constant-folds away, leaving a join of two per-query 1-row aggregates (grouped aggregates have no static maxRows); with real multi-query inputs the join stays equi on qid",
     "q241_cluster_purity" -> "centroid frame = the first-8 embeddings read from parquet (bounded by the vec_id < 8 contract; a parquet filter has no static maxRows — the q65/q79 pattern)",
     "q316_ivf_cell_drift" -> "two assignToCentroids passes against the same first-8 centroid frame (the q65/q79 vec_id < 8 contract; one non-equi join per corpus half)",
-    "q367_skyline3d" -> "dominance anti-join's right side is the explicitly broadcast per-partition skyline candidate set — bounded by the BNL pruning contract (|skyline| << n), not statically provable (mapPartitions has no static maxRows)"
+    "q367_skyline3d" -> "dominance anti-join's right side is the explicitly broadcast per-partition skyline candidate set — bounded by the BNL pruning contract (|skyline| << n), not statically provable (mapPartitions has no static maxRows)",
+    "q410_nsw_graph" -> "kNN-graph build = q38's fixture-quantizer shape with the corpus on BOTH sides: the two assign crossJoins are against the broadcast first-16 quantizer (vec_id < 16 parquet filter has no static maxRows); the corpus-sized probe join itself is equi on cell",
+    "q413_ann_ivf_recall" -> "recall harness contains q36's exact brute-force baseline (declared small query side, vec_id < 10 parquet filter) and q38's fixture-quantizer assign crossJoins as the approximate arm",
+    "q414_nsw_recall" -> "same recall harness: q36's exact brute-force baseline as the ground truth (the walk arm's joins are equi / checkpoint-truncated)"
   )
 
   private def nonEquiJoins(plan: LogicalPlan): Seq[Join] = plan.collect {

@@ -444,6 +444,72 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
   }
+  test("nswBuildGraph at nprobe = nlist equals brute-force kNN of the corpus") {
+    // probing every cell removes the approximation: each node's out-edges
+    // must be exactly its brute-force top-`degree` neighbors
+    val cents = corpus.filter($"id" < 4)
+      .select($"id".cast("int").as("cell"), $"v".as("cv"))
+    val got = Similarity.nswBuildGraph(corpus, cents, nprobe = 4, degree = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    val want = Similarity.bruteForceTopK(corpus, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("nswGreedySearch expands exactly one hop-ball per round from the entry node") {
+    // path graph 0-1-2-3-4 over vectors at increasing angles: after h hops
+    // the beam is precisely the nodes within h edges of the entry (min id =
+    // 0), so a query at node 0 sees neighbors {1..h} and nothing farther
+    val vecs = (0L to 4L).map { i =>
+      val a = i * math.Pi / 18 // 10 degrees apart: cosine strictly decays
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "v")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val queries = vecs.filter($"id" === 0L)
+    for (hops <- 1 to 4) {
+      val got = Similarity.nswGreedySearch(edges, vecs, queries,
+          hops = hops, ef = 10, k = 10)
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+      // ranked by cosine to node 0: nearer angle first = ascending id
+      assert(got.toSeq == (1L to hops.toLong).map(i => (i, i)),
+        s"hops=$hops reachable set wrong")
+    }
+  }
+
+  test("nswGreedySearch full-coverage walk equals brute force; layout-invariant") {
+    val cents = corpus.filter($"id" < 4)
+      .select($"id".cast("int").as("cell"), $"v".as("cv"))
+    val edges = Similarity.nswBuildGraph(corpus, cents, nprobe = 2, degree = 6)
+    val queries = corpus.filter($"id" < 3)
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Similarity.nswGreedySearch(e, corpus, queries, hops = 6, ef = 50, k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    val got = run(edges)
+    // ef covers the whole corpus and the symmetrized degree-6 graph is
+    // connected enough that 6 hops reach everything: the walk must find
+    // the exact brute-force answer
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"),
+        $"rank".cast("long").as("rank"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == brute)
+    assert(run(edges.repartition(5)) == got, "partition layout changed the walk")
+  }
+
+  test("persisted NSW index serves the same answers as the inline walk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_idx").toString
+    val cents = corpus.filter($"id" < 4)
+      .select($"id".cast("int").as("cell"), $"v".as("cv"))
+    val edges = Similarity.nswBuildGraph(corpus, cents, nprobe = 2, degree = 4)
+    val queries = corpus.filter($"id" < 3)
+    val inline = Similarity.nswGreedySearch(edges, corpus, queries,
+      hops = 4, ef = 12, k = 4).collect().map(_.toString).sorted.toSeq
+    Similarity.writeNswIndex(edges, corpus, dir)
+    val served = Similarity.nswSearchIndexed(spark, dir, queries,
+      hops = 4, ef = 12, k = 4).collect().map(_.toString).sorted.toSeq
+    assert(served == inline)
+  }
+
   test("gramMatrix: hand outer products, upper triangle only, negative quantization floors") {
     import spark.implicits._
     // v1 = [1.0, -0.5], v2 = [2.0, 0.25]; q(scale 10): [10, -5], [20, 2]
