@@ -68,6 +68,35 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional per-job breakdown (-Dgraft.probe.jobs=1): job wall times and
+    // stage/task counts, the local-mode substitute for the disabled UI —
+    // attributes a query's seconds to scheduling waves vs real compute
+    if (sys.props.get("graft.probe.jobs").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dt = Option(t0.remove(j.jobId))
+              .map(s => (System.nanoTime() - s) / 1e9).getOrElse(-1.0)
+            System.err.println(f"[probe-job] job=${j.jobId}%3d ${dt}%7.3f s")
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = s.stageInfo
+            val dur = (for {a <- i.completionTime; b <- i.submissionTime}
+              yield (a - b) / 1e3).getOrElse(-1.0)
+            val m = i.taskMetrics
+            val sr = m.shuffleReadMetrics.recordsRead
+            val sw = m.shuffleWriteMetrics.recordsWritten
+            val in = m.inputMetrics.recordsRead
+            System.err.println(f"[probe-stage] stage=${i.stageId}%3d tasks=${i.numTasks}%3d ${dur}%7.3f s  in=$in sr=$sr sw=$sw  ${i.name.take(40)}")
+          }
+        })
+    }
     val fn = SparkEntry.queries(name)
     // one warm pass (plan + janino codegen), as Bench's warmup does
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

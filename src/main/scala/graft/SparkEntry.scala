@@ -54,6 +54,15 @@ object SparkEntry {
     else df
   }
 
+  /** [[graft.operators.Relational.spread]] re-exported for the query
+    * registry: parallelize an under-split scan before expensive fused
+    * per-row work (codec/synth UDFs, tokenization, wide decimal
+    * aggregation). Conditional — a no-op whenever the input already has
+    * >= cores partitions, so it never pessimizes a real many-split table.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    graft.operators.Relational.spread(df)
+
   /** q174/q406's shared IVFADC fixture quantizer over a (id, v) corpus:
     * coarse centroids = the first-8 vectors, residual PQ codebooks =
     * 8-dim sub-slices of the first-16 vectors' residuals — deterministic,
@@ -100,8 +109,8 @@ object SparkEntry {
     * A/B-measured equal-to-slower (the candidate join dominates).
     */
   def tfidfBigramVecs(s: SparkSession, dir: String): DataFrame = {
-    val withBi = t(s, dir, "documents")
-      .filterCol(pmod(col("doc_id"), lit(3L)) === 0L)
+    val withBi = spread(t(s, dir, "documents")
+      .filterCol(pmod(col("doc_id"), lit(3L)) === 0L))
       .withColumn("__toks", TextFns.tokens(col("text")))
       .withColumn("__bi", expr(
         """IF(size(__toks) < 2, array(),
@@ -346,7 +355,7 @@ object SparkEntry {
   }
 
   private[graft] def q1Pricing(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
+    val l = spread(t(s, dir, "lineitem"))
       .filterCol(col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1998-09-02")))
     val disc  = col("l_extendedprice") * (lit(1) - col("l_discount"))
     val charge = disc * (lit(1) + col("l_tax"))

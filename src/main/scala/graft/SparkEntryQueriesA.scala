@@ -12,7 +12,7 @@ import graft.operators.Relational
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
 
-import graft.SparkEntry.{t, pqFixture, dsum, q1Pricing, scratchRoot, tfidfBigramVecs, bucketedRevenue, skewRebalanced}
+import graft.SparkEntry.{t, pqFixture, dsum, q1Pricing, scratchRoot, spread, tfidfBigramVecs, bucketedRevenue, skewRebalanced}
 
 /** [[SparkEntry.queries]] part: 213 entries, q01_select .. q370_boruvka_mst. Mechanical split
   * of the single registry map (round 12) — entry order, bodies, and keys
@@ -50,7 +50,7 @@ private[graft] object SparkEntryQueriesA {
     "q04_agg" -> ((s, dir) => q1Pricing(s, dir)),
 
     "q05_agg_global" -> ((s, dir) =>
-      t(s, dir, "lineitem").aggregate(Seq.empty, Seq(
+      spread(t(s, dir, "lineitem")).aggregate(Seq.empty, Seq(
         count(lit(1)).as("n_rows"),
         dsum(col("l_quantity")).as("sum_qty"),
         min(col("l_quantity")).as("min_qty"),
@@ -1190,10 +1190,10 @@ private[graft] object SparkEntryQueriesA {
       // oracle — the driver hash pins a real encode->decode->resample
       // chain, not a stub. Codec calls are UDFs by design: a codec is a
       // black-box native-style call, everything around it stays columnar.
-      val withPng = t(s, dir, "documents")
+      val withPng = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
-          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h")))
+          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h"))))
         .withColumn("png", Multimodal.synthGrayPngUdf(col("doc_id"), col("w"), col("h")))
       withPng
         .withColumn("info", Multimodal.decodeImage(col("png")))
@@ -1218,9 +1218,9 @@ private[graft] object SparkEntryQueriesA {
       // reported number replays as integer arithmetic in the oracle —
       // q145's pattern for the audio modality. abs_sum/mean_abs is the
       // energy proxy an audio quality gate thresholds on.
-      val withWav = t(s, dir, "documents")
+      val withWav = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
-          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n")))
+          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n"))))
         .withColumn("wav", Multimodal.synthPcmWavUdf(col("doc_id"), col("n")))
       withWav
         .withColumn("info", Multimodal.decodeAudio(col("wav")))
@@ -1269,11 +1269,11 @@ private[graft] object SparkEntryQueriesA {
       // encode->demux->sample->decode chain replays as integer arithmetic
       // in the oracle — q145/q146's pattern for the video modality (and the
       // replacement for the frame-sampling stub earlier rounds carried).
-      val withGif = t(s, dir, "documents")
+      val withGif = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           (lit(6) + pmod(col("doc_id"), lit(5))).cast("int").as("w"),
           (lit(6) + pmod(col("doc_id"), lit(4))).cast("int").as("h"),
-          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf")))
+          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))))
         .withColumn("gif",
           Multimodal.synthAnimGifUdf(col("doc_id"), col("w"), col("h"), col("nf")))
       withGif
@@ -2447,10 +2447,10 @@ private[graft] object SparkEntryQueriesA {
       // gray PNGs split into 4x4 patches, exact integer gray sum per
       // patch (edge patches partial, n_px says how). PNG lossless ⇒ every
       // patch sum replays as plain integer math in the oracle.
-      val withPng = t(s, dir, "documents")
+      val withPng = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
-          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h")))
+          (lit(8) + pmod(col("doc_id"), lit(7))).cast("int").as("h"))))
         .withColumn("png", Multimodal.synthGrayPngUdf(col("doc_id"), col("w"), col("h")))
       withPng
         .withColumn("p", explode(Multimodal.patchGridUdf(4, 4)(col("png"))))
@@ -2466,10 +2466,10 @@ private[graft] object SparkEntryQueriesA {
       // deliberately NOT aligned to the block length, so the threshold
       // genuinely decides the straddling frames — merged into islands of
       // mean|s| >= 4000. PCM lossless ⇒ the oracle replays every sample.
-      val wavs = t(s, dir, "documents")
+      val wavs = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           (lit(2080) + pmod(col("doc_id"), lit(5L)).cast("int") * lit(32))
-            .cast("int").as("n")))
+            .cast("int").as("n"))))
         .withColumn("wav", Multimodal.synthBurstPcmWavUdf(col("doc_id"), col("n")))
       Multimodal.vadSegments(wavs, col("doc_id").as("id"), col("wav"),
           window = 48, thrMilli = 4000000L, minFrames = 2)

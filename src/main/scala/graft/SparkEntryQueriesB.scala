@@ -12,7 +12,7 @@ import graft.operators.Relational
 import graft.operators.Relational.GraftOps
 import graft.streaming.EventStreams
 
-import graft.SparkEntry.{t, pqFixture, dsum, q1Pricing, scratchRoot, tfidfBigramVecs, bucketedRevenue, skewRebalanced}
+import graft.SparkEntry.{t, pqFixture, dsum, q1Pricing, scratchRoot, spread, tfidfBigramVecs, bucketedRevenue, skewRebalanced}
 
 /** [[SparkEntry.queries]] part: 196 entries, q371_concentration .. q65_centroid_assign. Mechanical split
   * of the single registry map (round 12) — entry order, bodies, and keys
@@ -1023,16 +1023,20 @@ private[graft] object SparkEntryQueriesB {
       // planted); time-aligned (idx, sum) keys make the witness honest.
       // Set Jaccard >= 0.6 keeps the planted prefix cuts; GIF is lossless
       // so the oracle replays every frame sum from the synthesis formula.
-      val clips = t(s, dir, "documents")
+      val clips = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), expr("doc_id DIV 3").as("seed"),
-          (lit(6) + pmod(col("doc_id"), lit(4L)).cast("int")).as("nf")))
+          (lit(6) + pmod(col("doc_id"), lit(4L)).cast("int")).as("nf"))))
         .withColumn("gif", Multimodal.synthAnimGifUdf(
           col("seed"), lit(16), lit(12), col("nf")))
+      // persisted: the frame-set fingerprint is consumed THREE times (sizes
+      // + both join sides); without it every consumer re-synthesizes and
+      // re-demuxes all 500 GIFs (the q304 column-pruning reuse defeat)
       val frames = clips
         .selectCols(Seq(col("doc_id").as("id"),
           explode(Multimodal.sampleFrameInfos(1)(col("gif"))).as("fr")))
         .selectCols(Seq(col("id"), col("fr._1").as("fidx"), col("fr._4").as("fsum")))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = frames.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       frames.alias("a")
         .join(frames.alias("b"),
@@ -1059,10 +1063,10 @@ private[graft] object SparkEntryQueriesB {
       // identical print — the perceptual-match-across-binaries claim,
       // pinned because PCM is lossless and the print is integer
       // arithmetic the oracle replays from the synth formula.
-      val wavs = t(s, dir, "documents")
+      val wavs = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"), expr("doc_id DIV 3").as("seed"),
           (lit(2080) + pmod(col("doc_id"), lit(5L)).cast("int") * lit(32))
-            .cast("int").as("n")))
+            .cast("int").as("n"))))
         .withColumn("wav", Multimodal.synthNoisePcmWavUdf(col("seed"), col("n")))
         .withColumn("sig", Multimodal.audioFingerprint64(32)(col("wav")))
       Dedup.hamming64Pairs(wavs, col("doc_id"), col("sig"), maxHamming = 3)
@@ -1688,9 +1692,9 @@ private[graft] object SparkEntryQueriesB {
       // filter thresholds on (hiss = high bands, hum = low), and the
       // oracle replays it with bit_count arithmetic because PCM is
       // lossless.
-      val withWav = t(s, dir, "documents")
+      val withWav = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
-          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n")))
+          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n"))))
         .withColumn("wav", Multimodal.synthPcmWavUdf(col("doc_id"), col("n")))
       withWav
         .selectCols(Seq(col("doc_id").as("id"),
@@ -1708,11 +1712,11 @@ private[graft] object SparkEntryQueriesB {
       // 256 each frame, so per-pixel diffs are 17 or 239 (wraparound) —
       // the oracle replays both branches exactly because GIF LZW is
       // lossless on the indexed raster.
-      val withGif = t(s, dir, "documents")
+      val withGif = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           (lit(6) + pmod(col("doc_id"), lit(5))).cast("int").as("w"),
           (lit(6) + pmod(col("doc_id"), lit(4))).cast("int").as("h"),
-          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf")))
+          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("nf"))))
         .withColumn("gif",
           Multimodal.synthAnimGifUdf(col("doc_id"), col("w"), col("h"), col("nf")))
       withGif
@@ -1872,9 +1876,9 @@ private[graft] object SparkEntryQueriesB {
       // silence flag is one integer compare (mean |s| < 16384 ⟺ abs_sum <
       // 16384·n). PCM is lossless, so every window replays from the synth
       // formula in the oracle.
-      val withWav = t(s, dir, "documents")
+      val withWav = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
-          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n")))
+          (lit(64) + pmod(col("doc_id"), lit(41))).cast("int").as("n"))))
         .withColumn("wav", Multimodal.synthPcmWavUdf(col("doc_id"), col("n")))
       withWav
         .selectCols(Seq(col("doc_id").as("id"),
@@ -2560,10 +2564,10 @@ private[graft] object SparkEntryQueriesB {
       // Bench note: the ~6 s at sf0.1 is CODEC-bound (one PNG encode +
       // decode per doc) plus component rounds — strictly linear in corpus
       // size; the pair join stays pigeonhole-bounded (no quadratic term).
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           pmod(col("doc_id"), lit(47)).as("g"),
-          expr("doc_id div 47").as("off")))
+          expr("doc_id div 47").as("off"))))
         .selectCols(Seq(col("doc_id"), col("g"), col("off"),
           (lit(8) + pmod(col("g"), lit(9))).cast("int").as("w"),
           (lit(8) + pmod(col("g"), lit(7))).cast("int").as("h")))
@@ -2724,10 +2728,10 @@ private[graft] object SparkEntryQueriesB {
       // join). PNG is lossless + dHash is integer arithmetic, so the oracle
       // replays the exact bits from the synthesis formula and brute-forces
       // the 500-doc pair set — the driver hash pins decode + hash + join.
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents")
         .selectCols(Seq(col("doc_id"),
           pmod(col("doc_id"), lit(47)).as("g"),
-          expr("doc_id div 47").as("off")))
+          expr("doc_id div 47").as("off"))))
         .selectCols(Seq(col("doc_id"), col("g"), col("off"),
           (lit(8) + pmod(col("g"), lit(9))).cast("int").as("w"),
           (lit(8) + pmod(col("g"), lit(7))).cast("int").as("h")))

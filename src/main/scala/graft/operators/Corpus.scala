@@ -186,7 +186,7 @@ object Corpus {
   def stripBoilerplate(df: DataFrame, id: Column, text: Column,
       minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = df
+    val lines = Relational.spread(df)
       .select(id.alias("id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(trim(col("line"))))
     val boiler = lines.filter(trim(col("line")) =!= "")
@@ -427,7 +427,7 @@ object Corpus {
   def tfIdfTopTerms(df: DataFrame, id: Column, terms: Column, k: Int,
       logIdf: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = df.select(id.alias("id"), explode(terms).alias("term"))
+    val tf = Relational.spread(df).select(id.alias("id"), explode(terms).alias("term"))
       .groupBy("id", "term").agg(count(lit(1)).alias("tf"))
     // doc_freq as a window over tf, NOT a second aggregate joined back:
     // that formulation re-scans and re-tokenizes the raw text (the
@@ -609,7 +609,7 @@ object Corpus {
       scale: Long = 1000000L, portable: Boolean = false): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(scale > 0, s"scale must be positive, got $scale")
-    val tf = df.select(id.alias("id"), explode(terms).alias("term"))
+    val tf = Relational.spread(df).select(id.alias("id"), explode(terms).alias("term"))
       .groupBy("id", "term").agg(count(lit(1)).alias("tf"))
     val wTerm = Window.partitionBy(col("term"))
     val nDocs = df.select(id.alias("id")).distinct()
@@ -1123,7 +1123,7 @@ object Corpus {
       k: Int): DataFrame = {
     require(width > 0 && depth > 0 && k > 0,
       s"width/depth/k must be positive, got $width/$depth/$k")
-    val toks = df.select(explode(arrays_zip(
+    val toks = Relational.spread(df).select(explode(arrays_zip(
         graft.functions.TextFns.tokens(text).alias("tok"),
         graft.plans.TextExprs.tokenHashes(text, portable = true).alias("h")))
         .alias("z"))
@@ -1397,7 +1397,7 @@ object Corpus {
   def dsirWeights(df: DataFrame, id: Column, terms: Column,
       isTarget: Column, unit: Long = 1000000000L): DataFrame = {
     require(unit > 0, s"unit must be positive, got $unit")
-    val toks = df.select(id.alias("id"), isTarget.alias("tgt"),
+    val toks = Relational.spread(df).select(id.alias("id"), isTarget.alias("tgt"),
         explode(terms).alias("w"))
     val wc = toks.groupBy(col("w")).agg(
       count(lit(1)).alias("r"),
@@ -1453,7 +1453,7 @@ object Corpus {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
-    val sym0 = df.select(explode(terms).alias("w"))
+    val sym0 = Relational.spread(df).select(explode(terms).alias("w"))
       .groupBy(col("w")).agg(count(lit(1)).alias("wc"))
       .select(concat_ws(" ", split(col("w"), "")).alias("sym"), col("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

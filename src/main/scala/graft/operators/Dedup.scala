@@ -144,7 +144,7 @@ object Dedup {
     // without persistence Spark recomputes the shingling for each reference.
     // At scale this is ~1 KB/doc — far smaller than the corpus it derives
     // from, and exactly what MLlib's LSH caches too.
-    val docs = df
+    val docs = Relational.spread(df)
       .select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -222,7 +222,9 @@ object Dedup {
       s"ngramJaccardPairs cost grows superlinearly (sum of squared shingle doc-freqs): " +
         s"estimated input $est bytes > $maxInputBytes. Use minhashLshPairs for scale, " +
         s"or raise maxInputBytes to force a ground-truth run.")
-    val docs = df.select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+    val docs = Relational.spread(df)
+      .select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = docs.select(col("id"), explode(col("sh")).alias("g"))
     val a = inv.alias("a"); val b = inv.alias("b")
     val inter = a
@@ -264,7 +266,9 @@ object Dedup {
       s"containmentPairs cost grows superlinearly (sum of squared shingle doc-freqs): " +
         s"estimated input $est bytes > $maxInputBytes. Generate candidates with " +
         s"minhashLshPairs at scale, or raise maxInputBytes for a ground-truth run.")
-    val docs = df.select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+    val docs = Relational.spread(df)
+      .select(id.alias("id"), TextFns.shingleHashes(text, ngram).alias("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = docs.select(col("id"), explode(col("sh")).alias("g"))
     val a = inv.alias("a"); val b = inv.alias("b")
     val inter = a
@@ -316,7 +320,8 @@ object Dedup {
     // (via the chunk explode) the bucket-size aggregation AND both
     // self-join sides — without it the corpus is re-tokenized and
     // re-simhashed three times.
-    val docs = df.select(id.alias("id"), simhash(text, portable).alias("sim"))
+    val docs = Relational.spread(df)
+      .select(id.alias("id"), simhash(text, portable).alias("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (hamming64Pairs(docs, col("id"), col("sim"), maxHamming, maxBucket), docs)
   }
@@ -331,7 +336,13 @@ object Dedup {
   def hamming64Pairs(df: DataFrame, id: Column, sig: Column, maxHamming: Int = 3,
       maxBucket: Int = 1 << 20): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only for hamming <= 3")
+    // persisted: the (id, sim) frame is consumed by THREE plan branches
+    // (bucket sizes, both sides of the candidate self-join), and `sig` is
+    // typically an expensive codec/fingerprint UDF chain — without the
+    // persist each branch re-decodes the corpus (the multimodal neardup
+    // queries paid the decode up to 3x; the frame itself is 16 bytes/row)
     val docs = df.select(id.alias("id"), sig.alias("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkArr = array((0 until 4).map { j =>
       struct(lit(j).alias("chunk"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xffffL)).alias("key"))
     }: _*)
@@ -421,12 +432,20 @@ object Dedup {
     */
   private def sparseCosineStage(vecs: DataFrame,
       maxBucket: Int): (DataFrame, DataFrame) = {
+    // persisted: the sparse-vector frame is consumed FOUR times (norms,
+    // bucket sizes, both candidate-join sides), and its upstream is the
+    // whole tokenize->hash->tf-idf pipeline; column pruning specializes
+    // each consumer's subtree (different ReadSchema), so exchange reuse
+    // does NOT dedup them — measured: the tokenize+explode stage ran 3x
+    // and the tf-idf aggregate 2x per q304 execution without the persist.
     val v = vecs.toDF("id", "bucket", "w")
       .select(col("id"), col("bucket"), col("w").cast("long").alias("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n2 = v.groupBy("id").agg(sum(col("w") * col("w")).alias("n2"))
     val bucketSizes = v.groupBy("bucket").count()
-    val kept = v.join(bucketSizes.filter(col("count") <= maxBucket)
-      .select("bucket"), Seq("bucket"))
+    val kept = Relational.spreadBy(
+      v.join(bucketSizes.filter(col("count") <= maxBucket)
+        .select("bucket"), Seq("bucket")), col("bucket"))
     val cand = kept.alias("a")
       .join(kept.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -469,11 +488,12 @@ object Dedup {
       minPpm: Long, maxDf: Int = 1 << 20): DataFrame = {
     require(minPpm >= 1 && minPpm <= 1000000L,
       s"minPpm must be in [1, 1000000], got $minPpm")
-    val tf = docs.select(id.alias("id"),
+    val tf = Relational.spread(docs).select(id.alias("id"),
         explode(graft.functions.TextFns.tokens(text)).alias("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).alias("tf"))
     val dfreq = tf.groupBy("tok").count()
     val kept = tf.join(dfreq.filter(col("count") <= maxDf).select("tok"), Seq("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // totals over the KEPT multiset, not the raw one: pruning a ubiquitous
     // token from the intersection but not the union would push true
     // near-dups BELOW threshold — df-capping must shrink both sides (the
@@ -1265,7 +1285,7 @@ object Dedup {
   def dupSubstrSpans(df: DataFrame, id: Column, terms: Column, k: Int,
       hashShingles: Boolean = false): DataFrame = {
     require(k >= 2, s"window width k must be >= 2, got $k")
-    val base = df.select(id.alias("id"), terms.alias("toks"))
+    val base = Relational.spread(df).select(id.alias("id"), terms.alias("toks"))
       .withColumn("n_tokens", size(col("toks")))
     val pos = base.filter(col("n_tokens") >= k)
       .select(col("id"), posexplode(expr(
@@ -1424,7 +1444,7 @@ object Dedup {
   private def ppJoinStage(df: DataFrame, id: Column, tokens: Column,
       tPpm: Long): PpJoinStage = {
     require(tPpm > 0 && tPpm <= 1000000L, s"tPpm must be in (0, 1e6], got $tPpm")
-    val d = df.select(id.cast("long").alias("id"),
+    val d = Relational.spread(df).select(id.cast("long").alias("id"),
         array_distinct(tokens).alias("tk"))
       .withColumn("sz", size(col("tk")).cast("long"))
       .filter(col("sz") > 0)

@@ -62,7 +62,9 @@ object Pipeline {
       pairFn: (DataFrame, Column, Column, Double) => DataFrame =
         (df, idc, txt, t) => Dedup.ngramJaccardPairs(df, idc, txt, threshold = t)
   ): (DataFrame, DataFrame) = {
-    val scored = docs.select(
+    // spread: language-id + quality scoring is fused into the scan —
+    // single-split inputs would score the whole corpus on one core
+    val scored = Relational.spread(docs).select(
       id.alias("id"),
       text.alias("text"),
       TextFns.langId(text).alias("lang_pred"),

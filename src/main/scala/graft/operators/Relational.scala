@@ -20,6 +20,49 @@ object Relational {
   val JoinTypes: Set[String] =
     Set("inner", "left", "right", "full", "left_semi", "right_semi", "left_anti", "right_anti", "cross")
 
+  /** Parallelize an under-split input before expensive fused per-row work
+    * (codec/synth UDFs, tokenization+shingling, wide decimal aggregation).
+    *
+    * A scan with fewer splits than cores serializes everything whole-stage
+    * codegen fuses onto it — the optimization guide's input-skew case
+    * ("one huge unsplittable file", §2.5), which single-row-group parquet
+    * reproduces exactly: Spark can plan byte-range splits, but only the
+    * split holding the row-group midpoint reads rows, so the stage runs on
+    * ONE core regardless of the session's parallelism. The fix is the
+    * guide's: repartition immediately after the read, BEFORE attaching the
+    * expensive expressions, so the narrow raw rows pay one tiny exchange
+    * and the heavy map work runs cores-wide.
+    *
+    * Conditional by measurement, not configuration: when the input already
+    * has >= defaultParallelism partitions (any real multi-split table — the
+    * 100 TB case), this is the identity, so callers can use it
+    * unconditionally without pessimizing scale. The partition count tracks
+    * the session's parallelism (`local[$SPARK_GRAFT_CPUS]` under the
+    * driver), never a tuned constant. (A/B at sf0.1: TPC-H Q1's fused
+    * scan+decimal-agg 2.3 s -> 1.4 s; the checked `rdd.getNumPartitions`
+    * costs one plan->RDD conversion, no job.)
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
+  /** Pin an exploding join's input partitioning at the session's
+    * parallelism. AQE coalesces post-shuffle partitions by INPUT shuffle
+    * bytes, so a pair-generating self-join whose input is megabytes but
+    * whose OUTPUT is Σ|bucket|² rows collapses to a single task — the
+    * 73M-row candidate join behind the TF-IDF cosine pairs ran on ONE core
+    * (measured: one 2.8 s single-task stage inside a 13 s query). A
+    * user-specified repartition is exempt from AQE coalescing, and keying
+    * it on the join column means the self-join reuses this one exchange
+    * for both sides. The count tracks `defaultParallelism` (the session's
+    * core budget under the driver contract), never a tuned constant — at
+    * cluster scale the same call pins the join at cluster parallelism,
+    * which is what an exploding join wants there too.
+    */
+  def spreadBy(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+
   implicit class GraftOps(val df: DataFrame) extends AnyVal {
 
     /** Force analysis now (name resolution + type checking), returning the
@@ -596,7 +639,11 @@ object Relational {
         if (approximate) percentile_approx(v, array(lit(lo), lit(hi)), lit(accuracy))
         else percentile(v, array(lit(lo), lit(hi)))
       val gk = group.indices.map(i => s"__g$i")
-      val bounds = df
+      // spread: the exact percentile buffers every value in its aggregation
+      // buffer during the scan-fused partial agg — on a single-split input
+      // that whole pass runs on one core (the clamp side still streams the
+      // raw table unshuffled)
+      val bounds = Relational.spread(df)
         .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
         .agg(both.alias("__p"))
         .select(col("*"), element_at(col("__p"), 1).alias("p_lo"),
@@ -654,11 +701,15 @@ object Relational {
         if (approximate) percentile_approx(c, lit(0.5), lit(accuracy))
         else percentile(c, lit(0.5))
       val gk = group.indices.map(i => s"__g$i")
-      val medians = df
+      // spread: both percentile aggregations (median, then MAD over the
+      // broadcast-joined deviations) are scan-fused — single-split inputs
+      // would run each 600k-value buffer pass on one core
+      val dfS = Relational.spread(df)
+      val medians = dfS
         .groupBy(group.zip(gk).map { case (g, n) => g.alias(n) }: _*)
         .agg(med(v).alias("v_med"))
       val cond = group.zip(gk).map { case (g, n) => g === col(n) }.reduce(_ && _)
-      val withMed = df.join(broadcast(medians), cond)
+      val withMed = dfS.join(broadcast(medians), cond)
       val mads = withMed
         .groupBy(gk.map(col): _*)
         .agg(med(abs(v - col("v_med"))).alias("v_mad"))
@@ -1034,7 +1085,10 @@ object Relational {
             )
         base ++ num
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      // spread: two exact-percentile buffers + the stat battery are fused
+      // into the scan — single-split inputs would run the whole pass on
+      // one core (q25 measured 3.5 s at sf0.1, dominated by this stage)
+      val row = Relational.spread(df).agg(aggs.head, aggs.tail: _*).collect()(0)
       val idx = row.schema.fieldNames.zipWithIndex.toMap
       val stats = Seq("count", "null_count", "mean", "std", "min", "max", "median")
       val data = stats.map { s =>
@@ -1764,10 +1818,13 @@ object Relational {
       end: Column, buckets: Int = 64, probeEps: Double = 0.02): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(probeEps > 0 && probeEps <= 0.5, s"probeEps must be in (0, 0.5], got $probeEps")
-    val b = df.select(id.cast("long").alias("id"),
+    // spread: the boundary frame is consumed three times (quantile probe,
+    // bucket partials, the bucketed windows) with the per-row bucket
+    // search fused in — single-split inputs would run each pass one-core
+    val b = spread(df.select(id.cast("long").alias("id"),
         start.cast("long").alias("t"), lit(1L).alias("d"))
       .union(df.select(id.cast("long").alias("id"),
-        end.cast("long").alias("t"), lit(-1L).alias("d")))
+        end.cast("long").alias("t"), lit(-1L).alias("d"))))
     val bounds = b.stat.approxQuantile("t",
       (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
       .map(_.toLong).distinct.sorted

@@ -60,7 +60,11 @@ object Similarity {
       queries: DataFrame, // columns (id, v)
       k: Int = 10
   ): DataFrame = {
-    val c = corpus.select(col("id").alias("c_id"), col("v").alias("c_v"))
+    // corpus side spread: the all-pairs scoring loop is fused into the
+    // corpus scan, and a single-split scan (one parquet row group) would
+    // run the whole |corpus| x |queries| cosine sweep on ONE core
+    val c = Relational.spread(
+      corpus.select(col("id").alias("c_id"), col("v").alias("c_v")))
     val q = queries.select(col("id").alias("q_id"), col("v").alias("q_v"))
     val scored = c
       .join(broadcast(q), col("c_id") =!= col("q_id"))
@@ -263,7 +267,9 @@ object Similarity {
   private def ivfAssignCells(df: DataFrame, centDf: DataFrame, vcol: String,
       n: Int): DataFrame = {
     // score against every centroid (broadcast — nlist is tiny), keep top-n cells
-    val scored = df
+    // (spread: the nlist-way scoring sweep is fused into the input scan —
+    // single-split inputs would assign the whole corpus on one core)
+    val scored = Relational.spread(df)
       .crossJoin(broadcast(centDf))
       .select(df.columns.map(col) :+ col("cell") :+ VectorExprs.cosine(col(vcol), col("cv")).alias("cscore"): _*)
     if (n == 1) {

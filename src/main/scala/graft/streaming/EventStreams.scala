@@ -250,6 +250,7 @@ object EventStreams {
       val q = streamingFunnel(stream, stages, winMicros).writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
         .queryName(queryName)
         .start()
       q.processAllAvailable()
@@ -371,6 +372,7 @@ object EventStreams {
       val q = sessionizeStream(stream, gapMinutes).writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
         .queryName(queryName)
         .start()
       q.processAllAvailable()
@@ -404,6 +406,7 @@ object EventStreams {
     val q = windowedCounts(stream, windowLen).writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -494,6 +497,34 @@ object EventStreams {
         f"[staged] built zone for '$key' in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       dir
     })
+
+  /** JVM-scoped root for the smoke harnesses' streaming checkpoints.
+    *
+    * A streaming query started without a checkpointLocation gets a
+    * TEMPORARY checkpoint under `java.io.tmpdir` — a DISK path, and state
+    * commits fsync per partition per micro-batch, so the drain bills the
+    * box's disk-sync latency to whatever operator is being smoked
+    * (measured on a slow-disk box: q49's one-batch dedup drain 17 s with
+    * the temp checkpoint on /tmp vs 1.9 s with it on the scratch root).
+    * Production always names its checkpoint location; the smokes now do
+    * too, under the same scratch root every other harness write uses
+    * (tmpfs when the bench redirects `graft.scratch`, the repo target dir
+    * otherwise). Each invocation gets a FRESH subdirectory — reusing a
+    * checkpoint would resume committed offsets and skip recomputation,
+    * which for a measured pass is result caching, not measurement. The
+    * root dies with the JVM (shutdown hook), so nothing leaks across runs.
+    */
+  private lazy val ckptRoot: String = {
+    val base = java.nio.file.Paths.get(graft.SparkEntry.scratchRoot)
+    java.nio.file.Files.createDirectories(base)
+    val d = java.nio.file.Files.createTempDirectory(base, "graft_ckpt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(d.toString) catch { case _: Throwable => () }))
+    d.toString
+  }
+  private val ckptCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def freshCkpt(tag: String): String =
+    s"$ckptRoot/$tag-${ckptCounter.getAndIncrement()}"
 
   /** Recursive delete shared by the fresh-start sinks. */
   private def deleteRecursively(d: String): Unit = {
@@ -713,6 +744,7 @@ object EventStreams {
     val q = dedupStream(stream, keyCols).writeStream
       .outputMode("append")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -748,6 +780,7 @@ object EventStreams {
     val q = stream.agg(aggs.head, aggs.tail: _*).writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -778,6 +811,7 @@ object EventStreams {
       .writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -818,6 +852,7 @@ object EventStreams {
       .writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -848,6 +883,7 @@ object EventStreams {
       .writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -878,6 +914,7 @@ object EventStreams {
       .writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -915,6 +952,7 @@ object EventStreams {
       .writeStream
       .outputMode("complete")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -979,6 +1017,7 @@ object EventStreams {
     val q = streamStaticEnrich(stream, dim, keys).writeStream
       .outputMode("append")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
@@ -1074,6 +1113,7 @@ object EventStreams {
       val q = out.writeStream
         .outputMode("update")
         .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
         .queryName(queryName)
         .start()
       q.processAllAvailable()
@@ -1191,6 +1231,7 @@ object EventStreams {
       val q = out.writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
         .queryName(queryName)
         .start()
       q.processAllAvailable()
@@ -1242,6 +1283,7 @@ object EventStreams {
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
         .queryName(queryName)
         .start()
       q.processAllAvailable()
@@ -1348,6 +1390,7 @@ object EventStreams {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
         .queryName(queryName)
         .start()
       q.processAllAvailable()
@@ -2677,6 +2720,7 @@ object EventStreams {
     val lock = new Object
     val q = src.writeStream
       .outputMode("append")
+      .option("checkpointLocation", freshCkpt("lsh_ingest"))
       .foreachBatch { (batch: DataFrame, _: Long) => lock.synchronized {
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val idx =
@@ -2711,6 +2755,7 @@ object EventStreams {
     val q = windowedCounts(stream).writeStream
       .outputMode("append")
       .format("memory")
+      .option("checkpointLocation", freshCkpt(queryName))
       .queryName(queryName)
       .start()
     q.processAllAvailable()
