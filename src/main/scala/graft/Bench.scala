@@ -493,14 +493,24 @@ object Bench {
       val trunc = if (truncated) s""","queries_shown":${qpairs.size},"queries_full":"bench_out.json"""" else ""
       // regressions ride the stdout line too (short keys): the driver's
       // artifact captures stdout's tail, and the whole point is that a
-      // round-over-round drift is visible IN the artifact
-      val regs = if (prevTimes.isEmpty && bestTimes.isEmpty) "" else
-        "," + "\"regressions\":" + results.collect {
-          case (name, tq) if isRegression(name, tq) =>
-            val p = prevOf(name).fold("null")(f2)
-            val b = bestOf(name).fold("null")(f2)
-            s"""{"q":"${shortKey(name)}","prev":$p,"best":$b,"now":${f2(tq)},"gc_ms":${gcOfChosen.getOrElse(name, 0L)}${attrJson(name)}}"""
-        }.mkString("[", ",", "]")
+      // round-over-round drift is visible IN the artifact. Capped at the
+      // 8 WORST now/ref ratios: a noisy run once tripped 39 flags whose
+      // JSON crowded the per-query map out of the byte budget entirely
+      // (queries_shown fell to 1) — the full list always rides
+      // bench_out.json, and `regressions_total` says when it was cut.
+      val regs = if (prevTimes.isEmpty && bestTimes.isEmpty) "" else {
+        val flagged = results.filter { case (n, tq) => isRegression(n, tq) }
+        val shown = flagged.sortBy { case (n, tq) => -worstRatio(n, tq) }.take(8)
+          .sortBy(_._1)
+        val totalNote =
+          if (flagged.size > shown.size)
+            s""","regressions_total":${flagged.size}""" else ""
+        "," + "\"regressions\":" + shown.map { case (name, tq) =>
+          val p = prevOf(name).fold("null")(f2)
+          val b = bestOf(name).fold("null")(f2)
+          s"""{"q":"${shortKey(name)}","prev":$p,"best":$b,"now":${f2(tq)},"gc_ms":${gcOfChosen.getOrElse(name, 0L)}${attrJson(name)}}"""
+        }.mkString("[", ",", "]") + totalNote
+      }
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","core44_r01_set":${f3(core44)},"n_queries":${results.size},"queries":$qj,"failed":$failedJson$regs,"sf":"$sfDir"$trunc}"""
     }
     val full = line(results, truncated = false)

@@ -50,7 +50,7 @@ private[graft] object SparkEntryQueriesA {
     "q04_agg" -> ((s, dir) => q1Pricing(s, dir)),
 
     "q05_agg_global" -> ((s, dir) =>
-      spread(t(s, dir, "lineitem")).aggregate(Seq.empty, Seq(
+      t(s, dir, "lineitem").aggregate(Seq.empty, Seq(
         count(lit(1)).as("n_rows"),
         dsum(col("l_quantity")).as("sum_qty"),
         min(col("l_quantity")).as("min_qty"),
