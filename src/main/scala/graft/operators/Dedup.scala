@@ -762,11 +762,15 @@ object Dedup {
     // null endpoints dropped up front: the label-propagation joins would
     // never match them (equi-join semantics) and the driver union-find
     // keys on getLong — both tiers must see the same edge set.
-    val edges = pairs
-      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
-      .select(col("id_a").alias("src"), col("id_b").alias("dst"))
-      .union(pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
-        .select(col("id_b").alias("src"), col("id_a").alias("dst")))
+    // symmetrized in ONE scan (Relational.bothDirections): the union form
+    // instantiated the caller's pair plan twice, and the pair generator is
+    // typically the query's most expensive stage (measured on q51: the
+    // 819k-row shingle explode+shuffle ran 2x per materialization)
+    val edges = Relational.bothDirections(
+        pairs
+          .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+          .select(col("id_a").alias("src"), col("id_b").alias("dst")),
+        "src", "dst")
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the whole iteration runs under try/finally: starComponents can throw

@@ -323,7 +323,7 @@ object Graph {
     val e0 = edges.toDF("a", "b")
     // both directions once, checkpointed: every round re-reads this frame
     val nbrs = Iterative.truncate(
-      e0.union(e0.select(col("b").alias("a"), col("a").alias("b"))), checkpointDir)
+      Relational.bothDirections(e0, "a", "b"), checkpointDir)
     var labels = Iterative.truncate(
       nbrs.select(col("a").alias("id")).distinct()
         .withColumn("label", col("id")), checkpointDir)
@@ -444,7 +444,7 @@ object Graph {
     // way the caller's upstream lineage executes exactly once.
     val eBase = e0m.getOrElse(e0)
     val nbrs = Iterative.truncate(
-      eBase.union(eBase.select(col("b").alias("a"), col("a").alias("b")))
+      Relational.bothDirections(eBase, "a", "b")
         .repartition(col("a")), checkpointDir)
     var dist = Iterative.truncate(
       sources.toDF("id").distinct().withColumn("dist", lit(0L)), checkpointDir)

@@ -63,6 +63,24 @@ object Relational {
   def spreadBy(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
 
+  /** Symmetrize an edge list in ONE scan: each (a, b) row explodes to
+    * (a, b) and (b, a). Semantically identical to
+    * `e.union(e.select(b as a, a as b))` — same output multiset, row order
+    * aside — but the union instantiates the edge frame's plan TWICE, and
+    * exchange/stage reuse does not dedup across the union legs (their final
+    * projections differ), so an expensive upstream (a pair-generating
+    * similarity join, a kNN graph build) executes twice per
+    * materialization. Measured on q51's cleanCorpus: the 819k-row shingle
+    * explode+shuffle ran 2x per execution through the union form. Both
+    * columns must share one data type (ids), or analysis fails loudly on
+    * the array(struct, struct).
+    */
+  def bothDirections(e: DataFrame, a: String, b: String): DataFrame =
+    e.select(explode(array(
+        struct(col(a).alias(a), col(b).alias(b)),
+        struct(col(b).alias(a), col(a).alias(b)))).alias("__dir"))
+      .select(col(s"__dir.$a").alias(a), col(s"__dir.$b").alias(b))
+
   implicit class GraftOps(val df: DataFrame) extends AnyVal {
 
     /** Force analysis now (name resolution + type checking), returning the

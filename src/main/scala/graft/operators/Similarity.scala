@@ -414,9 +414,12 @@ object Similarity {
       checkpointDir: Option[String] = None): DataFrame = {
     require(hops >= 1 && hops <= 8, s"hops must be 1..8 (unrolled plan), got $hops")
     require(ef >= k, s"ef ($ef) must be >= k ($k)")
+    // one-scan symmetrize (Relational.bothDirections): the union form
+    // executed the graph build twice per materialization — `edges` is
+    // nswBuildGraph's corpus-sized ivfTopK in the q411/q414 callers
     val undirected = Iterative.truncate(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").alias("src"), col("src").alias("dst")))
+      Relational.bothDirections(edges.select(col("src"), col("dst")),
+          "src", "dst")
         .distinct(), checkpointDir)
     val entry = undirected.agg(min(col("src")).cast("long")).collect()(0).getLong(0)
     val vecs = vectors.select(col("id").alias("n_id"), col("v").alias("n_v"))
