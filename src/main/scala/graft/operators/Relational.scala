@@ -1272,6 +1272,13 @@ object Relational {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(probeEps > 0 && probeEps <= 0.5, s"probeEps must be in (0, 0.5], got $probeEps")
+    // NOT spread (A/B-rejected in r12): round-robin-repartitioning `base`
+    // before the probe scan looked like a win for q250's two single-task
+    // 100k-row passes, but it 4x'd q246's decisionStump (interleaved: 2.0-
+    // 4.5 s -> 9.5-17.8 s) — the keyless repartition pays a per-consumer
+    // local sort (sortBeforeRepartition) and the exchange is re-executed
+    // per consumer subtree instead of reused. The single-task probe pass
+    // is the cheaper evil at this size; revisit only with a keyed spread.
     val base = df.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
     // loose epsilon + modest bucket count on purpose: probes only balance
     // partitions (see above), and the per-row bucket probe is a

@@ -243,10 +243,8 @@ object EventStreams {
       stages: Seq[(String, Column)], winMicros: Long = 86400000000L): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val stream = normalizeTs(schema, spark.readStream.schema(schema).parquet(parquetPath))
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try {
+    withConfs(spark, eventSmokeConfs(spark, parquetPath) :+
+        ("spark.sql.streaming.noDataMicroBatches.enabled" -> "true")) {
       val q = streamingFunnel(stream, stages, winMicros).writeStream
         .outputMode("append")
         .format("memory")
@@ -260,9 +258,6 @@ object EventStreams {
       val out = spark.createDataFrame(rows, sink.schema)
       spark.catalog.dropTempView(queryName)
       out
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 
@@ -365,10 +360,8 @@ object EventStreams {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
     val stream = normalizeTs(schema, raw)
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, noDataBatches.toString)
-    try {
+    withConfs(spark, eventSmokeConfs(spark, parquetPath) :+
+        ("spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)) {
       val q = sessionizeStream(stream, gapMinutes).writeStream
         .outputMode("append")
         .format("memory")
@@ -385,8 +378,6 @@ object EventStreams {
       val out = spark.createDataFrame(rows, sink.schema)
       spark.catalog.dropTempView(queryName)
       out
-    } finally {
-      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
 
@@ -403,18 +394,21 @@ object EventStreams {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
     val stream = normalizeTs(schema, raw)
-    val q = windowedCounts(stream, windowLen).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val drained = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
+    val drained = withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = windowedCounts(stream, windowLen).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("win_start"))
       .orderBy(col("n").desc, col("event_type").asc)
@@ -526,6 +520,81 @@ object EventStreams {
   private[graft] def freshCkpt(tag: String): String =
     s"$ckptRoot/$tag-${ckptCounter.getAndIncrement()}"
 
+  /** Scale-adaptive shuffle/state partition count for a streaming drain:
+    * ceil(source bytes / 32 MB), clamped to [1, session
+    * `spark.sql.shuffle.partitions`]. A stateful operator instantiates and
+    * commits ONE state store per shuffle partition per micro-batch, and
+    * AQE cannot coalesce stateful exchanges (state partitioning is pinned
+    * at the first checkpoint), so the session's batch-sized setting
+    * over-partitions small streams by pure overhead — measured on q172's
+    * complete-mode windowed count: the 32-partition stateful stage took
+    * 1.4-2.1 s for 3 600 aggregate rows (~60 ms of store open/commit per
+    * task) where the data itself is milliseconds. Derived from INPUT SIZE,
+    * never a constant: a corpus-scale source saturates the clamp and runs
+    * at the session's full setting, so this only ever lowers the count
+    * where state is provably small. Unknown sizes fall back to the session
+    * value.
+    */
+  private[graft] def streamShufflePartitions(spark: SparkSession,
+      targetBytes: Long, srcPaths: Seq[String]): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = srcPaths.foldLeft(0L) { (acc, p) =>
+      if (acc == Long.MaxValue) Long.MaxValue
+      else try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val sum = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength
+        acc + sum
+      } catch { case _: Throwable => Long.MaxValue }
+    }
+    if (bytes == Long.MaxValue) session
+    else math.max(1L, math.min(session.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+  }
+
+  /** Set session confs for the duration of `body`, restoring prior values
+    * (the set/restore pattern every smoke used inline, shared). */
+  private[graft] def withConfs[T](spark: SparkSession,
+      confs: Seq[(String, String)])(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Scale-adaptive state partitioning for SKETCH-STATE streams — state is
+    * register/group-count sized and the per-row fold is trivial (HLL
+    * registers, digit/category counts, windowed counts, rule sums, OHLC
+    * per-group pairs, keyed-upsert per-batch reductions), so the stateful
+    * stage's cost is store open/commit overhead, not compute: ~32 MB of
+    * source per partition. Measured on q172's windowed count: the
+    * 32-partition stateful stage was 1.4-2.1 s of store overhead for 3 600
+    * rows; derived (1 here) it is milliseconds.
+    */
+  private[graft] def smokeConfs(spark: SparkSession,
+      srcPaths: String*): Seq[(String, String)] =
+    Seq("spark.sql.shuffle.partitions" ->
+      streamShufflePartitions(spark, 32L << 20, srcPaths).toString)
+
+  /** Scale-adaptive state partitioning for EVENT-STATE streams — every
+    * input row enters the stateful operator and pays a real per-row fold
+    * (sessionize/funnel group buffers, within-watermark dedup, TWS
+    * processors, stream-stream join state), so the stage needs parallelism
+    * proportional to data: ~256 KB of source per partition (2 MB events →
+    * 8, the value the TWS/timer/join smokes were hand-pinned at; corpus
+    * sizes clamp to the session setting). Measured: q42's sessionize fold
+    * over 100k events serialized to 3.4 s on 1 partition under the sketch
+    * target — this target keeps it parallel while still dropping the 32
+    * empty stores.
+    */
+  private[graft] def eventSmokeConfs(spark: SparkSession,
+      srcPaths: String*): Seq[(String, String)] =
+    Seq("spark.sql.shuffle.partitions" ->
+      streamShufflePartitions(spark, 256L << 10, srcPaths).toString)
+
   /** Recursive delete shared by the fresh-start sinks. */
   private def deleteRecursively(d: String): Unit = {
     val p = java.nio.file.Paths.get(d)
@@ -598,6 +667,9 @@ object EventStreams {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     if (fresh) Seq(storeDir, checkpointDir).foreach(deleteRecursively)
     val schema = spark.read.parquet(srcParquet).schema
+    // size-derived shuffle partitions for the per-batch latestPerKey
+    // groupBys (the store write already repartitions on the bucket column)
+    withConfs(spark, smokeConfs(spark, srcParquet)) {
     def latestPerKey(df: DataFrame): DataFrame = {
       // max_by whole-row over (seq, tieBreak): partial-aggregated per
       // key, one row through the shuffle — exactDedupAgg's 100 TB shape
@@ -661,6 +733,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
   }
 
   /** STREAMING MATERIALIZED-VIEW maintenance: a changelog stream (rows
@@ -697,27 +770,32 @@ object EventStreams {
         if (vs.isEmpty) None else Some(s"$storeRoot/v${vs.max}")
       }
     }
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1) // one changelog file per micro-batch:
-      // the multi-batch fold is the thing under test
-      .parquet(srcParquet)
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val delta = Relational.deltaAgg(batch, col(isDeleteCol),
-          keys.map(col), sums)
-        val merged = latestVersion() match {
-          case Some(dir) => Relational.maintainAggKeep(
-            spark.read.parquet(dir), dropEmpty = false, delta)
-          case None => delta
+    // size-derived shuffle partitions: each micro-batch's deltaAgg +
+    // merge groupBys otherwise run at the session's batch-sized setting,
+    // pure task overhead on file-sized batches
+    withConfs(spark, smokeConfs(spark, srcParquet)) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one changelog file per micro-batch:
+        // the multi-batch fold is the thing under test
+        .parquet(srcParquet)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = Relational.deltaAgg(batch, col(isDeleteCol),
+            keys.map(col), sums)
+          val merged = latestVersion() match {
+            case Some(dir) => Relational.maintainAggKeep(
+              spark.read.parquet(dir), dropEmpty = false, delta)
+            case None => delta
+          }
+          merged.write.mode("overwrite").parquet(s"$storeRoot/v$id")
+          ()
         }
-        merged.write.mode("overwrite").parquet(s"$storeRoot/v$id")
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Read the latest maintained-view snapshot, applying the final
@@ -741,19 +819,21 @@ object EventStreams {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
     val stream = normalizeTs(schema, raw)
-    val q = dedupStream(stream, keyCols).writeStream
-      .outputMode("append")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val out = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
-    out
+    withConfs(spark, eventSmokeConfs(spark, parquetPath)) {
+      val q = dedupStream(stream, keyCols).writeStream
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
   }
 
   /** True-streaming data-quality gate: [[graft.operators.Validation]]'s
@@ -777,19 +857,21 @@ object EventStreams {
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
     val stream = normalizeTs(schema, raw)
     val aggs = Validation.rulesAgg(rules)
-    val q = stream.agg(aggs.head, aggs.tail: _*).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val row = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
-    Validation.rulesReport(row, rules)
+    withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = stream.agg(aggs.head, aggs.tail: _*).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val row = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      Validation.rulesReport(row, rules)
+    }
   }
 
   /** True-streaming HyperLogLog: the register aggregation
@@ -806,20 +888,23 @@ object EventStreams {
     import graft.operators.Corpus
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val q = Corpus.hllRho(raw, col(valueName), b)
-      .groupBy("bucket").agg(max(col("rho")).cast("long").alias("register"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val sparse = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
+    val sparse = withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = Corpus.hllRho(raw, col(valueName), b)
+        .groupBy("bucket").agg(max(col("rho")).cast("long").alias("register"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
     // materialize the instrument eagerly: callers stage the source into a
     // temp dir and delete it on return, so nothing may stay lazy over it
     val neDf = spark.read.parquet(parquetPath)
@@ -844,24 +929,26 @@ object EventStreams {
       spark.readStream.schema(schema).parquet(parquetPath))
     val ord = struct(col("ts").alias("t"), col(tieCol).alias("tb"))
     val v = expr(valueExpr)
-    val q = raw
-      .groupBy(col(keyCol).alias("key"), date_trunc("hour", col("ts")).alias("bucket"))
-      .agg(count(lit(1)).alias("n"),
-        min_by(v, ord).alias("open"), max_by(v, ord).alias("close"),
-        max(v).alias("high"), min(v).alias("low"), sum(v).alias("sum_v"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val out = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
-    out
+    withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = raw
+        .groupBy(col(keyCol).alias("key"), date_trunc("hour", col("ts")).alias("bucket"))
+        .agg(count(lit(1)).alias("n"),
+          min_by(v, ord).alias("open"), max_by(v, ord).alias("close"),
+          max(v).alias("high"), min(v).alias("low"), sum(v).alias("sum_v"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
   }
 
   /** TRUE-streaming Benford gate: the leading-digit counts of a positive
@@ -876,23 +963,25 @@ object EventStreams {
       queryName: String, valueExpr: String): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val q = raw.select(expr(valueExpr).cast("long").alias("v"))
-      .filter(col("v") > 0L)
-      .select(substring(col("v").cast("string"), 1, 1).cast("long").alias("digit"))
-      .groupBy("digit").agg(count(lit(1)).alias("n"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val counts = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
-    graft.operators.Validation.benfordDecorate(counts)
+    withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = raw.select(expr(valueExpr).cast("long").alias("v"))
+        .filter(col("v") > 0L)
+        .select(substring(col("v").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit").agg(count(lit(1)).alias("n"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val counts = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      graft.operators.Validation.benfordDecorate(counts)
+    }
   }
 
   /** TRUE-streaming categorical drift gate: the CURRENT split's category
@@ -908,21 +997,24 @@ object EventStreams {
       curFilter: String): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val raw = spark.readStream.schema(schema).parquet(parquetPath)
-    val q = raw.filter(expr(curFilter))
-      .groupBy(col(category).alias("category"))
-      .agg(count(lit(1)).alias("n_cur"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val curCounts = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
+    val curCounts = withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = raw.filter(expr(curFilter))
+        .groupBy(col(category).alias("category"))
+        .agg(count(lit(1)).alias("n_cur"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
     val refDf = spark.read.parquet(parquetPath).filter(expr(refFilter))
       .groupBy(col(category).alias("category"))
       .agg(count(lit(1)).alias("n_ref"))
@@ -945,22 +1037,25 @@ object EventStreams {
     import graft.operators.Corpus
     val schema = spark.read.parquet(parquetPath).schema
     val raw = normalizeTs(schema, spark.readStream.schema(schema).parquet(parquetPath))
-    val q = Corpus.hllRho(raw, col(valueName), b,
-        keep = Seq(window(col("ts"), windowLen).getField("start").alias("group")))
-      .groupBy("group", "bucket")
-      .agg(max(col("rho")).cast("long").alias("register"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .option("checkpointLocation", freshCkpt(queryName))
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sink = spark.table(queryName)
-    val rows = java.util.Arrays.asList(sink.collect(): _*)
-    val sparse = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(queryName)
+    val sparse = withConfs(spark, smokeConfs(spark, parquetPath)) {
+      val q = Corpus.hllRho(raw, col(valueName), b,
+          keep = Seq(window(col("ts"), windowLen).getField("start").alias("group")))
+        .groupBy("group", "bucket")
+        .agg(max(col("rho")).cast("long").alias("register"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", freshCkpt(queryName))
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sink = spark.table(queryName)
+      val rows = java.util.Arrays.asList(sink.collect(): _*)
+      val out = spark.createDataFrame(rows, sink.schema)
+      spark.catalog.dropTempView(queryName)
+      out
+    }
     val dense = Corpus.hllFinalizeGrouped(sparse, b)
     // exact-distinct-per-window instrument, materialized eagerly (callers
     // delete the staged source on return)
@@ -1093,10 +1188,9 @@ object EventStreams {
       }
     }
     val schema = spark.read.parquet(stageDir).schema
-    val confs = Seq(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.shuffle.partitions" -> "8")
+    val confs = eventSmokeConfs(spark, stageDir) :+
+      ("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -1207,10 +1301,9 @@ object EventStreams {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val (stageDir, schema) = stageTimeSplitFiles(spark, srcParquet, splitTs)
-    val confs = Seq(
+    val confs = eventSmokeConfs(spark, stageDir) ++ Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -1266,9 +1359,8 @@ object EventStreams {
       normalizeTs(schema, spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stageDir))
         .withWatermark("ts", delay)
-    val confs = Seq(
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val confs = eventSmokeConfs(spark, stageDir) :+
+      ("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -1453,19 +1545,14 @@ object EventStreams {
         r("r_ts") >= l("l_ts") &&
         r("r_ts") <= l("l_ts") + expr(s"interval $windowSeconds seconds"),
       joinType)
-    val confs = Seq(
-      // 8 is NOT the bottleneck: an A/B at 4 partitions measured q269/q279
-      // unchanged (4.98/4.52 s vs 4.66/4.53 s) — the per-pass floor is 3
-      // data batches each scanning both file streams (~66k rows x 2 sides)
-      // plus batch planning, not state-store instantiation
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try drainAppend(spark, joined, queryName, drain)
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    // note: an early A/B at 8-vs-4 partitions measured q269/q279 unchanged
+    // (4.98/4.52 s vs 4.66/4.53 s) — most of the per-pass floor is 3 data
+    // batches each scanning both file streams plus batch planning. The
+    // size-derived count (1 here) still trims the 4-stores-per-partition
+    // state instantiation; measured on q269, see OPTIMIZATION_r12.md.
+    withConfs(spark, eventSmokeConfs(spark, stageDir) :+
+        ("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+      drainAppend(spark, joined, queryName, drain)
     }
   }
 
@@ -1506,18 +1593,13 @@ object EventStreams {
       keys, windowSeconds)
     // A stream-stream join instantiates 4 state stores PER shuffle
     // partition; for a finite local drain that fixed cost dwarfs the data,
-    // so run the stateful stage narrow and skip post-data no-data batches
-    // (inner-join matches are all emitted in the data batches; the extra
-    // batches only advance eviction, which a finite drain doesn't need).
-    val confs = Seq(
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try drainAppend(spark, joined, queryName, drain)
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    // so run the stateful stage at the size-derived count and skip
+    // post-data no-data batches (inner-join matches are all emitted in the
+    // data batches; the extra batches only advance eviction, which a
+    // finite drain doesn't need).
+    withConfs(spark, eventSmokeConfs(spark, parquetPath) :+
+        ("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) {
+      drainAppend(spark, joined, queryName, drain)
     }
   }
 
