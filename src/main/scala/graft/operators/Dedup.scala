@@ -550,7 +550,13 @@ object Dedup {
       k: Int, w: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 2, s"w must be >= 2, got $w")
-    val tk = graft.functions.TextFns.tokens(text)
+    // spread BEFORE the tokenize→gram→hash projection (which stays ABOVE
+    // the exchange so the shuffle carries raw narrow rows): the whole
+    // per-doc fingerprint pipeline otherwise fuses into a single-split
+    // scan and runs on one core (measured q331: 1 task, 5k docs → 260k
+    // gram rows, 2.9 s of a 4.5 s query)
+    val base = Relational.spread(docs.select(id.alias("doc_id"), text.alias("__wtext")))
+    val tk = graft.functions.TextFns.tokens(col("__wtext"))
     // grams via zip_with over k shifted slices — the iterated arrays are
     // evaluated-once ARGUMENTS; a transform lambda referencing the
     // computed tk subtree would re-tokenize per gram under interpreted
@@ -565,7 +571,7 @@ object Dedup {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    docs.select(id.alias("doc_id"), grams.alias("grams"))
+    base.select(col("doc_id"), grams.alias("grams"))
       .select(col("doc_id"), size(col("grams")).alias("m"),
         posexplode(col("grams")).as(Seq("pos", "g")))
       .withColumn("h", graft.plans.TextExprs.fnv64(col("g")))
@@ -1619,13 +1625,22 @@ object Dedup {
     // verify would then run on a single core (measured 18 s vs 2 s at
     // sf0.1). Hash-repartition on the variant: parallelizes the join AND
     // co-locates both sides of the self-join on the join key.
-    val vars = s0.select(col("s"), explode(vset).alias("v"))
-      .repartition(col("v"))
+    // spreadBy, not bare repartition(col): a keyed repartition WITHOUT an
+    // explicit partition count is fair game for AQE coalescing, and the
+    // variant join's output (Σ df² candidate pairs) far exceeds its input
+    // bytes — measured q333: the join + Levenshtein verify coalesced to 6
+    // tasks, 2.4 s of a 4.4 s query. The pinned count is exempt.
+    val vars = Relational.spreadBy(
+      s0.select(col("s"), explode(vset).alias("v")), col("v"))
     val cands = vars.select(col("s").alias("sa"), col("v"))
       .join(vars.select(col("s").alias("sb"), col("v").alias("__vb")),
         col("v") === col("__vb") && col("sa") < col("sb"))
-      .select(col("sa"), col("sb")).distinct()
-    cands
+      .select(col("sa"), col("sb"))
+    // pin the dedup's partitioning too (same hazard: distinct's exchange
+    // carries the exploded pair volume), then the O(len²) verify runs on
+    // the pinned width
+    val dedup = Relational.spreadBy(cands, col("sa"), col("sb")).distinct()
+    dedup
       .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
       .filter(col("dist") <= maxDist)
   }

@@ -70,13 +70,23 @@ object Iterative {
     * under a generated subdirectory of `dir`, so concurrent jobs don't
     * collide.
     */
-  def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
+  def truncate(df: DataFrame, checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame = {
     val cp = checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (lastSetDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
+        df.checkpoint(eager = eager)
+      // eager=false still truncates the LOGICAL plan immediately (the
+      // Dataset becomes a LogicalRDD leaf either way) but defers execution:
+      // a FIXED-round loop with no per-round driver decision then runs as
+      // one composed execution instead of one materialization job per round
+      // — the per-round job floor (~0.3-0.5 s/round of scheduling + AQE
+      // stage setup) was the dominant cost of the NSW hop pipeline
+      // (measured q411: 4.3 s of driver-side build, 0.3 s exec). Loops that
+      // READ the frame each round (convergence counts) keep eager=true —
+      // lazy would re-execute the whole chain per read.
+      case None => df.localCheckpoint(eager = eager)
     }
     // The checkpoint truncates the PLAN but deliberately propagates the
     // source stats (LogicalRDD.originStats) — in a SELF-JOINING loop the

@@ -75,11 +75,27 @@ object Relational {
     * columns must share one data type (ids), or analysis fails loudly on
     * the array(struct, struct).
     */
-  def bothDirections(e: DataFrame, a: String, b: String): DataFrame =
-    e.select(explode(array(
+  def bothDirections(e: DataFrame, a: String, b: String): DataFrame = {
+    // Mixed-but-compatible endpoint types (int src / long dst) must unify
+    // before the struct-array form — array(struct, struct) requires one
+    // exact element type where the old union form coerced implicitly
+    // (ADVICE r12). Numeric endpoints widen to the wider of the two;
+    // non-numeric mismatches keep the loud analysis failure (a schema bug).
+    import org.apache.spark.sql.types._
+    val order: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val (ta, tb) = (e.schema(a).dataType, e.schema(b).dataType)
+    val e2 =
+      if (ta == tb) e
+      else if (order.contains(ta) && order.contains(tb)) {
+        val wide = if (order.indexOf(ta) >= order.indexOf(tb)) ta else tb
+        e.withColumn(a, col(a).cast(wide)).withColumn(b, col(b).cast(wide))
+      } else e
+    e2.select(explode(array(
         struct(col(a).alias(a), col(b).alias(b)),
         struct(col(b).alias(a), col(a).alias(b)))).alias("__dir"))
       .select(col(s"__dir.$a").alias(a), col(s"__dir.$b").alias(b))
+  }
 
   implicit class GraftOps(val df: DataFrame) extends AnyVal {
 
@@ -607,6 +623,11 @@ object Relational {
       require(pPpm >= 1 && pPpm <= 1000000L, s"pPpm must be in [1, 1e6], got $pPpm")
       require(group.nonEmpty, "weightedPercentile needs >= 1 group column")
       val gk = group.indices.map(i => s"__g$i")
+      // NO spread here (measured q290, r13): the (group, value) collapse is
+      // a partial-aggregating groupBy, so the map side already combines
+      // in-scan; a pre-shuffle spread just moves 600 k raw rows through an
+      // extra exchange to save nothing (A/B: 3.3 s → 4.6 s WITH spread).
+      // The per-group cumulative window is bounded by group count either way.
       val perValue = df
         .select(group.zip(gk).map { case (g, n) => g.alias(n) } :+
           value.cast("long").alias("__v") :+ weight.cast("long").alias("__w"): _*)
@@ -1663,9 +1684,13 @@ object Relational {
     * Returns (key, n_pairs, ts_slope_ppm).
     */
   def theilSenSlope(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
-    val d = df.select(key.alias("key"), x.cast("long").alias("x"),
+    // spread: the O(g²) pair fan-out is generated in the map stage of the
+    // self-join (the slice side broadcasts), so an under-split input runs
+    // the whole pair sweep on its few scan tasks — measured q335: 3 tasks
+    // producing 3.83 M slope rows in 4.2 s; spread makes it core-wide
+    val d = spread(df.select(key.alias("key"), x.cast("long").alias("x"),
         y.cast("long").alias("y"))
-      .filter(col("key").isNotNull && col("x").isNotNull && col("y").isNotNull)
+      .filter(col("key").isNotNull && col("x").isNotNull && col("y").isNotNull))
     val p = d.alias("a").join(d.alias("b"),
         col("a.key") === col("b.key") && col("a.x") < col("b.x"))
       .select(col("a.key").alias("key"),

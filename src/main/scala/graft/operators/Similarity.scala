@@ -310,8 +310,19 @@ object Similarity {
         ivfAssignCells(queries.select(col("id"), col("v")), centDf, "v", nprobe)
           .select(col("id").alias("q_id"), col("v").alias("q_v"), col("cell"))
 
-    val probeSide = if (broadcastQueries) broadcast(qCells) else qCells
-    val scored = cCells
+    // Non-broadcast (corpus-sized query set, e.g. all-pairs kNN / graph
+    // build): pin BOTH join inputs' partitioning on the join key at full
+    // parallelism. The join's inputs are megabytes but its output is
+    // Σ probed-cell × query volume — AQE coalesces post-shuffle partitions
+    // by INPUT bytes and would collapse the exploding join onto a few
+    // tasks (the q304 sparseCosineStage hazard, r12 "Not yet optimized"
+    // list). A user repartition keyed on `cell` is exempt from coalescing
+    // and both sides share the one exchange shape.
+    val (buildSide, probeSide) =
+      if (broadcastQueries) (cCells, broadcast(qCells))
+      else (Relational.spreadBy(cCells, col("cell")),
+        Relational.spreadBy(qCells, col("cell")))
+    val scored = buildSide
       .join(probeSide, Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"), VectorExprs.cosine(col("q_v"), col("c_v")).alias("score"))
@@ -430,8 +441,18 @@ object Similarity {
           VectorExprs.cosine(col("q_v"), col("n_v")).alias("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    // LAZY truncation for the hop pipeline: the loop is a fixed unroll with
+    // no per-round driver decision, so each hop's localCheckpoint still
+    // truncates the logical plan (no 2^hops tree) but execution composes
+    // into the consumer's one job instead of paying a materialization job
+    // per hop — measured on q411 (5 hops, 10-query beam): 4.3 s of
+    // driver-side eager-round build dropped to the composed exec cost. The
+    // beam is referenced twice per hop (union + frontier); within the one
+    // composed execution the second reference recomputes only the tail of
+    // the hop's final shuffle stage, which is ef×|queries| rows.
     var beam = Iterative.truncate(
-      score(qv.select(col("q_id")).withColumn("n_id", lit(entry))), checkpointDir)
+      score(qv.select(col("q_id")).withColumn("n_id", lit(entry))), checkpointDir,
+      eager = false)
     (1 to hops).foreach { _ =>
       val frontier = broadcast(beam.select(col("q_id"), col("n_id")))
         .join(undirected, col("n_id") === col("src"))
@@ -444,7 +465,7 @@ object Similarity {
         beam.union(score(frontier))
           .groupBy(col("q_id"), col("n_id")).agg(max(col("score")).alias("score"))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= ef)
-          .drop("__rn"), checkpointDir)
+          .drop("__rn"), checkpointDir, eager = false)
     }
     beam.filter(col("n_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -84,6 +84,14 @@ object EventStreams {
       .withColumn("bucket", floor(unix_micros(ts.cast("timestamp")) / stepMicros).cast("long"))
     val perBucket = bucketed.groupBy(col("k"), col("bucket")).agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Examined and REJECTED (r13): pinning the bounds agg's exchange
+    // (spreadBy on perBucket, or on top of the agg) to parallelize the
+    // 1-task grid explode. The explode is only ~1 M narrow rows (~0.5 s
+    // single-task); the pin adds a full perBucket re-exchange and 32-task
+    // scheduling floors to save less than it costs (interleaved A/B:
+    // 3.3 s → 5.6 s WITH the pin). AQE's one-task coalesce is the right
+    // call at this volume; a horizon big enough to matter also carries
+    // more keys, which re-parallelizes the agg naturally.
     val grid = perBucket.groupBy(col("k"))
       .agg(min(col("bucket")).alias("b0"), max(col("bucket")).alias("b1"))
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).alias("bucket"))
@@ -537,7 +545,12 @@ object EventStreams {
     */
   private[graft] def streamShufflePartitions(spark: SparkSession,
       targetBytes: Long, srcPaths: Seq[String]): Int = {
-    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Clamp against the session's STARTUP value, captured once per JVM —
+    // clamping against the live value would let one smoke's in-flight
+    // withConfs override (e.g. 1) cap another smoke's derived count at 1
+    // even for corpus-scale sources when a harness runs queries
+    // concurrently (Verify's 8 threads).
+    val session = baselineShufflePartitions(spark)
     val bytes = srcPaths.foldLeft(0L) { (acc, p) =>
       if (acc == Long.MaxValue) Long.MaxValue
       else try {
@@ -545,21 +558,56 @@ object EventStreams {
         val sum = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getContentSummary(hp).getLength
         acc + sum
-      } catch { case _: Throwable => Long.MaxValue }
+      } catch {
+        // NonFatal only: an OOM/interrupt must propagate, not silently
+        // become the session-value fallback (ADVICE r12)
+        case scala.util.control.NonFatal(_) => Long.MaxValue
+      }
     }
     if (bytes == Long.MaxValue) session
     else math.max(1L, math.min(session.toLong,
       (bytes + targetBytes - 1) / targetBytes)).toInt
   }
 
+  /** First-observed (pre-smoke) `spark.sql.shuffle.partitions`, one per
+    * JVM: the value every smoke derives from and restores to, immune to
+    * another thread's in-flight override.
+    */
+  private val baselinePartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
+  private[graft] def baselineShufflePartitions(spark: SparkSession): Int = {
+    val cur = baselinePartitions.get()
+    if (cur > 0) cur
+    else {
+      val v = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (baselinePartitions.compareAndSet(-1, v)) v else baselinePartitions.get()
+    }
+  }
+
   /** Set session confs for the duration of `body`, restoring prior values
-    * (the set/restore pattern every smoke used inline, shared). */
+    * (the set/restore pattern every smoke used inline, shared).
+    *
+    * The whole region holds one JVM-wide lock: session confs are
+    * session-GLOBAL, and Verify drains smokes from 8 threads over one
+    * shared session — unserialized set/restore interleaves
+    * nondeterministically and can leave the session pinned at a smoke's
+    * tiny partition count for the rest of the run (ADVICE r12). Smokes are
+    * a small fraction of the query surface, so serializing them costs far
+    * less than one mis-planned corpus query. The restore path additionally
+    * re-asserts the BASELINE value for spark.sql.shuffle.partitions rather
+    * than the entry-time snapshot, so even an unexpected nesting cannot
+    * propagate a derived value outward.
+    */
+  private val confLock = new Object
   private[graft] def withConfs[T](spark: SparkSession,
-      confs: Seq[(String, String)])(body: => T): T = {
+      confs: Seq[(String, String)])(body: => T): T = confLock.synchronized {
+    baselineShufflePartitions(spark) // capture before the first override
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
     finally prev.foreach {
+      case ("spark.sql.shuffle.partitions", _) =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          baselineShufflePartitions(spark).toString)
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
