@@ -1510,8 +1510,15 @@ object Corpus {
     */
   def bpeSegment(df: DataFrame, terms: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val vocab = df.select(explode(terms).alias("w"))
-      .groupBy(col("w")).agg(count(lit(1)).alias("wc"))
+    // spreadBy between the vocab aggregation and the merge fold: the vocab
+    // frame is tiny in BYTES (AQE coalesces it to one task) but each row
+    // then pays the chained per-merge segmentation expressions — measured
+    // q167: ~1000 vocab words × 8 merges on 1 task = 1.5 s; pinned
+    // partitioning keeps the fold core-wide for a one-KB exchange.
+    val vocab = Relational.spreadBy(
+        df.select(explode(terms).alias("w"))
+          .groupBy(col("w")).agg(count(lit(1)).alias("wc")),
+        col("w"))
       .select(col("w"), col("wc"),
         concat_ws(" ", split(col("w"), "")).alias("sym"))
     val segmented = merges.foldLeft(col("sym")) {

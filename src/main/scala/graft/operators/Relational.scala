@@ -210,6 +210,21 @@ object Relational {
       */
     def sortBy(exprs: Seq[Column]): DataFrame = df.orderBy(exprs.map(_.asc_nulls_last): _*)
 
+    /** [[sortBy]] with lineage truncation before the sort — for results
+      * produced by an expensive unexchanged MAP pipeline (codec/synth
+      * UDFs, explodes). A total sort range-partitions, and the range
+      * partitioner's SAMPLING pass re-executes the sort's child pipeline
+      * end to end: an expensive UDF subtree runs twice per execution
+      * (measured q244: two identical 1 s decode stages back to back).
+      * A lazy localCheckpoint makes the sampling pass the one real
+      * computation (saved to executor blocks) and the shuffle a block
+      * read. Only worth it when the child pipeline costs more than
+      * materializing its rows — results are identical either way.
+      */
+    def sortByTruncated(exprs: Seq[Column]): DataFrame =
+      Iterative.truncate(df, None, eager = false)
+        .orderBy(exprs.map(_.asc_nulls_last): _*)
+
     /** `df/limit` — `src/main.rs:204-209,486`: OFFSET skip, optional LIMIT
       * fetch (Spark >= 3.4 has a real `offset`).
       */

@@ -450,6 +450,10 @@ object Similarity {
     // beam is referenced twice per hop (union + frontier); within the one
     // composed execution the second reference recomputes only the tail of
     // the hop's final shuffle stage, which is ef×|queries| rows.
+    // (A fully untruncated unroll was ALSO measured — one 2^hops plan,
+    // relying on exchange reuse to dedup the doubled beam references: 6.4 s
+    // vs 4.0 s here. The reuse does not dedup across the union/frontier
+    // copies, so execution re-runs hop tails; per-hop lazy truncation wins.)
     var beam = Iterative.truncate(
       score(qv.select(col("q_id")).withColumn("n_id", lit(entry))), checkpointDir,
       eager = false)
