@@ -1282,6 +1282,34 @@ object Relational {
     if (dropEmpty) agged.filter(col("n") > 0) else agged
   }
 
+  /** Bucket index of `v` against a SORTED (non-decreasing) driver-side
+    * bounds array: the count of bounds `b` with `b <= v` (`b < v` when
+    * `strict`), as an INT column — exactly `size(filter(typedLit(bounds),
+    * b => v >= b))`, which is what every probe-bucketized operator used
+    * to inline. That HOF form is the wrong tool in the hot path: a
+    * higher-order function's lambda is evaluated INTERPRETED per array
+    * element (it never joins whole-stage codegen) and `filter` also
+    * materializes the kept-elements array per row just so `size` can
+    * count it — measured 12.6 µs/row at 64 bounds (a 1.26 s single-task
+    * stage on q214's 100k rows). This replacement is a balanced
+    * `CASE WHEN` binary-search tree over the literal bounds: log2(|b|)
+    * codegen'd long comparisons per row, no allocation, bit-identical
+    * output on every input — NULL takes every `otherwise` branch down to
+    * bucket 0, matching the HOF's null-dropping filter; duplicates in a
+    * non-decreasing array keep the prefix property the search needs.
+    */
+  def probeBucket(v: Column, bounds: Seq[Long], strict: Boolean = false): Column = {
+    val b = bounds.toIndexedSeq
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        val pass = if (strict) v > lit(b(mid)) else v >= lit(b(mid))
+        when(pass, go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, b.length)
+  }
+
   /** Exact rank-proportional quantile binning: every row's bin is
     * `floor((rank - 1) * nBins / n)` under the total order (value, id) —
     * the feature-bucketing transform (deciles, percentile caps) computed
@@ -1317,16 +1345,15 @@ object Relational {
     // is the cheaper evil at this size; revisit only with a keyed spread.
     val base = df.select(id.cast("long").alias("id"), value.cast("long").alias("v"))
     // loose epsilon + modest bucket count on purpose: probes only balance
-    // partitions (see above), and the per-row bucket probe is a
-    // buckets-length HOF scan — A/B at sf0.1 (100k events): 256 bounds at
-    // eps 0.001 cost 9.3 s, 64 at 0.02 cost 2.4 s, identical output. Raise
-    // `buckets` with cluster size, not precision.
+    // partitions (see above) — A/B at sf0.1 (100k events) under the old
+    // HOF probe: 256 bounds at eps 0.001 cost 9.3 s, 64 at 0.02 cost
+    // 2.4 s, identical output. probeBucket made the per-row search
+    // log-cost, but 64 still splits 32 cores fine; raise `buckets` with
+    // cluster size, not precision.
     val bounds = base.stat.approxQuantile("v",
       (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
       .map(_.toLong).distinct.sorted
-    val bcol = typedLit(bounds)
-    val bucketed = base.withColumn("bkt",
-      size(filter(bcol, b => col("v") >= b)))
+    val bucketed = base.withColumn("bkt", probeBucket(col("v"), bounds))
     val partials = bucketed.groupBy(col("bkt")).agg(count(lit(1)).alias("bn"))
     val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = partials
@@ -1893,9 +1920,7 @@ object Relational {
     val bounds = b.stat.approxQuantile("t",
       (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
       .map(_.toLong).distinct.sorted
-    val bcol = typedLit(bounds)
-    val bucketed = b.withColumn("bkt",
-      size(filter(bcol, x => col("t") >= x)))
+    val bucketed = b.withColumn("bkt", probeBucket(col("t"), bounds))
     val partials = bucketed.groupBy(col("bkt"))
       .agg(sum(col("d")).alias("bs"), count(lit(1)).alias("bn"))
     val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
@@ -2013,9 +2038,7 @@ object Relational {
     val bounds = base.stat.approxQuantile("x",
       (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
       .map(_.toLong).distinct.sorted
-    val bcol = typedLit(bounds)
-    val bucketed = base.withColumn("bkt",
-      size(filter(bcol, b => col("x") >= b)))
+    val bucketed = base.withColumn("bkt", probeBucket(col("x"), bounds))
     val partials = bucketed.groupBy(col("bkt")).agg(max(col("y")).alias("bm"))
     val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = partials

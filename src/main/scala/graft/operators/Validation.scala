@@ -455,9 +455,8 @@ object Validation {
     val bounds = h.stat.approxQuantile("s",
       (1 until buckets).map(_.toDouble / buckets).toArray, probeEps)
       .map(_.toLong).distinct.sorted
-    val bcol = typedLit(bounds)
     val bucketed = h.withColumn("bkt",
-      size(filter(bcol, b => col("s") >= b)))
+      Relational.probeBucket(col("s"), bounds))
     val partials = bucketed.groupBy(col("bkt")).agg(sum(col("cn")).alias("bs"))
     val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = partials
@@ -897,9 +896,13 @@ object Validation {
     val edges = binned.groupBy(col("bin")).agg(max(col("v")).alias("e"))
       .filter(col("bin") < nBins - 1)
       .orderBy(col("bin")).collect().map(_.getLong(1)).distinct.sorted
+    // still needed as a literal array for the threshold lookup below
+    // (element_at over the bins-sized aggregate — not a hot path); the
+    // per-row binning itself uses the codegen'd probeBucket search
     val ecol = typedLit(edges)
     val perBin = base
-      .withColumn("bin", size(filter(ecol, e => col("v") > e)).cast("long"))
+      .withColumn("bin",
+        Relational.probeBucket(col("v"), edges, strict = true).cast("long"))
       .groupBy(col("bin"))
       .agg(sum(col("p")).alias("bp"), sum(lit(1L) - col("p")).alias("bn"))
     val tot = perBin.agg(sum(col("bp")).alias("tp"), sum(col("bn")).alias("tn"))
@@ -1336,9 +1339,9 @@ object Validation {
     val edges = binned.groupBy(col("bin")).agg(max(col("v")).alias("e"))
       .filter(col("bin") < nBins - 1)
       .orderBy(col("bin")).collect().map(_.getLong(1))
-    val ecol = typedLit(edges)
     def shares(df: DataFrame, nCol: String): DataFrame =
-      df.withColumn("bin", size(filter(ecol, e => col("v") > e)).cast("long"))
+      df.withColumn("bin",
+        Relational.probeBucket(col("v"), edges, strict = true).cast("long"))
         .groupBy(col("bin")).agg(count(lit(1)).alias(nCol))
     val joined = shares(rv, "n_ref").join(shares(cv, "n_cur"), Seq("bin"), "full_outer")
       .select(col("bin"),

@@ -745,6 +745,30 @@ class RelationalSpec extends SparkSpec {
     assert(run(df.repartition(4)) == expect)
   }
 
+  test("probeBucket: binary-search bucket equals the size(filter(...)) HOF it replaced") {
+    import graft.operators.Relational
+    // fixed-seed values spanning below/at/between/above the bounds, plus
+    // nulls — the bucketize inputs every probe-bucketized operator feeds
+    val rnd = new scala.util.Random(42)
+    val vals: Seq[java.lang.Long] =
+      Seq[java.lang.Long](null, Long.MinValue, Long.MaxValue, -7L, 0L, 10L, 11L, 40L, 41L) ++
+        Seq.fill(200)(java.lang.Long.valueOf(rnd.nextInt(120).toLong - 10))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // sorted non-decreasing WITH duplicates (numericDrift's edges are not
+    // deduped), plus degenerate bounds arrays
+    for (bounds <- Seq(Seq(10L, 20L, 20L, 40L, 100L), Seq(0L), Seq.empty[Long]);
+         strict <- Seq(false, true)) {
+      val hof =
+        if (strict) size(filter(typedLit(bounds), b => $"v" > b))
+        else size(filter(typedLit(bounds), b => $"v" >= b))
+      val got = df.select($"id",
+          Relational.probeBucket($"v", bounds, strict).as("bs"), hof.as("ref"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val diffs = got.filter(t => t._2 != t._3)
+      assert(diffs.isEmpty, s"bounds=$bounds strict=$strict diffs=${diffs.take(5).toSeq}")
+    }
+  }
+
   test("concurrencyProfile: sweep-line running count, half-open boundary, layout-independent") {
     import graft.operators.Relational
     // intervals: 1:[0,10) 2:[5,15) 3:[10,20) 4:[12,14)
