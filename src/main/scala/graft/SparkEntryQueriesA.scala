@@ -2107,10 +2107,15 @@ private[graft] object SparkEntryQueriesA {
       // rolling 24 h window at hourly steps — q302's horizon-bounded
       // fan-out feeding q290's integer percentile rule; a latency monitor
       // with zero approximation and no per-window rescan
-      val fanned = t(s, dir, "events")
+      // spread BEFORE the 24x window fan-out: events.parquet is one
+      // split, so the explode otherwise runs fused into a single-task
+      // scan emitting the full 2M fanned rows (measured: one 2.2 s
+      // 1-task stage, sw=2,056,884) — the exchange moved below it
+      // carries only the 100k narrow (vmic, h) rows
+      val fanned = spread(t(s, dir, "events")
         .selectCols(Seq(
           expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("vmic"),
-          unix_micros(date_trunc("hour", col("ts"))).as("h")))
+          unix_micros(date_trunc("hour", col("ts"))).as("h"))))
         .selectCols(Seq(col("vmic"), col("h"),
           explode(sequence(lit(0), lit(23))).as("k")))
         .selectCols(Seq(col("vmic"),

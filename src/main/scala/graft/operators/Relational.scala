@@ -522,7 +522,13 @@ object Relational {
       */
     def corrStats(group: Seq[Column], x: Column, y: Column): DataFrame = {
       def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(30, 6))
-      val agged = df.groupBy(group: _*).agg(
+      // spread before the partial aggregation: the per-row cost here is
+      // three Decimal128 multiplies, so a few-split input leaves cores
+      // idle exactly where the work is (measured on q78: a 2.0 s 3-task
+      // stage over 600k lineitem rows). Conditional — at real scale the
+      // input has >= cores splits and this is a no-op, preserving the
+      // "six decimals per group through the shuffle" scale shape.
+      val agged = spread(df).groupBy(group: _*).agg(
         count(lit(1)).alias("n"),
         sum(dec(x)).alias("sx"), sum(dec(y)).alias("sy"),
         sum(dec(x * y)).alias("sxy"),

@@ -437,7 +437,11 @@ object Retrieval {
       val ts = p.sliding(3).toSeq.distinct
       ts.map(t => (p, t, ts.size.toLong))
     }.toDF("pattern", "g", "need")
-    val base = docs.select(id.alias("id"), text.alias("__t"))
+    // spread BEFORE the trigram explosion: a single-split doc table fuses
+    // the ~2k-trigrams-per-doc explode + broadcast probe into one task
+    // (measured on q354: a 2.1 s 1-task stage over 5000 docs); the
+    // exchange moved below it carries only the raw (id, text) rows
+    val base = Relational.spread(docs.select(id.alias("id"), text.alias("__t")))
     val inv = base.select(col("id"),
       explode(graft.functions.TextFns.charNgrams(col("__t"), 3)).alias("g"))
     val cand = inv.join(broadcast(pats), Seq("g"))

@@ -1139,7 +1139,13 @@ object Similarity {
       transform(slice(col("__qv"), i + 1, size(col("__qv")) - i),
         (xj, jj) => struct(i.alias("i"), (i + jj).alias("j"),
           (xi * xj).alias("p")))))
-    df.select(id.alias("id"), qv.alias("__qv"))
+    // spread before the per-row d(d+1)/2 outer-product expansion: a
+    // single-split corpus fuses it into a 1-task scan (measured on q353:
+    // 2000 vectors -> 4.16M cells in one 2.46 s task); the exchange
+    // moved below it carries only the raw quantized vectors, and the
+    // join-free scale shape (<= d(d+1)/2 cells per partition through the
+    // shuffle) is unchanged
+    Relational.spread(df.select(id.alias("id"), qv.alias("__qv")))
       .select(explode(prods).alias("c"))
       .groupBy(col("c.i").cast("long").alias("i"),
         col("c.j").cast("long").alias("j"))
