@@ -604,7 +604,18 @@ object Dedup {
         s"$est bytes > $maxInputBytes. Use embeddingLshPairs (linear shuffle) for scale, " +
         s"or raise maxInputBytes to force a bounded verify run.")
     val e = df.select(id.alias("id"), vec.alias("v"))
-    val a = e.alias("a"); val b = e.alias("b")
+    // repartition the PROBE side: the nested-loop scoring is O(n^2) work
+    // that otherwise runs fused into the input's split count (measured on
+    // q37: 2000 vectors scored on 1 task, twice — the range sampler
+    // re-runs the exchange-free pipeline); the broadcast side stays the
+    // raw scan. Unconditional rather than the `spread` partition probe:
+    // the maxInputBytes guard above bounds this instrument's input to a
+    // handful of splits, and spread's plan->RDD partition check costs
+    // ~0.5 s of driver time per call (measured) — more than the exchange
+    // it would sometimes skip.
+    val a = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .alias("a")
+    val b = e.alias("b")
     val cos = VectorExprs.cosine(col("a.v"), col("b.v"))
     // The threshold lives INSIDE the join condition: the nested-loop join
     // then emits only qualifying pairs instead of materializing all O(n^2)
