@@ -1680,8 +1680,12 @@ object Relational {
       s"""CASE WHEN $den = 0 THEN NULL
           WHEN $num >= 0 THEN CAST(($num * 1000000) DIV $den AS BIGINT)
           ELSE CAST(-((-$num * 1000000) DIV $den) AS BIGINT) END""").alias(out)
-    df.select(key.alias("key"), x1.cast("long").alias("x1"),
-        x2.cast("long").alias("x2"), y.cast("long").alias("yy"))
+    // spread before the partial aggregation (the corrStats rationale):
+    // nine per-row decimal products/sums otherwise run on the input
+    // file's split count (measured on q360: a 1.8 s 3-task stage over
+    // 600k rows); conditional, so real many-split inputs are untouched
+    spread(df.select(key.alias("key"), x1.cast("long").alias("x1"),
+        x2.cast("long").alias("x2"), y.cast("long").alias("yy")))
       .groupBy(col("key"))
       .agg(count(lit(1)).cast(d).alias("n"),
         sum(col("x1").cast(d)).alias("s1"),

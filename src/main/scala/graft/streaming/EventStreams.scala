@@ -3102,6 +3102,14 @@ object EventStreams {
     */
   def seqPatternSupport(events: DataFrame, unit: Column, kind: Column,
       time: Column): DataFrame = {
+    // NOT spread (A/B-rejected, r13): the extremes-join fan-out does run
+    // fused into a 1-task scan on a single-split event table (one 1.94 s
+    // stage, 100k -> 187k rows), but spreading this SHARED base made the
+    // plan worse, not better — the keyless exchange is re-executed per
+    // consumer (three identical scan+write stages; the r12-documented
+    // reuse failure) and the extremes join lost its broadcast shape,
+    // shuffling 1.78M pre-distinct rows instead of joining 187k against
+    // a broadcast. The fused 1-task expansion is the cheaper evil here.
     val base = events.select(unit.alias("u"), kind.alias("ty"),
       time.cast("long").alias("tm"))
     val ext = base.groupBy(col("u"), col("ty"))
